@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One named engine capability: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) a DuckDB oracle used by the driver's
+  * correctness gate. `oracle = None` → driver records a rows-only check.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Numeric conventions shared by every query and its oracle.
+  *
+  * Spark aggregates doubles in nondeterministic partition order, so a raw
+  * `sum(double)` is not reproducible bit-for-bit — let alone equal to
+  * DuckDB's. Convention: compute per-row scalars in double (deterministic),
+  * cast to an exact decimal *before* the aggregation (associative, order
+  * independent), and cast the final aggregate back to double so the output
+  * schema matches the oracle's. The reference avoids the same trap by using
+  * exact Decimal arithmetic end to end
+  * (/root/reference/src/DataTypes/DataTypesDecimal.h:50).
+  */
+object Num {
+  val D2: DecimalType = DecimalType(18, 2)
+  val D6: DecimalType = DecimalType(18, 6)
+
+  /** Exact sum of a 2-decimal column, returned as double. */
+  def dsum2(c: Column): Column = sum(c.cast(D2)).cast(DoubleType)
+
+  /** Exact sum of a derived per-row double, quantized to 6 decimals. */
+  def dsum6(c: Column): Column = sum(c.cast(D6)).cast(DoubleType)
+
+  /** Order-independent average: exact decimal sum / count. */
+  def davg2(c: Column): Column = dsum2(c) / count(lit(1))
+  def davg6(c: Column): Column = dsum6(c) / count(lit(1))
+}
