@@ -11,7 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryDef] =
-    _root_.graft.queries.RelationalCore.defs
+    _root_.graft.queries.RelationalCore.defs ++
+      _root_.graft.queries.Aggregates.defs ++
+      _root_.graft.queries.WindowQueries.defs ++
+      _root_.graft.queries.SetOpsSubqueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
