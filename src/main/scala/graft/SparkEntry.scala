@@ -15,7 +15,9 @@ object SparkEntry {
       _root_.graft.queries.Aggregates.defs ++
       _root_.graft.queries.WindowQueries.defs ++
       _root_.graft.queries.SetOpsSubqueries.defs ++
-      _root_.graft.queries.Behavioral.defs
+      _root_.graft.queries.Behavioral.defs ++
+      _root_.graft.queries.TextPipeline.defs ++
+      _root_.graft.queries.Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

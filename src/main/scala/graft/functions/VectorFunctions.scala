@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Vector math over `array<float>` embedding columns, composed from
+  * higher-order built-ins (`zip_with` + `aggregate`) so the hot loop stays
+  * in codegen. Floats are widened to double before multiplication so
+  * results are reproducible and engine-independent.
+  */
+object VectorFunctions {
+
+  def asDouble(v: Column): Column = v.cast(ArrayType(DoubleType))
+
+  /** Dot product in double precision, left-to-right accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane LSH signature: `planes` sign bits, each from a
+    * pseudo-random hyperplane derived deterministically from xxhash64 of
+    * (plane, dimension) — no stored model, reproducible across runs.
+    * Returns a bigint bucket id.
+    */
+  def hyperplaneLshBucket(v: Column, planes: Int): Column = {
+    val dv = asDouble(v)
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val proj = aggregate(
+        zip_with(dv, sequence(lit(0), size(dv) - 1),
+          (x, d) => x * ((pmod(xxhash64(p, d), lit(2000001L)) - 1000000L).cast(DoubleType) / 1000000.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, 1L).otherwise(0L)
+    })
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
+      (acc, i) => acc * 2 + element_at(bits, i + lit(1)))
+  }
+}

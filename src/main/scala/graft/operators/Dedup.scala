@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for the training-data pipeline:
+  * exact (hash-groupBy), MinHash+LSH and SimHash candidate generation.
+  *
+  * Scale design: every variant is a hash shuffle on a digest/band key —
+  * never an all-pairs comparison. At 100 TB the candidate-pair join only
+  * materializes within LSH buckets, so cost tracks the true near-dup
+  * density, not n².
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per content digest. One shuffle
+    * on the digest. (Unique-key-table semantics, SURVEY §1.1 —
+    * dedup-on-read via min-per-key.)
+    */
+  def exactKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("__digest", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__digest")).orderBy(col(idCol))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  /** MinHash+LSH candidate pairs: shingle → minhash signature → band keys
+    * → self-join within (band, key) buckets. Returns distinct (id_a, id_b)
+    * with id_a < id_b.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    val banded = sig.select(col("id"),
+        posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash bucket candidates: docs sharing any 16-bit simhash band are
+    * near-dup candidates (hamming distance ≤ 3 guaranteed to collide on
+    * ≥1 of 4 bands).
+    */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val banded = df.select(col(idCol).as("id"),
+        posexplode(simhashBands(col(textCol))).as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard similarity for all pairs sharing ≥1 token,
+    * computed by token-inverted-index join + per-pair intersection counts —
+    * the oracle-checkable baseline for the MinHash approximation.
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n_tok"))
+    val inter = toks.as("a").join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_tok", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_tok", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{Num, QueryDef, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>`, unit
+  * norm). Brute-force cosine top-k is the exact baseline; the
+  * hyperplane-LSH variant is the 100 TB scale path — candidates only
+  * materialize within hash buckets, turning the n² pair space into
+  * bucket-local joins.
+  */
+object Similarity {
+  import Num._
+
+  val defs: Seq[QueryDef] = Seq(
+    // Brute-force cosine top-5 for a fixed probe set. The probe side is
+    // tiny → broadcast; the scan side streams once (no shuffle of the
+    // corpus).
+    QueryDef(
+      "knn_bruteforce_cosine",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        emb.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("sim", round(dot(col("embedding"), col("probe_vec")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"), col("sim"))
+          .orderBy(col("probe_id"), col("rn"))
+      },
+      Some("""
+        WITH probes AS (
+          SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe_vec
+          FROM embeddings WHERE vec_id < 10),
+        sims AS (
+          SELECT probe_id, e.vec_id AS neighbor_id,
+            ROUND(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), probe_vec), 6) AS sim
+          FROM embeddings e CROSS JOIN probes
+          WHERE e.vec_id <> probe_id),
+        ranked AS (
+          SELECT probe_id, neighbor_id, sim,
+            ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY sim DESC, neighbor_id) AS rn
+          FROM sims)
+        SELECT probe_id, rn, neighbor_id, sim
+        FROM ranked WHERE rn <= 5
+        ORDER BY probe_id, rn""")),
+
+    // Vector norm statistics per label (sanity + aggregate over dot).
+    QueryDef(
+      "embedding_norm_stats",
+      (s, dir) =>
+        Tables(s, dir, "embeddings")
+          .withColumn("nrm", round(norm(col("embedding")), 6))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vectors"),
+               davg6(col("nrm")).as("avg_norm"),
+               min(col("nrm")).as("min_norm"),
+               max(col("nrm")).as("max_norm"))
+          .orderBy(col("label")),
+      Some("""
+        WITH t AS (
+          SELECT label,
+            ROUND(SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))), 6) AS nrm
+          FROM embeddings)
+        SELECT label, COUNT(*) AS n_vectors,
+          CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+          MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+        FROM t
+        GROUP BY label
+        ORDER BY label""")),
+
+    // Label-pair mean similarity over a deterministic sample of pairs
+    // (id_a < id_b, both ≡ 0 mod 5 — keeps the pair space bounded).
+    QueryDef(
+      "label_pair_similarity",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+        val a = emb.select(col("vec_id").as("id_a"), col("label").as("label_a"),
+                           col("embedding").as("vec_a"))
+        val b = emb.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+                           col("embedding").as("vec_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("sim", round(dot(col("vec_a"), col("vec_b")), 6))
+          .groupBy(col("label_a"), col("label_b"))
+          .agg(count(lit(1)).as("n_pairs"), davg6(col("sim")).as("avg_sim"))
+          .orderBy(col("label_a"), col("label_b"))
+      },
+      Some("""
+        WITH sub AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings WHERE vec_id % 5 = 0)
+        SELECT a.label AS label_a, b.label AS label_b, COUNT(*) AS n_pairs,
+          CAST(SUM(CAST(ROUND(LIST_DOT_PRODUCT(a.v, b.v), 6) AS DECIMAL(18,6)))
+            AS DOUBLE) / COUNT(*) AS avg_sim
+        FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+        GROUP BY 1, 2
+        ORDER BY label_a, label_b""")),
+
+    // Hyperplane-LSH approximate top-k: bucket, then exact rerank within
+    // bucket (rows-only — seeded-hash hyperplanes aren't SQL-expressible).
+    QueryDef(
+      "knn_lsh_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .withColumn("bucket", hyperplaneLshBucket(col("embedding"), 8))
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+                  col("bucket").as("probe_bucket"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        emb.join(broadcast(probes), col("bucket") === col("probe_bucket"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("sim", round(dot(col("embedding"), col("probe_vec")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"), col("sim"))
+          .orderBy(col("probe_id"), col("rn"))
+      },
+      None)
+  )
+}
