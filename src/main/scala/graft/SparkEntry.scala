@@ -17,7 +17,8 @@ object SparkEntry {
       _root_.graft.queries.SetOpsSubqueries.defs ++
       _root_.graft.queries.Behavioral.defs ++
       _root_.graft.queries.TextPipeline.defs ++
-      _root_.graft.queries.Similarity.defs
+      _root_.graft.queries.Similarity.defs ++
+      _root_.graft.queries.SketchesAndStreams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -101,4 +101,5 @@ private[aggregates] object ExpressionEncoders {
   import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   val arrayBoolean: Encoder[Array[Boolean]] = ExpressionEncoder[Array[Boolean]]()
   val seqInt: Encoder[Seq[Int]] = ExpressionEncoder[Seq[Int]]()
+  val seqLong: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
 }

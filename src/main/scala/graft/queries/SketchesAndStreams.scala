@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.aggregates.{BitmapAggregates => B, TopK}
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.functions._
+
+/** Bitmap set analytics, heavy hitters, HLL sketches, the streaming
+  * pipeline, and multimodal plumbing — the reference capabilities beyond
+  * plain SQL (SURVEY §2.4 sketch/bitmap groups, §2.10 streaming).
+  */
+object SketchesAndStreams {
+
+  val defs: Seq[QueryDef] = Seq(
+    // Bitmap set algebra on user sets: |click|, |purchase|, intersection,
+    // union, difference — oracle = exact per-user boolean aggregation.
+    QueryDef(
+      "bitmap_user_overlap",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val click = ev.filter(col("event_type") === "click")
+          .agg(B.groupBitmap(col("user_id")).as("bm_click"))
+        val purchase = ev.filter(col("event_type") === "purchase")
+          .agg(B.groupBitmap(col("user_id")).as("bm_purchase"))
+        click.crossJoin(purchase).select(
+          B.bitmapCardinality(col("bm_click")).as("n_click"),
+          B.bitmapCardinality(col("bm_purchase")).as("n_purchase"),
+          B.bitmapAndCardinality(col("bm_click"), col("bm_purchase")).as("n_both"),
+          B.bitmapOrCardinality(col("bm_click"), col("bm_purchase")).as("n_either"),
+          B.bitmapAndnotCardinality(col("bm_click"), col("bm_purchase")).as("n_click_only"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT user_id,
+            MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+          FROM events GROUP BY user_id)
+        SELECT CAST(SUM(c) AS BIGINT) AS n_click,
+          CAST(SUM(p) AS BIGINT) AS n_purchase,
+          CAST(SUM(c * p) AS BIGINT) AS n_both,
+          CAST(SUM(CASE WHEN c = 1 OR p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_either,
+          CAST(SUM(CASE WHEN c = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_click_only
+        FROM s""")),
+
+    // topK heavy hitters (SpaceSaving). Capacity >= NDV at test scale →
+    // exact, so the oracle is the true top-10 by count (ties → lower id).
+    QueryDef(
+      "topk_users_by_events",
+      (s, dir) => {
+        val topk = TopK(10)
+        Tables(s, dir, "events")
+          .agg(topk(col("user_id")).as("top_users"))
+          .select(posexplode(col("top_users")).as(Seq("pos", "user_id")))
+          .select((col("pos") + 1).as("rank"), col("user_id"))
+          .orderBy(col("rank"))
+      },
+      Some("""
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS INTEGER) AS rank,
+          user_id
+        FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id) t
+        ORDER BY n DESC, user_id
+        LIMIT 10""")),
+
+    // HLL sketch (DataSketches, reference uniq/hllSketch family) — the
+    // estimate is sketch-internal, rows-only check.
+    QueryDef(
+      "hll_sketch_users",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"),
+               countDistinct(col("user_id")).as("exact_users"))
+          .orderBy(col("event_type")),
+      None),
+
+    // Streaming tumbling-window counts (AvailableNow over the same data) —
+    // oracle identical to the batch bucketing, proving stream/batch parity.
+    QueryDef(
+      "stream_tumbling_counts",
+      (s, dir) =>
+        StreamingPipeline.tumblingCounts(s, dir, s"stream_tumbling_${System.nanoTime()}")
+          .orderBy(col("bucket"), col("event_type")),
+      Some("""
+        SELECT MAKE_TIMESTAMP((EPOCH_US(ts) // 21600000000) * 21600000000) AS bucket,
+          event_type, COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY bucket, event_type""")),
+
+    // Multimodal plumbing: binary payload + metadata + stub feature
+    // extraction (rows-only; the decode is a documented fake).
+    QueryDef(
+      "multimodal_features",
+      (s, dir) => {
+        val media = Multimodal.withFakeMedia(Tables(s, dir, "documents"), "doc_id", "text")
+        media
+          .withColumn("features", Multimodal.fakeDecodeFeatures(col("media"), 8))
+          .withColumn("frames", Multimodal.sampleFrames(col("media"), 3, 16))
+          .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+                  round(element_at(col("features"), 1), 6).as("f0"),
+                  size(col("frames")).as("n_frames"))
+          .orderBy(col("media_id"))
+          .limit(100)
+      },
+      None)
+  )
+}
