@@ -1,0 +1,94 @@
+package graft
+
+import graft.aggregates._
+import org.apache.spark.sql.functions._
+
+class AggregatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowFunnel: greedy earliest chain with window limit") {
+    // user 1: 1@10 → 2@20 → 3@30 full depth
+    // user 2: step2 before step1 → depth 1
+    // user 3: step2 beyond window of t1 → depth 1
+    // user 4: equal timestamp NOT counted (strict >)
+    val df = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 20L, 2), (2L, 30L, 1),
+      (3L, 10L, 1), (3L, 200L, 2),
+      (4L, 10L, 1), (4L, 10L, 2)
+    ).toDF("u", "us", "step")
+    val funnel = WindowFunnel(100L, 3)
+    val res = df.repartition(4) // force partial/final merge paths
+      .groupBy($"u").agg(funnel($"us", $"step").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(res === Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 1))
+  }
+
+  test("windowFunnel: greedy picks earliest step-1 anchor") {
+    // anchor = earliest step1 (t=10); step2 within window of anchor only
+    // exists for the later step1 occurrence → still counted relative to
+    // t1=10 limit 10+50=60, step2@55 ok.
+    val df = Seq((1L, 10L, 1), (1L, 40L, 1), (1L, 55L, 2)).toDF("u", "us", "step")
+    val funnel = WindowFunnel(50L, 2)
+    val d = df.groupBy($"u").agg(funnel($"us", $"step").as("d")).collect()(0).getInt(1)
+    assert(d === 2)
+  }
+
+  test("retention flags") {
+    val df = Seq(
+      (1L, "signup"), (1L, "purchase"),
+      (2L, "purchase"),
+      (3L, "signup"), (3L, "error")
+    ).toDF("u", "et")
+    val ret = Retention()
+    val res = df.repartition(3).groupBy($"u")
+      .agg(ret($"et" === "signup", $"et" === "purchase", $"et" === "error").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(res(1L) === Seq(1, 1, 0))
+    assert(res(2L) === Seq(0, 0, 0)) // no signup → all zero
+    assert(res(3L) === Seq(1, 0, 1))
+  }
+
+  test("topK: exact when capacity covers NDV; ties break by key") {
+    val data = (1 to 50).flatMap(i => Seq.fill(i % 5 + 1)(i.toLong))
+    val topk = TopK(3, capacity = 100)
+    val res = data.toDF("x").repartition(4)
+      .agg(topk($"x").as("t")).collect()(0).getSeq[Long](0)
+    // counts: value i → (i%5)+1 occurrences; max count 5 for i%5==4 → ids 4,9,14
+    assert(res === Seq(4L, 9L, 14L))
+  }
+
+  test("topK: bounded memory displacement keeps buffer at capacity") {
+    val agg = new TopK(2, capacity = 3)
+    val buf = (1L to 100L).foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    assert(buf.size === 3)
+  }
+
+  test("groupBitmap: set algebra cardinalities") {
+    val a = BitmapAggregates.serialize {
+      val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+      Seq(1L, 2L, 3L, 1L << 40).foreach(bm.addLong); bm
+    }
+    val b = BitmapAggregates.serialize {
+      val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+      Seq(2L, 3L, 4L).foreach(bm.addLong); bm
+    }
+    val df = Seq((a, b)).toDF("a", "b")
+    val row = df.select(
+      BitmapAggregates.bitmapAndCardinality($"a", $"b"),
+      BitmapAggregates.bitmapOrCardinality($"a", $"b"),
+      BitmapAggregates.bitmapAndnotCardinality($"a", $"b"),
+      BitmapAggregates.bitmapContains($"a", lit(1L << 40))).collect()(0)
+    assert(row.getLong(0) === 2)
+    assert(row.getLong(1) === 5)
+    assert(row.getLong(2) === 2)
+    assert(row.getBoolean(3))
+  }
+
+  test("groupBitmap aggregate distributes and merges") {
+    val df = (1 to 1000).map(i => (i % 7).toLong).toDF("x").repartition(5)
+    val bytes = df.agg(BitmapAggregates.groupBitmap($"x").as("bm"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(BitmapAggregates.deserialize(bytes).getLongCardinality === 7)
+  }
+}

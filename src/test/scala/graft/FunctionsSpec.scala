@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: k-grams, and empty below k tokens") {
+    val df = Seq(("a b c d", 1), ("a b", 2)).toDF("text", "id")
+    val res = df.select($"id", T.shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(res(1) === Seq("a b c", "b c d"))
+    assert(res(2) === Seq.empty)
+  }
+
+  test("token stats and stopword ratio") {
+    val df = Seq(("the cat and the dog", 1)).toDF("text", "id")
+    val r = df.select(
+      T.tokenCount($"text"),
+      T.tokenOccurrences($"text", "the"),
+      T.stopwordRatio($"text", Seq("the", "and"))).collect()(0)
+    assert(r.getInt(0) === 5)
+    assert(r.getInt(1) === 2)
+    assert(math.abs(r.getDouble(2) - 0.6) < 1e-9)
+  }
+
+  test("minhash signature: identical texts agree, signature length fixed") {
+    val df = Seq(("one two three four five", 1), ("one two three four five", 2))
+      .toDF("text", "id")
+    val sigs = df.select(T.minhashSignature($"text", 3, 16).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0).length === 16)
+    assert(sigs(0) === sigs(1))
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    val profiles = Map("en" -> Seq("the", "and"), "de" -> Seq("der", "und"))
+    val df = Seq(("der hund und die katze", 1), ("the cat and dog", 2), ("xyz abc", 3))
+      .toDF("text", "id")
+    val res = df.select($"id", T.langId($"text", profiles).as("l"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(res(1) === "de")
+    assert(res(2) === "en")
+    assert(res(3) === "und")
+  }
+
+  test("vector dot/cosine in double precision") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val r = df.select(V.dot($"a", $"b"), V.norm($"a")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("hyperplane LSH bucket is deterministic and bounded") {
+    val df = Seq((Array.fill(16)(0.1f), 1), (Array.fill(16)(0.1f), 2)).toDF("v", "id")
+    val buckets = df.select(V.hyperplaneLshBucket($"v", 8)).as[Long].collect()
+    assert(buckets(0) === buckets(1))
+    assert(buckets(0) >= 0 && buckets(0) < 256)
+  }
+
+  test("multimodal stub: schema and shapes are real") {
+    val docs = Seq((1L, "hello world media payload")).toDF("doc_id", "text")
+    val m = Multimodal.withFakeMedia(docs, "doc_id", "text")
+      .withColumn("features", Multimodal.fakeDecodeFeatures($"media", 4))
+      .withColumn("frames", Multimodal.sampleFrames($"media", 2, 5))
+    val row = m.select($"meta.n_bytes", size($"features"), size($"frames")).collect()(0)
+    assert(row.getInt(0) === 25)
+    assert(row.getInt(1) === 4)
+    assert(row.getInt(2) === 2)
+    val feats = m.select($"features").collect()(0).getSeq[Double](0)
+    assert(feats.forall(f => f >= -1.0 && f <= 1.0))
+  }
+}

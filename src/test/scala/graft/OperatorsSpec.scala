@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{AsofJoin, Dedup}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof backward: latest right at-or-before left time, per key") {
+    val left = Seq((1L, 100L, "p1"), (1L, 50L, "p2"), (2L, 10L, "p3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 40L, "a"), (1L, 100L, "b"), (1L, 120L, "c"), (3L, 5L, "x"))
+      .toDF("rk", "rt", "tag")
+    val res = AsofJoin.backward(left, right, "k", "rk", "t", "rt", Seq("rt", "tag"))
+      .select($"name", $"asof_rt", $"asof_tag").collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(res("p1") === (Some(100L), Some("b"))) // non-strict: equal ts matches
+    assert(res("p2") === (Some(40L), Some("a")))
+    assert(res("p3") === (None, None)) // key with no right rows → nulls
+  }
+
+  test("dedup exactKeepFirst keeps lowest id per content") {
+    val df = Seq((5L, "aaa"), (2L, "aaa"), (3L, "bbb"), (9L, "aaa"))
+      .toDF("id", "text")
+    val kept = Dedup.exactKeepFirst(df, "text", "id")
+      .select($"id").as[Long].collect().sorted
+    assert(kept === Array(2L, 3L))
+  }
+
+  test("jaccardPairs finds the near-identical pair only") {
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d f"),   // jaccard with 1: 4/6 = 0.667
+      (3L, "x y z w v")
+    ).toDF("id", "text")
+    val pairs = Dedup.jaccardPairs(df, "text", "id", 0.5)
+      .select($"id_a", $"id_b", $"jaccard").collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 2L)
+    assert(math.abs(pairs(0).getDouble(2) - 4.0 / 6.0) < 1e-5)
+  }
+
+  test("minhash LSH surfaces true near-duplicates") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "text")
+    val cands = Dedup.minhashCandidates(df, "text", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)))
+  }
+
+  test("simhash candidates collide for near-identical token sets") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " extra"
+    val other = (200 to 260).map(i => s"q$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "text")
+    val cands = Dedup.simhashCandidates(df, "text", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+}
