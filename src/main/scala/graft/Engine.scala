@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Public entry point of the library: a tuned SparkSession factory, the
+  * TESTDATA catalog, and a SQL front door with the engine's custom
+  * aggregates registered for SQL use — the Spark-native analogue of the
+  * reference's session + function-factory bootstrap
+  * (/root/reference/src/Functions/registerFunctions.cpp:31,
+  * /root/reference/src/AggregateFunctions/AggregateFunctionFactory.h:52).
+  */
+object Engine {
+
+  /** Build a session with the scale-relevant optimizer features on: AQE
+    * (runtime re-planning + skew handling), CBO, runtime bloom filters,
+    * parquet aggregate pushdown. `shufflePartitions` should track the
+    * cluster's effective parallelism (matches cores in local mode).
+    */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    registerFunctions(spark)
+    spark
+  }
+
+  /** Register the custom aggregate library for SQL texts. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    spark.udf.register("window_funnel_7d_3",
+      aggregates.WindowFunnel(7L * 86400 * 1000000, 3))
+    spark.udf.register("retention3", aggregates.Retention())
+    spark.udf.register("top_k_10", aggregates.TopK(10))
+    spark.udf.register("group_bitmap", aggregates.BitmapAggregates.groupBitmap)
+    spark.udf.register("bitmap_cardinality", aggregates.BitmapAggregates.bitmapCardinality)
+    spark.udf.register("bitmap_and_cardinality", aggregates.BitmapAggregates.bitmapAndCardinality)
+    spark.udf.register("bitmap_or_cardinality", aggregates.BitmapAggregates.bitmapOrCardinality)
+  }
+
+  /** SQL front door over an sf directory: registers the catalog and runs
+    * the text through Spark SQL (custom functions available).
+    */
+  def sql(spark: SparkSession, dir: String, text: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(text)
+  }
+}
