@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.{SkewJoin, Upsert}
+import org.apache.spark.sql.functions._
+
+class StorageSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert latestByVersion: last writer wins, tiebreak on id") {
+    val df = Seq(
+      (1L, "a", 10L, 100L), (1L, "a", 20L, 101L), // v20 wins
+      (1L, "b", 5L, 102L),
+      (2L, "a", 7L, 103L), (2L, "a", 7L, 104L)    // equal version → higher id
+    ).toDF("k1", "k2", "v", "id")
+    val res = Upsert.latestByVersion(df, Seq("k1", "k2"), "v", "id")
+      .select($"k1", $"k2", $"id").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(res === Map((1L, "a") -> 101L, (1L, "b") -> 102L, (2L, "a") -> 104L))
+  }
+
+  test("sampleByKey is deterministic and roughly proportional") {
+    val df = spark.range(10000).toDF("k")
+    val n1 = df.filter(Upsert.sampleByKey($"k", take = 2)).count()
+    val n2 = df.filter(Upsert.sampleByKey($"k", take = 2)).count()
+    assert(n1 === n2)
+    assert(n1 > 800 && n1 < 1700) // ~2/16 = 12.5%
+  }
+
+  test("salted join matches plain join results under skew") {
+    val left = Seq.fill(5000)((1L, "hot")).toDF("k", "tag")
+      .union(Seq((2L, "cold")).toDF("k", "tag"))
+    val right = Seq((1L, 10.0), (2L, 20.0)).toDF("rk", "w")
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", "rk", salt = 8)
+    val plain = left.join(right, $"k" === $"rk")
+    assert(salted.count() === plain.count())
+    assert(salted.agg(sum($"w")).collect()(0).getDouble(0) ===
+      plain.agg(sum($"w")).collect()(0).getDouble(0))
+  }
+}
