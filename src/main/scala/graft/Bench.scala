@@ -37,6 +37,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: parquet footers, codegen compiler, shuffle machinery.
+    Tables.all.foreach(t => Tables(spark, sfDir, t).count())
     val queries = SparkEntry.queries
     val results = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()

@@ -13,10 +13,21 @@ object VectorFunctions {
 
   def asDouble(v: Column): Column = v.cast(ArrayType(DoubleType))
 
-  /** Dot product in double precision, left-to-right accumulation. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product in double precision, left-to-right accumulation —
+    * composable higher-order-function form (works on any numeric arrays).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product via the native codegen'd expression (float arrays; same
+    * arithmetic as [[dotHof]], compiled to a scalar loop).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      FloatDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 

@@ -108,8 +108,11 @@ object Similarity {
     QueryDef(
       "knn_lsh_topk",
       (s, dir) => {
+        // Persist the bucketed corpus: the bucket signature would otherwise
+        // be recomputed for the probe side and both join inputs.
         val emb = Tables(s, dir, "embeddings")
           .withColumn("bucket", hyperplaneLshBucket(col("embedding"), 8))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
                   col("bucket").as("probe_bucket"))

@@ -54,6 +54,17 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
   }
 
+  test("native FloatDotProduct matches the higher-order-function form exactly") {
+    val vecs = (1 to 200).map { i =>
+      (Array.tabulate(64)(d => ((i * 31 + d * 7) % 100 - 50) / 50.0f),
+       Array.tabulate(64)(d => ((i * 17 + d * 13) % 100 - 50) / 50.0f))
+    }
+    val df = vecs.toDF("a", "b")
+    val diffs = df.select((V.dot($"a", $"b") - V.dotHof($"a", $"b")).as("d"))
+      .agg(max(abs($"d"))).collect()(0).getDouble(0)
+    assert(diffs === 0.0) // bit-identical, not just close
+  }
+
   test("hyperplane LSH bucket is deterministic and bounded") {
     val df = Seq((Array.fill(16)(0.1f), 1), (Array.fill(16)(0.1f), 2)).toDF("v", "id")
     val buckets = df.select(V.hyperplaneLshBucket($"v", 8)).as[Long].collect()
