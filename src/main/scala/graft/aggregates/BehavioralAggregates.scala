@@ -102,4 +102,5 @@ private[aggregates] object ExpressionEncoders {
   val arrayBoolean: Encoder[Array[Boolean]] = ExpressionEncoder[Array[Boolean]]()
   val seqInt: Encoder[Seq[Int]] = ExpressionEncoder[Seq[Int]]()
   val seqLong: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  val mapStringDouble: Encoder[Map[String, Double]] = ExpressionEncoder[Map[String, Double]]()
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
-import graft.aggregates.{BitmapAggregates => B, TopK}
+import graft.{Num, QueryDef, Tables}
+import graft.aggregates.{BitmapAggregates => B, SumMap, TopK}
 import graft.multimodal.Multimodal
 import graft.streaming.StreamingPipeline
 import org.apache.spark.sql.functions._
@@ -87,6 +87,52 @@ object SketchesAndStreams {
         FROM events
         GROUP BY 1, 2
         ORDER BY bucket, event_type""")),
+
+    // Stateful streaming: per-user running counters via
+    // flatMapGroupsWithState; with AvailableNow over static data the final
+    // state equals the batch aggregate (the oracle).
+    QueryDef(
+      "stream_stateful_counts",
+      (s, dir) =>
+        StreamingPipeline.statefulUserCounts(s, dir, s"stream_state_${System.nanoTime()}")
+          .orderBy(col("user_id")),
+      Some("""
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // sumMap: per-user map of event_type → summed value (Map-combinator
+    // family). Map scalar functions probe the result; oracle = equivalent
+    // conditional aggregation.
+    QueryDef(
+      "summap_user_values",
+      (s, dir) => {
+        val sm = SumMap()
+        Tables(s, dir, "events")
+          .withColumn("v6", col("value").cast(Num.D6).cast("double"))
+          .groupBy(col("user_id"))
+          .agg(sm(col("event_type"), col("v6")).as("m"))
+          .select(col("user_id"),
+                  size(map_keys(col("m"))).as("n_types"),
+                  round(coalesce(element_at(col("m"), "click"), lit(0.0)), 6).as("click_value"),
+                  round(coalesce(element_at(col("m"), "purchase"), lit(0.0)), 6).as("purchase_value"),
+                  round(aggregate(map_values(col("m")), lit(0.0).cast(Num.D6),
+                    (acc, x) => (acc + x.cast(Num.D6)).cast(Num.D6)).cast("double"), 6)
+                    .as("total_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id,
+          CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types,
+          ROUND(CAST(SUM(CASE WHEN event_type = 'click'
+            THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE), 6) AS click_value,
+          ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
+            THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE), 6) AS purchase_value,
+          ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
 
     // Multimodal plumbing: binary payload + metadata + stub feature
     // extraction (rows-only; the decode is a documented fake).

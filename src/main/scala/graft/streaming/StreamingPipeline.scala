@@ -2,8 +2,11 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.LongType
+
+/** Running per-user state carried across micro-batches. */
+final case class UserCounter(n_events: Long, sum_value: Double)
 
 /** Structured Streaming over the events stream (reference streaming =
   * continuous Kafka ingestion with offsets committed transactionally to
@@ -40,6 +43,42 @@ object StreamingPipeline {
       .format("memory")
       .queryName(queryName)
       .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Custom streaming state via flatMapGroupsWithState (the reference's
+    * incremental-MV/LiveView role, SURVEY §2.10): a per-user counter
+    * updated as micro-batches arrive. Emits the final state per user of
+    * each batch; state persists in the checkpointed state store across
+    * batches in a long-running query.
+    */
+  def statefulUserCounts(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val updated = stream
+      .select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserCounter]) =>
+          val prev = state.getOption.getOrElse(UserCounter(0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update(UserCounter(n, s))
+          Iterator((user, n))
+      }
+    val q = updated.toDF("user_id", "n_events").writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
