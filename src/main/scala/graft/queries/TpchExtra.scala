@@ -208,6 +208,92 @@ object TpchExtra {
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""")),
 
+    // Q2-like: per part, the shipping supplier with minimal account
+    // balance (correlated min over a join — decorrelated by Catalyst).
+    QueryDef(
+      "q2_min_cost_supplier",
+      (s, dir) => {
+        Seq("part", "supplier", "lineitem").foreach(t =>
+          Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql("""
+          SELECT p_partkey, s_suppkey, s_name, s_acctbal
+          FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE p.p_size = 15 AND p.p_type = 'PROMO'
+            AND s.s_acctbal = (
+              SELECT MIN(s2.s_acctbal)
+              FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+              WHERE l2.l_partkey = p.p_partkey)
+          GROUP BY 1, 2, 3, 4
+          ORDER BY p_partkey, s_suppkey""")
+      },
+      Some("""
+        SELECT p_partkey, s_suppkey, s_name, s_acctbal
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE p.p_size = 15 AND p.p_type = 'PROMO'
+          AND s.s_acctbal = (
+            SELECT MIN(s2.s_acctbal)
+            FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+            WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY 1, 2, 3, 4
+        ORDER BY p_partkey, s_suppkey""")),
+
+    // Q11-like: suppliers holding an outsized share of total shipped value
+    // (group HAVING vs a global scalar threshold).
+    QueryDef(
+      "q11_important_stock",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""
+          SELECT l_suppkey,
+            CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS value
+          FROM lineitem
+          GROUP BY l_suppkey
+          HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) > (
+            SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) * 0.0015
+            FROM lineitem)
+          ORDER BY value DESC, l_suppkey""")
+      },
+      Some("""
+        SELECT l_suppkey,
+          CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS value
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) > (
+          SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) * 0.0015
+          FROM lineitem)
+        ORDER BY value DESC, l_suppkey""")),
+
+    // Q20-like: suppliers who shipped a large PROMO volume (IN over a
+    // grouped-HAVING subquery — nested semi-join pipeline).
+    QueryDef(
+      "q20_promo_volume_suppliers",
+      (s, dir) => {
+        Seq("part", "supplier", "lineitem").foreach(t =>
+          Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql("""
+          SELECT s_suppkey, s_name
+          FROM supplier
+          WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type = 'PROMO'
+            GROUP BY l_suppkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 120)
+          ORDER BY s_suppkey""")
+      },
+      Some("""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'PROMO'
+          GROUP BY l_suppkey
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 120)
+        ORDER BY s_suppkey""")),
+
     // Q22: customers with above-average balance and no orders, by prefix
     // cohort (scalar subquery + anti join).
     QueryDef(
