@@ -103,6 +103,65 @@ object Similarity {
         GROUP BY 1, 2
         ORDER BY label_a, label_b""")),
 
+    // IVF-style ANN: coarse-quantize every vector to its nearest of 16
+    // deterministic centroids (the embeddings of vec_id 0..15), then
+    // search only within the probe's cell. Oracle-checkable end to end —
+    // assignment and rerank are exact dot products. At scale the cell
+    // assignment is one broadcast pass and search cost drops by the cell
+    // fanout.
+    QueryDef(
+      "knn_ivf_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+        // nearest centroid per vector: max (dot, -cent_id) → lowest id wins ties
+        val assigned = emb.crossJoin(broadcast(cents))
+          .withColumn("cdot", round(dot(col("embedding"), col("cent_vec")), 6))
+          .groupBy(col("vec_id"), col("embedding"))
+          .agg(max_by(col("cent_id"), struct(col("cdot"), -col("cent_id"))).as("cell"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val probes = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+                  col("cell").as("probe_cell"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        assigned.join(broadcast(probes), col("cell") === col("probe_cell"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("sim", round(dot(col("embedding"), col("probe_vec")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"), col("sim"))
+          .orderBy(col("probe_id"), col("rn"))
+      },
+      Some("""
+        WITH cents AS (
+          SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
+          FROM embeddings WHERE vec_id < 16),
+        assigned AS (
+          SELECT vec_id, cell, v AS embedding FROM (
+            SELECT e.vec_id, cent_id AS cell, CAST(e.embedding AS DOUBLE[]) AS v,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ROUND(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), cent_vec), 6) DESC,
+                         cent_id ASC) AS rnc
+            FROM embeddings e CROSS JOIN cents) t
+          WHERE rnc = 1),
+        probes AS (
+          SELECT vec_id AS probe_id, embedding AS probe_vec, cell AS probe_cell
+          FROM assigned WHERE vec_id < 10),
+        sims AS (
+          SELECT probe_id, a.vec_id AS neighbor_id,
+            ROUND(LIST_DOT_PRODUCT(a.embedding, probe_vec), 6) AS sim
+          FROM assigned a JOIN probes p ON a.cell = p.probe_cell
+          WHERE a.vec_id <> p.probe_id)
+        SELECT probe_id, rn, neighbor_id, sim FROM (
+          SELECT probe_id, neighbor_id, sim,
+            ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY sim DESC, neighbor_id) AS rn
+          FROM sims) r
+        WHERE rn <= 3
+        ORDER BY probe_id, rn""")),
+
     // Hyperplane-LSH approximate top-k: bucket, then exact rerank within
     // bucket (rows-only — seeded-hash hyperplanes aren't SQL-expressible).
     QueryDef(

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{SkewJoin, Upsert}
+import graft.operators.{Mutations, SkewJoin, Upsert}
 import org.apache.spark.sql.functions._
 
 class StorageSemanticsSpec extends SparkSpec {
@@ -24,6 +24,19 @@ class StorageSemanticsSpec extends SparkSpec {
     val n2 = df.filter(Upsert.sampleByKey($"k", take = 2)).count()
     assert(n1 === n2)
     assert(n1 > 800 && n1 < 1700) // ~2/16 = 12.5%
+  }
+
+  test("mutations: UPDATE and DELETE as table rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mut").toString + "/t"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "grp", "v").write.parquet(dir)
+    Mutations.rewrite(spark, dir, df =>
+      Mutations.delete(
+        Mutations.update(df, $"grp" === "a", Map("v" -> ($"v" * 2))),
+        $"id" === 2L))
+    val rows = spark.read.parquet(dir).orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows === Array((1L, 20.0), (3L, 60.0)))
   }
 
   test("salted join matches plain join results under skew") {
