@@ -20,8 +20,9 @@ object Bench {
     "sessionize_stats", "funnel_signup_click_purchase",
     "asof_purchase_click", "event_tumbling_counts",
     "dedup_keep_first", "minhash_lsh_candidates", "jaccard_token_pairs",
-    "knn_bruteforce_cosine", "knn_lsh_topk",
-    "bitmap_user_overlap", "topk_users_by_events")
+    "knn_bruteforce_cosine", "knn_lsh_topk", "knn_ivf_topk",
+    "bitmap_user_overlap", "topk_users_by_events",
+    "upsert_latest_state", "summap_user_values", "q11_important_stock")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
