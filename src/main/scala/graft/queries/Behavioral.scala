@@ -173,6 +173,30 @@ object Behavioral {
         GROUP BY 1, 2
         ORDER BY bucket, event_type""")),
 
+    // Sliding windows: 6-hour windows sliding every 3 hours — each event
+    // lands in 2 buckets (Expand in Spark; UNNEST of both starts in SQL).
+    QueryDef(
+      "event_sliding_counts",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("w.start").as("bucket"), col("event_type"), col("n_events"))
+          .orderBy(col("bucket"), col("event_type")),
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+            (EPOCH_US(ts) // 10800000000) * 10800000000 AS grid_us
+          FROM events),
+        expanded AS (
+          SELECT event_type, UNNEST([grid_us - 10800000000, grid_us]) AS bucket_us
+          FROM e)
+        SELECT MAKE_TIMESTAMP(bucket_us) AS bucket, event_type,
+          COUNT(*) AS n_events
+        FROM expanded
+        GROUP BY 1, 2
+        ORDER BY bucket, event_type""")),
+
     // Session windows (session_window(), gap 30 min) — per-session rows.
     QueryDef(
       "event_session_windows",

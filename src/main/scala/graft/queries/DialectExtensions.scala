@@ -184,6 +184,60 @@ object DialectExtensions {
         ORDER BY o_orderkey
         LIMIT 500""")),
 
+    // Math scalar family (rounded to dodge libm last-ulp differences).
+    QueryDef(
+      "math_functions",
+      (s, dir) =>
+        Tables(s, dir, "supplier")
+          .select(
+            col("s_suppkey"),
+            round(abs(col("s_acctbal")), 2).as("abs_bal"),
+            ceil(col("s_acctbal")).as("ceil_bal"),
+            floor(col("s_acctbal")).as("floor_bal"),
+            signum(col("s_acctbal")).as("sign_bal"),
+            round(sqrt(abs(col("s_acctbal"))), 6).as("sqrt_bal"),
+            round(pow(col("s_suppkey").cast("double"), 2.0), 1).as("key_sq"),
+            round(log(col("s_suppkey").cast("double") + 1.0), 6).as("ln_key"),
+            pmod(col("s_suppkey"), lit(7)).as("key_mod7"))
+          .orderBy(col("s_suppkey")),
+      Some("""
+        SELECT s_suppkey,
+          ROUND(ABS(s_acctbal), 2) AS abs_bal,
+          CAST(CEIL(s_acctbal) AS BIGINT) AS ceil_bal,
+          CAST(FLOOR(s_acctbal) AS BIGINT) AS floor_bal,
+          CAST(SIGN(s_acctbal) AS DOUBLE) AS sign_bal,
+          ROUND(SQRT(ABS(s_acctbal)), 6) AS sqrt_bal,
+          ROUND(POW(CAST(s_suppkey AS DOUBLE), 2.0), 1) AS key_sq,
+          ROUND(LN(CAST(s_suppkey AS DOUBLE) + 1.0), 6) AS ln_key,
+          s_suppkey % 7 AS key_mod7
+        FROM supplier
+        ORDER BY s_suppkey""")),
+
+    // NULL semantics: nullif/coalesce/null-safe equality over derived nulls.
+    QueryDef(
+      "null_handling",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .withColumn("d", nullif(col("l_discount"), lit(0.0)))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+               count(col("d")).as("n_nonnull_disc"),
+               sum(when(col("d").isNull, 1L).otherwise(0L)).as("n_zero_disc"),
+               Num.dsum2(coalesce(col("d"), lit(0.0))).as("sum_disc"),
+               count(when(col("d") <=> lit(0.05), 1)).as("n_exact_5pct"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+          COUNT(NULLIF(l_discount, 0.0)) AS n_nonnull_disc,
+          SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_zero_disc,
+          CAST(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), 0.0) AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_disc,
+          COUNT(CASE WHEN NULLIF(l_discount, 0.0) IS NOT DISTINCT FROM 0.05 THEN 1 END)
+            AS n_exact_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
     // Metadata-only count (trivial-count optimization surface).
     QueryDef(
       "trivial_count",
