@@ -17,48 +17,76 @@ import scala.collection.mutable.ArrayBuffer
   */
 final case class FunnelEvent(us: Long, step: Int)
 
-/** windowFunnel(window, steps)(ts_us, step): depth of the greedy earliest
-  * chain — anchor t1 = min ts of step 1; each following step takes the
-  * minimal ts strictly greater than the previous step's ts and within
-  * `windowUs` of t1 (windowUs <= 0 → unbounded). Returns the number of
-  * steps reached (0..nSteps).
+/** windowFunnel(window, steps)(ts_us, step): max funnel level reached,
+  * the reference's getEventLevel algorithm
+  * (/root/reference/src/AggregateFunctions/AggregateFunctionWindowFunnel.h:153-213):
+  * events sorted by (ts, step); a level-0 slot re-anchors on EVERY step-1
+  * event; a step-k event extends the chain when the (k-1) slot is set and
+  * its ts is within `windowUs` of that chain's own step-1 anchor
+  * (windowUs <= 0 → unbounded). Equal timestamps are allowed by default;
+  * options mirror the reference's `strict_deduplication`, `strict_order`
+  * and `strict_increase` parameters. For strict_order, feed non-funnel
+  * events as step 0. Returns the max level reached (0..nSteps).
   *
   * The buffer holds the per-user candidate events (bounded by per-user
   * activity, not table size); merge is concatenation so the aggregate is
   * associative and safe under Spark's partial/final split.
   */
-class WindowFunnel(windowUs: Long, nSteps: Int)
+class WindowFunnel(
+    windowUs: Long,
+    nSteps: Int,
+    strictDeduplication: Boolean = false,
+    strictOrder: Boolean = false,
+    strictIncrease: Boolean = false)
     extends Aggregator[FunnelEvent, ArrayBuffer[FunnelEvent], Int] with Serializable {
   def zero: ArrayBuffer[FunnelEvent] = ArrayBuffer.empty
   def reduce(b: ArrayBuffer[FunnelEvent], e: FunnelEvent): ArrayBuffer[FunnelEvent] = {
-    if (e.step >= 1 && e.step <= nSteps) b += e
+    if ((e.step >= 1 && e.step <= nSteps) || (strictOrder && e.step == 0)) b += e
     b
   }
   def merge(a: ArrayBuffer[FunnelEvent], b: ArrayBuffer[FunnelEvent]): ArrayBuffer[FunnelEvent] = {
     a ++= b; a
   }
   def finish(b: ArrayBuffer[FunnelEvent]): Int = {
-    var depth = 0
-    var prevT = Long.MinValue
-    var limit = Long.MaxValue
-    var i = 1
-    var continue = true
-    while (continue && i <= nSteps) {
-      var best = Long.MaxValue
-      val it = b.iterator
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.step == i && e.us > prevT && e.us <= limit && e.us < best) best = e.us
+    if (b.isEmpty) return 0
+    if (!strictOrder && nSteps == 1) return 1
+    val sorted = b.sortBy(e => (e.us, e.step))
+    // slot(k) = Some((anchorTs, lastTs)) when a chain has reached level k+1;
+    // anchorTs is that chain's step-1 timestamp, lastTs its latest event.
+    val slot = Array.fill[Option[(Long, Long)]](nSteps)(None)
+    var firstEvent = false
+    var i = 0
+    while (i < sorted.length) {
+      val e = sorted(i)
+      val idx = e.step - 1
+      if (strictOrder && idx == -1) {
+        if (firstEvent) return maxLevel(slot)
+      } else if (idx == 0) {
+        slot(0) = Some((e.us, e.us))
+        firstEvent = true
+      } else if (strictDeduplication && slot(idx).isDefined) {
+        return sorted(i - 1).step
+      } else if (strictOrder && firstEvent && slot(idx - 1).isEmpty) {
+        var lvl = 0
+        while (lvl < nSteps && slot(lvl).isDefined) lvl += 1
+        return lvl
+      } else if (slot(idx - 1).isDefined) {
+        val (anchor, last) = slot(idx - 1).get
+        var timeMatched = windowUs <= 0 || e.us <= anchor + windowUs
+        if (strictIncrease) timeMatched = timeMatched && last < e.us
+        if (timeMatched) {
+          slot(idx) = Some((anchor, e.us))
+          if (idx + 1 == nSteps) return nSteps
+        }
       }
-      if (best == Long.MaxValue) continue = false
-      else {
-        prevT = best
-        if (i == 1 && windowUs > 0) limit = best + windowUs
-        depth = i
-        i += 1
-      }
+      i += 1
     }
-    depth
+    maxLevel(slot)
+  }
+  private def maxLevel(slot: Array[Option[(Long, Long)]]): Int = {
+    var lvl = slot.length
+    while (lvl > 0 && slot(lvl - 1).isEmpty) lvl -= 1
+    lvl
   }
   def bufferEncoder: Encoder[ArrayBuffer[FunnelEvent]] = Encoders.kryo
   def outputEncoder: Encoder[Int] = Encoders.scalaInt
@@ -68,6 +96,12 @@ object WindowFunnel {
   /** Column form: windowFunnel(col(ts_us), col(step)). */
   def apply(windowUs: Long, nSteps: Int): UserDefinedFunction =
     udaf(new WindowFunnel(windowUs, nSteps), Encoders.product[FunnelEvent])
+
+  /** Full-option form mirroring the reference's funnel parameters. */
+  def apply(windowUs: Long, nSteps: Int, strictDeduplication: Boolean,
+            strictOrder: Boolean, strictIncrease: Boolean): UserDefinedFunction =
+    udaf(new WindowFunnel(windowUs, nSteps, strictDeduplication, strictOrder, strictIncrease),
+         Encoders.product[FunnelEvent])
 }
 
 final case class RetentionInput(c1: Boolean, c2: Boolean, c3: Boolean)

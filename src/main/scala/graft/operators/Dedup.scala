@@ -25,7 +25,7 @@ object Dedup {
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__digest")).orderBy(col(idCol))))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "__digest")
 
   /** MinHash+LSH candidate pairs: shingle → minhash signature → band keys
     * → self-join within (band, key) buckets. Returns distinct (id_a, id_b)

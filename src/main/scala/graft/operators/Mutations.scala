@@ -12,26 +12,48 @@ import org.apache.spark.sql.functions._
   */
 object Mutations {
 
-  /** UPDATE t SET col = value WHERE cond. */
+  /** UPDATE t SET col = value WHERE cond. SQL UPDATE snapshot semantics:
+    * every SET expression and the WHERE predicate read the pre-update row,
+    * so all assignments are built against the input in a single select
+    * rather than layered withColumn calls.
+    */
   def update(df: DataFrame, cond: Column, assignments: Map[String, Column]): DataFrame =
-    assignments.foldLeft(df) { case (d, (name, value)) =>
-      d.withColumn(name, when(cond, value).otherwise(col(name)))
-    }
+    df.select(df.columns.map { name =>
+      assignments.get(name) match {
+        case Some(value) => when(cond, value).otherwise(col(name)).as(name)
+        case None        => col(name)
+      }
+    }: _*)
 
   /** DELETE FROM t WHERE cond. */
   def delete(df: DataFrame, cond: Column): DataFrame =
     df.filter(!coalesce(cond, lit(false)))
 
-  /** Apply a mutation pipeline and atomically replace the table directory
-    * (write to a sibling temp path, then swap) — the part-rewrite commit.
+  /** Apply a mutation pipeline and replace the table directory with a
+    * rename-aside swap (write new data to a sibling temp path, move the
+    * old directory aside, move the new one into place, then drop the old
+    * copy) — the part-rewrite commit. A crash mid-swap leaves either the
+    * old table at `path` or a recoverable `path + ".old"`; rename/delete
+    * results are checked so a failed step surfaces instead of silently
+    * losing the table.
     */
   def rewrite(spark: SparkSession, path: String, mutate: DataFrame => DataFrame): Unit = {
-    val tmp = path + ".mutating"
-    mutate(spark.read.parquet(path)).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(path + ".mutating")
+    val old = new Path(path + ".old")
+    val dst = new Path(path)
+    mutate(spark.read.parquet(path)).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"mutation swap: cannot clear stale $old")
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"mutation swap: cannot move $dst aside to $old")
+    if (!fs.rename(tmp, dst)) {
+      // Roll the old data back into place before failing.
+      fs.rename(old, dst)
+      throw new java.io.IOException(s"mutation swap: cannot move $tmp into place at $dst")
+    }
+    if (!fs.delete(old, true))
+      throw new java.io.IOException(s"mutation swap: committed but cannot remove $old")
   }
 }

@@ -209,7 +209,7 @@ object Aggregates {
           .orderBy(col("l_shipmode_bucket")),
       Some("""
         SELECT (l_linenumber % 3) AS l_shipmode_bucket, COUNT(*) AS n_items,
-          SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
           CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END
             AS DECIMAL(18,2))) AS DOUBLE) AS returned_price,
           COUNT(CASE WHEN l_quantity > 40 THEN 1 END) AS n_bulk

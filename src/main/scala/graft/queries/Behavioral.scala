@@ -71,8 +71,11 @@ object Behavioral {
         GROUP BY user_id
         ORDER BY user_id""")),
 
-    // windowFunnel: signup → click → purchase within 7 days, greedy
-    // earliest chain (custom Aggregator). Depth histogram across users.
+    // windowFunnel: signup → click → purchase within 7 days (custom
+    // Aggregator, reference getEventLevel semantics: depth >= k iff a
+    // ts-non-decreasing chain of steps 1..k exists whose every event is
+    // within the window of that chain's own step-1 anchor). Depth
+    // histogram across users.
     QueryDef(
       "funnel_signup_click_purchase",
       (s, dir) => {
@@ -91,17 +94,20 @@ object Behavioral {
       },
       Some("""
         WITH u AS (SELECT user_id, EPOCH_US(ts) AS us, event_type FROM events),
-        t1 AS (SELECT user_id, MIN(us) AS t1 FROM u WHERE event_type = 'signup' GROUP BY user_id),
-        t2 AS (SELECT u.user_id, MIN(us) AS t2 FROM u JOIN t1 ON u.user_id = t1.user_id
-               WHERE event_type = 'click' AND us > t1 AND us <= t1 + 604800000000
-               GROUP BY u.user_id),
-        t3 AS (SELECT u.user_id, MIN(us) AS t3 FROM u
-               JOIN t1 ON u.user_id = t1.user_id JOIN t2 ON u.user_id = t2.user_id
-               WHERE event_type = 'purchase' AND us > t2 AND us <= t1 + 604800000000
-               GROUP BY u.user_id)
-        SELECT (SELECT COUNT(*) FROM t1) AS reached_signup,
-               (SELECT COUNT(*) FROM t2) AS reached_click,
-               (SELECT COUNT(*) FROM t3) AS reached_purchase""")),
+        s AS (SELECT user_id, us FROM u WHERE event_type = 'signup'),
+        c AS (SELECT user_id, us FROM u WHERE event_type = 'click'),
+        p AS (SELECT user_id, us FROM u WHERE event_type = 'purchase'),
+        d1 AS (SELECT DISTINCT user_id FROM s),
+        d2 AS (SELECT DISTINCT s.user_id FROM s JOIN c ON c.user_id = s.user_id
+               AND c.us >= s.us AND c.us <= s.us + 604800000000),
+        d3 AS (SELECT DISTINCT s.user_id FROM s
+               JOIN c ON c.user_id = s.user_id
+                AND c.us >= s.us AND c.us <= s.us + 604800000000
+               JOIN p ON p.user_id = s.user_id
+                AND p.us >= c.us AND p.us <= s.us + 604800000000)
+        SELECT (SELECT COUNT(*) FROM d1) AS reached_signup,
+               (SELECT COUNT(*) FROM d2) AS reached_click,
+               (SELECT COUNT(*) FROM d3) AS reached_purchase""")),
 
     // retention: signed up; signed up & purchased; signed up & errored.
     QueryDef(
@@ -146,10 +152,10 @@ object Behavioral {
       },
       Some("""
         WITH u AS (SELECT user_id, EPOCH_US(ts) AS us, event_type FROM events),
-        t1 AS (SELECT user_id, MIN(us) AS t1 FROM u WHERE event_type = 'signup' GROUP BY user_id),
-        t2 AS (SELECT u.user_id FROM u JOIN t1 ON u.user_id = t1.user_id
-               WHERE event_type = 'error' AND us > t1 AND us <= t1 + 86400000000
-               GROUP BY u.user_id)
+        s AS (SELECT user_id, us FROM u WHERE event_type = 'signup'),
+        e AS (SELECT user_id, us FROM u WHERE event_type = 'error'),
+        t2 AS (SELECT DISTINCT s.user_id FROM s JOIN e ON e.user_id = s.user_id
+               AND e.us >= s.us AND e.us <= s.us + 86400000000)
         SELECT (SELECT COUNT(*) FROM t2) AS n_matched_users,
           COUNT(DISTINCT user_id) AS n_users_considered
         FROM u WHERE event_type IN ('signup', 'error')""")),

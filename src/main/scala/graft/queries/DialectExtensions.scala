@@ -229,7 +229,7 @@ object DialectExtensions {
       Some("""
         SELECT l_returnflag, COUNT(*) AS n_rows,
           COUNT(NULLIF(l_discount, 0.0)) AS n_nonnull_disc,
-          SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_zero_disc,
+          CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
           CAST(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), 0.0) AS DECIMAL(18,2))) AS DOUBLE)
             AS sum_disc,
           COUNT(CASE WHEN NULLIF(l_discount, 0.0) IS NOT DISTINCT FROM 0.05 THEN 1 END)

@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 class AggregatorsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("windowFunnel: greedy earliest chain with window limit") {
+  test("windowFunnel: reference getEventLevel semantics with window limit") {
     // user 1: 1@10 → 2@20 → 3@30 full depth
     // user 2: step2 before step1 → depth 1
     // user 3: step2 beyond window of t1 → depth 1
-    // user 4: equal timestamp NOT counted (strict >)
+    // user 4: equal timestamps ARE counted (non-strict default, sorted by
+    //         (ts, step) so step1 is processed first)
     val df = Seq(
       (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
       (2L, 20L, 2), (2L, 30L, 1),
@@ -21,17 +22,32 @@ class AggregatorsSpec extends SparkSpec {
     val res = df.repartition(4) // force partial/final merge paths
       .groupBy($"u").agg(funnel($"us", $"step").as("d"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(res === Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 1))
+    assert(res === Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2))
   }
 
-  test("windowFunnel: greedy picks earliest step-1 anchor") {
-    // anchor = earliest step1 (t=10); step2 within window of anchor only
-    // exists for the later step1 occurrence → still counted relative to
-    // t1=10 limit 10+50=60, step2@55 ok.
-    val df = Seq((1L, 10L, 1), (1L, 40L, 1), (1L, 55L, 2)).toDF("u", "us", "step")
+  test("windowFunnel: re-anchors on every step-1 event") {
+    // ADVICE r1 example: window=50, step1@0, step1@90, step2@100 — the
+    // level-0 slot is re-anchored at 90, so 100 <= 90+50 matches → depth 2.
+    val df = Seq((1L, 0L, 1), (1L, 90L, 1), (1L, 100L, 2)).toDF("u", "us", "step")
     val funnel = WindowFunnel(50L, 2)
     val d = df.groupBy($"u").agg(funnel($"us", $"step").as("d")).collect()(0).getInt(1)
     assert(d === 2)
+
+    // and the chain window is anchored at the chain's own step-1: a step2
+    // inside the window of the earlier anchor still counts.
+    val df2 = Seq((1L, 10L, 1), (1L, 40L, 1), (1L, 55L, 2)).toDF("u", "us", "step")
+    val d2 = df2.groupBy($"u").agg(funnel($"us", $"step").as("d")).collect()(0).getInt(1)
+    assert(d2 === 2)
+  }
+
+  test("windowFunnel: strict_increase rejects equal timestamps") {
+    val df = Seq((1L, 10L, 1), (1L, 10L, 2), (2L, 10L, 1), (2L, 11L, 2))
+      .toDF("u", "us", "step")
+    val funnel = WindowFunnel(100L, 2, strictDeduplication = false,
+      strictOrder = false, strictIncrease = true)
+    val res = df.groupBy($"u").agg(funnel($"us", $"step").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(res === Map(1L -> 1, 2L -> 2))
   }
 
   test("retention flags") {
