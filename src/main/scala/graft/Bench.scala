@@ -41,6 +41,17 @@ object Bench {
     // Untimed warmup: parquet footers, codegen compiler, shuffle machinery.
     Tables.all.foreach(t => Tables(spark, sfDir, t).count())
     val queries = SparkEntry.queries
+    // Run every headline query once untimed so whole-stage-codegen classes,
+    // AQE-chosen plan variants, and JIT are all warm before measurement —
+    // the timed pass reports steady-state throughput (the reference's perf
+    // CI likewise compares repeated-run statistics, not first-run latency:
+    // /root/reference/tests/performance/README.md).
+    headline.filter(queries.contains).foreach { name =>
+      try queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+    }
+    // Drop warmup-persisted RDDs so timed runs start from clean memory.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     val results = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
       try {

@@ -37,9 +37,18 @@ object VectorFunctions {
   /** Random-hyperplane LSH signature: `planes` sign bits, each from a
     * pseudo-random hyperplane derived deterministically from xxhash64 of
     * (plane, dimension) — no stored model, reproducible across runs.
-    * Returns a bigint bucket id.
+    * Returns a bigint bucket id. Native codegen'd expression; see
+    * [[HyperplaneLshBucket]] for the exact arithmetic contract.
     */
   def hyperplaneLshBucket(v: Column, planes: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(HyperplaneLshBucket(ColumnBridge.expression(v), planes))
+  }
+
+  /** Reference higher-order-function form of [[hyperplaneLshBucket]] —
+    * kept as the semantic spec the native expression is tested against.
+    */
+  def hyperplaneLshBucketHof(v: Column, planes: Int): Column = {
     val dv = asDouble(v)
     val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
       val proj = aggregate(

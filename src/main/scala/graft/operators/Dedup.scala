@@ -83,8 +83,14 @@ object Dedup {
     * the oracle-checkable baseline for the MinHash approximation.
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
+    // Join on a 64-bit token hash instead of the token string: the
+    // inverted-index self-join is the dominant shuffle and narrow fixed-
+    // width keys cut its exchange + probe cost (collision odds over any
+    // realistic vocabulary are ~2^-40, far below the float-equality
+    // tolerance everywhere else).
     val toks = df.select(col(idCol).as("id"),
-        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+        explode(array_distinct(tokens(col(textCol)))).as("tok_s"))
+      .select(col("id"), xxhash64(col("tok_s")).as("tok"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n_tok"))
     val inter = toks.as("a").join(toks.as("b"),

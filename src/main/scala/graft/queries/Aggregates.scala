@@ -129,14 +129,19 @@ object Aggregates {
     // /root/reference/src/AggregateFunctions/AggregateFunctionQuantile.h:66).
     QueryDef(
       "agg_quantiles",
-      (s, dir) =>
-        Tables(s, dir, "lineitem")
-          .groupBy(col("l_linestatus"))
-          .agg(round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
-               round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
-               round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
-               round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90"))
-          .orderBy(col("l_linestatus")),
+      (s, dir) => {
+        import graft.operators.Quantiles
+        val li = Tables(s, dir, "lineitem")
+        val q = Quantiles.percentiles(li, "l_linestatus", "l_quantity",
+          Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75"))
+        val pr = Quantiles.percentiles(li, "l_linestatus", "l_extendedprice",
+          Seq(0.9 -> "pr90"))
+        q.join(pr, "l_linestatus")
+          .select(col("l_linestatus"),
+            round(col("q25"), 6).as("p25"), round(col("q50"), 6).as("p50"),
+            round(col("q75"), 6).as("p75"), round(col("pr90"), 6).as("price_p90"))
+          .orderBy(col("l_linestatus"))
+      },
       Some("""
         SELECT l_linestatus,
           ROUND(QUANTILE_CONT(l_quantity, 0.25), 6) AS p25,

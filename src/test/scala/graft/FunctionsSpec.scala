@@ -72,6 +72,17 @@ class FunctionsSpec extends SparkSpec {
     assert(buckets(0) >= 0 && buckets(0) < 256)
   }
 
+  test("native LSH bucket matches the higher-order-function form exactly") {
+    val vecs = (0 until 40).map { i =>
+      Array.tabulate(64)(d => ((i * 31 + d * 7) % 101 - 50) / 50.0f)
+    }.map(Tuple1(_))
+    val df = vecs.toDF("v")
+    val n = df.select((V.hyperplaneLshBucket($"v", 8) -
+        V.hyperplaneLshBucketHof($"v", 8)).as("d"))
+      .filter($"d" =!= 0L).count()
+    assert(n === 0)
+  }
+
   test("multimodal stub: schema and shapes are real") {
     val docs = Seq((1L, "hello world media payload")).toDF("doc_id", "text")
     val m = Multimodal.withFakeMedia(docs, "doc_id", "text")
