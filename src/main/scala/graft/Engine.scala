@@ -22,6 +22,7 @@ object Engine {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")

@@ -250,6 +250,30 @@ object Behavioral {
           ON p.user_id = c.user_id AND p.ts >= c.ts
         ORDER BY p.event_id""")),
 
+    // Same ASOF semantics through the SQL front door: the asof_le marker
+    // + AsofJoinRewrite rule (graft.plans) replace the Join with the
+    // union+window plan during optimization — no hand-written pipeline.
+    // Inner strictness: unmatched purchases drop.
+    QueryDef(
+      "asof_sql_rewrite",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""
+          SELECT p.event_id, p.us - c.us AS us_since_click
+          FROM (SELECT event_id, user_id, unix_micros(ts) AS us FROM events
+                WHERE event_type = 'purchase') p
+          JOIN (SELECT user_id AS c_user, unix_micros(ts) AS us FROM events
+                WHERE event_type = 'click') c
+            ON p.user_id = c.c_user AND asof_le(c.us, p.us)
+          ORDER BY p.event_id""")
+      },
+      Some("""
+        SELECT p.event_id, EPOCH_US(p.ts) - EPOCH_US(c.ts) AS us_since_click
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id""")),
+
     // JSON property extraction from the props column.
     QueryDef(
       "json_extract_props",

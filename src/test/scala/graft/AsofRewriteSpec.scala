@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The asof_le marker + AsofJoinRewrite rule, exercised through plain SQL
+  * on the extensions-enabled shared session.
+  */
+class AsofRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkViews(): Unit = {
+    Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag").createOrReplaceTempView("probe")
+    Seq((1L, 8L, 100.0), (1L, 10L, 200.0), (1L, 20L, 300.0), (3L, 1L, 400.0))
+      .toDF("rk", "rt", "v").createOrReplaceTempView("ref")
+  }
+
+  test("asof_le SQL join rewrites to union+window with backward semantics") {
+    mkViews()
+    val rows = spark.sql(
+      """SELECT p.k, p.t, p.tag, r.rt, r.v
+        |FROM probe p LEFT JOIN ref r ON p.k = r.rk AND asof_le(r.rt, p.t)
+        |ORDER BY p.k, p.t""".stripMargin).collect()
+    // (1,10): rt=10 matches non-strict <=; (1,25): latest rt=20;
+    // (2,5): no key match -> nulls.
+    assert(rows.length === 3)
+    assert(rows(0).getLong(3) === 10L && rows(0).getDouble(4) === 200.0)
+    assert(rows(1).getLong(3) === 20L && rows(1).getDouble(4) === 300.0)
+    assert(rows(2).isNullAt(3) && rows(2).isNullAt(4))
+    // the Join must be gone from the optimized plan
+    val plan = spark.sql(
+      """SELECT p.k FROM probe p LEFT JOIN ref r
+        |ON p.k = r.rk AND asof_le(r.rt, p.t)""".stripMargin)
+      .queryExecution.optimizedPlan
+    assert(!plan.toString.toLowerCase.contains("join"))
+  }
+
+  test("asof_le inner join drops unmatched left rows") {
+    mkViews()
+    val rows = spark.sql(
+      """SELECT p.k, p.t, r.v
+        |FROM probe p JOIN ref r ON p.k = r.rk AND asof_le(r.rt, p.t)
+        |ORDER BY p.k, p.t""".stripMargin).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 1L)) // k=2 unmatched
+    assert(rows.map(_.getDouble(2)).toSeq === Seq(200.0, 300.0))
+  }
+
+  test("asof_le SQL matches the operator-form AsofJoin.backward") {
+    mkViews()
+    val sqlRes = spark.sql(
+      """SELECT p.k, p.t, r.v FROM probe p
+        |LEFT JOIN ref r ON p.k = r.rk AND asof_le(r.rt, p.t)
+        |ORDER BY p.k, p.t""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    val op = operators.AsofJoin.backward(
+      spark.table("probe"), spark.table("ref"),
+      keyLeft = "k", keyRight = "rk", leftTime = "t", rightTime = "rt",
+      rightCols = Seq("v"))
+      .orderBy($"k", $"t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(sqlRes.toSeq === op.toSeq)
+  }
+}
