@@ -162,6 +162,54 @@ object Similarity {
         WHERE rn <= 3
         ORDER BY probe_id, rn""")),
 
+    // IVF with k-means-trained centroids: two Lloyd iterations refine the
+    // seed cells (first 16 vectors), then cell-local exact rerank as in
+    // knn_ivf_topk. Centroid means are per-dimension averages quantized to
+    // 4 decimals so assignments are reproducible. Each iteration is one
+    // broadcast assignment pass + one (cell, dim) aggregation — no
+    // all-pairs stage anywhere, so training cost is O(n × k × iters) and
+    // scales out with the data. Rows-only (iterative float means have no
+    // SQL oracle).
+    QueryDef(
+      "knn_ivf_kmeans_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        def assign(cents: org.apache.spark.sql.DataFrame) =
+          emb.crossJoin(broadcast(cents))
+            // dotHof: centroids are array<double> after training, so the
+            // float-only native expression doesn't apply here.
+            .withColumn("cdot", round(dotHof(col("embedding"), col("cent_vec")), 6))
+            .groupBy(col("vec_id"), col("embedding"))
+            .agg(max_by(col("cent_id"), struct(col("cdot"), -col("cent_id"))).as("cell"))
+        var cents = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("cent_vec"))
+        (1 to 2).foreach { _ =>
+          // New centroid = per-dimension mean over the cell's members.
+          cents = assign(cents)
+            .select(col("cell"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+            .groupBy(col("cell"), col("dim"))
+            .agg(round(avg(col("x")), 4).as("m"))
+            .groupBy(col("cell"))
+            .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+            .select(col("cell").as("cent_id"), expr("transform(dm, p -> p.m)").as("cent_vec"))
+        }
+        val assigned = assign(cents)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val probes = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+                  col("cell").as("probe_cell"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        assigned.join(broadcast(probes), col("cell") === col("probe_cell"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("sim", round(dot(col("embedding"), col("probe_vec")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"), col("sim"))
+          .orderBy(col("probe_id"), col("rn"))
+      },
+      None),
+
     // Hyperplane-LSH approximate top-k: bucket, then exact rerank within
     // bucket (rows-only — seeded-hash hyperplanes aren't SQL-expressible).
     QueryDef(

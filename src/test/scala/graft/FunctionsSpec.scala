@@ -83,6 +83,18 @@ class FunctionsSpec extends SparkSpec {
     assert(n === 0)
   }
 
+  test("geohash encode matches published vectors; decode roundtrips") {
+    import graft.functions.GeoFunctions
+    // canonical example from the geohash spec
+    assert(GeoFunctions.encode(57.64911, 10.40744, 11) === "u4pruydqqvj")
+    assert(GeoFunctions.encode(42.605, -5.603, 5) === "ezs42")
+    val (la, lo) = GeoFunctions.decode("u4pruydqqvj")
+    assert(math.abs(la - 57.64911) < 1e-4 && math.abs(lo - 10.40744) < 1e-4)
+    val df = Seq((48.8566, 2.3522)).toDF("lat", "lon")
+    val gh = df.select(GeoFunctions.geohashEncode($"lat", $"lon", lit(7))).as[String].collect()(0)
+    assert(gh === GeoFunctions.encode(48.8566, 2.3522, 7))
+  }
+
   test("multimodal stub: schema and shapes are real") {
     val docs = Seq((1L, "hello world media payload")).toDF("doc_id", "text")
     val m = Multimodal.withFakeMedia(docs, "doc_id", "text")
