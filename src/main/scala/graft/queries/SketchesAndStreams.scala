@@ -102,6 +102,28 @@ object SketchesAndStreams {
         GROUP BY user_id
         ORDER BY user_id""")),
 
+    // Streaming session windows (session_window + watermark, AvailableNow
+    // over static data) — oracle identical to the batch gap-split.
+    QueryDef(
+      "stream_session_counts",
+      (s, dir) =>
+        StreamingPipeline.sessionCounts(s, dir, s"stream_session_${System.nanoTime()}")
+          .orderBy(col("user_id"), col("session_start_us")),
+      Some("""
+        WITH marked AS (
+          SELECT user_id, EPOCH_US(ts) AS us,
+            CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w >= 1800000000 THEN 1
+                 WHEN LAG(EPOCH_US(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
+        FROM (SELECT user_id, us,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM marked) t
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start_us""")),
+
     // sumMap: per-user map of event_type → summed value (Map-combinator
     // family). Map scalar functions probe the result; oracle = equivalent
     // conditional aggregation.

@@ -49,6 +49,66 @@ object StreamingPipeline {
     spark.table(queryName)
   }
 
+  /** Streaming session windows (session_window + watermark over the file
+    * stream, complete mode): per-(user, session) event counts — the
+    * streaming twin of the batch `event_session_windows` query.
+    */
+  def sessionCounts(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    var stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (batchSchema("ts").dataType == LongType)
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+              col("n_events"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** MV-push analogue (reference: every INSERT block is pushed through
+    * each dependent view's SELECT,
+    * /root/reference/src/DataStreams/PushingToViewsBlockOutputStream.cpp,
+    * with Kafka offsets committed transactionally to the catalog,
+    * CnchKafkaConsumeManager.h:78): a checkpointed file-stream →
+    * transform → parquet sink. Each AvailableNow run consumes exactly the
+    * source files not yet recorded in the checkpoint — re-running without
+    * new data appends nothing, new source files land exactly once. Swap
+    * the source for `format("kafka")` unchanged for the production path.
+    */
+  def incrementalSink(
+      spark: SparkSession,
+      srcDir: String,
+      sinkDir: String,
+      checkpointDir: String)(transform: DataFrame => DataFrame): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir)
+    val q = transform(stream).writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Custom streaming state via flatMapGroupsWithState (the reference's
     * incremental-MV/LiveView role, SURVEY §2.10): a per-user counter
     * updated as micro-batches arrive. Emits the final state per user of
