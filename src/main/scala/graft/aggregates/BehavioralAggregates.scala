@@ -48,45 +48,12 @@ class WindowFunnel(
     a ++= b; a
   }
   def finish(b: ArrayBuffer[FunnelEvent]): Int = {
-    if (b.isEmpty) return 0
-    if (!strictOrder && nSteps == 1) return 1
-    val sorted = b.sortBy(e => (e.us, e.step))
-    // slot(k) = Some((anchorTs, lastTs)) when a chain has reached level k+1;
-    // anchorTs is that chain's step-1 timestamp, lastTs its latest event.
-    val slot = Array.fill[Option[(Long, Long)]](nSteps)(None)
-    var firstEvent = false
+    val packed = new Array[Long](b.length)
     var i = 0
-    while (i < sorted.length) {
-      val e = sorted(i)
-      val idx = e.step - 1
-      if (strictOrder && idx == -1) {
-        if (firstEvent) return maxLevel(slot)
-      } else if (idx == 0) {
-        slot(0) = Some((e.us, e.us))
-        firstEvent = true
-      } else if (strictDeduplication && slot(idx).isDefined) {
-        return sorted(i - 1).step
-      } else if (strictOrder && firstEvent && slot(idx - 1).isEmpty) {
-        var lvl = 0
-        while (lvl < nSteps && slot(lvl).isDefined) lvl += 1
-        return lvl
-      } else if (slot(idx - 1).isDefined) {
-        val (anchor, last) = slot(idx - 1).get
-        var timeMatched = windowUs <= 0 || e.us <= anchor + windowUs
-        if (strictIncrease) timeMatched = timeMatched && last < e.us
-        if (timeMatched) {
-          slot(idx) = Some((anchor, e.us))
-          if (idx + 1 == nSteps) return nSteps
-        }
-      }
-      i += 1
-    }
-    maxLevel(slot)
-  }
-  private def maxLevel(slot: Array[Option[(Long, Long)]]): Int = {
-    var lvl = slot.length
-    while (lvl > 0 && slot(lvl - 1).isEmpty) lvl -= 1
-    lvl
+    while (i < b.length) { packed(i) = FunnelCore.pack(b(i).us, b(i).step); i += 1 }
+    java.util.Arrays.sort(packed)
+    FunnelCore.eventLevel(packed, packed.length, windowUs, nSteps,
+      strictDeduplication, strictOrder, strictIncrease)
   }
   def bufferEncoder: Encoder[ArrayBuffer[FunnelEvent]] = Encoders.kryo
   def outputEncoder: Encoder[Int] = Encoders.scalaInt

@@ -1,0 +1,125 @@
+package graft.aggregates
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Union}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Apache DataSketches aggregates (reference thetaSketch/kllSketch
+  * families — /root/reference/src/AggregateFunctions/
+  * AggregateFunctionThetaSketchEstimate.cpp, …KllSketch.cpp;
+  * SketchBinary type, src/DataTypes/DataTypeSketchBinary.h:8) as
+  * `TypedImperativeAggregate`s: the buffer is the sketch object itself and
+  * serializes to the sketch's own compact binary form, so partial states
+  * are small, binary-mergeable, and exchange-friendly — the pattern every
+  * hot custom aggregate should use at 100 TB (vs udaf() whose buffer
+  * round-trips through a kryo-encoded struct per group per row batch).
+  */
+abstract class SketchAgg[B] extends TypedImperativeAggregate[B] with UnaryLike[Expression] {
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(newChild: Expression): Expression
+}
+
+/** Theta-sketch approximate distinct count of a long column; deterministic
+  * for a given input set (union is a set operation, hashing is seeded).
+  */
+case class ThetaDistinctAgg(
+    child: Expression,
+    lgK: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends SketchAgg[Union] {
+
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(b: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) b.update(v.asInstanceOf[Number].longValue())
+    b
+  }
+
+  override def merge(b: Union, other: Union): Union = {
+    b.union(other.getResult)
+    b
+  }
+
+  override def eval(b: Union): Any = b.getResult.getEstimate
+
+  override def serialize(b: Union): Array[Byte] = b.getResult.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(CompactSketch.wrap(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): ThetaDistinctAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): ThetaDistinctAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "theta_distinct"
+}
+
+/** KLL quantile estimate of a double column at rank `p` (inclusive
+  * criterion, matching the reference's kllSketch getQuantile).
+  */
+case class KllQuantileAgg(
+    child: Expression,
+    p: Double,
+    k: Int = 200,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends SketchAgg[KllDoublesSketch] {
+
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(b: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) b.update(v.asInstanceOf[Number].doubleValue())
+    b
+  }
+
+  override def merge(b: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    b.merge(other)
+    b
+  }
+
+  override def eval(b: KllDoublesSketch): Any =
+    if (b.isEmpty) null else b.getQuantile(p, QuantileSearchCriteria.INCLUSIVE)
+
+  override def serialize(b: KllDoublesSketch): Array[Byte] = b.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(n: Int): KllQuantileAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllQuantileAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "kll_quantile"
+}
+
+object SketchAggregates {
+  def thetaDistinct(c: Column, lgK: Int = 12): Column =
+    ColumnBridge.column(
+      ThetaDistinctAgg(ColumnBridge.expression(c), lgK).toAggregateExpression())
+
+  def kllQuantile(c: Column, p: Double, k: Int = 200): Column =
+    ColumnBridge.column(
+      KllQuantileAgg(ColumnBridge.expression(c), p, k).toAggregateExpression())
+}

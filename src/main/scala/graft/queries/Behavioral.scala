@@ -79,7 +79,7 @@ object Behavioral {
     QueryDef(
       "funnel_signup_click_purchase",
       (s, dir) => {
-        val funnel = WindowFunnel(7 * DayUs, 3)
+        val funnel = graft.aggregates.WindowFunnelAgg.funnel(7 * DayUs, 3) _
         Tables(s, dir, "events")
           .withColumn("step",
             when(col("event_type") === "signup", 1)
@@ -139,7 +139,7 @@ object Behavioral {
     QueryDef(
       "sequence_match_signup_error",
       (s, dir) => {
-        val funnel = WindowFunnel(DayUs, 2)
+        val funnel = graft.aggregates.WindowFunnelAgg.funnel(DayUs, 2) _
         Tables(s, dir, "events")
           .withColumn("step",
             when(col("event_type") === "signup", 1)

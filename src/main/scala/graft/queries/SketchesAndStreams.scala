@@ -74,6 +74,31 @@ object SketchesAndStreams {
           .orderBy(col("event_type")),
       None),
 
+    // Theta sketch distinct (TypedImperativeAggregate over DataSketches;
+    // reference thetaSketch family). Estimate is sketch-internal →
+    // rows-only; accuracy asserted in unit tests.
+    QueryDef(
+      "theta_sketch_users",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(graft.aggregates.SketchAggregates.thetaDistinct(col("user_id")).as("theta_users"),
+               countDistinct(col("user_id")).as("exact_users"))
+          .orderBy(col("event_type")),
+      None),
+
+    // KLL quantile sketch (reference kllSketch family) — rows-only.
+    QueryDef(
+      "kll_value_quantiles",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(graft.aggregates.SketchAggregates.kllQuantile(col("value"), 0.5).as("kll_p50"),
+               graft.aggregates.SketchAggregates.kllQuantile(col("value"), 0.9).as("kll_p90"),
+               count(lit(1)).as("n"))
+          .orderBy(col("event_type")),
+      None),
+
     // Streaming tumbling-window counts (AvailableNow over the same data) —
     // oracle identical to the batch bucketing, proving stream/batch parity.
     QueryDef(

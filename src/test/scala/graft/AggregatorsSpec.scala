@@ -50,6 +50,45 @@ class AggregatorsSpec extends SparkSpec {
     assert(res === Map(1L -> 1, 2L -> 2))
   }
 
+  test("WindowFunnelAgg (TypedImperativeAggregate) matches the udaf form") {
+    import graft.aggregates.WindowFunnelAgg
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 60).flatMap { u =>
+      (1 to 20).map(_ => (u.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(4)))
+    }
+    val df = rows.toDF("u", "us", "step").filter($"step" > 0).repartition(8)
+    val native = WindowFunnelAgg.funnel(100L, 3) _
+    val udafForm = WindowFunnel(100L, 3)
+    val merged = df.groupBy($"u")
+      .agg(native($"us", $"step").as("a"), udafForm($"us", $"step").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(merged === 0)
+  }
+
+  test("theta sketch distinct: near-exact at small NDV, merges across partitions") {
+    import graft.aggregates.SketchAggregates
+    val df = (1 to 5000).map(i => (i % 7, (i % 1200).toLong)).toDF("g", "v")
+    val res = df.repartition(8) // force partial/merge path
+      .groupBy($"g")
+      .agg(SketchAggregates.thetaDistinct($"v").as("est"),
+           countDistinct($"v").as("exact"))
+      .collect()
+    res.foreach { r =>
+      val (est, exact) = (r.getDouble(1), r.getLong(2).toDouble)
+      assert(math.abs(est - exact) / exact < 0.05, s"theta $est vs $exact")
+    }
+  }
+
+  test("kll quantile: within normalized rank error of exact") {
+    import graft.aggregates.SketchAggregates
+    val df = (1 to 10000).map(i => ((i * 7919) % 10000).toDouble).toDF("v")
+    val est = df.repartition(8)
+      .agg(SketchAggregates.kllQuantile($"v", 0.5).as("p50"))
+      .collect()(0).getDouble(0)
+    // true p50 of 0..9999 permutation ~ 5000; k=200 → ~1.65% rank error
+    assert(math.abs(est - 5000.0) < 400.0, s"kll p50 $est")
+  }
+
   test("retention flags") {
     val df = Seq(
       (1L, "signup"), (1L, "purchase"),
