@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AsofLE].getName, "asof_le"),
       (children: Seq[Expression]) => AsofLE(children(0), children(1))))
     ext.injectOptimizerRule(_ => AsofJoinRewrite)
+    // ClickHouse-dialect function spellings → native Catalyst expressions.
+    graft.sql.ClickHouseAliases.inject(ext)
   }
 }

@@ -15,6 +15,33 @@ object DialectExtensions {
   import Num._
 
   val defs: Seq[QueryDef] = Seq(
+    // ClickHouse function spellings straight through the SQL front door —
+    // resolved by graft.sql.ClickHouseAliases (FunctionRegistry injection,
+    // no text rewriting) onto native codegen'd Spark expressions.
+    QueryDef(
+      "dialect_clickhouse_sql",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""
+          SELECT toYYYYMM(ts) AS ym, event_type,
+            countIf(value > 250) AS n_big,
+            countIf(notEmpty(props)) AS n_with_props,
+            toInt32(toDayOfMonth(min(ts))) AS first_dom,
+            count(*) AS n
+          FROM events
+          GROUP BY 1, 2
+          ORDER BY 1, 2""")
+      },
+      Some("""
+        SELECT CAST(STRFTIME(ts, '%Y%m') AS INTEGER) AS ym, event_type,
+          CAST(COUNT(CASE WHEN value > 250 THEN 1 END) AS BIGINT) AS n_big,
+          CAST(COUNT(CASE WHEN LENGTH(props) > 0 THEN 1 END) AS BIGINT) AS n_with_props,
+          CAST(DAY(MIN(ts)) AS INTEGER) AS first_dom,
+          COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
     // WITH TOTALS: group rows plus a grand-total row (null group keys).
     QueryDef(
       "agg_with_totals",

@@ -1,0 +1,156 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** ClickHouse-dialect function aliases (SURVEY §7.3 hard-part #1: the
+  * dialect shim) registered straight into Catalyst's FunctionRegistry, so
+  * `engine.sql` accepts the reference's spellings and plans them onto
+  * native Spark expressions — no text rewriting, full codegen, normal
+  * optimizer treatment. Name → builder, mirroring the reference factory
+  * registrations (/root/reference/src/Functions/registerFunctions.cpp,
+  * /root/reference/src/AggregateFunctions/AggregateFunctionFactory.h:52).
+  *
+  * Combinator family (-If): countIf/sumIf/avgIf/minIf/maxIf lower to the
+  * conditional-aggregate shape Catalyst already optimizes
+  * (reference AggregateFunctionCombinatorFactory.cpp / …If.cpp).
+  *
+  * Names that collide case-insensitively with Spark builtins of DIFFERENT
+  * semantics (`any`, `position`, `extract`, `dateDiff`) are intentionally
+  * NOT aliased — the registry is case-insensitive and an alias would
+  * silently shadow the builtin for every query in the session.
+  */
+object ClickHouseAliases {
+
+  private def nullUnless(cond: Expression, value: Expression): Expression =
+    If(cond, value, Literal.create(null, value.dataType))
+
+  private val aliases: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // approximate + conditional aggregates
+    "uniq" -> (cs => new HyperLogLogPlusPlus(cs.head)),
+    "uniqHLL12" -> (cs => new HyperLogLogPlusPlus(cs.head)),
+    "countIf" -> (cs => CountIf(cs.head)),
+    "sumIf" -> (cs => Sum(nullUnless(cs(1), cs.head))),
+    "avgIf" -> (cs => Average(nullUnless(cs(1), cs.head))),
+    "minIf" -> (cs => Min(nullUnless(cs(1), cs.head))),
+    "maxIf" -> (cs => Max(nullUnless(cs(1), cs.head))),
+    "anyIf" -> (cs => new First(nullUnless(cs(1), cs.head), ignoreNulls = true)),
+    "groupArray" -> (cs => CollectList(cs.head)),
+    "groupUniqArray" -> (cs => CollectSet(cs.head)),
+    "anyLast" -> (cs => new Last(cs.head, ignoreNulls = true)),
+    "argMin" -> (cs => MinBy(cs.head, cs(1))),
+    "argMax" -> (cs => MaxBy(cs.head, cs(1))),
+    "stddevPop" -> (cs => StddevPop(cs.head)),
+    "stddevSamp" -> (cs => StddevSamp(cs.head)),
+    "varPop" -> (cs => VariancePop(cs.head)),
+    "varSamp" -> (cs => VarianceSamp(cs.head)),
+    "medianExact" -> (cs => new Percentile(cs.head, Literal(0.5d))),
+    "quantileExact" -> (cs => new Percentile(cs(1), cs.head)),
+
+    // date/time
+    "toStartOfDay" -> (cs => TruncTimestamp(Literal("day"), cs.head)),
+    "toStartOfHour" -> (cs => TruncTimestamp(Literal("hour"), cs.head)),
+    "toStartOfMinute" -> (cs => TruncTimestamp(Literal("minute"), cs.head)),
+    "toStartOfMonth" -> (cs => TruncTimestamp(Literal("month"), cs.head)),
+    "toStartOfQuarter" -> (cs => TruncTimestamp(Literal("quarter"), cs.head)),
+    "toStartOfYear" -> (cs => TruncTimestamp(Literal("year"), cs.head)),
+    "toYear" -> (cs => Year(cs.head)),
+    "toMonth" -> (cs => Month(cs.head)),
+    "toDayOfMonth" -> (cs => DayOfMonth(cs.head)),
+    "toDayOfWeek" -> (cs => DayOfWeek(cs.head)),
+    "toHour" -> (cs => Hour(cs.head)),
+    "toMinute" -> (cs => Minute(cs.head)),
+    "toSecond" -> (cs => Second(cs.head)),
+    "toYYYYMM" -> (cs =>
+      Cast(DateFormatClass(cs.head, Literal("yyyyMM")), IntegerType)),
+    "toYYYYMMDD" -> (cs =>
+      Cast(DateFormatClass(cs.head, Literal("yyyyMMdd")), IntegerType)),
+    "toUnixTimestamp" -> (cs => UnixTimestamp(cs.head, Literal("yyyy-MM-dd HH:mm:ss"))),
+    "yesterday" -> (_ => DateSub(CurrentDate(None), Literal(1))),
+    "addDays" -> (cs => DateAdd(cs.head, cs(1))),
+    "subtractDays" -> (cs => DateSub(cs.head, cs(1))),
+
+    // type conversions
+    "toString" -> (cs => Cast(cs.head, StringType)),
+    "toInt8" -> (cs => Cast(cs.head, ByteType)),
+    "toInt16" -> (cs => Cast(cs.head, ShortType)),
+    "toInt32" -> (cs => Cast(cs.head, IntegerType)),
+    "toInt64" -> (cs => Cast(cs.head, LongType)),
+    "toUInt32" -> (cs => Cast(cs.head, LongType)),
+    "toUInt64" -> (cs => Cast(cs.head, LongType)),
+    "toFloat32" -> (cs => Cast(cs.head, FloatType)),
+    "toFloat64" -> (cs => Cast(cs.head, DoubleType)),
+    "toDate" -> (cs => Cast(cs.head, DateType)),
+    "toDateTime" -> (cs => Cast(cs.head, TimestampType)),
+
+    // conditionals
+    "multiIf" -> (cs => {
+      val branches = cs.dropRight(1).grouped(2).map { case Seq(c, v) => (c, v) }.toSeq
+      CaseWhen(branches, Some(cs.last))
+    }),
+
+    // strings
+    "lcase" -> (cs => Lower(cs.head)),
+    "ucase" -> (cs => Upper(cs.head)),
+    "mid" -> (cs => Substring(cs.head, cs(1), cs(2))),
+    "splitByChar" -> (cs => StringSplit(cs(1), cs.head, Literal(-1))),
+    "empty" -> (cs => EqualTo(Length(cs.head), Literal(0))),
+    "notEmpty" -> (cs => GreaterThan(Length(cs.head), Literal(0))),
+    "startsWith" -> (cs => StartsWith(cs.head, cs(1))),
+    "endsWith" -> (cs => EndsWith(cs.head, cs(1))),
+    "match" -> (cs => RLike(cs.head, cs(1))),
+    "countSubstrings" -> (cs =>
+      // (length(s) - length(replace(s, sub, ''))) / length(sub)
+      Cast(IntegralDivide(
+        Subtract(Length(cs.head), Length(StringReplace(cs.head, cs(1), Literal("")))),
+        Length(cs(1)), evalMode = EvalMode.LEGACY), IntegerType)),
+
+    // arrays / higher-order (reference src/Functions/array/)
+    "arrayJoin" -> (cs => Explode(cs.head)),
+    "has" -> (cs => ArrayContains(cs.head, cs(1))),
+    "indexOf" -> (cs => ArrayPosition(cs.head, cs(1))),
+    "arrayDistinct" -> (cs => ArrayDistinct(cs.head)),
+    "arraySort" -> (cs => new SortArray(cs.head)),
+    "arrayReverse" -> (cs => Reverse(cs.head)),
+    "arrayConcat" -> (cs => Concat(cs)),
+    "arrayFlatten" -> (cs => Flatten(cs.head)),
+    "arraySlice" -> (cs => Slice(cs.head, cs(1), cs(2))),
+    "arrayIntersect" -> (cs => ArrayIntersect(cs.head, cs(1))),
+    "range" -> (cs =>
+      if (cs.size == 1) Sequence(Literal(0), Subtract(cs.head, Literal(1)), None)
+      else Sequence(cs.head, Subtract(cs(1), Literal(1)), None)),
+
+    // math / misc
+    "intDiv" -> (cs => IntegralDivide(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
+    "modulo" -> (cs => Remainder(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
+    "plus" -> (cs => Add(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
+    "minus" -> (cs => Subtract(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
+    "multiply" -> (cs => Multiply(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
+    "divide" -> (cs => Divide(Cast(cs.head, DoubleType), Cast(cs(1), DoubleType),
+      evalMode = EvalMode.LEGACY)),
+    "cityHash64" -> (cs => new XxHash64(cs)), // hash parity non-goal (SURVEY §2.2)
+    "halfMD5" -> (cs => new XxHash64(cs)),
+
+    // JSON (reference FunctionsJSON.cpp); key must be a path component
+    "JSONExtractString" -> (cs =>
+      GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1))))),
+    "JSONExtractInt" -> (cs =>
+      Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), LongType)),
+    "JSONExtractFloat" -> (cs =>
+      Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), DoubleType)),
+    "JSONHas" -> (cs =>
+      IsNotNull(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1))))))
+  )
+
+  /** Register every alias into the session's function registry. */
+  def inject(ext: SparkSessionExtensions): Unit =
+    aliases.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.sql.ClickHouseAliases", name),
+        builder))
+    }
+}
