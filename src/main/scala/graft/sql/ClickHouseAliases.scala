@@ -92,15 +92,12 @@ object ClickHouseAliases {
       CaseWhen(branches, Some(cs.last))
     }),
 
-    // strings
-    "lcase" -> (cs => Lower(cs.head)),
-    "ucase" -> (cs => Upper(cs.head)),
+    // strings (lcase/ucase/startswith/endswith are already Spark
+    // builtins with identical semantics — no alias needed)
     "mid" -> (cs => Substring(cs.head, cs(1), cs(2))),
     "splitByChar" -> (cs => StringSplit(cs(1), cs.head, Literal(-1))),
     "empty" -> (cs => EqualTo(Length(cs.head), Literal(0))),
     "notEmpty" -> (cs => GreaterThan(Length(cs.head), Literal(0))),
-    "startsWith" -> (cs => StartsWith(cs.head, cs(1))),
-    "endsWith" -> (cs => EndsWith(cs.head, cs(1))),
     "match" -> (cs => RLike(cs.head, cs(1))),
     "countSubstrings" -> (cs =>
       // (length(s) - length(replace(s, sub, ''))) / length(sub)

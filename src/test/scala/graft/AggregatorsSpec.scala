@@ -50,6 +50,34 @@ class AggregatorsSpec extends SparkSpec {
     assert(res === Map(1L -> 1, 2L -> 2))
   }
 
+  test("FunnelCore default semantics == brute-force chain search (800 random cases)") {
+    import graft.aggregates.FunnelCore
+    // Default windowFunnel semantics are equivalent to: depth >= d iff a
+    // timestamp-non-decreasing chain of steps 1..d exists whose every
+    // event is within `W` of the chain's own step-1 anchor (the anchor
+    // slots are just the O(n) evaluation of that predicate).
+    def brute(evs: Seq[(Long, Int)], w: Long, nSteps: Int): Int = {
+      val byStep = (1 to nSteps).map(s => evs.filter(_._2 == s).map(_._1).sorted)
+      def can(d: Int): Boolean = byStep(0).exists { a =>
+        def go(level: Int, prev: Long): Boolean =
+          level > d || byStep(level - 1).exists(u =>
+            u >= prev && (w <= 0 || u <= a + w) && go(level + 1, u))
+        go(2, a)
+      }
+      (nSteps to 1 by -1).find(d => byStep(0).nonEmpty && can(d)).getOrElse(0)
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 800).foreach { i =>
+      val n = 1 + rnd.nextInt(12)
+      val evs = (1 to n).map(_ => (rnd.nextInt(20).toLong, 1 + rnd.nextInt(3)))
+      val w = Seq(0L, 3L, 5L, 100L)(rnd.nextInt(4))
+      val packed = evs.map { case (us, st) => FunnelCore.pack(us, st) }.toArray.sorted
+      val got = FunnelCore.eventLevel(packed, packed.length, w, 3, false, false, false)
+      val want = brute(evs, w, 3)
+      assert(got === want, s"case $i: evs=$evs w=$w got=$got want=$want")
+    }
+  }
+
   test("WindowFunnelAgg (TypedImperativeAggregate) matches the udaf form") {
     import graft.aggregates.WindowFunnelAgg
     val rnd = new scala.util.Random(7)
