@@ -191,6 +191,40 @@ object WindowQueries {
         FROM supplier
         ORDER BY s_nationkey, s_acctbal, s_suppkey""")),
 
+    // GROUPS frame (WindowDescription.h:127-131 FrameType::Groups) —
+    // Spark has no GROUPS frames, but dense_rank + a RANGE frame over the
+    // rank is an exact rewrite: peer groups within N <=> rank distance
+    // within N. (DuckDB doesn't implement GROUPS either, so the oracle
+    // applies the same rewrite independently.)
+    QueryDef(
+      "win_groups_frame",
+      (s, dir) => {
+        val w1 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_nationkey")).orderBy(col("bucket"))
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_nationkey")).orderBy(col("dr")).rangeBetween(-1, 1)
+        Tables(s, dir, "customer")
+          .withColumn("bucket", floor(col("c_acctbal") / 1000.0))
+          .withColumn("dr", dense_rank().over(w1))
+          .withColumn("grp_sum",
+            sum(col("c_acctbal").cast(Num.D2)).over(w2).cast("double"))
+          .select(col("c_custkey"), col("c_nationkey"), col("bucket"), col("grp_sum"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT c_custkey, c_nationkey, c_acctbal,
+            CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bucket,
+            DENSE_RANK() OVER (PARTITION BY c_nationkey
+              ORDER BY FLOOR(c_acctbal / 1000.0)) AS dr
+          FROM customer)
+        SELECT c_custkey, c_nationkey, bucket,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (
+            PARTITION BY c_nationkey ORDER BY dr
+            RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS grp_sum
+        FROM r
+        ORDER BY c_custkey""")),
+
     // LIMIT/OFFSET pagination (OffsetStep.h:24).
     QueryDef(
       "limit_offset",
