@@ -6,6 +6,28 @@ import org.apache.spark.sql.functions._
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Quantiles.percentiles matches builtin exact percentile on random data") {
+    import graft.operators.Quantiles
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 5000).map(_ =>
+      (rnd.nextInt(3), math.round(rnd.nextDouble() * 1000) / 10.0)).toDF("g", "v")
+      .repartition(8)
+    val mine = Quantiles.percentiles(df, "g", "v",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90"))
+      .orderBy($"g").collect()
+    val builtin = df.groupBy($"g")
+      .agg(expr("percentile(v, 0.25)").as("p25"), expr("percentile(v, 0.5)").as("p50"),
+           expr("percentile(v, 0.9)").as("p90"))
+      .orderBy($"g").collect()
+    mine.zip(builtin).foreach { case (a, b) =>
+      (1 to 3).foreach { i =>
+        assert(math.abs(a.getDouble(i) - b.getDouble(i)) < 1e-9,
+          s"group ${a.getInt(0)} col $i: ${a.getDouble(i)} vs ${b.getDouble(i)}")
+      }
+    }
+  }
+
   test("asof backward: latest right at-or-before left time, per key") {
     val left = Seq((1L, 100L, "p1"), (1L, 50L, "p2"), (2L, 10L, "p3"))
       .toDF("k", "t", "name")

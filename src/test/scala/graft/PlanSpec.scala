@@ -70,6 +70,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q8: all five dimension inputs broadcast, fact side never re-shuffles for them") {
+    val p = plan("q8_market_share")
+    val broadcasts = "BroadcastExchange".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast exchanges, got $broadcasts\n" + p.take(2000))
+  }
+
+  test("agg_histogram: per-type stats join broadcasts (two-pass, no fact self-shuffle)") {
+    val p = plan("agg_histogram")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the scan->agg hot path of q1") {
     val p = finalPlan("q1_pricing_summary")
     // codegen'd operators render as "*(n) Op" in the finalized plan
