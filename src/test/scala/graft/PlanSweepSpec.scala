@@ -1,0 +1,41 @@
+package graft
+
+/** Sweep every registered query's physical plan for accidental
+  * O(n·m) join strategies. Cartesian/broadcast-nested-loop joins are only
+  * legal where the query is *about* an all-pairs or non-equi shape; a new
+  * query that silently plans one anywhere else fails here before it can
+  * become a 100 TB incident.
+  */
+class PlanSweepSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // Queries whose semantics genuinely require a cross/non-equi pair join
+  // (tiny or broadcast side by construction), or that execute streams.
+  private val allPairsByDesign = Set(
+    "join_cross",           // CROSS JOIN capability itself
+    "join_nonequi_range",   // range-theta join
+    "knn_bruteforce_cosine", // exact all-pairs baseline (broadcast probes)
+    "knn_ivf_topk", "knn_ivf_kmeans_topk", // centroid assignment cross join (k centroids broadcast)
+    "string_levenshtein_pairs", // all-pairs over ~25 distinct names
+    "label_pair_similarity",    // labelled pair sample
+    "subq_quantified",      // scalar-subquery comparisons plan as BNLJ probes
+    "bitmap_user_overlap",  // 1-row x 1-row: two singleton bitmap aggregates combined
+    "trivial_count"         // metadata-only
+  )
+  private val skipExecutionShapes = Set(
+    "stream_tumbling_counts", "stream_stateful_counts", "stream_session_counts")
+
+  test("no query plans an accidental cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (allPairsByDesign(name) || skipExecutionShapes(name)) None
+      else {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    }
+    assert(offenders.isEmpty, s"unexpected pair-join plans in: $offenders")
+  }
+}
