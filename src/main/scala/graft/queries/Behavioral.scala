@@ -250,6 +250,54 @@ object Behavioral {
           ON p.user_id = c.user_id AND p.ts >= c.ts
         ORDER BY p.event_id""")),
 
+    // Attribution (reference AggregateFunctionAttribution family):
+    // last-touch — each purchase credits the latest preceding click/view
+    // within 3 days, else 'direct'. One window pass per user, no joins.
+    QueryDef(
+      "attribution_last_touch",
+      (s, dir) => {
+        val wPrev = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = col("event_type").isin("click", "view")
+        Tables(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("attr_us", last(when(touch, col("us")), ignoreNulls = true).over(wPrev))
+          .withColumn("attr_type", last(when(touch, col("event_type")), ignoreNulls = true).over(wPrev))
+          .filter(col("event_type") === "purchase")
+          .withColumn("channel",
+            when(col("attr_us").isNotNull && col("us") - col("attr_us") <= 3 * DayUs,
+              col("attr_type")).otherwise(lit("direct")))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+               (sum(when(col("channel") =!= "direct", col("us") - col("attr_us"))
+                 .otherwise(lit(0L))).cast("double") /
+                 nullif(count(when(col("channel") =!= "direct", 1)), lit(0L)))
+                 .as("avg_gap_us"))
+          .orderBy(col("channel"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT user_id, event_id, event_type, EPOCH_US(ts) AS us,
+            LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN EPOCH_US(ts) END
+              IGNORE NULLS) OVER w AS attr_us,
+            LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+              IGNORE NULLS) OVER w AS attr_type
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        p AS (
+          SELECT CASE WHEN attr_us IS NOT NULL AND us - attr_us <= 259200000000
+                      THEN attr_type ELSE 'direct' END AS channel,
+                 us, attr_us
+          FROM t WHERE event_type = 'purchase')
+        SELECT channel, COUNT(*) AS n_purchases,
+          CAST(SUM(CASE WHEN channel <> 'direct' THEN us - attr_us ELSE 0 END) AS DOUBLE)
+            / NULLIF(COUNT(CASE WHEN channel <> 'direct' THEN 1 END), 0) AS avg_gap_us
+        FROM p
+        GROUP BY channel
+        ORDER BY channel""")),
+
     // Same ASOF semantics through the SQL front door: the asof_le marker
     // + AsofJoinRewrite rule (graft.plans) replace the Join with the
     // union+window plan during optimization — no hand-written pipeline.
