@@ -134,8 +134,10 @@ object Aggregates {
         val li = Tables(s, dir, "lineitem")
         val q = Quantiles.percentiles(li, "l_linestatus", "l_quantity",
           Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75"))
-        val pr = Quantiles.percentiles(li, "l_linestatus", "l_extendedprice",
-          Seq(0.9 -> "pr90"))
+        // High-cardinality continuous column → two-phase selection (no
+        // full sort; constant-size shuffles).
+        val pr = Quantiles.percentilesSelect(li, "l_linestatus", "l_extendedprice",
+          bucketWidth = 1000.0, Seq(0.9 -> "pr90"))
         q.join(pr, "l_linestatus")
           .select(col("l_linestatus"),
             round(col("q25"), 6).as("p25"), round(col("q50"), 6).as("p50"),

@@ -1,0 +1,51 @@
+package graft.tools
+
+import graft.{Tables}
+import graft.operators.Quantiles
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: decompose agg_quantiles cost. */
+object QProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = Tables(spark, sfDir, "lineitem")
+    li.count()
+    def time(label: String)(f: => Unit): Unit = {
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        f
+        println(f"[qprof] $label rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
+    time("quantity-3p") {
+      Quantiles.percentiles(li, "l_linestatus", "l_quantity",
+        Seq(0.25 -> "a", 0.5 -> "b", 0.75 -> "c")).write.mode("overwrite").format("noop").save()
+    }
+    time("price-p90") {
+      Quantiles.percentiles(li, "l_linestatus", "l_extendedprice",
+        Seq(0.9 -> "a")).write.mode("overwrite").format("noop").save()
+    }
+    time("select-price-p90") {
+      Quantiles.percentilesSelect(li, "l_linestatus", "l_extendedprice", 1000.0,
+        Seq(0.9 -> "a")).write.mode("overwrite").format("noop").save()
+    }
+    time("builtin-price-p90") {
+      li.groupBy(col("l_linestatus")).agg(expr("percentile(l_extendedprice, 0.9)"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("builtin-quantity-3p") {
+      li.groupBy(col("l_linestatus")).agg(expr("percentile(l_quantity, 0.25)"),
+        expr("percentile(l_quantity, 0.5)"), expr("percentile(l_quantity, 0.75)"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    spark.stop()
+  }
+}

@@ -28,6 +28,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Quantiles.percentilesSelect (two-phase) matches builtin exact percentile") {
+    import graft.operators.Quantiles
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 4000).map(_ =>
+      (rnd.nextInt(3), rnd.nextDouble() * 5000)).toDF("g", "v").repartition(8)
+    val mine = Quantiles.percentilesSelect(df, "g", "v", bucketWidth = 250.0,
+        Seq(0.1 -> "p10", 0.5 -> "p50", 0.99 -> "p99"))
+      .orderBy($"g").collect()
+    val builtin = df.groupBy($"g")
+      .agg(expr("percentile(v, 0.1)").as("p10"), expr("percentile(v, 0.5)").as("p50"),
+           expr("percentile(v, 0.99)").as("p99"))
+      .orderBy($"g").collect()
+    mine.zip(builtin).foreach { case (a, b) =>
+      (1 to 3).foreach { i =>
+        assert(math.abs(a.getDouble(i) - b.getDouble(i)) < 1e-9,
+          s"group ${a.getInt(0)} col $i: ${a.getDouble(i)} vs ${b.getDouble(i)}")
+      }
+    }
+  }
+
   test("asof backward: latest right at-or-before left time, per key") {
     val left = Seq((1L, 100L, "p1"), (1L, 50L, "p2"), (2L, 10L, "p3"))
       .toDF("k", "t", "name")
