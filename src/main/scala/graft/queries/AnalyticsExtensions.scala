@@ -382,6 +382,45 @@ object AnalyticsExtensions {
         FROM n
         ORDER BY user_id""")),
 
+    // Nested(...) ≡ array<struct<...>> (SURVEY §1.2): per-order item
+    // arrays built with collect_list(struct(...)), then filtered/probed
+    // with higher-order functions. Scalar outputs so the oracle can
+    // compute the same facts flat.
+    QueryDef(
+      "nested_struct_ops",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(struct(col("l_linenumber").as("ln"),
+            col("l_quantity").as("qty")))).as("items"))
+          .select(col("l_orderkey"),
+            size(col("items")).as("n_items"),
+            size(expr("filter(items, x -> x.qty > 40)")).as("n_heavy"),
+            expr("exists(items, x -> x.ln = 1)").as("has_line1"),
+            expr("CAST(aggregate(items, CAST(0.0 AS DECIMAL(18,2)), (acc, x) -> " +
+              "CAST(acc + CAST(x.qty AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DOUBLE)")
+              .as("sum_qty"))
+          .groupBy(col("has_line1"))
+          .agg(count(lit(1)).as("n_orders"),
+               sum(col("n_items")).as("total_items"),
+               sum(col("n_heavy")).as("total_heavy"),
+               sum(col("sum_qty").cast(Num.D2)).cast("double").as("total_qty"))
+          .orderBy(col("has_line1")),
+      Some("""
+        WITH per_order AS (
+          SELECT l_orderkey, COUNT(*) AS n_items,
+            CAST(COUNT(CASE WHEN l_quantity > 40 THEN 1 END) AS INTEGER) AS n_heavy,
+            BOOL_OR(l_linenumber = 1) AS has_line1,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT has_line1, COUNT(*) AS n_orders,
+          CAST(SUM(n_items) AS BIGINT) AS total_items,
+          CAST(SUM(n_heavy) AS BIGINT) AS total_heavy,
+          CAST(SUM(CAST(sum_qty AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM per_order
+        GROUP BY has_line1
+        ORDER BY has_line1""")),
+
     // -State/-Merge combinator parity (SURVEY §1.2 AggregateFunction
     // columns): daily HLL sketch states per event_type, merged across
     // days with hll_union_agg — sketch internals have no SQL oracle, so
