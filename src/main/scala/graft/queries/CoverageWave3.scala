@@ -18,6 +18,27 @@ object CoverageWave3 {
   import Num._
 
   val defs: Seq[QueryDef] = Seq(
+    // Synthetic sources (reference numbers()/generateRandom table
+    // functions, registerTableFunctions.cpp:34-41): spark.range + an
+    // arithmetic PRNG both engines can evaluate identically.
+    QueryDef(
+      "table_function_numbers",
+      (s, _) =>
+        s.range(0, 10000)
+          .withColumn("r", pmod(col("id") * 2654435761L, lit(1000003L)))
+          .groupBy((col("id") % 7).as("g"))
+          .agg(count(lit(1)).as("n"), sum(col("r")).as("sum_r"),
+               min(col("r")).as("min_r"), max(col("r")).as("max_r"))
+          .orderBy(col("g")),
+      Some("""
+        SELECT (id % 7) AS g, COUNT(*) AS n,
+          CAST(SUM(r) AS BIGINT) AS sum_r,
+          CAST(MIN(r) AS BIGINT) AS min_r, CAST(MAX(r) AS BIGINT) AS max_r
+        FROM (SELECT range AS id, (range * 2654435761) % 1000003 AS r
+              FROM RANGE(0, 10000))
+        GROUP BY 1
+        ORDER BY g""")),
+
     // Geohash encode/decode over synthesized coordinates; cell counts +
     // roundtrip error bound. Rows-only: DuckDB has no geohash, and the
     // bit-interleave is impractical in portable SQL — exactness is
