@@ -33,13 +33,16 @@ object RelationalCore {
         li.filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            dsum2(col("l_quantity")).as("sum_qty"),
-            dsum2(col("l_extendedprice")).as("sum_base_price"),
+            // 2-decimal money columns take the cents-long fast path
+            // (lsum2 ≡ dsum2 bit-for-bit, see Num); the 6-decimal
+            // products stay on the overflow-safe decimal path.
+            lsum2(col("l_quantity")).as("sum_qty"),
+            lsum2(col("l_extendedprice")).as("sum_base_price"),
             dsum6(disc).as("sum_disc_price"),
             dsum6(charge).as("sum_charge"),
-            davg2(col("l_quantity")).as("avg_qty"),
-            davg2(col("l_extendedprice")).as("avg_price"),
-            davg2(col("l_discount")).as("avg_disc"),
+            lavg2(col("l_quantity")).as("avg_qty"),
+            lavg2(col("l_extendedprice")).as("avg_price"),
+            lavg2(col("l_discount")).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },

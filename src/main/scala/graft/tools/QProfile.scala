@@ -25,6 +25,27 @@ object QProfile {
         println(f"[qprof] $label rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }
+    time("q1-decimal") {
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val charge = disc * (lit(1.0) + col("l_tax"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(graft.Num.dsum2(col("l_quantity")), graft.Num.dsum2(col("l_extendedprice")),
+             graft.Num.dsum6(disc), graft.Num.dsum6(charge),
+             graft.Num.davg2(col("l_quantity")), graft.Num.davg2(col("l_extendedprice")),
+             graft.Num.davg2(col("l_discount")), count(lit(1)))
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("q1-cents") {
+      def c2(c: org.apache.spark.sql.Column) = sum(round(c * 100).cast("long")) / 100.0
+      def c6(c: org.apache.spark.sql.Column) = sum(round(c * 1000000).cast("long")) / 1000000.0
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val charge = disc * (lit(1.0) + col("l_tax"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(c2(col("l_quantity")), c2(col("l_extendedprice")), c6(disc), c6(charge),
+             c2(col("l_quantity")) / count(lit(1)), c2(col("l_extendedprice")) / count(lit(1)),
+             c2(col("l_discount")) / count(lit(1)), count(lit(1)))
+        .write.mode("overwrite").format("noop").save()
+    }
     time("quantity-3p") {
       Quantiles.percentiles(li, "l_linestatus", "l_quantity",
         Seq(0.25 -> "a", 0.5 -> "b", 0.75 -> "c")).write.mode("overwrite").format("noop").save()

@@ -6,6 +6,17 @@ import org.apache.spark.sql.functions._
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Num.lsum2 equals dsum2 bit-for-bit on real money columns") {
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val r = li.groupBy($"l_returnflag").agg(
+        (Num.lsum2($"l_quantity") - Num.dsum2($"l_quantity")).as("d1"),
+        (Num.lsum2($"l_extendedprice") - Num.dsum2($"l_extendedprice")).as("d2"),
+        (Num.lsum2($"l_discount") - Num.dsum2($"l_discount")).as("d3"))
+      .agg(max(abs($"d1")) + max(abs($"d2")) + max(abs($"d3"))).collect()(0).getDouble(0)
+    assert(r === 0.0)
+  }
+
   test("Quantiles.percentiles matches builtin exact percentile on random data") {
     import graft.operators.Quantiles
     import org.apache.spark.sql.functions._
