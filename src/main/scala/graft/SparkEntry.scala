@@ -24,6 +24,7 @@ object SparkEntry {
       _root_.graft.queries.TpchRound2.defs ++
       _root_.graft.queries.AnalyticsExtensions.defs ++
       _root_.graft.queries.CoverageWave3.defs ++
+      _root_.graft.queries.TpcdsShapes.defs ++
       _root_.graft.queries.StorageSemantics.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -20,6 +20,7 @@ class PlanSweepSpec extends SparkSpec {
     "string_levenshtein_pairs", // all-pairs over ~25 distinct names
     "label_pair_similarity",    // labelled pair sample
     "subq_quantified",      // scalar-subquery comparisons plan as BNLJ probes
+    "tpcds_multi_count_scalars", // q88 shape: battery of scalar-count subqueries
     "bitmap_user_overlap",  // 1-row x 1-row: two singleton bitmap aggregates combined
     "trivial_count"         // metadata-only
   )
