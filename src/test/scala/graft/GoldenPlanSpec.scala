@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Golden optimized-plan snapshots — the reference's plan-quality gate
+  * (explain == golden file, /root/reference/src/Optimizer/tests/
+  * gtest_plan_check_tpcds1000.cpp:46-52) recast on Catalyst: the
+  * optimized logical plan of headline queries, normalized (exprIds and
+  * data paths stripped), must match the checked-in snapshot. A plan
+  * regression — a lost pushdown, an extra join, a changed join order —
+  * fails the diff even when results stay correct.
+  *
+  * Regenerate intentionally with GRAFT_REGEN_PLANS=1 sbt test.
+  */
+class GoldenPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val goldenDir = Paths.get("src/test/resources/plans")
+
+  private def normalize(plan: String): String =
+    plan
+      .replaceAll("#\\d+L?", "#x")            // exprIds
+      .replaceAll("file:[^\\],\\s]*", "path") // data locations
+      .replaceAll("(?m)\\s+$", "")            // trailing ws
+      .trim
+
+  private def check(name: String): Unit = {
+    val plan = normalize(
+      SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan.toString)
+    val golden = goldenDir.resolve(s"$name.txt")
+    if (sys.env.contains("GRAFT_REGEN_PLANS") || !Files.exists(golden)) {
+      Files.createDirectories(goldenDir)
+      Files.writeString(golden, plan)
+    } else {
+      val expected = Files.readString(golden)
+      assert(plan === expected,
+        s"optimized plan of $name changed; regenerate with GRAFT_REGEN_PLANS=1 if intended")
+    }
+  }
+
+  test("q3 optimized plan matches golden snapshot") { check("q3_shipping_priority") }
+  test("q5 optimized plan matches golden snapshot") { check("q5_region_revenue") }
+  test("q6 optimized plan matches golden snapshot") { check("q6_forecast_revenue") }
+  test("asof_purchase_click optimized plan matches golden snapshot") {
+    check("asof_purchase_click")
+  }
+}
