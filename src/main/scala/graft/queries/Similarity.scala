@@ -77,6 +77,32 @@ object Similarity {
         GROUP BY label
         ORDER BY label""")),
 
+    // Embedding-cosine near-dup pairs (the fifth dedup modality of the
+    // build brief): exact all-pairs threshold baseline — unit-norm
+    // embeddings, so cosine ≡ dot. The scale path for the same semantics
+    // is the LSH-bucketed candidate join (knn_lsh_topk /
+    // minhash_lsh_candidates); this exact form is the oracle-checkable
+    // ground truth it is measured against.
+    QueryDef(
+      "dedup_cosine_pairs",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          .withColumn("sim", round(dot(col("va"), col("vb")), 6))
+          .filter(col("sim") >= 0.45)
+          .select(col("id_a"), col("id_b"), col("sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ROUND(LIST_DOT_PRODUCT(a.v, b.v), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v), 6) >= 0.45
+        ORDER BY id_a, id_b""")),
+
     // Label-pair mean similarity over a deterministic sample of pairs
     // (id_a < id_b, both ≡ 0 mod 5 — keeps the pair space bounded).
     QueryDef(

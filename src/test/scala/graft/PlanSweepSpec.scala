@@ -18,6 +18,7 @@ class PlanSweepSpec extends SparkSpec {
     "knn_bruteforce_cosine", // exact all-pairs baseline (broadcast probes)
     "knn_ivf_topk", "knn_ivf_kmeans_topk", // centroid assignment cross join (k centroids broadcast)
     "string_levenshtein_pairs", // all-pairs over ~25 distinct names
+    "dedup_cosine_pairs",   // exact near-dup baseline (LSH variants are the scale path)
     "label_pair_similarity",    // labelled pair sample
     "subq_quantified",      // scalar-subquery comparisons plan as BNLJ probes
     "tpcds_multi_count_scalars", // q88 shape: battery of scalar-count subqueries
