@@ -17,6 +17,14 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword-boundary token count: alphabetic runs, digit runs,
+    * and punctuation runs each count as one token (the GPT-2-style
+    * pre-tokenization split, ASCII-portable so external engines agree on
+    * the regex).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
   /** Occurrences of an exact token (e.g. a stopword). */
   def tokenOccurrences(text: Column, word: String): Column =
     size(filter(tokens(text), t => t === word))

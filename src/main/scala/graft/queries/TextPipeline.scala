@@ -67,6 +67,33 @@ object TextPipeline {
         GROUP BY lang
         ORDER BY lang""")),
 
+    // BPE-ish pre-tokenization counts vs whitespace counts (the training-
+    // data token-budget estimate).
+    QueryDef(
+      "text_bpe_token_stats",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .withColumn("n_ws", tokenCount(col("text")))
+          .withColumn("n_bpe", bpeishTokenCount(col("text")))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_ws")).as("ws_tokens"),
+               sum(col("n_bpe")).as("bpe_tokens"),
+               (sum(col("n_bpe")).cast("double") / sum(col("n_ws"))).as("bpe_per_ws"))
+          .orderBy(col("lang")),
+      Some("""
+        WITH t AS (
+          SELECT lang, LEN(STRING_SPLIT(text, ' ')) AS n_ws,
+            LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+          CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+          CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS bpe_per_ws
+        FROM t
+        GROUP BY lang
+        ORDER BY lang""")),
+
     QueryDef(
       "text_quality_scores",
       (s, dir) =>
