@@ -27,6 +27,15 @@ class EngineSpec extends SparkSpec {
     assert(df.collect()(0).getLong(0) > 0)
   }
 
+  test("scalar subquery enforces single row (EnforceSingleRow semantics)") {
+    import spark.implicits._
+    Seq(1, 2).toDF("x").createOrReplaceTempView("multi_row")
+    val e = intercept[Exception] {
+      spark.sql("SELECT (SELECT x FROM multi_row) AS v").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("more than one row"), e.getMessage)
+  }
+
   test("driver entry produces rows") {
     assert(SparkEntry.entry(spark).collect().nonEmpty)
   }
