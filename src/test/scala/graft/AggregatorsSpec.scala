@@ -50,6 +50,32 @@ class AggregatorsSpec extends SparkSpec {
     assert(res === Map(1L -> 1, 2L -> 2))
   }
 
+  test("windowFunnel strict_order stops at intervening foreign events") {
+    import graft.aggregates.FunnelCore
+    // Reference doc: 'A->B->D->C' stops at D, max level 2. Foreign events
+    // are fed as step 0.
+    def lvl(evs: Seq[(Long, Int)], strictOrder: Boolean): Int = {
+      val packed = evs.map { case (u, s) => FunnelCore.pack(u, s) }.toArray.sorted
+      FunnelCore.eventLevel(packed, packed.length, 0L, 3, false, strictOrder, false)
+    }
+    val abdc = Seq((1L, 1), (2L, 2), (3L, 0), (4L, 3))
+    assert(lvl(abdc, strictOrder = true) === 2)
+    assert(lvl(abdc, strictOrder = false) === 3)
+    // foreign event before the first step-1 is ignored
+    assert(lvl(Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3)), strictOrder = true) === 3)
+  }
+
+  test("windowFunnel strict_deduplication stops on a repeated level") {
+    import graft.aggregates.FunnelCore
+    def lvl(evs: Seq[(Long, Int)], dedup: Boolean): Int = {
+      val packed = evs.map { case (u, s) => FunnelCore.pack(u, s) }.toArray.sorted
+      FunnelCore.eventLevel(packed, packed.length, 0L, 3, dedup, false, false)
+    }
+    val repeat2 = Seq((1L, 1), (2L, 2), (3L, 2), (4L, 3))
+    assert(lvl(repeat2, dedup = true) === 2)  // stops at the repeated 2
+    assert(lvl(repeat2, dedup = false) === 3)
+  }
+
   test("FunnelCore default semantics == brute-force chain search (800 random cases)") {
     import graft.aggregates.FunnelCore
     // Default windowFunnel semantics are equivalent to: depth >= d iff a
