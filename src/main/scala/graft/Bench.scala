@@ -51,8 +51,11 @@ object Bench {
       try queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
-    // Drop warmup-persisted RDDs so timed runs start from clean memory.
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // Drop warmup caches so timed runs start from clean memory. Must go
+    // through the catalog: raw RDD unpersist would leave stale
+    // CacheManager entries, making the timed runs' persist() calls no-ops
+    // against dead cache entries (every reuse would silently recompute).
+    spark.catalog.clearCache()
     val results = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
       try {

@@ -41,7 +41,9 @@ class WindowFunnel(
     extends Aggregator[FunnelEvent, ArrayBuffer[FunnelEvent], Int] with Serializable {
   def zero: ArrayBuffer[FunnelEvent] = ArrayBuffer.empty
   def reduce(b: ArrayBuffer[FunnelEvent], e: FunnelEvent): ArrayBuffer[FunnelEvent] = {
-    if ((e.step >= 1 && e.step <= nSteps) || (strictOrder && e.step == 0)) b += e
+    // us >= 0: FunnelCore's packed representation is unsigned (the
+    // reference's timestamps are UInt types).
+    if (e.us >= 0 && ((e.step >= 1 && e.step <= nSteps) || (strictOrder && e.step == 0))) b += e
     b
   }
   def merge(a: ArrayBuffer[FunnelEvent], b: ArrayBuffer[FunnelEvent]): ArrayBuffer[FunnelEvent] = {

@@ -18,7 +18,12 @@ object FunnelCore {
 
   final val StepBits = 6
   final val StepMask = (1L << StepBits) - 1
-
+  /** Packing contract: 0 <= us < 2^57 (epoch-µs until year ~4500),
+    * 0 <= step <= 63. Negative timestamps would decode wrongly through
+    * the unsigned shift and are rejected at update time (the reference's
+    * timestamps are unsigned — AggregateFunctionWindowFunnel.h templates
+    * on UInt types).
+    */
   def pack(us: Long, step: Int): Long = (us << StepBits) | step
 
   /** `events(0 until n)` must be sorted ascending. */
@@ -101,6 +106,8 @@ case class WindowFunnelAgg(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[FunnelBuf] with BinaryLike[Expression] {
 
+  require(nSteps >= 1 && nSteps <= 63, s"nSteps must be in [1, 63], got $nSteps")
+
   override def left: Expression = tsExpr
   override def right: Expression = stepExpr
   override def dataType: DataType = IntegerType
@@ -114,9 +121,10 @@ case class WindowFunnelAgg(
     val ts = tsExpr.eval(input)
     val st = stepExpr.eval(input)
     if (ts != null && st != null) {
+      val us = ts.asInstanceOf[Number].longValue()
       val step = st.asInstanceOf[Number].intValue()
-      if ((step >= 1 && step <= nSteps) || (strictOrder && step == 0))
-        b.add(FunnelCore.pack(ts.asInstanceOf[Number].longValue(), step))
+      if (us >= 0 && ((step >= 1 && step <= nSteps) || (strictOrder && step == 0)))
+        b.add(FunnelCore.pack(us, step))
     }
     b
   }

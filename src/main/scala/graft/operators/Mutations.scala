@@ -17,13 +17,17 @@ object Mutations {
     * so all assignments are built against the input in a single select
     * rather than layered withColumn calls.
     */
-  def update(df: DataFrame, cond: Column, assignments: Map[String, Column]): DataFrame =
+  def update(df: DataFrame, cond: Column, assignments: Map[String, Column]): DataFrame = {
+    val unknown = assignments.keySet -- df.columns.toSet
+    require(unknown.isEmpty,
+      s"UPDATE assigns to columns not in the table: ${unknown.mkString(", ")}")
     df.select(df.columns.map { name =>
       assignments.get(name) match {
         case Some(value) => when(cond, value).otherwise(col(name)).as(name)
         case None        => col(name)
       }
     }: _*)
+  }
 
   /** DELETE FROM t WHERE cond. */
   def delete(df: DataFrame, cond: Column): DataFrame =
@@ -49,8 +53,12 @@ object Mutations {
     if (!fs.rename(dst, old))
       throw new java.io.IOException(s"mutation swap: cannot move $dst aside to $old")
     if (!fs.rename(tmp, dst)) {
-      // Roll the old data back into place before failing.
-      fs.rename(old, dst)
+      // Roll the old data back into place before failing; report a failed
+      // rollback rather than claiming the old state was restored.
+      if (!fs.rename(old, dst))
+        throw new java.io.IOException(
+          s"mutation swap: cannot move $tmp into place at $dst AND rollback of $old failed — " +
+            s"table data is at $old")
       throw new java.io.IOException(s"mutation swap: cannot move $tmp into place at $dst")
     }
     if (!fs.delete(old, true))

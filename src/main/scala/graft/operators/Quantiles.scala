@@ -28,7 +28,9 @@ object Quantiles {
       groupCol: String,
       valueCol: String,
       specs: Seq[(Double, String)]): DataFrame = {
-    val cnt = df.groupBy(col(groupCol), col(valueCol).as("__v"))
+    // NULLs are ignored, matching percentile/QUANTILE_CONT.
+    val cnt = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -83,8 +85,9 @@ object Quantiles {
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
 
-    // Pass 1: coarse histogram.
-    val cnt = df.groupBy(col(groupCol).as("__g"),
+    // Pass 1: coarse histogram (NULLs ignored, matching QUANTILE_CONT).
+    val nn = df.filter(col(valueCol).isNotNull)
+    val cnt = nn.groupBy(col(groupCol).as("__g"),
         floor(col(valueCol) / lit(bucketWidth)).as("__b"))
       .agg(count(lit(1)).as("__c"))
     val wB = Window.partitionBy(col("__g")).orderBy(col("__b"))
@@ -119,7 +122,7 @@ object Quantiles {
       new org.apache.spark.sql.types.StructType()
         .add("__ng", df.schema(groupCol).dataType)
         .add("__nb", org.apache.spark.sql.types.LongType))
-    val candidates = df
+    val candidates = nn
       .withColumn("__b", floor(col(valueCol) / lit(bucketWidth)))
       .join(broadcast(needDf),
         col(groupCol) === col("__ng") && col("__b") === col("__nb"))

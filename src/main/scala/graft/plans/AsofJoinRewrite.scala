@@ -41,7 +41,16 @@ object AsofJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(l, r, Inner | LeftOuter, Some(cond), _)
         if j.resolved && cond.exists(_.isInstanceOf[AsofLE]) =>
-      rewrite(j, l, r, cond).getOrElse(j)
+      rewrite(j, l, r, cond).getOrElse {
+        // Not throwing: the unsupported conjunct may still be merged or
+        // simplified by other rules in this fixed-point batch. If the
+        // shape never becomes rewritable, execution fails on the
+        // unevaluable asof_le marker — this warning names the real cause.
+        logWarning(s"asof_le present but the join is not rewritable " +
+          s"(need: equi-key conjuncts + exactly one asof_le(rightTime, leftTime)); " +
+          s"condition: ${cond.sql}")
+        j
+      }
   }
 
   private def rewrite(

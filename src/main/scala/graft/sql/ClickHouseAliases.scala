@@ -60,7 +60,9 @@ object ClickHouseAliases {
     "toYear" -> (cs => Year(cs.head)),
     "toMonth" -> (cs => Month(cs.head)),
     "toDayOfMonth" -> (cs => DayOfMonth(cs.head)),
-    "toDayOfWeek" -> (cs => DayOfWeek(cs.head)),
+    // ClickHouse toDayOfWeek is Monday=1..Sunday=7; Spark's DayOfWeek is
+    // Sunday=1, WeekDay is Monday=0 — so WeekDay + 1.
+    "toDayOfWeek" -> (cs => Add(WeekDay(cs.head), Literal(1))),
     "toHour" -> (cs => Hour(cs.head)),
     "toMinute" -> (cs => Minute(cs.head)),
     "toSecond" -> (cs => Second(cs.head)),
@@ -88,6 +90,9 @@ object ClickHouseAliases {
 
     // conditionals
     "multiIf" -> (cs => {
+      if (cs.size < 3 || cs.size % 2 == 0)
+        throw new IllegalArgumentException(
+          s"multiIf expects cond1, val1, ..., condN, valN, else (odd arity >= 3); got ${cs.size} args")
       val branches = cs.dropRight(1).grouped(2).map { case Seq(c, v) => (c, v) }.toSeq
       CaseWhen(branches, Some(cs.last))
     }),
@@ -95,7 +100,12 @@ object ClickHouseAliases {
     // strings (lcase/ucase/startswith/endswith are already Spark
     // builtins with identical semantics — no alias needed)
     "mid" -> (cs => Substring(cs.head, cs(1), cs(2))),
-    "splitByChar" -> (cs => StringSplit(cs(1), cs.head, Literal(-1))),
+    // ClickHouse splits on the LITERAL character; StringSplit takes a
+    // Java regex, so the separator is \Q...\E-quoted (works for column
+    // separators too; a separator containing the two-char sequence \E is
+    // the one unsupported corner).
+    "splitByChar" -> (cs => StringSplit(cs(1),
+      Concat(Seq(Literal("\\Q"), cs.head, Literal("\\E"))), Literal(-1))),
     "empty" -> (cs => EqualTo(Length(cs.head), Literal(0))),
     "notEmpty" -> (cs => GreaterThan(Length(cs.head), Literal(0))),
     "match" -> (cs => RLike(cs.head, cs(1))),
@@ -116,9 +126,17 @@ object ClickHouseAliases {
     "arrayFlatten" -> (cs => Flatten(cs.head)),
     "arraySlice" -> (cs => Slice(cs.head, cs(1), cs(2))),
     "arrayIntersect" -> (cs => ArrayIntersect(cs.head, cs(1))),
-    "range" -> (cs =>
-      if (cs.size == 1) Sequence(Literal(0), Subtract(cs.head, Literal(1)), None)
-      else Sequence(cs.head, Subtract(cs(1), Literal(1)), None)),
+    // range(n) / range(lo, hi): end-exclusive, EMPTY when hi <= lo —
+    // Sequence's default step flips to -1 when start > stop, so the empty
+    // case must be guarded explicitly. Long-typed like DuckDB RANGE.
+    "range" -> (cs => {
+      val (lo, hi) =
+        if (cs.size == 1) (Literal(0L): Expression, Cast(cs.head, LongType))
+        else (Cast(cs.head, LongType), Cast(cs(1), LongType))
+      If(LessThanOrEqual(hi, lo),
+        Literal.create(Array.empty[Long], ArrayType(LongType)),
+        new Sequence(lo, Subtract(hi, Literal(1L)), Some(Literal(1L))))
+    }),
 
     // math / misc
     "intDiv" -> (cs => IntegralDivide(cs.head, cs(1), evalMode = EvalMode.LEGACY)),

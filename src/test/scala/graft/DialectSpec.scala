@@ -75,6 +75,28 @@ class DialectSpec extends SparkSpec {
     assert(!r.getBoolean(3))
   }
 
+  test("splitByChar treats regex metacharacters as literals") {
+    val r = one("""SELECT splitByChar('.', '10.1.2.3'), splitByChar('|', 'a|b')""")
+    assert(r.getSeq[String](0) === Seq("10", "1", "2", "3"))
+    assert(r.getSeq[String](1) === Seq("a", "b"))
+  }
+
+  test("toDayOfWeek is Monday=1 (ClickHouse convention)") {
+    // 2024-03-15 is a Friday; 2024-03-17 a Sunday
+    val r = one("""SELECT toDayOfWeek(TIMESTAMP '2024-03-15 00:00:00'),
+                   toDayOfWeek(TIMESTAMP '2024-03-17 00:00:00')""")
+    assert(r.getInt(0) === 5)
+    assert(r.getInt(1) === 7)
+  }
+
+  test("range is empty for n <= 0 and end-exclusive") {
+    val r = one("SELECT range(0), range(3), range(2, 5), range(5, 5)")
+    assert(r.getSeq[Long](0) === Seq.empty)
+    assert(r.getSeq[Long](1) === Seq(0L, 1L, 2L))
+    assert(r.getSeq[Long](2) === Seq(2L, 3L, 4L))
+    assert(r.getSeq[Long](3) === Seq.empty)
+  }
+
   test("math and misc") {
     val r = one("""SELECT intDiv(17, 5), modulo(17, 5), divide(1, 4),
                    mid('abcdef', 2, 3), range(3)""")
