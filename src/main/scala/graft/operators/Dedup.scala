@@ -49,34 +49,35 @@ object Dedup {
       .agg(min(xxhash64(lit(0), col("sh"))).as("m0"),
            (1 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i")): _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-    // Materialize the banded keys once: both sides of the self-join would
-    // otherwise re-run the whole shingle→hash pipeline (and broadcast
-    // planning defeats exchange reuse). (n_docs × bands) narrow rows —
-    // spills to disk if needed.
     val banded = sig.select(col("id"),
         posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    bucketPairs(banded)
   }
+
+  /** Candidate pairs from bucket membership: group ids per (band, key)
+    * and emit bucket-local combinations — ONE shuffle on the bucket key
+    * and no self-join (a self-join would run the whole upstream pipeline
+    * twice or force a persist). Bucket sizes are bounded by LSH design,
+    * so the per-bucket pair expansion is local and small.
+    */
+  private def bucketPairs(banded: DataFrame): DataFrame =
+    banded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
 
   /** SimHash bucket candidates: docs sharing any 16-bit simhash band are
     * near-dup candidates (hamming distance ≤ 3 guaranteed to collide on
     * ≥1 of 4 bands).
     */
-  def simhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val banded = df.select(col(idCol).as("id"),
-        posexplode(simhashBands(col(textCol))).as(Seq("band", "key")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-  }
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    bucketPairs(df.select(col(idCol).as("id"),
+      posexplode(simhashBands(col(textCol))).as(Seq("band", "key"))))
 
   /** Exact token-set Jaccard similarity for all pairs sharing ≥1 token,
     * computed by token-inverted-index join + per-pair intersection counts —
