@@ -54,11 +54,22 @@ object TextFunctions {
 
   /** MinHash signature over word k-shingles: numHashes independent hash
     * slots via seeded xxhash64 (MinHash+LSH dedup, SURVEY build brief).
+    * Compositional higher-order form; [[minhashSignatureNative]] is the
+    * codegen'd per-row variant used on the hot path.
     */
   def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
     val sh = shingles(text, k)
     transform(sequence(lit(0), lit(numHashes - 1)),
       seed => array_min(transform(sh, s => xxhash64(seed, s))))
+  }
+
+  /** Native codegen MinHash signature from a token array (null when the
+    * document has fewer than k tokens) — see [[MinHashSignature]].
+    */
+  def minhashSignatureNative(toks: Column, k: Int, numHashes: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(toks), numHashes, k))
   }
 
   /** LSH band keys from a MinHash signature: one xxhash64 per band of

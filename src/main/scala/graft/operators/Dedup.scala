@@ -39,16 +39,13 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Aggregation-form MinHash: explode shingles, hash each once per seed,
-    // take per-doc minima. The mins combine map-side (partial agg), so the
-    // shuffle carries numHashes longs per doc — the scale shape; and unlike
-    // the pure-expression form, nothing is recomputed per band.
-    val hashed = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleSize)).as("sh"))
-    val sig = hashed.groupBy(col("id"))
-      .agg(min(xxhash64(lit(0), col("sh"))).as("m0"),
-           (1 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i")): _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // Native per-row signatures (MinHashSignature codegen expression):
+    // the whole minhash computes inside the document scan — zero shuffles
+    // before banding, no shingle strings, no explode. Documents shorter
+    // than the shingle size have no shingles → null signature → dropped.
+    val sig = df.select(col(idCol).as("id"),
+        minhashSignatureNative(tokens(col(textCol)), shingleSize, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
     val banded = sig.select(col("id"),
         posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
     bucketPairs(banded)

@@ -46,6 +46,17 @@ object QProfile {
              c2(col("l_discount")) / count(lit(1)), count(lit(1)))
         .write.mode("overwrite").format("noop").save()
     }
+    locally {
+      import graft.functions.TextFunctions._
+      val docs = Tables(spark, sfDir, "documents")
+      val hashed = docs.select(col("doc_id").as("id"),
+        explode(shingles(col("text"), 3)).as("sh"))
+      time("minhash-shingles-only") { hashed.write.mode("overwrite").format("noop").save() }
+      val sig = hashed.groupBy(col("id"))
+        .agg(min(xxhash64(lit(0), col("sh"))).as("m0"),
+             (1 until 16).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i")): _*)
+      time("minhash-sig-full") { sig.write.mode("overwrite").format("noop").save() }
+    }
     time("quantity-3p") {
       Quantiles.percentiles(li, "l_linestatus", "l_quantity",
         Seq(0.25 -> "a", 0.5 -> "b", 0.75 -> "c")).write.mode("overwrite").format("noop").save()

@@ -83,6 +83,21 @@ class FunctionsSpec extends SparkSpec {
     assert(n === 0)
   }
 
+  test("native MinHashSignature: deterministic, fixed length, null below k") {
+    import graft.functions.TextFunctions._
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumps over the lazy dog"),
+      ("c", "completely different words here entirely now"),
+      ("d", "too few")).toDF("id", "text")
+    val sigs = df.select($"id", minhashSignatureNative(tokens($"text"), 3, 16).as("sig"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(sigs("a").get === sigs("b").get)          // identical text agrees
+    assert(sigs("a").get.length === 16)
+    assert(sigs("a").get !== sigs("c").get)          // different text differs
+    assert(sigs("d").isEmpty)                        // < k tokens → null
+  }
+
   test("geohash encode matches published vectors; decode roundtrips") {
     import graft.functions.GeoFunctions
     // canonical example from the geohash spec
