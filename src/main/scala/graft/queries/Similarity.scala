@@ -142,12 +142,16 @@ object Similarity {
         val cents = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
         // nearest centroid per vector: max (dot, -cent_id) → lowest id wins ties
-        val assigned = emb.crossJoin(broadcast(cents))
-          .withColumn("cdot", round(dot(col("embedding"), col("cent_vec")), 6))
-          .groupBy(col("vec_id"), col("embedding"))
-          .agg(max_by(col("cent_id"), struct(col("cdot"), -col("cent_id"))).as("cell"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val probes = assigned.filter(col("vec_id") < 10)
+        def assignCells(in: org.apache.spark.sql.DataFrame) =
+          in.crossJoin(broadcast(cents))
+            .withColumn("cdot", round(dot(col("embedding"), col("cent_vec")), 6))
+            .groupBy(col("vec_id"), col("embedding"))
+            .agg(max_by(col("cent_id"), struct(col("cdot"), -col("cent_id"))).as("cell"))
+        // The corpus assignment streams once through the join below; the
+        // tiny probe set re-derives its cells independently (10 × 16
+        // rows), so nothing needs to persist/materialize.
+        val assigned = assignCells(emb)
+        val probes = assignCells(emb.filter(col("vec_id") < 10))
           .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
                   col("cell").as("probe_cell"))
         val w = Window.partitionBy(col("probe_id"))
