@@ -25,7 +25,8 @@ object SparkEntry {
       _root_.graft.queries.AnalyticsExtensions.defs ++
       _root_.graft.queries.CoverageWave3.defs ++
       _root_.graft.queries.TpcdsShapes.defs ++
-      _root_.graft.queries.StorageSemantics.defs
+      _root_.graft.queries.StorageSemantics.defs ++
+      _root_.graft.queries.CoverageWave4.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -76,6 +76,60 @@ object BitmapAggregates {
     udf((bytes: Array[Byte], x: Long) => deserialize(bytes).contains(x))
 }
 
+/** SpaceSaving buffer: key→count map plus a count-ordered index
+  * (Stream-Summary analogue — the reference keeps counts in sorted
+  * buckets for the same reason, AggregateFunctionTopK.h:33) so displacing
+  * the minimum is O(log capacity) instead of a full O(capacity) scan per
+  * new key. The index is transient — Kryo ships only the map across the
+  * shuffle and the receiver rebuilds the index lazily on first touch.
+  */
+final class TopKState extends Serializable {
+  val counts = new java.util.HashMap[Long, Long]()
+  @transient private var byCount: java.util.TreeMap[Long, java.util.TreeSet[Long]] = _
+
+  private def index(): java.util.TreeMap[Long, java.util.TreeSet[Long]] = {
+    if (byCount == null) {
+      byCount = new java.util.TreeMap[Long, java.util.TreeSet[Long]]()
+      counts.forEach((x, c) => indexAdd(x, c))
+    }
+    byCount
+  }
+  private def indexAdd(x: Long, c: Long): Unit = {
+    var set = byCount.get(c)
+    if (set == null) { set = new java.util.TreeSet[Long](); byCount.put(c, set) }
+    set.add(x)
+  }
+  private def indexRemove(x: Long, c: Long): Unit = {
+    val set = byCount.get(c)
+    set.remove(x)
+    if (set.isEmpty) byCount.remove(c)
+  }
+
+  def add(x: Long, cnt: Long, capacity: Int): Unit = {
+    val idx = index()
+    val existing = counts.get(x)
+    if (counts.containsKey(x)) {
+      indexRemove(x, existing)
+      counts.put(x, existing + cnt)
+      indexAdd(x, existing + cnt)
+    } else if (counts.size < capacity) {
+      counts.put(x, cnt)
+      indexAdd(x, cnt)
+    } else {
+      // SpaceSaving: displace the current minimum (smallest key among the
+      // minimum-count entries, for deterministic eviction), inheriting
+      // its count.
+      val minEntry = idx.firstEntry()
+      val minC = minEntry.getKey
+      val minK = minEntry.getValue.first()
+      indexRemove(minK, minC)
+      counts.remove(minK)
+      counts.put(x, minC + cnt)
+      indexAdd(x, minC + cnt)
+    }
+  }
+}
+
 /** topK (SpaceSaving — reference AggregateFunctionTopK.h:33): heavy
   * hitters with bounded memory. With `capacity` ≥ true NDV the counts are
   * exact (how the oracle checks it at test scale); at production scale the
@@ -83,35 +137,20 @@ object BitmapAggregates {
   * approximation.
   */
 class TopK(k: Int, capacity: Int)
-    extends Aggregator[Long, scala.collection.mutable.Map[Long, Long], Seq[Long]] with Serializable {
-  import scala.collection.mutable
+    extends Aggregator[Long, TopKState, Seq[Long]] with Serializable {
 
-  def zero: mutable.Map[Long, Long] = mutable.Map.empty
+  def zero: TopKState = new TopKState
 
-  private def addCount(b: mutable.Map[Long, Long], x: Long, cnt: Long): Unit = {
-    b.get(x) match {
-      case Some(c) => b.update(x, c + cnt)
-      case None =>
-        if (b.size < capacity) b.update(x, cnt)
-        else {
-          // SpaceSaving: displace the current minimum, inheriting its count.
-          val (minK, minC) = b.minBy(_._2)
-          b.remove(minK)
-          b.update(x, minC + cnt)
-        }
-    }
-  }
-
-  def reduce(b: mutable.Map[Long, Long], x: Long): mutable.Map[Long, Long] = {
-    addCount(b, x, 1L); b
-  }
-  def merge(a: mutable.Map[Long, Long], b: mutable.Map[Long, Long]): mutable.Map[Long, Long] = {
-    b.foreach { case (x, c) => addCount(a, x, c) }
+  def reduce(b: TopKState, x: Long): TopKState = { b.add(x, 1L, capacity); b }
+  def merge(a: TopKState, b: TopKState): TopKState = {
+    b.counts.forEach((x, c) => a.add(x, c, capacity))
     a
   }
-  def finish(b: mutable.Map[Long, Long]): Seq[Long] =
-    b.toSeq.sortBy { case (x, c) => (-c, x) }.take(k).map(_._1)
-  def bufferEncoder: Encoder[scala.collection.mutable.Map[Long, Long]] = Encoders.kryo
+  def finish(b: TopKState): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    b.counts.asScala.toSeq.sortBy { case (x, c) => (-c, x) }.take(k).map(_._1)
+  }
+  def bufferEncoder: Encoder[TopKState] = Encoders.kryo
   def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoders.seqLong
 }
 

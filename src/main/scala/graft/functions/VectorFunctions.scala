@@ -45,6 +45,27 @@ object VectorFunctions {
     ColumnBridge.column(HyperplaneLshBucket(ColumnBridge.expression(v), planes))
   }
 
+  /** Multi-probe bucket set (Lv et al., "Multi-Probe LSH", VLDB'07): the
+    * exact bucket plus every bucket within Hamming distance `radius` of
+    * it. Near neighbors differ from the probe on few sign bits, so
+    * probing the 1 + C(planes,1) + … + C(planes,radius) nearby buckets
+    * recovers most of the recall a single-bucket lookup loses — while
+    * still scanning a fixed, tiny fraction of the corpus. The probe side
+    * explodes this array (tens of keys per probe); the corpus side stays
+    * a plain equi-join on its one bucket, so the scale shape is
+    * unchanged.
+    */
+  def multiProbeBuckets(bucket: Column, planes: Int, radius: Int): Column = {
+    require(radius >= 0 && radius <= 2, "multiProbeBuckets supports radius 0..2")
+    val flips1 = (0 until planes).map(i => bucket.bitwiseXOR(lit(1L << i)))
+    val flips2 =
+      if (radius < 2) Seq.empty
+      else for { i <- 0 until planes; j <- (i + 1) until planes }
+        yield bucket.bitwiseXOR(lit((1L << i) | (1L << j)))
+    val keys = Seq(bucket) ++ (if (radius >= 1) flips1 else Seq.empty) ++ flips2
+    array(keys: _*)
+  }
+
   /** Reference higher-order-function form of [[hyperplaneLshBucket]] —
     * kept as the semantic spec the native expression is tested against.
     */

@@ -76,31 +76,63 @@ object Dedup {
     bucketPairs(df.select(col(idCol).as("id"),
       posexplode(simhashBands(col(textCol))).as(Seq("band", "key"))))
 
-  /** Exact token-set Jaccard similarity for all pairs sharing ≥1 token,
-    * computed by token-inverted-index join + per-pair intersection counts —
-    * the oracle-checkable baseline for the MinHash approximation.
+  /** Exact token-set Jaccard similarity for all pairs with J ≥ threshold,
+    * via prefix-filtered inverted-index candidates + exact array-intersect
+    * verification — the oracle-checkable baseline for the MinHash
+    * approximation.
+    *
+    * Prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW'07): order every document's tokens by a global total
+    * order (document frequency ascending, token ascending as tiebreak) and
+    * index only each doc's first |d| − ⌈t·|d|⌉ + 1 tokens. If J(x,y) ≥ t,
+    * the globally-smallest shared token is provably inside BOTH prefixes,
+    * so the candidate join loses no qualifying pair. Crucially, a
+    * universal stopword has maximal df, lands last in every ordering, and
+    * almost never enters a prefix — the Σdf² skew bomb of a naive
+    * inverted-index self-join cannot form.
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
-    // Join on a 64-bit token hash instead of the token string: the
-    // inverted-index self-join is the dominant shuffle and narrow fixed-
-    // width keys cut its exchange + probe cost (collision odds over any
+    // Join on a 64-bit token hash instead of the token string: narrow
+    // fixed-width keys cut exchange + probe cost (collision odds over any
     // realistic vocabulary are ~2^-40, far below the float-equality
     // tolerance everywhere else).
     val toks = df.select(col(idCol).as("id"),
         explode(array_distinct(tokens(col(textCol)))).as("tok_s"))
       .select(col("id"), xxhash64(col("tok_s")).as("tok"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n_tok"))
-    val inter = toks.as("a").join(toks.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_tok", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_tok", "n_b"), "id_b")
+    val docs = toks.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("tok"))).as("ts"), count(lit(1)).as("n_tok"))
+    val cand = prefixCandidates(toks, threshold)
+    // Exact verification: one row per candidate pair, intersection counted
+    // on the two (bounded-size) per-doc token arrays — no token-level
+    // shuffle ever sees a hot key.
+    cand
+      .join(docs.select(col("id").as("id_a"), col("ts").as("ts_a"), col("n_tok").as("n_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("ts").as("ts_b"), col("n_tok").as("n_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Candidate (id_a, id_b) pairs whose df-ordered prefixes share a token.
+    * Exact superset of all pairs with J ≥ threshold (see [[jaccardPairs]]).
+    * Package-private so tests can assert the candidate set stays linear
+    * under adversarial universal tokens.
+    */
+  private[graft] def prefixCandidates(toks: DataFrame, threshold: Double): DataFrame = {
+    val dfTok = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfTok, "tok")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
+      .withColumn("n_tok", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val prefix = ranked
+      .filter(col("r") <= col("n_tok") - ceil(lit(threshold) * col("n_tok")) + 1)
+      .select(col("id"), col("tok"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 }

@@ -42,26 +42,36 @@ object Mutations {
     * losing the table.
     */
   def rewrite(spark: SparkSession, path: String, mutate: DataFrame => DataFrame): Unit = {
+    mutate(spark.read.parquet(path)).write
+      .mode(SaveMode.Overwrite).parquet(path + ".mutating")
+    swapInto(spark, path + ".mutating", path)
+  }
+
+  /** Rename-aside commit: move `dst` aside (if present), move `tmpPath`
+    * into place, drop the old copy. Shared by [[rewrite]] and the
+    * MaterializedView batch refresh.
+    */
+  def swapInto(spark: SparkSession, tmpPath: String, dstPath: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val tmp = new Path(path + ".mutating")
-    val old = new Path(path + ".old")
-    val dst = new Path(path)
-    mutate(spark.read.parquet(path)).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val tmp = new Path(tmpPath)
+    val old = new Path(dstPath + ".old")
+    val dst = new Path(dstPath)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(old) && !fs.delete(old, true))
       throw new java.io.IOException(s"mutation swap: cannot clear stale $old")
-    if (!fs.rename(dst, old))
+    val hadOld = fs.exists(dst)
+    if (hadOld && !fs.rename(dst, old))
       throw new java.io.IOException(s"mutation swap: cannot move $dst aside to $old")
     if (!fs.rename(tmp, dst)) {
       // Roll the old data back into place before failing; report a failed
       // rollback rather than claiming the old state was restored.
-      if (!fs.rename(old, dst))
+      if (hadOld && !fs.rename(old, dst))
         throw new java.io.IOException(
           s"mutation swap: cannot move $tmp into place at $dst AND rollback of $old failed — " +
             s"table data is at $old")
       throw new java.io.IOException(s"mutation swap: cannot move $tmp into place at $dst")
     }
-    if (!fs.delete(old, true))
+    if (hadOld && !fs.delete(old, true))
       throw new java.io.IOException(s"mutation swap: committed but cannot remove $old")
   }
 }

@@ -114,56 +114,60 @@ object Quantiles {
         }
       }
     }
-    val nByGroup = byGroup.map { case (g, rows) => g -> rows.head.getAs[Long]("__n") }
-
-    // Pass 2: resolve exact values inside the candidate buckets only.
+    // Pass 2 — fully distributed. The needs table (one row per target
+    // rank: group, bucket, in-bucket index, spec, floor/ceil side) is tiny
+    // and broadcast; candidate-bucket rows are re-counted per distinct
+    // value, ranked by an in-bucket cumulative window, and the needed rank
+    // is picked by a broadcast-join filter. No value row ever reaches the
+    // driver, so a pathologically hot bucket (skewed data, fixed
+    // bucketWidth) costs one window over that bucket's distinct values on
+    // executors instead of a driver OOM.
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StructType}
+    val gType = df.schema(groupCol).dataType
     val needDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(needs.map(nd => Row(nd.g, nd.bucket)).distinct, 1),
-      new org.apache.spark.sql.types.StructType()
-        .add("__ng", df.schema(groupCol).dataType)
-        .add("__nb", org.apache.spark.sql.types.LongType))
-    val candidates = nn
+      spark.sparkContext.parallelize(
+        needs.map(nd => Row(nd.g, nd.bucket, nd.localIdx, nd.spec, nd.isUpper)), 1),
+      new StructType().add("__ng", gType).add("__nb", LongType)
+        .add("__nidx", LongType).add("__nspec", IntegerType).add("__nupper", BooleanType))
+    val bucketsDf = needDf.select(col("__ng"), col("__nb")).distinct()
+
+    val candCounts = nn
       .withColumn("__b", floor(col(valueCol) / lit(bucketWidth)))
-      .join(broadcast(needDf),
+      .join(broadcast(bucketsDf),
         col(groupCol) === col("__ng") && col("__b") === col("__nb"))
-      .groupBy(col(groupCol).as("__g"), col("__b"), col(valueCol).as("__v"))
+      .groupBy(col(groupCol).as("__g"), col("__b"),
+        col(valueCol).cast(DoubleType).as("__v"))
       .agg(count(lit(1)).as("__c"))
     val wV = Window.partitionBy(col("__g"), col("__b")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val resolved = candidates
+    val picked = candCounts
       .withColumn("__before", coalesce(sum(col("__c")).over(wV), lit(0L)))
-      .collect() // O(candidate distinct values) — ≈ rows/buckets
-      .groupBy(r => (r.getAs[Any]("__g"), r.getAs[Long]("__b")))
+      .join(broadcast(needDf),
+        col("__g") === col("__ng") && col("__b") === col("__nb") &&
+          col("__before") <= col("__nidx") &&
+          col("__nidx") < col("__before") + col("__c"))
+      .select(col("__g"), col("__nspec"), col("__nupper"), col("__v"))
 
-    def valueAt(g: Any, bucket: Long, idx: Long): Double = {
-      val rows = resolved((g, bucket))
-      val r = rows.find(r => r.getAs[Long]("__before") <= idx &&
-        idx < r.getAs[Long]("__before") + r.getAs[Long]("__c")).get
-      r.getAs[Number]("__v").doubleValue()
+    // Both floor and ceil needs always exist, so __lo/__hi are never null.
+    val nDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        byGroup.toSeq.map { case (g, rows) => Row(g, rows.head.getAs[Long]("__n")) }, 1),
+      new StructType().add("__gn", gType).add("__n", LongType))
+    val pCol = specs.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, ((p, _), i)) => when(col("__nspec") === i, lit(p)).otherwise(acc)
     }
-
-    val out = byGroup.keys.toSeq.map { g =>
-      val n = nByGroup(g)
-      val vals = specs.zipWithIndex.map { case ((p, _), si) =>
-        val h = (n - 1) * p
-        val fl = math.floor(h)
-        val ce = math.ceil(h)
-        val lower = valueAt(g, needs.find(nd => nd.g == g && nd.spec == si && !nd.isUpper).get.bucket,
-          needs.find(nd => nd.g == g && nd.spec == si && !nd.isUpper).get.localIdx)
-        if (fl == ce) lower
-        else {
-          val upNd = needs.find(nd => nd.g == g && nd.spec == si && nd.isUpper).get
-          val upper = valueAt(g, upNd.bucket, upNd.localIdx)
-          lower * (ce - h) + upper * (h - fl)
-        }
-      }
-      Row.fromSeq(g +: vals)
+    val h = (col("__n") - 1).cast(DoubleType) * pCol
+    val interp = picked
+      .groupBy(col("__g"), col("__nspec"))
+      .agg(max(when(!col("__nupper"), col("__v"))).as("__lo"),
+        max(when(col("__nupper"), col("__v"))).as("__hi"))
+      .join(broadcast(nDf), col("__g") === col("__gn"))
+      .withColumn("__val",
+        when(floor(h) === ceil(h), col("__lo"))
+          .otherwise(col("__lo") * (ceil(h) - h) + col("__hi") * (h - floor(h))))
+    val outCols = specs.zipWithIndex.map { case ((_, name), i) =>
+      max(when(col("__nspec") === i, col("__val"))).as(name)
     }
-    val schema = new org.apache.spark.sql.types.StructType()
-      .add(groupCol, df.schema(groupCol).dataType)
-    val full = specs.foldLeft(schema) { case (sc, (_, name)) =>
-      sc.add(name, org.apache.spark.sql.types.DoubleType)
-    }
-    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), full)
+    interp.groupBy(col("__g").as(groupCol)).agg(outCols.head, outCols.tail: _*)
   }
 }

@@ -236,7 +236,11 @@ object AnalyticsExtensions {
           .groupBy(col("user_id"))
           .agg(sort_array(collect_list(struct(col("us"), col("event_id"), col("m")))).as("s"))
           .select(col("user_id"), expr("transform(s, x -> x.m)").as("moving_sum3"))
-          .orderBy(col("user_id"))
+          // The array IS the operator's output; posexplode it back to scalar
+          // rows so the driver's hash-compare (which can't hash array cells)
+          // can verify every element positionally.
+          .select(col("user_id"), posexplode(col("moving_sum3")).as(Seq("idx", "moving_sum")))
+          .orderBy(col("user_id"), col("idx"))
       },
       Some("""
         WITH b AS (SELECT user_id, EPOCH_US(ts) AS us, event_id, value FROM events),
@@ -245,10 +249,11 @@ object AnalyticsExtensions {
                   PARTITION BY user_id ORDER BY us, event_id
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv
               FROM b)
-        SELECT user_id, LIST(mv ORDER BY us, event_id) AS moving_sum3
+        SELECT user_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) - 1 AS INT) AS idx,
+          mv AS moving_sum
         FROM m
-        GROUP BY user_id
-        ORDER BY user_id""")),
+        ORDER BY user_id, idx""")),
 
     // ORDER BY ... WITH FILL INTERPOLATE: daily grid over January, gaps
     // linearly interpolated between the surrounding known points (edge

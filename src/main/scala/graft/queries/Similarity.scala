@@ -86,7 +86,7 @@ object Similarity {
     QueryDef(
       "dedup_cosine_pairs",
       (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
+        val emb = graft.operators.AllPairs.guarded(Tables(s, dir, "embeddings"))
         val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
         val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
         a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -108,7 +108,8 @@ object Similarity {
     QueryDef(
       "label_pair_similarity",
       (s, dir) => {
-        val emb = Tables(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+        val emb = graft.operators.AllPairs.guarded(
+          Tables(s, dir, "embeddings").filter(col("vec_id") % 5 === 0))
         val a = emb.select(col("vec_id").as("id_a"), col("label").as("label_a"),
                            col("embedding").as("vec_a"))
         val b = emb.select(col("vec_id").as("id_b"), col("label").as("label_b"),
@@ -240,24 +241,45 @@ object Similarity {
       },
       None),
 
-    // Hyperplane-LSH approximate top-k: bucket, then exact rerank within
-    // bucket (rows-only — seeded-hash hyperplanes aren't SQL-expressible).
+    // Hyperplane-LSH approximate top-k, production shape: L=4 independent
+    // 8-bit hash tables sliced from ONE native 32-plane signature pass,
+    // plus multi-probe (Hamming ≤ 2) within each table — the standard
+    // recall levers (more tables OR nearby buckets) without ever scanning
+    // the corpus more than once. A vector can collide with a probe in
+    // several tables, so candidates dedup via groupBy before rerank.
+    // AnnRecallSpec gates recall vs brute force. Rows-only — seeded-hash
+    // hyperplanes aren't SQL-expressible.
     QueryDef(
       "knn_lsh_topk",
       (s, dir) => {
-        // Persist the bucketed corpus: the bucket signature would otherwise
-        // be recomputed for the probe side and both join inputs.
+        val nTables = 4
+        val bits = 8
+        def tableKey(sig: org.apache.spark.sql.Column, t: Int) =
+          shiftright(sig, t * bits).bitwiseAND(lit((1L << bits) - 1))
+        // Persist the signed corpus: the signature would otherwise be
+        // recomputed for the probe side and both join inputs.
         val emb = Tables(s, dir, "embeddings")
-          .withColumn("bucket", hyperplaneLshBucket(col("embedding"), 8))
+          .withColumn("sig", hyperplaneLshBucket(col("embedding"), nTables * bits))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val corpus = emb.select(col("vec_id"), col("embedding"),
+          explode(array((0 until nTables).map(t =>
+            struct(lit(t).as("tbl"), tableKey(col("sig"), t).as("key"))): _*)).as("tk"))
+          .select(col("vec_id"), col("embedding"),
+                  col("tk.tbl").as("tbl"), col("tk.key").as("key"))
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
-                  col("bucket").as("probe_bucket"))
+            explode(flatten(array((0 until nTables).map(t =>
+              transform(multiProbeBuckets(tableKey(col("sig"), t), bits, 2),
+                k => struct(lit(t).as("tbl"), k.as("key")))): _*))).as("tk"))
+          .select(col("probe_id"), col("probe_vec"),
+                  col("tk.tbl").as("tbl"), col("tk.key").as("key"))
         val w = Window.partitionBy(col("probe_id"))
           .orderBy(col("sim").desc, col("vec_id"))
-        emb.join(broadcast(probes), col("bucket") === col("probe_bucket"))
+        corpus.join(broadcast(probes), Seq("tbl", "key"))
           .filter(col("vec_id") =!= col("probe_id"))
           .withColumn("sim", round(dot(col("embedding"), col("probe_vec")), 6))
+          .groupBy(col("probe_id"), col("vec_id"))
+          .agg(max(col("sim")).as("sim"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"), col("sim"))

@@ -196,6 +196,31 @@ object SketchesAndStreams {
           .orderBy(col("media_id"))
           .limit(100)
       },
-      None)
+      None),
+
+    // SQL-expressible half of the multimodal pipeline: the metadata
+    // struct and frame-sampling arity are deterministic functions of the
+    // payload, so they hash-check against the oracle even though the
+    // decode stub's feature values can't.
+    QueryDef(
+      "multimodal_metadata",
+      (s, dir) => {
+        val media = Multimodal.withFakeMedia(Tables(s, dir, "documents"), "doc_id", "text")
+        media
+          .withColumn("frames", Multimodal.sampleFrames(col("media"), 3, 16))
+          .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+                  col("meta.format").as("format"),
+                  size(col("frames")).as("n_frames"))
+          .orderBy(col("media_id"))
+          .limit(100)
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+          CAST(LENGTH(text) AS INTEGER) AS n_bytes,
+          'fake/raw' AS format,
+          3 AS n_frames
+        FROM documents
+        ORDER BY media_id
+        LIMIT 100"""))
   )
 }

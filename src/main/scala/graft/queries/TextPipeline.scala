@@ -201,7 +201,11 @@ object TextPipeline {
       },
       None),
 
-    // Heuristic language ID vs the labeled lang column (rows-only).
+    // Heuristic language ID vs the labeled lang column. The stopword
+    // argmax is plain SQL, so the oracle replays it: per-language
+    // stopword-occurrence counts, highest score wins, ties to the
+    // alphabetically-last language (Spark's greatest() over
+    // (score, lang) structs), zero hits → 'und'.
     QueryDef(
       "langid_confusion",
       (s, dir) => {
@@ -217,6 +221,30 @@ object TextPipeline {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("lang"), col("predicted"))
       },
-      None)
+      Some("""
+        WITH s AS (SELECT lang,
+            len(list_filter(str_split(text, ' '),
+              t -> t IN ('the', 'and', 'of', 'to', 'a'))) AS s_en,
+            len(list_filter(str_split(text, ' '),
+              t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de,
+            len(list_filter(str_split(text, ' '),
+              t -> t IN ('le', 'la', 'et', 'les', 'des'))) AS s_fr,
+            len(list_filter(str_split(text, ' '),
+              t -> t IN ('el', 'la', 'de', 'y', 'que'))) AS s_es,
+            len(list_filter(str_split(text, ' '),
+              t -> t IN ('的', '是', '了', '在', '我'))) AS s_zh
+          FROM documents),
+        p AS (SELECT lang,
+            CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                 WHEN s_zh = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+                 WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                 WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                 WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                 ELSE 'de' END AS predicted
+          FROM s)
+        SELECT lang, predicted, COUNT(*) AS n
+        FROM p
+        GROUP BY lang, predicted
+        ORDER BY lang, predicted"""))
   )
 }

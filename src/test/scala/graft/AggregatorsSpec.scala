@@ -170,7 +170,31 @@ class AggregatorsSpec extends SparkSpec {
   test("topK: bounded memory displacement keeps buffer at capacity") {
     val agg = new TopK(2, capacity = 3)
     val buf = (1L to 100L).foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
-    assert(buf.size === 3)
+    assert(buf.counts.size === 3)
+  }
+
+  test("topK: displacement matches linear-scan SpaceSaving reference") {
+    // Differential check of the O(log n) count-indexed eviction against a
+    // straightforward linear-scan implementation with the same
+    // deterministic (min count, min key) eviction rule.
+    val rnd = new scala.util.Random(7)
+    val agg = new TopK(5, capacity = 8)
+    var buf = agg.zero
+    val ref = scala.collection.mutable.Map.empty[Long, Long]
+    (1 to 2000).foreach { _ =>
+      val x = rnd.nextInt(40).toLong
+      buf = agg.reduce(buf, x)
+      ref.get(x) match {
+        case Some(c) => ref.update(x, c + 1)
+        case None if ref.size < 8 => ref.update(x, 1L)
+        case None =>
+          val (mk, mc) = ref.toSeq.minBy { case (k, c) => (c, k) }
+          ref.remove(mk)
+          ref.update(x, mc + 1)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    assert(buf.counts.asScala.toMap === ref.toMap)
   }
 
   test("groupBitmap: set algebra cardinalities") {

@@ -60,6 +60,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Quantiles.percentilesSelect survives one pathologically hot bucket") {
+    import graft.operators.Quantiles
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(37)
+    // 95% of rows land in bucket [0, 10): with the old driver-side pass 2
+    // this bucket's distinct values were collect()ed; now they must stay
+    // on executors and the answer must still be exact.
+    val df = (1 to 6000).map { _ =>
+      val v = if (rnd.nextDouble() < 0.95) rnd.nextDouble() * 10 else rnd.nextDouble() * 5000
+      (rnd.nextInt(2), v)
+    }.toDF("g", "v").repartition(8)
+    val mine = Quantiles.percentilesSelect(df, "g", "v", bucketWidth = 10.0,
+        Seq(0.5 -> "p50", 0.97 -> "p97"))
+      .orderBy($"g").collect()
+    val builtin = df.groupBy($"g")
+      .agg(expr("percentile(v, 0.5)").as("p50"), expr("percentile(v, 0.97)").as("p97"))
+      .orderBy($"g").collect()
+    mine.zip(builtin).foreach { case (a, b) =>
+      (1 to 2).foreach { i =>
+        assert(math.abs(a.getDouble(i) - b.getDouble(i)) < 1e-9,
+          s"group ${a.getInt(0)} col $i: ${a.getDouble(i)} vs ${b.getDouble(i)}")
+      }
+    }
+  }
+
   test("asof backward: latest right at-or-before left time, per key") {
     val left = Seq((1L, 100L, "p1"), (1L, 50L, "p2"), (2L, 10L, "p3"))
       .toDF("k", "t", "name")
@@ -92,6 +117,47 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.length === 1)
     assert(pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 2L)
     assert(math.abs(pairs(0).getDouble(2) - 4.0 / 6.0) < 1e-5)
+  }
+
+  test("jaccardPairs matches brute force on a random corpus") {
+    val rnd = new scala.util.Random(41)
+    val vocab = (1 to 30).map(i => s"w$i")
+    val docs = (1L to 40L).map { id =>
+      id -> rnd.shuffle(vocab).take(6 + rnd.nextInt(6)).toSet
+    }
+    val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("id", "text")
+    val got = Dedup.jaccardPairs(df, "text", "id", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      j = ta.intersect(tb).size.toDouble / ta.union(tb).size
+      if j >= 0.4
+    } yield (ia, ib)).toSet
+    assert(got === want)
+  }
+
+  test("prefix filter keeps a universal stopword out of the candidate join") {
+    // 200 docs, every one contains "the"; pairwise otherwise disjoint.
+    // A naive inverted-index self-join would emit 200*199/2 = 19900 pairs
+    // from the "the" bucket alone; the df-ordered prefix excludes it, so
+    // the candidate set must be empty (no pair can reach J >= 0.5).
+    val df = (1L to 200L).map(i => (i, s"the u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("id", "text")
+    import graft.functions.TextFunctions.tokens
+    import org.apache.spark.sql.functions.{array_distinct, col, explode, xxhash64}
+    val toks = df.select(col("id"),
+        explode(array_distinct(tokens(col("text")))).as("tok_s"))
+      .select(col("id"), xxhash64(col("tok_s")).as("tok"))
+    assert(Dedup.prefixCandidates(toks, 0.5).count() === 0L)
+    assert(Dedup.jaccardPairs(df, "text", "id", 0.5).count() === 0L)
+  }
+
+  test("AllPairs.guarded passes small inputs and refuses oversized ones") {
+    import graft.operators.AllPairs
+    assert(AllPairs.guarded(spark.range(10).toDF("id"), maxRows = 100).count() === 10)
+    intercept[IllegalArgumentException] {
+      AllPairs.guarded(spark.range(200).toDF("id"), maxRows = 100)
+    }
   }
 
   test("minhash LSH surfaces true near-duplicates") {

@@ -38,4 +38,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() === 3)
     assert(out.select("event_id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L))
   }
+
+  test("scheduled MV refresh: due() schedule, swap commit, base updates visible") {
+    import graft.streaming.MaterializedView
+    assert(!MaterializedView.due(lastRefreshMs = 1000, periodMs = 500, nowMs = 1400))
+    assert(MaterializedView.due(lastRefreshMs = 1000, periodMs = 500, nowMs = 1500))
+
+    val base = Files.createTempDirectory("graft_mv_base").toString + "/t"
+    val mv = Files.createTempDirectory("graft_mv_view").toString + "/mv"
+    Seq(("a", 1L), ("b", 2L), ("a", 3L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(base)
+
+    def view = spark.read.parquet(base).groupBy($"k").agg(sum($"v").as("s"))
+
+    // First refresh creates the view.
+    assert(MaterializedView.refresh(spark, mv, view) === 2L)
+    val snap1 = spark.read.parquet(mv).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snap1 === Map("a" -> 4L, "b" -> 2L))
+
+    // Not due yet → no refresh runs.
+    assert(MaterializedView.refreshIfDue(spark, mv, 1000, 500, 1400)(view).isEmpty)
+
+    // Base grows; a due refresh swaps the new snapshot in atomically.
+    Seq(("b", 10L), ("c", 5L)).toDF("k", "v").write.mode("append").parquet(base)
+    assert(MaterializedView.refreshIfDue(spark, mv, 1000, 500, 1600)(view) === Some(3L))
+    val snap2 = spark.read.parquet(mv).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snap2 === Map("a" -> 4L, "b" -> 12L, "c" -> 5L))
+  }
 }
