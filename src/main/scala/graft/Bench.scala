@@ -36,6 +36,12 @@ object Bench {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // The warmup pass exists to pre-compile every query's whole-stage
+      // codegen, but the compiled-class cache defaults to 100 entries —
+      // a 25-query workload evicts the early queries before their timed
+      // run, silently re-charging ~3s of Janino compilation to the most
+      // complex plans. Size the cache to the workload.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -99,14 +99,11 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"),
         explode(array_distinct(tokens(col(textCol)))).as("tok_s"))
       .select(col("id"), xxhash64(col("tok_s")).as("tok"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val docs = toks.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("tok"))).as("ts"), count(lit(1)).as("n_tok"))
-    val cand = prefixCandidates(toks, threshold)
+    val docs = prefixDocs(toks, threshold).persist(StorageLevel.MEMORY_AND_DISK)
     // Exact verification: one row per candidate pair, intersection counted
     // on the two (bounded-size) per-doc token arrays — no token-level
     // shuffle ever sees a hot key.
-    cand
+    candidatesFromDocs(docs)
       .join(docs.select(col("id").as("id_a"), col("ts").as("ts_a"), col("n_tok").as("n_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("ts").as("ts_b"), col("n_tok").as("n_b")), "id_b")
       .withColumn("n_inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
@@ -116,23 +113,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Candidate (id_a, id_b) pairs whose df-ordered prefixes share a token.
-    * Exact superset of all pairs with J ≥ threshold (see [[jaccardPairs]]).
-    * Package-private so tests can assert the candidate set stays linear
-    * under adversarial universal tokens.
+  /** Per-doc token arrays in global (df asc, tok asc) order plus the
+    * prefix length — ONE groupBy builds both the candidate prefix (a
+    * slice) and the verification array, no per-doc window needed.
     */
-  private[graft] def prefixCandidates(toks: DataFrame, threshold: Double): DataFrame = {
+  private def prefixDocs(toks: DataFrame, threshold: Double): DataFrame = {
     val dfTok = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ranked = toks.join(dfTok, "tok")
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
-      .withColumn("n_tok", count(lit(1)).over(Window.partitionBy(col("id"))))
-    val prefix = ranked
-      .filter(col("r") <= col("n_tok") - ceil(lit(threshold) * col("n_tok")) + 1)
-      .select(col("id"), col("tok"))
+    toks.join(dfTok, "tok")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("dt"))
+      .select(col("id"),
+        expr("transform(dt, x -> x.tok)").as("ts"),
+        size(col("dt")).as("n_tok"))
+      .withColumn("p",
+        (col("n_tok") - ceil(lit(threshold) * col("n_tok")) + 1).cast("int"))
+  }
+
+  /** Candidate (id_a, id_b) pairs whose df-ordered prefixes share a
+    * token, from [[prefixDocs]] output: explode only each doc's first `p`
+    * (rarest) tokens into the inverted index.
+    */
+  private def candidatesFromDocs(docs: DataFrame): DataFrame = {
+    val prefix = docs.select(col("id"),
+      explode(call_function("slice", col("ts"), lit(1), col("p"))).as("tok"))
     prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
+
+  /** Candidate pairs whose df-ordered prefixes share a token — an exact
+    * superset of all pairs with J ≥ threshold (see [[jaccardPairs]]).
+    * Package-private so tests can assert the candidate set stays linear
+    * under adversarial universal tokens.
+    */
+  private[graft] def prefixCandidates(toks: DataFrame, threshold: Double): DataFrame =
+    candidatesFromDocs(prefixDocs(toks, threshold))
 }
