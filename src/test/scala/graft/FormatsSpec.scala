@@ -7,8 +7,10 @@ import java.nio.file.Files
   * read CSV/TSV/JSON/Parquet/ORC/… —
   * /root/reference/src/TableFunctions/registerTableFunctions.cpp:37-50,
   * formats in src/Formats/registerFormats.cpp). Spark mapping:
-  * spark.read/write.format(...). spark-avro is not bundled in this
-  * distribution, so the covered set is parquet/csv/json/orc.
+  * spark.read/write.format(...) for parquet/csv/json/orc, plus
+  * graft.sources.AvroFiles (avro-mapreduce container files — the
+  * spark-avro DataSource module is not bundled) and graft.sources
+  * .JdbcSource (embedded Derby exercises the real JDBC scan/sink).
   */
 class FormatsSpec extends SparkSpec {
   import spark.implicits._
@@ -40,5 +42,44 @@ class FormatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
       plan.take(1200))
+  }
+
+  test("avro container-file roundtrip (AvroFiles over bundled avro-mapreduce)") {
+    import graft.sources.AvroFiles
+    val dir = Files.createTempDirectory("graft_avro").toString + "/t"
+    val in = src.select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag",
+      $"l_shipdate".cast("string").as("ship"))
+    AvroFiles.write(in, dir)
+    val back = AvroFiles.read(spark, dir, in.schema)
+    assert(back.count() === in.count())
+    val a = in.agg(sum($"l_orderkey"), sum($"l_linenumber"),
+      graft.Num.dsum2($"l_quantity"), max($"ship")).collect()(0)
+    val b = back.agg(sum($"l_orderkey"), sum($"l_linenumber"),
+      graft.Num.dsum2($"l_quantity"), max($"ship")).collect()(0)
+    assert(a === b)
+  }
+
+  test("JDBC connector roundtrip + pushdown + partitioned parallel read (embedded Derby)") {
+    import graft.sources.JdbcSource
+    import org.apache.spark.sql.SaveMode
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val df = (1L to 100L).map(i => (i, s"name_$i", i * 2.5)).toDF("id", "nm", "score")
+    JdbcSource.write(df, url, "t_round", SaveMode.Overwrite)
+
+    val back = JdbcSource.read(spark, url, "t_round")
+    assert(back.count() === 100)
+
+    // Predicate pushdown reaches the remote SQL: the JDBC scan advertises
+    // the filter instead of applying it post-fetch.
+    val filtered = back.filter($"id" > 90L).select("id", "score")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(id,90"),
+      plan.take(1200))
+    assert(filtered.count() === 10)
+
+    // Partitioned read: 4 concurrent range queries, same content.
+    val par = JdbcSource.readPartitioned(spark, url, "t_round", "id", 1L, 100L, 4)
+    assert(par.rdd.getNumPartitions === 4)
+    assert(par.agg(sum($"id")).collect()(0).getLong(0) === 5050L)
   }
 }
