@@ -143,6 +143,25 @@ class AggregatorsSpec extends SparkSpec {
     assert(math.abs(est - 5000.0) < 400.0, s"kll p50 $est")
   }
 
+  test("hll estimates within 5% of exact distinct, stable under repartitioning") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 40000).map(i => (i % 9777).toLong).toDF("x")
+    val exact = 9777.0
+    // Spark's HLL++ (the uniq/uniqHLL12 dialect aliases) and the
+    // DataSketches HLL used by hll_sketch_users both must stay inside the
+    // family's published error bound at this NDV.
+    val appr = df.repartition(8).agg(approx_count_distinct($"x")).collect()(0).getLong(0)
+    assert(math.abs(appr - exact) / exact < 0.05, s"HLL++ estimate $appr")
+    val ds = df.repartition(8)
+      .agg(hll_sketch_estimate(hll_sketch_agg($"x"))).collect()(0).getLong(0)
+    assert(math.abs(ds - exact) / exact < 0.05, s"DataSketches HLL estimate $ds")
+    // Merge path: per-partition sketches unioned == single-pass sketch.
+    val merged = df.withColumn("p", $"x" % 4)
+      .groupBy($"p").agg(hll_sketch_agg($"x").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk"))).collect()(0).getLong(0)
+    assert(merged === ds, s"merged $merged vs single-pass $ds")
+  }
+
   test("retention flags") {
     val df = Seq(
       (1L, "signup"), (1L, "purchase"),

@@ -86,4 +86,22 @@ class PlanSpec extends SparkSpec {
     // codegen'd operators render as "*(n) Op" in the finalized plan
     assert(p.contains("*(1)") && p.contains("HashAggregate"), p.take(1000))
   }
+
+  test("limit_by collapses to WindowGroupLimit (per-partition top-n before exchange)") {
+    val p = plan("limit_by")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("dict_lookup: both dictionary joins broadcast, fact side never shuffles for them") {
+    val p = finalPlan("dict_lookup")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("stat tests aggregate via partial (map-side) combine, no raw-row exchange") {
+    // The moment sums must partial-aggregate before the exchange: exactly
+    // one pair of HashAggregates around a single shuffle of 6 sums.
+    val p = finalPlan("stat_welch_ttest")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
