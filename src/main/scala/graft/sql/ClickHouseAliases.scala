@@ -28,7 +28,9 @@ object ClickHouseAliases {
   private def nullUnless(cond: Expression, value: Expression): Expression =
     If(cond, value, Literal.create(null, value.dataType))
 
-  private val aliases: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private val aliases: Seq[(String, Seq[Expression] => Expression)] = wave1 ++ wave2
+
+  private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
     "uniq" -> (cs => new HyperLogLogPlusPlus(cs.head)),
     "uniqHLL12" -> (cs => new HyperLogLogPlusPlus(cs.head)),
@@ -158,6 +160,77 @@ object ClickHouseAliases {
       Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), DoubleType)),
     "JSONHas" -> (cs =>
       IsNotNull(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1))))))
+  )
+
+  /** Round-3 additions: URL family (reference src/Functions/URL/),
+    * remaining date parts, moment aggregates, CH string/array/math
+    * spellings. Same collision rule as above — nothing here shadows a
+    * Spark builtin of different semantics.
+    */
+  private def wave2: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // URL family (reference domain.cpp, protocol.cpp, path.cpp, …)
+    "domain" -> (cs => new ParseUrl(Seq(cs.head, Literal("HOST")))),
+    "protocol" -> (cs => new ParseUrl(Seq(cs.head, Literal("PROTOCOL")))),
+    "path" -> (cs => new ParseUrl(Seq(cs.head, Literal("PATH")))),
+    "queryString" -> (cs => new ParseUrl(Seq(cs.head, Literal("QUERY")))),
+    "fragment" -> (cs => new ParseUrl(Seq(cs.head, Literal("REF")))),
+    "topLevelDomain" -> (cs => {
+      val host = new ParseUrl(Seq(cs.head, Literal("HOST")))
+      ElementAt(StringSplit(host, Literal("\\."), Literal(-1)), Literal(-1))
+    }),
+    "extractURLParameter" -> (cs =>
+      new ParseUrl(Seq(cs.head, Literal("QUERY"), cs(1)))),
+
+    // date parts / arithmetic
+    "toQuarter" -> (cs => Quarter(cs.head)),
+    "toDayOfYear" -> (cs => DayOfYear(cs.head)),
+    "toISOWeek" -> (cs => WeekOfYear(cs.head)),
+    "addMonths" -> (cs => AddMonths(cs.head, cs(1))),
+    "subtractMonths" -> (cs => AddMonths(cs.head, UnaryMinus(cs(1)))),
+    "addYears" -> (cs => AddMonths(cs.head, Multiply(cs(1), Literal(12)))),
+    "toStartOfWeek" -> (cs => TruncDate(Cast(cs.head, DateType), Literal("week"))),
+
+    // aggregates: moments + approximate quantiles (t-digest analogue)
+    "covarPop" -> (cs => CovPopulation(cs.head, cs(1))),
+    "covarSamp" -> (cs => CovSample(cs.head, cs(1))),
+    "skewPop" -> (cs => Skewness(cs.head)),
+    "kurtPop" -> (cs => Kurtosis(cs.head)),
+    // CH quantile(level)(x) — parameterized-aggregate syntax doesn't port;
+    // these take (level, x) like quantileExact above.
+    "quantileApprox" -> (cs => new ApproximatePercentile(cs(1), cs.head)),
+    "quantileTDigest" -> (cs => new ApproximatePercentile(cs(1), cs.head)),
+    // Aggregates nested under a non-aggregate (the struct) need explicit
+    // AggregateExpression wrapping — the registry only auto-wraps a bare
+    // top-level AggregateFunction.
+    "sumCount" -> (cs => CreateStruct(Seq(
+      Sum(cs.head).toAggregateExpression(),
+      Count(Seq(cs.head)).toAggregateExpression()))),
+
+    // strings
+    "leftPad" -> (cs => StringLPad(cs.head, cs(1), cs(2))),
+    "rightPad" -> (cs => StringRPad(cs.head, cs(1), cs(2))),
+    "trimBoth" -> (cs => StringTrim(cs.head)),
+    "trimLeft" -> (cs => StringTrimLeft(cs.head)),
+    "trimRight" -> (cs => StringTrimRight(cs.head)),
+    "arrayStringConcat" -> (cs =>
+      ArrayJoin(cs.head, if (cs.size > 1) cs(1) else Literal(""), None)),
+    "concatWithSeparator" -> (cs => ConcatWs(cs)),
+    "extractAll" -> (cs => RegExpExtractAll(cs.head, cs(1), Literal(1))),
+
+    // arrays
+    "arrayUniq" -> (cs => Size(ArrayDistinct(cs.head))),
+    "arrayPushBack" -> (cs => ArrayAppend(cs.head, cs(1))),
+    "arrayPopBack" -> (cs => Slice(cs.head, Literal(1), Subtract(Size(cs.head), Literal(1)))),
+    "arrayElement" -> (cs => ElementAt(cs.head, cs(1))),
+
+    // math / bits (log2 is already a Spark builtin with identical
+    // semantics — no alias needed)
+    "exp2" -> (cs => Pow(Literal(2.0), cs.head)),
+    "intExp2" -> (cs => ShiftLeft(Literal(1L), Cast(cs.head, IntegerType))),
+    "roundBankers" -> (cs =>
+      BRound(cs.head, if (cs.size > 1) cs(1) else Literal(0))),
+    "bitCount" -> (cs => BitwiseCount(cs.head)),
+    "assumeNotNull" -> (cs => KnownNotNull(cs.head))
   )
 
   /** Register every alias into the session's function registry. */

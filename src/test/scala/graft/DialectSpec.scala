@@ -52,6 +52,66 @@ class DialectSpec extends SparkSpec {
     assert(r.getBoolean(7))
   }
 
+  test("wave-2 aliases: URL family, date parts, strings, arrays, math") {
+    val r = one("""SELECT domain('https://docs.example.co.uk/a/b?q=1#frag'),
+                   protocol('https://docs.example.co.uk/a/b?q=1'),
+                   path('https://e.com/a/b?q=1'),
+                   queryString('https://e.com/a?q=1&r=2'),
+                   topLevelDomain('https://docs.example.co.uk/a'),
+                   extractURLParameter('https://e.com/a?q=1&r=2', 'r')""")
+    assert(r.getString(0) === "docs.example.co.uk")
+    assert(r.getString(1) === "https")
+    assert(r.getString(2) === "/a/b")
+    assert(r.getString(3) === "q=1&r=2")
+    assert(r.getString(4) === "uk")
+    assert(r.getString(5) === "2")
+
+    val d = one("""SELECT toQuarter(DATE '2024-05-15'), toDayOfYear(DATE '2024-02-01'),
+                   addMonths(DATE '2024-01-31', 1), subtractMonths(DATE '2024-03-31', 1),
+                   addYears(DATE '2020-02-29', 1), toStartOfWeek(DATE '2024-03-15')""")
+    assert(d.getInt(0) === 2)
+    assert(d.getInt(1) === 32)
+    assert(d.getDate(2).toString === "2024-02-29")
+    assert(d.getDate(3).toString === "2024-02-29")
+    assert(d.getDate(4).toString === "2021-02-28")
+    assert(d.getDate(5).toString === "2024-03-11") // Monday
+
+    val s = one("""SELECT leftPad('7', 3, '0'), rightPad('ab', 4, '.'),
+                   trimBoth('  x  '), arrayStringConcat(array('a','b','c'), '-'),
+                   concatWithSeparator('/', 'x', 'y'),
+                   arrayUniq(array(1,1,2,3,3)), arrayPushBack(array(1,2), 3),
+                   arrayPopBack(array(1,2,3)), arrayElement(array(10,20), 2),
+                   exp2(10), intExp2(10), roundBankers(CAST(2.5 AS DOUBLE)),
+                   roundBankers(CAST(3.5 AS DOUBLE)),
+                   bitCount(255), assumeNotNull(5)""")
+    assert(s.getString(0) === "007")
+    assert(s.getString(1) === "ab..")
+    assert(s.getString(2) === "x")
+    assert(s.getString(3) === "a-b-c")
+    assert(s.getString(4) === "x/y")
+    assert(s.getInt(5) === 3)
+    assert(s.getSeq[Int](6) === Seq(1, 2, 3))
+    assert(s.getSeq[Int](7) === Seq(1, 2))
+    assert(s.getInt(8) === 20)
+    assert(s.getDouble(9) === 1024.0)
+    assert(s.getLong(10) === 1024L)
+    assert(s.getDouble(11) === 2.0) // bankers: to even
+    assert(s.getDouble(12) === 4.0)
+    assert(s.getInt(13) === 8)
+    assert(s.getInt(14) === 5)
+
+    Seq((1.0, 2.0), (2.0, 4.0), (3.0, 7.0)).toDF("x", "y")
+      .createOrReplaceTempView("w2")
+    val a = one("""SELECT covarPop(x, y), covarSamp(x, y), skewPop(x),
+                   quantileApprox(0.5, x), sumCount(x) FROM w2""")
+    assert(math.abs(a.getDouble(0) - 5.0 / 3.0) < 1e-9)
+    assert(math.abs(a.getDouble(1) - 2.5) < 1e-9)
+    assert(math.abs(a.getDouble(2)) < 1e-9)
+    assert(a.getDouble(3) === 2.0)
+    assert(a.getStruct(4).getDouble(0) === 6.0)
+    assert(a.getStruct(4).getLong(1) === 3L)
+  }
+
   test("uniq / any / argMax aggregates and arrayJoin generator") {
     Seq((1, "a"), (1, "b"), (2, "c"), (2, "c")).toDF("k", "s")
       .createOrReplaceTempView("u")

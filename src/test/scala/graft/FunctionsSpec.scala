@@ -122,4 +122,19 @@ class FunctionsSpec extends SparkSpec {
     val feats = m.select($"features").collect()(0).getSeq[Double](0)
     assert(feats.forall(f => f >= -1.0 && f <= 1.0))
   }
+
+  test("multiProbeBuckets: exact bucket plus all Hamming<=r neighbors, no dupes") {
+    import graft.functions.VectorFunctions.multiProbeBuckets
+    val df = Seq(0b10110010L).toDF("b")
+    val r2 = df.select(multiProbeBuckets($"b", 8, 2)).collect()(0).getSeq[Long](0)
+    assert(r2.length === 1 + 8 + 28)
+    assert(r2.distinct.length === r2.length)
+    assert(r2.contains(0b10110010L))
+    // every probe is within Hamming distance 2 of the original
+    assert(r2.forall(k => java.lang.Long.bitCount(k ^ 0b10110010L) <= 2))
+    val r1 = df.select(multiProbeBuckets($"b", 8, 1)).collect()(0).getSeq[Long](0)
+    assert(r1.length === 9)
+    val r0 = df.select(multiProbeBuckets($"b", 8, 0)).collect()(0).getSeq[Long](0)
+    assert(r0 === Seq(0b10110010L))
+  }
 }
