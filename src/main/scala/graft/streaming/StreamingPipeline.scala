@@ -109,6 +109,25 @@ object StreamingPipeline {
     q.awaitTermination()
   }
 
+  /** Stream-stream interval join: two watermarked streams joined on an
+    * equi-key plus an event-time bound (right row within [left.ts,
+    * left.ts + window]). The watermarks bound the join state the engine
+    * must retain — the property that keeps an unbounded two-stream join
+    * feasible: state for rows older than watermark + interval is evicted.
+    * (The reference reaches the same shape by joining two Kafka-fed MVs.)
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      watermark: String,
+      windowSpec: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $windowSpec"))
+  }
+
   /** Custom streaming state via flatMapGroupsWithState (the reference's
     * incremental-MV/LiveView role, SURVEY §2.10): a per-user counter
     * updated as micro-batches arrive. Emits the final state per user of

@@ -39,6 +39,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L))
   }
 
+  test("stream-stream interval join matches the batch join") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dirA = Files.createTempDirectory("graft_ss_imp").toString + "/t"
+    val dirB = Files.createTempDirectory("graft_ss_clk").toString + "/t"
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val imps = Seq((1L, ts(0)), (1L, ts(30)), (2L, ts(5)))
+      .toDF("ad_id", "ts")
+    val clks = Seq((1L, ts(4)), (1L, ts(32)), (1L, ts(50)), (2L, ts(20)))
+      .toDF("ad_id", "ts")
+    imps.write.parquet(dirA)
+    clks.write.parquet(dirB)
+
+    val sImp = spark.readStream.schema(imps.schema).parquet(dirA)
+    val sClk = spark.readStream.schema(clks.schema).parquet(dirB)
+    val joined = graft.streaming.StreamingPipeline
+      .intervalJoin(sImp, sClk, "ad_id", "1 minute", "10 MINUTES")
+      .select($"l.ad_id".as("ad_id"), $"l.ts".as("imp_ts"), $"r.ts".as("clk_ts"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    val want = imps.alias("l").join(clks.alias("r"),
+        expr("l.ad_id = r.ad_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTES"))
+      .select($"l.ad_id", $"l.ts", $"r.ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(got === want)
+    assert(got.size === 2) // (1,@0)->@4 and (1,@30)->@32; ad 2's click @20 is outside [5,15]
+  }
+
   test("scheduled MV refresh: due() schedule, swap commit, base updates visible") {
     import graft.streaming.MaterializedView
     assert(!MaterializedView.due(lastRefreshMs = 1000, periodMs = 500, nowMs = 1400))
