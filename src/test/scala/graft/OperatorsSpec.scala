@@ -171,6 +171,35 @@ class OperatorsSpec extends SparkSpec {
     assert(!cands.contains((1L, 3L)))
   }
 
+  test("minhash LSH recall vs exact shingle-Jaccard on the sf0.001 corpus") {
+    // Quality gate in the LSH's own similarity space: ground truth is the
+    // EXACT 3-shingle-set Jaccard (the quantity minhash estimates — token
+    // -set Jaccard would be the wrong space: this corpus shares most
+    // vocabulary while shingles encode order). 16 hashes / 4 bands
+    // collide w.p. 1-(1-J^4)^4 ≈ 0.95 at J=0.85, so recall over the
+    // J>=0.85 pairs must stay high.
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val sh = docs
+      .select(col("doc_id").as("id"), expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val truth = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.shs"), col("b.shs"))).cast("double") /
+          size(array_union(col("a.shs"), col("b.shs")))).as("j"))
+      .filter(col("j") >= 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain near-duplicate docs")
+    val found = truth.count(cands.contains)
+    assert(found.toDouble / truth.size >= 0.75,
+      s"LSH found $found of ${truth.size} true near-dup pairs")
+  }
+
   test("simhash candidates collide for near-identical token sets") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = base + " extra"
