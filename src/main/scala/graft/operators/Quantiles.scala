@@ -64,6 +64,33 @@ object Quantiles {
     grouped.select(col(groupCol) +: outs: _*)
   }
 
+  /** quantileExactWeighted (reference
+    * AggregateFunctionQuantileExactWeighted.cpp): per spec p, the smallest
+    * value whose cumulative weight reaches p × total weight — a selection,
+    * no interpolation. Same distributed histogram shape as [[percentiles]]
+    * with weights summed instead of rows counted.
+    */
+  def percentilesExactWeighted(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String,
+      specs: Seq[(Double, String)]): DataFrame = {
+    val cnt = df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col(groupCol))
+    val marked = cnt
+      .withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__n", sum(col("__w")).over(wAll))
+    val aggs = specs.map { case (p, name) =>
+      min(when(col("__cum") >= lit(p) * col("__n"), col("__v"))).as(name)
+    }
+    marked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Two-phase distributed selection for high-cardinality numeric
     * columns: pass 1 aggregates counts per (group, coarse bucket) — the
     * shuffle carries O(groups × buckets) rows regardless of data size —

@@ -85,6 +85,39 @@ object CoverageWave4 {
         GROUP BY r_name, n_name
         ORDER BY r_name, n_name""")),
 
+    // quantileExactWeighted: smallest value whose cumulative weight
+    // reaches p x total (selection semantics, no interpolation) — weights
+    // = quantity, values = price per linestatus.
+    QueryDef(
+      "agg_quantiles_weighted",
+      (s, dir) => {
+        import graft.operators.Quantiles
+        Quantiles.percentilesExactWeighted(
+            Tables(s, dir, "lineitem"), "l_linestatus", "l_extendedprice", "l_quantity",
+            Seq(0.5 -> "wq50", 0.9 -> "wq90"))
+          .select(col("l_linestatus"),
+            col("wq50").cast(D2).cast("double").as("wq50"),
+            col("wq90").cast(D2).cast("double").as("wq90"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT l_linestatus, l_extendedprice AS v,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+          FROM lineitem GROUP BY 1, 2),
+        m AS (
+          SELECT l_linestatus, v,
+            SUM(w) OVER (PARTITION BY l_linestatus ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(w) OVER (PARTITION BY l_linestatus) AS n
+          FROM h)
+        SELECT l_linestatus,
+          CAST(CAST(MIN(CASE WHEN cum >= 0.5 * n THEN v END) AS DECIMAL(18,2)) AS DOUBLE) AS wq50,
+          CAST(CAST(MIN(CASE WHEN cum >= 0.9 * n THEN v END) AS DECIMAL(18,2)) AS DOUBLE) AS wq90
+        FROM m
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus""")),
+
     // Welch's t-test: click vs purchase event values.
     QueryDef(
       "stat_welch_ttest",

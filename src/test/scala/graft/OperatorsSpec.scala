@@ -60,6 +60,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Quantiles.percentilesExactWeighted: smallest value reaching p of total weight") {
+    import graft.operators.Quantiles
+    val df = Seq((1, 1.0, 1L), (1, 2.0, 3L), (1, 3.0, 6L), (2, 5.0, 2L), (2, 7.0, 2L))
+      .toDF("g", "v", "w")
+    val r = Quantiles.percentilesExactWeighted(df, "g", "v", "w",
+        Seq(0.1 -> "p10", 0.4 -> "p40", 0.5 -> "p50"))
+      .orderBy($"g").collect()
+    // g=1: cum 1->1, 2->4, 3->10 of 10: p10 target 1 -> 1.0; p40 target 4 -> 2.0; p50 -> 3.0
+    assert((r(0).getDouble(1), r(0).getDouble(2), r(0).getDouble(3)) === ((1.0, 2.0, 3.0)))
+    // g=2: cum 5->2, 7->4 of 4: p10 target .4 -> 5.0; p40 1.6 -> 5.0; p50 2.0 -> 5.0
+    assert((r(1).getDouble(1), r(1).getDouble(2), r(1).getDouble(3)) === ((5.0, 5.0, 5.0)))
+  }
+
   test("Quantiles.percentilesSelect survives one pathologically hot bucket") {
     import graft.operators.Quantiles
     import org.apache.spark.sql.functions._
