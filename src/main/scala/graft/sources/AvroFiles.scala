@@ -38,8 +38,12 @@ object AvroFiles {
         case other => throw new IllegalArgumentException(
           s"AvroFiles: unsupported Spark type $other for field ${f.name}")
       }
-      val s = if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
-      fs.name(f.name).`type`(s).withDefault(null)
+      // null default is only legal when null is in the union
+      if (f.nullable)
+        fs.name(f.name)
+          .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), base))
+          .withDefault(null)
+      else fs.name(f.name).`type`(base).noDefault()
     }.endRecord()
   }
 

@@ -59,6 +59,26 @@ class FormatsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("avro roundtrip with non-nullable fields and nulls in nullable ones") {
+    import graft.sources.AvroFiles
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_avro_nn").toString + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = true),
+      StructField("d", DoubleType, nullable = true)))
+    val in = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a", 1.5), Row(2L, null, null), Row(3L, "c", -2.0))),
+      schema)
+    AvroFiles.write(in, dir)
+    val back = AvroFiles.read(spark, dir, schema)
+    assert(back.collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .sortBy(_._1).toSeq === Seq(
+        (1L, Some("a"), Some(1.5)), (2L, None, None), (3L, Some("c"), Some(-2.0))))
+  }
+
   test("JDBC connector roundtrip + pushdown + partitioned parallel read (embedded Derby)") {
     import graft.sources.JdbcSource
     import org.apache.spark.sql.SaveMode
