@@ -29,6 +29,7 @@ object StatTests {
     import Num._
     val v6 = valueCol.cast(D6).cast("double")
     df.select(isA.as("__a"), v6.as("__v"))
+      .filter(col("__v").isNotNull) // null observations are not samples
       .agg(
         sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
@@ -79,6 +80,7 @@ object StatTests {
   private def rankSums(df: DataFrame, valueCol: Column, isA: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cnt = df.select(isA.as("__a"), valueCol.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
       .groupBy(col("__v"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
         count(lit(1)).as("__c"))

@@ -28,7 +28,8 @@ object ClickHouseAliases {
   private def nullUnless(cond: Expression, value: Expression): Expression =
     If(cond, value, Literal.create(null, value.dataType))
 
-  private val aliases: Seq[(String, Seq[Expression] => Expression)] = wave1 ++ wave2
+  private val aliases: Seq[(String, Seq[Expression] => Expression)] =
+    wave1 ++ wave2 ++ arrayWave
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -230,7 +231,52 @@ object ClickHouseAliases {
     "roundBankers" -> (cs =>
       BRound(cs.head, if (cs.size > 1) cs(1) else Literal(0))),
     "bitCount" -> (cs => BitwiseCount(cs.head)),
-    "assumeNotNull" -> (cs => KnownNotNull(cs.head))
+    "assumeNotNull" -> (cs => KnownNotNull(cs.head)),
+    "sipHash64" -> (cs => new XxHash64(cs)), // hash parity non-goal (SURVEY §2.2)
+    "murmurHash3_64" -> (cs => new XxHash64(cs))
+  )
+
+  /** Unresolved lambda variable — what the SQL parser emits for
+    * higher-order-function lambdas; the analyzer binds it.
+    */
+  private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
+
+  /** Array-family spellings that need hand-built lambda trees (reference
+    * src/Functions/array/ — arraySum.cpp, arrayDifference.cpp,
+    * arrayCompact.cpp, …). Same unresolved-lambda shape the SQL parser
+    * produces for aggregate()/filter()/transform().
+    */
+  private def arrayWave: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "arraySum" -> (cs => ArrayAggregate(cs.head, Literal(0.0d),
+      LambdaFunction(Add(lv("a"), Cast(lv("x"), DoubleType)), Seq(lv("a"), lv("x"))),
+      LambdaFunction(lv("a"), Seq(lv("a"))))),
+    "arrayAvg" -> (cs => ArrayAggregate(cs.head, Literal(0.0d),
+      LambdaFunction(Add(lv("a"), Cast(lv("x"), DoubleType)), Seq(lv("a"), lv("x"))),
+      LambdaFunction(Divide(lv("a"), Cast(Size(cs.head), DoubleType)), Seq(lv("a"))))),
+    "arrayMin" -> (cs => ArrayMin(cs.head)),
+    "arrayMax" -> (cs => ArrayMax(cs.head)),
+    // arrayDifference([1,3,6]) = [0,2,3]: first element 0, then deltas.
+    "arrayDifference" -> (cs => ArrayTransform(cs.head,
+      LambdaFunction(
+        If(EqualTo(lv("i"), Literal(0)),
+          Multiply(lv("x"), Literal(0)), // typed zero of the element type
+          Subtract(lv("x"), ElementAt(cs.head, lv("i")))), // 1-based: index i = previous
+        Seq(lv("x"), lv("i"))))),
+    // arrayCompact: drop CONSECUTIVE duplicates (not a set-dedup).
+    "arrayCompact" -> (cs => ArrayFilter(cs.head,
+      LambdaFunction(
+        Or(EqualTo(lv("i"), Literal(0)),
+          Not(EqualNullSafe(lv("x"), ElementAt(cs.head, lv("i"))))),
+        Seq(lv("x"), lv("i"))))),
+    "arrayZip" -> (cs => new ArraysZip(cs)),
+    // arrayResize(arr, n [, fill]): truncate or pad to length n.
+    "arrayResize" -> (cs => {
+      val fill = if (cs.size > 2) cs(2) else Literal.create(null, NullType)
+      val pad = ArrayRepeat(fill, Subtract(cs(1), Size(cs.head)))
+      If(LessThanOrEqual(cs(1), Size(cs.head)),
+        Slice(cs.head, Literal(1), cs(1)),
+        Concat(Seq(cs.head, pad)))
+    })
   )
 
   /** Register every alias into the session's function registry. */

@@ -112,6 +112,27 @@ class DialectSpec extends SparkSpec {
     assert(a.getStruct(4).getLong(1) === 3L)
   }
 
+  test("array-family lambdas: sum/avg/diff/compact/zip/resize") {
+    val r = one("""SELECT arraySum(array(1, 2, 3)), arrayAvg(array(2.0, 4.0)),
+                   arrayMin(array(3, 1, 2)), arrayMax(array(3, 1, 2)),
+                   arrayDifference(array(1, 3, 6)),
+                   arrayCompact(array(1, 1, 2, 2, 1)),
+                   arrayZip(array(1, 2), array('a', 'b')),
+                   arrayResize(array(1, 2, 3), 2),
+                   arrayResize(array(1, 2), 4, 0),
+                   sipHash64('abc') = sipHash64('abc')""")
+    assert(r.getDouble(0) === 6.0)
+    assert(r.getDouble(1) === 3.0)
+    assert(r.getInt(2) === 1)
+    assert(r.getInt(3) === 3)
+    assert(r.getSeq[Int](4) === Seq(0, 2, 3))
+    assert(r.getSeq[Int](5) === Seq(1, 2, 1))
+    assert(r.getSeq[Row](6).map(x => (x.getInt(0), x.getString(1))) === Seq((1, "a"), (2, "b")))
+    assert(r.getSeq[Int](7) === Seq(1, 2))
+    assert(r.getSeq[Int](8) === Seq(1, 2, 0, 0))
+    assert(r.getBoolean(9))
+  }
+
   test("uniq / any / argMax aggregates and arrayJoin generator") {
     Seq((1, "a"), (1, "b"), (2, "c"), (2, "c")).toDF("k", "s")
       .createOrReplaceTempView("u")
