@@ -44,4 +44,12 @@ class GoldenPlanSpec extends SparkSpec {
   test("asof_purchase_click optimized plan matches golden snapshot") {
     check("asof_purchase_click")
   }
+  test("jaccard_token_pairs optimized plan matches golden snapshot") {
+    check("jaccard_token_pairs")
+  }
+  test("limit_by optimized plan matches golden snapshot") { check("limit_by") }
+  test("dict_lookup optimized plan matches golden snapshot") { check("dict_lookup") }
+  test("stat_mann_whitney optimized plan matches golden snapshot") {
+    check("stat_mann_whitney")
+  }
 }
