@@ -269,6 +269,32 @@ object ClickHouseAliases {
           Not(EqualNullSafe(lv("x"), ElementAt(cs.head, lv("i"))))),
         Seq(lv("x"), lv("i"))))),
     "arrayZip" -> (cs => new ArraysZip(cs)),
+    "substringIndex" -> (cs => SubstringIndex(cs.head, cs(1), cs(2))),
+    "JSONArrayLength" -> (cs => LengthOfJsonArray(cs.head)),
+    // arrayReduce('agg', arr) — the agg name must be a literal; dispatches
+    // to the matching array fold (reference arrayReduce.cpp runs any
+    // registered aggregate over the array).
+    "arrayReduce" -> (cs => {
+      val name = cs.head match {
+        case Literal(s, StringType) => s.toString.toLowerCase
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce: aggregate name must be a string literal, got $other")
+      }
+      val arr = cs(1)
+      name match {
+        case "sum"   => ArrayAggregate(arr, Literal(0.0d),
+          LambdaFunction(Add(lv("a"), Cast(lv("x"), DoubleType)), Seq(lv("a"), lv("x"))),
+          LambdaFunction(lv("a"), Seq(lv("a"))))
+        case "avg"   => ArrayAggregate(arr, Literal(0.0d),
+          LambdaFunction(Add(lv("a"), Cast(lv("x"), DoubleType)), Seq(lv("a"), lv("x"))),
+          LambdaFunction(Divide(lv("a"), Cast(Size(arr), DoubleType)), Seq(lv("a"))))
+        case "min"   => ArrayMin(arr)
+        case "max"   => ArrayMax(arr)
+        case "count" => Size(arr)
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce: unsupported aggregate '$other' (sum/avg/min/max/count)")
+      }
+    }),
     // arrayResize(arr, n [, fill]): truncate or pad to length n.
     "arrayResize" -> (cs => {
       val fill = if (cs.size > 2) cs(2) else Literal.create(null, NullType)
@@ -280,11 +306,30 @@ object ClickHouseAliases {
   )
 
   /** Register every alias into the session's function registry. */
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     aliases.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.sql.ClickHouseAliases", name),
         builder))
     }
+    // numbers(N) / numbers(lo, hi) table function (reference
+    // registerTableFunctions.cpp:34) — `SELECT number FROM numbers(10)`
+    // plans onto the native Range node (codegen'd, splittable).
+    ext.injectTableFunction((
+      FunctionIdentifier("numbers"),
+      new ExpressionInfo("graft.sql.ClickHouseAliases", "numbers"),
+      (cs: Seq[Expression]) => {
+        def bound(e: Expression): Long = e match {
+          case Literal(v, _) => v.toString.toLong
+          case other => throw new IllegalArgumentException(
+            s"numbers(): bounds must be literals, got $other")
+        }
+        val (lo, hi) =
+          if (cs.size == 1) (0L, bound(cs.head)) else (bound(cs.head), bound(cs(1)))
+        val range = org.apache.spark.sql.catalyst.plans.logical.Range(lo, hi, 1, None)
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          Seq(Alias(range.output.head, "number")()), range)
+      }))
+  }
 }

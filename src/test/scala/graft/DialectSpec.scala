@@ -133,6 +133,24 @@ class DialectSpec extends SparkSpec {
     assert(r.getBoolean(9))
   }
 
+  test("numbers() table function, arrayReduce, substringIndex, JSONArrayLength") {
+    val n = spark.sql("SELECT CAST(SUM(number) AS BIGINT) AS s FROM numbers(10)")
+      .collect()(0).getLong(0)
+    assert(n === 45L)
+    val n2 = spark.sql("SELECT COUNT(*) FROM numbers(5, 8)").collect()(0).getLong(0)
+    assert(n2 === 3L)
+    val r = one("""SELECT arrayReduce('sum', array(1, 2, 3)),
+                   arrayReduce('max', array(1, 5, 3)),
+                   arrayReduce('count', array(1, 2)),
+                   substringIndex('a.b.c', '.', 2),
+                   JSONArrayLength('[1,2,3]')""")
+    assert(r.getDouble(0) === 6.0)
+    assert(r.getInt(1) === 5)
+    assert(r.getInt(2) === 2)
+    assert(r.getString(3) === "a.b")
+    assert(r.getInt(4) === 3)
+  }
+
   test("uniq / any / argMax aggregates and arrayJoin generator") {
     Seq((1, "a"), (1, "b"), (2, "c"), (2, "c")).toDF("k", "s")
       .createOrReplaceTempView("u")

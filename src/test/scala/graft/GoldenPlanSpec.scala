@@ -20,11 +20,16 @@ class GoldenPlanSpec extends SparkSpec {
   private def normalize(plan: String): String =
     plan
       .replaceAll("#\\d+L?", "#x")            // exprIds
+      .replaceAll("plan_id=\\d+", "plan_id=x") // global physical-plan counter
       .replaceAll("file:[^\\],\\s]*", "path") // data locations
       .replaceAll("(?m)\\s+$", "")            // trailing ws
       .trim
 
   private def check(name: String): Unit = {
+    // Another suite may have persisted a shared lineage (e.g. the
+    // jaccard docs cache): drop cache entries so the snapshot is
+    // independent of suite ordering.
+    spark.catalog.clearCache()
     val plan = normalize(
       SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan.toString)
     val golden = goldenDir.resolve(s"$name.txt")
