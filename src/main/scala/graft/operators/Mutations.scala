@@ -33,6 +33,15 @@ object Mutations {
   def delete(df: DataFrame, cond: Column): DataFrame =
     df.filter(!coalesce(cond, lit(false)))
 
+  /** TTL enforcement (reference TTL DELETE —
+    * /root/reference/src/Storages/TTLDescription.cpp, applied part-by-part
+    * by the merge machinery): drop rows whose event time is older than
+    * `ttl` relative to `now`. Combined with [[rewrite]] this is the
+    * periodic TTL sweep; `now` is explicit so runs are reproducible.
+    */
+  def applyTtl(df: DataFrame, tsCol: Column, ttl: String, now: Column): DataFrame =
+    delete(df, tsCol < now - expr(s"INTERVAL $ttl"))
+
   /** Apply a mutation pipeline and replace the table directory with a
     * rename-aside swap (write new data to a sibling temp path, move the
     * old directory aside, move the new one into place, then drop the old

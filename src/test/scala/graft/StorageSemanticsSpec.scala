@@ -39,6 +39,20 @@ class StorageSemanticsSpec extends SparkSpec {
     assert(rows === Array((1L, 20.0), (3L, 60.0)))
   }
 
+  test("TTL sweep drops only expired rows, null timestamps survive") {
+    import graft.operators.Mutations
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, Some(ts("2024-01-01 00:00:00"))),
+      (2L, Some(ts("2024-03-01 00:00:00"))),
+      (3L, None)
+    ).toDF("id", "ts")
+    val kept = Mutations.applyTtl(df, $"ts", "30 DAYS",
+        lit(ts("2024-03-10 00:00:00")))
+      .select($"id").as[Long].collect().sorted
+    assert(kept === Array(2L, 3L)) // id 1 expired; null ts is never expired
+  }
+
   test("salted join matches plain join results under skew") {
     val left = Seq.fill(5000)((1L, "hot")).toDF("k", "tag")
       .union(Seq((2L, "cold")).toDF("k", "tag"))
