@@ -38,9 +38,11 @@ object Mutations {
     * by the merge machinery): drop rows whose event time is older than
     * `ttl` relative to `now`. Combined with [[rewrite]] this is the
     * periodic TTL sweep; `now` is explicit so runs are reproducible.
+    * Expiry is INCLUSIVE at the boundary (ttl_time <= now ⟺ ts <= now -
+    * ttl), matching the reference's `isTTLExpired` comparison.
     */
   def applyTtl(df: DataFrame, tsCol: Column, ttl: String, now: Column): DataFrame =
-    delete(df, tsCol < now - expr(s"INTERVAL $ttl"))
+    delete(df, tsCol <= now - expr(s"INTERVAL $ttl"))
 
   /** Apply a mutation pipeline and replace the table directory with a
     * rename-aside swap (write new data to a sibling temp path, move the

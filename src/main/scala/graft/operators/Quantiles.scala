@@ -76,9 +76,26 @@ object Quantiles {
       valueCol: String,
       weightCol: String,
       specs: Seq[(Double, String)]): DataFrame = {
+    // The reference rejects non-integer weights at analysis time
+    // (quantileExactWeighted takes UInt weights); a silent long-cast here
+    // would truncate 0.9 → 0 and drop the observation. Integral columns
+    // cast directly; floating/decimal columns (common for parquet-typed
+    // integer data) carry a codegen'd per-row assert that truncation
+    // loses nothing, so a fractional weight fails loudly at runtime.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, NumericType}
+    val wLong = df.schema(weightCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(weightCol).cast("long")
+      case _: NumericType =>
+        when(assert_true(col(weightCol) === floor(col(weightCol)),
+            lit(s"percentilesExactWeighted: fractional weight in '$weightCol' " +
+              "(the reference accepts unsigned-integer weights only)")).isNull,
+          col(weightCol).cast("long"))
+      case other => throw new IllegalArgumentException(
+        s"percentilesExactWeighted: weight column '$weightCol' must be numeric, got $other")
+    }
     val cnt = df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol).as("__v"))
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .agg(sum(wLong).as("__w"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy(col(groupCol))

@@ -93,10 +93,14 @@ object StatTests {
         sum(col("__ca") * (lit(2) * col("__b") + col("__c") + 1)).as("r2_a"))
   }
 
-  /** Mann–Whitney U (normal approximation, mid-ranks for ties). */
+  /** Mann–Whitney U (normal approximation, mid-ranks for ties). The
+    * n(n+1)/2 and n_a·n_b products go through double BEFORE multiplying —
+    * in long arithmetic they overflow past ~3e9 rows per sample.
+    */
   def mannWhitneyU(df: DataFrame, valueCol: Column, isA: Column): DataFrame = {
-    val u = col("r2_a").cast("double") / 2 - col("n_a") * (col("n_a") + 1) / 2
-    val mu = col("n_a") * col("n_b") / 2.0
+    val u = col("r2_a").cast("double") / 2 -
+      col("n_a").cast("double") * (col("n_a") + 1) / 2
+    val mu = col("n_a").cast("double") * col("n_b") / 2.0
     val sigma = sqrt(col("n_a").cast("double") * col("n_b") *
       (col("n_a") + col("n_b") + 1) / 12.0)
     rankSums(df, valueCol, isA).select(col("n_a"), col("n_b"),
@@ -108,7 +112,8 @@ object StatTests {
     * mid-ranks, so ties contribute 1/2 — matching the trapezoidal curve.
     */
   def rocAuc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
-    val u = col("r2_a").cast("double") / 2 - col("n_a") * (col("n_a") + 1) / 2
+    val u = col("r2_a").cast("double") / 2 -
+      col("n_a").cast("double") * (col("n_a") + 1) / 2
     rankSums(df, scoreCol, labelCol)
       .select(col("n_a").as("n_pos"), col("n_b").as("n_neg"),
         round(u / (col("n_a").cast("double") * col("n_b")), 6).as("auc"))

@@ -189,7 +189,20 @@ object ClickHouseAliases {
     "addMonths" -> (cs => AddMonths(cs.head, cs(1))),
     "subtractMonths" -> (cs => AddMonths(cs.head, UnaryMinus(cs(1)))),
     "addYears" -> (cs => AddMonths(cs.head, Multiply(cs(1), Literal(12)))),
-    "toStartOfWeek" -> (cs => TruncDate(Cast(cs.head, DateType), Literal("week"))),
+    // CH default week mode 0 is SUNDAY-start (CustomWeekTransforms.h
+    // ToStartOfWeekImpl → toFirstDayNumOfWeek; monday_first only when
+    // mode&1); Spark trunc('week') is Monday-start, so mode 0 shifts by
+    // one day around the trunc. Optional literal mode arg: odd → Monday.
+    "toStartOfWeek" -> (cs => {
+      val mondayFirst = cs.size > 1 && (cs(1) match {
+        case Literal(m, _) if m != null => (m.toString.toLong & 1L) == 1L
+        case other => throw new IllegalArgumentException(
+          s"toStartOfWeek: mode must be an integer literal, got $other")
+      })
+      val d = Cast(cs.head, DateType)
+      if (mondayFirst) TruncDate(d, Literal("week"))
+      else DateSub(TruncDate(DateAdd(d, Literal(1)), Literal("week")), Literal(1))
+    }),
 
     // aggregates: moments + approximate quantiles (t-digest analogue)
     "covarPop" -> (cs => CovPopulation(cs.head, cs(1))),
@@ -216,7 +229,18 @@ object ClickHouseAliases {
     "arrayStringConcat" -> (cs =>
       ArrayJoin(cs.head, if (cs.size > 1) cs(1) else Literal(""), None)),
     "concatWithSeparator" -> (cs => ConcatWs(cs)),
-    "extractAll" -> (cs => RegExpExtractAll(cs.head, cs(1), Literal(1))),
+    // CH extractAll returns the first subpattern when the regex has one,
+    // else the whole match; Spark errors on group 1 of a group-less
+    // pattern, so a literal pattern picks its group index at build time.
+    "extractAll" -> (cs => {
+      val groupIdx = cs(1) match {
+        case Literal(p, StringType) if p != null =>
+          val n = java.util.regex.Pattern.compile(p.toString).matcher("").groupCount()
+          Literal(if (n == 0) 0 else 1)
+        case _ => Literal(1) // non-literal pattern: assume one subpattern
+      }
+      RegExpExtractAll(cs.head, cs(1), groupIdx)
+    }),
 
     // arrays
     "arrayUniq" -> (cs => Size(ArrayDistinct(cs.head))),

@@ -68,13 +68,21 @@ class DialectSpec extends SparkSpec {
 
     val d = one("""SELECT toQuarter(DATE '2024-05-15'), toDayOfYear(DATE '2024-02-01'),
                    addMonths(DATE '2024-01-31', 1), subtractMonths(DATE '2024-03-31', 1),
-                   addYears(DATE '2020-02-29', 1), toStartOfWeek(DATE '2024-03-15')""")
+                   addYears(DATE '2020-02-29', 1), toStartOfWeek(DATE '2024-03-15'),
+                   toStartOfWeek(DATE '2024-03-15', 1),
+                   toStartOfWeek(DATE '2024-03-10'),
+                   extractAll('a1b22c333', '\\d+'),
+                   extractAll('x=1;y=22', '([a-z])=\\d+')""")
     assert(d.getInt(0) === 2)
     assert(d.getInt(1) === 32)
     assert(d.getDate(2).toString === "2024-02-29")
     assert(d.getDate(3).toString === "2024-02-29")
     assert(d.getDate(4).toString === "2021-02-28")
-    assert(d.getDate(5).toString === "2024-03-11") // Monday
+    assert(d.getDate(5).toString === "2024-03-10") // mode 0: Sunday-start
+    assert(d.getDate(6).toString === "2024-03-11") // mode 1: Monday-start
+    assert(d.getDate(7).toString === "2024-03-10") // Sunday maps to itself
+    assert(d.getSeq[String](8) === Seq("1", "22", "333")) // group-less: whole match
+    assert(d.getSeq[String](9) === Seq("x", "y")) // subpattern: group 1
 
     val s = one("""SELECT leftPad('7', 3, '0'), rightPad('ab', 4, '.'),
                    trimBoth('  x  '), arrayStringConcat(array('a','b','c'), '-'),

@@ -73,6 +73,22 @@ class OperatorsSpec extends SparkSpec {
     assert((r(1).getDouble(1), r(1).getDouble(2), r(1).getDouble(3)) === ((5.0, 5.0, 5.0)))
   }
 
+  test("Quantiles.percentilesExactWeighted rejects fractional weights loudly") {
+    import graft.operators.Quantiles
+    val df = Seq((1, 1.0, 0.9), (1, 2.0, 1.1)).toDF("g", "v", "w")
+    val e = intercept[Exception] {
+      Quantiles.percentilesExactWeighted(df, "g", "v", "w", Seq(0.5 -> "p50")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("fractional weight")))
+    // integer-valued doubles still work (parquet often types counts as double)
+    val ok = Seq((1, 1.0, 1.0), (1, 2.0, 3.0)).toDF("g", "v", "w")
+    val r = Quantiles.percentilesExactWeighted(ok, "g", "v", "w", Seq(0.5 -> "p50"))
+      .collect()(0)
+    assert(r.getDouble(1) === 2.0)
+  }
+
   test("Quantiles.percentilesSelect survives one pathologically hot bucket") {
     import graft.operators.Quantiles
     import org.apache.spark.sql.functions._

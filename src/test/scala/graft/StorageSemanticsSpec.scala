@@ -45,12 +45,15 @@ class StorageSemanticsSpec extends SparkSpec {
     val df = Seq(
       (1L, Some(ts("2024-01-01 00:00:00"))),
       (2L, Some(ts("2024-03-01 00:00:00"))),
-      (3L, None)
+      (3L, None),
+      (4L, Some(ts("2024-02-09 00:00:00"))) // exactly at the TTL boundary
     ).toDF("id", "ts")
     val kept = Mutations.applyTtl(df, $"ts", "30 DAYS",
         lit(ts("2024-03-10 00:00:00")))
       .select($"id").as[Long].collect().sorted
-    assert(kept === Array(2L, 3L)) // id 1 expired; null ts is never expired
+    // id 1 expired; null ts never expires; id 4 at the exact boundary is
+    // expired too — reference TTL is inclusive (ttl_time <= now).
+    assert(kept === Array(2L, 3L))
   }
 
   test("salted join matches plain join results under skew") {
