@@ -26,7 +26,8 @@ object SparkEntry {
       _root_.graft.queries.CoverageWave3.defs ++
       _root_.graft.queries.TpcdsShapes.defs ++
       _root_.graft.queries.StorageSemantics.defs ++
-      _root_.graft.queries.CoverageWave4.defs
+      _root_.graft.queries.CoverageWave4.defs ++
+      _root_.graft.queries.SequenceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -257,8 +257,33 @@ object ClickHouseAliases {
     "bitCount" -> (cs => BitwiseCount(cs.head)),
     "assumeNotNull" -> (cs => KnownNotNull(cs.head)),
     "sipHash64" -> (cs => new XxHash64(cs)), // hash parity non-goal (SURVEY §2.2)
-    "murmurHash3_64" -> (cs => new XxHash64(cs))
+    "murmurHash3_64" -> (cs => new XxHash64(cs)),
+
+    // sequenceMatch('pat')(t, c1, ...) / sequenceCount — CH's
+    // parameterized-aggregate syntax flattens to leading-argument form
+    // (same convention as quantileExact above):
+    // sequenceMatch('(?1)(?t<=3600)(?2)', ts, cond1, cond2). A timestamp
+    // first argument casts to epoch SECONDS (CH DateTime unit); pattern
+    // durations are then seconds too.
+    "sequenceMatch" -> (cs => seqAgg(cs, isCount = false)),
+    "sequenceCount" -> (cs => seqAgg(cs, isCount = true))
   )
+
+  private def seqAgg(cs: Seq[Expression], isCount: Boolean): Expression = {
+    val pat = cs.head match {
+      case Literal(p, StringType) if p != null => p.toString
+      case other => throw new IllegalArgumentException(
+        s"sequenceMatch/Count: pattern must be a string literal, got $other")
+    }
+    require(cs.size >= 3, "sequenceMatch/Count needs (pattern, ts, cond1, ...)")
+    val ts = Cast(cs(1), LongType)
+    val conds = cs.drop(2)
+    val bits = conds.zipWithIndex
+      .map { case (c, i) => If(c, Literal(1L << i), Literal(0L)): Expression }
+      .reduceLeft((a, b) => BitwiseOr(a, b))
+    if (isCount) graft.aggregates.SequenceCountAgg(ts, bits, pat, conds.size)
+    else graft.aggregates.SequenceMatchAgg(ts, bits, pat, conds.size)
+  }
 
   /** Unresolved lambda variable — what the SQL parser emits for
     * higher-order-function lambdas; the analyzer binds it.
