@@ -57,4 +57,15 @@ class GoldenPlanSpec extends SparkSpec {
   test("stat_mann_whitney optimized plan matches golden snapshot") {
     check("stat_mann_whitney")
   }
+
+  // Round-4 TPC-DS shape corpus (TpcdsShapes + TpcdsShapes2) — the
+  // reference gates its optimizer on 100 golden TPC-DS plans; these 13
+  // snapshots are the Catalyst equivalent for the shapes we carry.
+  Seq("tpcds_multi_count_scalars", "tpcds_rollup_rank", "tpcds_cumulative_compare",
+      "tpcds_union_channels", "tpcds_returns_net", "tpcds_promo_ratio",
+      "tpcds_mom_growth", "tpcds_exists_pair", "tpcds_best_worst",
+      "tpcds_two_level_agg", "tpcds_intersect_periods", "tpcds_brand_monthly_dev",
+      "tpcds_ampm_ratio").foreach { q =>
+    test(s"$q optimized plan matches golden snapshot") { check(q) }
+  }
 }
