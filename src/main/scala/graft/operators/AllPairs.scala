@@ -11,10 +11,18 @@ import org.apache.spark.sql.DataFrame
   */
 object AllPairs {
   def guarded(df: DataFrame, maxRows: Long = 100000L): DataFrame = {
-    val n = df.count()
-    require(n <= maxRows,
-      s"all-pairs baseline refused: input has $n rows > bound $maxRows " +
-        "(this operator is an O(n^2) test oracle; use the LSH/IVF variant at scale)")
-    df
+    // Persist before counting so the guard's count action materializes the
+    // upstream plan once and the n² join that follows reuses the cached
+    // rows — the guard no longer double-computes the input. The cache is
+    // bounded by the guard itself (≤ maxRows rows) and evicts LRU.
+    val cached = df.persist()
+    val n = cached.count()
+    if (n > maxRows) {
+      cached.unpersist()
+      throw new IllegalArgumentException(
+        s"all-pairs baseline refused: input has $n rows > bound $maxRows " +
+          "(this operator is an O(n^2) test oracle; use the LSH/IVF variant at scale)")
+    }
+    cached
   }
 }

@@ -115,8 +115,11 @@ object Quantiles {
     * only the rows of those candidate buckets (≈ n/buckets rows) to
     * resolve the exact rank values. No full sort of the column anywhere;
     * this is how exact percentiles stay feasible when a group holds
-    * billions of rows. Only the tiny per-(group, spec) rank metadata ever
-    * reaches the driver.
+    * billions of rows. Nothing ever reaches the driver: the needs table
+    * (which bucket + in-bucket index each target rank lives at) is itself
+    * derived distributively from the bucket histogram, so group
+    * cardinality is unbounded too — millions of groups × hundreds of
+    * buckets stays a (groups × buckets)-row shuffle on executors.
     *
     * Same QUANTILE_CONT interpolation contract as [[percentiles]].
     */
@@ -127,7 +130,8 @@ object Quantiles {
       bucketWidth: Double,
       specs: Seq[(Double, String)]): DataFrame = {
     val spark = df.sparkSession
-    import org.apache.spark.sql.Row
+    import spark.implicits._
+    import org.apache.spark.sql.types.DoubleType
 
     // Pass 1: coarse histogram (NULLs ignored, matching QUANTILE_CONT).
     val nn = df.filter(col(valueCol).isNotNull)
@@ -140,44 +144,39 @@ object Quantiles {
     val marked = cnt
       .withColumn("__before", coalesce(sum(col("__c")).over(wB), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(wAll))
-      .collect() // O(groups × buckets) metadata rows only
 
-    // Locate, per (group, spec), the buckets and in-bucket indices of the
-    // floor/ceil target ranks.
-    final case class Need(g: Any, bucket: Long, localIdx: Long, spec: Int, isUpper: Boolean)
-    val byGroup = marked.groupBy(_.getAs[Any]("__g"))
-    val needs = byGroup.toSeq.flatMap { case (g, rows) =>
-      val n = rows.head.getAs[Long]("__n")
-      specs.zipWithIndex.flatMap { case ((p, _), si) =>
-        val h = (n - 1) * p
-        Seq((math.floor(h).toLong, false), (math.ceil(h).toLong, true)).map {
-          case (rank, upper) =>
-            val row = rows.find(r => r.getAs[Long]("__before") <= rank &&
-              rank < r.getAs[Long]("__before") + r.getAs[Long]("__c")).get
-            Need(g, row.getAs[Long]("__b"), rank - row.getAs[Long]("__before"), si, upper)
-        }
-      }
-    }
-    // Pass 2 — fully distributed. The needs table (one row per target
-    // rank: group, bucket, in-bucket index, spec, floor/ceil side) is tiny
-    // and broadcast; candidate-bucket rows are re-counted per distinct
-    // value, ranked by an in-bucket cumulative window, and the needed rank
-    // is picked by a broadcast-join filter. No value row ever reaches the
-    // driver, so a pathologically hot bucket (skewed data, fixed
-    // bucketWidth) costs one window over that bucket's distinct values on
-    // executors instead of a driver OOM.
-    import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StructType}
-    val gType = df.schema(groupCol).dataType
-    val needDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        needs.map(nd => Row(nd.g, nd.bucket, nd.localIdx, nd.spec, nd.isUpper)), 1),
-      new StructType().add("__ng", gType).add("__nb", LongType)
-        .add("__nidx", LongType).add("__nspec", IntegerType).add("__nupper", BooleanType))
+    // Needs derivation — distributed. A 2×|specs|-row literal table
+    // (spec index, p, floor/ceil side) crossed with the per-group row
+    // counts yields one target rank per (group, spec, side); an equi-join
+    // on group with a range residual against the histogram locates the
+    // bucket covering each rank. O(groups × specs) rows, never collected.
+    val specDf = broadcast(specs.zipWithIndex.flatMap { case ((p, _), i) =>
+      Seq((i, p, false), (i, p, true))
+    }.toDF("__nspec", "__p", "__nupper"))
+    val nPerGroup = marked.groupBy(col("__g").as("__gn"))
+      .agg(max(col("__n")).as("__n"))
+    val ranks = nPerGroup.crossJoin(specDf)
+      .withColumn("__h", (col("__n") - 1).cast(DoubleType) * col("__p"))
+      .withColumn("__rank",
+        when(col("__nupper"), ceil(col("__h"))).otherwise(floor(col("__h"))).cast("long"))
+    val needDf = ranks.join(marked,
+        col("__gn") === col("__g") &&
+          col("__before") <= col("__rank") &&
+          col("__rank") < col("__before") + col("__c"))
+      .select(col("__g").as("__ng"), col("__b").as("__nb"),
+        (col("__rank") - col("__before")).as("__nidx"),
+        col("__nspec"), col("__nupper"))
     val bucketsDf = needDf.select(col("__ng"), col("__nb")).distinct()
 
+    // Pass 2: candidate-bucket rows are re-counted per distinct value,
+    // ranked by an in-bucket cumulative window, and the needed rank is
+    // picked by an equi-join (AQE broadcasts the needs side when it is
+    // small; with millions of groups it shuffles — both shapes scale). A
+    // pathologically hot bucket costs one window over its distinct values
+    // on executors, never a driver OOM.
     val candCounts = nn
       .withColumn("__b", floor(col(valueCol) / lit(bucketWidth)))
-      .join(broadcast(bucketsDf),
+      .join(bucketsDf,
         col(groupCol) === col("__ng") && col("__b") === col("__nb"))
       .groupBy(col(groupCol).as("__g"), col("__b"),
         col(valueCol).cast(DoubleType).as("__v"))
@@ -186,17 +185,13 @@ object Quantiles {
       .rowsBetween(Window.unboundedPreceding, -1)
     val picked = candCounts
       .withColumn("__before", coalesce(sum(col("__c")).over(wV), lit(0L)))
-      .join(broadcast(needDf),
+      .join(needDf,
         col("__g") === col("__ng") && col("__b") === col("__nb") &&
           col("__before") <= col("__nidx") &&
           col("__nidx") < col("__before") + col("__c"))
       .select(col("__g"), col("__nspec"), col("__nupper"), col("__v"))
 
     // Both floor and ceil needs always exist, so __lo/__hi are never null.
-    val nDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        byGroup.toSeq.map { case (g, rows) => Row(g, rows.head.getAs[Long]("__n")) }, 1),
-      new StructType().add("__gn", gType).add("__n", LongType))
     val pCol = specs.zipWithIndex.foldLeft(lit(Double.NaN)) {
       case (acc, ((p, _), i)) => when(col("__nspec") === i, lit(p)).otherwise(acc)
     }
@@ -205,7 +200,7 @@ object Quantiles {
       .groupBy(col("__g"), col("__nspec"))
       .agg(max(when(!col("__nupper"), col("__v"))).as("__lo"),
         max(when(col("__nupper"), col("__v"))).as("__hi"))
-      .join(broadcast(nDf), col("__g") === col("__gn"))
+      .join(nPerGroup, col("__g") === col("__gn"))
       .withColumn("__val",
         when(floor(h) === ceil(h), col("__lo"))
           .otherwise(col("__lo") * (ceil(h) - h) + col("__hi") * (h - floor(h))))

@@ -24,13 +24,18 @@ object MaterializedView {
     nowMs - lastRefreshMs >= periodMs
 
   /** Recompute `view` and atomically swap it into `path`. Returns the
-    * refreshed row count (what a scheduler would log as the task result).
+    * refreshed row count (what a scheduler would log as the task result),
+    * observed during the write itself — no post-swap re-scan of the table.
     */
   def refresh(spark: SparkSession, path: String, view: => DataFrame): Long = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
     val tmp = path + ".refreshing"
-    view.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val obs = Observation()
+    view.observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
     Mutations.swapInto(spark, tmp, path)
-    spark.read.parquet(path).count()
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** Refresh only if due; returns Some(rowCount) when a refresh ran. */

@@ -114,6 +114,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Quantiles.percentilesSelect: needs derivation stays distributed at 1e5 groups") {
+    import graft.operators.Quantiles
+    import org.apache.spark.sql.functions._
+    // 100k groups × 3 rows: with the old driver-side needs derivation this
+    // collect()ed groups × buckets metadata rows; now the needs table is
+    // derived on executors and only the final 100k-row answer materializes.
+    val rnd = new scala.util.Random(41)
+    val df = (1 to 300000).map { i => (i % 100000, rnd.nextDouble() * 1000) }
+      .toDF("g", "v").repartition(16)
+    val mine = Quantiles.percentilesSelect(df, "g", "v", bucketWidth = 100.0,
+      Seq(0.5 -> "p50"))
+    val builtin = df.groupBy($"g").agg(expr("percentile(v, 0.5)").as("e50"))
+    assert(mine.count() === 100000L)
+    assert(mine.join(builtin, "g").filter(abs($"p50" - $"e50") > 1e-9).count() === 0L)
+  }
+
   test("asof backward: latest right at-or-before left time, per key") {
     val left = Seq((1L, 100L, "p1"), (1L, 50L, "p2"), (2L, 10L, "p3"))
       .toDF("k", "t", "name")
