@@ -39,17 +39,30 @@ object SequenceQueries {
             col("event_type") === "purchase").as("m"))
           .agg(count(when(col("m"), 1)).as("n_matched_users"),
                count(lit(1)).as("n_users")),
+      // Oracle is the linear window form (the triple self-join took 52 s
+      // at sf0.1; this takes 40 ms): run_s = latest signup at-or-before
+      // each row, so a click is "good" iff its best anchor is within 4h;
+      // run_gc = any good click at-or-before each row; a purchase matches
+      // iff a good click precedes it. RANGE frames include same-us peers.
       Some(s"""
         WITH u AS (SELECT user_id, EPOCH_US(ts) AS us, event_type FROM events
                    WHERE event_type IN ('signup', 'click', 'purchase')),
-        m AS (SELECT DISTINCT s.user_id FROM u s
-              JOIN u c ON c.user_id = s.user_id AND c.event_type = 'click'
-                AND c.us >= s.us AND c.us <= s.us + ${4 * Hour}
-              JOIN u p ON p.user_id = s.user_id AND p.event_type = 'purchase'
-                AND p.us >= c.us
-              WHERE s.event_type = 'signup')
-        SELECT (SELECT COUNT(*) FROM m) AS n_matched_users,
-               (SELECT COUNT(DISTINCT user_id) FROM u) AS n_users""")),
+        w1 AS (SELECT user_id, us, event_type,
+            MAX(CASE WHEN event_type = 'signup' THEN us END) OVER
+              (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_s
+          FROM u),
+        w2 AS (SELECT user_id, us, event_type,
+            MAX(CASE WHEN event_type = 'click' AND run_s IS NOT NULL
+                     AND us - run_s <= ${4 * Hour} THEN 1 END) OVER
+              (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_gc
+          FROM w1),
+        f AS (SELECT user_id,
+            MAX(CASE WHEN event_type = 'purchase' AND run_gc = 1 THEN 1 ELSE 0 END) AS m
+          FROM w2 GROUP BY user_id)
+        SELECT CAST(SUM(m) AS BIGINT) AS n_matched_users,
+               COUNT(*) AS n_users FROM f""")),
 
     // (?1)(?t>=25d)(?2): error at least 25 days after a signup — the
     // time-greater scan path (early rows are skipped, not backtracked).
@@ -119,17 +132,27 @@ object SequenceQueries {
             col("event_type") === "purchase").as("m"))
           .agg(count(when(col("m"), 1)).as("n_matched_users"),
                count(lit(1)).as("n_users")),
+      // Linear window form of subsequence existence (triple self-join took
+      // 46 s at sf0.1; this takes 70 ms): any signup before, then any
+      // click with a signup before it, then any purchase after such click.
       Some("""
         WITH u AS (SELECT user_id, EPOCH_US(ts) AS us, event_type FROM events
                    WHERE event_type IN ('signup', 'click', 'purchase')),
-        m AS (SELECT DISTINCT s.user_id FROM u s
-              JOIN u c ON c.user_id = s.user_id AND c.event_type = 'click'
-                AND c.us >= s.us
-              JOIN u p ON p.user_id = s.user_id AND p.event_type = 'purchase'
-                AND p.us >= c.us
-              WHERE s.event_type = 'signup')
-        SELECT (SELECT COUNT(*) FROM m) AS n_matched_users,
-               (SELECT COUNT(DISTINCT user_id) FROM u) AS n_users""")),
+        w1 AS (SELECT user_id, us, event_type,
+            MAX(CASE WHEN event_type = 'signup' THEN us END) OVER
+              (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_s
+          FROM u),
+        w2 AS (SELECT user_id, us, event_type,
+            MAX(CASE WHEN event_type = 'click' AND run_s IS NOT NULL THEN 1 END) OVER
+              (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sc
+          FROM w1),
+        f AS (SELECT user_id,
+            MAX(CASE WHEN event_type = 'purchase' AND run_sc = 1 THEN 1 ELSE 0 END) AS m
+          FROM w2 GROUP BY user_id)
+        SELECT CAST(SUM(m) AS BIGINT) AS n_matched_users,
+               COUNT(*) AS n_users FROM f""")),
 
     // sequenceCount('(?1)(?2)'): adjacent click→purchase pairs in the
     // click/purchase row list, counted greedily non-overlapping. With
