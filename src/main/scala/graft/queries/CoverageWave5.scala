@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Round-4 coverage wave: the -Array aggregate-combinator family
+  * (reference /root/reference/src/AggregateFunctions/Combinators — any
+  * aggregate applied element-wise across rows' arrays, registered via
+  * AggregateFunctionCombinatorFactory.cpp) and multi-touch attribution
+  * models (reference AggregateFunctionAttribution*.cpp: first-touch /
+  * linear / position-based credit, extending the last-touch query in
+  * Behavioral.scala).
+  *
+  * Attribution scale shape: every model is a single window pass over the
+  * per-user event stream — one shuffle on user_id, no purchase×touch
+  * join. The in-window touch summary (counts per channel + first/last
+  * touch) comes from RANGE-framed conditional aggregates; the earliest /
+  * latest touch's channel rides along by encoding (us, channel) into one
+  * sortable long (us*2 + channel bit — µs timestamps keep us*2 far below
+  * Long.Max), so no struct-ordering semantics are needed on either side.
+  */
+object CoverageWave5 {
+
+  private val DayUs = 86400L * 1000000
+  private val LookbackUs = 3 * DayUs
+
+  /** (us, channel) → one sortable long; click sorts before view on ties. */
+  private def touchCode = {
+    when(col("event_type") === "click", col("us") * 2)
+      .when(col("event_type") === "view", col("us") * 2 + 1)
+  }
+
+  private def chanOf(code: org.apache.spark.sql.Column) =
+    when(pmod(code, lit(2)) === 0, lit("click")).otherwise(lit("view"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // -Array combinators via the ClickHouse dialect: token-length arrays
+    // per document, aggregated element-wise across the corpus. All five
+    // lower to one ordinary hash aggregate over per-row array folds — no
+    // explode, so the shuffle carries one row per document, not one per
+    // token; map-side partial aggregation intact at any corpus size.
+    QueryDef(
+      "agg_array_combinators",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql("""
+          SELECT lang,
+            countArray(la) AS n_tokens,
+            sumArray(la) AS sum_len,
+            minArray(la) AS min_len,
+            maxArray(la) AS max_len,
+            avgArray(la) AS avg_len
+          FROM (SELECT lang, transform(splitByChar(' ', text), x -> length(x)) AS la
+                FROM documents)
+          GROUP BY lang
+          ORDER BY lang""")
+      },
+      // Element sums are integer-valued doubles (token lengths), so the
+      // double fold is exact and order-independent below 2^53.
+      Some("""
+        WITH t AS (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+        SELECT lang, COUNT(*) AS n_tokens,
+          CAST(SUM(LENGTH(tok)) AS DOUBLE) AS sum_len,
+          CAST(MIN(LENGTH(tok)) AS INTEGER) AS min_len,
+          CAST(MAX(LENGTH(tok)) AS INTEGER) AS max_len,
+          CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*) AS avg_len
+        FROM t
+        GROUP BY lang
+        ORDER BY lang""")),
+
+    // First-touch model: each purchase credits the EARLIEST click/view
+    // inside the 3-day lookback (last-touch's mirror; reference
+    // AggregateFunctionAttribution first-touch mode).
+    QueryDef(
+      "attribution_first_touch",
+      (s, dir) => {
+        val w3 = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-LookbackUs, -1)
+        Tables(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("first_code", min(touchCode).over(w3))
+          .filter(col("event_type") === "purchase")
+          .withColumn("channel",
+            when(col("first_code").isNull, lit("direct"))
+              .otherwise(chanOf(col("first_code"))))
+          .withColumn("gap_us",
+            when(col("first_code").isNotNull,
+              col("us") - expr("first_code div 2")))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+               (sum(col("gap_us")).cast(DoubleType) /
+                 nullif(count(col("gap_us")), lit(0L))).as("avg_gap_us"))
+          .orderBy(col("channel"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT user_id, event_type, EPOCH_US(ts) AS us,
+            MIN(CASE WHEN event_type = 'click' THEN EPOCH_US(ts) * 2
+                     WHEN event_type = 'view' THEN EPOCH_US(ts) * 2 + 1 END)
+              OVER (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                    RANGE BETWEEN 259200000000 PRECEDING AND 1 PRECEDING) AS first_code
+          FROM events),
+        p AS (
+          SELECT CASE WHEN first_code IS NULL THEN 'direct'
+                      WHEN first_code % 2 = 0 THEN 'click' ELSE 'view' END AS channel,
+                 us - first_code // 2 AS gap_us
+          FROM t WHERE event_type = 'purchase')
+        SELECT channel, COUNT(*) AS n_purchases,
+          CAST(SUM(gap_us) AS DOUBLE) / NULLIF(COUNT(gap_us), 0) AS avg_gap_us
+        FROM p
+        GROUP BY channel
+        ORDER BY channel""")),
+
+    // Linear + position-based (U-shaped) models: every touch in the
+    // lookback shares the purchase's credit — equally (linear), or
+    // 40/20/40 with the first and last touch boosted (position; the
+    // k=1 → 1.0 and k=2 → 0.5/0.5 degenerate cases follow the usual
+    // convention). Per-purchase credits quantize to DECIMAL(18,6) before
+    // summing (Num convention) so the totals are order-independent.
+    QueryDef(
+      "attribution_linear_position",
+      (s, dir) => {
+        val w3 = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-LookbackUs, -1)
+        val isTouch = col("event_type").isin("click", "view")
+        val base = Tables(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("n_click",
+            count(when(col("event_type") === "click", 1)).over(w3))
+          .withColumn("n_view",
+            count(when(col("event_type") === "view", 1)).over(w3))
+          .withColumn("first_code", min(touchCode).over(w3))
+          .withColumn("last_code", max(touchCode).over(w3))
+          .filter(col("event_type") === "purchase")
+          .withColumn("k", (col("n_click") + col("n_view")).cast(LongType))
+        val firstClick = when(pmod(col("first_code"), lit(2)) === 0, 1d).otherwise(0d)
+        val lastClick = when(pmod(col("last_code"), lit(2)) === 0, 1d).otherwise(0d)
+        val midClick = col("n_click") - firstClick - lastClick
+        val uClick =
+          when(col("k") === 1, firstClick)
+            .when(col("k") === 2, lit(0.5) * firstClick + lit(0.5) * lastClick)
+            .otherwise(lit(0.4) * firstClick + lit(0.4) * lastClick +
+              lit(0.2) * midClick / (col("k") - 2))
+        val d6 = graft.Num.D6
+        base
+          .withColumn("lin_click",
+            when(col("k") > 0, col("n_click").cast(DoubleType) / col("k")).otherwise(0d))
+          .withColumn("u_click", when(col("k") > 0, uClick).otherwise(0d))
+          .agg(count(lit(1)).as("n_purchases"),
+               count(when(col("k") === 0, 1)).as("n_direct"),
+               sum(col("lin_click").cast(d6)).cast(DoubleType).as("lin_click_credit"),
+               sum((when(col("k") > 0, lit(1d)).otherwise(0d) - col("lin_click")).cast(d6))
+                 .cast(DoubleType).as("lin_view_credit"),
+               sum(col("u_click").cast(d6)).cast(DoubleType).as("u_click_credit"),
+               sum((when(col("k") > 0, lit(1d)).otherwise(0d) - col("u_click")).cast(d6))
+                 .cast(DoubleType).as("u_view_credit"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT user_id, event_type, EPOCH_US(ts) AS us,
+            COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+              OVER w3 AS n_click,
+            COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+              OVER w3 AS n_view,
+            MIN(CASE WHEN event_type = 'click' THEN EPOCH_US(ts) * 2
+                     WHEN event_type = 'view' THEN EPOCH_US(ts) * 2 + 1 END)
+              OVER w3 AS first_code,
+            MAX(CASE WHEN event_type = 'click' THEN EPOCH_US(ts) * 2
+                     WHEN event_type = 'view' THEN EPOCH_US(ts) * 2 + 1 END)
+              OVER w3 AS last_code
+          FROM events
+          WINDOW w3 AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                        RANGE BETWEEN 259200000000 PRECEDING AND 1 PRECEDING)),
+        p AS (
+          SELECT n_click + n_view AS k, n_click,
+            CASE WHEN first_code % 2 = 0 THEN 1.0 ELSE 0.0 END AS fc,
+            CASE WHEN last_code % 2 = 0 THEN 1.0 ELSE 0.0 END AS lc
+          FROM t WHERE event_type = 'purchase'),
+        c AS (
+          SELECT k,
+            CASE WHEN k > 0 THEN CAST(n_click AS DOUBLE) / k ELSE 0 END AS lin_click,
+            CASE WHEN k = 0 THEN 0
+                 WHEN k = 1 THEN fc
+                 WHEN k = 2 THEN 0.5 * fc + 0.5 * lc
+                 ELSE 0.4 * fc + 0.4 * lc + 0.2 * (n_click - fc - lc) / (k - 2)
+            END AS u_click
+          FROM p)
+        SELECT COUNT(*) AS n_purchases,
+          COUNT(CASE WHEN k = 0 THEN 1 END) AS n_direct,
+          CAST(SUM(CAST(lin_click AS DECIMAL(18,6))) AS DOUBLE) AS lin_click_credit,
+          CAST(SUM(CAST(CASE WHEN k > 0 THEN 1.0 ELSE 0.0 END - lin_click
+            AS DECIMAL(18,6))) AS DOUBLE) AS lin_view_credit,
+          CAST(SUM(CAST(u_click AS DECIMAL(18,6))) AS DOUBLE) AS u_click_credit,
+          CAST(SUM(CAST(CASE WHEN k > 0 THEN 1.0 ELSE 0.0 END - u_click
+            AS DECIMAL(18,6))) AS DOUBLE) AS u_view_credit
+        FROM c"""))
+  )
+}

@@ -29,7 +29,7 @@ object ClickHouseAliases {
     If(cond, value, Literal.create(null, value.dataType))
 
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
-    wave1 ++ wave2 ++ arrayWave
+    wave1 ++ wave2 ++ arrayWave ++ combinatorWave
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -352,6 +352,35 @@ object ClickHouseAliases {
         Slice(cs.head, Literal(1), cs(1)),
         Concat(Seq(cs.head, pad)))
     })
+  )
+
+  /** Element-wise double-sum fold of one array (shared by arraySum /
+    * arrayReduce('sum') / the -Array combinators).
+    */
+  private def arrayFoldSum(arr: Expression): Expression =
+    ArrayAggregate(arr, Literal(0.0d),
+      LambdaFunction(Add(lv("a"), Cast(lv("x"), DoubleType)), Seq(lv("a"), lv("x"))),
+      LambdaFunction(lv("a"), Seq(lv("a"))))
+
+  /** -Array combinator family (reference
+    * AggregateFunctionCombinatorFactory.cpp + …Combinators/-Array.cpp:
+    * `aggArray(arr)` applies `agg` to every element of every row's
+    * array). Lowered to per-row element folds feeding the scalar
+    * aggregate — one ordinary hash aggregate, no explode, map-side
+    * partials intact. NULL arrays fold to NULL and are ignored by the
+    * outer aggregate, matching the reference's null-skip.
+    */
+  private def combinatorWave: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "sumArray" -> (cs => Sum(arrayFoldSum(cs.head))),
+    "minArray" -> (cs => Min(ArrayMin(cs.head))),
+    "maxArray" -> (cs => Max(ArrayMax(cs.head))),
+    "countArray" -> (cs => Sum(Cast(Size(cs.head), LongType))),
+    // avg over all elements = Σ element sums / Σ element counts; both
+    // nested aggregates need explicit wrapping (registry only auto-wraps
+    // a bare top-level AggregateFunction, as with sumCount above).
+    "avgArray" -> (cs => Divide(
+      Sum(arrayFoldSum(cs.head)).toAggregateExpression(),
+      Cast(Sum(Cast(Size(cs.head), LongType)).toAggregateExpression(), DoubleType)))
   )
 
   /** Register every alias into the session's function registry. */

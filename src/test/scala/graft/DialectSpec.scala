@@ -141,6 +141,28 @@ class DialectSpec extends SparkSpec {
     assert(r.getBoolean(9))
   }
 
+  test("-Array combinators: sum/min/max/count/avg over rows of arrays") {
+    Seq(
+      (1, Seq(1, 2, 3)),
+      (2, Seq(10, 20)),
+      (3, Seq.empty[Int]),
+    ).toDF("id", "arr").createOrReplaceTempView("arr_t")
+    val r = one("""SELECT sumArray(arr), minArray(arr), maxArray(arr),
+                   countArray(arr), avgArray(arr) FROM arr_t""")
+    assert(r.getDouble(0) === 36.0)
+    assert(r.getInt(1) === 1)
+    assert(r.getInt(2) === 20)
+    assert(r.getLong(3) === 5L)
+    assert(r.getDouble(4) === 36.0 / 5)
+    // NULL arrays are skipped, like the reference's null-skip aggregates
+    Seq((1, Option(Seq(5, 7))), (2, Option.empty[Seq[Int]]))
+      .toDF("id", "arr").createOrReplaceTempView("arr_n")
+    val rn = one("SELECT sumArray(arr), countArray(arr), avgArray(arr) FROM arr_n")
+    assert(rn.getDouble(0) === 12.0)
+    assert(rn.getLong(1) === 2L)
+    assert(rn.getDouble(2) === 6.0)
+  }
+
   test("numbers() table function, arrayReduce, substringIndex, JSONArrayLength") {
     val n = spark.sql("SELECT CAST(SUM(number) AS BIGINT) AS s FROM numbers(10)")
       .collect()(0).getLong(0)
