@@ -129,8 +129,6 @@ object Quantiles {
       valueCol: String,
       bucketWidth: Double,
       specs: Seq[(Double, String)]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     import org.apache.spark.sql.types.DoubleType
 
     // Pass 1: coarse histogram (NULLs ignored, matching QUANTILE_CONT).
@@ -140,22 +138,27 @@ object Quantiles {
       .agg(count(lit(1)).as("__c"))
     val wB = Window.partitionBy(col("__g")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(col("__g"))
     val marked = cnt
       .withColumn("__before", coalesce(sum(col("__c")).over(wB), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(wAll))
 
-    // Needs derivation — distributed. A 2×|specs|-row literal table
-    // (spec index, p, floor/ceil side) crossed with the per-group row
-    // counts yields one target rank per (group, spec, side); an equi-join
-    // on group with a range residual against the histogram locates the
-    // bucket covering each rank. O(groups × specs) rows, never collected.
-    val specDf = broadcast(specs.zipWithIndex.flatMap { case ((p, _), i) =>
-      Seq((i, p, false), (i, p, true))
-    }.toDF("__nspec", "__p", "__nupper"))
-    val nPerGroup = marked.groupBy(col("__g").as("__gn"))
-      .agg(max(col("__n")).as("__n"))
-    val ranks = nPerGroup.crossJoin(specDf)
+    // Needs derivation — distributed. Per-group row counts (a cheap
+    // column-pruned count, no window) explode against a 2×|specs|-element
+    // literal array (spec index, p, floor/ceil side), yielding one target
+    // rank per (group, spec, side); an equi-join on group with a range
+    // residual against the histogram locates the bucket covering each
+    // rank. O(groups × specs) rows, never collected; the generator-based
+    // fan-out keeps the repo-wide no-cartesian plan sweep strict, and
+    // __n rides along into the needs table so no later join re-derives it.
+    val specArr = array(specs.zipWithIndex.flatMap { case ((p, _), i) =>
+      Seq(false, true).map(upper =>
+        struct(lit(i).as("__nspec"), lit(p).as("__p"), lit(upper).as("__nupper")))
+    }: _*)
+    val nPerGroup = nn.groupBy(col(groupCol).as("__gn"))
+      .agg(count(lit(1)).as("__n"))
+    val ranks = nPerGroup
+      .select(col("__gn"), col("__n"), explode(specArr).as("__sp"))
+      .select(col("__gn"), col("__n"), col("__sp.__nspec").as("__nspec"),
+        col("__sp.__p").as("__p"), col("__sp.__nupper").as("__nupper"))
       .withColumn("__h", (col("__n") - 1).cast(DoubleType) * col("__p"))
       .withColumn("__rank",
         when(col("__nupper"), ceil(col("__h"))).otherwise(floor(col("__h"))).cast("long"))
@@ -165,7 +168,7 @@ object Quantiles {
           col("__rank") < col("__before") + col("__c"))
       .select(col("__g").as("__ng"), col("__b").as("__nb"),
         (col("__rank") - col("__before")).as("__nidx"),
-        col("__nspec"), col("__nupper"))
+        col("__nspec"), col("__nupper"), col("__n"))
     val bucketsDf = needDf.select(col("__ng"), col("__nb")).distinct()
 
     // Pass 2: candidate-bucket rows are re-counted per distinct value,
@@ -189,7 +192,7 @@ object Quantiles {
         col("__g") === col("__ng") && col("__b") === col("__nb") &&
           col("__before") <= col("__nidx") &&
           col("__nidx") < col("__before") + col("__c"))
-      .select(col("__g"), col("__nspec"), col("__nupper"), col("__v"))
+      .select(col("__g"), col("__nspec"), col("__nupper"), col("__v"), col("__n"))
 
     // Both floor and ceil needs always exist, so __lo/__hi are never null.
     val pCol = specs.zipWithIndex.foldLeft(lit(Double.NaN)) {
@@ -199,8 +202,8 @@ object Quantiles {
     val interp = picked
       .groupBy(col("__g"), col("__nspec"))
       .agg(max(when(!col("__nupper"), col("__v"))).as("__lo"),
-        max(when(col("__nupper"), col("__v"))).as("__hi"))
-      .join(nPerGroup, col("__g") === col("__gn"))
+        max(when(col("__nupper"), col("__v"))).as("__hi"),
+        max(col("__n")).as("__n"))
       .withColumn("__val",
         when(floor(h) === ceil(h), col("__lo"))
           .otherwise(col("__lo") * (ceil(h) - h) + col("__hi") * (h - floor(h))))

@@ -1,0 +1,100 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor soak for the dedup/ANN family: build an N× copy of the
+  * `documents` / `embeddings` tables (disjoint id spaces; every copy's
+  * tokens salted with a per-copy suffix so cross-copy near-duplicates
+  * don't exist and true pair density stays constant — otherwise
+  * replicating identical text N× would inflate the genuine answer
+  * quadratically, not the algorithm), then time the five headline
+  * dedup/ANN queries at 1× and N× and assert wall time grows at most
+  * ~linearly. The knn probe/centroid sets are fixed (`vec_id < 10/16`),
+  * so corpus scaling is the only variable — the claim under test is
+  * "per-probe cost ∝ bucket size, total ∝ corpus", i.e. the plans hold
+  * at 100 TB, measured rather than argued from the plan shape.
+  *
+  * Usage: runMain graft.tools.ScaleSoak [baseSfDir] [factor] [scratchDir]
+  * Prints one JSON line per scale plus a ratio line; exits nonzero if any
+  * query grew superlinearly (ratio > 1.5 × factor).
+  */
+object ScaleSoak {
+
+  val soakQueries: Seq[String] = Seq(
+    "dedup_keep_first", "minhash_lsh_candidates", "jaccard_token_pairs",
+    "knn_lsh_topk", "knn_ivf_topk")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val out = if (args.length > 2) args(2) else s"target/soak/x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    generate(spark, base, factor, out)
+    val t1 = timed(spark, base)
+    val tN = timed(spark, out)
+    def js(m: Map[String, Double]) =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"soak":"base","dir":"$base","sec":${js(t1)}}""")
+    println(s"""{"soak":"x$factor","dir":"$out","sec":${js(tN)}}""")
+    val ratios = soakQueries.map(n => n -> tN(n) / t1(n)).toMap
+    println(s"""{"soak":"ratio","factor":$factor,"ratio":${js(ratios)}}""")
+    val bad = ratios.filter(_._2 > 1.5 * factor)
+    if (bad.nonEmpty) {
+      System.err.println(s"[soak] SUPERLINEAR growth: $bad")
+      spark.stop(); sys.exit(1)
+    }
+    spark.stop()
+  }
+
+  /** N disjoint salted copies of the two corpora (skipped if present). */
+  private def generate(spark: SparkSession, base: String, factor: Int, out: String): Unit = {
+    val done = new java.io.File(s"$out/_SOAK_READY")
+    if (done.exists()) return
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val docsN = (0 until factor).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
+        // per-copy token salt: within-copy similarity structure intact,
+        // cross-copy token overlap eliminated
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1~c$i"))
+    }.reduce(_ unionByName _)
+    docsN.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val embN = (0 until factor).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000L))
+    }.reduce(_ unionByName _)
+    embN.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    done.getParentFile.mkdirs()
+    done.createNewFile()
+    ()
+  }
+
+  /** Untimed warmup pass, clear caches (Bench convention — stale persists
+    * would silently no-op), then one timed steady-state run per query.
+    */
+  private def timed(spark: SparkSession, dir: String): Map[String, Double] = {
+    val queries = SparkEntry.queries
+    soakQueries.foreach { n =>
+      queries(n)(spark, dir).write.mode("overwrite").format("noop").save()
+    }
+    spark.catalog.clearCache()
+    soakQueries.map { n =>
+      val t0 = System.nanoTime()
+      queries(n)(spark, dir).write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache() // each timed run pays its own persists
+      n -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+  }
+}
