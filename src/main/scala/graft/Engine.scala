@@ -39,6 +39,11 @@ object Engine {
       aggregates.WindowFunnel(7L * 86400 * 1000000, 3))
     spark.udf.register("retention3", aggregates.Retention())
     spark.udf.register("top_k_10", aggregates.TopK(10))
+    spark.udf.register("sumForEach", aggregates.ForEachAgg.sumForEach)
+    spark.udf.register("avgForEach", aggregates.ForEachAgg.avgForEach)
+    spark.udf.register("minForEach", aggregates.ForEachAgg.minForEach)
+    spark.udf.register("maxForEach", aggregates.ForEachAgg.maxForEach)
+    spark.udf.register("countForEach", aggregates.ForEachAgg.countForEach)
     spark.udf.register("group_bitmap", aggregates.BitmapAggregates.groupBitmap)
     spark.udf.register("bitmap_cardinality", aggregates.BitmapAggregates.bitmapCardinality)
     spark.udf.register("bitmap_and_cardinality", aggregates.BitmapAggregates.bitmapAndCardinality)

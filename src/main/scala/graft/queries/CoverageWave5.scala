@@ -71,6 +71,128 @@ object CoverageWave5 {
         GROUP BY lang
         ORDER BY lang""")),
 
+    // -ForEach combinator: element-wise aggregation ACROSS rows of ragged
+    // arrays (index i aggregates the rows whose array reaches i). One
+    // shared single-pass buffer per group; shuffle carries one buffer per
+    // group, not one row per element.
+    QueryDef(
+      "agg_foreach_combinators",
+      (s, dir) => {
+        import graft.aggregates.ForEachAgg
+        val li = Tables(s, dir, "lineitem")
+        val arr = when(col("l_linenumber") % 2 === 0,
+            array(col("l_quantity"), col("l_extendedprice"),
+                  col("l_discount"), col("l_tax")))
+          .otherwise(array(col("l_quantity"), col("l_extendedprice"),
+                  col("l_discount")))
+        li.withColumn("arr", arr)
+          .groupBy(col("l_returnflag"))
+          .agg(ForEachAgg.sumForEach(col("arr")).as("sum_each"),
+               ForEachAgg.minForEach(col("arr")).as("min_each"),
+               ForEachAgg.maxForEach(col("arr")).as("max_each"),
+               ForEachAgg.avgForEach(col("arr")).as("avg_each"),
+               ForEachAgg.countForEach(col("arr")).as("count_each"))
+          .orderBy(col("l_returnflag"))
+      },
+      // Array elements compare bit-exact: sums ride the D6 micros
+      // convention on both sides; min/max are raw column doubles.
+      Some("""
+        WITH t AS (
+          SELECT l_returnflag,
+            CASE WHEN l_linenumber % 2 = 0
+                 THEN [l_quantity, l_extendedprice, l_discount, l_tax]
+                 ELSE [l_quantity, l_extendedprice, l_discount] END AS arr
+          FROM lineitem),
+        e AS (SELECT l_returnflag, UNNEST(arr) AS x,
+                     GENERATE_SUBSCRIPTS(arr, 1) AS i FROM t),
+        a AS (SELECT l_returnflag, i,
+            CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s,
+            MIN(x) AS mn, MAX(x) AS mx,
+            CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS av,
+            COUNT(*) AS c
+          FROM e GROUP BY l_returnflag, i)
+        SELECT l_returnflag,
+          LIST(s ORDER BY i) AS sum_each,
+          LIST(mn ORDER BY i) AS min_each,
+          LIST(mx ORDER BY i) AS max_each,
+          LIST(av ORDER BY i) AS avg_each,
+          LIST(c ORDER BY i) AS count_each
+        FROM a
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // maxIntersections (reference AggregateFunctionMaxIntersections.h:
+    // sort (position, ±1-weight) pairs — ends before starts on ties, so
+    // intervals are [start, end) — and track the running-sum maximum).
+    // Spark-native: union of +1/-1 points, one window per group, max of
+    // the running sum. One shuffle on the group key; no interval pairing
+    // join anywhere, so it scales as a sort within each group.
+    QueryDef(
+      "agg_max_intersections",
+      (s, dir) => {
+        // In-transit interval: [shipdate, shipdate + quantity days) — the
+        // synthetic lineitem has no receiptdate, so transit time derives
+        // deterministically from quantity.
+        val li = Tables(s, dir, "lineitem").select(col("l_returnflag"),
+          datediff(col("l_shipdate"), lit("1992-01-01")).as("sd"),
+          (datediff(col("l_shipdate"), lit("1992-01-01")) +
+            col("l_quantity").cast("int")).as("ed"))
+        val pts = li.select(col("l_returnflag"), col("sd").as("pt"), lit(1).as("delta"))
+          .unionAll(li.select(col("l_returnflag"), col("ed").as("pt"), lit(-1).as("delta")))
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("pt"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pts.withColumn("run", sum(col("delta")).over(w))
+          .groupBy(col("l_returnflag"))
+          .agg(max(col("run")).as("max_concurrent"),
+               count(lit(1)).as("n_points"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH iv AS (
+          SELECT l_returnflag,
+            DATE_DIFF('day', DATE '1992-01-01', l_shipdate) AS sd,
+            DATE_DIFF('day', DATE '1992-01-01', l_shipdate)
+              + CAST(l_quantity AS INTEGER) AS ed
+          FROM lineitem),
+        pts AS (
+          SELECT l_returnflag, sd AS pt, 1 AS delta FROM iv
+          UNION ALL
+          SELECT l_returnflag, ed AS pt, -1 AS delta FROM iv),
+        r AS (
+          SELECT l_returnflag,
+            SUM(delta) OVER (PARTITION BY l_returnflag ORDER BY pt, delta
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM pts)
+        SELECT l_returnflag, CAST(MAX(run) AS BIGINT) AS max_concurrent,
+          COUNT(*) AS n_points
+        FROM r
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // uniqUpTo(N): exact distinct count capped at N+1 (the reference uses
+    // a bounded hash set per group; the Spark lowering keeps the exact
+    // distinct plan — the cap is about the ANSWER contract, and Catalyst's
+    // partial-distinct aggregation already bounds per-node state).
+    QueryDef(
+      "agg_uniq_up_to",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""
+          SELECT l_returnflag,
+            uniqUpTo(10, l_suppkey) AS cap10,
+            uniqUpTo(100000, l_suppkey) AS uncapped
+          FROM lineitem
+          GROUP BY l_returnflag
+          ORDER BY l_returnflag""")
+      },
+      Some("""
+        SELECT l_returnflag,
+          LEAST(COUNT(DISTINCT l_suppkey), 11) AS cap10,
+          LEAST(COUNT(DISTINCT l_suppkey), 100001) AS uncapped
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
     // First-touch model: each purchase credits the EARLIEST click/view
     // inside the 3-day lookback (last-touch's mirror; reference
     // AggregateFunctionAttribution first-touch mode).

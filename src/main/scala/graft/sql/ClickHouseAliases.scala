@@ -380,7 +380,13 @@ object ClickHouseAliases {
     // a bare top-level AggregateFunction, as with sumCount above).
     "avgArray" -> (cs => Divide(
       Sum(arrayFoldSum(cs.head)).toAggregateExpression(),
-      Cast(Sum(Cast(Size(cs.head), LongType)).toAggregateExpression(), DoubleType)))
+      Cast(Sum(Cast(Size(cs.head), LongType)).toAggregateExpression(), DoubleType))),
+    // uniqUpTo(N)(x) (reference AggregateFunctionUniqUpTo.h: exact
+    // distinct count while ≤ N, else N+1) — CH's parameterized syntax
+    // flattens to uniqUpTo(N, x), same convention as quantileExact.
+    "uniqUpTo" -> (cs => Least(Seq(
+      Count(Seq(cs(1))).toAggregateExpression(isDistinct = true),
+      Add(Cast(cs.head, LongType), Literal(1L)))))
   )
 
   /** Register every alias into the session's function registry. */

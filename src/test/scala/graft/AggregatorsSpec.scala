@@ -6,6 +6,32 @@ import org.apache.spark.sql.functions._
 class AggregatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("-ForEach combinators: element-wise across ragged rows, null rows skipped") {
+    val df = Seq(
+      (1, Option(Seq(1.0, 2.0))),
+      (1, Option(Seq(3.0))),
+      (1, Option.empty[Seq[Double]]),
+      (1, Option(Seq(0.5, -1.0, 4.25))),
+      (2, Option(Seq(10.0)))
+    ).toDF("g", "arr")
+    val r = df.repartition(4) // force partial/final merge paths
+      .groupBy($"g")
+      .agg(ForEachAgg.sumForEach($"arr").as("s"),
+           ForEachAgg.minForEach($"arr").as("mn"),
+           ForEachAgg.maxForEach($"arr").as("mx"),
+           ForEachAgg.avgForEach($"arr").as("av"),
+           ForEachAgg.countForEach($"arr").as("c"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // g=1: index0 over {1,3,0.5}, index1 over {2,-1}, index2 over {4.25}
+    assert(r(1).getSeq[Double](1) === Seq(4.5, 1.0, 4.25))
+    assert(r(1).getSeq[Double](2) === Seq(0.5, -1.0, 4.25))
+    assert(r(1).getSeq[Double](3) === Seq(3.0, 2.0, 4.25))
+    assert(r(1).getSeq[Double](4) === Seq(1.5, 0.5, 4.25))
+    assert(r(1).getSeq[Long](5) === Seq(3L, 2L, 1L))
+    assert(r(2).getSeq[Double](1) === Seq(10.0))
+    assert(r(2).getSeq[Long](5) === Seq(1L))
+  }
+
   test("windowFunnel: reference getEventLevel semantics with window limit") {
     // user 1: 1@10 → 2@20 → 3@30 full depth
     // user 2: step2 before step1 → depth 1

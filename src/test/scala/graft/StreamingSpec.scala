@@ -39,6 +39,45 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L))
   }
 
+  test("live view: snapshot tracks appended source data and matches batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("graft_lv_src").toString + "/t"
+    Seq((1L, "click", 1.0), (2L, "view", 2.0), (3L, "click", 3.0))
+      .toDF("event_id", "event_type", "value")
+      .write.parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val viewQuery = stream.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_v"))
+    val q = graft.streaming.LiveView.create("lv_counts", viewQuery,
+      Trigger.AvailableNow())
+    try {
+      q.awaitTermination() // AvailableNow: one refresh, then stops
+      def snapshot() = graft.streaming.LiveView.watch(spark, "lv_counts")
+        .orderBy($"event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(snapshot() === Seq(("click", 2L, 4.0), ("view", 1L, 2.0)))
+
+      // New source data: a fresh refresh folds it into the SAME named
+      // snapshot (complete mode replaces atomically).
+      Seq((4L, "view", 4.0)).toDF("event_id", "event_type", "value")
+        .write.mode("append").parquet(src)
+      val q2 = graft.streaming.LiveView.create("lv_counts", viewQuery,
+        Trigger.AvailableNow())
+      try {
+        q2.awaitTermination()
+        assert(snapshot() === Seq(("click", 2L, 4.0), ("view", 2L, 6.0)))
+        // parity with the batch evaluation of the same view query
+        val batch = spark.read.parquet(src).groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"value").as("sum_v"))
+          .orderBy($"event_type")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        assert(snapshot() === batch)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join") {
     import org.apache.spark.sql.streaming.Trigger
     val dirA = Files.createTempDirectory("graft_ss_imp").toString + "/t"
