@@ -37,3 +37,31 @@ class SumMap extends Aggregator[SumMapInput, TreeMap[String, Long], Map[String, 
 object SumMap {
   def apply(): UserDefinedFunction = udaf(new SumMap, Encoders.product[SumMapInput])
 }
+
+/** minMap / maxMap (reference Map-combinator family alongside sumMap,
+  * AggregateFunctionSumMap.cpp `minMap`/`maxMap` registrations): per-group
+  * map of key → min/max value. Values stay raw doubles — min/max are
+  * order-independent by nature, so no quantization is needed.
+  */
+class MinMaxMap(isMin: Boolean)
+    extends Aggregator[SumMapInput, TreeMap[String, Double], Map[String, Double]]
+    with Serializable {
+  private def pick(a: Double, b: Double): Double =
+    if (isMin) math.min(a, b) else math.max(a, b)
+  def zero: TreeMap[String, Double] = TreeMap.empty
+  def reduce(b: TreeMap[String, Double], e: SumMapInput): TreeMap[String, Double] =
+    b.updated(e.key, b.get(e.key).fold(e.value)(pick(_, e.value)))
+  def merge(a: TreeMap[String, Double], b: TreeMap[String, Double]): TreeMap[String, Double] =
+    b.foldLeft(a) { case (acc, (k, v)) => acc.updated(k, acc.get(k).fold(v)(pick(_, v))) }
+  def finish(b: TreeMap[String, Double]): Map[String, Double] = b
+  def bufferEncoder: Encoder[TreeMap[String, Double]] = Encoders.kryo
+  def outputEncoder: Encoder[Map[String, Double]] = ExpressionEncoders.mapStringDouble
+}
+
+object MinMap {
+  def apply(): UserDefinedFunction = udaf(new MinMaxMap(true), Encoders.product[SumMapInput])
+}
+
+object MaxMap {
+  def apply(): UserDefinedFunction = udaf(new MinMaxMap(false), Encoders.product[SumMapInput])
+}

@@ -193,6 +193,71 @@ object CoverageWave5 {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // minMap / maxMap (Map-combinator family next to sumMap): per-user
+    // map of event_type → min/max value, probed as scalar columns so the
+    // harness hash-checks entries. Raw doubles — min/max need no
+    // quantization.
+    QueryDef(
+      "map_minmax_values",
+      (s, dir) => {
+        val mn = graft.aggregates.MinMap()
+        val mx = graft.aggregates.MaxMap()
+        Tables(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(mn(col("event_type"), col("value")).as("mnm"),
+               mx(col("event_type"), col("value")).as("mxm"))
+          .select(col("user_id"),
+                  size(map_keys(col("mnm"))).as("n_types"),
+                  element_at(col("mnm"), "click").as("min_click"),
+                  element_at(col("mxm"), "click").as("max_click"),
+                  element_at(col("mnm"), "purchase").as("min_purchase"),
+                  element_at(col("mxm"), "purchase").as("max_purchase"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id,
+          CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types,
+          MIN(CASE WHEN event_type = 'click' THEN value END) AS min_click,
+          MAX(CASE WHEN event_type = 'click' THEN value END) AS max_click,
+          MIN(CASE WHEN event_type = 'purchase' THEN value END) AS min_purchase,
+          MAX(CASE WHEN event_type = 'purchase' THEN value END) AS max_purchase
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // groupArrayMovingAvg(3) (reference
+    // AggregateFunctionGroupArrayMoving.cpp: the windowed variant divides
+    // by the window SIZE, including the ramp-up elements): movingSum3/3,
+    // posexploded like agg_moving_array so every element hash-checks.
+    QueryDef(
+      "agg_moving_avg_array",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+          .rowsBetween(-2, 0)
+        Tables(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+                  col("value"))
+          .withColumn("m",
+            (sum(col("value").cast(graft.Num.D6)).over(w).cast(DoubleType) / 3))
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(struct(col("us"), col("event_id"), col("m")))).as("s"))
+          .select(col("user_id"), expr("transform(s, x -> x.m)").as("moving_avg3"))
+          .select(col("user_id"), posexplode(col("moving_avg3")).as(Seq("idx", "moving_avg")))
+          .orderBy(col("user_id"), col("idx"))
+      },
+      Some("""
+        WITH b AS (SELECT user_id, EPOCH_US(ts) AS us, event_id, value FROM events),
+        m AS (SELECT user_id, us, event_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                  PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 3 AS mv
+              FROM b)
+        SELECT user_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) - 1 AS INT) AS idx,
+          mv AS moving_avg
+        FROM m
+        ORDER BY user_id, idx""")),
+
     // First-touch model: each purchase credits the EARLIEST click/view
     // inside the 3-day lookback (last-touch's mirror; reference
     // AggregateFunctionAttribution first-touch mode).

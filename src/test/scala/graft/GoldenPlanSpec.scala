@@ -58,6 +58,16 @@ class GoldenPlanSpec extends SparkSpec {
     check("stat_mann_whitney")
   }
 
+  // Round-4 operator wave: attribution windows must stay single-pass
+  // (no purchase×touch join), the interval sweep must stay one window +
+  // one aggregate, quantile selection must stay collect-free, and the
+  // combinator lowerings must stay explode-free single aggregates.
+  Seq("attribution_linear_position", "attribution_first_touch",
+      "agg_max_intersections", "agg_quantiles", "agg_array_combinators",
+      "agg_uniq_up_to").foreach { q =>
+    test(s"$q optimized plan matches golden snapshot") { check(q) }
+  }
+
   // Round-4 TPC-DS shape corpus (TpcdsShapes + TpcdsShapes2) — the
   // reference gates its optimizer on 100 golden TPC-DS plans; these 13
   // snapshots are the Catalyst equivalent for the shapes we carry.
