@@ -39,6 +39,7 @@ object Engine {
       aggregates.WindowFunnel(7L * 86400 * 1000000, 3))
     spark.udf.register("retention3", aggregates.Retention())
     spark.udf.register("top_k_10", aggregates.TopK(10))
+    spark.udf.register("top_k_weighted_10", aggregates.TopKWeighted(10))
     spark.udf.register("minMap", aggregates.MinMap())
     spark.udf.register("maxMap", aggregates.MaxMap())
     spark.udf.register("sumForEach", aggregates.ForEachAgg.sumForEach)

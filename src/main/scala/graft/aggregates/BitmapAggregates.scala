@@ -158,3 +158,33 @@ object TopK {
   def apply(k: Int, capacity: Int = 1 << 16): UserDefinedFunction =
     udaf(new TopK(k, capacity), Encoders.scalaLong)
 }
+
+/** topKWeighted (reference AggregateFunctionTopK.cpp weighted
+  * registration): SpaceSaving over a per-row integer weight instead of 1
+  * — same state, same O(log capacity) displacement, exact when capacity
+  * ≥ NDV (the oracle's check), bounded-memory approximation beyond.
+  */
+final case class TopKWeightedInput(x: Long, w: Long)
+
+class TopKWeighted(k: Int, capacity: Int)
+    extends Aggregator[TopKWeightedInput, TopKState, Seq[Long]] with Serializable {
+  def zero: TopKState = new TopKState
+  def reduce(b: TopKState, in: TopKWeightedInput): TopKState = {
+    b.add(in.x, in.w, capacity); b
+  }
+  def merge(a: TopKState, b: TopKState): TopKState = {
+    b.counts.forEach((x, c) => a.add(x, c, capacity))
+    a
+  }
+  def finish(b: TopKState): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    b.counts.asScala.toSeq.sortBy { case (x, c) => (-c, x) }.take(k).map(_._1)
+  }
+  def bufferEncoder: Encoder[TopKState] = Encoders.kryo
+  def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoders.seqLong
+}
+
+object TopKWeighted {
+  def apply(k: Int, capacity: Int = 1 << 16): UserDefinedFunction =
+    udaf(new TopKWeighted(k, capacity), Encoders.product[TopKWeightedInput])
+}

@@ -258,6 +258,27 @@ object CoverageWave5 {
         FROM m
         ORDER BY user_id, idx""")),
 
+    // topKWeighted: SpaceSaving heavy hitters by integer weight (floor of
+    // the event value — floor, not cast, because DuckDB's double→BIGINT
+    // cast rounds while Spark's truncates). Exact at test capacity.
+    QueryDef(
+      "topk_weighted_value",
+      (s, dir) => {
+        val topkw = graft.aggregates.TopKWeighted(10)
+        Tables(s, dir, "events")
+          .agg(topkw(col("user_id"), floor(col("value")).cast("long")).as("tu"))
+          .select(posexplode(col("tu")).as(Seq("pos", "user_id")))
+          .select((col("pos") + 1).as("rank"), col("user_id"))
+          .orderBy(col("rank"))
+      },
+      Some("""
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY w DESC, user_id) AS INTEGER) AS rank,
+          user_id
+        FROM (SELECT user_id, SUM(CAST(FLOOR(value) AS BIGINT)) AS w
+              FROM events GROUP BY user_id) t
+        ORDER BY w DESC, user_id
+        LIMIT 10""")),
+
     // First-touch model: each purchase credits the EARLIEST click/view
     // inside the 3-day lookback (last-touch's mirror; reference
     // AggregateFunctionAttribution first-touch mode).

@@ -244,6 +244,19 @@ object ClickHouseAliases {
 
     // arrays
     "arrayUniq" -> (cs => Size(ArrayDistinct(cs.head))),
+    // arrayEnumerate([a,b,c]) = [1,2,3] (reference arrayEnumerate.cpp).
+    "arrayEnumerate" -> (cs =>
+      If(LessThanOrEqual(Size(cs.head), Literal(0)),
+        Literal.create(Array.empty[Int], ArrayType(IntegerType)),
+        new Sequence(Literal(1), Size(cs.head), Some(Literal(1))))),
+    // arrayEnumerateUniq: 1-based occurrence number of each element among
+    // its equals so far (reference arrayEnumerateUniq.cpp) — a per-row
+    // prefix count; O(len²) per array, fine for row-local arrays.
+    "arrayEnumerateUniq" -> (cs => ArrayTransform(cs.head,
+      LambdaFunction(
+        Size(ArrayFilter(Slice(cs.head, Literal(1), Add(lv("i"), Literal(1))),
+          LambdaFunction(EqualNullSafe(lv("y"), lv("x")), Seq(lv("y"))))),
+        Seq(lv("x"), lv("i"))))),
     "arrayPushBack" -> (cs => ArrayAppend(cs.head, cs(1))),
     "arrayPopBack" -> (cs => Slice(cs.head, Literal(1), Subtract(Size(cs.head), Literal(1)))),
     "arrayElement" -> (cs => ElementAt(cs.head, cs(1))),

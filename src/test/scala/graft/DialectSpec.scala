@@ -163,6 +163,15 @@ class DialectSpec extends SparkSpec {
     assert(rn.getDouble(2) === 6.0)
   }
 
+  test("arrayEnumerate / arrayEnumerateUniq occurrence numbering") {
+    val r = one("""SELECT arrayEnumerate(array('a', 'b', 'c')),
+                   arrayEnumerate(array()),
+                   arrayEnumerateUniq(array(10, 20, 10, 10, 20))""")
+    assert(r.getSeq[Int](0) === Seq(1, 2, 3))
+    assert(r.getSeq[Int](1) === Seq())
+    assert(r.getSeq[Int](2) === Seq(1, 1, 2, 3, 2))
+  }
+
   test("numbers() table function, arrayReduce, substringIndex, JSONArrayLength") {
     val n = spark.sql("SELECT CAST(SUM(number) AS BIGINT) AS s FROM numbers(10)")
       .collect()(0).getLong(0)
