@@ -333,15 +333,15 @@ object CoverageWave5 {
       (s, dir) => {
         val w3 = Window.partitionBy(col("user_id")).orderBy(col("us"))
           .rangeBetween(-LookbackUs, -1)
-        val isTouch = col("event_type").isin("click", "view")
+        // All four frame aggregates in one select → a single Window node
+        // (one pass over each user's sorted stream), not four.
         val base = Tables(s, dir, "events")
           .withColumn("us", unix_micros(col("ts")))
-          .withColumn("n_click",
-            count(when(col("event_type") === "click", 1)).over(w3))
-          .withColumn("n_view",
-            count(when(col("event_type") === "view", 1)).over(w3))
-          .withColumn("first_code", min(touchCode).over(w3))
-          .withColumn("last_code", max(touchCode).over(w3))
+          .select(col("user_id"), col("event_type"), col("us"),
+            count(when(col("event_type") === "click", 1)).over(w3).as("n_click"),
+            count(when(col("event_type") === "view", 1)).over(w3).as("n_view"),
+            min(touchCode).over(w3).as("first_code"),
+            max(touchCode).over(w3).as("last_code"))
           .filter(col("event_type") === "purchase")
           .withColumn("k", (col("n_click") + col("n_view")).cast(LongType))
         val firstClick = when(pmod(col("first_code"), lit(2)) === 0, 1d).otherwise(0d)

@@ -272,6 +272,16 @@ object ClickHouseAliases {
     "sipHash64" -> (cs => new XxHash64(cs)), // hash parity non-goal (SURVEY §2.2)
     "murmurHash3_64" -> (cs => new XxHash64(cs)),
 
+    // bits / strings round 4
+    "bitShiftLeft" -> (cs => ShiftLeft(cs.head, Cast(cs(1), IntegerType))),
+    "bitShiftRight" -> (cs => ShiftRight(cs.head, Cast(cs(1), IntegerType))),
+    "bitTest" -> (cs => Cast(BitwiseAnd(
+      ShiftRight(Cast(cs.head, LongType), Cast(cs(1), IntegerType)), Literal(1L)),
+      IntegerType)),
+    "lengthUTF8" -> (cs => Length(cs.head)), // Spark length counts chars
+    "positionCaseInsensitive" -> (cs => StringInstr(Lower(cs.head), Lower(cs(1)))),
+    "monthName" -> (cs => DateFormatClass(cs.head, Literal("MMMM"))),
+
     // sequenceMatch('pat')(t, c1, ...) / sequenceCount — CH's
     // parameterized-aggregate syntax flattens to leading-argument form
     // (same convention as quantileExact above):

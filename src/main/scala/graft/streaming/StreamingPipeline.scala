@@ -128,6 +128,23 @@ object StreamingPipeline {
       expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $windowSpec"))
   }
 
+  /** Streaming exact deduplication: keep the first arrival per key,
+    * dropping replays that land within the watermark horizon — the
+    * stream-side half of the pipeline's exact-dedup story (the batch half
+    * is `operators.Dedup.exactKeepFirst`). State is bounded by the
+    * watermark: a key's dedup entry is evicted once the watermark passes
+    * its event time, so unbounded streams don't accumulate unbounded
+    * state — the same replay-window contract a Kafka consumer's
+    * offsets+keys dedup gives the reference.
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Custom streaming state via flatMapGroupsWithState (the reference's
     * incremental-MV/LiveView role, SURVEY §2.10): a per-user counter
     * updated as micro-batches arrive. Emits the final state per user of

@@ -32,6 +32,47 @@ class AggregatorsSpec extends SparkSpec {
     assert(r(2).getSeq[Long](5) === Seq(1L))
   }
 
+  test("-ForEach differential vs posexplode reference on random ragged data") {
+    val rnd = new scala.util.Random(97)
+    val rows = (1 to 2000).map { _ =>
+      val g = rnd.nextInt(40)
+      val arr =
+        if (rnd.nextInt(20) == 0) null
+        else Seq.fill(rnd.nextInt(6))(math.rint(rnd.nextDouble() * 2e6 - 1e6) / 1e6)
+      (g, arr)
+    }
+    val df = rows.toDF("g", "arr").repartition(8)
+    val mine = df.groupBy($"g")
+      .agg(ForEachAgg.sumForEach($"arr").as("s"),
+           ForEachAgg.minForEach($"arr").as("mn"),
+           ForEachAgg.maxForEach($"arr").as("mx"),
+           ForEachAgg.countForEach($"arr").as("c"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getSeq[Double](1), r.getSeq[Double](2), r.getSeq[Double](3), r.getSeq[Long](4)))
+      .toMap
+    // Scala-side reference: explode by index, aggregate, regroup.
+    val ref = rows.filter(_._2 != null)
+      .flatMap { case (g, arr) => arr.zipWithIndex.map { case (v, i) => ((g, i), v) } }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val refByG = ref.keys.map(_._1).toSet
+    refByG.foreach { g =>
+      val width = ref.keys.filter(_._1 == g).map(_._2).max + 1
+      val (s, mn, mx, c) = mine(g)
+      (0 until width).foreach { i =>
+        val vs = ref((g, i))
+        val expSum = vs.map(v => math.rint(v * 1e6).toLong).sum / 1e6
+        assert(s(i) === expSum, s"sum g=$g i=$i")
+        assert(mn(i) === vs.min, s"min g=$g i=$i")
+        assert(mx(i) === vs.max, s"max g=$g i=$i")
+        assert(c(i) === vs.size.toLong, s"count g=$g i=$i")
+      }
+    }
+    // groups whose rows were all null arrays produce empty result arrays
+    mine.foreach { case (g, (s, _, _, c)) =>
+      if (!refByG.contains(g)) { assert(s.isEmpty); assert(c.isEmpty) }
+    }
+  }
+
   test("windowFunnel: reference getEventLevel semantics with window limit") {
     // user 1: 1@10 → 2@20 → 3@30 full depth
     // user 2: step2 before step1 → depth 1

@@ -163,6 +163,20 @@ class DialectSpec extends SparkSpec {
     assert(rn.getDouble(2) === 6.0)
   }
 
+  test("bit helpers, lengthUTF8, positionCaseInsensitive, monthName") {
+    val r = one("""SELECT bitShiftLeft(3, 2), bitShiftRight(12, 2),
+                   bitTest(5, 0), bitTest(5, 1),
+                   lengthUTF8('héllo'), positionCaseInsensitive('Hello World', 'WORLD'),
+                   monthName(DATE '2024-03-15')""")
+    assert(r.getInt(0) === 12)
+    assert(r.getInt(1) === 3)
+    assert(r.getInt(2) === 1)
+    assert(r.getInt(3) === 0)
+    assert(r.getInt(4) === 5)
+    assert(r.getInt(5) === 7)
+    assert(r.getString(6) === "March")
+  }
+
   test("arrayEnumerate / arrayEnumerateUniq occurrence numbering") {
     val r = one("""SELECT arrayEnumerate(array('a', 'b', 'c')),
                    arrayEnumerate(array()),

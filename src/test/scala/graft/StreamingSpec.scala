@@ -78,6 +78,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first arrival per key within the watermark") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("graft_dd_src").toString + "/t"
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // event 2 replays twice (same key, later times); event 1 once
+    Seq((1L, ts(0), 1.0), (2L, ts(1), 2.0), (2L, ts(2), 2.5))
+      .toDF("event_id", "ts", "value").write.parquet(src)
+    Seq((2L, ts(3), 2.9), (3L, ts(4), 3.0))
+      .toDF("event_id", "ts", "value").write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val deduped = graft.streaming.StreamingPipeline
+      .dedupStream(stream, Seq("event_id"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("dd_out")
+      .select($"event_id", $"value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    // one row per key, the first-arriving value
+    assert(out.map(_._1) === Seq(1L, 2L, 3L))
+    assert(out.toMap.apply(2L) === 2.0)
+  }
+
   test("stream-stream interval join matches the batch join") {
     import org.apache.spark.sql.streaming.Trigger
     val dirA = Files.createTempDirectory("graft_ss_imp").toString + "/t"
