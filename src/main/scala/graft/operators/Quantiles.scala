@@ -108,6 +108,42 @@ object Quantiles {
     marked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** quantileExactLow / quantileExactHigh (reference QuantileExact.h:253 —
+    * selection at a rank, no interpolation: level 0.5 picks the low/high
+    * median; any other level picks index trunc(level·n), capped at n-1;
+    * the trunc happens on the IEEE double product exactly as in the
+    * reference, so boundary cases agree bit-for-bit). Same distributed
+    * histogram shape as [[percentiles]] — no per-group value buffer.
+    */
+  def percentilesExactRank(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      specs: Seq[(Double, String)],
+      high: Boolean): DataFrame = {
+    val cnt = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col(groupCol))
+    val marked = cnt
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__lo", col("__cum") - col("__c"))
+    val n = col("__n")
+    def rankOf(p: Double) =
+      if (p == 0.5) {
+        if (high) floor(n / 2).cast("long")
+        else when(n % 2 === 1, floor(n / 2)).otherwise(n / 2 - 1).cast("long")
+      } else least(floor(lit(p) * n), n - 1).cast("long")
+    val aggs = specs.map { case (p, name) =>
+      val r = rankOf(p)
+      max(when(col("__lo") <= r && r < col("__cum"), col("__v"))).as(name)
+    }
+    marked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Two-phase distributed selection for high-cardinality numeric
     * columns: pass 1 aggregates counts per (group, coarse bucket) — the
     * shuffle carries O(groups × buckets) rows regardless of data size —

@@ -258,6 +258,53 @@ object CoverageWave5 {
         FROM m
         ORDER BY user_id, idx""")),
 
+    // quantileExactLow / High: rank selection without interpolation
+    // (reference QuantileExact.h:253 — low/high median at level 0.5,
+    // trunc(level·n) otherwise). Distributed histogram, no value buffer.
+    QueryDef(
+      "agg_quantiles_lowhigh",
+      (s, dir) => {
+        import graft.operators.Quantiles
+        val li = Tables(s, dir, "lineitem")
+        val lo = Quantiles.percentilesExactRank(li, "l_linestatus", "l_quantity",
+          Seq(0.5 -> "med_low", 0.1 -> "p10_low"), high = false)
+        val hi = Quantiles.percentilesExactRank(li, "l_linestatus", "l_quantity",
+          Seq(0.5 -> "med_high"), high = true)
+        lo.join(hi, "l_linestatus")
+          .select(col("l_linestatus"), col("med_low"), col("med_high"), col("p10_low"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT l_linestatus,
+            LIST(l_quantity ORDER BY l_quantity) AS a, COUNT(*) AS n
+          FROM lineitem GROUP BY l_linestatus)
+        SELECT l_linestatus,
+          a[CAST(CASE WHEN n % 2 = 1 THEN n // 2 ELSE n // 2 - 1 END AS BIGINT) + 1]
+            AS med_low,
+          a[n // 2 + 1] AS med_high,
+          a[LEAST(CAST(FLOOR(0.1 * n) AS BIGINT), n - 1) + 1] AS p10_low
+        FROM s
+        ORDER BY l_linestatus""")),
+
+    // groupArraySorted(N): the N smallest values per group, sorted.
+    QueryDef(
+      "agg_group_array_sorted",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT o_orderstatus, groupArraySorted(5, o_totalprice) AS low5
+          FROM orders
+          GROUP BY o_orderstatus
+          ORDER BY o_orderstatus""")
+      },
+      Some("""
+        SELECT o_orderstatus,
+          (LIST(o_totalprice ORDER BY o_totalprice))[1:5] AS low5
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
     // topKWeighted: SpaceSaving heavy hitters by integer weight (floor of
     // the event value — floor, not cast, because DuckDB's double→BIGINT
     // cast rounds while Spark's truncates). Exact at test capacity.

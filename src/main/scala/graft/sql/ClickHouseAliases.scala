@@ -367,6 +367,15 @@ object ClickHouseAliases {
           s"arrayReduce: unsupported aggregate '$other' (sum/avg/min/max/count)")
       }
     }),
+    // arrayCumSum (reference arrayCumSum.cpp): prefix sums. Per-element
+    // fold over the prefix slice — O(len²) per array, row-local.
+    "arrayCumSum" -> (cs => ArrayTransform(cs.head,
+      LambdaFunction(
+        ArrayAggregate(Slice(cs.head, Literal(1), Add(lv("i"), Literal(1))),
+          Literal(0.0d),
+          LambdaFunction(Add(lv("a"), Cast(lv("x"), DoubleType)), Seq(lv("a"), lv("x"))),
+          LambdaFunction(lv("a"), Seq(lv("a")))),
+        Seq(lv("e"), lv("i"))))),
     // arrayResize(arr, n [, fill]): truncate or pad to length n.
     "arrayResize" -> (cs => {
       val fill = if (cs.size > 2) cs(2) else Literal.create(null, NullType)
@@ -404,6 +413,12 @@ object ClickHouseAliases {
     "avgArray" -> (cs => Divide(
       Sum(arrayFoldSum(cs.head)).toAggregateExpression(),
       Cast(Sum(Cast(Size(cs.head), LongType)).toAggregateExpression(), DoubleType))),
+    // groupArraySorted(N)(x) (reference AggregateFunctionGroupArraySorted
+    // registration): the N smallest values, sorted — deterministic even
+    // though collect order isn't, because the sort happens in the alias.
+    "groupArraySorted" -> (cs => Slice(
+      new SortArray(CollectList(cs(1)).toAggregateExpression()),
+      Literal(1), cs.head)),
     // uniqUpTo(N)(x) (reference AggregateFunctionUniqUpTo.h: exact
     // distinct count while ≤ N, else N+1) — CH's parameterized syntax
     // flattens to uniqUpTo(N, x), same convention as quantileExact.

@@ -177,6 +177,15 @@ class DialectSpec extends SparkSpec {
     assert(r.getString(6) === "March")
   }
 
+  test("arrayCumSum prefix sums and groupArraySorted") {
+    val r = one("SELECT arrayCumSum(array(1.0, 2.5, -1.0)), arrayCumSum(array())")
+    assert(r.getSeq[Double](0) === Seq(1.0, 3.5, 2.5))
+    assert(r.getSeq[Double](1) === Seq())
+    Seq(5.0, 1.0, 3.0, 2.0, 4.0, 0.5).toDF("v").createOrReplaceTempView("gas_t")
+    val g = one("SELECT groupArraySorted(3, v) FROM gas_t")
+    assert(g.getSeq[Double](0) === Seq(0.5, 1.0, 2.0))
+  }
+
   test("arrayEnumerate / arrayEnumerateUniq occurrence numbering") {
     val r = one("""SELECT arrayEnumerate(array('a', 'b', 'c')),
                    arrayEnumerate(array()),
