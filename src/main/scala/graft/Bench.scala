@@ -48,14 +48,20 @@ object Bench {
     // Untimed warmup: parquet footers, codegen compiler, shuffle machinery.
     Tables.all.foreach(t => Tables(spark, sfDir, t).count())
     val queries = SparkEntry.queries
-    // Run every headline query once untimed so whole-stage-codegen classes,
-    // AQE-chosen plan variants, and JIT are all warm before measurement —
-    // the timed pass reports steady-state throughput (the reference's perf
-    // CI likewise compares repeated-run statistics, not first-run latency:
-    // /root/reference/tests/performance/README.md).
-    headline.filter(queries.contains).foreach { name =>
-      try queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+    // Run every headline query untimed (twice) so whole-stage-codegen
+    // classes, AQE-chosen plan variants, and JIT are all warm before
+    // measurement — the timed pass reports steady-state throughput (the
+    // reference's perf CI likewise compares repeated-run statistics, not
+    // first-run latency: /root/reference/tests/performance/README.md).
+    // Two passes because AQE can pick a different physical plan on the
+    // second run (runtime stats), whose codegen then compiles fresh —
+    // profiling shows rep 2 of the multi-stage queries still paying
+    // compilation that rep 3 does not.
+    (1 to 2).foreach { _ =>
+      headline.filter(queries.contains).foreach { name =>
+        try queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
     }
     // Drop warmup caches so timed runs start from clean memory. Must go
     // through the catalog: raw RDD unpersist would leave stale
