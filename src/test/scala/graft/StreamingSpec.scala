@@ -81,26 +81,36 @@ class StreamingSpec extends SparkSpec {
   test("streaming dedup keeps first arrival per key within the watermark") {
     import org.apache.spark.sql.streaming.Trigger
     val src = Files.createTempDirectory("graft_dd_src").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_dd_ckpt").toString
     def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
-    // event 2 replays twice (same key, later times); event 1 once
-    Seq((1L, ts(0), 1.0), (2L, ts(1), 2.0), (2L, ts(2), 2.5))
+    // Within-batch duplicates share a value (which one survives a single
+    // micro-batch is not ordered); the across-batch replay is the real
+    // contract under test, via checkpointed dedup state.
+    Seq((1L, ts(0), 1.0), (2L, ts(1), 2.0), (2L, ts(2), 2.0))
       .toDF("event_id", "ts", "value").write.parquet(src)
+
+    val sink = Files.createTempDirectory("graft_dd_sink").toString + "/out"
+    val schema = spark.read.parquet(src).schema
+    def runOnce(): Seq[(Long, Double)] = {
+      val stream = spark.readStream.schema(schema).parquet(src)
+      val deduped = graft.streaming.StreamingPipeline
+        .dedupStream(stream, Seq("event_id"), "ts", "10 minutes")
+      val q = deduped.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(sink).select($"event_id", $"value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    }
+
+    // batch 1: one row per key
+    assert(runOnce() === Seq(1L -> 1.0, 2L -> 2.0))
+
+    // batch 2: the event-2 replay is dropped by the checkpointed dedup
+    // state; only the genuinely new key lands in the sink.
     Seq((2L, ts(3), 2.9), (3L, ts(4), 3.0))
       .toDF("event_id", "ts", "value").write.mode("append").parquet(src)
-
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema).parquet(src)
-    val deduped = graft.streaming.StreamingPipeline
-      .dedupStream(stream, Seq("event_id"), "ts", "10 minutes")
-    val q = deduped.writeStream.format("memory").queryName("dd_out")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val out = spark.table("dd_out")
-      .select($"event_id", $"value").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
-    // one row per key, the first-arriving value
-    assert(out.map(_._1) === Seq(1L, 2L, 3L))
-    assert(out.toMap.apply(2L) === 2.0)
+    assert(runOnce() === Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
   }
 
   test("stream-stream interval join matches the batch join") {
