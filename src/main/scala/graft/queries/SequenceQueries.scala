@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.aggregates.SequenceMatchAgg.{sequenceCount, sequenceMatch}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** sequenceMatch / sequenceCount pattern-DSL queries (reference
@@ -153,6 +154,43 @@ object SequenceQueries {
           FROM w2 GROUP BY user_id)
         SELECT CAST(SUM(m) AS BIGINT) AS n_matched_users,
                COUNT(*) AS n_users FROM f""")),
+
+    // sequenceNextNode(forward, first_match) (reference
+    // AggregateFunctionSequenceNextNode.cpp:141): after the first
+    // consecutive signup→click chain in each user's stream, which event
+    // comes next? Pure lead()-window plan — one shuffle on user_id, the
+    // chain match and the next-node read share one sorted pass.
+    QueryDef(
+      "sequence_next_node",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val ev = Tables(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("n1", lead(col("event_type"), 1).over(w))
+          .withColumn("n2", lead(col("event_type"), 2).over(w))
+        val wm = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        ev.filter(col("event_type") === "signup" && col("n1") === "click")
+          .withColumn("rn", row_number().over(wm))
+          .filter(col("rn") === 1)
+          .groupBy(coalesce(col("n2"), lit("END")).as("next_node"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("next_node"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, EPOCH_US(ts) AS us, event_type,
+            LEAD(event_type, 1) OVER w AS n1,
+            LEAD(event_type, 2) OVER w AS n2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id)),
+        m AS (
+          SELECT n2,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+          FROM o WHERE event_type = 'signup' AND n1 = 'click')
+        SELECT COALESCE(n2, 'END') AS next_node, COUNT(*) AS n_users
+        FROM m WHERE rn = 1
+        GROUP BY 1
+        ORDER BY next_node""")),
 
     // sequenceCount('(?1)(?2)'): adjacent click→purchase pairs in the
     // click/purchase row list, counted greedily non-overlapping. With

@@ -35,6 +35,8 @@ object ClickHouseAliases {
     // approximate + conditional aggregates
     "uniq" -> (cs => new HyperLogLogPlusPlus(cs.head)),
     "uniqHLL12" -> (cs => new HyperLogLogPlusPlus(cs.head)),
+    "uniqCombined" -> (cs => new HyperLogLogPlusPlus(cs.head)),
+    "uniqCombined64" -> (cs => new HyperLogLogPlusPlus(cs.head)),
     "countIf" -> (cs => CountIf(cs.head)),
     "sumIf" -> (cs => Sum(nullUnless(cs(1), cs.head))),
     "avgIf" -> (cs => Average(nullUnless(cs(1), cs.head))),
