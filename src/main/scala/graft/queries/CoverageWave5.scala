@@ -141,9 +141,15 @@ object CoverageWave5 {
           .unionAll(li.select(col("l_returnflag"), col("ed").as("pt"), lit(-1).as("delta")))
         val w = Window.partitionBy(col("l_returnflag")).orderBy(col("pt"), col("delta"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("l_returnflag"))
+        // maxIntersectionsPosition = first point reaching the maximum
+        // (the reference records the position on each new maximum during
+        // its ascending scan — i.e. the smallest such point).
         pts.withColumn("run", sum(col("delta")).over(w))
+          .withColumn("mx", max(col("run")).over(wAll))
           .groupBy(col("l_returnflag"))
           .agg(max(col("run")).as("max_concurrent"),
+               min(when(col("run") === col("mx"), col("pt"))).cast("long").as("max_position"),
                count(lit(1)).as("n_points"))
           .orderBy(col("l_returnflag"))
       },
@@ -159,13 +165,18 @@ object CoverageWave5 {
           UNION ALL
           SELECT l_returnflag, ed AS pt, -1 AS delta FROM iv),
         r AS (
-          SELECT l_returnflag,
+          SELECT l_returnflag, pt,
             SUM(delta) OVER (PARTITION BY l_returnflag ORDER BY pt, delta
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-          FROM pts)
+          FROM pts),
+        r2 AS (
+          SELECT l_returnflag, pt, run,
+            MAX(run) OVER (PARTITION BY l_returnflag) AS mx
+          FROM r)
         SELECT l_returnflag, CAST(MAX(run) AS BIGINT) AS max_concurrent,
+          CAST(MIN(CASE WHEN run = mx THEN pt END) AS BIGINT) AS max_position,
           COUNT(*) AS n_points
-        FROM r
+        FROM r2
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 

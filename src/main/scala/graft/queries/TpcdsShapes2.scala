@@ -311,6 +311,75 @@ object TpcdsShapes2 {
             / COUNT(CASE WHEN EXTRACT(hour FROM ts) >= 12 THEN 1 END), 6) AS am_pm_ratio
         FROM events
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // q34 shape: per-customer order counts banded by HAVING, joined back
+    // to the customer dim, distribution per market segment — aggregate →
+    // HAVING filter → broadcast dim join → re-aggregate.
+    QueryDef(
+      "tpcds_having_band",
+      (s, dir) => {
+        val freq = Tables(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 8 && col("n_orders") <= 12)
+        freq.join(broadcast(Tables(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"),
+               sum(col("n_orders")).as("n_orders"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        WITH freq AS (
+          SELECT o_custkey, COUNT(*) AS n
+          FROM orders
+          GROUP BY o_custkey
+          HAVING COUNT(*) BETWEEN 8 AND 12)
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+          CAST(SUM(n) AS BIGINT) AS n_orders
+        FROM freq JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // q58 shape: the same measure aggregated over two disjoint periods,
+    // equi-joined per key, kept only where each side lands inside a
+    // tolerance band of their joint average — two scans of one fact
+    // table, join on the group key, ratio residual predicates.
+    QueryDef(
+      "tpcds_tolerance_compare",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        def period(f: org.apache.spark.sql.Column, alias: String) =
+          li.filter(f).groupBy(col("l_partkey").as(s"${alias}_key"))
+            .agg(dsum2(col("l_extendedprice")).as(s"${alias}_rev"))
+        val h1 = period(col("l_shipdate") < "1994-07-01", "h1")
+        val h2 = period(col("l_shipdate") >= "1994-07-01", "h2")
+        h1.join(h2, col("h1_key") === col("h2_key"))
+          .withColumn("avg_rev", (col("h1_rev") + col("h2_rev")) / 2)
+          .filter(col("h1_rev").between(col("avg_rev") * 0.9, col("avg_rev") * 1.1) &&
+                  col("h2_rev").between(col("avg_rev") * 0.9, col("avg_rev") * 1.1))
+          .select(col("h1_key").as("l_partkey"),
+                  round(col("h1_rev"), 2).as("h1_rev"),
+                  round(col("h2_rev"), 2).as("h2_rev"))
+          .orderBy(col("l_partkey"))
+      },
+      Some("""
+        WITH h1 AS (
+          SELECT l_partkey AS k,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+          FROM lineitem WHERE l_shipdate < DATE '1994-07-01'
+          GROUP BY l_partkey),
+        h2 AS (
+          SELECT l_partkey AS k,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+          FROM lineitem WHERE l_shipdate >= DATE '1994-07-01'
+          GROUP BY l_partkey)
+        SELECT h1.k AS l_partkey,
+          ROUND(h1.rev, 2) AS h1_rev, ROUND(h2.rev, 2) AS h2_rev
+        FROM h1 JOIN h2 ON h1.k = h2.k
+        WHERE h1.rev BETWEEN 0.9 * (h1.rev + h2.rev) / 2 AND 1.1 * (h1.rev + h2.rev) / 2
+          AND h2.rev BETWEEN 0.9 * (h1.rev + h2.rev) / 2 AND 1.1 * (h1.rev + h2.rev) / 2
+        ORDER BY l_partkey"""))
   )
 }

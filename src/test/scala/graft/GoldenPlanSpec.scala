@@ -75,7 +75,7 @@ class GoldenPlanSpec extends SparkSpec {
       "tpcds_union_channels", "tpcds_returns_net", "tpcds_promo_ratio",
       "tpcds_mom_growth", "tpcds_exists_pair", "tpcds_best_worst",
       "tpcds_two_level_agg", "tpcds_intersect_periods", "tpcds_brand_monthly_dev",
-      "tpcds_ampm_ratio").foreach { q =>
+      "tpcds_ampm_ratio", "tpcds_having_band", "tpcds_tolerance_compare").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
 }
