@@ -58,6 +58,28 @@ object Mutations {
     swapInto(spark, path + ".mutating", path)
   }
 
+  /** OPTIMIZE-style small-file compaction (the reference's OPTIMIZE TABLE
+    * / background merge, src/Interpreters/InterpreterOptimizeQuery.cpp):
+    * rewrite the table into ⌈bytes / targetFileBytes⌉ files with the same
+    * rename-aside commit as mutations. Data is byte-identical, file count
+    * drops to the target — the operational fix for streaming sinks and
+    * fine-grained partition writes that accumulate thousands of small
+    * files (a real 100 TB failure mode: scan task count explodes and
+    * footer reads dominate). Returns the new file count.
+    */
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): Int = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(path)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(path + ".compacting")
+    swapInto(spark, path + ".compacting", path)
+    fs.listStatus(new Path(path)).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Rename-aside commit: move `dst` aside (if present), move `tmpPath`
     * into place, drop the old copy. Shared by [[rewrite]] and the
     * MaterializedView batch refresh.

@@ -56,6 +56,21 @@ class StorageSemanticsSpec extends SparkSpec {
     assert(kept === Array(2L, 3L))
   }
 
+  test("compact: small files merge to the target count, data byte-identical") {
+    import graft.operators.Mutations
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, s"row_$i", i * 1.5)).toDF("id", "name", "v")
+    df.repartition(64).write.parquet(dir) // 64 tiny files
+    val before = spark.read.parquet(dir)
+    val beforeSum = before.agg(sum($"v")).collect()(0).getDouble(0)
+    val nFiles = Mutations.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(nFiles < 64, s"expected fewer files after compaction, got $nFiles")
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 5000)
+    assert(after.agg(sum($"v")).collect()(0).getDouble(0) === beforeSum)
+    assert(after.exceptAll(df).isEmpty && df.exceptAll(after).isEmpty)
+  }
+
   test("salted join matches plain join results under skew") {
     val left = Seq.fill(5000)((1L, "hot")).toDF("k", "tag")
       .union(Seq((2L, "cold")).toDF("k", "tag"))
