@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Row-order functions (reference src/Functions/runningDifference.h,
+  * src/Functions/neighbor.cpp).
+  *
+  * The reference computes these over the current processing BLOCK — its
+  * own docs flag the result as order- and chunk-dependent. On a
+  * distributed engine that contract is meaningless (blocks don't exist;
+  * partition boundaries are arbitrary), so this surface requires the
+  * ordering explicitly and lowers to lag/lead windows — the
+  * deterministic form the reference recommends migrating to. One shuffle
+  * on the partition key; both functions over the same (partition, order)
+  * share a single Window node / sorted pass.
+  */
+object RowOrder {
+
+  private def w(partition: Seq[Column], order: Seq[Column]) =
+    Window.partitionBy(partition: _*).orderBy(order: _*)
+
+  /** runningDifference(x): x minus the previous row's x within the
+    * partition; the first row yields the typed zero (the reference
+    * returns 0, not NULL, at the front of a block).
+    */
+  def runningDifference(
+      value: Column, partition: Seq[Column], order: Seq[Column]): Column = {
+    val prev = lag(value, 1).over(w(partition, order))
+    when(prev.isNull, value - value).otherwise(value - prev)
+  }
+
+  /** neighbor(x, offset[, default]): the value `offset` rows ahead
+    * (negative → behind) in the partition's order; `default` when the
+    * neighbor falls outside the partition (the reference falls back to
+    * the column type's default when no third argument is given — pass it
+    * explicitly here).
+    */
+  def neighbor(
+      value: Column, offset: Int, default: Column,
+      partition: Seq[Column], order: Seq[Column]): Column = {
+    val win = w(partition, order)
+    val shifted =
+      if (offset >= 0) lead(value, offset).over(win)
+      else lag(value, -offset).over(win)
+    coalesce(shifted, default)
+  }
+}

@@ -29,7 +29,7 @@ object ClickHouseAliases {
     If(cond, value, Literal.create(null, value.dataType))
 
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
-    wave1 ++ wave2 ++ arrayWave ++ combinatorWave
+    wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -428,6 +428,143 @@ object ClickHouseAliases {
       Count(Seq(cs(1))).toAggregateExpression(isDistinct = true),
       Add(Cast(cs.head, LongType), Literal(1L)))))
   )
+
+  /** -OrNull / -OrDefault / -Distinct / -Resample combinator instances +
+    * anyHeavy + formatDateTime (reference
+    * AggregateFunctionCombinatorFactory.cpp registrations of -OrNull /
+    * -OrDefault / -Distinct / -Resample; AggregateFunctionAnyHeavy.cpp;
+    * src/Functions/formatDateTime.cpp).
+    *
+    * -OrNull returns NULL instead of the type default when the aggregate
+    * saw no input; Spark's sum/avg/min/max already do exactly that, so
+    * only count needs the explicit 0→NULL map (a zero count arises iff no
+    * non-null input reached the aggregate — the same "never updated"
+    * condition the reference's wrapper tracks). -OrDefault is the
+    * converse: Coalesce back to the default. -Distinct lowers to
+    * Catalyst's native distinct-aggregate planning (partial distinct on
+    * the map side — no row explosion).
+    */
+  private def combinatorWave2: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "countOrNull" -> (cs => {
+      val c = Count(cs).toAggregateExpression()
+      If(EqualTo(c, Literal(0L)), Literal.create(null, LongType), c)
+    }),
+    "sumOrNull" -> (cs => Sum(cs.head)),
+    "avgOrNull" -> (cs => Average(cs.head)),
+    "minOrNull" -> (cs => Min(cs.head)),
+    "maxOrNull" -> (cs => Max(cs.head)),
+    "countOrDefault" -> (cs => Count(cs)),
+    "sumOrDefault" -> (cs =>
+      Coalesce(Seq(Sum(cs.head).toAggregateExpression(), Literal(0)))),
+    "avgOrDefault" -> (cs =>
+      Coalesce(Seq(Average(cs.head).toAggregateExpression(), Literal(0d)))),
+    "minOrDefault" -> (cs =>
+      Coalesce(Seq(Min(cs.head).toAggregateExpression(), Literal(0)))),
+    "maxOrDefault" -> (cs =>
+      Coalesce(Seq(Max(cs.head).toAggregateExpression(), Literal(0)))),
+    "countDistinct" -> (cs => Count(cs).toAggregateExpression(isDistinct = true)),
+    "sumDistinct" -> (cs => Sum(cs.head).toAggregateExpression(isDistinct = true)),
+    "avgDistinct" -> (cs => Average(cs.head).toAggregateExpression(isDistinct = true)),
+    // anyHeavy: a heavy-hitter value — guaranteed to be THE majority
+    // element when one exists (reference AggregateFunctionAnyHeavy.cpp's
+    // Boyer-Moore-style contract); Mode satisfies that contract and is
+    // deterministic whenever the max count is unique.
+    "anyHeavy" -> (cs => Mode(cs.head)),
+    "sumResample" -> (cs => resample(cs, e => Sum(e))),
+    "countResample" -> (cs => resample(cs, e => Count(Seq(e)))),
+    "formatDateTime" -> (cs => {
+      val fmt = cs(1) match {
+        case Literal(f, StringType) if f != null => f.toString
+        case other => throw new IllegalArgumentException(
+          s"formatDateTime: format must be a string literal, got $other")
+      }
+      DateFormatClass(cs.head, Literal(chFormatToSpark(fmt)))
+    })
+  )
+
+  /** aggResample(start, end, step)(x, key) — CH's parameterized syntax
+    * flattens to leading-argument form: aggResample(start, end, step, x,
+    * key). The key range [start, end) splits into ⌈(end-start)/step⌉
+    * buckets (last one may be narrower); the result is one array with the
+    * aggregate of x over each bucket's rows, empty buckets yielding the
+    * aggregate's default (0 for sum/count — hence the Coalesce). Lowered
+    * to one CreateArray of conditional aggregates: a single hash
+    * aggregate, map-side partials intact, no explode.
+    */
+  private def resample(
+      cs: Seq[Expression],
+      mk: Expression => AggregateFunction): Expression = {
+    def bound(e: Expression, what: String): Long = e match {
+      case Literal(v, _) if v != null => v.toString.toLong
+      case other => throw new IllegalArgumentException(
+        s"-Resample: $what must be an integer literal, got $other")
+    }
+    require(cs.size == 5, s"-Resample expects (start, end, step, x, key); got ${cs.size} args")
+    val start = bound(cs.head, "start")
+    val end = bound(cs(1), "end")
+    val step = bound(cs(2), "step")
+    require(step > 0 && end > start, s"-Resample: need step > 0 and end > start")
+    val n = ((end - start + step - 1) / step).toInt
+    require(n <= 10000, s"-Resample: $n buckets exceeds the 10000 cap")
+    val (x, key) = (cs(3), cs(4))
+    CreateArray((0 until n).map { i =>
+      val lo = start + i * step
+      val hi = math.min(lo + step, end)
+      val cond = And(GreaterThanOrEqual(key, Literal(lo)), LessThan(key, Literal(hi)))
+      Coalesce(Seq(mk(nullUnless(cond, x)).toAggregateExpression(), Literal(0)))
+    })
+  }
+
+  /** Translate a ClickHouse formatDateTime pattern (C-strftime-style %X
+    * specifiers, reference src/Functions/formatDateTime.cpp) into a Spark
+    * DateTimeFormatter pattern. Literal text is single-quoted (letters
+    * are pattern specials in Spark); unsupported specifiers fail loudly
+    * rather than silently formatting something else. %M is the MINUTE,
+    * per the reference's (pre-MySQL-compat) table.
+    */
+  private[sql] def chFormatToSpark(fmt: String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      out.append('\'').append(lit.toString.replace("'", "''")).append('\'')
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%') {
+        if (i + 1 >= fmt.length)
+          throw new IllegalArgumentException("formatDateTime: trailing '%'")
+        fmt.charAt(i + 1) match {
+          case '%' => lit.append('%')
+          case 'n' => lit.append('\n')
+          case 't' => lit.append('\t')
+          case s =>
+            val mapped = s match {
+              case 'a' => "EEE";        case 'b' => "MMM"
+              case 'c' => "MM";         case 'd' => "dd"
+              case 'D' => "MM/dd/yy";   case 'F' => "yyyy-MM-dd"
+              case 'H' => "HH";         case 'I' => "hh"
+              case 'j' => "DDD";        case 'm' => "MM"
+              case 'M' => "mm";         case 'p' => "a"
+              case 'Q' => "Q";          case 'R' => "HH:mm"
+              case 'S' => "ss";         case 'T' => "HH:mm:ss"
+              case 'y' => "yy";         case 'Y' => "yyyy"
+              case other => throw new IllegalArgumentException(
+                s"formatDateTime: unsupported specifier %$other")
+            }
+            flush()
+            out.append(mapped)
+        }
+        i += 2
+      } else {
+        lit.append(c)
+        i += 1
+      }
+    }
+    flush()
+    out.toString
+  }
 
   /** Register every alias into the session's function registry. */
   def inject(ext: SparkSessionExtensions): Unit = {

@@ -267,4 +267,71 @@ class DialectSpec extends SparkSpec {
     assert(r.getString(3) === "bcd")
     assert(r.getSeq[Int](4) === Seq(0, 1, 2))
   }
+
+  test("-OrNull / -OrDefault combinators: NULL vs default on empty input") {
+    Seq((1, 10), (2, 20)).toDF("k", "v").createOrReplaceTempView("oc")
+    // the CASE matches nothing → every aggregate sees zero input rows
+    val r = one("""SELECT
+        countOrNull(CASE WHEN v > 99 THEN 1 END),
+        sumOrNull(CASE WHEN v > 99 THEN v END),
+        minOrNull(CASE WHEN v > 99 THEN v END),
+        sumOrDefault(CASE WHEN v > 99 THEN v END),
+        avgOrDefault(CASE WHEN v > 99 THEN CAST(v AS DOUBLE) END),
+        countOrDefault(CASE WHEN v > 99 THEN 1 END)
+      FROM oc""")
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getLong(3) === 0L)
+    assert(r.getDouble(4) === 0.0)
+    assert(r.getLong(5) === 0L)
+    // and with matching input they equal the plain aggregates
+    val r2 = one("SELECT countOrNull(v), sumOrNull(v), sumOrDefault(v) FROM oc")
+    assert(r2.getLong(0) === 2L && r2.getLong(1) === 30L && r2.getLong(2) === 30L)
+  }
+
+  test("-Distinct combinators deduplicate before aggregating") {
+    Seq(1, 1, 2, 2, 3).toDF("v").createOrReplaceTempView("dc")
+    val r = one("""SELECT countDistinct(v), sumDistinct(v),
+                   avgDistinct(CAST(v AS DOUBLE)) FROM dc""")
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === 6L)
+    assert(r.getDouble(2) === 2.0)
+  }
+
+  test("-Resample buckets the key range, empty buckets default to 0") {
+    Seq((1L, 100L), (5L, 10L), (15L, 1L)).toDF("k", "x")
+      .createOrReplaceTempView("rs")
+    // [0,30) step 10 → buckets [0,10) [10,20) [20,30)
+    val r = one("""SELECT sumResample(0, 30, 10, x, k),
+                   countResample(0, 30, 10, x, k) FROM rs""")
+    assert(r.getSeq[Long](0) === Seq(110L, 1L, 0L))
+    assert(r.getSeq[Long](1) === Seq(2L, 1L, 0L))
+    // last bucket narrower than step: [0,15) step 10 → [0,10) [10,15)
+    val r2 = one("SELECT countResample(0, 15, 10, x, k) FROM rs")
+    assert(r2.getSeq[Long](0) === Seq(2L, 0L))
+  }
+
+  test("anyHeavy returns the majority element") {
+    Seq("a", "a", "a", "b", "c").toDF("v").createOrReplaceTempView("ah")
+    assert(one("SELECT anyHeavy(v) FROM ah").getString(0) === "a")
+  }
+
+  test("formatDateTime translates strftime specifiers, quotes literals") {
+    val r = one("""SELECT
+        formatDateTime(TIMESTAMP '2024-03-05 09:07:02', '%F'),
+        formatDateTime(TIMESTAMP '2024-03-05 09:07:02', '%T'),
+        formatDateTime(TIMESTAMP '2024-03-05 09:07:02', 'day %j of %Y'),
+        formatDateTime(TIMESTAMP '2024-03-05 14:07:02', '%I %p'),
+        formatDateTime(TIMESTAMP '2024-03-05 09:07:02', '%d/%m/%y %H:%M'),
+        formatDateTime(TIMESTAMP '2024-03-05 09:07:02', '100%%')""")
+    assert(r.getString(0) === "2024-03-05")
+    assert(r.getString(1) === "09:07:02")
+    assert(r.getString(2) === "day 065 of 2024")
+    assert(r.getString(3) === "02 PM")
+    assert(r.getString(4) === "05/03/24 09:07")
+    assert(r.getString(5) === "100%")
+    // unsupported specifiers fail loudly, not silently
+    intercept[Exception] {
+      spark.sql("SELECT formatDateTime(TIMESTAMP '2024-03-05 09:07:02', '%V')").collect()
+    }
+  }
 }

@@ -245,6 +245,33 @@ class OperatorsSpec extends SparkSpec {
       s"LSH found $found of ${truth.size} true near-dup pairs")
   }
 
+  test("runningDifference / neighbor follow the explicit ordering") {
+    import graft.operators.RowOrder
+    val df = Seq((1L, 1, 10.0, "a"), (1L, 2, 13.0, "b"), (1L, 3, 12.0, "c"),
+                 (2L, 1, 5.0, "x"))
+      .toDF("k", "seq", "v", "s")
+    val part = Seq(col("k"))
+    val ord = Seq(col("seq"))
+    val r = df.select(col("k"), col("seq"),
+        RowOrder.runningDifference(col("v"), part, ord).as("d"),
+        RowOrder.neighbor(col("s"), 1, lit("END"), part, ord).as("nxt"),
+        RowOrder.neighbor(col("s"), -2, lit("none"), part, ord).as("prev2"))
+      .orderBy(col("k"), col("seq"))
+      .collect()
+    assert(r.map(_.getDouble(2)).toSeq === Seq(0.0, 3.0, -1.0, 0.0))
+    assert(r.map(_.getString(3)).toSeq === Seq("b", "c", "END", "END"))
+    assert(r.map(_.getString(4)).toSeq === Seq("none", "none", "a", "none"))
+    // both neighbors + the difference plan into a single Window node
+    val plan = df.select(
+        RowOrder.runningDifference(col("v"), part, ord),
+        RowOrder.neighbor(col("s"), 1, lit("END"), part, ord))
+      .queryExecution.optimizedPlan
+    val nWindows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+    assert(nWindows === 1, s"expected one shared Window node, got $nWindows")
+  }
+
   test("simhash candidates collide for near-identical token sets") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = base + " extra"
