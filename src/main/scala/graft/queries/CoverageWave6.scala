@@ -199,6 +199,79 @@ object CoverageWave6 {
         GROUP BY 1
         ORDER BY prev_node""")),
 
+    // Time-rounding family + relative-epoch counters + dateName: all
+    // floor onto the epoch grid, so the DuckDB oracle is integer
+    // division of EPOCH_US. Codegen'd scalar math — no UDFs.
+    QueryDef(
+      "time_rounding_dialect",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""
+          SELECT event_type,
+            countDistinct(toStartOfFiveMinutes(ts)) AS n5m,
+            countDistinct(toStartOfFifteenMinutes(ts)) AS n15m,
+            countDistinct(timeSlot(ts)) AS n30m,
+            countDistinct(toStartOfInterval(ts, INTERVAL 6 HOUR)) AS n6h,
+            countDistinct(toStartOfInterval(ts, INTERVAL 3 MONTH)) AS nq,
+            max(toRelativeDayNum(ts)) AS max_day,
+            min(toRelativeHourNum(ts)) AS min_hour,
+            min(dateName('month', ts)) AS first_month_name,
+            max(dateName('weekday', ts)) AS max_weekday
+          FROM events
+          GROUP BY event_type
+          ORDER BY event_type""")
+      },
+      Some("""
+        SELECT event_type,
+          COUNT(DISTINCT EPOCH_US(ts) // 300000000) AS n5m,
+          COUNT(DISTINCT EPOCH_US(ts) // 900000000) AS n15m,
+          COUNT(DISTINCT EPOCH_US(ts) // 1800000000) AS n30m,
+          COUNT(DISTINCT EPOCH_US(ts) // 21600000000) AS n6h,
+          COUNT(DISTINCT DATE_TRUNC('quarter', ts)) AS nq,
+          CAST(MAX(EPOCH_US(ts) // 86400000000) AS BIGINT) AS max_day,
+          CAST(MIN(EPOCH_US(ts) // 3600000000) AS BIGINT) AS min_hour,
+          MIN(MONTHNAME(ts)) AS first_month_name,
+          MAX(DAYNAME(ts)) AS max_weekday
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // groupBit* aggregates + formatReadableSize over the same scan.
+    QueryDef(
+      "bitagg_readable_size",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""
+          SELECT l_linestatus,
+            groupBitAnd(l_orderkey) AS all_and,
+            groupBitOr(l_orderkey) AS all_or,
+            groupBitXor(l_orderkey) AS all_xor,
+            formatReadableSize(max(CAST(FLOOR(l_extendedprice) AS BIGINT))) AS max_price_sz,
+            formatReadableSize(min(CAST(FLOOR(l_extendedprice) AS BIGINT))) AS min_price_sz
+          FROM lineitem
+          GROUP BY l_linestatus
+          ORDER BY l_linestatus""")
+      },
+      Some("""
+        WITH t AS (SELECT l_linestatus, l_orderkey,
+            CAST(FLOOR(l_extendedprice) AS BIGINT) AS p
+          FROM lineitem),
+        a AS (SELECT l_linestatus,
+            BIT_AND(l_orderkey) AS all_and,
+            BIT_OR(l_orderkey) AS all_or,
+            BIT_XOR(l_orderkey) AS all_xor,
+            CAST(MAX(p) AS DOUBLE) AS mxp, CAST(MIN(p) AS DOUBLE) AS mnp
+          FROM t GROUP BY l_linestatus)
+        SELECT l_linestatus, all_and, all_or, all_xor,
+          CASE WHEN mxp < 1024 THEN PRINTF('%.2f B', mxp)
+               WHEN mxp < 1048576 THEN PRINTF('%.2f KiB', mxp / 1024)
+               ELSE PRINTF('%.2f MiB', mxp / 1048576) END AS max_price_sz,
+          CASE WHEN mnp < 1024 THEN PRINTF('%.2f B', mnp)
+               WHEN mnp < 1048576 THEN PRINTF('%.2f KiB', mnp / 1024)
+               ELSE PRINTF('%.2f MiB', mnp / 1048576) END AS min_price_sz
+        FROM a
+        ORDER BY l_linestatus""")),
+
     // anyHeavy: the majority element per group (~80 % of quantities are
     // ≤ 40, so every group has a strict majority and the answer is
     // deterministic).

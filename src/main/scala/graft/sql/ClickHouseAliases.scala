@@ -29,7 +29,7 @@ object ClickHouseAliases {
     If(cond, value, Literal.create(null, value.dataType))
 
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
-    wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2
+    wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -480,6 +480,111 @@ object ClickHouseAliases {
       }
       DateFormatClass(cs.head, Literal(chFormatToSpark(fmt)))
     })
+  )
+
+  /** Floor a timestamp to a multiple of `secs` seconds since epoch.
+    * Cast(timestamp → long) is a floor of the microsecond value, so the
+    * rounding is correct for pre-1970 timestamps too.
+    */
+  private def floorToSeconds(ts: Expression, secs: Long): Expression =
+    SecondsToTimestamp(Multiply(
+      IntegralDivide(Cast(ts, LongType), Literal(secs), evalMode = EvalMode.LEGACY),
+      Literal(secs)))
+
+  /** Time-rounding family, relative-epoch counters, dateName,
+    * formatReadableSize, bitwise group aggregates, timing-quantile
+    * spellings (reference src/Functions/toStartOfInterval.cpp /
+    * dateName.cpp / formatReadable.cpp / timeSlot via
+    * DateTimeTransforms.h; AggregateFunctionBitwise.cpp;
+    * AggregateFunctionQuantile.cpp quantileTiming registration).
+    */
+  private def wave3: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "toStartOfFiveMinutes" -> (cs => floorToSeconds(cs.head, 300L)),
+    "toStartOfTenMinutes" -> (cs => floorToSeconds(cs.head, 600L)),
+    "toStartOfFifteenMinutes" -> (cs => floorToSeconds(cs.head, 900L)),
+    // timeSlot rounds down to the half hour (DateTimeTransforms.h
+    // TimeSlotImpl).
+    "timeSlot" -> (cs => floorToSeconds(cs.head, 1800L)),
+    // toStartOfInterval(t, INTERVAL n unit): day-time intervals floor on
+    // the epoch-microsecond grid; year-month intervals of 1/3/12 months
+    // map to the native truncs. Other month counts would need an
+    // epoch-month grid — fail loudly rather than approximate.
+    "toStartOfInterval" -> (cs => {
+      cs(1) match {
+        case Literal(v: Long, _: DayTimeIntervalType) if v > 0 =>
+          val us = v
+          MicrosToTimestamp(Multiply(
+            IntegralDivide(UnixMicros(Cast(cs.head, TimestampType)), Literal(us),
+              evalMode = EvalMode.LEGACY),
+            Literal(us)))
+        case Literal(m: Int, _: YearMonthIntervalType) => m match {
+          case 1 => TruncTimestamp(Literal("month"), cs.head)
+          case 3 => TruncTimestamp(Literal("quarter"), cs.head)
+          case 12 => TruncTimestamp(Literal("year"), cs.head)
+          case other => throw new IllegalArgumentException(
+            s"toStartOfInterval: unsupported month interval $other (1, 3, or 12)")
+        }
+        case other => throw new IllegalArgumentException(
+          s"toStartOfInterval: second argument must be a positive INTERVAL literal, got $other")
+      }
+    }),
+    // toRelativeXNum: whole units elapsed since epoch.
+    "toRelativeDayNum" -> (cs => IntegralDivide(Cast(cs.head, LongType),
+      Literal(86400L), evalMode = EvalMode.LEGACY)),
+    "toRelativeHourNum" -> (cs => IntegralDivide(Cast(cs.head, LongType),
+      Literal(3600L), evalMode = EvalMode.LEGACY)),
+    "toRelativeMinuteNum" -> (cs => IntegralDivide(Cast(cs.head, LongType),
+      Literal(60L), evalMode = EvalMode.LEGACY)),
+    "toRelativeSecondNum" -> (cs => Cast(cs.head, LongType)),
+    // dateName('unit', t): the named date part as a string; month and
+    // weekday return the English names, numeric parts stringify.
+    "dateName" -> (cs => {
+      val unit = cs.head match {
+        case Literal(u, StringType) if u != null => u.toString.toLowerCase
+        case other => throw new IllegalArgumentException(
+          s"dateName: unit must be a string literal, got $other")
+      }
+      val d = cs(1)
+      unit match {
+        case "year" => Cast(Year(d), StringType)
+        case "quarter" => Cast(Quarter(d), StringType)
+        case "month" => DateFormatClass(d, Literal("MMMM"))
+        case "week" => Cast(WeekOfYear(d), StringType)
+        case "dayofyear" => Cast(DayOfYear(d), StringType)
+        case "day" => Cast(DayOfMonth(d), StringType)
+        case "weekday" => DateFormatClass(d, Literal("EEEE"))
+        case "hour" => Cast(Hour(d), StringType)
+        case "minute" => Cast(Minute(d), StringType)
+        case "second" => Cast(Second(d), StringType)
+        case other => throw new IllegalArgumentException(
+          s"dateName: unsupported unit '$other'")
+      }
+    }),
+    // formatReadableSize: two-decimal binary-prefixed size string
+    // ("1.34 KiB"). printf of a double is deterministic across engines —
+    // a two-decimal tie would need a binary fraction with denominator
+    // 200, which doesn't exist.
+    "formatReadableSize" -> (cs => {
+      val b = Cast(cs.head, DoubleType)
+      val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB")
+      val branches = units.zipWithIndex.map { case (u, i) =>
+        (LessThan(b, Literal(math.pow(1024.0, i + 1.0))): Expression,
+         FormatString(Literal(s"%.2f $u"),
+           Divide(b, Literal(math.pow(1024.0, i.toDouble)))): Expression)
+      }
+      CaseWhen(branches, Some(FormatString(Literal("%.2f EiB"),
+        Divide(b, Literal(math.pow(1024.0, 6.0))))))
+    }),
+    // bitwise group aggregates (AggregateFunctionBitwise.cpp)
+    "groupBitAnd" -> (cs => BitAndAgg(cs.head)),
+    "groupBitOr" -> (cs => BitOrAgg(cs.head)),
+    "groupBitXor" -> (cs => BitXorAgg(cs.head)),
+    // timing-quantile spellings: the reference's fixed-precision timing
+    // sketch is an approximation structure; the Spark lowering is the
+    // t-digest approximate percentile (same contract: approximate
+    // quantile of a non-negative duration column).
+    "quantileTiming" -> (cs => new ApproximatePercentile(cs(1), cs.head)),
+    "medianTiming" -> (cs => new ApproximatePercentile(cs.head, Literal(0.5d)))
   )
 
   /** aggResample(start, end, step)(x, key) — CH's parameterized syntax

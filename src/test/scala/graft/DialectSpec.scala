@@ -334,4 +334,45 @@ class DialectSpec extends SparkSpec {
       spark.sql("SELECT formatDateTime(TIMESTAMP '2024-03-05 09:07:02', '%V')").collect()
     }
   }
+
+  test("time rounding family floors onto the epoch grid") {
+    val r = one("""SELECT
+        toStartOfFiveMinutes(TIMESTAMP '2024-03-05 09:07:42'),
+        toStartOfFifteenMinutes(TIMESTAMP '2024-03-05 09:17:42'),
+        timeSlot(TIMESTAMP '2024-03-05 09:44:59'),
+        toStartOfInterval(TIMESTAMP '2024-03-05 09:07:42', INTERVAL 2 HOUR),
+        toStartOfInterval(TIMESTAMP '2024-05-15 09:07:42', INTERVAL 3 MONTH),
+        dateName('month', TIMESTAMP '2024-03-05 09:07:42'),
+        dateName('weekday', TIMESTAMP '2024-03-05 09:07:42'),
+        dateName('day', TIMESTAMP '2024-03-05 09:07:42')""")
+    assert(r.getTimestamp(0).toString === "2024-03-05 09:05:00.0")
+    assert(r.getTimestamp(1).toString === "2024-03-05 09:15:00.0")
+    assert(r.getTimestamp(2).toString === "2024-03-05 09:30:00.0")
+    assert(r.getTimestamp(3).toString === "2024-03-05 08:00:00.0")
+    assert(r.getTimestamp(4).toString === "2024-04-01 00:00:00.0")
+    assert(r.getString(5) === "March")
+    assert(r.getString(6) === "Tuesday")
+    assert(r.getString(7) === "5")
+  }
+
+  test("formatReadableSize uses binary prefixes with two decimals") {
+    val r = one("""SELECT formatReadableSize(123), formatReadableSize(1368),
+                   formatReadableSize(5242880), formatReadableSize(3221225472)""")
+    assert(r.getString(0) === "123.00 B")
+    assert(r.getString(1) === "1.34 KiB")
+    assert(r.getString(2) === "5.00 MiB")
+    assert(r.getString(3) === "3.00 GiB")
+  }
+
+  test("groupBit aggregates and relative epoch counters") {
+    Seq(6L, 12L, 14L).toDF("v").createOrReplaceTempView("gb")
+    val r = one("SELECT groupBitAnd(v), groupBitOr(v), groupBitXor(v) FROM gb")
+    assert(r.getLong(0) === (6L & 12L & 14L))
+    assert(r.getLong(1) === (6L | 12L | 14L))
+    assert(r.getLong(2) === (6L ^ 12L ^ 14L))
+    val t = one("""SELECT toRelativeDayNum(TIMESTAMP '1970-01-03 01:00:00'),
+                   toRelativeHourNum(TIMESTAMP '1970-01-01 05:30:00')""")
+    assert(t.getLong(0) === 2L)
+    assert(t.getLong(1) === 5L)
+  }
 }
