@@ -92,10 +92,22 @@ object CoverageWave5 {
                ForEachAgg.maxForEach(col("arr")).as("max_each"),
                ForEachAgg.avgForEach(col("arr")).as("avg_each"),
                ForEachAgg.countForEach(col("arr")).as("count_each"))
-          .orderBy(col("l_returnflag"))
+          // The per-index arrays ARE the combinator's output; posexplode
+          // them to scalar rows (agg_moving_array pattern) so the driver's
+          // hash-compare, which can't sort array cells, checks every
+          // element positionally.
+          .select(col("l_returnflag"),
+            posexplode(arrays_zip(col("sum_each"), col("min_each"),
+              col("max_each"), col("avg_each"), col("count_each")))
+              .as(Seq("idx", "z")))
+          .select(col("l_returnflag"), col("idx"),
+            col("z.sum_each").as("sum_e"), col("z.min_each").as("min_e"),
+            col("z.max_each").as("max_e"), col("z.avg_each").as("avg_e"),
+            col("z.count_each").as("count_e"))
+          .orderBy(col("l_returnflag"), col("idx"))
       },
-      // Array elements compare bit-exact: sums ride the D6 micros
-      // convention on both sides; min/max are raw column doubles.
+      // Elements compare bit-exact: sums ride the D6 micros convention on
+      // both sides; min/max are raw column doubles.
       Some("""
         WITH t AS (
           SELECT l_returnflag,
@@ -111,15 +123,10 @@ object CoverageWave5 {
             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS av,
             COUNT(*) AS c
           FROM e GROUP BY l_returnflag, i)
-        SELECT l_returnflag,
-          LIST(s ORDER BY i) AS sum_each,
-          LIST(mn ORDER BY i) AS min_each,
-          LIST(mx ORDER BY i) AS max_each,
-          LIST(av ORDER BY i) AS avg_each,
-          LIST(c ORDER BY i) AS count_each
+        SELECT l_returnflag, CAST(i - 1 AS INTEGER) AS idx,
+          s AS sum_e, mn AS min_e, mx AS max_e, av AS avg_e, c AS count_e
         FROM a
-        GROUP BY l_returnflag
-        ORDER BY l_returnflag""")),
+        ORDER BY l_returnflag, idx""")),
 
     // maxIntersections (reference AggregateFunctionMaxIntersections.h:
     // sort (position, ±1-weight) pairs — ends before starts on ties, so
@@ -303,18 +310,25 @@ object CoverageWave5 {
       "agg_group_array_sorted",
       (s, dir) => {
         Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        // posexplode the top-N array so the driver gate hash-checks every
+        // element (it can't sort array cells).
         s.sql("""
-          SELECT o_orderstatus, groupArraySorted(5, o_totalprice) AS low5
-          FROM orders
-          GROUP BY o_orderstatus
-          ORDER BY o_orderstatus""")
+          SELECT o_orderstatus, idx, price
+          FROM (SELECT o_orderstatus,
+                  groupArraySorted(5, o_totalprice) AS low5
+                FROM orders GROUP BY o_orderstatus)
+          LATERAL VIEW posexplode(low5) t AS idx, price
+          ORDER BY o_orderstatus, idx""")
       },
       Some("""
+        WITH s AS (SELECT o_orderstatus,
+            (LIST(o_totalprice ORDER BY o_totalprice))[1:5] AS low5
+          FROM orders GROUP BY o_orderstatus)
         SELECT o_orderstatus,
-          (LIST(o_totalprice ORDER BY o_totalprice))[1:5] AS low5
-        FROM orders
-        GROUP BY o_orderstatus
-        ORDER BY o_orderstatus""")),
+          CAST(GENERATE_SUBSCRIPTS(low5, 1) - 1 AS INTEGER) AS idx,
+          UNNEST(low5) AS price
+        FROM s
+        ORDER BY o_orderstatus, idx""")),
 
     // topKWeighted: SpaceSaving heavy hitters by integer weight (floor of
     // the event value — floor, not cast, because DuckDB's double→BIGINT

@@ -71,14 +71,23 @@ object CoverageWave6 {
       "agg_resample",
       (s, dir) => {
         Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        // The -Resample buckets are fixed-width (5), so project them to
+        // scalar columns for the driver gate, which can't hash array cells.
         s.sql("""
           SELECT l_linestatus,
-            countResample(1, 51, 10, l_orderkey,
-                          CAST(FLOOR(l_quantity) AS BIGINT)) AS cnt_by_qty,
-            sumResample(1, 51, 10, CAST(FLOOR(l_extendedprice / 100) AS BIGINT),
-                        CAST(FLOOR(l_quantity) AS BIGINT)) AS centiprice_by_qty
-          FROM lineitem
-          GROUP BY l_linestatus
+            cnt_by_qty[0] AS c1, cnt_by_qty[1] AS c2, cnt_by_qty[2] AS c3,
+            cnt_by_qty[3] AS c4, cnt_by_qty[4] AS c5,
+            centiprice_by_qty[0] AS p1, centiprice_by_qty[1] AS p2,
+            centiprice_by_qty[2] AS p3, centiprice_by_qty[3] AS p4,
+            centiprice_by_qty[4] AS p5
+          FROM (
+            SELECT l_linestatus,
+              countResample(1, 51, 10, l_orderkey,
+                            CAST(FLOOR(l_quantity) AS BIGINT)) AS cnt_by_qty,
+              sumResample(1, 51, 10, CAST(FLOOR(l_extendedprice / 100) AS BIGINT),
+                          CAST(FLOOR(l_quantity) AS BIGINT)) AS centiprice_by_qty
+            FROM lineitem
+            GROUP BY l_linestatus)
           ORDER BY l_linestatus""")
       },
       Some("""
@@ -87,17 +96,16 @@ object CoverageWave6 {
             CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS p
           FROM lineitem)
         SELECT l_linestatus,
-          [COUNT(CASE WHEN q >= 1 AND q < 11 THEN 1 END),
-           COUNT(CASE WHEN q >= 11 AND q < 21 THEN 1 END),
-           COUNT(CASE WHEN q >= 21 AND q < 31 THEN 1 END),
-           COUNT(CASE WHEN q >= 31 AND q < 41 THEN 1 END),
-           COUNT(CASE WHEN q >= 41 AND q < 51 THEN 1 END)] AS cnt_by_qty,
-          [COALESCE(CAST(SUM(CASE WHEN q >= 1 AND q < 11 THEN p END) AS BIGINT), 0),
-           COALESCE(CAST(SUM(CASE WHEN q >= 11 AND q < 21 THEN p END) AS BIGINT), 0),
-           COALESCE(CAST(SUM(CASE WHEN q >= 21 AND q < 31 THEN p END) AS BIGINT), 0),
-           COALESCE(CAST(SUM(CASE WHEN q >= 31 AND q < 41 THEN p END) AS BIGINT), 0),
-           COALESCE(CAST(SUM(CASE WHEN q >= 41 AND q < 51 THEN p END) AS BIGINT), 0)]
-            AS centiprice_by_qty
+          COUNT(CASE WHEN q >= 1 AND q < 11 THEN 1 END) AS c1,
+          COUNT(CASE WHEN q >= 11 AND q < 21 THEN 1 END) AS c2,
+          COUNT(CASE WHEN q >= 21 AND q < 31 THEN 1 END) AS c3,
+          COUNT(CASE WHEN q >= 31 AND q < 41 THEN 1 END) AS c4,
+          COUNT(CASE WHEN q >= 41 AND q < 51 THEN 1 END) AS c5,
+          COALESCE(CAST(SUM(CASE WHEN q >= 1 AND q < 11 THEN p END) AS BIGINT), 0) AS p1,
+          COALESCE(CAST(SUM(CASE WHEN q >= 11 AND q < 21 THEN p END) AS BIGINT), 0) AS p2,
+          COALESCE(CAST(SUM(CASE WHEN q >= 21 AND q < 31 THEN p END) AS BIGINT), 0) AS p3,
+          COALESCE(CAST(SUM(CASE WHEN q >= 31 AND q < 41 THEN p END) AS BIGINT), 0) AS p4,
+          COALESCE(CAST(SUM(CASE WHEN q >= 41 AND q < 51 THEN p END) AS BIGINT), 0) AS p5
         FROM t
         GROUP BY l_linestatus
         ORDER BY l_linestatus""")),

@@ -21,7 +21,7 @@ def rows_of(rel):
     data = [tuple(norm(r[i]) for i in order) for r in rel.fetchall()]
     return [cols[i] for i in order], sorted(data, key=repr)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -31,6 +31,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         spark_path = os.path.join(out_dir, name)
         if not os.path.isdir(spark_path):
             print(f"FAIL {name}: no spark output")
@@ -71,4 +73,5 @@ def main(sf_dir, out_dir):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
