@@ -63,26 +63,44 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    // Drop warmup caches so timed runs start from clean memory. Must go
-    // through the catalog: raw RDD unpersist would leave stale
-    // CacheManager entries, making the timed runs' persist() calls no-ops
-    // against dead cache entries (every reuse would silently recompute).
-    spark.catalog.clearCache()
+    // Timed runs: median of N reps per query (N=3 default). A single
+    // timed pass proved untrustworthy on this host — round-4's recorded
+    // JSON carried a 7.3× phantom outlier on q1 that no steady-state
+    // re-run reproduced (GC pause / host noise), so the recorded number
+    // must be a repeated-run statistic, with dispersion kept alongside so
+    // a noisy rep is visible instead of silently distorting the total.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = headline.filter(queries.contains).map { name =>
-      val t0 = System.nanoTime()
-      try {
-        queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+      val times = (1 to reps).flatMap { _ =>
+        // Per-rep cache drop so every rep is a clean cold-cache run. Must
+        // go through the catalog: raw RDD unpersist would leave stale
+        // CacheManager entries, making the reps' persist() calls no-ops
+        // against dead cache entries (every reuse would silently
+        // recompute).
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+        }
+      }
+      if (times.isEmpty) name -> (-1.0, -1.0, -1.0)
+      else {
+        val s = times.sorted
+        name -> (s(s.length / 2), s.head, s.last)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results
+      .map { case (k, (_, mn, mx)) => "\"" + k + "\":" + f"[$mn%.3f,$mx%.3f]" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_minmax":$spread,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
