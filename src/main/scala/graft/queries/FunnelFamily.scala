@@ -120,6 +120,70 @@ object FunnelFamily {
                FROM y WHERE event_type = 'signup'),
         m AS (SELECT user_id, slot, CAST(MAX(lvl) AS INTEGER) AS lvl FROM lv
               WHERE slot >= 0 AND slot < 30 GROUP BY 1, 2)
-        SELECT user_id, slot, lvl FROM m ORDER BY user_id, slot"""))
+        SELECT user_id, slot, lvl FROM m ORDER BY user_id, slot""")),
+
+    // funnelPathSplit: each user's deepest funnel session path — anchored
+    // at a signup, every event (funnel or common) appended until the 2-day
+    // window or depth 8 is hit, first max-level session wins. Posexploded
+    // to (user, node position, event index, param) rows for the gate.
+    QueryDef(
+      "funnel_path_split",
+      (s, dir) => {
+        val fps = graft.aggregates.FunnelPathSplitAgg
+          .funnelPathSplit(2 * DayUs, 8, 3) _
+        Tables(s, dir, "events")
+          .withColumn("idx",
+            when(col("event_type") === "signup", 1)
+              .when(col("event_type") === "click", 2)
+              .when(col("event_type") === "purchase", 3).otherwise(0))
+          .groupBy(col("user_id"))
+          .agg(fps(unix_micros(col("ts")), col("idx"), col("event_type"))
+            .as("path"))
+          .select(col("user_id"), posexplode(col("path")).as(Seq("node_pos", "node")))
+          .select(col("user_id"), col("node_pos"),
+            col("node.ev").as("ev"), col("node.param").as("param"))
+          .orderBy(col("user_id"), col("node_pos"))
+      },
+      // Oracle linearization: anchors are ALL signup events in stream
+      // order (the reference's next_first_event chaining visits exactly
+      // these); a session's slice is the next depth-1 events within the
+      // window; greedy levels via first-step-2 position then a step-3
+      // after it; first anchor with the max level wins.
+      Some("""
+        WITH e AS (
+          SELECT user_id, EPOCH_US(ts) AS us,
+            CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+                 WHEN 'purchase' THEN 3 ELSE 0 END AS idx,
+            event_type AS param,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts,
+              CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+                   WHEN 'purchase' THEN 3 ELSE 0 END, event_type) AS pos
+          FROM events),
+        a AS (SELECT user_id, us AS a_us, pos AS a_pos FROM e WHERE idx = 1),
+        slice AS (
+          SELECT a.user_id, a.a_pos, e.pos, e.idx, e.param
+          FROM a JOIN e ON e.user_id = a.user_id
+          WHERE e.pos >= a.a_pos AND e.pos < a.a_pos + 8
+            AND e.us - a.a_us <= 172800000000),
+        s2 AS (SELECT user_id, a_pos,
+                 MIN(CASE WHEN idx = 2 AND pos > a_pos THEN pos END) AS p2
+               FROM slice GROUP BY 1, 2),
+        s3 AS (SELECT sl.user_id, sl.a_pos,
+                 MIN(CASE WHEN sl.idx = 3 AND sl.pos > s2.p2 THEN sl.pos END) AS p3
+               FROM slice sl
+               JOIN s2 ON sl.user_id = s2.user_id AND sl.a_pos = s2.a_pos
+               GROUP BY 1, 2),
+        lev AS (SELECT s2.user_id, s2.a_pos,
+                  1 + CASE WHEN s2.p2 IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s3.p3 IS NOT NULL THEN 1 ELSE 0 END AS lvl
+                FROM s2 JOIN s3 ON s2.user_id = s3.user_id AND s2.a_pos = s3.a_pos),
+        best AS (SELECT user_id, a_pos FROM lev
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY lvl DESC, a_pos) = 1)
+        SELECT sl.user_id, CAST(sl.pos - sl.a_pos AS INTEGER) AS node_pos,
+               sl.idx AS ev, sl.param
+        FROM slice sl
+        JOIN best b ON sl.user_id = b.user_id AND sl.a_pos = b.a_pos
+        ORDER BY sl.user_id, node_pos"""))
   )
 }
