@@ -31,7 +31,8 @@ object SparkEntry {
       _root_.graft.queries.TpcdsShapes2.defs ++
       _root_.graft.queries.CoverageWave5.defs ++
       _root_.graft.queries.CoverageWave6.defs ++
-      _root_.graft.queries.FunnelFamily.defs
+      _root_.graft.queries.FunnelFamily.defs ++
+      _root_.graft.queries.SegmentAlgebra.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
