@@ -184,6 +184,85 @@ object FunnelFamily {
                sl.idx AS ev, sl.param
         FROM slice sl
         JOIN best b ON sl.user_id = b.user_id AND sl.a_pos = b.a_pos
-        ORDER BY sl.user_id, node_pos"""))
+        ORDER BY sl.user_id, node_pos""")),
+
+    // attributionAnalysis time-decay mode (reference
+    // AggregateFunctionAttributionAnalysis.h:563-580, attribution_mode 4:
+    // per conversion each touch weighs 0.5^(Δt/halflife), normalized to
+    // sum 1, then summed per touch channel with conversion counts and
+    // credited value — the struct output of the analysis form).
+    //
+    // Plan: ONE window pass. 0.5^((t_p-t_c)/h) ∝ 2^(t_c/h), and the
+    // purchase-anchored factor 2^(-t_p/h) cancels in the per-conversion
+    // normalization, so each channel's credit is the RATIO of two sliding
+    // 3-day window sums of per-touch weights. Weights are quantized to
+    // integer micro-units BEFORE the window sum, making both the sum and
+    // the ratio bit-deterministic (no double-accumulation order anywhere);
+    // credit totals quantize per-term the same way (the repo's D6
+    // convention). No purchase×touch join at any point.
+    QueryDef(
+      "attribution_time_decay",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val look = 3 * DayUs
+        val e = Tables(s, dir, "events")
+          .filter(col("event_type").isin("click", "view", "purchase"))
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"), col("value"))
+        // Half-life = 1 day; rebased exponent keeps 2^x in double range.
+        val wmicro = floor(pow(lit(2.0),
+          (col("us") - lit(WatchStartUs)) / lit(86400000000.0)) * lit(1e6))
+          .cast("long")
+        val win = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-look, 0)
+        val wd = e
+          .withColumn("wc", coalesce(
+            sum(when(col("event_type") === "click", wmicro)).over(win), lit(0L)))
+          .withColumn("wv", coalesce(
+            sum(when(col("event_type") === "view", wmicro)).over(win), lit(0L)))
+        val p = wd.filter(col("event_type") === "purchase" &&
+          (col("wc") + col("wv")) > 0)
+        val x = p.select(col("value"), explode(array(
+            struct(lit("click").as("channel"), col("wc").as("wch"),
+              (col("wc") + col("wv")).as("wtot")),
+            struct(lit("view").as("channel"), col("wv").as("wch"),
+              (col("wc") + col("wv")).as("wtot")))).as("t"))
+          .select(col("t.channel").as("channel"), col("t.wch").as("wch"),
+            col("t.wtot").as("wtot"), col("value"))
+        val ratio = col("wch").cast("double") / col("wtot").cast("double")
+        x.groupBy(col("channel")).agg(
+            count(when(col("wch") > 0, 1)).as("conversions"),
+            (sum(floor(lit(1e6) * ratio).cast("long")).cast("double") / 1e6)
+              .as("credit"),
+            (sum(floor(lit(1e6) * col("value") * ratio).cast("long"))
+              .cast("double") / 1e6).as("value_credited"))
+          .orderBy(col("channel"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, EPOCH_US(ts) AS us, event_type, value
+                   FROM events
+                   WHERE event_type IN ('click', 'view', 'purchase')),
+        w AS (SELECT user_id, us, event_type, value,
+                COALESCE(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(FLOOR(POWER(2.0, (us - 1704067200000000) / 86400000000.0)
+                       * 1e6) AS BIGINT) END) OVER win, 0) AS wc,
+                COALESCE(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(FLOOR(POWER(2.0, (us - 1704067200000000) / 86400000000.0)
+                       * 1e6) AS BIGINT) END) OVER win, 0) AS wv
+              FROM e
+              WINDOW win AS (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)),
+        p AS (SELECT user_id, value, wc, wv FROM w
+              WHERE event_type = 'purchase' AND wc + wv > 0),
+        x AS (SELECT 'click' AS channel, wc AS wch, wc + wv AS wtot, value FROM p
+              UNION ALL
+              SELECT 'view', wv, wc + wv, value FROM p)
+        SELECT channel,
+          COUNT(CASE WHEN wch > 0 THEN 1 END) AS conversions,
+          CAST(SUM(CAST(FLOOR(1e6 * (CAST(wch AS DOUBLE) / CAST(wtot AS DOUBLE)))
+            AS BIGINT)) AS DOUBLE) / 1e6 AS credit,
+          CAST(SUM(CAST(FLOOR(1e6 * value * (CAST(wch AS DOUBLE) / CAST(wtot AS DOUBLE)))
+            AS BIGINT)) AS DOUBLE) / 1e6 AS value_credited
+        FROM x GROUP BY channel ORDER BY channel"""))
   )
 }
