@@ -263,6 +263,102 @@ object FunnelFamily {
             AS BIGINT)) AS DOUBLE) / 1e6 AS credit,
           CAST(SUM(CAST(FLOOR(1e6 * value * (CAST(wch AS DOUBLE) / CAST(wtot AS DOUBLE)))
             AS BIGINT)) AS DOUBLE) / 1e6 AS value_credited
-        FROM x GROUP BY channel ORDER BY channel"""))
+        FROM x GROUP BY channel ORDER BY channel""")),
+
+    // retentionLoss (reference AggregateFunctionRetentionLoss.h:93-126 +
+    // finalize 158-162): per start-day cohort, lost(i,j) = users who
+    // started on day i and had NOT returned by day j (first return
+    // strictly after the start day, matching the reference's j=i+1 scan).
+    // Scale shape: one user-day hash agg, then all matrix algebra runs on
+    // the tiny (start_day, first_return) table — the day-grid explode
+    // touches ≤ window² rows however many users exist.
+    QueryDef(
+      "retention_loss_matrix",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables(s, dir, "events")
+          .select(col("user_id"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .as("dy"),
+            col("event_type"))
+          .groupBy(col("user_id"), col("dy"))
+          .agg(max(when(col("event_type") === "signup", 1).otherwise(0)).as("st"),
+               max(when(col("event_type") === "purchase", 1).otherwise(0)).as("rt"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("dy"))
+          .rowsBetween(1, Window.unboundedFollowing)
+        val c = d.withColumn("fr", min(when(col("rt") === 1, col("dy"))).over(w))
+          .filter(col("st") === 1 && col("dy").between(0, 29))
+        val g = c.groupBy(col("dy").as("i"), col("fr")).agg(count(lit(1)).as("cnt"))
+        val coh = g.groupBy(col("i")).agg(sum(col("cnt")).as("cohort"))
+        val grid = coh.select(col("i"), col("cohort"),
+          explode(sequence(col("i"), lit(29))).as("j"))
+        val ret = g.filter(col("fr").isNotNull)
+          .select(col("i"), col("cnt"),
+            explode(sequence(col("fr"), lit(29))).as("j"))
+          .groupBy(col("i"), col("j")).agg(sum(col("cnt")).as("rn"))
+        grid.join(ret, Seq("i", "j"), "left")
+          .select(col("i").as("start_day"), col("j").as("day"), col("cohort"),
+            (col("cohort") - coalesce(col("rn"), lit(0L))).as("lost"))
+          .orderBy(col("start_day"), col("day"))
+      },
+      Some("""
+        WITH d AS (SELECT user_id,
+            CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS dy,
+            MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS st,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS rt
+          FROM events GROUP BY 1, 2),
+        w AS (SELECT user_id, dy, st,
+                MIN(CASE WHEN rt = 1 THEN dy END) OVER
+                  (PARTITION BY user_id ORDER BY dy
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fr
+              FROM d),
+        c AS (SELECT dy AS i, fr FROM w WHERE st = 1 AND dy BETWEEN 0 AND 29),
+        g AS (SELECT i, fr, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+        coh AS (SELECT i, CAST(SUM(cnt) AS BIGINT) AS cohort FROM g GROUP BY i),
+        grid AS (SELECT i, cohort, CAST(UNNEST(RANGE(i, 30)) AS INTEGER) AS j
+                 FROM coh),
+        ret AS (SELECT i, j, SUM(cnt) AS rn FROM (
+                  SELECT i, cnt, CAST(UNNEST(RANGE(fr, 30)) AS INTEGER) AS j
+                  FROM g WHERE fr IS NOT NULL) t
+                GROUP BY 1, 2)
+        SELECT grid.i AS start_day, grid.j AS day, grid.cohort,
+               CAST(grid.cohort - COALESCE(ret.rn, 0) AS BIGINT) AS lost
+        FROM grid LEFT JOIN ret ON grid.i = ret.i AND grid.j = ret.j
+        ORDER BY start_day, day""")),
+
+    // genArray (reference AggregateFunctionGenArray.h: per-user activity
+    // bit array over the watch grid — the input feeding retention/loss).
+    // 30 days pack into one BIGINT mask per flavor via bit_or.
+    QueryDef(
+      "retention_gen_array",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .select(col("user_id"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .as("dy"),
+            col("event_type"))
+          .filter(col("dy").between(0, 29))
+          .groupBy(col("user_id"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), dy))").as("active_mask"),
+            expr("bit_or(CASE WHEN event_type = 'signup' " +
+              "THEN shiftleft(CAST(1 AS BIGINT), dy) ELSE CAST(0 AS BIGINT) END)")
+              .as("signup_mask"),
+            expr("bit_or(CASE WHEN event_type = 'purchase' " +
+              "THEN shiftleft(CAST(1 AS BIGINT), dy) ELSE CAST(0 AS BIGINT) END)")
+              .as("purchase_mask"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH d AS (SELECT user_id, event_type,
+            CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS dy
+          FROM events
+          WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-30')
+        SELECT user_id,
+          BIT_OR(CAST(1 AS BIGINT) << dy) AS active_mask,
+          BIT_OR(CASE WHEN event_type = 'signup' THEN CAST(1 AS BIGINT) << dy
+                      ELSE CAST(0 AS BIGINT) END) AS signup_mask,
+          BIT_OR(CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT) << dy
+                      ELSE CAST(0 AS BIGINT) END) AS purchase_mask
+        FROM d GROUP BY user_id ORDER BY user_id"""))
   )
 }
