@@ -221,6 +221,7 @@ object CoverageWave6 {
             countDistinct(timeSlot(ts)) AS n30m,
             countDistinct(toStartOfInterval(ts, INTERVAL 6 HOUR)) AS n6h,
             countDistinct(toStartOfInterval(ts, INTERVAL 3 MONTH)) AS nq,
+            min(toStartOfInterval(ts, INTERVAL 5 MONTH)) AS grid5m,
             max(toRelativeDayNum(ts)) AS max_day,
             min(toRelativeHourNum(ts)) AS min_hour,
             min(dateName('month', ts)) AS first_month_name,
@@ -236,6 +237,12 @@ object CoverageWave6 {
           COUNT(DISTINCT EPOCH_US(ts) // 1800000000) AS n30m,
           COUNT(DISTINCT EPOCH_US(ts) // 21600000000) AS n6h,
           COUNT(DISTINCT DATE_TRUNC('quarter', ts)) AS nq,
+          MIN(CAST(MAKE_DATE(
+            CAST(1970 + ((((YEAR(ts)-1970)*12 + MONTH(ts)-1)
+              - (((YEAR(ts)-1970)*12 + MONTH(ts)-1) % 5)) // 12) AS INTEGER),
+            CAST(((((YEAR(ts)-1970)*12 + MONTH(ts)-1)
+              - (((YEAR(ts)-1970)*12 + MONTH(ts)-1) % 5)) % 12) + 1 AS INTEGER),
+            1) AS TIMESTAMP)) AS grid5m,
           CAST(MAX(EPOCH_US(ts) // 86400000000) AS BIGINT) AS max_day,
           CAST(MIN(EPOCH_US(ts) // 3600000000) AS BIGINT) AS min_hour,
           MIN(MONTHNAME(ts)) AS first_month_name,

@@ -483,13 +483,15 @@ object ClickHouseAliases {
   )
 
   /** Floor a timestamp to a multiple of `secs` seconds since epoch.
-    * Cast(timestamp → long) is a floor of the microsecond value, so the
-    * rounding is correct for pre-1970 timestamps too.
+    * Cast(timestamp → long) floors the microsecond value; the grid snap
+    * subtracts the non-negative Pmod remainder, which is a true floor
+    * division even for negative (pre-1970) epoch seconds — IntegralDivide
+    * alone would truncate toward zero and round those UP toward the epoch.
     */
-  private def floorToSeconds(ts: Expression, secs: Long): Expression =
-    SecondsToTimestamp(Multiply(
-      IntegralDivide(Cast(ts, LongType), Literal(secs), evalMode = EvalMode.LEGACY),
-      Literal(secs)))
+  private def floorToSeconds(ts: Expression, secs: Long): Expression = {
+    val epochSec = Cast(ts, LongType)
+    SecondsToTimestamp(Subtract(epochSec, Pmod(epochSec, Literal(secs))))
+  }
 
   /** Time-rounding family, relative-epoch counters, dateName,
     * formatReadableSize, bitwise group aggregates, timing-quantile
@@ -507,8 +509,10 @@ object ClickHouseAliases {
     "timeSlot" -> (cs => floorToSeconds(cs.head, 1800L)),
     // toStartOfInterval(t, INTERVAL n unit): day-time intervals floor on
     // the epoch-microsecond grid; year-month intervals of 1/3/12 months
-    // map to the native truncs. Other month counts would need an
-    // epoch-month grid — fail loudly rather than approximate.
+    // map to the native truncs, any other month count snaps to an
+    // epoch-month grid (reference DateTimeTransforms.h
+    // ToStartOfInterval<IntervalKind::Month>: months-since-epoch floored
+    // to a multiple of n, then back to that month's first day).
     "toStartOfInterval" -> (cs => {
       cs(1) match {
         case Literal(v: Long, _: DayTimeIntervalType) if v > 0 =>
@@ -517,12 +521,23 @@ object ClickHouseAliases {
             IntegralDivide(UnixMicros(Cast(cs.head, TimestampType)), Literal(us),
               evalMode = EvalMode.LEGACY),
             Literal(us)))
-        case Literal(m: Int, _: YearMonthIntervalType) => m match {
+        case Literal(m: Int, _: YearMonthIntervalType) if m > 0 => m match {
           case 1 => TruncTimestamp(Literal("month"), cs.head)
           case 3 => TruncTimestamp(Literal("quarter"), cs.head)
           case 12 => TruncTimestamp(Literal("year"), cs.head)
-          case other => throw new IllegalArgumentException(
-            s"toStartOfInterval: unsupported month interval $other (1, 3, or 12)")
+          case n =>
+            // Months since epoch, floored to the n-grid via Pmod (true
+            // floor pre-1970 too), then rebuilt as (year, month, 1).
+            val mse = Add(
+              Multiply(Subtract(Year(cs.head), Literal(1970)), Literal(12)),
+              Subtract(Month(cs.head), Literal(1)))
+            val fm = Subtract(mse, Pmod(mse, Literal(n)))
+            val fy = Add(Literal(1970), IntegralDivide(
+              Subtract(fm, Pmod(fm, Literal(12))), Literal(12),
+              evalMode = EvalMode.LEGACY))
+            Cast(MakeDate(Cast(fy, IntegerType),
+              Cast(Add(Pmod(fm, Literal(12)), Literal(1)), IntegerType),
+              Literal(1)), TimestampType)
         }
         case other => throw new IllegalArgumentException(
           s"toStartOfInterval: second argument must be a positive INTERVAL literal, got $other")

@@ -355,6 +355,30 @@ class DialectSpec extends SparkSpec {
     assert(r.getString(7) === "5")
   }
 
+  test("toStartOfInterval snaps arbitrary month counts to the epoch-month grid") {
+    val r = one("""SELECT
+        toStartOfInterval(TIMESTAMP '2024-05-15 09:07:42', INTERVAL 2 MONTH),
+        toStartOfInterval(TIMESTAMP '2024-05-15 09:07:42', INTERVAL 5 MONTH),
+        toStartOfInterval(TIMESTAMP '2024-05-15 09:07:42', INTERVAL 7 MONTH),
+        toStartOfInterval(TIMESTAMP '1970-01-31 00:00:01', INTERVAL 5 MONTH),
+        toStartOfInterval(TIMESTAMP '2024-01-01 00:00:00', INTERVAL 6 MONTH)""")
+    // Months since epoch for 2024-05 = 652; 652-652%2=652 → 2024-05-01;
+    // %5 → 650 → 2024-03-01; %7 → 651 → 2024-04-01.
+    assert(r.getTimestamp(0).toString === "2024-05-01 00:00:00.0")
+    assert(r.getTimestamp(1).toString === "2024-03-01 00:00:00.0")
+    assert(r.getTimestamp(2).toString === "2024-04-01 00:00:00.0")
+    assert(r.getTimestamp(3).toString === "1970-01-01 00:00:00.0")
+    assert(r.getTimestamp(4).toString === "2024-01-01 00:00:00.0")
+  }
+
+  test("time-rounding floor is a true floor for pre-1970 timestamps") {
+    val r = one("""SELECT
+        toStartOfFiveMinutes(TIMESTAMP '1969-12-31 23:58:00'),
+        timeSlot(TIMESTAMP '1969-12-31 23:44:59')""")
+    assert(r.getTimestamp(0).toString === "1969-12-31 23:55:00.0")
+    assert(r.getTimestamp(1).toString === "1969-12-31 23:30:00.0")
+  }
+
   test("formatReadableSize uses binary prefixes with two decimals") {
     val r = one("""SELECT formatReadableSize(123), formatReadableSize(1368),
                    formatReadableSize(5242880), formatReadableSize(3221225472)""")
