@@ -359,6 +359,42 @@ object FunnelFamily {
                       ELSE CAST(0 AS BIGINT) END) AS signup_mask,
           BIT_OR(CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT) << dy
                       ELSE CAST(0 AS BIGINT) END) AS purchase_mask
-        FROM d GROUP BY user_id ORDER BY user_id"""))
+        FROM d GROUP BY user_id ORDER BY user_id""")),
+
+    // -OrderBy combinator: order-sensitive aggregates fed in explicit
+    // (key, value) order — groupArrayOrderBy posexploded for the gate,
+    // any/anyLast as first/last-by-key scalars.
+    QueryDef(
+      "agg_order_by_combinator",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT o_orderpriority, idx, price,
+                 first_price, last_price
+          FROM (
+            SELECT o_orderpriority,
+              groupArrayOrderBy(o_totalprice, o_orderdate) AS prices,
+              anyOrderBy(o_totalprice, o_orderdate) AS first_price,
+              anyLastOrderBy(o_totalprice, o_orderdate) AS last_price
+            FROM orders
+            WHERE o_totalprice > 400000
+            GROUP BY o_orderpriority)
+          LATERAL VIEW posexplode(prices) t AS idx, price
+          ORDER BY o_orderpriority, idx""")
+      },
+      Some("""
+        WITH g AS (
+          SELECT o_orderpriority,
+            LIST(o_totalprice ORDER BY o_orderdate, o_totalprice) AS prices
+          FROM orders
+          WHERE o_totalprice > 400000
+          GROUP BY o_orderpriority)
+        SELECT o_orderpriority,
+          CAST(GENERATE_SUBSCRIPTS(prices, 1) - 1 AS INTEGER) AS idx,
+          UNNEST(prices) AS price,
+          prices[1] AS first_price,
+          prices[-1] AS last_price
+        FROM g
+        ORDER BY o_orderpriority, idx"""))
   )
 }

@@ -2,6 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.types._
@@ -426,8 +427,32 @@ object ClickHouseAliases {
     // flattens to uniqUpTo(N, x), same convention as quantileExact.
     "uniqUpTo" -> (cs => Least(Seq(
       Count(Seq(cs(1))).toAggregateExpression(isDistinct = true),
-      Add(Cast(cs.head, LongType), Literal(1L)))))
+      Add(Cast(cs.head, LongType), Literal(1L))))),
+
+    // -OrderBy combinator (reference Combinators/AggregateFunctionOrderBy
+    // .h: buffer rows, sort by trailing key columns, feed the nested
+    // aggregate in that order). Only order-SENSITIVE nested aggregates
+    // change meaning — groupArray/any/anyLast are lowered here via sorted
+    // collect; order-insensitive ones (sum/min/max/count/avg…) are the
+    // plain aggregates by definition, so no -OrderBy spelling is needed.
+    // Ties on the sort key fall back to the value (the struct's natural
+    // (k, v) ordering), making results deterministic where the
+    // reference's sort leaves tie order unspecified.
+    "groupArrayOrderBy" -> (cs => orderByProject(cs)),
+    "anyOrderBy" -> (cs => ElementAt(orderByProject(cs), Literal(1))),
+    "anyLastOrderBy" -> (cs => ElementAt(orderByProject(cs), Literal(-1)))
   )
+
+  /** `(value, key)` → values collected over the group, sorted by
+    * (key, value): sort_array over collect_list of (k, v) structs, then
+    * project v back out.
+    */
+  private def orderByProject(cs: Seq[Expression]): Expression = {
+    val st = CreateNamedStruct(Seq(Literal("k"), cs(1), Literal("v"), cs.head))
+    ArrayTransform(
+      new SortArray(CollectList(st).toAggregateExpression()),
+      LambdaFunction(UnresolvedExtractValue(lv("s"), Literal("v")), Seq(lv("s"))))
+  }
 
   /** -OrNull / -OrDefault / -Distinct / -Resample combinator instances +
     * anyHeavy + formatDateTime (reference

@@ -371,6 +371,18 @@ class DialectSpec extends SparkSpec {
     assert(r.getTimestamp(4).toString === "2024-01-01 00:00:00.0")
   }
 
+  test("-OrderBy combinator: sorted feed for order-sensitive aggregates") {
+    val r = one("""
+      SELECT groupArrayOrderBy(v, k) AS arr,
+             anyOrderBy(v, k) AS first_v,
+             anyLastOrderBy(v, k) AS last_v
+      FROM VALUES (3, 'c'), (1, 'a'), (2, 'b'), (1, 'a0') AS t(k, v)""")
+    // Sorted by (k, v): k=1 ties break on the value.
+    assert(r.getSeq[String](0) === Seq("a", "a0", "b", "c"))
+    assert(r.getString(1) === "a")
+    assert(r.getString(2) === "c")
+  }
+
   test("time-rounding floor is a true floor for pre-1970 timestamps") {
     val r = one("""SELECT
         toStartOfFiveMinutes(TIMESTAMP '1969-12-31 23:58:00'),
