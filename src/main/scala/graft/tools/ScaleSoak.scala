@@ -4,17 +4,23 @@ import graft.SparkEntry
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-factor soak for the dedup/ANN family: build an N× copy of the
-  * `documents` / `embeddings` tables (disjoint id spaces; every copy's
-  * tokens salted with a per-copy suffix so cross-copy near-duplicates
-  * don't exist and true pair density stays constant — otherwise
-  * replicating identical text N× would inflate the genuine answer
-  * quadratically, not the algorithm), then time the five headline
-  * dedup/ANN queries at 1× and N× and assert wall time grows at most
-  * ~linearly. The knn probe/centroid sets are fixed (`vec_id < 10/16`),
-  * so corpus scaling is the only variable — the claim under test is
-  * "per-probe cost ∝ bucket size, total ∝ corpus", i.e. the plans hold
-  * at 100 TB, measured rather than argued from the plan shape.
+/** Scale-factor soak for the dedup/ANN and behavioral families: build an
+  * N× copy of the `documents` / `embeddings` / `events` tables (disjoint
+  * id spaces; every document copy's tokens salted with a per-copy suffix
+  * and every embedding copy's first dimension nudged by a per-copy
+  * epsilon, so cross-copy exact and near duplicates don't exist and true
+  * pair density stays constant — otherwise replicating identical rows N×
+  * would inflate the genuine answer quadratically, not the algorithm;
+  * events scale by user population with per-user history fixed, the axis
+  * that grows at 100 TB), then time the headline queries at 1× and N× and
+  * assert wall time grows at most ~linearly. The knn probe/centroid sets
+  * are fixed (`vec_id < 10/16`), so corpus scaling is the only variable —
+  * the claim under test is "per-probe cost ∝ bucket size, total ∝
+  * corpus", i.e. the plans hold at 100 TB, measured rather than argued
+  * from the plan shape. For the behavioral aggregates the claim is
+  * "per-user state is bounded by per-user history, total ∝ users" — the
+  * funnel/sequence buffers merge by concatenation, so N× users must not
+  * cost more than N× wall time.
   *
   * Usage: runMain graft.tools.ScaleSoak [baseSfDir] [factor] [scratchDir]
   * Prints one JSON line per scale plus a ratio line; exits nonzero if any
@@ -24,7 +30,9 @@ object ScaleSoak {
 
   val soakQueries: Seq[String] = Seq(
     "dedup_keep_first", "minhash_lsh_candidates", "jaccard_token_pairs",
-    "knn_lsh_topk", "knn_ivf_topk")
+    "knn_lsh_topk", "knn_ivf_topk",
+    "funnel_signup_click_purchase", "funnel_levels_breakdown",
+    "funnel_path_split", "sequence_match_dfa")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -74,8 +82,23 @@ object ScaleSoak {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val embN = (0 until factor).map { i =>
       emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000L))
+        // per-copy vector nudge (first dimension only): kills cross-copy
+        // exact duplicates so LSH/IVF bucket sizes stay ∝ corpus instead
+        // of ×N identical collisions, without disturbing within-copy
+        // neighborhood structure.
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> CASE WHEN j = 0 " +
+            s"THEN CAST(x + ${i}e-4 AS FLOAT) ELSE x END)"))
     }.reduce(_ unionByName _)
     embN.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    // Via Tables: events.ts is TIMESTAMP(NANOS) parquet that the raw
+    // reader rejects; the catalog layer normalizes it to µs.
+    val ev = graft.Tables(spark, base, "events")
+    val evN = (0 until factor).map { i =>
+      ev.withColumn("user_id", col("user_id") + lit(i.toLong * 1000000000L))
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+    }.reduce(_ unionByName _)
+    evN.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
     done.getParentFile.mkdirs()
     done.createNewFile()
     ()
