@@ -10,11 +10,21 @@ import org.apache.spark.sql.DataFrame
   * column-pruned scan, trivial next to the n² join it authorizes.
   */
 object AllPairs {
-  def guarded(df: DataFrame, maxRows: Long = 100000L): DataFrame = {
+
+  /** The most recent guard's cache. Each call retires the previous one,
+    * so a session holds AT MOST ONE live guard cache (≤ maxRows rows)
+    * however many times the baselines run — callers never own cleanup.
+    * Unpersisting a retired cache is always safe: a plan that still
+    * references it just recomputes.
+    */
+  private var live: Option[DataFrame] = None
+
+  def guarded(df: DataFrame, maxRows: Long = 100000L): DataFrame = synchronized {
+    live.foreach(_.unpersist())
+    live = None
     // Persist before counting so the guard's count action materializes the
     // upstream plan once and the n² join that follows reuses the cached
-    // rows — the guard no longer double-computes the input. The cache is
-    // bounded by the guard itself (≤ maxRows rows) and evicts LRU.
+    // rows — the guard no longer double-computes the input.
     val cached = df.persist()
     val n = cached.count()
     if (n > maxRows) {
@@ -23,6 +33,7 @@ object AllPairs {
         s"all-pairs baseline refused: input has $n rows > bound $maxRows " +
           "(this operator is an O(n^2) test oracle; use the LSH/IVF variant at scale)")
     }
+    live = Some(cached)
     cached
   }
 }

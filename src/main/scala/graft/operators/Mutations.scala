@@ -71,7 +71,13 @@ object Mutations {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(p).getLength
+    // Size from *.parquet data files only — _SUCCESS/CRC sidecars would
+    // inflate the target count. Still an approximation of the rewritten
+    // size (compression ratios shift when small files merge), which is
+    // fine: the goal is the file-count bound, not exact file sizes.
+    val bytes = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(path)
       .repartition(nFiles)
