@@ -265,6 +265,118 @@ object FunnelFamily {
             AS BIGINT)) AS DOUBLE) / 1e6 AS value_credited
         FROM x GROUP BY channel ORDER BY channel""")),
 
+    // attributionCorrelation (reference
+    // AggregateFunctionAttributionCorrelation.h:243-327 getRankCorrelation
+    // + insertResultInto): per touch channel — total/valid touch counts,
+    // valid ratio, mean touch→conversion gap, and the Spearman rank
+    // correlation (ties = averaged ranks, 1 - 6Σd²/(n(n²-1)), 0 when
+    // Σy=0 or NaN) over per-user (total, valid) feature pairs, pairs
+    // collected only from users with ≥1 valid touch anywhere (the
+    // reference's has_valid merge guard). Composed from window passes —
+    // no event-stream self-join; ranks are two window sorts per channel.
+    QueryDef(
+      "attribution_correlation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val look = 3 * DayUs
+        val e = Tables(s, dir, "events")
+          .filter(col("event_type").isin("click", "view", "purchase"))
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"))
+        val aheadWin = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(1, look)
+        val t = e
+          .withColumn("np",
+            min(when(col("event_type") === "purchase", col("us"))).over(aheadWin))
+          .filter(col("event_type").isin("click", "view"))
+          .withColumn("valid", when(col("np").isNotNull, 1L).otherwise(0L))
+          .withColumn("gap", when(col("np").isNotNull, col("np") - col("us")))
+        val uc = t.groupBy(col("user_id"), col("event_type").as("channel"))
+          .agg(count(lit(1)).as("total"), sum(col("valid")).as("valid"),
+            sum(col("gap")).as("gap_us"))
+        val pairs = uc.withColumn("has_valid",
+            max(when(col("valid") > 0, 1).otherwise(0))
+              .over(Window.partitionBy(col("user_id"))))
+          .filter(col("has_valid") === 1)
+        val ranked = pairs
+          .withColumn("rnx", row_number().over(Window.partitionBy(col("channel"))
+            .orderBy(col("total").desc, col("user_id"))))
+          .withColumn("rny", row_number().over(Window.partitionBy(col("channel"))
+            .orderBy(col("valid").desc, col("user_id"))))
+          .withColumn("rx", avg(col("rnx"))
+            .over(Window.partitionBy(col("channel"), col("total"))))
+          .withColumn("ry", avg(col("rny"))
+            .over(Window.partitionBy(col("channel"), col("valid"))))
+        val corr = ranked.groupBy(col("channel")).agg(
+            count(lit(1)).as("n"), sum(col("valid")).as("sumy"),
+            sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("d2"))
+          .select(col("channel"),
+            when(col("sumy") === 0 || col("n") <= 1, lit(0.0))
+              .otherwise(lit(1.0) - lit(6.0) * col("d2") /
+                (col("n") * (col("n") * col("n") - 1))).as("correlation"))
+        uc.groupBy(col("channel")).agg(
+            sum(col("total")).as("clicks"), sum(col("valid")).as("valid_clicks"),
+            sum(col("gap_us")).as("gap_sum"))
+          .join(corr, Seq("channel"), "left")
+          .select(col("channel"),
+            coalesce(col("correlation"), lit(0.0)).as("correlation"),
+            col("clicks"), col("valid_clicks"),
+            (col("valid_clicks").cast("double") / col("clicks").cast("double"))
+              .as("valid_ratio"),
+            when(col("valid_clicks") > 0,
+              col("gap_sum").cast("double") / col("valid_clicks") / lit(1e6))
+              .otherwise(lit(0.0)).as("avg_gap_sec"))
+          .orderBy(col("channel"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, EPOCH_US(ts) AS us, event_type FROM events
+                   WHERE event_type IN ('click', 'view', 'purchase')),
+        w AS (SELECT user_id, us, event_type,
+                MIN(CASE WHEN event_type = 'purchase' THEN us END) OVER
+                  (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 1 FOLLOWING AND 259200000000 FOLLOWING) AS np
+              FROM e),
+        t AS (SELECT user_id, event_type AS channel,
+                CASE WHEN np IS NOT NULL THEN 1 ELSE 0 END AS valid,
+                CASE WHEN np IS NOT NULL THEN np - us END AS gap
+              FROM w WHERE event_type IN ('click', 'view')),
+        uc AS (SELECT user_id, channel, COUNT(*) AS total,
+                 CAST(SUM(valid) AS BIGINT) AS valid,
+                 CAST(SUM(gap) AS BIGINT) AS gap_us
+               FROM t GROUP BY 1, 2),
+        hv AS (SELECT *, MAX(CASE WHEN valid > 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id) AS has_valid FROM uc),
+        rk AS (SELECT channel, user_id, total, valid,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                   ORDER BY total DESC, user_id) AS rnx,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                   ORDER BY valid DESC, user_id) AS rny
+               FROM hv WHERE has_valid = 1),
+        rr AS (SELECT channel, valid,
+                 AVG(rnx) OVER (PARTITION BY channel, total) AS rx,
+                 AVG(rny) OVER (PARTITION BY channel, valid) AS ry
+               FROM rk),
+        corr AS (SELECT channel, COUNT(*) AS n,
+                   CAST(SUM(valid) AS BIGINT) AS sumy,
+                   SUM((rx - ry) * (rx - ry)) AS d2
+                 FROM rr GROUP BY channel),
+        tot AS (SELECT channel, COUNT(*) AS clicks,
+                  CAST(SUM(valid) AS BIGINT) AS valid_clicks,
+                  CAST(SUM(gap) AS BIGINT) AS gap_sum
+                FROM t GROUP BY channel)
+        SELECT tot.channel,
+          COALESCE(CASE WHEN corr.sumy = 0 OR corr.n <= 1 THEN 0.0
+            ELSE 1.0 - 6.0 * corr.d2 / (corr.n * (corr.n * corr.n - 1)) END,
+            0.0) AS correlation,
+          tot.clicks, tot.valid_clicks,
+          CAST(tot.valid_clicks AS DOUBLE) / CAST(tot.clicks AS DOUBLE)
+            AS valid_ratio,
+          CASE WHEN tot.valid_clicks > 0
+            THEN CAST(tot.gap_sum AS DOUBLE) / tot.valid_clicks / 1e6
+            ELSE 0.0 END AS avg_gap_sec
+        FROM tot LEFT JOIN corr ON corr.channel = tot.channel
+        ORDER BY tot.channel""")),
+
     // retentionLoss (reference AggregateFunctionRetentionLoss.h:93-126 +
     // finalize 158-162): per start-day cohort, lost(i,j) = users who
     // started on day i and had NOT returned by day j (first return
