@@ -114,6 +114,119 @@ object CoverageWave7 {
             * (LN(no_high/CAST(sum_no AS DOUBLE)) - LN(yes_high/CAST(sum_yes AS DOUBLE))), 6) AS iv_high,
           ROUND((no_low/CAST(sum_no AS DOUBLE) - yes_low/CAST(sum_yes AS DOUBLE))
             * (LN(no_low/CAST(sum_no AS DOUBLE)) - LN(yes_low/CAST(sum_yes AS DOUBLE))), 6) AS iv_low
-        FROM s"""))
+        FROM s""")),
+
+    // groupConcat (default "," separator), singleValueOrNull and the
+    // -SimpleState spellings. groupConcat is arrival-order-dependent in
+    // the reference, so the query sorts the elements post-hoc to make the
+    // check deterministic under Spark's partition-order collect.
+    QueryDef(
+      "agg_misc_nation",
+      (s, dir) => {
+        Tables(s, dir, "nation").createOrReplaceTempView("nation")
+        s.sql("""
+          SELECT n_regionkey,
+            array_join(array_sort(split(groupConcat(n_name), ',')), ',') AS names,
+            singleValueOrNull(n_regionkey * 10) AS only_val,
+            singleValueOrNull(n_nationkey) AS only_nation,
+            sumSimpleState(n_nationkey) AS ss,
+            minSimpleState(n_nationkey) AS mn,
+            maxSimpleState(n_nationkey) AS mx
+          FROM nation
+          GROUP BY n_regionkey
+          ORDER BY n_regionkey""")
+      },
+      Some("""
+        SELECT n_regionkey,
+          string_agg(n_name, ',' ORDER BY n_name) AS names,
+          CASE WHEN COUNT(DISTINCT n_regionkey * 10) = 1
+               THEN MIN(n_regionkey * 10) END AS only_val,
+          CASE WHEN COUNT(DISTINCT n_nationkey) = 1
+               THEN MIN(n_nationkey) END AS only_nation,
+          CAST(SUM(n_nationkey) AS BIGINT) AS ss,
+          MIN(n_nationkey) AS mn,
+          MAX(n_nationkey) AS mx
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey""")),
+
+    // avgWeighted, sumCount, exponentialMovingAverage over the events
+    // stream. EMA feeds hours-since-dataset-origin (not raw epoch
+    // seconds) so 2^(t/h) stays inside double range — see the alias
+    // scaladoc for the closed-form derivation.
+    QueryDef(
+      "agg_weighted_ema",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""
+          SELECT event_type,
+            ROUND(avg_w_raw, 6) AS avg_w,
+            ROUND(sc.sum, 4) AS val_sum,
+            sc.count AS val_cnt,
+            ROUND(ema_raw, 6) AS ema24
+          FROM (
+            SELECT event_type,
+              avgWeighted(value, user_id % 5 + 1) AS avg_w_raw,
+              sumCount(value) AS sc,
+              exponentialMovingAverage(24.0, value,
+                (unix_timestamp(ts) - 1704067200) / 3600.0) AS ema_raw
+            FROM events GROUP BY event_type)
+          ORDER BY event_type""")
+      },
+      Some("""
+        SELECT event_type,
+          ROUND(SUM(value * (user_id % 5 + 1)) / SUM(CAST(user_id % 5 + 1 AS DOUBLE)), 6) AS avg_w,
+          ROUND(SUM(value), 4) AS val_sum,
+          COUNT(value) AS val_cnt,
+          ROUND(SUM(value * POW(2, (FLOOR(EPOCH(ts)) - 1704067200) / 3600.0 / 24.0))
+            / SUM(POW(2, (FLOOR(EPOCH(ts)) - 1704067200) / 3600.0 / 24.0)), 6) AS ema24
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // Scalar long-tail spellings: arithmetic/bit, trim/pad, date-part and
+    // add/subtract-unit families, all through the dialect registry (full
+    // codegen — no UDFs).
+    QueryDef(
+      "scalar_longtail",
+      (s, dir) => {
+        Tables(s, dir, "nation").createOrReplaceTempView("nation")
+        s.sql("""
+          SELECT n_nationkey AS k,
+            intDiv(n_nationkey, 4) AS idiv,
+            moduloOrZero(n_nationkey, 7) AS modz,
+            bitShiftLeft(1, modulo(n_nationkey, 8)) AS shl,
+            bitTest(n_nationkey, 2) AS btest,
+            leftPad(n_name, 20, '.') AS padded,
+            trimBoth(concatWithSeparator('', '  ', n_name, ' ')) AS trimmed,
+            toQuarter(addDays(DATE '2024-01-01', n_nationkey * 11)) AS q,
+            toDayOfYear(addDays(DATE '2024-01-01', n_nationkey * 11)) AS doy,
+            toLastDayOfMonth(addDays(DATE '2024-01-01', n_nationkey * 11)) AS lday,
+            addMonths(addDays(DATE '2024-01-01', n_nationkey * 11), 3) AS addm,
+            addHours(TIMESTAMP '2024-01-01 00:00:00', n_nationkey) AS addh,
+            subtractMinutes(TIMESTAMP '2024-01-01 00:00:00', multiply(n_nationkey, 5)) AS subm,
+            isFinite(divide(1, n_nationkey)) AS fin,
+            ifNotFinite(divide(1, n_nationkey), -1.0) AS finval
+          FROM nation
+          ORDER BY k""")
+      },
+      Some("""
+        SELECT n_nationkey AS k,
+          n_nationkey // 4 AS idiv,
+          CASE WHEN n_nationkey % 7 = 0 THEN 0 ELSE n_nationkey % 7 END AS modz,
+          (1::BIGINT << (n_nationkey % 8)) AS shl,
+          ((n_nationkey >> 2) & 1) AS btest,
+          lpad(n_name, 20, '.') AS padded,
+          trim('  ' || n_name || ' ') AS trimmed,
+          quarter(DATE '2024-01-01' + to_days(n_nationkey * 11)) AS q,
+          dayofyear(DATE '2024-01-01' + to_days(n_nationkey * 11)) AS doy,
+          last_day(DATE '2024-01-01' + to_days(n_nationkey * 11)) AS lday,
+          CAST((DATE '2024-01-01' + to_days(n_nationkey * 11)) + INTERVAL 3 MONTH AS DATE) AS addm,
+          TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (n_nationkey) HOUR AS addh,
+          TIMESTAMP '2024-01-01 00:00:00' - INTERVAL (n_nationkey * 5) MINUTE AS subm,
+          (n_nationkey <> 0) AS fin,
+          CASE WHEN n_nationkey = 0 THEN -1.0 ELSE 1.0 / n_nationkey END AS finval
+        FROM nation
+        ORDER BY k"""))
   )
 }

@@ -30,7 +30,7 @@ object ClickHouseAliases {
     If(cond, value, Literal.create(null, value.dataType))
 
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
-    wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3
+    wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++ wave4
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -710,6 +710,163 @@ object ClickHouseAliases {
     flush()
     out.toString
   }
+
+  /** Misc aggregate spellings + scalar long tail (round 5).
+    *
+    * Aggregates (reference AggregateFunctionAvgWeighted.cpp,
+    * AggregateFunctionSumCount.cpp, AggregateFunctionSingleValueOrNull.cpp,
+    * AggregateFunctionGroupConcat.cpp:118 — default separator ",",
+    * AggregateFunctionExponentialMovingAverage.cpp,
+    * AggregateFunctionSimpleState.cpp):
+    *
+    * - exponentialMovingAverage(halflife, v, t) uses the closed form
+    *   Σ v·2^(t/h) / Σ 2^(t/h) — the per-point decay 2^((t−t_max)/h)
+    *   normalizes away, making the lowering order-independent (a plain
+    *   pair of codegen'd sums) where the reference carries a
+    *   latest-time-anchored state. The trade: t/h must stay within
+    *   double's exponent range (|t/h| ≲ 1000), so feed it group-relative
+    *   or epoch-offset time units, not raw epoch seconds.
+    * - -SimpleState: the reference wraps a value-typed state around
+    *   aggregates whose state IS the value (SimpleAggregateFunction
+    *   columns); over a full GROUP BY that is exactly the underlying
+    *   aggregate, so the spellings lower 1:1.
+    *
+    * Scalars (reference src/Functions registerFunctions.cpp long tail):
+    * arithmetic/bit spellings, trim/pad family, date part + add/subtract
+    * units, finiteness predicates. Only non-colliding names — Spark's
+    * registry is case-insensitive and e.g. `e`, `pi`, `concat_ws`,
+    * `ltrim` are builtins already.
+    */
+  private def wave4: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // aggregate spellings
+    "avgWeighted" -> (cs => {
+      val x = Cast(cs.head, DoubleType)
+      val w = Cast(cs(1), DoubleType)
+      Divide(Sum(Multiply(x, w)).toAggregateExpression(),
+        Sum(w).toAggregateExpression())
+    }),
+    "sumCount" -> (cs => CreateNamedStruct(Seq(
+      Literal("sum"), Sum(cs.head).toAggregateExpression(),
+      Literal("count"), Count(Seq(cs.head)).toAggregateExpression()))),
+    "singleValueOrNull" -> (cs => CaseWhen(Seq((
+      EqualTo(Count(Seq(cs.head)).toAggregateExpression(isDistinct = true),
+        Literal(1L)),
+      Min(cs.head).toAggregateExpression())), None)),
+    "groupConcat" -> (cs => cs match {
+      case Seq(x) => ArrayJoin(CollectList(x).toAggregateExpression(),
+        Literal(","), None)
+      case Seq(sep, x) => ArrayJoin(CollectList(x).toAggregateExpression(),
+        sep, None)
+      case _ => throw new IllegalArgumentException(
+        s"groupConcat expects (x) or (separator, x); got ${cs.size} args")
+    }),
+    "exponentialMovingAverage" -> (cs => {
+      require(cs.size == 3,
+        s"exponentialMovingAverage expects (halflife, value, time); got ${cs.size} args")
+      val h = Cast(cs.head, DoubleType)
+      val v = Cast(cs(1), DoubleType)
+      val t = Cast(cs(2), DoubleType)
+      val w = Pow(Literal(2.0), Divide(t, h))
+      Divide(Sum(Multiply(v, w)).toAggregateExpression(),
+        Sum(w).toAggregateExpression())
+    }),
+    "sumSimpleState" -> (cs => Sum(cs.head)),
+    "minSimpleState" -> (cs => Min(cs.head)),
+    "maxSimpleState" -> (cs => Max(cs.head)),
+    "anySimpleState" -> (cs => new First(cs.head, ignoreNulls = true)),
+    "anyLastSimpleState" -> (cs => new Last(cs.head, ignoreNulls = true)),
+
+    // arithmetic spellings
+    "plus" -> (cs => Add(cs.head, cs(1))),
+    "minus" -> (cs => Subtract(cs.head, cs(1))),
+    "multiply" -> (cs => Multiply(cs.head, cs(1))),
+    // ClickHouse divide is IEEE float division: x/0 → ±Inf, 0/0 → NaN
+    // (no ANSI error). The zero-divisor branch supplies the IEEE result
+    // and keeps the ANSI Divide from ever seeing a zero.
+    "divide" -> (cs => {
+      val x = Cast(cs.head, DoubleType)
+      val y = Cast(cs(1), DoubleType)
+      If(EqualTo(y, Literal(0.0)),
+        If(Or(IsNaN(x), EqualTo(x, Literal(0.0))), Literal(Double.NaN),
+          If(GreaterThan(x, Literal(0.0)),
+            Literal(Double.PositiveInfinity), Literal(Double.NegativeInfinity))),
+        Divide(x, y))
+    }),
+    "modulo" -> (cs => Remainder(cs.head, cs(1))),
+    "negate" -> (cs => UnaryMinus(cs.head)),
+    "intDiv" -> (cs => IntegralDivide(cs.head, cs(1))),
+    "intDivOrZero" -> (cs => If(EqualTo(cs(1), Literal(0)),
+      Literal(0L), IntegralDivide(cs.head, cs(1)))),
+    "moduloOrZero" -> (cs => If(EqualTo(cs(1), Literal(0)),
+      Literal(0L), Cast(Remainder(Cast(cs.head, LongType), Cast(cs(1), LongType)), LongType))),
+    "intExp2" -> (cs => ShiftLeft(Literal(1L), Cast(cs.head, IntegerType))),
+    "intExp10" -> (cs =>
+      Cast(Pow(Literal(10.0), Cast(cs.head, DoubleType)), LongType)),
+    "roundBankers" -> (cs =>
+      if (cs.size == 1) BRound(cs.head, Literal(0)) else BRound(cs.head, cs(1))),
+
+    // bit spellings
+    "bitAnd" -> (cs => BitwiseAnd(cs.head, cs(1))),
+    "bitOr" -> (cs => BitwiseOr(cs.head, cs(1))),
+    "bitXor" -> (cs => BitwiseXor(cs.head, cs(1))),
+    "bitNot" -> (cs => BitwiseNot(cs.head)),
+    "bitShiftLeft" -> (cs => ShiftLeft(cs.head, Cast(cs(1), IntegerType))),
+    "bitShiftRight" -> (cs => ShiftRight(cs.head, Cast(cs(1), IntegerType))),
+    "bitTest" -> (cs => Cast(BitwiseAnd(
+      ShiftRight(Cast(cs.head, LongType), Cast(cs(1), IntegerType)),
+      Literal(1L)), IntegerType)),
+
+    // string spellings
+    "trimLeft" -> (cs => new StringTrimLeft(cs.head)),
+    "trimRight" -> (cs => new StringTrimRight(cs.head)),
+    "trimBoth" -> (cs => new StringTrim(cs.head)),
+    "leftPad" -> (cs =>
+      if (cs.size == 2) StringLPad(cs.head, cs(1), Literal(" "))
+      else StringLPad(cs.head, cs(1), cs(2))),
+    "rightPad" -> (cs =>
+      if (cs.size == 2) StringRPad(cs.head, cs(1), Literal(" "))
+      else StringRPad(cs.head, cs(1), cs(2))),
+    "concatWithSeparator" -> (cs => ConcatWs(cs)),
+
+    // date/time long tail
+    "toQuarter" -> (cs => Quarter(cs.head)),
+    "toDayOfYear" -> (cs => DayOfYear(cs.head)),
+    "toISOWeek" -> (cs => WeekOfYear(cs.head)),
+    "toLastDayOfMonth" -> (cs => LastDay(cs.head)),
+    "addMonths" -> (cs => AddMonths(cs.head, cs(1))),
+    "subtractMonths" -> (cs => AddMonths(cs.head, UnaryMinus(cs(1)))),
+    "addYears" -> (cs => AddMonths(cs.head, Multiply(cs(1), Literal(12)))),
+    "subtractYears" -> (cs =>
+      AddMonths(cs.head, Multiply(UnaryMinus(cs(1)), Literal(12)))),
+    "addWeeks" -> (cs => TimestampAdd("WEEK", cs(1), cs.head)),
+    "subtractWeeks" -> (cs => TimestampAdd("WEEK", UnaryMinus(cs(1)), cs.head)),
+    "addHours" -> (cs => TimestampAdd("HOUR", cs(1), cs.head)),
+    "subtractHours" -> (cs => TimestampAdd("HOUR", UnaryMinus(cs(1)), cs.head)),
+    "addMinutes" -> (cs => TimestampAdd("MINUTE", cs(1), cs.head)),
+    "subtractMinutes" -> (cs => TimestampAdd("MINUTE", UnaryMinus(cs(1)), cs.head)),
+    "addSeconds" -> (cs => TimestampAdd("SECOND", cs(1), cs.head)),
+    "subtractSeconds" -> (cs => TimestampAdd("SECOND", UnaryMinus(cs(1)), cs.head)),
+
+    // finiteness predicates
+    "isFinite" -> (cs => {
+      val x = Cast(cs.head, DoubleType)
+      And(Not(IsNaN(x)),
+        And(Not(EqualTo(x, Literal(Double.PositiveInfinity))),
+          Not(EqualTo(x, Literal(Double.NegativeInfinity)))))
+    }),
+    "isInfinite" -> (cs => {
+      val x = Cast(cs.head, DoubleType)
+      Or(EqualTo(x, Literal(Double.PositiveInfinity)),
+        EqualTo(x, Literal(Double.NegativeInfinity)))
+    }),
+    "ifNotFinite" -> (cs => {
+      val x = Cast(cs.head, DoubleType)
+      val finite = And(Not(IsNaN(x)),
+        And(Not(EqualTo(x, Literal(Double.PositiveInfinity))),
+          Not(EqualTo(x, Literal(Double.NegativeInfinity)))))
+      If(finite, x, Cast(cs(1), DoubleType))
+    })
+  )
 
   /** Register every alias into the session's function registry. */
   def inject(ext: SparkSessionExtensions): Unit = {

@@ -411,4 +411,73 @@ class DialectSpec extends SparkSpec {
     assert(t.getLong(0) === 2L)
     assert(t.getLong(1) === 5L)
   }
+
+  test("wave4 misc aggregates: avgWeighted, sumCount, singleValueOrNull, groupConcat") {
+    Seq((1, 10.0, "a"), (1, 20.0, "b"), (2, 30.0, "c")).toDF("k", "v", "s")
+      .createOrReplaceTempView("w4")
+    val r = one("""SELECT avgWeighted(v, k) AS aw, sumCount(v) AS sc,
+                   singleValueOrNull(k < 0) AS sv1, singleValueOrNull(k) AS svn,
+                   groupConcat(s) AS gc1, groupConcat('-', s) AS gc2
+                   FROM w4""")
+    // (10·1 + 20·1 + 30·2) / (1+1+2) = 90/4
+    assert(r.getDouble(0) === 22.5)
+    assert(r.getStruct(1).getDouble(0) === 60.0)
+    assert(r.getStruct(1).getLong(1) === 3L)
+    assert(r.getBoolean(2) === false) // single distinct value → that value
+    assert(r.isNullAt(3)) // three distinct values → NULL
+    assert(r.getString(4).split(",").sorted.mkString(",") === "a,b,c")
+    assert(r.getString(5).split("-").sorted.mkString("-") === "a-b-c")
+  }
+
+  test("wave4 exponentialMovingAverage closed form") {
+    // Two points one halflife apart: EMA = (v0·0.5 + v1)/(0.5 + 1).
+    Seq((0.0, 0.0), (30.0, 1.0)).toDF("v", "t").createOrReplaceTempView("ema")
+    val r = one("SELECT exponentialMovingAverage(1.0, v, t) FROM ema")
+    assert(math.abs(r.getDouble(0) - 30.0 / 1.5) < 1e-12)
+  }
+
+  test("wave4 simpleState spellings lower to the plain aggregate") {
+    Seq(3, 1, 2).toDF("v").createOrReplaceTempView("ss")
+    val r = one("""SELECT sumSimpleState(v), minSimpleState(v), maxSimpleState(v),
+                   anySimpleState(v), anyLastSimpleState(v) FROM ss""")
+    assert(r.getLong(0) === 6L)
+    assert(r.getInt(1) === 1)
+    assert(r.getInt(2) === 3)
+    assert(Set(1, 2, 3).contains(r.getInt(3)))
+    assert(Set(1, 2, 3).contains(r.getInt(4)))
+  }
+
+  test("wave4 scalar long tail: arithmetic, bits, pads, date units") {
+    val r = one("""SELECT intDiv(17, 5), intDivOrZero(17, 0), moduloOrZero(17, 0),
+                   intExp2(10), intExp10(6), roundBankers(2.5), roundBankers(3.5),
+                   bitAnd(12, 10), bitOr(12, 10), bitXor(12, 10), bitNot(0),
+                   bitShiftLeft(3, 2), bitShiftRight(12, 2), bitTest(5, 0), bitTest(5, 1)""")
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === 0L)
+    assert(r.getLong(2) === 0L)
+    assert(r.getLong(3) === 1024L)
+    assert(r.getLong(4) === 1000000L)
+    // banker's rounding: ties to even
+    assert(r.getDecimal(5).doubleValue === 2.0)
+    assert(r.getDecimal(6).doubleValue === 4.0)
+    assert(r.getInt(7) === 8 && r.getInt(8) === 14 && r.getInt(9) === 6)
+    assert(r.getInt(10) === -1)
+    assert(r.getInt(11) === 12 && r.getInt(12) === 3)
+    assert(r.getInt(13) === 1 && r.getInt(14) === 0)
+    val s = one("""SELECT rightPad('ab', 5, '.'), trimLeft('  x '), trimRight('  x '),
+                   divide(1, 0), divide(-1, 0), divide(0, 0), isInfinite(divide(1, 0)),
+                   toISOWeek(DATE '2024-01-04'),
+                   addYears(DATE '2020-02-29', 1), addWeeks(TIMESTAMP '2024-01-01 00:00:00', 2),
+                   subtractSeconds(TIMESTAMP '2024-01-01 00:00:30', 90)""")
+    assert(s.getString(0) === "ab...")
+    assert(s.getString(1) === "x ")
+    assert(s.getString(2) === "  x")
+    assert(s.getDouble(3).isPosInfinity && s.getDouble(4).isNegInfinity)
+    assert(s.getDouble(5).isNaN)
+    assert(s.getBoolean(6))
+    assert(s.getInt(7) === 1)
+    assert(s.getDate(8).toString === "2021-02-28")
+    assert(s.getTimestamp(9).toString === "2024-01-15 00:00:00.0")
+    assert(s.getTimestamp(10).toString === "2023-12-31 23:59:00.0")
+  }
 }
