@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.Association
+import graft.aggregates.TimeOrderedAggregates
 import org.apache.spark.sql.functions._
 
 /** Round-5 coverage wave: the cross-tab association statistics
@@ -227,6 +228,50 @@ object CoverageWave7 {
           (n_nationkey <> 0) AS fin,
           CASE WHEN n_nationkey = 0 THEN -1.0 ELSE 1.0 / n_nationkey END AS finval
         FROM nation
-        ORDER BY k"""))
+        ORDER BY k""")),
+
+    // deltaSumTimestamp: the aggregate form (collect (t,v), sort at
+    // finish) — unlike the window-based delta_sum query this survives
+    // arbitrary shuffle merge order, which is the whole point of the
+    // reference's timestamp-carrying variant.
+    QueryDef(
+      "delta_sum_timestamp",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        ev.groupBy((col("user_id") % 16).as("g"))
+          .agg(TimeOrderedAggregates.deltaSumTimestamp(
+            unix_micros(col("ts")), col("value")).as("delta_sum"))
+          .orderBy(col("g"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT user_id % 16 AS g,
+            value - LAG(value) OVER (
+              PARTITION BY user_id % 16 ORDER BY epoch_us(ts), value) AS d
+          FROM events
+        )
+        SELECT g,
+          CAST(SUM(CAST(CASE WHEN d > 0 THEN d ELSE 0.0 END
+            AS DECIMAL(18,6))) AS DOUBLE) AS delta_sum
+        FROM d GROUP BY g ORDER BY g""")),
+
+    // xirr: 20 synthetic portfolios from the orders table — early orders
+    // are investments (negative flows), later ones returns. No ANSI-SQL
+    // oracle exists for Newton-iterated IRR → rows-only in the driver
+    // gate; AggregatorsSpec holds the golden-value and NPV(root)≈0 gates.
+    QueryDef(
+      "xirr_portfolio",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val flow = when(col("o_orderdate") < lit("1998-01-01").cast("date"),
+          -col("o_totalprice")).otherwise(col("o_totalprice") * 1.8)
+        o.groupBy((col("o_custkey") % 20).as("g"))
+          .agg(TimeOrderedAggregates.xirr(
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long"),
+            flow).as("irr"))
+          .select(col("g"), round(col("irr"), 6).as("irr"))
+          .orderBy(col("g"))
+      },
+      None)
   )
 }

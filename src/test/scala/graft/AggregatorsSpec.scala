@@ -310,4 +310,31 @@ class AggregatorsSpec extends SparkSpec {
       .collect()(0).getAs[Array[Byte]](0)
     assert(BitmapAggregates.deserialize(bytes).getLongCardinality === 7)
   }
+
+  test("xirr: golden single-period case and NPV(root) ≈ 0 property") {
+    // -100 at day 0, +110 at day 365 → exactly 10% annualized.
+    val simple = Seq((0L, -100.0), (365L, 110.0)).toDF("t", "v")
+    val r1 = simple.agg(TimeOrderedAggregates.xirr($"t", $"v")).collect()(0).getDouble(0)
+    assert(math.abs(r1 - 0.10) < 1e-9)
+
+    // Multi-flow case, shuffled input order: the root must zero the NPV.
+    val flows = Seq((200L, 30.0), (0L, -120.0), (400L, 50.0), (100L, -30.0),
+      (730L, 120.0)).map { case (t, v) => (t, v) }
+    val df = flows.toDF("t", "v").repartition(4)
+    val rate = df.agg(TimeOrderedAggregates.xirr($"t", $"v")).collect()(0).getDouble(0)
+    assert(java.lang.Double.isFinite(rate))
+    val npv = flows.sortBy(_._1).map { case (t, v) =>
+      v / math.pow(1 + rate, t / 365.0)
+    }.sum
+    assert(math.abs(npv) < 1e-6, s"NPV at xirr root $rate was $npv")
+  }
+
+  test("deltaSumTimestamp sums positive deltas in time order, any input order") {
+    // Time-ordered values 1, 3, 2, 5 → (3-1) + (5-2) = 5.
+    val df = Seq((30L, 5.0), (0L, 1.0), (20L, 2.0), (10L, 3.0))
+      .toDF("t", "v").repartition(3)
+    val r = df.agg(TimeOrderedAggregates.deltaSumTimestamp($"t", $"v"))
+      .collect()(0).getDouble(0)
+    assert(r === 5.0)
+  }
 }
