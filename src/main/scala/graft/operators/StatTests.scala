@@ -107,6 +107,19 @@ object StatTests {
       round(u, 6).as("u"), round((u - mu) / sigma, 6).as("z"))
   }
 
+  /** Two-sample mean z-test with KNOWN population variances (reference
+    * AggregateFunctionMeanZTest.h:41 — pop_var_x / pop_var_y are
+    * parameters, not estimated): z = (x̄_a − x̄_b) / √(σ²_a/n_a + σ²_b/n_b).
+    * Statistic only, matching the repo's t-test outputs.
+    */
+  def meanZTest(df: DataFrame, valueCol: Column, isA: Column,
+      popVarA: Double, popVarB: Double): DataFrame = {
+    moments(df, valueCol, isA)
+      .withColumn("z", (col("mean_a") - col("mean_b")) /
+        sqrt(lit(popVarA) / col("n_a") + lit(popVarB) / col("n_b")))
+      .select(col("n_a"), col("n_b"), round(col("z"), 6).as("z"))
+  }
+
   /** ROC AUC of `score` ranking `label` (true = positive): the rank-sum
     * identity AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg) with
     * mid-ranks, so ties contribute 1/2 — matching the trapezoidal curve.

@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.Association
+import graft.operators.{Association, Sparkbar, StatTests}
 import graft.aggregates.TimeOrderedAggregates
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 coverage wave: the cross-tab association statistics
@@ -272,6 +273,158 @@ object CoverageWave7 {
           .select(col("g"), round(col("irr"), 6).as("irr"))
           .orderBy(col("g"))
       },
-      None)
+      None),
+
+    // meanZTest with known population variances (statistic only, like
+    // the repo's t-tests).
+    QueryDef(
+      "stat_mean_ztest",
+      (s, dir) =>
+        StatTests.meanZTest(
+          Tables(s, dir, "events").filter(col("event_type").isin("click", "purchase")),
+          col("value"), col("event_type") === "click", 900.0, 870.0),
+      Some("""
+        WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS v,
+                     event_type = 'click' AS a
+                   FROM events WHERE event_type IN ('click', 'purchase')),
+        m0 AS (SELECT
+            CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+            CAST(SUM(CAST(CASE WHEN a THEN v ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS sx_a,
+            CAST(SUM(CAST(CASE WHEN a THEN 0 ELSE v END AS DECIMAL(18,6))) AS DOUBLE) AS sx_b
+          FROM e)
+        SELECT n_a, n_b,
+          ROUND((sx_a / n_a - sx_b / n_b) / SQRT(900.0 / n_a + 870.0 / n_b), 6) AS z
+        FROM m0""")),
+
+    // ndcg (reference AggregateFunctionNdcg.h:100): entries grouped by
+    // rank_id; DCG pairs pred-descending relevance with the i-th
+    // SMALLEST rank as discount position, IDCG pairs each relevance with
+    // its own rank; result is the mean of dcg/idcg over rank_ids. The
+    // position alignment is two row_number windows joined on position —
+    // no per-group collect.
+    QueryDef(
+      "ndcg_ranking",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("event_type").as("grp"),
+            (col("user_id") % 3).as("rank_id"),
+            (col("event_id") % 10).as("rank"),
+            col("value").as("pred"),
+            (col("event_id") % 4).as("label"))
+        val rel = (pow(lit(2.0), col("label") + 1) - 1).cast("double")
+        val byPred = Window.partitionBy(col("grp"), col("rank_id"))
+          .orderBy(col("pred").desc, col("rank"), col("label"))
+        val byRank = Window.partitionBy(col("grp"), col("rank_id"))
+          .orderBy(col("rank"), col("pred"), col("label"))
+        val predSide = e.select(col("grp"), col("rank_id"),
+          rel.as("rel"), col("rank"),
+          row_number().over(byPred).as("pos"))
+        val rankSide = e.select(col("grp"), col("rank_id"), col("rank"),
+          row_number().over(byRank).as("pos"))
+        import graft.Num._
+        val joined = predSide.alias("p")
+          .join(rankSide.alias("r"), Seq("grp", "rank_id", "pos"))
+          .groupBy(col("grp"), col("rank_id"))
+          .agg(
+            dsum6(col("p.rel") / log2(col("p.rank") + 2)).as("idcg"),
+            dsum6(col("p.rel") / log2(col("r.rank") + 2)).as("dcg"))
+        joined.groupBy(col("grp"))
+          .agg(round(davg6(col("dcg") / col("idcg")), 6).as("ndcg"))
+          .orderBy(col("grp"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type AS grp, user_id % 3 AS rank_id,
+            event_id % 10 AS rank, value AS pred,
+            CAST((1::BIGINT << (event_id % 4 + 1)) - 1 AS DOUBLE) AS rel
+          FROM events
+        ),
+        p AS (SELECT grp, rank_id, rel, rank,
+                ROW_NUMBER() OVER (PARTITION BY grp, rank_id
+                  ORDER BY pred DESC, rank, rel) AS pos
+              FROM e),
+        r AS (SELECT grp, rank_id, rank,
+                ROW_NUMBER() OVER (PARTITION BY grp, rank_id
+                  ORDER BY rank, pred, rel) AS pos
+              FROM e),
+        g AS (SELECT p.grp, p.rank_id,
+                CAST(SUM(CAST(p.rel / LOG2(p.rank + 2) AS DECIMAL(18,6))) AS DOUBLE) AS idcg,
+                CAST(SUM(CAST(p.rel / LOG2(r.rank + 2) AS DECIMAL(18,6))) AS DOUBLE) AS dcg
+              FROM p JOIN r USING (grp, rank_id, pos)
+              GROUP BY p.grp, p.rank_id)
+        SELECT grp,
+          ROUND(CAST(SUM(CAST(dcg / idcg AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS ndcg
+        FROM g GROUP BY grp ORDER BY grp""")),
+
+    // groupArrayInsertAt (reference AggregateFunctionGroupArrayInsertAt.h):
+    // value placed at its position index, absent positions take the
+    // default. The reference leaves same-position collisions unspecified;
+    // this pins them to MIN for determinism. Output posexploded so the
+    // gate hash-checks every element.
+    QueryDef(
+      "group_array_insert_at",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val slots = e.groupBy(col("event_type").as("grp"),
+            (col("user_id") % 8).as("pos"))
+          .agg(min(col("user_id")).as("v"))
+        val arrs = slots.groupBy(col("grp"))
+          .agg(map_from_entries(collect_list(struct(col("pos"), col("v")))).as("m"))
+          .select(col("grp"),
+            transform(sequence(lit(0), lit(9)),
+              i => coalesce(element_at(col("m"), i.cast("long")), lit(-1L))).as("arr"))
+        arrs.select(col("grp"), posexplode(col("arr")).as(Seq("pos", "v")))
+          .orderBy(col("grp"), col("pos"))
+      },
+      Some("""
+        WITH slots AS (
+          SELECT event_type AS grp, user_id % 8 AS pos, MIN(user_id) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT g.grp, s.pos
+          FROM (SELECT DISTINCT grp FROM slots) g
+          CROSS JOIN (SELECT UNNEST(generate_series(0, 9)) AS pos) s
+        )
+        SELECT grid.grp, CAST(grid.pos AS INT) AS pos,
+          COALESCE(slots.v, -1) AS v
+        FROM grid LEFT JOIN slots ON grid.grp = slots.grp AND grid.pos = slots.pos
+        ORDER BY grid.grp, grid.pos""")),
+
+    // sparkbar over the events stream: 12 buckets spanning hours 0-23,
+    // heights from per-hour value sums (two points per bucket exercises
+    // the reference's mean-of-points path).
+    QueryDef(
+      "sparkbar_hourly",
+      (s, dir) =>
+        Sparkbar.render(Tables(s, dir, "events"),
+            col("event_type"), hour(col("ts")), col("value"),
+            width = 12, fromX = 0L, toX = 23L)
+          .withColumnRenamed("k", "event_type")
+          .orderBy(col("event_type")),
+      Some("""
+        WITH pts AS (
+          SELECT event_type AS k, hour(ts) AS x,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ysum
+          FROM events WHERE hour(ts) BETWEEN 0 AND 23
+          GROUP BY 1, 2
+        ),
+        bk AS (
+          SELECT k, LEAST(CAST(FLOOR(12.0 / 24.0 * x) AS INT), 11) AS b,
+            ROUND(CAST(SUM(CAST(ysum AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS h
+          FROM pts GROUP BY 1, 2
+        ),
+        lv AS (
+          SELECT k, b,
+            CASE WHEN h <= 0 OR MAX(CASE WHEN h > 0 THEN h END) OVER (PARTITION BY k) IS NULL
+                 THEN 0
+                 ELSE CAST(FLOOR(h * 7 / MAX(CASE WHEN h > 0 THEN h END) OVER (PARTITION BY k) + 1) AS INT)
+            END AS lvl
+          FROM bk
+        )
+        SELECT k AS event_type,
+          string_agg(substr(' ▁▂▃▄▅▆▇█', lvl + 1, 1), '' ORDER BY b) AS bar
+        FROM lv GROUP BY k ORDER BY event_type"""))
   )
 }
