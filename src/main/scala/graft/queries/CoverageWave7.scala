@@ -425,6 +425,120 @@ object CoverageWave7 {
         )
         SELECT k AS event_type,
           string_agg(substr(' ▁▂▃▄▅▆▇█', lvl + 1, 1), '' ORDER BY b) AS bar
-        FROM lv GROUP BY k ORDER BY event_type"""))
+        FROM lv GROUP BY k ORDER BY event_type""")),
+
+    // userDistribution (reference AggregateFunctionUserDistribution.h:47
+    // + ...Common.h:27): per user × time-slot a state byte — ARRIVE(1)
+    // when the user had an event in the slot, NEWONE(2) when the user's
+    // registration (first-seen) falls in the same slot. Consumed here as
+    // the per-slot DAU / new-user distribution. Registration is derived
+    // as min(ts) per user; slots are days of Jan 2024 (granularity 1d,
+    // 30 slots), matching the (start_time, granularity, num_slots)
+    // parameterization.
+    QueryDef(
+      "user_distribution_daily",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val reg = e.groupBy("user_id").agg(min(col("d")).as("regd"))
+        val slots = e.distinct()
+          .join(reg, "user_id")
+          .withColumn("slot", datediff(col("d"), lit("2024-01-01").cast("date")))
+          .filter(col("slot") >= 0 && col("slot") < 30)
+          .withColumn("state",
+            lit(1) + when(col("d") === col("regd"), 2).otherwise(0))
+        slots.groupBy(col("slot"))
+          .agg(count(lit(1)).as("arrive_users"),
+            sum(when(col("state") === 3, 1L).otherwise(0L)).as("new_users"))
+          .orderBy(col("slot"))
+      },
+      Some("""
+        WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        reg AS (SELECT user_id, MIN(d) AS regd FROM e GROUP BY user_id),
+        slots AS (
+          SELECT e.user_id, datediff('day', DATE '2024-01-01', e.d) AS slot,
+            CASE WHEN e.d = reg.regd THEN 3 ELSE 1 END AS state
+          FROM e JOIN reg ON e.user_id = reg.user_id
+          WHERE datediff('day', DATE '2024-01-01', e.d) BETWEEN 0 AND 29
+        )
+        SELECT CAST(slot AS INT) AS slot,
+          COUNT(*) AS arrive_users,
+          CAST(SUM(CASE WHEN state = 3 THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+        FROM slots GROUP BY slot ORDER BY slot""")),
+
+    // slideMatchCount over the userDistribution states (reference
+    // AggregateFunctionSlideMatchCount.h:72 — slide a state pattern over
+    // each user's slot array and count matching offsets). Pattern here is
+    // [NEWONE+ARRIVE, ARRIVE]: registration day immediately followed by
+    // an active day — the day-1 activation metric. The slide is the
+    // slot+1 self-join; no per-user array materialization.
+    QueryDef(
+      "slide_match_activation",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+        val reg = e.groupBy("user_id").agg(min(col("d")).as("regd"))
+        val slots = e.join(reg, "user_id")
+          .withColumn("slot", datediff(col("d"), lit("2024-01-01").cast("date")))
+          .filter(col("slot") >= 0 && col("slot") < 30)
+          .withColumn("state",
+            lit(1) + when(col("d") === col("regd"), 2).otherwise(0))
+        val s1 = slots.filter(col("state") === 3)
+          .select(col("user_id"), col("slot"))
+        val s2 = slots.select(col("user_id").as("u2"), col("slot").as("slot2"))
+        s1.join(s2, s1("user_id") === s2("u2") && (s1("slot") + 1) === s2("slot2"))
+          .agg(count(lit(1)).as("match_count"),
+            countDistinct(col("user_id")).as("users_matched"))
+      },
+      Some("""
+        WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        reg AS (SELECT user_id, MIN(d) AS regd FROM e GROUP BY user_id),
+        slots AS (
+          SELECT e.user_id, datediff('day', DATE '2024-01-01', e.d) AS slot,
+            CASE WHEN e.d = reg.regd THEN 3 ELSE 1 END AS state
+          FROM e JOIN reg ON e.user_id = reg.user_id
+          WHERE datediff('day', DATE '2024-01-01', e.d) BETWEEN 0 AND 29
+        )
+        SELECT COUNT(*) AS match_count,
+          COUNT(DISTINCT s1.user_id) AS users_matched
+        FROM slots s1 JOIN slots s2
+          ON s1.user_id = s2.user_id AND s1.slot + 1 = s2.slot
+        WHERE s1.state = 3""")),
+
+    // Standalone Spearman rank correlation (reference upstream
+    // AggregateFunctionRankCorrelation.h — average ranks for ties, then
+    // Pearson on the ranks). Mid-ranks come from the distinct-value
+    // histogram joined back (the StatTests.rankSums shape) — no per-row
+    // global sort survives into the aggregate.
+    QueryDef(
+      "stat_rank_correlation",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("value").as("va"), (col("event_id") % 100).cast("double").as("vb"))
+        def midRanks(df: org.apache.spark.sql.DataFrame, c: String, out: String) = {
+          val cnt = df.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+          val wCum = Window.orderBy(col(c)).rowsBetween(Window.unboundedPreceding, -1)
+          cnt.withColumn("__before", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+            .select(col(c), (col("__before") + (col("__c") + 1) / 2.0).as(out))
+        }
+        val ra = midRanks(e, "va", "ra")
+        val rb = midRanks(e, "vb", "rb")
+        e.join(ra, "va").join(rb, "vb")
+          .agg(round(corr(col("ra"), col("rb")), 6).as("rho"))
+      },
+      Some("""
+        WITH e AS (SELECT value AS va, CAST(event_id % 100 AS DOUBLE) AS vb FROM events),
+        ra AS (
+          SELECT va, SUM(c) OVER (ORDER BY va ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b, c
+          FROM (SELECT va, COUNT(*) AS c FROM e GROUP BY va)
+        ),
+        rb AS (
+          SELECT vb, SUM(c) OVER (ORDER BY vb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b, c
+          FROM (SELECT vb, COUNT(*) AS c FROM e GROUP BY vb)
+        )
+        SELECT ROUND(CORR(COALESCE(ra.b, 0) + (ra.c + 1) / 2.0,
+                          COALESCE(rb.b, 0) + (rb.c + 1) / 2.0), 6) AS rho
+        FROM e JOIN ra USING (va) JOIN rb USING (vb)"""))
   )
 }
