@@ -539,6 +539,83 @@ object CoverageWave7 {
         )
         SELECT ROUND(CORR(COALESCE(ra.b, 0) + (ra.c + 1) / 2.0,
                           COALESCE(rb.b, 0) + (rb.c + 1) / 2.0), 6) AS rho
-        FROM e JOIN ra USING (va) JOIN rb USING (vb)"""))
+        FROM e JOIN ra USING (va) JOIN rb USING (vb)""")),
+
+    // frequency: the reference's fixed 10-bucket value histogram,
+    // projected to scalar columns for the gate (buckets 1..5 exact,
+    // 6-10 / 11-20 / 21-50 / 51-100 / >100 ranges).
+    QueryDef(
+      "agg_frequency_buckets",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""
+          SELECT l_returnflag,
+            f[0] AS f1, f[1] AS f2, f[2] AS f3, f[3] AS f4, f[4] AS f5,
+            f[5] AS f6_10, f[6] AS f11_20, f[7] AS f21_50,
+            f[8] AS f51_100, f[9] AS f_over100
+          FROM (SELECT l_returnflag, frequency(CAST(l_quantity AS BIGINT)) AS f
+                FROM lineitem GROUP BY l_returnflag)
+          ORDER BY l_returnflag""")
+      },
+      Some("""
+        SELECT l_returnflag,
+          CAST(SUM(CASE WHEN q = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+          CAST(SUM(CASE WHEN q = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+          CAST(SUM(CASE WHEN q = 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+          CAST(SUM(CASE WHEN q = 4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+          CAST(SUM(CASE WHEN q = 5 THEN 1 ELSE 0 END) AS BIGINT) AS f5,
+          CAST(SUM(CASE WHEN q BETWEEN 6 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS f6_10,
+          CAST(SUM(CASE WHEN q BETWEEN 11 AND 20 THEN 1 ELSE 0 END) AS BIGINT) AS f11_20,
+          CAST(SUM(CASE WHEN q BETWEEN 21 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS f21_50,
+          CAST(SUM(CASE WHEN q > 50 AND q <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS f51_100,
+          CAST(SUM(CASE WHEN q > 100 THEN 1 ELSE 0 END) AS BIGINT) AS f_over100
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // covarSampMatrix / corrMatrix (reference
+    // AggregateFunctionVarianceMatrix.h:64): all pairwise statistics of
+    // N columns in ONE aggregate pass — the N(N+1)/2 upper triangle as
+    // fixed-width scalar columns (no N×N array output to trip the gate).
+    QueryDef(
+      "stat_covar_matrix",
+      (s, dir) => {
+        // Price in thousands: keeps every matrix entry ≤ ~1e2 so the
+        // ROUND(4) cushion dwarfs co-moment merge-order noise.
+        val li = Tables(s, dir, "lineitem").select(
+          col("l_quantity").as("q"), (col("l_extendedprice") / 1000).as("p"),
+          col("l_discount").as("d"), col("l_tax").as("t"))
+        val cols = Seq("q", "p", "d", "t")
+        // + 0.0 normalizes IEEE −0.0 (a rounded −2e-5 prints as "-0.0"
+        // in one engine and "0.0" in the other otherwise).
+        val covs = for {
+          i <- cols.indices; j <- 0 to i
+        } yield (round(covar_samp(col(cols(i)), col(cols(j))), 4) + lit(0.0))
+          .as(s"cov_${cols(i)}${cols(j)}")
+        val corrs = for {
+          i <- cols.indices; j <- 0 until i
+        } yield (round(corr(col(cols(i)), col(cols(j))), 6) + lit(0.0))
+          .as(s"corr_${cols(i)}${cols(j)}")
+        li.agg((covs ++ corrs).head, (covs ++ corrs).tail: _*)
+      },
+      Some("""
+        SELECT
+          ROUND(COVAR_SAMP(l_quantity, l_quantity), 4) + 0.0 AS cov_qq,
+          ROUND(COVAR_SAMP(l_extendedprice/1000.0, l_quantity), 4) + 0.0 AS cov_pq,
+          ROUND(COVAR_SAMP(l_extendedprice/1000.0, l_extendedprice/1000.0), 4) + 0.0 AS cov_pp,
+          ROUND(COVAR_SAMP(l_discount, l_quantity), 4) + 0.0 AS cov_dq,
+          ROUND(COVAR_SAMP(l_discount, l_extendedprice/1000.0), 4) + 0.0 AS cov_dp,
+          ROUND(COVAR_SAMP(l_discount, l_discount), 4) + 0.0 AS cov_dd,
+          ROUND(COVAR_SAMP(l_tax, l_quantity), 4) + 0.0 AS cov_tq,
+          ROUND(COVAR_SAMP(l_tax, l_extendedprice/1000.0), 4) + 0.0 AS cov_tp,
+          ROUND(COVAR_SAMP(l_tax, l_discount), 4) + 0.0 AS cov_td,
+          ROUND(COVAR_SAMP(l_tax, l_tax), 4) + 0.0 AS cov_tt,
+          ROUND(CORR(l_extendedprice/1000.0, l_quantity), 6) + 0.0 AS corr_pq,
+          ROUND(CORR(l_discount, l_quantity), 6) + 0.0 AS corr_dq,
+          ROUND(CORR(l_discount, l_extendedprice/1000.0), 6) + 0.0 AS corr_dp,
+          ROUND(CORR(l_tax, l_quantity), 6) + 0.0 AS corr_tq,
+          ROUND(CORR(l_tax, l_extendedprice/1000.0), 6) + 0.0 AS corr_tp,
+          ROUND(CORR(l_tax, l_discount), 6) + 0.0 AS corr_td
+        FROM lineitem"""))
   )
 }

@@ -859,6 +859,26 @@ object ClickHouseAliases {
       Or(EqualTo(x, Literal(Double.PositiveInfinity)),
         EqualTo(x, Literal(Double.NegativeInfinity)))
     }),
+    // frequency (reference AggregateFunctionFrequency.h:56): fixed
+    // 10-bucket value histogram — exact buckets 1..5, ranges 6-10,
+    // 11-20, 21-50, 51-100 (the reference's v>=50 branch is shadowed by
+    // the 21-50 one, so 50 lands in bucket 7), >100. One CreateArray of
+    // conditional counts: a single hash aggregate, map-side combined.
+    "frequency" -> (cs => {
+      val v = Cast(cs.head, LongType)
+      def bucket(cond: Expression): Expression =
+        Coalesce(Seq(
+          Sum(nullUnless(cond, Literal(1L))).toAggregateExpression(),
+          Literal(0L)))
+      val conds: Seq[Expression] = (1L to 5L).map(i =>
+        EqualTo(v, Literal(i)): Expression) ++ Seq(
+        And(GreaterThanOrEqual(v, Literal(6L)), LessThanOrEqual(v, Literal(10L))),
+        And(GreaterThanOrEqual(v, Literal(11L)), LessThanOrEqual(v, Literal(20L))),
+        And(GreaterThanOrEqual(v, Literal(21L)), LessThanOrEqual(v, Literal(50L))),
+        And(GreaterThan(v, Literal(50L)), LessThanOrEqual(v, Literal(100L))),
+        GreaterThan(v, Literal(100L)))
+      CreateArray(conds.map(bucket))
+    }),
     "ifNotFinite" -> (cs => {
       val x = Cast(cs.head, DoubleType)
       val finite = And(Not(IsNaN(x)),
