@@ -150,8 +150,18 @@ object ClickHouseAliases {
     "plus" -> (cs => Add(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
     "minus" -> (cs => Subtract(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
     "multiply" -> (cs => Multiply(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
-    "divide" -> (cs => Divide(Cast(cs.head, DoubleType), Cast(cs(1), DoubleType),
-      evalMode = EvalMode.LEGACY)),
+    // ClickHouse divide is IEEE float division: x/0 → ±Inf, 0/0 → NaN
+    // (LEGACY Spark division would give NULL). The zero-divisor branch
+    // supplies the IEEE result explicitly.
+    "divide" -> (cs => {
+      val x = Cast(cs.head, DoubleType)
+      val y = Cast(cs(1), DoubleType)
+      If(EqualTo(y, Literal(0.0)),
+        If(Or(IsNaN(x), EqualTo(x, Literal(0.0))), Literal(Double.NaN),
+          If(GreaterThan(x, Literal(0.0)),
+            Literal(Double.PositiveInfinity), Literal(Double.NegativeInfinity))),
+        Divide(x, y, evalMode = EvalMode.LEGACY))
+    }),
     "cityHash64" -> (cs => new XxHash64(cs)), // hash parity non-goal (SURVEY §2.2)
     "halfMD5" -> (cs => new XxHash64(cs)),
 
@@ -219,13 +229,15 @@ object ClickHouseAliases {
     // Aggregates nested under a non-aggregate (the struct) need explicit
     // AggregateExpression wrapping — the registry only auto-wraps a bare
     // top-level AggregateFunction.
-    "sumCount" -> (cs => CreateStruct(Seq(
-      Sum(cs.head).toAggregateExpression(),
-      Count(Seq(cs.head)).toAggregateExpression()))),
+    "sumCount" -> (cs => CreateNamedStruct(Seq(
+      Literal("sum"), Sum(cs.head).toAggregateExpression(),
+      Literal("count"), Count(Seq(cs.head)).toAggregateExpression()))),
 
     // strings
-    "leftPad" -> (cs => StringLPad(cs.head, cs(1), cs(2))),
-    "rightPad" -> (cs => StringRPad(cs.head, cs(1), cs(2))),
+    "leftPad" -> (cs =>
+      StringLPad(cs.head, cs(1), if (cs.size > 2) cs(2) else Literal(" "))),
+    "rightPad" -> (cs =>
+      StringRPad(cs.head, cs(1), if (cs.size > 2) cs(2) else Literal(" "))),
     "trimBoth" -> (cs => StringTrim(cs.head)),
     "trimLeft" -> (cs => StringTrimLeft(cs.head)),
     "trimRight" -> (cs => StringTrimRight(cs.head)),
@@ -745,9 +757,6 @@ object ClickHouseAliases {
       Divide(Sum(Multiply(x, w)).toAggregateExpression(),
         Sum(w).toAggregateExpression())
     }),
-    "sumCount" -> (cs => CreateNamedStruct(Seq(
-      Literal("sum"), Sum(cs.head).toAggregateExpression(),
-      Literal("count"), Count(Seq(cs.head)).toAggregateExpression()))),
     "singleValueOrNull" -> (cs => CaseWhen(Seq((
       EqualTo(Count(Seq(cs.head)).toAggregateExpression(isDistinct = true),
         Literal(1L)),
@@ -776,66 +785,25 @@ object ClickHouseAliases {
     "anySimpleState" -> (cs => new First(cs.head, ignoreNulls = true)),
     "anyLastSimpleState" -> (cs => new Last(cs.head, ignoreNulls = true)),
 
-    // arithmetic spellings
-    "plus" -> (cs => Add(cs.head, cs(1))),
-    "minus" -> (cs => Subtract(cs.head, cs(1))),
-    "multiply" -> (cs => Multiply(cs.head, cs(1))),
-    // ClickHouse divide is IEEE float division: x/0 → ±Inf, 0/0 → NaN
-    // (no ANSI error). The zero-divisor branch supplies the IEEE result
-    // and keeps the ANSI Divide from ever seeing a zero.
-    "divide" -> (cs => {
-      val x = Cast(cs.head, DoubleType)
-      val y = Cast(cs(1), DoubleType)
-      If(EqualTo(y, Literal(0.0)),
-        If(Or(IsNaN(x), EqualTo(x, Literal(0.0))), Literal(Double.NaN),
-          If(GreaterThan(x, Literal(0.0)),
-            Literal(Double.PositiveInfinity), Literal(Double.NegativeInfinity))),
-        Divide(x, y))
-    }),
-    "modulo" -> (cs => Remainder(cs.head, cs(1))),
+    // arithmetic/bit spellings not yet registered by earlier waves
     "negate" -> (cs => UnaryMinus(cs.head)),
-    "intDiv" -> (cs => IntegralDivide(cs.head, cs(1))),
     "intDivOrZero" -> (cs => If(EqualTo(cs(1), Literal(0)),
       Literal(0L), IntegralDivide(cs.head, cs(1)))),
     "moduloOrZero" -> (cs => If(EqualTo(cs(1), Literal(0)),
       Literal(0L), Cast(Remainder(Cast(cs.head, LongType), Cast(cs(1), LongType)), LongType))),
-    "intExp2" -> (cs => ShiftLeft(Literal(1L), Cast(cs.head, IntegerType))),
     "intExp10" -> (cs =>
       Cast(Pow(Literal(10.0), Cast(cs.head, DoubleType)), LongType)),
-    "roundBankers" -> (cs =>
-      if (cs.size == 1) BRound(cs.head, Literal(0)) else BRound(cs.head, cs(1))),
 
     // bit spellings
     "bitAnd" -> (cs => BitwiseAnd(cs.head, cs(1))),
     "bitOr" -> (cs => BitwiseOr(cs.head, cs(1))),
     "bitXor" -> (cs => BitwiseXor(cs.head, cs(1))),
     "bitNot" -> (cs => BitwiseNot(cs.head)),
-    "bitShiftLeft" -> (cs => ShiftLeft(cs.head, Cast(cs(1), IntegerType))),
-    "bitShiftRight" -> (cs => ShiftRight(cs.head, Cast(cs(1), IntegerType))),
-    "bitTest" -> (cs => Cast(BitwiseAnd(
-      ShiftRight(Cast(cs.head, LongType), Cast(cs(1), IntegerType)),
-      Literal(1L)), IntegerType)),
 
     // string spellings
-    "trimLeft" -> (cs => new StringTrimLeft(cs.head)),
-    "trimRight" -> (cs => new StringTrimRight(cs.head)),
-    "trimBoth" -> (cs => new StringTrim(cs.head)),
-    "leftPad" -> (cs =>
-      if (cs.size == 2) StringLPad(cs.head, cs(1), Literal(" "))
-      else StringLPad(cs.head, cs(1), cs(2))),
-    "rightPad" -> (cs =>
-      if (cs.size == 2) StringRPad(cs.head, cs(1), Literal(" "))
-      else StringRPad(cs.head, cs(1), cs(2))),
-    "concatWithSeparator" -> (cs => ConcatWs(cs)),
 
     // date/time long tail
-    "toQuarter" -> (cs => Quarter(cs.head)),
-    "toDayOfYear" -> (cs => DayOfYear(cs.head)),
-    "toISOWeek" -> (cs => WeekOfYear(cs.head)),
     "toLastDayOfMonth" -> (cs => LastDay(cs.head)),
-    "addMonths" -> (cs => AddMonths(cs.head, cs(1))),
-    "subtractMonths" -> (cs => AddMonths(cs.head, UnaryMinus(cs(1)))),
-    "addYears" -> (cs => AddMonths(cs.head, Multiply(cs(1), Literal(12)))),
     "subtractYears" -> (cs =>
       AddMonths(cs.head, Multiply(UnaryMinus(cs(1)), Literal(12)))),
     "addWeeks" -> (cs => TimestampAdd("WEEK", cs(1), cs.head)),
