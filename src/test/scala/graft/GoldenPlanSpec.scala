@@ -78,4 +78,14 @@ class GoldenPlanSpec extends SparkSpec {
       "tpcds_ampm_ratio", "tpcds_having_band", "tpcds_tolerance_compare").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
+
+  // Round-5 additions: the cross-tab association pass must stay ONE
+  // scan + one groupBy over the fact table (marginals from windows over
+  // the cells), ndcg must stay two windows + one join (no per-group
+  // collect), the covar matrix must stay a single aggregate node, and
+  // the misc-aggregate lowerings must stay single hash aggregates.
+  Seq("assoc_crosstab_stats", "ndcg_ranking", "stat_covar_matrix",
+      "agg_weighted_ema", "stat_rank_correlation").foreach { q =>
+    test(s"$q optimized plan matches golden snapshot") { check(q) }
+  }
 }
