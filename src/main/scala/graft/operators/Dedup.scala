@@ -149,4 +149,53 @@ object Dedup {
     */
   private[graft] def prefixCandidates(toks: DataFrame, threshold: Double): DataFrame =
     candidatesFromDocs(prefixDocs(toks, threshold))
+
+  /** Connected components over a near-duplicate pair graph: the step a
+    * 100 TB dedup pipeline needs BETWEEN pair generation (minhash /
+    * jaccard) and row dropping — near-duplication is transitive in
+    * practice (A≈B, B≈C ⇒ keep one of {A,B,C}), so the unit of
+    * deduplication is the component, not the pair.
+    *
+    * Min-label propagation (the dataflow form of union-find): every node
+    * starts labeled with itself; each round pushes labels across edges
+    * and keeps the minimum. Converges in graph-diameter rounds — near-dup
+    * components are dense (LSH buckets ≈ cliques), so diameter is small;
+    * `maxIter` bounds the worst case and a converged run exits early.
+    * Each round is one join + one groupBy on the EDGE list (not the
+    * corpus), and `localCheckpoint` cuts the growing lineage so round N
+    * doesn't replan rounds 1..N-1 — the standard Pregel-loop shape.
+    * The driver sees only the one-row convergence probe per round.
+    *
+    * Returns (id, label) with label = min id of the component; only nodes
+    * that appear in `pairs` are returned (isolated docs are their own
+    * canonical trivially).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -178,6 +178,46 @@ object TextPipeline {
         WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= 0.62
         ORDER BY id_a, id_b""")),
 
+    // Near-dup clustering: connected components over the exact-jaccard
+    // pair graph (the transitive-closure step between pair generation
+    // and row dropping). Oracle = DuckDB recursive CTE label
+    // propagation over the same pairs.
+    QueryDef(
+      "dedup_connected_components",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(
+          Tables(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+          "text", "doc_id", 0.62)
+        Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("label").as("canonical"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id AS id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok
+          FROM documents WHERE doc_id % 5 = 0),
+        sizes AS (SELECT id, COUNT(*) AS n_tok FROM toks GROUP BY id),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+          GROUP BY a.id, b.id),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= 0.62),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        cc AS (
+          SELECT id AS node, id AS label FROM nodes
+          UNION
+          SELECT e.b AS node, cc.label FROM cc JOIN edges e ON cc.node = e.a)
+        SELECT node AS doc_id, MIN(label) AS canonical
+        FROM cc GROUP BY node ORDER BY doc_id""")),
+
     // MinHash+LSH near-dup candidates (seeded-xxhash signatures — not
     // SQL-expressible; rows-only check).
     QueryDef(

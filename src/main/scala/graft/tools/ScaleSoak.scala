@@ -32,7 +32,12 @@ object ScaleSoak {
     "dedup_keep_first", "minhash_lsh_candidates", "jaccard_token_pairs",
     "knn_lsh_topk", "knn_ivf_topk",
     "funnel_signup_click_purchase", "funnel_levels_breakdown",
-    "funnel_path_split", "sequence_match_dfa")
+    "funnel_path_split", "sequence_match_dfa",
+    // round 5: association stats (cells table is cardinality-bounded, so
+    // only the one fact-table pass should scale), userDistribution
+    // (per-user slot states, users are the scaling axis) and the
+    // time-sorted delta aggregate (per-user history fixed).
+    "assoc_crosstab_stats", "user_distribution_daily", "delta_sum_timestamp")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -272,6 +272,18 @@ class OperatorsSpec extends SparkSpec {
     assert(nWindows === 1, s"expected one shared Window node, got $nWindows")
   }
 
+  test("connectedComponents: chain merges to one label, forest stays split") {
+    // Chain 1-2-3-4-5 (diameter 4 — worst case for label propagation),
+    // separate pair 10-11, shuffled across partitions.
+    val pairs = Seq((2L, 3L), (10L, 11L), (1L, 2L), (4L, 5L), (3L, 4L))
+      .toDF("id_a", "id_b").repartition(4)
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cc(_) === 1L))
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+    assert(cc.size === 7)
+  }
+
   test("simhash candidates collide for near-identical token sets") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = base + " extra"
