@@ -573,6 +573,37 @@ object CoverageWave7 {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // genArrayMonth (reference AggregateFunctionGenArrayMonth.h:42 —
+    // genArray with month-granularity slots via toRelativeMonthNum):
+    // per-customer order-activity masks over the first 60 months from
+    // 1995-01, one BIGINT per flavor.
+    QueryDef(
+      "gen_array_month",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .select(col("o_custkey"),
+            ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+              .as("m"),
+            col("o_orderpriority"))
+          .filter(col("m").between(0, 59))
+          .groupBy(col("o_custkey"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), m))").as("active_mask"),
+            expr("bit_or(CASE WHEN o_orderpriority LIKE '1%' " +
+              "THEN shiftleft(CAST(1 AS BIGINT), m) ELSE CAST(0 AS BIGINT) END)")
+              .as("urgent_mask"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""
+        WITH d AS (SELECT o_custkey, o_orderpriority,
+            (YEAR(o_orderdate) - 1995) * 12 + MONTH(o_orderdate) - 1 AS m
+          FROM orders)
+        SELECT o_custkey,
+          BIT_OR(CAST(1 AS BIGINT) << m) AS active_mask,
+          BIT_OR(CASE WHEN o_orderpriority LIKE '1%' THEN CAST(1 AS BIGINT) << m
+                      ELSE CAST(0 AS BIGINT) END) AS urgent_mask
+        FROM d WHERE m BETWEEN 0 AND 59
+        GROUP BY o_custkey ORDER BY o_custkey""")),
+
     // covarSampMatrix / corrMatrix (reference
     // AggregateFunctionVarianceMatrix.h:64): all pairwise statistics of
     // N columns in ONE aggregate pass — the N(N+1)/2 upper triangle as
