@@ -847,6 +847,42 @@ object ClickHouseAliases {
         GreaterThan(v, Literal(100L)))
       CreateArray(conds.map(bucket))
     }),
+    // windowFunnel(window_secs)(ts, cond1, ..., condN [, 'strict_*'...])
+    // flattened to leading-parameter form. Lowers onto the native
+    // TypedImperativeAggregate (same packed-long buffers as the
+    // DataFrame form). Timestamps compare at second precision — the
+    // reference's DateTime is seconds. Conditions must be DISJOINT per
+    // row (first match wins); the reference feeds a row matching k
+    // conditions into all k slots, a shape one step expression cannot
+    // produce — disjoint event-type predicates, the dominant usage, are
+    // exact.
+    "windowFunnel" -> (cs => {
+      require(cs.size >= 3, "windowFunnel expects (window, ts, cond1, ...)")
+      val windowUs = cs.head match {
+        case Literal(v, _) if v != null => v.toString.toLong * 1000000L
+        case other => throw new IllegalArgumentException(
+          s"windowFunnel: window must be an integer-literal second count, got $other")
+      }
+      val (modeLits, conds) = cs.drop(2).partition {
+        case Literal(s, StringType) if s != null &&
+          s.toString.startsWith("strict") => true
+        case _ => false
+      }
+      val modes = modeLits.map(_.asInstanceOf[Literal].value.toString).toSet
+      val unknown = modes.diff(Set("strict_deduplication", "strict_order", "strict_increase"))
+      require(unknown.isEmpty, s"windowFunnel: unknown modes $unknown")
+      require(conds.nonEmpty, "windowFunnel: need at least one condition")
+      val strictOrder = modes.contains("strict_order")
+      val tsUs = Multiply(
+        Cast(Cast(cs(1), TimestampType), LongType), Literal(1000000L))
+      val step = CaseWhen(
+        conds.zipWithIndex.map { case (c, i) => (c, Literal(i + 1): Expression) },
+        if (strictOrder) Some(Literal(0)) else None)
+      graft.aggregates.WindowFunnelAgg(tsUs, step, windowUs, conds.size,
+        strictDeduplication = modes.contains("strict_deduplication"),
+        strictOrder = strictOrder,
+        strictIncrease = modes.contains("strict_increase"))
+    }),
     "ifNotFinite" -> (cs => {
       val x = Cast(cs.head, DoubleType)
       val finite = And(Not(IsNaN(x)),

@@ -447,6 +447,28 @@ class DialectSpec extends SparkSpec {
     assert(Set(1, 2, 3).contains(r.getInt(4)))
   }
 
+  test("windowFunnel SQL spelling: levels, window cut-off, strict_order") {
+    Seq(
+      (1L, "2024-01-01 00:00:01", "a"), (1L, "2024-01-01 00:00:02", "b"),
+      (1L, "2024-01-01 00:00:03", "c"),
+      // user 2: a→b inside the window, c outside it
+      (2L, "2024-01-01 00:00:01", "a"), (2L, "2024-01-01 00:00:05", "b"),
+      (2L, "2024-01-01 00:01:00", "c"),
+      // user 3: an interloping 'x' between a and b kills strict_order
+      (3L, "2024-01-01 00:00:01", "a"), (3L, "2024-01-01 00:00:02", "x"),
+      (3L, "2024-01-01 00:00:03", "b"))
+      .toDF("u", "ts", "e")
+      .selectExpr("u", "CAST(ts AS TIMESTAMP) AS ts", "e")
+      .createOrReplaceTempView("wf")
+    val rows = spark.sql("""
+      SELECT u,
+        windowFunnel(10, ts, e = 'a', e = 'b', e = 'c') AS lvl,
+        windowFunnel(10, ts, e = 'a', e = 'b', e = 'c', 'strict_order') AS lvl_strict
+      FROM wf GROUP BY u ORDER BY u""").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(3, 2, 2))
+    assert(rows.map(_.getInt(2)).toSeq === Seq(3, 2, 1))
+  }
+
   test("wave4 scalar long tail: arithmetic, bits, pads, date units") {
     val r = one("""SELECT intDiv(17, 5), intDivOrZero(17, 0), moduloOrZero(17, 0),
                    intExp2(10), intExp10(6), roundBankers(2.5), roundBankers(3.5),
