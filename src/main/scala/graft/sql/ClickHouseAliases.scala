@@ -30,7 +30,8 @@ object ClickHouseAliases {
     If(cond, value, Literal.create(null, value.dataType))
 
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
-    wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++ wave4
+    wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
+      wave4 ++ wave5
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -889,6 +890,81 @@ object ClickHouseAliases {
         And(Not(EqualTo(x, Literal(Double.PositiveInfinity))),
           Not(EqualTo(x, Literal(Double.NegativeInfinity)))))
       If(finite, x, Cast(cs(1), DoubleType))
+    })
+  )
+
+  /** Rounding-bucket helpers, literal-table transform, and the unicode
+    * bar renderer (reference src/Functions/roundAge.cpp:14,
+    * roundDuration.cpp:15, roundToExp2.cpp, transform.cpp,
+    * appendTrailingCharIfAbsent.cpp, bar.cpp via
+    * src/Common/UnicodeBar.cpp:46 — 8 grades per character, fractional
+    * glyphs "▏▎▍▌▋▊▉").
+    */
+  private def wave5: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "roundAge" -> (cs => {
+      val x = Cast(cs.head, IntegerType)
+      def lt(n: Int) = LessThan(x, Literal(n))
+      CaseWhen(Seq(
+        lt(1) -> Literal(0), lt(18) -> Literal(17), lt(25) -> Literal(18),
+        lt(35) -> Literal(25), lt(45) -> Literal(35), lt(55) -> Literal(45)
+      ).map { case (c, v) => (c: Expression, v: Expression) }, Some(Literal(55)))
+    }),
+    "roundDuration" -> (cs => {
+      val x = Cast(cs.head, IntegerType)
+      val buckets = Seq(1 -> 0, 10 -> 1, 30 -> 10, 60 -> 30, 120 -> 60,
+        180 -> 120, 240 -> 180, 300 -> 240, 600 -> 300, 1200 -> 600,
+        1800 -> 1200, 3600 -> 1800, 7200 -> 3600, 18000 -> 7200,
+        36000 -> 18000)
+      CaseWhen(buckets.map { case (hi, v) =>
+        (LessThan(x, Literal(hi)): Expression, Literal(v): Expression)
+      }, Some(Literal(36000)))
+    }),
+    // roundToExp2: 0 below one, else 2^⌊log2 x⌋ (exact for IEEE powers
+    // of two — log2 of a power of two is an exact integer double).
+    "roundToExp2" -> (cs => {
+      val x = Cast(cs.head, DoubleType)
+      If(LessThan(x, Literal(1.0)), Literal(0L),
+        ShiftLeft(Literal(1L), Cast(Floor(Log2(x)), IntegerType)))
+    }),
+    // transform(x, [from...], [to...], default) with literal arrays →
+    // one CaseWhen chain (codegen'd; the reference builds a hash table,
+    // pointless at literal-table sizes).
+    "transform" -> (cs => {
+      require(cs.size == 4, "transform expects (x, from_array, to_array, default)")
+      def items(e: Expression, what: String): Seq[Expression] = e match {
+        case CreateArray(xs, _) => xs
+        case other => throw new IllegalArgumentException(
+          s"transform: $what must be an array literal, got $other")
+      }
+      val from = items(cs(1), "from_array")
+      val to = items(cs(2), "to_array")
+      require(from.size == to.size, "transform: from/to arity mismatch")
+      CaseWhen(from.zip(to).map { case (f, t) =>
+        (EqualTo(cs.head, f): Expression, t: Expression)
+      }, Some(cs(3)))
+    }),
+    "appendTrailingCharIfAbsent" -> (cs =>
+      If(EndsWith(cs.head, cs(1)), cs.head, Concat(Seq(cs.head, cs(1))))),
+    // bar(x, min, max, max_width): ⌊8·w⌋ eighth-blocks, w clamped to
+    // [0, max_width] and linearly scaled — full blocks then one
+    // fractional glyph, exactly UnicodeBar::render.
+    "bar" -> (cs => {
+      require(cs.size == 4, "bar expects (x, min, max, max_width)")
+      val x = Cast(cs.head, DoubleType)
+      val lo = Cast(cs(1), DoubleType)
+      val hi = Cast(cs(2), DoubleType)
+      val maxW = Cast(cs(3), DoubleType)
+      val w = CaseWhen(Seq(
+        (LessThanOrEqual(x, lo): Expression, Literal(0.0): Expression),
+        (GreaterThanOrEqual(x, hi): Expression, maxW: Expression)),
+        Some(Divide(Multiply(Subtract(x, lo), maxW), Subtract(hi, lo))))
+      val iw = Cast(Multiply(w, Literal(8.0)), LongType)
+      val full = StringRepeat(Literal("█"),
+        Cast(IntegralDivide(iw, Literal(8L), evalMode = EvalMode.LEGACY), IntegerType))
+      val rem = Cast(Pmod(iw, Literal(8L)), IntegerType)
+      Concat(Seq(full,
+        If(GreaterThan(rem, Literal(0)),
+          Substring(Literal("▏▎▍▌▋▊▉"), rem, Literal(1)), Literal(""))))
     })
   )
 

@@ -447,6 +447,27 @@ class DialectSpec extends SparkSpec {
     assert(Set(1, 2, 3).contains(r.getInt(4)))
   }
 
+  test("wave5: rounding buckets, transform, trailing char, unicode bar") {
+    val r = one("""SELECT roundAge(16), roundAge(30), roundAge(60), roundAge(0),
+                   roundDuration(250), roundDuration(40000), roundDuration(0),
+                   roundToExp2(100), roundToExp2(1), roundToExp2(0.5),
+                   transform(2, array(1, 2, 3), array('a', 'b', 'c'), 'd'),
+                   transform(9, array(1, 2, 3), array('a', 'b', 'c'), 'd'),
+                   appendTrailingCharIfAbsent('foo', '/'),
+                   appendTrailingCharIfAbsent('foo/', '/')""")
+    assert(Seq(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) === Seq(17, 25, 55, 0))
+    assert(Seq(r.getInt(4), r.getInt(5), r.getInt(6)) === Seq(240, 36000, 0))
+    assert(Seq(r.getLong(7), r.getLong(8), r.getLong(9)) === Seq(64L, 1L, 0L))
+    assert(r.getString(10) === "b" && r.getString(11) === "d")
+    assert(r.getString(12) === "foo/" && r.getString(13) === "foo/")
+    val b = one("""SELECT bar(5, 0, 10, 10), bar(1, 0, 16, 8), bar(0, 0, 10, 10),
+                   bar(99, 0, 10, 10)""")
+    assert(b.getString(0) === "█████")
+    assert(b.getString(1) === "▌")
+    assert(b.getString(2) === "")
+    assert(b.getString(3) === "██████████")
+  }
+
   test("windowFunnel SQL spelling: levels, window cut-off, strict_order") {
     Seq(
       (1L, "2024-01-01 00:00:01", "a"), (1L, "2024-01-01 00:00:02", "b"),
