@@ -127,6 +127,43 @@ object SketchesAndStreams {
         GROUP BY user_id
         ORDER BY user_id""")),
 
+    // Incremental windowFunnel in the state store (flatMapGroupsWithState,
+    // window-bounded eviction + carried best level) — per-user levels
+    // must match the batch funnel's linear-window oracle exactly.
+    QueryDef(
+      "stream_funnel_levels",
+      (s, dir) =>
+        StreamingPipeline.streamingFunnel(s, dir,
+            s"stream_funnel_${System.nanoTime()}",
+            windowUs = 7L * 86400 * 1000000,
+            steps = Seq("signup", "click", "purchase"))
+          .orderBy(col("user_id")),
+      Some("""
+        WITH e AS (SELECT user_id, EPOCH_US(ts) AS us, event_type FROM events
+                   WHERE event_type IN ('signup', 'click', 'purchase')),
+        w1 AS (
+          SELECT user_id, us, event_type,
+            MAX(CASE WHEN event_type = 'signup' THEN us END) OVER
+              (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_s
+          FROM e),
+        w2 AS (
+          SELECT user_id, us, event_type, run_s,
+            MAX(CASE WHEN event_type = 'click' THEN run_s END) OVER
+              (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sc
+          FROM w1),
+        f AS (
+          SELECT user_id,
+            MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS d1,
+            MAX(CASE WHEN event_type = 'click' AND run_s IS NOT NULL
+                     AND us - run_s <= 604800000000 THEN 1 ELSE 0 END) AS d2,
+            MAX(CASE WHEN event_type = 'purchase' AND run_sc IS NOT NULL
+                     AND us - run_sc <= 604800000000 THEN 1 ELSE 0 END) AS d3
+          FROM w2 GROUP BY user_id)
+        SELECT user_id, d1 + d2 + d3 AS level
+        FROM f ORDER BY user_id""")),
+
     // Streaming session windows (session_window + watermark, AvailableNow
     // over static data) — oracle identical to the batch gap-split.
     QueryDef(

@@ -29,6 +29,9 @@ object ClickHouseAliases {
   private def nullUnless(cond: Expression, value: Expression): Expression =
     If(cond, value, Literal.create(null, value.dataType))
 
+  /** Alias names, exposed for the DialectSpec collision guard. */
+  private[graft] def aliasNames: Seq[String] = aliases.map(_._1)
+
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
       wave4 ++ wave5
@@ -925,23 +928,6 @@ object ClickHouseAliases {
       val x = Cast(cs.head, DoubleType)
       If(LessThan(x, Literal(1.0)), Literal(0L),
         ShiftLeft(Literal(1L), Cast(Floor(Log2(x)), IntegerType)))
-    }),
-    // transform(x, [from...], [to...], default) with literal arrays →
-    // one CaseWhen chain (codegen'd; the reference builds a hash table,
-    // pointless at literal-table sizes).
-    "transform" -> (cs => {
-      require(cs.size == 4, "transform expects (x, from_array, to_array, default)")
-      def items(e: Expression, what: String): Seq[Expression] = e match {
-        case CreateArray(xs, _) => xs
-        case other => throw new IllegalArgumentException(
-          s"transform: $what must be an array literal, got $other")
-      }
-      val from = items(cs(1), "from_array")
-      val to = items(cs(2), "to_array")
-      require(from.size == to.size, "transform: from/to arity mismatch")
-      CaseWhen(from.zip(to).map { case (f, t) =>
-        (EqualTo(cs.head, f): Expression, t: Expression)
-      }, Some(cs(3)))
     }),
     "appendTrailingCharIfAbsent" -> (cs =>
       If(EndsWith(cs.head, cs(1)), cs.head, Concat(Seq(cs.head, cs(1))))),

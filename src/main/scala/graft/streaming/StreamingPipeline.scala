@@ -8,6 +8,12 @@ import org.apache.spark.sql.types.LongType
 /** Running per-user state carried across micro-batches. */
 final case class UserCounter(n_events: Long, sum_value: Double)
 
+/** Streaming-funnel state: packed (ts, step) events inside the eviction
+  * horizon plus the best level already reached (see
+  * [[StreamingPipeline.streamingFunnel]]).
+  */
+final case class FunnelEvents(packed: Array[Long], best: Int)
+
 /** Structured Streaming over the events stream (reference streaming =
   * continuous Kafka ingestion with offsets committed transactionally to
   * the catalog, /root/reference/src/Storages/Kafka/CnchKafkaConsumeManager.h:36-78;
@@ -144,6 +150,66 @@ object StreamingPipeline {
       watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Incremental windowFunnel over a stream: per-user packed-event state
+    * in the state store, funnel level recomputed per micro-batch with
+    * the SAME FunnelCore engine as the batch aggregate — the streaming
+    * form of the reference's behavioral family (StorageCnchKafka feeding
+    * AggregateFunctionWindowFunnel, re-expressed as
+    * flatMapGroupsWithState).
+    *
+    * State is bounded by the funnel window: after each batch the level
+    * reached so far is folded into `best` and events older than
+    * (max_seen − window) are evicted — any chain through an evicted
+    * event has its anchor within window of that event, so the chain
+    * completed strictly in the past and `best` already holds its level.
+    * Exact for the default (non-strict) mode; strict modes interact
+    * with eviction and stay batch-only.
+    */
+  def streamingFunnel(spark: SparkSession, dir: String, queryName: String,
+      windowUs: Long, steps: Seq[String]): DataFrame = {
+    import spark.implicits._
+    import graft.aggregates.FunnelCore
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val stepCol = steps.zipWithIndex.foldLeft(lit(0)) { case (acc, (s2, i)) =>
+      when(col("event_type") === s2, lit(i + 1)).otherwise(acc)
+    }
+    val nSteps = steps.size
+    val updated = stream
+      .select(col("user_id").as[Long], (col("ts") / 1000L).cast("long").as[Long],
+        stepCol.as[Int])
+      .filter(_._3 > 0)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Int)], state: GroupState[FunnelEvents]) =>
+          val prev = state.getOption.getOrElse(FunnelEvents(Array.empty, 0))
+          val all = (prev.packed ++ rows.map { case (_, us, st) =>
+            FunnelCore.pack(us, st)
+          }).sorted
+          val lvl = FunnelCore.eventLevel(all, all.length, windowUs, nSteps,
+            strictDeduplication = false, strictOrder = false, strictIncrease = false)
+          val best = math.max(prev.best, lvl)
+          val horizon =
+            if (all.isEmpty) 0L
+            else (all.last >>> FunnelCore.StepBits) - windowUs
+          state.update(FunnelEvents(
+            all.filter(p => (p >>> FunnelCore.StepBits) >= horizon), best))
+          Iterator((user, best))
+      }
+    val q = updated.toDF("user_id", "level").writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 
   /** Custom streaming state via flatMapGroupsWithState (the reference's
     * incremental-MV/LiveView role, SURVEY §2.10): a per-user counter

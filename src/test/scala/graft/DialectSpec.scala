@@ -447,19 +447,35 @@ class DialectSpec extends SparkSpec {
     assert(Set(1, 2, 3).contains(r.getInt(4)))
   }
 
+  test("no alias shadows a Spark builtin (collision guard)") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    // Shadowing a builtin rewires EVERY query in the session (the
+    // registry is case-insensitive). The round-5 `transform` incident:
+    // the ClickHouse literal-table transform silently replaced Spark's
+    // higher-order array transform and broke 8 unrelated queries.
+    // Allowlist = deliberate same-semantics upgrades only.
+    val allowed = Set[String]()
+    val collisions = graft.sql.ClickHouseAliases.aliasNames
+      .filter(n => FunctionRegistry.builtin.functionExists(FunctionIdentifier(n.toLowerCase)))
+      .filterNot(allowed)
+    assert(collisions.isEmpty,
+      s"dialect aliases shadow Spark builtins: $collisions")
+  }
+
   test("wave5: rounding buckets, transform, trailing char, unicode bar") {
+    // NOTE: ClickHouse transform(x, from, to, default) is NOT aliased —
+    // the name collides with Spark's builtin higher-order transform
+    // (per the header's collision rule); CASE WHEN covers the semantics.
     val r = one("""SELECT roundAge(16), roundAge(30), roundAge(60), roundAge(0),
                    roundDuration(250), roundDuration(40000), roundDuration(0),
                    roundToExp2(100), roundToExp2(1), roundToExp2(0.5),
-                   transform(2, array(1, 2, 3), array('a', 'b', 'c'), 'd'),
-                   transform(9, array(1, 2, 3), array('a', 'b', 'c'), 'd'),
                    appendTrailingCharIfAbsent('foo', '/'),
                    appendTrailingCharIfAbsent('foo/', '/')""")
     assert(Seq(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) === Seq(17, 25, 55, 0))
     assert(Seq(r.getInt(4), r.getInt(5), r.getInt(6)) === Seq(240, 36000, 0))
     assert(Seq(r.getLong(7), r.getLong(8), r.getLong(9)) === Seq(64L, 1L, 0L))
-    assert(r.getString(10) === "b" && r.getString(11) === "d")
-    assert(r.getString(12) === "foo/" && r.getString(13) === "foo/")
+    assert(r.getString(10) === "foo/" && r.getString(11) === "foo/")
     val b = one("""SELECT bar(5, 0, 10, 10), bar(1, 0, 16, 8), bar(0, 0, 10, 10),
                    bar(99, 0, 10, 10)""")
     assert(b.getString(0) === "█████")
