@@ -88,4 +88,9 @@ class GoldenPlanSpec extends SparkSpec {
       "agg_weighted_ema", "stat_rank_correlation").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
+
+  Seq("tpcds_yoy_customer_growth", "tpcds_returns_kept_ratio",
+      "tpcds_first_purchase_window").foreach { q =>
+    test(s"$q optimized plan matches golden snapshot") { check(q) }
+  }
 }
