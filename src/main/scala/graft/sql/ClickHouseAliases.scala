@@ -929,6 +929,15 @@ object ClickHouseAliases {
       If(LessThan(x, Literal(1.0)), Literal(0L),
         ShiftLeft(Literal(1L), Cast(Floor(Log2(x)), IntegerType)))
     }),
+    // uniqTheta: DataSketches theta distinct estimate (reference
+    // AggregateFunctionThetaSketchEstimate.cpp) — the native
+    // TypedImperativeAggregate, registry-injected like windowFunnel.
+    "uniqTheta" -> (cs => graft.aggregates.ThetaDistinctAgg(cs.head)),
+    // quantileInterpolatedWeighted(p, x, w): Percentile with a frequency
+    // column — identical to interpolating the weighted distribution for
+    // integral weights (the only weights the reference's exact-weighted
+    // family accepts losslessly).
+    "quantileInterpolatedWeighted" -> (cs => new Percentile(cs(1), cs.head, cs(2))),
     "appendTrailingCharIfAbsent" -> (cs =>
       If(EndsWith(cs.head, cs(1)), cs.head, Concat(Seq(cs.head, cs(1))))),
     // bar(x, min, max, max_width): ⌊8·w⌋ eighth-blocks, w clamped to

@@ -454,8 +454,11 @@ class DialectSpec extends SparkSpec {
     // registry is case-insensitive). The round-5 `transform` incident:
     // the ClickHouse literal-table transform silently replaced Spark's
     // higher-order array transform and broke 8 unrelated queries.
-    // Allowlist = deliberate same-semantics upgrades only.
-    val allowed = Set[String]()
+    // Allowlist = deliberate, documented overrides only. monthName:
+    // Spark 4.1's builtin monthname() abbreviates ("Jan"); the dialect
+    // deliberately keeps ClickHouse's full name ("January") — asserted
+    // by the monthName test above.
+    val allowed = Set[String]("monthName")
     val collisions = graft.sql.ClickHouseAliases.aliasNames
       .filter(n => FunctionRegistry.builtin.functionExists(FunctionIdentifier(n.toLowerCase)))
       .filterNot(allowed)
@@ -482,6 +485,16 @@ class DialectSpec extends SparkSpec {
     assert(b.getString(1) === "▌")
     assert(b.getString(2) === "")
     assert(b.getString(3) === "██████████")
+  }
+
+  test("uniqTheta and quantileInterpolatedWeighted spellings") {
+    (1 to 1000).map(i => (i % 37, i % 5 + 1)).toDF("v", "w")
+      .createOrReplaceTempView("qt")
+    val r = one("""SELECT uniqTheta(v), quantileInterpolatedWeighted(0.5, v, w) FROM qt""")
+    assert(r.getDouble(0) === 37.0) // exact below lgK capacity
+    // weighted median of 0..36 with weights (i%5+1): sanity bounds
+    val med = r.getDouble(1)
+    assert(med > 10 && med < 30)
   }
 
   test("windowFunnel SQL spelling: levels, window cut-off, strict_order") {
