@@ -506,6 +506,39 @@ object CoverageWave7 {
           ON s1.user_id = s2.user_id AND s1.slot + 1 = s2.slot
         WHERE s1.state = 3""")),
 
+    // lastRangeCount (reference AggregateFunctionLastRangeCount.h:93):
+    // for each output slot, count users with ANY arrival in the
+    // `duration` slots ending there — the rolling weekly-active-users
+    // curve over the userDistribution day grid. The slide is a range
+    // join of the per-(user, day) table against the output-day grid
+    // (fan-out = duration, linear in users).
+    QueryDef(
+      "last_range_count_wau",
+      (s, dir) => {
+        val days = Tables(s, dir, "events")
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("d"))
+          .filter(col("d").between(0, 29))
+          .distinct()
+        val grid = s.range(6, 30).select(col("id").cast("int").as("slot"))
+        grid.join(days,
+            days("d") >= grid("slot") - 6 && days("d") <= grid("slot"))
+          .groupBy(col("slot"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy(col("slot"))
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id,
+            DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+          FROM events
+          WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-30'),
+        grid AS (SELECT UNNEST(generate_series(6, 29)) AS slot)
+        SELECT CAST(grid.slot AS INT) AS slot,
+          COUNT(DISTINCT days.user_id) AS active_users
+        FROM grid JOIN days ON days.d BETWEEN grid.slot - 6 AND grid.slot
+        GROUP BY grid.slot ORDER BY slot""")),
+
     // Standalone Spearman rank correlation (reference upstream
     // AggregateFunctionRankCorrelation.h — average ranks for ties, then
     // Pearson on the ranks). Mid-ranks come from the distinct-value
