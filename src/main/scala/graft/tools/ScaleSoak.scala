@@ -37,7 +37,11 @@ object ScaleSoak {
     // only the one fact-table pass should scale), userDistribution
     // (per-user slot states, users are the scaling axis) and the
     // time-sorted delta aggregate (per-user history fixed).
-    "assoc_crosstab_stats", "user_distribution_daily", "delta_sum_timestamp")
+    "assoc_crosstab_stats", "user_distribution_daily", "delta_sum_timestamp",
+    // iterative: connected components over the near-dup pair graph —
+    // rounds are diameter-bound (unchanged at N×), per-round cost ∝
+    // edges, so wall-clock must stay ~linear in corpus size.
+    "dedup_connected_components")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
