@@ -509,9 +509,10 @@ object CoverageWave7 {
     // lastRangeCount (reference AggregateFunctionLastRangeCount.h:93):
     // for each output slot, count users with ANY arrival in the
     // `duration` slots ending there — the rolling weekly-active-users
-    // curve over the userDistribution day grid. The slide is a range
-    // join of the per-(user, day) table against the output-day grid
-    // (fan-out = duration, linear in users).
+    // curve over the userDistribution day grid. The slide is an explode
+    // of each (user, day) into the ≤duration slots it feeds (bounded
+    // fan-out, no join — a range join against the slot grid would plan
+    // a nested loop).
     QueryDef(
       "last_range_count_wau",
       (s, dir) => {
@@ -520,10 +521,11 @@ object CoverageWave7 {
             datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("d"))
           .filter(col("d").between(0, 29))
           .distinct()
-        val grid = s.range(6, 30).select(col("id").cast("int").as("slot"))
-        grid.join(days,
-            days("d") >= grid("slot") - 6 && days("d") <= grid("slot"))
-          .groupBy(col("slot"))
+        days
+          .select(col("user_id"),
+            explode(sequence(greatest(col("d"), lit(6)),
+              least(col("d") + 6, lit(29)))).as("slot"))
+          .groupBy(col("slot").cast("int").as("slot"))
           .agg(countDistinct(col("user_id")).as("active_users"))
           .orderBy(col("slot"))
       },
