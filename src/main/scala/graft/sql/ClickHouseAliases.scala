@@ -940,6 +940,40 @@ object ClickHouseAliases {
     "quantileInterpolatedWeighted" -> (cs => new Percentile(cs(1), cs.head, cs(2))),
     "appendTrailingCharIfAbsent" -> (cs =>
       If(EndsWith(cs.head, cs(1)), cs.head, Concat(Seq(cs.head, cs(1))))),
+    // greatCircleDistance(lon1, lat1, lon2, lat2) → meters, the
+    // reference's haversine with R = 6371007.180918475
+    // (greatCircleDistance.cpp:56,342: 2R·asin(√(u² + cos·cos·v²))).
+    "greatCircleDistance" -> (cs => {
+      val R = 6371007.180918475
+      def rad(e: Expression) = Multiply(Cast(e, DoubleType), Literal(math.Pi / 180))
+      val (lon1, lat1, lon2, lat2) = (rad(cs(0)), rad(cs(1)), rad(cs(2)), rad(cs(3)))
+      val u = Sin(Divide(Subtract(lat2, lat1), Literal(2.0)))
+      val v = Sin(Divide(Subtract(lon2, lon1), Literal(2.0)))
+      Multiply(Literal(2.0 * R),
+        Asin(Sqrt(Add(Multiply(u, u),
+          Multiply(Multiply(Cos(lat1), Cos(lat2)), Multiply(v, v))))))
+    }),
+    "toYYYYMMDDhhmmss" -> (cs =>
+      Cast(DateFormatClass(cs.head, Literal("yyyyMMddHHmmss")), LongType)),
+    // Spark strings are char-addressed, so the UTF8 spellings lower to
+    // the plain operations.
+    "substringUTF8" -> (cs => Substring(cs.head, cs(1), cs(2))),
+    "positionUTF8" -> (cs => StringInstr(cs.head, cs(1))),
+    // timeSlots(start, duration[, size=1800]): the size-second grid
+    // slots the interval [start, start+duration] touches.
+    "timeSlots" -> (cs => {
+      val size = if (cs.size > 2) cs(2) match {
+        case Literal(v, _) if v != null => v.toString.toLong
+        case other => throw new IllegalArgumentException(
+          s"timeSlots: size must be an integer literal, got $other")
+      } else 1800L
+      new Sequence(
+        floorToSeconds(cs.head, size),
+        floorToSeconds(Cast(Add(Cast(cs.head, LongType), Cast(cs(1), LongType)),
+          TimestampType), size),
+        Some(Literal(new org.apache.spark.unsafe.types.CalendarInterval(
+          0, 0, size * 1000000L))))
+    }),
     // bar(x, min, max, max_width): ⌊8·w⌋ eighth-blocks, w clamped to
     // [0, max_width] and linearly scaled — full blocks then one
     // fractional glyph, exactly UnicodeBar::render.

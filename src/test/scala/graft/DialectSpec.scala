@@ -487,6 +487,26 @@ class DialectSpec extends SparkSpec {
     assert(b.getString(3) === "██████████")
   }
 
+  test("greatCircleDistance, toYYYYMMDDhhmmss, UTF8 spellings, timeSlots") {
+    val r = one("""SELECT
+        greatCircleDistance(0.0, 0.0, 0.0, 1.0),
+        greatCircleDistance(37.62, 55.75, -122.42, 37.77),
+        toYYYYMMDDhhmmss(TIMESTAMP '2024-03-05 06:07:08'),
+        substringUTF8('приве́т', 2, 3),
+        positionUTF8('приве́т', 'и'),
+        timeSlots(TIMESTAMP '2024-01-01 00:10:00', 3600, 1800)""")
+    // one degree of latitude on the reference sphere ≈ 111.195 km
+    assert(math.abs(r.getDouble(0) - 6371007.180918475 * math.Pi / 180) < 1e-6)
+    // Moscow → San Francisco ≈ 9 450 km on the reference sphere
+    assert(math.abs(r.getDouble(1) - 9.45e6) < 5e4)
+    assert(r.getLong(2) === 20240305060708L)
+    assert(r.getString(3) === "рив")
+    assert(r.getInt(4) === 3)
+    val slots = r.getSeq[java.sql.Timestamp](5).map(_.toString)
+    assert(slots === Seq("2024-01-01 00:00:00.0", "2024-01-01 00:30:00.0",
+      "2024-01-01 01:00:00.0"))
+  }
+
   test("uniqTheta and quantileInterpolatedWeighted spellings") {
     (1 to 1000).map(i => (i % 37, i % 5 + 1)).toDF("v", "w")
       .createOrReplaceTempView("qt")
