@@ -332,6 +332,24 @@ object ClickHouseAliases {
     */
   private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
 
+  private def dbl(e: Expression): Expression = Cast(e, DoubleType)
+
+  /** Σ over a numeric array as double (vector-distance building block). */
+  private def vecFold(arr: Expression): Expression =
+    ArrayAggregate(arr, Literal(0.0d),
+      LambdaFunction(Add(lv("acc"), dbl(lv("x"))), Seq(lv("acc"), lv("x"))),
+      LambdaFunction(lv("acc"), Seq(lv("acc"))))
+
+  private def zipMul(a: Expression, b: Expression): Expression =
+    ZipWith(a, b, LambdaFunction(Multiply(dbl(lv("x")), dbl(lv("y"))),
+      Seq(lv("x"), lv("y"))))
+
+  private def zipSqDiff(a: Expression, b: Expression): Expression =
+    ZipWith(a, b, LambdaFunction({
+      val d = Subtract(dbl(lv("x")), dbl(lv("y")))
+      Multiply(d, d)
+    }, Seq(lv("x"), lv("y"))))
+
   /** Array-family spellings that need hand-built lambda trees (reference
     * src/Functions/array/ — arraySum.cpp, arrayDifference.cpp,
     * arrayCompact.cpp, …). Same unresolved-lambda shape the SQL parser
@@ -940,6 +958,73 @@ object ClickHouseAliases {
     "quantileInterpolatedWeighted" -> (cs => new Percentile(cs(1), cs.head, cs(2))),
     "appendTrailingCharIfAbsent" -> (cs =>
       If(EndsWith(cs.head, cs(1)), cs.head, Concat(Seq(cs.head, cs(1))))),
+    // Vector distance family (reference src/Functions/vectorFunctions.cpp
+    // / array/arrayDistance.cpp): generic-array forms via zip_with +
+    // aggregate lambdas (the Array[Float] hot path keeps the native
+    // codegen float_dot_product expression — these spellings are the
+    // any-numeric-array dialect surface).
+    "dotProduct" -> (cs => vecFold(zipMul(cs.head, cs(1)))),
+    "L1Distance" -> (cs => vecFold(ZipWith(cs.head, cs(1),
+      LambdaFunction(Abs(Subtract(dbl(lv("x")), dbl(lv("y")))), Seq(lv("x"), lv("y")))))),
+    "L2SquaredDistance" -> (cs => vecFold(zipSqDiff(cs.head, cs(1)))),
+    "L2Distance" -> (cs => Sqrt(vecFold(zipSqDiff(cs.head, cs(1))))),
+    "LinfDistance" -> (cs => ArrayMax(ZipWith(cs.head, cs(1),
+      LambdaFunction(Abs(Subtract(dbl(lv("x")), dbl(lv("y")))), Seq(lv("x"), lv("y")))))),
+    "L1Norm" -> (cs => vecFold(ArrayTransform(cs.head,
+      LambdaFunction(Abs(dbl(lv("x"))), Seq(lv("x")))))),
+    "L2Norm" -> (cs => Sqrt(vecFold(ArrayTransform(cs.head,
+      LambdaFunction(Multiply(dbl(lv("x")), dbl(lv("x"))), Seq(lv("x"))))))),
+    "LinfNorm" -> (cs => ArrayMax(ArrayTransform(cs.head,
+      LambdaFunction(Abs(dbl(lv("x"))), Seq(lv("x")))))),
+    "cosineDistance" -> (cs => {
+      val dot = vecFold(zipMul(cs.head, cs(1)))
+      def n2(a: Expression) = vecFold(ArrayTransform(a,
+        LambdaFunction(Multiply(dbl(lv("x")), dbl(lv("x"))), Seq(lv("x")))))
+      Subtract(Literal(1.0), Divide(dot, Multiply(Sqrt(n2(cs.head)), Sqrt(n2(cs(1))))))
+    }),
+
+    // misc long tail
+    "arrayProduct" -> (cs => ArrayAggregate(cs.head, Literal(1.0d),
+      LambdaFunction(Multiply(lv("a"), dbl(lv("x"))), Seq(lv("a"), lv("x"))),
+      LambdaFunction(lv("a"), Seq(lv("a"))))),
+    // arrayWithConstant(length, elem) — note the reference's arg order
+    "arrayWithConstant" -> (cs => ArrayRepeat(cs(1), cs.head)),
+    "countEqual" -> (cs => Size(ArrayFilter(cs.head,
+      LambdaFunction(EqualNullSafe(lv("y"), cs(1)), Seq(lv("y")))))),
+    "bitHammingDistance" -> (cs =>
+      BitwiseCount(BitwiseXor(Cast(cs.head, LongType), Cast(cs(1), LongType)))),
+    "bitRotateLeft" -> (cs => {
+      val x = Cast(cs.head, LongType)
+      val n = Cast(cs(1), IntegerType)
+      BitwiseOr(ShiftLeft(x, n), ShiftRightUnsigned(x, Subtract(Literal(64), n)))
+    }),
+    "bitRotateRight" -> (cs => {
+      val x = Cast(cs.head, LongType)
+      val n = Cast(cs(1), IntegerType)
+      BitwiseOr(ShiftRightUnsigned(x, n), ShiftLeft(x, Subtract(Literal(64), n)))
+    }),
+    "exp10" -> (cs => Pow(Literal(10.0), Cast(cs.head, DoubleType))),
+    // cot is already a Spark builtin with identical semantics — no alias.
+    "base64Encode" -> (cs => Base64(Cast(cs.head, BinaryType))),
+    "base64Decode" -> (cs => Cast(new UnBase64(cs.head), StringType)),
+    "countMatches" -> (cs => Cast(RegExpCount(cs.head, cs(1)), IntegerType)),
+    // Modified Julian Day epoch is 1858-11-17 (reference
+    // fromModifiedJulianDay.cpp)
+    "fromModifiedJulianDay" -> (cs =>
+      DateAdd(Cast(Literal("1858-11-17"), DateType), Cast(cs.head, IntegerType))),
+    "toModifiedJulianDay" -> (cs =>
+      DateDiff(Cast(cs.head, DateType), Cast(Literal("1858-11-17"), DateType))),
+    "formatReadableQuantity" -> (cs => {
+      val x = Cast(cs.head, DoubleType)
+      val units = Seq(1e3 -> "", 1e6 -> " thousand", 1e9 -> " million",
+        1e12 -> " billion", 1e15 -> " trillion")
+      val branches = units.map { case (hi, u) =>
+        (LessThan(Abs(x), Literal(hi)): Expression,
+          FormatString(Literal(s"%.2f$u"), Divide(x, Literal(hi / 1e3))): Expression)
+      }
+      CaseWhen(branches, Some(FormatString(Literal("%.2f quadrillion"),
+        Divide(x, Literal(1e15)))))
+    }),
     // greatCircleDistance(lon1, lat1, lon2, lat2) → meters, the
     // reference's haversine with R = 6371007.180918475
     // (greatCircleDistance.cpp:56,342: 2R·asin(√(u² + cos·cos·v²))).

@@ -487,6 +487,48 @@ class DialectSpec extends SparkSpec {
     assert(b.getString(3) === "██████████")
   }
 
+  test("vector distance family and misc long tail") {
+    val r = one("""SELECT
+        dotProduct(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0)),
+        L1Distance(array(1, 2), array(4, 6)),
+        L2Distance(array(1, 2), array(4, 6)),
+        L2SquaredDistance(array(1, 2), array(4, 6)),
+        LinfDistance(array(1, 2), array(4, 6)),
+        L2Norm(array(3, 4)),
+        cosineDistance(array(1.0, 0.0), array(0.0, 1.0)),
+        cosineDistance(array(1.0, 2.0), array(2.0, 4.0))""")
+    assert(r.getDouble(0) === 32.0)
+    assert(r.getDouble(1) === 7.0)
+    assert(r.getDouble(2) === 5.0)
+    assert(r.getDouble(3) === 25.0)
+    assert(r.getDouble(4) === 4.0)
+    assert(r.getDouble(5) === 5.0)
+    assert(r.getDouble(6) === 1.0)
+    assert(math.abs(r.getDouble(7)) < 1e-12)
+    val m = one("""SELECT arrayProduct(array(2, 3, 4)),
+        arrayWithConstant(3, 'ab'), countEqual(array(1, 2, 1, 3), 1),
+        bitHammingDistance(10, 12), bitRotateLeft(1, 63), bitRotateRight(1, 1),
+        exp10(3), ROUND(cot(pi() / 4), 10),
+        base64Encode('ping'), base64Decode('cGluZw=='),
+        countMatches('a1b22c333', '[0-9]+'),
+        fromModifiedJulianDay(60000), toModifiedJulianDay(DATE '2023-02-25'),
+        formatReadableQuantity(1234567.0)""")
+    assert(m.getDouble(0) === 24.0)
+    assert(m.getSeq[String](1) === Seq("ab", "ab", "ab"))
+    assert(m.getInt(2) === 2)
+    assert(m.getInt(3) === 2) // 1010 xor 1100 = 0110
+    assert(m.getLong(4) === Long.MinValue)
+    assert(m.getLong(5) === Long.MinValue)
+    assert(m.getDouble(6) === 1000.0)
+    assert(m.getDouble(7) === 1.0)
+    assert(m.getString(8) === "cGluZw==")
+    assert(m.getString(9) === "ping")
+    assert(m.getInt(10) === 3)
+    assert(m.getDate(11).toString === "2023-02-25")
+    assert(m.getInt(12) === 60000)
+    assert(m.getString(13) === "1.23 million")
+  }
+
   test("greatCircleDistance, toYYYYMMDDhhmmss, UTF8 spellings, timeSlots") {
     val r = one("""SELECT
         greatCircleDistance(0.0, 0.0, 0.0, 1.0),
