@@ -576,6 +576,37 @@ object CoverageWave7 {
                           COALESCE(rb.b, 0) + (rb.c + 1) / 2.0), 6) AS rho
         FROM e JOIN ra USING (va) JOIN rb USING (vb)""")),
 
+    // Vector distance spellings over the embeddings table (dialect
+    // surface of the ANN stack): 25 probe/candidate pairs via an
+    // equi-key join, distances in double on both engines (the oracle
+    // casts the float32 lists up before list_inner_product /
+    // list_distance so both sides do the same double math).
+    QueryDef(
+      "vector_distance_pairs",
+      (s, dir) => {
+        Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+        s.sql("""
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ROUND(dotProduct(a.embedding, b.embedding), 6) AS dot,
+            ROUND(L2Distance(a.embedding, b.embedding), 6) AS l2,
+            ROUND(cosineDistance(a.embedding, b.embedding), 6) AS cos_d
+          FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
+          JOIN (SELECT * FROM embeddings WHERE vec_id >= 5 AND vec_id < 30) b
+            ON b.vec_id % 5 = a.vec_id
+          ORDER BY id_a, id_b""")
+      },
+      Some("""
+        WITH d AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE vec_id < 30)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ROUND(list_inner_product(a.e, b.e), 6) AS dot,
+          ROUND(list_distance(a.e, b.e), 6) AS l2,
+          ROUND(1.0 - list_cosine_similarity(a.e, b.e), 6) AS cos_d
+        FROM (SELECT * FROM d WHERE vec_id < 5) a
+        JOIN (SELECT * FROM d WHERE vec_id >= 5) b ON b.vec_id % 5 = a.vec_id
+        ORDER BY id_a, id_b""")),
+
     // frequency: the reference's fixed 10-bucket value histogram,
     // projected to scalar columns for the gate (buckets 1..5 exact,
     // 6-10 / 11-20 / 21-50 / 51-100 / >100 ranges).
