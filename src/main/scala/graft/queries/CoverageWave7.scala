@@ -275,6 +275,37 @@ object CoverageWave7 {
       },
       None),
 
+    // finderFunnelByTimes: repeat-conversion funnel runs per day slot
+    // (reference AggregateFunctionFinderFunnelByTimes.h — greedy
+    // forward scan, counts every run, not just the deepest level). No
+    // SQL oracle exists for the greedy consume-and-restart semantics →
+    // rows-only; the hand-traced reference cases gate the algorithm in
+    // AggregatorsSpec.
+    QueryDef(
+      "funnel_by_times",
+      (s, dir) => {
+        import graft.aggregates.FinderFunnelByTimesAgg.finderFunnelByTimes
+        val dayUs = 86400L * 1000000
+        val startUs = 1704067200L * 1000000 // 2024-01-01 UTC
+        val f = finderFunnelByTimes(startUs, dayUs, 30, 12L * 3600 * 1000000, 3) _
+        val e = Tables(s, dir, "events")
+          .withColumn("step",
+            when(col("event_type") === "signup", 1)
+              .when(col("event_type") === "click", 2)
+              .when(col("event_type") === "purchase", 3).otherwise(0))
+          .filter(col("step") > 0)
+        e.groupBy(col("user_id"))
+          .agg(f(unix_micros(col("ts")), col("step")).as("counts"))
+          .select(posexplode(col("counts")).as(Seq("idx", "runs")))
+          .groupBy(col("idx")).agg(sum(col("runs")).as("runs"))
+          .select(((col("idx") / 3).cast("int") - 1).as("slot"),
+            (col("idx") % 3 + 1).cast("int").as("level"),
+            col("runs"))
+          .filter(col("runs") > 0)
+          .orderBy(col("slot"), col("level"))
+      },
+      None),
+
     // meanZTest with known population variances (statistic only, like
     // the repo's t-tests).
     QueryDef(

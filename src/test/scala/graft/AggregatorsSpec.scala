@@ -311,6 +311,35 @@ class AggregatorsSpec extends SparkSpec {
     assert(BitmapAggregates.deserialize(bytes).getLongCardinality === 7)
   }
 
+  test("finderFunnelByTimes counts repeat runs per slot (hand-traced reference cases)") {
+    import graft.aggregates.FinderFunnelByTimesAgg.finderFunnelByTimes
+    // grid: start 0, step 100us, 3 slots; window 50us; steps 1→2→3.
+    val f = finderFunnelByTimes(0L, 100L, 3, 50L, 3) _
+    def run(events: Seq[(Long, Int)]): Seq[Long] =
+      events.toDF("t", "s").repartition(3)
+        .agg(f($"t", $"s")).collect()(0).getSeq[Long](0)
+
+    // one complete run in slot 0: total [1,1,1], slot0 [1,1,1]
+    assert(run(Seq((10L, 1), (20L, 2), (30L, 3))) ===
+      Seq(1L, 1L, 1L, 1L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L))
+    // repeat conversion: depths 3 and 2 → total [2,2,1]
+    assert(run(Seq((10L, 1), (20L, 2), (30L, 3), (40L, 1), (45L, 2))) ===
+      Seq(2L, 2L, 1L, 2L, 2L, 1L, 0L, 0L, 0L, 0L, 0L, 0L))
+    // A A B C: first run consumes B,C; restart at second A finds depth 1
+    assert(run(Seq((10L, 1), (15L, 1), (20L, 2), (30L, 3))) ===
+      Seq(2L, 1L, 1L, 2L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L))
+    // window expiry cuts the run at depth 1
+    assert(run(Seq((10L, 1), (80L, 2))) ===
+      Seq(1L, 0L, 0L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    // chain may complete across the slot boundary; only the anchor's
+    // slot is credited
+    assert(run(Seq((90L, 1), (110L, 2))) ===
+      Seq(1L, 1L, 0L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    // runs in different slots credit their own slots
+    assert(run(Seq((10L, 1), (20L, 2), (130L, 1), (140L, 2), (150L, 3))) ===
+      Seq(2L, 2L, 1L, 1L, 1L, 0L, 1L, 1L, 1L, 0L, 0L, 0L))
+  }
+
   test("xirr: golden single-period case and NPV(root) ≈ 0 property") {
     // -100 at day 0, +110 at day 365 → exactly 10% annualized.
     val simple = Seq((0L, -100.0), (365L, 110.0)).toDF("t", "v")
