@@ -984,6 +984,25 @@ object ClickHouseAliases {
     }),
 
     // misc long tail
+    // ClickHouse higher-order spellings take the LAMBDA FIRST
+    // (arrayMap(x -> …, arr)); reorder onto Spark's HOF expressions —
+    // the parser already produces the unresolved LambdaFunction, the
+    // analyzer binds it.
+    // Only DIRECT-root HOFs are registrable: the analyzer rejects a
+    // lambda argument whose resolved function root is not itself a
+    // HigherOrderFunction, so composed forms (arrayCount = size∘filter,
+    // arrayFirst = element_at∘filter) stay SQL idioms rather than
+    // spellings.
+    "arrayMap" -> (cs => ArrayTransform(cs(1), cs.head)),
+    "arrayFilter" -> (cs => ArrayFilter(cs(1), cs.head)),
+    "arrayExists" -> (cs => ArrayExists(cs(1), cs.head)),
+    "arrayAll" -> (cs => ArrayForAll(cs(1), cs.head)),
+    "hasAll" -> (cs => EqualTo(Size(ArrayExcept(cs(1), cs.head)), Literal(0))),
+    "hasAny" -> (cs => ArraysOverlap(cs.head, cs(1))),
+    "arrayPushFront" -> (cs => Concat(Seq(CreateArray(Seq(cs(1))), cs.head))),
+    "arrayPopFront" -> (cs =>
+      Slice(cs.head, Literal(2),
+        Greatest(Seq(Subtract(Size(cs.head), Literal(1)), Literal(0))))),
     "arrayProduct" -> (cs => ArrayAggregate(cs.head, Literal(1.0d),
       LambdaFunction(Multiply(lv("a"), dbl(lv("x"))), Seq(lv("a"), lv("x"))),
       LambdaFunction(lv("a"), Seq(lv("a"))))),

@@ -487,6 +487,27 @@ class DialectSpec extends SparkSpec {
     assert(b.getString(3) === "██████████")
   }
 
+  test("lambda-first higher-order spellings and has-family") {
+    val r = one("""SELECT
+        arrayMap(x -> x * 2, array(1, 2, 3)),
+        arrayFilter(x -> x % 2 = 0, array(1, 2, 3, 4)),
+        arrayExists(x -> x > 3, array(1, 2)),
+        arrayAll(x -> x > 0, array(1, 2)),
+        hasAll(array(1, 2, 3), array(1, 3)),
+        hasAll(array(1, 2), array(1, 9)),
+        hasAny(array(1, 2), array(2, 9)),
+        arrayPushFront(array(2, 3), 1),
+        arrayPopFront(array(1, 2, 3)),
+        arrayPopFront(array(1))""")
+    assert(r.getSeq[Int](0) === Seq(2, 4, 6))
+    assert(r.getSeq[Int](1) === Seq(2, 4))
+    assert(!r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getBoolean(4) && !r.getBoolean(5) && r.getBoolean(6))
+    assert(r.getSeq[Int](7) === Seq(1, 2, 3))
+    assert(r.getSeq[Int](8) === Seq(2, 3))
+    assert(r.getSeq[Int](9) === Seq())
+  }
+
   test("vector distance family and misc long tail") {
     val r = one("""SELECT
         dotProduct(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0)),
