@@ -133,6 +133,77 @@ object TpcdsShapes3 {
           ROUND(CAST(SUM(CAST(window_rev AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_window_rev,
           ROUND(CAST(SUM(CAST(CAST(n_orders AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_window_orders,
           COUNT(*) AS n_customers
-        FROM w"""))
+        FROM w""")),
+
+    // q65: parts whose revenue sits below 30% of the all-parts average —
+    // a grouped aggregate joined against a scalar aggregate OF the same
+    // grouped aggregate (two aggregation levels sharing one child).
+    QueryDef(
+      "tpcds_below_avg_parts",
+      (s, dir) => {
+        val rev = Tables(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(dsum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+        val avgRev = rev.agg(avg(col("rev")).as("avg_rev"))
+        rev.crossJoin(broadcast(avgRev))
+          .filter(col("rev") < col("avg_rev") * 0.3)
+          .select(col("l_partkey"), round(col("rev"), 2).as("rev"),
+            round(col("avg_rev"), 2).as("avg_rev"))
+          .orderBy(col("l_partkey"))
+          .limit(100)
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_partkey,
+            CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2)))
+              AS DOUBLE) AS rev
+          FROM lineitem GROUP BY l_partkey),
+        a AS (SELECT AVG(rev) AS avg_rev FROM rev)
+        SELECT l_partkey, ROUND(rev, 2) AS rev, ROUND(avg_rev, 2) AS avg_rev
+        FROM rev, a
+        WHERE rev < avg_rev * 0.3
+        ORDER BY l_partkey
+        LIMIT 100""")),
+
+    // q93: net sales per customer with returned lines' value credited
+    // back — a LEFT join against the returns subset with COALESCE
+    // arithmetic instead of an anti-join.
+    QueryDef(
+      "tpcds_net_after_returns",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val ret = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("rk"), col("l_linenumber").as("rn"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("ret_val"))
+        val net = li.join(ret,
+            li("l_orderkey") === ret("rk") && li("l_linenumber") === ret("rn"),
+            "left")
+          .select(col("l_orderkey"),
+            ((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) -
+              coalesce(col("ret_val"), lit(0.0))).as("net_val"))
+        net.join(o, net("l_orderkey") === o("o_orderkey"))
+          .groupBy((col("o_custkey") % 100).as("cust_band"))
+          .agg(dsum6(col("net_val")).as("net_sales"))
+          .select(col("cust_band"), round(col("net_sales"), 2).as("net_sales"))
+          .orderBy(col("cust_band"))
+      },
+      Some("""
+        WITH ret AS (
+          SELECT l_orderkey AS rk, l_linenumber AS rn,
+            l_extendedprice * (1.0 - l_discount) AS ret_val
+          FROM lineitem WHERE l_returnflag = 'R'),
+        net AS (
+          SELECT l.l_orderkey,
+            l.l_extendedprice * (1.0 - l.l_discount) - COALESCE(ret.ret_val, 0.0) AS net_val
+          FROM lineitem l LEFT JOIN ret
+            ON l.l_orderkey = ret.rk AND l.l_linenumber = ret.rn)
+        SELECT o.o_custkey % 100 AS cust_band,
+          ROUND(CAST(SUM(CAST(net.net_val AS DECIMAL(18,6))) AS DOUBLE), 2) AS net_sales
+        FROM net JOIN orders o ON net.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey % 100
+        ORDER BY cust_band"""))
   )
 }

@@ -90,7 +90,8 @@ class GoldenPlanSpec extends SparkSpec {
   }
 
   Seq("tpcds_yoy_customer_growth", "tpcds_returns_kept_ratio",
-      "tpcds_first_purchase_window").foreach { q =>
+      "tpcds_first_purchase_window", "tpcds_below_avg_parts",
+      "tpcds_net_after_returns").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
 }
