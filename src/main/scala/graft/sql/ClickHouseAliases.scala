@@ -177,7 +177,27 @@ object ClickHouseAliases {
     "JSONExtractFloat" -> (cs =>
       Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), DoubleType)),
     "JSONHas" -> (cs =>
-      IsNotNull(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1))))))
+      IsNotNull(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))))),
+    "JSONExtractBool" -> (cs =>
+      Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), BooleanType)),
+    // JSONExtractRaw: the sub-document as JSON text — exactly what
+    // get_json_object returns for non-scalar matches.
+    "JSONExtractRaw" -> (cs =>
+      GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1))))),
+
+    // URL percent-coding + cut family (reference URL/decodeURLComponent.cpp,
+    // cutQueryString.cpp, cutFragment.cpp, cutWWW.cpp)
+    "decodeURLComponent" -> (cs => UrlDecode(cs.head)),
+    "encodeURLComponent" -> (cs => UrlEncode(cs.head)),
+    "cutQueryString" -> (cs =>
+      RegExpReplace(cs.head, Literal("\\?.*"), Literal(""), Literal(1))),
+    "cutFragment" -> (cs =>
+      RegExpReplace(cs.head, Literal("#.*"), Literal(""), Literal(1))),
+    "cutQueryStringAndFragment" -> (cs =>
+      RegExpReplace(cs.head, Literal("[?#].*"), Literal(""), Literal(1))),
+    "cutWWW" -> (cs =>
+      RegExpReplace(cs.head, Literal("^((?:[a-zA-Z0-9]+:)?//)?www\\."),
+        Literal("$1"), Literal(1)))
   )
 
   /** Round-3 additions: URL family (reference src/Functions/URL/),

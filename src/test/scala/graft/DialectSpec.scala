@@ -487,6 +487,28 @@ class DialectSpec extends SparkSpec {
     assert(b.getString(3) === "██████████")
   }
 
+  test("URL cut/decode family and JSON bool/raw extraction") {
+    val r = one("""SELECT
+        decodeURLComponent('a%20b%2Fc'),
+        encodeURLComponent('a b/c'),
+        cutQueryString('https://x.io/p?a=1&b=2#f'),
+        cutFragment('https://x.io/p?a=1#frag'),
+        cutQueryStringAndFragment('https://x.io/p?a=1#frag'),
+        cutWWW('https://www.example.com/p'),
+        cutWWW('www.example.com/p'),
+        JSONExtractBool('{"on": true}', 'on'),
+        JSONExtractRaw('{"a": {"b": [1, 2]}}', 'a')""")
+    assert(r.getString(0) === "a b/c")
+    assert(r.getString(1).toLowerCase === "a+b%2fc")
+    assert(r.getString(2) === "https://x.io/p")
+    assert(r.getString(3) === "https://x.io/p?a=1")
+    assert(r.getString(4) === "https://x.io/p")
+    assert(r.getString(5) === "https://example.com/p")
+    assert(r.getString(6) === "example.com/p")
+    assert(r.getBoolean(7) === true)
+    assert(r.getString(8) === """{"b":[1,2]}""")
+  }
+
   test("lambda-first higher-order spellings and has-family") {
     val r = one("""SELECT
         arrayMap(x -> x * 2, array(1, 2, 3)),
