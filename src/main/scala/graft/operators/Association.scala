@@ -39,7 +39,11 @@ object Association {
     *     n, not the classical φ²+1 — parity with CrossTab.h kept)
     *
     * Returns one row: n, card_a, card_b, phi2, cramers_v,
-    * cramers_v_bc, theils_u, contingency (statistics rounded to 6).
+    * cramers_v_bc, theils_u, contingency. The statistics are emitted as
+    * DECIMAL(18,6) (rounded to 6 first): two engines can ROUND the same
+    * quantity to doubles one ulp apart, which survives into an exact
+    * byte-level hash even though every printed representation agrees —
+    * a decimal output is the same bits everywhere.
     */
   def crossTabStats(df: DataFrame, a: Column, b: Column): DataFrame = {
     import Num._
@@ -86,14 +90,15 @@ object Association {
     val phi2Corr = greatest(lit(0.0), phi2 - aAdj * bAdj / nAdj)
     val corrA = col("card_a").cast("double") - aAdj * aAdj / nAdj
     val corrB = col("card_b").cast("double") - bAdj * bAdj / nAdj
+    def d6(c: Column): Column = round(c, 6).cast(Num.D6)
     sums.select(
       col("n"), col("card_a"), col("card_b"),
-      round(phi2, 6).as("phi2"),
-      round(sqrt(phi2 / (least(col("card_a"), col("card_b")) - 1)), 6)
+      d6(phi2).as("phi2"),
+      d6(sqrt(phi2 / (least(col("card_a"), col("card_b")) - 1)))
         .as("cramers_v"),
-      round(sqrt(phi2Corr / (least(corrA, corrB) - 1)), 6).as("cramers_v_bc"),
-      round((col("__dep") - col("__ha")) / col("__ha"), 6).as("theils_u"),
-      round(sqrt(phi2 / (phi2 + n)), 6).as("contingency"))
+      d6(sqrt(phi2Corr / (least(corrA, corrB) - 1))).as("cramers_v_bc"),
+      d6((col("__dep") - col("__ha")) / col("__ha")).as("theils_u"),
+      d6(sqrt(phi2 / (phi2 + n))).as("contingency"))
   }
 
   /** Per-category information value

@@ -49,10 +49,12 @@ class AssociationSpec extends SparkSpec {
       val df = pairs.toDF("x", "y").repartition(5)
       val row = Association.crossTabStats(df, col("x"), col("y")).collect()(0)
       val (cv, cvbc, tu, cont) = brute(pairs)
-      assert(math.abs(row.getAs[Double]("cramers_v") - cv) < 1e-5, s"cramers_v trial $trial")
-      assert(math.abs(row.getAs[Double]("cramers_v_bc") - cvbc) < 1e-5, s"cramers_v_bc trial $trial")
-      assert(math.abs(row.getAs[Double]("theils_u") - tu) < 1e-5, s"theils_u trial $trial")
-      assert(math.abs(row.getAs[Double]("contingency") - cont) < 1e-5, s"contingency trial $trial")
+      // statistics are emitted as DECIMAL(18,6) for gate-hash stability
+      def dec(name: String): Double = row.getAs[java.math.BigDecimal](name).doubleValue()
+      assert(math.abs(dec("cramers_v") - cv) < 1e-5, s"cramers_v trial $trial")
+      assert(math.abs(dec("cramers_v_bc") - cvbc) < 1e-5, s"cramers_v_bc trial $trial")
+      assert(math.abs(dec("theils_u") - tu) < 1e-5, s"theils_u trial $trial")
+      assert(math.abs(dec("contingency") - cont) < 1e-5, s"contingency trial $trial")
     }
   }
 }
