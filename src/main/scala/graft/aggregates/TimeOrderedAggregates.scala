@@ -95,12 +95,17 @@ object TimeOrderedAggregates {
   }
 
   /** deltaSumTimestamp: Σ max(0, v_i − v_{i−1}) over the input sorted by
-    * (t, v). The reference guards partial-merge order with min/max
-    * timestamps per state; collecting and sorting at finish gives the
-    * identical result with Spark's shuffle-order-agnostic merge. Each
-    * positive delta is quantized to 6 decimals (HALF_UP) before summing
-    * so the result is bit-stable and oracle-comparable per the repo's
-    * Num convention.
+    * (t, v). Deliberate behavioral divergence from the reference: it
+    * applies deltas in raw ARRIVAL order within a partial state and uses
+    * timestamps only to order whole states at merge, so for duplicate
+    * timestamps or out-of-timestamp-order arrival its result depends on
+    * scan order. This implementation fully sorts by (t, v) at finish —
+    * deterministic under Spark's shuffle-order-agnostic merge, identical
+    * to the reference whenever timestamps are unique and delivered in
+    * order (the reference's own steady-state assumption). Each positive
+    * delta is quantized to 6 decimals (HALF_UP) before summing so the
+    * result is bit-stable and oracle-comparable per the repo's Num
+    * convention.
     */
   class DeltaSumTimestamp
       extends Aggregator[TimedValue, ArrayBuffer[TimedValue], Double]

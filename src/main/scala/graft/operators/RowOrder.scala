@@ -31,6 +31,20 @@ object RowOrder {
     when(prev.isNull, value - value).otherwise(value - prev)
   }
 
+  /** runningAccumulate(agg_state) (reference
+    * src/Functions/runningAccumulate.cpp): the running merge of an
+    * aggregate state over rows so far — block-order-dependent in the
+    * reference, here the deterministic cumulative window
+    * (unboundedPreceding..currentRow) over an explicit order, which is
+    * the documented migration target. Pass the aggregate column itself
+    * (e.g. `sum(x)`, `countDistinct`-style states become their
+    * cumulative merge).
+    */
+  def runningAccumulate(
+      agg: Column, partition: Seq[Column], order: Seq[Column]): Column =
+    agg.over(w(partition, order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
   /** neighbor(x, offset[, default]): the value `offset` rows ahead
     * (negative → behind) in the partition's order; `default` when the
     * neighbor falls outside the partition (the reference falls back to

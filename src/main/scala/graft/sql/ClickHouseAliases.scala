@@ -34,7 +34,7 @@ object ClickHouseAliases {
 
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
-      wave4 ++ wave5
+      wave4 ++ wave5 ++ wave6
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -156,14 +156,17 @@ object ClickHouseAliases {
     "multiply" -> (cs => Multiply(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
     // ClickHouse divide is IEEE float division: x/0 → ±Inf, 0/0 → NaN
     // (LEGACY Spark division would give NULL). The zero-divisor branch
-    // supplies the IEEE result explicitly.
+    // supplies the IEEE result explicitly; a NULL numerator stays NULL
+    // (Nullable propagation) — without the IsNull guard the NaN/zero/
+    // positive cascade would fall through to −Inf for divide(NULL, 0).
     "divide" -> (cs => {
       val x = Cast(cs.head, DoubleType)
       val y = Cast(cs(1), DoubleType)
       If(EqualTo(y, Literal(0.0)),
-        If(Or(IsNaN(x), EqualTo(x, Literal(0.0))), Literal(Double.NaN),
-          If(GreaterThan(x, Literal(0.0)),
-            Literal(Double.PositiveInfinity), Literal(Double.NegativeInfinity))),
+        If(IsNull(x), Literal.create(null, DoubleType),
+          If(Or(IsNaN(x), EqualTo(x, Literal(0.0))), Literal(Double.NaN),
+            If(GreaterThan(x, Literal(0.0)),
+              Literal(Double.PositiveInfinity), Literal(Double.NegativeInfinity)))),
         Divide(x, y, evalMode = EvalMode.LEGACY))
     }),
     "cityHash64" -> (cs => new XxHash64(cs)), // hash parity non-goal (SURVEY §2.2)
@@ -186,9 +189,26 @@ object ClickHouseAliases {
       GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1))))),
 
     // URL percent-coding + cut family (reference URL/decodeURLComponent.cpp,
-    // cutQueryString.cpp, cutFragment.cpp, cutWWW.cpp)
-    "decodeURLComponent" -> (cs => UrlDecode(cs.head)),
-    "encodeURLComponent" -> (cs => UrlEncode(cs.head)),
+    // cutQueryString.cpp, cutFragment.cpp, cutWWW.cpp). The reference
+    // registers the plain names with plus_as_space=false — '+' passes
+    // through decode unchanged and space encodes to %20; Spark's
+    // UrlDecode/UrlEncode are the FORM codecs ('+' ↔ space), so the
+    // plain spellings pre/post-fix '+' and the Form spellings take the
+    // Spark builtins directly.
+    "decodeURLComponent" -> (cs =>
+      UrlDecode(StringReplace(cs.head, Literal("+"), Literal("%2B")))),
+    "encodeURLComponent" -> (cs =>
+      // URLEncoder is the form codec and also diverges from RFC 3986 on
+      // two unreserved-set members: space→'+' (CH: %20), '*' kept
+      // (CH: %2A), '~'→%7E (CH: kept). '+' in the input is already
+      // %2B by this point, so the remaining '+' are spaces.
+      StringReplace(
+        StringReplace(
+          StringReplace(UrlEncode(cs.head), Literal("+"), Literal("%20")),
+          Literal("*"), Literal("%2A")),
+        Literal("%7E"), Literal("~"))),
+    "decodeURLFormComponent" -> (cs => UrlDecode(cs.head)),
+    "encodeURLFormComponent" -> (cs => UrlEncode(cs.head)),
     "cutQueryString" -> (cs =>
       RegExpReplace(cs.head, Literal("\\?.*"), Literal(""), Literal(1))),
     "cutFragment" -> (cs =>
@@ -831,8 +851,12 @@ object ClickHouseAliases {
     "negate" -> (cs => UnaryMinus(cs.head)),
     "intDivOrZero" -> (cs => If(EqualTo(cs(1), Literal(0)),
       Literal(0L), IntegralDivide(cs.head, cs(1)))),
-    "moduloOrZero" -> (cs => If(EqualTo(cs(1), Literal(0)),
-      Literal(0L), Cast(Remainder(Cast(cs.head, LongType), Cast(cs(1), LongType)), LongType))),
+    // moduloOrZero keeps the operands' own numeric types (CH fmod for
+    // fractional inputs: moduloOrZero(7.5, 2) = 1.5) — the If branches
+    // coerce to the Remainder result type; only a zero divisor (of any
+    // numeric type, so 0.5 is NOT truncated to 0) takes the 0 fallback.
+    "moduloOrZero" -> (cs => If(EqualTo(Cast(cs(1), DoubleType), Literal(0.0)),
+      Literal(0), Remainder(cs.head, cs(1), evalMode = EvalMode.LEGACY))),
     "intExp10" -> (cs =>
       Cast(Pow(Literal(10.0), Cast(cs.head, DoubleType)), LongType)),
 
@@ -971,11 +995,20 @@ object ClickHouseAliases {
     // AggregateFunctionThetaSketchEstimate.cpp) — the native
     // TypedImperativeAggregate, registry-injected like windowFunnel.
     "uniqTheta" -> (cs => graft.aggregates.ThetaDistinctAgg(cs.head)),
-    // quantileInterpolatedWeighted(p, x, w): Percentile with a frequency
-    // column — identical to interpolating the weighted distribution for
-    // integral weights (the only weights the reference's exact-weighted
-    // family accepts losslessly).
-    "quantileInterpolatedWeighted" -> (cs => new Percentile(cs(1), cs.head, cs(2))),
+    // quantileInterpolatedWeighted(p, x, w): the reference's
+    // weighted-percentile method (QuantileInterpolatedWeighted.h) —
+    // per-distinct-value positions (cum − 0.5·w)/Σw, NOT repeat-expanded
+    // Percentile (the two differ even for integral weights: {1,2} with
+    // weights {3,1} at p=0.5 → 1.25 weighted vs 1.0 by repetition).
+    "quantileInterpolatedWeighted" -> (cs => {
+      val p = cs.head match {
+        case Literal(v, _) if v != null => v.toString.toDouble
+        case other => throw new IllegalArgumentException(
+          s"quantileInterpolatedWeighted: level must be a numeric literal, got $other")
+      }
+      graft.aggregates.InterpolatedWeightedQuantileAgg(
+        Cast(cs(1), DoubleType), Cast(cs(2), DoubleType), p)
+    }),
     "appendTrailingCharIfAbsent" -> (cs =>
       If(EndsWith(cs.head, cs(1)), cs.head, Concat(Seq(cs.head, cs(1))))),
     // Vector distance family (reference src/Functions/vectorFunctions.cpp
@@ -1120,6 +1153,166 @@ object ClickHouseAliases {
           Substring(Literal("▏▎▍▌▋▊▉"), rem, Literal(1)), Literal(""))))
     })
   )
+
+  /** Decimal-typed cast spellings (reference FunctionsConversion.h:2008,
+    * toDecimal32/64/128): ClickHouse's explicit-scale second argument onto
+    * Spark's DecimalType with the family's fixed precision (9/18/38).
+    * OrZero/OrNull variants ride Cast's TRY eval mode (parse/overflow
+    * failure → null, then coalesced to 0 for OrZero) — plain casts keep
+    * ANSI throw-on-invalid, matching the reference's exception behavior.
+    */
+  private def toDecimalFamily: Seq[(String, Seq[Expression] => Expression)] = {
+    def dt(prec: Int, cs: Seq[Expression]): DecimalType = {
+      val scale = cs(1) match {
+        case Literal(v, _) if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"toDecimal*: scale must be an integer literal, got $other")
+      }
+      require(scale >= 0 && scale <= prec, s"toDecimal*: scale $scale out of [0, $prec]")
+      DecimalType(prec, scale)
+    }
+    Seq(9 -> "32", 18 -> "64", 38 -> "128").flatMap { case (prec, bits) =>
+      Seq(
+        s"toDecimal$bits" -> ((cs: Seq[Expression]) => Cast(cs.head, dt(prec, cs))),
+        s"toDecimal${bits}OrNull" -> ((cs: Seq[Expression]) =>
+          Cast(cs.head, dt(prec, cs), None, EvalMode.TRY)),
+        s"toDecimal${bits}OrZero" -> ((cs: Seq[Expression]) => {
+          val d = dt(prec, cs)
+          Coalesce(Seq(Cast(cs.head, d, None, EvalMode.TRY), Cast(Literal(0), d)))
+        }))
+    }
+  }
+
+  /** Map-merge lambda shared by mapAdd/mapSubtract (reference
+    * src/Functions/array/mapOp.cpp): key union via MapZipWith, absent
+    * keys contribute 0. Variadic like the reference (left fold).
+    */
+  private def mapMerge(op: (Expression, Expression) => Expression)(
+      cs: Seq[Expression]): Expression = {
+    require(cs.size >= 2, "mapAdd/mapSubtract expect at least two map arguments")
+    cs.reduce { (a, b) =>
+      MapZipWith(a, b, LambdaFunction(
+        op(Coalesce(Seq(lv("v1"), Literal(0))), Coalesce(Seq(lv("v2"), Literal(0)))),
+        Seq(lv("k"), lv("v1"), lv("v2"))))
+    }
+  }
+
+  /** formatReadableTimeDelta (reference formatReadableTimeDelta.cpp):
+    * "1 day, 3 hours, 46 minutes and 40 seconds" — units year=365 d,
+    * month=30.5 d, day/hour/minute/second exact; zero units skip; the
+    * last printed unit joins with " and ", earlier ones with ", ";
+    * bare zero prints "0 seconds". Optional literal maximum_unit caps
+    * the largest unit. Built as one expression tree: per-unit counts are
+    * floor-divides of the running remainder (codegen CSE collapses the
+    * repeated subtrees).
+    */
+  private def readableTimeDelta(cs: Seq[Expression]): Expression = {
+    val unitsAll = Seq(
+      ("years", 31536000.0, " year"), ("months", 2635200.0, " month"),
+      ("days", 86400.0, " day"), ("hours", 3600.0, " hour"),
+      ("minutes", 60.0, " minute"), ("seconds", 1.0, " second"))
+    val maxUnit = if (cs.size > 1) cs(1) match {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"formatReadableTimeDelta: maximum_unit must be a string literal, got $other")
+    } else "years"
+    val start = unitsAll.indexWhere(_._1 == maxUnit)
+    require(start >= 0, s"formatReadableTimeDelta: unknown maximum_unit '$maxUnit'")
+    val units = unitsAll.drop(start)
+    val x = Cast(cs.head, DoubleType)
+    val v0 = Abs(x)
+    // running remainder and per-unit count chains
+    var rem: Expression = v0
+    val pieces = units.zipWithIndex.map { case ((_, size, name), i) =>
+      val n = Floor(Divide(rem, Literal(size)))
+      val after = Subtract(rem, Multiply(Cast(n, DoubleType), Literal(size)))
+      rem = after
+      (n, after, name, i)
+    }
+    val counts = pieces.map(_._1)
+    def prior(i: Int): Expression =
+      if (i == 0) Literal(false)
+      else counts.take(i).map(n => GreaterThan(n, Literal(0L)): Expression)
+        .reduce(Or.apply)
+    val parts: Seq[Expression] = pieces.map { case (n, after, name, i) =>
+      val delim = If(prior(i),
+        If(LessThan(after, Literal(1.0)), Literal(" and "), Literal(", ")),
+        Literal(""))
+      val text = Concat(Seq(delim, Cast(n, StringType), Literal(name),
+        If(EqualTo(n, Literal(1L)), Literal(""), Literal("s"))))
+      if (i == units.size - 1 && units.last._1 == "seconds")
+        // seconds print "0 seconds" when nothing else did
+        If(GreaterThan(n, Literal(0L)), text,
+          If(Not(prior(i)), Literal("0 seconds"), Literal("")))
+      else If(GreaterThan(n, Literal(0L)), text, Literal(""))
+    }
+    val main = Concat(
+      If(LessThan(x, Literal(0.0)), Literal("-"), Literal("")) +: parts)
+    If(IsNaN(x), Literal("nan"),
+      If(EqualTo(x, Literal(Double.PositiveInfinity)), Literal("inf"),
+        If(EqualTo(x, Literal(Double.NegativeInfinity)), Literal("-inf"), main)))
+  }
+
+  /** firstSignificantSubdomain (reference
+    * URL/ExtractFirstSignificantSubdomain.h:31): the label left of the
+    * registrable suffix — "yandex" for news.yandex.com.tr, "kernel" for
+    * kernel.org. The reference consults the full public-suffix list
+    * (tldLookup.gperf, generated from publicsuffix.org); this lowers the
+    * lookup to the dominant generic second-level labels (com/co/org/…)
+    * — exotic suffixes ("pvt.k12.ma.us") diverge, documented here.
+    */
+  private def firstSignificantSubdomain(url: Expression): Expression = {
+    val genericSld = Seq("com", "co", "org", "net", "gov", "edu", "ac", "mil", "sch")
+    val parsed = new ParseUrl(Seq(url, Literal("HOST")))
+    val bare = RegExpExtract(url, Literal("^(?:[a-zA-Z0-9.+-]*:)?(?://)?(?:[^/@?#]*@)?([^/:?#]+)"), Literal(1))
+    val host = If(IsNull(parsed), bare, parsed)
+    val parts = StringSplit(host, Literal("\\."), Literal(-1))
+    val n = Size(parts)
+    val lookupLabel = ElementAt(parts, Literal(-2))
+    If(LessThanOrEqual(n, Literal(1)), host,
+      If(And(GreaterThanOrEqual(n, Literal(3)),
+        In(lookupLabel, genericSld.map(Literal(_)))),
+        ElementAt(parts, Literal(-3)),
+        ElementAt(parts, Literal(-2))))
+  }
+
+  /** Round-6 wave: decimal-typed casts, the string replace/split family,
+    * map arithmetic, firstSignificantSubdomain, formatReadableTimeDelta
+    * (VERDICT r5 missing #1/#2/#3/#8).
+    */
+  private def wave6: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val stringOps = graft.functions.StringOps.getClass
+    def s(e: Expression) = Cast(e, StringType)
+    toDecimalFamily ++ Seq(
+      // replace family (reference replaceRegexpAll.cpp, replaceRegexpOne
+      // .cpp, replaceAll.cpp, replaceOne.cpp). CH backrefs are \1-style;
+      // chReplacement converts to Java's $1 (and escapes literal $) so
+      // RegExpReplace sees its native syntax. The -One variants are
+      // first-occurrence-only via a static helper that codegen calls
+      // directly (no UDF, stays in the generated loop).
+      "replaceRegexpAll" -> (cs => RegExpReplace(s(cs.head), cs(1),
+        StaticInvoke(stringOps, StringType, "chReplacement",
+          Seq(s(cs(2))), Seq(StringType), returnNullable = false))),
+      "replaceRegexpOne" -> (cs =>
+        StaticInvoke(stringOps, StringType, "replaceRegexpOne",
+          Seq(s(cs.head), s(cs(1)), s(cs(2))),
+          Seq(StringType, StringType, StringType), returnNullable = false)),
+      "replaceAll" -> (cs => StringReplace(cs.head, cs(1), cs(2))),
+      "replaceOne" -> (cs =>
+        StaticInvoke(stringOps, StringType, "replaceOne",
+          Seq(s(cs.head), s(cs(1)), s(cs(2))),
+          Seq(StringType, StringType, StringType), returnNullable = false)),
+      // splitByString (FunctionsStringArray.h): literal separator, like
+      // splitByChar's \Q...\E quoting (argument order: separator first)
+      "splitByString" -> (cs => StringSplit(cs(1),
+        Concat(Seq(Literal("\\Q"), cs.head, Literal("\\E"))), Literal(-1))),
+      "mapAdd" -> mapMerge((a, b) => Add(a, b, evalMode = EvalMode.LEGACY)),
+      "mapSubtract" -> mapMerge((a, b) => Subtract(a, b, evalMode = EvalMode.LEGACY)),
+      "firstSignificantSubdomain" -> (cs => firstSignificantSubdomain(cs.head)),
+      "formatReadableTimeDelta" -> readableTimeDelta _
+    )
+  }
 
   /** Register every alias into the session's function registry. */
   def inject(ext: SparkSessionExtensions): Unit = {

@@ -499,7 +499,8 @@ class DialectSpec extends SparkSpec {
         JSONExtractBool('{"on": true}', 'on'),
         JSONExtractRaw('{"a": {"b": [1, 2]}}', 'a')""")
     assert(r.getString(0) === "a b/c")
-    assert(r.getString(1).toLowerCase === "a+b%2fc")
+    // plus_as_space=false in the reference: space → %20, never '+'
+    assert(r.getString(1).toLowerCase === "a%20b%2fc")
     assert(r.getString(2) === "https://x.io/p")
     assert(r.getString(3) === "https://x.io/p?a=1")
     assert(r.getString(4) === "https://x.io/p")
@@ -507,6 +508,17 @@ class DialectSpec extends SparkSpec {
     assert(r.getString(6) === "example.com/p")
     assert(r.getBoolean(7) === true)
     assert(r.getString(8) === """{"b":[1,2]}""")
+    // '+' round-trip: the plain spellings preserve '+' (RFC 3986), the
+    // Form spellings do the application/x-www-form-urlencoded '+'↔space
+    val p = one("""SELECT
+        decodeURLComponent('a+b%20c'),
+        decodeURLFormComponent('a+b%20c'),
+        encodeURLComponent('a+b c*~'),
+        encodeURLFormComponent('a b')""")
+    assert(p.getString(0) === "a+b c")
+    assert(p.getString(1) === "a b c")
+    assert(p.getString(2).toLowerCase === "a%2bb%20c%2a~")
+    assert(p.getString(3) === "a+b")
   }
 
   test("lambda-first higher-order spellings and has-family") {
@@ -600,6 +612,20 @@ class DialectSpec extends SparkSpec {
     // weighted median of 0..36 with weights (i%5+1): sanity bounds
     val med = r.getDouble(1)
     assert(med > 10 && med < 30)
+    // hand-computed weighted-percentile check (the reference's
+    // (cum − 0.5·w)/Σw method, QuantileInterpolatedWeighted.h): values
+    // {1,2} weights {3,1} → positions {0.375, 0.875}; p=0.5 interpolates
+    // to 1 + (0.5−0.375)/(0.875−0.375) = 1.25 (repeat-expansion
+    // Percentile would give 1.0 — the methods genuinely differ).
+    Seq((1.0, 3L), (1.0, 0L), (2.0, 1L)).toDF("x", "w")
+      .createOrReplaceTempView("qiw")
+    val h = one("""SELECT
+        quantileInterpolatedWeighted(0.5, x, w),
+        quantileInterpolatedWeighted(0.0, x, w),
+        quantileInterpolatedWeighted(1.0, x, w) FROM qiw""")
+    assert(h.getDouble(0) === 1.25)
+    assert(h.getDouble(1) === 1.0) // below x_0 clamps to smallest value
+    assert(h.getDouble(2) === 2.0) // above x_last clamps to largest
   }
 
   test("windowFunnel SQL spelling: levels, window cut-off, strict_order") {
@@ -631,7 +657,7 @@ class DialectSpec extends SparkSpec {
                    bitShiftLeft(3, 2), bitShiftRight(12, 2), bitTest(5, 0), bitTest(5, 1)""")
     assert(r.getLong(0) === 3L)
     assert(r.getLong(1) === 0L)
-    assert(r.getLong(2) === 0L)
+    assert(r.getInt(2) === 0)
     assert(r.getLong(3) === 1024L)
     assert(r.getLong(4) === 1000000L)
     // banker's rounding: ties to even
@@ -656,5 +682,83 @@ class DialectSpec extends SparkSpec {
     assert(s.getDate(8).toString === "2021-02-28")
     assert(s.getTimestamp(9).toString === "2024-01-15 00:00:00.0")
     assert(s.getTimestamp(10).toString === "2023-12-31 23:59:00.0")
+    // moduloOrZero keeps fractional types (CH fmod) and only a true-zero
+    // divisor takes the 0 fallback; divide(NULL, 0) propagates NULL
+    val t = one("""SELECT moduloOrZero(7.5, 2), moduloOrZero(7.5, 0.5),
+                   moduloOrZero(17, 5), divide(CAST(NULL AS DOUBLE), 0)""")
+    assert(t.getAs[java.math.BigDecimal](0).doubleValue === 1.5)
+    assert(t.getAs[java.math.BigDecimal](1).doubleValue === 0.0)
+    assert(t.getInt(2) === 2)
+    assert(t.isNullAt(3))
+  }
+
+  test("toDecimal32/64/128 family: typed casts, OrNull/OrZero on bad input") {
+    val r = one("""SELECT toDecimal32('3.149', 2), toDecimal64('1.10', 2) + toDecimal64('2.20', 2),
+                   toDecimal64OrNull('abc', 2), toDecimal64OrZero('abc', 2),
+                   toDecimal128('12345678901.5', 4), toDecimal32(7, 0)""")
+    assert(r.getDecimal(0).toPlainString === "3.15") // HALF_UP at the cast
+    assert(r.getDecimal(1).toPlainString === "3.30")
+    assert(r.isNullAt(2))
+    assert(r.getDecimal(3).toPlainString === "0.00")
+    assert(r.getDecimal(4).toPlainString === "12345678901.5000")
+    assert(r.getDecimal(5).toPlainString === "7")
+    // overflow: 9 digits of precision at scale 2 can't hold 1e8
+    intercept[Exception] { one("SELECT toDecimal32('100000000', 2)") }
+    assert(one("SELECT toDecimal32OrNull('100000000', 2)").isNullAt(0))
+  }
+
+  test("replace family: regexp all/one with CH backrefs, literal all/one") {
+    val r = one("""SELECT replaceRegexpAll('abc123def45', '[0-9]+', '#'),
+                   replaceRegexpAll('ab', '(a)(b)', '\\2\\1'),
+                   replaceRegexpOne('aaa', 'a', 'b'),
+                   replaceAll('a.a.a', '.', '-'),
+                   replaceOne('a.a.a', '.', '-'),
+                   replaceRegexpAll('x', 'x', '$'),
+                   replaceRegexpOne('Hello World', '(\\w+) (\\w+)', '\\2 \\1'),
+                   splitByString('->', 'a->b->c')""")
+    assert(r.getString(0) === "abc#def#")
+    assert(r.getString(1) === "ba")
+    assert(r.getString(2) === "baa")
+    assert(r.getString(3) === "a-a-a") // literal dot, not regex any-char
+    assert(r.getString(4) === "a-a.a")
+    assert(r.getString(5) === "$")
+    assert(r.getString(6) === "World Hello")
+    assert(r.getSeq[String](7) === Seq("a", "b", "c"))
+  }
+
+  test("mapAdd/mapSubtract merge keys and sum values") {
+    val r = one("""SELECT mapAdd(map('a', 1, 'b', 2), map('b', 3, 'c', 4)),
+                   mapSubtract(map('a', 1, 'b', 2), map('b', 3, 'c', 4)),
+                   mapAdd(map(1, 10), map(1, 5), map(2, 1))""")
+    assert(r.getMap[String, Int](0).toMap === Map("a" -> 1, "b" -> 5, "c" -> 4))
+    assert(r.getMap[String, Int](1).toMap === Map("a" -> 1, "b" -> -1, "c" -> -4))
+    assert(r.getMap[Int, Int](2).toMap === Map(1 -> 15, 2 -> 1))
+  }
+
+  test("firstSignificantSubdomain: generic second-level suffixes") {
+    val r = one("""SELECT firstSignificantSubdomain('https://news.yandex.com.tr/story'),
+                   firstSignificantSubdomain('http://kernel.org'),
+                   firstSignificantSubdomain('https://www.google.com/x?q=1'),
+                   firstSignificantSubdomain('a.b.co.uk'),
+                   firstSignificantSubdomain('localhost')""")
+    assert(r.getString(0) === "yandex")
+    assert(r.getString(1) === "kernel")
+    assert(r.getString(2) === "google")
+    assert(r.getString(3) === "b")
+    assert(r.getString(4) === "localhost")
+  }
+
+  test("formatReadableTimeDelta: units, separators, max_unit, sign") {
+    val r = one("""SELECT formatReadableTimeDelta(100000),
+                   formatReadableTimeDelta(60), formatReadableTimeDelta(0),
+                   formatReadableTimeDelta(100000, 'hours'),
+                   formatReadableTimeDelta(-61),
+                   formatReadableTimeDelta(31536000 + 2635200 + 61)""")
+    assert(r.getString(0) === "1 day, 3 hours, 46 minutes and 40 seconds")
+    assert(r.getString(1) === "1 minute")
+    assert(r.getString(2) === "0 seconds")
+    assert(r.getString(3) === "27 hours, 46 minutes and 40 seconds")
+    assert(r.getString(4) === "-1 minute and 1 second")
+    assert(r.getString(5) === "1 year, 1 month, 1 minute and 1 second")
   }
 }
