@@ -74,6 +74,38 @@ object BitmapAggregates {
   /** bitmapContains(state, x). */
   val bitmapContains: UserDefinedFunction =
     udf((bytes: Array[Byte], x: Long) => deserialize(bytes).contains(x))
+
+  /** bitmapHasAll(a, b) — B ⊆ A (reference FunctionsBitmap.h:1832;
+    * an empty B is a subset of anything, like the reference).
+    */
+  val bitmapHasAll: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) => {
+      val x = deserialize(b); x.andNot(deserialize(a)); x.isEmpty
+    })
+
+  /** bitmapHasAny(a, b) — A ∩ B ≠ ∅. */
+  val bitmapHasAny: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) => {
+      val x = deserialize(a); x.and(deserialize(b)); !x.isEmpty
+    })
+
+  /** subBitmap(state, offset, limit) — the elements at sorted POSITIONS
+    * [offset, offset+limit) as a new bitmap (reference
+    * FunctionsBitmap.h:713 — offset counts elements, not values).
+    */
+  val subBitmap: UserDefinedFunction =
+    udf((bytes: Array[Byte], offset: Long, limit: Long) => {
+      val bm = deserialize(bytes)
+      val out = new Roaring64NavigableMap()
+      val it = bm.getLongIterator
+      var i = 0L
+      while (it.hasNext && i < offset + limit) {
+        val v = it.next()
+        if (i >= offset) out.addLong(v)
+        i += 1
+      }
+      serialize(out)
+    })
 }
 
 /** SpaceSaving buffer: key→count map plus a count-ordered index

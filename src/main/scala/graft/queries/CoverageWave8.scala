@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{Num, QueryDef, Tables}
-import graft.operators.RowOrder
+import graft.aggregates.{BitmapAggregates => B}
+import graft.operators.{RowOrder, SessionAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-6 coverage wave: the scalar long tail from VERDICT r5 —
@@ -168,6 +169,117 @@ object CoverageWave8 {
           CAST(SUM(user_id % 7 - event_id % 3) AS BIGINT) AS x_sum,
           CAST(SUM(2) AS BIGINT) AS c_sum
         FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // sessionAnalysis (AggregateFunctionSessionAnalysis.h:135): the
+    // per-session (duration, depth, end_event, session_time) tuples
+    // over a 30-minute inactivity gap, one row per session. The oracle
+    // is the classic lag + cumulative-break sessionization with the
+    // same ≥-gap boundary and (ts, event) tiebreak for the end event.
+    QueryDef(
+      "session_analysis_tuples",
+      (s, dir) =>
+        SessionAnalysis.sessions(
+            Tables(s, dir, "events"),
+            col("user_id"), col("ts"), col("event_type"), 1800L * 1000000)
+          .orderBy(col("user_id"), col("session_time")),
+      Some("""
+        WITH b AS (
+          SELECT user_id, ts, event_type,
+            CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                 THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+        g AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_type
+            ROWS UNBOUNDED PRECEDING) AS sid
+          FROM b)
+        SELECT user_id, MIN(ts) AS session_time,
+          epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+          COUNT(*) AS depth,
+          substr(MAX(concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+            ':', event_type)), 22) AS end_event
+        FROM g GROUP BY user_id, sid
+        ORDER BY user_id, session_time""")),
+
+    // userDistributionMonthly (AggregateFunctionUserDistributionMonthly
+    // .h:37): the daily operator's slot grid generalized to calendar
+    // months — ARRIVE when the user acted in the month-slot, NEWONE when
+    // their first-ever activity (the derived registration) falls in the
+    // same slot. 36 months from 1995-01 over the orders table; customers
+    // whose first order predates the grid arrive but are never new,
+    // exactly the reference's convertTimeToIndex out-of-range behavior.
+    QueryDef(
+      "user_distribution_monthly",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_custkey").as("cust"),
+            trunc(col("o_orderdate"), "month").as("m"))
+          .distinct()
+        val reg = o.groupBy("cust").agg(min(col("m")).as("regm"))
+        o.join(reg, "cust")
+          .withColumn("slot",
+            months_between(col("m"), lit("1995-01-01").cast("date")).cast("int"))
+          .filter(col("slot").between(0, 35))
+          .withColumn("state",
+            lit(1) + when(col("m") === col("regm"), 2).otherwise(0))
+          .groupBy(col("slot"))
+          .agg(count(lit(1)).as("arrive_users"),
+            sum(when(col("state") === 3, 1L).otherwise(0L)).as("new_users"))
+          .orderBy(col("slot"))
+      },
+      Some("""
+        WITH o AS (SELECT DISTINCT o_custkey AS cust,
+            date_trunc('month', o_orderdate) AS m FROM orders),
+        reg AS (SELECT cust, MIN(m) AS regm FROM o GROUP BY cust),
+        slots AS (
+          SELECT o.cust, datediff('month', DATE '1995-01-01', o.m) AS slot,
+            CASE WHEN o.m = reg.regm THEN 3 ELSE 1 END AS state
+          FROM o JOIN reg ON o.cust = reg.cust
+          WHERE datediff('month', DATE '1995-01-01', o.m) BETWEEN 0 AND 35)
+        SELECT CAST(slot AS INT) AS slot,
+          COUNT(*) AS arrive_users,
+          CAST(SUM(CASE WHEN state = 3 THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+        FROM slots GROUP BY slot ORDER BY slot""")),
+
+    // bitmapHasAll / bitmapHasAny / subBitmap (reference
+    // FunctionsBitmap.h:1832,713): subset predicates + the
+    // position-sliced sub-bitmap over the Roaring64 user segments.
+    // The slice is by sorted element position (not value), so the
+    // oracle ranks click users by id and windows rows 11..35.
+    QueryDef(
+      "bitmap_subset_slice",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val click = ev.filter(col("event_type") === "click")
+          .agg(B.groupBitmap(col("user_id")).as("bm_click"))
+        val purchase = ev.filter(col("event_type") === "purchase")
+          .agg(B.groupBitmap(col("user_id")).as("bm_purchase"))
+        click.crossJoin(purchase).select(
+          B.bitmapHasAll(col("bm_click"), col("bm_purchase")).as("purchase_subset_click"),
+          B.bitmapHasAll(col("bm_purchase"), col("bm_click")).as("click_subset_purchase"),
+          B.bitmapHasAny(col("bm_click"), col("bm_purchase")).as("any_overlap"),
+          B.bitmapCardinality(
+            B.subBitmap(col("bm_click"), lit(10L), lit(25L))).as("slice_card"),
+          B.bitmapAndCardinality(
+            B.subBitmap(col("bm_click"), lit(10L), lit(25L)),
+            col("bm_purchase")).as("slice_purchasers"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT user_id,
+            MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+          FROM events GROUP BY user_id),
+        ck AS (
+          SELECT user_id, p, ROW_NUMBER() OVER (ORDER BY user_id) AS rn
+          FROM s WHERE c = 1)
+        SELECT
+          (SELECT COUNT(*) FROM s WHERE p = 1 AND c = 0) = 0 AS purchase_subset_click,
+          (SELECT COUNT(*) FROM s WHERE c = 1 AND p = 0) = 0 AS click_subset_purchase,
+          (SELECT COUNT(*) FROM s WHERE c = 1 AND p = 1) > 0 AS any_overlap,
+          (SELECT COUNT(*) FROM ck WHERE rn > 10 AND rn <= 35) AS slice_card,
+          (SELECT COUNT(*) FROM ck WHERE rn > 10 AND rn <= 35 AND p = 1) AS slice_purchasers""")),
 
     // runningAccumulate (reference runningAccumulate.cpp) as the
     // deterministic cumulative window over an explicit order: running
