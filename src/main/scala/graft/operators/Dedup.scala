@@ -194,6 +194,12 @@ object Dedup {
       labels = next
       converged = changed == 0L
       iter += 1
+      // Iteration count is the scale-sensitive variable (rounds ∝
+      // component diameter, not corpus size) — log it per round so a
+      // diameter blow-up at N× shows in the soak output, not just as
+      // unexplained wall-clock.
+      System.err.println(
+        s"[dedup-cc] round $iter: ${if (converged) "converged" else "labels changed"}")
     }
     edges.unpersist()
     labels

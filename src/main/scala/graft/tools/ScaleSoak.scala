@@ -41,7 +41,11 @@ object ScaleSoak {
     // iterative: connected components over the near-dup pair graph —
     // rounds are diameter-bound (unchanged at N×), per-round cost ∝
     // edges, so wall-clock must stay ~linear in corpus size.
-    "dedup_connected_components")
+    "dedup_connected_components",
+    // round 6: repeat-run funnel (per-user greedy scan, users are the
+    // axis) and the vector-distance spellings (fixed probe set, corpus
+    // side bounded by the equi-key join) — the r5 stragglers.
+    "funnel_by_times", "vector_distance_pairs")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
