@@ -281,6 +281,48 @@ object CoverageWave8 {
           (SELECT COUNT(*) FROM ck WHERE rn > 10 AND rn <= 35) AS slice_card,
           (SELECT COUNT(*) FROM ck WHERE rn > 10 AND rn <= 35 AND p = 1) AS slice_purchasers""")),
 
+    // Round-6 wave-7 spellings: tuple access, Monday/time-of-day date
+    // shorthands, token/split families, map series fill, and an AES
+    // encrypt→decrypt round-trip (the oracle sees the identity).
+    QueryDef(
+      "scalar_wave7_misc",
+      (s, dir) => {
+        Tables(s, dir, "nation").createOrReplaceTempView("nation")
+        s.sql("""
+          SELECT n_nationkey AS k,
+            tupleElement(tuple(n_name, n_regionkey), 1) AS t_name,
+            tupleElement(tuple(n_name, n_regionkey), 2) AS t_region,
+            toMonday(addDays(DATE '2024-01-01', n_nationkey * 3)) AS mon,
+            toTime(addHours(TIMESTAMP '2024-01-01 00:00:00', n_nationkey * 7)) AS tod,
+            array_join(alphaTokens(concat(n_name, '1', n_name)), '|') AS alpha,
+            array_join(ngrams(substr(n_name, 1, 4), 2), '|') AS grams,
+            array_join(splitByRegexp('[0-9]+', concat('x', CAST(n_nationkey AS STRING), 'y')), '|') AS splitre,
+            positionCaseInsensitiveUTF8(n_name, 'an') AS pos_an,
+            element_at(mapPopulateSeries(
+              map(1, CAST(n_nationkey AS INT), CAST(n_nationkey % 3 + 2 AS INT), 9)), 2) AS mps2,
+            decrypt('aes-128-ecb',
+              encrypt('aes-128-ecb', n_name, '1234567890123456'),
+              '1234567890123456') AS aes_roundtrip
+          FROM nation ORDER BY k""")
+      },
+      Some("""
+        SELECT n_nationkey AS k,
+          n_name AS t_name,
+          n_regionkey AS t_region,
+          date_trunc('week', DATE '2024-01-01' + to_days(n_nationkey * 3)) AS mon,
+          TIMESTAMP '1970-01-02 00:00:00'
+            + (TIMESTAMP '2024-01-01 00:00:00' + to_hours(n_nationkey * 7)
+               - date_trunc('day', TIMESTAMP '2024-01-01 00:00:00' + to_hours(n_nationkey * 7))) AS tod,
+          array_to_string(regexp_extract_all(concat(n_name, '1', n_name), '[a-zA-Z]+'), '|') AS alpha,
+          CASE WHEN length(substr(n_name, 1, 4)) < 2 THEN ''
+               ELSE array_to_string([substr(substr(n_name, 1, 4), i, 2)
+                 FOR i IN range(1, length(substr(n_name, 1, 4)))], '|') END AS grams,
+          array_to_string(string_split_regex(concat('x', CAST(n_nationkey AS VARCHAR), 'y'), '[0-9]+'), '|') AS splitre,
+          instr(lower(n_name), 'an') AS pos_an,
+          CASE WHEN n_nationkey % 3 + 2 = 2 THEN 9 ELSE 0 END AS mps2,
+          n_name AS aes_roundtrip
+        FROM nation ORDER BY k""")),
+
     // runningAccumulate (reference runningAccumulate.cpp) as the
     // deterministic cumulative window over an explicit order: running
     // yearly revenue per order priority. Exact decimal all the way so

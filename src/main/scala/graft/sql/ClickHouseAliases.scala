@@ -34,7 +34,7 @@ object ClickHouseAliases {
 
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
-      wave4 ++ wave5 ++ wave6
+      wave4 ++ wave5 ++ wave6 ++ wave7
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -1261,17 +1261,26 @@ object ClickHouseAliases {
     * lookup to the dominant generic second-level labels (com/co/org/…)
     * — exotic suffixes ("pvt.k12.ma.us") diverge, documented here.
     */
-  private def firstSignificantSubdomain(url: Expression): Expression = {
-    val genericSld = Seq("com", "co", "org", "net", "gov", "edu", "ac", "mil", "sch")
+  private val fsdGenericSld: Seq[String] =
+    Seq("com", "co", "org", "net", "gov", "edu", "ac", "mil", "sch")
+
+  /** Host of a URL, tolerating scheme-less inputs (ParseUrl returns null
+    * for those — fall back to a prefix regex).
+    */
+  private def fsdHost(url: Expression): Expression = {
     val parsed = new ParseUrl(Seq(url, Literal("HOST")))
     val bare = RegExpExtract(url, Literal("^(?:[a-zA-Z0-9.+-]*:)?(?://)?(?:[^/@?#]*@)?([^/:?#]+)"), Literal(1))
-    val host = If(IsNull(parsed), bare, parsed)
+    If(IsNull(parsed), bare, parsed)
+  }
+
+  private def firstSignificantSubdomain(url: Expression): Expression = {
+    val host = fsdHost(url)
     val parts = StringSplit(host, Literal("\\."), Literal(-1))
     val n = Size(parts)
     val lookupLabel = ElementAt(parts, Literal(-2))
     If(LessThanOrEqual(n, Literal(1)), host,
       If(And(GreaterThanOrEqual(n, Literal(3)),
-        In(lookupLabel, genericSld.map(Literal(_)))),
+        In(lookupLabel, fsdGenericSld.map(Literal(_)))),
         ElementAt(parts, Literal(-3)),
         ElementAt(parts, Literal(-2))))
   }
@@ -1312,6 +1321,125 @@ object ClickHouseAliases {
       "firstSignificantSubdomain" -> (cs => firstSignificantSubdomain(cs.head)),
       "formatReadableTimeDelta" -> readableTimeDelta _
     )
+  }
+
+  /** Round-6 second wave, ranked by reference stateless-test frequency:
+    * tuple construction/access, fixed-string and nullability casts,
+    * date shorthands, map series fill, AES encrypt/decrypt, the
+    * remaining split/token spellings, and
+    * cutToFirstSignificantSubdomain.
+    */
+  private def wave7: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // tuple(a, b, …) → struct with Spark's positional col1… names;
+    // tupleElement addresses those by CH's 1-based index (any struct —
+    // GetStructField by ordinal) or by field name.
+    "tuple" -> (cs => CreateStruct(cs)),
+    "tupleElement" -> (cs => cs(1) match {
+      case Literal(i, IntegerType) => GetStructField(cs.head, i.asInstanceOf[Int] - 1)
+      case Literal(s, StringType) if s != null => UnresolvedExtractValue(cs.head, cs(1))
+      case other => throw new IllegalArgumentException(
+        s"tupleElement: index must be an int or string literal, got $other")
+    }),
+    // toFixedString(s, n): NUL-pad to n, error when longer — the
+    // reference throws "String too long for type FixedString(N)".
+    "toFixedString" -> (cs => {
+      val n = cs(1) match {
+        case Literal(v, _) if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"toFixedString: length must be an integer literal, got $other")
+      }
+      If(GreaterThan(Length(cs.head), Literal(n)),
+        new RaiseError(Literal(s"String too long for type FixedString($n)")),
+        StringRPad(cs.head, Literal(n), Literal("\u0000")))
+    }),
+    "toNullable" -> (cs => cs.head), // every Spark column is nullable
+    "today" -> (_ => CurrentDate(None)),
+    "toMonday" -> (cs => TruncDate(Cast(cs.head, DateType), Literal("week"))),
+    // toTime: the time-of-day moved onto the reference's fixed date
+    // 1970-01-02 (toTime.cpp via TimeTransforms).
+    "toTime" -> (cs => Cast(
+      Concat(Seq(Literal("1970-01-02 "),
+        DateFormatClass(Cast(cs.head, TimestampType), Literal("HH:mm:ss")))),
+      TimestampType)),
+    // mapPopulateSeries(m[, max]): integer-keyed map densified over
+    // [min(keys), max(keys) | max] with 0 for absent keys
+    // (mapPopulateSeries.cpp).
+    "mapPopulateSeries" -> (cs => {
+      val keys = MapKeys(cs.head)
+      val hi = if (cs.size > 1) cs(1) else ArrayMax(keys)
+      MapFromEntries(ArrayTransform(
+        new Sequence(ArrayMin(keys), hi, None),
+        LambdaFunction(
+          CreateStruct(Seq(lv("k"),
+            Coalesce(Seq(ElementAt(cs.head, lv("k")), Literal(0))))),
+          Seq(lv("k")))))
+    }),
+    // encrypt/decrypt('aes-<len>-<mode>', data, key[, iv]) lowered onto
+    // Spark's AES expressions; CH's default PKCS7 padding = Spark
+    // DEFAULT (PKCS for ECB/CBC, NONE for GCM).
+    "encrypt" -> (cs => aesCall(cs, decrypt = false)),
+    "decrypt" -> (cs => Cast(aesCall(cs, decrypt = true), StringType)),
+    // split/token spellings (FunctionsStringArray.h): regexp split and
+    // alphabetic-run tokens; character n-grams via a substring ladder.
+    "splitByRegexp" -> (cs => StringSplit(cs(1), cs.head, Literal(-1))),
+    "alphaTokens" -> (cs => RegExpExtractAll(cs.head, Literal("[a-zA-Z]+"), Literal(0))),
+    "ngrams" -> (cs => {
+      val n = cs(1) match {
+        case Literal(v, _) if v != null => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"ngrams: n must be an integer literal, got $other")
+      }
+      If(LessThan(Length(cs.head), Literal(n)),
+        Literal.create(Array.empty[String], ArrayType(StringType)),
+        ArrayTransform(
+          new Sequence(Literal(1), Subtract(Length(cs.head), Literal(n - 1)), None),
+          LambdaFunction(Substring(cs.head, Cast(lv("i"), IntegerType), Literal(n)),
+            Seq(lv("i")))))
+    }),
+    "positionCaseInsensitiveUTF8" -> (cs => StringInstr(Lower(cs.head), Lower(cs(1)))),
+    // cutToFirstSignificantSubdomain: the host truncated to start at the
+    // first significant subdomain ("news.yandex.com.tr" →
+    // "yandex.com.tr"), same lookup approximation as
+    // firstSignificantSubdomain.
+    "cutToFirstSignificantSubdomain" -> (cs => {
+      val host = fsdHost(cs.head)
+      val parts = StringSplit(host, Literal("\\."), Literal(-1))
+      val n = Size(parts)
+      val lookupHit = And(GreaterThanOrEqual(n, Literal(3)),
+        In(ElementAt(parts, Literal(-2)), fsdGenericSld.map(Literal(_))))
+      If(LessThanOrEqual(n, Literal(1)), host,
+        If(lookupHit,
+          ArrayJoin(Slice(parts, Subtract(n, Literal(2)), Literal(3)), Literal("."), None),
+          ArrayJoin(Slice(parts, Subtract(n, Literal(1)), Literal(2)), Literal("."), None)))
+    })
+  )
+
+  /** CH mode string ('aes-128-ecb' …) → Spark AesEncrypt/AesDecrypt. */
+  private def aesCall(cs: Seq[Expression], decrypt: Boolean): Expression = {
+    val mode = cs.head match {
+      case Literal(m, StringType) if m != null =>
+        val parts = m.toString.toLowerCase.split("-")
+        require(parts.length == 3 && parts(0) == "aes" &&
+          Set("ecb", "cbc", "gcm")(parts(2)),
+          s"encrypt/decrypt: unsupported mode ${m.toString} (aes-<len>-<ecb|cbc|gcm>)")
+        parts(2).toUpperCase
+      case other => throw new IllegalArgumentException(
+        s"encrypt/decrypt: mode must be a string literal, got $other")
+    }
+    val data = Cast(cs(1), BinaryType)
+    val key = Cast(cs(2), BinaryType)
+    // Spark's defaults are EMPTY binaries (null would propagate to a
+    // null result through the null-intolerant expression).
+    val empty = Literal(Array.empty[Byte], BinaryType)
+    val iv = if (cs.size > 3) Cast(cs(3), BinaryType) else empty
+    // Spark's AES format PREPENDS the iv to CBC/GCM ciphertext, so
+    // decrypt takes no iv argument — an explicit iv on decrypt (CH
+    // style, for externally produced ciphertext) is unsupported.
+    require(decrypt == false || cs.size <= 3,
+      "decrypt: explicit iv unsupported — Spark ciphertext embeds the iv")
+    val aad = empty
+    if (decrypt) AesDecrypt(data, key, Literal(mode), Literal("DEFAULT"), aad)
+    else AesEncrypt(data, key, Literal(mode), Literal("DEFAULT"), iv, aad)
   }
 
   /** Register every alias into the session's function registry. */

@@ -761,4 +761,56 @@ class DialectSpec extends SparkSpec {
     assert(r.getString(4) === "-1 minute and 1 second")
     assert(r.getString(5) === "1 year, 1 month, 1 minute and 1 second")
   }
+
+  test("tuple/tupleElement, fixed string, nullable, date shorthands") {
+    val r = one("""SELECT
+        tupleElement(tuple('a', 7), 2),
+        tupleElement(tuple('a', 7), 1),
+        tupleElement(named_struct('x', 3, 'y', 4), 'y'),
+        toFixedString('ab', 5),
+        toNullable(42),
+        toMonday(DATE '2024-03-14'),
+        toTime(TIMESTAMP '2024-03-14 13:45:56')""")
+    assert(r.getInt(0) === 7)
+    assert(r.getString(1) === "a")
+    assert(r.getInt(2) === 4)
+    assert(r.getString(3) === "ab\u0000\u0000\u0000") // NUL-padded like FixedString
+    assert(r.getInt(4) === 42)
+    assert(r.getDate(5).toString === "2024-03-11")
+    assert(r.getTimestamp(6).toString === "1970-01-02 13:45:56.0")
+    intercept[Exception] { one("SELECT toFixedString('toolong', 3)") }
+  }
+
+  test("mapPopulateSeries fills integer key gaps with zeros") {
+    val r = one("""SELECT mapPopulateSeries(map(1, 10, 4, 40)),
+                   mapPopulateSeries(map(1, 10, 3, 30), 5)""")
+    assert(r.getMap[Int, Int](0).toMap === Map(1 -> 10, 2 -> 0, 3 -> 0, 4 -> 40))
+    assert(r.getMap[Int, Int](1).toMap === Map(1 -> 10, 2 -> 0, 3 -> 30, 4 -> 0, 5 -> 0))
+  }
+
+  test("encrypt/decrypt round-trip through Spark AES") {
+    val r = one("""SELECT
+        decrypt('aes-128-ecb', encrypt('aes-128-ecb', 'secret', '1234567890123456'), '1234567890123456'),
+        decrypt('aes-256-gcm', encrypt('aes-256-gcm', 'topsecret', '12345678901234567890123456789012'), '12345678901234567890123456789012')""")
+    assert(r.getString(0) === "secret")
+    assert(r.getString(1) === "topsecret")
+  }
+
+  test("splitByRegexp, alphaTokens, ngrams, cutToFirstSignificantSubdomain") {
+    val r = one("""SELECT
+        splitByRegexp('[0-9]+', 'a12b3c'),
+        alphaTokens('abc1def2ghi'),
+        ngrams('abcd', 2),
+        ngrams('ab', 3),
+        positionCaseInsensitiveUTF8('Hello World', 'world'),
+        cutToFirstSignificantSubdomain('https://news.yandex.com.tr/story'),
+        cutToFirstSignificantSubdomain('http://www.kernel.org/x')""")
+    assert(r.getSeq[String](0) === Seq("a", "b", "c"))
+    assert(r.getSeq[String](1) === Seq("abc", "def", "ghi"))
+    assert(r.getSeq[String](2) === Seq("ab", "bc", "cd"))
+    assert(r.getSeq[String](3) === Seq.empty)
+    assert(r.getInt(4) === 7)
+    assert(r.getString(5) === "yandex.com.tr")
+    assert(r.getString(6) === "kernel.org")
+  }
 }
