@@ -186,6 +186,35 @@ object SketchesAndStreams {
         GROUP BY user_id, session_id
         ORDER BY user_id, session_start_us""")),
 
+    // Streaming sessionAnalysis: the batch operator's per-session
+    // (duration, depth, end event, session time) tuples computed by the
+    // watermarked session_window state store — must match the batch
+    // lag+cumulative-break oracle exactly (same gap − 1 µs boundary).
+    QueryDef(
+      "stream_session_tuples",
+      (s, dir) =>
+        StreamingPipeline.sessionTuples(s, dir, s"stream_sess_tup_${System.nanoTime()}")
+          .orderBy(col("user_id"), col("session_time_us")),
+      Some("""
+        WITH b AS (
+          SELECT user_id, ts, event_type,
+            CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                 THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+        g AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_type
+            ROWS UNBOUNDED PRECEDING) AS sid
+          FROM b)
+        SELECT user_id, epoch_us(MIN(ts)) AS session_time_us,
+          epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+          COUNT(*) AS depth,
+          substr(MAX(concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+            ':', event_type)), 22) AS end_event
+        FROM g GROUP BY user_id, sid
+        ORDER BY user_id, session_time_us""")),
+
     // sumMap: per-user map of event_type → summed value (Map-combinator
     // family). Map scalar functions probe the result; oracle = equivalent
     // conditional aggregation.

@@ -1397,6 +1397,36 @@ object ClickHouseAliases {
             Seq(lv("i")))))
     }),
     "positionCaseInsensitiveUTF8" -> (cs => StringInstr(Lower(cs.head), Lower(cs(1)))),
+    // Relative period numbers (reference DateLUTImpl.h:705,936,943):
+    // absolute counts from a fixed origin — weeks are Monday-aligned
+    // ((dayNum + 8 − isoDow)/7), months are year·12 + month, quarters
+    // year·4 + ⌊(month−1)/3⌋, years the year itself.
+    "toRelativeWeekNum" -> (cs => {
+      val d = Cast(cs.head, DateType)
+      val dayNum = DateDiff(d, Cast(Literal("1970-01-01"), DateType))
+      Cast(IntegralDivide(Add(dayNum, Subtract(Literal(7), WeekDay(d))),
+        Literal(7), evalMode = EvalMode.LEGACY), IntegerType)
+    }),
+    "toRelativeMonthNum" -> (cs =>
+      Add(Multiply(Year(cs.head), Literal(12)), Month(cs.head))),
+    "toRelativeQuarterNum" -> (cs =>
+      Add(Multiply(Year(cs.head), Literal(4)),
+        Cast(IntegralDivide(Subtract(Month(cs.head), Literal(1)), Literal(3),
+          evalMode = EvalMode.LEGACY), IntegerType))),
+    "toRelativeYearNum" -> (cs => Year(cs.head)),
+    // ISO week-year: the year of the week's Thursday (DateLUTImpl
+    // toISOYear — "year that contains most of the current week").
+    "toISOYear" -> (cs => {
+      val d = Cast(cs.head, DateType)
+      Year(DateAdd(d, Subtract(Literal(3), WeekDay(d))))
+    }),
+    // First day of the ISO year = Monday of the week containing Jan 4.
+    "toStartOfISOYear" -> (cs => {
+      val d = Cast(cs.head, DateType)
+      val isoYear = Year(DateAdd(d, Subtract(Literal(3), WeekDay(d))))
+      TruncDate(MakeDate(isoYear, Literal(1), Literal(4)), Literal("week"))
+    }),
+    "toStartOfSecond" -> (cs => TruncTimestamp(Literal("second"), cs.head)),
     // cutToFirstSignificantSubdomain: the host truncated to start at the
     // first significant subdomain ("news.yandex.com.tr" →
     // "yandex.com.tr"), same lookup approximation as

@@ -84,6 +84,47 @@ object StreamingPipeline {
     spark.table(queryName)
   }
 
+  /** Streaming sessionAnalysis (reference
+    * AggregateFunctionSessionAnalysis.h:135 in incremental form): the
+    * per-session (duration, depth, end event, session time) tuples as a
+    * watermarked session_window aggregation — the state store merges
+    * overlapping session fragments across micro-batches and the
+    * watermark bounds state exactly like the batch operator's gap
+    * bounds sessions. Gap is 30 min − 1 µs for the reference's ≥-gap
+    * break (see graft.operators.SessionAnalysis).
+    */
+  def sessionTuples(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    var stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (batchSchema("ts").dataType == LongType)
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "1799999999 microseconds").as("w"),
+        col("user_id"))
+      .agg(
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"),
+        count(lit(1)).as("depth"),
+        max_by(col("event_type"), struct(col("ts"), col("event_type")))
+          .as("end_event"),
+        unix_micros(min(col("ts"))).as("session_time_us"))
+      .select(col("user_id"), col("session_time_us"), col("duration_us"),
+        col("depth"), col("end_event"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** MV-push analogue (reference: every INSERT block is pushed through
     * each dependent view's SELECT,
     * /root/reference/src/DataStreams/PushingToViewsBlockOutputStream.cpp,

@@ -813,4 +813,31 @@ class DialectSpec extends SparkSpec {
     assert(r.getString(5) === "yandex.com.tr")
     assert(r.getString(6) === "kernel.org")
   }
+
+  test("relative period numbers and ISO year boundaries") {
+    val r = one("""SELECT
+        toRelativeWeekNum(DATE '1970-01-01'),
+        toRelativeWeekNum(DATE '1970-01-05'),
+        toRelativeWeekNum(DATE '2024-03-14') - toRelativeWeekNum(DATE '2024-03-07'),
+        toRelativeMonthNum(DATE '2024-03-14'),
+        toRelativeQuarterNum(DATE '2024-12-31'),
+        toRelativeYearNum(DATE '2024-06-01'),
+        toISOYear(DATE '2021-01-01'),
+        toISOYear(DATE '2021-01-04'),
+        toISOYear(DATE '2019-12-30'),
+        toStartOfISOYear(DATE '2021-06-15'),
+        toStartOfSecond(TIMESTAMP '2024-01-01 01:02:03.456')""")
+    // 1970-01-01 was a Thursday: week 0; the following Monday starts week 1
+    assert(r.getInt(0) === 0)
+    assert(r.getInt(1) === 1)
+    assert(r.getInt(2) === 1)
+    assert(r.getInt(3) === 2024 * 12 + 3)
+    assert(r.getInt(4) === 2024 * 4 + 3)
+    assert(r.getInt(5) === 2024)
+    assert(r.getInt(6) === 2020) // Jan 1 2021 (Fri) belongs to ISO 2020
+    assert(r.getInt(7) === 2021)
+    assert(r.getInt(8) === 2020) // Dec 30 2019 (Mon) starts ISO week 1 of 2020
+    assert(r.getDate(9).toString === "2021-01-04")
+    assert(r.getTimestamp(10).toString === "2024-01-01 01:02:03.0")
+  }
 }
