@@ -242,6 +242,45 @@ object CoverageWave8 {
           CAST(SUM(CASE WHEN state = 3 THEN 1 ELSE 0 END) AS BIGINT) AS new_users
         FROM slots GROUP BY slot ORDER BY slot""")),
 
+    // finderGroupFunnelByTimes (reference
+    // AggregateFunctionFinderGroupFunnelByTimes.h:769): repeat-run
+    // funnel counts split by an event-property group — the same
+    // composition as finder_group_funnel (chain-start events keep their
+    // property bucket, continuations replicate to every bucket) over
+    // the ByTimes greedy consume-and-restart aggregate. No SQL oracle
+    // exists for the greedy semantics → rows-only; the underlying
+    // aggregate's hand-traced reference cases gate the algorithm.
+    QueryDef(
+      "finder_group_funnel_by_times",
+      (s, dir) => {
+        import graft.aggregates.FinderFunnelByTimesAgg.finderFunnelByTimes
+        val dayUs = 86400L * 1000000
+        val startUs = 1704067200L * 1000000 // 2024-01-01 UTC
+        val f = finderFunnelByTimes(startUs, dayUs, 30, 12L * 3600 * 1000000, 3) _
+        val ev = Tables(s, dir, "events")
+          .withColumn("step",
+            when(col("event_type") === "signup", 1)
+              .when(col("event_type") === "click", 2)
+              .when(col("event_type") === "purchase", 3).otherwise(0))
+          .filter(col("step") > 0)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        val grpOf = when(col("k") < 33, "low")
+          .when(col("k") < 67, "mid").otherwise("high")
+        val expanded = ev.withColumn("grp",
+          explode(when(col("step") === 1, array(grpOf))
+            .otherwise(array(lit("low"), lit("mid"), lit("high")))))
+        expanded.groupBy(col("user_id"), col("grp"))
+          .agg(f(unix_micros(col("ts")), col("step")).as("counts"))
+          .select(col("grp"), posexplode(col("counts")).as(Seq("idx", "runs")))
+          .groupBy(col("idx"), col("grp")).agg(sum(col("runs")).as("runs"))
+          .select(((col("idx") / 3).cast("int") - 1).as("slot"),
+            (col("idx") % 3 + 1).cast("int").as("level"),
+            col("grp"), col("runs"))
+          .filter(col("runs") > 0)
+          .orderBy(col("slot"), col("level"), col("grp"))
+      },
+      None),
+
     // bitmapHasAll / bitmapHasAny / subBitmap (reference
     // FunctionsBitmap.h:1832,713): subset predicates + the
     // position-sliced sub-bitmap over the Roaring64 user segments.
