@@ -94,4 +94,16 @@ class GoldenPlanSpec extends SparkSpec {
       "tpcds_net_after_returns").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
+
+  // Round-6 additions: sessionAnalysis must stay one scan + one
+  // session-window aggregate (no per-user sort/collect), the decimal
+  // conversion query one hash aggregate, runningAccumulate one
+  // aggregate + one window, and the two new TPC-DS shapes keep their
+  // two-window-specs / join-of-six-aggregates forms with broadcast
+  // grouped sides.
+  Seq("session_analysis_tuples", "scalar_decimal_casts",
+      "running_accumulate_revenue", "tpcds_monthly_dev_neighbors",
+      "tpcds_channel_share_growth").foreach { q =>
+    test(s"$q optimized plan matches golden snapshot") { check(q) }
+  }
 }
