@@ -242,6 +242,38 @@ object CoverageWave8 {
           CAST(SUM(CASE WHEN state = 3 THEN 1 ELSE 0 END) AS BIGINT) AS new_users
         FROM slots GROUP BY slot ORDER BY slot""")),
 
+    // multiSearch family over the documents corpus (reference
+    // MultiSearchImpl.h): any-needle flag, leftmost match position and
+    // the 1-based index of the leftmost-matching needle, aggregated per
+    // language. The oracle derives the same three from per-needle instr.
+    QueryDef(
+      "text_multisearch",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql("""
+          SELECT lang,
+            CAST(SUM(IF(multiSearchAny(text, array('table', 'spark', 'window')), 1, 0)) AS BIGINT) AS any_hits,
+            CAST(SUM(multiSearchFirstPosition(text, array('table', 'spark', 'window'))) AS BIGINT) AS pos_sum,
+            CAST(SUM(multiSearchFirstIndex(text, array('table', 'spark', 'window'))) AS BIGINT) AS idx_sum
+          FROM documents GROUP BY lang ORDER BY lang""")
+      },
+      Some("""
+        WITH p AS (
+          SELECT lang,
+            instr(text, 'table') AS p1, instr(text, 'spark') AS p2,
+            instr(text, 'window') AS p3
+          FROM documents),
+        m AS (
+          SELECT lang, p1, p2, p3,
+            COALESCE(LEAST(NULLIF(p1, 0), NULLIF(p2, 0), NULLIF(p3, 0)), 0) AS pos
+          FROM p)
+        SELECT lang,
+          CAST(SUM(CASE WHEN pos > 0 THEN 1 ELSE 0 END) AS BIGINT) AS any_hits,
+          CAST(SUM(pos) AS BIGINT) AS pos_sum,
+          CAST(SUM(CASE WHEN pos = 0 THEN 0 WHEN p1 = pos THEN 1
+                        WHEN p2 = pos THEN 2 ELSE 3 END) AS BIGINT) AS idx_sum
+        FROM m GROUP BY lang ORDER BY lang""")),
+
     // finderGroupFunnelByTimes (reference
     // AggregateFunctionFinderGroupFunnelByTimes.h:769): repeat-run
     // funnel counts split by an event-property group — the same

@@ -34,7 +34,7 @@ object ClickHouseAliases {
 
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
-      wave4 ++ wave5 ++ wave6 ++ wave7
+      wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -1442,6 +1442,111 @@ object ClickHouseAliases {
           ArrayJoin(Slice(parts, Subtract(n, Literal(2)), Literal(3)), Literal("."), None),
           ArrayJoin(Slice(parts, Subtract(n, Literal(1)), Literal(2)), Literal("."), None)))
     })
+  )
+
+  /** Per-needle 1-based match positions (0 = absent), optionally
+    * case-folded — the shared kernel of the multiSearch* family
+    * (reference src/Functions/MultiSearchImpl.h; the reference's
+    * Volnitsky multi-pattern automaton is a single-node optimization —
+    * the distributed cost is the scan either way, so per-needle instr
+    * inside codegen is the Spark-first shape).
+    */
+  private def msPositions(s: Expression, needles: Expression, ci: Boolean): Expression = {
+    def norm(e: Expression) = if (ci) Lower(e) else e
+    ArrayTransform(needles,
+      LambdaFunction(StringInstr(norm(s), norm(lv("n"))), Seq(lv("n"))))
+  }
+
+  private def msFirstPosition(cs: Seq[Expression], ci: Boolean): Expression = {
+    val hits = ArrayFilter(msPositions(cs.head, cs(1), ci),
+      LambdaFunction(GreaterThan(lv("p"), Literal(0)), Seq(lv("p"))))
+    If(EqualTo(Size(hits), Literal(0)), Literal(0), ArrayMin(hits))
+  }
+
+  /** 1-based index of the needle with the LEFTMOST occurrence (ties →
+    * earliest needle), 0 when none match — struct-min over (pos, idx).
+    */
+  private def msFirstIndex(cs: Seq[Expression], ci: Boolean): Expression = {
+    val pos = msPositions(cs.head, cs(1), ci)
+    val zipped = ZipWith(pos, new Sequence(Literal(1), Size(pos), None),
+      LambdaFunction(CreateStruct(Seq(lv("p"), lv("i"))), Seq(lv("p"), lv("i"))))
+    val hits = ArrayFilter(zipped, LambdaFunction(
+      GreaterThan(UnresolvedExtractValue(lv("x"), Literal("p")), Literal(0)),
+      Seq(lv("x"))))
+    If(EqualTo(Size(hits), Literal(0)), Literal(0),
+      UnresolvedExtractValue(ArrayMin(hits), Literal("i")))
+  }
+
+  /** Round-6 third wave: the multiSearch family, UTF8/case-insensitive
+    * string spellings, engine-compat shims (materialize/identity/
+    * ignore — const-column machinery that is meaningless on Spark but
+    * appears throughout reference queries), DateTime64 epoch
+    * conversions, and the two-argument min2/max2.
+    */
+  private def wave8: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "materialize" -> (cs => cs.head), // const→full column: identity here
+    "identity" -> (cs => cs.head),
+    "toLowCardinality" -> (cs => cs.head), // LowCardinality is storage-side
+    "ignore" -> (_ => Literal(0)),
+    "currentDatabase" -> (_ => CurrentDatabase()),
+    "generateUUIDv4" -> (_ => new Uuid()),
+    "now64" -> (_ => CurrentTimestamp()), // micros precision (scale arg ignored)
+    "toBool" -> (cs => Cast(cs.head, BooleanType)),
+    "lowerUTF8" -> (cs => Lower(cs.head)),
+    "upperUTF8" -> (cs => Upper(cs.head)),
+    "countSubstringsCaseInsensitive" -> (cs =>
+      Cast(IntegralDivide(
+        Subtract(Length(cs.head),
+          Length(StringReplace(Lower(cs.head), Lower(cs(1)), Literal("")))),
+        Length(cs(1)), evalMode = EvalMode.LEGACY), IntegerType)),
+    "countSubstringsCaseInsensitiveUTF8" -> (cs =>
+      Cast(IntegralDivide(
+        Subtract(Length(cs.head),
+          Length(StringReplace(Lower(cs.head), Lower(cs(1)), Literal("")))),
+        Length(cs(1)), evalMode = EvalMode.LEGACY), IntegerType)),
+    "multiSearchAllPositions" -> (cs => msPositions(cs.head, cs(1), ci = false)),
+    "multiSearchAny" -> (cs => ArrayExists(
+      msPositions(cs.head, cs(1), ci = false),
+      LambdaFunction(GreaterThan(lv("p"), Literal(0)), Seq(lv("p"))))),
+    "multiSearchAnyCaseInsensitive" -> (cs => ArrayExists(
+      msPositions(cs.head, cs(1), ci = true),
+      LambdaFunction(GreaterThan(lv("p"), Literal(0)), Seq(lv("p"))))),
+    "multiSearchAnyUTF8" -> (cs => ArrayExists(
+      msPositions(cs.head, cs(1), ci = false),
+      LambdaFunction(GreaterThan(lv("p"), Literal(0)), Seq(lv("p"))))),
+    "multiSearchAnyCaseInsensitiveUTF8" -> (cs => ArrayExists(
+      msPositions(cs.head, cs(1), ci = true),
+      LambdaFunction(GreaterThan(lv("p"), Literal(0)), Seq(lv("p"))))),
+    "multiSearchFirstPosition" -> (cs => msFirstPosition(cs, ci = false)),
+    "multiSearchFirstPositionCaseInsensitive" -> (cs => msFirstPosition(cs, ci = true)),
+    "multiSearchFirstPositionUTF8" -> (cs => msFirstPosition(cs, ci = false)),
+    "multiSearchFirstPositionCaseInsensitiveUTF8" -> (cs => msFirstPosition(cs, ci = true)),
+    "multiSearchFirstIndex" -> (cs => msFirstIndex(cs, ci = false)),
+    "multiSearchFirstIndexCaseInsensitive" -> (cs => msFirstIndex(cs, ci = true)),
+    "multiSearchFirstIndexUTF8" -> (cs => msFirstIndex(cs, ci = false)),
+    "multiSearchFirstIndexCaseInsensitiveUTF8" -> (cs => msFirstIndex(cs, ci = true)),
+    // mapFilter(lambda, map): CH lambda-first order onto Spark's HOF
+    "mapFilter" -> (cs => MapFilter(cs(1), cs.head)),
+    "min2" -> (cs => Least(Seq(dbl(cs.head), dbl(cs(1))))),
+    "max2" -> (cs => Greatest(Seq(dbl(cs.head), dbl(cs(1))))),
+    // toTimezone(ts, tz): the same instant re-rendered in tz — Spark
+    // timestamps are zone-less instants, so this shifts the wall-clock
+    // fields from the session zone to the target (display parity).
+    "toTimezone" -> (cs => ConvertTimezone(CurrentTimeZone(), cs(1), cs.head)),
+    // DateTime64 ↔ epoch integer conversions (reference
+    // FunctionsConversion toUnixTimestamp64Milli/…): micros-precision
+    // timestamps, nanos emitted as micros·1000.
+    "toUnixTimestamp64Milli" -> (cs =>
+      Cast(IntegralDivide(UnixMicros(Cast(cs.head, TimestampType)),
+        Literal(1000L), evalMode = EvalMode.LEGACY), LongType)),
+    "toUnixTimestamp64Micro" -> (cs => UnixMicros(Cast(cs.head, TimestampType))),
+    "toUnixTimestamp64Nano" -> (cs =>
+      Multiply(UnixMicros(Cast(cs.head, TimestampType)), Literal(1000L))),
+    "fromUnixTimestamp64Milli" -> (cs => MillisToTimestamp(Cast(cs.head, LongType))),
+    "fromUnixTimestamp64Micro" -> (cs => MicrosToTimestamp(Cast(cs.head, LongType))),
+    "fromUnixTimestamp64Nano" -> (cs => MicrosToTimestamp(
+      Cast(IntegralDivide(Cast(cs.head, LongType), Literal(1000L),
+        evalMode = EvalMode.LEGACY), LongType)))
   )
 
   /** CH mode string ('aes-128-ecb' …) → Spark AesEncrypt/AesDecrypt. */

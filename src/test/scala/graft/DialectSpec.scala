@@ -840,4 +840,57 @@ class DialectSpec extends SparkSpec {
     assert(r.getDate(9).toString === "2021-01-04")
     assert(r.getTimestamp(10).toString === "2024-01-01 01:02:03.0")
   }
+
+  test("multiSearch family: any, positions, first position/index, case folds") {
+    val r = one("""SELECT
+        multiSearchAny('hello world', array('xyz', 'wor')),
+        multiSearchAny('hello world', array('xyz', 'abc')),
+        multiSearchAnyCaseInsensitive('Hello World', array('WORLD')),
+        multiSearchAllPositions('hello world', array('l', 'world', 'zz')),
+        multiSearchFirstPosition('hello world', array('world', 'llo')),
+        multiSearchFirstPosition('hello world', array('zz')),
+        multiSearchFirstIndex('hello world', array('world', 'llo')),
+        multiSearchFirstIndexCaseInsensitive('Hello', array('nope', 'HELL')),
+        multiSearchFirstIndex('abc', array('x', 'y'))""")
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === false)
+    assert(r.getBoolean(2) === true)
+    assert(r.getSeq[Int](3) === Seq(3, 7, 0))
+    assert(r.getInt(4) === 3) // 'llo' at 3 beats 'world' at 7
+    assert(r.getInt(5) === 0)
+    assert(r.getInt(6) === 2) // needle 2 ('llo') has the leftmost match
+    assert(r.getInt(7) === 2)
+    assert(r.getInt(8) === 0)
+  }
+
+  test("engine shims, UTF8 case folds, timestamp64 conversions, min2/max2") {
+    val r = one("""SELECT
+        materialize(7), identity('x'), toLowCardinality('v'), ignore(123),
+        lowerUTF8('ÄBC'), upperUTF8('äbc'),
+        countSubstringsCaseInsensitive('aBAba', 'ba'),
+        mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)),
+        min2(3, 5), max2(3, 5),
+        toBool(1),
+        toUnixTimestamp64Milli(TIMESTAMP '2024-01-01 00:00:00.123456'),
+        toUnixTimestamp64Micro(TIMESTAMP '2024-01-01 00:00:00.123456'),
+        fromUnixTimestamp64Milli(1704067200123),
+        fromUnixTimestamp64Micro(1704067200123456),
+        fromUnixTimestamp64Nano(1704067200123456789)""")
+    assert(r.getInt(0) === 7)
+    assert(r.getString(1) === "x")
+    assert(r.getString(2) === "v")
+    assert(r.getInt(3) === 0)
+    assert(r.getString(4) === "äbc")
+    assert(r.getString(5) === "ÄBC")
+    assert(r.getInt(6) === 2)
+    assert(r.getMap[String, Int](7).toMap === Map("b" -> 2))
+    assert(r.getDouble(8) === 3.0)
+    assert(r.getDouble(9) === 5.0)
+    assert(r.getBoolean(10) === true)
+    assert(r.getLong(11) === 1704067200123L)
+    assert(r.getLong(12) === 1704067200123456L)
+    assert(r.getTimestamp(13).toString === "2024-01-01 00:00:00.123")
+    assert(r.getTimestamp(14).toString === "2024-01-01 00:00:00.123456")
+    assert(r.getTimestamp(15).toString === "2024-01-01 00:00:00.123456")
+  }
 }
