@@ -124,10 +124,109 @@ case class InterpolatedWeightedQuantileAgg(
   override def prettyName: String = "quantile_interpolated_weighted"
 }
 
+/** quantileBFloat16 / quantileBFloat16Weighted (reference
+  * QuantileBFloat16Histogram.h): each value truncated to bfloat16 (the
+  * top 16 bits of its float32 form), weights histogrammed per truncated
+  * value, and the result is the first value whose cumulative weight
+  * reaches ⌈level · Σw⌉ — a discrete threshold, not interpolation. The
+  * buffer is at most 2^16 entries regardless of input size, so partial
+  * states are tiny and merges are histogram adds.
+  */
+case class BFloat16WeightedQuantileAgg(
+    child: Expression,
+    weight: Expression,
+    level: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[Int, Double]]
+  with BinaryLike[Expression] {
+
+  require(level >= 0.0 && level <= 1.0,
+    s"quantileBFloat16: level must be in [0, 1], got $level")
+
+  override def left: Expression = child
+  override def right: Expression = weight
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  private def toBf16(v: Double): Int =
+    java.lang.Float.floatToRawIntBits(v.toFloat) >>> 16
+
+  private def toF32(k: Int): Float = java.lang.Float.intBitsToFloat(k << 16)
+
+  override def createAggregationBuffer(): mutable.HashMap[Int, Double] =
+    mutable.HashMap.empty
+
+  override def update(
+      b: mutable.HashMap[Int, Double], input: InternalRow): mutable.HashMap[Int, Double] = {
+    val v = child.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null) {
+      val key = toBf16(v.asInstanceOf[Number].doubleValue())
+      b.update(key, b.getOrElse(key, 0.0) + w.asInstanceOf[Number].doubleValue())
+    }
+    b
+  }
+
+  override def merge(
+      b: mutable.HashMap[Int, Double],
+      other: mutable.HashMap[Int, Double]): mutable.HashMap[Int, Double] = {
+    other.foreach { case (k, w) => b.update(k, b.getOrElse(k, 0.0) + w) }
+    b
+  }
+
+  override def eval(b: mutable.HashMap[Int, Double]): Any = {
+    if (b.isEmpty) return null
+    val pairs = b.toArray.map { case (k, w) => (toF32(k), w) }.sortBy(_._1)
+    val sumW = pairs.map(_._2).sum
+    val threshold = math.ceil(sumW * level)
+    var acc = 0.0
+    var i = 0
+    while (i < pairs.length) {
+      acc += pairs(i)._2
+      if (acc >= threshold) return pairs(i)._1.toDouble
+      i += 1
+    }
+    pairs.last._1.toDouble
+  }
+
+  override def serialize(b: mutable.HashMap[Int, Double]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.size)
+    b.foreach { case (k, w) => out.writeInt(k); out.writeDouble(w) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Int, Double] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = mutable.HashMap.empty[Int, Double]
+    (0 until n).foreach { _ => val k = in.readInt(); b.update(k, in.readDouble()) }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): BFloat16WeightedQuantileAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BFloat16WeightedQuantileAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, weight = newRight)
+  override def prettyName: String = "quantile_bfloat16_weighted"
+}
+
 object WeightedQuantileAgg {
   def quantileInterpolatedWeighted(x: Column, w: Column, level: Double): Column =
     ColumnBridge.column(
       InterpolatedWeightedQuantileAgg(
+        ColumnBridge.expression(x), ColumnBridge.expression(w), level)
+        .toAggregateExpression())
+
+  def quantileBFloat16Weighted(x: Column, w: Column, level: Double): Column =
+    ColumnBridge.column(
+      BFloat16WeightedQuantileAgg(
         ColumnBridge.expression(x), ColumnBridge.expression(w), level)
         .toAggregateExpression())
 }

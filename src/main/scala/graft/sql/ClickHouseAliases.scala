@@ -1009,6 +1009,27 @@ object ClickHouseAliases {
       graft.aggregates.InterpolatedWeightedQuantileAgg(
         Cast(cs(1), DoubleType), Cast(cs(2), DoubleType), p)
     }),
+    // quantileBFloat16[Weighted](p, x[, w]): bfloat16-truncated
+    // histogram with the reference's ⌈level·Σw⌉ discrete threshold —
+    // see BFloat16WeightedQuantileAgg.
+    "quantileBFloat16" -> (cs => {
+      val p = cs.head match {
+        case Literal(v, _) if v != null => v.toString.toDouble
+        case other => throw new IllegalArgumentException(
+          s"quantileBFloat16: level must be a numeric literal, got $other")
+      }
+      graft.aggregates.BFloat16WeightedQuantileAgg(
+        Cast(cs(1), DoubleType), Literal(1.0), p)
+    }),
+    "quantileBFloat16Weighted" -> (cs => {
+      val p = cs.head match {
+        case Literal(v, _) if v != null => v.toString.toDouble
+        case other => throw new IllegalArgumentException(
+          s"quantileBFloat16Weighted: level must be a numeric literal, got $other")
+      }
+      graft.aggregates.BFloat16WeightedQuantileAgg(
+        Cast(cs(1), DoubleType), Cast(cs(2), DoubleType), p)
+    }),
     "appendTrailingCharIfAbsent" -> (cs =>
       If(EndsWith(cs.head, cs(1)), cs.head, Concat(Seq(cs.head, cs(1))))),
     // Vector distance family (reference src/Functions/vectorFunctions.cpp

@@ -626,6 +626,17 @@ class DialectSpec extends SparkSpec {
     assert(h.getDouble(0) === 1.25)
     assert(h.getDouble(1) === 1.0) // below x_0 clamps to smallest value
     assert(h.getDouble(2) === 2.0) // above x_last clamps to largest
+    // quantileBFloat16: discrete ceil-threshold over the truncated
+    // histogram — median of {1,2,3,4} at weight 1 each is 2 (cum 2 ≥
+    // ⌈0.5·4⌉); the truncation drops float32 mantissa bits below 8
+    // (3.14159 → 3.140625).
+    Seq(1.0, 2.0, 3.0, 4.0).toDF("x").createOrReplaceTempView("qbf")
+    val bf = one("""SELECT quantileBFloat16(0.5, x),
+                    quantileBFloat16Weighted(0.5, x, 1),
+                    quantileBFloat16(0.5, x + 2.14159) FROM qbf""")
+    assert(bf.getDouble(0) === 2.0)
+    assert(bf.getDouble(1) === 2.0)
+    assert(bf.getDouble(2) === 4.125) // bfloat16(4.14159) = 4.125
   }
 
   test("windowFunnel SQL spelling: levels, window cut-off, strict_order") {
