@@ -242,6 +242,35 @@ object CoverageWave8 {
           CAST(SUM(CASE WHEN state = 3 THEN 1 ELSE 0 END) AS BIGINT) AS new_users
         FROM slots GROUP BY slot ORDER BY slot""")),
 
+    // funnelPathSplitByTimes (reference
+    // AggregateFunctionFunnelPathSplitByTimes.h:140): one path per
+    // funnel run — every signup opens a bucket, level events advance
+    // the oldest eligible bucket, common events replicate to every
+    // window-reachable one. No SQL oracle expresses the bucket rules →
+    // rows-only; FunnelPathSplitByTimesSpec holds five hand-traced
+    // reference cases plus a shuffle-order invariance gate.
+    QueryDef(
+      "funnel_path_split_by_times",
+      (s, dir) => {
+        import graft.aggregates.FunnelPathSplitByTimesAgg.funnelPathSplitByTimes
+        val f = funnelPathSplitByTimes(2L * 86400 * 1000000, 8, 3) _
+        Tables(s, dir, "events")
+          .withColumn("idx",
+            when(col("event_type") === "signup", 1)
+              .when(col("event_type") === "click", 2)
+              .when(col("event_type") === "purchase", 3).otherwise(0))
+          .groupBy(col("user_id"))
+          .agg(f(unix_micros(col("ts")), col("idx"), col("event_type"))
+            .as("paths"))
+          .select(col("user_id"), posexplode(col("paths")).as(Seq("run_pos", "path")))
+          .select(col("user_id"), col("run_pos"),
+            posexplode(col("path")).as(Seq("node_pos", "node")))
+          .select(col("user_id"), col("run_pos"), col("node_pos"),
+            col("node.ev").as("ev"), col("node.param").as("param"))
+          .orderBy(col("user_id"), col("run_pos"), col("node_pos"))
+      },
+      None),
+
     // multiSearch family over the documents corpus (reference
     // MultiSearchImpl.h): any-needle flag, leftmost match position and
     // the 1-based index of the leftmost-matching needle, aggregated per
