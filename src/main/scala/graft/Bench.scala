@@ -22,7 +22,9 @@ object Bench {
     "dedup_keep_first", "minhash_lsh_candidates", "jaccard_token_pairs",
     "knn_bruteforce_cosine", "knn_lsh_topk", "knn_ivf_topk",
     "bitmap_user_overlap", "topk_users_by_events",
-    "upsert_latest_state", "summap_user_values", "q11_important_stock")
+    "upsert_latest_state", "summap_user_values", "q11_important_stock",
+    // round 6: full sessionization tuples — the heaviest new operator
+    "session_analysis_tuples")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -44,8 +44,12 @@ object ScaleSoak {
     "dedup_connected_components",
     // round 6: repeat-run funnel (per-user greedy scan, users are the
     // axis) and the vector-distance spellings (fixed probe set, corpus
-    // side bounded by the equi-key join) — the r5 stragglers.
-    "funnel_by_times", "vector_distance_pairs")
+    // side bounded by the equi-key join) — the r5 stragglers — plus the
+    // new sessionization tuples (session_window state ∝ open sessions),
+    // per-run path split (per-user buckets) and the multiSearch scan.
+    "funnel_by_times", "vector_distance_pairs",
+    "session_analysis_tuples", "funnel_path_split_by_times",
+    "text_multisearch")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
