@@ -1,0 +1,247 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+/** REAL media codecs in pure JVM byte arithmetic — no native libraries.
+  *
+  * The container has no image/audio codec stacks (JPEG/PNG/H.264 decode
+  * stays env-blocked and stubbed in [[Multimodal]]), but two production
+  * formats need nothing beyond byte parsing and are implemented fully:
+  *
+  *  - RIFF/PCM WAV (the interchange format of every audio pipeline):
+  *    chunk-walked header (fmt /data discovered by id, unknown chunks
+  *    skipped), 16-bit little-endian PCM frames, amplitude statistics;
+  *  - BMP with BITMAPINFOHEADER, 24 bpp BI_RGB (uncompressed): padded
+  *    bottom-up rows, channel means, nearest-neighbor 8×8 luma resize
+  *    and the classic average-hash fingerprint over it.
+  *
+  * Every function is a static helper invoked from Catalyst via
+  * `StaticInvoke` — single static call inside whole-stage codegen, no
+  * UDF serialization. Encoders exist so tests and queries can build
+  * valid payloads and close an encode→decode loop the DuckDB oracle
+  * can check from the generation parameters alone.
+  */
+object MediaCodecs {
+
+  // ---------------------------------------------------------------- WAV
+
+  /** Mono 16-bit PCM square wave: frames alternate +amplitude /
+    * −amplitude — amplitude chosen as the raw sample value so RMS and
+    * peak are exactly amplitude/32768 (a sine's discretized RMS is not
+    * closed-form; a square wave keeps the oracle exact).
+    */
+  def encodeWavSquare(sampleRate: Int, nFrames: Int, amplitude: Int): Array[Byte] = {
+    val dataLen = nFrames * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2) // block align
+    bb.putShort(16) // bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      bb.putShort(if (i % 2 == 0) amplitude.toShort else (-amplitude).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Locate a RIFF chunk's payload offset+length, skipping unknown
+    * chunks (word-aligned per the RIFF spec).
+    */
+  private def riffChunk(b: Array[Byte], id: String): (Int, Int) = {
+    require(b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE payload")
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    while (off + 8 <= b.length) {
+      val cid = new String(b, off, 4, "US-ASCII")
+      val len = bb.getInt(off + 4)
+      if (cid == id) return (off + 8, len)
+      off += 8 + len + (len & 1)
+    }
+    throw new IllegalArgumentException(s"RIFF chunk '$id' not found")
+  }
+
+  def wavSampleRate(b: Array[Byte]): Int = {
+    val (off, _) = riffChunk(b, "fmt ")
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt(off + 4)
+  }
+
+  def wavChannels(b: Array[Byte]): Int = {
+    val (off, _) = riffChunk(b, "fmt ")
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getShort(off + 2).toInt
+  }
+
+  def wavBitsPerSample(b: Array[Byte]): Int = {
+    val (off, _) = riffChunk(b, "fmt ")
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getShort(off + 14).toInt
+  }
+
+  /** Frame count = data bytes / block align. */
+  def wavFrames(b: Array[Byte]): Long = {
+    val (fmtOff, _) = riffChunk(b, "fmt ")
+    val blockAlign = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      .getShort(fmtOff + 12).toLong
+    val (_, dataLen) = riffChunk(b, "data")
+    dataLen / blockAlign
+  }
+
+  def wavDurationMs(b: Array[Byte]): Double =
+    wavFrames(b) * 1000.0 / wavSampleRate(b)
+
+  /** RMS of the 16-bit samples, normalized to [0, 1] (÷32768). */
+  def wavRms(b: Array[Byte]): Double = {
+    val (off, len) = riffChunk(b, "data")
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val n = len / 2
+    if (n == 0) return 0.0
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val s = bb.getShort(off + 2 * i).toDouble
+      sum += s * s
+      i += 1
+    }
+    math.sqrt(sum / n) / 32768.0
+  }
+
+  /** Peak |sample|, normalized to [0, 1]. */
+  def wavPeak(b: Array[Byte]): Double = {
+    val (off, len) = riffChunk(b, "data")
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var peak = 0
+    var i = 0
+    while (i < len / 2) {
+      val s = math.abs(bb.getShort(off + 2 * i).toInt)
+      if (s > peak) peak = s
+      i += 1
+    }
+    peak / 32768.0
+  }
+
+  // ---------------------------------------------------------------- BMP
+
+  /** 24 bpp BI_RGB bottom-up BMP; pixel (x, y) colors from the given
+    * per-coordinate channel functions (row stride padded to 4 bytes —
+    * the part every hand-rolled BMP reader gets wrong first).
+    */
+  private def encodeBmp(w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val dataLen = stride * h
+    val bb = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+    bb.putInt(0).putInt(54) // reserved, pixel offset
+    bb.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER, bottom-up
+    bb.putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+    bb.putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // bottom row first
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val (r, g, bch) = px(x, y)
+        bb.put(bch.toByte).put(g.toByte).put(r.toByte) // BGR order
+        x += 1
+      }
+      var pad = stride - w * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  def encodeBmpSolid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
+    encodeBmp(w, h)((_, _) => (r, g, b))
+
+  /** Deterministic gradient fixture: channel values linear in (x, y, seed). */
+  def encodeBmpGradient(w: Int, h: Int, seed: Int): Array[Byte] =
+    encodeBmp(w, h)((x, y) =>
+      ((x * 7 + seed) % 256, (y * 13 + seed) % 256, (x + y + seed) % 256))
+
+  private def bmpHeader(b: Array[Byte]): (Int, Int, Int, Int) = {
+    require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
+      "not a BMP payload")
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val off = bb.getInt(10)
+    val w = bb.getInt(18)
+    val h = bb.getInt(22)
+    require(bb.getShort(28) == 24 && bb.getInt(30) == 0,
+      "only 24 bpp BI_RGB supported")
+    val stride = (w * 3 + 3) & ~3
+    (off, w, h, stride)
+  }
+
+  def bmpWidth(b: Array[Byte]): Int = bmpHeader(b)._2
+  def bmpHeight(b: Array[Byte]): Int = bmpHeader(b)._3
+
+  /** Pixel (x, y) in top-down coordinates as (r, g, b). */
+  private def pixel(b: Array[Byte], off: Int, w: Int, h: Int, stride: Int,
+      x: Int, y: Int): (Int, Int, Int) = {
+    val p = off + (h - 1 - y) * stride + x * 3
+    ((b(p + 2) & 0xff), (b(p + 1) & 0xff), (b(p) & 0xff))
+  }
+
+  /** Per-channel means as [r, g, b] doubles. */
+  def bmpMeanRgb(b: Array[Byte]): GenericArrayData = {
+    val (off, w, h, stride) = bmpHeader(b)
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, bl) = pixel(b, off, w, h, stride, x, y)
+        sr += r; sg += g; sb += bl
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    new GenericArrayData(Array(sr / n, sg / n, sb / n))
+  }
+
+  /** Nearest-neighbor 8×8 resize to BT.601 luma (0..255 doubles) — the
+    * classic perceptual-feature grid.
+    */
+  def bmpGray8x8(b: Array[Byte]): GenericArrayData = {
+    val (off, w, h, stride) = bmpHeader(b)
+    val out = new Array[Double](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val x = gx * w / 8
+        val y = gy * h / 8
+        val (r, g, bl) = pixel(b, off, w, h, stride, x, y)
+        out(gy * 8 + gx) = 0.299 * r + 0.587 * g + 0.114 * bl
+        gx += 1
+      }
+      gy += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Average-hash: bit i set when gray8x8(i) is above the grid mean —
+    * 64-bit image fingerprint. The comparison carries an epsilon: the
+    * mean of 64 equal lumas can land one ulp below each element, which
+    * would flip a uniform image from the canonical all-zero hash to
+    * all-ones.
+    */
+  def bmpAHash(b: Array[Byte]): Long = {
+    val g = bmpGray8x8(b).toDoubleArray()
+    val mean = g.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (g(i) - mean > 1e-9) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+}

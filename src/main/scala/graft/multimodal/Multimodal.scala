@@ -42,4 +42,45 @@ object Multimodal {
   def sampleFrames(media: Column, n: Int, frameBytes: Int): Column =
     transform(sequence(lit(0), lit(n - 1)),
       i => call_function("substring", media, lit(1) + i * frameBytes, lit(frameBytes)))
+
+  // -------- REAL codecs (graft.multimodal.MediaCodecs): RIFF/PCM WAV and
+  // 24 bpp BMP are pure byte parsing — no codec library needed, so these
+  // are NOT stubs. Each lowers to a StaticInvoke: one static call inside
+  // whole-stage codegen, no UDF serialization.
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+  import org.apache.spark.sql.graft.ColumnBridge
+  import org.apache.spark.sql.types._
+
+  private val codecs = MediaCodecs.getClass
+
+  private def invoke(name: String, dt: DataType, args: Column*): Column =
+    ColumnBridge.column(StaticInvoke(codecs, dt, name,
+      args.map(ColumnBridge.expression): Seq[Expression]))
+
+  def encodeWavSquare(sampleRate: Column, nFrames: Column, amplitude: Column): Column =
+    ColumnBridge.column(StaticInvoke(codecs, BinaryType, "encodeWavSquare",
+      Seq(sampleRate, nFrames, amplitude).map(c =>
+        ColumnBridge.expression(c.cast("int")))))
+
+  def encodeBmpSolid(w: Column, h: Column, r: Column, g: Column, b: Column): Column =
+    ColumnBridge.column(StaticInvoke(codecs, BinaryType, "encodeBmpSolid",
+      Seq(w, h, r, g, b).map(c => ColumnBridge.expression(c.cast("int")))))
+
+  def wavSampleRate(media: Column): Column = invoke("wavSampleRate", IntegerType, media)
+  def wavChannels(media: Column): Column = invoke("wavChannels", IntegerType, media)
+  def wavBitsPerSample(media: Column): Column = invoke("wavBitsPerSample", IntegerType, media)
+  def wavFrames(media: Column): Column = invoke("wavFrames", LongType, media)
+  def wavDurationMs(media: Column): Column = invoke("wavDurationMs", DoubleType, media)
+  def wavRms(media: Column): Column = invoke("wavRms", DoubleType, media)
+  def wavPeak(media: Column): Column = invoke("wavPeak", DoubleType, media)
+
+  def bmpWidth(media: Column): Column = invoke("bmpWidth", IntegerType, media)
+  def bmpHeight(media: Column): Column = invoke("bmpHeight", IntegerType, media)
+  def bmpMeanRgb(media: Column): Column =
+    invoke("bmpMeanRgb", ArrayType(DoubleType, containsNull = false), media)
+  def bmpGray8x8(media: Column): Column =
+    invoke("bmpGray8x8", ArrayType(DoubleType, containsNull = false), media)
+  def bmpAHash(media: Column): Column = invoke("bmpAHash", LongType, media)
 }

@@ -271,6 +271,58 @@ object CoverageWave8 {
       },
       None),
 
+    // REAL multimodal decode (graft.multimodal.MediaCodecs — RIFF/PCM
+    // WAV and 24 bpp BMP are pure byte parsing, no codec library):
+    // payloads are ENCODED from doc_id-derived parameters in one
+    // projection and DECODED in the next, so the DuckDB oracle can
+    // recompute every output from doc_id arithmetic alone — a full
+    // hash-match on the decoder outputs. A square wave makes RMS/peak
+    // exactly amplitude/32768; a solid BMP makes channel means exact
+    // and the average-hash canonically zero.
+    QueryDef(
+      "multimodal_codec_roundtrip",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 500)
+        d.withColumn("wav", Multimodal.encodeWavSquare(
+            lit(8000) + (col("doc_id") % 3) * 4000,
+            lit(100) + col("doc_id") % 400,
+            lit(1000) + col("doc_id") % 5000))
+          .withColumn("bmp", Multimodal.encodeBmpSolid(
+            lit(8) + col("doc_id") % 25, lit(4) + col("doc_id") % 13,
+            col("doc_id") % 256, (col("doc_id") * 3) % 256, (col("doc_id") * 7) % 256))
+          .select(col("doc_id"),
+            Multimodal.wavSampleRate(col("wav")).as("sample_rate"),
+            Multimodal.wavFrames(col("wav")).as("n_frames"),
+            round(Multimodal.wavDurationMs(col("wav")), 6).cast(Num.D6).as("duration_ms"),
+            (Multimodal.wavRms(col("wav")) * 32768).cast("bigint").as("rms_raw"),
+            (Multimodal.wavPeak(col("wav")) * 32768).cast("bigint").as("peak_raw"),
+            Multimodal.bmpWidth(col("bmp")).as("w"),
+            Multimodal.bmpHeight(col("bmp")).as("h"),
+            element_at(Multimodal.bmpMeanRgb(col("bmp")), 1).cast("bigint").as("mean_r"),
+            element_at(Multimodal.bmpMeanRgb(col("bmp")), 2).cast("bigint").as("mean_g"),
+            element_at(Multimodal.bmpMeanRgb(col("bmp")), 3).cast("bigint").as("mean_b"),
+            Multimodal.bmpAHash(col("bmp")).as("ahash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+          CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
+          CAST(ROUND((100 + doc_id % 400) * 1000.0
+            / (8000 + (doc_id % 3) * 4000), 6) AS DECIMAL(18,6)) AS duration_ms,
+          CAST(1000 + doc_id % 5000 AS BIGINT) AS rms_raw,
+          CAST(1000 + doc_id % 5000 AS BIGINT) AS peak_raw,
+          CAST(8 + doc_id % 25 AS INT) AS w,
+          CAST(4 + doc_id % 13 AS INT) AS h,
+          CAST(doc_id % 256 AS BIGINT) AS mean_r,
+          CAST((doc_id * 3) % 256 AS BIGINT) AS mean_g,
+          CAST((doc_id * 7) % 256 AS BIGINT) AS mean_b,
+          CAST(0 AS BIGINT) AS ahash
+        FROM documents WHERE doc_id < 500
+        ORDER BY doc_id""")),
+
     // multiSearch family over the documents corpus (reference
     // MultiSearchImpl.h): any-needle flag, leftmost match position and
     // the 1-based index of the leftmost-matching needle, aggregated per
