@@ -271,6 +271,29 @@ object CoverageWave8 {
       },
       None),
 
+    // Extremes (the reference's extremes=1 two-row min/max decoration,
+    // ExtremesTransform.cpp) — previously the one deliberate coverage
+    // "no"; carried as a result-frame decorator with a __row_kind
+    // column standing in for the wire protocol's extremes block.
+    QueryDef(
+      "extremes_decoration",
+      (s, dir) => {
+        val agg = Tables(s, dir, "nation")
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("cnt"), sum(col("n_nationkey")).as("skey"))
+        graft.tools.Extremes.withExtremes(agg)
+          .orderBy(col("__row_kind"), col("n_regionkey"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT n_regionkey, COUNT(*) AS cnt,
+            CAST(SUM(n_nationkey) AS BIGINT) AS skey
+          FROM nation GROUP BY 1)
+        SELECT n_regionkey, cnt, skey, 'result' AS __row_kind FROM a
+        UNION ALL SELECT MIN(n_regionkey), MIN(cnt), MIN(skey), 'min' FROM a
+        UNION ALL SELECT MAX(n_regionkey), MAX(cnt), MAX(skey), 'max' FROM a
+        ORDER BY __row_kind, n_regionkey""")),
+
     // REAL multimodal decode (graft.multimodal.MediaCodecs — RIFF/PCM
     // WAV and 24 bpp BMP are pure byte parsing, no codec library):
     // payloads are ENCODED from doc_id-derived parameters in one
