@@ -127,6 +127,37 @@ object MediaCodecs {
     peak / 32768.0
   }
 
+  /** Windowed energy profile: frames split into `nWindows` contiguous
+    * windows (last takes the remainder), per-window RMS normalized to
+    * [0, 1] — the standard audio energy feature grid.
+    */
+  def wavEnergyProfile(b: Array[Byte], nWindows: Int): GenericArrayData = {
+    val (off, len) = riffChunk(b, "data")
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val n = len / 2
+    val out = new Array[Double](nWindows)
+    if (n > 0) {
+      val per = math.max(1, n / nWindows)
+      var w = 0
+      while (w < nWindows) {
+        val start = w * per
+        val end = if (w == nWindows - 1) n else math.min(n, start + per)
+        if (start < end) {
+          var sum = 0.0
+          var i = start
+          while (i < end) {
+            val s = bb.getShort(off + 2 * i).toDouble
+            sum += s * s
+            i += 1
+          }
+          out(w) = math.sqrt(sum / (end - start)) / 32768.0
+        }
+        w += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   // ---------------------------------------------------------------- BMP
 
   /** 24 bpp BI_RGB bottom-up BMP; pixel (x, y) colors from the given

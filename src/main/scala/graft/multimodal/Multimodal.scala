@@ -76,6 +76,12 @@ object Multimodal {
   def wavRms(media: Column): Column = invoke("wavRms", DoubleType, media)
   def wavPeak(media: Column): Column = invoke("wavPeak", DoubleType, media)
 
+  def wavEnergyProfile(media: Column, nWindows: Column): Column =
+    ColumnBridge.column(StaticInvoke(codecs,
+      ArrayType(DoubleType, containsNull = false), "wavEnergyProfile",
+      Seq(ColumnBridge.expression(media),
+        ColumnBridge.expression(nWindows.cast("int")))))
+
   def bmpWidth(media: Column): Column = invoke("bmpWidth", IntegerType, media)
   def bmpHeight(media: Column): Column = invoke("bmpHeight", IntegerType, media)
   def bmpMeanRgb(media: Column): Column =

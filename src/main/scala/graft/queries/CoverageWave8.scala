@@ -326,7 +326,10 @@ object CoverageWave8 {
             element_at(Multimodal.bmpMeanRgb(col("bmp")), 1).cast("bigint").as("mean_r"),
             element_at(Multimodal.bmpMeanRgb(col("bmp")), 2).cast("bigint").as("mean_g"),
             element_at(Multimodal.bmpMeanRgb(col("bmp")), 3).cast("bigint").as("mean_b"),
-            Multimodal.bmpAHash(col("bmp")).as("ahash"))
+            Multimodal.bmpAHash(col("bmp")).as("ahash"),
+            // windowed energy of a square wave: every window exactly A
+            (element_at(Multimodal.wavEnergyProfile(col("wav"), lit(4)), 3) * 32768)
+              .cast("bigint").as("energy_w3"))
           .orderBy(col("doc_id"))
       },
       Some("""
@@ -342,7 +345,8 @@ object CoverageWave8 {
           CAST(doc_id % 256 AS BIGINT) AS mean_r,
           CAST((doc_id * 3) % 256 AS BIGINT) AS mean_g,
           CAST((doc_id * 7) % 256 AS BIGINT) AS mean_b,
-          CAST(0 AS BIGINT) AS ahash
+          CAST(0 AS BIGINT) AS ahash,
+          CAST(1000 + doc_id % 5000 AS BIGINT) AS energy_w3
         FROM documents WHERE doc_id < 500
         ORDER BY doc_id""")),
 

@@ -34,6 +34,28 @@ class MediaCodecsSpec extends SparkSpec {
     assert(MediaCodecs.wavPeak(spliced) === 100.0 / 32768)
   }
 
+  test("WAV windowed energy profile: per-window RMS, remainder window") {
+    // square wave: every window's RMS is exactly A/32768 regardless of
+    // window boundaries (each sample contributes A^2)
+    val b = MediaCodecs.encodeWavSquare(8000, 103, 4000) // 103 frames, 4 windows
+    val prof = MediaCodecs.wavEnergyProfile(b, 4).toDoubleArray()
+    assert(prof.length === 4)
+    prof.foreach(v => assert(v === 4000.0 / 32768))
+    // hand-built buffer: first half silent, second half ±1000 → the
+    // profile localizes the energy
+    val loud = MediaCodecs.encodeWavSquare(8000, 50, 1000)
+    val silent = MediaCodecs.encodeWavSquare(8000, 50, 0)
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + 200).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(silent.take(40)) // header up to data length field
+    bb.putInt(200)
+    bb.put(silent.slice(44, 144)).put(loud.slice(44, 144))
+    val mixed = bb.array()
+    val p2 = MediaCodecs.wavEnergyProfile(mixed, 2).toDoubleArray()
+    assert(p2(0) === 0.0)
+    assert(p2(1) === 1000.0 / 32768)
+  }
+
   test("BMP solid color: dimensions, channel means, zero average-hash") {
     val b = MediaCodecs.encodeBmpSolid(19, 7, 200, 100, 50) // odd width → padded stride
     assert(MediaCodecs.bmpWidth(b) === 19)
