@@ -1546,6 +1546,18 @@ object ClickHouseAliases {
     "multiSearchFirstIndexCaseInsensitive" -> (cs => msFirstIndex(cs, ci = true)),
     "multiSearchFirstIndexUTF8" -> (cs => msFirstIndex(cs, ci = false)),
     "multiSearchFirstIndexCaseInsensitiveUTF8" -> (cs => msFirstIndex(cs, ci = true)),
+    // multiMatchAny: the regexp sibling of multiSearchAny (reference
+    // MultiMatchAnyImpl.h — hyperscan there, per-pattern RLike here;
+    // same single-scan distributed cost).
+    "multiMatchAny" -> (cs => ArrayExists(cs(1),
+      LambdaFunction(RLike(cs.head, lv("p")), Seq(lv("p"))))),
+    // bitTestAny/bitTestAll(num, bit1, ..., bitN) — variadic bit probes
+    "bitTestAny" -> (cs => cs.drop(1).map(b =>
+      EqualTo(BitwiseAnd(ShiftRight(Cast(cs.head, LongType), Cast(b, IntegerType)),
+        Literal(1L)), Literal(1L)): Expression).reduce(Or.apply)),
+    "bitTestAll" -> (cs => cs.drop(1).map(b =>
+      EqualTo(BitwiseAnd(ShiftRight(Cast(cs.head, LongType), Cast(b, IntegerType)),
+        Literal(1L)), Literal(1L)): Expression).reduce(And.apply)),
     // mapFilter(lambda, map): CH lambda-first order onto Spark's HOF
     "mapFilter" -> (cs => MapFilter(cs(1), cs.head)),
     "min2" -> (cs => Least(Seq(dbl(cs.head), dbl(cs(1))))),

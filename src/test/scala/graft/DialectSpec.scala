@@ -903,5 +903,16 @@ class DialectSpec extends SparkSpec {
     assert(r.getTimestamp(13).toString === "2024-01-01 00:00:00.123")
     assert(r.getTimestamp(14).toString === "2024-01-01 00:00:00.123456")
     assert(r.getTimestamp(15).toString === "2024-01-01 00:00:00.123456")
+    val m = one("""SELECT
+        multiMatchAny('hello world', array('^x', 'wor.d$')),
+        multiMatchAny('hello', array('^x', 'y$')),
+        bitTestAny(5, 1, 2), bitTestAny(5, 1, 3),
+        bitTestAll(5, 0, 2), bitTestAll(5, 0, 1)""")
+    assert(m.getBoolean(0) === true)
+    assert(m.getBoolean(1) === false)
+    assert(m.getBoolean(2) === true) // bit 2 of 0b101
+    assert(m.getBoolean(3) === false)
+    assert(m.getBoolean(4) === true) // bits 0 and 2 both set
+    assert(m.getBoolean(5) === false)
   }
 }
