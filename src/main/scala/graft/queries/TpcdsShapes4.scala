@@ -71,6 +71,58 @@ object TpcdsShapes4 {
         ORDER BY dev DESC, prio, y, mo
         LIMIT 40""")),
 
+    // q49: worst return ratios per channel — three per-channel grouped
+    // frames, each ranked by its own window, UNION ALL'd and re-sorted
+    // (the rank-inside-union-arms shape; returns = l_returnflag = 'R').
+    QueryDef(
+      "tpcds_return_ratio_ranks",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .withColumn("channel",
+            when(col("l_suppkey") % 3 === 0, "air")
+              .when(col("l_suppkey") % 3 === 1, "sea")
+              .otherwise("land"))
+        def arm(ch: String) = {
+          val g = li.filter(col("channel") === ch)
+            .groupBy((col("l_partkey") % 50).as("part_bucket"))
+            .agg(
+              sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0.0)
+                .cast(Num.D2)).as("ret_qty"),
+              sum(col("l_quantity").cast(Num.D2)).as("tot_qty"))
+          val ratio = (col("ret_qty") / col("tot_qty")).cast("double")
+          g.select(lit(ch).as("channel"), col("part_bucket"), ratio.as("ratio"))
+            .withColumn("rnk", rank().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(lit(ch)).orderBy(col("ratio").desc)))
+            .filter(col("rnk") <= 10)
+        }
+        arm("air").unionByName(arm("sea")).unionByName(arm("land"))
+          .select(col("channel"), col("part_bucket"),
+            round(col("ratio"), 6).cast(Num.D6).as("ratio"), col("rnk"))
+          .orderBy(col("channel"), col("rnk"), col("part_bucket"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT CASE WHEN l_suppkey % 3 = 0 THEN 'air'
+                      WHEN l_suppkey % 3 = 1 THEN 'sea'
+                      ELSE 'land' END AS channel,
+            l_partkey % 50 AS part_bucket, l_returnflag, l_quantity
+          FROM lineitem),
+        g AS (
+          SELECT channel, part_bucket,
+            CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END
+              AS DECIMAL(18,2))) AS DOUBLE)
+              / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ratio
+          FROM li GROUP BY 1, 2),
+        r AS (
+          SELECT channel, part_bucket, ratio,
+            CAST(RANK() OVER (PARTITION BY channel ORDER BY ratio DESC) AS INT) AS rnk
+          FROM g)
+        SELECT channel, part_bucket,
+          CAST(ROUND(ratio, 6) AS DECIMAL(18,6)) AS ratio, rnk
+        FROM r WHERE rnk <= 10
+        ORDER BY channel, rnk, part_bucket""")),
+
     // q31: nations whose urgent-channel revenue share grew faster than
     // the regular channel across 1995 Q1→Q2 AND Q2→Q3 — six grouped
     // subqueries of the same fact joined on the nation.

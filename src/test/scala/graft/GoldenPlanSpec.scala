@@ -103,7 +103,8 @@ class GoldenPlanSpec extends SparkSpec {
   // grouped sides.
   Seq("session_analysis_tuples", "scalar_decimal_casts",
       "running_accumulate_revenue", "tpcds_monthly_dev_neighbors",
-      "tpcds_channel_share_growth").foreach { q =>
+      "tpcds_channel_share_growth", "tpcds_return_ratio_ranks",
+      "multimodal_codec_roundtrip").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
 }
