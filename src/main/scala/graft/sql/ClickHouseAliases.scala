@@ -1560,6 +1560,31 @@ object ClickHouseAliases {
         Literal(1L)), Literal(1L)): Expression).reduce(And.apply)),
     // mapFilter(lambda, map): CH lambda-first order onto Spark's HOF
     "mapFilter" -> (cs => MapFilter(cs(1), cs.head)),
+    // arrayReduceInRanges('agg', ranges, arr) (reference
+    // array/arrayReduceInRanges.cpp): the arrayReduce dispatch applied
+    // to each (start, length) 1-based slice — ranges as tuple()/struct
+    // pairs (positional col1/col2 fields).
+    "arrayReduceInRanges" -> (cs => {
+      val name = cs.head match {
+        case Literal(s, StringType) if s != null => s.toString.toLowerCase
+        case other => throw new IllegalArgumentException(
+          s"arrayReduceInRanges: aggregate name must be a string literal, got $other")
+      }
+      def fold(sl: Expression): Expression = name match {
+        case "sum" => vecFold(sl)
+        case "avg" => Divide(vecFold(sl), Cast(Size(sl), DoubleType))
+        case "min" => ArrayMin(sl)
+        case "max" => ArrayMax(sl)
+        case "count" => Size(sl)
+        case other => throw new IllegalArgumentException(
+          s"arrayReduceInRanges: unsupported aggregate '$other' (sum/avg/min/max/count)")
+      }
+      ArrayTransform(cs(1), LambdaFunction(
+        fold(Slice(cs(2),
+          UnresolvedExtractValue(lv("r"), Literal("col1")),
+          UnresolvedExtractValue(lv("r"), Literal("col2")))),
+        Seq(lv("r"))))
+    }),
     "min2" -> (cs => Least(Seq(dbl(cs.head), dbl(cs(1))))),
     "max2" -> (cs => Greatest(Seq(dbl(cs.head), dbl(cs(1))))),
     // toTimezone(ts, tz): the same instant re-rendered in tz — Spark

@@ -914,5 +914,12 @@ class DialectSpec extends SparkSpec {
     assert(m.getBoolean(3) === false)
     assert(m.getBoolean(4) === true) // bits 0 and 2 both set
     assert(m.getBoolean(5) === false)
+    val rr = one("""SELECT
+        arrayReduceInRanges('sum', array(tuple(1, 3), tuple(3, 2)), array(1, 2, 3, 4, 5)),
+        arrayReduceInRanges('max', array(tuple(2, 3)), array(9, 1, 7, 3)),
+        arrayReduceInRanges('count', array(tuple(1, 2), tuple(4, 9)), array(1, 2, 3, 4, 5))""")
+    assert(rr.getSeq[Double](0) === Seq(6.0, 7.0))
+    assert(rr.getSeq[Int](1) === Seq(7))
+    assert(rr.getSeq[Int](2) === Seq(2, 2)) // slice clamps at array end
   }
 }
