@@ -258,6 +258,16 @@ object MediaCodecs {
     new GenericArrayData(out)
   }
 
+  /** Nearest-neighbor resize to (w2, h2), returning a new BMP — the
+    * real image-resize operator of the pipeline brief (solid images
+    * resize losslessly, so the codec round-trip oracle stays exact).
+    */
+  def bmpResize(b: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    val (off, w, h, stride) = bmpHeader(b)
+    encodeBmp(w2, h2)((x, y) =>
+      pixel(b, off, w, h, stride, x * w / w2, y * h / h2))
+  }
+
   /** Average-hash: bit i set when gray8x8(i) is above the grid mean —
     * 64-bit image fingerprint. The comparison carries an epsilon: the
     * mean of 64 equal lumas can land one ulp below each element, which

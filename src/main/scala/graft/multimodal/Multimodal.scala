@@ -82,6 +82,12 @@ object Multimodal {
       Seq(ColumnBridge.expression(media),
         ColumnBridge.expression(nWindows.cast("int")))))
 
+  def bmpResize(media: Column, w: Column, h: Column): Column =
+    ColumnBridge.column(StaticInvoke(codecs, BinaryType, "bmpResize",
+      Seq(ColumnBridge.expression(media),
+        ColumnBridge.expression(w.cast("int")),
+        ColumnBridge.expression(h.cast("int")))))
+
   def bmpWidth(media: Column): Column = invoke("bmpWidth", IntegerType, media)
   def bmpHeight(media: Column): Column = invoke("bmpHeight", IntegerType, media)
   def bmpMeanRgb(media: Column): Column =

