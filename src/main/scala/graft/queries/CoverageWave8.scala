@@ -271,6 +271,53 @@ object CoverageWave8 {
       },
       None),
 
+    // URL-family completion (reference src/Functions/URL/ — every
+    // function in the directory now has a spelling): authority parts,
+    // path/query composition, parameter surgery and the hierarchy
+    // prefixes, all over synthesized URLs the oracle reconstructs from
+    // the same nation-derived parts.
+    QueryDef(
+      "url_functions_extended",
+      (s, dir) => {
+        Tables(s, dir, "nation").createOrReplaceTempView("nation")
+        s.sql("""
+          WITH b AS (
+            SELECT n_nationkey AS k,
+              concat('https://u', n_nationkey, '@www.',
+                regexp_replace(lower(n_name), '[^a-z0-9]', '-'), '.com:', 8000 + n_nationkey,
+                '/a', n_nationkey, '/b?x=', n_nationkey, '&y=2#f', n_nationkey) AS url,
+              regexp_replace(lower(n_name), '[^a-z0-9]', '-') AS hn
+            FROM nation)
+          SELECT k,
+            domainWithoutWWW(url) AS dww,
+            netloc(url) AS netloc_v,
+            port(url) AS port_v,
+            pathFull(url) AS path_full,
+            queryStringAndFragment(url) AS qsf,
+            basename(url) AS base,
+            cutURLParameter(url, 'x') AS cut_x,
+            array_join(extractURLParameterNames(url), ':') AS names_joined,
+            element_at(URLPathHierarchy(url), 2) AS hier2,
+            size(URLHierarchy(url)) AS hier_n
+          FROM b ORDER BY k""")
+      },
+      Some("""
+        WITH b AS (SELECT n_nationkey AS k,
+          regexp_replace(lower(n_name), '[^a-z0-9]', '-', 'g') AS hn FROM nation)
+        SELECT k,
+          hn || '.com' AS dww,
+          'u' || k || '@www.' || hn || '.com:' || (8000 + k) AS netloc_v,
+          CAST(8000 + k AS INT) AS port_v,
+          '/a' || k || '/b?x=' || k || '&y=2#f' || k AS path_full,
+          'x=' || k || '&y=2#f' || k AS qsf,
+          'b?x=' || k || '&y=2#f' || k AS base,
+          'https://u' || k || '@www.' || hn || '.com:' || (8000 + k) ||
+            '/a' || k || '/b?y=2#f' || k AS cut_x,
+          'x:y' AS names_joined,
+          '/a' || k || '/b?' AS hier2,
+          CAST(4 AS INT) AS hier_n
+        FROM b ORDER BY k""")),
+
     // Extremes (the reference's extremes=1 two-row min/max decoration,
     // ExtremesTransform.cpp) — previously the one deliberate coverage
     // "no"; carried as a result-frame decorator with a __row_kind

@@ -34,7 +34,7 @@ object ClickHouseAliases {
 
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
-      wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8
+      wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -1605,6 +1605,96 @@ object ClickHouseAliases {
     "fromUnixTimestamp64Nano" -> (cs => MicrosToTimestamp(
       Cast(IntegralDivide(Cast(cs.head, LongType), Literal(1000L),
         evalMode = EvalMode.LEGACY), LongType)))
+  )
+
+  /** Hierarchy prefixes shared by URLHierarchy/URLPathHierarchy
+    * (reference URL/URLHierarchy.cpp, URLPathHierarchy.cpp): the URL
+    * after the authority is partitioned into pieces — a run of
+    * delimiters, a run of non-delimiters, one trailing delimiter — and
+    * token i is the concatenation of pieces 1..i (prefixed with
+    * scheme://authority for the URL form). No protocol + `//` → empty
+    * array, like the reference.
+    */
+  private def urlHierarchy(url: Expression, includeHead: Boolean): Expression = {
+    val head = RegExpExtract(url, Literal("^([a-z0-9.+-]+://[^/?#]*)"), Literal(1))
+    val tail = Substring(url, Add(Length(head), Literal(1)), Literal(Int.MaxValue))
+    val pieces = RegExpExtractAll(tail, Literal("[/?#]*[^/?#]+[/?#]?"), Literal(0))
+    val n = Size(pieces)
+    val emptyArr = Literal.create(Array.empty[String], ArrayType(StringType))
+    val prefixes = ArrayTransform(
+      new Sequence(Literal(1), n, None),
+      LambdaFunction({
+        val joined = ArrayJoin(Slice(pieces, Literal(1), lv("i")), Literal(""), None)
+        if (includeHead) Concat(Seq(head, joined)) else joined
+      }, Seq(lv("i"))))
+    If(Or(EqualTo(Length(head), Literal(0)), LessThanOrEqual(n, Literal(0))),
+      emptyArr, prefixes)
+  }
+
+  /** Remaining URL-family spellings (reference src/Functions/URL/) —
+    * completes the directory: every reference URL function now has a
+    * registered spelling.
+    */
+  private def wave9: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "domainWithoutWWW" -> (cs =>
+      RegExpReplace(new ParseUrl(Seq(cs.head, Literal("HOST"))),
+        Literal("^www\\."), Literal(""), Literal(1))),
+    // pathFull = path + ?query + #fragment (FILE covers path?query)
+    "pathFull" -> (cs => {
+      val file = new ParseUrl(Seq(cs.head, Literal("FILE")))
+      val frag = new ParseUrl(Seq(cs.head, Literal("REF")))
+      Concat(Seq(Coalesce(Seq(file, Literal(""))),
+        If(IsNull(frag), Literal(""), Concat(Seq(Literal("#"), frag)))))
+    }),
+    "queryStringAndFragment" -> (cs => {
+      val q = new ParseUrl(Seq(cs.head, Literal("QUERY")))
+      val frag = new ParseUrl(Seq(cs.head, Literal("REF")))
+      Concat(Seq(Coalesce(Seq(q, Literal(""))),
+        If(IsNull(frag), Literal(""), Concat(Seq(Literal("#"), frag)))))
+    }),
+    // netloc: userinfo@host:port — the authority component
+    "netloc" -> (cs =>
+      RegExpExtract(cs.head, Literal("^(?:[a-zA-Z0-9.+-]*:)?//([^/?#]*)"), Literal(1))),
+    "basename" -> (cs => ElementAt(
+      StringSplit(cs.head, Literal("/"), Literal(-1)), Literal(-1))),
+    // port(url[, default]) — numeric suffix of the authority, else default/0
+    "port" -> (cs => {
+      val auth = RegExpExtract(cs.head,
+        Literal("^(?:[a-zA-Z0-9.+-]*:)?//(?:[^/@?#]*@)?[^/:?#]*:([0-9]+)"), Literal(1))
+      val dflt = if (cs.size > 1) Cast(cs(1), IntegerType) else Literal(0)
+      Coalesce(Seq(
+        Cast(If(EqualTo(Length(auth), Literal(0)),
+          Literal.create(null, StringType), auth), IntegerType),
+        dflt))
+    }),
+    // cutURLParameter: drop name=value keeping separators consistent —
+    // mid-list params take their trailing '&', a final one its leading
+    // separator (the reference's two-case removal).
+    "cutURLParameter" -> (cs => {
+      val name = cs(1) match {
+        case Literal(s, StringType) if s != null => java.util.regex.Pattern.quote(s.toString)
+        case other => throw new IllegalArgumentException(
+          s"cutURLParameter: name must be a string literal, got $other")
+      }
+      RegExpReplace(
+        RegExpReplace(cs.head,
+          Literal(s"([?&])$name=[^&#]*&"), Literal("$1"), Literal(1)),
+        Literal(s"[?&]$name=[^&#]*"), Literal(""), Literal(1))
+    }),
+    "extractURLParameters" -> (cs => {
+      val q = new ParseUrl(Seq(cs.head, Literal("QUERY")))
+      If(IsNull(q), Literal.create(Array.empty[String], ArrayType(StringType)),
+        StringSplit(q, Literal("&"), Literal(-1)))
+    }),
+    "extractURLParameterNames" -> (cs => {
+      val q = new ParseUrl(Seq(cs.head, Literal("QUERY")))
+      If(IsNull(q), Literal.create(Array.empty[String], ArrayType(StringType)),
+        ArrayTransform(StringSplit(q, Literal("&"), Literal(-1)),
+          LambdaFunction(RegExpReplace(lv("p"), Literal("=.*"), Literal(""), Literal(1)),
+            Seq(lv("p")))))
+    }),
+    "URLHierarchy" -> (cs => urlHierarchy(cs.head, includeHead = true)),
+    "URLPathHierarchy" -> (cs => urlHierarchy(cs.head, includeHead = false))
   )
 
   /** CH mode string ('aes-128-ecb' …) → Spark AesEncrypt/AesDecrypt. */

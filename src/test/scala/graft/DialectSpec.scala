@@ -922,4 +922,40 @@ class DialectSpec extends SparkSpec {
     assert(rr.getSeq[Int](1) === Seq(7))
     assert(rr.getSeq[Int](2) === Seq(2, 2)) // slice clamps at array end
   }
+
+  test("URL family completion: netloc, port, pathFull, hierarchy, parameter ops") {
+    val u = "'https://user@docs.example.com:8443/a/b?x=1&y=2#frag'"
+    val r = one(s"""SELECT
+        domainWithoutWWW('https://www.example.com/p'),
+        pathFull($u), queryStringAndFragment($u),
+        netloc($u), basename($u), port($u), port('https://e.com/x'),
+        port('https://e.com/x', 443),
+        cutURLParameter('http://x/?a=1&b=2&c=3', 'b'),
+        cutURLParameter('http://x/?a=1&b=2', 'b'),
+        cutURLParameter('http://x/?a=1&b=2', 'a'),
+        extractURLParameters($u), extractURLParameterNames($u)""")
+    assert(r.getString(0) === "example.com")
+    assert(r.getString(1) === "/a/b?x=1&y=2#frag")
+    assert(r.getString(2) === "x=1&y=2#frag")
+    assert(r.getString(3) === "user@docs.example.com:8443")
+    assert(r.getString(4) === "b?x=1&y=2#frag")
+    assert(r.getInt(5) === 8443)
+    assert(r.getInt(6) === 0)
+    assert(r.getInt(7) === 443)
+    assert(r.getString(8) === "http://x/?a=1&c=3")
+    assert(r.getString(9) === "http://x/?a=1")
+    assert(r.getString(10) === "http://x/?b=2")
+    assert(r.getSeq[String](11) === Seq("x=1", "y=2"))
+    assert(r.getSeq[String](12) === Seq("x", "y"))
+    val h = one("""SELECT
+        URLHierarchy('https://example.com/browse/CONV-6788'),
+        URLPathHierarchy('https://example.com/browse/CONV-6788?x=1'),
+        URLHierarchy('mailto:user@example.com'),
+        URLHierarchy('https://example.com')""")
+    assert(h.getSeq[String](0) === Seq(
+      "https://example.com/browse/", "https://example.com/browse/CONV-6788"))
+    assert(h.getSeq[String](1) === Seq("/browse/", "/browse/CONV-6788?", "/browse/CONV-6788?x=1"))
+    assert(h.getSeq[String](2) === Seq.empty)
+    assert(h.getSeq[String](3) === Seq.empty)
+  }
 }
