@@ -1635,7 +1635,10 @@ object ClickHouseAliases {
     * completes the directory: every reference URL function now has a
     * registered spelling.
     */
-  private def wave9: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private def wave9: Seq[(String, Seq[Expression] => Expression)] =
+    wave9urls ++ jsonCompletion
+
+  private def wave9urls: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "domainWithoutWWW" -> (cs =>
       RegExpReplace(new ParseUrl(Seq(cs.head, Literal("HOST"))),
         Literal("^www\\."), Literal(""), Literal(1))),
@@ -1696,6 +1699,92 @@ object ClickHouseAliases {
     "URLHierarchy" -> (cs => urlHierarchy(cs.head, includeHead = true)),
     "URLPathHierarchy" -> (cs => urlHierarchy(cs.head, includeHead = false))
   )
+
+  /** JSON-family completion (reference FunctionsJSON.cpp:162-180 +
+    * the visitParam/simpleJSON fast-path family): every registered
+    * reference spelling lowered onto get_json_object and the JSON
+    * helpers. Raw array/KV extraction unquotes scalar STRINGS (a
+    * get_json_object property — the reference keeps the quotes); tests
+    * pin the divergence.
+    */
+  private def jsonCompletion: Seq[(String, Seq[Expression] => Expression)] = {
+    def target(cs: Seq[Expression]): Expression =
+      if (cs.size > 1) GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1))))
+      else cs.head
+    val simpleLowerings: Seq[(String, Seq[Expression] => Expression)] = Seq(
+      "Has" -> ((cs: Seq[Expression]) =>
+        IsNotNull(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))))),
+      "ExtractInt" -> ((cs: Seq[Expression]) =>
+        Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), LongType)),
+      "ExtractUInt" -> ((cs: Seq[Expression]) =>
+        Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), LongType)),
+      "ExtractFloat" -> ((cs: Seq[Expression]) =>
+        Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), DoubleType)),
+      "ExtractBool" -> ((cs: Seq[Expression]) =>
+        Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), BooleanType)),
+      "ExtractString" -> ((cs: Seq[Expression]) =>
+        GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1))))),
+      "ExtractRaw" -> ((cs: Seq[Expression]) =>
+        GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1))))))
+    simpleLowerings.flatMap { case (suffix, builder) =>
+      Seq(s"simpleJSON$suffix" -> builder, s"visitParam$suffix" -> builder)
+    } ++ Seq(
+      "JSONExtractUInt" -> ((cs: Seq[Expression]) =>
+        Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), LongType)),
+      "isValidJSON" -> ((cs: Seq[Expression]) =>
+        IsNotNull(GetJsonObject(cs.head, Literal("$")))),
+      // JSONLength: array length or object key count, 0 otherwise
+      "JSONLength" -> ((cs: Seq[Expression]) => {
+        val t = target(cs)
+        Coalesce(Seq(LengthOfJsonArray(t), Size(JsonObjectKeys(t)), Literal(0)))
+      }),
+      "JSONExtractKeys" -> ((cs: Seq[Expression]) => JsonObjectKeys(target(cs))),
+      // JSONKey(json, i): the i-th (1-based) object key
+      "JSONKey" -> ((cs: Seq[Expression]) =>
+        ElementAt(JsonObjectKeys(cs.head), Cast(cs(1), IntegerType))),
+      "JSONUnquote" -> ((cs: Seq[Expression]) => {
+        val x = cs.head
+        If(And(GreaterThanOrEqual(Length(x), Literal(2)),
+          And(EqualTo(Substring(x, Literal(1), Literal(1)), Literal("\"")),
+            EqualTo(Substring(x, Literal(-1), Literal(1)), Literal("\"")))),
+          Substring(x, Literal(2), Subtract(Length(x), Literal(2))), x)
+      }),
+      // JSONExtractArrayRaw: per-element extraction via dynamic $[i]
+      // paths (objects stay raw JSON; scalar strings come back
+      // unquoted — divergence noted above)
+      "JSONExtractArrayRaw" -> ((cs: Seq[Expression]) => {
+        val t = target(cs)
+        val n = LengthOfJsonArray(t)
+        If(IsNull(n), Literal.create(Array.empty[String], ArrayType(StringType)),
+          ArrayTransform(
+            new Sequence(Literal(0), Subtract(n, Literal(1)), None),
+            LambdaFunction(GetJsonObject(t,
+              Concat(Seq(Literal("$["), Cast(lv("i"), StringType), Literal("]")))),
+              Seq(lv("i")))))
+      }),
+      // JSONExtractKeysAndValuesRaw: (key, raw value) structs
+      "JSONExtractKeysAndValuesRaw" -> ((cs: Seq[Expression]) => {
+        val t = target(cs)
+        ArrayTransform(JsonObjectKeys(t),
+          LambdaFunction(CreateStruct(Seq(lv("k"),
+            GetJsonObject(t, Concat(Seq(Literal("$."), lv("k")))))), Seq(lv("k"))))
+      }),
+      // JSONType: lexical classification of the (raw-ish) target —
+      // get_json_object unquotes scalar strings, so quoted-vs-bare
+      // scalars are classified by shape (documented divergence)
+      "JSONType" -> ((cs: Seq[Expression]) => {
+        val t = StringTrim(target(cs))
+        def first(s: String) = EqualTo(Substring(t, Literal(1), Literal(1)), Literal(s))
+        CaseWhen(Seq(
+          (IsNull(t): Expression, Literal("Null"): Expression),
+          (first("{"), Literal("Object")),
+          (first("["), Literal("Array")),
+          (Or(EqualTo(t, Literal("true")), EqualTo(t, Literal("false"))), Literal("Bool")),
+          (RLike(t, Literal("^-?[0-9]+$")), Literal("Int64")),
+          (RLike(t, Literal("^-?[0-9.eE+-]+$")), Literal("Double"))),
+          Some(Literal("String")))
+      }))
+  }
 
   /** CH mode string ('aes-128-ecb' …) → Spark AesEncrypt/AesDecrypt. */
   private def aesCall(cs: Seq[Expression], decrypt: Boolean): Expression = {

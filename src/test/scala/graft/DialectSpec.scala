@@ -958,4 +958,36 @@ class DialectSpec extends SparkSpec {
     assert(h.getSeq[String](2) === Seq.empty)
     assert(h.getSeq[String](3) === Seq.empty)
   }
+
+  test("JSON family completion: length/keys/type/unquote/raw arrays, simpleJSON") {
+    val j = """'{"a": 1, "b": [10, 20, {"c": 3}], "s": "hi", "f": 2.5, "t": true}'"""
+    val r = one(s"""SELECT
+        isValidJSON($j), isValidJSON('{bad'),
+        JSONLength($j), JSONLength($j, 'b'),
+        JSONExtractKeys($j), JSONKey($j, 2),
+        JSONUnquote('"abc"'), JSONUnquote('123'),
+        JSONExtractArrayRaw($j, 'b'),
+        JSONType($j), JSONType($j, 'b'), JSONType($j, 'a'),
+        JSONType($j, 'f'), JSONType($j, 't'),
+        simpleJSONExtractInt($j, 'a'), visitParamExtractFloat($j, 'f'),
+        simpleJSONHas($j, 's'), JSONExtractUInt($j, 'a')""")
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === false)
+    assert(r.getInt(2) === 5)
+    assert(r.getInt(3) === 3)
+    assert(r.getSeq[String](4) === Seq("a", "b", "s", "f", "t"))
+    assert(r.getString(5) === "b")
+    assert(r.getString(6) === "abc")
+    assert(r.getString(7) === "123")
+    assert(r.getSeq[String](8) === Seq("10", "20", """{"c":3}"""))
+    assert(r.getString(9) === "Object")
+    assert(r.getString(10) === "Array")
+    assert(r.getString(11) === "Int64")
+    assert(r.getString(12) === "Double")
+    assert(r.getString(13) === "Bool")
+    assert(r.getLong(14) === 1L)
+    assert(r.getDouble(15) === 2.5)
+    assert(r.getBoolean(16) === true)
+    assert(r.getLong(17) === 1L)
+  }
 }
