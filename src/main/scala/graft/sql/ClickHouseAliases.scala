@@ -330,6 +330,17 @@ object ClickHouseAliases {
     "assumeNotNull" -> (cs => KnownNotNull(cs.head)),
     "sipHash64" -> (cs => new XxHash64(cs)), // hash parity non-goal (SURVEY §2.2)
     "murmurHash3_64" -> (cs => new XxHash64(cs)),
+    // javaHash/hiveHash (FunctionsHashing.h:721,830) are EXACT: Java
+    // String.hashCode is what Spark's HiveHash computes for strings,
+    // and hiveHash is javaHash with the sign bit zeroed.
+    "javaHash" -> (cs => HiveHash(Seq(Cast(cs.head, StringType)))),
+    "hiveHash" -> (cs => BitwiseAnd(
+      HiveHash(Seq(Cast(cs.head, StringType))), Literal(0x7fffffff))),
+    // remaining 64-bit hash spellings — parity non-goal, stable stand-in
+    "farmHash64" -> (cs => new XxHash64(cs)),
+    "farmFingerprint64" -> (cs => new XxHash64(cs)),
+    "metroHash64" -> (cs => new XxHash64(cs)),
+    "murmurHash2_64" -> (cs => new XxHash64(cs)),
 
     // bits / strings round 4
     "bitShiftLeft" -> (cs => ShiftLeft(cs.head, Cast(cs(1), IntegerType))),

@@ -990,4 +990,15 @@ class DialectSpec extends SparkSpec {
     assert(r.getBoolean(16) === true)
     assert(r.getLong(17) === 1L)
   }
+
+  test("javaHash/hiveHash match Java String.hashCode exactly") {
+    val r = one("""SELECT javaHash('abc'), javaHash(''),
+                   javaHash('Hello World'), hiveHash('abc'),
+                   farmHash64('x') = farmHash64('x')""")
+    assert(r.getInt(0) === "abc".hashCode) // 96354
+    assert(r.getInt(1) === 0)
+    assert(r.getInt(2) === "Hello World".hashCode)
+    assert(r.getInt(3) === ("abc".hashCode & 0x7fffffff))
+    assert(r.getBoolean(4))
+  }
 }
