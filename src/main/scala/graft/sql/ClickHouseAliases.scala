@@ -1708,7 +1708,45 @@ object ClickHouseAliases {
             Seq(lv("p")))))
     }),
     "URLHierarchy" -> (cs => urlHierarchy(cs.head, includeHead = true)),
-    "URLPathHierarchy" -> (cs => urlHierarchy(cs.head, includeHead = false))
+    "URLPathHierarchy" -> (cs => urlHierarchy(cs.head, includeHead = false)),
+    // string-family stragglers
+    "formatReadableDecimalSize" -> (cs => {
+      val b = Cast(cs.head, DoubleType)
+      val units = Seq("B", "KB", "MB", "GB", "TB", "PB")
+      val branches = units.zipWithIndex.map { case (u, i) =>
+        (LessThan(b, Literal(math.pow(1000.0, i + 1.0))): Expression,
+         FormatString(Literal(s"%.2f $u"),
+           Divide(b, Literal(math.pow(1000.0, i.toDouble)))): Expression)
+      }
+      CaseWhen(branches, Some(FormatString(Literal("%.2f EB"),
+        Divide(b, Literal(1e18)))))
+    }),
+    "regexpQuoteMeta" -> (cs =>
+      RegExpReplace(cs.head, Literal("([\\\\.^$|?*+()\\[\\]{}\\-])"),
+        Literal("\\\\$1"), Literal(1))),
+    "multiSearchAllPositionsCaseInsensitive" -> (cs =>
+      msPositions(cs.head, cs(1), ci = true)),
+    "multiSearchAllPositionsUTF8" -> (cs => msPositions(cs.head, cs(1), ci = false)),
+    "multiSearchAllPositionsCaseInsensitiveUTF8" -> (cs =>
+      msPositions(cs.head, cs(1), ci = true)),
+    // multiMatchAnyIndex: 1-based index of the FIRST pattern (by
+    // pattern order — the reference returns any matching index; pattern
+    // order is the deterministic choice) that finds a match; 0 if none.
+    "multiMatchAnyIndex" -> (cs => {
+      val flags = ZipWith(cs(1), new Sequence(Literal(1), Size(cs(1)), None),
+        LambdaFunction(If(RLike(cs.head, lv("p")), lv("i"), Literal(0)),
+          Seq(lv("p"), lv("i"))))
+      val hits = ArrayFilter(flags,
+        LambdaFunction(GreaterThan(lv("x"), Literal(0)), Seq(lv("x"))))
+      If(EqualTo(Size(hits), Literal(0)), Literal(0), ElementAt(hits, Literal(1)))
+    }),
+    "multiMatchAllIndices" -> (cs => {
+      val flags = ZipWith(cs(1), new Sequence(Literal(1), Size(cs(1)), None),
+        LambdaFunction(If(RLike(cs.head, lv("p")), lv("i"), Literal(0)),
+          Seq(lv("p"), lv("i"))))
+      ArrayFilter(flags,
+        LambdaFunction(GreaterThan(lv("x"), Literal(0)), Seq(lv("x"))))
+    })
   )
 
   /** JSON-family completion (reference FunctionsJSON.cpp:162-180 +

@@ -1001,4 +1001,22 @@ class DialectSpec extends SparkSpec {
     assert(r.getInt(3) === ("abc".hashCode & 0x7fffffff))
     assert(r.getBoolean(4))
   }
+
+  test("string stragglers: decimal size, regexpQuoteMeta, multiMatch indices") {
+    val r = one("""SELECT
+        formatReadableDecimalSize(1500),
+        formatReadableDecimalSize(1234567),
+        regexpQuoteMeta('a.b*c'),
+        multiSearchAllPositionsCaseInsensitive('Hello', array('hell', 'O')),
+        multiMatchAnyIndex('hello world', array('^x', 'wor.d$', 'l+')),
+        multiMatchAnyIndex('zzz', array('^x', 'y')),
+        multiMatchAllIndices('hello world', array('^x', 'wor.d$', 'l+'))""")
+    assert(r.getString(0) === "1.50 KB")
+    assert(r.getString(1) === "1.23 MB")
+    assert(r.getString(2) === "a\\.b\\*c")
+    assert(r.getSeq[Int](3) === Seq(1, 5))
+    assert(r.getInt(4) === 2)
+    assert(r.getInt(5) === 0)
+    assert(r.getSeq[Int](6) === Seq(2, 3))
+  }
 }
