@@ -123,6 +123,55 @@ object TpcdsShapes4 {
         FROM r WHERE rnk <= 10
         ORDER BY channel, rnk, part_bucket""")),
 
+    // q23: sales restricted to FREQUENT item buckets (HAVING over a
+    // grouped fact) AND best customers (spend above half the max
+    // single-customer spend — a scalar aggregate OF an aggregate,
+    // broadcast against the customer rollup) — the two-semi-join +
+    // broadcast-scalar shape.
+    QueryDef(
+      "tpcds_frequent_best_sales",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val li = Tables(s, dir, "lineitem")
+        val fact = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_partkey") % 100).as("bucket"),
+            col("l_quantity"), col("l_extendedprice"))
+        val frequent = fact.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > 700)
+          .select(col("bucket"))
+        val spend = o.groupBy(col("o_custkey").as("cust"))
+          .agg(lsum2(col("o_totalprice")).as("spend"))
+        val maxSpend = spend.agg(max(col("spend")).as("max_spend"))
+        val best = spend.crossJoin(broadcast(maxSpend))
+          .filter(col("spend") > col("max_spend") * 0.5)
+          .select(col("cust"))
+        fact.join(broadcast(frequent), "bucket")
+          .join(broadcast(best), "cust")
+          .agg(count(lit(1)).as("n_sales"),
+            lsum2(col("l_extendedprice")).cast(Num.D2).as("revenue"))
+      },
+      Some("""
+        WITH fact AS (
+          SELECT o.o_custkey AS cust, l.l_partkey % 100 AS bucket,
+            l.l_quantity, l.l_extendedprice
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        frequent AS (
+          SELECT bucket FROM fact GROUP BY bucket HAVING COUNT(*) > 700),
+        spend AS (
+          SELECT o_custkey AS cust,
+            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS spend
+          FROM orders GROUP BY 1),
+        best AS (
+          SELECT cust FROM spend WHERE spend > (SELECT MAX(spend) FROM spend) * 0.5)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sales,
+          CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+            AS DECIMAL(18,2)) AS revenue
+        FROM fact
+        WHERE fact.bucket IN (SELECT bucket FROM frequent)
+          AND fact.cust IN (SELECT cust FROM best)""")),
+
     // q31: nations whose urgent-channel revenue share grew faster than
     // the regular channel across 1995 Q1→Q2 AND Q2→Q3 — six grouped
     // subqueries of the same fact joined on the nation.

@@ -104,7 +104,8 @@ class GoldenPlanSpec extends SparkSpec {
   Seq("session_analysis_tuples", "scalar_decimal_casts",
       "running_accumulate_revenue", "tpcds_monthly_dev_neighbors",
       "tpcds_channel_share_growth", "tpcds_return_ratio_ranks",
-      "multimodal_codec_roundtrip").foreach { q =>
+      "multimodal_codec_roundtrip", "text_multisearch",
+      "url_functions_extended", "extremes_decoration").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
 }

@@ -26,6 +26,7 @@ class PlanSweepSpec extends SparkSpec {
     "bitmap_subset_slice",  // same 1-row x 1-row singleton-bitmap shape
     "tpcds_promo_ratio",    // q61 shape: 1-row x 1-row scalar-aggregate ratio
     "tpcds_below_avg_parts", // q65 shape: broadcast of a 1-row scalar aggregate
+    "tpcds_frequent_best_sales", // q23 shape: broadcast 1-row max-spend scalar
     "trivial_count"         // metadata-only
   )
   private val skipExecutionShapes = Set(
