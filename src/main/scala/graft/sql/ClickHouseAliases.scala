@@ -34,7 +34,7 @@ object ClickHouseAliases {
 
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
-      wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9
+      wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9 ++ wave10
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -1648,6 +1648,80 @@ object ClickHouseAliases {
     */
   private def wave9: Seq[(String, Seq[Expression] => Expression)] =
     wave9urls ++ jsonCompletion
+
+  private def litDouble(e: Expression, what: String): Double = e match {
+    case Literal(v, _) if v != null => v.toString.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  /** The AUC-heuristic aggregate family (reference
+    * AggregateFunctionFastAuc.cpp / FastAuc2.cpp / FastAuc3.cpp /
+    * FastPrevAuc2.cpp / DebiasAuc.cpp / EcpmAuc.cpp / RegAuc.cpp /
+    * RegAucV2.cpp). ClickHouse's parametric call f(params)(args) is
+    * flattened params-first, per this registry's quantile* convention:
+    * fastAuc2([precision[, min[, max]],] pred, label). fastAuc2 /
+    * fastAuc3 / fastPrevAuc2 share one implementation (fastAuc3's
+    * float64 rank math — see BucketedRankAucAgg scaladoc for the
+    * fastAuc2 integer-truncation divergence); regAuc / regAucV2 both
+    * use the corrected V2 tie counting, and their num_reg_sample
+    * parameter is accepted but the exact fraction is always computed
+    * (the reference's sampled path is random_device-seeded and
+    * inherently nondeterministic).
+    */
+  private def wave10: Seq[(String, Seq[Expression] => Expression)] = {
+    def bucketed(name: String)(cs: Seq[Expression]): Expression = {
+      val params = cs.dropRight(2).map(litDouble(_, s"$name parameter"))
+      val precision = params.lift(0).getOrElse(0.00001)
+      val min = params.lift(1).getOrElse(0.0)
+      val max = params.lift(2).getOrElse(1.0)
+      val data = cs.takeRight(2)
+      graft.aggregates.BucketedRankAucAgg(
+        Cast(data.head, DoubleType), Cast(data(1), DoubleType), Literal(1.0),
+        precision, min, max)
+    }
+    def regAuc(name: String)(cs: Seq[Expression]): Expression = {
+      val params = cs.dropRight(2).map(litDouble(_, s"$name parameter"))
+      // params(0) = num_reg_sample: accepted, exact path always taken.
+      val flag = params.lift(1).map(_.toInt).getOrElse(1)
+      val data = cs.takeRight(2)
+      graft.aggregates.RegAucAgg(
+        Cast(data.head, DoubleType), Cast(data(1), DoubleType), flag)
+    }
+    Seq(
+      "fastAuc" -> (cs => {
+        val isReg = cs.size > 2 && litDouble(cs.head, "fastAuc is_regression") != 0.0
+        val data = cs.takeRight(2)
+        graft.aggregates.FastAucAgg(
+          Cast(data.head, DoubleType), Cast(data(1), DoubleType), isReg)
+      }),
+      "fastAuc2" -> (cs => bucketed("fastAuc2")(cs)),
+      "fastAuc3" -> (cs => bucketed("fastAuc3")(cs)),
+      "fastPrevAuc2" -> (cs => bucketed("fastPrevAuc2")(cs)),
+      // debiasAuc(…)(pred, label, sample_rate): rows weighted 1/sample_rate.
+      "debiasAuc" -> (cs => {
+        val params = cs.dropRight(3).map(litDouble(_, "debiasAuc parameter"))
+        val precision = params.lift(0).getOrElse(0.00001)
+        val min = params.lift(1).getOrElse(0.0)
+        val max = params.lift(2).getOrElse(1.0)
+        val data = cs.takeRight(3)
+        graft.aggregates.BucketedRankAucAgg(
+          Cast(data.head, DoubleType), Cast(data(1), DoubleType),
+          Divide(Literal(1.0), Cast(data(2), DoubleType)),
+          precision, min, max)
+      }),
+      "ecpmAuc" -> (cs => {
+        val params = cs.dropRight(2).map(litDouble(_, "ecpmAuc parameter"))
+        val precision = params.lift(0).getOrElse(0.00001)
+        val min = params.lift(1).getOrElse(-2.5)
+        val max = params.lift(2).getOrElse(2.5)
+        val data = cs.takeRight(2)
+        graft.aggregates.EcpmAucAgg(
+          Cast(data.head, DoubleType), Cast(data(1), DoubleType), precision, min, max)
+      }),
+      "regAuc" -> (cs => regAuc("regAuc")(cs)),
+      "regAucV2" -> (cs => regAuc("regAucV2")(cs)))
+  }
 
   private def wave9urls: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "domainWithoutWWW" -> (cs =>
