@@ -51,6 +51,16 @@ object Engine {
     spark.udf.register("bitmap_cardinality", aggregates.BitmapAggregates.bitmapCardinality)
     spark.udf.register("bitmap_and_cardinality", aggregates.BitmapAggregates.bitmapAndCardinality)
     spark.udf.register("bitmap_or_cardinality", aggregates.BitmapAggregates.bitmapOrCardinality)
+    // bitmapFromColumn (AggregateFunctionBitmapFromColumn.cpp) is the
+    // reference's name for the int-column → BitMap64 build; same
+    // aggregate as group_bitmap.
+    spark.udf.register("bitmapFromColumn", aggregates.BitmapAggregates.groupBitmap)
+    spark.udf.register("bitmapColumnOr", aggregates.BitmapAggregates.bitmapColumnOr)
+    spark.udf.register("bitmapColumnAnd", aggregates.BitmapAggregates.bitmapColumnAnd)
+    spark.udf.register("bitmapColumnXor", aggregates.BitmapAggregates.bitmapColumnXor)
+    spark.udf.register("bitmapColumnCardinality",
+      aggregates.BitmapAggregates.bitmapColumnCardinality)
+    spark.udf.register("bitmapColumnHas", aggregates.BitmapAggregates.bitmapColumnHas)
   }
 
   /** SQL front door over an sf directory: registers the catalog and runs

@@ -89,6 +89,71 @@ object BitmapAggregates {
       val x = deserialize(a); x.and(deserialize(b)); !x.isEmpty
     })
 
+  /** Fold state for the bitmapColumn* logic aggregates — AND needs the
+    * reference's has_value flag (AggregateFunctionBitmapLogic.h:197: the
+    * first bitmap seeds the accumulator; an unconditional AND with the
+    * empty zero() would annihilate everything).
+    */
+  final class BitmapFoldState extends Serializable {
+    var bm: Roaring64NavigableMap = new Roaring64NavigableMap()
+    var hasValue: Boolean = false
+  }
+
+  /** bitmapColumnOr / bitmapColumnAnd / bitmapColumnXor /
+    * bitmapColumnCardinality (reference AggregateFunctionBitmapLogic.cpp:
+    * 94-97): fold a bitmap-typed column with the set operation —
+    * commutative and associative, so the distributed merge order is
+    * immaterial. Cardinality is the OR fold finishing in |·|.
+    */
+  class BitmapColumnFold(op: String, asCardinality: Boolean)
+      extends Aggregator[Array[Byte], BitmapFoldState, Any] with Serializable {
+    def zero: BitmapFoldState = new BitmapFoldState
+    private def combine(s: BitmapFoldState, other: Roaring64NavigableMap): BitmapFoldState = {
+      if (!s.hasValue) { s.bm = other; s.hasValue = true }
+      else op match {
+        case "or" => s.bm.or(other)
+        case "and" => s.bm.and(other)
+        case "xor" => s.bm.xor(other)
+      }
+      s
+    }
+    def reduce(b: BitmapFoldState, bytes: Array[Byte]): BitmapFoldState =
+      if (bytes == null) b else combine(b, deserialize(bytes))
+    def merge(a: BitmapFoldState, b: BitmapFoldState): BitmapFoldState =
+      if (!b.hasValue) a
+      else if (!a.hasValue) b
+      else combine(a, b.bm)
+    def finish(b: BitmapFoldState): Any =
+      if (asCardinality) b.bm.getLongCardinality else serialize(b.bm)
+    def bufferEncoder: Encoder[BitmapFoldState] = Encoders.kryo
+    def outputEncoder: Encoder[Any] =
+      (if (asCardinality) Encoders.scalaLong else Encoders.BINARY)
+        .asInstanceOf[Encoder[Any]]
+  }
+
+  val bitmapColumnOr: UserDefinedFunction =
+    udaf(new BitmapColumnFold("or", false), Encoders.BINARY)
+  val bitmapColumnAnd: UserDefinedFunction =
+    udaf(new BitmapColumnFold("and", false), Encoders.BINARY)
+  val bitmapColumnXor: UserDefinedFunction =
+    udaf(new BitmapColumnFold("xor", false), Encoders.BINARY)
+  val bitmapColumnCardinality: UserDefinedFunction =
+    udaf(new BitmapColumnFold("or", true), Encoders.BINARY)
+
+  /** bitmapColumnHas(bitmap, key) (AggregateFunctionBitmapLogic.h:283):
+    * whether ANY of the grouped bitmaps contains the key.
+    */
+  val bitmapColumnHas: UserDefinedFunction =
+    udaf(new Aggregator[BitmapHasInput, Boolean, Boolean] {
+      def zero: Boolean = false
+      def reduce(b: Boolean, in: BitmapHasInput): Boolean =
+        b || (in.bm != null && deserialize(in.bm).contains(in.key))
+      def merge(a: Boolean, b: Boolean): Boolean = a || b
+      def finish(b: Boolean): Boolean = b
+      def bufferEncoder: Encoder[Boolean] = Encoders.scalaBoolean
+      def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
+    }, Encoders.product[BitmapHasInput])
+
   /** subBitmap(state, offset, limit) — the elements at sorted POSITIONS
     * [offset, offset+limit) as a new bitmap (reference
     * FunctionsBitmap.h:713 — offset counts elements, not values).
@@ -107,6 +172,9 @@ object BitmapAggregates {
       serialize(out)
     })
 }
+
+/** Input row for [[BitmapAggregates.bitmapColumnHas]]. */
+final case class BitmapHasInput(bm: Array[Byte], key: Long)
 
 /** SpaceSaving buffer: key→count map plus a count-ordered index
   * (Stream-Summary analogue — the reference keeps counts in sorted

@@ -78,6 +78,47 @@ object BitmapLifecycle {
           CAST(SUM(CASE WHEN j.nxt IS NOT NULL AND NOT EXISTS
               (SELECT 1 FROM ud b WHERE b.user_id = j.user_id AND b.day = j.nxt)
             THEN 1 ELSE 0 END) AS BIGINT) AS lost
-        FROM j GROUP BY j.day ORDER BY j.day"""))
+        FROM j GROUP BY j.day ORDER BY j.day""")),
+
+    // bitmapColumnOr/And/Xor/Cardinality/Has (reference
+    // AggregateFunctionBitmapLogic.cpp:94-98) + bitmapFromColumn
+    // (AggregateFunctionBitmapFromColumn.cpp): one compressed bitmap per
+    // (type, day), then the per-type fold combines #days tiny bitmaps —
+    // OR = any-day audience, AND = every-day regulars, XOR = odd-day
+    // parity, Has = membership probe. Set ops are commutative/associative
+    // so distributed merge order is immaterial.
+    QueryDef(
+      "bitmap_column_logic",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .where(to_date(col("ts")).between(
+            lit("2024-01-01").cast("date"), lit("2024-01-07").cast("date")))
+          .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+          .groupBy("event_type", "day")
+          .agg(BitmapAggregates.groupBitmap(col("user_id")).as("bm"))
+        daily.groupBy("event_type")
+          .agg(
+            BitmapAggregates.bitmapColumnCardinality(col("bm")).as("users_any_day"),
+            BitmapAggregates.bitmapCardinality(
+              BitmapAggregates.bitmapColumnAnd(col("bm"))).as("users_every_day"),
+            BitmapAggregates.bitmapCardinality(
+              BitmapAggregates.bitmapColumnXor(col("bm"))).as("users_odd_days"),
+            BitmapAggregates.bitmapColumnHas(col("bm"), lit(17L)).as("has_user_17"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ud AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+          FROM events
+          WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'),
+        nd AS (SELECT event_type, COUNT(DISTINCT day) AS ndays FROM ud GROUP BY 1),
+        per_user AS (SELECT event_type, user_id, COUNT(DISTINCT day) AS d
+                     FROM ud GROUP BY 1, 2)
+        SELECT p.event_type,
+          CAST(COUNT(*) AS BIGINT) AS users_any_day,
+          CAST(SUM(CASE WHEN p.d = nd.ndays THEN 1 ELSE 0 END) AS BIGINT) AS users_every_day,
+          CAST(SUM(CASE WHEN p.d % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS users_odd_days,
+          bool_or(p.user_id = 17) AS has_user_17
+        FROM per_user p JOIN nd ON nd.event_type = p.event_type
+        GROUP BY p.event_type ORDER BY p.event_type"""))
   )
 }

@@ -1720,7 +1720,55 @@ object ClickHouseAliases {
           Cast(data.head, DoubleType), Cast(data(1), DoubleType), precision, min, max)
       }),
       "regAuc" -> (cs => regAuc("regAuc")(cs)),
-      "regAucV2" -> (cs => regAuc("regAucV2")(cs)))
+      "regAucV2" -> (cs => regAuc("regAucV2")(cs)),
+      // countByGranularity([granularity,] x) — reference
+      // AggregateFunctionCountByGranularity.cpp:410, default 8192.
+      "countByGranularity" -> (cs => {
+        val g = if (cs.size > 1) litDouble(cs.head, "countByGranularity granularity").toLong
+                else 8192L
+        graft.aggregates.CountByGranularityAgg(cs.last, g)
+      }),
+      // -Stack combinator (reference AggregateFunctionStackGraph.h:58
+      // scaladoc block, registered as the "Stack" suffix at
+      // AggregateFunctionStackGraph.cpp:123): -Resample bucketing, but
+      // bucket i's emitted value is the nested aggregate over buckets
+      // 0..i (the reference prefix-merges states at result time) and each
+      // element carries its bucket key: array<struct(ts, val)>. Lowered
+      // like -Resample to one CreateArray of conditional aggregates over
+      // widening prefixes — still a single hash aggregate.
+      "sumStack" -> (cs => stack(cs, e => Sum(e), zeroDefault = true)),
+      "countStack" -> (cs => stack(cs, e => Count(Seq(e)), zeroDefault = true)),
+      "avgStack" -> (cs => stack(cs, e => Average(e), zeroDefault = false)))
+  }
+
+  /** aggStack(start, end, step)(x, key) flattened params-first; see the
+    * wave10 -Stack registration comment.
+    */
+  private def stack(
+      cs: Seq[Expression],
+      mk: Expression => AggregateFunction,
+      zeroDefault: Boolean): Expression = {
+    def bound(e: Expression, what: String): Long = e match {
+      case Literal(v, _) if v != null => v.toString.toLong
+      case other => throw new IllegalArgumentException(
+        s"-Stack: $what must be an integer literal, got $other")
+    }
+    require(cs.size == 5, s"-Stack expects (start, end, step, x, key); got ${cs.size} args")
+    val start = bound(cs.head, "start")
+    val end = bound(cs(1), "end")
+    val step = bound(cs(2), "step")
+    require(step > 0 && end > start, s"-Stack: need step > 0 and end > start")
+    val n = ((end - start + step - 1) / step).toInt
+    require(n <= 4096, s"-Stack: $n buckets exceeds the reference's 4096 cap")
+    val (x, key) = (cs(3), cs(4))
+    CreateArray((0 until n).map { i =>
+      val hi = math.min(start + (i + 1) * step, end)
+      val cond = And(GreaterThanOrEqual(key, Literal(start)), LessThan(key, Literal(hi)))
+      val agg: Expression = mk(nullUnless(cond, x)).toAggregateExpression()
+      CreateNamedStruct(Seq(
+        Literal("ts"), Literal(start + i * step),
+        Literal("val"), if (zeroDefault) Coalesce(Seq(agg, Literal(0))) else agg))
+    })
   }
 
   private def wave9urls: Seq[(String, Seq[Expression] => Expression)] = Seq(
