@@ -64,6 +64,31 @@ object CoverageWave9 {
                 WHERE d.event_type = t.event_type
                   AND d.day >= 0 AND d.day < LEAST(w.ts + 7, 28)) AS BIGINT) AS cum_value
         FROM types t CROSS JOIN weeks w
-        ORDER BY t.event_type, week_start"""))
+        ORDER BY t.event_type, week_start""")),
+
+    // stochasticLinearRegression + evalMLMethod (reference
+    // AggregateFunctionMLMethod.cpp:111): per-type mini-batch SGD over a
+    // synthetic linear target; mini-batch training is arrival-order-
+    // dependent (in the reference too), so the gate is rows-only — the
+    // exact single-stream algorithm is differentially gated in
+    // StochasticRegressionSpec.
+    QueryDef(
+      "ml_stochastic_regression",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""
+          WITH f AS (SELECT event_type,
+              (event_id % 97) / 97.0 AS x1, (user_id % 89) / 89.0 AS x2,
+              2.0 * ((event_id % 97) / 97.0) - ((user_id % 89) / 89.0) + 0.5 AS y
+            FROM events),
+          m AS (SELECT event_type,
+              stochasticLinearRegression(0.2, 0.0, 20, 'SGD', y, x1, x2) AS w,
+              COUNT(*) AS n
+            FROM f GROUP BY event_type)
+          SELECT event_type, size(w) AS n_params, n,
+            evalMLMethod(w, 0.5, 0.5) IS NOT NULL AS scored
+          FROM m ORDER BY event_type""")
+      },
+      None)
   )
 }

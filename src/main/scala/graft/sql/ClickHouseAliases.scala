@@ -1738,7 +1738,53 @@ object ClickHouseAliases {
       // widening prefixes — still a single hash aggregate.
       "sumStack" -> (cs => stack(cs, e => Sum(e), zeroDefault = true)),
       "countStack" -> (cs => stack(cs, e => Count(Seq(e)), zeroDefault = true)),
-      "avgStack" -> (cs => stack(cs, e => Average(e), zeroDefault = false)))
+      "avgStack" -> (cs => stack(cs, e => Average(e), zeroDefault = false)),
+      // stochasticLinearRegression / stochasticLogisticRegression
+      // (reference AggregateFunctionMLMethod.cpp:111; defaults lr=1.0,
+      // l2=0.5, batch=15, updater='Adam'): params-first flattened —
+      // leading literals (≤4) are (lr, l2, batch, 'updater'), the rest
+      // is (target, features…). See StochasticRegressionAgg.
+      "stochasticLinearRegression" -> (cs => mlMethod(cs, isLogistic = false)),
+      "stochasticLogisticRegression" -> (cs => mlMethod(cs, isLogistic = true)),
+      // evalMLMethod(weights_array, f…): apply a trained state —
+      // bias is the array's last element (returnWeights layout). The
+      // reference dispatches linear-vs-sigmoid on the state's TYPE,
+      // which a plain float64 array doesn't carry: this spelling is the
+      // linear application; evalMLMethodSigmoid is the logistic one.
+      "evalMLMethod" -> (cs => evalMl(cs)),
+      "evalMLMethodSigmoid" -> (cs => {
+        val z = evalMl(cs)
+        Divide(Literal(1.0), Add(Literal(1.0), Exp(UnaryMinus(z))))
+      }))
+  }
+
+  private def evalMl(cs: Seq[Expression]): Expression = {
+    val arr = cs.head
+    val feats = cs.tail
+    val k = feats.size
+    feats.zipWithIndex.foldLeft[Expression](
+      ElementAt(arr, Literal(k + 1))) { case (acc, (f, i)) =>
+      Add(acc, Multiply(ElementAt(arr, Literal(i + 1)), Cast(f, DoubleType)))
+    }
+  }
+
+  private def mlMethod(cs: Seq[Expression], isLogistic: Boolean): Expression = {
+    val params = cs.takeWhile(_.isInstanceOf[Literal]).take(4)
+    val data = cs.drop(params.size)
+    require(data.size >= 2,
+      "stochastic regression needs (target, feature…) after the literal parameters")
+    def num(i: Int, dflt: Double): Double = params.lift(i) match {
+      case Some(Literal(v, _)) if v != null && !v.isInstanceOf[org.apache.spark.unsafe.types.UTF8String] =>
+        v.toString.toDouble
+      case _ => dflt
+    }
+    val updater = params.lift(3).orElse(params.lift(params.size - 1)) match {
+      case Some(Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) => s.toString
+      case _ => "Adam"
+    }
+    graft.aggregates.StochasticRegressionAgg(
+      data.map(Cast(_, DoubleType)), isLogistic,
+      num(0, 1.0), num(1, 0.5), num(2, 15.0).toLong, updater)
   }
 
   /** aggStack(start, end, step)(x, key) flattened params-first; see the
