@@ -89,6 +89,165 @@ object CoverageWave9 {
             evalMLMethod(w, 0.5, 0.5) IS NOT NULL AS scored
           FROM m ORDER BY event_type""")
       },
-      None)
+      None),
+
+    // attributionAnalysisFuse (reference
+    // AggregateFunctionAttributionAnalysisFuse.h:201): second-stage merge
+    // of per-user attribution tuples — per (event, attribute) key: summed
+    // clicks/valids/value, ratio, contribution = value/Σvalue, and the
+    // reference's 10-bucket integer-gap histograms of the transform
+    // time/step samples. The per-user tuples are synthesized
+    // arithmetically so the oracle can rebuild the exact same input; the
+    // fuse aggregate is the unit under test.
+    QueryDef(
+      "attribution_analysis_fuse",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""
+          WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
+          t AS (SELECT named_struct(
+              'touch_events', array(array('click', concat('seg', CAST(uid % 3 AS STRING))),
+                                    array('view',  concat('seg', CAST(uid % 2 AS STRING)))),
+              'click_cnt', array(CAST(1 + uid % 5 AS BIGINT), CAST(1 + uid % 7 AS BIGINT)),
+              'valid_transform_cnt', array(CAST(uid % 4 AS BIGINT), CAST(uid % 2 AS BIGINT)),
+              'transform_times', array(array(CAST(10 + uid % 50 AS BIGINT)),
+                                       array(CAST(5 + uid % 80 AS BIGINT))),
+              'transform_steps', array(array(CAST(1 + uid % 4 AS BIGINT)),
+                                       array(CAST(1 + uid % 6 AS BIGINT))),
+              'value', array(CAST(uid % 10 AS DOUBLE), CAST(uid % 4 AS DOUBLE)),
+              'contribution', array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))) AS tup
+            FROM u),
+          m AS (SELECT attributionAnalysisFuse(tup) AS r FROM t)
+          SELECT element_at(ke, 1) AS ev, element_at(ke, 2) AS attr,
+            element_at(r.click_cnt, pos + 1) AS clicks,
+            element_at(r.valid_transform_cnt, pos + 1) AS valid,
+            CAST(element_at(r.valid_transform_ratio, pos + 1) AS DECIMAL(18,6)) AS ratio,
+            array_join(element_at(r.transform_time_distribution, pos + 1), ',') AS time_dist,
+            array_join(element_at(r.transform_step_distribution, pos + 1), ',') AS step_dist,
+            CAST(element_at(r.value, pos + 1) AS DECIMAL(18,2)) AS value,
+            CAST(element_at(r.contribution, pos + 1) AS DECIMAL(18,6)) AS contribution
+          FROM m LATERAL VIEW posexplode(r.touch_events) p AS pos, ke
+          ORDER BY ev, attr""")
+      },
+      Some("""
+        WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
+        rws AS (
+          SELECT 'click' AS ev, 'seg' || CAST(uid % 3 AS VARCHAR) AS attr,
+                 1 + uid % 5 AS clicks, uid % 4 AS valid,
+                 10 + uid % 50 AS t, 1 + uid % 4 AS st,
+                 CAST(uid % 10 AS DOUBLE) AS val
+          FROM u
+          UNION ALL
+          SELECT 'view', 'seg' || CAST(uid % 2 AS VARCHAR),
+                 1 + uid % 7, uid % 2, 5 + uid % 80, 1 + uid % 6,
+                 CAST(uid % 4 AS DOUBLE)
+          FROM u),
+        agg AS (SELECT ev, attr,
+                  CAST(SUM(clicks) AS BIGINT) AS clicks,
+                  CAST(SUM(valid) AS BIGINT) AS valid,
+                  SUM(val) AS value,
+                  MIN(t) AS mn, MAX(t) AS mx, MIN(st) AS smn, MAX(st) AS smx
+                FROM rws GROUP BY 1, 2),
+        tot AS (SELECT SUM(value) AS tv FROM agg),
+        tdist AS (SELECT r.ev, r.attr,
+                    CAST(FLOOR((r.t - a.mn) / ((a.mx - a.mn) // 10 + 1)) AS INT) AS b,
+                    COUNT(*) AS c
+                  FROM rws r JOIN agg a ON a.ev = r.ev AND a.attr = r.attr
+                  WHERE r.t > 0 GROUP BY 1, 2, 3),
+        sdist AS (SELECT r.ev, r.attr,
+                    CAST(FLOOR((r.st - a.smn) / ((a.smx - a.smn) // 10 + 1)) AS INT) AS b,
+                    COUNT(*) AS c
+                  FROM rws r JOIN agg a ON a.ev = r.ev AND a.attr = r.attr
+                  WHERE r.st > 0 GROUP BY 1, 2, 3),
+        grid AS (SELECT a.ev, a.attr, gs.b
+                 FROM agg a CROSS JOIN (SELECT UNNEST(range(10)) AS b) gs),
+        tstr AS (SELECT g.ev, g.attr,
+                   string_agg(CAST(COALESCE(d.c, 0) AS VARCHAR), ',' ORDER BY g.b) AS time_dist
+                 FROM grid g LEFT JOIN tdist d
+                   ON d.ev = g.ev AND d.attr = g.attr AND d.b = g.b
+                 GROUP BY 1, 2),
+        sstr AS (SELECT g.ev, g.attr,
+                   string_agg(CAST(COALESCE(d.c, 0) AS VARCHAR), ',' ORDER BY g.b) AS step_dist
+                 FROM grid g LEFT JOIN sdist d
+                   ON d.ev = g.ev AND d.attr = g.attr AND d.b = g.b
+                 GROUP BY 1, 2)
+        SELECT a.ev, a.attr, a.clicks, a.valid,
+          CAST(a.valid * 1.0 / a.clicks AS DECIMAL(18,6)) AS ratio,
+          tstr.time_dist, sstr.step_dist,
+          CAST(a.value AS DECIMAL(18,2)) AS value,
+          CAST(a.value / tot.tv AS DECIMAL(18,6)) AS contribution
+        FROM agg a
+        JOIN tstr ON tstr.ev = a.ev AND tstr.attr = a.attr
+        JOIN sstr ON sstr.ev = a.ev AND sstr.attr = a.attr
+        CROSS JOIN tot
+        ORDER BY a.ev, a.attr""")),
+
+    // attributionCorrelationFuse: the same fuse plus a per-key Spearman
+    // rank correlation (ties-averaged, 1 − 6Σd²/(n(n²−1))) over per-user
+    // (click, valid) feature pairs, collected only from users with a
+    // valid transform somewhere (the trans_sum guard).
+    QueryDef(
+      "attribution_correlation_fuse",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""
+          WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
+          t AS (SELECT named_struct(
+              'touch_events', array(array('click', concat('seg', CAST(uid % 3 AS STRING))),
+                                    array('view',  concat('seg', CAST(uid % 2 AS STRING)))),
+              'click_cnt', array(CAST(1 + uid % 5 AS BIGINT), CAST(1 + uid % 7 AS BIGINT)),
+              'valid_transform_cnt', array(CAST(uid % 4 AS BIGINT), CAST(uid % 2 AS BIGINT)),
+              'transform_times', array(array(CAST(10 + uid % 50 AS BIGINT)),
+                                       array(CAST(5 + uid % 80 AS BIGINT))),
+              'transform_steps', array(array(CAST(1 + uid % 4 AS BIGINT)),
+                                       array(CAST(1 + uid % 6 AS BIGINT))),
+              'value', array(CAST(uid % 10 AS DOUBLE), CAST(uid % 4 AS DOUBLE)),
+              'contribution', array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))) AS tup
+            FROM u),
+          m AS (SELECT attributionCorrelationFuse(tup) AS r FROM t)
+          SELECT element_at(ke, 1) AS ev, element_at(ke, 2) AS attr,
+            CAST(element_at(r.correlation, pos + 1) AS DECIMAL(18,6)) AS corr,
+            element_at(r.click_cnt, pos + 1) AS clicks,
+            element_at(r.valid_transform_cnt, pos + 1) AS valid
+          FROM m LATERAL VIEW posexplode(r.touch_events) p AS pos, ke
+          ORDER BY ev, attr""")
+      },
+      Some("""
+        WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
+        rws AS (
+          SELECT uid, 'click' AS ev, 'seg' || CAST(uid % 3 AS VARCHAR) AS attr,
+                 CAST(1 + uid % 5 AS DOUBLE) AS x, CAST(uid % 4 AS DOUBLE) AS y,
+                 1 + uid % 5 AS clicks, uid % 4 AS valid
+          FROM u
+          UNION ALL
+          SELECT uid, 'view', 'seg' || CAST(uid % 2 AS VARCHAR),
+                 CAST(1 + uid % 7 AS DOUBLE), CAST(uid % 2 AS DOUBLE),
+                 1 + uid % 7, uid % 2
+          FROM u),
+        agg AS (SELECT ev, attr,
+                  CAST(SUM(clicks) AS BIGINT) AS clicks,
+                  CAST(SUM(valid) AS BIGINT) AS valid
+                FROM rws GROUP BY 1, 2),
+        feats AS (SELECT * FROM rws
+                  WHERE (uid % 4) + (uid % 2) > 0),
+        ranked AS (SELECT ev, attr, x, y,
+                     RANK() OVER (PARTITION BY ev, attr ORDER BY x DESC)
+                       + (COUNT(*) OVER (PARTITION BY ev, attr, x) - 1) / 2.0 AS rx,
+                     RANK() OVER (PARTITION BY ev, attr ORDER BY y DESC)
+                       + (COUNT(*) OVER (PARTITION BY ev, attr, y) - 1) / 2.0 AS ry,
+                     COUNT(*) OVER (PARTITION BY ev, attr) AS n
+                   FROM feats),
+        sp AS (SELECT ev, attr,
+                 CASE WHEN MAX(y) = 0 AND MIN(y) = 0 THEN 0.0
+                      WHEN MAX(n) <= 1 THEN 0.0
+                      ELSE 1.0 - 6.0 * SUM((rx - ry) * (rx - ry))
+                           / (MAX(n) * (MAX(n) * CAST(MAX(n) AS DOUBLE) - 1))
+                 END AS corr
+               FROM ranked GROUP BY 1, 2)
+        SELECT a.ev, a.attr,
+          CAST(COALESCE(sp.corr, 0.0) AS DECIMAL(18,6)) AS corr,
+          a.clicks, a.valid
+        FROM agg a LEFT JOIN sp ON sp.ev = a.ev AND sp.attr = a.attr
+        ORDER BY a.ev, a.attr"""))
   )
 }

@@ -1755,6 +1755,24 @@ object ClickHouseAliases {
       "evalMLMethodSigmoid" -> (cs => {
         val z = evalMl(cs)
         Divide(Literal(1.0), Add(Literal(1.0), Exp(UnaryMinus(z))))
+      }),
+      // attributionAnalysisFuse([N[, need_others],] tuple) — reference
+      // AggregateFunctionAttributionAnalysisFuse.h:201; params-first
+      // flattened, N=0 disables the top-N trim.
+      "attributionAnalysisFuse" -> (cs => {
+        val params = cs.dropRight(1).map(litDouble(_, "attributionAnalysisFuse parameter"))
+        graft.aggregates.AttributionFuseAgg(cs.last,
+          params.lift(0).map(_.toInt).getOrElse(0),
+          params.lift(1).exists(_ != 0.0))
+      }),
+      // attributionCorrelationFuse adds a per-key Spearman correlation
+      // over per-user (click, valid) feature pairs (CorrelationFuse.h).
+      "attributionCorrelationFuse" -> (cs => {
+        val params = cs.dropRight(1).map(litDouble(_, "attributionCorrelationFuse parameter"))
+        graft.aggregates.AttributionFuseAgg(cs.last,
+          params.lift(0).map(_.toInt).getOrElse(0),
+          params.lift(1).exists(_ != 0.0),
+          withCorrelation = true)
       }))
   }
 
