@@ -49,7 +49,14 @@ object ScaleSoak {
     // per-run path split (per-user buckets) and the multiSearch scan.
     "funnel_by_times", "vector_distance_pairs",
     "session_analysis_tuples", "funnel_path_split_by_times",
-    "text_multisearch")
+    "text_multisearch",
+    // round 6 continuation: bucketed-rank AUC (state ∝ buckets, not
+    // rows), the attribution fuse (state ∝ keys + per-user samples,
+    // users are the axis) and countByGranularity (state ∝ NDV).
+    // auc_reg_pairs is excluded: it runs on customer, which this soak
+    // doesn't scale — a flat ratio would be meaningless.
+    "auc_bucketed_family",
+    "attribution_analysis_fuse", "count_by_granularity")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

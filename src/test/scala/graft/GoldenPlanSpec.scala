@@ -108,4 +108,15 @@ class GoldenPlanSpec extends SparkSpec {
       "url_functions_extended", "extremes_decoration").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
+
+  // Round-6 continuation: the AUC family must stay single-hash-aggregate
+  // (bucketed state, no pair join on the Spark side), the bitmap logic
+  // fold two-level aggregate, the -Stack lowering one CreateArray hash
+  // aggregate (no explode before the final posexplode), and the
+  // attribution fuse one aggregate over the synthesized tuples.
+  Seq("auc_bucketed_family", "auc_reg_pairs", "bitmap_column_logic",
+      "count_by_granularity", "stack_graph_cumulative",
+      "attribution_analysis_fuse").foreach { q =>
+    test(s"$q optimized plan matches golden snapshot") { check(q) }
+  }
 }
