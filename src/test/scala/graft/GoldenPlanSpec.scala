@@ -21,6 +21,7 @@ class GoldenPlanSpec extends SparkSpec {
     plan
       .replaceAll("#\\d+L?", "#x")            // exprIds
       .replaceAll("plan_id=\\d+", "plan_id=x") // global physical-plan counter
+      .replaceAll("@[0-9a-f]{6,}", "@x")      // JVM object identity (UDAF instances)
       .replaceAll("file:[^\\],\\s]*", "path") // data locations
       .replaceAll("(?m)\\s+$", "")            // trailing ws
       .trim
@@ -117,6 +118,15 @@ class GoldenPlanSpec extends SparkSpec {
   Seq("auc_bucketed_family", "auc_reg_pairs", "bitmap_column_logic",
       "count_by_granularity", "stack_graph_cumulative",
       "attribution_analysis_fuse").foreach { q =>
+    test(s"$q optimized plan matches golden snapshot") { check(q) }
+  }
+
+  // Fifth TPC-DS wave: the excess-discount decorrelation must keep both
+  // small sides broadcast, the cov pair join must stay
+  // aggregate-then-equi-join (never fact×fact), and the before/after
+  // split one scan with conditional aggregates.
+  Seq("tpcds_excess_discount", "tpcds_cov_consecutive",
+      "tpcds_before_after").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
 }
