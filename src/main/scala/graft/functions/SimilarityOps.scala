@@ -1,0 +1,230 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helpers for the string-similarity / version-compare /
+  * base58 / bitmask spellings, invoked from Catalyst via StaticInvoke so
+  * the call sits inside whole-stage codegen.
+  *
+  * ngram family (reference src/Functions/FunctionsStringSimilarity.cpp):
+  * 4-gram multiset metric — needle gram multiset S (|S| = s), walk the
+  * haystack grams decrementing d (initialized to s) on a hit and, for
+  * the symmetric distance, incrementing on a miss, consuming S counts as
+  * it goes (:230). ngramDistance = d / max(h+s, 1); ngramSearch =
+  * 1 − d / max(s, 1); Float32 results like the reference. DELIBERATE
+  * DIVERGENCE: the reference buckets grams into a 2^16 CRC hash space,
+  * so its metric includes rare hash collisions; we compare exact grams.
+  * Non-UTF8 variants gram over BYTES, UTF8 variants over codepoints;
+  * case-insensitive lowers per byte (ASCII) / per codepoint (UTF8 — the
+  * reference's bit-trick lowering differs on a few exotic codepoints).
+  */
+object SimilarityOps {
+
+  private def byteGrams(s: Array[Byte], lower: Boolean): mutable.HashMap[Int, Int] = {
+    val m = mutable.HashMap.empty[Int, Int]
+    var i = 0
+    while (i + 4 <= s.length) {
+      var k = 0
+      var j = 0
+      while (j < 4) {
+        var b = s(i + j).toInt & 0xff
+        if (lower && b >= 'A' && b <= 'Z') b += 32
+        k = (k << 8) | b
+        j += 1
+      }
+      m.update(k, m.getOrElse(k, 0) + 1)
+      i += 1
+    }
+    m
+  }
+
+  private def cpGrams(s: String, lower: Boolean): mutable.HashMap[String, Int] = {
+    val cps = s.codePoints().toArray
+    val lc = if (lower) cps.map(Character.toLowerCase) else cps
+    val m = mutable.HashMap.empty[String, Int]
+    var i = 0
+    while (i + 4 <= lc.length) {
+      m.update(new String(lc, i, 4), m.getOrElse(new String(lc, i, 4), 0) + 1)
+      i += 1
+    }
+    m
+  }
+
+  private def metric[K](
+      needle: mutable.HashMap[K, Int], hay: Iterator[K],
+      symmetric: Boolean): (Long, Long, Long) = {
+    val s = needle.values.map(_.toLong).sum
+    var d = s
+    var h = 0L
+    hay.foreach { g =>
+      val c = needle.getOrElse(g, 0)
+      if (c > 0) d -= 1 else if (symmetric) d += 1
+      needle.update(g, c - 1)
+      h += 1
+    }
+    (d, h, s)
+  }
+
+  private def ngram(
+      haystack: UTF8String, needle: UTF8String,
+      utf8: Boolean, ci: Boolean, symmetric: Boolean): Float = {
+    if (haystack == null || needle == null) return 0f
+    val (d, h, s) =
+      if (!utf8) {
+        val ng = byteGrams(needle.getBytes, ci)
+        val hb = haystack.getBytes
+        val grams = (0 to hb.length - 4).iterator.map { i =>
+          var k = 0
+          var j = 0
+          while (j < 4) {
+            var b = hb(i + j).toInt & 0xff
+            if (ci && b >= 'A' && b <= 'Z') b += 32
+            k = (k << 8) | b
+            j += 1
+          }
+          k
+        }
+        metric(ng, grams, symmetric)
+      } else {
+        val ng = cpGrams(needle.toString, ci)
+        val cps = haystack.toString.codePoints().toArray
+        val lc = if (ci) cps.map(Character.toLowerCase) else cps
+        val grams = (0 to lc.length - 4).iterator.map(i => new String(lc, i, 4))
+        metric(ng, grams, symmetric)
+      }
+    if (symmetric) d.toFloat / math.max(h + s, 1L)
+    else 1f - d.toFloat / math.max(s, 1L)
+  }
+
+  def ngramDistance(h: UTF8String, n: UTF8String): Float = ngram(h, n, false, false, true)
+  def ngramDistanceCI(h: UTF8String, n: UTF8String): Float = ngram(h, n, false, true, true)
+  def ngramDistanceUTF8(h: UTF8String, n: UTF8String): Float = ngram(h, n, true, false, true)
+  def ngramDistanceCIUTF8(h: UTF8String, n: UTF8String): Float = ngram(h, n, true, true, true)
+  def ngramSearch(h: UTF8String, n: UTF8String): Float = ngram(h, n, false, false, false)
+  def ngramSearchCI(h: UTF8String, n: UTF8String): Float = ngram(h, n, false, true, false)
+  def ngramSearchUTF8(h: UTF8String, n: UTF8String): Float = ngram(h, n, true, false, false)
+  def ngramSearchCIUTF8(h: UTF8String, n: UTF8String): Float = ngram(h, n, true, true, false)
+
+  /** versionCompare / appVersionCompare (reference
+    * FunctionAppVersionCompare.h:258): dot-split segments, leading
+    * digits parsed per segment (trailing junk skipped to the next dot),
+    * compared pairwise until unequal, then the op applied; exhausted
+    * sides read the mode's default (0 for versionCompare; −2 for
+    * appVersionCompare, with a trailing dot reading −1 once). App mode
+    * returns false outright when exactly one side contains a dot.
+    */
+  def versionCompare(
+      l: UTF8String, r: UTF8String, op: UTF8String,
+      maxLength: Long, appMode: Boolean): Boolean = {
+    if (l == null || r == null || op == null) return false
+    val ls = l.toString
+    val rs = r.toString
+    if (appMode && ls.nonEmpty && rs.nonEmpty &&
+        (ls.contains('.') ^ rs.contains('.'))) return false
+    val default = if (appMode) -2 else 0
+
+    def segments(v: String): Iterator[Int] = new Iterator[Int] {
+      private var pos = 0
+      private var emittedDot = false
+      private val endsWithDot = appMode && v.nonEmpty && v.last == '.'
+      private var emitted = 0L
+      def hasNext: Boolean = emitted < maxLength &&
+        (pos < v.length || (endsWithDot && !emittedDot && pos >= v.length))
+      def next(): Int = {
+        emitted += 1
+        if (pos >= v.length) { emittedDot = true; return -1 }
+        var res = 0
+        var i = pos
+        while (i < v.length && v.charAt(i).isDigit && v.charAt(i) != '.') {
+          res = res * 10 + (v.charAt(i) - '0')
+          i += 1
+        }
+        while (i < v.length && v.charAt(i) != '.') i += 1
+        pos = if (i >= v.length) v.length else i + 1
+        res
+      }
+    }
+
+    val li = segments(ls)
+    val ri = segments(rs)
+    def apply(a: Int, b: Int): Boolean = op.toString match {
+      case "" | "=" => a == b
+      case "!=" => a != b
+      case "<" => a < b
+      case ">" => a > b
+      case "<=" => a <= b
+      case ">=" => a >= b
+      case other => throw new IllegalArgumentException(
+        s"versionCompare: unsupported op '$other'")
+    }
+    while (true) {
+      val lHas = li.hasNext
+      val rHas = ri.hasNext
+      val a = if (lHas) li.next() else default
+      val b = if (rHas) ri.next() else default
+      if (a != b) return apply(a, b)
+      if (!lHas && !rHas) return apply(default, default)
+    }
+    false
+  }
+
+  private val Base58Alphabet =
+    "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+  /** base58Encode/Decode (reference src/Functions/base58Encode.cpp
+    * family): Bitcoin alphabet, leading zero bytes encode as '1'.
+    */
+  def base58Encode(in: UTF8String): UTF8String = {
+    if (in == null) return null
+    val bytes = in.getBytes
+    var zeros = 0
+    while (zeros < bytes.length && bytes(zeros) == 0) zeros += 1
+    var num = BigInt(1, bytes)
+    val sb = new StringBuilder
+    while (num > 0) {
+      val (q, r) = num /% 58
+      sb.append(Base58Alphabet(r.toInt))
+      num = q
+    }
+    (0 until zeros).foreach(_ => sb.append('1'))
+    UTF8String.fromString(sb.reverse.toString)
+  }
+
+  def base58Decode(in: UTF8String): UTF8String = {
+    if (in == null) return null
+    val s = in.toString
+    var zeros = 0
+    while (zeros < s.length && s.charAt(zeros) == '1') zeros += 1
+    var num = BigInt(0)
+    s.foreach { c =>
+      val idx = Base58Alphabet.indexOf(c)
+      if (idx < 0) throw new IllegalArgumentException(
+        s"base58Decode: invalid character '$c'")
+      num = num * 58 + idx
+    }
+    val body = if (num == 0) Array.empty[Byte] else num.toByteArray.dropWhile(_ == 0)
+    UTF8String.fromBytes(Array.fill[Byte](zeros)(0) ++ body)
+  }
+
+  /** bitmaskToList / bitmaskToArray (reference
+    * src/Functions/FunctionsBitToArray.cpp): decompose into powers of
+    * two, ascending.
+    */
+  private def bitmaskPowers(x: Long): Array[Long] = {
+    val out = mutable.ArrayBuffer.empty[Long]
+    var bit = 0
+    while (bit < 64) {
+      if ((x & (1L << bit)) != 0) out += (1L << bit)
+      bit += 1
+    }
+    out.toArray
+  }
+
+  def bitmaskToList(x: Long): UTF8String =
+    UTF8String.fromString(bitmaskPowers(x).mkString(","))
+
+  def bitmaskToArray(x: Long): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bitmaskPowers(x))
+}

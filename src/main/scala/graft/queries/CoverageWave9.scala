@@ -248,6 +248,68 @@ object CoverageWave9 {
           CAST(COALESCE(sp.corr, 0.0) AS DECIMAL(18,6)) AS corr,
           a.clicks, a.valid
         FROM agg a LEFT JOIN sp ON sp.ev = a.ev AND sp.attr = a.attr
-        ORDER BY a.ev, a.attr"""))
+        ORDER BY a.ev, a.attr""")),
+
+    // wave-11 scalar spellings: ngramDistance/ngramSearch (the oracle
+    // rebuilds the 4-gram multiset metric via the closed form
+    // hits = Σ min(hay(g), needle(g)); results rounded to 5 decimals to
+    // absorb the reference's Float32 vs the oracle's float64 division),
+    // versionCompare/appVersionCompare, bitmaskToList, addQuarters.
+    // base58 has no DuckDB counterpart — round-trip + known vectors are
+    // in Wave11ScalarSpec.
+    QueryDef(
+      "scalar_similarity_versions",
+      (s, dir) => {
+        Tables(s, dir, "nation").createOrReplaceTempView("nation")
+        s.sql("""
+          SELECT n_name,
+            CAST(CAST(ngramDistance(n_name, 'UNITED STATES') AS DOUBLE) AS DECIMAL(18,5)) AS dist,
+            CAST(CAST(ngramSearchCaseInsensitive(n_name, 'united') AS DOUBLE) AS DECIMAL(18,5)) AS sim,
+            versionCompare(concat(CAST(n_nationkey AS STRING), '.2.1'), '10.2', '>') AS vc,
+            appVersionCompare('6.4', '6.4.0', '=') AS avc,
+            bitmaskToList(n_nationkey) AS bml,
+            addQuarters(DATE '2024-01-31', 2) AS aq,
+            subtractQuarters(DATE '2024-01-31', 1) AS sq
+          FROM nation ORDER BY n_name""")
+      },
+      Some("""
+        WITH n AS (SELECT n_nationkey, n_name FROM nation),
+        hg AS (SELECT n_name, substr(n_name, CAST(i AS INT), 4) AS g, COUNT(*) AS c
+               FROM n, generate_series(1, 30) AS t(i)
+               WHERE i <= length(n_name) - 3 GROUP BY 1, 2),
+        ng AS (SELECT substr('UNITED STATES', CAST(i AS INT), 4) AS g, COUNT(*) AS c
+               FROM generate_series(1, length('UNITED STATES') - 3) AS t(i) GROUP BY 1),
+        hits AS (SELECT hg.n_name, SUM(LEAST(hg.c, ng.c)) AS hits
+                 FROM hg JOIN ng ON ng.g = hg.g GROUP BY 1),
+        hgl AS (SELECT n_name, substr(lower(n_name), CAST(i AS INT), 4) AS g, COUNT(*) AS c
+                FROM n, generate_series(1, 30) AS t(i)
+                WHERE i <= length(n_name) - 3 GROUP BY 1, 2),
+        ngl AS (SELECT substr('united', CAST(i AS INT), 4) AS g, COUNT(*) AS c
+                FROM generate_series(1, 3) AS t(i) GROUP BY 1),
+        hitsl AS (SELECT hgl.n_name, SUM(LEAST(hgl.c, ngl.c)) AS hits
+                  FROM hgl JOIN ngl ON ngl.g = hgl.g GROUP BY 1),
+        tot AS (SELECT nn.n_nationkey, nn.n_name,
+                  COALESCE((SELECT SUM(c) FROM hg WHERE hg.n_name = nn.n_name), 0) AS h,
+                  (SELECT SUM(c) FROM ng) AS s,
+                  COALESCE(hits.hits, 0) AS hits,
+                  (SELECT SUM(c) FROM ngl) AS sl,
+                  COALESCE(hitsl.hits, 0) AS hitsl
+                FROM n nn
+                LEFT JOIN hits ON hits.n_name = nn.n_name
+                LEFT JOIN hitsl ON hitsl.n_name = nn.n_name)
+        SELECT n_name,
+          CAST(CAST(s + h - 2 * hits AS DOUBLE) / GREATEST(h + s, 1) AS DECIMAL(18,5)) AS dist,
+          CAST(1.0 - CAST(sl - hitsl AS DOUBLE) / GREATEST(sl, 1) AS DECIMAL(18,5)) AS sim,
+          CASE WHEN n_nationkey > 10 THEN TRUE
+               WHEN n_nationkey = 10 THEN TRUE
+               ELSE FALSE END AS vc,
+          FALSE AS avc,
+          COALESCE((SELECT string_agg(CAST(p AS VARCHAR), ',' ORDER BY p)
+                    FROM (SELECT (1 << CAST(b AS INT)) AS p
+                          FROM generate_series(0, 5) t(b)
+                          WHERE (n_nationkey & (1 << CAST(b AS INT))) != 0)), '') AS bml,
+          DATE '2024-07-31' AS aq,
+          DATE '2023-10-31' AS sq
+        FROM tot ORDER BY n_name"""))
   )
 }

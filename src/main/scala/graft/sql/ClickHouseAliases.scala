@@ -34,7 +34,7 @@ object ClickHouseAliases {
 
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
-      wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9 ++ wave10
+      wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9 ++ wave10 ++ wave11
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -1774,6 +1774,56 @@ object ClickHouseAliases {
           params.lift(1).exists(_ != 0.0),
           withCorrelation = true)
       }))
+  }
+
+  /** ngram similarity, version compare, base58, bitmask decomposition,
+    * quarter arithmetic, millisecond timestamps — reference
+    * FunctionsStringSimilarity.cpp, FunctionAppVersionCompare.h,
+    * base58Encode.cpp, FunctionsBitToArray.cpp,
+    * FunctionDateOrDateTimeAddInterval (quarters),
+    * FunctionFromUnixTimestampMilli.cpp. All scalar lowerings — the
+    * StaticInvoke helpers stay inside whole-stage codegen.
+    */
+  private def wave11: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val simOps = graft.functions.SimilarityOps.getClass
+    def s(e: Expression) = Cast(e, StringType)
+    def ngram(fn: String)(cs: Seq[Expression]): Expression =
+      StaticInvoke(simOps, FloatType, fn,
+        Seq(s(cs.head), s(cs(1))), Seq(StringType, StringType),
+        returnNullable = false)
+    def verCmp(appMode: Boolean)(cs: Seq[Expression]): Expression = {
+      val maxLen = if (cs.size > 3) Cast(cs(3), LongType) else Literal(Long.MaxValue)
+      StaticInvoke(simOps, BooleanType, "versionCompare",
+        Seq(s(cs.head), s(cs(1)), s(cs(2)), maxLen, Literal(appMode)),
+        Seq(StringType, StringType, StringType, LongType, BooleanType),
+        returnNullable = false)
+    }
+    Seq(
+      "ngramDistance" -> ngram("ngramDistance") _,
+      "ngramDistanceCaseInsensitive" -> ngram("ngramDistanceCI") _,
+      "ngramDistanceUTF8" -> ngram("ngramDistanceUTF8") _,
+      "ngramDistanceCaseInsensitiveUTF8" -> ngram("ngramDistanceCIUTF8") _,
+      "ngramSearch" -> ngram("ngramSearch") _,
+      "ngramSearchCaseInsensitive" -> ngram("ngramSearchCI") _,
+      "ngramSearchUTF8" -> ngram("ngramSearchUTF8") _,
+      "ngramSearchCaseInsensitiveUTF8" -> ngram("ngramSearchCIUTF8") _,
+      "versionCompare" -> verCmp(appMode = false) _,
+      "appVersionCompare" -> verCmp(appMode = true) _,
+      "base58Encode" -> (cs => StaticInvoke(simOps, StringType, "base58Encode",
+        Seq(s(cs.head)), Seq(StringType))),
+      "base58Decode" -> (cs => StaticInvoke(simOps, StringType, "base58Decode",
+        Seq(s(cs.head)), Seq(StringType))),
+      "bitmaskToList" -> (cs => StaticInvoke(simOps, StringType, "bitmaskToList",
+        Seq(Cast(cs.head, LongType)), Seq(LongType), returnNullable = false)),
+      "bitmaskToArray" -> (cs => StaticInvoke(simOps, ArrayType(LongType),
+        "bitmaskToArray", Seq(Cast(cs.head, LongType)), Seq(LongType),
+        returnNullable = false)),
+      "addQuarters" -> (cs =>
+        AddMonths(cs.head, Multiply(Cast(cs(1), IntegerType), Literal(3)))),
+      "subtractQuarters" -> (cs =>
+        AddMonths(cs.head, Multiply(Cast(cs(1), IntegerType), Literal(-3)))),
+      "fromUnixTimestampMilli" -> (cs => MillisToTimestamp(Cast(cs.head, LongType))))
   }
 
   private def evalMl(cs: Seq[Expression]): Expression = {
