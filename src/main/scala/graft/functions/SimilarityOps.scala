@@ -227,4 +227,104 @@ object SimilarityOps {
 
   def bitmaskToArray(x: Long): org.apache.spark.sql.catalyst.util.GenericArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(bitmaskPowers(x))
+
+  // --- ngram/wordShingle SimHash + MinHash family (reference
+  // src/Functions/FunctionsStringHash.cpp): SimHash bit-votes each
+  // shingle hash into a 64-bit fingerprint (SimHashImpl:155-169);
+  // MinHash keeps the `hash_num` DISTINCT smallest and largest shingle
+  // hashes and folds each set into one value (MinHashImpl:334-355),
+  // returning the (min-side, max-side) pair. Defaults shingle_size=3,
+  // hash_num=6. DELIBERATE DIVERGENCE: the reference hashes shingles
+  // with CityHash-family `Hash::shingleHash` and combines with
+  // Hash128to64; we use FNV-1a 64 and a 128-to-64-style fold — hash
+  // VALUES differ, the algorithm and its collision/similarity structure
+  // are the same (these hashes are only ever compared to each other).
+  // Word shingles take maximal letter/digit runs of ≥ 4 bytes
+  // (min_word_size, MinHashImpl:329); the reference's UTF8 separator
+  // classification is approximated by Character.isLetterOrDigit. The
+  // -Arg variants (returning the shingle strings) are not registered.
+
+  private def fnv1a64(s: String, ci: Boolean): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      val c = if (ci) Character.toLowerCase(s.charAt(i)) else s.charAt(i)
+      h ^= c.toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private def mix128to64(a: Long, b: Long): Long = {
+    // 128→64 fold in the spirit of Hash128to64: multiply-xor-shift mix.
+    val kMul = 0x9ddfea08eb382d69L
+    var x = (a ^ b) * kMul
+    x ^= (x >>> 47)
+    x = (b ^ x) * kMul
+    x ^= (x >>> 47)
+    x * kMul
+  }
+
+  private def shingleStream(s: String, n: Int, word: Boolean): Iterator[String] = {
+    if (!word) {
+      if (s.length < n) Iterator.single(s)
+      else (0 to s.length - n).iterator.map(i => s.substring(i, i + n))
+    } else {
+      val words = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (Character.isLetterOrDigit(s.charAt(i))) {
+          var j = i
+          while (j < s.length && Character.isLetterOrDigit(s.charAt(j))) j += 1
+          if (j - i >= 4) words += s.substring(i, j)
+          i = j
+        } else i += 1
+      }
+      if (words.isEmpty) Iterator.single(s)
+      else if (words.length < n) Iterator.single(words.mkString(" "))
+      else (0 to words.length - n).iterator.map(i => words.slice(i, i + n).mkString(" "))
+    }
+  }
+
+  private def simHash(s: String, n: Int, ci: Boolean, word: Boolean): Long = {
+    val votes = new Array[Long](64)
+    shingleStream(s, n, word).foreach { sh =>
+      val h = fnv1a64(sh, ci)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if ((h & (1L << b)) != 0) 1 else -1)
+        b += 1
+      }
+    }
+    var res = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) res |= (1L << b); b += 1 }
+    res
+  }
+
+  private def minHashPair(s: String, n: Int, k: Int, ci: Boolean, word: Boolean): (Long, Long) = {
+    val distinct = mutable.SortedSet.empty[Long](Ordering.fromLessThan(
+      java.lang.Long.compareUnsigned(_, _) < 0))
+    shingleStream(s, n, word).foreach(sh => distinct += fnv1a64(sh, ci))
+    if (distinct.isEmpty) return (0L, 0L)
+    val asc = distinct.toIndexedSeq
+    val smallest = asc.take(k)
+    val largest = asc.takeRight(k)
+    // fold order mirrors the reference's comparator-ordered map walk:
+    // min side combined largest-first, max side smallest-first.
+    val minC = smallest.reverse.foldLeft(0L)(mix128to64)
+    val maxC = largest.foldLeft(0L)(mix128to64)
+    (minC, maxC)
+  }
+
+  def stringSimHash(s: UTF8String, n: Int, ci: Boolean, word: Boolean): Long =
+    if (s == null) 0L else simHash(s.toString, n, ci, word)
+
+  def stringMinHash(
+      s: UTF8String, n: Int, k: Int, ci: Boolean,
+      word: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val (a, b) = if (s == null) (0L, 0L) else minHashPair(s.toString, n, k, ci, word)
+    org.apache.spark.sql.catalyst.InternalRow(a, b)
+  }
 }

@@ -310,6 +310,30 @@ object CoverageWave9 {
                           WHERE (n_nationkey & (1 << CAST(b AS INT))) != 0)), '') AS bml,
           DATE '2024-07-31' AS aq,
           DATE '2023-10-31' AS sq
-        FROM tot ORDER BY n_name"""))
+        FROM tot ORDER BY n_name""")),
+
+    // ngram/wordShingle SimHash + MinHash fingerprints over documents —
+    // rows-only (the hash values are implementation-defined; DuckDB has
+    // no counterpart). The aggregate shape is the production near-dup
+    // one: fingerprint in-scan, group by fingerprint, count collisions.
+    // Value-level behavior is gated in Wave11ScalarSpec.
+    QueryDef(
+      "text_string_hashes",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql("""
+          WITH f AS (SELECT lang,
+              ngramSimHash(text) AS sh,
+              ngramMinHash(text).h1 AS mh1,
+              wordShingleSimHash(text) AS wsh
+            FROM documents)
+          SELECT lang,
+            COUNT(*) AS docs,
+            COUNT(DISTINCT sh) AS distinct_simhash,
+            COUNT(DISTINCT mh1) AS distinct_minhash,
+            COUNT(DISTINCT wsh) AS distinct_word_simhash
+          FROM f GROUP BY lang ORDER BY lang""")
+      },
+      None)
   )
 }

@@ -1799,7 +1799,7 @@ object ClickHouseAliases {
         Seq(StringType, StringType, StringType, LongType, BooleanType),
         returnNullable = false)
     }
-    Seq(
+    val base: Seq[(String, Seq[Expression] => Expression)] = Seq(
       "ngramDistance" -> ngram("ngramDistance") _,
       "ngramDistanceCaseInsensitive" -> ngram("ngramDistanceCI") _,
       "ngramDistanceUTF8" -> ngram("ngramDistanceUTF8") _,
@@ -1824,6 +1824,43 @@ object ClickHouseAliases {
       "subtractQuarters" -> (cs =>
         AddMonths(cs.head, Multiply(Cast(cs(1), IntegerType), Literal(-3)))),
       "fromUnixTimestampMilli" -> (cs => MillisToTimestamp(Cast(cs.head, LongType))))
+    base ++ stringHashWave
+  }
+
+  /** [ngram|wordShingle][SimHash|MinHash] × (CI, UTF8) spellings
+    * (reference FunctionsStringHash.cpp; defaults shingle=3, hashes=6 —
+    * FunctionsStringHash.h:27-28). The UTF8 variants differ from the
+    * byte variants only through the shingle reader; our reader is
+    * codepoint-based for both, so each UTF8 name maps to the same
+    * lowering as its byte sibling (exact for ASCII data, documented in
+    * SimilarityOps for multi-byte). MinHash returns the reference's
+    * (min-side, max-side) tuple as struct(h1, h2).
+    */
+  private def stringHashWave: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val simOps = graft.functions.SimilarityOps.getClass
+    def intArg(cs: Seq[Expression], i: Int, dflt: Int): Expression =
+      if (cs.size > i) Cast(cs(i), IntegerType) else Literal(dflt)
+    def sim(ci: Boolean, word: Boolean)(cs: Seq[Expression]): Expression =
+      StaticInvoke(simOps, LongType, "stringSimHash",
+        Seq(Cast(cs.head, StringType), intArg(cs, 1, 3), Literal(ci), Literal(word)),
+        Seq(StringType, IntegerType, BooleanType, BooleanType),
+        returnNullable = false)
+    def min(ci: Boolean, word: Boolean)(cs: Seq[Expression]): Expression =
+      StaticInvoke(simOps,
+        StructType(Seq(StructField("h1", LongType), StructField("h2", LongType))),
+        "stringMinHash",
+        Seq(Cast(cs.head, StringType), intArg(cs, 1, 3), intArg(cs, 2, 6),
+          Literal(ci), Literal(word)),
+        Seq(StringType, IntegerType, IntegerType, BooleanType, BooleanType),
+        returnNullable = false)
+    (for {
+      (mode, word) <- Seq("ngram" -> false, "wordShingle" -> true)
+      (suffix, ci) <- Seq("" -> false, "CaseInsensitive" -> true,
+        "UTF8" -> false, "CaseInsensitiveUTF8" -> true)
+    } yield Seq(
+      s"${mode}SimHash$suffix" -> (sim(ci, word) _),
+      s"${mode}MinHash$suffix" -> (min(ci, word) _))).flatten
   }
 
   private def evalMl(cs: Seq[Expression]): Expression = {

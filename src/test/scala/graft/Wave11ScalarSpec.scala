@@ -61,6 +61,40 @@ class Wave11ScalarSpec extends SparkSpec {
     assert(one("bitmaskToList(0)") === "")
   }
 
+  test("simHash family: determinism, case-invariance, similarity structure") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val r = spark.sql("""
+      SELECT ngramSimHash('the quick brown fox jumps over the lazy dog') AS a,
+             ngramSimHash('the quick brown fox jumps over the lazy dog') AS a2,
+             ngramSimHash('the quick brown fox jumps over the lazy cat') AS b,
+             ngramSimHash('completely unrelated content 12345 zyxw') AS c,
+             ngramSimHashCaseInsensitive('HELLO WORLD TEXT') AS ci1,
+             ngramSimHashCaseInsensitive('hello world text') AS ci2,
+             wordShingleSimHash('alpha beta gamma delta epsilon zeta') AS w1,
+             wordShingleSimHash('alpha beta gamma delta epsilon zeta') AS w2""").head
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(4) === r.getLong(5))
+    assert(r.getLong(6) === r.getLong(7))
+    // near-duplicate strings land close in Hamming space, unrelated far
+    val near = hamming(r.getLong(0), r.getLong(2))
+    val far = hamming(r.getLong(0), r.getLong(3))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("minHash family: tuple equality and overlap behavior") {
+    val r = spark.sql("""
+      SELECT ngramMinHash('minhash shingle test string content') AS a,
+             ngramMinHash('minhash shingle test string content') AS a2,
+             ngramMinHash('minhash shingle test string content', 3, 6) AS a3,
+             ngramMinHash('totally different words entirely here') AS b,
+             wordShingleMinHash('longword shingles overlap testing material') AS w""").head
+    val a = r.getStruct(0)
+    assert(a === r.getStruct(1))
+    assert(a === r.getStruct(2)) // explicit defaults match implicit
+    assert(a !== r.getStruct(3))
+    assert(r.getStruct(4).getLong(0) !== 0L)
+  }
+
   test("quarter arithmetic and milli timestamps") {
     assert(one("CAST(addQuarters(DATE '2024-01-31', 2) AS STRING)") === "2024-07-31")
     assert(one("CAST(subtractQuarters(DATE '2024-01-31', 1) AS STRING)") === "2023-10-31")
