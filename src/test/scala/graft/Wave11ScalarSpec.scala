@@ -95,6 +95,21 @@ class Wave11ScalarSpec extends SparkSpec {
     assert(r.getStruct(4).getLong(0) !== 0L)
   }
 
+  test("detect* heuristics: language, charset, tonality, programming") {
+    assert(one("detectLanguage('the cat and the dog of a house')") === "en")
+    assert(one("detectLanguage('der Hund und die Katze ist da')") === "de")
+    assert(one("detectLanguage('你好世界你好世界')") === "zh")
+    assert(one("detectLanguage('xyzzy qwerty')") === "un")
+    assert(one("detectCharset('plain ascii')") === "US-ASCII")
+    assert(one("detectCharset('héllo wörld')") === "UTF-8")
+    assert(one("detectTonality('good great love')").asInstanceOf[Float] > 0f)
+    assert(one("detectTonality('bad terrible hate')").asInstanceOf[Float] < 0f)
+    assert(one("detectProgrammingLanguage('def foo(self): import os')") === "Python")
+    assert(one("detectProgrammingLanguage('select x from t where y')") === "SQL")
+    assert(one("map_keys(detectLanguageMixed('the cat and the dog'))") ===
+      Seq("en"))
+  }
+
   test("quarter arithmetic and milli timestamps") {
     assert(one("CAST(addQuarters(DATE '2024-01-31', 2) AS STRING)") === "2024-07-31")
     assert(one("CAST(subtractQuarters(DATE '2024-01-31', 1) AS STRING)") === "2023-10-31")
