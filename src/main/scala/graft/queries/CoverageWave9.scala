@@ -396,6 +396,34 @@ object CoverageWave9 {
           CAST(SUM(ton_u) AS BIGINT) AS tonality_u
         FROM pred
         GROUP BY lang, predicted
-        ORDER BY lang, predicted"""))
+        ORDER BY lang, predicted""")),
+
+    // SQL/JSON trio (reference FunctionSQLJSON.h:772-782) over the
+    // events props column: JSON_VALUE scalar extraction, JSON_EXISTS
+    // 1/0, JSON_QUERY's [..]-wrapped match (extracted through the
+    // variant type so JSON quoting survives).
+    QueryDef(
+      "json_sqlpath_trio",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""
+          SELECT JSON_VALUE(props, '$.k') AS v,
+                 JSON_EXISTS(props, '$.k') AS e1,
+                 JSON_EXISTS(props, '$.missing') AS e0,
+                 JSON_QUERY(props, '$.k') AS q,
+                 COUNT(*) AS n
+          FROM events
+          GROUP BY 1, 2, 3, 4
+          ORDER BY v, q""")
+      },
+      Some("""
+        SELECT CAST(json_extract(props, '$.k') AS VARCHAR) AS v,
+               CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS e1,
+               CASE WHEN json_extract(props, '$.missing') IS NOT NULL THEN 1 ELSE 0 END AS e0,
+               '[' || CAST(json_extract(props, '$.k') AS VARCHAR) || ']' AS q,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2, 3, 4
+        ORDER BY v, q"""))
   )
 }

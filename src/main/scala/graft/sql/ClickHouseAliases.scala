@@ -1824,7 +1824,60 @@ object ClickHouseAliases {
       "subtractQuarters" -> (cs =>
         AddMonths(cs.head, Multiply(Cast(cs(1), IntegerType), Literal(-3)))),
       "fromUnixTimestampMilli" -> (cs => MillisToTimestamp(Cast(cs.head, LongType))))
-    base ++ stringHashWave ++ detectWave
+    base ++ stringHashWave ++ detectWave ++ codingWave
+  }
+
+  /** SQL/JSON trio + CRC variants + UUID coding + unbin + FQDN
+    * (reference FunctionSQLJSON.h:772-782, CRC.cpp, FunctionsCodingUUID
+    * .cpp, FunctionsBinaryRepresentation.cpp, FunctionFQDN.cpp).
+    * JSON_QUERY preserves JSON quoting by extracting through the variant
+    * type (parse_json → variant_get → to_json) and wraps the match in
+    * the reference's [..] form; JSON_VALUE returns scalars only ('' for
+    * missing or complex results, like the reference's default behavior).
+    */
+  private def codingWave: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.catalyst.expressions.variant.{ParseJson, VariantGet}
+    val codingOps = graft.functions.CodingOps.getClass
+    def variantArg(cs: Seq[Expression], i: Int): Expression =
+      if (cs.size > i) Cast(cs(i), IntegerType) else Literal(1)
+    Seq(
+      "JSON_EXISTS" -> (cs =>
+        If(IsNull(GetJsonObject(cs.head, cs(1))), Literal(0), Literal(1))),
+      "JSON_VALUE" -> (cs => {
+        val r = GetJsonObject(cs.head, cs(1))
+        If(Or(IsNull(r), Or(StartsWith(r, Literal("{")), StartsWith(r, Literal("[")))),
+          Literal(""), r)
+      }),
+      "JSON_QUERY" -> (cs => {
+        val v = VariantGet(new ParseJson(cs.head, false), cs(1),
+          org.apache.spark.sql.types.VariantType, false, None)
+        Coalesce(Seq(
+          Concat(Seq(Literal("["), new StructsToJson(Map.empty[String, String], v),
+            Literal("]"))),
+          Literal("")))
+      }),
+      "CRC32" -> (cs => Crc32(Cast(cs.head, BinaryType))),
+      "CRC32IEEE" -> (cs => StaticInvoke(codingOps, LongType, "crc32ieee",
+        Seq(Cast(cs.head, StringType)), Seq(StringType), returnNullable = false)),
+      "CRC64" -> (cs => StaticInvoke(codingOps, LongType, "crc64",
+        Seq(Cast(cs.head, StringType)), Seq(StringType), returnNullable = false)),
+      "UUIDStringToNum" -> (cs => StaticInvoke(codingOps, BinaryType, "uuidStringToNum",
+        Seq(Cast(cs.head, StringType), variantArg(cs, 1)),
+        Seq(StringType, IntegerType))),
+      "UUIDNumToString" -> (cs => StaticInvoke(codingOps, StringType, "uuidNumToString",
+        Seq(Cast(cs.head, BinaryType), variantArg(cs, 1)),
+        Seq(BinaryType, IntegerType))),
+      "UUIDToUInt64High" -> (cs => StaticInvoke(codingOps, LongType, "uuidToUInt64High",
+        Seq(Cast(cs.head, StringType)), Seq(StringType), returnNullable = false)),
+      "UUIDToUInt64Low" -> (cs => StaticInvoke(codingOps, LongType, "uuidToUInt64Low",
+        Seq(Cast(cs.head, StringType)), Seq(StringType), returnNullable = false)),
+      "unbin" -> (cs => StaticInvoke(codingOps, StringType, "unbin",
+        Seq(Cast(cs.head, StringType)), Seq(StringType))),
+      "FQDN" -> (_ => StaticInvoke(codingOps, StringType, "fqdn",
+        Nil, Nil, returnNullable = false)),
+      "fullHostName" -> (_ => StaticInvoke(codingOps, StringType, "fqdn",
+        Nil, Nil, returnNullable = false)))
   }
 
   /** detect* NLP spellings (reference FunctionsLanguageClassification.cpp

@@ -110,6 +110,37 @@ class Wave11ScalarSpec extends SparkSpec {
       Seq("en"))
   }
 
+  test("coding wave: CRC variants, UUID coding, unbin, FQDN") {
+    // zlib crc32("hello") — the standard vector Spark's builtin matches
+    assert(one("CRC32('hello')") === 0x3610a686L)
+    // the init-0 IEEE variant and CRC64/ECMA differ from zlib and are
+    // deterministic
+    assert(one("CRC32IEEE('hello')") !== 0x3610a686L)
+    assert(one("CRC32IEEE('hello')") === one("CRC32IEEE('hello')"))
+    assert(one("CRC64('hello')") !== one("CRC64('hellp')"))
+    val uuid = "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+    assert(one(s"UUIDNumToString(UUIDStringToNum('$uuid'))") === uuid)
+    assert(one(s"UUIDNumToString(UUIDStringToNum('$uuid', 2), 2)") === uuid)
+    // variant-2 layout swaps the first three groups
+    assert(one(s"hex(UUIDStringToNum('$uuid', 2))").toString.toLowerCase
+      .startsWith("04c4f061"))
+    assert(one(s"UUIDToUInt64High('$uuid')") === 0x61f0c4045cb311e7L)
+    assert(one("unbin('0110000101100010')") === "ab")
+    assert(one("unbin('1100001')") === "a") // left-padded to whole bytes
+    assert(one("length(FQDN()) > 0") === true)
+  }
+
+  test("SQL/JSON trio behaviors") {
+    assert(one("""JSON_VALUE('{"a":"x"}', '$.a')""") === "x")
+    assert(one("""JSON_VALUE('{"a":{"b":1}}', '$.a')""") === "")
+    assert(one("""JSON_VALUE('{"a":1}', '$.missing')""") === "")
+    assert(one("""JSON_EXISTS('{"a":1}', '$.a')""") === 1)
+    assert(one("""JSON_EXISTS('{"a":1}', '$.b')""") === 0)
+    assert(one("""JSON_QUERY('{"a":"x"}', '$.a')""") === "[\"x\"]")
+    assert(one("""JSON_QUERY('{"a":{"b":1}}', '$.a')""") === "[{\"b\":1}]")
+    assert(one("""JSON_QUERY('{"a":1}', '$.missing')""") === "")
+  }
+
   test("quarter arithmetic and milli timestamps") {
     assert(one("CAST(addQuarters(DATE '2024-01-31', 2) AS STRING)") === "2024-07-31")
     assert(one("CAST(subtractQuarters(DATE '2024-01-31', 1) AS STRING)") === "2023-10-31")
