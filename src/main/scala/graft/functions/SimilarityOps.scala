@@ -244,7 +244,7 @@ object SimilarityOps {
   // classification is approximated by Character.isLetterOrDigit. The
   // -Arg variants (returning the shingle strings) are not registered.
 
-  private def fnv1a64(s: String, ci: Boolean): Long = {
+  private[graft] def fnv1a64(s: String, ci: Boolean): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) {
@@ -408,10 +408,80 @@ object SimilarityOps {
     UTF8String.fromString(if (best._1 > 0) best._2 else "Undefined")
   }
 
+  /** arrayAUC(scores, labels) (reference src/Functions/array/arrayAUC
+    * .cpp:106-129): sort by score DESCENDING, walk — a positive label
+    * steps the curve up, a negative steps right adding the current
+    * positive count to the area; result = area/(pos·neg) (NaN when a
+    * class is absent, like the reference's 0/0). Score ties keep input
+    * order here — the reference's std::sort is unstable, so its tie
+    * order is unspecified.
+    */
+  def arrayAuc(
+      scores: org.apache.spark.sql.catalyst.util.ArrayData,
+      labels: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = scores.numElements()
+    require(labels.numElements() == n, "arrayAUC: size mismatch")
+    val idx = (0 until n).sortBy(i => -scores.getDouble(i))
+    var area = 0L
+    var pos = 0L
+    idx.foreach { i =>
+      if (labels.getDouble(i) > 0) pos += 1 else area += pos
+    }
+    val neg = n - pos
+    area.toDouble / (pos.toDouble * neg)
+  }
+
+  /** arrayShuffle(arr[, seed]) — Fisher-Yates with a java.util.Random
+    * seeded by `seed` (0 when omitted): a DETERMINISTIC re-expression of
+    * the reference's random permutation (its RNG differs, so a given
+    * seed selects a different permutation; no seed is random there).
+    */
+  def arrayShuffle(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      seed: Long): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    val out = Array.tabulate(n)(i => arr.getDouble(i))
+    val rnd = new java.util.Random(seed)
+    var i = n - 1
+    while (i > 0) {
+      val j = rnd.nextInt(i + 1)
+      val t = out(i); out(i) = out(j); out(j) = t
+      i -= 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def stringMinHash(
       s: UTF8String, n: Int, k: Int, ci: Boolean,
       word: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
     val (a, b) = if (s == null) (0L, 0L) else minHashPair(s.toString, n, k, ci, word)
     org.apache.spark.sql.catalyst.InternalRow(a, b)
+  }
+
+  /** -Arg variants (reference FunctionsStringHash.cpp:357-371 Heap::fill):
+    * the SHINGLES achieving the k smallest / k largest hashes, as two
+    * k-string tuples. Walk order mirrors the reference's comparator-
+    * ordered map: min side DESCENDING by hash (std::greater map), max
+    * side ASCENDING (std::less); short inputs pad trailing fields with
+    * '' (insertDefault). Case-insensitive variants store the lowercased
+    * shingle, as the reference hashes (and keeps) the lowered bytes.
+    */
+  def stringMinHashArg(
+      s: UTF8String, n: Int, k: Int, ci: Boolean,
+      word: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = mutable.TreeMap.empty[Long, String](Ordering.fromLessThan(
+      java.lang.Long.compareUnsigned(_, _) < 0))
+    if (s != null) shingleStream(s.toString, n, word).foreach { sh =>
+      val h = fnv1a64(sh, ci)
+      if (!m.contains(h)) m(h) = if (ci) sh.toLowerCase else sh
+    }
+    val asc = m.toIndexedSeq
+    val minSide = asc.take(k).reverse.map(_._2)
+    val maxSide = asc.takeRight(k).map(_._2)
+    def tup(xs: IndexedSeq[String]) =
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        (0 until k).map(i =>
+          UTF8String.fromString(if (i < xs.length) xs(i) else "")))
+    org.apache.spark.sql.catalyst.InternalRow(tup(minSide), tup(maxSide))
   }
 }

@@ -424,6 +424,152 @@ object CoverageWave9 {
                CAST(COUNT(*) AS BIGINT) AS n
         FROM events
         GROUP BY 1, 2, 3, 4
-        ORDER BY v, q"""))
+        ORDER BY v, q""")),
+
+    // Array long-tail wave (reference src/Functions/array/): per-order
+    // linenumber-sorted quantity arrays from lineitem, then arrayCount,
+    // arrayFirstIndex, arrayCumSumNonNegative, arrayEnumerateDense,
+    // hasSubstr, arrayUnion, arrayAUC — each rebuilt EXACTLY by the
+    // oracle in plain SQL over the exploded rows:
+    //   - first_big       = min row_number where q > 40 (0 when none);
+    //   - clamped_last    = final value of the max(0, ·)-clamped running
+    //     sum, via the suffix-sum identity s_n = max(0, max_k Σ_{i≥k} x_i)
+    //     (non-associative scan made associative; integer arithmetic);
+    //   - auc_u           = Mann-Whitney U / (pos·neg) on DISTINCT scores
+    //     (q + position/100, position = rank in the (ln,q,p)-sorted array
+    //     — the synthetic lineitem REUSES linenumbers within an order, so
+    //     ln alone would tie; distinct positions make ties impossible and
+    //     the unstable-sort tie divergence documented in SimilarityOps
+    //     can't bite), quantized with the same double-division both sides.
+    // One shuffle (groupBy l_orderkey); arrays bounded at 7 elements by
+    // TPC-H, so the O(n²)-per-row scan lowerings are constant work.
+    QueryDef(
+      "array_scan_family",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""
+          WITH g AS (
+            SELECT l_orderkey,
+              array_sort(collect_list(named_struct(
+                'ln', l_linenumber,
+                'q', CAST(l_quantity AS DOUBLE),
+                'p', CAST(l_extendedprice AS DOUBLE)))) AS arr
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING COUNT(*) >= 5
+              AND SUM(CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END) > 0
+              AND SUM(CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END) < COUNT(*)),
+          b AS (
+            SELECT l_orderkey,
+              transform(arr, s -> s.q) AS qtys,
+              transform(arr, (s, i) -> s.q + (i + 1) / 100D) AS scores,
+              transform(arr, s -> IF(s.p > 30000D, 1D, 0D)) AS labels
+            FROM g)
+          SELECT l_orderkey,
+            arrayCount(x -> (x % 2D) = 0D, qtys) AS even_q,
+            arrayFirstIndex(x -> x > 40D, qtys) AS first_big,
+            CAST(element_at(arrayCumSumNonNegative(transform(qtys, x -> x - 25D)), -1)
+              AS BIGINT) AS clamped_last,
+            CAST(array_max(arrayEnumerateDense(qtys)) AS BIGINT) AS n_distinct,
+            CAST(hasSubstr(qtys, array(50D)) AS INT) AS has50,
+            CAST(size(arrayUnion(qtys, array(1D, 2D, 3D))) AS INT) AS union_n,
+            CAST(FLOOR(arrayAUC(scores, labels) * 1000000D) AS BIGINT) AS auc_u,
+            CAST(size(arraySplit(x -> x > 40D, qtys)) AS INT) AS n_seg
+          FROM b
+          ORDER BY l_orderkey""")
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_orderkey, l_linenumber AS ln,
+            CAST(l_quantity AS DOUBLE) AS q,
+            CAST(l_extendedprice AS DOUBLE) AS p,
+            ROW_NUMBER() OVER (PARTITION BY l_orderkey
+              ORDER BY l_linenumber, l_quantity, l_extendedprice) AS rn
+          FROM lineitem),
+        g AS (
+          SELECT l_orderkey FROM li GROUP BY l_orderkey
+          HAVING COUNT(*) >= 5
+            AND SUM(CASE WHEN p > 30000 THEN 1 ELSE 0 END) > 0
+            AND SUM(CASE WHEN p > 30000 THEN 1 ELSE 0 END) < COUNT(*)),
+        s AS (
+          SELECT li.*, q + rn / 100.0 AS score,
+            CASE WHEN p > 30000 THEN 1 ELSE 0 END AS lab
+          FROM li JOIN g USING (l_orderkey)),
+        r AS (
+          SELECT *,
+            RANK() OVER (PARTITION BY l_orderkey ORDER BY score) AS r_asc,
+            SUM(CAST(q AS BIGINT) - 25) OVER (PARTITION BY l_orderkey ORDER BY rn DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ssum
+          FROM s)
+        SELECT l_orderkey,
+          CAST(SUM(CASE WHEN CAST(q AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS INT) AS even_q,
+          CAST(COALESCE(MIN(CASE WHEN q > 40 THEN rn END), 0) AS INT) AS first_big,
+          CAST(GREATEST(0, MAX(ssum)) AS BIGINT) AS clamped_last,
+          CAST(COUNT(DISTINCT q) AS BIGINT) AS n_distinct,
+          CAST(MAX(CASE WHEN q = 50 THEN 1 ELSE 0 END) AS INT) AS has50,
+          CAST(COUNT(DISTINCT q) + 3
+            - COUNT(DISTINCT CASE WHEN q IN (1, 2, 3) THEN q END) AS INT) AS union_n,
+          CAST(FLOOR(CAST(SUM(CASE WHEN lab = 1 THEN r_asc ELSE 0 END)
+                 - SUM(lab) * (SUM(lab) + 1) / 2 AS DOUBLE)
+               / CAST(SUM(lab) * (COUNT(*) - SUM(lab)) AS DOUBLE)
+               * 1000000) AS BIGINT) AS auc_u,
+          CAST(1 + SUM(CASE WHEN q > 40 AND rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_seg
+        FROM r
+        GROUP BY l_orderkey
+        ORDER BY l_orderkey""")),
+
+    // Transparent MV rewrite end-to-end (plans/MaterializedViewRewrite,
+    // reference src/Optimizer/Rewriter/MaterializedViewRewriter.h): build
+    // a decimal-measure base table + its (returnflag, linestatus,
+    // shipyear) MV, then run a COARSER rollup with a group-column filter
+    // — the optimizer rule transparently answers it from the MV
+    // (MaterializedViewRewriteSpec pins the plan actually scanning the
+    // MV parquet), while DuckDB computes the same numbers from the raw
+    // base rows. Decimal measures make both aggregation paths exact, so
+    // the parity is bit-level, not tolerance-level. At 100 TB the
+    // rewrite turns a fact-table scan into a scan of the group-key
+    // cross product.
+    QueryDef(
+      "mv_rewrite_rollup",
+      (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_mv_gate_" +
+          Integer.toHexString(dir.hashCode)
+        val basePath = s"$root/lineitem_dec"
+        Tables(s, dir, "lineitem").selectExpr(
+          "l_returnflag", "l_linestatus",
+          "year(l_shipdate) AS l_shipyear",
+          "CAST(l_quantity AS DECIMAL(18,2)) AS qty_d",
+          "CAST(l_extendedprice AS DECIMAL(18,2)) AS price_d",
+          "l_linenumber")
+          .write.mode("overwrite").parquet(basePath)
+        val base = s.read.parquet(basePath)
+        base.createOrReplaceTempView("lineitem_dec")
+        graft.plans.MaterializedViews.create(s, "gate_li_mv", base,
+          Seq("l_returnflag", "l_linestatus", "l_shipyear"),
+          Seq("qty_d", "price_d", "l_linenumber"),
+          s"$root/mv")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(SUM(qty_d) AS DOUBLE) AS sum_qty,
+                 CAST(MIN(price_d) AS DOUBLE) AS min_price,
+                 CAST(MAX(price_d) AS DOUBLE) AS max_price,
+                 COUNT(*) AS n,
+                 AVG(l_linenumber) AS avg_ln
+          FROM lineitem_dec
+          WHERE l_shipyear >= 1993
+          GROUP BY 1, 2
+          ORDER BY 1, 2""")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+          CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+          COUNT(*) AS n,
+          AVG(l_linenumber) AS avg_ln
+        FROM lineitem
+        WHERE EXTRACT(year FROM l_shipdate) >= 1993
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""))
   )
 }

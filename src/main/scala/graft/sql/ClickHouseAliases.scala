@@ -1824,8 +1824,229 @@ object ClickHouseAliases {
       "subtractQuarters" -> (cs =>
         AddMonths(cs.head, Multiply(Cast(cs(1), IntegerType), Literal(-3)))),
       "fromUnixTimestampMilli" -> (cs => MillisToTimestamp(Cast(cs.head, LongType))))
-    base ++ stringHashWave ++ detectWave ++ codingWave
+    base ++ stringHashWave ++ detectWave ++ codingWave ++ arrayWave2
   }
+
+  /** Array long-tail (reference src/Functions/array/): first/last (+Index)
+    * with ClickHouse's type-default on no match, fill/split scans,
+    * clamped cumulative sum, dense enumeration, union, contiguous
+    * subsequence test, arrayAUC, seeded shuffle. Lambda-first argument
+    * order as everywhere in this dialect. The scan-shaped ones lower to
+    * ArrayAggregate with an array accumulator — O(n²) element copies per
+    * ROW's array, which is fine at any table size since per-row arrays
+    * are bounded; none of this adds a shuffle. arrayFirst/Last on no
+    * match return the element type's default value (0/''/epoch) like the
+    * reference, not NULL. arrayAUC breaks score ties by input position
+    * (the reference's std::sort is unstable — tie order unspecified
+    * there); arrayShuffle without a seed uses seed 0, a deterministic
+    * re-expression of the reference's random permutation, and a given
+    * seed selects a deterministic permutation that differs from the
+    * reference's RNG (documented).
+    */
+  private def arrayWave2: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val simOps = graft.functions.SimilarityOps.getClass
+    // append a fresh index var to the user's lambda: (x_user, __i) -> body'
+    def withIndex(f: Expression, mk: (Expression, Expression) => Expression): Expression =
+      f match {
+        case LambdaFunction(body, args, _) =>
+          LambdaFunction(mk(body, lv("__gi")), args :+ lv("__gi"))
+        case other => throw new IllegalArgumentException(
+          s"expected a lambda, got $other")
+      }
+    // merge-step lambda (acc, x_user) -> body' reusing the user's var
+    def accLambda(f: Expression, mk: (Expression, Expression) => Expression): Expression =
+      f match {
+        case LambdaFunction(body, args, _) =>
+          LambdaFunction(mk(lv("__gacc"), body), lv("__gacc") +: args)
+        case other => throw new IllegalArgumentException(
+          s"expected a lambda, got $other")
+      }
+    def userArg(f: Expression): Expression = f match {
+      case LambdaFunction(_, args, _) => args.head
+    }
+    def filtered(cs: Seq[Expression]): Expression = ArrayFilter(cs(1), cs.head)
+    // a same-typed EMPTY array, resolvable pre-analysis: a 0-length slice
+    def emptyLike(arr: Expression): Expression =
+      Slice(arr, Literal(1), Literal(0))
+    // The analyzer requires a builder invoked with user LAMBDA arguments
+    // to return a HigherOrderFunction at the TOP of the tree
+    // (ResolveFunctions NON_HIGHER_ORDER_FUNCTION) — so every
+    // lambda-taking spelling here roots in ArrayAggregate/ArrayTransform
+    // and embeds its wrapping logic inside the HOF's lambdas.
+    val wave: Seq[(String, Seq[Expression] => Expression)] = Seq(
+      "arrayCount" -> (cs =>
+        if (cs.size == 1) Size(ArrayFilter(cs.head,
+          LambdaFunction(Not(EqualTo(Cast(lv("x"), DoubleType), Literal(0.0))), Seq(lv("x")))))
+        else ArrayAggregate(
+          cs(1), Literal(0),
+          accLambda(cs.head, (acc, cond) =>
+            Add(acc, If(Cast(cond, BooleanType), Literal(1), Literal(0)))),
+          LambdaFunction(lv("__gr"), Seq(lv("__gr"))))),
+      // first/last + indexes: the value forms return NULL on no match
+      // (the Spark-idiomatic missing; the reference emits the element
+      // type's 0/''/epoch default — documented divergence), the index
+      // forms return 0 like the reference.
+      "arrayFirst" -> (cs => ArrayAggregate(
+        cs(1), new ElementAt(cs(1), Add(Size(cs(1)), Literal(1)), None, false),
+        accLambda(cs.head, (acc, cond) =>
+          If(And(IsNull(acc), Cast(cond, BooleanType)), userArg(cs.head), acc)),
+        LambdaFunction(lv("__gr"), Seq(lv("__gr"))))),
+      "arrayLast" -> (cs => ArrayAggregate(
+        cs(1), new ElementAt(cs(1), Add(Size(cs(1)), Literal(1)), None, false),
+        accLambda(cs.head, (acc, cond) =>
+          If(Cast(cond, BooleanType), userArg(cs.head), acc)),
+        LambdaFunction(lv("__gr"), Seq(lv("__gr"))))),
+      "arrayFirstIndex" -> (cs => ArrayAggregate(
+        ArrayTransform(cs(1), withIndex(cs.head,
+          (body, i) => If(Cast(body, BooleanType), Add(i, Literal(1)), Literal(0)))),
+        Literal(0),
+        LambdaFunction(
+          If(And(EqualTo(lv("__ga"), Literal(0)), GreaterThan(lv("__gp"), Literal(0))),
+            lv("__gp"), lv("__ga")),
+          Seq(lv("__ga"), lv("__gp"))),
+        LambdaFunction(lv("__gr"), Seq(lv("__gr"))))),
+      "arrayLastIndex" -> (cs => ArrayAggregate(
+        ArrayTransform(cs(1), withIndex(cs.head,
+          (body, i) => If(Cast(body, BooleanType), Add(i, Literal(1)), Literal(0)))),
+        Literal(0),
+        LambdaFunction(
+          If(GreaterThan(lv("__gp"), Literal(0)), lv("__gp"), lv("__ga")),
+          Seq(lv("__ga"), lv("__gp"))),
+        LambdaFunction(lv("__gr"), Seq(lv("__gr"))))),
+      // arrayFill: left-to-right scan — where cond is false the element
+      // becomes its predecessor (first element always kept).
+      "arrayFill" -> (cs => ArrayAggregate(
+        cs(1),
+        emptyLike(cs(1)),
+        accLambda(cs.head, (acc, cond) => {
+          val x = userArg(cs.head)
+          Concat(Seq(acc, CreateArray(Seq(
+            If(Or(Cast(cond, BooleanType), EqualTo(Size(acc), Literal(0))),
+              x, ElementAt(acc, Literal(-1)))))))
+        }),
+        LambdaFunction(lv("__gr"), Seq(lv("__gr"))))),
+      // backward scan: walk the reversed array PREPENDING, so the output
+      // is already in original order and the HOF stays at the root.
+      "arrayReverseFill" -> (cs => ArrayAggregate(
+        Reverse(cs(1)),
+        emptyLike(cs(1)),
+        accLambda(cs.head, (acc, cond) => {
+          val x = userArg(cs.head)
+          Concat(Seq(CreateArray(Seq(
+            If(Or(Cast(cond, BooleanType), EqualTo(Size(acc), Literal(0))),
+              x, ElementAt(acc, Literal(1))))), acc))
+        }),
+        LambdaFunction(lv("__gr"), Seq(lv("__gr"))))),
+      "arrayCumSumNonNegative" -> (cs => {
+        val arr = cs.last
+        ArrayAggregate(
+          arr,
+          Cast(CreateArray(Nil), ArrayType(DoubleType)),
+          LambdaFunction(
+            Concat(Seq(lv("__ga"), CreateArray(Seq(
+              Greatest(Seq(
+                Add(Coalesce(Seq(new ElementAt(lv("__ga"), Literal(-1), None, false), Literal(0.0))),
+                  Cast(lv("__gx"), DoubleType)),
+                Literal(0.0))))))),
+            Seq(lv("__ga"), lv("__gx"))),
+          LambdaFunction(lv("__gr"), Seq(lv("__gr"))))
+      }),
+      "arrayEnumerateDense" -> (cs => ArrayTransform(cs.head,
+        LambdaFunction(ArrayPosition(ArrayDistinct(cs.head), lv("x")), Seq(lv("x"))))),
+      "arrayUnion" -> (cs => ArrayDistinct(Concat(cs))),
+      "hasSubstr" -> (cs => {
+        val (a, b) = (cs.head, cs(1))
+        Or(EqualTo(Size(b), Literal(0)),
+          And(GreaterThanOrEqual(Size(a), Size(b)),
+            ArrayExists(
+              Sequence(Literal(1),
+                Add(Subtract(Size(a), Size(b)), Literal(1)), None),
+              LambdaFunction(
+                EqualTo(Slice(a, lv("i"), Size(b)), b), Seq(lv("i"))))))
+      }),
+      // empty → [NULL] (the reference emits the type's 0/''/epoch
+      // default; a typed zero is not constructible pre-analysis —
+      // documented divergence).
+      "emptyArrayToSingle" -> (cs =>
+        If(EqualTo(Size(cs.head), Literal(0)),
+          CreateArray(Seq(Literal.create(null, NullType))),
+          cs.head)),
+      // arraySplit (reference array/arraySplit.cpp:114-122): a TRUE
+      // predicate STARTS a new segment (except at the first element);
+      // arrayReverseSplit: a TRUE predicate ENDS its segment. Same
+      // array-accumulator scan as arrayFill; the reverse form walks the
+      // reversed array prepending so output segments are already in
+      // original order.
+      "arraySplit" -> (cs => {
+        val arr = cs(1)
+        ArrayAggregate(
+          arr,
+          Slice(CreateArray(Seq(arr)), Literal(1), Literal(0)),
+          accLambda(cs.head, (acc, cond) => {
+            val x = userArg(cs.head)
+            If(EqualTo(Size(acc), Literal(0)),
+              CreateArray(Seq(CreateArray(Seq(x)))),
+              If(Cast(cond, BooleanType),
+                Concat(Seq(acc, CreateArray(Seq(CreateArray(Seq(x)))))),
+                Concat(Seq(
+                  Slice(acc, Literal(1), Subtract(Size(acc), Literal(1))),
+                  CreateArray(Seq(Concat(Seq(
+                    ElementAt(acc, Literal(-1)), CreateArray(Seq(x))))))))))
+          }),
+          LambdaFunction(lv("__gr"), Seq(lv("__gr"))))
+      }),
+      "arrayReverseSplit" -> (cs => {
+        val arr = cs(1)
+        ArrayAggregate(
+          Reverse(arr),
+          Slice(CreateArray(Seq(arr)), Literal(1), Literal(0)),
+          accLambda(cs.head, (acc, cond) => {
+            val x = userArg(cs.head)
+            If(EqualTo(Size(acc), Literal(0)),
+              CreateArray(Seq(CreateArray(Seq(x)))),
+              If(Cast(cond, BooleanType),
+                Concat(Seq(CreateArray(Seq(CreateArray(Seq(x)))), acc)),
+                Concat(Seq(
+                  CreateArray(Seq(Concat(Seq(
+                    CreateArray(Seq(x)), ElementAt(acc, Literal(1)))))),
+                  Slice(acc, Literal(2), Subtract(Size(acc), Literal(1)))))))
+          }),
+          LambdaFunction(lv("__gr"), Seq(lv("__gr"))))
+      }),
+      "arrayAUC" -> (cs => StaticInvoke(simOps, DoubleType, "arrayAuc",
+        Seq(Cast(cs.head, ArrayType(DoubleType)), Cast(cs(1), ArrayType(DoubleType))),
+        Seq(ArrayType(DoubleType), ArrayType(DoubleType)), returnNullable = false)),
+      "arrayShuffle" -> (cs => StaticInvoke(simOps, ArrayType(DoubleType), "arrayShuffle",
+        Seq(Cast(cs.head, ArrayType(DoubleType)),
+          if (cs.size > 1) Cast(cs(1), LongType) else Literal(0L)),
+        Seq(ArrayType(DoubleType), LongType), returnNullable = false)))
+    wave ++ emptyArrayCtors
+  }
+
+  /** emptyArray<T>() constructors (reference array/emptyArray.cpp): typed
+    * zero-element array literals — UInt/Int widths map onto Spark's
+    * signed types (UInt64 -> LongType like the rest of the dialect).
+    */
+  private def emptyArrayCtors: Seq[(String, Seq[Expression] => Expression)] = {
+    def empty(dt: DataType): Seq[Expression] => Expression =
+      _ => Cast(CreateArray(Nil), ArrayType(dt))
+    Seq(
+      "emptyArrayUInt8" -> empty(ShortType),
+      "emptyArrayUInt16" -> empty(IntegerType),
+      "emptyArrayUInt32" -> empty(LongType),
+      "emptyArrayUInt64" -> empty(LongType),
+      "emptyArrayInt8" -> empty(ByteType),
+      "emptyArrayInt16" -> empty(ShortType),
+      "emptyArrayInt32" -> empty(IntegerType),
+      "emptyArrayInt64" -> empty(LongType),
+      "emptyArrayFloat32" -> empty(FloatType),
+      "emptyArrayFloat64" -> empty(DoubleType),
+      "emptyArrayDate" -> empty(DateType),
+      "emptyArrayDateTime" -> empty(TimestampType),
+      "emptyArrayString" -> empty(StringType))
+  }
+
 
   /** SQL/JSON trio + CRC variants + UUID coding + unbin + FQDN
     * (reference FunctionSQLJSON.h:772-782, CRC.cpp, FunctionsCodingUUID
@@ -1857,7 +2078,8 @@ object ClickHouseAliases {
             Literal("]"))),
           Literal("")))
       }),
-      "CRC32" -> (cs => Crc32(Cast(cs.head, BinaryType))),
+      // CRC32 itself is NOT aliased: Spark's crc32 builtin is the same
+      // zlib computation and the name would shadow it (collision guard).
       "CRC32IEEE" -> (cs => StaticInvoke(codingOps, LongType, "crc32ieee",
         Seq(Cast(cs.head, StringType)), Seq(StringType), returnNullable = false)),
       "CRC64" -> (cs => StaticInvoke(codingOps, LongType, "crc64",
@@ -1932,13 +2154,33 @@ object ClickHouseAliases {
           Literal(ci), Literal(word)),
         Seq(StringType, IntegerType, IntegerType, BooleanType, BooleanType),
         returnNullable = false)
+    // -Arg variants return the SHINGLES behind the two minhash sides as
+    // Tuple(Tuple(String×k), Tuple(String×k)) — hashes count k must be a
+    // literal because it fixes the result tuple WIDTH (a type), exactly
+    // as in the reference where it arrives as a constant argument.
+    def minArg(ci: Boolean, word: Boolean)(cs: Seq[Expression]): Expression = {
+      val k = if (cs.size > 2) cs(2) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"minHashArg: hashes count must be an integer literal, got $other")
+      } else 6
+      val strTup = StructType((1 to k).map(i => StructField(s"_$i", StringType)))
+      StaticInvoke(simOps,
+        StructType(Seq(StructField("mins", strTup), StructField("maxs", strTup))),
+        "stringMinHashArg",
+        Seq(Cast(cs.head, StringType), intArg(cs, 1, 3), Literal(k),
+          Literal(ci), Literal(word)),
+        Seq(StringType, IntegerType, IntegerType, BooleanType, BooleanType),
+        returnNullable = false)
+    }
     (for {
       (mode, word) <- Seq("ngram" -> false, "wordShingle" -> true)
       (suffix, ci) <- Seq("" -> false, "CaseInsensitive" -> true,
         "UTF8" -> false, "CaseInsensitiveUTF8" -> true)
     } yield Seq(
       s"${mode}SimHash$suffix" -> (sim(ci, word) _),
-      s"${mode}MinHash$suffix" -> (min(ci, word) _))).flatten
+      s"${mode}MinHash$suffix" -> (min(ci, word) _),
+      s"${mode}MinHashArg$suffix" -> (minArg(ci, word) _))).flatten
   }
 
   private def evalMl(cs: Seq[Expression]): Expression = {
