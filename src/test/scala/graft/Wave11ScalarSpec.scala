@@ -95,6 +95,36 @@ class Wave11ScalarSpec extends SparkSpec {
     assert(r.getStruct(4).getLong(0) !== 0L)
   }
 
+  test("minHashArg family: shingles behind the two minhash sides") {
+    // differential vs the same FNV the scalar uses: k smallest hashes
+    // descending on the min side, k largest ascending on the max side
+    val s = "abcdef"
+    val shingles = (0 to s.length - 3).map(i => s.substring(i, i + 3))
+    val byHash = shingles.distinct.sortBy(sh =>
+      graft.functions.SimilarityOps.fnv1a64(sh, false))(
+      Ordering.fromLessThan[Long](java.lang.Long.compareUnsigned(_, _) < 0))
+    val r = spark.sql(s"SELECT ngramMinHashArg('$s', 3, 2) AS t").head.getStruct(0)
+    val mins = r.getStruct(0)
+    val maxs = r.getStruct(1)
+    assert(Seq(mins.getString(0), mins.getString(1)) ===
+      byHash.take(2).reverse)
+    assert(Seq(maxs.getString(0), maxs.getString(1)) === byHash.takeRight(2))
+    // short input pads trailing tuple fields with ''
+    val p = spark.sql("SELECT ngramMinHashArg('ab', 3, 3) AS t").head
+      .getStruct(0).getStruct(0)
+    assert((0 until 3).map(p.getString) === Seq("ab", "", ""))
+    // CI variant stores the lowered shingle
+    val c = spark.sql("SELECT ngramMinHashArgCaseInsensitive('ABCD', 3, 6) AS t")
+      .head.getStruct(0).getStruct(0)
+    assert((0 until 6).map(c.getString).filter(_.nonEmpty).toSet === Set("abc", "bcd"))
+    // wordShingle spelling resolves and returns words of the input
+    val w = spark.sql(
+      "SELECT wordShingleMinHashArg('alpha beta gamma delta epsilon', 2, 2) AS t")
+      .head.getStruct(0).getStruct(1)
+    assert(w.getString(0).split(" ").forall(
+      Set("alpha", "beta", "gamma", "delta", "epsilon")))
+  }
+
   test("detect* heuristics: language, charset, tonality, programming") {
     assert(one("detectLanguage('the cat and the dog of a house')") === "en")
     assert(one("detectLanguage('der Hund und die Katze ist da')") === "de")
