@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AsofLE].getName, "asof_le"),
       (children: Seq[Expression]) => AsofLE(children(0), children(1))))
     ext.injectOptimizerRule(_ => AsofJoinRewrite)
+    // Transparent MV rewrite: aggregates over a base table roll up from
+    // registered pre-aggregated parquet views instead (plans/
+    // MaterializedViewRewrite.scala) — no-op until an MV is registered.
+    ext.injectOptimizerRule(_ => graft.plans.MaterializedViewRewrite)
     // ClickHouse-dialect function spellings → native Catalyst expressions.
     graft.sql.ClickHouseAliases.inject(ext)
   }
