@@ -109,4 +109,94 @@ object CodingOps {
     */
   def fqdn(): UTF8String =
     UTF8String.fromString(java.net.InetAddress.getLocalHost.getCanonicalHostName)
+
+  /** intHash64 (reference src/Common/HashTable/Hash.h:26-34): the
+    * MurmurHash3 finalizer. intHash64's bit ops are sign-agnostic, so
+    * Long stands in for UInt64 exactly.
+    */
+  def intHash64(x: Long): Long = {
+    var h = x
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** intHash32 (Hash.h:390-402 with the FunctionsHashing.h:164 salt):
+    * Thomas Wang-style mix truncated to the low 32 bits (returned
+    * zero-extended in a Long, the dialect's UInt32 carrier).
+    */
+  def intHash32(x: Long): Long = {
+    var k = x ^ 0x75d9543de018bf45L
+    k = (~k) + (k << 18)
+    k = k ^ ((k >>> 31) | (k << 33))
+    k = k * 21
+    k = k ^ ((k >>> 11) | (k << 53))
+    k = k + (k << 6)
+    k = k ^ ((k >>> 22) | (k << 42))
+    k & 0xffffffffL
+  }
+
+  /** normalizeUTF8NFC/NFD/NFKC/NFKD (reference
+    * src/Functions/normalizeString.cpp) via java.text.Normalizer — the
+    * same Unicode normalization forms ICU implements there.
+    */
+  def normalizeUtf8(s: UTF8String, form: UTF8String): UTF8String = {
+    if (s == null) return null
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.valueOf(form.toString)))
+  }
+
+  /** isValidUTF8 (reference FunctionsStringSimilarity isValidUTF8.cpp):
+    * strict byte-level validation of the raw UTF-8 bytes.
+    */
+  def isValidUtf8(s: UTF8String): Boolean = {
+    if (s == null) return true
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try { dec.decode(java.nio.ByteBuffer.wrap(s.getBytes)); true }
+    catch { case _: java.nio.charset.CharacterCodingException => false }
+  }
+
+  /** toValidUTF8: invalid sequences replaced with U+FFFD (the JVM
+    * decoder's REPLACE action — same replacement char as the reference).
+    */
+  def toValidUtf8(s: UTF8String): UTF8String =
+    if (s == null) null
+    else UTF8String.fromString(new String(
+      s.getBytes, java.nio.charset.StandardCharsets.UTF_8))
+
+  /** isIPv6String (reference FunctionsCoding.h isIPv6String): textual
+    * IPv6 validation — hand-rolled (no InetAddress, which resolves
+    * hostnames): 2-8 hex groups, at most one '::', optional embedded
+    * IPv4 tail.
+    */
+  def isIpv6(s: UTF8String): Boolean = {
+    if (s == null) return false
+    val str = s.toString
+    if (str.isEmpty) return false
+    val dcolons = str.sliding(2).count(_ == "::")
+    if (dcolons > 1) return false
+    val hasCompress = dcolons == 1
+    if (str == "::") return true
+    val body = str
+    val parts = body.split(":", -1)
+    if (parts.length > 9 || (!hasCompress && parts.length != 8)) return false
+    val hex = "^[0-9A-Fa-f]{1,4}$".r
+    val v4 = "^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$".r
+    var groups = 0
+    var empties = 0
+    parts.zipWithIndex.foreach { case (p, i) =>
+      if (p.isEmpty) empties += 1
+      else if (hex.matches(p)) groups += 1
+      else if (i == parts.length - 1 && v4.matches(p)) groups += 2
+      else return false
+    }
+    // '::' contributes 1-2 empty split tokens at the ends, 1 inside
+    if (hasCompress) groups <= 7 && empties <= 3
+    else groups == 8
+  }
 }

@@ -570,6 +570,82 @@ object CoverageWave9 {
         FROM lineitem
         WHERE EXTRACT(year FROM l_shipdate) >= 1993
         GROUP BY 1, 2
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // Typed conversion matrix + best-effort datetime parsing (reference
+    // FunctionsConversion.h, parseDateTimeBestEffort): round-trip
+    // strings derived from orders through toInt32OrZero/toInt64OrDefault/
+    // toFloat64OrNull and two parseDateTimeBestEffort layouts (day-first
+    // slash, compact), all rebuilt in DuckDB with TRY_CAST/strptime.
+    // Pure projection — no shuffle beyond the ORDER BY.
+    QueryDef(
+      "scalar_conversions",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT o_orderkey,
+            toInt32OrZero(split(o_orderpriority, '-')[0]) AS prio_n,
+            toInt32OrZero(o_orderstatus) AS status_zero,
+            toInt64OrDefault(o_orderstatus, -1) AS status_def,
+            toFloat64OrNull(CAST(o_totalprice AS STRING)) AS price_rt,
+            CAST(parseDateTimeBestEffort(
+              date_format(o_orderdate, 'dd/MM/yyyy')) AS DATE) AS d_slash,
+            CAST(parseDateTimeBestEffort(
+              date_format(o_orderdate, 'yyyyMMdd')) AS DATE) AS d_compact
+          FROM orders
+          ORDER BY o_orderkey
+          LIMIT 500""")
+      },
+      Some("""
+        SELECT o_orderkey,
+          CAST(COALESCE(TRY_CAST(string_split(o_orderpriority, '-')[1] AS INTEGER), 0)
+            AS INTEGER) AS prio_n,
+          CAST(COALESCE(TRY_CAST(o_orderstatus AS INTEGER), 0) AS INTEGER) AS status_zero,
+          CAST(COALESCE(TRY_CAST(o_orderstatus AS BIGINT), -1) AS BIGINT) AS status_def,
+          TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS price_rt,
+          CAST(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS d_slash,
+          CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE) AS d_compact
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 500""")),
+
+    // Wave-12 long tail over orders: token-boundary search, non-alpha
+    // split, day-of-year date constructor, snowflake id round-trip,
+    // digit count, positive modulo, IPv4 validation — every column
+    // rebuilt in DuckDB from first principles (regex boundaries, date
+    // arithmetic, epoch_ms bit shifts). Pure projection.
+    QueryDef(
+      "scalar_tokens_misc",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT o_orderkey,
+            CAST(hasToken(o_orderpriority, 'URGENT') AS INT) AS has_urgent,
+            CAST(size(splitByNonAlpha(o_orderpriority)) AS INT) AS n_parts,
+            makeDate(1995, CAST(o_orderkey % 365 AS INT) + 1) AS d_doy,
+            snowflakeToDateTime(o_orderkey * 4194304) AS snow_ts,
+            CAST(countDigits(o_orderkey) AS INT) AS n_digits,
+            CAST(positiveModulo(-o_orderkey, 7) AS BIGINT) AS pm7,
+            CAST(isIPv4String(concat('10.0.0.', CAST(o_orderkey % 300 AS STRING))) AS INT) AS is_ip
+          FROM orders
+          ORDER BY o_orderkey
+          LIMIT 500""")
+      },
+      Some("""
+        SELECT o_orderkey,
+          CAST(CASE WHEN regexp_matches(o_orderpriority,
+            '(^|[^0-9A-Za-z_])URGENT([^0-9A-Za-z_]|$)') THEN 1 ELSE 0 END AS INT)
+            AS has_urgent,
+          CAST(len(list_filter(regexp_split_to_array(o_orderpriority,
+            '[^a-zA-Z0-9]+'), x -> len(x) > 0)) AS INT) AS n_parts,
+          CAST(DATE '1995-01-01' + to_days(CAST(o_orderkey % 365 AS INTEGER)) AS DATE)
+            AS d_doy,
+          epoch_ms(((o_orderkey * 4194304) >> 22) + 1288834974657) AS snow_ts,
+          CAST(length(CAST(o_orderkey AS VARCHAR)) AS INT) AS n_digits,
+          CAST((((-o_orderkey) % 7) + 7) % 7 AS BIGINT) AS pm7,
+          CAST(CASE WHEN (o_orderkey % 300) <= 255 THEN 1 ELSE 0 END AS INT) AS is_ip
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 500"""))
   )
 }

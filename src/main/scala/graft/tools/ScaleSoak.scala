@@ -56,7 +56,12 @@ object ScaleSoak {
     // auc_reg_pairs is excluded: it runs on customer, which this soak
     // doesn't scale — a flat ratio would be meaningless.
     "auc_bucketed_family",
-    "attribution_analysis_fuse", "count_by_granularity")
+    "attribution_analysis_fuse", "count_by_granularity",
+    // array-scan wave (per-order arrays bounded by TPC-H at 7 elements,
+    // orders are the axis) and the MV rollup (build pass ∝ base rows,
+    // rollup read ∝ group-key cross product — the whole query must stay
+    // ~linear in the base).
+    "array_scan_family", "mv_rewrite_rollup")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -93,6 +98,17 @@ object ScaleSoak {
 
   /** N disjoint salted copies of the two corpora (skipped if present). */
   private def generate(spark: SparkSession, base: String, factor: Int, out: String): Unit = {
+    // TPC-H fact copies (own guard: scratch dirs sealed before this table
+    // joined the soak carry _SOAK_READY without it): orderkeys offset per
+    // copy, so per-order line sets — the per-row array sizes — are
+    // unchanged and orders are the scaling axis.
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      (0 until factor).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 1000000000L))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+    }
     val done = new java.io.File(s"$out/_SOAK_READY")
     if (done.exists()) return
     val docs = spark.read.parquet(s"$base/documents.parquet")

@@ -83,6 +83,21 @@ class ArrayWave2Spec extends SparkSpec {
     assert(one("typeof(emptyArrayDate())") === "array<date>")
   }
 
+  test("arrayPartialSort refines the unspecified tail to a total sort") {
+    assert(seqOf("arrayPartialSort(2, array(5, 1, 4, 3))") === Seq(1, 3, 4, 5))
+    assert(seqOf("arrayPartialReverseSort(2, array(5, 1, 4, 3))") === Seq(5, 4, 3, 1))
+  }
+
+  test("aggThrow: p=0 aggregates to the UInt8 default, p>0 throws") {
+    assert(spark.sql(
+      "SELECT aggThrow(0.0) AS v FROM VALUES (1), (2) t(x)").head.get(0) === 0)
+    val e = intercept[Exception] {
+      spark.sql("SELECT aggThrow(1.0) FROM VALUES (1) t(x)").collect()
+    }
+    assert(e.getMessage.contains("thrown exception successfully") ||
+      Option(e.getCause).exists(_.getMessage.contains("thrown exception successfully")))
+  }
+
   test("arrayAUC matches the reference doc example") {
     val got = one("arrayAUC(array(0.1, 0.4, 0.35, 0.8), array(0, 0, 1, 1))")
       .asInstanceOf[Double]

@@ -129,4 +129,13 @@ class GoldenPlanSpec extends SparkSpec {
       "tpcds_before_after").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
+
+  // Array-scan wave: one shuffle (groupBy l_orderkey), every per-array
+  // scan inside the projection; MV rollup: the snapshot pins the
+  // aggregate reading the __cnt/__sum_* MV relation — a regression to
+  // the base-table scan changes the relation's column list and fails
+  // the diff.
+  Seq("array_scan_family", "mv_rewrite_rollup").foreach { q =>
+    test(s"$q optimized plan matches golden snapshot") { check(q) }
+  }
 }

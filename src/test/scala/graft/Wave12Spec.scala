@@ -1,0 +1,96 @@
+package graft
+
+/** Unit gates for the wave-12 long-tail spellings (map helpers, token
+  * search, splits, date constructors, snowflake ids, digit math, IP and
+  * Unicode validation, intHash).
+  */
+class Wave12Spec extends SparkSpec {
+
+  private def one(expr: String): Any = spark.sql(s"SELECT $expr").head.get(0)
+  private def seqOf(expr: String): Seq[Any] =
+    one(expr).asInstanceOf[scala.collection.Seq[Any]].toSeq
+
+  test("map helpers") {
+    assert(one("mapContains(map('a', 1, 'b', 2), 'a')") === true)
+    assert(one("mapContains(map('a', 1), 'z')") === false)
+    assert(one("mapFromArrays(array('x', 'y'), array(1, 2))['y']") === 2)
+  }
+
+  test("hasToken boundary semantics") {
+    assert(one("hasToken('Hello World_42 foo', 'World_42')") === true)
+    assert(one("hasToken('HelloWorld', 'World')") === false)
+    assert(one("hasToken('a,World,b', 'World')") === true)
+    assert(one("hasTokenCaseInsensitive('a world b', 'WORLD')") === true)
+    assert(one("hasToken('a world b', 'WORLD')") === false)
+    assert(one("hasTokenOrNull('abc', 'no token!')") === null)
+    intercept[Exception](one("hasToken('abc', 'no token!')"))
+  }
+
+  test("splitByNonAlpha / splitByWhitespace drop empty fragments") {
+    assert(seqOf("splitByNonAlpha('a.b c--d')") === Seq("a", "b", "c", "d"))
+    assert(seqOf("splitByWhitespace('  a  b\tc ')") === Seq("a", "b", "c"))
+  }
+
+  test("makeDate / makeDateTime constructors") {
+    assert(one("makeDate(2023, 4, 5)").toString === "2023-04-05")
+    assert(one("makeDate(2023, 95)").toString === "2023-04-05")
+    assert(one("makeDate32(2024, 2, 29)").toString === "2024-02-29")
+    assert(String.valueOf(one("makeDateTime(2023, 4, 5, 6, 7, 8)"))
+      .startsWith("2023-04-05 06:07:08"))
+  }
+
+  test("snowflake id conversions round-trip") {
+    assert(String.valueOf(one("snowflakeToDateTime(1426860702736191488)"))
+      .startsWith("2021-08"))
+    assert(one(
+      "snowflakeToDateTime(dateTimeToSnowflake(timestamp'2023-04-05 06:07:08'))")
+      .toString.startsWith("2023-04-05 06:07:08"))
+  }
+
+  test("countDigits and factorial") {
+    assert(one("countDigits(12345)") === 5)
+    assert(one("countDigits(-120)") === 3)
+    assert(one("factorial(0)") === 1L)
+    assert(one("factorial(1)") === 1L)
+    assert(one("factorial(5)") === 120L)
+    assert(one("factorial(20)") === 2432902008176640000L)
+  }
+
+  test("IP string validation") {
+    assert(one("isIPv4String('192.168.0.1')") === true)
+    assert(one("isIPv4String('256.1.1.1')") === false)
+    assert(one("isIPv4String('1.2.3')") === false)
+    assert(one("isIPv6String('::1')") === true)
+    assert(one("isIPv6String('2001:db8::8a2e:370:7334')") === true)
+    assert(one("isIPv6String('1:2:3:4:5:6:7:8')") === true)
+    assert(one("isIPv6String('::ffff:192.168.1.1')") === true)
+    assert(one("isIPv6String('1:2:3')") === false)
+    assert(one("isIPv6String('1::2::3')") === false)
+    assert(one("isIPv6String('192.168.0.1')") === false)
+  }
+
+  test("Unicode normalization and validation") {
+    // e + combining acute (NFD) vs precomposed é (NFC)
+    assert(one("length(normalizeUTF8NFD('é'))") === 2)
+    assert(one("length(normalizeUTF8NFC(normalizeUTF8NFD('é')))") === 1)
+    assert(one("normalizeUTF8NFKC('ﬁ')") === "fi")
+    assert(one("isValidUTF8('plain text')") === true)
+    assert(one("toValidUTF8('ok')") === "ok")
+    assert(one("reverseUTF8('abc')") === "cba")
+  }
+
+  test("intHash64 / intHash32 are the reference mixers") {
+    // intHash64 is the murmur3 finalizer: fixed point of 0 is 0
+    assert(one("intHash64(0)") === 0L)
+    assert(one("intHash64(42)") !== 42L)
+    assert(one("intHash64(42)") === one("intHash64(42)"))
+    val h32 = one("intHash32(42)").asInstanceOf[Long]
+    assert(h32 >= 0L && h32 <= 0xffffffffL)
+  }
+
+  test("roundDown picks the floor bucket") {
+    assert(one("roundDown(7, array(1, 5, 10))") === 5)
+    assert(one("roundDown(0, array(1, 5, 10))") === 1)
+    assert(one("roundDown(10, array(1, 5, 10))") === 10)
+  }
+}
