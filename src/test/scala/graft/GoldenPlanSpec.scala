@@ -138,4 +138,11 @@ class GoldenPlanSpec extends SparkSpec {
   Seq("array_scan_family", "mv_rewrite_rollup").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
+
+  // Sixth TPC-DS wave: q88's eight bands and q9's five buckets must stay
+  // ONE conditional-aggregate scan of the fact table — the snapshot
+  // fails if the plan regresses to per-band subquery scans.
+  Seq("tpcds_timeband_counts", "tpcds_case_buckets").foreach { q =>
+    test(s"$q optimized plan matches golden snapshot") { check(q) }
+  }
 }

@@ -93,4 +93,50 @@ class Wave12Spec extends SparkSpec {
     assert(one("roundDown(0, array(1, 5, 10))") === 1)
     assert(one("roundDown(10, array(1, 5, 10))") === 10)
   }
+
+  test("extractGroups family") {
+    assert(seqOf("extractGroups('k=v', '(\\\\w+)=(\\\\w+)')") === Seq("k", "v"))
+    assert(seqOf("extractGroups('no match here!', '(\\\\d+)=(\\\\d+)')") === Seq())
+    assert(seqOf("extractAllGroupsHorizontal('a=1,b=2', '(\\\\w+)=(\\\\w+)')") ===
+      Seq(Seq("a", "b"), Seq("1", "2")))
+    assert(seqOf("extractAllGroupsVertical('a=1,b=2', '(\\\\w+)=(\\\\w+)')") ===
+      Seq(Seq("a", "1"), Seq("b", "2")))
+  }
+
+  test("Modified Julian Day conversions") {
+    // 1858-11-17 is MJD 0; 1970-01-01 is MJD 40587
+    assert(one("toModifiedJulianDay('1970-01-01')") === 40587)
+    assert(one("toModifiedJulianDay('1858-11-17')") === 0)
+    assert(one("fromModifiedJulianDay(40587)").toString === "1970-01-01")
+    assert(one("fromModifiedJulianDay(0)").toString === "1858-11-17")
+    assert(one("toModifiedJulianDayOrNull('rubbish')") === null)
+  }
+
+  test("sub-second rounding") {
+    assert(String.valueOf(one(
+      "toStartOfMillisecond(timestamp'2023-04-05 06:07:08.123456')"))
+      .endsWith("08.123"))
+    assert(String.valueOf(one(
+      "toStartOfMicrosecond(timestamp'2023-04-05 06:07:08.123456')"))
+      .endsWith("08.123456"))
+  }
+
+  test("minSampleSize A/B scalars") {
+    val c = spark.sql(
+      "SELECT minSampleSizeContinous(100.0, 10.0, 0.05, 0.8, 0.05) AS t")
+      .head.getStruct(0)
+    // 2σ²(z_{0.975}+z_{0.8})²/Δ², Δ=5: z=1.95996+0.84162=2.80158 → ~62.79
+    assert(math.abs(c.getDouble(0) - 62.79) < 0.05)
+    assert(c.getDouble(1) === 95.0)
+    assert(c.getDouble(2) === 105.0)
+    val v = spark.sql(
+      "SELECT minSampleSizeConversion(0.25, 0.05, 0.8, 0.05) AS t")
+      .head.getStruct(0)
+    assert(v.getDouble(0) > 1000 && v.getDouble(0) < 2000)
+    assert(v.getDouble(1) === 0.2)
+    assert(math.abs(v.getDouble(2) - 0.3) < 1e-12)
+    // invalid inputs → NaNs like the reference
+    assert(spark.sql("SELECT minSampleSizeConversion(0.25, 1.0, 0.8, 0.05) AS t")
+      .head.getStruct(0).getDouble(0).isNaN)
+  }
 }
