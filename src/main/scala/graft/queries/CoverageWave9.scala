@@ -646,6 +646,56 @@ object CoverageWave9 {
           CAST(CASE WHEN (o_orderkey % 300) <= 255 THEN 1 ELSE 0 END AS INT) AS is_ip
         FROM orders
         ORDER BY o_orderkey
+        LIMIT 500""")),
+
+    // SQL dictionary surface (reference FunctionsExternalDictionaries.h)
+    // over the in-RAM registry: typed gets, nested gets, membership,
+    // default fallback, and a hierarchy walk (nation→region links) —
+    // DuckDB rebuilds every lookup with plain dimension joins. The fact
+    // side stays join-free in Spark (scalar map lookups inside codegen).
+    QueryDef(
+      "dict_functions",
+      (s, dir) => {
+        graft.sql.Dictionaries.register("nation_d",
+          Tables(s, dir, "nation"), "n_nationkey")
+        graft.sql.Dictionaries.register("region_d",
+          Tables(s, dir, "region"), "r_regionkey")
+        // hierarchy: nation k → region k+100 (regions parent themselves,
+        // which stops the walk)
+        val nat = Tables(s, dir, "nation").selectExpr(
+          "n_nationkey AS k", "n_regionkey + 100 AS parent")
+        val reg = Tables(s, dir, "region").selectExpr(
+          "r_regionkey + 100 AS k", "r_regionkey + 100 AS parent")
+        graft.sql.Dictionaries.register("geo_h", nat.unionByName(reg), "k",
+          parentAttr = Some("parent"))
+        Tables(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql("""
+          SELECT c_custkey,
+            dictGetString('nation_d', 'n_name', c_nationkey) AS nat_name,
+            dictGetString('region_d', 'r_name',
+              dictGet('nation_d', 'n_regionkey', c_nationkey)) AS reg_name,
+            CAST(dictHas('nation_d', c_custkey % 50) AS INT) AS has_k,
+            dictGetStringOrDefault('nation_d', 'n_name', c_custkey + 1000,
+              'none') AS dflt,
+            CAST(size(dictGetHierarchy('geo_h', c_nationkey)) AS INT) AS hier_len,
+            CAST(dictIsIn('geo_h', c_nationkey, 100 + c_custkey % 5) AS INT) AS is_in
+          FROM customer
+          ORDER BY c_custkey
+          LIMIT 500""")
+      },
+      Some("""
+        SELECT c_custkey,
+          n_name AS nat_name,
+          r_name AS reg_name,
+          CAST(CASE WHEN c_custkey % 50 <= 24 THEN 1 ELSE 0 END AS INT) AS has_k,
+          'none' AS dflt,
+          CAST(2 AS INT) AS hier_len,
+          CAST(CASE WHEN n_regionkey = c_custkey % 5 THEN 1 ELSE 0 END AS INT)
+            AS is_in
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        ORDER BY c_custkey
         LIMIT 500"""))
   )
 }

@@ -121,6 +121,27 @@ class Wave12Spec extends SparkSpec {
       .endsWith("08.123456"))
   }
 
+  test("dictGet family over the in-RAM registry") {
+    import spark.implicits._
+    val dim = Seq((1L, "a", 2L), (2L, "b", 2L), (3L, "c", 1L))
+      .toDF("k", "name", "parent")
+    graft.sql.Dictionaries.register("t_d", dim, "k", parentAttr = Some("parent"))
+    try {
+      assert(one("dictGetString('t_d', 'name', 1)") === "a")
+      assert(one("dictGet('t_d', 'parent', 3)") === 1L)
+      assert(one("dictHas('t_d', 2)") === true)
+      assert(one("dictHas('t_d', 9)") === false)
+      assert(one("dictGetString('t_d', 'name', 9)") === null)
+      assert(one("dictGetStringOrDefault('t_d', 'name', 9, 'z')") === "z")
+      assert(one("dictGetInt32('t_d', 'parent', 1)") === 2)
+      // 3 → 1 → 2 → (2 parents itself: stop)
+      assert(seqOf("dictGetHierarchy('t_d', 3)") === Seq(3L, 1L, 2L))
+      assert(one("dictIsIn('t_d', 3, 2)") === true)
+      assert(one("dictIsIn('t_d', 2, 3)") === false)
+      intercept[Exception](one("dictGet('t_d', 'nope', 1)"))
+    } finally graft.sql.Dictionaries.drop("t_d")
+  }
+
   test("minSampleSize A/B scalars") {
     val c = spark.sql(
       "SELECT minSampleSizeContinous(100.0, 10.0, 0.05, 0.8, 0.05) AS t")
