@@ -60,4 +60,37 @@ object RowOrder {
       else lag(value, -offset).over(win)
     coalesce(shifted, default)
   }
+
+  /** runningConcurrency(begin, end) (reference
+    * src/Functions/runningConcurrency.cpp: walks rows keeping a multiset
+    * of open ends, popping ends ≤ the current begin BEFORE pushing —
+    * block-order-dependent for simultaneous begins). Deterministic
+    * re-expression as an interval sweep: every interval contributes
+    * (+1 at begin, −1 at end), per-instant net deltas are prefix-summed
+    * in time order, and each distinct begin instant reports the count of
+    * intervals open there — intervals ending exactly at t are already
+    * closed (their −1 is included), matching the reference's
+    * pop-before-push tie rule; simultaneous begins all count (the
+    * reference's per-row walk values depend on intra-block row order,
+    * which doesn't exist distributed — this returns that walk's maximum
+    * at the instant, the only order-free value). Cost: one shuffle to
+    * group instants + one global-ordered prefix sum — the sort-based
+    * shape that scales, vs the reference's single-threaded multiset.
+    *
+    * Input: a DataFrame with `begin`/`end` columns; output: (t, conc)
+    * per distinct begin instant.
+    */
+  def runningConcurrency(
+      df: org.apache.spark.sql.DataFrame,
+      begin: Column, end: Column): org.apache.spark.sql.DataFrame = {
+    val iv = df.select(begin.as("b"), end.as("e"))
+    val pts = iv.select(col("b").as("t"), lit(1).as("d"))
+      .unionByName(iv.select(col("e").as("t"), lit(-1).as("d")))
+    val net = pts.groupBy(col("t")).agg(sum(col("d")).as("nd"))
+    val sweep = net.withColumn("conc",
+      sum(col("nd")).over(Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sweep.join(iv.select(col("b")).distinct(), col("t") === col("b"))
+      .select(col("t"), col("conc").cast("long").as("conc"))
+  }
 }

@@ -696,6 +696,41 @@ object CoverageWave9 {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         ORDER BY c_custkey
-        LIMIT 500"""))
+        LIMIT 500""")),
+
+    // runningConcurrency (reference runningConcurrency.cpp) as the
+    // deterministic interval sweep (operators/RowOrder.scala): view
+    // events become [ts, ts + (1..5) min) intervals; per distinct begin
+    // instant, how many intervals are open. The window's input is the
+    // per-instant net-delta aggregate (cardinality = distinct instants,
+    // not rows), so the global prefix sum is over the already-reduced
+    // set. Oracle: the identical sweep in plain SQL.
+    QueryDef(
+      "running_concurrency",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, expr}
+        val iv = Tables(s, dir, "events")
+          .filter(col("event_type") === "view")
+          .select(col("ts").as("b"),
+            expr("ts + make_interval(0, 0, 0, 0, 0, CAST(user_id % 5 AS INT) + 1, 0)")
+              .as("e"))
+        graft.operators.RowOrder.runningConcurrency(iv, col("b"), col("e"))
+          .orderBy(col("t"))
+      },
+      Some("""
+        WITH iv AS (
+          SELECT ts AS b, ts + to_minutes(CAST(user_id % 5 AS BIGINT) + 1) AS e
+          FROM events WHERE event_type = 'view'),
+        pts AS (
+          SELECT b AS t, 1 AS d FROM iv
+          UNION ALL
+          SELECT e AS t, -1 AS d FROM iv),
+        net AS (SELECT t, SUM(d) AS nd FROM pts GROUP BY t),
+        sweep AS (SELECT t, SUM(nd) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM net)
+        SELECT s.t, CAST(s.conc AS BIGINT) AS conc
+        FROM sweep s
+        JOIN (SELECT DISTINCT b FROM iv) g ON s.t = g.b
+        ORDER BY s.t"""))
   )
 }

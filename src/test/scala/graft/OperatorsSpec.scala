@@ -293,4 +293,24 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((1L, 2L)))
   }
+
+  test("runningConcurrency: sweep counts, pop-before-push tie rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // intervals (begin, end) on an integer timeline:
+    //   [1,5) [2,4) [4,6) [6,7)
+    // at t=1: 1 open; t=2: 2; t=4: [2,4) just closed, [4,6) opens → 2;
+    // t=6: [1,5) and [4,6) closed → 1 (end==begin is NOT concurrent)
+    val iv = Seq((1, 5), (2, 4), (4, 6), (6, 7)).toDF("b", "e")
+    val got = graft.operators.RowOrder
+      .runningConcurrency(iv, col("b"), col("e"))
+      .orderBy(col("t")).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got === Seq((1, 1L), (2, 2L), (4, 2L), (6, 1L)))
+    // simultaneous begins all count at their shared instant
+    val sim = Seq((1, 3), (1, 4), (2, 5)).toDF("b", "e")
+    val got2 = graft.operators.RowOrder
+      .runningConcurrency(sim, col("b"), col("e"))
+      .orderBy(col("t")).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got2 === Seq((1, 2L), (2, 3L)))
+  }
 }
