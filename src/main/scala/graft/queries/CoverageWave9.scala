@@ -731,6 +731,36 @@ object CoverageWave9 {
         SELECT s.t, CAST(s.conc AS BIGINT) AS conc
         FROM sweep s
         JOIN (SELECT DISTINCT b FROM iv) g ON s.t = g.b
-        ORDER BY s.t"""))
+        ORDER BY s.t""")),
+
+    // textSearch tsquery evaluation (reference tsquery.cpp +
+    // Common/TextSearchQuery.cpp) over documents: AND/OR/NOT trees and
+    // a multi-token phrase, each rebuilt in DuckDB with the same
+    // token-boundary regexes the lowering emits.
+    QueryDef(
+      "text_search_tsquery",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql("""
+          SELECT doc_id,
+            CAST(textSearch(text, 'data & (model | training)') AS INT) AS hit_and_or,
+            CAST(textSearch(text, '!data & learning') AS INT) AS hit_not,
+            CAST(hasTokens(text, 'of the') AS INT) AS phrase
+          FROM documents
+          ORDER BY doc_id""")
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(CASE WHEN regexp_matches(text, '(^|[^0-9A-Za-z_])data([^0-9A-Za-z_]|$)')
+            AND (regexp_matches(text, '(^|[^0-9A-Za-z_])model([^0-9A-Za-z_]|$)')
+              OR regexp_matches(text, '(^|[^0-9A-Za-z_])training([^0-9A-Za-z_]|$)'))
+            THEN 1 ELSE 0 END AS INT) AS hit_and_or,
+          CAST(CASE WHEN NOT regexp_matches(text, '(^|[^0-9A-Za-z_])data([^0-9A-Za-z_]|$)')
+            AND regexp_matches(text, '(^|[^0-9A-Za-z_])learning([^0-9A-Za-z_]|$)')
+            THEN 1 ELSE 0 END AS INT) AS hit_not,
+          CAST(CASE WHEN regexp_matches(text, '(^|[^0-9A-Za-z_])of the([^0-9A-Za-z_]|$)')
+            THEN 1 ELSE 0 END AS INT) AS phrase
+        FROM documents
+        ORDER BY doc_id"""))
   )
 }

@@ -26,6 +26,20 @@ class Wave12Spec extends SparkSpec {
     intercept[Exception](one("hasToken('abc', 'no token!')"))
   }
 
+  test("hasTokens phrase match and textSearch tsquery evaluation") {
+    assert(one("hasTokens('alpha beta gamma', 'beta gamma')") === true)
+    assert(one("hasTokens('alphabeta gamma', 'beta gamma')") === false)
+    assert(one("textSearch('the quick brown fox', 'quick & fox')") === true)
+    assert(one("textSearch('the quick brown fox', 'quick & cat')") === false)
+    assert(one("textSearch('the quick brown fox', 'cat | fox')") === true)
+    assert(one("textSearch('the quick brown fox', '!cat & (fox | dog)')") === true)
+    assert(one("textSearch('the quick brown fox', '!fox')") === false)
+    // quoted phrase inside the query
+    assert(one("textSearch('a quick brown fox', \"'quick brown' & fox\")") === true)
+    assert(one("textSearch('a quick-brown fox', \"'quick brown'\")") === false)
+    intercept[Exception](one("textSearch('x', 'a & ')"))
+  }
+
   test("splitByNonAlpha / splitByWhitespace drop empty fragments") {
     assert(seqOf("splitByNonAlpha('a.b c--d')") === Seq("a", "b", "c", "d"))
     assert(seqOf("splitByWhitespace('  a  b\tc ')") === Seq("a", "b", "c"))
