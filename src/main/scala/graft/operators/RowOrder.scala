@@ -31,6 +31,17 @@ object RowOrder {
     when(prev.isNull, value - value).otherwise(value - prev)
   }
 
+  /** runningDifferenceStartingWithFirstValue: like runningDifference but
+    * the first row yields its own value instead of the typed zero
+    * (reference runningDifferenceStartingWithFirstValue registration in
+    * runningDifference.cpp).
+    */
+  def runningDifferenceStartingWithFirstValue(
+      value: Column, partition: Seq[Column], order: Seq[Column]): Column = {
+    val prev = lag(value, 1).over(w(partition, order))
+    when(prev.isNull, value).otherwise(value - prev)
+  }
+
   /** runningAccumulate(agg_state) (reference
     * src/Functions/runningAccumulate.cpp): the running merge of an
     * aggregate state over rows so far — block-order-dependent in the

@@ -100,6 +100,37 @@ object TpcdsShapes6 {
           ROUND(CASE WHEN cnt > 500 THEN sum_price / cnt
                      ELSE sum_disc / cnt END, 6) AS bucket_metric
         FROM a
-        ORDER BY bucket""")
-  ))
+        ORDER BY bucket""")),
+
+    // q41 shape: DISTINCT dimension rows filtered by a correlated EXISTS
+    // on the SAME dimension — the brand must also make a differently-
+    // typed small part. Plans as a dimension⋈dimension LeftSemi
+    // (broadcast, no fact table involved); the decorrelation itself is
+    // the TPC-DS point.
+    QueryDef(
+      "tpcds_dim_exists",
+      (s, dir) => {
+        Tables(s, dir, "part").createOrReplaceTempView("part")
+        s.sql("""
+          SELECT DISTINCT p1.p_brand
+          FROM part p1
+          WHERE p1.p_size BETWEEN 10 AND 20
+            AND EXISTS (
+              SELECT 1 FROM part p2
+              WHERE p2.p_brand = p1.p_brand
+                AND p2.p_type <> p1.p_type
+                AND p2.p_size < 5)
+          ORDER BY p1.p_brand""")
+      },
+      Some("""
+        SELECT DISTINCT p1.p_brand
+        FROM part p1
+        WHERE p1.p_size BETWEEN 10 AND 20
+          AND EXISTS (
+            SELECT 1 FROM part p2
+            WHERE p2.p_brand = p1.p_brand
+              AND p2.p_type <> p1.p_type
+              AND p2.p_size < 5)
+        ORDER BY p1.p_brand"""))
+  )
 }

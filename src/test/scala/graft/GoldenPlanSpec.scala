@@ -145,4 +145,10 @@ class GoldenPlanSpec extends SparkSpec {
   Seq("tpcds_timeband_counts", "tpcds_case_buckets").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
+
+  // q41 shape: the correlated EXISTS must decorrelate to a LeftSemi of
+  // the dimension with itself — never a per-row subquery.
+  test("tpcds_dim_exists optimized plan matches golden snapshot") {
+    check("tpcds_dim_exists")
+  }
 }

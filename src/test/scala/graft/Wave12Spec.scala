@@ -116,6 +116,22 @@ class Wave12Spec extends SparkSpec {
     assert(h32 >= 0L && h32 <= 0xffffffffL)
   }
 
+  test("toDecimalString renders at the given scale") {
+    assert(one("toDecimalString(64.32, 5)") === "64.32000")
+    assert(one("toDecimalString(7, 0)") === "7")
+  }
+
+  test("runningDifferenceStartingWithFirstValue keeps the first value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1, 10), (2, 14), (3, 13)).toDF("i", "v")
+    val got = df.select(col("i"),
+      graft.operators.RowOrder.runningDifferenceStartingWithFirstValue(
+        col("v"), Seq(), Seq(col("i"))).as("d"))
+      .orderBy(col("i")).collect().map(_.getInt(1)).toSeq
+    assert(got === Seq(10, 4, -1))
+  }
+
   test("roundDown picks the floor bucket") {
     assert(one("roundDown(7, array(1, 5, 10))") === 5)
     assert(one("roundDown(0, array(1, 5, 10))") === 1)
