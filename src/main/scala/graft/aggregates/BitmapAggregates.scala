@@ -171,6 +171,109 @@ object BitmapAggregates {
       }
       serialize(out)
     })
+
+  /** bitmapMin / bitmapMax (reference FunctionsBitmap.h — the reference
+    * returns 0 / 0 on an empty bitmap; NULL is the Spark-idiomatic
+    * missing here, documented divergence).
+    */
+  val bitmapMin: UserDefinedFunction =
+    udf((bytes: Array[Byte]) => {
+      val bm = deserialize(bytes)
+      if (bm.isEmpty) None else Some(bm.first())
+    })
+  val bitmapMax: UserDefinedFunction =
+    udf((bytes: Array[Byte]) => {
+      val bm = deserialize(bytes)
+      if (bm.isEmpty) None else Some(bm.last())
+    })
+
+  /** bitmapSubsetInRange(state, lo, hi) — elements with lo <= v < hi
+    * (value range, unlike subBitmap's positional slice).
+    */
+  val bitmapSubsetInRange: UserDefinedFunction =
+    udf((bytes: Array[Byte], lo: Long, hi: Long) => {
+      val bm = deserialize(bytes)
+      val out = new Roaring64NavigableMap()
+      val it = bm.getLongIterator
+      while (it.hasNext) {
+        val v = it.next()
+        if (v >= lo && v < hi) out.addLong(v)
+      }
+      serialize(out)
+    })
+
+  /** bitmapSubsetLimit(state, start, limit) — at most `limit` elements
+    * with v >= start, in ascending order (reference FunctionsBitmap.h).
+    */
+  val bitmapSubsetLimit: UserDefinedFunction =
+    udf((bytes: Array[Byte], start: Long, limit: Long) => {
+      val bm = deserialize(bytes)
+      val out = new Roaring64NavigableMap()
+      val it = bm.getLongIterator
+      var n = 0L
+      while (it.hasNext && n < limit) {
+        val v = it.next()
+        if (v >= start) { out.addLong(v); n += 1 }
+      }
+      serialize(out)
+    })
+
+  /** bitmapTransform(state, from[], to[]) — values equal to from(i)
+    * become to(i), others pass through (reference FunctionsBitmap.h).
+    */
+  val bitmapTransform: UserDefinedFunction =
+    udf((bytes: Array[Byte], from: Seq[Long], to: Seq[Long]) => {
+      require(from.length == to.length, "bitmapTransform: size mismatch")
+      val mapping = from.zip(to).toMap
+      val bm = deserialize(bytes)
+      val out = new Roaring64NavigableMap()
+      val it = bm.getLongIterator
+      while (it.hasNext) {
+        val v = it.next()
+        out.addLong(mapping.getOrElse(v, v))
+      }
+      serialize(out)
+    })
+
+  /** Bitmap-valued set algebra (reference bitmapAnd/Or/Xor/Andnot). */
+  val bitmapAnd: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) => {
+      val x = deserialize(a); x.and(deserialize(b)); serialize(x)
+    })
+  val bitmapOr: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) => {
+      val x = deserialize(a); x.or(deserialize(b)); serialize(x)
+    })
+  val bitmapXor: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) => {
+      val x = deserialize(a); x.xor(deserialize(b)); serialize(x)
+    })
+  val bitmapAndnot: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) => {
+      val x = deserialize(a); x.andNot(deserialize(b)); serialize(x)
+    })
+  val bitmapXorCardinality: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) => {
+      val x = deserialize(a); x.xor(deserialize(b)); x.getLongCardinality
+    })
+
+  /** bitmapBuild(array) / bitmapToArray(state) (reference
+    * FunctionsBitmap.h) — array<long> ↔ bitmap conversions.
+    */
+  val bitmapBuild: UserDefinedFunction =
+    udf((xs: Seq[Long]) => {
+      val bm = new Roaring64NavigableMap()
+      xs.foreach(bm.addLong)
+      serialize(bm)
+    })
+  val bitmapToArray: UserDefinedFunction =
+    udf((bytes: Array[Byte]) => {
+      val bm = deserialize(bytes)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val it = bm.getLongIterator
+      while (it.hasNext) out += it.next()
+      out.toSeq
+    })
 }
 
 /** Input row for [[BitmapAggregates.bitmapColumnHas]]. */

@@ -761,6 +761,60 @@ object CoverageWave9 {
           CAST(CASE WHEN regexp_matches(text, '(^|[^0-9A-Za-z_])of the([^0-9A-Za-z_]|$)')
             THEN 1 ELSE 0 END AS INT) AS phrase
         FROM documents
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Bitmap value algebra (reference FunctionsBitmap.h): min/max,
+    // value-range and from-value-limited subsets, xor/andnot
+    // cardinalities, build↔toArray round-trip, and a transform remap —
+    // all over the Roaring64 user segments, each rebuilt by the oracle
+    // from the per-user click/purchase flags.
+    QueryDef(
+      "bitmap_value_algebra",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val B = graft.aggregates.BitmapAggregates
+        val ev = Tables(s, dir, "events")
+        val click = ev.filter(col("event_type") === "click")
+          .agg(B.groupBitmap(col("user_id")).as("bm_click"))
+        val purchase = ev.filter(col("event_type") === "purchase")
+          .agg(B.groupBitmap(col("user_id")).as("bm_purchase"))
+        click.crossJoin(purchase).select(
+          B.bitmapMin(col("bm_click")).as("min_click"),
+          B.bitmapMax(col("bm_click")).as("max_click"),
+          B.bitmapCardinality(B.bitmapSubsetInRange(
+            col("bm_click"), lit(100L), lit(300L))).as("range_card"),
+          B.bitmapCardinality(B.bitmapSubsetLimit(
+            col("bm_click"), lit(100L), lit(20L))).as("limit_card"),
+          B.bitmapXorCardinality(col("bm_click"), col("bm_purchase")).as("xor_card"),
+          B.bitmapCardinality(B.bitmapAndnot(
+            col("bm_click"), col("bm_purchase"))).as("andnot_card"),
+          B.bitmapCardinality(B.bitmapBuild(
+            B.bitmapToArray(col("bm_purchase")))).as("rt_card"),
+          aggregate(B.bitmapToArray(B.bitmapSubsetLimit(
+            col("bm_click"), lit(0L), lit(5L))), lit(0L), (a, x) => a + x)
+            .as("low5_sum"),
+          B.bitmapContains(B.bitmapTransform(B.bitmapBuild(
+            array(lit(1L), lit(2L), lit(3L))), array(lit(2L)), array(lit(99L))),
+            lit(99L)).cast("int").as("tr_ok"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT user_id,
+            MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+          FROM events GROUP BY user_id)
+        SELECT
+          (SELECT MIN(user_id) FROM s WHERE c = 1) AS min_click,
+          (SELECT MAX(user_id) FROM s WHERE c = 1) AS max_click,
+          (SELECT COUNT(*) FROM s WHERE c = 1 AND user_id >= 100 AND user_id < 300)
+            AS range_card,
+          (SELECT LEAST(20, COUNT(*)) FROM s WHERE c = 1 AND user_id >= 100)
+            AS limit_card,
+          (SELECT COUNT(*) FROM s WHERE c + p = 1) AS xor_card,
+          (SELECT COUNT(*) FROM s WHERE c = 1 AND p = 0) AS andnot_card,
+          (SELECT COUNT(*) FROM s WHERE p = 1) AS rt_card,
+          (SELECT SUM(user_id) FROM
+            (SELECT user_id FROM s WHERE c = 1 ORDER BY user_id LIMIT 5)) AS low5_sum,
+          CAST(1 AS INT) AS tr_ok"""))
   )
 }

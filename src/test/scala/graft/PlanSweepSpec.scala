@@ -24,6 +24,7 @@ class PlanSweepSpec extends SparkSpec {
     "tpcds_multi_count_scalars", // q88 shape: battery of scalar-count subqueries
     "bitmap_user_overlap",  // 1-row x 1-row: two singleton bitmap aggregates combined
     "bitmap_subset_slice",  // same 1-row x 1-row singleton-bitmap shape
+    "bitmap_value_algebra", // same 1-row x 1-row singleton-bitmap shape
     "tpcds_promo_ratio",    // q61 shape: 1-row x 1-row scalar-aggregate ratio
     "tpcds_below_avg_parts", // q65 shape: broadcast of a 1-row scalar aggregate
     "tpcds_frequent_best_sales", // q23 shape: broadcast 1-row max-spend scalar
