@@ -57,12 +57,51 @@ object GeoFunctions {
     ((latLo + latHi) / 2, (lonLo + lonHi) / 2)
   }
 
+  /** geohashesInBox (reference GeoHash.cpp:263-360): the grid cells of
+    * `precision` covering [lonMin,lonMax]×[latMin,latMax] — bounds
+    * saturated to the world, min corners floored / max corners ceiled to
+    * the cell grid so boundary cells are included, enumerated
+    * longitude-major like the reference; an empty-but-valid box falls
+    * back to the single cell of its aligned corner, and an inverted or
+    * NaN box yields []. Longitude carries the extra bit on odd
+    * precisions (bit 0 is a longitude bit).
+    */
+  def geohashesInBox(
+      lonMin0: Double, latMin0: Double, lonMax0: Double, latMax0: Double,
+      precision: Int): Seq[String] = {
+    val p = math.min(math.max(precision, 1), 12)
+    if (lonMax0 < lonMin0 || latMax0 < latMin0 ||
+      lonMin0.isNaN || lonMax0.isNaN || latMin0.isNaN || latMax0.isNaN)
+      return Seq.empty
+    def sat(v: Double, lo: Double, hi: Double) = math.min(math.max(v, lo), hi)
+    val lonBits = (5 * p + 1) / 2
+    val latBits = 5 * p / 2
+    val lonStep = 360.0 / (1L << lonBits)
+    val latStep = 180.0 / (1L << latBits)
+    val lonMin = math.floor(sat(lonMin0, -180, 180) / lonStep) * lonStep
+    val latMin = math.floor(sat(latMin0, -90, 90) / latStep) * latStep
+    val lonMax = math.ceil(sat(lonMax0, -180, 180) / lonStep) * lonStep
+    val latMax = math.ceil(sat(latMax0, -90, 90) / latStep) * latStep
+    val lonItems = ((lonMax - lonMin) / lonStep).toLong
+    val latItems = ((latMax - latMin) / latStep).toLong
+    val out = for {
+      i <- 0L until lonItems
+      j <- 0L until latItems
+    } yield encode(latMin + latStep * j, lonMin + lonStep * i, p)
+    if (out.isEmpty) Seq(encode(latMin, lonMin, p)) else out
+  }
+
   private val encodeUdf = udf(encode _)
   private val decodeLatUdf = udf((h: String) => decode(h)._1)
   private val decodeLonUdf = udf((h: String) => decode(h)._2)
+  private val inBoxUdf = udf(geohashesInBox _)
 
   def geohashEncode(lat: Column, lon: Column, precision: Column): Column =
     encodeUdf(lat, lon, precision)
   def geohashDecodeLat(h: Column): Column = decodeLatUdf(h)
   def geohashDecodeLon(h: Column): Column = decodeLonUdf(h)
+  def geohashesInBoxCol(
+      lonMin: Column, latMin: Column, lonMax: Column, latMax: Column,
+      precision: Column): Column =
+    inBoxUdf(lonMin, latMin, lonMax, latMax, precision)
 }

@@ -110,6 +110,24 @@ class FunctionsSpec extends SparkSpec {
     assert(gh === GeoFunctions.encode(48.8566, 2.3522, 7))
   }
 
+  test("geohashesInBox enumerates the covering grid cells") {
+    import graft.functions.GeoFunctions
+    // a box inside one precision-3 cell still returns that cell
+    val one = GeoFunctions.geohashesInBox(10.40, 57.64, 10.41, 57.65, 3)
+    assert(one === Seq("u4p"))
+    // growing the box adds neighbors; every point of the box is covered
+    val cells = GeoFunctions.geohashesInBox(10.0, 57.0, 11.0, 58.0, 3)
+    assert(cells.nonEmpty && cells.distinct.length === cells.length)
+    assert(cells.contains(GeoFunctions.encode(57.5, 10.5, 3)))
+    // all corners land in some returned cell
+    Seq((57.0, 10.0), (58.0, 11.0), (57.0, 11.0), (58.0, 10.0)).foreach {
+      case (la, lo) => assert(cells.contains(GeoFunctions.encode(la, lo, 3)))
+    }
+    // inverted and NaN boxes are empty
+    assert(GeoFunctions.geohashesInBox(11.0, 57.0, 10.0, 58.0, 3).isEmpty)
+    assert(GeoFunctions.geohashesInBox(Double.NaN, 0, 1, 1, 3).isEmpty)
+  }
+
   test("multimodal stub: schema and shapes are real") {
     val docs = Seq((1L, "hello world media payload")).toDF("doc_id", "text")
     val m = Multimodal.withFakeMedia(docs, "doc_id", "text")
