@@ -156,6 +156,47 @@ object CodingOps {
     b.toInt
   }
 
+  /** mortonEncode (reference src/Functions/mortonEncode.cpp, plain
+    * N-argument form): bit-interleave N unsigned values into one UInt64
+    * — value d occupies output bits (bit·n + d), which reproduces the
+    * reference exactly (mortonEncode(1,2,3) = 53). Each value keeps
+    * 64/n low bits.
+    */
+  def mortonEncode(vals: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = vals.numElements()
+    val bitsPer = 64 / n
+    var out = 0L
+    var d = 0
+    while (d < n) {
+      val v = vals.getLong(d)
+      var bit = 0
+      while (bit < bitsPer) {
+        if (((v >>> bit) & 1L) != 0L) out |= 1L << (bit * n + d)
+        bit += 1
+      }
+      d += 1
+    }
+    out
+  }
+
+  /** mortonDecode(n, code) — the inverse: n values as a tuple. */
+  def mortonDecode(n: Int, code: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val bitsPer = 64 / n
+    val out = new Array[Any](n)
+    var d = 0
+    while (d < n) {
+      var v = 0L
+      var bit = 0
+      while (bit < bitsPer) {
+        if (((code >>> (bit * n + d)) & 1L) != 0L) v |= 1L << bit
+        bit += 1
+      }
+      out(d) = v
+      d += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(out.toIndexedSeq)
+  }
+
   /** normalizeUTF8NFC/NFD/NFKC/NFKD (reference
     * src/Functions/normalizeString.cpp) via java.text.Normalizer — the
     * same Unicode normalization forms ICU implements there.

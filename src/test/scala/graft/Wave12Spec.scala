@@ -116,6 +116,16 @@ class Wave12Spec extends SparkSpec {
     assert(h32 >= 0L && h32 <= 0xffffffffL)
   }
 
+  test("mortonEncode/Decode: reference doc vector and round-trip") {
+    assert(one("mortonEncode(1, 2, 3)") === 53L)
+    assert(one("mortonEncode(1, 1)") === 3L)
+    val r = spark.sql("SELECT mortonDecode(3, 53) AS t").head.getStruct(0)
+    assert((0 until 3).map(r.getLong) === Seq(1L, 2L, 3L))
+    val rt = spark.sql(
+      "SELECT mortonDecode(2, mortonEncode(123456, 654321)) AS t").head.getStruct(0)
+    assert((rt.getLong(0), rt.getLong(1)) === (123456L, 654321L))
+  }
+
   test("toDecimalString renders at the given scale") {
     assert(one("toDecimalString(64.32, 5)") === "64.32000")
     assert(one("toDecimalString(7, 0)") === "7")
