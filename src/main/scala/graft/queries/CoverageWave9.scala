@@ -815,6 +815,40 @@ object CoverageWave9 {
           (SELECT COUNT(*) FROM s WHERE p = 1) AS rt_card,
           (SELECT SUM(user_id) FROM
             (SELECT user_id FROM s WHERE c = 1 ORDER BY user_id LIMIT 5)) AS low5_sum,
-          CAST(1 AS INT) AS tr_ok"""))
+          CAST(1 AS INT) AS tr_ok""")),
+
+    // uniqTheta set-op scalars (reference FunctionsUniqTheta.h) over
+    // sketch STATES: union/intersect/A-not-B of the click and purchase
+    // user sketches. Below the 2^lgK exact threshold a theta sketch is
+    // an exact set, so the estimates equal the exact distinct counts
+    // the oracle computes from per-user flags.
+    QueryDef(
+      "sketch_theta_setops",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val S = graft.aggregates.SketchAggregates
+        val ev = Tables(s, dir, "events")
+        val click = ev.filter(col("event_type") === "click")
+          .agg(S.thetaState(col("user_id")).as("sk_click"))
+        val purchase = ev.filter(col("event_type") === "purchase")
+          .agg(S.thetaState(col("user_id")).as("sk_purchase"))
+        click.crossJoin(purchase).select(
+          S.thetaEstimate(S.uniqThetaUnion(col("sk_click"), col("sk_purchase")))
+            .cast("long").as("u_card"),
+          S.thetaEstimate(S.uniqThetaIntersect(col("sk_click"), col("sk_purchase")))
+            .cast("long").as("i_card"),
+          S.thetaEstimate(S.uniqThetaNot(col("sk_click"), col("sk_purchase")))
+            .cast("long").as("n_card"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT user_id,
+            MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+          FROM events GROUP BY user_id)
+        SELECT
+          (SELECT COUNT(*) FROM s WHERE c = 1 OR p = 1) AS u_card,
+          (SELECT COUNT(*) FROM s WHERE c = 1 AND p = 1) AS i_card,
+          (SELECT COUNT(*) FROM s WHERE c = 1 AND p = 0) AS n_card"""))
   )
 }

@@ -25,6 +25,7 @@ class PlanSweepSpec extends SparkSpec {
     "bitmap_user_overlap",  // 1-row x 1-row: two singleton bitmap aggregates combined
     "bitmap_subset_slice",  // same 1-row x 1-row singleton-bitmap shape
     "bitmap_value_algebra", // same 1-row x 1-row singleton-bitmap shape
+    "sketch_theta_setops",  // same 1-row x 1-row sketch-state shape
     "tpcds_promo_ratio",    // q61 shape: 1-row x 1-row scalar-aggregate ratio
     "tpcds_below_avg_parts", // q65 shape: broadcast of a 1-row scalar aggregate
     "tpcds_frequent_best_sales", // q23 shape: broadcast 1-row max-spend scalar
