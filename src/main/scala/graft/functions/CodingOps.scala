@@ -156,6 +156,76 @@ object CodingOps {
     b.toInt
   }
 
+  /** toWeek/toYearWeek mode matrix (reference src/Common/DateLUTImpl
+    * .h:794-908 toYearWeek — the MySQL calc_week algorithm with flags
+    * MONDAY_FIRST=1, YEAR=2, FIRST_WEEKDAY=4, NEWYEAR_DAY=8 and the
+    * check_week_mode normalization). Ported statement-for-statement;
+    * golden values from the MySQL WEEK()/YEARWEEK() documentation.
+    */
+  private def yearWeek(epochDays: Int, mode0: Int): (Int, Int) = {
+    import java.time.LocalDate
+    val d = LocalDate.ofEpochDay(epochDays.toLong)
+    def dow(x: LocalDate): Int = x.getDayOfWeek.getValue // 1=Mon..7=Sun
+    val newyearDay = (mode0 & 8) != 0
+    var mode = mode0 & 7
+    if ((mode & 1) == 0) mode ^= 4 // check_week_mode
+    val mondayFirst = (mode & 1) != 0
+    var weekYear = (mode & 2) != 0
+    val firstWeekday = (mode & 4) != 0
+    if (newyearDay) {
+      val offsetDay = if (mondayFirst) 0 else 1
+      val year = d.plusDays(7L - dow(d.plusDays(offsetDay.toLong))).getYear
+      var firstDay = LocalDate.of(year, 1, 1)
+      var thisDay = d
+      if (mondayFirst) {
+        firstDay = firstDay.minusDays((dow(firstDay) - 1).toLong)
+        thisDay = thisDay.minusDays((dow(thisDay) - 1).toLong)
+      } else {
+        if (dow(firstDay) != 7) firstDay = firstDay.minusDays(dow(firstDay).toLong)
+        if (dow(thisDay) != 7) thisDay = thisDay.minusDays(dow(thisDay).toLong)
+      }
+      return (year, ((thisDay.toEpochDay - firstDay.toEpochDay) / 7 + 1).toInt)
+    }
+    var year = d.getYear
+    val daynr = d.toEpochDay
+    var firstDaynr = LocalDate.of(year, 1, 1).toEpochDay
+    def calcWeekday(ed: Long, sundayFirst: Boolean): Int = {
+      val x = LocalDate.ofEpochDay(ed)
+      if (!sundayFirst) dow(x) - 1 else dow(x.plusDays(1)) - 1
+    }
+    def daysInYear(y: Int): Int = if (java.time.Year.isLeap(y.toLong)) 366 else 365
+    var weekday = calcWeekday(firstDaynr, !mondayFirst)
+    var days = 0L
+    if (d.getMonthValue == 1 && d.getDayOfMonth <= 7 - weekday) {
+      if (!weekYear &&
+        ((firstWeekday && weekday != 0) || (!firstWeekday && weekday >= 4)))
+        return (year, 0)
+      weekYear = true
+      year -= 1
+      days = daysInYear(year).toLong
+      firstDaynr -= days
+      weekday = ((weekday + 53 * 7 - days) % 7).toInt
+    }
+    if ((firstWeekday && weekday != 0) || (!firstWeekday && weekday >= 4))
+      days = daynr - (firstDaynr + (7 - weekday))
+    else
+      days = daynr - (firstDaynr - weekday)
+    if (weekYear && days >= 52 * 7) {
+      weekday = ((weekday + daysInYear(year)) % 7).toInt
+      if ((!firstWeekday && weekday < 4) || (firstWeekday && weekday == 0))
+        return (year + 1, 1)
+    }
+    (year, (days / 7 + 1).toInt)
+  }
+
+  def toWeek(epochDays: Int, mode: Int): Int = yearWeek(epochDays, mode)._2
+
+  /** toYearWeek always ORs in the YEAR flag (CustomWeekTransforms.h:61). */
+  def toYearWeek(epochDays: Int, mode: Int): Int = {
+    val (y, w) = yearWeek(epochDays, mode | 2)
+    y * 100 + w
+  }
+
   /** mortonEncode (reference src/Functions/mortonEncode.cpp, plain
     * N-argument form): bit-interleave N unsigned values into one UInt64
     * — value d occupies output bits (bit·n + d), which reproduces the

@@ -116,6 +116,23 @@ class Wave12Spec extends SparkSpec {
     assert(h32 >= 0L && h32 <= 0xffffffffL)
   }
 
+  test("toWeek/toYearWeek match the MySQL WEEK()/YEARWEEK() documentation") {
+    // MySQL doc examples
+    assert(one("toWeek(DATE'2008-02-20')") === 7)
+    assert(one("toWeek(DATE'2008-02-20', 0)") === 7)
+    assert(one("toWeek(DATE'2008-02-20', 1)") === 8)
+    assert(one("toWeek(DATE'2008-12-31', 1)") === 53)
+    assert(one("toWeek(DATE'2000-01-01', 0)") === 0)
+    assert(one("toWeek(DATE'2000-01-01', 2)") === 52)
+    assert(one("toYearWeek(DATE'1987-01-01')") === 198652)
+    assert(one("toYearWeek(DATE'2000-01-01', 0)") === 199952)
+    // mode 3 is ISO — agrees with Spark's weekofyear
+    assert(one("toWeek(DATE'2016-12-27', 3)") ===
+      one("weekofyear(DATE'2016-12-27')"))
+    assert(one("toWeek(DATE'2021-01-01', 3)") ===
+      one("weekofyear(DATE'2021-01-01')"))
+  }
+
   test("mortonEncode/Decode: reference doc vector and round-trip") {
     assert(one("mortonEncode(1, 2, 3)") === 53L)
     assert(one("mortonEncode(1, 1)") === 3L)
