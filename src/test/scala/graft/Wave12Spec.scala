@@ -116,6 +116,28 @@ class Wave12Spec extends SparkSpec {
     assert(h32 >= 0L && h32 <= 0xffffffffL)
   }
 
+  test("stat alias wave: Stable spellings, samp moments, exact/overflow sums") {
+    val t = "VALUES (1.0), (2.0), (3.0), (4.0), (10.0) v(x)"
+    assert(one(s"abs(varSampStable(x) - var_samp(x)) < 1e-12 FROM $t") === true)
+    assert(one(s"corrStable(x, x * 2 + 1) FROM $t") === 1.0)
+    // skewSamp = population m3 / varSamp^1.5 (reference
+    // AggregateFunctionStatisticsSimple.h) — hand value for {1,2,3,4,10}:
+    // mean 4, m3 = (Σ(x-4)³)/5 = ((-27)+(-8)+(-1)+0+216)/5 = 36,
+    // varSamp = ((9+4+1+0+36))/4 = 12.5 → 36 / 12.5^1.5
+    val sk = one(s"skewSamp(x) FROM $t").asInstanceOf[Double]
+    assert(math.abs(sk - 36.0 / math.pow(12.5, 1.5)) < 1e-12)
+    val ku = one(s"kurtSamp(x) FROM $t").asInstanceOf[Double]
+    // m4 = (81+16+1+0+1296)/5 = 278.8 → / 12.5²
+    assert(math.abs(ku - 278.8 / 156.25) < 1e-12)
+    assert(one(s"uniqExact(CAST(x AS INT) % 3) FROM $t") === 3L)
+    assert(one(s"sumKahan(x) FROM $t") === 20.0)
+    assert(one(s"sumWithOverflow(CAST(x AS INT)) FROM $t") === 20)
+    assert(one(s"groupArbitrary(x) FROM $t") !== null)
+    assert(one("size(groupArrayLast(2, x) ) FROM VALUES (1.0),(2.0),(3.0) v(x)") === 2)
+    assert(one(s"thetaSketchEstimate(CAST(x AS BIGINT)) FROM $t") === 5.0)
+    assert(one(s"hllSketchEstimate(CAST(x AS BIGINT)) FROM $t") === 5L)
+  }
+
   test("toWeek/toYearWeek match the MySQL WEEK()/YEARWEEK() documentation") {
     // MySQL doc examples
     assert(one("toWeek(DATE'2008-02-20')") === 7)
