@@ -61,6 +61,33 @@ object Engine {
     spark.udf.register("bitmapColumnCardinality",
       aggregates.BitmapAggregates.bitmapColumnCardinality)
     spark.udf.register("bitmapColumnHas", aggregates.BitmapAggregates.bitmapColumnHas)
+    // bitmap value algebra (FunctionsBitmap.h scalar surface)
+    spark.udf.register("bitmapContains", aggregates.BitmapAggregates.bitmapContains)
+    spark.udf.register("bitmapHasAll", aggregates.BitmapAggregates.bitmapHasAll)
+    spark.udf.register("bitmapHasAny", aggregates.BitmapAggregates.bitmapHasAny)
+    spark.udf.register("subBitmap", aggregates.BitmapAggregates.subBitmap)
+    spark.udf.register("bitmapMin", aggregates.BitmapAggregates.bitmapMin)
+    spark.udf.register("bitmapMax", aggregates.BitmapAggregates.bitmapMax)
+    spark.udf.register("bitmapSubsetInRange",
+      aggregates.BitmapAggregates.bitmapSubsetInRange)
+    spark.udf.register("bitmapSubsetLimit",
+      aggregates.BitmapAggregates.bitmapSubsetLimit)
+    spark.udf.register("bitmapTransform", aggregates.BitmapAggregates.bitmapTransform)
+    spark.udf.register("bitmapAnd", aggregates.BitmapAggregates.bitmapAnd)
+    spark.udf.register("bitmapOr", aggregates.BitmapAggregates.bitmapOr)
+    spark.udf.register("bitmapXor", aggregates.BitmapAggregates.bitmapXor)
+    spark.udf.register("bitmapAndnot", aggregates.BitmapAggregates.bitmapAndnot)
+    spark.udf.register("bitmapXorCardinality",
+      aggregates.BitmapAggregates.bitmapXorCardinality)
+    spark.udf.register("bitmapBuild", aggregates.BitmapAggregates.bitmapBuild)
+    spark.udf.register("bitmapToArray", aggregates.BitmapAggregates.bitmapToArray)
+    // uniqTheta set-op scalars (FunctionsUniqTheta.h)
+    spark.udf.register("uniqThetaUnion", aggregates.SketchAggregates.uniqThetaUnion)
+    spark.udf.register("uniqThetaIntersect",
+      aggregates.SketchAggregates.uniqThetaIntersect)
+    spark.udf.register("uniqThetaNot", aggregates.SketchAggregates.uniqThetaNot)
+    spark.udf.register("thetaSketchToEstimate",
+      aggregates.SketchAggregates.thetaEstimate)
   }
 
   /** SQL front door over an sf directory: registers the catalog and runs
