@@ -104,7 +104,9 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     if (MaterializedViews.all.isEmpty) plan
     else plan.transformUp {
       case agg @ Aggregate(ges, aes, child, _) if agg.resolved =>
-        MaterializedViews.all.view
+        // coarsest applicable MV first — fewer group columns means a
+        // smaller pre-aggregate to scan
+        MaterializedViews.all.sortBy(_.groupCols.size).view
           .flatMap(mv => tryRewrite(mv, ges, aes, child))
           .headOption.getOrElse(agg)
     }
