@@ -116,6 +116,15 @@ class Wave12Spec extends SparkSpec {
     assert(h32 >= 0L && h32 <= 0xffffffffL)
   }
 
+  test("retention SQL spelling: bitmask of ever-fired conditions") {
+    val r = spark.sql("""
+      SELECT user, retention(t = 1, t = 2, t = 9) AS r
+      FROM VALUES (1, 1), (1, 2), (2, 2), (2, 9) u(user, t)
+      GROUP BY user ORDER BY user""").collect()
+    assert(r(0).getSeq[Int](1) === Seq(1, 1, 0)) // user 1: c1 and c2 fired
+    assert(r(1).getSeq[Int](1) === Seq(0, 0, 0)) // user 2: c1 never fired
+  }
+
   test("stat alias wave: Stable spellings, samp moments, exact/overflow sums") {
     val t = "VALUES (1.0), (2.0), (3.0), (4.0), (10.0) v(x)"
     assert(one(s"abs(varSampStable(x) - var_samp(x)) < 1e-12 FROM $t") === true)
