@@ -79,13 +79,22 @@ object SketchesAndStreams {
     // rows-only; accuracy asserted in unit tests.
     QueryDef(
       "theta_sketch_users",
+      // oracle-checked: below 2^lgK retained hashes a theta sketch is an
+      // exact set, and the per-type user counts here are far under the
+      // 4096 threshold — the estimate IS count-distinct, so DuckDB
+      // verifies both columns bit-exactly
       (s, dir) =>
         Tables(s, dir, "events")
           .groupBy(col("event_type"))
-          .agg(graft.aggregates.SketchAggregates.thetaDistinct(col("user_id")).as("theta_users"),
+          .agg(graft.aggregates.SketchAggregates.thetaDistinct(col("user_id"))
+              .cast("long").as("theta_users"),
                countDistinct(col("user_id")).as("exact_users"))
           .orderBy(col("event_type")),
-      None),
+      Some("""
+        SELECT event_type,
+          COUNT(DISTINCT user_id) AS theta_users,
+          COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // KLL quantile sketch (reference kllSketch family) — rows-only.
     QueryDef(
