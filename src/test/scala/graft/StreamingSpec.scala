@@ -172,4 +172,22 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(snap2 === Map("a" -> 4L, "b" -> 12L, "c" -> 5L))
   }
+
+  test("KafkaShape: exact format(kafka) contract, decode round-trips") {
+    import spark.implicits._
+    import graft.streaming.KafkaShape
+    val src = Seq(
+      ("u1", """{"e":"click"}""", java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 0L),
+      ("u2", """{"e":"view"}""", java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 1L))
+      .toDF("k", "v", "ts", "off")
+    val kafka = KafkaShape.adapt(src, "events", "k", "v", "ts", "off", partitions = 4)
+    assert(kafka.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      KafkaShape.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val decoded = KafkaShape.decode(kafka).orderBy("offset").collect()
+    assert(decoded.map(_.getString(0)).toSeq === Seq("u1", "u2"))
+    assert(decoded.map(_.getString(1)).head.contains("click"))
+    assert(decoded.forall(r => r.getString(2) == "events"))
+    val parts = kafka.select("partition").collect().map(_.getInt(0))
+    assert(parts.forall(p => p >= 0 && p < 4))
+  }
 }
