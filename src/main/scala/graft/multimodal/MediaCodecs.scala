@@ -285,4 +285,128 @@ object MediaCodecs {
     }
     bits
   }
+
+  // ------------------------------------------------ PNG / JPEG (ImageIO)
+  // The JDK's own javax.imageio (java.desktop, headless-safe — verified
+  // in this container) carries full PNG and JPEG codecs, so the round-4
+  // "image decode env-blocked" stub closes for REAL: these are genuine
+  // decodes of genuine compressed formats, no external library. PNG is
+  // lossless → our encode→decode loop is bit-exact and oracle-checkable;
+  // JPEG is lossy → spec-gated with a tolerance instead.
+
+  locally { System.setProperty("java.awt.headless", "true") }
+
+  private def readImage(b: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, "imageDecode: unrecognized image bytes")
+    img
+  }
+
+  private def writeImage(
+      img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"imageEncode: no ImageIO writer for $format")
+    bos.toByteArray
+  }
+
+  private def fill(w: Int, h: Int)(px: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, px(x, y)); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  def encodePngSolid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
+    writeImage(fill(w, h)((_, _) => (r << 16) | (g << 8) | b), "png")
+
+  /** Same per-pixel pattern as [[encodeBmpGradient]], so the two formats
+    * share decode expectations.
+    */
+  def encodePngGradient(w: Int, h: Int, seed: Int): Array[Byte] =
+    writeImage(fill(w, h)((x, y) => {
+      val r = (x * 255 / math.max(1, w - 1) + seed) % 256
+      val g = (y * 255 / math.max(1, h - 1) + seed * 3) % 256
+      val b = (x + y + seed * 7) % 256
+      (r << 16) | (g << 8) | b
+    }), "png")
+
+  def encodeJpegSolid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
+    writeImage(fill(w, h)((_, _) => (r << 16) | (g << 8) | b), "jpg")
+
+  /** Container sniff from magic bytes: PNG / JPEG / BMP / WAV / unknown. */
+  def mediaFormat(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    val f =
+      if (b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G') "PNG"
+      else if (b.length > 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "JPEG"
+      else if (b.length > 2 && b(0) == 'B' && b(1) == 'M') "BMP"
+      else if (b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V') "WAV"
+      else "UNKNOWN"
+    org.apache.spark.unsafe.types.UTF8String.fromString(f)
+  }
+
+  def imageWidth(b: Array[Byte]): Int = readImage(b).getWidth
+  def imageHeight(b: Array[Byte]): Int = readImage(b).getHeight
+
+  /** Channel means over the decoded raster — works on any ImageIO
+    * format (PNG, JPEG, BMP, GIF).
+    */
+  def imageMeanRgb(b: Array[Byte]): GenericArrayData = {
+    val img = readImage(b)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    new GenericArrayData(Array(sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+  }
+
+  /** Nearest-neighbor resize, re-encoded as PNG (lossless output
+    * regardless of input format) — the real image-resize operator.
+    */
+  def imageResizePng(b: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    val img = readImage(b)
+    val (w, h) = (img.getWidth, img.getHeight)
+    writeImage(fill(w2, h2)((x, y) =>
+      img.getRGB(x * w / w2, y * h / h2) & 0xffffff), "png")
+  }
+
+  /** Average-hash over the decoded raster's 8×8 nearest-neighbor luma —
+    * the same fingerprint as [[bmpAHash]] for any ImageIO format.
+    */
+  def imageAHash(b: Array[Byte]): Long = {
+    val img = readImage(b)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      val p = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8)
+      g(i) = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+        0.114 * (p & 0xff)
+      i += 1
+    }
+    val mean = g.sum / 64.0
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (g(i) - mean > 1e-9) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
 }

@@ -95,4 +95,27 @@ object Multimodal {
   def bmpGray8x8(media: Column): Column =
     invoke("bmpGray8x8", ArrayType(DoubleType, containsNull = false), media)
   def bmpAHash(media: Column): Column = invoke("bmpAHash", LongType, media)
+
+  // PNG/JPEG via the JDK's own ImageIO (MediaCodecs — real compressed-
+  // format codecs, headless, no external library)
+  def encodePngSolid(w: Column, h: Column, r: Column, g: Column, b: Column): Column =
+    ColumnBridge.column(StaticInvoke(codecs, BinaryType, "encodePngSolid",
+      Seq(w, h, r, g, b).map(c => ColumnBridge.expression(c.cast("int")))))
+  def encodePngGradient(w: Column, h: Column, seed: Column): Column =
+    ColumnBridge.column(StaticInvoke(codecs, BinaryType, "encodePngGradient",
+      Seq(w, h, seed).map(c => ColumnBridge.expression(c.cast("int")))))
+  def encodeJpegSolid(w: Column, h: Column, r: Column, g: Column, b: Column): Column =
+    ColumnBridge.column(StaticInvoke(codecs, BinaryType, "encodeJpegSolid",
+      Seq(w, h, r, g, b).map(c => ColumnBridge.expression(c.cast("int")))))
+  def mediaFormat(media: Column): Column = invoke("mediaFormat", StringType, media)
+  def imageWidth(media: Column): Column = invoke("imageWidth", IntegerType, media)
+  def imageHeight(media: Column): Column = invoke("imageHeight", IntegerType, media)
+  def imageMeanRgb(media: Column): Column =
+    invoke("imageMeanRgb", ArrayType(DoubleType, containsNull = false), media)
+  def imageAHash(media: Column): Column = invoke("imageAHash", LongType, media)
+  def imageResizePng(media: Column, w: Column, h: Column): Column =
+    ColumnBridge.column(StaticInvoke(codecs, BinaryType, "imageResizePng",
+      Seq(ColumnBridge.expression(media),
+        ColumnBridge.expression(w.cast("int")),
+        ColumnBridge.expression(h.cast("int")))))
 }

@@ -849,6 +849,52 @@ object CoverageWave9 {
         SELECT
           (SELECT COUNT(*) FROM s WHERE c = 1 OR p = 1) AS u_card,
           (SELECT COUNT(*) FROM s WHERE c = 1 AND p = 1) AS i_card,
-          (SELECT COUNT(*) FROM s WHERE c = 1 AND p = 0) AS n_card"""))
+          (SELECT COUNT(*) FROM s WHERE c = 1 AND p = 0) AS n_card""")),
+
+    // REAL PNG decode via the JDK's own ImageIO (MediaCodecs — the
+    // round-4 "image decode env-blocked" stub closes: PNG is a genuine
+    // compressed format, zlib-filtered, and the JDK codec is complete
+    // and headless). PNG is lossless, so a solid image encoded from
+    // doc_id parameters decodes to EXACT channel means, dimensions,
+    // format sniff, resize means and the canonical zero average-hash —
+    // all recomputed by the oracle from doc_id arithmetic alone.
+    QueryDef(
+      "multimodal_png_codecs",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        import org.apache.spark.sql.functions._
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id")).filter(col("doc_id") < 300)
+        d.withColumn("png", Multimodal.encodePngSolid(
+            lit(6) + col("doc_id") % 20, lit(5) + col("doc_id") % 11,
+            col("doc_id") % 256, (col("doc_id") * 5) % 256, (col("doc_id") * 11) % 256))
+          .select(col("doc_id"),
+            Multimodal.mediaFormat(col("png")).as("fmt"),
+            Multimodal.imageWidth(col("png")).as("w"),
+            Multimodal.imageHeight(col("png")).as("h"),
+            element_at(Multimodal.imageMeanRgb(col("png")), 1).cast("bigint").as("mean_r"),
+            element_at(Multimodal.imageMeanRgb(col("png")), 2).cast("bigint").as("mean_g"),
+            element_at(Multimodal.imageMeanRgb(col("png")), 3).cast("bigint").as("mean_b"),
+            Multimodal.imageAHash(col("png")).as("ahash"),
+            Multimodal.imageWidth(Multimodal.imageResizePng(col("png"), lit(4), lit(3)))
+              .as("rz_w"),
+            element_at(Multimodal.imageMeanRgb(
+              Multimodal.imageResizePng(col("png"), lit(4), lit(3))), 2)
+              .cast("bigint").as("rz_mean_g"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+          'PNG' AS fmt,
+          CAST(6 + doc_id % 20 AS INT) AS w,
+          CAST(5 + doc_id % 11 AS INT) AS h,
+          CAST(doc_id % 256 AS BIGINT) AS mean_r,
+          CAST((doc_id * 5) % 256 AS BIGINT) AS mean_g,
+          CAST((doc_id * 11) % 256 AS BIGINT) AS mean_b,
+          CAST(0 AS BIGINT) AS ahash,
+          CAST(4 AS INT) AS rz_w,
+          CAST((doc_id * 5) % 256 AS BIGINT) AS rz_mean_g
+        FROM documents WHERE doc_id < 300
+        ORDER BY doc_id"""))
   )
 }

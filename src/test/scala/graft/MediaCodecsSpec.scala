@@ -116,4 +116,40 @@ class MediaCodecsSpec extends SparkSpec {
       assert(row.getDouble(5) === (id % 256).toDouble)
     }
   }
+
+  test("PNG codec via ImageIO: lossless round-trip, sniff, resize, hash") {
+    import graft.multimodal.MediaCodecs
+    val png = MediaCodecs.encodePngSolid(10, 6, 120, 45, 200)
+    assert(MediaCodecs.mediaFormat(png).toString === "PNG")
+    assert(MediaCodecs.imageWidth(png) === 10)
+    assert(MediaCodecs.imageHeight(png) === 6)
+    assert(MediaCodecs.imageMeanRgb(png).toDoubleArray().toSeq ===
+      Seq(120.0, 45.0, 200.0))
+    assert(MediaCodecs.imageAHash(png) === 0L)
+    val rz = MediaCodecs.imageResizePng(png, 3, 2)
+    assert(MediaCodecs.imageWidth(rz) === 3)
+    assert(MediaCodecs.imageMeanRgb(rz).toDoubleArray().toSeq ===
+      Seq(120.0, 45.0, 200.0))
+    // gradient: decode recomputes the generator's exact pixels
+    val grad = MediaCodecs.encodePngGradient(16, 9, 4)
+    val means = MediaCodecs.imageMeanRgb(grad).toDoubleArray()
+    val expR = (0 until 16).map(x => (x * 255 / 15 + 4) % 256).sum / 16.0
+    assert(math.abs(means(0) - expR) < 1e-9)
+    assert(MediaCodecs.imageAHash(grad) !== 0L)
+  }
+
+  test("JPEG codec via ImageIO: real lossy round-trip within tolerance") {
+    import graft.multimodal.MediaCodecs
+    val jpg = MediaCodecs.encodeJpegSolid(16, 16, 100, 150, 60)
+    assert(MediaCodecs.mediaFormat(jpg).toString === "JPEG")
+    assert(MediaCodecs.imageWidth(jpg) === 16)
+    val m = MediaCodecs.imageMeanRgb(jpg).toDoubleArray()
+    assert(math.abs(m(0) - 100) < 4 && math.abs(m(1) - 150) < 4 &&
+      math.abs(m(2) - 60) < 4, s"jpeg means drifted: ${m.toSeq}")
+    // BMP bytes decode through the generic ImageIO path too
+    val bmp = MediaCodecs.encodeBmpSolid(7, 5, 10, 20, 30)
+    assert(MediaCodecs.mediaFormat(bmp).toString === "BMP")
+    assert(MediaCodecs.imageMeanRgb(bmp).toDoubleArray().toSeq ===
+      Seq(10.0, 20.0, 30.0))
+  }
 }
