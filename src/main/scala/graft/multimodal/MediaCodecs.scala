@@ -386,6 +386,38 @@ object MediaCodecs {
       img.getRGB(x * w / w2, y * h / h2) & 0xffffff), "png")
   }
 
+  /** REAL image feature vector (the pipeline brief's feature-extract
+    * step, no longer a stub for images): elements 1-3 are the channel
+    * means scaled to [0,1], the remaining dim−3 are the luma histogram
+    * as fractions — deterministic functions of the decoded raster.
+    */
+  def imageFeatures(b: Array[Byte], dim: Int): GenericArrayData = {
+    require(dim >= 4, s"imageFeatures: dim must be >= 4, got $dim")
+    val img = readImage(b)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val buckets = dim - 3
+    val hist = new Array[Double](buckets)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val bl = p & 0xff
+        sr += r; sg += g; sb += bl
+        val luma = 0.299 * r + 0.587 * g + 0.114 * bl
+        val bkt = math.min(buckets - 1, (luma * buckets / 256.0).toInt)
+        hist(bkt) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    new GenericArrayData(
+      Array(sr / n / 255.0, sg / n / 255.0, sb / n / 255.0) ++
+        hist.map(_ / n))
+  }
+
   /** Average-hash over the decoded raster's 8×8 nearest-neighbor luma —
     * the same fingerprint as [[bmpAHash]] for any ImageIO format.
     */

@@ -118,4 +118,9 @@ object Multimodal {
       Seq(ColumnBridge.expression(media),
         ColumnBridge.expression(w.cast("int")),
         ColumnBridge.expression(h.cast("int")))))
+  def imageFeatures(media: Column, dim: Column): Column =
+    ColumnBridge.column(StaticInvoke(codecs,
+      ArrayType(DoubleType, containsNull = false), "imageFeatures",
+      Seq(ColumnBridge.expression(media),
+        ColumnBridge.expression(dim.cast("int")))))
 }

@@ -880,7 +880,14 @@ object CoverageWave9 {
               .as("rz_w"),
             element_at(Multimodal.imageMeanRgb(
               Multimodal.imageResizePng(col("png"), lit(4), lit(3))), 2)
-              .cast("bigint").as("rz_mean_g"))
+              .cast("bigint").as("rz_mean_g"),
+            // REAL feature extraction: channel-mean feature recovers the
+            // encoded red exactly; a solid image occupies exactly one
+            // luma-histogram bucket with fraction 1.0
+            round(element_at(Multimodal.imageFeatures(col("png"), lit(11)), 1)
+              * 255.0).cast("bigint").as("feat_r255"),
+            array_max(slice(Multimodal.imageFeatures(col("png"), lit(11)),
+              4, 8)).cast("bigint").as("hist_peak"))
           .orderBy(col("doc_id"))
       },
       Some("""
@@ -893,7 +900,9 @@ object CoverageWave9 {
           CAST((doc_id * 11) % 256 AS BIGINT) AS mean_b,
           CAST(0 AS BIGINT) AS ahash,
           CAST(4 AS INT) AS rz_w,
-          CAST((doc_id * 5) % 256 AS BIGINT) AS rz_mean_g
+          CAST((doc_id * 5) % 256 AS BIGINT) AS rz_mean_g,
+          CAST(doc_id % 256 AS BIGINT) AS feat_r255,
+          CAST(1 AS BIGINT) AS hist_peak
         FROM documents WHERE doc_id < 300
         ORDER BY doc_id"""))
   )
