@@ -131,6 +131,44 @@ object TpcdsShapes6 {
             WHERE p2.p_brand = p1.p_brand
               AND p2.p_type <> p1.p_type
               AND p2.p_size < 5)
-        ORDER BY p1.p_brand"""))
+        ORDER BY p1.p_brand""")),
+
+    // q66 shape: the wide monthly pivot — twelve per-month revenue
+    // columns per group from ONE scan of the fact table (TPC-DS writes
+    // it as a UNION of per-warehouse subqueries; the fused form is the
+    // plan the optimizer should reach). Decimal sums keep the pivot
+    // hash-exact.
+    QueryDef(
+      "tpcds_monthly_pivot",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        val months = (1 to 12).map(m =>
+          s"""CAST(SUM(CASE WHEN month(l_shipdate) = $m
+              THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS m$m""")
+          .mkString(",\n")
+        s.sql(s"""
+          SELECT l_returnflag, l_linestatus, year(l_shipdate) AS yr,
+                 $months,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM lineitem
+          WHERE year(l_shipdate) BETWEEN 1994 AND 1996
+          GROUP BY 1, 2, 3
+          ORDER BY 1, 2, 3""")
+      },
+      Some {
+        val months = (1 to 12).map(m =>
+          s"""CAST(SUM(CASE WHEN EXTRACT(month FROM l_shipdate) = $m
+              THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS m$m""")
+          .mkString(",\n")
+        s"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(EXTRACT(year FROM l_shipdate) AS INT) AS yr,
+               $months,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE EXTRACT(year FROM l_shipdate) BETWEEN 1994 AND 1996
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3"""
+      })
   )
 }
