@@ -151,4 +151,10 @@ class GoldenPlanSpec extends SparkSpec {
   test("tpcds_dim_exists optimized plan matches golden snapshot") {
     check("tpcds_dim_exists")
   }
+
+  // q66 shape: the twelve-month pivot must stay one Aggregate over one
+  // scan with the year filter pushed — no per-month subquery union.
+  test("tpcds_monthly_pivot optimized plan matches golden snapshot") {
+    check("tpcds_monthly_pivot")
+  }
 }
