@@ -38,6 +38,21 @@ object Num {
   def davg2(c: Column): Column = dsum2(c) / count(lit(1))
   def davg6(c: Column): Column = dsum6(c) / count(lit(1))
 
+  /** Decimal-quantized double: ROUND(x, scale) routed through an exact
+    * decimal and *back to double*, so Spark and the oracle derive
+    * bit-identical doubles from the same exact decimal. Oracle mirror:
+    * `CAST(CAST(ROUND(x, n) AS DECIMAL(18,n)) AS DOUBLE)`.
+    *
+    * Do NOT emit raw DECIMAL(18,s) output columns: the driver hashes the
+    * decimal *representation*, and Spark parquet decimals differ at the
+    * byte level from DuckDB result decimals (scale/trailing-zero/object
+    * type) even when every value is equal — 13 such columns hash-failed
+    * in round 6 while rows and schema matched.
+    */
+  def dq(c: Column, scale: Int): Column =
+    round(c, scale).cast(DecimalType(18, scale)).cast(DoubleType)
+  def dq6(c: Column): Column = dq(c, 6)
+
   /** Cents-long variant of [[dsum2]]: quantize to integer cents, sum
     * longs, divide back. For money-scale ≤2-decimal data this equals
     * dsum2 bit-for-bit (round(x*100) and CAST(x AS DECIMAL(18,2)) both

@@ -39,11 +39,12 @@ object Association {
     *     n, not the classical φ²+1 — parity with CrossTab.h kept)
     *
     * Returns one row: n, card_a, card_b, phi2, cramers_v,
-    * cramers_v_bc, theils_u, contingency. The statistics are emitted as
-    * DECIMAL(18,6) (rounded to 6 first): two engines can ROUND the same
-    * quantity to doubles one ulp apart, which survives into an exact
-    * byte-level hash even though every printed representation agrees —
-    * a decimal output is the same bits everywhere.
+    * cramers_v_bc, theils_u, contingency. The statistics are quantized
+    * through DECIMAL(18,6) and cast back to DOUBLE ([[graft.Num.dq]]):
+    * the decimal round-trip makes both engines derive bit-identical
+    * doubles from the same exact decimal, while a raw decimal output
+    * column is NOT hash-stable across engines (representation differs
+    * even when every value is equal).
     */
   def crossTabStats(df: DataFrame, a: Column, b: Column): DataFrame = {
     import Num._
@@ -90,7 +91,7 @@ object Association {
     val phi2Corr = greatest(lit(0.0), phi2 - aAdj * bAdj / nAdj)
     val corrA = col("card_a").cast("double") - aAdj * aAdj / nAdj
     val corrB = col("card_b").cast("double") - bAdj * bAdj / nAdj
-    def d6(c: Column): Column = round(c, 6).cast(Num.D6)
+    def d6(c: Column): Column = Num.dq6(c)
     sums.select(
       col("n"), col("card_a"), col("card_b"),
       d6(phi2).as("phi2"),

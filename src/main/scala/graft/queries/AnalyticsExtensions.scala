@@ -179,8 +179,8 @@ object AnalyticsExtensions {
           sum((col("x") * col("x")).cast(DecimalType(18, 9))).cast(DoubleType).as("sxx"))
         val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx"))
-        m.select(col("event_type"), slope.as("slope"),
-            ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+        m.select(col("event_type"), graft.Num.dq6(slope).as("slope"),
+            graft.Num.dq6((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
           .orderBy(col("event_type"))
       },
       Some("""
@@ -195,8 +195,10 @@ object AnalyticsExtensions {
                 CAST(SUM(CAST(x * x AS DECIMAL(18,9))) AS DOUBLE) AS sxx
               FROM p GROUP BY 1)
         SELECT event_type,
-          (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-          (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+          CAST(CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+            AS DECIMAL(18,6)) AS DOUBLE) AS slope,
+          CAST(CAST(ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+            AS DECIMAL(18,6)) AS DOUBLE) AS intercept
         FROM m
         ORDER BY event_type""")),
 

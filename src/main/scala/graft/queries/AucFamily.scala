@@ -11,8 +11,9 @@ import graft.{QueryDef, Tables}
   * integer-derived, so per-bucket tallies and the rank cross-products are
   * exact multiples of 0.5 far below 2^53 — bit-identical in Spark and
   * DuckDB regardless of summation order; only the final division rounds,
-  * on identical operands. Results are DECIMAL(18,6)-quantized per the
-  * gate convention.
+  * on identical operands. Results are DECIMAL(18,6)-quantized then cast
+  * back to DOUBLE per the gate convention ([[graft.Num.dq]] — raw decimal
+  * output columns are not representation-hash-stable across engines).
   *
   * Scale notes: the bucketed aggregates carry a ≤bucket_num sparse map
   * per group (map-side partials tiny, merges order-independent adds);
@@ -86,9 +87,9 @@ object AucFamily {
         Tables(s, dir, "events").createOrReplaceTempView("events")
         s.sql("""
           SELECT event_type,
-            CAST(ecpmAuc(0.01, -2.5, 2.5,
+            CAST(CAST(ecpmAuc(0.01, -2.5, 2.5,
               power(10.0, ((event_id % 1600) / 400.0) - 2.0 + 0.0012345),
-              (event_id % 17) + 1.0) AS DECIMAL(18,6)) AS ecpm_auc,
+              (event_id % 17) + 1.0) AS DECIMAL(18,6)) AS DOUBLE) AS ecpm_auc,
             COUNT(*) AS n
           FROM events
           GROUP BY event_type
@@ -114,8 +115,8 @@ object AucFamily {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumadv_incl
           FROM b)
         SELECT event_type,
-          CAST(SUM(cnt * cumadv_before + cnt * cumadv_incl)
-            / (SUM(cnt) * SUM(advsum) * 2.0) AS DECIMAL(18,6)) AS ecpm_auc,
+          CAST(CAST(SUM(cnt * cumadv_before + cnt * cumadv_incl)
+            / (SUM(cnt) * SUM(advsum) * 2.0) AS DECIMAL(18,6)) AS DOUBLE) AS ecpm_auc,
           CAST(SUM(cnt) AS BIGINT) AS n
         FROM o GROUP BY event_type ORDER BY event_type""")),
 
@@ -128,11 +129,11 @@ object AucFamily {
         Tables(s, dir, "customer").createOrReplaceTempView("customer")
         s.sql("""
           SELECT c_nationkey AS nk,
-            CAST(regAuc(10000, 1, c_acctbal, CAST(c_custkey % 5 AS DOUBLE)) AS DECIMAL(18,6)) AS auc_f1,
-            CAST(regAuc(10000, 2, c_acctbal, CAST(c_custkey % 5 AS DOUBLE)) AS DECIMAL(18,6)) AS auc_f2,
-            CAST(regAuc(10000, 3, c_acctbal, CAST(c_custkey % 5 AS DOUBLE)) AS DECIMAL(18,6)) AS auc_f3,
-            CAST(regAuc(10000, 4, c_acctbal, CAST(c_custkey % 5 AS DOUBLE)) AS DECIMAL(18,6)) AS auc_f4,
-            CAST(regAucV2(10000, 1, c_acctbal, CAST(c_custkey % 5 AS DOUBLE)) AS DECIMAL(18,6)) AS auc_v2
+            CAST(CAST(regAuc(10000, 1, c_acctbal, CAST(c_custkey % 5 AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS auc_f1,
+            CAST(CAST(regAuc(10000, 2, c_acctbal, CAST(c_custkey % 5 AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS auc_f2,
+            CAST(CAST(regAuc(10000, 3, c_acctbal, CAST(c_custkey % 5 AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS auc_f3,
+            CAST(CAST(regAuc(10000, 4, c_acctbal, CAST(c_custkey % 5 AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS auc_f4,
+            CAST(CAST(regAucV2(10000, 1, c_acctbal, CAST(c_custkey % 5 AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS auc_v2
           FROM customer
           GROUP BY c_nationkey
           ORDER BY nk""")
@@ -155,11 +156,11 @@ object AucFamily {
                  COUNT(*) AS tot
           FROM pairs GROUP BY nk)
         SELECT nk,
-          CAST((nc + tb) * 1.0 / tot AS DECIMAL(18,6)) AS auc_f1,
-          CAST((nc + tl) * 1.0 / tot AS DECIMAL(18,6)) AS auc_f2,
-          CAST(nc * 1.0 / tot AS DECIMAL(18,6)) AS auc_f3,
-          CAST(CASE WHEN tot - tl <= 0 THEN -1.0 ELSE nc * 1.0 / (tot - tl) END AS DECIMAL(18,6)) AS auc_f4,
-          CAST((nc + tb) * 1.0 / tot AS DECIMAL(18,6)) AS auc_v2
+          CAST(CAST((nc + tb) * 1.0 / tot AS DECIMAL(18,6)) AS DOUBLE) AS auc_f1,
+          CAST(CAST((nc + tl) * 1.0 / tot AS DECIMAL(18,6)) AS DOUBLE) AS auc_f2,
+          CAST(CAST(nc * 1.0 / tot AS DECIMAL(18,6)) AS DOUBLE) AS auc_f3,
+          CAST(CAST(CASE WHEN tot - tl <= 0 THEN -1.0 ELSE nc * 1.0 / (tot - tl) END AS DECIMAL(18,6)) AS DOUBLE) AS auc_f4,
+          CAST(CAST((nc + tb) * 1.0 / tot AS DECIMAL(18,6)) AS DOUBLE) AS auc_v2
         FROM agg ORDER BY nk""")),
 
     // fastAuc: the arrival-order streaming heuristic — value is

@@ -61,16 +61,16 @@ object CoverageWave7 {
           FROM marg
         )
         SELECT n, card_a, card_b,
-          CAST(ROUND(chi2 / n, 6) AS DECIMAL(18,6)) AS phi2,
-          CAST(ROUND(SQRT(chi2 / n / (LEAST(card_a, card_b) - 1)), 6) AS DECIMAL(18,6)) AS cramers_v,
-          CAST(ROUND(SQRT(
+          CAST(CAST(ROUND(chi2 / n, 6) AS DECIMAL(18,6)) AS DOUBLE) AS phi2,
+          CAST(CAST(ROUND(SQRT(chi2 / n / (LEAST(card_a, card_b) - 1)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS cramers_v,
+          CAST(CAST(ROUND(SQRT(
             GREATEST(0.0, chi2 / n
               - (card_a-1.0)*(card_b-1.0)/(n-1.0))
             / (LEAST(card_a - (card_a-1.0)*(card_a-1.0)/(n-1.0),
                      card_b - (card_b-1.0)*(card_b-1.0)/(n-1.0)) - 1)),
-            6) AS DECIMAL(18,6)) AS cramers_v_bc,
-          CAST(ROUND((dep - ha) / ha, 6) AS DECIMAL(18,6)) AS theils_u,
-          CAST(ROUND(SQRT(chi2 / n / (chi2 / n + n)), 6) AS DECIMAL(18,6)) AS contingency
+            6) AS DECIMAL(18,6)) AS DOUBLE) AS cramers_v_bc,
+          CAST(CAST(ROUND((dep - ha) / ha, 6) AS DECIMAL(18,6)) AS DOUBLE) AS theils_u,
+          CAST(CAST(ROUND(SQRT(chi2 / n / (chi2 / n + n)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS contingency
         FROM sums""")),
 
     // categoricalInformationValue: three priority-class indicators
@@ -361,7 +361,7 @@ object CoverageWave7 {
             dsum6(col("p.rel") / log2(col("p.rank") + 2)).as("idcg"),
             dsum6(col("p.rel") / log2(col("r.rank") + 2)).as("dcg"))
         joined.groupBy(col("grp"))
-          .agg(round(davg6(col("dcg") / col("idcg")), 6).cast(graft.Num.D6).as("ndcg"))
+          .agg(graft.Num.dq6(davg6(col("dcg") / col("idcg"))).as("ndcg"))
           .orderBy(col("grp"))
       },
       Some("""
@@ -385,7 +385,7 @@ object CoverageWave7 {
               FROM p JOIN r USING (grp, rank_id, pos)
               GROUP BY p.grp, p.rank_id)
         SELECT grp,
-          CAST(ROUND(CAST(SUM(CAST(dcg / idcg AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS ndcg
+          CAST(CAST(ROUND(CAST(SUM(CAST(dcg / idcg AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS DOUBLE) AS ndcg
         FROM g GROUP BY grp ORDER BY grp""")),
 
     // groupArrayInsertAt (reference AggregateFunctionGroupArrayInsertAt.h):
@@ -714,39 +714,38 @@ object CoverageWave7 {
           col("l_quantity").as("q"), (col("l_extendedprice") / 1000).as("p"),
           col("l_discount").as("d"), col("l_tax").as("t"))
         val cols = Seq("q", "p", "d", "t")
-        // + 0.0 normalizes IEEE −0.0 before the decimal cast; the final
-        // DECIMAL emit makes the driver hash ulp-proof (two engines can
-        // ROUND to doubles one ulp apart that print identically).
+        // + 0.0 normalizes IEEE −0.0 before the decimal round-trip; the
+        // quantize-through-decimal-back-to-double makes the driver hash
+        // ulp-proof while keeping a hash-stable DOUBLE output column
+        // (raw DECIMAL outputs hash-fail — see graft.Num.dq).
         val covs = for {
           i <- cols.indices; j <- 0 to i
-        } yield (round(covar_samp(col(cols(i)), col(cols(j))), 4) + lit(0.0))
-          .cast(org.apache.spark.sql.types.DecimalType(18, 4))
+        } yield graft.Num.dq(covar_samp(col(cols(i)), col(cols(j))) + lit(0.0), 4)
           .as(s"cov_${cols(i)}${cols(j)}")
         val corrs = for {
           i <- cols.indices; j <- 0 until i
-        } yield (round(corr(col(cols(i)), col(cols(j))), 6) + lit(0.0))
-          .cast(graft.Num.D6)
+        } yield graft.Num.dq6(corr(col(cols(i)), col(cols(j))) + lit(0.0))
           .as(s"corr_${cols(i)}${cols(j)}")
         li.agg((covs ++ corrs).head, (covs ++ corrs).tail: _*)
       },
       Some("""
         SELECT
-          CAST(ROUND(COVAR_SAMP(l_quantity, l_quantity), 4) + 0.0 AS DECIMAL(18,4)) AS cov_qq,
-          CAST(ROUND(COVAR_SAMP(l_extendedprice/1000.0, l_quantity), 4) + 0.0 AS DECIMAL(18,4)) AS cov_pq,
-          CAST(ROUND(COVAR_SAMP(l_extendedprice/1000.0, l_extendedprice/1000.0), 4) + 0.0 AS DECIMAL(18,4)) AS cov_pp,
-          CAST(ROUND(COVAR_SAMP(l_discount, l_quantity), 4) + 0.0 AS DECIMAL(18,4)) AS cov_dq,
-          CAST(ROUND(COVAR_SAMP(l_discount, l_extendedprice/1000.0), 4) + 0.0 AS DECIMAL(18,4)) AS cov_dp,
-          CAST(ROUND(COVAR_SAMP(l_discount, l_discount), 4) + 0.0 AS DECIMAL(18,4)) AS cov_dd,
-          CAST(ROUND(COVAR_SAMP(l_tax, l_quantity), 4) + 0.0 AS DECIMAL(18,4)) AS cov_tq,
-          CAST(ROUND(COVAR_SAMP(l_tax, l_extendedprice/1000.0), 4) + 0.0 AS DECIMAL(18,4)) AS cov_tp,
-          CAST(ROUND(COVAR_SAMP(l_tax, l_discount), 4) + 0.0 AS DECIMAL(18,4)) AS cov_td,
-          CAST(ROUND(COVAR_SAMP(l_tax, l_tax), 4) + 0.0 AS DECIMAL(18,4)) AS cov_tt,
-          CAST(ROUND(CORR(l_extendedprice/1000.0, l_quantity), 6) + 0.0 AS DECIMAL(18,6)) AS corr_pq,
-          CAST(ROUND(CORR(l_discount, l_quantity), 6) + 0.0 AS DECIMAL(18,6)) AS corr_dq,
-          CAST(ROUND(CORR(l_discount, l_extendedprice/1000.0), 6) + 0.0 AS DECIMAL(18,6)) AS corr_dp,
-          CAST(ROUND(CORR(l_tax, l_quantity), 6) + 0.0 AS DECIMAL(18,6)) AS corr_tq,
-          CAST(ROUND(CORR(l_tax, l_extendedprice/1000.0), 6) + 0.0 AS DECIMAL(18,6)) AS corr_tp,
-          CAST(ROUND(CORR(l_tax, l_discount), 6) + 0.0 AS DECIMAL(18,6)) AS corr_td
+          CAST(CAST(ROUND(COVAR_SAMP(l_quantity, l_quantity), 4) + 0.0 AS DECIMAL(18,4)) AS DOUBLE) AS cov_qq,
+          CAST(CAST(ROUND(COVAR_SAMP(l_extendedprice/1000.0, l_quantity), 4) + 0.0 AS DECIMAL(18,4)) AS DOUBLE) AS cov_pq,
+          CAST(CAST(ROUND(COVAR_SAMP(l_extendedprice/1000.0, l_extendedprice/1000.0), 4) + 0.0 AS DECIMAL(18,4)) AS DOUBLE) AS cov_pp,
+          CAST(CAST(ROUND(COVAR_SAMP(l_discount, l_quantity), 4) + 0.0 AS DECIMAL(18,4)) AS DOUBLE) AS cov_dq,
+          CAST(CAST(ROUND(COVAR_SAMP(l_discount, l_extendedprice/1000.0), 4) + 0.0 AS DECIMAL(18,4)) AS DOUBLE) AS cov_dp,
+          CAST(CAST(ROUND(COVAR_SAMP(l_discount, l_discount), 4) + 0.0 AS DECIMAL(18,4)) AS DOUBLE) AS cov_dd,
+          CAST(CAST(ROUND(COVAR_SAMP(l_tax, l_quantity), 4) + 0.0 AS DECIMAL(18,4)) AS DOUBLE) AS cov_tq,
+          CAST(CAST(ROUND(COVAR_SAMP(l_tax, l_extendedprice/1000.0), 4) + 0.0 AS DECIMAL(18,4)) AS DOUBLE) AS cov_tp,
+          CAST(CAST(ROUND(COVAR_SAMP(l_tax, l_discount), 4) + 0.0 AS DECIMAL(18,4)) AS DOUBLE) AS cov_td,
+          CAST(CAST(ROUND(COVAR_SAMP(l_tax, l_tax), 4) + 0.0 AS DECIMAL(18,4)) AS DOUBLE) AS cov_tt,
+          CAST(CAST(ROUND(CORR(l_extendedprice/1000.0, l_quantity), 6) + 0.0 AS DECIMAL(18,6)) AS DOUBLE) AS corr_pq,
+          CAST(CAST(ROUND(CORR(l_discount, l_quantity), 6) + 0.0 AS DECIMAL(18,6)) AS DOUBLE) AS corr_dq,
+          CAST(CAST(ROUND(CORR(l_discount, l_extendedprice/1000.0), 6) + 0.0 AS DECIMAL(18,6)) AS DOUBLE) AS corr_dp,
+          CAST(CAST(ROUND(CORR(l_tax, l_quantity), 6) + 0.0 AS DECIMAL(18,6)) AS DOUBLE) AS corr_tq,
+          CAST(CAST(ROUND(CORR(l_tax, l_extendedprice/1000.0), 6) + 0.0 AS DECIMAL(18,6)) AS DOUBLE) AS corr_tp,
+          CAST(CAST(ROUND(CORR(l_tax, l_discount), 6) + 0.0 AS DECIMAL(18,6)) AS DOUBLE) AS corr_td
         FROM lineitem"""))
   )
 }

@@ -23,29 +23,31 @@ object CoverageWave8 {
     // Decimal-typed conversion family (reference FunctionsConversion.h:
     // 2008): exact-decimal arithmetic parity — the discounted-revenue
     // product runs entirely in DecimalType on both engines, so the
-    // values (not just their roundings) are identical.
+    // values (not just their roundings) are identical. Only the FINAL
+    // projection casts back to DOUBLE (raw decimal output columns are
+    // not representation-hash-stable across engines — graft.Num.dq).
     QueryDef(
       "scalar_decimal_casts",
       (s, dir) => {
         Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
         s.sql("""
           SELECT l_returnflag,
-            CAST(SUM(toDecimal64(l_extendedprice, 2)
-              * (toDecimal32('1.00', 2) - toDecimal32(l_discount, 2))) AS DECIMAL(18,4)) AS disc_revenue,
-            CAST(SUM(toDecimal64OrZero(CAST(l_quantity AS STRING), 2)) AS DECIMAL(18,2)) AS qty_sum,
-            CAST(SUM(toDecimal64OrNull(CAST(l_tax AS STRING), 2)) AS DECIMAL(18,2)) AS tax_sum,
-            CAST(MAX(toDecimal128(l_extendedprice, 4)) AS DECIMAL(18,4)) AS max_price
+            CAST(CAST(SUM(toDecimal64(l_extendedprice, 2)
+              * (toDecimal32('1.00', 2) - toDecimal32(l_discount, 2))) AS DECIMAL(18,4)) AS DOUBLE) AS disc_revenue,
+            CAST(CAST(SUM(toDecimal64OrZero(CAST(l_quantity AS STRING), 2)) AS DECIMAL(18,2)) AS DOUBLE) AS qty_sum,
+            CAST(CAST(SUM(toDecimal64OrNull(CAST(l_tax AS STRING), 2)) AS DECIMAL(18,2)) AS DOUBLE) AS tax_sum,
+            CAST(CAST(MAX(toDecimal128(l_extendedprice, 4)) AS DECIMAL(18,4)) AS DOUBLE) AS max_price
           FROM lineitem
           GROUP BY l_returnflag
           ORDER BY l_returnflag""")
       },
       Some("""
         SELECT l_returnflag,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-            * (CAST('1.00' AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DECIMAL(18,4)) AS disc_revenue,
-          CAST(SUM(COALESCE(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2)), 0)) AS DECIMAL(18,2)) AS qty_sum,
-          CAST(SUM(TRY_CAST(CAST(l_tax AS VARCHAR) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS tax_sum,
-          CAST(MAX(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(18,4)) AS max_price
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST('1.00' AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS disc_revenue,
+          CAST(CAST(SUM(COALESCE(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2)), 0)) AS DECIMAL(18,2)) AS DOUBLE) AS qty_sum,
+          CAST(CAST(SUM(TRY_CAST(CAST(l_tax AS VARCHAR) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS tax_sum,
+          CAST(CAST(MAX(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(18,4)) AS DOUBLE) AS max_price
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
@@ -365,7 +367,7 @@ object CoverageWave8 {
           .select(col("doc_id"),
             Multimodal.wavSampleRate(col("wav")).as("sample_rate"),
             Multimodal.wavFrames(col("wav")).as("n_frames"),
-            round(Multimodal.wavDurationMs(col("wav")), 6).cast(Num.D6).as("duration_ms"),
+            Num.dq6(Multimodal.wavDurationMs(col("wav"))).as("duration_ms"),
             (Multimodal.wavRms(col("wav")) * 32768).cast("bigint").as("rms_raw"),
             (Multimodal.wavPeak(col("wav")) * 32768).cast("bigint").as("peak_raw"),
             Multimodal.bmpWidth(col("bmp")).as("w"),
@@ -389,8 +391,8 @@ object CoverageWave8 {
         SELECT doc_id,
           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
           CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
-          CAST(ROUND((100 + doc_id % 400) * 1000.0
-            / (8000 + (doc_id % 3) * 4000), 6) AS DECIMAL(18,6)) AS duration_ms,
+          CAST(CAST(ROUND((100 + doc_id % 400) * 1000.0
+            / (8000 + (doc_id % 3) * 4000), 6) AS DECIMAL(18,6)) AS DOUBLE) AS duration_ms,
           CAST(1000 + doc_id % 5000 AS BIGINT) AS rms_raw,
           CAST(1000 + doc_id % 5000 AS BIGINT) AS peak_raw,
           CAST(8 + doc_id % 25 AS INT) AS w,
@@ -570,9 +572,9 @@ object CoverageWave8 {
           .agg(sum(col("o_totalprice").cast(Num.D2)).as("rev0"))
         yearly.select(
             col("prio"), col("yr"),
-            col("rev0").cast(Num.D2).as("rev"),
+            col("rev0").cast(Num.D2).cast("double").as("rev"),
             RowOrder.runningAccumulate(sum(col("rev0")),
-              Seq(col("prio")), Seq(col("yr"))).cast(Num.D2).as("cum_rev"))
+              Seq(col("prio")), Seq(col("yr"))).cast(Num.D2).cast("double").as("cum_rev"))
           .orderBy(col("prio"), col("yr"))
       },
       Some("""
@@ -580,8 +582,8 @@ object CoverageWave8 {
           SELECT o_orderpriority AS prio, CAST(YEAR(o_orderdate) AS INT) AS yr,
             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
           FROM orders GROUP BY 1, 2)
-        SELECT prio, yr, rev,
-          CAST(SUM(rev) OVER (PARTITION BY prio ORDER BY yr) AS DECIMAL(18,2)) AS cum_rev
+        SELECT prio, yr, CAST(rev AS DOUBLE) AS rev,
+          CAST(CAST(SUM(rev) OVER (PARTITION BY prio ORDER BY yr) AS DECIMAL(18,2)) AS DOUBLE) AS cum_rev
         FROM y ORDER BY prio, yr"""))
   )
 }

@@ -121,11 +121,11 @@ object CoverageWave9 {
           SELECT element_at(ke, 1) AS ev, element_at(ke, 2) AS attr,
             element_at(r.click_cnt, pos + 1) AS clicks,
             element_at(r.valid_transform_cnt, pos + 1) AS valid,
-            CAST(element_at(r.valid_transform_ratio, pos + 1) AS DECIMAL(18,6)) AS ratio,
+            CAST(CAST(element_at(r.valid_transform_ratio, pos + 1) AS DECIMAL(18,6)) AS DOUBLE) AS ratio,
             array_join(element_at(r.transform_time_distribution, pos + 1), ',') AS time_dist,
             array_join(element_at(r.transform_step_distribution, pos + 1), ',') AS step_dist,
-            CAST(element_at(r.value, pos + 1) AS DECIMAL(18,2)) AS value,
-            CAST(element_at(r.contribution, pos + 1) AS DECIMAL(18,6)) AS contribution
+            CAST(CAST(element_at(r.value, pos + 1) AS DECIMAL(18,2)) AS DOUBLE) AS value,
+            CAST(CAST(element_at(r.contribution, pos + 1) AS DECIMAL(18,6)) AS DOUBLE) AS contribution
           FROM m LATERAL VIEW posexplode(r.touch_events) p AS pos, ke
           ORDER BY ev, attr""")
       },
@@ -172,10 +172,10 @@ object CoverageWave9 {
                    ON d.ev = g.ev AND d.attr = g.attr AND d.b = g.b
                  GROUP BY 1, 2)
         SELECT a.ev, a.attr, a.clicks, a.valid,
-          CAST(a.valid * 1.0 / a.clicks AS DECIMAL(18,6)) AS ratio,
+          CAST(CAST(a.valid * 1.0 / a.clicks AS DECIMAL(18,6)) AS DOUBLE) AS ratio,
           tstr.time_dist, sstr.step_dist,
-          CAST(a.value AS DECIMAL(18,2)) AS value,
-          CAST(a.value / tot.tv AS DECIMAL(18,6)) AS contribution
+          CAST(CAST(a.value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+          CAST(CAST(a.value / tot.tv AS DECIMAL(18,6)) AS DOUBLE) AS contribution
         FROM agg a
         JOIN tstr ON tstr.ev = a.ev AND tstr.attr = a.attr
         JOIN sstr ON sstr.ev = a.ev AND sstr.attr = a.attr
@@ -206,7 +206,7 @@ object CoverageWave9 {
             FROM u),
           m AS (SELECT attributionCorrelationFuse(tup) AS r FROM t)
           SELECT element_at(ke, 1) AS ev, element_at(ke, 2) AS attr,
-            CAST(element_at(r.correlation, pos + 1) AS DECIMAL(18,6)) AS corr,
+            CAST(CAST(element_at(r.correlation, pos + 1) AS DECIMAL(18,6)) AS DOUBLE) AS corr,
             element_at(r.click_cnt, pos + 1) AS clicks,
             element_at(r.valid_transform_cnt, pos + 1) AS valid
           FROM m LATERAL VIEW posexplode(r.touch_events) p AS pos, ke
@@ -245,7 +245,7 @@ object CoverageWave9 {
                  END AS corr
                FROM ranked GROUP BY 1, 2)
         SELECT a.ev, a.attr,
-          CAST(COALESCE(sp.corr, 0.0) AS DECIMAL(18,6)) AS corr,
+          CAST(CAST(COALESCE(sp.corr, 0.0) AS DECIMAL(18,6)) AS DOUBLE) AS corr,
           a.clicks, a.valid
         FROM agg a LEFT JOIN sp ON sp.ev = a.ev AND sp.attr = a.attr
         ORDER BY a.ev, a.attr""")),
@@ -263,8 +263,8 @@ object CoverageWave9 {
         Tables(s, dir, "nation").createOrReplaceTempView("nation")
         s.sql("""
           SELECT n_name,
-            CAST(CAST(ngramDistance(n_name, 'UNITED STATES') AS DOUBLE) AS DECIMAL(18,5)) AS dist,
-            CAST(CAST(ngramSearchCaseInsensitive(n_name, 'united') AS DOUBLE) AS DECIMAL(18,5)) AS sim,
+            CAST(CAST(CAST(ngramDistance(n_name, 'UNITED STATES') AS DOUBLE) AS DECIMAL(18,5)) AS DOUBLE) AS dist,
+            CAST(CAST(CAST(ngramSearchCaseInsensitive(n_name, 'united') AS DOUBLE) AS DECIMAL(18,5)) AS DOUBLE) AS sim,
             versionCompare(concat(CAST(n_nationkey AS STRING), '.2.1'), '10.2', '>') AS vc,
             appVersionCompare('6.4', '6.4.0', '=') AS avc,
             bitmaskToList(n_nationkey) AS bml,
@@ -298,8 +298,8 @@ object CoverageWave9 {
                 LEFT JOIN hits ON hits.n_name = nn.n_name
                 LEFT JOIN hitsl ON hitsl.n_name = nn.n_name)
         SELECT n_name,
-          CAST(CAST(s + h - 2 * hits AS DOUBLE) / GREATEST(h + s, 1) AS DECIMAL(18,5)) AS dist,
-          CAST(1.0 - CAST(sl - hitsl AS DOUBLE) / GREATEST(sl, 1) AS DECIMAL(18,5)) AS sim,
+          CAST(CAST(CAST(s + h - 2 * hits AS DOUBLE) / GREATEST(h + s, 1) AS DECIMAL(18,5)) AS DOUBLE) AS dist,
+          CAST(CAST(1.0 - CAST(sl - hitsl AS DOUBLE) / GREATEST(sl, 1) AS DECIMAL(18,5)) AS DOUBLE) AS sim,
           CASE WHEN n_nationkey > 10 THEN TRUE
                WHEN n_nationkey = 10 THEN TRUE
                ELSE FALSE END AS vc,
@@ -813,7 +813,7 @@ object CoverageWave9 {
           (SELECT COUNT(*) FROM s WHERE c + p = 1) AS xor_card,
           (SELECT COUNT(*) FROM s WHERE c = 1 AND p = 0) AS andnot_card,
           (SELECT COUNT(*) FROM s WHERE p = 1) AS rt_card,
-          (SELECT SUM(user_id) FROM
+          (SELECT CAST(SUM(user_id) AS BIGINT) FROM
             (SELECT user_id FROM s WHERE c = 1 ORDER BY user_id LIMIT 5)) AS low5_sum,
           CAST(1 AS INT) AS tr_ok""")),
 

@@ -98,7 +98,7 @@ object TpcdsShapes4 {
         }
         arm("air").unionByName(arm("sea")).unionByName(arm("land"))
           .select(col("channel"), col("part_bucket"),
-            round(col("ratio"), 6).cast(Num.D6).as("ratio"), col("rnk"))
+            Num.dq6(col("ratio")).as("ratio"), col("rnk"))
           .orderBy(col("channel"), col("rnk"), col("part_bucket"))
       },
       Some("""
@@ -119,7 +119,7 @@ object TpcdsShapes4 {
             CAST(RANK() OVER (PARTITION BY channel ORDER BY ratio DESC) AS INT) AS rnk
           FROM g)
         SELECT channel, part_bucket,
-          CAST(ROUND(ratio, 6) AS DECIMAL(18,6)) AS ratio, rnk
+          CAST(CAST(ROUND(ratio, 6) AS DECIMAL(18,6)) AS DOUBLE) AS ratio, rnk
         FROM r WHERE rnk <= 10
         ORDER BY channel, rnk, part_bucket""")),
 
