@@ -157,4 +157,18 @@ class GoldenPlanSpec extends SparkSpec {
   test("tpcds_monthly_pivot optimized plan matches golden snapshot") {
     check("tpcds_monthly_pivot")
   }
+
+  // Seventh TPC-DS wave: q14's INTERSECT arms must stay key-only
+  // (brand) set ops feeding a semi-join gate — never a fact-payload
+  // distinct; q51/q97 FULL OUTER JOIN pre-aggregated frames (group
+  // count input, not event count); q64 self-joins a HAVING-gated
+  // rollup; q70's rollup keeps the windowed-subquery gate as a
+  // semi-join; q95 reuses the multi-supplier set for both IN gates as
+  // semi-joins; q87's chained EXCEPT stays key-only anti-joins.
+  Seq("tpcds_q14_cross_channel_intersect", "tpcds_q51_fullouter_cumwindow",
+      "tpcds_q64_selfjoin_chain", "tpcds_q70_rollup_rank_parent",
+      "tpcds_q95_exists_chain", "tpcds_q97_fullouter_counts",
+      "tpcds_q87_except_channels").foreach { q =>
+    test(s"$q optimized plan matches golden snapshot") { check(q) }
+  }
 }
