@@ -171,4 +171,13 @@ class GoldenPlanSpec extends SparkSpec {
       "tpcds_q87_except_channels").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
+
+  // SSB corpus, one snapshot per flight: flight 1 must stay a bare
+  // filtered fact scan (no dim join), flights 2–4 keep the star shape —
+  // fact joins denormalized dims with dim-side predicates pushed below
+  // the join; a regression to a fact-side shuffle or a lost pushdown
+  // changes the tree.
+  Seq("ssb_q1_1", "ssb_q2_1", "ssb_q3_1", "ssb_q4_1").foreach { q =>
+    test(s"$q optimized plan matches golden snapshot") { check(q) }
+  }
 }

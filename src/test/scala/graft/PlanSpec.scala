@@ -104,4 +104,20 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("ssb q4.1: all three denormalized dims broadcast; fact never shuffles for a dim") {
+    // The widest SSB star: cust_d/supp_d/part_d (and their nation/region
+    // snowflake arms) must all hash-broadcast onto the fact side. The
+    // only shuffle allowed is lineitem⋈orders (fact-key join) + the
+    // final group-by exchange.
+    val p = finalPlan("ssb_q4_1")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("ssb q1.1: flight-1 predicates push into the fact scan, no dim join") {
+    val p = plan("ssb_q1_1")
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(!p.contains("c_custkey"), "flight 1 must not touch a dimension")
+  }
 }
