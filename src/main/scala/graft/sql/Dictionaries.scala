@@ -4,63 +4,97 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.NonSQLExpression
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** In-RAM SQL dictionaries (reference src/Dictionaries/ — flat/hashed
   * dictionaries: small key→attributes tables resident on every server,
   * queried with dictGet*). The Spark-native shape is the same contract:
   * a dictionary FITS IN MEMORY by definition, so registration collects
-  * the dimension once on the driver and the lookup map ships to
-  * executors inside the generated code's closure — the scalar lookups
-  * then cost zero shuffles and zero joins on the fact side, exactly like
-  * the reference's in-process dictGet. Dimensions too large for that
-  * contract stay on the broadcast-join path (`dict_lookup`).
+  * the dimension once on the driver (bounded by `maxRows` — oversize
+  * dimensions are rejected at register time and belong on the
+  * broadcast-join path, see the `dict_lookup` query) and the snapshot
+  * becomes a FIELD of each dictGet expression. Expression fields
+  * serialize with the physical plan to every executor JVM, and codegen
+  * pins them via `addReferenceObj` — so lookups work in multi-JVM
+  * deployments with zero shuffles and zero joins on the fact side,
+  * exactly like the reference's in-process dictGet.
   *
   * Values are pre-converted to Catalyst internal types (UTF8String etc.)
-  * at registration so the codegen StaticInvoke lookups return them
-  * directly.
+  * at registration so the codegen lookups return them directly.
   */
 object Dictionaries {
+
+  /** Hard ceiling on dictionary cardinality. The reference's flat/hashed
+    * layouts are likewise RAM-resident per server; a dimension beyond
+    * this belongs on the broadcast-join path, not in dictGet.
+    */
+  val MaxRows: Int = 4 << 20
 
   final case class Dict(
       name: String,
       keyCol: String,
-      attrs: Map[String, (DataType, Map[Long, Any])],
-      parentAttr: Option[String])
+      attrs: Map[String, (DataType, java.util.HashMap[java.lang.Long, Any])],
+      keySet: java.util.HashSet[java.lang.Long],
+      parentAttr: Option[String]) {
+
+    def attrMap(attr: String): (DataType, java.util.HashMap[java.lang.Long, Any]) =
+      attrs.getOrElse(attr,
+        throw new IllegalArgumentException(
+          s"dictionary '$name' has no attribute '$attr'"))
+
+    def parentMap: java.util.HashMap[java.lang.Long, Any] =
+      parentAttr.map(p => attrs(p)._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"dictionary '$name' is not hierarchical"))
+  }
 
   private val registry = new ConcurrentHashMap[String, Dict]()
 
   /** Register (or replace) a dictionary from a dimension DataFrame.
     * `parentAttr`, when given, marks the attribute holding the parent
     * key of a hierarchical dictionary (dictGetHierarchy/dictIsIn).
+    * Rejects dimensions over `maxRows` rows (the driver-side collect is
+    * bounded by LIMIT maxRows+1, so an oversize dimension costs one
+    * truncated scan, never an OOM) — route those through a broadcast
+    * join instead.
     */
   def register(
       name: String,
       dim: DataFrame,
       keyCol: String,
-      parentAttr: Option[String] = None): Unit = {
+      parentAttr: Option[String] = None,
+      maxRows: Int = MaxRows): Unit = {
     val schema = dim.schema
-    val rows = dim.collect()
+    val rows = dim.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"dictionary '$name': dimension exceeds $maxRows rows; " +
+        "an in-RAM dictionary must fit every executor — use the " +
+        "broadcast-join lookup path for dimensions this large")
     val keyIdx = schema.fieldIndex(keyCol)
+    val keySet = new java.util.HashSet[java.lang.Long]()
+    rows.iterator.filter(r => !r.isNullAt(keyIdx))
+      .foreach(r => keySet.add(anyToLong(r.get(keyIdx))))
     val attrs = schema.fields.zipWithIndex.filterNot(_._1.name == keyCol).map {
       case (f, i) =>
         val conv = CatalystTypeConverters.createToCatalystConverter(f.dataType)
-        val m = rows.iterator
+        val m = new java.util.HashMap[java.lang.Long, Any]()
+        rows.iterator
           .filter(r => !r.isNullAt(keyIdx) && !r.isNullAt(i))
-          .map(r => (anyToLong(r.get(keyIdx)), conv(r.get(i))))
-          .toMap
+          .foreach(r => m.put(anyToLong(r.get(keyIdx)), conv(r.get(i))))
         f.name -> (f.dataType, m)
     }.toMap
     parentAttr.foreach(p => require(attrs.contains(p),
       s"dictionary $name: parent attribute $p not found"))
-    registry.put(name, Dict(name, keyCol, attrs, parentAttr))
+    registry.put(name, Dict(name, keyCol, attrs, keySet, parentAttr))
   }
 
   def drop(name: String): Unit = registry.remove(name)
 
-  private def anyToLong(v: Any): Long = v match {
+  private def anyToLong(v: Any): java.lang.Long = v match {
     case l: Long => l
     case i: Int => i.toLong
     case s: Short => s.toLong
@@ -68,6 +102,7 @@ object Dictionaries {
     case other => other.toString.toLong
   }
 
+  /** Plan-time lookup (dialect builder resolves names on the driver). */
   private[sql] def dict(name: String): Dict = {
     val d = registry.get(name)
     require(d != null, s"dictionary '$name' is not registered")
@@ -77,40 +112,26 @@ object Dictionaries {
   /** Attribute type, consulted by the dialect builder at plan build time
     * (the reference reads the same thing from the dictionary DDL).
     */
-  def attrType(name: String, attr: String): DataType = {
-    val d = dict(name)
-    d.attrs.getOrElse(attr,
-      throw new IllegalArgumentException(
-        s"dictionary '$name' has no attribute '$attr'"))._1
-  }
+  def attrType(name: String, attr: String): DataType =
+    dict(name).attrMap(attr)._1
 
-  // --- runtime lookups (StaticInvoke targets; internal-typed values) ---
-
-  def getValue(name: UTF8String, attr: UTF8String, key: Long): Any =
-    dict(name.toString).attrs(attr.toString)._2.getOrElse(key, null)
-
-  def has(name: UTF8String, key: Long): Boolean = {
-    val d = dict(name.toString)
-    d.attrs.valuesIterator.exists(_._2.contains(key))
-  }
+  // --- executor-side walk helpers (called from eval and codegen; the
+  //     maps arrive as expression fields / codegen reference objects) ---
 
   /** Key chain from `key` up the parent links, key itself first —
     * reference hierarchical dictGetHierarchy. Cycles cut at 64 levels.
     */
-  def hierarchy(name: UTF8String, key: Long): GenericArrayData = {
-    val d = dict(name.toString)
-    val parent = d.parentAttr.map(p => d.attrs(p)._2).getOrElse(
-      throw new IllegalArgumentException(
-        s"dictionary '$name' is not hierarchical"))
+  def hierarchyWalk(
+      parent: java.util.HashMap[java.lang.Long, Any],
+      key: Long): GenericArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var k = key
     var guard = 0
     var continue = true
     while (continue && guard < 64) {
       out += k
-      parent.get(k) match {
-        case Some(p: java.lang.Number) if p.longValue() != k =>
-          k = p.longValue()
+      parent.get(java.lang.Long.valueOf(k)) match {
+        case p: java.lang.Number if p.longValue() != k => k = p.longValue()
         case _ => continue = false
       }
       guard += 1
@@ -118,6 +139,114 @@ object Dictionaries {
     new GenericArrayData(out.toArray)
   }
 
-  def isIn(name: UTF8String, child: Long, ancestor: Long): Boolean =
-    hierarchy(name, child).toLongArray().contains(ancestor)
+  def isInWalk(
+      parent: java.util.HashMap[java.lang.Long, Any],
+      child: Long,
+      ancestor: Long): Boolean =
+    hierarchyWalk(parent, child).toLongArray().contains(ancestor)
+}
+
+/** dictGet(dict, attr, key): hash probe into the snapshot carried by the
+  * expression itself. Null when the key is absent (dictGetOrDefault
+  * wraps this in Coalesce).
+  */
+case class DictGetValue(
+    attrMap: java.util.HashMap[java.lang.Long, Any],
+    override val dataType: DataType,
+    key: Expression)
+  extends UnaryExpression with NonSQLExpression {
+
+  override def child: Expression = key
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(newChild: Expression): DictGetValue =
+    copy(key = newChild)
+
+  override def nullSafeEval(k: Any): Any =
+    attrMap.get(java.lang.Long.valueOf(k.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("dictAttrMap", attrMap, "java.util.HashMap")
+    val boxed = CodeGenerator.boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, k => s"""
+      Object dictV = $mapRef.get(java.lang.Long.valueOf($k));
+      if (dictV == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ($boxed) dictV; }
+    """)
+  }
+}
+
+/** dictHas(dict, key): membership probe against the registered key set. */
+case class DictHas(
+    keySet: java.util.HashSet[java.lang.Long],
+    key: Expression)
+  extends UnaryExpression with NonSQLExpression {
+
+  override def child: Expression = key
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override protected def withNewChildInternal(newChild: Expression): DictHas =
+    copy(key = newChild)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val k = key.eval(input)
+    k != null && keySet.contains(java.lang.Long.valueOf(k.asInstanceOf[Long]))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val setRef = ctx.addReferenceObj("dictKeySet", keySet, "java.util.HashSet")
+    val c = key.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        boolean ${ev.value} = !${c.isNull} &&
+          $setRef.contains(java.lang.Long.valueOf(${c.value}));""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+}
+
+/** dictGetHierarchy(dict, key): parent-link chain, child first. */
+case class DictHierarchy(
+    parentMap: java.util.HashMap[java.lang.Long, Any],
+    key: Expression)
+  extends UnaryExpression with NonSQLExpression {
+
+  override def child: Expression = key
+  override def dataType: DataType = ArrayType(LongType)
+  override protected def withNewChildInternal(newChild: Expression): DictHierarchy =
+    copy(key = newChild)
+
+  override def nullSafeEval(k: Any): Any =
+    Dictionaries.hierarchyWalk(parentMap, k.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("dictParentMap", parentMap, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, k =>
+      s"${ev.value} = graft.sql.Dictionaries.hierarchyWalk($mapRef, $k);")
+  }
+}
+
+/** dictIsIn(dict, child, ancestor): ancestor reachable via parent links. */
+case class DictIsIn(
+    parentMap: java.util.HashMap[java.lang.Long, Any],
+    childKey: Expression,
+    ancestorKey: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with NonSQLExpression {
+
+  override def left: Expression = childKey
+  override def right: Expression = ancestorKey
+  override def dataType: DataType = BooleanType
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DictIsIn =
+    copy(childKey = newLeft, ancestorKey = newRight)
+
+  override def nullSafeEval(c: Any, a: Any): Any =
+    Dictionaries.isInWalk(parentMap, c.asInstanceOf[Long], a.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("dictParentMap", parentMap, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, (c, a) =>
+      s"${ev.value} = graft.sql.Dictionaries.isInWalk($mapRef, $c, $a);")
+  }
 }

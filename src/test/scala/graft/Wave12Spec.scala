@@ -244,6 +244,45 @@ class Wave12Spec extends SparkSpec {
     } finally graft.sql.Dictionaries.drop("t_d")
   }
 
+  test("dictionary registration rejects a dimension over the row ceiling") {
+    import spark.implicits._
+    val big = spark.range(0, 100).select($"id".as("k"), $"id".cast("string").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sql.Dictionaries.register("too_big", big, "k", maxRows = 10)
+    }
+    assert(e.getMessage.contains("broadcast-join"),
+      "rejection must point at the broadcast-join fallback path")
+    intercept[Exception](one("dictGet('too_big', 'v', 1)")) // never registered
+  }
+
+  test("dictGet expressions carry the snapshot: lookup survives plan " +
+       "serialization with the driver registry gone (multi-JVM contract)") {
+    import spark.implicits._
+    val dim = Seq((1L, "x"), (2L, "y")).toDF("k", "name")
+    graft.sql.Dictionaries.register("ser_d", dim, "k")
+    // analyzed (not optimized) plan: constant folding must not collapse
+    // the lookup before we prove the snapshot itself serializes.
+    val expr = try {
+      spark.sql("SELECT dictGetString('ser_d', 'name', 2) AS v")
+        .queryExecution.analyzed.expressions.head
+    } finally graft.sql.Dictionaries.drop("ser_d")
+    assert(expr.exists(_.isInstanceOf[graft.sql.DictGetValue]),
+      s"expected a DictGetValue in $expr")
+    // registry is now empty — a fresh executor JVM. Round-trip the
+    // expression through Java serialization and evaluate.
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(expr); oos.close()
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val back = ois.readObject().asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+    val v = back match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child.eval(null)
+      case other => other.eval(null)
+    }
+    assert(String.valueOf(v) === "y")
+  }
+
   test("minSampleSize A/B scalars") {
     val c = spark.sql(
       "SELECT minSampleSizeContinous(100.0, 10.0, 0.05, 0.8, 0.05) AS t")
