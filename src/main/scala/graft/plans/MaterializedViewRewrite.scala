@@ -70,6 +70,12 @@ object MaterializedViews {
       groupCols: Seq[String],
       measureCols: Seq[String],
       mvPath: String): Unit = {
+    val analyzedBase = base.queryExecution.analyzed
+    require(isBareScan(analyzedBase),
+      s"MV $name: base must be a bare table scan (optionally column-" +
+        s"pruned), got ${analyzedBase.nodeName} — a Filter/Join/Aggregate " +
+        "in the base would record the raw table's paths and silently " +
+        "answer full-table aggregates with partial data")
     registry.remove(name)
     val aggs = count(lit(1)).as("__cnt") +: measureCols.flatMap(c => Seq(
       sum(col(c)).as(s"__sum_$c"),
@@ -88,6 +94,20 @@ object MaterializedViews {
 
   def drop(name: String): Unit = registry.remove(name)
   def all: Seq[MvDef] = registry.values.asScala.toSeq
+
+  /** A valid MV base: column-pruning Projects / aliases over exactly ONE
+    * file relation. Anything that drops or fabricates rows (Filter,
+    * Join, Aggregate, ...) is rejected — the rewrite matches queries by
+    * the base table's rootPaths alone, so it cannot tell a rollup of
+    * the full table from a rollup of a filtered one.
+    */
+  private def isBareScan(p: LogicalPlan): Boolean = p match {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      isBareScan(c)
+    case SubqueryAlias(_, c) => isBareScan(c)
+    case _: LogicalRelation => true
+    case _ => false
+  }
 
   private[graft] def rootPaths(plan: LogicalPlan): Set[String] = plan.collect {
     case lr: LogicalRelation => lr.relation match {

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 import graft.plans.MaterializedViews
 
@@ -100,5 +101,30 @@ class MaterializedViewRewriteSpec extends SparkSpec {
       // count of a nullable column (null-count is not in the MV state)
       notRewritten("SELECT l_returnflag, COUNT(l_quantity) FROM lineitem GROUP BY 1")
     } finally MaterializedViews.drop("li_mv")
+  }
+
+  test("create() rejects a base that is not a bare scan") {
+    val li = Tables(spark, sfDir, "lineitem")
+    def rejected(base: org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        MaterializedViews.create(spark, "bad_mv", base,
+          Seq("l_returnflag"), Seq("l_quantity"), s"$tmp/bad_mv")
+      }
+      assert(e.getMessage.contains("bare table scan"), e.getMessage)
+      assert(!MaterializedViews.all.exists(_.name == "bad_mv"),
+        "a rejected MV must not be registered")
+    }
+    // filtered base: rootPaths match the raw table, so a full-table
+    // aggregate would silently read the filtered rollup
+    rejected(li.filter("l_quantity > 10"))
+    rejected(li.join(Tables(spark, sfDir, "orders"),
+      li("l_orderkey") === col("o_orderkey")))
+    rejected(li.groupBy("l_returnflag").count())
+    // but a column-pruning projection over the scan is fine
+    MaterializedViews.create(spark, "ok_mv",
+      li.select("l_returnflag", "l_quantity"),
+      Seq("l_returnflag"), Seq("l_quantity"), s"$tmp/ok_mv")
+    try assert(MaterializedViews.all.exists(_.name == "ok_mv"))
+    finally MaterializedViews.drop("ok_mv")
   }
 }
