@@ -6,9 +6,11 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 
 /** REAL media codecs in pure JVM byte arithmetic — no native libraries.
   *
-  * The container has no image/audio codec stacks (JPEG/PNG/H.264 decode
-  * stays env-blocked and stubbed in [[Multimodal]]), but two production
-  * formats need nothing beyond byte parsing and are implemented fully:
+  * Image decode is NOT env-blocked: PNG and JPEG use the JDK's own
+  * javax.imageio (java.desktop ships with the JDK and works headless —
+  * wired in [[Multimodal]]); only VIDEO (H.264 etc.) decode remains
+  * env-blocked, as the JDK has no video codec. This file implements the
+  * two formats that need nothing beyond byte parsing:
   *
   *  - RIFF/PCM WAV (the interchange format of every audio pipeline):
   *    chunk-walked header (fmt /data discovered by id, unknown chunks

@@ -61,7 +61,12 @@ object ScaleSoak {
     // orders are the axis) and the MV rollup (build pass ∝ base rows,
     // rollup read ∝ group-key cross product — the whole query must stay
     // ~linear in the base).
-    "array_scan_family", "mv_rewrite_rollup")
+    "array_scan_family", "mv_rewrite_rollup",
+    // round 7: bitmap value algebra (roaring containers ∝ distinct users
+    // per group; the fold tree is two-level so state never concentrates
+    // on one task). dict_functions is excluded like auc_reg_pairs: it
+    // runs on customer, which this soak doesn't scale.
+    "bitmap_value_algebra")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
