@@ -180,4 +180,17 @@ class GoldenPlanSpec extends SparkSpec {
   Seq("ssb_q1_1", "ssb_q2_1", "ssb_q3_1", "ssb_q4_1").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
+
+  // Eighth TPC-DS wave: q1's correlated scalar subquery must
+  // decorrelate to ONE re-aggregate joined back on the correlation key
+  // (a per-row subquery plan would be O(rows × groups)); q10's
+  // EXISTS/NOT EXISTS pair must stay one LeftSemi + one LeftAnti on
+  // key-only subqueries; q5's union arms each stay a single
+  // conditional-agg scan under the rollup; q98's class share stays one
+  // aggregate + one window — no self-join re-derivation of the
+  // partition total.
+  Seq("tpcds_q1_corr_avg_gate", "tpcds_q10_exists_notexists",
+      "tpcds_q5_union_rollup", "tpcds_q98_class_share_window").foreach { q =>
+    test(s"$q optimized plan matches golden snapshot") { check(q) }
+  }
 }
