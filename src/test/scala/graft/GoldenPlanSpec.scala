@@ -193,4 +193,15 @@ class GoldenPlanSpec extends SparkSpec {
       "tpcds_q5_union_rollup", "tpcds_q98_class_share_window").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
+
+  // Ninth TPC-DS wave: q8's predicate-OR-EXISTS must plan as ONE
+  // ExistenceJoin feeding the disjunction (never a union re-scan of
+  // customer); q31's six-frame chain joins one shared fact aggregate,
+  // nation-cardinality throughout; q36 ranks inside rollup grouping
+  // levels — grouping flags computed in the aggregate, window above
+  // it; q67's top-k windows over the rollup output, not the fact.
+  Seq("tpcds_q8_exists_or_predicate", "tpcds_q31_growth_ratio_chain",
+      "tpcds_q36_rank_within_rollup", "tpcds_q67_topk_over_rollup").foreach { q =>
+    test(s"$q optimized plan matches golden snapshot") { check(q) }
+  }
 }
