@@ -180,5 +180,39 @@ object AucFamily {
           GROUP BY event_type
           ORDER BY event_type""")
       },
-      None))
+      None),
+
+    // Streaming bucketed AUC (incremental BucketedRankAucAgg): the
+    // histogram state lives in the streaming aggregation state store,
+    // the rank-sum fold runs post-drain over cohorts × buckets rows.
+    // Oracle recomputes the identical bucketed Mann-Whitney fold in
+    // SQL — full hash gate, not rows-only, because every intermediate
+    // is an integer-valued double.
+    QueryDef(
+      "stream_auc_bucketed",
+      (s, dir) =>
+        graft.streaming.StreamingPipeline
+          .bucketedAuc(s, dir, s"stream_auc_${System.nanoTime()}"),
+      Some("""
+        WITH b AS (
+          SELECT CAST(user_id % 4 AS INT) AS cohort,
+                 CAST(LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 25.0) AS BIGINT), 0), 19) AS INT) AS bucket,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+          FROM events WHERE value IS NOT NULL),
+        c AS (
+          SELECT cohort, bucket,
+                 CAST(SUM(pos) AS DOUBLE) AS pd,
+                 CAST(COUNT(*) - SUM(pos) AS DOUBLE) AS nd
+          FROM b GROUP BY cohort, bucket),
+        w AS (
+          SELECT cohort, pd, nd,
+                 COALESCE(SUM(nd) OVER (PARTITION BY cohort ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_n
+          FROM c)
+        SELECT cohort,
+               CAST(CAST(ROUND(SUM(pd * (cum_n + nd / 2))
+                 / (SUM(pd) * SUM(nd)), 6) AS DECIMAL(18,6)) AS DOUBLE) AS auc
+        FROM w
+        GROUP BY cohort
+        ORDER BY cohort""")))
 }

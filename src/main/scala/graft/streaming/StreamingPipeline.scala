@@ -125,6 +125,65 @@ object StreamingPipeline {
     spark.table(queryName)
   }
 
+  /** Streaming bucketed-rank AUC — the incremental form of the batch
+    * [[graft.aggregates.BucketedRankAucAgg]] (reference
+    * AggregateFunctionFastAuc3.h). The aggregate's state IS a
+    * bucket→(pos, neg) histogram, so the streaming twin maintains
+    * exactly that as an incremental `groupBy(cohort, bucket)` count —
+    * state store size is bounded by cohorts × bucket_num, never by
+    * events, and micro-batch merge is the same map-add as the batch
+    * partial merge. The Mann-Whitney rank-sum fold (Σ pos_b·(cumNeg_<b
+    * + neg_b/2) / (P·N), average-rank tie handling) runs AFTER the
+    * stream drains, over the tiny histogram — identical math, so the
+    * result is batch-bit-identical and a 100-TB event stream costs one
+    * bounded-state aggregation.
+    */
+  def bucketedAuc(
+      spark: SparkSession, dir: String, queryName: String,
+      precision: Double = 25.0, minVal: Double = 0.0,
+      maxVal: Double = 500.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val bucketNum = math.ceil((maxVal - minVal) / precision).toInt
+    val hist = stream
+      .filter(col("value").isNotNull)
+      .withColumn("cohort", (col("user_id") % 4).cast("int"))
+      .withColumn("bucket",
+        least(greatest(floor((col("value") - minVal) / precision), lit(0L)),
+          lit((bucketNum - 1).toLong)).cast("int"))
+      .withColumn("pos",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .groupBy(col("cohort"), col("bucket"))
+      .agg(sum(col("pos")).as("p"), (count(lit(1)) - sum(col("pos"))).as("n"))
+    val q = hist.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Rank-sum fold over ≤ cohorts × bucketNum histogram rows. All
+    // inputs are integer-valued doubles (and exact .5 half-ranks), so
+    // the fold is order-independent and bit-deterministic.
+    val below = Window.partitionBy("cohort").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spark.table(queryName)
+      .withColumn("pd", col("p").cast("double"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("cum_n", coalesce(sum(col("nd")).over(below), lit(0.0)))
+      .groupBy(col("cohort"))
+      .agg((sum(col("pd") * (col("cum_n") + col("nd") / 2)) /
+        (sum(col("pd")) * sum(col("nd")))).as("raw"))
+      .select(col("cohort"),
+        round(col("raw"), 6).cast("decimal(18,6)").cast("double").as("auc"))
+      .orderBy(col("cohort"))
+  }
+
   /** MV-push analogue (reference: every INSERT block is pushed through
     * each dependent view's SELECT,
     * /root/reference/src/DataStreams/PushingToViewsBlockOutputStream.cpp,

@@ -39,6 +39,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L))
   }
 
+  test("streaming bucketed AUC is bit-identical to the batch fastAuc3 aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingPipeline
+      .bucketedAuc(spark, dir, s"sauc_spec_${System.nanoTime()}")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    Tables(spark, dir, "events").createOrReplaceTempView("events")
+    val batch = spark.sql("""
+      SELECT CAST(user_id % 4 AS INT) AS cohort,
+             CAST(CAST(ROUND(fastAuc3(25.0, 0.0, 500.0, value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 6)
+               AS DECIMAL(18,6)) AS DOUBLE) AS auc
+      FROM events WHERE value IS NOT NULL
+      GROUP BY CAST(user_id % 4 AS INT)
+      ORDER BY cohort""")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "the streaming histogram + rank-sum fold must equal the batch aggregate")
+  }
+
   test("live view: snapshot tracks appended source data and matches batch") {
     import org.apache.spark.sql.streaming.Trigger
     val src = Files.createTempDirectory("graft_lv_src").toString + "/t"
