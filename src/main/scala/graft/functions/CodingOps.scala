@@ -156,6 +156,64 @@ object CodingOps {
     b.toInt
   }
 
+  /** kostikConsistentHash(key, buckets) (reference
+    * src/Functions/kostikConsistentHash.cpp delegating to
+    * contrib/consistent-hashing/consistent_hashing.cpp — Konstantin
+    * Oblakov's O(1)-time, O(1)-space consistent hash, published in the
+    * ClickHouse tree; alias yandexConsistentHash). Ported
+    * statement-for-statement from the uint16-block variant, so this is
+    * bit-exact, including the deliberate uint64 wraparound inside the
+    * asterisk-bits mixing. Efficient (and reference-capped) at
+    * n ≤ 32768 buckets.
+    */
+  def kostikConsistentHash(key: Long, buckets: Int): Int = {
+    require(buckets > 0 && buckets <= 32768,
+      s"kostikConsistentHash: buckets must be in [1, 32768], got $buckets")
+    val lo = (key & 0xFFFFFFFFL).toInt
+    val hi = (key >>> 32).toInt
+    kostikImpl16(lo & 0xFFFF, lo >>> 16, hi & 0xFFFF, hi >>> 16, buckets)
+  }
+
+  /** Exact result for n = 2^k (cBlock table: 0→0, 1→1, 1?..?→1·ab). */
+  private def kostikPow2(a: Int, b: Int, c: Int, k2: Int): Int = {
+    val cBlock = c & (k2 - 1)
+    if (cBlock < 2) cBlock
+    else {
+      val y = 31 - Integer.numberOfLeadingZeros(cBlock) // bits after the leading 1
+      val y2 = 1 << y
+      val ab = if (Integer.bitCount(cBlock) % 2 == 0) a else b
+      y2 + (ab & (y2 - 1))
+    }
+  }
+
+  /** The "*" bits of the a/b/c/d blocks combined into one uint64
+    * (wraparound intended, as in the reference contrib).
+    */
+  private def kostikAsterisk(a: Int, b: Int, c: Int, d: Int, k: Int): Long = {
+    var shift = 16 - k
+    var res: Long = (d.toLong << shift) | (c.toLong >> k)
+    shift += 1
+    res <<= shift
+    res |= b.toLong >> (k - 1)
+    res <<= shift
+    res |= a.toLong >> (k - 1)
+    res
+  }
+
+  private def kostikImpl16(a: Int, b: Int, c: Int, d: Int, n: Int): Int = {
+    if (n == 1) return 0
+    val k = 32 - Integer.numberOfLeadingZeros(n - 1) // 2^(k-1) < n <= 2^k
+    val k2 = 1 << k
+    val large = kostikPow2(a, b, c, k2)
+    if (large < n) return large
+    val k21 = 1 << (k - 1)
+    val s = java.lang.Long.remainderUnsigned(
+      kostikAsterisk(a, b, c, d, k), large.toLong * (large + 1))
+    val large2 = (s / k2) + k21
+    if (large2 < n) return large2.toInt
+    kostikPow2(a, b, c, k21) // always < 2^(k-1)
+  }
+
   /** toWeek/toYearWeek mode matrix (reference src/Common/DateLUTImpl
     * .h:794-908 toYearWeek — the MySQL calc_week algorithm with flags
     * MONDAY_FIRST=1, YEAR=2, FIRST_WEEKDAY=4, NEWYEAR_DAY=8 and the

@@ -107,6 +107,48 @@ class Wave12Spec extends SparkSpec {
       one("jumpConsistentHash(10863919174838991L, 11)"))
   }
 
+  test("kostikConsistentHash matches the reference contrib bit-exactly") {
+    // Golden vectors produced by compiling the reference's own
+    // contrib/consistent-hashing/consistent_hashing.cpp (Oblakov's
+    // O(1) scheme) and printing ConsistentHashing(key, n). Keys above
+    // Long.MaxValue written as their two's-complement signed value.
+    val golden = Seq(
+      (81985529216486895L, 2, 1), (81985529216486895L, 5, 3),
+      (81985529216486895L, 16, 7), (81985529216486895L, 300, 107),
+      (81985529216486895L, 4096, 1451), (81985529216486895L, 10000, 1451),
+      (81985529216486895L, 32768, 19951),
+      (-81985529216486896L, 2, 0), (-81985529216486896L, 5, 0),
+      (-81985529216486896L, 16, 12), (-81985529216486896L, 300, 212),
+      (-81985529216486896L, 4096, 3668), (-81985529216486896L, 10000, 9211),
+      (-81985529216486896L, 32768, 13908),
+      (-6510615555426900571L, 2, 1), (-6510615555426900571L, 5, 1),
+      (-6510615555426900571L, 16, 5), (-6510615555426900571L, 300, 165),
+      (-6510615555426900571L, 4096, 1445), (-6510615555426900571L, 10000, 9637),
+      (-6510615555426900571L, 32768, 9637),
+      (4886718345L, 2, 1), (4886718345L, 300, 1), (4886718345L, 32768, 1),
+      (7077569096380545917L, 16, 11), (7077569096380545917L, 300, 139),
+      (7077569096380545917L, 4096, 779), (7077569096380545917L, 10000, 7037),
+      (-1L, 2, 1), (-1L, 3, 2), (-1L, 7, 4), (-1L, 8, 7),
+      (-1L, 100, 71), (-1L, 1000, 575), (-1L, 32768, 32767),
+      (0L, 1, 0), (0L, 32768, 0), (42L, 100, 0))
+    golden.foreach { case (k, n, want) =>
+      assert(one(s"kostikConsistentHash(${k}L, $n)") === want,
+        s"kostikConsistentHash($k, $n)")
+    }
+    // the alias and the range guard
+    assert(one("yandexConsistentHash(-1L, 100)") === 71)
+    intercept[Exception](one("kostikConsistentHash(1, 40000)"))
+    // consistency property: growing n can only keep a key in place or
+    // move it into the newly added range
+    Seq(-6510615555426900571L, 81985529216486895L, -1L).foreach { k =>
+      (2 to 64).foreach { n =>
+        val a = one(s"kostikConsistentHash(${k}L, $n)").asInstanceOf[Int]
+        val b = one(s"kostikConsistentHash(${k}L, ${n + 1})").asInstanceOf[Int]
+        assert(b == a || b == n, s"key $k moved $a -> $b on grow to ${n + 1}")
+      }
+    }
+  }
+
   test("intHash64 / intHash32 are the reference mixers") {
     // intHash64 is the murmur3 finalizer: fixed point of 0 is 0
     assert(one("intHash64(0)") === 0L)
