@@ -204,4 +204,13 @@ class GoldenPlanSpec extends SparkSpec {
       "tpcds_q36_rank_within_rollup", "tpcds_q67_topk_over_rollup").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
+
+  // Tenth TPC-DS wave: q6's correlated type-average gate must
+  // decorrelate into one per-type aggregate joined on the DIM side —
+  // the fact scan joins an already-reduced part set; q85's mixed-side
+  // disjunction must survive as ONE residual filter over the joined
+  // stream (a per-arm re-join would triple the fact scans).
+  Seq("tpcds_q6_dim_corr_avg", "tpcds_q85_multitable_disjunct").foreach { q =>
+    test(s"$q optimized plan matches golden snapshot") { check(q) }
+  }
 }
