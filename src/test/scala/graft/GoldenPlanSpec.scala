@@ -172,12 +172,16 @@ class GoldenPlanSpec extends SparkSpec {
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
 
-  // SSB corpus, one snapshot per flight: flight 1 must stay a bare
-  // filtered fact scan (no dim join), flights 2–4 keep the star shape —
-  // fact joins denormalized dims with dim-side predicates pushed below
-  // the join; a regression to a fact-side shuffle or a lost pushdown
-  // changes the tree.
-  Seq("ssb_q1_1", "ssb_q2_1", "ssb_q3_1", "ssb_q4_1").foreach { q =>
+  // SSB corpus, all thirteen queries snapshot-gated (the reference
+  // gates the full flight set, tests/optimizers/ssb/queries/): flight
+  // 1 must stay a bare filtered fact scan (no dim join), flights 2–4
+  // keep the star shape — fact joins denormalized dims with dim-side
+  // predicates pushed below the join; a regression to a fact-side
+  // shuffle or a lost pushdown changes the tree.
+  Seq("ssb_q1_1", "ssb_q1_2", "ssb_q1_3",
+      "ssb_q2_1", "ssb_q2_2", "ssb_q2_3",
+      "ssb_q3_1", "ssb_q3_2", "ssb_q3_3", "ssb_q3_4",
+      "ssb_q4_1", "ssb_q4_2", "ssb_q4_3").foreach { q =>
     test(s"$q optimized plan matches golden snapshot") { check(q) }
   }
 
