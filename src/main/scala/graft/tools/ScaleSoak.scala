@@ -66,7 +66,13 @@ object ScaleSoak {
     // per group; the fold tree is two-level so state never concentrates
     // on one task). dict_functions is excluded like auc_reg_pairs: it
     // runs on customer, which this soak doesn't scale.
-    "bitmap_value_algebra")
+    "bitmap_value_algebra",
+    // round 7: a join-heavy TPC-DS representative — returns substituted
+    // into the sales recompute via a (order, part) LEFT JOIN. Orders
+    // are the axis (orderkey+custkey offset per copy, per-order line
+    // sets and per-customer histories unchanged), so the three-way
+    // sales⋈orders⋈rets join must stay ∝ lines at N×.
+    "tpcds_q93_returns_substitution")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -113,6 +119,18 @@ object ScaleSoak {
         li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 1000000000L))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+    }
+    // Orders copies matching the lineitem orderkey offsets (own guard:
+    // older scratch dirs were sealed before orders joined the soak);
+    // custkeys offset by the same copy index, so per-customer order
+    // histories are unchanged and customers scale with the corpus.
+    if (!new java.io.File(s"$out/orders.parquet").exists()) {
+      val od = spark.read.parquet(s"$base/orders.parquet")
+      (0 until factor).map { i =>
+        od.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1000000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 1000000000L))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
     }
     val done = new java.io.File(s"$out/_SOAK_READY")
     if (done.exists()) return
