@@ -27,6 +27,9 @@ object Engine {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Tz-less parquet timestamps (one observed testdata regeneration)
+      // must surface as TimestampType, not NTZ — see Tables.apply.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     registerFunctions(spark)

@@ -49,7 +49,8 @@ object SparkEntry {
       _root_.graft.queries.TpcdsShapes8.defs ++
       _root_.graft.queries.TpcdsShapes9.defs ++
       _root_.graft.queries.TpcdsShapes10.defs ++
-      _root_.graft.queries.TpcdsShapes11.defs
+      _root_.graft.queries.TpcdsShapes11.defs ++
+      _root_.graft.queries.TpcdsShapes12.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalog layer: the driver-generated TPC-H-ish star schema plus the
   * LLM-data-pipeline tables (documents, embeddings, events).
@@ -20,20 +20,38 @@ object Tables {
   val pipeline: Seq[String] = Seq("events", "documents", "embeddings")
   val all: Seq[String] = tpch ++ pipeline
 
-  /** Read one table from an sf directory.
+  /** Read one table from an sf directory, normalizing every timestamp
+    * column to the engine's canonical `TimestampType` regardless of the
+    * physical parquet encoding the generator happened to use. Observed
+    * drift across testdata regenerations:
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright; read it as raw nanos and floor-divide
-    * to a µs timestamp — the same truncation DuckDB applies — so both engines
-    * observe identical values.
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright;
+    *     read as raw nanos and floor-divide to µs — the same truncation
+    *     DuckDB applies — so both engines observe identical values.
+    *   - timestamp[us] with no isAdjustedToUTC flag: Spark 4 infers
+    *     TIMESTAMP_NTZ, on which strictly-typed calls (`unix_micros`,
+    *     window lag over ts, ASOF inequalities) throw DATATYPE_MISMATCH.
+    *     Cast NTZ → TimestampType; with the session timezone pinned to
+    *     UTC (every Engine/Verify/Bench builder does) the wall-clock
+    *     reinterpretation is value-identical to DuckDB's NTZ reading.
+    *
+    * The reference's DateTime is timezone-less by construction
+    * (/root/reference/src/DataTypes/DataTypeDateTime.h:54) and immune to
+    * this class of drift; this choke point is the Spark-native analogue —
+    * every query path reads tables through here, so one cast repairs all.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events" && raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else df.withColumns(
+      ntz.map(f => f.name -> col(f.name).cast(TimestampType)).toMap)
   }
 
   /** Register every table of an sf directory as a temp view so that

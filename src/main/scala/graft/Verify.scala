@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Tz-less parquet timestamps (one observed testdata regeneration)
+      // must surface as TimestampType, not NTZ — see Tables.apply.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // 148 queries compile far more codegen classes than the default
       // 100-entry cache holds; keep them warm across the run.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
@@ -23,19 +26,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Dev convenience (unset in the driver's run): comma-separated query
-    // names to dump, for fast iteration on a subset.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -48,9 +38,41 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Write the oracle map BEFORE the query loop: it depends only on the
+    // static defs, and a driver-side timeout/kill mid-loop then degrades
+    // the round to partial results instead of leaving every
+    // already-written parquet output undiffable (the round-7 failure
+    // mode: a killed JVM took the oracle map down with it → `{}`).
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Dev convenience (unset in the driver's run): comma-separated query
+    // names to dump, for fast iteration on a subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val progress = Paths.get(s"$outDir/progress.txt")
+    Files.deleteIfExists(progress)
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(name => only.forall(_.contains(name)))
+    var done = 0
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val status =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          "ok"
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          "fail"
+        }
+      done += 1
+      // Append-flush per query so a kill leaves an audit trail of how far
+      // the run got and which outputs are trustworthy.
+      Files.writeString(progress, s"$done/${names.size} $name $status\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     spark.stop()
   }
 }

@@ -27,21 +27,45 @@ final case class FunnelEvents(packed: Array[Long], best: Int)
   */
 object StreamingPipeline {
 
+  /** Pin the parquet timestamp read path to the engine's canonical
+    * `TimestampType` before the file-stream source infers its schema:
+    * tolerate legacy TIMESTAMP(NANOS) (read as long, re-derived below)
+    * and disable TIMESTAMP_NTZ inference so tz-less `timestamp[us]`
+    * encodings — one observed testdata regeneration — surface as
+    * TimestampType (value-identical under the pinned UTC session tz).
+    * Mirrors the batch choke point in [[graft.Tables.apply]].
+    */
+  private def normalizeParquetTs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
+  /** File-stream over the events table with the ts column normalized to
+    * canonical TimestampType. Handles both physical layouts the table
+    * appears in: the driver's single-file `events.parquet` (stream the
+    * sf dir, glob-filtered to that file name — the file-stream source
+    * wants a directory) and a Spark-written `events.parquet/` directory
+    * of part files (e.g. the ScaleSoak scratch dirs, where the name-glob
+    * would match no leaf file and silently stream zero rows).
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    normalizeParquetTs(spark)
+    val path = s"$dir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(batchSchema)
+    val stream =
+      if (new java.io.File(path).isDirectory) reader.parquet(path)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (batchSchema("ts").dataType == LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream
+  }
+
   /** Tumbling-window counts per event type, executed as a streaming query
     * (batch parity with the `event_tumbling_counts` query).
     */
   def tumblingCounts(spark: SparkSession, dir: String, queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // The file-stream source wants a directory; point it at the sf dir and
-    // glob-filter to the events table.
-    var stream = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    if (batchSchema("ts").dataType == LongType)
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = stream
+    val agg = eventsStream(spark, dir)
       .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n_events"))
@@ -60,15 +84,7 @@ object StreamingPipeline {
     * streaming twin of the batch `event_session_windows` query.
     */
   def sessionCounts(spark: SparkSession, dir: String, queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    var stream = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    if (batchSchema("ts").dataType == LongType)
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = stream
+    val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -94,15 +110,7 @@ object StreamingPipeline {
     * break (see graft.operators.SessionAnalysis).
     */
   def sessionTuples(spark: SparkSession, dir: String, queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    var stream = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    if (batchSchema("ts").dataType == LongType)
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = stream
+    val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "1799999999 microseconds").as("w"),
         col("user_id"))
@@ -143,12 +151,7 @@ object StreamingPipeline {
       precision: Double = 25.0, minVal: Double = 0.0,
       maxVal: Double = 500.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(spark, dir)
     val bucketNum = math.ceil((maxVal - minVal) / precision).toInt
     val hist = stream
       .filter(col("value").isNotNull)
@@ -199,7 +202,7 @@ object StreamingPipeline {
       srcDir: String,
       sinkDir: String,
       checkpointDir: String)(transform: DataFrame => DataFrame): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeParquetTs(spark)
     val batchSchema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream
       .schema(batchSchema)
@@ -270,18 +273,13 @@ object StreamingPipeline {
       windowUs: Long, steps: Seq[String]): DataFrame = {
     import spark.implicits._
     import graft.aggregates.FunnelCore
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(spark, dir)
     val stepCol = steps.zipWithIndex.foldLeft(lit(0)) { case (acc, (s2, i)) =>
       when(col("event_type") === s2, lit(i + 1)).otherwise(acc)
     }
     val nSteps = steps.size
     val updated = stream
-      .select(col("user_id").as[Long], (col("ts") / 1000L).cast("long").as[Long],
+      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
         stepCol.as[Int])
       .filter(_._3 > 0)
       .groupByKey(_._1)
@@ -319,13 +317,7 @@ object StreamingPipeline {
     */
   def statefulUserCounts(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val updated = stream
+    val updated = eventsStream(spark, dir)
       .select(col("user_id").as[Long], col("value").as[Double])
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {

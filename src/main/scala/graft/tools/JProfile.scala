@@ -19,6 +19,7 @@ object JProfile {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
         sys.env.getOrElse("JP_BLOOM", "true"))
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

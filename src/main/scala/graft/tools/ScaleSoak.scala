@@ -72,7 +72,13 @@ object ScaleSoak {
     // are the axis (orderkey+custkey offset per copy, per-order line
     // sets and per-customer histories unchanged), so the three-way
     // sales⋈orders⋈rets join must stay ∝ lines at N×.
-    "tpcds_q93_returns_substitution")
+    "tpcds_q93_returns_substitution",
+    // round 8: the streaming twins of the session/funnel family (the
+    // paths the r7 NTZ drift killed). Claims under test: session_window
+    // state ∝ OPEN sessions (watermark-evicted), funnel state ∝ users ×
+    // in-window events — so N× users must stay ~linear. eventsStream
+    // handles the soak scratch dirs' directory-layout events table.
+    "stream_session_counts", "stream_funnel_levels")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -86,6 +92,7 @@ object ScaleSoak {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

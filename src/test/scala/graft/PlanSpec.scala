@@ -32,6 +32,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_orderkey"), "scan should not read l_orderkey")
   }
 
+  test("events ts-range predicate pushes into the parquet scan (post-NTZ fix)") {
+    // Before the Tables NTZ/nanos normalization moved to a plain column
+    // cast, ts predicates wrapped the column in timestamp_micros(ts div
+    // 1000) — an expression parquet can't evaluate, so a ts-range filter
+    // meant a FULL events scan (fatal at 100 TB). The canonical schema
+    // exposes the raw column; the range must now reach PushedFilters.
+    val p = plan("bitmap_column_logic")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"), p.take(1500))
+  }
+
   test("q5: dimension joins broadcast (no fact-side shuffle for dims)") {
     val p = plan("q5_region_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))

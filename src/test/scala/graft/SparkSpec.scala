@@ -19,6 +19,9 @@ object SparkSpec {
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // Tz-less parquet timestamps (one observed testdata regeneration)
+    // must surface as TimestampType, not NTZ — see Tables.apply.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
