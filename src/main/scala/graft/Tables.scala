@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
@@ -53,6 +53,17 @@ object Tables {
     else df.withColumns(
       ntz.map(f => f.name -> col(f.name).cast(TimestampType)).toMap)
   }
+
+  /** Canonical timestamp→µs conversion — the ONE strictly-typed call
+    * site. `unix_micros` is typed to TIMESTAMP and throws
+    * DATATYPE_MISMATCH on TIMESTAMP_NTZ; the inner cast is a no-op on
+    * already-canonical columns, reinterprets NTZ under the pinned UTC
+    * session tz (value-identical to the oracle's reading), and gives
+    * future encoding drift a single repair point instead of ~40
+    * scattered `unix_micros(col("ts"))` calls — the round-7 failure
+    * mode. Every operator needing event-time µs must go through here.
+    */
+  def tsUs(c: Column): Column = unix_micros(c.cast(TimestampType))
 
   /** Register every table of an sf directory as a temp view so that
     * `spark.sql` queries (the engine's SQL front door) resolve them.

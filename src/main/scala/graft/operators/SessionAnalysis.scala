@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.Tables
 import org.apache.spark.sql.functions._
 
 /** sessionAnalysis (reference
@@ -42,7 +43,7 @@ object SessionAnalysis {
       .groupBy(col("user_id"),
         session_window(col("__ts"), s"${gapUs - 1} microseconds"))
       .agg(
-        (unix_micros(max(col("__ts"))) - unix_micros(min(col("__ts"))))
+        (Tables.tsUs(max(col("__ts"))) - Tables.tsUs(min(col("__ts"))))
           .as("duration_us"),
         count(lit(1)).as("depth"),
         max_by(col("__ev"), struct(col("__ts"), col("__ev"))).as("end_event"),

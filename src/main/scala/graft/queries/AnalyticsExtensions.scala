@@ -55,7 +55,7 @@ object AnalyticsExtensions {
         val w = Window.partitionBy(col("user_id")).orderBy(col("st"), col("en"))
           .rowsBetween(Window.unboundedPreceding, -1)
         Tables(s, dir, "events")
-          .select(col("user_id"), unix_micros(col("ts")).as("st"))
+          .select(col("user_id"), Tables.tsUs(col("ts")).as("st"))
           .withColumn("en", col("st") + lit(600000000L))
           .withColumn("pm", max(col("en")).over(w))
           .withColumn("covered",
@@ -83,7 +83,7 @@ object AnalyticsExtensions {
       "agg_bounding_ratio",
       (s, dir) =>
         Tables(s, dir, "events")
-          .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"),
+          .select(col("event_type"), col("value"), Tables.tsUs(col("ts")).as("us"),
                   col("event_id"))
           .groupBy(col("event_type"))
           .agg(max_by(col("value"), struct(col("us"), col("event_id"))).as("y_last"),
@@ -168,7 +168,7 @@ object AnalyticsExtensions {
       (s, dir) => {
         val base = Tables(s, dir, "events")
           .select(col("event_type"),
-            ((unix_micros(col("ts")) - lit(1704067200000000L)).cast(DoubleType) /
+            ((Tables.tsUs(col("ts")) - lit(1704067200000000L)).cast(DoubleType) /
               lit(86400000000.0)).as("x"),
             col("value").as("y"))
         val m = base.groupBy(col("event_type")).agg(
@@ -232,7 +232,7 @@ object AnalyticsExtensions {
         val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
           .rowsBetween(-2, 0)
         Tables(s, dir, "events")
-          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+          .select(col("user_id"), Tables.tsUs(col("ts")).as("us"), col("event_id"),
                   col("value"))
           .withColumn("m", sum(col("value").cast(DecimalType(18, 6))).over(w).cast(DoubleType))
           .groupBy(col("user_id"))
@@ -282,8 +282,8 @@ object AnalyticsExtensions {
               .when(col("ps").isNull, col("ns"))
               .when(col("ns").isNull, col("ps"))
               .otherwise(col("ps") + (col("ns") - col("ps")) *
-                ((unix_micros(col("day")) - unix_micros(col("pd"))).cast(DoubleType) /
-                  (unix_micros(col("nd")) - unix_micros(col("pd"))).cast(DoubleType)))
+                ((Tables.tsUs(col("day")) - Tables.tsUs(col("pd"))).cast(DoubleType) /
+                  (Tables.tsUs(col("nd")) - Tables.tsUs(col("pd"))).cast(DoubleType)))
               .as("filled"))
           .orderBy(col("day"))
       },

@@ -33,7 +33,7 @@ object Behavioral {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables(s, dir, "events")
-          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("us", Tables.tsUs(col("ts")))
           .withColumn("new_s",
             when(col("us") - lag(col("us"), 1).over(w) > GapUs, 1)
               .when(lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
@@ -87,7 +87,7 @@ object Behavioral {
               .when(col("event_type") === "purchase", 3).otherwise(0))
           .filter(col("step") > 0)
           .groupBy(col("user_id"))
-          .agg(funnel(unix_micros(col("ts")), col("step")).as("depth"))
+          .agg(funnel(Tables.tsUs(col("ts")), col("step")).as("depth"))
           .agg(count(when(col("depth") >= 1, 1)).as("reached_signup"),
                count(when(col("depth") >= 2, 1)).as("reached_click"),
                count(when(col("depth") >= 3, 1)).as("reached_purchase"))
@@ -165,7 +165,7 @@ object Behavioral {
               .when(col("event_type") === "error", 2).otherwise(0))
           .filter(col("step") > 0)
           .groupBy(col("user_id"))
-          .agg(funnel(unix_micros(col("ts")), col("step")).as("depth"))
+          .agg(funnel(Tables.tsUs(col("ts")), col("step")).as("depth"))
           .agg(count(when(col("depth") === 2, 1)).as("n_matched_users"),
                count(lit(1)).as("n_users_considered"))
       },
@@ -229,7 +229,7 @@ object Behavioral {
         Tables(s, dir, "events")
           .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
           .agg(count(lit(1)).as("n_events"))
-          .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+          .select(col("user_id"), Tables.tsUs(col("w.start")).as("session_start_us"),
                   col("n_events"))
           .orderBy(col("user_id"), col("session_start_us")),
       Some("""
@@ -251,7 +251,7 @@ object Behavioral {
     QueryDef(
       "asof_purchase_click",
       (s, dir) => {
-        val ev = Tables(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+        val ev = Tables(s, dir, "events").withColumn("us", Tables.tsUs(col("ts")))
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("us"))
         val clicks = ev.filter(col("event_type") === "click")
@@ -280,7 +280,7 @@ object Behavioral {
           .rowsBetween(Window.unboundedPreceding, -1)
         val touch = col("event_type").isin("click", "view")
         Tables(s, dir, "events")
-          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("us", Tables.tsUs(col("ts")))
           .withColumn("attr_us", last(when(touch, col("us")), ignoreNulls = true).over(wPrev))
           .withColumn("attr_type", last(when(touch, col("event_type")), ignoreNulls = true).over(wPrev))
           .filter(col("event_type") === "purchase")

@@ -253,7 +253,7 @@ object CoverageWave5 {
         val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
           .rowsBetween(-2, 0)
         Tables(s, dir, "events")
-          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+          .select(col("user_id"), Tables.tsUs(col("ts")).as("us"), col("event_id"),
                   col("value"))
           .withColumn("m",
             (sum(col("value").cast(graft.Num.D6)).over(w).cast(DoubleType) / 3))
@@ -360,7 +360,7 @@ object CoverageWave5 {
         val w3 = Window.partitionBy(col("user_id")).orderBy(col("us"))
           .rangeBetween(-LookbackUs, -1)
         Tables(s, dir, "events")
-          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("us", Tables.tsUs(col("ts")))
           .withColumn("first_code", min(touchCode).over(w3))
           .filter(col("event_type") === "purchase")
           .withColumn("channel",
@@ -408,7 +408,7 @@ object CoverageWave5 {
         // All four frame aggregates in one select → a single Window node
         // (one pass over each user's sorted stream), not four.
         val base = Tables(s, dir, "events")
-          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("us", Tables.tsUs(col("ts")))
           .select(col("user_id"), col("event_type"), col("us"),
             count(when(col("event_type") === "click", 1)).over(w3).as("n_click"),
             count(when(col("event_type") === "view", 1)).over(w3).as("n_view"),

@@ -148,7 +148,7 @@ object CoverageWave6 {
         val part = Seq(col("user_id"))
         val ord = Seq(col("us"), col("event_id"))
         Tables(s, dir, "events")
-          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("us", Tables.tsUs(col("ts")))
           .select(col("user_id"), col("event_id"),
             RowOrder.runningDifference(col("value"), part, ord).as("val_diff"),
             RowOrder.neighbor(col("event_type"), -1, lit("none"), part, ord)
@@ -181,7 +181,7 @@ object CoverageWave6 {
         val wDesc = Window.partitionBy(col("user_id"))
           .orderBy(col("us").desc, col("event_id").desc)
         Tables(s, dir, "events")
-          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("us", Tables.tsUs(col("ts")))
           .withColumn("p1", lag(col("event_type"), 1).over(w))
           .withColumn("p2", lag(col("event_type"), 2).over(w))
           .filter(col("event_type") === "purchase" && col("p1") === "click")

@@ -241,7 +241,7 @@ object CoverageWave7 {
         val ev = Tables(s, dir, "events")
         ev.groupBy((col("user_id") % 16).as("g"))
           .agg(TimeOrderedAggregates.deltaSumTimestamp(
-            unix_micros(col("ts")), col("value")).as("delta_sum"))
+            Tables.tsUs(col("ts")), col("value")).as("delta_sum"))
           .orderBy(col("g"))
       },
       Some("""
@@ -295,7 +295,7 @@ object CoverageWave7 {
               .when(col("event_type") === "purchase", 3).otherwise(0))
           .filter(col("step") > 0)
         e.groupBy(col("user_id"))
-          .agg(f(unix_micros(col("ts")), col("step")).as("counts"))
+          .agg(f(Tables.tsUs(col("ts")), col("step")).as("counts"))
           .select(posexplode(col("counts")).as(Seq("idx", "runs")))
           .groupBy(col("idx")).agg(sum(col("runs")).as("runs"))
           .select(((col("idx") / 3).cast("int") - 1).as("slot"),

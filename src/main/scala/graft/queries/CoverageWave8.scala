@@ -262,7 +262,7 @@ object CoverageWave8 {
               .when(col("event_type") === "click", 2)
               .when(col("event_type") === "purchase", 3).otherwise(0))
           .groupBy(col("user_id"))
-          .agg(f(unix_micros(col("ts")), col("idx"), col("event_type"))
+          .agg(f(Tables.tsUs(col("ts")), col("idx"), col("event_type"))
             .as("paths"))
           .select(col("user_id"), posexplode(col("paths")).as(Seq("run_pos", "path")))
           .select(col("user_id"), col("run_pos"),
@@ -467,7 +467,7 @@ object CoverageWave8 {
           explode(when(col("step") === 1, array(grpOf))
             .otherwise(array(lit("low"), lit("mid"), lit("high")))))
         expanded.groupBy(col("user_id"), col("grp"))
-          .agg(f(unix_micros(col("ts")), col("step")).as("counts"))
+          .agg(f(Tables.tsUs(col("ts")), col("step")).as("counts"))
           .select(col("grp"), posexplode(col("counts")).as(Seq("idx", "runs")))
           .groupBy(col("idx"), col("grp")).agg(sum(col("runs")).as("runs"))
           .select(((col("idx") / 3).cast("int") - 1).as("slot"),

@@ -43,7 +43,7 @@ object FunnelFamily {
           .finderFunnel(WatchStartUs, DayUs, WatchDays, DayUs, 3) _
         steppedEvents(s, dir)
           .groupBy(col("user_id"))
-          .agg(ff(unix_micros(col("ts")), col("step")).as("levels"))
+          .agg(ff(Tables.tsUs(col("ts")), col("step")).as("levels"))
           .select(col("user_id"), posexplode(col("levels")).as(Seq("slot", "lvl")))
           .filter(col("lvl") > 0)
           .groupBy(col("slot"))
@@ -93,7 +93,7 @@ object FunnelFamily {
           .finderFunnel(WatchStartUs, DayUs, WatchDays, DayUs, 3) _
         steppedEvents(s, dir)
           .groupBy(col("user_id"))
-          .agg(ff(unix_micros(col("ts")), col("step")).as("levels"))
+          .agg(ff(Tables.tsUs(col("ts")), col("step")).as("levels"))
           .select(col("user_id"), posexplode(col("levels")).as(Seq("slot", "lvl")))
           .filter(col("lvl") > 0)
           .orderBy(col("user_id"), col("slot"))
@@ -137,7 +137,7 @@ object FunnelFamily {
               .when(col("event_type") === "click", 2)
               .when(col("event_type") === "purchase", 3).otherwise(0))
           .groupBy(col("user_id"))
-          .agg(fps(unix_micros(col("ts")), col("idx"), col("event_type"))
+          .agg(fps(Tables.tsUs(col("ts")), col("idx"), col("event_type"))
             .as("path"))
           .select(col("user_id"), posexplode(col("path")).as(Seq("node_pos", "node")))
           .select(col("user_id"), col("node_pos"),
@@ -207,7 +207,7 @@ object FunnelFamily {
         val look = 3 * DayUs
         val e = Tables(s, dir, "events")
           .filter(col("event_type").isin("click", "view", "purchase"))
-          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          .select(col("user_id"), Tables.tsUs(col("ts")).as("us"),
             col("event_type"), col("value"))
         // Half-life = 1 day; rebased exponent keeps 2^x in double range.
         val wmicro = floor(pow(lit(2.0),
@@ -281,7 +281,7 @@ object FunnelFamily {
         val look = 3 * DayUs
         val e = Tables(s, dir, "events")
           .filter(col("event_type").isin("click", "view", "purchase"))
-          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          .select(col("user_id"), Tables.tsUs(col("ts")).as("us"),
             col("event_type"))
         val aheadWin = Window.partitionBy(col("user_id")).orderBy(col("us"))
           .rangeBetween(1, look)

@@ -83,7 +83,7 @@ object FunnelFamily2 {
           explode(when(col("step") === 1, array(grpOf))
             .otherwise(array(lit("low"), lit("mid"), lit("high")))))
         expanded.groupBy(col("user_id"), col("grp"))
-          .agg(ff(unix_micros(col("ts")), col("step")).as("levels"))
+          .agg(ff(Tables.tsUs(col("ts")), col("step")).as("levels"))
           .select(col("grp"), posexplode(col("levels")).as(Seq("slot", "lvl")))
           .filter(col("lvl") > 0)
           .groupBy(col("slot"), col("grp"))
@@ -135,7 +135,7 @@ object FunnelFamily2 {
         import org.apache.spark.sql.expressions.Window
         val e = Tables(s, dir, "events")
           .filter(col("event_type").isin("signup", "click", "purchase"))
-          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          .select(col("user_id"), Tables.tsUs(col("ts")).as("us"),
             col("event_type"))
         val fwd = Window.partitionBy(col("user_id")).orderBy(col("us"))
           .rangeBetween(0, Window.unboundedFollowing)

@@ -34,7 +34,7 @@ object SequenceQueries {
           .filter(col("event_type").isin("signup", "click", "purchase"))
           .groupBy(col("user_id"))
           .agg(sequenceMatch(s"(?1)(?t<=${4 * Hour})(?2).*(?3)")(
-            unix_micros(col("ts")),
+            Tables.tsUs(col("ts")),
             col("event_type") === "signup",
             col("event_type") === "click",
             col("event_type") === "purchase").as("m"))
@@ -75,7 +75,7 @@ object SequenceQueries {
           .filter(col("event_type").isin("signup", "error"))
           .groupBy(col("user_id"))
           .agg(sequenceMatch(s"(?1)(?t>=${25 * Day})(?2)")(
-            unix_micros(col("ts")),
+            Tables.tsUs(col("ts")),
             col("event_type") === "signup",
             col("event_type") === "error").as("m"))
           .agg(count(when(col("m"), 1)).as("n_matched_users"),
@@ -102,7 +102,7 @@ object SequenceQueries {
           .filter(col("event_type").isin("signup", "purchase"))
           .groupBy(col("user_id"))
           .agg(sequenceMatch("(?1).(?2)")(
-            unix_micros(col("ts")),
+            Tables.tsUs(col("ts")),
             col("event_type") === "signup",
             col("event_type") === "purchase").as("m"))
           .agg(count(when(col("m"), 1)).as("n_matched_users"),
@@ -127,7 +127,7 @@ object SequenceQueries {
           .filter(col("event_type").isin("signup", "click", "purchase"))
           .groupBy(col("user_id"))
           .agg(sequenceMatch("(?1).*(?2).*(?3)")(
-            unix_micros(col("ts")),
+            Tables.tsUs(col("ts")),
             col("event_type") === "signup",
             col("event_type") === "click",
             col("event_type") === "purchase").as("m"))
@@ -165,7 +165,7 @@ object SequenceQueries {
       (s, dir) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
         val ev = Tables(s, dir, "events")
-          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("us", Tables.tsUs(col("ts")))
           .withColumn("n1", lead(col("event_type"), 1).over(w))
           .withColumn("n2", lead(col("event_type"), 2).over(w))
         val wm = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
@@ -203,7 +203,7 @@ object SequenceQueries {
           .filter(col("event_type").isin("click", "purchase"))
           .groupBy(col("user_id"))
           .agg(sequenceCount("(?1)(?2)")(
-            unix_micros(col("ts")),
+            Tables.tsUs(col("ts")),
             col("event_type") === "click",
             col("event_type") === "purchase").as("cnt"))
           .agg(sum(col("cnt")).as("total_matches"),

@@ -17,7 +17,7 @@ object StorageSemantics {
       "upsert_latest_state",
       (s, dir) =>
         Upsert.latestByVersion(
-            Tables(s, dir, "events").withColumn("us", unix_micros(col("ts"))),
+            Tables(s, dir, "events").withColumn("us", Tables.tsUs(col("ts"))),
             keys = Seq("user_id", "event_type"), version = "us", tiebreak = "event_id")
           .select(col("user_id"), col("event_type"), col("event_id").as("latest_event"),
                   col("us").as("latest_us"))

@@ -120,7 +120,7 @@ object WindowQueries {
       (s, dir) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         Tables(s, dir, "events")
-          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("us", Tables.tsUs(col("ts")))
           .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
           .groupBy(col("user_id"))
           .agg(count(col("gap")).as("n_gaps"),

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.LongType
@@ -88,7 +89,7 @@ object StreamingPipeline {
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+      .select(col("user_id"), Tables.tsUs(col("w.start")).as("session_start_us"),
               col("n_events"))
     val q = agg.writeStream
       .format("memory")
@@ -115,12 +116,12 @@ object StreamingPipeline {
       .groupBy(session_window(col("ts"), "1799999999 microseconds").as("w"),
         col("user_id"))
       .agg(
-        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+        (Tables.tsUs(max(col("ts"))) - Tables.tsUs(min(col("ts"))))
           .as("duration_us"),
         count(lit(1)).as("depth"),
         max_by(col("event_type"), struct(col("ts"), col("event_type")))
           .as("end_event"),
-        unix_micros(min(col("ts"))).as("session_time_us"))
+        Tables.tsUs(min(col("ts"))).as("session_time_us"))
       .select(col("user_id"), col("session_time_us"), col("duration_us"),
         col("depth"), col("end_event"))
     val q = agg.writeStream
@@ -279,7 +280,7 @@ object StreamingPipeline {
     }
     val nSteps = steps.size
     val updated = stream
-      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
+      .select(col("user_id").as[Long], Tables.tsUs(col("ts")).as[Long],
         stepCol.as[Int])
       .filter(_._3 > 0)
       .groupByKey(_._1)
