@@ -54,17 +54,38 @@ object Verify {
     Files.deleteIfExists(progress)
     val names = SparkEntry.queries.keys.toSeq
       .filter(name => only.forall(_.contains(name)))
+    // Per-query watchdog: the whole gate has a driver-side budget, so one
+    // pathological query (runaway skew, a hung stream) must cost at most
+    // its own slice, not the remaining run. On timeout the query's Spark
+    // jobs are cancelled via its job group and the loop moves on.
+    val timeoutS = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toLong
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
     var done = 0
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      val task = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          // job group is thread-local: set on the thread that runs the query
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
       val status =
         try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
+          task.get(timeoutS, java.util.concurrent.TimeUnit.SECONDS)
           "ok"
-        } catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          "fail"
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            task.cancel(true)
+            System.err.println(s"[verify] $name timed out after ${timeoutS}s")
+            "timeout"
+          case e: Throwable =>
+            val cause = Option(e.getCause).getOrElse(e)
+            System.err.println(s"[verify] $name failed: ${cause.getMessage}")
+            "fail"
         }
       done += 1
       // Append-flush per query so a kill leaves an audit trail of how far
@@ -73,6 +94,7 @@ object Verify {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
+    pool.shutdownNow()
     spark.stop()
   }
 }

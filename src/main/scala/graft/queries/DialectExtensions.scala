@@ -281,8 +281,38 @@ object DialectExtensions {
           .sample(withReplacement = false, fraction = 0.1, seed = 42)
           .agg(count(lit(1)).as("n_sampled"),
                countDistinct(col("l_orderkey")).as("n_orders")),
-      None)
+      None),
+
+    // Deterministic SAMPLE — the reference's actual semantics: ClickHouse
+    // SAMPLE hashes the declared sampling key and keeps rows below
+    // fraction × max, so the same query returns the SAME sample on every
+    // run and every replica (StorageMergeTree sampling_expression;
+    // /root/reference/src/Storages/MergeTree/MergeTreeDataSelectExecutor.cpp:455).
+    // Re-expressed with an overflow-safe multiplicative hash both engines
+    // evaluate identically as plain integer SQL (no engine-specific hash
+    // builtin, no 64-bit wraparound: operands stay < 2^63 in both), which
+    // upgrades the check from rows-only to an exact oracle. Scale: a pure
+    // per-row predicate on the scan — no shuffle, fully parallel.
+    QueryDef(
+      "sample_by_hash",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(sampleByHashSql)
+      },
+      Some(sampleByHashSql))
   )
+
+  /** One SQL text, two engines: deterministic 10% sample by key hash.
+    * (def, not val: referenced from `defs` above its definition site —
+    * a val would still be null during the object's initializer.)
+    */
+  private def sampleByHashSql = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE ((l_orderkey % 1000000007) * 2654435761 + l_linenumber * 40503)
+          % 1048576 < 104858"""
 
   private[queries] val D4 = org.apache.spark.sql.types.DecimalType(28, 4)
 }
