@@ -1,0 +1,88 @@
+package graft.sql
+
+import java.sql.{Date, Timestamp}
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
+/** ClickHouse TabSeparated output formatting for Spark rows — the
+  * representation the reference's `.reference` golden files are written
+  * in (FormatFactory TabSeparated;
+  * /root/reference/src/Formats/registerFormats.cpp, escaping rules in
+  * src/IO/WriteHelpers.h writeEscapedString): columns tab-separated,
+  * rows newline-terminated, strings raw at top level but quoted inside
+  * composites, NULL as `\N`, floats in shortest round-trip form.
+  */
+object ChFormat {
+
+  private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  def formatRows(rows: Seq[org.apache.spark.sql.Row]): String =
+    rows.map(r => (0 until r.length).map(i => top(r.get(i))).mkString("\t"))
+      .mkString("\n")
+
+  /** Top-level column value: strings raw (escaped), NULL = \N. */
+  def top(v: Any): String = v match {
+    case null => "\\N"
+    case s: String => escape(s)
+    case other => value(other, quoted = false)
+  }
+
+  /** Nested (inside array/tuple/map): strings quoted, NULL spelled out. */
+  private def nested(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + escape(s) + "'"
+    case other => value(other, quoted = true)
+  }
+
+  private def value(v: Any, quoted: Boolean): String = v match {
+    case b: Boolean => if (b) "1" else "0"
+    case d: Double => formatFloat(d)
+    case f: Float => formatFloat(f.toDouble)
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+    case d: Date => d.toLocalDate.format(dateFmt)
+    case t: Timestamp =>
+      t.toInstant.atZone(ZoneOffset.UTC).format(tsFmt)
+    case t: java.time.Instant => t.atZone(ZoneOffset.UTC).format(tsFmt)
+    case d: java.time.LocalDate => d.format(dateFmt)
+    case d: java.time.LocalDateTime => d.format(tsFmt)
+    case a: scala.collection.Seq[_] =>
+      a.map(nested).mkString("[", ",", "]")
+    case a: Array[_] => a.map(nested).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => nested(k) + ":" + nested(x) }
+        .mkString("{", ",", "}")
+    case r: org.apache.spark.sql.Row =>
+      (0 until r.length).map(i => nested(r.get(i))).mkString("(", ",", ")")
+    case other => other.toString
+  }
+
+  /** ClickHouse float text: shortest round-trip, integral values without
+    * a trailing `.0`, lowercase exponent without the redundant `+`.
+    */
+  def formatFloat(d: Double): String = {
+    if (d.isNaN) return "nan"
+    if (d.isPosInfinity) return "inf"
+    if (d.isNegInfinity) return "-inf"
+    val s = java.lang.Double.toString(d)
+    val noExp =
+      if (s.contains("E")) {
+        val Array(m, e) = s.split("E")
+        val mm = if (m.endsWith(".0")) m.dropRight(2) else m
+        mm + "e" + (if (e.startsWith("-")) e else e.stripPrefix("+"))
+      } else s
+    if (noExp.endsWith(".0")) noExp.dropRight(2) else noExp
+  }
+
+  /** TabSeparated escaping: backslash, tab, newline (and CR) escaped;
+    * everything else raw.
+    */
+  private def escape(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '\t' => "\\t"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case c => c.toString
+  }
+}

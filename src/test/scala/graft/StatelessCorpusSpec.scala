@@ -1,0 +1,54 @@
+package graft
+
+import graft.tools.StatelessSweep
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The reference's OWN stateless SQL tests, run verbatim: each
+  * allowlisted `NNNN_*.sql` from
+  * /root/reference/tests/queries/4_cnch_stateless/ is transpiled
+  * (ChTranspiler), executed through `spark.sql` with the dialect
+  * registry, formatted as ClickHouse TabSeparated (ChFormat), and
+  * string-compared against the reference's own `.reference` golden
+  * file — the same check `tests/clickhouse-test:386` performs against
+  * the real server. This is the literal "a reference user's queries
+  * run unchanged" gate; the allowlist is the frozen output of
+  * tools/StatelessSweep (re-run it after dialect work to widen).
+  */
+class StatelessCorpusSpec extends SparkSpec {
+
+  private val corpusDir = "/root/reference/tests/queries/4_cnch_stateless"
+
+  private lazy val allowlist: Seq[String] = {
+    val url = getClass.getResource("/stateless_allowlist.txt")
+    assert(url != null, "stateless_allowlist.txt missing from test resources")
+    scala.io.Source.fromURL(url).getLines().map(_.trim)
+      .filter(_.nonEmpty).toSeq
+  }
+
+  test("allowlist is frozen and non-trivial") {
+    assert(allowlist.size >= 140, s"allowlist shrank to ${allowlist.size}")
+  }
+
+  test("every allowlisted reference stateless test passes verbatim") {
+    assume(Files.isDirectory(Paths.get(corpusDir)), "reference corpus absent")
+    Engine.registerFunctions(spark)
+    val failures = allowlist.flatMap { name =>
+      val sqlText = new String(
+        Files.readAllBytes(Paths.get(corpusDir, name)), "UTF-8")
+      val expected = new String(
+        Files.readAllBytes(Paths.get(corpusDir,
+          name.dropRight(4) + ".reference")), "UTF-8")
+      StatelessSweep.run(spark, sqlText) match {
+        case Right(actual) if actual.stripLineEnd == expected.stripLineEnd =>
+          None
+        case Right(actual) =>
+          Some(s"$name: output diff\n  want ${expected.take(120)}\n  got ${actual.take(120)}")
+        case Left(err) =>
+          Some(s"$name: $err")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} stateless tests regressed:\n${failures.take(10).mkString("\n")}")
+  }
+}
