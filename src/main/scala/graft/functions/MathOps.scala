@@ -1,0 +1,58 @@
+package graft.functions
+
+/** Pure-JVM scalar math helpers invoked from codegen via StaticInvoke
+  * (same pattern as ErfOps). Mirrors the reference's libm-backed scalar
+  * functions (/root/reference/src/Functions/gcd.cpp, lcm.cpp,
+  * FunctionMathUnary.h lgamma/tgamma): gcd/lcm on 64-bit integers with
+  * the sign conventions of std::gcd/lcm, and the log-gamma pair via the
+  * Lanczos approximation (g=7, n=9 — double-precision accurate).
+  */
+object MathOps {
+
+  def gcd(a: Long, b: Long): Long = {
+    var x = math.abs(a); var y = math.abs(b)
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  }
+
+  def lcm(a: Long, b: Long): Long = {
+    if (a == 0 || b == 0) 0L
+    else math.abs(a / gcd(a, b) * b)
+  }
+
+  private val lanczosG = 7.0
+  private val lanczosCoef = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
+  /** ln|Γ(x)| — matches std::lgamma over the real line. */
+  def lgamma(x: Double): Double = {
+    if (x.isNaN) return Double.NaN
+    if (x.isInfinite) return Double.PositiveInfinity
+    if (x < 0.5) {
+      // reflection: Γ(x)Γ(1-x) = π / sin(πx)
+      if (x == math.rint(x)) return Double.PositiveInfinity // poles at 0, -1, -2…
+      math.log(math.Pi / math.abs(math.sin(math.Pi * x))) - lgamma(1.0 - x)
+    } else {
+      val z = x - 1.0
+      var sum = lanczosCoef(0)
+      var i = 1
+      while (i < lanczosCoef.length) { sum += lanczosCoef(i) / (z + i); i += 1 }
+      val t = z + lanczosG + 0.5
+      0.5 * math.log(2.0 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(sum)
+    }
+  }
+
+  /** Γ(x) — matches std::tgamma (signed, poles at non-positive ints). */
+  def tgamma(x: Double): Double = {
+    if (x.isNaN) return Double.NaN
+    if (x == Double.PositiveInfinity) return Double.PositiveInfinity
+    if (x <= 0.0 && x == math.rint(x)) return Double.NaN
+    if (x < 0.5) math.Pi / (math.sin(math.Pi * x) * tgamma(1.0 - x))
+    else {
+      val lg = lgamma(x)
+      math.exp(lg)
+    }
+  }
+}

@@ -1,0 +1,36 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, RuntimeReplaceable, TimeZoneAwareExpression}
+import org.apache.spark.sql.internal.SQLConf
+
+/** Builds an expression that cannot be chosen at parse time because it
+  * depends on the argument types (ClickHouse overloads many functions on
+  * Date vs DateTime vs String — e.g. addMonths(Date) stays a Date while
+  * addMonths(DateTime) keeps the time component; reference
+  * src/Functions/FunctionDateOrDateTimeAddInterval.h dispatches the same
+  * way). FunctionRegistry builders run before analysis, when child types
+  * are unknown, so the dispatch is deferred: this node resolves its
+  * children first, then `build` sees their dataTypes and produces the
+  * concrete replacement, which the optimizer's ReplaceExpressions rule
+  * swaps in — zero runtime overhead, full codegen on the replacement.
+  */
+case class ChDispatch(name: String, children: Seq[Expression])(
+    build: Seq[Expression] => Expression)
+  extends Expression with RuntimeReplaceable {
+
+  // The analyzer never descends into `replacement`, so rules that would
+  // normally finish resolving it (ResolveTimeZone in particular) do not
+  // run — pin the session timezone on any tz-aware node ourselves.
+  override lazy val replacement: Expression = build(children).transformUp {
+    case e: TimeZoneAwareExpression if e.timeZoneId.isEmpty =>
+      e.withTimeZone(SQLConf.get.sessionLocalTimeZone)
+  }
+
+  override lazy val resolved: Boolean = childrenResolved && replacement.resolved
+
+  override def prettyName: String = name
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    ChDispatch(name, newChildren.toSeq)(build)
+}

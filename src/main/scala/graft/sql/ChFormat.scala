@@ -25,13 +25,21 @@ object ChFormat {
   def top(v: Any): String = v match {
     case null => "\\N"
     case s: String => escape(s)
+    case b: Array[Byte] => escape(new String(b, "UTF-8")) // CH String from unhex etc.
     case other => value(other, quoted = false)
   }
 
-  /** Nested (inside array/tuple/map): strings quoted, NULL spelled out. */
+  /** Nested (inside array/tuple/map): strings AND date/time values
+    * quoted (writeQuoted in the reference quotes DateTime the same as
+    * String inside composites), NULL spelled out.
+    */
   private def nested(v: Any): String = v match {
     case null => "NULL"
     case s: String => "'" + escape(s) + "'"
+    case b: Array[Byte] => "'" + escape(new String(b, "UTF-8")) + "'"
+    case _: Date | _: Timestamp | _: java.time.Instant |
+         _: java.time.LocalDate | _: java.time.LocalDateTime =>
+      "'" + value(v, quoted = true) + "'"
     case other => value(other, quoted = true)
   }
 

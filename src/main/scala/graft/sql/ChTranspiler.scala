@@ -26,9 +26,18 @@ object ChTranspiler {
   /** Split a test file's text into top-level statements, comments
     * stripped. Semicolons inside string literals do not split.
     */
-  def statements(sqlText: String): Seq[String] = {
-    val out = ArrayBuffer[String]()
+  def statements(sqlText: String): Seq[String] = statementsRaw(sqlText).map(_._2)
+
+  /** Like [[statements]], but each statement is paired with its RAW text
+    * (comments preserved, trailing `;` included, leading comments since
+    * the previous statement attached) — the text `clickhouse-test`
+    * echoes verbatim when a `-- {{ echo }}` directive is active
+    * (reference tests/clickhouse-test query echo mode).
+    */
+  def statementsRaw(sqlText: String): Seq[(String, String)] = {
+    val out = ArrayBuffer[(String, String)]()
     val cur = new StringBuilder
+    var segStart = 0
     var i = 0
     val n = sqlText.length
     while (i < n) {
@@ -49,11 +58,12 @@ object ChTranspiler {
         while (i + 1 < n && !(sqlText.charAt(i) == '*' && sqlText.charAt(i + 1) == '/')) i += 1
         i = math.min(i + 2, n)
       } else if (c == ';') {
-        out += cur.toString; cur.clear(); i += 1
+        out += ((sqlText.substring(segStart, i + 1).trim, cur.toString.trim))
+        cur.clear(); i += 1; segStart = i
       } else { cur.append(c); i += 1 }
     }
-    out += cur.toString
-    out.map(_.trim).filter(_.nonEmpty).toSeq
+    out += ((sqlText.substring(segStart, n).trim, cur.toString.trim))
+    out.filter(_._2.nonEmpty).toSeq
   }
 
   private sealed trait Tok { def text: String }
@@ -284,7 +294,7 @@ object ChTranspiler {
       }
       i += 1
     }
-    postPass(out.toString)
+    rewriteOrderNulls(rewriteArrayJoin(postPass(out.toString)))
   }
 
   private val twoArgCast =
@@ -306,7 +316,7 @@ object ChTranspiler {
   /** Map a bare CH type string (e.g. "Nullable(UInt8)") via the token
     * rewriter used for inline type syntax.
     */
-  private def transpileTypeString(t: String): String =
+  private[sql] def transpileTypeString(t: String): String =
     rewriteTypes(tokenize(t)).map(_.text).mkString
 
   /** Decode a ClickHouse string literal's escapes (notably `\xHH`,
@@ -353,6 +363,449 @@ object ChTranspiler {
       case c => c.toString
     }
     "'" + enc + "'"
+  }
+
+  private def isWordI(t: Tok, s: String): Boolean = t match {
+    case Word(w) => w.equalsIgnoreCase(s); case _ => false
+  }
+
+  private val orderBoundary = Set("LIMIT", "OFFSET", "SETTINGS", "UNION",
+    "INTERSECT", "EXCEPT", "FORMAT", "INTO", "WITH", "FROM", "WHERE",
+    "GROUP", "HAVING", "WINDOW", "ROWS", "RANGE", "GROUPS", "SELECT",
+    "INTERPOLATE")
+
+  /** ClickHouse sorts NULL (and NaN) as GREATEST by default — last on
+    * ASC, first on DESC (reference docs/sort order, NULLS LAST
+    * semantics); Spark's default is nulls-smallest. Append the explicit
+    * NULLS direction to every ORDER BY key that does not already state
+    * one, at every nesting depth (window OVER clauses included).
+    */
+  private def rewriteOrderNulls(sql: String): String = {
+    val toks = tokenize(sql)
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    val inserts = ArrayBuffer[(Int, String)]() // insert text BEFORE token idx
+    var i = 0
+    while (i < toks.length) {
+      val byIdx = nextSig(i + 1)
+      if (isWordI(toks(i), "ORDER") && byIdx < toks.length &&
+          isWordI(toks(byIdx), "BY")) {
+        var j = nextSig(byIdx + 1)
+        var done = j >= toks.length
+        while (!done) {
+          var depth = 0
+          var hasNulls = false
+          var lastDesc = false
+          var lastSigIdx = -1
+          var itemEnd = -1
+          var k = j
+          while (itemEnd < 0 && k < toks.length) {
+            toks(k) match {
+              case Punct("(") | Punct("[") => depth += 1; lastSigIdx = k
+              case Punct(")") | Punct("]") =>
+                if (depth == 0) { itemEnd = k; done = true }
+                else { depth -= 1; lastSigIdx = k }
+              case Punct(",") if depth == 0 => itemEnd = k
+              case Punct(";") if depth == 0 => itemEnd = k; done = true
+              case Word(w) if depth == 0 && orderBoundary(w.toUpperCase) =>
+                itemEnd = k; done = true
+              case Word(w) if depth == 0 && w.equalsIgnoreCase("NULLS") =>
+                hasNulls = true; lastSigIdx = k
+              case Word(w) if depth == 0 && w.equalsIgnoreCase("COLLATE") =>
+                // direction keywords may follow COLLATE 'x'; keep scanning
+                lastSigIdx = k
+              case Word(w) if depth == 0 &&
+                  (w.equalsIgnoreCase("DESC") || w.equalsIgnoreCase("DESCENDING")) =>
+                lastDesc = true; lastSigIdx = k
+              case Word(w) if depth == 0 &&
+                  (w.equalsIgnoreCase("ASC") || w.equalsIgnoreCase("ASCENDING")) =>
+                lastDesc = false; lastSigIdx = k
+              case _: Ws => ()
+              case _ => lastSigIdx = k
+            }
+            if (itemEnd < 0) k += 1
+          }
+          if (itemEnd < 0) { itemEnd = toks.length; done = true }
+          if (lastSigIdx >= 0 && !hasNulls)
+            inserts += ((lastSigIdx + 1,
+              if (lastDesc) " NULLS FIRST" else " NULLS LAST"))
+          if (!done) {
+            j = nextSig(itemEnd + 1) // past the comma
+            if (j >= toks.length) done = true
+          }
+        }
+      }
+      i += 1
+    }
+    if (inserts.isEmpty) sql
+    else {
+      val byPos = inserts.groupBy(_._1)
+      val sb = new StringBuilder
+      var idx = 0
+      while (idx <= toks.length) {
+        byPos.get(idx).foreach(_.foreach(p => sb.append(p._2)))
+        if (idx < toks.length) sb.append(toks(idx).text)
+        idx += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** ClickHouse lets `expr AS name` appear ANYWHERE inside an
+    * expression, defining an alias usable elsewhere in the statement
+    * (reference ParserAlias / ActionsVisitor scope map). Spark only
+    * accepts AS at select-list top level, so: strip each inline alias
+    * (one nested in parens that are not a subquery and not a CAST) and
+    * substitute its expression text for later bare references.
+    */
+  private def rewriteInlineAliases(sql: String): String = {
+    val toks = tokenize(sql)
+    def nextSigIdx(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    // for every token index, the index of its enclosing "(" (-1 at top)
+    val parent = new Array[Int](toks.length)
+    // paren kind: true = expression parens (eligible), false = subquery/CAST
+    val eligible = scala.collection.mutable.Map[Int, Boolean]()
+    var stack = List[Int](-1)
+    for (k <- toks.indices) {
+      parent(k) = stack.head
+      toks(k) match {
+        case Punct("(") =>
+          var prev = k - 1
+          while (prev >= 0 && toks(prev).isInstanceOf[Ws]) prev -= 1
+          val prevIsCast = prev >= 0 && isWordI(toks(prev), "CAST")
+          val first = nextSigIdx(k + 1)
+          val isSubquery = first < toks.length &&
+            (isWordI(toks(first), "SELECT") || isWordI(toks(first), "WITH"))
+          eligible(k) = !prevIsCast && !isSubquery
+          stack = k :: stack
+        case Punct(")") => stack = stack.drop(1)
+        case _ => ()
+      }
+    }
+    // collect inline aliases: Word(AS) whose enclosing paren is eligible
+    case class Inline(name: String, exprText: String, asIdx: Int, nameIdx: Int,
+      exprStart: Int)
+    val found = ArrayBuffer[Inline]()
+    for (k <- toks.indices) {
+      if (isWordI(toks(k), "AS") && parent(k) >= 0 &&
+          eligible.getOrElse(parent(k), false)) {
+        val nIdx = nextSigIdx(k + 1)
+        toks.lift(nIdx) match {
+          case Some(Word(name)) =>
+            // expr = tokens since the last same-depth comma (or the paren
+            // open) up to the AS
+            var s = k - 1
+            var depth = 0
+            var start = parent(k) + 1
+            var found0 = false
+            while (s > parent(k) && !found0) {
+              toks(s) match {
+                case Punct(")") | Punct("]") => depth += 1
+                case Punct("(") | Punct("[") => depth -= 1
+                case Punct(",") if depth == 0 => start = s + 1; found0 = true
+                case _ => ()
+              }
+              s -= 1
+            }
+            val exprText = toks.slice(start, k).map(_.text).mkString.trim
+            if (exprText.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'))
+              found += Inline(name, exprText, k, nIdx, start)
+          case _ => ()
+        }
+      }
+    }
+    if (found.isEmpty) return sql
+    val defs = found.map(f => f.name -> f.exprText).toMap
+    // resolve alias-in-alias references (bounded)
+    def resolve(t: String, depth: Int): String =
+      if (depth > 4) t
+      else tokenize(t).map {
+        case Word(w) if defs.contains(w) => "(" + resolve(defs(w), depth + 1) + ")"
+        case tok => tok.text
+      }.mkString
+    val dropIdx = found.flatMap(f => f.asIdx to f.nameIdx).toSet
+    val defSites = found.flatMap(f => f.exprStart until f.asIdx).toSet
+    val sb = new StringBuilder
+    for (k <- toks.indices) {
+      if (dropIdx(k)) ()
+      else toks(k) match {
+        case Word(w) if defs.contains(w) && !defSites(k) && {
+            val nxt = nextSigIdx(k + 1)
+            val nextIsParenOrDot = nxt < toks.length &&
+              (toks(nxt) == Punct("(") || toks(nxt) == Punct("."))
+            var prv = k - 1
+            while (prv >= 0 && toks(prv).isInstanceOf[Ws]) prv -= 1
+            val prevIsDot = prv >= 0 && toks(prv) == Punct(".")
+            val prevIsAs = prv >= 0 && isWordI(toks(prv), "AS")
+            !nextIsParenOrDot && !prevIsDot && !prevIsAs } =>
+          sb.append("(").append(resolve(defs(w), 0)).append(")")
+        case t => sb.append(t.text)
+      }
+    }
+    sb.toString
+  }
+
+  /** ClickHouse tuple literals `(a, b)` → Spark `struct(a, b)` (struct
+    * fields come out as col1/col2…, matching the `.N` access rewrite).
+    * A paren group is a tuple when it holds a top-level comma and is
+    * neither a call-argument list nor a subquery nor an IN list.
+    */
+  private def rewriteTupleLiterals(sql: String): String = {
+    val toks = tokenize(sql)
+    def nextSigIdx(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    val prefix = ArrayBuffer[(Int, String)]() // "(" indexes to prefix with struct
+    var stack = List[(Int, Boolean)]() // (openIdx, sawTopComma)
+    val tupleAt = scala.collection.mutable.Set[Int]()
+    for (k <- toks.indices) {
+      toks(k) match {
+        case Punct("(") =>
+          var prv = k - 1
+          while (prv >= 0 && toks(prv).isInstanceOf[Ws]) prv -= 1
+          val prevTok = if (prv >= 0) Some(toks(prv)) else None
+          val callLike = prevTok.exists {
+            case Word(w) => !Set("SELECT", "WHERE", "AND", "OR", "NOT", "IN",
+              "BY", "ON", "WHEN", "THEN", "ELSE", "HAVING", "FROM", "AS",
+              "ALL", "DISTINCT", "UNION", "JOIN", "USING", "BETWEEN",
+              "LIKE", "RLIKE", "ILIKE", "IS", "CASE", "END", "INTERVAL",
+              "LIMIT", "OFFSET", "SETTINGS", "VALUES").contains(w.toUpperCase)
+            case Punct(")") | Punct("]") => true
+            case _ => false
+          }
+          val afterIn = prevTok.exists(isWordI(_, "IN"))
+          val first = nextSigIdx(k + 1)
+          val isSubquery = first < toks.length &&
+            (isWordI(toks(first), "SELECT") || isWordI(toks(first), "WITH"))
+          stack = (k, false) :: stack
+          if (callLike || afterIn || isSubquery) () // never a tuple
+          else tupleAt += k
+        case Punct(")") =>
+          stack.headOption.foreach { case (openIdx, sawComma) =>
+            if (!sawComma) tupleAt -= openIdx // plain grouping parens
+          }
+          stack = stack.drop(1)
+        case Punct(",") =>
+          stack match {
+            case (openIdx, false) :: rest => stack = (openIdx, true) :: rest
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    if (tupleAt.isEmpty) return sql
+    val sb = new StringBuilder
+    for (k <- toks.indices) {
+      if (tupleAt(k)) sb.append("struct(")
+      else sb.append(toks(k).text)
+    }
+    sb.toString
+  }
+
+  /** CH `x IN [a, b]` (array literal list) and `x IN tuple(…)` →
+    * standard paren lists. Runs after the array-literal pass, so the
+    * forms here are `IN array(…)` / `IN tuple(…)`.
+    */
+  private def rewriteInClauses(sql: String): String = {
+    val toks = tokenize(sql)
+    def nextSigIdx(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    val dropWord = scala.collection.mutable.Set[Int]()
+    for (k <- toks.indices) {
+      if (isWordI(toks(k), "IN")) {
+        val f = nextSigIdx(k + 1)
+        if (f < toks.length && (toks(f) match {
+          case Word(w) => (w == "array" || w == "tuple") && {
+            val p = nextSigIdx(f + 1)
+            p < toks.length && toks(p) == Punct("(")
+          }
+          case _ => false
+        })) dropWord += f
+      }
+    }
+    if (dropWord.isEmpty) return sql
+    toks.zipWithIndex.map { case (t, k) => if (dropWord(k)) "" else t.text }
+      .mkString
+  }
+
+  private val arrayJoinBoundary = Set("WHERE", "GROUP", "HAVING", "ORDER",
+    "LIMIT", "OFFSET", "SETTINGS", "UNION", "INTERSECT", "EXCEPT", "FORMAT",
+    "INTO", "PREWHERE", "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "JOIN",
+    "ASOF", "ANY", "GLOBAL", "SEMI", "ANTI", "WINDOW")
+
+  /** One parsed `ARRAY JOIN` item: expression text plus optional alias. */
+  private case class AjItem(expr: String, alias: Option[String])
+
+  /** Rewrite ClickHouse `[LEFT] ARRAY JOIN expr [AS alias], …`
+    * (reference src/Interpreters/ArrayJoinAction.cpp semantics) onto
+    * Spark `LATERAL VIEW explode[_outer]`:
+    *  - `expr AS a`            → LATERAL VIEW explode(expr) v AS a
+    *  - bare column `arr`      → the element REPLACES the array column
+    *    (CH semantics), so the source is wrapped to rename the array
+    *    away and the lateral column takes its name;
+    *  - multiple items zip positionally (NOT a cross product) → one
+    *    explode over an index sequence with per-item element_at, alias
+    *    references rewritten to struct fields.
+    * Statements with shapes outside these (Nested `n.x` columns without
+    * aliases, unaligned arrays) pass through untouched and fail loudly.
+    */
+  private def rewriteArrayJoin(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 8) {
+      changed = false
+      guard += 1
+      rewriteOneArrayJoin(out) match {
+        case Some(next) => out = next; changed = true
+        case None => ()
+      }
+    }
+    out
+  }
+
+  private def rewriteOneArrayJoin(sql: String): Option[String] = {
+    val toks = tokenize(sql)
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    def prevSig(j: Int): Int = {
+      var k = j; while (k >= 0 && toks(k).isInstanceOf[Ws]) k -= 1; k
+    }
+    // depth of every token, for locating the owning FROM
+    val depthAt = new Array[Int](toks.length)
+    var d = 0
+    for (k <- toks.indices) {
+      toks(k) match {
+        case Punct("(") => depthAt(k) = d; d += 1
+        case Punct(")") => d -= 1; depthAt(k) = d
+        case _ => depthAt(k) = d
+      }
+    }
+    var i = 0
+    while (i < toks.length) {
+      val jIdx = nextSig(i + 1)
+      if (isWordI(toks(i), "ARRAY") && jIdx < toks.length &&
+          isWordI(toks(jIdx), "JOIN")) {
+        val pIdx = prevSig(i - 1)
+        val leftOuter = pIdx >= 0 && isWordI(toks(pIdx), "LEFT")
+        val startIdx = if (leftOuter) pIdx else i
+        val myDepth = depthAt(i)
+        // ---- parse items ----
+        val items = ArrayBuffer[AjItem]()
+        var j = nextSig(jIdx + 1)
+        var endIdx = -1
+        var cur = ArrayBuffer[Tok]()
+        var depth = 0
+        var bad = false
+        while (endIdx < 0 && j < toks.length) {
+          toks(j) match {
+            case Punct("(") => depth += 1; cur += toks(j)
+            case Punct(")") if depth == 0 => endIdx = j
+            case Punct(")") => depth -= 1; cur += toks(j)
+            case Punct(",") if depth == 0 =>
+              parseAjItem(cur.toVector).fold { bad = true } { items += _ }
+              cur = ArrayBuffer[Tok]()
+            case Punct(";") if depth == 0 => endIdx = j
+            case Word(w) if depth == 0 && arrayJoinBoundary(w.toUpperCase) =>
+              endIdx = j
+            case t => cur += t
+          }
+          if (endIdx < 0) j += 1
+        }
+        if (endIdx < 0) endIdx = toks.length
+        parseAjItem(cur.toVector).fold { bad = true } { items += _ }
+        if (bad || items.isEmpty) return None
+        val fn = if (leftOuter) "explode_outer" else "explode"
+        val n = sql.length // cheap unique suffix within the statement
+        // locate this level's FROM (last FROM token before ARRAY at myDepth)
+        val fromIdx = (0 until startIdx).reverse
+          .find(k => depthAt(k) == myDepth && isWordI(toks(k), "FROM"))
+          .getOrElse(-1)
+        def text(a: Int, b: Int): String =
+          toks.slice(a, b).map(_.text).mkString
+        val (replacement, replaceFrom) = items.toSeq match {
+          case Seq(AjItem(expr, aliasOpt))
+              if aliasOpt.isEmpty || aliasOpt.contains(expr.trim) =>
+            // bare column (or self-aliased): element replaces the array
+            val id = expr.trim
+            if (!id.forall(c => c.isLetterOrDigit || c == '_') || fromIdx < 0)
+              return None
+            val src = text(nextSig(fromIdx + 1), startIdx)
+            (s" FROM (SELECT * EXCEPT ($id), $id AS __aj_in$n FROM $src) " +
+              s"LATERAL VIEW $fn(__aj_in$n) __aj_v$n AS $id ", fromIdx)
+          case Seq(AjItem(expr, Some(alias))) =>
+            if (fromIdx < 0)
+              (s" FROM (SELECT 1 AS __aj_one$n) " +
+                s"LATERAL VIEW $fn($expr) __aj_v$n AS $alias ", startIdx)
+            else
+              (s" LATERAL VIEW $fn($expr) __aj_v$n AS $alias ", startIdx)
+          case multi if multi.forall(_.alias.isDefined) =>
+            // positional zip: explode an index range, pull each element
+            val fields = multi.zipWithIndex.map { case (it, k) =>
+              s"'c$k', element_at(${it.expr}, CAST(__aj_i$n AS INT))"
+            }.mkString(", ")
+            val zip = s"transform(sequence(1, size(${multi.head.expr})), " +
+              s"__aj_i$n -> named_struct($fields))"
+            val lateral =
+              s" LATERAL VIEW $fn($zip) __aj_v$n AS __aj_s$n "
+            val base =
+              if (fromIdx < 0) s" FROM (SELECT 1 AS __aj_one$n)" + lateral
+              else lateral
+            // rewrite alias references outside the clause to struct fields
+            val aliasMap = multi.zipWithIndex.map { case (it, k) =>
+              it.alias.get -> s"__aj_s$n.c$k"
+            }.toMap
+            val pre = substIdents(text(0, startIdx), aliasMap)
+            val post = substIdents(text(endIdx, toks.length), aliasMap)
+            return Some(pre + base + post)
+          case _ => return None
+        }
+        val pre = text(0, replaceFrom)
+        val post = text(endIdx, toks.length)
+        return Some(pre + replacement + post)
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Parse `expr [AS alias]` from an item's token run. */
+  private def parseAjItem(ts: Vector[Tok]): Option[AjItem] = {
+    val sig = ts.zipWithIndex.filterNot(_._1.isInstanceOf[Ws])
+    if (sig.isEmpty) return None
+    val asPos = sig.dropRight(1).lastIndexWhere(p => isWordI(p._1, "AS"))
+    if (asPos >= 0 && asPos == sig.length - 2) {
+      val aliasTok = sig.last._1
+      aliasTok match {
+        case Word(a) =>
+          val exprText = ts.take(sig(asPos)._2).map(_.text).mkString.trim
+          if (exprText.isEmpty) None else Some(AjItem(exprText, Some(a)))
+        case _ => None
+      }
+    } else Some(AjItem(ts.map(_.text).mkString.trim, None))
+  }
+
+  /** Replace bare identifier tokens per `map` (skipping qualified refs
+    * `x.y` on either side of the dot and string literals).
+    */
+  private def substIdents(sql: String, map: Map[String, String]): String = {
+    val toks = tokenize(sql)
+    def sigAt(j: Int, dir: Int): Option[Tok] = {
+      var k = j + dir
+      while (k >= 0 && k < toks.length && toks(k).isInstanceOf[Ws]) k += dir
+      if (k >= 0 && k < toks.length) Some(toks(k)) else None
+    }
+    toks.zipWithIndex.map {
+      case (Word(w), idx) if map.contains(w) &&
+          !sigAt(idx, -1).contains(Punct(".")) &&
+          !sigAt(idx, +1).contains(Punct(".")) => map(w)
+      case (t, _) => t.text
+    }.mkString
   }
 
   /** Index in `s` where the trailing primary expression starts: an

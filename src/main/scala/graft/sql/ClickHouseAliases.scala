@@ -29,13 +29,39 @@ object ClickHouseAliases {
   private def nullUnless(cond: Expression, value: Expression): Expression =
     If(cond, value, Literal.create(null, value.dataType))
 
+  /** CH date-interval arithmetic keeps the input's granularity
+    * (FunctionDateOrDateTimeAddInterval.h): add<Unit>(Date) stays Date
+    * for day-or-coarser units, everything else (DateTime, String) yields
+    * DateTime with the time component intact. Type-dispatched via
+    * ChDispatch because the registry builder runs before analysis.
+    */
+  private def chDateAdd(name: String, unit: String,
+      negate: Boolean): (String, Seq[Expression] => Expression) =
+    name -> ((cs: Seq[Expression]) => ChDispatch(name, cs.take(2)) { c =>
+      def n(dt: DataType): Expression = {
+        val n0 = Cast(c(1), dt)
+        if (negate) UnaryMinus(n0) else n0
+      }
+      // TimestampAdd takes a LongType quantity; the date forms take INT
+      c.head.dataType match {
+        case DateType => unit match {
+          case "MONTH" => AddMonths(c.head, n(IntegerType))
+          case "YEAR" => AddMonths(c.head, Multiply(n(IntegerType), Literal(12)))
+          case "DAY" => DateAdd(c.head, n(IntegerType))
+          case "WEEK" => DateAdd(c.head, Multiply(n(IntegerType), Literal(7)))
+          case _ => TimestampAdd(unit, n(LongType), Cast(c.head, TimestampType))
+        }
+        case _ => TimestampAdd(unit, n(LongType), Cast(c.head, TimestampType))
+      }
+    })
+
   /** Alias names, exposed for the DialectSpec collision guard. */
   private[graft] def aliasNames: Seq[String] = aliases.map(_._1)
 
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
       wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9 ++ wave10 ++ wave11 ++
-      wave14
+      wave14 ++ wave15
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -83,8 +109,8 @@ object ClickHouseAliases {
       Cast(DateFormatClass(cs.head, Literal("yyyyMMdd")), IntegerType)),
     "toUnixTimestamp" -> (cs => UnixTimestamp(cs.head, Literal("yyyy-MM-dd HH:mm:ss"))),
     "yesterday" -> (_ => DateSub(CurrentDate(None), Literal(1))),
-    "addDays" -> (cs => DateAdd(cs.head, cs(1))),
-    "subtractDays" -> (cs => DateSub(cs.head, cs(1))),
+    chDateAdd("addDays", "DAY", negate = false),
+    chDateAdd("subtractDays", "DAY", negate = true),
 
     // type conversions: the numeric/date matrix (incl. OrZero/OrNull/
     // OrDefault variants) is generated by conversionFamily; only the
@@ -243,9 +269,9 @@ object ClickHouseAliases {
     "toQuarter" -> (cs => Quarter(cs.head)),
     "toDayOfYear" -> (cs => DayOfYear(cs.head)),
     "toISOWeek" -> (cs => WeekOfYear(cs.head)),
-    "addMonths" -> (cs => AddMonths(cs.head, cs(1))),
-    "subtractMonths" -> (cs => AddMonths(cs.head, UnaryMinus(cs(1)))),
-    "addYears" -> (cs => AddMonths(cs.head, Multiply(cs(1), Literal(12)))),
+    chDateAdd("addMonths", "MONTH", negate = false),
+    chDateAdd("subtractMonths", "MONTH", negate = true),
+    chDateAdd("addYears", "YEAR", negate = false),
     // CH default week mode 0 is SUNDAY-start (CustomWeekTransforms.h
     // ToStartOfWeekImpl → toFirstDayNumOfWeek; monday_first only when
     // mode&1); Spark trunc('week') is Monday-start, so mode 0 shifts by
@@ -298,7 +324,11 @@ object ClickHouseAliases {
           Literal(if (n == 0) 0 else 1)
         case _ => Literal(1) // non-literal pattern: assume one subpattern
       }
-      RegExpExtractAll(cs.head, cs(1), groupIdx)
+      // an empty pattern yields no matches (CH OptimizedRegularExpression
+      // skips zero-width-only patterns), where Spark would return ['','']
+      If(EqualTo(Length(cs(1)), Literal(0)),
+        Literal.create(Array.empty[String], ArrayType(StringType)),
+        RegExpExtractAll(cs.head, cs(1), groupIdx))
     }),
 
     // arrays
@@ -881,10 +911,9 @@ object ClickHouseAliases {
 
     // date/time long tail
     "toLastDayOfMonth" -> (cs => LastDay(cs.head)),
-    "subtractYears" -> (cs =>
-      AddMonths(cs.head, Multiply(UnaryMinus(cs(1)), Literal(12)))),
-    "addWeeks" -> (cs => TimestampAdd("WEEK", cs(1), cs.head)),
-    "subtractWeeks" -> (cs => TimestampAdd("WEEK", UnaryMinus(cs(1)), cs.head)),
+    chDateAdd("subtractYears", "YEAR", negate = true),
+    chDateAdd("addWeeks", "WEEK", negate = false),
+    chDateAdd("subtractWeeks", "WEEK", negate = true),
     "addHours" -> (cs => TimestampAdd("HOUR", cs(1), cs.head)),
     "subtractHours" -> (cs => TimestampAdd("HOUR", UnaryMinus(cs(1)), cs.head)),
     "addMinutes" -> (cs => TimestampAdd("MINUTE", cs(1), cs.head)),
@@ -1042,7 +1071,9 @@ object ClickHouseAliases {
         Cast(cs(1), DoubleType), Cast(cs(2), DoubleType), p)
     }),
     "appendTrailingCharIfAbsent" -> (cs =>
-      If(EndsWith(cs.head, cs(1)), cs.head, Concat(Seq(cs.head, cs(1))))),
+      // an empty string stays empty (reference appendTrailingCharIfAbsent.cpp)
+      If(Or(EqualTo(Length(cs.head), Literal(0)), EndsWith(cs.head, cs(1))),
+        cs.head, Concat(Seq(cs.head, cs(1))))),
     // Vector distance family (reference src/Functions/vectorFunctions.cpp
     // / array/arrayDistance.cpp): generic-array forms via zip_with +
     // aggregate lambdas (the Array[Float] hot path keeps the native
@@ -2856,8 +2887,11 @@ object ClickHouseAliases {
     // netloc: userinfo@host:port — the authority component
     "netloc" -> (cs =>
       RegExpExtract(cs.head, Literal("^(?:[a-zA-Z0-9.+-]*:)?//([^/?#]*)"), Literal(1))),
-    "basename" -> (cs => ElementAt(
-      StringSplit(cs.head, Literal("/"), Literal(-1)), Literal(-1))),
+    // basename splits on BOTH separators and yields '' after a trailing
+    // one (reference src/Functions/filesystemCommon: trailing run of
+    // non-separator chars)
+    "basename" -> (cs => RegExpExtract(cs.head,
+      Literal("([^/\\\\]*)$"), Literal(1))),
     // port(url[, default]) — numeric suffix of the authority, else default/0
     "port" -> (cs => {
       val auth = RegExpExtract(cs.head,
@@ -3096,6 +3130,137 @@ object ClickHouseAliases {
         If(RLike(s, Literal("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")),
           s, Literal.create(null, StringType))
       }))
+  }
+
+  /** Round-8 stateless-corpus wave 2: fixes and additions surfaced by
+    * widening the verbatim reference-test sweep (tools/StatelessSweep) —
+    * byte-width hex, MySQL-compat spellings, libm scalars, and the
+    * CH substring negative-size convention. `hex`/`unhex`/`substr`
+    * deliberately override the Spark builtins: the semantics are a
+    * strict superset (identical on the inputs Spark accepts today).
+    */
+  private def wave15: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val mathOps = graft.functions.MathOps.getClass
+    def lng(e: Expression) = Cast(e, LongType)
+    def dbl(e: Expression) = Cast(e, DoubleType)
+    // CH substr(s, p, size): a NEGATIVE size means "to the end minus
+    // |size|" (reference GatherUtils sliceFromLeftConstantOffsetBounded)
+    def chSubstr(cs: Seq[Expression]): Expression =
+      if (cs.size < 3) Substring(cs.head, Cast(cs(1), IntegerType), Literal(Int.MaxValue))
+      else {
+        val len = Cast(cs(2), IntegerType)
+        val pos = Cast(cs(1), IntegerType)
+        If(LessThan(len, Literal(0)),
+          Substring(cs.head, pos,
+            Greatest(Seq(Add(Add(Subtract(Length(cs.head), pos), Literal(1)), len),
+              Literal(0)))),
+          Substring(cs.head, pos, len))
+      }
+    Seq(
+      // hex of an integer prints WHOLE bytes — big-endian, two digits
+      // per byte (reference FunctionsCoding hexImpl); strings/binaries
+      // already come out even-width from Spark's Hex
+      "hex" -> (cs => {
+        val h = Hex(cs.head)
+        If(EqualTo(Pmod(Length(h), Literal(2)), Literal(1)),
+          Concat(Seq(Literal("0"), h)), h)
+      }),
+      // CH unhex returns String, not binary
+      "unhex" -> (cs => Cast(Unhex(cs.head), StringType)),
+      "substr" -> (cs => chSubstr(cs)),
+      "substring" -> (cs => chSubstr(cs)),
+      "OCT" -> (cs => Conv(Cast(cs.head, StringType), Literal(10), Literal(8))),
+      "gcd" -> (cs => StaticInvoke(mathOps, LongType, "gcd",
+        Seq(lng(cs.head), lng(cs(1))), Seq(LongType, LongType),
+        returnNullable = false)),
+      "lcm" -> (cs => StaticInvoke(mathOps, LongType, "lcm",
+        Seq(lng(cs.head), lng(cs(1))), Seq(LongType, LongType),
+        returnNullable = false)),
+      "lgamma" -> (cs => StaticInvoke(mathOps, DoubleType, "lgamma",
+        Seq(dbl(cs.head)), Seq(DoubleType), returnNullable = false)),
+      "tgamma" -> (cs => StaticInvoke(mathOps, DoubleType, "tgamma",
+        Seq(dbl(cs.head)), Seq(DoubleType), returnNullable = false)),
+      "lastDay" -> (cs => LastDay(cs.head)),
+      // visibleWidth: display width of the value's text form (scalar
+      // values only; composite forms differ from CH's quoted rendering)
+      "visibleWidth" -> (cs => Length(Cast(cs.head, StringType))),
+      "tupleHammingDistance" -> (cs =>
+        ChDispatch("tupleHammingDistance", cs.take(2)) { c =>
+          (c.head.dataType, c(1).dataType) match {
+            case (s1: StructType, _: StructType) =>
+              s1.indices.map { i =>
+                If(EqualTo(GetStructField(c.head, i), GetStructField(c(1), i)),
+                  Literal(0), Literal(1)): Expression
+              }.reduceLeft(Add(_, _))
+            case _ => If(EqualTo(c.head, c(1)), Literal(0), Literal(1))
+          }
+        }),
+      // replicate(x, arr): x broadcast to arr's shape
+      "replicate" -> (cs => ArrayTransform(cs(1),
+        LambdaFunction(cs.head, Seq(UnresolvedNamedLambdaVariable(Seq("__rep")))))),
+      "TO_BASE64" -> (cs => Base64(Cast(cs.head, BinaryType))),
+      "FROM_BASE64" -> (cs => Cast(new UnBase64(cs.head), StringType)),
+      // IPv4 conversions (reference FunctionsCoding.cpp); MySQL-compat
+      // INET_* spellings share the builders
+      "IPv4StringToNum" -> (cs => ipv4Aton(cs.head)),
+      "INET_ATON" -> (cs => ipv4Aton(cs.head)),
+      "IPv4NumToString" -> (cs => ipv4Ntoa(cs.head)),
+      "INET_NTOA" -> (cs => ipv4Ntoa(cs.head)),
+      "toIPv4" -> (cs => cs.head), // engine represents IPv4 as its text form
+      "IPv4StringToNumOrNull" -> (cs =>
+        If(RLike(cs.head, Literal("^([0-9]{1,3}\\.){3}[0-9]{1,3}$")),
+          ipv4Aton(cs.head), Literal.create(null, LongType))),
+      // XML component escaping (reference encodeXMLComponent.cpp: the
+      // five predefined entities; decode also handles them back)
+      "encodeXMLComponent" -> (cs => {
+        val amp = StringReplace(cs.head, Literal("&"), Literal("&amp;"))
+        val lt = StringReplace(amp, Literal("<"), Literal("&lt;"))
+        val gt = StringReplace(lt, Literal(">"), Literal("&gt;"))
+        val quot = StringReplace(gt, Literal("\""), Literal("&quot;"))
+        StringReplace(quot, Literal("'"), Literal("&apos;"))
+      }),
+      "decodeXMLComponent" -> (cs => {
+        val apos = StringReplace(cs.head, Literal("&apos;"), Literal("'"))
+        val quot = StringReplace(apos, Literal("&quot;"), Literal("\""))
+        val gt = StringReplace(quot, Literal("&gt;"), Literal(">"))
+        val lt = StringReplace(gt, Literal("&lt;"), Literal("<"))
+        StringReplace(lt, Literal("&amp;"), Literal("&"))
+      }),
+      // bit positions (0-based, LSB first) of the set bits
+      "bitPositionsToArray" -> (cs => {
+        val v = UnresolvedNamedLambdaVariable(Seq("__bit"))
+        ArrayFilter(
+          new Sequence(Literal(0L), Literal(63L), Some(Literal(1L))),
+          LambdaFunction(
+            EqualTo(BitwiseAnd(ShiftRight(lng(cs.head), Cast(v, IntegerType)),
+              Literal(1L)), Literal(1L)),
+            Seq(v)))
+      }),
+      "moduloLegacy" -> (cs => Remainder(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
+      "hmod" -> (cs => Pmod(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
+      // accurateCastOrNull(x, 'Type'): try-cast to the CH-named type
+      "accurateCastOrNull" -> (cs => cs(1) match {
+        case Literal(t, StringType) if t != null =>
+          val sparkType = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseDataType(ChTranspiler.transpileTypeString(t.toString))
+          Cast(cs.head, sparkType, None, EvalMode.TRY)
+        case _ => throw new IllegalArgumentException(
+          "accurateCastOrNull expects a literal type name")
+      }))
+  }
+
+  private def ipv4Aton(s: Expression): Expression = {
+    val parts = StringSplit(s, Literal("\\."), Literal(-1))
+    def o(i: Int) = Cast(ElementAt(parts, Literal(i)), LongType)
+    Add(Add(Add(Multiply(o(1), Literal(16777216L)),
+      Multiply(o(2), Literal(65536L))), Multiply(o(3), Literal(256L))), o(4))
+  }
+
+  private def ipv4Ntoa(n: Expression): Expression = {
+    val x = Cast(n, LongType)
+    def o(shift: Int) = Cast(Pmod(ShiftRight(x, Literal(shift)), Literal(256L)), StringType)
+    ConcatWs(Seq(Literal("."), o(24), o(16), o(8), o(0)))
   }
 
   def inject(ext: SparkSessionExtensions): Unit = {

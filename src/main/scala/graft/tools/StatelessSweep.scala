@@ -47,14 +47,26 @@ object StatelessSweep {
       }
   }
 
-  /** Run one test file; Left(error) or Right(actual output). */
+  private val echoDirective = """--\s*\{\s*echo(On|Off)?\s*\}""".r
+
+  /** Run one test file; Left(error) or Right(actual output). Honors the
+    * `-- {{ echo }}` / echoOn / echoOff directives the way
+    * clickhouse-test does: while active, each statement's raw text
+    * (leading comments attached, `;` included) precedes its result.
+    */
   def run(spark: SparkSession, sqlText: String): Either[String, String] = {
     try {
-      val outputs = ChTranspiler.statements(sqlText).map { stmt =>
-        val df = spark.sql(ChTranspiler.transpile(stmt))
-        ChFormat.formatRows(df.collect().toSeq)
+      var echo = false
+      val outputs = ChTranspiler.statementsRaw(sqlText).flatMap {
+        case (raw, clean) =>
+          echoDirective.findAllMatchIn(raw).foreach { m =>
+            echo = m.group(1) == null || m.group(1) == "On"
+          }
+          val df = spark.sql(ChTranspiler.transpile(clean))
+          val res = ChFormat.formatRows(df.collect().toSeq)
+          (if (echo) Seq(raw) else Nil) ++ (if (res.nonEmpty) Seq(res) else Nil)
       }
-      Right(outputs.filter(_.nonEmpty).mkString("\n"))
+      Right(outputs.mkString("\n"))
     } catch {
       case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator

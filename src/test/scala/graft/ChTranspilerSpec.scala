@@ -63,4 +63,47 @@ class ChTranspilerSpec extends AnyFunSuite {
     assert(ChFormat.formatFloat(Double.NaN) == "nan")
     assert(ChFormat.formatFloat(Double.PositiveInfinity) == "inf")
   }
+
+  test("ORDER BY keys gain CH null direction: last on ASC, first on DESC") {
+    assert(t("SELECT a FROM t ORDER BY a").replaceAll("\\s+", " ")
+      == "SELECT a FROM t ORDER BY a NULLS LAST")
+    assert(t("SELECT a FROM t ORDER BY a DESC, b LIMIT 3").replaceAll("\\s+", " ")
+      == "SELECT a FROM t ORDER BY a DESC NULLS FIRST, b NULLS LAST LIMIT 3")
+    // explicit direction is left alone; window OVER clauses get it too
+    assert(t("SELECT a FROM t ORDER BY a NULLS FIRST").replaceAll("\\s+", " ")
+      == "SELECT a FROM t ORDER BY a NULLS FIRST")
+    assert(t("SELECT rank() OVER (ORDER BY x) FROM t").replaceAll("\\s+", " ")
+      == "SELECT rank() OVER (ORDER BY x NULLS LAST) FROM t")
+  }
+
+  test("ARRAY JOIN with alias becomes LATERAL VIEW explode") {
+    val out = t("SELECT x, a FROM (SELECT 1 AS x, [1,2] AS arr) ARRAY JOIN arr AS a")
+      .replaceAll("\\s+", " ")
+    assert(out.contains("LATERAL VIEW explode(arr)"), out)
+    assert(out.contains("AS a"), out)
+  }
+
+  test("bare ARRAY JOIN replaces the array column with its element") {
+    val out = t("SELECT x FROM (SELECT 1 AS x, [1,2] AS arr) ARRAY JOIN arr")
+      .replaceAll("\\s+", " ")
+    assert(out.contains("SELECT * EXCEPT (arr)"), out)
+    assert(out.contains("AS arr"), out)
+  }
+
+  test("multi-item ARRAY JOIN zips positionally via one explode") {
+    val out = t("SELECT x, y FROM t ARRAY JOIN a1 AS x, a2 AS y WHERE x > 0")
+      .replaceAll("\\s+", " ")
+    assert(out.contains("named_struct('c0', element_at(a1,"), out)
+    assert(out.contains("'c1', element_at(a2,"), out)
+    // alias references outside the clause rewritten to struct fields
+    assert(out.matches(".*SELECT __aj_s\\d+\\.c0, __aj_s\\d+\\.c1 .*"), out)
+    assert(out.matches(".*WHERE __aj_s\\d+\\.c0 > 0.*"), out)
+  }
+
+  test("statementsRaw keeps the raw text for clickhouse-test echo mode") {
+    val raws = ChTranspiler.statementsRaw(
+      "select 1;\n-- { echo }\nselect 2;")
+    assert(raws.map(_._2) == Seq("select 1", "select 2"))
+    assert(raws(1)._1 == "-- { echo }\nselect 2;")
+  }
 }

@@ -458,7 +458,14 @@ class DialectSpec extends SparkSpec {
     // Spark 4.1's builtin monthname() abbreviates ("Jan"); the dialect
     // deliberately keeps ClickHouse's full name ("January") — asserted
     // by the monthName test above.
-    val allowed = Set[String]("monthName")
+    // hex: pads integer output to whole bytes ("0A" not "A") — CH/MySQL
+    // byte semantics, unchanged for string/binary input. unhex: returns
+    // STRING (CH) instead of binary — every Spark use round-trips
+    // through an implicit cast anyway. substr/substring: identical for
+    // size >= 0; a NEGATIVE size gains CH's "to the end minus |size|"
+    // meaning where Spark returned ''. All three verified superset-safe
+    // in ChTranspilerSpec.
+    val allowed = Set[String]("monthName", "hex", "unhex", "substr", "substring")
     val collisions = graft.sql.ClickHouseAliases.aliasNames
       .filter(n => FunctionRegistry.builtin.functionExists(FunctionIdentifier(n.toLowerCase)))
       .filterNot(allowed)
