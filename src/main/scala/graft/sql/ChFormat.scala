@@ -46,9 +46,11 @@ object ChFormat {
   private def value(v: Any, quoted: Boolean): String = v match {
     case b: Boolean => if (b) "1" else "0"
     case d: Double => formatFloat(d)
-    case f: Float => formatFloat(f.toDouble)
-    case d: java.math.BigDecimal => d.toPlainString
-    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+    // Float32 keeps its own shortest round-trip text (21.99f is
+    // "21.99", not the widened double's "21.989999771118164")
+    case f: Float => cleanupFloatText(java.lang.Float.toString(f))
+    case d: java.math.BigDecimal => formatDecimal(d)
+    case d: scala.math.BigDecimal => formatDecimal(d.bigDecimal)
     case d: Date => d.toLocalDate.format(dateFmt)
     case t: Timestamp =>
       t.toInstant.atZone(ZoneOffset.UTC).format(tsFmt)
@@ -73,7 +75,13 @@ object ChFormat {
     if (d.isNaN) return "nan"
     if (d.isPosInfinity) return "inf"
     if (d.isNegInfinity) return "-inf"
-    val s = java.lang.Double.toString(d)
+    cleanupFloatText(java.lang.Double.toString(d))
+  }
+
+  private def cleanupFloatText(s: String): String = {
+    if (s == "NaN") return "nan"
+    if (s == "Infinity") return "inf"
+    if (s == "-Infinity") return "-inf"
     val noExp =
       if (s.contains("E")) {
         val Array(m, e) = s.split("E")
@@ -81,6 +89,18 @@ object ChFormat {
         mm + "e" + (if (e.startsWith("-")) e else e.stripPrefix("+"))
       } else s
     if (noExp.endsWith(".0")) noExp.dropRight(2) else noExp
+  }
+
+  /** ClickHouse trims trailing fractional zeros from Decimal output
+    * (writeText for Decimal — "2", not "2.0000").
+    */
+  private def formatDecimal(d: java.math.BigDecimal): String = {
+    val s = d.toPlainString
+    if (!s.contains('.')) s
+    else {
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    }
   }
 
   /** TabSeparated escaping: backslash, tab, newline (and CR) escaped;

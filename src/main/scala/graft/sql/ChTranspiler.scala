@@ -181,6 +181,24 @@ object ChTranspiler {
           out += Word("DECIMAL"); out += Punct("("); out += Num(p); out += Punct(",")
           depth += 1 // its ")" closes normally
           i = nextNonWs(i + 1) + 1
+        case Word(w) if (w == "Enum8" || w == "Enum16" || w == "Enum" ||
+            w == "FixedString") && {
+            val k = nextNonWs(i + 1)
+            k < toks.length && toks(k) == Punct("(") } =>
+          // Enum values surface as their names; FixedString as String
+          // (no \0 padding — the tests that observe padding are skipped)
+          out += Word("STRING")
+          var k = nextNonWs(i + 1) + 1
+          var d = 1
+          while (k < toks.length && d > 0) {
+            toks(k) match {
+              case Punct("(") => d += 1
+              case Punct(")") => d -= 1
+              case _ => ()
+            }
+            k += 1
+          }
+          i = k
         case Word(w) if chType(w).isDefined =>
           out += Word(chType(w).get); i += 1
         case p @ Punct("(") => depth += 1; out += p; i += 1
@@ -294,7 +312,390 @@ object ChTranspiler {
       }
       i += 1
     }
-    rewriteOrderNulls(rewriteArrayJoin(postPass(out.toString)))
+    rewriteOrderNulls(rewriteNestedArrayJoin(rewriteArrayJoin(rewriteInClauses(
+      rewriteTupleLiterals(rewriteTernary(rewriteInlineAliases(
+        rewriteScalarWith(rewriteInfixMod(rewriteTwoArgCast(
+          postPass(out.toString)))))))))))
+  }
+
+  /** ClickHouse's scalar WITH items (`WITH expr AS name, … SELECT …`,
+    * reference ParserWithElement): each non-CTE item defines a named
+    * scalar usable anywhere in the statement. CTE items
+    * (`name AS (SELECT …)`) pass through to Spark's WITH.
+    */
+  private def rewriteScalarWith(sql: String): String = {
+    val toks = tokenize(sql)
+    def nextSigIdx(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    val w0 = nextSigIdx(0)
+    if (w0 >= toks.length || !isWordI(toks(w0), "WITH")) return sql
+    // parse items up to the depth-0 SELECT
+    case class Item(tokens: Vector[Tok])
+    val items = ArrayBuffer[Item]()
+    var cur = ArrayBuffer[Tok]()
+    var depth = 0
+    var i = w0 + 1
+    var selIdx = -1
+    while (selIdx < 0 && i < toks.length) {
+      toks(i) match {
+        case Punct("(") | Punct("[") => depth += 1; cur += toks(i)
+        case Punct(")") | Punct("]") => depth -= 1; cur += toks(i)
+        case Punct(",") if depth == 0 =>
+          items += Item(cur.toVector); cur = ArrayBuffer[Tok]()
+        case Word(w) if depth == 0 && w.equalsIgnoreCase("SELECT") => selIdx = i
+        case t => cur += t
+      }
+      if (selIdx < 0) i += 1
+    }
+    if (selIdx < 0) return sql
+    items += Item(cur.toVector)
+    // classify: CTE = `name AS ( SELECT`, scalar = `expr AS name`
+    val ctes = ArrayBuffer[String]()
+    val scalars = ArrayBuffer[(String, String)]()
+    for (it <- items) {
+      val sig = it.tokens.zipWithIndex.filterNot(_._1.isInstanceOf[Ws])
+      val isCte = sig.length >= 3 && sig.head._1.isInstanceOf[Word] &&
+        isWordI(sig(1)._1, "AS") && sig(2)._1 == Punct("(")
+      if (isCte) ctes += it.tokens.map(_.text).mkString.trim
+      else {
+        // top-level `AS name` at the END of the item
+        val asPos = sig.dropRight(1).lastIndexWhere(p => isWordI(p._1, "AS"))
+        if (asPos >= 0 && asPos == sig.length - 2) {
+          (sig.last._1: @unchecked) match {
+            case Word(name) =>
+              val expr = it.tokens.take(sig(asPos)._2).map(_.text).mkString.trim
+              scalars += name -> expr
+            case _ => return sql // unsupported shape — leave untouched
+          }
+        } else return sql
+      }
+    }
+    if (scalars.isEmpty) return sql
+    val defs = scalars.toMap
+    def resolve(t: String, d: Int): String =
+      if (d > 4) t
+      else tokenize(t).map {
+        case Word(w) if defs.contains(w) => "(" + resolve(defs(w), d + 1) + ")"
+        case tok => tok.text
+      }.mkString
+    val resolved = defs.map { case (k, v) => k -> resolve(v, 0) }
+    val body = substIdents(toks.drop(selIdx).map(_.text).mkString, resolved)
+    (if (ctes.nonEmpty) "WITH " + ctes.mkString(", ") + " " else "") + body
+  }
+
+  /** Infix `a MOD b` → `a % b` (the function form mod(a, b) is a Spark
+    * builtin and passes through).
+    */
+  private def rewriteInfixMod(sql: String): String = {
+    val toks = tokenize(sql)
+    def prevSig(j: Int): Option[Tok] = {
+      var k = j - 1
+      while (k >= 0 && toks(k).isInstanceOf[Ws]) k -= 1
+      if (k >= 0) Some(toks(k)) else None
+    }
+    toks.zipWithIndex.map {
+      case (Word(w), k) if w.equalsIgnoreCase("MOD") && (prevSig(k) match {
+        case Some(Word(p)) => !Set("SELECT", "WHERE", "AND", "OR", "NOT",
+          "WHEN", "THEN", "ELSE", "BY", "ON", "AS", "IN", "LIKE",
+          "HAVING").contains(p.toUpperCase)
+        case Some(_: Num) | Some(_: Str) => true
+        case Some(Punct(")")) | Some(Punct("]")) => true
+        case _ => false
+      }) => "%"
+      case (t, _) => t.text
+    }.mkString
+  }
+
+  private val ternaryCondBoundary: Tok => Boolean = {
+    case Punct("(") | Punct("[") | Punct(",") | Punct(";") | Punct("?") |
+         Punct(":") => true
+    case w: Word => Set("SELECT", "WHERE", "HAVING", "WHEN", "THEN", "ELSE",
+      "FROM", "BY", "AS", "ON").contains(w.text.toUpperCase)
+    case _ => false
+  }
+
+  /** C-style ternary `cond ? a : b` → `if(cond, a, b)` (reference
+    * ParserTernaryOperatorExpression; lowest precedence bar AS/comma,
+    * right-associative). `::` casts are never split.
+    */
+  private def rewriteTernary(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 30) {
+      changed = false
+      guard += 1
+      val toks = tokenize(out)
+      def isColonAt(k: Int): Boolean = toks(k) == Punct(":") &&
+        !(k + 1 < toks.length && toks(k + 1) == Punct(":")) &&
+        !(k > 0 && toks(k - 1) == Punct(":"))
+      var q = -1
+      var k = 0
+      while (q < 0 && k < toks.length) {
+        if (toks(k) == Punct("?")) q = k
+        k += 1
+      }
+      if (q >= 0) {
+        // condition: walk left to a boundary at the same depth
+        var depth = 0
+        var s = q - 1
+        var condStart = -1
+        while (condStart < 0 && s >= 0) {
+          toks(s) match {
+            case Punct(")") | Punct("]") => depth += 1
+            case Punct("(") | Punct("[") if depth > 0 => depth -= 1
+            case t if depth == 0 && ternaryCondBoundary(t) => condStart = s + 1
+            case _ => ()
+          }
+          if (condStart < 0) s -= 1
+        }
+        if (condStart < 0) condStart = 0
+        // then-branch: to the matching ':' (skip nested ?:, :: casts)
+        depth = 0
+        var pend = 0
+        var c = q + 1
+        var colon = -1
+        while (colon < 0 && c < toks.length) {
+          toks(c) match {
+            case Punct("(") | Punct("[") => depth += 1
+            case Punct(")") | Punct("]") => depth -= 1
+            case Punct("?") if depth == 0 => pend += 1
+            case Punct(":") if depth == 0 && isColonAt(c) =>
+              if (pend == 0) colon = c else pend -= 1
+            case _ => ()
+          }
+          if (colon < 0) c += 1
+        }
+        if (colon > 0) {
+          // else-branch: to a boundary at the same depth
+          depth = 0
+          var e = colon + 1
+          var elseEnd = -1
+          while (elseEnd < 0 && e < toks.length) {
+            toks(e) match {
+              case Punct("(") | Punct("[") => depth += 1
+              case Punct(")") | Punct("]") if depth == 0 => elseEnd = e
+              case Punct(")") | Punct("]") => depth -= 1
+              case Punct(",") | Punct(";") if depth == 0 => elseEnd = e
+              case w: Word if depth == 0 && Set("AS", "FROM", "WHERE",
+                  "GROUP", "HAVING", "ORDER", "LIMIT", "UNION", "SETTINGS",
+                  "THEN", "ELSE", "WHEN", "END", "FORMAT", "INTO")
+                  .contains(w.text.toUpperCase) => elseEnd = e
+              case _ => ()
+            }
+            if (elseEnd < 0) e += 1
+          }
+          if (elseEnd < 0) elseEnd = toks.length
+          val cond = toks.slice(condStart, q).map(_.text).mkString.trim
+          val thenB = toks.slice(q + 1, colon).map(_.text).mkString.trim
+          val elseB = toks.slice(colon + 1, elseEnd).map(_.text).mkString.trim
+          if (cond.nonEmpty && thenB.nonEmpty && elseB.nonEmpty) {
+            out = toks.take(condStart).map(_.text).mkString +
+              s"if($cond, $thenB, $elseB)" +
+              toks.drop(elseEnd).map(_.text).mkString
+            changed = true
+          }
+        }
+      }
+    }
+    out
+  }
+
+  /** `CAST(expr, 'Type')` with an arbitrarily nested first argument →
+    * `CAST(expr AS <mapped>)` (the postPass regex only handles simple
+    * exprs; this token pass balances parens).
+    */
+  private def rewriteTwoArgCast(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 20) {
+      changed = false
+      guard += 1
+      val toks = tokenize(out)
+      def nextSigIdx(j: Int): Int = {
+        var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+      }
+      var i = 0
+      while (i < toks.length && !changed) {
+        val p = nextSigIdx(i + 1)
+        if (isWordI(toks(i), "CAST") && p < toks.length && toks(p) == Punct("(")) {
+          // split the argument list at top level
+          var depth = 0
+          var k = p + 1
+          var comma = -1
+          var close = -1
+          while (close < 0 && k < toks.length) {
+            toks(k) match {
+              case Punct("(") | Punct("[") => depth += 1
+              case Punct(")") if depth == 0 => close = k
+              case Punct(")") | Punct("]") => depth -= 1
+              case Punct(",") if depth == 0 && comma < 0 => comma = k
+              case _ => ()
+            }
+            k += 1
+          }
+          if (close > 0 && comma > 0) {
+            val second = toks.slice(comma + 1, close).filterNot(_.isInstanceOf[Ws])
+            second match {
+              case Vector(Str(lit)) =>
+                val argText = toks.slice(p + 1, comma).map(_.text).mkString.trim
+                val mapped = transpileTypeString(lit.substring(1, lit.length - 1))
+                out = toks.take(i).map(_.text).mkString +
+                  s"CAST($argText AS $mapped)" +
+                  toks.drop(close + 1).map(_.text).mkString
+                changed = true
+              case _ => ()
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** ClickHouse `arrayJoin(expr)` used INSIDE a larger expression (or in
+    * several select items at once) cannot map to Spark's Explode, which
+    * must be a top-level generator. Hoist every statement-level call to
+    * a LATERAL VIEW (one per distinct argument text, so repeated
+    * arrayJoin(x) stays a single flattening like the reference's common
+    * subexpression rule — ArrayJoinAction.cpp) and substitute the
+    * exploded column. Calls inside subqueries are left for the explode
+    * mapping or a later statement-level pass over that subquery.
+    */
+  private def rewriteNestedArrayJoin(sql: String): String = {
+    val toks = tokenize(sql)
+    def nextSigIdx(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    // subquery-nesting of each token: >0 means inside a (SELECT …) group
+    val subDepth = new Array[Int](toks.length)
+    var stack = List[Boolean]()
+    for (k <- toks.indices) {
+      subDepth(k) = stack.count(identity)
+      toks(k) match {
+        case Punct("(") =>
+          val first = nextSigIdx(k + 1)
+          val isSub = first < toks.length &&
+            (isWordI(toks(first), "SELECT") || isWordI(toks(first), "WITH"))
+          stack = isSub :: stack
+        case Punct(")") => stack = stack.drop(1)
+        case _ => ()
+      }
+    }
+    // collect top-scope arrayJoin(...) calls
+    case class Call(start: Int, end: Int, argText: String) // token range incl ')'
+    val calls = ArrayBuffer[Call]()
+    var i = 0
+    while (i < toks.length) {
+      val p = nextSigIdx(i + 1)
+      if (isWordI(toks(i), "arrayJoin") && subDepth(i) == 0 &&
+          p < toks.length && toks(p) == Punct("(")) {
+        var depth = 0
+        var k = p + 1
+        var close = -1
+        while (close < 0 && k < toks.length) {
+          toks(k) match {
+            case Punct("(") | Punct("[") => depth += 1
+            case Punct(")") if depth == 0 => close = k
+            case Punct(")") | Punct("]") => depth -= 1
+            case _ => ()
+          }
+          k += 1
+        }
+        if (close > 0) {
+          calls += Call(i, close, toks.slice(p + 1, close).map(_.text).mkString.trim)
+          i = close
+        }
+      }
+      i += 1
+    }
+    if (calls.isEmpty) return sql
+    // Leave a LONE top-level call to the plain explode mapping: a single
+    // `SELECT arrayJoin(x) [AS a] FROM …` analyzes fine as a generator.
+    // Hoist whenever any call is nested or there are several.
+    val lone = calls.size == 1 && {
+      val c = calls.head
+      val before = toks.take(c.start).filterNot(_.isInstanceOf[Ws])
+      val afterIdx = nextSigIdx(c.end + 1)
+      val beforeOk = before.lastOption.forall(t =>
+        isWordI(t, "SELECT") || isWordI(t, "DISTINCT") || t == Punct(","))
+      val afterOk = afterIdx >= toks.length || (toks(afterIdx) match {
+        case Word(w) => Seq("AS", "FROM").exists(w.equalsIgnoreCase) ||
+          arrayJoinBoundary(w.toUpperCase)
+        case Punct(",") | Punct(";") => true
+        case _ => false
+      })
+      beforeOk && afterOk
+    }
+    if (lone) return sql
+    val distinctArgs = calls.map(_.argText).distinct
+    val n = sql.length
+    val varOf = distinctArgs.zipWithIndex.map { case (a, k) => a -> s"__ajg${n}_$k" }.toMap
+    // rebuild with calls replaced
+    val sb = new StringBuilder
+    var idx = 0
+    for (c <- calls) {
+      sb.append(toks.slice(idx, c.start).map(_.text).mkString)
+      sb.append(varOf(c.argText))
+      idx = c.end + 1
+    }
+    sb.append(toks.slice(idx, toks.length).map(_.text).mkString)
+    val laterals = distinctArgs.zipWithIndex.map { case (a, k) =>
+      s" LATERAL VIEW explode($a) __ajgv${n}_$k AS __ajg${n}_$k"
+    }.mkString
+    // place after the top-level FROM source (or synthesize one)
+    val toks2 = tokenize(sb.toString)
+    val sub2 = new Array[Int](toks2.length)
+    var st2 = List[Boolean]()
+    for (k <- toks2.indices) {
+      sub2(k) = st2.count(identity)
+      toks2(k) match {
+        case Punct("(") =>
+          var f = k + 1
+          while (f < toks2.length && toks2(f).isInstanceOf[Ws]) f += 1
+          st2 = (f < toks2.length && (isWordI(toks2(f), "SELECT") ||
+            isWordI(toks2(f), "WITH"))) :: st2
+        case Punct(")") => st2 = st2.drop(1)
+        case _ => ()
+      }
+    }
+    var depth2 = 0
+    val depthAt2 = toks2.map { t =>
+      val d = depth2
+      t match {
+        case Punct("(") => depth2 += 1
+        case Punct(")") => depth2 -= 1
+        case _ => ()
+      }
+      d
+    }
+    val fromIdx = toks2.indices.find(k => depthAt2(k) == 0 && isWordI(toks2(k), "FROM"))
+    val insertAt = fromIdx match {
+      case Some(f) =>
+        // end of the source clause: first depth-0 boundary after FROM
+        toks2.indices.drop(f + 1).find { k =>
+          depthAt2(k) == 0 && (toks2(k) match {
+            case Word(w) => orderBoundary(w.toUpperCase) || w.equalsIgnoreCase("ORDER")
+            case Punct(";") => true
+            case _ => false
+          })
+        }.getOrElse(toks2.length)
+      case None =>
+        toks2.indices.find { k =>
+          depthAt2(k) == 0 && (toks2(k) match {
+            case Word(w) => orderBoundary(w.toUpperCase) || w.equalsIgnoreCase("ORDER")
+            case Punct(";") => true
+            case _ => false
+          })
+        }.getOrElse(toks2.length)
+    }
+    val insertText =
+      (if (fromIdx.isEmpty) s" FROM (SELECT 1 AS __ajg_one$n)" else "") + laterals + " "
+    toks2.take(insertAt).map(_.text).mkString + insertText +
+      toks2.drop(insertAt).map(_.text).mkString
   }
 
   private val twoArgCast =
@@ -329,6 +730,7 @@ object ChTranspiler {
     if (lit.length < 2) return lit
     val body = lit.substring(1, lit.length - 1)
     val decoded = new StringBuilder
+    var rawHighByte = false // a \xHH escape above 0x7F = raw byte, not a char
     var i = 0
     while (i < body.length) {
       val c = body.charAt(i)
@@ -337,7 +739,9 @@ object ChTranspiler {
         e match {
           case 'x' | 'X' if i + 4 <= body.length &&
               body.substring(i + 2, i + 4).forall(ch => Character.digit(ch, 16) >= 0) =>
-            decoded.append(Integer.parseInt(body.substring(i + 2, i + 4), 16).toChar)
+            val b = Integer.parseInt(body.substring(i + 2, i + 4), 16)
+            if (b >= 0x80) rawHighByte = true
+            decoded.append(b.toChar)
             i += 4
           case 'n' => decoded.append('\n'); i += 2
           case 't' => decoded.append('\t'); i += 2
@@ -350,6 +754,18 @@ object ChTranspiler {
           case other => decoded.append(other); i += 2
         }
       } else { decoded.append(c); i += 1 }
+    }
+    // A high \xHH escape is a RAW BYTE in the reference's byte-string
+    // model — UTF-8 re-encoding would mangle it (C2AA for AA). Route
+    // those literals through unhex: Cast(binary AS STRING) keeps the
+    // exact bytes in Spark's UTF8String.
+    if (rawHighByte) {
+      val bytes = decoded.toString.flatMap { ch =>
+        if (ch < 0x100) Seq(ch.toByte)
+        else ch.toString.getBytes("UTF-8").toSeq
+      }
+      return "CAST(unhex('" +
+        bytes.map(b => f"${b & 0xff}%02X").mkString + "') AS STRING)"
     }
     // Re-encode for Spark's lexer: backslash + quote escaped, control
     // chars as recognized escapes, everything else raw.

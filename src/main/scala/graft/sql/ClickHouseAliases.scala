@@ -29,6 +29,27 @@ object ClickHouseAliases {
   private def nullUnless(cond: Expression, value: Expression): Expression =
     If(cond, value, Literal.create(null, value.dataType))
 
+  /** uniq over a COMPLEX type routes through its text form before the
+    * HLL: Spark's internal XxHash64 of nested arrays has no length
+    * markers, so [['a','b']] and [['a'],['b']] collide (the reference
+    * hashes with per-level sizes — AggregateFunctionUniq.h). Multi-arg
+    * uniq hashes the tuple of all arguments, not just the first.
+    */
+  private def uniqHll: Seq[Expression] => Expression = cs => {
+    // the dispatch must stay BELOW the AggregateFunction (the registry
+    // wraps a top-level AggregateFunction into an AggregateExpression;
+    // a RuntimeReplaceable on top would be planned as a scalar)
+    val child = ChDispatch("uniqArg", cs) { c =>
+      if (c.size > 1) Cast(CreateStruct(c), StringType)
+      else c.head.dataType match {
+        case _: ArrayType | _: MapType | _: StructType =>
+          Cast(c.head, StringType)
+        case _ => c.head
+      }
+    }
+    new HyperLogLogPlusPlus(child)
+  }
+
   /** CH date-interval arithmetic keeps the input's granularity
     * (FunctionDateOrDateTimeAddInterval.h): add<Unit>(Date) stays Date
     * for day-or-coarser units, everything else (DateTime, String) yields
@@ -61,14 +82,12 @@ object ClickHouseAliases {
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
       wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9 ++ wave10 ++ wave11 ++
-      wave14 ++ wave15
+      wave14 ++ wave15 ++ wave16
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
-    "uniq" -> (cs => new HyperLogLogPlusPlus(cs.head)),
-    "uniqHLL12" -> (cs => new HyperLogLogPlusPlus(cs.head)),
-    "uniqCombined" -> (cs => new HyperLogLogPlusPlus(cs.head)),
-    "uniqCombined64" -> (cs => new HyperLogLogPlusPlus(cs.head)),
+    "uniq" -> uniqHll, "uniqHLL12" -> uniqHll,
+    "uniqCombined" -> uniqHll, "uniqCombined64" -> uniqHll,
     "countIf" -> (cs => CountIf(cs.head)),
     "sumIf" -> (cs => Sum(nullUnless(cs(1), cs.head))),
     "avgIf" -> (cs => Average(nullUnless(cs(1), cs.head))),
@@ -107,7 +126,19 @@ object ClickHouseAliases {
       Cast(DateFormatClass(cs.head, Literal("yyyyMM")), IntegerType)),
     "toYYYYMMDD" -> (cs =>
       Cast(DateFormatClass(cs.head, Literal("yyyyMMdd")), IntegerType)),
-    "toUnixTimestamp" -> (cs => UnixTimestamp(cs.head, Literal("yyyy-MM-dd HH:mm:ss"))),
+    // 2-arg form: the string/naive value is a wall clock IN that zone —
+    // except a Date input, whose epoch ignores the zone entirely
+    // (01592_toUnixTimestamp_Date.sql pins 4x the same epoch)
+    "toUnixTimestamp" -> (cs =>
+      if (cs.size > 1)
+        ChDispatch("toUnixTimestamp", cs.take(2)) { c =>
+          c.head.dataType match {
+            case DateType => Cast(Cast(c.head, TimestampType), LongType)
+            case _ =>
+              Cast(ToUTCTimestamp(Cast(c.head, TimestampType), c(1)), LongType)
+          }
+        }
+      else UnixTimestamp(cs.head, Literal("yyyy-MM-dd HH:mm:ss"))),
     "yesterday" -> (_ => DateSub(CurrentDate(None), Literal(1))),
     chDateAdd("addDays", "DAY", negate = false),
     chDateAdd("subtractDays", "DAY", negate = true),
@@ -209,10 +240,14 @@ object ClickHouseAliases {
       IsNotNull(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))))),
     "JSONExtractBool" -> (cs =>
       Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), BooleanType)),
-    // JSONExtractRaw: the sub-document as JSON text — exactly what
-    // get_json_object returns for non-scalar matches.
-    "JSONExtractRaw" -> (cs =>
-      GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1))))),
+    // JSONExtractRaw: the sub-document as JSON text. get_json_object
+    // returns objects/arrays raw but UNQUOTES scalar strings — re-quote
+    // anything that isn't JSON-literal-shaped to restore the raw form.
+    "JSONExtractRaw" -> (cs => {
+      val raw = GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1))))
+      If(RLike(raw, Literal("^(-?[0-9.eE+]+|true|false|null|[\\[{].*)$")),
+        raw, Concat(Seq(Literal("\""), raw, Literal("\""))))
+    }),
 
     // URL percent-coding + cut family (reference URL/decodeURLComponent.cpp,
     // cutQueryString.cpp, cutFragment.cpp, cutWWW.cpp). The reference
@@ -255,7 +290,9 @@ object ClickHouseAliases {
     // URL family (reference domain.cpp, protocol.cpp, path.cpp, …)
     "domain" -> (cs => new ParseUrl(Seq(cs.head, Literal("HOST")))),
     "protocol" -> (cs => new ParseUrl(Seq(cs.head, Literal("PROTOCOL")))),
-    "path" -> (cs => new ParseUrl(Seq(cs.head, Literal("PATH")))),
+    // scheme-optional (CH accepts "www.example.com:443/a/b/c")
+    "path" -> (cs => RegExpExtract(cs.head,
+      Literal("^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*(/[^?#]*)"), Literal(1))),
     "queryString" -> (cs => new ParseUrl(Seq(cs.head, Literal("QUERY")))),
     "fragment" -> (cs => new ParseUrl(Seq(cs.head, Literal("REF")))),
     "topLevelDomain" -> (cs => {
@@ -363,7 +400,17 @@ object ClickHouseAliases {
     // javaHash/hiveHash (FunctionsHashing.h:721,830) are EXACT: Java
     // String.hashCode is what Spark's HiveHash computes for strings,
     // and hiveHash is javaHash with the sign bit zeroed.
-    "javaHash" -> (cs => HiveHash(Seq(Cast(cs.head, StringType)))),
+    // javaHash: Java's Object.hashCode conventions per type (reference
+    // FunctionsHashing.h JavaHashImpl) — Long.hashCode for 64-bit ints,
+    // String.hashCode (= HiveHash) for strings
+    "javaHash" -> (cs => ChDispatch("javaHash", cs.take(1)) { c =>
+      c.head.dataType match {
+        case LongType => Cast(BitwiseXor(c.head,
+          ShiftRightUnsigned(c.head, Literal(32))), IntegerType)
+        case IntegerType | ShortType | ByteType => Cast(c.head, IntegerType)
+        case _ => HiveHash(Seq(Cast(c.head, StringType)))
+      }
+    }),
     "hiveHash" -> (cs => BitwiseAnd(
       HiveHash(Seq(Cast(cs.head, StringType))), Literal(0x7fffffff))),
     // remaining 64-bit hash spellings — parity non-goal, stable stand-in
@@ -612,15 +659,22 @@ object ClickHouseAliases {
     "anyHeavy" -> (cs => Mode(cs.head)),
     "sumResample" -> (cs => resample(cs, e => Sum(e))),
     "countResample" -> (cs => resample(cs, e => Count(Seq(e)))),
-    "formatDateTime" -> (cs => {
-      val fmt = cs(1) match {
-        case Literal(f, StringType) if f != null => f.toString
-        case other => throw new IllegalArgumentException(
-          s"formatDateTime: format must be a string literal, got $other")
-      }
-      DateFormatClass(cs.head, Literal(chFormatToSpark(fmt)))
-    })
+    "formatDateTime" -> (cs => chFormatCall(cs))
   )
+
+  /** formatDateTime(x, fmt[, tz]) via the full CH specifier engine
+    * (graft.functions.ChDateFormat — handles %C/%e/%r/%W and the
+    * pre-MySQL %M-is-minute table that no Java pattern can express).
+    * The optional tz shifts the instant to that zone's wall clock first.
+    */
+  private def chFormatCall(cs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val ts0 = Cast(cs.head, TimestampType)
+    val ts = if (cs.size > 2) FromUTCTimestamp(ts0, cs(2)) else ts0
+    StaticInvoke(graft.functions.ChDateFormat.getClass, StringType, "format",
+      Seq(UnixMicros(ts), Cast(cs(1), StringType)),
+      Seq(LongType, StringType), returnNullable = false)
+  }
 
   /** Floor a timestamp to a multiple of `secs` seconds since epoch.
     * Cast(timestamp → long) floors the microsecond value; the grid snap
@@ -1341,9 +1395,13 @@ object ClickHouseAliases {
     val parts = StringSplit(host, Literal("\\."), Literal(-1))
     val n = Size(parts)
     val lookupLabel = ElementAt(parts, Literal(-2))
+    // the generic second-level labels are registrable suffixes only
+    // under a two-letter country TLD (com.tr, co.uk, …) — "gov.com" is
+    // NOT one, its significant label is "gov" (00754 pins this)
     If(LessThanOrEqual(n, Literal(1)), host,
       If(And(GreaterThanOrEqual(n, Literal(3)),
-        In(lookupLabel, fsdGenericSld.map(Literal(_)))),
+        And(In(lookupLabel, fsdGenericSld.map(Literal(_))),
+          EqualTo(Length(ElementAt(parts, Literal(-1))), Literal(2)))),
         ElementAt(parts, Literal(-3)),
         ElementAt(parts, Literal(-2))))
   }
@@ -2871,13 +2929,9 @@ object ClickHouseAliases {
     "domainWithoutWWW" -> (cs =>
       RegExpReplace(new ParseUrl(Seq(cs.head, Literal("HOST"))),
         Literal("^www\\."), Literal(""), Literal(1))),
-    // pathFull = path + ?query + #fragment (FILE covers path?query)
-    "pathFull" -> (cs => {
-      val file = new ParseUrl(Seq(cs.head, Literal("FILE")))
-      val frag = new ParseUrl(Seq(cs.head, Literal("REF")))
-      Concat(Seq(Coalesce(Seq(file, Literal(""))),
-        If(IsNull(frag), Literal(""), Concat(Seq(Literal("#"), frag)))))
-    }),
+    // pathFull = path + ?query + #fragment, scheme-optional
+    "pathFull" -> (cs => RegExpExtract(cs.head,
+      Literal("^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*(/.*)$"), Literal(1))),
     "queryStringAndFragment" -> (cs => {
       val q = new ParseUrl(Seq(cs.head, Literal("QUERY")))
       val frag = new ParseUrl(Seq(cs.head, Literal("REF")))
@@ -2984,12 +3038,22 @@ object ClickHouseAliases {
     val simpleLowerings: Seq[(String, Seq[Expression] => Expression)] = Seq(
       "Has" -> ((cs: Seq[Expression]) =>
         IsNotNull(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))))),
+      // the visitParam numeric extractors never fail: unparseable or
+      // missing values are 0, and the UInt form rejects negatives
+      // (reference FunctionsVisitParam.h readIntTextUnsafe → 0)
       "ExtractInt" -> ((cs: Seq[Expression]) =>
-        Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), LongType)),
-      "ExtractUInt" -> ((cs: Seq[Expression]) =>
-        Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), LongType)),
+        Coalesce(Seq(Cast(
+          GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))),
+          LongType, None, EvalMode.TRY), Literal(0L)))),
+      "ExtractUInt" -> ((cs: Seq[Expression]) => {
+        val v = Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))),
+          LongType, None, EvalMode.TRY)
+        Coalesce(Seq(If(LessThan(v, Literal(0L)), Literal(0L), v), Literal(0L)))
+      }),
       "ExtractFloat" -> ((cs: Seq[Expression]) =>
-        Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), DoubleType)),
+        Coalesce(Seq(Cast(
+          GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))),
+          DoubleType, None, EvalMode.TRY), Literal(0.0)))),
       "ExtractBool" -> ((cs: Seq[Expression]) =>
         Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), BooleanType)),
       "ExtractString" -> ((cs: Seq[Expression]) =>
@@ -3247,6 +3311,63 @@ object ClickHouseAliases {
           Cast(cs.head, sparkType, None, EvalMode.TRY)
         case _ => throw new IllegalArgumentException(
           "accurateCastOrNull expects a literal type name")
+      }))
+  }
+
+  /** Timezone-argument forms. The engine's timestamps are naive (no
+    * column-level tz like the reference's DateTime('zone')), so the
+    * convention is: constructors with a tz produce the TRUE INSTANT
+    * (epoch-correct; naive display shows UTC wall clock), and observers
+    * with a tz shift to that zone's wall clock before extracting. Chains
+    * like date_format(toDateTime(s, tz1), fmt, tz2) then compose
+    * correctly; only bare display of a non-UTC constructor differs from
+    * the reference (documented skip).
+    */
+  private def wave16: Seq[(String, Seq[Expression] => Expression)] = {
+    Seq(
+      // toDateTime/toDateTime64 with a tz KEEP the wall clock (the
+      // reference attaches the zone to the TYPE and prints the same
+      // wall text — 01765_tehran_dst.sql pins this), so the tz argument
+      // does not shift the naive value; conversionFamily's Cast stands.
+      "now" -> (cs =>
+        if (cs.isEmpty) CurrentTimestamp()
+        else FromUTCTimestamp(CurrentTimestamp(), cs.head)),
+      // CH if() accepts a NUMERIC condition (0 = false) and coerces the
+      // branches itself; the replacement runs post-analysis so both are
+      // done by hand here
+      "if" -> (cs => ChDispatch("if", cs.take(3)) { c =>
+        val cond = c.head.dataType match {
+          case BooleanType => c.head
+          case _ => Not(EqualTo(Cast(c.head, DoubleType), Literal(0.0)))
+        }
+        val (t, e) = (c(1), c(2))
+        if (t.dataType == e.dataType) If(cond, t, e)
+        else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+          .findWiderTypeForTwo(t.dataType, e.dataType) match {
+            case Some(w) => If(cond, Cast(t, w), Cast(e, w))
+            case None => If(cond, t, e) // fails loudly downstream
+          }
+      }),
+      // CnCH's Spark-style date_format (Java patterns); 3-arg adds the
+      // target zone for the wall clock
+      "date_format" -> (cs =>
+        if (cs.size > 2)
+          DateFormatClass(FromUTCTimestamp(Cast(cs.head, TimestampType), cs(2)), cs(1))
+        else DateFormatClass(cs.head, cs(1))),
+      // FROM_UNIXTIME(x[, fmt[, tz]]): numeric/string x is epoch
+      // seconds; DateTime/Date pass through (the reference formats the
+      // value directly) — type dispatch needed, hence ChDispatch
+      "FROM_UNIXTIME" -> (cs => ChDispatch("FROM_UNIXTIME", cs) { c =>
+        val ts = c.head.dataType match {
+          case TimestampType | DateType => Cast(c.head, TimestampType)
+          case _ => SecondsToTimestamp(Cast(c.head, LongType))
+        }
+        if (c.size == 1) ts
+        else {
+          val shifted =
+            if (c.size > 2) FromUTCTimestamp(ts, c(2)) else ts
+          chFormatCall(Seq(shifted, c(1)))
+        }
       }))
   }
 

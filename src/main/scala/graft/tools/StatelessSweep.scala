@@ -62,9 +62,10 @@ object StatelessSweep {
           echoDirective.findAllMatchIn(raw).foreach { m =>
             echo = m.group(1) == null || m.group(1) == "On"
           }
-          val df = spark.sql(ChTranspiler.transpile(clean))
-          val res = ChFormat.formatRows(df.collect().toSeq)
-          (if (echo) Seq(raw) else Nil) ++ (if (res.nonEmpty) Seq(res) else Nil)
+          val rows = spark.sql(ChTranspiler.transpile(clean)).collect().toSeq
+          // an empty-string ROW is an output line; an empty ROWSET is not
+          (if (echo) Seq(raw) else Nil) ++
+            (if (rows.nonEmpty) Seq(ChFormat.formatRows(rows)) else Nil)
       }
       Right(outputs.mkString("\n"))
     } catch {

@@ -100,6 +100,46 @@ class ChTranspilerSpec extends AnyFunSuite {
     assert(out.matches(".*WHERE __aj_s\\d+\\.c0 > 0.*"), out)
   }
 
+  test("two-arg CAST balances nested parens; Enum/FixedString → STRING") {
+    assert(t("select cast(materialize(2.0),'Decimal(9,3)')")
+      == "select CAST(materialize(2.0D) AS Decimal(9,3))")
+    assert(t("SELECT CAST('a' AS Enum8('a' = 1, 'b' = 2))")
+      == "SELECT CAST('a' AS STRING)")
+    assert(t("SELECT CAST('abc' AS FixedString(3))")
+      == "SELECT CAST('abc' AS STRING)")
+  }
+
+  test("tuple literals become struct(); IN lists unwrap array/tuple") {
+    assert(t("SELECT ('1',2) AS t") == "SELECT struct('1',2) AS t")
+    assert(t("SELECT (1+2) * 3") == "SELECT (1+2) * 3") // grouping untouched
+    assert(t("SELECT f(a, b)") == "SELECT f(a, b)")     // call args untouched
+    assert(t("select (1, 2) in ((1, 2), (3, 4))")
+      == "select struct(1, 2) in (struct(1, 2), struct(3, 4))")
+    assert(t("select 1 in [1, 2]") == "select 1 in (1, 2)")
+    assert(t("select (1, 2) in tuple((1, 2))")
+      == "select struct(1, 2) in (struct(1, 2))")
+  }
+
+  test("inline expression aliases are stripped and substituted") {
+    assert(t("SELECT 'x' AS v, v LIKE (concat('%', v) AS pat), pat")
+      .replaceAll("\\s+", " ")
+      == "SELECT 'x' AS v, v LIKE (concat('%', v) ), (concat('%', v))")
+    // CAST's AS and subquery-level AS are untouched
+    assert(t("SELECT CAST(1 AS UInt8) FROM (SELECT 1 AS a)")
+      == "SELECT CAST(1 AS INT) FROM (SELECT 1 AS a)")
+  }
+
+  test("nested arrayJoin hoists to a LATERAL VIEW; lone top-level stays") {
+    val out = t("SELECT toUInt32OrZero(arrayJoin(['1', '2a']))")
+      .replaceAll("\\s+", " ")
+    assert(out.contains("FROM (SELECT 1 AS"), out)
+    assert(out.contains("LATERAL VIEW explode(array('1', '2a'))"), out)
+    assert(t("SELECT arrayJoin([1,2]) AS x") == "SELECT arrayJoin(array(1,2)) AS x")
+    // repeated same-argument calls share one explode (CSE rule)
+    val two = t("SELECT arrayJoin([1,2]) + arrayJoin([1,2])")
+    assert("LATERAL VIEW".r.findAllIn(two).size == 1, two)
+  }
+
   test("statementsRaw keeps the raw text for clickhouse-test echo mode") {
     val raws = ChTranspiler.statementsRaw(
       "select 1;\n-- { echo }\nselect 2;")

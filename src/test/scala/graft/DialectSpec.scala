@@ -329,9 +329,16 @@ class DialectSpec extends SparkSpec {
     assert(r.getString(3) === "02 PM")
     assert(r.getString(4) === "05/03/24 09:07")
     assert(r.getString(5) === "100%")
+    // the r8 ChDateFormat engine covers the full reference table
+    // (%V ISO week, %C century, %e space-padded day, %r 12h clock)
+    val r2 = one("""SELECT
+        formatDateTime(TIMESTAMP '2024-03-05 09:07:02', '%V %C %e'),
+        formatDateTime(TIMESTAMP '2024-03-05 14:07:02', '%r')""")
+    assert(r2.getString(0) === "10 20  5")
+    assert(r2.getString(1) === "02:07 PM")
     // unsupported specifiers fail loudly, not silently
     intercept[Exception] {
-      spark.sql("SELECT formatDateTime(TIMESTAMP '2024-03-05 09:07:02', '%V')").collect()
+      spark.sql("SELECT formatDateTime(TIMESTAMP '2024-03-05 09:07:02', '%z')").collect()
     }
   }
 
@@ -465,7 +472,14 @@ class DialectSpec extends SparkSpec {
     // size >= 0; a NEGATIVE size gains CH's "to the end minus |size|"
     // meaning where Spark returned ''. All three verified superset-safe
     // in ChTranspilerSpec.
-    val allowed = Set[String]("monthName", "hex", "unhex", "substr", "substring")
+    // date_format: 2-arg identical to the builtin; 3-arg (timezone) is
+    // new. now: 0-arg identical; 1-arg (timezone) new. FROM_UNIXTIME:
+    // deliberately takes CH's %-specifier table instead of Spark's Java
+    // patterns (no internal query uses the builtin — grep-checked).
+    // if: accepts CH's numeric conditions (0 = false) on top of the
+    // builtin's boolean-only signature — boolean behavior unchanged.
+    val allowed = Set[String]("monthName", "hex", "unhex", "substr",
+      "substring", "date_format", "now", "FROM_UNIXTIME", "if")
     val collisions = graft.sql.ClickHouseAliases.aliasNames
       .filter(n => FunctionRegistry.builtin.functionExists(FunctionIdentifier(n.toLowerCase)))
       .filterNot(allowed)
