@@ -50,6 +50,106 @@ object ClickHouseAliases {
     new HyperLogLogPlusPlus(child)
   }
 
+  /** The bit-exact hash family (graft.functions.HashOps): each argument
+    * is reduced to its ClickHouse NATIVE little-endian byte image — the
+    * WIDTH is part of the hash, so a bare literal takes the smallest
+    * type that holds it (UInt8 for 1, like the reference's field
+    * typing), columns map by their Spark type, Date is u16 days and
+    * DateTime u32 seconds (FunctionsHashing.h:1683-1685).
+    */
+  private def chHash(name: String, method: String,
+      ret: DataType): (String, Seq[Expression] => Expression) = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val hops = graft.functions.HashOps.getClass
+    name -> ((cs: Seq[Expression]) => ChDispatch(name, cs) { c =>
+      StaticInvoke(hops, ret, method,
+        Seq(CreateArray(chHashFlatten(c).map(chHashArgBytes))),
+        Seq(ArrayType(BinaryType)), returnNullable = false)
+    })
+  }
+
+  /** Tuple arguments flatten into their elements in order — all four of
+    * cityHash64(1,2,''), cityHash64((1,2),''), cityHash64(1,(2,'')) and
+    * cityHash64((1,2,'')) hash the same sequence
+    * (FunctionsHashing.h executeForArgument tuple flattening).
+    */
+  private def chHashFlatten(es: Seq[Expression]): Seq[Expression] =
+    es.flatMap { e =>
+      e.dataType match {
+        case s: StructType =>
+          chHashFlatten(s.indices.map(i => GetStructField(e, i)))
+        case _ => Seq(e)
+      }
+    }
+
+  private def chHashSmallestWidth(v: Long): Int =
+    if (v >= 0) {
+      if (v <= 255L) 1 else if (v <= 65535L) 2
+      else if (v <= 4294967295L) 4 else 8
+    } else {
+      if (v >= -128L) 1 else if (v >= -32768L) 2
+      else if (v >= -2147483648L) 4 else 8
+    }
+
+  private def chHashArgBytes(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val hops = graft.functions.HashOps.getClass
+    def le(v: Expression, w: Int): Expression =
+      StaticInvoke(hops, BinaryType, "leBytes",
+        Seq(Cast(v, LongType), Literal(w)), Seq(LongType, IntegerType),
+        returnNullable = false)
+    e match {
+      case Literal(v: Int, IntegerType) => le(e, chHashSmallestWidth(v.toLong))
+      case Literal(v: Long, LongType) => le(e, chHashSmallestWidth(v))
+      case _ => e.dataType match {
+        case ByteType | BooleanType => le(Cast(e, ByteType), 1)
+        case ShortType => le(e, 2)
+        case IntegerType => le(e, 4)
+        case LongType => le(e, 8)
+        case DateType => le(UnixDate(e), 2)
+        case TimestampType => le(Cast(e, LongType), 4)
+        case FloatType => StaticInvoke(hops, BinaryType, "f32Bytes",
+          Seq(e), Seq(FloatType), returnNullable = false)
+        case DoubleType => StaticInvoke(hops, BinaryType, "f64Bytes",
+          Seq(e), Seq(DoubleType), returnNullable = false)
+        case StringType => Cast(e, BinaryType)
+        case BinaryType => e
+        case _ => Cast(Cast(e, StringType), BinaryType)
+      }
+    }
+  }
+
+  /** cityHash64 — int-pod arguments hash via IntHash64Impl of the u64
+    * bit image instead of byte-hashing (use_int_hash_for_pods = true,
+    * FunctionsHashing.h:859); strings take CityHash64 v1.0.2; the
+    * multi-arg fold is Hash128to64.
+    */
+  private def cityHash64Builder: Seq[Expression] => Expression = cs =>
+    ChDispatch("cityHash64", cs) { c =>
+      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      val hops = graft.functions.HashOps.getClass
+      def pod(u64: Expression): Expression =
+        StaticInvoke(hops, LongType, "cityPod", Seq(u64), Seq(LongType),
+          returnNullable = false)
+      val perArg = chHashFlatten(c).map { e =>
+        e.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+            pod(Cast(e, LongType))
+          case DateType => pod(Cast(UnixDate(e), LongType))
+          case TimestampType => pod(Cast(e, LongType))
+          case FloatType => pod(StaticInvoke(hops, LongType, "f32BitsU64",
+            Seq(e), Seq(FloatType), returnNullable = false))
+          case DoubleType => pod(StaticInvoke(hops, LongType, "f64BitsU64",
+            Seq(e), Seq(DoubleType), returnNullable = false))
+          case _ => StaticInvoke(hops, LongType, "cityHash64",
+            Seq(chHashArgBytes(e)), Seq(BinaryType), returnNullable = false)
+        }
+      }
+      StaticInvoke(hops, DecimalType(20, 0), "cityCombine",
+        Seq(CreateArray(perArg)), Seq(ArrayType(LongType)),
+        returnNullable = false)
+    }
+
   /** CH date-interval arithmetic keeps the input's granularity
     * (FunctionDateOrDateTimeAddInterval.h): add<Unit>(Date) stays Date
     * for day-or-coarser units, everything else (DateTime, String) yields
@@ -226,7 +326,7 @@ object ClickHouseAliases {
               Literal(Double.PositiveInfinity), Literal(Double.NegativeInfinity)))),
         Divide(x, y, evalMode = EvalMode.LEGACY))
     }),
-    "cityHash64" -> (cs => new XxHash64(cs)), // hash parity non-goal (SURVEY §2.2)
+    "cityHash64" -> cityHash64Builder,
     "halfMD5" -> (cs => new XxHash64(cs)),
 
     // JSON (reference FunctionsJSON.cpp); key must be a path component
@@ -395,8 +495,12 @@ object ClickHouseAliases {
       BRound(cs.head, if (cs.size > 1) cs(1) else Literal(0))),
     "bitCount" -> (cs => BitwiseCount(cs.head)),
     "assumeNotNull" -> (cs => KnownNotNull(cs.head)),
-    "sipHash64" -> (cs => new XxHash64(cs)), // hash parity non-goal (SURVEY §2.2)
-    "murmurHash3_64" -> (cs => new XxHash64(cs)),
+    chHash("sipHash64", "sipHash64Multi", DecimalType(20, 0)),
+    chHash("murmurHash3_64", "murmur3_64Multi", DecimalType(20, 0)),
+    chHash("murmurHash2_32", "murmur2_32Multi", LongType),
+    chHash("murmurHash3_32", "murmur3_32Multi", LongType),
+    chHash("xxHash32", "xxh32Multi", LongType),
+    chHash("xxHash64", "xxh64Multi", DecimalType(20, 0)),
     // javaHash/hiveHash (FunctionsHashing.h:721,830) are EXACT: Java
     // String.hashCode is what Spark's HiveHash computes for strings,
     // and hiveHash is javaHash with the sign bit zeroed.
@@ -417,7 +521,7 @@ object ClickHouseAliases {
     "farmHash64" -> (cs => new XxHash64(cs)),
     "farmFingerprint64" -> (cs => new XxHash64(cs)),
     "metroHash64" -> (cs => new XxHash64(cs)),
-    "murmurHash2_64" -> (cs => new XxHash64(cs)),
+    chHash("murmurHash2_64", "murmur2_64Multi", DecimalType(20, 0)),
 
     // bits / strings round 4
     "bitShiftLeft" -> (cs => ShiftLeft(cs.head, Cast(cs(1), IntegerType))),

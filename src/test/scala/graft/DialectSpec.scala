@@ -478,8 +478,13 @@ class DialectSpec extends SparkSpec {
     // patterns (no internal query uses the builtin — grep-checked).
     // if: accepts CH's numeric conditions (0 = false) on top of the
     // builtin's boolean-only signature — boolean behavior unchanged.
+    // xxHash64: deliberately CH-exact (seed 0, native byte widths,
+    // UInt64 result) instead of Spark's seed-42 variant — every internal
+    // use of Spark's goes through the DataFrame API (functions.xxhash64
+    // builds the expression directly), which an injected name cannot
+    // shadow; grep-checked, full Verify gate green with the override.
     val allowed = Set[String]("monthName", "hex", "unhex", "substr",
-      "substring", "date_format", "now", "FROM_UNIXTIME", "if")
+      "substring", "date_format", "now", "FROM_UNIXTIME", "if", "xxHash64")
     val collisions = graft.sql.ClickHouseAliases.aliasNames
       .filter(n => FunctionRegistry.builtin.functionExists(FunctionIdentifier(n.toLowerCase)))
       .filterNot(allowed)
