@@ -26,6 +26,43 @@ object HashOps {
     out
   }
 
+  // reinterpret family (reference src/Functions/reinterpretAs.cpp):
+  // raw little-endian byte reinterpretation between numerics/strings
+
+  def leToDouble(b: Array[Byte]): Double = {
+    var v = 0L
+    var i = 0
+    while (i < math.min(8, b.length)) { v |= (b(i).toLong & 0xff) << (8 * i); i += 1 }
+    java.lang.Double.longBitsToDouble(v)
+  }
+
+  def leToFloat(b: Array[Byte]): Float = {
+    var v = 0
+    var i = 0
+    while (i < math.min(4, b.length)) { v |= (b(i) & 0xff) << (8 * i); i += 1 }
+    java.lang.Float.intBitsToFloat(v)
+  }
+
+  def leToLong(b: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < math.min(8, b.length)) { v |= (b(i).toLong & 0xff) << (8 * i); i += 1 }
+    v
+  }
+
+  def f32FromBits(v: Long): Float = java.lang.Float.intBitsToFloat(v.toInt)
+
+  def f64FromBits(v: Long): Double = java.lang.Double.longBitsToDouble(v)
+
+  /** reinterpretAsString: the value's LE bytes, trailing zero bytes
+    * trimmed (the reference's String reinterpret).
+    */
+  def leStringBytes(v: Long, width: Int): Array[Byte] = {
+    var w = width
+    while (w > 0 && ((v >>> (8 * (w - 1))) & 0xff) == 0) w -= 1
+    leBytes(v, w)
+  }
+
   def f32Bytes(f: Float): Array[Byte] =
     leBytes(java.lang.Float.floatToIntBits(f).toLong & 0xffffffffL, 4)
 

@@ -44,6 +44,47 @@ object MathOps {
     }
   }
 
+  /** parseTimeDelta (reference src/Functions/parseTimeDelta.cpp):
+    * free-text "1yr2mo", "11hr 25min 3.1s" → seconds, with the
+    * reference's unit table (year = 365 d, month = 30.5 d).
+    */
+  def parseTimeDelta(s: org.apache.spark.unsafe.types.UTF8String): Double =
+    parseTimeDelta(s.toString)
+
+  def parseTimeDelta(s: String): Double = {
+    var total = 0.0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && !s.charAt(i).isDigit && s.charAt(i) != '.') i += 1
+      if (i < n) {
+        val numStart = i
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        val value = s.substring(numStart, i).toDouble
+        while (i < n && (s.charAt(i).isWhitespace || s.charAt(i) == '-')) i += 1
+        val unitStart = i
+        while (i < n && s.charAt(i).isLetter) i += 1
+        val unit = s.substring(unitStart, i).toLowerCase
+        val mult = unit match {
+          case "ns" | "nanosecond" | "nanoseconds" => 1e-9
+          case "us" | "microsecond" | "microseconds" => 1e-6
+          case "ms" | "millisecond" | "milliseconds" => 1e-3
+          case "" | "s" | "sec" | "secs" | "second" | "seconds" => 1.0
+          case "m" | "min" | "mins" | "minute" | "minutes" => 60.0
+          case "h" | "hr" | "hrs" | "hour" | "hours" => 3600.0
+          case "d" | "day" | "days" => 86400.0
+          case "w" | "wk" | "week" | "weeks" => 7.0 * 86400.0
+          case "mo" | "mon" | "month" | "months" => 30.5 * 86400.0
+          case "y" | "yr" | "year" | "years" => 365.0 * 86400.0
+          case other => throw new IllegalArgumentException(
+            s"parseTimeDelta: unknown unit '$other' in '$s'")
+        }
+        total += value * mult
+      }
+    }
+    total
+  }
+
   /** Γ(x) — matches std::tgamma (signed, poles at non-positive ints). */
   def tgamma(x: Double): Double = {
     if (x.isNaN) return Double.NaN

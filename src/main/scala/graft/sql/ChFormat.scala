@@ -57,6 +57,16 @@ object ChFormat {
     case t: java.time.Instant => t.atZone(ZoneOffset.UTC).format(tsFmt)
     case d: java.time.LocalDate => d.format(dateFmt)
     case d: java.time.LocalDateTime => d.format(tsFmt)
+    // intervals print as their unit count (CH IntervalSecond 10 → "10");
+    // the unit itself is not recoverable from the value, so Duration
+    // prints seconds and Period months-or-years — exact for the
+    // single-unit intervals the corpus uses
+    case d: java.time.Duration =>
+      if (d.getNano == 0) d.getSeconds.toString
+      else formatFloat(d.getSeconds + d.getNano / 1e9)
+    case p: java.time.Period =>
+      if (p.getYears != 0 && p.getMonths == 0) p.getYears.toString
+      else p.toTotalMonths.toString
     case a: scala.collection.Seq[_] =>
       a.map(nested).mkString("[", ",", "]")
     case a: Array[_] => a.map(nested).mkString("[", ",", "]")

@@ -684,7 +684,10 @@ object ChTranspiler {
           })
         }.getOrElse(toks2.length)
       case None =>
-        toks2.indices.find { k =>
+        // skip the leading SELECT itself — the synthesized FROM goes
+        // after the select list (before WHERE/GROUP/ORDER/…)
+        val first = toks2.indexWhere(!_.isInstanceOf[Ws])
+        toks2.indices.drop(first + 1).find { k =>
           depthAt2(k) == 0 && (toks2(k) match {
             case Word(w) => orderBoundary(w.toUpperCase) || w.equalsIgnoreCase("ORDER")
             case Punct(";") => true

