@@ -63,6 +63,33 @@ object HashOps {
     leBytes(v, w)
   }
 
+  /** Big-endian hex of the value's w-byte image (CH hex of integers). */
+  def beHex(v: Long, w: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val sb = new StringBuilder
+    var i = w - 1
+    while (i >= 0) { sb.append(f"${(v >>> (8 * i)) & 0xff}%02X"); i -= 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  /** halfMD5: big-endian read of the MD5 digest's first 8 bytes
+    * (reference HalfMD5Impl — flipBytes of the LE u64).
+    */
+  def halfMD5(data: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(data)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i).toLong & 0xff); i += 1 }
+    v
+  }
+
+  def halfMD5Multi(a: ArrayData): Decimal = {
+    val hs = args(a).map(halfMD5)
+    unsigned64(hs.reduceLeft { (p, c) =>
+      halfMD5(leBytes(p, 8) ++ leBytes(c, 8))
+    })
+  }
+
   def f32Bytes(f: Float): Array[Byte] =
     leBytes(java.lang.Float.floatToIntBits(f).toLong & 0xffffffffL, 4)
 

@@ -92,7 +92,7 @@ object QueryNormalize {
           val inner = q.substring(start + 1, math.max(start + 1, i - 1))
           if (keepNames || !isComplexIdent(inner))
             out.append(q.substring(start, i))
-          else out.append(quote).append('?').append(quote)
+          else out.append("`?`") // complex idents always replace as `?`
         } else if (c.isLetter || c == '_') {
           val start = i
           while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i += 1
@@ -100,7 +100,7 @@ object QueryNormalize {
           val isFunction = i < n && q.charAt(i) == '('
           flushSeparators()
           if (keepNames || isFunction || !isComplexIdent(word)) out.append(word)
-          else out.append('?')
+          else out.append("`?`")
         } else {
           flushSeparators()
           out.append(c)

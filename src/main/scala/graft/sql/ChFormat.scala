@@ -52,11 +52,10 @@ object ChFormat {
     case d: java.math.BigDecimal => formatDecimal(d)
     case d: scala.math.BigDecimal => formatDecimal(d.bigDecimal)
     case d: Date => d.toLocalDate.format(dateFmt)
-    case t: Timestamp =>
-      t.toInstant.atZone(ZoneOffset.UTC).format(tsFmt)
-    case t: java.time.Instant => t.atZone(ZoneOffset.UTC).format(tsFmt)
+    case t: Timestamp => tsText(t.toInstant.atZone(ZoneOffset.UTC).toLocalDateTime)
+    case t: java.time.Instant => tsText(t.atZone(ZoneOffset.UTC).toLocalDateTime)
     case d: java.time.LocalDate => d.format(dateFmt)
-    case d: java.time.LocalDateTime => d.format(tsFmt)
+    case d: java.time.LocalDateTime => tsText(d)
     // intervals print as their unit count (CH IntervalSecond 10 → "10");
     // the unit itself is not recoverable from the value, so Duration
     // prints seconds and Period months-or-years — exact for the
@@ -95,10 +94,27 @@ object ChFormat {
     val noExp =
       if (s.contains("E")) {
         val Array(m, e) = s.split("E")
-        val mm = if (m.endsWith(".0")) m.dropRight(2) else m
-        mm + "e" + (if (e.startsWith("-")) e else e.stripPrefix("+"))
+        val exp = e.stripPrefix("+").toInt
+        // double-conversion ToShortest (the reference's writeFloatText)
+        // prints decimal notation for exponents in [-6, 21)
+        val digits = m.replace(".", "").replace("-", "").length
+        if (exp >= -6 && exp < 21 && digits + math.abs(exp) <= 25)
+          new java.math.BigDecimal(m).scaleByPowerOfTen(exp).toPlainString
+        else {
+          val mm = if (m.endsWith(".0")) m.dropRight(2) else m
+          mm + "e" + (if (e.startsWith("-")) e else e.stripPrefix("+"))
+        }
       } else s
     if (noExp.endsWith(".0")) noExp.dropRight(2) else noExp
+  }
+
+  /** DateTime prints whole seconds; a value carrying sub-second
+    * precision prints DateTime64(6)-style with six fractional digits
+    * (the engine keeps micros; the declared scale is not recoverable).
+    */
+  private def tsText(t: java.time.LocalDateTime): String = {
+    val base = t.format(tsFmt)
+    if (t.getNano == 0) base else base + f".${t.getNano / 1000}%06d"
   }
 
   /** ClickHouse trims trailing fractional zeros from Decimal output

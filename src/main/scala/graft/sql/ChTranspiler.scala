@@ -754,7 +754,16 @@ object ChTranspiler {
           case 'b' => decoded.append('\b'); i += 2
           case 'f' => decoded.append('\f'); i += 2
           case 'v' => decoded.append('\u000B'); i += 2
-          case other => decoded.append(other); i += 2
+          case 'N' => i += 2 // \N inside a string parses as empty
+          case other =>
+            // the reference KEEPS the backslash for unrecognized escapes
+            // ('100\%' stays 100\% for LIKE convenience) except quotes,
+            // backquote, slash and '=' (ReadHelpers.cpp
+            // parseComplexEscapeSequence)
+            if (other != '\\' && other != '\'' && other != '"' &&
+                other != '`' && other != '/' && other != '=')
+              decoded.append('\\')
+            decoded.append(other); i += 2
         }
       } else { decoded.append(c); i += 1 }
     }

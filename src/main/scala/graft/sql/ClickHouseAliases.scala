@@ -327,7 +327,7 @@ object ClickHouseAliases {
         Divide(x, y, evalMode = EvalMode.LEGACY))
     }),
     "cityHash64" -> cityHash64Builder,
-    "halfMD5" -> (cs => new XxHash64(cs)),
+    chHash("halfMD5", "halfMD5Multi", DecimalType(20, 0)),
 
     // JSON (reference FunctionsJSON.cpp); key must be a path component
     "JSONExtractString" -> (cs =>
@@ -500,7 +500,10 @@ object ClickHouseAliases {
     chHash("murmurHash2_32", "murmur2_32Multi", LongType),
     chHash("murmurHash3_32", "murmur3_32Multi", LongType),
     chHash("xxHash32", "xxh32Multi", LongType),
-    chHash("xxHash64", "xxh64Multi", DecimalType(20, 0)),
+    // NO xxHash64 alias: Spark 4's functions.xxhash64 resolves by NAME
+    // through the registry (Column.fn), so a CH-exact override would
+    // hijack the engine's own MinHash/LSH/salting pipelines — the one
+    // spelling where the two worlds collide on different semantics.
     // javaHash/hiveHash (FunctionsHashing.h:721,830) are EXACT: Java
     // String.hashCode is what Spark's HiveHash computes for strings,
     // and hiveHash is javaHash with the sign bit zeroed.
@@ -1709,7 +1712,9 @@ object ClickHouseAliases {
     * conversions, and the two-argument min2/max2.
     */
   private def wave8: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "materialize" -> (cs => cs.head), // const→full column: identity here
+    // const→full column: identity at runtime, but non-foldable so
+    // isConstant(materialize(x)) = 0 like the reference
+    "materialize" -> (cs => MaterializeBarrier(cs.head)),
     "identity" -> (cs => cs.head),
     "toLowCardinality" -> (cs => cs.head), // LowCardinality is storage-side
     "ignore" -> (_ => Literal(0)),
@@ -3161,7 +3166,10 @@ object ClickHouseAliases {
       "ExtractBool" -> ((cs: Seq[Expression]) =>
         Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), BooleanType)),
       "ExtractString" -> ((cs: Seq[Expression]) =>
-        GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1))))),
+        // never NULL: a missing/garbled value extracts as ''
+        Coalesce(Seq(
+          GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))),
+          Literal("")))),
       "ExtractRaw" -> ((cs: Seq[Expression]) =>
         GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1))))))
     simpleLowerings.flatMap { case (suffix, builder) =>
@@ -3326,19 +3334,41 @@ object ClickHouseAliases {
           Substring(cs.head, pos, len))
       }
     Seq(
-      // hex of an integer prints WHOLE bytes — big-endian, two digits
-      // per byte (reference FunctionsCoding hexImpl); strings/binaries
-      // already come out even-width from Spark's Hex
-      "hex" -> (cs => {
-        val h = Hex(cs.head)
-        If(EqualTo(Pmod(Length(h), Literal(2)), Literal(1)),
-          Concat(Seq(Literal("0"), h)), h)
+      // hex of an integer prints its NATIVE byte image big-endian —
+      // the type width is part of the output (hex(-100) = "9C": the
+      // literal is Int8), same smallest-literal rule as the hash family
+      "hex" -> (cs => ChDispatch("hex", cs.take(1)) { c =>
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        val hops = graft.functions.HashOps.getClass
+        def be(v: Expression, w: Int): Expression =
+          StaticInvoke(hops, StringType, "beHex",
+            Seq(Cast(v, LongType), Literal(w)), Seq(LongType, IntegerType),
+            returnNullable = false)
+        c.head match {
+          case Literal(v: Int, IntegerType) => be(c.head, chHashSmallestWidth(v.toLong))
+          case Literal(v: Long, LongType) => be(c.head, chHashSmallestWidth(v))
+          case _ => c.head.dataType match {
+            case ByteType | BooleanType => be(c.head, 1)
+            case ShortType => be(c.head, 2)
+            case IntegerType => be(c.head, 4)
+            case LongType => be(c.head, 8)
+            case _ =>
+              val h = Hex(c.head)
+              If(EqualTo(Pmod(Length(h), Literal(2)), Literal(1)),
+                Concat(Seq(Literal("0"), h)), h)
+          }
+        }
       }),
       // CH unhex returns String, not binary
       "unhex" -> (cs => Cast(Unhex(cs.head), StringType)),
       "substr" -> (cs => chSubstr(cs)),
       "substring" -> (cs => chSubstr(cs)),
-      "OCT" -> (cs => Conv(Cast(cs.head, StringType), Literal(10), Literal(8))),
+      "OCT" -> (cs => {
+        // Conv treats input as unsigned; negatives print sign + octal
+        val v = Cast(cs.head, LongType)
+        val oct = Conv(Cast(Abs(v), StringType), Literal(10), Literal(8))
+        If(LessThan(v, Literal(0L)), Concat(Seq(Literal("-"), oct)), oct)
+      }),
       "gcd" -> (cs => StaticInvoke(mathOps, LongType, "gcd",
         Seq(lng(cs.head), lng(cs(1))), Seq(LongType, LongType),
         returnNullable = false)),
@@ -3405,7 +3435,9 @@ object ClickHouseAliases {
               Literal(1L)), Literal(1L)),
             Seq(v)))
       }),
-      "moduloLegacy" -> (cs => Remainder(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
+      // legacy modulo promotes to the UNSIGNED common type when either
+      // operand is unsigned — the result wraps non-negative (Pmod)
+      "moduloLegacy" -> (cs => Pmod(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
       "hmod" -> (cs => Pmod(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
       // accurateCastOrNull(x, 'Type'): try-cast to the CH-named type
       "accurateCastOrNull" -> (cs => cs(1) match {
@@ -3513,11 +3545,14 @@ object ClickHouseAliases {
       case _ => 8
     }
     Seq(
-      // tokens: maximal runs of letters/digits (reference tokens.cpp)
+      // tokens: split on ASCII non-alphanumerics ONLY — non-ASCII bytes
+      // (combining marks, ZWNJ) stay inside tokens (reference
+      // tokenizers split on isASCII && !isAlphaNumeric)
       "tokens" -> (cs => {
         val v = UnresolvedNamedLambdaVariable(Seq("__tok"))
         ArrayFilter(
-          StringSplit(cs.head, Literal("[^\\p{L}\\p{N}]+"), Literal(-1)),
+          StringSplit(cs.head,
+            Literal("[\\x00-\\x7F&&[^A-Za-z0-9]]+"), Literal(-1)),
           LambdaFunction(GreaterThan(Length(v), Literal(0)), Seq(v)))
       }),
       // row-order scalars: the reference computes these over the input
@@ -3525,8 +3560,10 @@ object ClickHouseAliases {
       // correct per-partition ordering, exact on the single-stream
       // shapes the corpus uses (RowOrder.scala holds the operator form)
       "runningDifference" -> (cs => {
+        // the reference's state keeps the last NON-NULL value: nulls
+        // emit null but do not reset the difference base
         val lagE = WindowExpression(
-          Lag(cs.head, Literal(1), Literal(null), ignoreNulls = false),
+          Lag(cs.head, Literal(1), Literal(null), ignoreNulls = true),
           orderSpec)
         val rn = WindowExpression(RowNumber(), orderSpec)
         If(EqualTo(rn, Literal(1)), Literal(0), Subtract(cs.head, lagE))
@@ -3650,6 +3687,27 @@ object ClickHouseAliases {
     val x = Cast(n, LongType)
     def o(shift: Int) = Cast(Pmod(ShiftRight(x, Literal(shift)), Literal(256L)), StringType)
     ConcatWs(Seq(Literal("."), o(24), o(16), o(8), o(0)))
+  }
+
+  /** CH-strict overrides whose semantics would surprise Spark users
+    * session-wide — registered ONLY into the stateless-corpus runner's
+    * session (StatelessSweep / StatelessCorpusSpec / SqlTry), never via
+    * GraftExtensions: `length` is BYTES in ClickHouse (lengthUTF8 is
+    * the char count) and counts elements on arrays/maps.
+    */
+  def injectStrict(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val lengthBuilder: Seq[Expression] => Expression = cs =>
+      ChDispatch("length", cs.take(1)) { c =>
+        c.head.dataType match {
+          case StringType => OctetLength(c.head)
+          case _: ArrayType | _: MapType => Size(c.head)
+          case _ => Length(c.head)
+        }
+      }
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("length"),
+      new ExpressionInfo("graft.sql.ClickHouseAliases", "length"),
+      lengthBuilder)
   }
 
   def inject(ext: SparkSessionExtensions): Unit = {

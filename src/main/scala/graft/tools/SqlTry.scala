@@ -19,6 +19,7 @@ object SqlTry {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Engine.registerFunctions(spark)
+    graft.sql.ClickHouseAliases.injectStrict(spark)
     val sql = args.mkString(" ")
     ChTranspiler.statements(sql).foreach { stmt =>
       val t = ChTranspiler.transpile(stmt)

@@ -92,6 +92,7 @@ object StatelessSweep {
     // The UDAF layer (sumForEach, retention, topK, …) registers per
     // session, not through SparkSessionExtensions — same as Engine.session.
     graft.Engine.registerFunctions(spark)
+    graft.sql.ClickHouseAliases.injectStrict(spark)
     var pass = 0; var diff = 0; var err = 0
     val passed = Seq.newBuilder[String]
     candidates(dir).foreach { case (name, sqlText, expected) =>
@@ -106,6 +107,11 @@ object StatelessSweep {
           val a = actual.stripLineEnd.linesIterator.take(3).mkString("|")
           println(s"  want: ${e.take(160)}")
           println(s"  got:  ${a.take(160)}")
+          // full actual output for offline diffing against .reference
+          val dumpDir = Paths.get("target/stateless_diff")
+          Files.createDirectories(dumpDir)
+          Files.write(dumpDir.resolve(name + ".out"),
+            (actual.stripLineEnd + "\n").getBytes("UTF-8"))
         case Left(msg) =>
           err += 1
           println(s"ERR  $name: ${msg.take(160)}")

@@ -478,13 +478,14 @@ class DialectSpec extends SparkSpec {
     // patterns (no internal query uses the builtin — grep-checked).
     // if: accepts CH's numeric conditions (0 = false) on top of the
     // builtin's boolean-only signature — boolean behavior unchanged.
-    // xxHash64: deliberately CH-exact (seed 0, native byte widths,
-    // UInt64 result) instead of Spark's seed-42 variant — every internal
-    // use of Spark's goes through the DataFrame API (functions.xxhash64
-    // builds the expression directly), which an injected name cannot
-    // shadow; grep-checked, full Verify gate green with the override.
+    // NOTE: Spark 4's functions.* route through the registry by name
+    // (Column.fn), so an override reaches DataFrame-API callers too —
+    // every allowlisted name below is either a strict superset of the
+    // builtin or (FROM_UNIXTIME) grep-checked unused internally.
+    // xxHash64 is deliberately NOT aliased: the engine's MinHash/LSH
+    // pipelines depend on Spark's seed-42 xxhash64.
     val allowed = Set[String]("monthName", "hex", "unhex", "substr",
-      "substring", "date_format", "now", "FROM_UNIXTIME", "if", "xxHash64")
+      "substring", "date_format", "now", "FROM_UNIXTIME", "if")
     val collisions = graft.sql.ClickHouseAliases.aliasNames
       .filter(n => FunctionRegistry.builtin.functionExists(FunctionIdentifier(n.toLowerCase)))
       .filterNot(allowed)

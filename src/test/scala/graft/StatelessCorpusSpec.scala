@@ -32,14 +32,18 @@ class StatelessCorpusSpec extends SparkSpec {
 
   test("every allowlisted reference stateless test passes verbatim") {
     assume(Files.isDirectory(Paths.get(corpusDir)), "reference corpus absent")
-    Engine.registerFunctions(spark)
+    // isolated session: the strict CH overrides (length = bytes) must
+    // not leak into the shared test session's registry
+    val session = spark.newSession()
+    Engine.registerFunctions(session)
+    graft.sql.ClickHouseAliases.injectStrict(session)
     val failures = allowlist.flatMap { name =>
       val sqlText = new String(
         Files.readAllBytes(Paths.get(corpusDir, name)), "UTF-8")
       val expected = new String(
         Files.readAllBytes(Paths.get(corpusDir,
           name.dropRight(4) + ".reference")), "UTF-8")
-      StatelessSweep.run(spark, sqlText) match {
+      StatelessSweep.run(session, sqlText) match {
         case Right(actual) if actual.stripLineEnd == expected.stripLineEnd =>
           None
         case Right(actual) =>
