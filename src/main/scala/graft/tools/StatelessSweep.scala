@@ -24,7 +24,7 @@ object StatelessSweep {
 
   private val excludeTokens = Seq(
     "CREATE ", "INSERT ", "DROP ", "SYSTEM.", "ENGINE", "SET ", "USE ",
-    "FORMAT ", "ALTER ", "OPTIMIZE ", "NUMBERS(", "ATTACH", "TRUNCATE",
+    "FORMAT ", "ALTER ", "OPTIMIZE ", "ATTACH", "TRUNCATE",
     "{ SERVERERROR", "SLEEP", "TOTYPENAME")
 
   def candidates(dir: String): Seq[(String, String, String)] = {
@@ -39,7 +39,7 @@ object StatelessSweep {
           val sqlText = new String(
             Files.readAllBytes(d.resolve(name)), "UTF-8")
           val up = sqlText.toUpperCase
-          if (excludeTokens.exists(up.contains) || sqlText.length > 4000) None
+          if (excludeTokens.exists(up.contains) || sqlText.length > 16000) None
           else Some((name,
             sqlText,
             new String(Files.readAllBytes(refPath), "UTF-8")))
