@@ -71,6 +71,23 @@ object HashOps {
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
   }
 
+  /** hex of a Decimal: little-endian image of the unscaled integer,
+    * two's-complement, padded (sign-extended) to the storage width its
+    * precision implies — the reference's hex over the raw Decimal bytes.
+    */
+  def decHexLE(d: org.apache.spark.sql.types.Decimal,
+      width: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val unscaled = d.toJavaBigDecimal.unscaledValue()
+    val sb = new StringBuilder
+    var i = 0
+    while (i < width) {
+      val b = unscaled.shiftRight(8 * i).and(java.math.BigInteger.valueOf(0xff)).intValue()
+      sb.append(f"$b%02X")
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
   /** halfMD5: big-endian read of the MD5 digest's first 8 bytes
     * (reference HalfMD5Impl — flipBytes of the LE u64).
     */
@@ -84,6 +101,7 @@ object HashOps {
   }
 
   def halfMD5Multi(a: ArrayData): Decimal = {
+    if (isEmpty(a)) return unsigned64(0L)
     val hs = args(a).map(halfMD5)
     unsigned64(hs.reduceLeft { (p, c) =>
       halfMD5(leBytes(p, 8) ++ leBytes(c, 8))
@@ -493,6 +511,7 @@ object HashOps {
   def f64BitsU64(d: Double): Long = java.lang.Double.doubleToLongBits(d)
 
   def cityCombine(a: ArrayData): Decimal = {
+    if (a.numElements() == 0) return unsigned64(0L)
     val hs = (0 until a.numElements()).map(a.getLong)
     unsigned64(hs.reduceLeft(hash128to64))
   }
@@ -514,7 +533,12 @@ object HashOps {
   private def args(a: ArrayData): IndexedSeq[Array[Byte]] =
     (0 until a.numElements()).map(a.getBinary)
 
+  // a zero-argument call (SELECT murmurHash2_32()) hashes nothing and
+  // returns 0 in the reference (IColumn-less branch zero-fills)
+  private def isEmpty(a: ArrayData): Boolean = a.numElements() == 0
+
   def sipHash64Multi(a: ArrayData): Decimal = {
+    if (isEmpty(a)) return unsigned64(0L)
     val hs = args(a).map(sipHash64)
     val h = hs.reduceLeft { (p, c) =>
       sipHash64(leBytes(p, 8) ++ leBytes(c, 8))
@@ -523,31 +547,37 @@ object HashOps {
   }
 
   def murmur2_64Multi(a: ArrayData): Decimal = {
+    if (isEmpty(a)) return unsigned64(0L)
     val h = args(a).map(murmur2_64).reduceLeft((p, c) => intHash64Impl(p) ^ c)
     unsigned64(h)
   }
 
   def murmur2_32Multi(a: ArrayData): Long = {
+    if (isEmpty(a)) return 0L
     val h = args(a).map(murmur2_32).reduceLeft((p, c) => intHash32(p & 0xffffffffL) ^ c)
     h.toLong & 0xffffffffL
   }
 
   def murmur3_32Multi(a: ArrayData): Long = {
+    if (isEmpty(a)) return 0L
     val h = args(a).map(murmur3_32).reduceLeft((p, c) => intHash32(p & 0xffffffffL) ^ c)
     h.toLong & 0xffffffffL
   }
 
   def murmur3_64Multi(a: ArrayData): Decimal = {
+    if (isEmpty(a)) return unsigned64(0L)
     val h = args(a).map(murmur3_64).reduceLeft((p, c) => intHash64Impl(p) ^ c)
     unsigned64(h)
   }
 
   def xxh32Multi(a: ArrayData): Long = {
+    if (isEmpty(a)) return 0L
     val h = args(a).map(xxh32).reduceLeft((p, c) => intHash32(p & 0xffffffffL) ^ c)
     h.toLong & 0xffffffffL
   }
 
   def xxh64Multi(a: ArrayData): Decimal = {
+    if (isEmpty(a)) return unsigned64(0L)
     val h = args(a).map(xxh64).reduceLeft(hash128to64)
     unsigned64(h)
   }

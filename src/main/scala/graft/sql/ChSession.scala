@@ -1,0 +1,567 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** Stateful ClickHouse-dialect executor: the DDL/DML front door the
+  * reference's stateless test corpus drives (CREATE TABLE / INSERT /
+  * DROP / TRUNCATE / CREATE VIEW / DESCRIBE — reference parser entry
+  * ParserQuery, /root/reference/src/Parsers/ParserQuery.cpp), mapped to
+  * Spark-native session state:
+  *
+  *  - CREATE TABLE → an empty DataFrame with the declared schema
+  *    (ClickHouse types mapped via [[ChTypes]]) registered as a temp
+  *    view. ENGINE / PARTITION BY / SETTINGS clauses are accepted and
+  *    ignored — a temp view has no physical layout; the MergeTree
+  *    ORDER BY key IS honored as the per-insert sort so that unordered
+  *    SELECTs observe the same row order a sorted part would yield
+  *    (reference MergeTreeDataWriter sorts each block by the sorting
+  *    key before writing the part).
+  *  - INSERT VALUES → each tuple becomes a one-row SELECT (array/tuple
+  *    literals transpiled by [[ChTranspiler]]), unioned, cast to the
+  *    declared schema positionally, key-sorted, and appended to the
+  *    table's DataFrame — the Spark analogue of "one insert = one
+  *    sorted part".
+  *  - INSERT ... SELECT → the transpiled query's result appended the
+  *    same way.
+  *  - DEFAULT expressions fill omitted columns at insert time, in
+  *    declaration order so a default may reference earlier columns
+  *    (same evaluation order as the reference's
+  *    AddingDefaultsTransform).
+  *
+  * All state is session-local temp views: no catalog, no files — the
+  * corpus runner creates one ChSession per test file and closes it,
+  * which is exactly the isolation `clickhouse-test` gets from its
+  * per-test database.
+  */
+final class ChSession(spark: SparkSession) {
+  import ChSession._
+
+  private case class TableState(
+      schema: StructType,
+      declared: Seq[(String, String)], // col name -> CH type text (DESCRIBE)
+      defaults: Map[String, String],   // col name -> transpiled default expr
+      orderKey: Seq[String],
+      var data: DataFrame)
+
+  private val tables = mutable.LinkedHashMap[String, TableState]()
+  private val views = mutable.LinkedHashSet[String]()
+
+  /** Drop every view this session registered. */
+  def close(): Unit = {
+    (tables.keys ++ views).foreach { n =>
+      try spark.catalog.dropTempView(n) catch { case _: Throwable => () }
+    }
+    tables.clear(); views.clear()
+  }
+
+  /** Execute one statement if it is DDL/DML this layer owns.
+    * Done = handled, no output; Output = handled with rows (DESCRIBE);
+    * NotHandled = a query — the caller runs it through spark.sql.
+    */
+  def execute(clean: String): Result = {
+    val s = clean.trim
+    val up = s.toUpperCase
+    if (up.startsWith("USE ") || up.startsWith("SET ") ||
+        up.startsWith("OPTIMIZE ") ||
+        // SYSTEM START/STOP MERGES etc.: merge scheduling hints around
+        // inserts — a temp view has no background merges to steer
+        up.startsWith("SYSTEM ")) Done
+    else if (up.startsWith("DROP TABLE") || up.startsWith("DROP VIEW"))
+      { dropTable(s); Done }
+    else if (up.startsWith("TRUNCATE")) { truncate(s); Done }
+    else if (createViewRe.pattern.matcher(s).matches()) { createView(s); Done }
+    else if (up.startsWith("CREATE TABLE") ||
+             up.startsWith("CREATE TEMPORARY TABLE")) { createTable(s); Done }
+    else if (up.startsWith("INSERT INTO")) { insert(s); Done }
+    else if (up.startsWith("DESC")) describe(s)
+    else NotHandled
+  }
+
+  private def dropTable(s: String): Unit = s match {
+    case dropRe(name) =>
+      val t = cleanName(name)
+      if (tables.remove(t).isDefined || views.remove(t))
+        spark.catalog.dropTempView(t)
+    case _ => throw new IllegalArgumentException(s"cannot parse DROP: $s")
+  }
+
+  private def truncate(s: String): Unit = s match {
+    case truncateRe(name) =>
+      val t = cleanName(name)
+      tables.get(t).foreach { st =>
+        st.data = st.data.limit(0)
+        st.data.createOrReplaceTempView(t)
+      }
+    case _ => throw new IllegalArgumentException(s"cannot parse TRUNCATE: $s")
+  }
+
+  private def createView(s: String): Unit = s match {
+    case createViewRe(name, query) =>
+      val v = cleanName(name)
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$v` AS " +
+        ChTranspiler.transpile(stripDbRefs(query)))
+      views += v
+    case _ => throw new IllegalArgumentException(s"cannot parse CREATE VIEW: $s")
+  }
+
+  private def createTable(s: String): Unit = {
+    val m = createTableRe.findFirstMatchIn(s).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse CREATE TABLE: $s"))
+    val name = cleanName(m.group(1))
+    val rest = m.group(2).trim
+    if (tables.contains(name) &&
+        s.toUpperCase.contains("IF NOT EXISTS")) return
+    if (rest.startsWith("(")) {
+      val (colText, after) = matchParen(rest)
+      val cols = splitTop(colText).map(_.trim).filter(_.nonEmpty)
+        .filterNot(c => skipDefRe.pattern.matcher(c).find())
+      val parsed = cols.flatMap(expandColDef)
+      if (parsed.isEmpty)
+        throw new IllegalArgumentException(s"no columns parsed: $colText")
+      val schema = StructType(parsed.map(_.field))
+      val orderKey = parseOrderKey(after).filter(k =>
+        schema.fieldNames.contains(k))
+      val st = TableState(schema,
+        parsed.map(c => c.field.name -> c.chType),
+        parsed.flatMap(c => c.default.map(c.field.name -> _)).toMap,
+        orderKey,
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema))
+      tables(name) = st
+      st.data.createOrReplaceTempView(name)
+    } else {
+      // CREATE TABLE t [ENGINE=…] AS SELECT …  → table WITH the data;
+      // CREATE TABLE t AS other [ENGINE=…]     → empty structure clone.
+      val asSel = ctasRe.findFirstMatchIn(rest)
+      val asClone = cloneRe.findFirstMatchIn(rest)
+      if (asSel.isDefined) {
+        val df = spark.sql(ChTranspiler.transpile(stripDbRefs(asSel.get.group(1))))
+        val st = TableState(df.schema,
+          df.schema.fields.map(f => f.name -> sparkToCh(f.dataType)).toSeq,
+          Map.empty, Nil, df)
+        tables(name) = st
+        df.createOrReplaceTempView(name)
+      } else if (asClone.isDefined) {
+        val src = tables.getOrElse(cleanName(asClone.get.group(1)),
+          throw new IllegalArgumentException(
+            s"clone of unknown table ${asClone.get.group(1)}"))
+        val st = src.copy(data = src.data.limit(0))
+        tables(name) = st
+        st.data.createOrReplaceTempView(name)
+      } else throw new IllegalArgumentException(s"cannot parse CREATE TABLE: $s")
+    }
+  }
+
+  private def insert(s: String): Unit = {
+    val m = insertRe.findFirstMatchIn(s).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse INSERT: $s"))
+    val name = cleanName(m.group(1))
+    var rest = m.group(2).trim
+    val st = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"INSERT into unknown table $name"))
+    // optional explicit column list
+    val givenCols: Seq[String] =
+      if (rest.startsWith("(")) {
+        val (inner, after) = matchParen(rest)
+        rest = after.trim
+        splitTop(inner).map(c => cleanName(c.trim))
+      } else st.schema.fieldNames.toSeq
+    val up = rest.toUpperCase
+    val inserted: DataFrame =
+      if (up.startsWith("VALUES")) {
+        val tuples = splitTuples(rest.substring("VALUES".length))
+        if (tuples.isEmpty) return
+        // chunked UNION ALL: one SELECT per row keeps literal transpile
+        // (arrays, tuples, negative dates) on the proven path
+        val dfs = tuples.grouped(200).map { group =>
+          spark.sql(group.map(t => ChTranspiler.transpile("SELECT " + t))
+            .mkString(" UNION ALL "))
+        }.toSeq
+        dfs.reduce(_ unionAll _)
+      } else if (up.startsWith("SELECT") || up.startsWith("WITH") ||
+                 up.startsWith("(")) {
+        spark.sql(ChTranspiler.transpile(stripDbRefs(rest)))
+      } else throw new IllegalArgumentException(
+        s"unsupported INSERT form: ${rest.take(40)}")
+    if (inserted.columns.length != givenCols.length)
+      throw new IllegalArgumentException(
+        s"INSERT arity ${inserted.columns.length} != ${givenCols.length}")
+    // positional → named, then fill omitted columns from DEFAULT exprs
+    // (declaration order: a default may reference earlier columns)
+    var full = inserted.toDF(givenCols: _*)
+    st.schema.fields.foreach { f =>
+      if (!givenCols.contains(f.name)) {
+        val d = st.defaults.get(f.name)
+          .map(e => expr(ChTranspiler.transpile("SELECT " + e)
+            .replaceFirst("(?is)^\\s*SELECT\\s+", "")))
+          .getOrElse(typeDefault(f.dataType))
+        full = full.withColumn(f.name, d)
+      }
+    }
+    val aligned = full.select(st.schema.fields.map(f =>
+      col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+    st.data = st.data.unionByName(aligned)
+    // an unordered SELECT observes the merged table's sorting-key order
+    // (MergeTree parts merge-sort on read); register the sorted view
+    val view =
+      if (st.orderKey.nonEmpty)
+        st.data.orderBy(st.orderKey.map(k => col(s"`$k`")): _*)
+      else st.data
+    view.createOrReplaceTempView(name)
+  }
+
+  private def describe(s: String): Result = s match {
+    case descRe(name) =>
+      tables.get(cleanName(name)) match {
+        case Some(st) =>
+          Output(st.declared.map { case (n, t) =>
+            Row(n, t, "", "", "", "", "", "") })
+        case None => NotHandled // DESCRIBE of a subquery etc.
+      }
+    case _ => NotHandled
+  }
+
+  private case class ColDef(field: StructField, chType: String,
+      default: Option[String])
+
+  /** `n Nested(a T, b U)` flattens to parallel array columns `n.a`
+    * Array(T), `n.b` Array(U) — the reference's storage model
+    * (DataTypeNested flattening in NestedUtils.cpp); everything else is
+    * a single column.
+    */
+  private def expandColDef(def0: String): Seq[ColDef] = {
+    val m = nestedRe.findFirstMatchIn(def0.trim)
+    m match {
+      case Some(mm) =>
+        val outer = cleanName(mm.group(1))
+        val inner = splitTop(mm.group(2)).map(_.trim).filter(_.nonEmpty)
+        inner.flatMap(parseColDef).map { cd =>
+          cd.copy(
+            field = cd.field.copy(
+              name = s"$outer.${cd.field.name}",
+              dataType = ArrayType(cd.field.dataType)),
+            chType = s"Array(${cd.chType})",
+            default = None)
+        }
+      case None => parseColDef(def0).toSeq
+    }
+  }
+
+  private val nestedRe =
+    """(?is)^(`[^`]+`|[A-Za-z_]\w*)\s+Nested\s*\((.*)\)\s*$""".r
+
+  /** `name Type [DEFAULT expr] [CODEC…] [TTL…] [COMMENT…]`. MATERIALIZED
+    * and ALIAS compute like DEFAULT at insert (visibility difference in
+    * `SELECT *` is not modeled — corpus files that observe it diff out).
+    */
+  private def parseColDef(def0: String): Option[ColDef] = {
+    val m = colDefRe.findFirstMatchIn(def0.trim).getOrElse(return None)
+    val name = cleanName(m.group(1))
+    var rest = m.group(2).trim
+    // cut trailing modifiers
+    var default: Option[String] = None
+    modifierRe.findFirstMatchIn(rest).foreach { mm =>
+      val kw = mm.group(1).toUpperCase
+      val tail = rest.substring(mm.start + mm.group(1).length).trim
+      rest = rest.substring(0, mm.start).trim
+      if (kw == "DEFAULT" || kw == "MATERIALIZED" || kw == "ALIAS") {
+        // default expr runs to the next modifier keyword (or end)
+        val stop = modifierRe.findFirstMatchIn(tail).map(_.start)
+          .getOrElse(tail.length)
+        default = Some(tail.substring(0, stop).trim)
+      }
+    }
+    if (rest.isEmpty) {
+      // bare `name DEFAULT expr` (type inferred) — infer via literal cast
+      default.map { d =>
+        ColDef(StructField(name, StringType, nullable = true), "String", Some(d))
+      }
+    } else {
+      // `a Int32 NULL` / `NOT NULL` suffix spelling of (non-)Nullable
+      val nullSuffix = """(?is)\s+(NOT\s+)?NULL\s*$""".r
+      val explicitNullable =
+        nullSuffix.findFirstMatchIn(rest).exists(_.group(1) == null)
+      val typeText = nullSuffix.replaceFirstIn(rest, "")
+      val (dt, chNullable) = ChTypes.parse(typeText)
+      // a Nullable column's implicit default is NULL, not the type zero
+      val d = default.orElse(
+        if (chNullable || explicitNullable) Some("NULL") else None)
+      Some(ColDef(StructField(name, dt, nullable = true), typeText, d))
+    }
+  }
+
+  private def typeDefault(dt: DataType): Column = dt match {
+    case _: NumericType => lit(0).cast(dt)
+    case StringType => lit("")
+    case BooleanType => lit(false)
+    case DateType => lit(java.sql.Date.valueOf("1970-01-01"))
+    case TimestampType => lit(java.sql.Timestamp.from(java.time.Instant.EPOCH))
+    case a: ArrayType => array().cast(a)
+    case m: MapType => map().cast(m)
+    case other => lit(null).cast(other)
+  }
+}
+
+object ChSession {
+  sealed trait Result
+  case object Done extends Result
+  case object NotHandled extends Result
+  final case class Output(rows: Seq[Row]) extends Result
+
+  private val dropRe =
+    """(?is)\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([`\w.]+).*""".r
+  private val truncateRe =
+    """(?is)\s*TRUNCATE\s+(?:TABLE\s+)?(?:IF\s+EXISTS\s+)?([`\w.]+)\s*""".r
+  private val createViewRe =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s+AS\s+(.*)""".r
+  private val createTableRe =
+    """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s*(.*)""".r
+  private val insertRe =
+    """(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`\w.]+)\s*(.*)""".r
+  private val descRe =
+    """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([`\w.]+)\s*""".r
+  private val ctasRe = """(?is)(?:ENGINE[^;]*?)?\bAS\s+((?:SELECT|WITH)\b.*)""".r
+  private val cloneRe = """(?is)\s*AS\s+([`\w.]+)\s*(?:ENGINE.*)?""".r
+  private val skipDefRe =
+    """(?i)^\s*(INDEX|CONSTRAINT|PRIMARY\s+KEY|PROJECTION)\b""".r
+  private val colDefRe = """(?s)^(`[^`]+`|[A-Za-z_]\w*)\s+(.+)$""".r
+  private val modifierRe =
+    """(?i)\b(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)\b""".r
+
+  /** `db.name` → `name` (the corpus uses a per-test database the way we
+    * use a per-file ChSession; the qualifier carries no information),
+    * backticks stripped.
+    */
+  def cleanName(raw: String): String = {
+    val n = raw.trim.stripPrefix("`").stripSuffix("`")
+    val dot = n.lastIndexOf('.')
+    if (dot >= 0) n.substring(dot + 1) else n
+  }
+
+  /** Strip `test.` / `default.` table qualifiers inside a query so
+    * references resolve against the session's temp views. Quote-aware:
+    * string literals pass through untouched.
+    */
+  def stripDbRefs(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        sb.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          val d = sql.charAt(i); sb.append(d); i += 1
+          if (d == '\\' && i < n) { sb.append(sql.charAt(i)); i += 1 }
+          else if (d == '\'') done = true
+        }
+      } else if ((c == 't' || c == 'd') &&
+          (i == 0 || !isIdentChar(sql.charAt(i - 1))) &&
+          (sql.startsWith("test.", i) || sql.startsWith("default.", i))) {
+        val skip = if (c == 't') 5 else 8
+        // only when followed by an identifier (a table name)
+        if (i + skip < n && (sql.charAt(i + skip).isLetter ||
+            sql.charAt(i + skip) == '_' || sql.charAt(i + skip) == '`'))
+          i += skip
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def isIdentChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_' || c == '.' || c == '`'
+
+  /** Content of the leading `( … )` plus the text after it. */
+  def matchParen(s: String): (String, String) = {
+    require(s.startsWith("("), s"expected '(': ${s.take(20)}")
+    var depth = 0; var i = 0; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inStr = false
+      } else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (s.substring(1, i), s.substring(i + 1))
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens: ${s.take(40)}")
+  }
+
+  /** Split on top-level commas (parens and strings respected). */
+  def splitTop(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var depth = 0; var inStr = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inStr = false
+      } else c match {
+        case '\'' => inStr = true
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** The `( … )` tuple bodies of a VALUES clause — comma between tuples
+    * optional, as the reference parser allows.
+    */
+  def splitTuples(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') {
+        val (body, rest) = matchParen(s.substring(i))
+        out += body
+        i = s.length - rest.length
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** MergeTree sorting key: only plain column names are honored (an
+    * expression key would need evaluate-then-drop; corpus tables nearly
+    * always key on columns). `tuple()` = unsorted.
+    */
+  def parseOrderKey(after: String): Seq[String] = {
+    val m = orderByRe.findFirstMatchIn(after).getOrElse(return Nil)
+    val keyText0 = m.group(1).trim
+    val keyText =
+      if (keyText0.startsWith("(")) matchParen(keyText0)._1 else keyText0
+    if (keyText.trim.isEmpty || keyText0.startsWith("tuple()")) Nil
+    else {
+      val parts = splitTop(keyText).map(_.trim)
+      if (parts.forall(p => p.matches("[A-Za-z_]\\w*"))) parts else Nil
+    }
+  }
+  private val orderByRe =
+    """(?is)\bORDER\s+BY\s+(\([^)]*\)|tuple\(\)|[^;]*?)\s*(?:PARTITION\s+BY|PRIMARY\s+KEY|SAMPLE\s+BY|SETTINGS|TTL|UNIQUE\s+KEY|CLUSTER\s+BY|$)""".r
+
+  /** Best-effort reverse map for DESCRIBE of CTAS tables. */
+  def sparkToCh(dt: DataType): String = dt match {
+    case ByteType => "Int8"
+    case ShortType => "Int16"
+    case IntegerType => "Int32"
+    case LongType => "Int64"
+    case FloatType => "Float32"
+    case DoubleType => "Float64"
+    case StringType => "String"
+    case BooleanType => "UInt8"
+    case DateType => "Date"
+    case TimestampType => "DateTime"
+    case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+    case a: ArrayType => s"Array(${sparkToCh(a.elementType)})"
+    case m: MapType => s"Map(${sparkToCh(m.keyType)}, ${sparkToCh(m.valueType)})"
+    case st: StructType =>
+      st.fields.map(f => s"${f.name} ${sparkToCh(f.dataType)}")
+        .mkString("Tuple(", ", ", ")")
+    case other => other.simpleString
+  }
+}
+
+/** ClickHouse type text → Spark type. Widths follow the dialect
+  * registry's conversion matrix (ChTranspiler.chType): unsigned types
+  * widen one step so their full value range fits a signed Spark type
+  * (UInt32 → LongType); UInt64 maps to LongType best-effort — corpus
+  * values above 2^63 only appear in hash-function tests, which pin
+  * exact unsigned text through the bit-exact hash family instead.
+  */
+object ChTypes {
+
+  /** (spark type, declared-Nullable). */
+  def parse(t: String): (DataType, Boolean) = {
+    val s = t.trim
+    val paren = s.indexOf('(')
+    val head = (if (paren < 0) s else s.substring(0, paren)).trim
+    lazy val args: Seq[String] =
+      ChSession.splitTop(s.substring(paren + 1, s.lastIndexOf(')')))
+        .map(_.trim)
+    head match {
+      case "Nullable" => (parse(args.head)._1, true)
+      case "LowCardinality" => parse(args.head)
+      case "Array" =>
+        val (inner, n) = parse(args.head)
+        (ArrayType(inner, containsNull = n), false)
+      case "Map" =>
+        val (v, vn) = parse(args(1))
+        (MapType(parse(args.head)._1, v, valueContainsNull = vn), false)
+      case "Tuple" =>
+        val fields = args.zipWithIndex.map { case (a, i) =>
+          a match {
+            case namedFieldRe(n, ft) =>
+              StructField(ChSession.cleanName(n), parse(ft)._1, nullable = true)
+            case _ =>
+              StructField(s"_${i + 1}", parse(a)._1, nullable = true)
+          }
+        }
+        (StructType(fields), false)
+      case "Decimal" =>
+        (DecimalType(args.head.toInt, args(1).toInt), false)
+      case "Decimal32" => (DecimalType(9, args.head.toInt), false)
+      case "Decimal64" => (DecimalType(18, args.head.toInt), false)
+      case "Decimal128" => (DecimalType(38, args.head.toInt), false)
+      case "SimpleAggregateFunction" => parse(args(1))
+      case "FixedString" | "String" | "UUID" | "IPv4" | "IPv6" |
+           "Enum" | "Enum8" | "Enum16" | "JSON" | "Object" =>
+        (StringType, false)
+      case "Date" | "Date32" => (DateType, false)
+      case "DateTime" | "DateTime32" | "DateTime64" => (TimestampType, false)
+      case "Bool" | "Boolean" => (BooleanType, false)
+      case "Int8" => (ByteType, false)
+      case "Int16" => (ShortType, false)
+      case "Int32" => (IntegerType, false)
+      case "Int64" | "UInt32" | "UInt64" => (LongType, false)
+      case "UInt8" => (ShortType, false)
+      case "UInt16" => (IntegerType, false)
+      case "Int128" | "UInt128" | "Int256" | "UInt256" =>
+        (DecimalType(38, 0), false)
+      case "Float32" => (FloatType, false)
+      case "Float64" => (DoubleType, false)
+      case other =>
+        // standard-SQL aliases (case-insensitive, reference
+        // registerDataTypeDomains in DataTypeFactory.cpp)
+        other.toUpperCase match {
+          case "TINYINT" => (ByteType, false)
+          case "SMALLINT" => (ShortType, false)
+          case "INT" | "INTEGER" | "MEDIUMINT" => (IntegerType, false)
+          case "BIGINT" => (LongType, false)
+          case "FLOAT" | "REAL" => (FloatType, false)
+          case "DOUBLE" => (DoubleType, false)
+          case "DECIMAL" | "DEC" | "NUMERIC" | "FIXED" =>
+            if (paren > 0) {
+              val a = args
+              (DecimalType(a.head.toInt,
+                if (a.length > 1) a(1).toInt else 0), false)
+            } else (DecimalType(10, 0), false)
+          case "VARCHAR" | "CHAR" | "TEXT" | "TINYTEXT" | "MEDIUMTEXT" |
+               "LONGTEXT" | "BLOB" | "TINYBLOB" | "MEDIUMBLOB" |
+               "LONGBLOB" | "BINARY" | "VARBINARY" | "NCHAR" |
+               "NVARCHAR" | "CLOB" => (StringType, false)
+          case "TIMESTAMP" => (TimestampType, false)
+          case _ =>
+            throw new IllegalArgumentException(s"unsupported CH type: $other")
+        }
+    }
+  }
+
+  private val namedFieldRe = """(?s)^(`[^`]+`|[A-Za-z_]\w*)\s+(\S.*)$""".r
+}

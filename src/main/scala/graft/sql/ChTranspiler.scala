@@ -57,6 +57,7 @@ object ChTranspiler {
         i += 2
         while (i + 1 < n && !(sqlText.charAt(i) == '*' && sqlText.charAt(i + 1) == '/')) i += 1
         i = math.min(i + 2, n)
+        cur.append(' ') // a comment is a token boundary: `SELECT/*x*/1`
       } else if (c == ';') {
         out += ((sqlText.substring(segStart, i + 1).trim, cur.toString.trim))
         cur.clear(); i += 1; segStart = i
@@ -247,7 +248,7 @@ object ChTranspiler {
             val start = primaryStart(prefix)
             val primary = prefix.substring(start)
             out.setLength(start)
-            out.append("element_at(").append(primary).append(", ")
+            out.append("arrayElement(").append(primary).append(", ")
             stack = false :: stack
           }
           lastSig = Some(Punct("["))
@@ -256,7 +257,9 @@ object ChTranspiler {
           stack = stack.drop(1)
           lastSig = Some(Punct("]"))
         case Word(w) if w.equalsIgnoreCase("dummy") =>
-          out.append("0"); lastSig = Some(Num("0"))
+          // parenthesized so a `GROUP BY dummy` does not become a bare
+          // integer literal that Spark's groupByOrdinal reinterprets
+          out.append("(0)"); lastSig = Some(Num("0"))
         case Word("inf") =>
           out.append("CAST('Infinity' AS DOUBLE)"); lastSig = Some(Num("0"))
         case Word("nan") =>
@@ -314,8 +317,132 @@ object ChTranspiler {
     }
     rewriteOrderNulls(rewriteNestedArrayJoin(rewriteArrayJoin(rewriteInClauses(
       rewriteTupleLiterals(rewriteTernary(rewriteInlineAliases(
-        rewriteScalarWith(rewriteInfixMod(rewriteTwoArgCast(
-          postPass(out.toString)))))))))))
+        rewriteScalarWith(rewriteInfixMod(rewriteTwoArgCast(rewriteGroupsFrame(
+          postPass(rewriteMapLiterals(out.toString)))))))))))))
+  }
+
+  /** GROUPS window frames (reference WindowDescription.h FrameType::
+    * Groups) — Spark has none, but dense_rank + a RANGE frame over the
+    * rank is an exact rewrite: peer-group distance N <=> rank distance
+    * N. The source is wrapped one level to precompute the rank.
+    */
+  private def rewriteGroupsFrame(sql: String): String = {
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 6) {
+      changed = false
+      guard += 1
+      rewriteOneGroupsFrame(out) match {
+        case Some(next) => out = next; changed = true
+        case None => ()
+      }
+    }
+    out
+  }
+
+  private def rewriteOneGroupsFrame(sql: String): Option[String] = {
+    val toks = tokenize(sql)
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    def prevSig(j: Int): Int = {
+      var k = j; while (k >= 0 && toks(k).isInstanceOf[Ws]) k -= 1; k
+    }
+    val depthAt = new Array[Int](toks.length)
+    var d = 0
+    for (k <- toks.indices) toks(k) match {
+      case Punct("(") => depthAt(k) = d; d += 1
+      case Punct(")") => d -= 1; depthAt(k) = d
+      case _ => depthAt(k) = d
+    }
+    def text(a: Int, b: Int): String = toks.slice(a, b).map(_.text).mkString
+    var i = 0
+    while (i < toks.length) {
+      if (isWordI(toks(i), "GROUPS") && {
+        val nx = nextSig(i + 1)
+        nx < toks.length && (toks(nx) match {
+          case Word(w) => Seq("BETWEEN", "UNBOUNDED", "CURRENT")
+            .contains(w.toUpperCase)
+          case Num(_) => true
+          case _ => false
+        })
+      }) {
+        val lvl = depthAt(i)
+        // the enclosing OVER ( … )
+        val openIdx = (0 until i).reverse
+          .find(k => toks(k) == Punct("(") && depthAt(k) == lvl - 1)
+          .getOrElse(return None)
+        if (!isWordI(toks(prevSig(openIdx - 1)), "OVER")) return None
+        var closeIdx = i
+        while (closeIdx < toks.length &&
+          !(toks(closeIdx) == Punct(")") && depthAt(closeIdx) == lvl - 1))
+          closeIdx += 1
+        if (closeIdx >= toks.length) return None
+        // ORDER BY inside the OVER
+        val orderIdx = (openIdx + 1 until i)
+          .find(k => depthAt(k) == lvl && isWordI(toks(k), "ORDER"))
+          .getOrElse(return None)
+        val byIdx = nextSig(orderIdx + 1)
+        val partText = text(openIdx + 1, orderIdx).trim // PARTITION BY … or ""
+        val orderText = text(byIdx + 1, i).trim
+        val frameText = text(nextSig(i + 1), closeIdx).trim
+        val outerLvl = depthAt(openIdx)
+        // this level's FROM + source (through WHERE; bail on GROUP BY)
+        val fromIdx = (closeIdx until toks.length)
+          .find(k => depthAt(k) == outerLvl && isWordI(toks(k), "FROM"))
+          .getOrElse(return None)
+        var srcEnd = fromIdx + 1
+        while (srcEnd < toks.length && !(depthAt(srcEnd) == outerLvl &&
+          (toks(srcEnd) match {
+            case Word(w) => Seq("GROUP", "HAVING", "ORDER", "LIMIT",
+              "UNION", "SETTINGS", "WINDOW").contains(w.toUpperCase)
+            case Punct(";") => true
+            case _ => false
+          }))) srcEnd += 1
+        val srcText = text(fromIdx + 1, srcEnd).trim
+        val n = sql.length
+        val inner = (if (partText.nonEmpty) partText + " " else "") +
+          s"ORDER BY __gdr$n RANGE $frameText"
+        val newFrom = s" FROM (SELECT *, dense_rank() OVER (" +
+          (if (partText.nonEmpty) partText + " " else "") +
+          s"ORDER BY $orderText) AS __gdr$n FROM $srcText) __gsub$n "
+        return Some(text(0, openIdx + 1) + inner +
+          text(closeIdx, fromIdx) + newFrom + text(srcEnd, toks.length))
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** CH map literals `{'a': 1, 'b': 2}` → `map('a', 1, 'b', 2)`
+    * (reference ParserMapOfLiterals). Only braces in VALUE position
+    * rewrite; colons at the map's own bracket level become commas.
+    */
+  private def rewriteMapLiterals(sql: String): String = {
+    if (!sql.contains('{')) return sql
+    val toks = tokenize(sql)
+    val sb = new StringBuilder
+    var stack = List[String]() // "map" | "brace" | "paren"
+    var lastSig: Option[Tok] = None
+    for (t <- toks) t match {
+      case Punct("{") =>
+        if (opensLiteral(lastSig)) { stack ::= "map"; sb.append("map(") }
+        else { stack ::= "brace"; sb.append("{") }
+        lastSig = Some(Punct("("))
+      case Punct("}") =>
+        sb.append(if (stack.headOption.contains("map")) ")" else "}")
+        stack = stack.drop(1); lastSig = Some(Punct(")"))
+      case Punct("(") =>
+        stack ::= "paren"; sb.append("("); lastSig = Some(t)
+      case Punct(")") =>
+        stack = stack.drop(1); sb.append(")"); lastSig = Some(t)
+      case Punct(":") if stack.headOption.contains("map") =>
+        sb.append(","); lastSig = Some(Punct(","))
+      case Ws(w) => sb.append(w)
+      case other => sb.append(other.text); lastSig = Some(other)
+    }
+    sb.toString
   }
 
   /** ClickHouse's scalar WITH items (`WITH expr AS name, … SELECT …`,
@@ -323,6 +450,92 @@ object ChTranspiler {
     * scalar usable anywhere in the statement. CTE items
     * (`name AS (SELECT …)`) pass through to Spark's WITH.
     */
+  /** `GROUP BY … WITH TOTALS` surgery for the corpus runner: when the
+    * statement carries a top-level WITH TOTALS (reference
+    * TotalsHavingTransform.cpp — group rows, then a blank line, then one
+    * grand-total row), return (mainSql, totalsSql): the statement with
+    * the modifier removed, and a companion statement computing the
+    * grand total (GROUP BY / ORDER BY / LIMIT clauses removed so the
+    * aggregates run over the whole input; HAVING kept — it filters the
+    * totals row the way totals_mode=after_having does for passing
+    * groups), plus the raw GROUP BY item texts so the runner can
+    * substitute key references that would otherwise dangle in the
+    * grand-total query. Returns None when no top-level WITH TOTALS is
+    * present.
+    */
+  def splitTotals(stmt: String): Option[(String, String, Seq[String])] = {
+    val toks = tokenize(stmt)
+    def sig(j: Int, dir: Int): Int = {
+      var k = j + dir
+      while (k >= 0 && k < toks.length && toks(k).isInstanceOf[Ws]) k += dir
+      k
+    }
+    // depth of each token
+    val depthAt = new Array[Int](toks.length)
+    var d = 0
+    for (k <- toks.indices) toks(k) match {
+      case Punct("(") => depthAt(k) = d; d += 1
+      case Punct(")") => d -= 1; depthAt(k) = d
+      case _ => depthAt(k) = d
+    }
+    var withIdx = -1; var totalsIdx = -1
+    var k = 0
+    while (withIdx < 0 && k < toks.length) {
+      if (depthAt(k) == 0 && isWordI(toks(k), "WITH")) {
+        val nx = sig(k, 1)
+        if (nx < toks.length && isWordI(toks(nx), "TOTALS")) {
+          withIdx = k; totalsIdx = nx
+        }
+      }
+      k += 1
+    }
+    if (withIdx < 0) return None
+    // the owning GROUP BY (last top-level GROUP before WITH TOTALS)
+    var groupIdx = -1
+    for (j <- (0 until withIdx).reverse if groupIdx < 0)
+      if (depthAt(j) == 0 && isWordI(toks(j), "GROUP") &&
+          isWordI(toks(sig(j, 1)), "BY")) groupIdx = j
+    val boundary = Set("ORDER", "LIMIT", "SETTINGS", "UNION", "FORMAT",
+      "INTO", "OFFSET", "HAVING")
+    def clauseEnd(from: Int): Int = {
+      var j = from
+      while (j < toks.length && !(depthAt(j) == 0 && (toks(j) match {
+        case Word(w) => boundary.contains(w.toUpperCase)
+        case Punct(";") => true
+        case _ => false
+      }))) j += 1
+      j
+    }
+    def drop(ranges: Seq[(Int, Int)]): String = {
+      val dead = ranges.flatMap { case (a, b) => a until b }.toSet
+      toks.indices.filterNot(dead).map(toks(_).text).mkString
+    }
+    val main = drop(Seq((withIdx, totalsIdx + 1)))
+    // totals: drop GROUP BY …, WITH TOTALS, and any top-level ORDER BY /
+    // LIMIT / OFFSET (a single grand-total row needs none of them)
+    var totRanges = Seq((withIdx, totalsIdx + 1)) ++
+      (if (groupIdx >= 0) Seq((groupIdx, withIdx)) else Nil)
+    var j2 = totalsIdx + 1
+    while (j2 < toks.length) {
+      if (depthAt(j2) == 0 && (isWordI(toks(j2), "ORDER") ||
+          isWordI(toks(j2), "LIMIT") || isWordI(toks(j2), "OFFSET"))) {
+        val end = clauseEnd(sig(j2, 1))
+        totRanges :+= ((j2, end))
+        j2 = end
+      } else j2 += 1
+    }
+    // raw GROUP BY items (modifier words WITH ROLLUP/CUBE stripped)
+    val groupItems: Seq[String] =
+      if (groupIdx < 0) Nil
+      else {
+        val byIdx = sig(groupIdx, 1)
+        val itemsText = toks.slice(byIdx + 1, withIdx).map(_.text).mkString
+          .replaceAll("(?i)\\bWITH\\s+(ROLLUP|CUBE)\\b", "")
+        itemsText.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      }
+    Some((main, drop(totRanges), groupItems))
+  }
+
   private def rewriteScalarWith(sql: String): String = {
     val toks = tokenize(sql)
     def nextSigIdx(j: Int): Int = {
@@ -491,8 +704,11 @@ object ChTranspiler {
           val thenB = toks.slice(q + 1, colon).map(_.text).mkString.trim
           val elseB = toks.slice(colon + 1, elseEnd).map(_.text).mkString.trim
           if (cond.nonEmpty && thenB.nonEmpty && elseB.nonEmpty) {
+            // leading space: condStart can sit right after a keyword
+            // whose trailing whitespace lives inside the cond slice
+            // (`SELECT number % 2 ? …` would otherwise glue to `SELECTif`)
             out = toks.take(condStart).map(_.text).mkString +
-              s"if($cond, $thenB, $elseB)" +
+              s" if($cond, $thenB, $elseB)" +
               toks.drop(elseEnd).map(_.text).mkString
             changed = true
           }
@@ -1154,8 +1370,29 @@ object ChTranspiler {
         val fromIdx = (0 until startIdx).reverse
           .find(k => depthAt(k) == myDepth && isWordI(toks(k), "FROM"))
           .getOrElse(-1)
+        // LATERAL VIEW appends its generated columns to `SELECT *`,
+        // but CH's `*` never includes ARRAY JOIN aliases (nor our
+        // internal columns) — rewrite this level's `SELECT *` to
+        // `* EXCEPT (…)` when the clause generates hidden names.
+        var overrides = Map[Int, String]()
+        def hideFromStar(hidden: Seq[String]): Unit = if (hidden.nonEmpty) {
+          val limit = {
+            val f = (0 until startIdx).reverse.find(k =>
+              depthAt(k) == myDepth && isWordI(toks(k), "FROM"))
+            f.getOrElse(startIdx)
+          }
+          (0 until limit).reverse
+            .find(k => depthAt(k) == myDepth && isWordI(toks(k), "SELECT"))
+            .foreach { si =>
+              var j = nextSig(si + 1)
+              if (j < toks.length && isWordI(toks(j), "DISTINCT"))
+                j = nextSig(j + 1)
+              if (j < toks.length && toks(j) == Punct("*"))
+                overrides += j -> s"* EXCEPT (${hidden.mkString(", ")})"
+            }
+        }
         def text(a: Int, b: Int): String =
-          toks.slice(a, b).map(_.text).mkString
+          (a until b).map(k => overrides.getOrElse(k, toks(k).text)).mkString
         val (replacement, replaceFrom) = items.toSeq match {
           case Seq(AjItem(expr, aliasOpt))
               if aliasOpt.isEmpty || aliasOpt.contains(expr.trim) =>
@@ -1163,10 +1400,12 @@ object ChTranspiler {
             val id = expr.trim
             if (!id.forall(c => c.isLetterOrDigit || c == '_') || fromIdx < 0)
               return None
+            hideFromStar(Seq(s"__aj_in$n"))
             val src = text(nextSig(fromIdx + 1), startIdx)
             (s" FROM (SELECT * EXCEPT ($id), $id AS __aj_in$n FROM $src) " +
               s"LATERAL VIEW $fn(__aj_in$n) __aj_v$n AS $id ", fromIdx)
           case Seq(AjItem(expr, Some(alias))) =>
+            hideFromStar(Seq(alias))
             if (fromIdx < 0)
               (s" FROM (SELECT 1 AS __aj_one$n) " +
                 s"LATERAL VIEW $fn($expr) __aj_v$n AS $alias ", startIdx)
@@ -1175,10 +1414,15 @@ object ChTranspiler {
           case multi if multi.forall(_.alias.isDefined) =>
             // positional zip: explode an index range, pull each element
             val fields = multi.zipWithIndex.map { case (it, k) =>
-              s"'c$k', element_at(${it.expr}, CAST(__aj_i$n AS INT))"
+              s"'c$k', try_element_at(${it.expr}, CAST(__aj_i$n AS INT))"
             }.mkString(", ")
-            val zip = s"transform(sequence(1, size(${multi.head.expr})), " +
-              s"__aj_i$n -> named_struct($fields))"
+            // Guard the empty-array case: Spark's sequence(1, 0) DESCENDS
+            // to [1,0] (it never yields an empty range), so build one
+            // padded element and slice it away; try_element_at keeps the
+            // padding row null-safe under ANSI.
+            val sz = s"size(${multi.head.expr})"
+            val zip = s"slice(transform(sequence(1, greatest($sz, 1)), " +
+              s"__aj_i$n -> named_struct($fields)), 1, greatest($sz, 0))"
             val lateral =
               s" LATERAL VIEW $fn($zip) __aj_v$n AS __aj_s$n "
             val base =
@@ -1188,6 +1432,7 @@ object ChTranspiler {
             val aliasMap = multi.zipWithIndex.map { case (it, k) =>
               it.alias.get -> s"__aj_s$n.c$k"
             }.toMap
+            hideFromStar(Seq(s"__aj_s$n"))
             val pre = substIdents(text(0, startIdx), aliasMap)
             val post = substIdents(text(endIdx, toks.length), aliasMap)
             return Some(pre + base + post)

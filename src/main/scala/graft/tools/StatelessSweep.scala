@@ -23,9 +23,7 @@ import scala.jdk.CollectionConverters._
 object StatelessSweep {
 
   private val excludeTokens = Seq(
-    "CREATE ", "INSERT ", "DROP ", "SYSTEM.", "ENGINE", "SET ", "USE ",
-    "FORMAT ", "ALTER ", "OPTIMIZE ", "ATTACH", "TRUNCATE",
-    "{ SERVERERROR", "SLEEP", "TOTYPENAME")
+    "SYSTEM.", "FORMAT ", "ALTER ", "ATTACH", "SLEEP", "TOTYPENAME")
 
   def candidates(dir: String): Seq[(String, String, String)] = {
     val d = Paths.get(dir)
@@ -54,25 +52,191 @@ object StatelessSweep {
     * clickhouse-test does: while active, each statement's raw text
     * (leading comments attached, `;` included) precedes its result.
     */
+  private val errMarker = """\{\s*(?:server|client)Error\b""".r
+  private val extremesRe = """(?i)\bextremes\s*=\s*1\b""".r
+
+  /** Totals fallback when the grand-total query dangles its group keys:
+    * every top-level select item matching a GROUP BY item (by text or
+    * alias) becomes CAST(NULL AS <its main-schema type>); after
+    * execution those NULLs print as the column type's DEFAULT — the
+    * reference's totals row carries default-valued key columns.
+    */
+  private def totalsWithKeyDefaults(
+      spark: SparkSession, totSql: String, groupItems: Seq[String],
+      schema: org.apache.spark.sql.types.StructType)
+      : Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    val norm = groupItems.map(_.replaceAll("\\s+", "").toLowerCase).toSet
+    // locate the top-level select list
+    val up = totSql.toUpperCase
+    val selStart = up.indexOf("SELECT")
+    require(selStart >= 0, "no SELECT in totals query")
+    var depth = 0; var inStr = false; var listEnd = -1
+    var i = selStart + 6
+    while (listEnd < 0 && i < totSql.length) {
+      val c = totSql.charAt(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case 'F' | 'f' if depth == 0 &&
+            up.regionMatches(i, "FROM", 0, 4) &&
+            !Character.isLetterOrDigit(totSql.charAt(i - 1)) => listEnd = i
+        case _ => ()
+      }
+      i += 1
+    }
+    if (listEnd < 0) listEnd = totSql.length
+    val items = graft.sql.ChSession.splitTop(
+      totSql.substring(selStart + 6, listEnd))
+    val keyPos = scala.collection.mutable.ArrayBuffer[Int]()
+    val newItems = items.zipWithIndex.map { case (item, k) =>
+      val noAlias = item.replaceAll("(?is)\\s+AS\\s+[`\\w]+\\s*$", "")
+      val aliasM = """(?is).*\sAS\s+(`[^`]+`|\w+)\s*$""".r
+      val names = Seq(noAlias) ++ (item match {
+        case aliasM(a) => Seq(a)
+        case _ => Nil
+      })
+      val isKey = names.exists(n =>
+        norm.contains(n.replaceAll("\\s+", "").toLowerCase))
+      if (isKey && k < schema.length) {
+        keyPos += k
+        s"CAST(NULL AS ${schema(k).dataType.sql})"
+      } else item
+    }
+    val sql2 = totSql.substring(0, selStart + 6) + " " +
+      newItems.mkString(", ") + " " + totSql.substring(listEnd)
+    val rows = spark.sql(ChTranspiler.transpile(sql2)).collect().toSeq
+    def dflt(dt: DataType): Any = dt match {
+      case _: IntegerType | _: ShortType | _: ByteType => 0
+      case _: LongType => 0L
+      case _: DoubleType => 0.0d
+      case _: FloatType => 0.0f
+      case d: DecimalType => java.math.BigDecimal.ZERO
+      case StringType => ""
+      case BooleanType => false
+      case DateType => java.sql.Date.valueOf("1970-01-01")
+      case TimestampType => java.sql.Timestamp.from(java.time.Instant.EPOCH)
+      case _: ArrayType => Seq.empty
+      case _ => null
+    }
+    rows.map { r =>
+      val vals = (0 until r.length).map { k =>
+        if (keyPos.contains(k) && r.isNullAt(k)) dflt(schema(k).dataType)
+        else r.get(k)
+      }
+      org.apache.spark.sql.Row.fromSeq(vals)
+    }
+  }
+
+  /** min/max rows per ExtremesTransform: numeric columns compared with
+    * NaN last (a NaN extreme only when every value is NaN); other types
+    * min/max by natural order when comparable, else first value.
+    */
+  private def extremesRows(rows: Seq[org.apache.spark.sql.Row])
+      : Seq[org.apache.spark.sql.Row] = {
+    val n = rows.head.length
+    def num(v: Any): Option[Double] = v match {
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case x: Number => Some(x.doubleValue())
+      case _ => None
+    }
+    val mins = new Array[Any](n)
+    val maxs = new Array[Any](n)
+    for (i <- 0 until n) {
+      val vs = rows.map(_.get(i)).filter(_ != null)
+      val numeric = vs.flatMap(v => num(v).map(d => (d, v)))
+      if (numeric.nonEmpty) {
+        val clean = numeric.filterNot(_._1.isNaN)
+        val pool = if (clean.nonEmpty) clean else numeric
+        mins(i) = pool.minBy(_._1)._2
+        maxs(i) = pool.maxBy(_._1)._2
+      } else if (vs.nonEmpty) {
+        val sorted = vs.map(_.toString).sorted
+        mins(i) = vs.find(_.toString == sorted.head).get
+        maxs(i) = vs.find(_.toString == sorted.last).get
+      }
+    }
+    Seq(org.apache.spark.sql.Row.fromSeq(mins.toSeq),
+      org.apache.spark.sql.Row.fromSeq(maxs.toSeq))
+  }
+
   def run(spark: SparkSession, sqlText: String): Either[String, String] = {
+    // one ChSession per file = one scratch database per test, the same
+    // isolation clickhouse-test provides server-side
+    val session = new graft.sql.ChSession(spark)
     try {
       var echo = false
-      val outputs = ChTranspiler.statementsRaw(sqlText).flatMap {
-        case (raw, clean) =>
+      val stmts = ChTranspiler.statementsRaw(sqlText)
+      val outputs = stmts.zipWithIndex.flatMap {
+        case ((raw, clean), k) =>
           echoDirective.findAllMatchIn(raw).foreach { m =>
             echo = m.group(1) == null || m.group(1) == "On"
           }
-          val rows = spark.sql(ChTranspiler.transpile(clean)).collect().toSeq
-          // an empty-string ROW is an output line; an empty ROWSET is not
-          (if (echo) Seq(raw) else Nil) ++
-            (if (rows.nonEmpty) Seq(ChFormat.formatRows(rows)) else Nil)
+          // `-- {{ serverError N }}`: the statement is EXPECTED to fail;
+          // a failure contributes no output. (If it unexpectedly
+          // succeeds, its output — if any — feeds the diff, which is
+          // the observable-behavior check we actually run.) The marker
+          // usually trails the `;` on the same line, so it lives at the
+          // HEAD of the next statement's raw text — check both.
+          val nextHead = if (k + 1 < stmts.length)
+            stmts(k + 1)._1.takeWhile(_ != '\n') else ""
+          val expectErr = errMarker.findFirstIn(raw).isDefined ||
+            errMarker.findFirstIn(nextHead).isDefined
+          val result: Option[String] =
+            try {
+              session.execute(graft.sql.ChSession.stripDbRefs(clean)) match {
+                case graft.sql.ChSession.Done => None
+                case graft.sql.ChSession.Output(rows) =>
+                  Some(ChFormat.formatRows(rows))
+                case graft.sql.ChSession.NotHandled =>
+                  val stripped = graft.sql.ChSession.stripDbRefs(clean)
+                  ChTranspiler.splitTotals(stripped) match {
+                    case Some((mainSql, totSql, groupItems)) =>
+                      // WITH TOTALS: group rows, blank line, grand total
+                      val mainDf = spark.sql(ChTranspiler.transpile(mainSql))
+                      val mainRows = mainDf.collect().toSeq
+                      val totRows =
+                        try spark.sql(ChTranspiler.transpile(totSql)).collect().toSeq
+                        catch {
+                          // group keys dangle without the GROUP BY —
+                          // substitute them with typed NULLs and print
+                          // the type default, as TotalsHavingTransform
+                          // does for the totals row's key columns
+                          case _: Throwable =>
+                            totalsWithKeyDefaults(
+                              spark, totSql, groupItems, mainDf.schema)
+                        }
+                      Some(ChFormat.formatRows(mainRows) + "\n\n" +
+                        ChFormat.formatRows(totRows))
+                    case None =>
+                      val rows =
+                        spark.sql(ChTranspiler.transpile(stripped)).collect().toSeq
+                      // SETTINGS extremes=1: rows, blank line, then the
+                      // min and max row over numeric columns (NaN and
+                      // NULL excluded unless nothing else remains —
+                      // reference ExtremesTransform.cpp)
+                      if (extremesRe.findFirstIn(stripped).isDefined && rows.nonEmpty)
+                        Some(ChFormat.formatRows(rows) + "\n\n" +
+                          ChFormat.formatRows(extremesRows(rows)))
+                      // empty-string ROW is an output line; empty ROWSET is not
+                      else if (rows.nonEmpty) Some(ChFormat.formatRows(rows))
+                      else None
+                  }
+              }
+            } catch {
+              case _: Throwable if expectErr => None
+            }
+          (if (echo) Seq(raw) else Nil) ++ result.toSeq
       }
       Right(outputs.mkString("\n"))
     } catch {
       case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator
           .take(2).mkString(" "))
-    }
+    } finally session.close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -85,6 +249,10 @@ object StatelessSweep {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // ClickHouse has NO ordinal GROUP BY / ORDER BY — `GROUP BY 1`
+      // groups by the constant 1 (one group), matching these off
+      .config("spark.sql.groupByOrdinal", "false")
+      .config("spark.sql.orderByOrdinal", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -95,8 +263,30 @@ object StatelessSweep {
     graft.sql.ClickHouseAliases.injectStrict(spark)
     var pass = 0; var diff = 0; var err = 0
     val passed = Seq.newBuilder[String]
-    candidates(dir).foreach { case (name, sqlText, expected) =>
-      run(spark, sqlText) match {
+    // Dev subset filter: regex over file names (unset = all candidates).
+    val onlyRe = sys.env.get("SPARK_GRAFT_SWEEP_ONLY").map(_.r)
+    // Per-file watchdog: one pathological test (runaway generate, a
+    // planner bug) must cost its own slice, not the rest of the sweep.
+    val timeoutS = sys.env.getOrElse("SPARK_GRAFT_SWEEP_TIMEOUT_S", "120").toLong
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    def runGuarded(sqlText: String): Either[String, String] = {
+      val task = pool.submit(new java.util.concurrent.Callable[Either[String, String]] {
+        def call(): Either[String, String] = run(spark, sqlText)
+      })
+      try task.get(timeoutS, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelAllJobs()
+          task.cancel(true)
+          Left(s"timeout after ${timeoutS}s")
+        case e: Throwable => Left(Option(e.getMessage).getOrElse(e.toString))
+      }
+    }
+    candidates(dir)
+      .filter { case (name, _, _) =>
+        onlyRe.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, sqlText, expected) =>
+      runGuarded(sqlText) match {
         case Right(actual) if actual.stripLineEnd == expected.stripLineEnd =>
           pass += 1; passed += name
           println(s"PASS $name")
@@ -121,6 +311,7 @@ object StatelessSweep {
     Files.createDirectories(Paths.get(outList).getParent)
     Files.write(Paths.get(outList),
       passed.result().mkString("", "\n", "\n").getBytes("UTF-8"))
+    pool.shutdownNow()
     spark.stop()
   }
 }

@@ -10,11 +10,11 @@ class ChTranspilerSpec extends AnyFunSuite {
 
   private def t(s: String) = ChTranspiler.transpile(s)
 
-  test("array literals become array(); element access becomes element_at") {
+  test("array literals become array(); element access becomes arrayElement") {
     assert(t("SELECT ['a', 'b']") == "SELECT array('a', 'b')")
     assert(t("SELECT [[1],[2]]") == "SELECT array(array(1),array(2))")
-    assert(t("SELECT arr[1]") == "SELECT element_at(arr, 1)")
-    assert(t("SELECT array(1,2)[2]") == "SELECT element_at(array(1,2), 2)")
+    assert(t("SELECT arr[1]") == "SELECT arrayElement(arr, 1)")
+    assert(t("SELECT array(1,2)[2]") == "SELECT arrayElement(array(1,2), 2)")
   }
 
   test("parameterized aggregate f(p)(x) merges to registry form f(p, x)") {
@@ -93,8 +93,8 @@ class ChTranspilerSpec extends AnyFunSuite {
   test("multi-item ARRAY JOIN zips positionally via one explode") {
     val out = t("SELECT x, y FROM t ARRAY JOIN a1 AS x, a2 AS y WHERE x > 0")
       .replaceAll("\\s+", " ")
-    assert(out.contains("named_struct('c0', element_at(a1,"), out)
-    assert(out.contains("'c1', element_at(a2,"), out)
+    assert(out.contains("named_struct('c0', try_element_at(a1,"), out)
+    assert(out.contains("'c1', try_element_at(a2,"), out)
     // alias references outside the clause rewritten to struct fields
     assert(out.matches(".*SELECT __aj_s\\d+\\.c0, __aj_s\\d+\\.c1 .*"), out)
     assert(out.matches(".*WHERE __aj_s\\d+\\.c0 > 0.*"), out)

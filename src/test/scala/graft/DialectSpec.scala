@@ -199,8 +199,9 @@ class DialectSpec extends SparkSpec {
     val n = spark.sql("SELECT CAST(SUM(number) AS BIGINT) AS s FROM numbers(10)")
       .collect()(0).getLong(0)
     assert(n === 45L)
+    // numbers(offset, length): 8 rows starting at 5
     val n2 = spark.sql("SELECT COUNT(*) FROM numbers(5, 8)").collect()(0).getLong(0)
-    assert(n2 === 3L)
+    assert(n2 === 8L)
     val r = one("""SELECT arrayReduce('sum', array(1, 2, 3)),
                    arrayReduce('max', array(1, 5, 3)),
                    arrayReduce('count', array(1, 2)),
@@ -972,8 +973,10 @@ class DialectSpec extends SparkSpec {
     assert(r.getString(8) === "http://x/?a=1&c=3")
     assert(r.getString(9) === "http://x/?a=1")
     assert(r.getString(10) === "http://x/?b=2")
-    assert(r.getSeq[String](11) === Seq("x=1", "y=2"))
-    assert(r.getSeq[String](12) === Seq("x", "y"))
+    // parameters start at the first ? OR # and split on both — the
+    // fragment's segments count (reference extractURLParameters.cpp)
+    assert(r.getSeq[String](11) === Seq("x=1", "y=2", "frag"))
+    assert(r.getSeq[String](12) === Seq("x", "y", "frag"))
     val h = one("""SELECT
         URLHierarchy('https://example.com/browse/CONV-6788'),
         URLPathHierarchy('https://example.com/browse/CONV-6788?x=1'),

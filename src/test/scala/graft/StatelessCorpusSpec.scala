@@ -37,6 +37,9 @@ class StatelessCorpusSpec extends SparkSpec {
     val session = spark.newSession()
     Engine.registerFunctions(session)
     graft.sql.ClickHouseAliases.injectStrict(session)
+    // CH has no ordinal GROUP BY / ORDER BY (same as StatelessSweep)
+    session.conf.set("spark.sql.groupByOrdinal", "false")
+    session.conf.set("spark.sql.orderByOrdinal", "false")
     val failures = allowlist.flatMap { name =>
       val sqlText = new String(
         Files.readAllBytes(Paths.get(corpusDir, name)), "UTF-8")
