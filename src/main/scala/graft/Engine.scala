@@ -84,6 +84,24 @@ object Engine {
       aggregates.BitmapAggregates.bitmapXorCardinality)
     spark.udf.register("bitmapBuild", aggregates.BitmapAggregates.bitmapBuild)
     spark.udf.register("bitmapToArray", aggregates.BitmapAggregates.bitmapToArray)
+    // scalar array → bitmap bytes: BitMap64 column INSERT path (the
+    // reference's BitMap64 accepts Array literals on ingest)
+    spark.udf.register("arrayToBitmap", (xs: Seq[Long]) => {
+      val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+      if (xs != null) xs.foreach(bm.addLong)
+      aggregates.BitmapAggregates.serialize(bm)
+    })
+    // geohash SQL spellings (reference GeoHash.cpp argument order is
+    // longitude FIRST; decode returns the (lon, lat) tuple — field
+    // names col1/col2 so CH `.1`/`.2` access resolves)
+    spark.udf.register("geohashEncode",
+      (lon: Double, lat: Double, p: Int) =>
+        functions.GeoFunctions.encode(lat, lon, if (p <= 0) 12 else p))
+    spark.udf.register("geohashDecode", (h: String) => {
+      val (lat, lon) = functions.GeoFunctions.decode(h)
+      GeoPoint(lon, lat)
+    })
+    spark.udf.register("geohashesInBox", functions.GeoFunctions.geohashesInBox _)
     // uniqTheta set-op scalars (FunctionsUniqTheta.h)
     spark.udf.register("uniqThetaUnion", aggregates.SketchAggregates.uniqThetaUnion)
     spark.udf.register("uniqThetaIntersect",
@@ -101,3 +119,8 @@ object Engine {
     spark.sql(text)
   }
 }
+
+/** geohashDecode's (longitude, latitude) tuple — field names match the
+  * CH positional access convention (`.1` → col1).
+  */
+case class GeoPoint(col1: Double, col2: Double)

@@ -36,6 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registered pre-aggregated parquet views instead (plans/
     // MaterializedViewRewrite.scala) — no-op until an MV is registered.
     ext.injectOptimizerRule(_ => graft.plans.MaterializedViewRewrite)
+    // ClickHouse arithmetic/logic coercions (DateTime ± int, numeric
+    // AND/OR/WHERE, boolean sums) — fires only on trees Spark's own
+    // coercion would reject.
+    ext.injectResolutionRule(_ => graft.sql.ChCoercions)
+    // join_use_nulls=0 outer-join padding (flag-gated; off by default)
+    ext.injectOptimizerRule(_ => graft.sql.ChJoinDefaults)
     // ClickHouse-dialect function spellings → native Catalyst expressions.
     graft.sql.ClickHouseAliases.inject(ext)
   }

@@ -88,6 +88,22 @@ object HashOps {
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
   }
 
+  /** Decimal native byte image: unscaled two's-complement LE at the
+    * storage width (for the hash family's byte path).
+    */
+  def decLeBytes(d: org.apache.spark.sql.types.Decimal,
+      width: Int): Array[Byte] = {
+    val unscaled = d.toJavaBigDecimal.unscaledValue()
+    val out = new Array[Byte](width)
+    var i = 0
+    while (i < width) {
+      out(i) = unscaled.shiftRight(8 * i)
+        .and(java.math.BigInteger.valueOf(0xff)).byteValue()
+      i += 1
+    }
+    out
+  }
+
   /** halfMD5: big-endian read of the MD5 digest's first 8 bytes
     * (reference HalfMD5Impl — flipBytes of the LE u64).
     */

@@ -1,0 +1,87 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** ClickHouse arithmetic/logic coercions Spark's own TypeCoercion
+  * rejects (reference src/Functions/FunctionsConversion.h and the
+  * IFunction overload resolvers accept these by construction):
+  *
+  *  - DateTime ± integer = seconds; Date ± integer = days
+  *    (FunctionDateOrDateTimeAddInterval.h default unit).
+  *  - sum/avg over UInt8-as-boolean (comparisons are UInt8 in CH; the
+  *    engine surfaces them as BooleanType).
+  *  - AND/OR/NOT/IF/WHERE over numbers: nonzero = true
+  *    (FunctionsLogical.cpp).
+  *  - comparisons mixing boolean and number compare as 0/1.
+  *
+  * A resolution rule, not parser work: every case fires only on trees
+  * Spark's analyzer would otherwise reject, so green queries are
+  * untouched and the rewrite is idempotent.
+  */
+object ChCoercions extends Rule[LogicalPlan] {
+
+  private def ok(es: Expression*): Boolean = es.forall(_.resolved)
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def numeric(e: Expression): Boolean =
+    e.dataType.isInstanceOf[NumericType]
+  private def isTs(e: Expression): Boolean = e.dataType == TimestampType
+  private def isDate(e: Expression): Boolean = e.dataType == DateType
+  private def isBool(e: Expression): Boolean = e.dataType == BooleanType
+
+  private def toBool(e: Expression): Expression =
+    Not(EqualTo(Cast(e, DoubleType), Literal(0.0d)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case f @ Filter(cond, _) if cond.resolved && numeric(cond) =>
+        f.copy(condition = toBool(cond))
+      case q =>
+        q.transformExpressionsUp {
+          case Add(l, r, f) if ok(l, r) && isTs(l) && integral(r) =>
+            TimestampAdd("SECOND", Cast(r, LongType), l)
+          case Add(l, r, f) if ok(l, r) && integral(l) && isTs(r) =>
+            TimestampAdd("SECOND", Cast(l, LongType), r)
+          case Subtract(l, r, f) if ok(l, r) && isTs(l) && integral(r) =>
+            TimestampAdd("SECOND", UnaryMinus(Cast(r, LongType)), l)
+          case Add(l, r, f) if ok(l, r) && isDate(l) && integral(r) =>
+            DateAdd(l, Cast(r, IntegerType))
+          case Add(l, r, f) if ok(l, r) && integral(l) && isDate(r) =>
+            DateAdd(r, Cast(l, IntegerType))
+          case Subtract(l, r, f) if ok(l, r) && isDate(l) && integral(r) =>
+            DateSub(l, Cast(r, IntegerType))
+          case s @ Sum(c, _) if c.resolved && isBool(c) =>
+            s.copy(child = Cast(c, IntegerType))
+          case a @ Average(c, _) if c.resolved && isBool(c) =>
+            a.copy(child = Cast(c, IntegerType))
+          case And(l, r) if ok(l, r) && numeric(l) && numeric(r) =>
+            And(toBool(l), toBool(r))
+          case And(l, r) if ok(l, r) && numeric(l) && isBool(r) =>
+            And(toBool(l), r)
+          case And(l, r) if ok(l, r) && isBool(l) && numeric(r) =>
+            And(l, toBool(r))
+          case Or(l, r) if ok(l, r) && numeric(l) && numeric(r) =>
+            Or(toBool(l), toBool(r))
+          case Or(l, r) if ok(l, r) && numeric(l) && isBool(r) =>
+            Or(toBool(l), r)
+          case Or(l, r) if ok(l, r) && isBool(l) && numeric(r) =>
+            Or(l, toBool(r))
+          case Not(c) if c.resolved && numeric(c) =>
+            EqualTo(Cast(c, DoubleType), Literal(0.0d))
+          case If(p, t, e) if p.resolved && numeric(p) =>
+            If(toBool(p), t, e)
+          case c: BinaryComparison
+              if ok(c.left, c.right) && isBool(c.left) && numeric(c.right) =>
+            c.withNewChildren(Seq(Cast(c.left, IntegerType), c.right))
+          case c: BinaryComparison
+              if ok(c.left, c.right) && numeric(c.left) && isBool(c.right) =>
+            c.withNewChildren(Seq(c.left, Cast(c.right, IntegerType)))
+        }
+    }
+}

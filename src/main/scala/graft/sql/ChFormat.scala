@@ -17,6 +17,12 @@ object ChFormat {
   private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
 
+  /** Wall-clock zone for DateTime text — the reference prints server
+    * time, and its test corpus is generated under Europe/Moscow
+    * (clickhouse-test pins TZ); the corpus runner sets this to match.
+    */
+  @volatile var zone: java.time.ZoneId = ZoneOffset.UTC
+
   def formatRows(rows: Seq[org.apache.spark.sql.Row]): String =
     rows.map(r => (0 until r.length).map(i => top(r.get(i))).mkString("\t"))
       .mkString("\n")
@@ -52,8 +58,8 @@ object ChFormat {
     case d: java.math.BigDecimal => formatDecimal(d)
     case d: scala.math.BigDecimal => formatDecimal(d.bigDecimal)
     case d: Date => d.toLocalDate.format(dateFmt)
-    case t: Timestamp => tsText(t.toInstant.atZone(ZoneOffset.UTC).toLocalDateTime)
-    case t: java.time.Instant => tsText(t.atZone(ZoneOffset.UTC).toLocalDateTime)
+    case t: Timestamp => tsText(t.toInstant.atZone(zone).toLocalDateTime)
+    case t: java.time.Instant => tsText(t.atZone(zone).toLocalDateTime)
     case d: java.time.LocalDate => d.format(dateFmt)
     case d: java.time.LocalDateTime => tsText(d)
     // intervals print as their unit count (CH IntervalSecond 10 → "10");
@@ -114,7 +120,11 @@ object ChFormat {
     */
   private def tsText(t: java.time.LocalDateTime): String = {
     val base = t.format(tsFmt)
-    if (t.getNano == 0) base else base + f".${t.getNano / 1000}%06d"
+    // millisecond-lattice values print DateTime64(3)-style (the most
+    // common declared scale); finer values print all six digits
+    if (t.getNano == 0) base
+    else if (t.getNano % 1000000 == 0) base + f".${t.getNano / 1000000}%03d"
+    else base + f".${t.getNano / 1000}%06d"
   }
 
   /** ClickHouse trims trailing fractional zeros from Decimal output

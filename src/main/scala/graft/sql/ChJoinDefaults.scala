@@ -1,0 +1,61 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+
+/** ClickHouse `join_use_nulls = 0` (the DEFAULT) semantics: an outer
+  * join pads the non-matched side with the column types' DEFAULT values
+  * (0, '', epoch), not NULLs (reference
+  * src/Interpreters/HashJoin.cpp JoinUsedFlags + default-filled
+  * columns; docs/operations/settings: join_use_nulls).
+  *
+  * Implemented as a marker trick: each outer side gets a literal TRUE
+  * column; after the join, `marker IS NULL` identifies the padded rows,
+  * and only THOSE rows' attributes collapse to the type default — a
+  * genuine NULL VALUE inside a matched row survives, which a blanket
+  * coalesce would destroy.
+  *
+  * Gated by the session conf `spark.graft.chJoinDefaults` (set only by
+  * the stateless-corpus runner) so library users keep standard SQL NULL
+  * semantics.
+  */
+object ChJoinDefaults extends Rule[LogicalPlan] {
+
+  val Flag = "spark.graft.chJoinDefaults"
+  private val MarkL = "__ch_matched_l"
+  private val MarkR = "__ch_matched_r"
+
+  private def marked(p: LogicalPlan, name: String): Boolean =
+    p.output.exists(_.name == name)
+
+  private def addMark(p: LogicalPlan, name: String): (LogicalPlan, Attribute) = {
+    val a = Alias(Literal(true), name)()
+    (Project(p.output :+ a, p), a.toAttribute)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (SQLConf.get.getConfString(Flag, "false") != "true") return plan
+    plan.transformUp {
+      case j @ Join(left, right, jt @ (LeftOuter | RightOuter | FullOuter),
+          cond, hint)
+          if j.resolved && !marked(left, MarkL) && !marked(right, MarkR) =>
+        val (l2, lm) = if (jt == RightOuter || jt == FullOuter)
+          addMark(left, MarkL) else (left, null)
+        val (r2, rm) = if (jt == LeftOuter || jt == FullOuter)
+          addMark(right, MarkR) else (right, null)
+        val inner = Join(l2, r2, jt, cond, hint)
+        val outCols: Seq[NamedExpression] = j.output.map { a =>
+          val fromLeft = left.outputSet.contains(a)
+          val mark = if (fromLeft) lm else rm
+          if (mark == null) a
+          else Alias(
+            If(IsNull(mark), Literal.default(a.dataType), a),
+            a.name)(exprId = a.exprId, qualifier = a.qualifier)
+        }
+        Project(outCols, inner)
+    }
+  }
+}

@@ -201,8 +201,14 @@ final class ChSession(spark: SparkSession) {
         full = full.withColumn(f.name, d)
       }
     }
-    val aligned = full.select(st.schema.fields.map(f =>
-      col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+    val chTypeOf = st.declared.toMap
+    val aligned = full.select(st.schema.fields.map { f =>
+      // BitMap64 ingests Array literals → roaring bytes (the reference's
+      // BitMapColumn insert path); everything else casts to declared type
+      if (chTypeOf.get(f.name).contains("BitMap64"))
+        expr(s"arrayToBitmap(`${f.name}`)").as(f.name)
+      else col(s"`${f.name}`").cast(f.dataType).as(f.name)
+    }: _*)
     st.data = st.data.unionByName(aligned)
     // an unordered SELECT observes the merged table's sorting-key order
     // (MergeTree parts merge-sort on read); register the sorted view
@@ -520,6 +526,32 @@ object ChTypes {
       case "Decimal64" => (DecimalType(18, args.head.toInt), false)
       case "Decimal128" => (DecimalType(38, args.head.toInt), false)
       case "SimpleAggregateFunction" => parse(args(1))
+      case "BitMap64" => (BinaryType, false)
+      // value-model state column (see ClickHouseAliases.stateMergeWave):
+      // the stored "state" is the mergeable value the -State spelling
+      // produces for that base function
+      case "AggregateFunction" =>
+        val fn = args.head.takeWhile(_ != '(').trim.toLowerCase
+        lazy val inner = if (args.length > 1) parse(args(1))._1 else DoubleType
+        fn match {
+          case "count" => (LongType, false)
+          case "sum" => inner match {
+            case ByteType | ShortType | IntegerType | LongType => (LongType, false)
+            case FloatType | DoubleType => (DoubleType, false)
+            case d: DecimalType =>
+              (DecimalType(math.min(38, d.precision + 10), d.scale), false)
+            case other => (other, false)
+          }
+          case "min" | "max" | "any" | "anylast" => (inner, false)
+          case "avg" => (StructType(Seq(
+            StructField("s", DoubleType), StructField("c", LongType))), false)
+          case "uniq" | "uniqexact" | "uniqcombined" | "grouparray" |
+               "groupuniqarray" => (ArrayType(inner), false)
+          case "groupbitmap" => (BinaryType, false)
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported AggregateFunction state: $other")
+        }
       case "FixedString" | "String" | "UUID" | "IPv4" | "IPv6" |
            "Enum" | "Enum8" | "Enum16" | "JSON" | "Object" =>
         (StringType, false)

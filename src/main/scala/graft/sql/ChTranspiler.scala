@@ -295,6 +295,16 @@ object ChTranspiler {
           // word (ANY/ASOF qualifiers are NOT dropped — different
           // semantics, they must fail loudly instead).
           ()
+        case n @ Num(t) if t.toLowerCase.startsWith("0x") &&
+            t.drop(2).nonEmpty &&
+            t.drop(2).forall(c => "0123456789abcdefABCDEF".contains(c)) =>
+          // hex literals: Spark's lexer reads `0x…` as an identifier —
+          // emit the decimal value (unsigned beyond Long range, the CH
+          // UInt64 reading)
+          val v = BigInt(t.drop(2), 16)
+          if (v.isValidLong) out.append(v.toString)
+          else out.append(v.toString).append("BD")
+          lastSig = Some(n)
         case n @ Num(t) if (t.contains('.') || t.toLowerCase.contains('e')) &&
             !t.toLowerCase.startsWith("0x") && t.count(_ == '.') <= 1 &&
             !t.toLowerCase.endsWith("d") =>
@@ -534,6 +544,105 @@ object ChTranspiler {
         itemsText.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       }
     Some((main, drop(totRanges), groupItems))
+  }
+
+  /** `ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` (reference
+    * FillingTransform.cpp): strip the modifier and return the fill
+    * specs so the corpus runner can densify the collected rows. Only
+    * top-level ORDER BY items are considered.
+    */
+  case class FillSpec(col: String, desc: Boolean, from: Option[String],
+      to: Option[String], step: Option[String])
+
+  def stripWithFill(stmt: String): Option[(String, Seq[FillSpec])] = {
+    if (!"""(?i)\bWITH\s+FILL\b""".r.findFirstIn(stmt).isDefined) return None
+    val toks = tokenize(stmt)
+    def sig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    val depthAt = new Array[Int](toks.length)
+    var d = 0
+    for (k <- toks.indices) toks(k) match {
+      case Punct("(") => depthAt(k) = d; d += 1
+      case Punct(")") => d -= 1; depthAt(k) = d
+      case _ => depthAt(k) = d
+    }
+    val specs = ArrayBuffer[FillSpec]()
+    val drop = ArrayBuffer[(Int, Int)]()
+    var i = 0
+    while (i < toks.length) {
+      if (depthAt(i) == 0 && isWordI(toks(i), "WITH") &&
+          isWordI(toks(sig(i + 1)), "FILL")) {
+        // walk back to the item start (comma / BY at depth 0)
+        var s = i - 1
+        var itemStart = 0
+        var dd = 0
+        var found = false
+        while (!found && s >= 0) {
+          toks(s) match {
+            case Punct(")") | Punct("]") => dd += 1
+            case Punct("(") | Punct("[") if dd > 0 => dd -= 1
+            case Punct(",") if dd == 0 => itemStart = s + 1; found = true
+            case Word(w) if dd == 0 && w.equalsIgnoreCase("BY") =>
+              itemStart = s + 1; found = true
+            case _ => ()
+          }
+          if (!found) s -= 1
+        }
+        var itemText = toks.slice(itemStart, i).map(_.text).mkString.trim
+        val desc = """(?i)\s+DESC(ENDING)?$""".r.findFirstIn(itemText).isDefined
+        itemText = itemText.replaceAll("(?i)\\s+(ASC|DESC)(ENDING)?$", "")
+        // consume FROM/TO/STEP operands
+        var j = sig(sig(i + 1) + 1)
+        var from: Option[String] = None
+        var to: Option[String] = None
+        var step: Option[String] = None
+        var stop = false
+        while (!stop && j < toks.length) {
+          toks(j) match {
+            case w: Word if isWordI(w, "FROM") || isWordI(w, "TO") ||
+                isWordI(w, "STEP") =>
+              val kw = w.text.toUpperCase
+              var e = sig(j + 1)
+              val start = e
+              // operand: signed literal / function call until next kw
+              var dd2 = 0
+              var done = false
+              while (!done && e < toks.length) {
+                toks(e) match {
+                  case Punct("(") => dd2 += 1
+                  case Punct(")") if dd2 > 0 => dd2 -= 1
+                  case Punct(")") | Punct(",") | Punct(";") if dd2 == 0 => done = true
+                  case ww: Word if dd2 == 0 &&
+                      Seq("FROM", "TO", "STEP", "WITH", "LIMIT", "SETTINGS",
+                        "FORMAT", "INTERPOLATE", "UNION", "OFFSET")
+                        .contains(ww.text.toUpperCase) &&
+                      e != start => done = true
+                  case _ => ()
+                }
+                if (!done) e += 1
+              }
+              val v = toks.slice(sig(j + 1), e).map(_.text).mkString.trim
+              kw match {
+                case "FROM" => from = Some(v)
+                case "TO" => to = Some(v)
+                case "STEP" => step = Some(v)
+              }
+              j = e
+            case _ => stop = true
+          }
+        }
+        specs += FillSpec(itemText, desc, from, to, step)
+        drop += ((i, j))
+        i = j
+      } else i += 1
+    }
+    if (specs.isEmpty) None
+    else {
+      val dead = drop.flatMap { case (a, b) => a until b }.toSet
+      Some((toks.indices.filterNot(dead).map(toks(_).text).mkString,
+        specs.toSeq))
+    }
   }
 
   private def rewriteScalarWith(sql: String): String = {

@@ -140,6 +140,14 @@ object ClickHouseAliases {
           Seq(e), Seq(FloatType), returnNullable = false)
         case DoubleType => StaticInvoke(hops, BinaryType, "f64Bytes",
           Seq(e), Seq(DoubleType), returnNullable = false)
+        // Decimal hashes its unscaled integer at storage width
+        // (FunctionsHashing.h Decimal32/64/128 byte images)
+        case d: DecimalType if d.precision <= 9 =>
+          le(UnscaledValue(e), 4)
+        case d: DecimalType if d.precision <= 18 =>
+          le(UnscaledValue(e), 8)
+        case d: DecimalType => StaticInvoke(hops, BinaryType, "decLeBytes",
+          Seq(e, Literal(16)), Seq(d, IntegerType), returnNullable = false)
         case StringType => Cast(e, BinaryType)
         case BinaryType => e
         case _ => Cast(Cast(e, StringType), BinaryType)
@@ -169,6 +177,10 @@ object ClickHouseAliases {
             Seq(e), Seq(FloatType), returnNullable = false))
           case DoubleType => pod(StaticInvoke(hops, LongType, "f64BitsU64",
             Seq(e), Seq(DoubleType), returnNullable = false))
+          // Decimal32/64 are int-pods of their unscaled value
+          // (use_int_hash_for_pods, FunctionsHashing.h:859)
+          case d: DecimalType if d.precision <= 18 =>
+            pod(UnscaledValue(e))
           case _ => StaticInvoke(hops, LongType, "cityHash64",
             Seq(chHashArgBytes(e)), Seq(BinaryType), returnNullable = false)
         }
@@ -214,7 +226,7 @@ object ClickHouseAliases {
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
       wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9 ++ wave10 ++ wave11 ++
-      wave14 ++ wave15 ++ wave16 ++ wave17 ++ stateMergeWave
+      wave14 ++ wave15 ++ wave16 ++ wave17 ++ stateMergeWave ++ quantileWave
 
   /** -State / -Merge combinators in the engine's VALUE model: a "state"
     * is a plain mergeable value — sum's state is its partial sum, avg's
@@ -285,6 +297,23 @@ object ClickHouseAliases {
         If(Coalesce(Seq(cond, Literal(false))),
           Cast(new AssertTrue(Not(cond)), IntegerType), Literal(0))
       }),
+      // toDateTime64(x, scale[, tz]): the SCALE truncates — DateTime64(0)
+      // of '…11:11:11.123456' is …11:11:11 (reference DataTypeDateTime64
+      // scale ticks); sub-scale digits are floored away
+      "toDateTime64" -> (cs => ChDispatch("toDateTime64", cs.take(2)) { c =>
+        val ts = Cast(c.head, TimestampType)
+        val scale = c(1) match {
+          case Literal(v, _) if v != null =>
+            try v.toString.toInt catch { case _: Exception => 6 }
+          case _ => 6
+        }
+        if (scale >= 6) ts
+        else {
+          val f = math.pow(10, 6 - scale).toLong
+          MicrosToTimestamp(Multiply(
+            IntegralDivide(UnixMicros(ts), Literal(f)), Literal(f)))
+        }
+      }),
       // scalar helpers the state-family tests lean on
       "isZeroOrNull" -> (cs => ChDispatch("isZeroOrNull", cs.take(1)) { c =>
         Cast(Coalesce(Seq(
@@ -301,6 +330,53 @@ object ClickHouseAliases {
     if (cs.size >= 3)
       new Percentile(nullUnless(cs(2), cs(1)), cs.head)
     else new Percentile(nullUnless(cs(1), cs.head), Literal(0.5d))
+
+  /** The remaining quantile spellings (reference AggregateFunction
+    * Quantile.cpp registrations): every deterministic variant lowers to
+    * the exact interpolated percentile — the reference's sampling
+    * variants are exact below their reservoir sizes, which corpus-scale
+    * data never exceeds. Weighted forms carry Percentile's frequency
+    * argument; quantiles* return the level array.
+    */
+  private def quantileWave: Seq[(String, Seq[Expression] => Expression)] = {
+    // (levels..., value[, weight]) after parameter flattening
+    def one(cs: Seq[Expression]): Expression =
+      if (cs.size >= 2) new Percentile(cs(1), cs.head)
+      else new Percentile(cs.head, Literal(0.5d))
+    def oneW(cs: Seq[Expression]): Expression =
+      new Percentile(cs(1), cs.head, Cast(cs(2), LongType))
+    def many(cs: Seq[Expression]): Expression =
+      new Percentile(cs.last, CreateArray(cs.dropRight(1)))
+    def manyW(cs: Seq[Expression]): Expression =
+      new Percentile(cs(cs.size - 2), CreateArray(cs.dropRight(2)),
+        Cast(cs.last, LongType))
+    Seq(
+      "quantile" -> one _,
+      // deterministic variant takes a trailing determinator argument
+      "quantileDeterministic" -> (cs => new Percentile(cs(1), cs.head)),
+      "quantileExactWeighted" -> oneW _,
+      "quantileTDigestWeighted" -> oneW _,
+      "medianExactWeighted" -> (cs =>
+        new Percentile(cs.head, Literal(0.5d), Cast(cs(1), LongType))),
+      "quantileTimingWeighted" -> (cs => Round(
+        new Percentile(Least(Seq(Cast(cs(1), DoubleType), Literal(30000.0))),
+          cs.head, Cast(cs(2), LongType)).toAggregateExpression(), Literal(0))),
+      "quantiles" -> many _,
+      "quantilesExact" -> many _,
+      "quantilesTDigest" -> many _,
+      "quantilesDeterministic" -> (cs =>
+        new Percentile(cs(cs.size - 2), CreateArray(cs.dropRight(2)))),
+      "quantilesExactWeighted" -> manyW _,
+      "quantilesInterpolatedWeighted" -> manyW _,
+      "quantilesTDigestWeighted" -> manyW _,
+      "quantilesTimingWeighted" -> (cs => ArrayTransform(
+        new Percentile(
+          Least(Seq(Cast(cs(cs.size - 2), DoubleType), Literal(30000.0))),
+          CreateArray(cs.dropRight(2)), Cast(cs.last, LongType))
+          .toAggregateExpression(),
+        LambdaFunction(Round(lv("q"), Literal(0)), Seq(lv("q")))))
+    )
+  }
 
   private def wave1: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // approximate + conditional aggregates
@@ -1474,9 +1550,11 @@ object ClickHouseAliases {
       val (lon1, lat1, lon2, lat2) = (rad(cs(0)), rad(cs(1)), rad(cs(2)), rad(cs(3)))
       val u = Sin(Divide(Subtract(lat2, lat1), Literal(2.0)))
       val v = Sin(Divide(Subtract(lon2, lon1), Literal(2.0)))
-      Multiply(Literal(2.0 * R),
+      // Float32 result type, like the reference's implementation
+      Cast(Multiply(Literal(2.0 * R),
         Asin(Sqrt(Add(Multiply(u, u),
-          Multiply(Multiply(Cos(lat1), Cos(lat2)), Multiply(v, v))))))
+          Multiply(Multiply(Cos(lat1), Cos(lat2)), Multiply(v, v)))))),
+        FloatType)
     }),
     "toYYYYMMDDhhmmss" -> (cs =>
       Cast(DateFormatClass(cs.head, Literal("yyyyMMddHHmmss")), LongType)),
@@ -2165,7 +2243,10 @@ object ClickHouseAliases {
         AddMonths(cs.head, Multiply(Cast(cs(1), IntegerType), Literal(3)))),
       "subtractQuarters" -> (cs =>
         AddMonths(cs.head, Multiply(Cast(cs(1), IntegerType), Literal(-3)))),
-      "fromUnixTimestampMilli" -> (cs => MillisToTimestamp(Cast(cs.head, LongType))))
+      // returns DateTime (second precision) — the milli remainder is
+      // truncated, like the reference's implementation
+      "fromUnixTimestampMilli" -> (cs => SecondsToTimestamp(
+        IntegralDivide(Cast(cs.head, LongType), Literal(1000L)))))
     base ++ stringHashWave ++ detectWave ++ codingWave ++ arrayWave2 ++
       conversionFamily ++ parseDateTimeWave ++ wave12
   }
@@ -3435,7 +3516,7 @@ object ClickHouseAliases {
           Multiply(Sin(Divide(dLat, Literal(2.0))), Sin(Divide(dLat, Literal(2.0)))),
           Multiply(Multiply(Cos(lat1), Cos(lat2)),
             Multiply(Sin(Divide(dLon, Literal(2.0))), Sin(Divide(dLon, Literal(2.0))))))
-        Multiply(Literal(2.0 * 6371000.0), Asin(Sqrt(a)))
+        Cast(Multiply(Literal(2.0 * 6371000.0), Asin(Sqrt(a))), FloatType)
       }),
       // boolean xor (reference FunctionsLogical xor): true iff operand
       // truthiness differs; CH coerces numerics via != 0

@@ -55,6 +55,100 @@ object StatelessSweep {
   private val errMarker = """\{\s*(?:server|client)Error\b""".r
   private val extremesRe = """(?i)\bextremes\s*=\s*1\b""".r
 
+  /** WITH FILL densification over the collected (already sorted) rows —
+    * the runner-side mirror of the reference's FillingTransform: missing
+    * values of the fill column appear as synthetic rows stepping from
+    * FROM (or the first value) to TO (exclusive), other columns at their
+    * type defaults. First fill column only (hierarchical multi-column
+    * fill is out of scope — those files diff out).
+    */
+  private def fillRows(spark: SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType,
+      specs: Seq[ChTranspiler.FillSpec]): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    val spec = specs.head
+    val colName = spec.col.replaceAll("`", "").trim
+    val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+    if (idx < 0) return rows
+    val dt = schema(idx).dataType
+    def toD(v: Any): Option[Double] = v match {
+      case null => None
+      case n: Number => Some(n.doubleValue())
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+      case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+      case t: java.sql.Timestamp => Some(t.toInstant.getEpochSecond.toDouble)
+      case _ => None
+    }
+    def fromD(x: Double): Any = dt match {
+      case ByteType => x.toByte
+      case ShortType => x.toShort
+      case IntegerType => x.toInt
+      case LongType => x.toLong
+      case FloatType => x.toFloat
+      case DoubleType => x
+      case d: DecimalType => new java.math.BigDecimal(x)
+      case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.toLong))
+      case TimestampType => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(x.toLong))
+      case _ => x
+    }
+    def evalScalar(text: String): Option[Double] = {
+      try toD(spark.sql(ChTranspiler.transpile("SELECT " + text))
+        .collect()(0).get(0))
+      catch { case _: Throwable => text.trim.toDoubleOption }
+    }
+    def defaultAt(i: Int): Any = schema(i).dataType match {
+      case _: NumericType => fromDOf(schema(i).dataType, 0.0)
+      case StringType => ""
+      case BooleanType => false
+      case DateType => java.sql.Date.valueOf("1970-01-01")
+      case TimestampType => java.sql.Timestamp.from(java.time.Instant.EPOCH)
+      case _: ArrayType => Seq.empty
+      case _ => null
+    }
+    def fromDOf(t: DataType, x: Double): Any = t match {
+      case ByteType => x.toByte
+      case ShortType => x.toShort
+      case IntegerType => x.toInt
+      case LongType => x.toLong
+      case FloatType => x.toFloat
+      case DoubleType => x
+      case d: DecimalType => new java.math.BigDecimal(x)
+      case _ => x
+    }
+    def mk(v: Double): org.apache.spark.sql.Row =
+      org.apache.spark.sql.Row.fromSeq(schema.indices.map(i =>
+        if (i == idx) fromD(v) else defaultAt(i)))
+    val stepRaw = spec.step.flatMap(evalScalar).getOrElse(1.0)
+    val step = math.abs(stepRaw) * (if (spec.desc) -1 else 1)
+    if (step == 0) return rows
+    val from = spec.from.flatMap(evalScalar)
+    val to = spec.to.flatMap(evalScalar)
+    val eps = 1e-9
+    val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    var cur: Option[Double] = from
+    def ahead(c: Double, v: Double): Boolean =
+      if (spec.desc) c > v + eps else c < v - eps
+    rows.foreach { r =>
+      toD(r.get(idx)) match {
+        case Some(v) =>
+          if (cur.isEmpty) cur = Some(v)
+          var c = cur.get
+          while (ahead(c, v)) { out += mk(c); c += step }
+          out += r
+          // next expected value after a real row
+          cur = Some(v + step)
+        case None => out += r
+      }
+    }
+    to.foreach { t =>
+      var c = cur.getOrElse(return out.toSeq)
+      while (ahead(c, t)) { out += mk(c); c += step }
+      cur = Some(c)
+    }
+    out.toSeq
+  }
+
   /** Totals fallback when the grand-total query dangles its group keys:
     * every top-level select item matching a GROUP BY item (by text or
     * alias) becomes CAST(NULL AS <its main-schema type>); after
@@ -193,6 +287,14 @@ object StatelessSweep {
                   Some(ChFormat.formatRows(rows))
                 case graft.sql.ChSession.NotHandled =>
                   val stripped = graft.sql.ChSession.stripDbRefs(clean)
+                  ChTranspiler.stripWithFill(stripped) match {
+                    case Some((cleaned, specs)) =>
+                      val df = spark.sql(ChTranspiler.transpile(cleaned))
+                      val rows = df.collect().toSeq
+                      val filled = fillRows(spark, rows, df.schema, specs)
+                      if (filled.nonEmpty) Some(ChFormat.formatRows(filled))
+                      else None
+                    case None =>
                   ChTranspiler.splitTotals(stripped) match {
                     case Some((mainSql, totSql, groupItems)) =>
                       // WITH TOTALS: group rows, blank line, grand total
@@ -225,6 +327,7 @@ object StatelessSweep {
                       else if (rows.nonEmpty) Some(ChFormat.formatRows(rows))
                       else None
                   }
+                  }
               }
             } catch {
               case _: Throwable if expectErr => None
@@ -243,16 +346,23 @@ object StatelessSweep {
     val dir = args.headOption
       .getOrElse("/root/reference/tests/queries/4_cnch_stateless")
     val outList = if (args.length > 1) args(1) else "target/stateless_pass.txt"
+    // the reference corpus's golden outputs are generated with the
+    // server timezone pinned to Europe/Moscow (clickhouse-test TZ);
+    // match it for both computation and DateTime text
+    val tz = sys.env.getOrElse("SPARK_GRAFT_SWEEP_TZ", "Europe/Moscow")
+    ChFormat.zone = java.time.ZoneId.of(tz)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", tz)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // ClickHouse has NO ordinal GROUP BY / ORDER BY — `GROUP BY 1`
       // groups by the constant 1 (one group), matching these off
       .config("spark.sql.groupByOrdinal", "false")
       .config("spark.sql.orderByOrdinal", "false")
+      // CH default join_use_nulls=0: outer joins pad with type defaults
+      .config(graft.sql.ChJoinDefaults.Flag, "true")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

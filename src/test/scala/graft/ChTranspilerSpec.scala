@@ -32,7 +32,7 @@ class ChTranspilerSpec extends AnyFunSuite {
   test("fractional literals take double typing like the reference") {
     assert(t("SELECT 0.1 + 0.2") == "SELECT 0.1D + 0.2D")
     assert(t("SELECT 1e3") == "SELECT 1e3D")
-    assert(t("SELECT 0x1F") == "SELECT 0x1F")
+    assert(t("SELECT 0x1F") == "SELECT 31")
   }
 
   test("tuple element access .N maps to struct field colN") {

@@ -37,9 +37,13 @@ class StatelessCorpusSpec extends SparkSpec {
     val session = spark.newSession()
     Engine.registerFunctions(session)
     graft.sql.ClickHouseAliases.injectStrict(session)
+    // the corpus's golden outputs assume server tz Europe/Moscow
+    session.conf.set("spark.sql.session.timeZone", "Europe/Moscow")
+    graft.sql.ChFormat.zone = java.time.ZoneId.of("Europe/Moscow")
     // CH has no ordinal GROUP BY / ORDER BY (same as StatelessSweep)
     session.conf.set("spark.sql.groupByOrdinal", "false")
     session.conf.set("spark.sql.orderByOrdinal", "false")
+    session.conf.set(graft.sql.ChJoinDefaults.Flag, "true")
     val failures = allowlist.flatMap { name =>
       val sqlText = new String(
         Files.readAllBytes(Paths.get(corpusDir, name)), "UTF-8")
