@@ -315,7 +315,7 @@ object CoverageWave8 {
           'b?x=' || k || '&y=2#f' || k AS base,
           'https://u' || k || '@www.' || hn || '.com:' || (8000 + k) ||
             '/a' || k || '/b?y=2#f' || k AS cut_x,
-          'x:y:f' || k AS names_joined,
+          'x:y' AS names_joined,
           '/a' || k || '/b?' AS hier2,
           CAST(4 AS INT) AS hier_n
         FROM b ORDER BY k""")),

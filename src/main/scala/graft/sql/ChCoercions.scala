@@ -82,6 +82,12 @@ object ChCoercions extends Rule[LogicalPlan] {
           case c: BinaryComparison
               if ok(c.left, c.right) && numeric(c.left) && isBool(c.right) =>
             c.withNewChildren(Seq(c.left, Cast(c.right, IntegerType)))
+          // CH compares maps by content; Spark's = has no map ordering —
+          // equal maps have equal key-sorted entry arrays
+          case EqualTo(l, r)
+              if ok(l, r) && l.dataType.isInstanceOf[MapType] &&
+                r.dataType.isInstanceOf[MapType] =>
+            EqualTo(new SortArray(MapEntries(l)), new SortArray(MapEntries(r)))
         }
     }
 }

@@ -44,10 +44,18 @@ final class ChSession(spark: SparkSession) {
       declared: Seq[(String, String)], // col name -> CH type text (DESCRIBE)
       defaults: Map[String, String],   // col name -> transpiled default expr
       orderKey: Seq[String],
+      hidden: Set[String],             // MATERIALIZED/ALIAS column names
       var data: DataFrame)
 
   private val tables = mutable.LinkedHashMap[String, TableState]()
   private val views = mutable.LinkedHashSet[String]()
+
+  /** INSERT-triggered materialized view: `base` inserts flow through
+    * `selectSql` into `target` (CREATE MATERIALIZED VIEW … TO target).
+    */
+  private case class MvDef(name: String, base: String, target: String,
+      selectSql: String)
+  private val mvs = mutable.ArrayBuffer[MvDef]()
 
   /** Drop every view this session registered. */
   def close(): Unit = {
@@ -72,20 +80,60 @@ final class ChSession(spark: SparkSession) {
     else if (up.startsWith("DROP TABLE") || up.startsWith("DROP VIEW"))
       { dropTable(s); Done }
     else if (up.startsWith("TRUNCATE")) { truncate(s); Done }
+    else if (createMvRe.pattern.matcher(s).matches()) {
+      createMaterializedView(s); Done
+    }
     else if (createViewRe.pattern.matcher(s).matches()) { createView(s); Done }
     else if (up.startsWith("CREATE TABLE") ||
              up.startsWith("CREATE TEMPORARY TABLE")) { createTable(s); Done }
     else if (up.startsWith("INSERT INTO")) { insert(s); Done }
+    else if (up.startsWith("REFRESH")) { refresh(s); Done }
     else if (up.startsWith("DESC")) describe(s)
     else NotHandled
+  }
+
+  /** REFRESH MATERIALIZED VIEW name: recompute the target from the FULL
+    * base (the reference's partition-based refresh, collapsed to a full
+    * rebuild — equivalent for the corpus's single-partition tables).
+    */
+  private def refresh(s: String): Unit = {
+    val m = """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([`\w.]+).*""".r
+      .findFirstMatchIn(s).getOrElse(
+        throw new IllegalArgumentException(s"cannot parse REFRESH: $s"))
+    val name = cleanName(m.group(1))
+    mvs.find(_.name == name).foreach { mv =>
+      tables.get(mv.target).foreach { t =>
+        t.data = t.data.limit(0)
+      }
+      val res = spark.sql(
+        ChTranspiler.transpile(ChSession.stripDbRefs(mv.selectSql)))
+      appendTo(mv.target, res, res.columns.toSeq)
+    }
   }
 
   private def dropTable(s: String): Unit = s match {
     case dropRe(name) =>
       val t = cleanName(name)
+      mvs.filterInPlace(_.name != t)
       if (tables.remove(t).isDefined || views.remove(t))
         spark.catalog.dropTempView(t)
     case _ => throw new IllegalArgumentException(s"cannot parse DROP: $s")
+  }
+
+  /** CREATE MATERIALIZED VIEW mv TO target AS SELECT … FROM base —
+    * registered as an insert trigger (reference
+    * StorageMaterializedView.cpp: the inner query runs over each
+    * inserted block and writes to the TO table).
+    */
+  private def createMaterializedView(s: String): Unit = s match {
+    case createMvRe(name, target, sel) =>
+      val baseM = mvBaseRe.findFirstMatchIn(sel).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot find the MV base table: ${sel.take(60)}"))
+      mvs += MvDef(cleanName(name), cleanName(baseM.group(1)),
+        cleanName(target), sel)
+    case _ =>
+      throw new IllegalArgumentException(s"unsupported MATERIALIZED VIEW: $s")
   }
 
   private def truncate(s: String): Unit = s match {
@@ -122,12 +170,15 @@ final class ChSession(spark: SparkSession) {
       if (parsed.isEmpty)
         throw new IllegalArgumentException(s"no columns parsed: $colText")
       val schema = StructType(parsed.map(_.field))
+      // only orderable key columns (a Map sorting key would throw)
       val orderKey = parseOrderKey(after).filter(k =>
-        schema.fieldNames.contains(k))
+        schema.fieldNames.contains(k) &&
+          !schema(k).dataType.isInstanceOf[MapType])
       val st = TableState(schema,
         parsed.map(c => c.field.name -> c.chType),
         parsed.flatMap(c => c.default.map(c.field.name -> _)).toMap,
         orderKey,
+        parsed.filter(_.hidden).map(_.field.name).toSet,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], schema))
       tables(name) = st
@@ -141,7 +192,7 @@ final class ChSession(spark: SparkSession) {
         val df = spark.sql(ChTranspiler.transpile(stripDbRefs(asSel.get.group(1))))
         val st = TableState(df.schema,
           df.schema.fields.map(f => f.name -> sparkToCh(f.dataType)).toSeq,
-          Map.empty, Nil, df)
+          Map.empty, Nil, Set.empty, df)
         tables(name) = st
         df.createOrReplaceTempView(name)
       } else if (asClone.isDefined) {
@@ -167,8 +218,10 @@ final class ChSession(spark: SparkSession) {
       if (rest.startsWith("(")) {
         val (inner, after) = matchParen(rest)
         rest = after.trim
-        splitTop(inner).map(c => cleanName(c.trim))
-      } else st.schema.fieldNames.toSeq
+        // backticks only — a dotted name here is a NESTED column
+        // (`n.a`), not a db qualifier
+        splitTop(inner).map(_.trim.stripPrefix("`").stripSuffix("`"))
+      } else st.schema.fieldNames.toSeq.filterNot(st.hidden)
     val up = rest.toUpperCase
     val inserted: DataFrame =
       if (up.startsWith("VALUES")) {
@@ -186,6 +239,18 @@ final class ChSession(spark: SparkSession) {
         spark.sql(ChTranspiler.transpile(stripDbRefs(rest)))
       } else throw new IllegalArgumentException(
         s"unsupported INSERT form: ${rest.take(40)}")
+    appendTo(name, inserted, givenCols)
+  }
+
+  /** Align an inserted block to `name`'s declared schema, append it,
+    * re-register the view, and fire any materialized views whose base
+    * is this table (reference: MVs are INSERT-triggered on the inserted
+    * block only — StorageMaterializedView::write).
+    */
+  private def appendTo(name: String, inserted: DataFrame,
+      givenCols: Seq[String]): Unit = {
+    val st = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"INSERT into unknown table $name"))
     if (inserted.columns.length != givenCols.length)
       throw new IllegalArgumentException(
         s"INSERT arity ${inserted.columns.length} != ${givenCols.length}")
@@ -210,6 +275,21 @@ final class ChSession(spark: SparkSession) {
       else col(s"`${f.name}`").cast(f.dataType).as(f.name)
     }: _*)
     st.data = st.data.unionByName(aligned)
+    registerView(name)
+    // MV cascade: the inserted block alone is visible under the base
+    // name while each dependent select runs
+    mvs.filter(_.base == name).foreach { mv =>
+      aligned.createOrReplaceTempView(name)
+      try {
+        val res = spark.sql(
+          ChTranspiler.transpile(ChSession.stripDbRefs(mv.selectSql)))
+        appendTo(mv.target, res, res.columns.toSeq)
+      } finally registerView(name)
+    }
+  }
+
+  private def registerView(name: String): Unit = {
+    val st = tables(name)
     // an unordered SELECT observes the merged table's sorting-key order
     // (MergeTree parts merge-sort on read); register the sorted view
     val view =
@@ -231,7 +311,7 @@ final class ChSession(spark: SparkSession) {
   }
 
   private case class ColDef(field: StructField, chType: String,
-      default: Option[String])
+      default: Option[String], hidden: Boolean = false)
 
   /** `n Nested(a T, b U)` flattens to parallel array columns `n.a`
     * Array(T), `n.b` Array(U) — the reference's storage model
@@ -269,11 +349,16 @@ final class ChSession(spark: SparkSession) {
     var rest = m.group(2).trim
     // cut trailing modifiers
     var default: Option[String] = None
+    // MATERIALIZED/ALIAS columns compute from their expression and are
+    // NOT part of the positional insert list (reference
+    // ColumnDefaultKind: they are also hidden from SELECT *)
+    var hidden = false
     modifierRe.findFirstMatchIn(rest).foreach { mm =>
       val kw = mm.group(1).toUpperCase
       val tail = rest.substring(mm.start + mm.group(1).length).trim
       rest = rest.substring(0, mm.start).trim
       if (kw == "DEFAULT" || kw == "MATERIALIZED" || kw == "ALIAS") {
+        hidden = kw != "DEFAULT"
         // default expr runs to the next modifier keyword (or end)
         val stop = modifierRe.findFirstMatchIn(tail).map(_.start)
           .getOrElse(tail.length)
@@ -283,7 +368,8 @@ final class ChSession(spark: SparkSession) {
     if (rest.isEmpty) {
       // bare `name DEFAULT expr` (type inferred) — infer via literal cast
       default.map { d =>
-        ColDef(StructField(name, StringType, nullable = true), "String", Some(d))
+        ColDef(StructField(name, StringType, nullable = true), "String",
+          Some(d), hidden)
       }
     } else {
       // `a Int32 NULL` / `NOT NULL` suffix spelling of (non-)Nullable
@@ -295,7 +381,7 @@ final class ChSession(spark: SparkSession) {
       // a Nullable column's implicit default is NULL, not the type zero
       val d = default.orElse(
         if (chNullable || explicitNullable) Some("NULL") else None)
-      Some(ColDef(StructField(name, dt, nullable = true), typeText, d))
+      Some(ColDef(StructField(name, dt, nullable = true), typeText, d, hidden))
     }
   }
 
@@ -323,6 +409,11 @@ object ChSession {
     """(?is)\s*TRUNCATE\s+(?:TABLE\s+)?(?:IF\s+EXISTS\s+)?([`\w.]+)\s*""".r
   private val createViewRe =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s+AS\s+(.*)""".r
+  // the middle lazily skips an optional column list / ENGINE clause
+  // (the list may contain nested parens — anchor on `AS SELECT`)
+  private val createMvRe =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s+TO\s+([`\w.]+).*?\bAS\s+((?:SELECT|WITH)\b.*)""".r
+  private val mvBaseRe = """(?is)\bFROM\s+([`\w.]+)""".r
   private val createTableRe =
     """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s*(.*)""".r
   private val insertRe =
@@ -347,11 +438,14 @@ object ChSession {
     if (dot >= 0) n.substring(dot + 1) else n
   }
 
-  /** Strip `test.` / `default.` table qualifiers inside a query so
-    * references resolve against the session's temp views. Quote-aware:
-    * string literals pass through untouched.
+  /** Strip database qualifiers inside a query so references resolve
+    * against the session's temp views: `test.` / `default.` anywhere
+    * (the corpus's standard databases), and ANY `db.` directly after a
+    * FROM/JOIN/INTO/TABLE keyword (tests that create their own scratch
+    * database). Quote-aware: string literals pass through untouched.
     */
-  def stripDbRefs(sql: String): String = {
+  def stripDbRefs(sql0: String): String = {
+    val sql = stripDbAfterKeywords(sql0)
     val sb = new StringBuilder
     var i = 0
     val n = sql.length
@@ -381,6 +475,16 @@ object ChSession {
 
   private def isIdentChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_' || c == '.' || c == '`'
+
+  private val dbAfterKwRe =
+    """(?i)\b(FROM|JOIN|INTO|TABLE|VIEW)\s+(?:`[^`]+`|\w+)\.(?=[`A-Za-z_])""".r
+
+  /** `FROM db.tbl` → `FROM tbl` for any db name (quote-aware enough:
+    * these keywords cannot appear inside a string literal followed by a
+    * dotted identifier in the corpus's shapes).
+    */
+  private def stripDbAfterKeywords(sql: String): String =
+    dbAfterKwRe.replaceAllIn(sql, m => m.group(1) + " ")
 
   /** Content of the leading `( … )` plus the text after it. */
   def matchParen(s: String): (String, String) = {
@@ -588,7 +692,9 @@ object ChTypes {
                "LONGTEXT" | "BLOB" | "TINYBLOB" | "MEDIUMBLOB" |
                "LONGBLOB" | "BINARY" | "VARBINARY" | "NCHAR" |
                "NVARCHAR" | "CLOB" => (StringType, false)
-          case "TIMESTAMP" => (TimestampType, false)
+          case "TIMESTAMP" | "DATETIME" => (TimestampType, false)
+          case "DATE" => (DateType, false)
+          case "BOOL" | "BOOLEAN" => (BooleanType, false)
           case _ =>
             throw new IllegalArgumentException(s"unsupported CH type: $other")
         }

@@ -256,6 +256,34 @@ object ChTranspiler {
           out.append(")")
           stack = stack.drop(1)
           lastSig = Some(Punct("]"))
+        case Punct("{") =>
+          // `m{'k'}` is the ByteDance Map element access; a brace in
+          // LITERAL position opens a map literal `{'k': v}` (reference
+          // ParserMapOfLiterals) — the literal's colons are handled by
+          // rewriteMapLiterals on the emitted `map(` form
+          if (opensLiteral(lastSig)) {
+            out.append("map{"); lastSig = Some(Punct("{"))
+          } else {
+            val prefix = out.toString
+            val start = primaryStart(prefix)
+            val primary = prefix.substring(start)
+            out.setLength(start)
+            out.append("arrayElement(").append(primary).append(", ")
+            stack = false :: stack
+            lastSig = Some(Punct("["))
+          }
+        case Punct("}") if stack.nonEmpty && !stack.head =>
+          out.append(")")
+          stack = stack.drop(1)
+          lastSig = Some(Punct("]"))
+        case Word(w) if w.equalsIgnoreCase("prewhere") &&
+            !lastSig.exists(t => isWordI(t, "FROM") || isWordI(t, "JOIN") ||
+              isWordI(t, "EXISTS") || isWordI(t, "TABLE")) =>
+          // PREWHERE is a storage-pushdown hint around WHERE semantics
+          // (reference MergeTreeWhereOptimizer) — plain WHERE here,
+          // Catalyst pushes predicates itself. Guarded so a TABLE named
+          // `prewhere` (the corpus has one) survives in FROM position.
+          out.append("WHERE"); lastSig = Some(Word("WHERE"))
         case Word(w) if w.equalsIgnoreCase("dummy") =>
           // parenthesized so a `GROUP BY dummy` does not become a bare
           // integer literal that Spark's groupByOrdinal reinterprets
@@ -425,9 +453,10 @@ object ChTranspiler {
     None
   }
 
-  /** CH map literals `{'a': 1, 'b': 2}` → `map('a', 1, 'b', 2)`
-    * (reference ParserMapOfLiterals). Only braces in VALUE position
-    * rewrite; colons at the map's own bracket level become commas.
+  /** CH map literals `{'a': 1, 'b': 2}` → `map('a', 1, 'b', 2)`. The
+    * main loop marks literal-position braces as `map{` (element-access
+    * braces are already rewritten there); this pass converts the marked
+    * literals, turning the map level's colons into commas.
     */
   private def rewriteMapLiterals(sql: String): String = {
     if (!sql.contains('{')) return sql
@@ -437,8 +466,13 @@ object ChTranspiler {
     var lastSig: Option[Tok] = None
     for (t <- toks) t match {
       case Punct("{") =>
-        if (opensLiteral(lastSig)) { stack ::= "map"; sb.append("map(") }
-        else { stack ::= "brace"; sb.append("{") }
+        if (lastSig.exists(s => isWordI(s, "map"))) {
+          stack ::= "map"
+          // drop the just-emitted marker word (+ trailing whitespace)
+          while (sb.nonEmpty && sb.last.isWhitespace) sb.setLength(sb.length - 1)
+          sb.setLength(sb.length - 3)
+          sb.append("map(")
+        } else { stack ::= "brace"; sb.append("{") }
         lastSig = Some(Punct("("))
       case Punct("}") =>
         sb.append(if (stack.headOption.contains("map")) ")" else "}")
@@ -1330,11 +1364,14 @@ object ChTranspiler {
             case _ => false
           }
           val afterIn = prevTok.exists(isWordI(_, "IN"))
+          // USING (a, b) is a column list, VALUES (…) a row — never tuples
+          val afterListKw = prevTok.exists(t =>
+            isWordI(t, "USING") || isWordI(t, "VALUES"))
           val first = nextSigIdx(k + 1)
           val isSubquery = first < toks.length &&
             (isWordI(toks(first), "SELECT") || isWordI(toks(first), "WITH"))
           stack = (k, false) :: stack
-          if (callLike || afterIn || isSubquery) () // never a tuple
+          if (callLike || afterIn || afterListKw || isSubquery) () // never a tuple
           else tupleAt += k
         case Punct(")") =>
           stack.headOption.foreach { case (openIdx, sawComma) =>

@@ -38,16 +38,14 @@ object ClickHouseAliases {
       deep(c.head)
     }
 
-  /** URL parameter list per CH: text after the first `?` or `#`, split
-    * on `&`/`#`, empty segments dropped.
+  /** URL parameter list with the reference's exact delimiter rules
+    * (graft.functions.UrlOps — `#`-introduced segments need `=`).
     */
   private def chUrlParams(url: Expression): Expression = {
-    val tail = RegExpReplace(url, Literal("^[^?#]*[?#]"), Literal(""), Literal(1))
-    val segs = StringSplit(tail, Literal("[&#]"), Literal(-1))
-    val nonEmpty = ArrayFilter(segs,
-      LambdaFunction(Not(EqualTo(lv("p"), Literal(""))), Seq(lv("p"))))
-    If(Not(new RLike(url, Literal("[?#]"))),
-      Literal.create(Array.empty[String], ArrayType(StringType)), nonEmpty)
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    StaticInvoke(graft.functions.UrlOps.getClass, ArrayType(StringType),
+      "params", Seq(Cast(url, StringType)), Seq(StringType),
+      returnNullable = false)
   }
 
   /** uniq over a COMPLEX type routes through its text form before the
@@ -262,6 +260,10 @@ object ClickHouseAliases {
         Sum(field(cs.head, "s")).toAggregateExpression(),
         Cast(Sum(field(cs.head, "c")).toAggregateExpression(), DoubleType))),
       "uniqState" -> (cs => CollectSet(cs.head)),
+      "countDistinctState" -> (cs => CollectSet(cs.head)),
+      "countDistinctMerge" -> (cs =>
+        Cast(Size(ArrayDistinct(Flatten(
+          new CollectList(cs.head).toAggregateExpression()))), LongType)),
       "uniqExactState" -> (cs => CollectSet(cs.head)),
       "uniqCombinedState" -> (cs => CollectSet(cs.head)),
       "uniqCombined64State" -> (cs => CollectSet(cs.head)),
@@ -600,8 +602,13 @@ object ClickHouseAliases {
       val host = new ParseUrl(Seq(cs.head, Literal("HOST")))
       ElementAt(StringSplit(host, Literal("\\."), Literal(-1)), Literal(-1))
     }),
-    "extractURLParameter" -> (cs =>
-      new ParseUrl(Seq(cs.head, Literal("QUERY"), cs(1)))),
+    // exact delimiter semantics incl. fragment params; '' on a miss
+    "extractURLParameter" -> (cs => {
+      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      StaticInvoke(graft.functions.UrlOps.getClass, StringType, "param",
+        Seq(Cast(cs.head, StringType), Cast(cs(1), StringType)),
+        Seq(StringType, StringType), returnNullable = false)
+    }),
 
     // date parts / arithmetic
     "toQuarter" -> (cs => Quarter(cs.head)),
@@ -697,12 +704,27 @@ object ClickHouseAliases {
     "arrayElement" -> (cs => ChDispatch("arrayElement", cs) { c =>
       val coll = c.head
       coll.dataType match {
-        case ArrayType(et, _) =>
-          val d = Literal.default(et)
+        case ArrayType(et, nullable) =>
+          // Array(Nullable(T)) misses to NULL, plain Array(T) to the
+          // type default. containsNull carries the CH Nullable
+          // declaration exactly for TABLE columns (ChTypes); for
+          // derived expressions Spark over-approximates it to true, so
+          // only attribute references take the NULL-miss path.
+          val nullMiss = nullable && (coll match {
+            case _: Attribute => true // table column: ChTypes-exact
+            case CreateArray(children, _) => children.exists(_.nullable)
+            case _ => false // derived: Spark over-approximates
+          })
+          val d =
+            if (nullMiss) Literal.create(null, et) else Literal.default(et)
           val i = Cast(c(1), IntegerType)
           If(EqualTo(i, Literal(0)), d, ElementAt(coll, i, Some(d), false))
         case MapType(kt, vt, _) =>
-          ElementAt(coll, Cast(c(1), kt), Some(Literal.default(vt)), false)
+          // ElementAt's out-of-bound default only covers arrays; an
+          // absent map key needs the explicit coalesce
+          Coalesce(Seq(
+            ElementAt(coll, Cast(c(1), kt), None, false),
+            Literal.default(vt)))
         case _ => ElementAt(coll, c(1))
       }
     }),
@@ -3290,19 +3312,13 @@ object ClickHouseAliases {
           Literal.create(null, StringType), auth), IntegerType),
         dflt))
     }),
-    // cutURLParameter: drop name=value keeping separators consistent —
-    // mid-list params take their trailing '&', a final one its leading
-    // separator (the reference's two-case removal).
+    // cutURLParameter: the reference's two-case removal with fragment
+    // awareness (UrlOps.cutParam; bare names are not cut)
     "cutURLParameter" -> (cs => {
-      val name = cs(1) match {
-        case Literal(s, StringType) if s != null => java.util.regex.Pattern.quote(s.toString)
-        case other => throw new IllegalArgumentException(
-          s"cutURLParameter: name must be a string literal, got $other")
-      }
-      RegExpReplace(
-        RegExpReplace(cs.head,
-          Literal(s"([?&])$name=[^&#]*&"), Literal("$1"), Literal(1)),
-        Literal(s"[?&]$name=[^&#]*"), Literal(""), Literal(1))
+      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      StaticInvoke(graft.functions.UrlOps.getClass, StringType, "cutParam",
+        Seq(Cast(cs.head, StringType), Cast(cs(1), StringType)),
+        Seq(StringType, StringType), returnNullable = false)
     }),
     // CH parameters start at the first '?' OR '#' and are further split
     // on '&' and '#' (reference src/Functions/URL/extractURLParameters.cpp
@@ -3576,6 +3592,9 @@ object ClickHouseAliases {
             case ShortType => be(c.head, 2)
             case IntegerType => be(c.head, 4)
             case LongType => be(c.head, 8)
+            // Date is a u16 day number; DateTime a u32 epoch-second
+            case DateType => be(UnixDate(c.head), 2)
+            case TimestampType => be(Cast(c.head, LongType), 4)
             // floats print their in-memory (little-endian) byte image
             // (reference FunctionsCoding hex over the raw value bytes)
             case FloatType => Hex(StaticInvoke(hops, BinaryType, "f32Bytes",
@@ -3636,13 +3655,24 @@ object ClickHouseAliases {
       "visibleWidth" -> (cs => Length(Cast(cs.head, StringType))),
       "tupleHammingDistance" -> (cs =>
         ChDispatch("tupleHammingDistance", cs.take(2)) { c =>
+          // mixed/NULL-typed fields compare through a widening cast so
+          // the replacement always resolves
+          def cmp(a: Expression, b: Expression): Expression = {
+            val (a2, b2) =
+              if (a.dataType == b.dataType) (a, b)
+              else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+                .findWiderTypeForTwo(a.dataType, b.dataType) match {
+                  case Some(w) => (Cast(a, w), Cast(b, w))
+                  case None => (Cast(a, StringType), Cast(b, StringType))
+                }
+            If(EqualTo(a2, b2), Literal(0), Literal(1))
+          }
           (c.head.dataType, c(1).dataType) match {
             case (s1: StructType, _: StructType) =>
               s1.indices.map { i =>
-                If(EqualTo(GetStructField(c.head, i), GetStructField(c(1), i)),
-                  Literal(0), Literal(1)): Expression
+                cmp(GetStructField(c.head, i), GetStructField(c(1), i))
               }.reduceLeft(Add(_, _))
-            case _ => If(EqualTo(c.head, c(1)), Literal(0), Literal(1))
+            case _ => cmp(c.head, c(1))
           }
         }),
       // replicate(x, arr): x broadcast to arr's shape
@@ -3727,7 +3757,13 @@ object ClickHouseAliases {
           case BooleanType => c.head
           case _ => Not(EqualTo(Cast(c.head, DoubleType), Literal(0.0)))
         }
-        val (t, e) = (c(1), c(2))
+        // CH UInt8-boolean: a bool branch mixed with a numeric one
+        // promotes to the number side
+        def boolAsInt(x: Expression, other: Expression): Expression =
+          if (x.dataType == BooleanType &&
+              other.dataType.isInstanceOf[NumericType]) Cast(x, IntegerType)
+          else x
+        val (t, e) = (boolAsInt(c(1), c(2)), boolAsInt(c(2), c(1)))
         if (t.dataType == e.dataType) If(cond, t, e)
         else org.apache.spark.sql.catalyst.analysis.TypeCoercion
           .findWiderTypeForTwo(t.dataType, e.dataType) match {
@@ -3977,7 +4013,10 @@ object ClickHouseAliases {
         c.head.dataType match {
           case StringType => OctetLength(c.head)
           case _: ArrayType | _: MapType => Size(c.head)
-          case _ => Length(c.head)
+          case BinaryType => Length(c.head)
+          // anything else measures its text form (Length on e.g. a
+          // Date would leave the dispatch unresolved)
+          case _ => OctetLength(Cast(c.head, StringType))
         }
       }
     spark.sessionState.functionRegistry.registerFunction(
@@ -3990,6 +4029,40 @@ object ClickHouseAliases {
       FunctionIdentifier("flatten"),
       new ExpressionInfo("graft.sql.ClickHouseAliases", "flatten"),
       (cs: Seq[Expression]) => deepFlatten(cs))
+    // CH dateDiff counts unit-BOUNDARY crossings (relative-number
+    // difference, reference dateDiff.cpp), not elapsed full units —
+    // dateDiff('year', '2017-12-31', '2018-01-01') = 1. Shadows Spark's
+    // datediff, so corpus-session only.
+    val dateDiffBuilder: Seq[Expression] => Expression = cs =>
+      ChDispatch("dateDiff", cs.take(3)) { c =>
+        val unit = c.head match {
+          case Literal(u, StringType) if u != null => u.toString.toLowerCase
+          case _ => "day"
+        }
+        def d(e: Expression) = Cast(e, DateType)
+        def t(e: Expression) = Cast(Cast(e, TimestampType), LongType)
+        def rel(e: Expression): Expression = unit match {
+          case "year" | "yy" | "yyyy" => Cast(Year(d(e)), LongType)
+          case "quarter" | "qq" => Cast(Add(
+            Multiply(Year(d(e)), Literal(4)), Quarter(d(e))), LongType)
+          case "month" | "mm" => Cast(Add(
+            Multiply(Year(d(e)), Literal(12)), Month(d(e))), LongType)
+          // Monday-based week index (1970-01-01 was a Thursday: +3)
+          case "week" | "wk" => IntegralDivide(
+            Add(Cast(UnixDate(d(e)), LongType), Literal(3L)), Literal(7L))
+          case "day" | "dd" => Cast(UnixDate(d(e)), LongType)
+          case "hour" | "hh" => IntegralDivide(t(e), Literal(3600L))
+          case "minute" | "mi" => IntegralDivide(t(e), Literal(60L))
+          case _ => t(e) // second
+        }
+        Subtract(rel(c(2)), rel(c(1)))
+      }
+    Seq("dateDiff", "date_diff").foreach { n =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(n),
+        new ExpressionInfo("graft.sql.ClickHouseAliases", n),
+        dateDiffBuilder)
+    }
   }
 
   def inject(ext: SparkSessionExtensions): Unit = {

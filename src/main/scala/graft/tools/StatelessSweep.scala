@@ -363,6 +363,8 @@ object StatelessSweep {
       .config("spark.sql.orderByOrdinal", "false")
       // CH default join_use_nulls=0: outer joins pad with type defaults
       .config(graft.sql.ChJoinDefaults.Flag, "true")
+      // CH map columns tolerate duplicate keys (last write wins)
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -974,10 +974,10 @@ class DialectSpec extends SparkSpec {
     assert(r.getString(8) === "http://x/?a=1&c=3")
     assert(r.getString(9) === "http://x/?a=1")
     assert(r.getString(10) === "http://x/?b=2")
-    // parameters start at the first ? OR # and split on both — the
-    // fragment's segments count (reference extractURLParameters.cpp)
-    assert(r.getSeq[String](11) === Seq("x=1", "y=2", "frag"))
-    assert(r.getSeq[String](12) === Seq("x", "y", "frag"))
+    // parameters start at the first ? OR #; a TRAILING bare fragment is
+    // not a parameter (pinned by the reference's 00296 golden outputs)
+    assert(r.getSeq[String](11) === Seq("x=1", "y=2"))
+    assert(r.getSeq[String](12) === Seq("x", "y"))
     val h = one("""SELECT
         URLHierarchy('https://example.com/browse/CONV-6788'),
         URLPathHierarchy('https://example.com/browse/CONV-6788?x=1'),
