@@ -44,6 +44,11 @@ object MathOps {
     }
   }
 
+  /** IEEE-754 double division: 1/0 = inf, 0/0 = nan — the reference's
+    * Float64 `/` (ANSI-mode Divide would error, LEGACY returns NULL).
+    */
+  def ieeeDiv(a: Double, b: Double): Double = a / b
+
   /** parseTimeDelta (reference src/Functions/parseTimeDelta.cpp):
     * free-text "1yr2mo", "11hr 25min 3.1s" → seconds, with the
     * reference's unit table (year = 365 d, month = 30.5 d).

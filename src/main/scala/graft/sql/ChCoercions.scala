@@ -24,6 +24,9 @@ import org.apache.spark.sql.types._
   */
 object ChCoercions extends Rule[LogicalPlan] {
 
+  /** Session flag for the IEEE `/` rewrite (corpus runner only). */
+  val IeeeDivFlag = "spark.graft.chIeeeDivision"
+
   private def ok(es: Expression*): Boolean = es.forall(_.resolved)
   private def integral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -38,7 +41,7 @@ object ChCoercions extends Rule[LogicalPlan] {
   private def toBool(e: Expression): Expression =
     Not(EqualTo(Cast(e, DoubleType), Literal(0.0d)))
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
     plan.resolveOperatorsUp {
       case f @ Filter(cond, _) if cond.resolved && numeric(cond) =>
         f.copy(condition = toBool(cond))
@@ -56,6 +59,36 @@ object ChCoercions extends Rule[LogicalPlan] {
             DateAdd(r, Cast(l, IntegerType))
           case Subtract(l, r, f) if ok(l, r) && isDate(l) && integral(r) =>
             DateSub(l, Cast(r, IntegerType))
+          // Spark's own coercion builds DateAdd/DateSub from Date ± N
+          // but leaves a BIGINT count untyped — tighten it
+          case DateAdd(d, n) if ok(d, n) && integral(n) &&
+              n.dataType != IntegerType =>
+            DateAdd(d, Cast(n, IntegerType))
+          case DateSub(d, n) if ok(d, n) && integral(n) &&
+              n.dataType != IntegerType =>
+            DateSub(d, Cast(n, IntegerType))
+          // CH `/` is Float64 division by definition — non-decimal
+          // operands divide as IEEE doubles (0/0 = nan, 1/0 = inf),
+          // never an ANSI error; Decimal division keeps ANSI (the
+          // reference errors on Decimal/0 too). Unlike every other case
+          // here this rewrites trees Spark ACCEPTS, so it is gated to
+          // the CH-strict corpus session (native Divide keeps the
+          // cleaner plans for library users).
+          case d: Divide
+              if d.evalMode == EvalMode.ANSI && ok(d.left, d.right) &&
+                org.apache.spark.sql.internal.SQLConf.get
+                  .getConfString(IeeeDivFlag, "false") == "true" &&
+                !d.left.dataType.isInstanceOf[DecimalType] &&
+                !d.right.dataType.isInstanceOf[DecimalType] &&
+                d.left.dataType.isInstanceOf[NumericType] &&
+                d.right.dataType.isInstanceOf[NumericType] => {
+            // JVM double division IS the IEEE semantics (inf/nan)
+            import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+            StaticInvoke(graft.functions.MathOps.getClass, DoubleType,
+              "ieeeDiv",
+              Seq(Cast(d.left, DoubleType), Cast(d.right, DoubleType)),
+              Seq(DoubleType, DoubleType), returnNullable = false)
+          }
           case s @ Sum(c, _) if c.resolved && isBool(c) =>
             s.copy(child = Cast(c, IntegerType))
           case a @ Average(c, _) if c.resolved && isBool(c) =>
@@ -90,4 +123,5 @@ object ChCoercions extends Rule[LogicalPlan] {
             EqualTo(new SortArray(MapEntries(l)), new SortArray(MapEntries(r)))
         }
     }
+  }
 }

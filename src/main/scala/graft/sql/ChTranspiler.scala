@@ -1073,7 +1073,34 @@ object ChTranspiler {
       java.util.regex.Matcher.quoteReplacement(
         s"CAST(${m.group(1)} AS $mapped)")
     })
-    countEmpty.replaceAllIn(c, "count(*)")
+    rewriteLimitOffset(countEmpty.replaceAllIn(c, "count(*)"))
+  }
+
+  /** MySQL-style `LIMIT offset, count` → `LIMIT count OFFSET offset` —
+    * token-based so string literals stay untouched.
+    */
+  private def rewriteLimitOffset(sql: String): String = {
+    if (!sql.toUpperCase.contains("LIMIT")) return sql
+    val toks = tokenize(sql)
+    def sig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    val sb = new StringBuilder
+    var i = 0
+    while (i < toks.length) {
+      val a = sig(i + 1); lazy val comma = sig(a + 1); lazy val b = sig(comma + 1)
+      (toks(i), if (a < toks.length) toks(a) else Ws(""),
+        if (comma < toks.length) toks(comma) else Ws(""),
+        if (b < toks.length) toks(b) else Ws("")) match {
+        case (w: Word, Num(o), Punct(","), Num(n))
+            if isWordI(w, "LIMIT") && o.forall(_.isDigit) && n.forall(_.isDigit) =>
+          sb.append(s"LIMIT $n OFFSET $o")
+          i = b + 1
+        case _ =>
+          sb.append(toks(i).text); i += 1
+      }
+    }
+    sb.toString
   }
 
   /** Map a bare CH type string (e.g. "Nullable(UInt8)") via the token

@@ -26,8 +26,21 @@ import org.apache.spark.sql.types._
   */
 object ClickHouseAliases {
 
+  // -If conditions are UInt8-truthy in CH; the double cast is identity
+  // on booleans and nonzero-test on numbers
   private def nullUnless(cond: Expression, value: Expression): Expression =
-    If(cond, value, Literal.create(null, value.dataType))
+    If(Not(EqualTo(Cast(cond, DoubleType), Literal(0.0d))),
+      value, Literal.create(null, value.dataType))
+
+  /** Wrap a lambda's body in the CH numeric-truthiness test so Spark's
+    * boolean-typed HOFs accept UInt8 predicates.
+    */
+  private def truthyLambda(f: Expression): Expression = f match {
+    case LambdaFunction(body, args, hidden) =>
+      LambdaFunction(
+        Not(EqualTo(Cast(body, DoubleType), Literal(0.0d))), args, hidden)
+    case other => other
+  }
 
   private def deepFlatten(cs: Seq[Expression]): Expression =
     ChDispatch("arrayFlatten", cs.take(1)) { c =>
@@ -1513,9 +1526,12 @@ object ClickHouseAliases {
     // arrayFirst = element_at∘filter) stay SQL idioms rather than
     // spellings.
     "arrayMap" -> (cs => ArrayTransform(cs(1), cs.head)),
-    "arrayFilter" -> (cs => ArrayFilter(cs(1), cs.head)),
-    "arrayExists" -> (cs => ArrayExists(cs(1), cs.head)),
-    "arrayAll" -> (cs => ArrayForAll(cs(1), cs.head)),
+    // CH predicates are UInt8-truthy (nonzero = keep) — Spark's HOFs
+    // demand BOOLEAN lambdas, so the body goes through the numeric
+    // truthiness test (a boolean body casts through 1.0/0.0 unchanged)
+    "arrayFilter" -> (cs => ArrayFilter(cs(1), truthyLambda(cs.head))),
+    "arrayExists" -> (cs => ArrayExists(cs(1), truthyLambda(cs.head))),
+    "arrayAll" -> (cs => ArrayForAll(cs(1), truthyLambda(cs.head))),
     "hasAll" -> (cs => EqualTo(Size(ArrayExcept(cs(1), cs.head)), Literal(0))),
     "hasAny" -> (cs => ArraysOverlap(cs.head, cs(1))),
     "arrayPushFront" -> (cs => Concat(Seq(CreateArray(Seq(cs(1))), cs.head))),

@@ -365,6 +365,8 @@ object StatelessSweep {
       .config(graft.sql.ChJoinDefaults.Flag, "true")
       // CH map columns tolerate duplicate keys (last write wins)
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // CH `/` is IEEE Float64 division (1/0 = inf), never an ANSI error
+      .config(graft.sql.ChCoercions.IeeeDivFlag, "true")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
