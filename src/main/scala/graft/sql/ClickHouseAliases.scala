@@ -874,13 +874,100 @@ object ClickHouseAliases {
     // to the matching array fold (reference arrayReduce.cpp runs any
     // registered aggregate over the array).
     "arrayReduce" -> (cs => {
-      val name = cs.head match {
+      val full = cs.head match {
         case Literal(s, StringType) => s.toString.toLowerCase
         case other => throw new IllegalArgumentException(
           s"arrayReduce: aggregate name must be a string literal, got $other")
       }
+      // parameterized spelling: quantile(0.2)
+      val (name, params) = full.indexOf('(') match {
+        case -1 => (full, Seq.empty[Double])
+        case p => (full.substring(0, p),
+          full.substring(p + 1, full.lastIndexOf(')')).split(",")
+            .map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq)
+      }
       val arr = cs(1)
-      name match {
+      def quantileAt(level: Double): Expression = {
+        val sorted = new SortArray(ArrayFilter(arr,
+          LambdaFunction(IsNotNull(lv("x")), Seq(lv("x")))))
+        val n = Size(sorted)
+        val pos = Add(Multiply(Cast(Subtract(n, Literal(1)), DoubleType),
+          Literal(level)), Literal(1.0d))
+        val lo = Cast(pos, IntegerType)
+        val hi = Least(Seq(Add(lo, Literal(1)), n))
+        val frac = Subtract(pos, Cast(lo, DoubleType))
+        Add(
+          Multiply(Cast(ElementAt(sorted, lo, None, false), DoubleType),
+            Subtract(Literal(1.0d), frac)),
+          Multiply(Cast(ElementAt(sorted, hi, None, false), DoubleType), frac))
+      }
+      // -OrNull / -OrDefault over the reduced array: empty → NULL / 0
+      val (bare, emptyMode) =
+        if (name.endsWith("ordefault")) (name.dropRight(9), "default")
+        else if (name.endsWith("ornull")) (name.dropRight(6), "null")
+        else (name, "")
+      def guarded(value: Expression): Expression = emptyMode match {
+        case "null" => If(GreaterThan(Size(arr), Literal(0)), value,
+          Literal.create(null, DoubleType))
+        case "default" => If(GreaterThan(Size(arr), Literal(0)),
+          value, Literal(0.0d))
+        case _ => value
+      }
+      def variance(sample: Boolean): Expression = {
+        val n = Cast(Size(arr), DoubleType)
+        val sx = arrayFoldSum(arr)
+        val sxx = arrayFoldSum(ArrayTransform(arr,
+          LambdaFunction(Multiply(Cast(lv("x"), DoubleType),
+            Cast(lv("x"), DoubleType)), Seq(lv("x")))))
+        val denom = if (sample) Subtract(n, Literal(1.0d)) else n
+        Divide(Subtract(sxx, Divide(Multiply(sx, sx), n)), denom)
+      }
+      if (emptyMode.nonEmpty) {
+        val base: Expression = bare match {
+          case "sum" => arrayFoldSum(arr)
+          case "count" => Cast(Size(arr), LongType)
+          case "avg" => Divide(arrayFoldSum(arr), Cast(Size(arr), DoubleType))
+          case "min" => Cast(ArrayMin(arr), DoubleType)
+          case "max" => Cast(ArrayMax(arr), DoubleType)
+          case "median" | "medianexact" | "quantile" | "quantileexact" =>
+            quantileAt(params.headOption.getOrElse(0.5))
+          case "stddevsamp" => Sqrt(variance(sample = true))
+          case "stddevpop" => Sqrt(variance(sample = false))
+          case "varsamp" => variance(sample = true)
+          case "varpop" => variance(sample = false)
+          case other => throw new IllegalArgumentException(
+            s"arrayReduce: unsupported aggregate '$other$emptyMode'")
+        }
+        guarded(base)
+      } else name match {
+        case "quantile" | "quantileexact" | "quantileinterpolatedweighted"
+            if params.nonEmpty => quantileAt(params.head)
+        case "stddevsamp" => Sqrt(variance(sample = true))
+        case "stddevpop" => Sqrt(variance(sample = false))
+        case "varsamp" => variance(sample = true)
+        case "varpop" => variance(sample = false)
+        case "avgordefault" => Coalesce(Seq(
+          If(GreaterThan(Size(arr), Literal(0)),
+            Divide(arrayFoldSum(arr), Cast(Size(arr), DoubleType)),
+            Literal(0.0d)), Literal(0.0d)))
+        case "sumordefault" => arrayFoldSum(arr)
+        case "simplelinearregression" =>
+          // (k, b) over (xs, ys): k = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+          val xs = cs(1); val ys = cs(2)
+          val n = Cast(Size(xs), DoubleType)
+          val sx = arrayFoldSum(xs)
+          val sy = arrayFoldSum(ys)
+          val sxx = arrayFoldSum(ArrayTransform(xs,
+            LambdaFunction(Multiply(Cast(lv("x"), DoubleType),
+              Cast(lv("x"), DoubleType)), Seq(lv("x")))))
+          val sxy = arrayFoldSum(ZipWith(xs, ys,
+            LambdaFunction(Multiply(Cast(lv("x"), DoubleType),
+              Cast(lv("y"), DoubleType)), Seq(lv("x"), lv("y")))))
+          val k = Divide(Subtract(Multiply(n, sxy), Multiply(sx, sy)),
+            Subtract(Multiply(n, sxx), Multiply(sx, sx)))
+          CreateNamedStruct(Seq(
+            Literal("col1"), k,
+            Literal("col2"), Divide(Subtract(sy, Multiply(k, sx)), n)))
         case "sum"   => ArrayAggregate(arr, Literal(0.0d),
           LambdaFunction(Add(lv("a"), Cast(lv("x"), DoubleType)), Seq(lv("a"), lv("x"))),
           LambdaFunction(lv("a"), Seq(lv("a"))))
@@ -890,8 +977,28 @@ object ClickHouseAliases {
         case "min"   => ArrayMin(arr)
         case "max"   => ArrayMax(arr)
         case "count" => Size(arr)
+        case "any"   => ElementAt(arr, Literal(1), None, false)
+        case "anylast" => ElementAt(arr, Literal(-1), None, false)
+        case "uniq" | "uniqexact" =>
+          Size(ArrayDistinct(ArrayFilter(arr,
+            LambdaFunction(IsNotNull(lv("x")), Seq(lv("x"))))))
+        case "median" | "medianexact" | "quantile" | "quantileexact" =>
+          quantileAt(0.5)
+        case "avgornull" =>
+          If(GreaterThan(Size(arr), Literal(0)),
+            Divide(arrayFoldSum(arr), Cast(Size(arr), DoubleType)),
+            Literal.create(null, DoubleType))
+        case "sumornull" =>
+          If(GreaterThan(Size(arr), Literal(0)), arrayFoldSum(arr),
+            Literal.create(null, DoubleType))
+        case "countornull" =>
+          If(GreaterThan(Size(arr), Literal(0)),
+            Cast(Size(arr), LongType), Literal.create(null, LongType))
+        case "grouparray" => arr
+        case "groupuniqarray" => ArrayDistinct(arr)
         case other => throw new IllegalArgumentException(
-          s"arrayReduce: unsupported aggregate '$other' (sum/avg/min/max/count)")
+          s"arrayReduce: unsupported aggregate '$other' " +
+            "(sum/avg/min/max/count/any/uniq/median/groupArray)")
       }
     }),
     // arrayCumSum (reference arrayCumSum.cpp): prefix sums. Per-element
