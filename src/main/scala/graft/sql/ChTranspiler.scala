@@ -1061,7 +1061,7 @@ object ChTranspiler {
   }
 
   private val twoArgCast =
-    """(?i)CAST\(([^,()']+|'[^']*'),\s*'([A-Za-z0-9(), ]+)'\)""".r
+    """(?i)(?<![A-Za-z0-9_])CAST\(([^,()']+|'[^']*'),\s*'([A-Za-z0-9(), ]+)'\)""".r
   private val countEmpty = """(?i)\bcount\(\s*\)""".r
 
   /** String-level cleanups after the token pass. */

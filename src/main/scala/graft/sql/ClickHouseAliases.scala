@@ -442,12 +442,21 @@ object ClickHouseAliases {
       if (cs.size > 1)
         ChDispatch("toUnixTimestamp", cs.take(2)) { c =>
           c.head.dataType match {
-            case DateType => Cast(Cast(c.head, TimestampType), LongType)
+            case DateType =>
+              Multiply(Cast(UnixDate(c.head), LongType), Literal(86400L))
             case _ =>
               Cast(ToUTCTimestamp(Cast(c.head, TimestampType), c(1)), LongType)
           }
         }
-      else UnixTimestamp(cs.head, Literal("yyyy-MM-dd HH:mm:ss"))),
+      else ChDispatch("toUnixTimestamp", cs.take(1)) { c =>
+        c.head.dataType match {
+          // a Date's epoch is day-number arithmetic, zone-free
+          // (01592_toUnixTimestamp_Date pins the same epoch in any tz)
+          case DateType =>
+            Multiply(Cast(UnixDate(c.head), LongType), Literal(86400L))
+          case _ => UnixTimestamp(c.head, Literal("yyyy-MM-dd HH:mm:ss"))
+        }
+      }),
     "yesterday" -> (_ => DateSub(CurrentDate(None), Literal(1))),
     chDateAdd("addDays", "DAY", negate = false),
     chDateAdd("subtractDays", "DAY", negate = true),
@@ -479,10 +488,19 @@ object ClickHouseAliases {
     "notEmpty" -> (cs => GreaterThan(Length(cs.head), Literal(0))),
     "match" -> (cs => RLike(cs.head, cs(1))),
     "countSubstrings" -> (cs =>
-      // (length(s) - length(replace(s, sub, ''))) / length(sub)
-      Cast(IntegralDivide(
-        Subtract(Length(cs.head), Length(StringReplace(cs.head, cs(1), Literal("")))),
-        Length(cs(1)), evalMode = EvalMode.LEGACY), IntegerType)),
+      // (length(s) - length(replace(s, sub, ''))) / length(sub);
+      // non-string haystack is a type error like the reference
+      ChDispatch("countSubstrings", cs.take(2)) { c =>
+        if (c.head.dataType != StringType)
+          throw new IllegalArgumentException(
+            s"countSubstrings: illegal haystack type ${c.head.dataType.simpleString}")
+        Cast(IntegralDivide(
+          Cast(Subtract(Length(c.head),
+            Length(StringReplace(c.head, Cast(c(1), StringType),
+              Literal("")))), LongType),
+          Cast(Length(Cast(c(1), StringType)), LongType),
+          evalMode = EvalMode.LEGACY), IntegerType)
+      }),
 
     // arrays / higher-order (reference src/Functions/array/)
     "arrayJoin" -> (cs => Explode(cs.head)),
@@ -2884,13 +2902,28 @@ object ClickHouseAliases {
         If(RLike(s, Literal("^[0-9]{9,10}$")),
           SecondsToTimestamp(Cast(s, LongType)),
           Literal.create(null, TimestampType)),
-        Cast(s, TimestampType, None, EvalMode.TRY),
+        // bare time-of-day anchors to 2000-01-01 (the reference's
+        // best-effort default date)
+        If(RLike(s, Literal("^[0-9]{2}:[0-9]{2}:[0-9]{2}$")),
+          tryFmt(Concat(Seq(Literal("2000-01-01 "), s)),
+            "yyyy-MM-dd HH:mm:ss"),
+          Literal.create(null, TimestampType)),
+        // a 5+-digit year is out of the DateTime range → NULL, where
+        // Spark's cast would happily build year 20100
+        If(RLike(s, Literal("^[0-9]{5}")),
+          Literal.create(null, TimestampType),
+          Cast(s, TimestampType, None, EvalMode.TRY)),
         tryFmt(s, s"$dmy HH:mm:ss"),
         tryFmt(s, dmy),
         tryFmt(s, "dd.MM.yyyy HH:mm:ss"),
         tryFmt(s, "dd.MM.yyyy"),
         tryFmt(s, "yyyyMMddHHmmss"),
         tryFmt(s, "yyyyMMdd"),
+        // 12-hour am/pm suffix (the formatter wants uppercase AM/PM;
+        // uppercasing an all-numeric layout is harmless)
+        If(RLike(s, Literal("(?i)^[0-9-]+ [0-9:]+ (am|pm)$")),
+          tryFmt(Upper(s), "yyyy-MM-dd hh:mm:ss a"),
+          Literal.create(null, TimestampType)),
         tryFmt(s, "dd MMM yyyy HH:mm:ss"),
         tryFmt(s, "dd MMM yyyy"),
         // RFC-1123: Spark patterns can't PARSE a day-of-week field (E is
@@ -3783,15 +3816,36 @@ object ClickHouseAliases {
           def cmp(a: Expression, b: Expression): Expression = {
             val (a2, b2) =
               if (a.dataType == b.dataType) (a, b)
-              else org.apache.spark.sql.catalyst.analysis.TypeCoercion
-                .findWiderTypeForTwo(a.dataType, b.dataType) match {
-                  case Some(w) => (Cast(a, w), Cast(b, w))
-                  case None => (Cast(a, StringType), Cast(b, StringType))
-                }
-            If(EqualTo(a2, b2), Literal(0), Literal(1))
+              else {
+                // only numeric/NULL widening — int vs String is an
+                // error in the reference (no common supertype)
+                def widenable(t: DataType): Boolean =
+                  t.isInstanceOf[NumericType] || t == NullType ||
+                    t == DateType || t == TimestampType || t == BooleanType
+                if (!widenable(a.dataType) || !widenable(b.dataType))
+                  throw new IllegalArgumentException(
+                    s"tupleHammingDistance: no common type for " +
+                      s"${a.dataType.simpleString} vs ${b.dataType.simpleString}")
+                org.apache.spark.sql.catalyst.analysis.TypeCoercion
+                  .findWiderTypeForTwo(a.dataType, b.dataType) match {
+                    case Some(w) => (Cast(a, w), Cast(b, w))
+                    case None => throw new IllegalArgumentException(
+                      s"tupleHammingDistance: no common type for " +
+                        s"${a.dataType.simpleString} vs ${b.dataType.simpleString}")
+                  }
+              }
+            // a NULL element makes the whole distance NULL (the
+            // reference's Nullable propagation)
+            If(Or(IsNull(a2), IsNull(b2)),
+              Literal.create(null, IntegerType),
+              If(EqualTo(a2, b2), Literal(0), Literal(1)))
           }
           (c.head.dataType, c(1).dataType) match {
-            case (s1: StructType, _: StructType) =>
+            case (s1: StructType, s2: StructType) =>
+              // arity mismatch is an error in the reference
+              require(s1.length == s2.length,
+                s"tupleHammingDistance: tuple sizes differ " +
+                  s"(${s1.length} vs ${s2.length})")
               s1.indices.map { i =>
                 cmp(GetStructField(c.head, i), GetStructField(c(1), i))
               }.reduceLeft(Add(_, _))
@@ -3843,6 +3897,55 @@ object ClickHouseAliases {
       // operand is unsigned — the result wraps non-negative (Pmod)
       "moduloLegacy" -> (cs => Pmod(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
       "hmod" -> (cs => Pmod(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
+      // accurateCast(x, 'Type'): cast that ERRORS when the value leaves
+      // the CH type's range (reference accurateCast — CAST with
+      // cast_keep_nullable=0 and range checks)
+      "accurateCast" -> (cs => cs(1) match {
+        case Literal(t, StringType) if t != null =>
+          val ch = t.toString.trim
+          ChDispatch("accurateCast", cs.take(1)) { c =>
+            val v = c.head
+            def ranged(lo: Double, hi: Double, target: DataType): Expression = {
+              val d = Cast(v, DoubleType)
+              val cond = And(GreaterThanOrEqual(d, Literal(lo)),
+                LessThanOrEqual(d, Literal(hi)))
+              If(cond, Cast(v, target), Cast(new AssertTrue(cond), target))
+            }
+            val fixedRe = """FixedString\((\d+)\)""".r
+            val decRe = """Decimal(32|64|128)\((\d+)\)""".r
+            ch match {
+              case "UInt8" => ranged(0, 255, IntegerType)
+              case "UInt16" => ranged(0, 65535, IntegerType)
+              case "UInt32" => ranged(0, 4294967295d, LongType)
+              case "UInt64" | "UInt128" | "UInt256" =>
+                ranged(0, Double.MaxValue, LongType)
+              case "Int8" => ranged(-128, 127, IntegerType)
+              case "Int16" => ranged(-32768, 32767, IntegerType)
+              case "Int32" => ranged(-2147483648d, 2147483647d, IntegerType)
+              case "Int64" => ranged(Long.MinValue.toDouble,
+                Long.MaxValue.toDouble, LongType)
+              case fixedRe(n) =>
+                val cond = EqualTo(OctetLength(Cast(v, StringType)),
+                  Literal(n.toInt))
+                If(cond, Cast(v, StringType),
+                  Cast(new AssertTrue(cond), StringType))
+              case decRe(w, sc) =>
+                // CH's range check admits ±10^(P−S) inclusive — one
+                // integer digit beyond the strict precision
+                val p = w match {
+                  case "32" => 10; case "64" => 19; case _ => 38
+                }
+                Cast(v, DecimalType(p, sc.toInt), None, EvalMode.ANSI)
+              case other =>
+                val sparkType = org.apache.spark.sql.catalyst.parser
+                  .CatalystSqlParser.parseDataType(
+                    ChTranspiler.transpileTypeString(other))
+                Cast(v, sparkType, None, EvalMode.ANSI)
+            }
+          }
+        case _ => throw new IllegalArgumentException(
+          "accurateCast expects a literal type name")
+      }),
       // accurateCastOrNull(x, 'Type'): try-cast to the CH-named type
       "accurateCastOrNull" -> (cs => cs(1) match {
         case Literal(t, StringType) if t != null =>
