@@ -356,7 +356,7 @@ object ChTranspiler {
     rewriteOrderNulls(rewriteNestedArrayJoin(rewriteArrayJoin(rewriteInClauses(
       rewriteTupleLiterals(rewriteTernary(rewriteInlineAliases(
         rewriteScalarWith(rewriteInfixMod(rewriteTwoArgCast(rewriteGroupsFrame(
-          postPass(rewriteMapLiterals(out.toString)))))))))))))
+          postPass(rewritePositionIn(rewriteMapLiterals(out.toString))))))))))))))
   }
 
   /** GROUPS window frames (reference WindowDescription.h FrameType::
@@ -451,6 +451,55 @@ object ChTranspiler {
       i += 1
     }
     None
+  }
+
+  /** SQL-standard `position(needle IN haystack)` → the CH argument
+    * order `position(haystack, needle)` (which the strict session's
+    * builder then lowers with byte-offset semantics). Spark's parser
+    * would otherwise consume the IN form with its own locate lowering,
+    * bypassing the dialect's empty-needle and byte conventions.
+    */
+  private def rewritePositionIn(sql: String): String = {
+    if (!sql.toLowerCase.contains("position")) return sql
+    val toks = tokenize(sql)
+    def sig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    val sb = new StringBuilder
+    var i = 0
+    while (i < toks.length) {
+      val isPos = toks(i) match {
+        case Word(w) => w.toLowerCase.startsWith("position")
+        case _ => false
+      }
+      val p = sig(i + 1)
+      if (isPos && p < toks.length && toks(p) == Punct("(")) {
+        // scan for a top-level IN inside these parens
+        var depth = 1
+        var j = p + 1
+        var inIdx = -1
+        var close = -1
+        while (close < 0 && j < toks.length) {
+          toks(j) match {
+            case Punct("(") | Punct("[") => depth += 1
+            case Punct(")") | Punct("]") =>
+              depth -= 1; if (depth == 0) close = j
+            case w: Word if depth == 1 && isWordI(w, "IN") => inIdx = j
+            case Punct(",") if depth == 1 => inIdx = -2 // already 2-arg
+            case _ => ()
+          }
+          j += 1
+        }
+        if (inIdx >= 0 && close > 0) {
+          val needle = toks.slice(p + 1, inIdx).map(_.text).mkString.trim
+          val hay = toks.slice(inIdx + 1, close).map(_.text).mkString.trim
+          sb.append(toks(i).text).append("(").append(hay).append(", ")
+            .append(needle).append(")")
+          i = close + 1
+        } else { sb.append(toks(i).text); i += 1 }
+      } else { sb.append(toks(i).text); i += 1 }
+    }
+    sb.toString
   }
 
   /** CH map literals `{'a': 1, 'b': 2}` → `map('a', 1, 'b', 2)`. The

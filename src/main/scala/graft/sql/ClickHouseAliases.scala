@@ -4289,6 +4289,28 @@ object ClickHouseAliases {
         new ExpressionInfo("graft.sql.ClickHouseAliases", n),
         dateDiffBuilder)
     }
+    // CH position(haystack, needle[, start]) — argument order REVERSED
+    // from Spark's builtin, and the result is a 1-based BYTE offset
+    // (reference src/Functions/position.cpp); corpus-session only for
+    // the same shadowing reason as `length`
+    val positionBuilder: Seq[Expression] => Expression = cs => {
+      val hay = cs.head
+      val needle = cs(1)
+      val start = if (cs.size > 2) cs(2) else Literal(1)
+      val s0 = Greatest(Seq(Cast(start, IntegerType), Literal(1)))
+      val charPos = StringLocate(needle, hay, s0)
+      // empty needle matches at the start position while it is within
+      // the string (+1), else misses (reference convention)
+      If(EqualTo(OctetLength(needle), Literal(0)),
+        If(LessThanOrEqual(s0, Add(Length(hay), Literal(1))), s0, Literal(0)),
+        If(EqualTo(charPos, Literal(0)), Literal(0),
+          Cast(Add(OctetLength(Substring(hay, Literal(1),
+            Subtract(charPos, Literal(1)))), Literal(1)), IntegerType)))
+    }
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("position"),
+      new ExpressionInfo("graft.sql.ClickHouseAliases", "position"),
+      positionBuilder)
   }
 
   def inject(ext: SparkSessionExtensions): Unit = {
