@@ -96,7 +96,9 @@ object Engine {
     // names col1/col2 so CH `.1`/`.2` access resolves)
     spark.udf.register("geohashEncode",
       (lon: Double, lat: Double, p: Int) =>
-        functions.GeoFunctions.encode(lat, lon, if (p <= 0) 12 else p))
+        // reference GeoHash.cpp geohashPrecision clamps BOTH directions:
+        // out-of-range precision (≤0 or >12) falls back to 12
+        functions.GeoFunctions.encode(lat, lon, if (p <= 0 || p > 12) 12 else p))
     spark.udf.register("geohashDecode", (h: String) => {
       val (lat, lon) = functions.GeoFunctions.decode(h)
       GeoPoint(lon, lat)

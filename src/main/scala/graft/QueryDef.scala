@@ -34,6 +34,17 @@ object Num {
   /** Exact sum of a derived per-row double, quantized to 6 decimals. */
   def dsum6(c: Column): Column = sum(c.cast(D6)).cast(DoubleType)
 
+  /** High-precision variant for knife-edge-sensitive intermediates: a
+    * 6-decimal quantization of a per-row LN/χ² term rounds differently
+    * across engines whenever the double sits within an ulp of a
+    * `x.xxxxxx5` boundary, and a statistic summing hundreds of such terms
+    * re-rolls that dice every data regeneration. Quantizing at 12 decimals
+    * shrinks the boundary-hit probability by ~10⁶ while staying exact and
+    * order-independent; round only FINAL statistics to 6.
+    */
+  val D12: DecimalType = DecimalType(28, 12)
+  def dsum12(c: Column): Column = sum(c.cast(D12)).cast(DoubleType)
+
   /** Order-independent average: exact decimal sum / count. */
   def davg2(c: Column): Column = dsum2(c) / count(lit(1))
   def davg6(c: Column): Column = dsum6(c) / count(lit(1))

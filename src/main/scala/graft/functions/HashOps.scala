@@ -117,7 +117,7 @@ object HashOps {
   }
 
   def halfMD5Multi(a: ArrayData): Decimal = {
-    if (isEmpty(a)) return unsigned64(0L)
+    if (isEmpty(a)) return unsigned64(EmptyArgs64)
     val hs = args(a).map(halfMD5)
     unsigned64(hs.reduceLeft { (p, c) =>
       halfMD5(leBytes(p, 8) ++ leBytes(c, 8))
@@ -527,7 +527,7 @@ object HashOps {
   def f64BitsU64(d: Double): Long = java.lang.Double.doubleToLongBits(d)
 
   def cityCombine(a: ArrayData): Decimal = {
-    if (a.numElements() == 0) return unsigned64(0L)
+    if (a.numElements() == 0) return unsigned64(EmptyArgs64)
     val hs = (0 until a.numElements()).map(a.getLong)
     unsigned64(hs.reduceLeft(hash128to64))
   }
@@ -549,12 +549,16 @@ object HashOps {
   private def args(a: ArrayData): IndexedSeq[Array[Byte]] =
     (0 until a.numElements()).map(a.getBinary)
 
-  // a zero-argument call (SELECT murmurHash2_32()) hashes nothing and
-  // returns 0 in the reference (IColumn-less branch zero-fills)
+  // a zero-argument call (SELECT murmurHash2_32()) hashes nothing; the
+  // reference assigns a fixed /dev/urandom constant
+  // (FunctionsHashing.h:1792,2128), truncated to the output width for
+  // 32-bit variants.
   private def isEmpty(a: ArrayData): Boolean = a.numElements() == 0
+  private val EmptyArgs64: Long = 0xe28dbde7fe22e41cL
+  private val EmptyArgs32: Long = 0xfe22e41cL
 
   def sipHash64Multi(a: ArrayData): Decimal = {
-    if (isEmpty(a)) return unsigned64(0L)
+    if (isEmpty(a)) return unsigned64(EmptyArgs64)
     val hs = args(a).map(sipHash64)
     val h = hs.reduceLeft { (p, c) =>
       sipHash64(leBytes(p, 8) ++ leBytes(c, 8))
@@ -563,37 +567,37 @@ object HashOps {
   }
 
   def murmur2_64Multi(a: ArrayData): Decimal = {
-    if (isEmpty(a)) return unsigned64(0L)
+    if (isEmpty(a)) return unsigned64(EmptyArgs64)
     val h = args(a).map(murmur2_64).reduceLeft((p, c) => intHash64Impl(p) ^ c)
     unsigned64(h)
   }
 
   def murmur2_32Multi(a: ArrayData): Long = {
-    if (isEmpty(a)) return 0L
+    if (isEmpty(a)) return EmptyArgs32
     val h = args(a).map(murmur2_32).reduceLeft((p, c) => intHash32(p & 0xffffffffL) ^ c)
     h.toLong & 0xffffffffL
   }
 
   def murmur3_32Multi(a: ArrayData): Long = {
-    if (isEmpty(a)) return 0L
+    if (isEmpty(a)) return EmptyArgs32
     val h = args(a).map(murmur3_32).reduceLeft((p, c) => intHash32(p & 0xffffffffL) ^ c)
     h.toLong & 0xffffffffL
   }
 
   def murmur3_64Multi(a: ArrayData): Decimal = {
-    if (isEmpty(a)) return unsigned64(0L)
+    if (isEmpty(a)) return unsigned64(EmptyArgs64)
     val h = args(a).map(murmur3_64).reduceLeft((p, c) => intHash64Impl(p) ^ c)
     unsigned64(h)
   }
 
   def xxh32Multi(a: ArrayData): Long = {
-    if (isEmpty(a)) return 0L
+    if (isEmpty(a)) return EmptyArgs32
     val h = args(a).map(xxh32).reduceLeft((p, c) => intHash32(p & 0xffffffffL) ^ c)
     h.toLong & 0xffffffffL
   }
 
   def xxh64Multi(a: ArrayData): Decimal = {
-    if (isEmpty(a)) return unsigned64(0L)
+    if (isEmpty(a)) return unsigned64(EmptyArgs64)
     val h = args(a).map(xxh64).reduceLeft(hash128to64)
     unsigned64(h)
   }

@@ -39,8 +39,12 @@ object Association {
     *     n, not the classical φ²+1 — parity with CrossTab.h kept)
     *
     * Returns one row: n, card_a, card_b, phi2, cramers_v,
-    * cramers_v_bc, theils_u, contingency. The statistics are quantized
-    * through DECIMAL(18,6) and cast back to DOUBLE ([[graft.Num.dq]]):
+    * cramers_v_bc, theils_u, contingency. Per-cell LN/χ² terms are summed
+    * through DECIMAL(28,12) ([[graft.Num.dsum12]]) — 6-decimal
+    * intermediates proved knife-edge-sensitive (a term within an ulp of a
+    * rounding boundary flips across engines) — and only the FINAL
+    * statistics are quantized through DECIMAL(18,6) and cast back to
+    * DOUBLE ([[graft.Num.dq]]):
     * the decimal round-trip makes both engines derive bit-identical
     * doubles from the same exact decimal, while a raw decimal output
     * column is NOT hash-stable across engines (representation differs
@@ -80,9 +84,9 @@ object Association {
         max(col("__n")).as("n"),
         max(col("__ka")).as("card_a"),
         max(col("__kb")).as("card_b"),
-        dsum6(chiElem).as("__chi2"),
-        dsum6(hElem).as("__ha"),
-        dsum6(depElem).as("__dep"))
+        dsum12(chiElem).as("__chi2"),
+        dsum12(hElem).as("__ha"),
+        dsum12(depElem).as("__dep"))
     val n = col("n").cast("double")
     val phi2 = col("__chi2") / n
     val aAdj = (col("card_a") - 1).cast("double")

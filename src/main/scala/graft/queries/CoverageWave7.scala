@@ -51,13 +51,13 @@ object CoverageWave7 {
             (SELECT COUNT(DISTINCT source) FROM documents) AS card_b,
             CAST(SUM(CAST(
               (nab - na*nb/CAST(n AS DOUBLE)) * (nab - na*nb/CAST(n AS DOUBLE))
-                / (na*nb/CAST(n AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+                / (na*nb/CAST(n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS chi2,
             CAST(SUM(CAST(CASE WHEN rn_a = 1
               THEN (na/CAST(n AS DOUBLE)) * LN(na/CAST(n AS DOUBLE))
-              ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS ha,
+              ELSE 0.0 END AS DECIMAL(28,12))) AS DOUBLE) AS ha,
             CAST(SUM(CAST(
               (nab/CAST(n AS DOUBLE)) * LN(nab/CAST(nb AS DOUBLE))
-              AS DECIMAL(18,6))) AS DOUBLE) AS dep
+              AS DECIMAL(28,12))) AS DOUBLE) AS dep
           FROM marg
         )
         SELECT n, card_a, card_b,

@@ -19,37 +19,38 @@ object ChFormat {
 
   /** Wall-clock zone for DateTime text — the reference prints server
     * time, and its test corpus is generated under Europe/Moscow
-    * (clickhouse-test pins TZ); the corpus runner sets this to match.
+    * (clickhouse-test pins TZ); the corpus runner passes the session's
+    * timezone here. A parameter, not a global: a parallel run mixing
+    * corpus and library suites must not race on shared state.
     */
-  @volatile var zone: java.time.ZoneId = ZoneOffset.UTC
-
-  def formatRows(rows: Seq[org.apache.spark.sql.Row]): String =
-    rows.map(r => (0 until r.length).map(i => top(r.get(i))).mkString("\t"))
+  def formatRows(rows: Seq[org.apache.spark.sql.Row],
+      zone: java.time.ZoneId = ZoneOffset.UTC): String =
+    rows.map(r => (0 until r.length).map(i => top(r.get(i), zone)).mkString("\t"))
       .mkString("\n")
 
   /** Top-level column value: strings raw (escaped), NULL = \N. */
-  def top(v: Any): String = v match {
+  def top(v: Any, zone: java.time.ZoneId): String = v match {
     case null => "\\N"
     case s: String => escape(s)
     case b: Array[Byte] => escape(new String(b, "UTF-8")) // CH String from unhex etc.
-    case other => value(other, quoted = false)
+    case other => value(other, quoted = false, zone)
   }
 
   /** Nested (inside array/tuple/map): strings AND date/time values
     * quoted (writeQuoted in the reference quotes DateTime the same as
     * String inside composites), NULL spelled out.
     */
-  private def nested(v: Any): String = v match {
+  private def nested(v: Any, zone: java.time.ZoneId): String = v match {
     case null => "NULL"
     case s: String => "'" + escape(s) + "'"
     case b: Array[Byte] => "'" + escape(new String(b, "UTF-8")) + "'"
     case _: Date | _: Timestamp | _: java.time.Instant |
          _: java.time.LocalDate | _: java.time.LocalDateTime =>
-      "'" + value(v, quoted = true) + "'"
-    case other => value(other, quoted = true)
+      "'" + value(v, quoted = true, zone) + "'"
+    case other => value(other, quoted = true, zone)
   }
 
-  private def value(v: Any, quoted: Boolean): String = v match {
+  private def value(v: Any, quoted: Boolean, zone: java.time.ZoneId): String = v match {
     case b: Boolean => if (b) "1" else "0"
     case d: Double => formatFloat(d)
     // Float32 keeps its own shortest round-trip text (21.99f is
@@ -73,13 +74,13 @@ object ChFormat {
       if (p.getYears != 0 && p.getMonths == 0) p.getYears.toString
       else p.toTotalMonths.toString
     case a: scala.collection.Seq[_] =>
-      a.map(nested).mkString("[", ",", "]")
-    case a: Array[_] => a.map(nested).mkString("[", ",", "]")
+      a.map(nested(_, zone)).mkString("[", ",", "]")
+    case a: Array[_] => a.map(nested(_, zone)).mkString("[", ",", "]")
     case m: scala.collection.Map[_, _] =>
-      m.toSeq.map { case (k, x) => nested(k) + ":" + nested(x) }
+      m.toSeq.map { case (k, x) => nested(k, zone) + ":" + nested(x, zone) }
         .mkString("{", ",", "}")
     case r: org.apache.spark.sql.Row =>
-      (0 until r.length).map(i => nested(r.get(i))).mkString("(", ",", ")")
+      (0 until r.length).map(i => nested(r.get(i), zone)).mkString("(", ",", ")")
     case other => other.toString
   }
 

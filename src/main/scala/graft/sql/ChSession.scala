@@ -42,10 +42,20 @@ final class ChSession(spark: SparkSession) {
   private case class TableState(
       schema: StructType,
       declared: Seq[(String, String)], // col name -> CH type text (DESCRIBE)
-      defaults: Map[String, String],   // col name -> transpiled default expr
+      defaults: Map[String, String],   // col name -> raw CH default expr
       orderKey: Seq[String],
       hidden: Set[String],             // MATERIALIZED/ALIAS column names
-      var data: DataFrame)
+      var data: DataFrame,
+      // col name -> (default kind, raw default text, comment) for
+      // DESCRIBE (reference layout: name, type, _, default_type,
+      // default_expression, comment, codec, ttl)
+      meta: Map[String, (String, String, String)] = Map.empty,
+      // columns ADDed after rows existed, with no explicit DEFAULT: the
+      // reference materializes them lazily — a part missing the column
+      // reads the CURRENT type's default, so ADD UInt32 then MODIFY
+      // String shows '' (not '0') on pre-ALTER rows. Modeled as NULL
+      // markers in `data` coalesced to the current default at view time.
+      lazyDefault: Set[String] = Set.empty)
 
   private val tables = mutable.LinkedHashMap[String, TableState]()
   private val views = mutable.LinkedHashSet[String]()
@@ -87,6 +97,7 @@ final class ChSession(spark: SparkSession) {
     else if (up.startsWith("CREATE TABLE") ||
              up.startsWith("CREATE TEMPORARY TABLE")) { createTable(s); Done }
     else if (up.startsWith("INSERT INTO")) { insert(s); Done }
+    else if (up.startsWith("ALTER TABLE")) { alter(s); Done }
     else if (up.startsWith("REFRESH")) { refresh(s); Done }
     else if (up.startsWith("DESC")) describe(s)
     else NotHandled
@@ -180,7 +191,11 @@ final class ChSession(spark: SparkSession) {
         orderKey,
         parsed.filter(_.hidden).map(_.field.name).toSet,
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], schema))
+          spark.sparkContext.emptyRDD[Row], schema),
+        parsed.filter(c => c.kind.nonEmpty || c.comment.nonEmpty)
+          .map(c => c.field.name ->
+            ((c.kind, if (c.kind.nonEmpty) c.default.getOrElse("") else "",
+              c.comment))).toMap)
       tables(name) = st
       st.data.createOrReplaceTempView(name)
     } else {
@@ -259,9 +274,7 @@ final class ChSession(spark: SparkSession) {
     var full = inserted.toDF(givenCols: _*)
     st.schema.fields.foreach { f =>
       if (!givenCols.contains(f.name)) {
-        val d = st.defaults.get(f.name)
-          .map(e => expr(ChTranspiler.transpile("SELECT " + e)
-            .replaceFirst("(?is)^\\s*SELECT\\s+", "")))
+        val d = st.defaults.get(f.name).map(chCol)
           .getOrElse(typeDefault(f.dataType))
         full = full.withColumn(f.name, d)
       }
@@ -290,12 +303,22 @@ final class ChSession(spark: SparkSession) {
 
   private def registerView(name: String): Unit = {
     val st = tables(name)
+    // lazily-defaulted columns surface the CURRENT type's default where
+    // the stored marker is NULL (see TableState.lazyDefault)
+    val filled =
+      if (st.lazyDefault.isEmpty) st.data
+      else st.data.select(st.schema.fieldNames.map { fn =>
+        if (st.lazyDefault(fn))
+          coalesce(col(s"`$fn`"),
+            typeDefault(st.schema(fn).dataType)).as(fn)
+        else col(s"`$fn`")
+      }.toSeq: _*)
     // an unordered SELECT observes the merged table's sorting-key order
     // (MergeTree parts merge-sort on read); register the sorted view
     val view =
       if (st.orderKey.nonEmpty)
-        st.data.orderBy(st.orderKey.map(k => col(s"`$k`")): _*)
-      else st.data
+        filled.orderBy(st.orderKey.map(k => col(s"`$k`")): _*)
+      else filled
     view.createOrReplaceTempView(name)
   }
 
@@ -304,14 +327,16 @@ final class ChSession(spark: SparkSession) {
       tables.get(cleanName(name)) match {
         case Some(st) =>
           Output(st.declared.map { case (n, t) =>
-            Row(n, t, "", "", "", "", "", "") })
+            val (kind, exprTxt, comment) = st.meta.getOrElse(n, ("", "", ""))
+            Row(n, t, "", kind, exprTxt, comment, "", "") })
         case None => NotHandled // DESCRIBE of a subquery etc.
       }
     case _ => NotHandled
   }
 
   private case class ColDef(field: StructField, chType: String,
-      default: Option[String], hidden: Boolean = false)
+      default: Option[String], hidden: Boolean = false,
+      kind: String = "", comment: String = "")
 
   /** `n Nested(a T, b U)` flattens to parallel array columns `n.a`
     * Array(T), `n.b` Array(U) — the reference's storage model
@@ -345,10 +370,15 @@ final class ChSession(spark: SparkSession) {
     */
   private def parseColDef(def0: String): Option[ColDef] = {
     val m = colDefRe.findFirstMatchIn(def0.trim).getOrElse(return None)
-    val name = cleanName(m.group(1))
+    val name = colName(m.group(1))
     var rest = m.group(2).trim
+    // COMMENT 'text' anywhere in the definition (DESCRIBE field 6)
+    val comment = """(?i)\bCOMMENT\s+'((?:[^'\\]|\\.)*)'""".r
+      .findFirstMatchIn(def0)
+      .map(_.group(1).replace("\\'", "'")).getOrElse("")
     // cut trailing modifiers
     var default: Option[String] = None
+    var kind = ""
     // MATERIALIZED/ALIAS columns compute from their expression and are
     // NOT part of the positional insert list (reference
     // ColumnDefaultKind: they are also hidden from SELECT *)
@@ -359,6 +389,7 @@ final class ChSession(spark: SparkSession) {
       rest = rest.substring(0, mm.start).trim
       if (kw == "DEFAULT" || kw == "MATERIALIZED" || kw == "ALIAS") {
         hidden = kw != "DEFAULT"
+        kind = kw
         // default expr runs to the next modifier keyword (or end)
         val stop = modifierRe.findFirstMatchIn(tail).map(_.start)
           .getOrElse(tail.length)
@@ -369,7 +400,7 @@ final class ChSession(spark: SparkSession) {
       // bare `name DEFAULT expr` (type inferred) — infer via literal cast
       default.map { d =>
         ColDef(StructField(name, StringType, nullable = true), "String",
-          Some(d), hidden)
+          Some(d), hidden, kind, comment)
       }
     } else {
       // `a Int32 NULL` / `NOT NULL` suffix spelling of (non-)Nullable
@@ -381,8 +412,314 @@ final class ChSession(spark: SparkSession) {
       // a Nullable column's implicit default is NULL, not the type zero
       val d = default.orElse(
         if (chNullable || explicitNullable) Some("NULL") else None)
-      Some(ColDef(StructField(name, dt, nullable = true), typeText, d, hidden))
+      Some(ColDef(StructField(name, dt, nullable = true), typeText, d,
+        hidden, kind, comment))
     }
+  }
+
+  /** One CH-dialect scalar expression as a Spark Column. */
+  private def chCol(e: String): Column =
+    expr(ChTranspiler.transpile("SELECT " + e)
+      .replaceFirst("(?is)^\\s*SELECT\\s+", ""))
+
+  /** ALTER TABLE t <cmd> [, <cmd> …] (reference AlterCommands.cpp +
+    * MutationsInterpreter.cpp): schema commands rebuild the table state
+    * and reproject the data; UPDATE/DELETE mutations re-materialize the
+    * DataFrame the way a mutation rewrites parts — all assignments read
+    * the OLD row, exactly the reference's simultaneous-assignment rule.
+    * Physical-layout commands with no temp-view analogue (partitions,
+    * indexes, projections, TTL, settings) are accepted as no-ops when
+    * they cannot change observable results, and rejected otherwise.
+    */
+  private def alter(s: String): Unit = {
+    val m = alterRe.findFirstMatchIn(s).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse ALTER: ${s.take(60)}"))
+    val name = cleanName(m.group(1))
+    if (!tables.contains(name))
+      throw new IllegalArgumentException(s"ALTER of unknown table $name")
+    splitAlterCommands(m.group(2)).foreach(cmd => alterOne(name, cmd.trim))
+  }
+
+  /** Top-level commas separate commands, but only when the next segment
+    * starts with a command keyword — an UPDATE assignment list is ONE
+    * command with internal commas.
+    */
+  private def splitAlterCommands(body: String): Seq[String] = {
+    val segs = splitTop(body)
+    val out = mutable.ArrayBuffer[String]()
+    segs.foreach { seg =>
+      if (out.isEmpty || alterKwRe.pattern.matcher(seg.trim).find())
+        out += seg
+      else out(out.length - 1) = out.last + "," + seg
+    }
+    out.toSeq
+  }
+
+  private def alterOne(name: String, cmd: String): Unit = {
+    val st = tables(name)
+    val up = cmd.toUpperCase
+    cmd match {
+      case addColRe(ifne, defText, pos) =>
+        val exists = ifne != null
+        val cds = expandColDef(defText.trim)
+        val anyExists = cds.exists(cd =>
+          st.schema.fieldNames.contains(cd.field.name))
+        if (anyExists && !exists)
+          throw new IllegalArgumentException(
+            s"column already exists: ${cds.map(_.field.name).mkString(",")}")
+        // IF NOT EXISTS on a Nested group: a no-op when ANY member
+        // exists (the reference checks the nested column as a whole)
+        if (!anyExists) {
+          // a Nested ADD expands to several columns: the first lands at
+          // the given position, each next AFTER its predecessor
+          var prevPos = Option(pos)
+          cds.foreach { cd =>
+            addColumn(name, cd, prevPos)
+            prevPos = Some(s"AFTER ${cd.field.name}")
+          }
+        }
+      case dropColRe(ife, col0) =>
+        val c = colName(col0)
+        val stx = tables(name)
+        if (!stx.schema.fieldNames.contains(c)) {
+          if (ife == null) throw new IllegalArgumentException(
+            s"cannot DROP unknown column $c")
+        } else dropColumn(name, c)
+      case renameColRe(ife, a0, b0) =>
+        val a = colName(a0); val b = colName(b0)
+        val stx = tables(name)
+        if (!stx.schema.fieldNames.contains(a)) {
+          if (ife == null) throw new IllegalArgumentException(
+            s"cannot RENAME unknown column $a")
+        } else renameColumn(name, a, b)
+      case commentColRe(_, col0, text) =>
+        val c = colName(col0)
+        val stx = tables(name)
+        val (k, e, _) = stx.meta.getOrElse(c, ("", "", ""))
+        tables(name) = stx.copy(meta =
+          stx.meta + (c -> ((k, e, text.replace("\\'", "'")))))
+      case clearColRe(_, col0) =>
+        val c = colName(col0)
+        val stx = tables(name)
+        val f = stx.schema(c)
+        val d = stx.defaults.get(c).map(chCol).getOrElse(typeDefault(f.dataType))
+        stx.data = stx.data.withColumn(c, d.cast(f.dataType))
+        registerView(name)
+      case updateRe(assignsText, condText) =>
+        val assigns = splitTop(assignsText).map { a =>
+          val eq = topLevelEq(a)
+          (colName(a.substring(0, eq).trim), a.substring(eq + 1).trim)
+        }.toMap
+        val stx = tables(name)
+        val cond = chCol(condText)
+        stx.data = stx.data.select(stx.schema.fieldNames.map { fn =>
+          assigns.get(fn) match {
+            case Some(rhs) =>
+              when(coalesce(cond.cast("boolean"), lit(false)),
+                chCol(rhs).cast(stx.schema(fn).dataType))
+                .otherwise(col(s"`$fn`")).as(fn)
+            case None => col(s"`$fn`")
+          }
+        }.toSeq: _*)
+        registerView(name)
+      case deleteRe(condText) =>
+        val stx = tables(name)
+        val cond = chCol(condText)
+        stx.data = stx.data.filter(
+          !coalesce(cond.cast("boolean"), lit(false)))
+        registerView(name)
+      case modifyColRe(ife, rest0) =>
+        val rest = rest0.trim
+        // REMOVE <property> form
+        val removeM = """(?is)^(`[^`]+`|[A-Za-z_][\w.]*)\s+REMOVE\s+(DEFAULT|MATERIALIZED|ALIAS|COMMENT|CODEC|TTL)\s*$""".r
+        val commentM = """(?is)^(`[^`]+`|[A-Za-z_][\w.]*)\s+COMMENT\s+'((?:[^'\\]|\\.)*)'\s*$""".r
+        removeM.findFirstMatchIn(rest) match {
+          case Some(rm) =>
+            val c = colName(rm.group(1))
+            val prop = rm.group(2).toUpperCase
+            val stx = tables(name)
+            val (k, e, cm) = stx.meta.getOrElse(c, ("", "", ""))
+            val nm = prop match {
+              case "COMMENT" => (k, e, "")
+              case "DEFAULT" | "MATERIALIZED" | "ALIAS" => ("", "", cm)
+              case _ => (k, e, cm)
+            }
+            tables(name) = stx.copy(
+              meta = stx.meta + (c -> nm),
+              defaults =
+                if (prop == "COMMENT" || prop == "CODEC" || prop == "TTL")
+                  stx.defaults
+                else stx.defaults - c,
+              hidden = if (prop == "MATERIALIZED" || prop == "ALIAS")
+                stx.hidden - c else stx.hidden)
+          case None => commentM.findFirstMatchIn(rest) match {
+            case Some(cm2) =>
+              val c = colName(cm2.group(1))
+              val stx = tables(name)
+              val (k, e, _) = stx.meta.getOrElse(c, ("", "", ""))
+              tables(name) = stx.copy(meta = stx.meta +
+                (c -> ((k, e, cm2.group(2).replace("\\'", "'")))))
+            case None =>
+              // `MODIFY COLUMN c DEFAULT expr` (kind right after the
+              // name) changes the default WITHOUT a type change;
+              // anything else re-declares the type
+              val bareKind = """(?is)^(`[^`]+`|[A-Za-z_][\w.]*)\s+(DEFAULT|MATERIALIZED|ALIAS)\b""".r
+                .findFirstMatchIn(rest).isDefined
+              parseColDef(rest) match {
+                case Some(cd) if tables(name).schema.fieldNames
+                    .contains(cd.field.name) =>
+                  modifyColumn(name, cd, withType = !bareKind)
+                case Some(cd) if ife != null => ()
+                case Some(cd) => throw new IllegalArgumentException(
+                  s"cannot MODIFY unknown column ${cd.field.name}")
+                case None => throw new IllegalArgumentException(
+                  s"cannot parse MODIFY COLUMN: $rest")
+              }
+          }
+        }
+      case _
+        // layout-only commands a temp view cannot observe: accept
+        if up.startsWith("MODIFY SETTING") || up.startsWith("RESET SETTING") ||
+           up.startsWith("ADD INDEX") || up.startsWith("DROP INDEX") ||
+           up.startsWith("CLEAR INDEX") || up.startsWith("MATERIALIZE INDEX") ||
+           up.startsWith("ADD PROJECTION") || up.startsWith("DROP PROJECTION") ||
+           up.startsWith("MATERIALIZE PROJECTION") ||
+           up.startsWith("ADD CONSTRAINT") || up.startsWith("DROP CONSTRAINT") ||
+           up.startsWith("MATERIALIZE COLUMN") ||
+           up.startsWith("MODIFY TTL") || up.startsWith("REMOVE TTL") ||
+           up.startsWith("MODIFY ORDER BY") || up.startsWith("COMMENT ") => ()
+      case other => throw new IllegalArgumentException(
+        s"unsupported ALTER command: ${other.take(60)}")
+    }
+  }
+
+  /** Index of the first top-level `=` (not ==, !=, <=, >=). */
+  private def topLevelEq(a: String): Int = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < a.length) {
+      val c = a.charAt(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case '=' if depth == 0 && i > 0 &&
+            !"=!<>".contains(a.charAt(i - 1)) &&
+            (i + 1 >= a.length || a.charAt(i + 1) != '=') => return i
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"no assignment in: ${a.take(40)}")
+  }
+
+  private def addColumn(name: String, cd: ColDef,
+      pos: Option[String]): Unit = {
+    val st = tables(name)
+    val f = cd.field
+    // existing rows: an explicit DEFAULT/MATERIALIZED expression
+    // materializes over the old row; an implicit default stays a NULL
+    // marker resolved to the CURRENT type default at view time
+    // (TableState.lazyDefault — the reference's lazy part fill)
+    val lazyFill = cd.default.isEmpty
+    val fill = cd.default.map(chCol)
+      .getOrElse(lit(null))
+    val withCol = st.data.withColumn(f.name, fill.cast(f.dataType))
+    // position: FIRST / AFTER c / append
+    val names0 = st.schema.fieldNames.toSeq
+    val upPos = pos.map(_.trim.toUpperCase)
+    val names =
+      if (upPos.contains("FIRST")) f.name +: names0
+      else upPos.filter(_.startsWith("AFTER")) match {
+        case Some(_) =>
+          val after = colName(pos.get.trim.split("\\s+").last)
+          val idx = names0.indexOf(after)
+          if (idx < 0) names0 :+ f.name
+          else (names0.take(idx + 1) :+ f.name) ++ names0.drop(idx + 1)
+        case None => names0 :+ f.name
+      }
+    val newSchema = StructType(names.map(n =>
+      if (n == f.name) f else st.schema(n)))
+    val newDeclared = names.map(n =>
+      if (n == f.name) n -> cd.chType
+      else n -> st.declared.find(_._1 == n).map(_._2).getOrElse(""))
+    tables(name) = st.copy(
+      schema = newSchema,
+      declared = newDeclared,
+      defaults = st.defaults ++ cd.default.map(f.name -> _),
+      hidden = if (cd.hidden) st.hidden + f.name else st.hidden,
+      meta = if (cd.kind.nonEmpty || cd.comment.nonEmpty)
+        st.meta + (f.name ->
+          ((cd.kind, if (cd.kind.nonEmpty) cd.default.getOrElse("") else "",
+            cd.comment)))
+        else st.meta,
+      lazyDefault = if (lazyFill) st.lazyDefault + f.name else st.lazyDefault,
+      data = withCol.select(names.map(n => col(s"`$n`")): _*))
+    registerView(name)
+  }
+
+  private def dropColumn(name: String, c: String): Unit = {
+    val st = tables(name)
+    tables(name) = st.copy(
+      schema = StructType(st.schema.fields.filterNot(_.name == c)),
+      declared = st.declared.filterNot(_._1 == c),
+      defaults = st.defaults - c,
+      hidden = st.hidden - c,
+      meta = st.meta - c,
+      lazyDefault = st.lazyDefault - c,
+      orderKey = st.orderKey.filterNot(_ == c),
+      data = st.data.drop(c))
+    registerView(name)
+  }
+
+  private def renameColumn(name: String, a: String, b: String): Unit = {
+    val st = tables(name)
+    tables(name) = st.copy(
+      schema = StructType(st.schema.fields.map(f =>
+        if (f.name == a) f.copy(name = b) else f)),
+      declared = st.declared.map { case (n, t) =>
+        (if (n == a) b else n) -> t },
+      defaults = st.defaults.map { case (n, e) =>
+        (if (n == a) b else n) -> e },
+      hidden = if (st.hidden(a)) st.hidden - a + b else st.hidden,
+      meta = st.meta.map { case (n, v) => (if (n == a) b else n) -> v },
+      lazyDefault = if (st.lazyDefault(a)) st.lazyDefault - a + b
+        else st.lazyDefault,
+      orderKey = st.orderKey.map(k => if (k == a) b else k),
+      data = st.data.withColumnRenamed(a, b))
+    registerView(name)
+  }
+
+  private def modifyColumn(name: String, cd: ColDef,
+      withType: Boolean = true): Unit = {
+    val st = tables(name)
+    val c = cd.field.name
+    val newField = if (withType) cd.field else st.schema(c)
+    val newCh =
+      if (withType) cd.chType
+      else st.declared.find(_._1 == c).map(_._2).getOrElse(cd.chType)
+    val oldMeta = st.meta.getOrElse(c, ("", "", ""))
+    tables(name) = st.copy(
+      schema = StructType(st.schema.fields.map(f =>
+        if (f.name == c) newField else f)),
+      declared = st.declared.map { case (n, t) =>
+        n -> (if (n == c) newCh else t) },
+      defaults = cd.kind match {
+        case "" => st.defaults
+        case _ => st.defaults ++ cd.default.map(c -> _)
+      },
+      hidden = cd.kind match {
+        case "MATERIALIZED" | "ALIAS" => st.hidden + c
+        case "DEFAULT" => st.hidden - c
+        case _ => st.hidden
+      },
+      meta = st.meta + (c -> ((
+        if (cd.kind.nonEmpty) cd.kind else oldMeta._1,
+        if (cd.kind.nonEmpty) cd.default.getOrElse("") else oldMeta._2,
+        if (cd.comment.nonEmpty) cd.comment else oldMeta._3))),
+      data = st.data.withColumn(c,
+        col(s"`$c`").cast(newField.dataType)))
+    registerView(name)
   }
 
   private def typeDefault(dt: DataType): Column = dt match {
@@ -424,7 +761,27 @@ object ChSession {
   private val cloneRe = """(?is)\s*AS\s+([`\w.]+)\s*(?:ENGINE.*)?""".r
   private val skipDefRe =
     """(?i)^\s*(INDEX|CONSTRAINT|PRIMARY\s+KEY|PROJECTION)\b""".r
-  private val colDefRe = """(?s)^(`[^`]+`|[A-Za-z_]\w*)\s+(.+)$""".r
+  private val colDefRe = """(?s)^(`[^`]+`|[A-Za-z_][\w.]*)\s+(.+)$""".r
+  private val alterRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)(?:\s+ON\s+CLUSTER\s+\S+)?\s+(.*)""".r
+  private val alterKwRe =
+    """(?is)^(ADD|DROP|MODIFY|RENAME|CLEAR|COMMENT|UPDATE|DELETE|RESET|MATERIALIZE|REMOVE|ATTACH|DETACH|FREEZE|MOVE|REPLACE|FETCH|INGEST)\b""".r
+  private val addColRe =
+    """(?is)^ADD\s+COLUMN\s+(IF\s+NOT\s+EXISTS\s+)?(.*?)(?:\s+(FIRST|AFTER\s+[`\w.]+))?\s*$""".r
+  private val dropColRe =
+    """(?is)^DROP\s+COLUMN\s+(IF\s+EXISTS\s+)?([`\w.]+)\s*$""".r
+  private val renameColRe =
+    """(?is)^RENAME\s+COLUMN\s+(IF\s+EXISTS\s+)?([`\w.]+)\s+TO\s+([`\w.]+)\s*$""".r
+  private val commentColRe =
+    """(?is)^COMMENT\s+COLUMN\s+(IF\s+EXISTS\s+)?([`\w.]+)\s+'((?:[^'\\]|\\.)*)'\s*$""".r
+  private val clearColRe =
+    """(?is)^CLEAR\s+COLUMN\s+(IF\s+EXISTS\s+)?([`\w.]+)(?:\s+IN\s+PARTITION\s+.*)?\s*$""".r
+  private val updateRe =
+    """(?is)^UPDATE\s+(.*?)\s+WHERE\s+(.*)$""".r
+  private val deleteRe =
+    """(?is)^DELETE\s+WHERE\s+(.*)$""".r
+  private val modifyColRe =
+    """(?is)^MODIFY\s+COLUMN\s+(IF\s+EXISTS\s+)?(.*)$""".r
   private val modifierRe =
     """(?i)\b(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)\b""".r
 
@@ -432,6 +789,13 @@ object ChSession {
     * use a per-file ChSession; the qualifier carries no information),
     * backticks stripped.
     */
+  /** Column-name cleaner: backticks only — a dot is part of a
+    * flattened Nested column's name (`NestedColumn.A`), never a db
+    * qualifier.
+    */
+  def colName(raw: String): String =
+    raw.trim.stripPrefix("`").stripSuffix("`")
+
   def cleanName(raw: String): String = {
     val n = raw.trim.stripPrefix("`").stripSuffix("`")
     val dot = n.lastIndexOf('.')

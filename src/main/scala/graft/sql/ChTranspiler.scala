@@ -67,6 +67,44 @@ object ChTranspiler {
     out.filter(_._2.nonEmpty).toSeq
   }
 
+  /** Like [[statementsRaw]] but KEEPS comment-only segments (empty clean
+    * text): the corpus's trailing `-- {{ serverError }}` marker after the
+    * file's last `;` lives in such a segment, and the sweep's
+    * expected-error attribution needs to see it.
+    */
+  def statementsRawAll(sqlText: String): Seq[(String, String)] = {
+    val out = ArrayBuffer[(String, String)]()
+    val cur = new StringBuilder
+    var segStart = 0
+    var i = 0
+    val n = sqlText.length
+    while (i < n) {
+      val c = sqlText.charAt(i)
+      if (c == '\'' ) {
+        cur.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          val d = sqlText.charAt(i)
+          cur.append(d)
+          if (d == '\\' && i + 1 < n) { cur.append(sqlText.charAt(i + 1)); i += 2 }
+          else { if (d == '\'') done = true; i += 1 }
+        }
+      } else if (c == '-' && i + 1 < n && sqlText.charAt(i + 1) == '-') {
+        while (i < n && sqlText.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && sqlText.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(sqlText.charAt(i) == '*' && sqlText.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, n)
+        cur.append(' ')
+      } else if (c == ';') {
+        out += ((sqlText.substring(segStart, i + 1).trim, cur.toString.trim))
+        cur.clear(); i += 1; segStart = i
+      } else { cur.append(c); i += 1 }
+    }
+    out += ((sqlText.substring(segStart, n).trim, cur.toString.trim))
+    out.toSeq
+  }
+
   private sealed trait Tok { def text: String }
   private case class Word(text: String) extends Tok
   private case class Str(text: String) extends Tok

@@ -293,7 +293,7 @@ object ClickHouseAliases {
         Count(cs.init.map(a => nullUnless(cs.last, a)))
           .toAggregateExpression(isDistinct = true)),
       "quantileIf" -> (cs => quantIf(cs)),
-      "quantileExactIf" -> (cs => quantIf(cs)),
+      "quantileExactIf" -> (cs => quantExactIf(cs)),
       "avgWeightedIf" -> (cs => {
         val x = Cast(nullUnless(cs(2), cs.head), DoubleType)
         val w = Cast(nullUnless(cs(2), cs(1)), DoubleType)
@@ -339,19 +339,84 @@ object ClickHouseAliases {
   }
 
   /** quantile[Exact]If: parameterized flatten gives (p, x, cond) — or
-    * (x, cond) with the 0.5 default level.
+    * (x, cond) with the 0.5 default level. The Exact spelling selects the
+    * reference's nth element (no interpolation); CollectList skips the
+    * NULLs the condition masks in, like the reference's -If combinator
+    * skipping non-matching rows.
     */
   private def quantIf(cs: Seq[Expression]): Expression =
     if (cs.size >= 3)
       new Percentile(nullUnless(cs(2), cs(1)), cs.head)
     else new Percentile(nullUnless(cs(1), cs.head), Literal(0.5d))
 
+  private def quantExactIf(cs: Seq[Expression]): Expression =
+    if (cs.size >= 3)
+      exactElem(sortedVals(nullUnless(cs(2), cs(1))), cs.head)
+    else exactElem(sortedVals(nullUnless(cs(1), cs.head)), Literal(0.5d))
+
+  /** QuantileExact element selection (reference QuantileExact.h:90):
+    * the element at index n = ⌊level·size⌋ (size−1 when level ≥ 1) of the
+    * sorted values via nth_element — NO interpolation, and the result
+    * keeps the input type: quantileExact(0.5) of [1,2,3,4] is 3, not the
+    * 2.5 an interpolating percentile yields. `sorted` must be an
+    * ascending array of the group's non-null values.
+    */
+  private def exactElem(sorted: Expression, level: Expression): Expression = {
+    val n = Size(sorted)
+    val lvl = Cast(level, DoubleType)
+    val raw = If(LessThan(lvl, Literal(1.0d)),
+      Cast(Floor(Multiply(lvl, Cast(n, DoubleType))), IntegerType),
+      Subtract(n, Literal(1)))
+    val idx = Add(Least(Seq(raw, Subtract(n, Literal(1)))), Literal(1))
+    // Greatest guards the empty group: idx 0 would error, idx 1 on an
+    // empty array returns NULL (failOnError = false).
+    ElementAt(sorted, Greatest(Seq(idx, Literal(1))), None, false)
+  }
+
+  /** The group's values as one ascending array (identical CollectLists
+    * dedupe to a single aggregate buffer in planning).
+    */
+  private def sortedVals(x: Expression): Expression =
+    new SortArray(CollectList(x).toAggregateExpression())
+
+  /** QuantileExactWeighted (reference QuantileExactWeighted.h): sort the
+    * distinct-value/weight pairs by value, threshold = ⌈Σw·level⌉, answer
+    * is the first value whose running weight reaches the threshold (the
+    * last value if none does). Also non-interpolating, value-typed.
+    */
+  private def exactWeightedElem(pairs: Expression, level: Expression): Expression = {
+    def pf(p: Expression, n: String): Expression =
+      UnresolvedExtractValue(p, Literal(n))
+    val ws = ArrayTransform(pairs,
+      LambdaFunction(Cast(pf(lv("p"), "w"), DoubleType), Seq(lv("p"))))
+    // running weight per element: prefix-slice fold (row-local O(len²))
+    val cums = ArrayTransform(ws, LambdaFunction(
+      ArrayAggregate(Slice(ws, Literal(1), Add(lv("wi"), Literal(1))),
+        Literal(0.0d),
+        LambdaFunction(Add(lv("wa"), lv("wx")), Seq(lv("wa"), lv("wx"))),
+        LambdaFunction(lv("wa"), Seq(lv("wa")))),
+      Seq(lv("we"), lv("wi"))))
+    val total = ElementAt(cums, Literal(-1), None, false)
+    val threshold = Cast(Ceil(Multiply(total, Cast(level, DoubleType))), DoubleType)
+    val below = Size(ArrayFilter(cums,
+      LambdaFunction(LessThan(lv("wc"), threshold), Seq(lv("wc")))))
+    val idx = Least(Seq(Add(below, Literal(1)), Size(pairs)))
+    pf(ElementAt(pairs, Greatest(Seq(idx, Literal(1))), None, false), "v")
+  }
+
+  private def sortedPairs(x: Expression, w: Expression): Expression =
+    new SortArray(CollectList(CreateNamedStruct(Seq(
+      Literal("v"), x, Literal("w"), Cast(w, DoubleType))))
+      .toAggregateExpression())
+
   /** The remaining quantile spellings (reference AggregateFunction
-    * Quantile.cpp registrations): every deterministic variant lowers to
-    * the exact interpolated percentile — the reference's sampling
+    * Quantile.cpp registrations): sampling/interpolating variants lower
+    * to the exact interpolated percentile — the reference's sampling
     * variants are exact below their reservoir sizes, which corpus-scale
-    * data never exceeds. Weighted forms carry Percentile's frequency
-    * argument; quantiles* return the level array.
+    * data never exceeds. The *Exact* family instead uses reference
+    * nth_element / weighted-threshold selection ([[exactElem]] /
+    * [[exactWeightedElem]]) — no interpolation. quantiles* return the
+    * level array.
     */
   private def quantileWave: Seq[(String, Seq[Expression] => Expression)] = {
     // (levels..., value[, weight]) after parameter flattening
@@ -369,19 +434,26 @@ object ClickHouseAliases {
       "quantile" -> one _,
       // deterministic variant takes a trailing determinator argument
       "quantileDeterministic" -> (cs => new Percentile(cs(1), cs.head)),
-      "quantileExactWeighted" -> oneW _,
+      "quantileExactWeighted" -> (cs =>
+        exactWeightedElem(sortedPairs(cs(1), cs(2)), cs.head)),
       "quantileTDigestWeighted" -> oneW _,
       "medianExactWeighted" -> (cs =>
-        new Percentile(cs.head, Literal(0.5d), Cast(cs(1), LongType))),
+        exactWeightedElem(sortedPairs(cs.head, cs(1)), Literal(0.5d))),
       "quantileTimingWeighted" -> (cs => Round(
         new Percentile(Least(Seq(Cast(cs(1), DoubleType), Literal(30000.0))),
           cs.head, Cast(cs(2), LongType)).toAggregateExpression(), Literal(0))),
       "quantiles" -> many _,
-      "quantilesExact" -> many _,
+      "quantilesExact" -> (cs => {
+        val sorted = sortedVals(cs.last)
+        CreateArray(cs.dropRight(1).map(l => exactElem(sorted, l)))
+      }),
       "quantilesTDigest" -> many _,
       "quantilesDeterministic" -> (cs =>
         new Percentile(cs(cs.size - 2), CreateArray(cs.dropRight(2)))),
-      "quantilesExactWeighted" -> manyW _,
+      "quantilesExactWeighted" -> (cs => {
+        val pairs = sortedPairs(cs(cs.size - 2), cs.last)
+        CreateArray(cs.dropRight(2).map(l => exactWeightedElem(pairs, l)))
+      }),
       "quantilesInterpolatedWeighted" -> manyW _,
       "quantilesTDigestWeighted" -> manyW _,
       "quantilesTimingWeighted" -> (cs => ArrayTransform(
@@ -412,8 +484,10 @@ object ClickHouseAliases {
     "stddevSamp" -> (cs => StddevSamp(cs.head)),
     "varPop" -> (cs => VariancePop(cs.head)),
     "varSamp" -> (cs => VarianceSamp(cs.head)),
-    "medianExact" -> (cs => new Percentile(cs.head, Literal(0.5d))),
-    "quantileExact" -> (cs => new Percentile(cs(1), cs.head)),
+    "medianExact" -> (cs => exactElem(sortedVals(cs.head), Literal(0.5d))),
+    "quantileExact" -> (cs =>
+      if (cs.size >= 2) exactElem(sortedVals(cs(1)), cs.head)
+      else exactElem(sortedVals(cs.head), Literal(0.5d))),
 
     // date/time
     "toStartOfDay" -> (cs => TruncTimestamp(Literal("day"), cs.head)),
@@ -905,6 +979,11 @@ object ClickHouseAliases {
             .map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq)
       }
       val arr = cs(1)
+      // reference QuantileExact.h:90 nth-element — no interpolation
+      def exactAt(level: Double): Expression = exactElem(
+        new SortArray(ArrayFilter(arr,
+          LambdaFunction(IsNotNull(lv("x")), Seq(lv("x"))))),
+        Literal(level))
       def quantileAt(level: Double): Expression = {
         val sorted = new SortArray(ArrayFilter(arr,
           LambdaFunction(IsNotNull(lv("x")), Seq(lv("x")))))
@@ -947,8 +1026,10 @@ object ClickHouseAliases {
           case "avg" => Divide(arrayFoldSum(arr), Cast(Size(arr), DoubleType))
           case "min" => Cast(ArrayMin(arr), DoubleType)
           case "max" => Cast(ArrayMax(arr), DoubleType)
-          case "median" | "medianexact" | "quantile" | "quantileexact" =>
+          case "median" | "quantile" =>
             quantileAt(params.headOption.getOrElse(0.5))
+          case "medianexact" | "quantileexact" =>
+            exactAt(params.headOption.getOrElse(0.5))
           case "stddevsamp" => Sqrt(variance(sample = true))
           case "stddevpop" => Sqrt(variance(sample = false))
           case "varsamp" => variance(sample = true)
@@ -958,8 +1039,9 @@ object ClickHouseAliases {
         }
         guarded(base)
       } else name match {
-        case "quantile" | "quantileexact" | "quantileinterpolatedweighted"
+        case "quantile" | "quantileinterpolatedweighted"
             if params.nonEmpty => quantileAt(params.head)
+        case "quantileexact" if params.nonEmpty => exactAt(params.head)
         case "stddevsamp" => Sqrt(variance(sample = true))
         case "stddevpop" => Sqrt(variance(sample = false))
         case "varsamp" => variance(sample = true)
@@ -1000,8 +1082,8 @@ object ClickHouseAliases {
         case "uniq" | "uniqexact" =>
           Size(ArrayDistinct(ArrayFilter(arr,
             LambdaFunction(IsNotNull(lv("x")), Seq(lv("x"))))))
-        case "median" | "medianexact" | "quantile" | "quantileexact" =>
-          quantileAt(0.5)
+        case "median" | "quantile" => quantileAt(0.5)
+        case "medianexact" | "quantileexact" => exactAt(0.5)
         case "avgornull" =>
           If(GreaterThan(Size(arr), Literal(0)),
             Divide(arrayFoldSum(arr), Cast(Size(arr), DoubleType)),

@@ -24,7 +24,8 @@ object SqlTry {
     ChTranspiler.statements(sql).foreach { stmt =>
       val t = ChTranspiler.transpile(stmt)
       println(s"[transpiled] $t")
-      try println(ChFormat.formatRows(spark.sql(t).collect().toSeq))
+      try println(ChFormat.formatRows(spark.sql(t).collect().toSeq,
+        java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))))
       catch { case e: Throwable => e.printStackTrace() }
     }
     spark.stop()

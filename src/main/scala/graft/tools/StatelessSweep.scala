@@ -23,7 +23,7 @@ import scala.jdk.CollectionConverters._
 object StatelessSweep {
 
   private val excludeTokens = Seq(
-    "SYSTEM.", "FORMAT ", "ALTER ", "ATTACH", "SLEEP", "TOTYPENAME")
+    "SYSTEM.", "FORMAT ", "ATTACH", "SLEEP", "TOTYPENAME")
 
   def candidates(dir: String): Seq[(String, String, String)] = {
     val d = Paths.get(dir)
@@ -37,7 +37,7 @@ object StatelessSweep {
           val sqlText = new String(
             Files.readAllBytes(d.resolve(name)), "UTF-8")
           val up = sqlText.toUpperCase
-          if (excludeTokens.exists(up.contains) || sqlText.length > 16000) None
+          if (excludeTokens.exists(up.contains) || sqlText.length > 64000) None
           else Some((name,
             sqlText,
             new String(Files.readAllBytes(refPath), "UTF-8")))
@@ -258,14 +258,20 @@ object StatelessSweep {
   }
 
   def run(spark: SparkSession, sqlText: String): Either[String, String] = {
+    // DateTime text zone = the session's own timezone (session-scoped,
+    // no shared mutable state between parallel suites)
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
     // one ChSession per file = one scratch database per test, the same
     // isolation clickhouse-test provides server-side
     val session = new graft.sql.ChSession(spark)
     try {
       var echo = false
-      val stmts = ChTranspiler.statementsRaw(sqlText)
+      // unfiltered split: comment-only segments carry trailing
+      // `-- {{ serverError }}` markers for the statement before them
+      val stmts = ChTranspiler.statementsRawAll(sqlText)
       val outputs = stmts.zipWithIndex.flatMap {
-        case ((raw, clean), k) =>
+        case ((raw, clean), k) if clean.nonEmpty =>
           echoDirective.findAllMatchIn(raw).foreach { m =>
             echo = m.group(1) == null || m.group(1) == "On"
           }
@@ -274,17 +280,29 @@ object StatelessSweep {
           // succeeds, its output — if any — feeds the diff, which is
           // the observable-behavior check we actually run.) The marker
           // usually trails the `;` on the same line, so it lives at the
-          // HEAD of the next statement's raw text — check both.
+          // HEAD of the next statement's raw text. A marker only counts
+          // as trailing when nothing but whitespace/comment punctuation
+          // precedes it on that line — and a marker CONSUMED from
+          // statement k's tail must not double as statement k+1's own
+          // (a genuine k+1 failure would be silently swallowed).
+          def trailingMarker(head: String): Boolean =
+            errMarker.findFirstMatchIn(head).exists(m =>
+              head.substring(0, m.start).forall(c =>
+                c.isWhitespace || c == '-' || c == '/' || c == '*'))
           val nextHead = if (k + 1 < stmts.length)
             stmts(k + 1)._1.takeWhile(_ != '\n') else ""
-          val expectErr = errMarker.findFirstIn(raw).isDefined ||
-            errMarker.findFirstIn(nextHead).isDefined
+          val firstLine = raw.takeWhile(_ != '\n')
+          // head-of-raw marker consumed by the PREVIOUS statement
+          val headConsumed = k > 0 && trailingMarker(firstLine)
+          val ownMarker = errMarker.findAllMatchIn(raw).exists(m =>
+            !(headConsumed && m.start < firstLine.length))
+          val expectErr = ownMarker || trailingMarker(nextHead)
           val result: Option[String] =
             try {
               session.execute(graft.sql.ChSession.stripDbRefs(clean)) match {
                 case graft.sql.ChSession.Done => None
                 case graft.sql.ChSession.Output(rows) =>
-                  Some(ChFormat.formatRows(rows))
+                  Some(ChFormat.formatRows(rows, zone))
                 case graft.sql.ChSession.NotHandled =>
                   val stripped = graft.sql.ChSession.stripDbRefs(clean)
                   ChTranspiler.stripWithFill(stripped) match {
@@ -292,7 +310,7 @@ object StatelessSweep {
                       val df = spark.sql(ChTranspiler.transpile(cleaned))
                       val rows = df.collect().toSeq
                       val filled = fillRows(spark, rows, df.schema, specs)
-                      if (filled.nonEmpty) Some(ChFormat.formatRows(filled))
+                      if (filled.nonEmpty) Some(ChFormat.formatRows(filled, zone))
                       else None
                     case None =>
                   ChTranspiler.splitTotals(stripped) match {
@@ -311,8 +329,8 @@ object StatelessSweep {
                             totalsWithKeyDefaults(
                               spark, totSql, groupItems, mainDf.schema)
                         }
-                      Some(ChFormat.formatRows(mainRows) + "\n\n" +
-                        ChFormat.formatRows(totRows))
+                      Some(ChFormat.formatRows(mainRows, zone) + "\n\n" +
+                        ChFormat.formatRows(totRows, zone))
                     case None =>
                       val rows =
                         spark.sql(ChTranspiler.transpile(stripped)).collect().toSeq
@@ -321,10 +339,10 @@ object StatelessSweep {
                       // NULL excluded unless nothing else remains —
                       // reference ExtremesTransform.cpp)
                       if (extremesRe.findFirstIn(stripped).isDefined && rows.nonEmpty)
-                        Some(ChFormat.formatRows(rows) + "\n\n" +
-                          ChFormat.formatRows(extremesRows(rows)))
+                        Some(ChFormat.formatRows(rows, zone) + "\n\n" +
+                          ChFormat.formatRows(extremesRows(rows), zone))
                       // empty-string ROW is an output line; empty ROWSET is not
-                      else if (rows.nonEmpty) Some(ChFormat.formatRows(rows))
+                      else if (rows.nonEmpty) Some(ChFormat.formatRows(rows, zone))
                       else None
                   }
                   }
@@ -333,6 +351,12 @@ object StatelessSweep {
               case _: Throwable if expectErr => None
             }
           (if (echo) Seq(raw) else Nil) ++ result.toSeq
+        case ((raw, _), _) =>
+          // comment-only segment: may still flip the echo directive
+          echoDirective.findAllMatchIn(raw).foreach { m =>
+            echo = m.group(1) == null || m.group(1) == "On"
+          }
+          Nil
       }
       Right(outputs.mkString("\n"))
     } catch {
@@ -350,7 +374,6 @@ object StatelessSweep {
     // server timezone pinned to Europe/Moscow (clickhouse-test TZ);
     // match it for both computation and DateTime text
     val tz = sys.env.getOrElse("SPARK_GRAFT_SWEEP_TZ", "Europe/Moscow")
-    ChFormat.zone = java.time.ZoneId.of(tz)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -39,7 +39,6 @@ class StatelessCorpusSpec extends SparkSpec {
     graft.sql.ClickHouseAliases.injectStrict(session)
     // the corpus's golden outputs assume server tz Europe/Moscow
     session.conf.set("spark.sql.session.timeZone", "Europe/Moscow")
-    graft.sql.ChFormat.zone = java.time.ZoneId.of("Europe/Moscow")
     // CH has no ordinal GROUP BY / ORDER BY (same as StatelessSweep)
     session.conf.set("spark.sql.groupByOrdinal", "false")
     session.conf.set("spark.sql.orderByOrdinal", "false")
