@@ -50,6 +50,17 @@ final class ChSession(spark: SparkSession) {
       // DESCRIBE (reference layout: name, type, _, default_type,
       // default_expression, comment, codec, ttl)
       meta: Map[String, (String, String, String)] = Map.empty,
+      // CnchMergeTree UNIQUE KEY upsert state (reference
+      // partition_level_unique_keys default TRUE,
+      // MergeTreeSettings.h:444; dedup_key_mode default REPLACE,
+      // Settings.h:1276; version column = ENGINE arg)
+      uniqueKey: Seq[String] = Nil,
+      partitionExprText: Option[String] = None,
+      partitionLevel: Boolean = true,
+      versionCol: Option[String] = None,
+      // dedup_impl_version='dedup_in_write_suffix': staged blocks only
+      // flush while the table's dedup worker runs
+      dedupInWriteSuffix: Boolean = false,
       // columns ADDed after rows existed, with no explicit DEFAULT: the
       // reference materializes them lazily — a part missing the column
       // reads the CURRENT type's default, so ADD UInt32 then MODIFY
@@ -59,6 +70,31 @@ final class ChSession(spark: SparkSession) {
 
   private val tables = mutable.LinkedHashMap[String, TableState]()
   private val views = mutable.LinkedHashSet[String]()
+
+  /** Session-level `SET dedup_key_mode = …` for unique-key inserts. */
+  private var dedupKeyMode: String = "replace"
+  private val dedupModeRe =
+    """(?i)dedup_key_mode\s*=\s*'?(\w+)'?""".r
+  /** `SET enable_staging_area_for_write = 1`: unique-table inserts
+    * buffer invisibly until SYSTEM SYNC DEDUP WORKER flushes them
+    * (reference staging-area write path).
+    */
+  private var stagingWrite = false
+  private val stagingRe =
+    """(?i)enable_staging_area_for_write\s*=\s*(\d)""".r
+  private val stagingData = mutable.LinkedHashMap[String, DataFrame]()
+  private val stoppedWorkers = mutable.Set[String]()
+  /** Per-INSERT commit stamp: a staged block keeps the commit order of
+    * its WRITE, so at flush it loses to rows the table received later
+    * (the reference dedups parts by commit time).
+    */
+  private var commitSeq = 1L
+  private def applySet(s: String): Unit = {
+    dedupModeRe.findFirstMatchIn(s).foreach(m =>
+      dedupKeyMode = m.group(1).toLowerCase)
+    stagingRe.findFirstMatchIn(s).foreach(m =>
+      stagingWrite = m.group(1) == "1")
+  }
 
   /** INSERT-triggered materialized view: `base` inserts flow through
     * `selectSql` into `target` (CREATE MATERIALIZED VIEW … TO target).
@@ -72,7 +108,7 @@ final class ChSession(spark: SparkSession) {
     (tables.keys ++ views).foreach { n =>
       try spark.catalog.dropTempView(n) catch { case _: Throwable => () }
     }
-    tables.clear(); views.clear()
+    tables.clear(); views.clear(); stagingData.clear()
   }
 
   /** Execute one statement if it is DDL/DML this layer owns.
@@ -82,21 +118,46 @@ final class ChSession(spark: SparkSession) {
   def execute(clean: String): Result = {
     val s = clean.trim
     val up = s.toUpperCase
-    if (up.startsWith("USE ") || up.startsWith("SET ") ||
-        up.startsWith("OPTIMIZE ") ||
-        // SYSTEM START/STOP MERGES etc.: merge scheduling hints around
-        // inserts — a temp view has no background merges to steer
-        up.startsWith("SYSTEM ")) Done
+    // Staged blocks flush at explicit SYNC points and — for the default
+    // txn-commit dedup impl — when a later DIRECT insert commits to the
+    // same table (appendTo). A bare SELECT never flushes: the corpus
+    // asserts staged rows are invisible until one of those events.
+    if (up.startsWith("SET ")) { applySet(s); Done }
+    else if (up.startsWith("SYSTEM ")) {
+      // SYSTEM SYNC DEDUP WORKER / REPAIR TASK: the async dedup's
+      // convergence point — flush the staging area and dedup the table.
+      // START/STOP DEDUP WORKER toggles whether a write-suffix table's
+      // staged blocks may flush at all. Other SYSTEM statements
+      // (START/STOP MERGES…) steer background machinery a temp view
+      // does not have.
+      """(?is)SYSTEM\s+SYNC\s+(?:DEDUP\s+WORKER|REPAIR\s+TASK)\s+([`\w.]+)""".r
+        .findFirstMatchIn(s)
+        .foreach(m => syncDedup(cleanName(m.group(1))))
+      """(?is)SYSTEM\s+DEDUP\s+([`\w.]+).*?\bFOR\s+REPAIR""".r
+        .findFirstMatchIn(s)
+        .foreach(m => syncDedup(cleanName(m.group(1))))
+      """(?is)SYSTEM\s+(START|STOP)\s+DEDUP\s+WORKER\s+([`\w.]+)""".r
+        .findFirstMatchIn(s).foreach { m =>
+          val t = cleanName(m.group(2))
+          if (m.group(1).equalsIgnoreCase("STOP")) stoppedWorkers += t
+          else stoppedWorkers -= t
+        }
+      Done
+    }
+    else if (up.startsWith("USE ") ||
+        up.startsWith("OPTIMIZE ")) Done
     else if (up.startsWith("DROP TABLE") || up.startsWith("DROP VIEW"))
       { dropTable(s); Done }
     else if (up.startsWith("TRUNCATE")) { truncate(s); Done }
+    else if (up.startsWith("RENAME TABLE")) { renameTable(s); Done }
     else if (createMvRe.pattern.matcher(s).matches()) {
       createMaterializedView(s); Done
     }
     else if (createViewRe.pattern.matcher(s).matches()) { createView(s); Done }
     else if (up.startsWith("CREATE TABLE") ||
              up.startsWith("CREATE TEMPORARY TABLE")) { createTable(s); Done }
-    else if (up.startsWith("INSERT INTO")) { insert(s); Done }
+    else if (up.startsWith("INSERT INTO") ||
+             up.startsWith("INSERT IGNORE INTO")) { insert(s); Done }
     else if (up.startsWith("ALTER TABLE")) { alter(s); Done }
     else if (up.startsWith("REFRESH")) { refresh(s); Done }
     else if (up.startsWith("DESC")) describe(s)
@@ -125,6 +186,7 @@ final class ChSession(spark: SparkSession) {
   private def dropTable(s: String): Unit = s match {
     case dropRe(name) =>
       val t = cleanName(name)
+      stagingData.remove(t)
       mvs.filterInPlace(_.name != t)
       if (tables.remove(t).isDefined || views.remove(t))
         spark.catalog.dropTempView(t)
@@ -145,6 +207,27 @@ final class ChSession(spark: SparkSession) {
         cleanName(target), sel)
     case _ =>
       throw new IllegalArgumentException(s"unsupported MATERIALIZED VIEW: $s")
+  }
+
+  /** RENAME TABLE a TO b [, c TO d …]. */
+  private def renameTable(s: String): Unit = {
+    splitTop("""(?i)^\s*RENAME\s+TABLE\s+""".r.replaceFirstIn(s.trim, ""))
+      .foreach { pair =>
+        val m = """(?is)\s*([`\w.]+)\s+TO\s+([`\w.]+)\s*""".r
+          .findFirstMatchIn(pair).getOrElse(throw new IllegalArgumentException(
+            s"cannot parse RENAME TABLE: $pair"))
+        val a = cleanName(m.group(1)); val b = cleanName(m.group(2))
+        tables.remove(a).foreach { st =>
+          spark.catalog.dropTempView(a)
+          tables(b) = st
+          stagingData.remove(a).foreach(stagingData(b) = _)
+          registerView(b)
+        }
+        mvs.mapInPlace(mv =>
+          if (mv.name == a) mv.copy(name = b)
+          else if (mv.base == a) mv.copy(base = b)
+          else if (mv.target == a) mv.copy(target = b) else mv)
+      }
   }
 
   private def truncate(s: String): Unit = s match {
@@ -177,14 +260,31 @@ final class ChSession(spark: SparkSession) {
       val (colText, after) = matchParen(rest)
       val cols = splitTop(colText).map(_.trim).filter(_.nonEmpty)
         .filterNot(c => skipDefRe.pattern.matcher(c).find())
-      val parsed = cols.flatMap(expandColDef)
-      if (parsed.isEmpty)
+      val parsed0 = cols.flatMap(expandColDef)
+      if (parsed0.isEmpty)
         throw new IllegalArgumentException(s"no columns parsed: $colText")
+      // type-inference pass: a bare `name DEFAULT expr` column takes the
+      // expression's type, evaluated against the columns declared before
+      // it (so `sum MATERIALIZED arraySum(arr)` is numeric, not String)
+      val parsed = parsed0.foldLeft(Vector.empty[ColDef]) { (acc, cd) =>
+        acc :+ (if (!cd.inferType) cd
+        else {
+          try {
+            val probe = spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row],
+              StructType(acc.map(_.field)))
+            val dt = probe.select(chCol(cd.default.get)).schema.head.dataType
+            cd.copy(field = cd.field.copy(dataType = dt),
+              chType = sparkToCh(dt))
+          } catch { case _: Throwable => cd }
+        })
+      }
       val schema = StructType(parsed.map(_.field))
       // only orderable key columns (a Map sorting key would throw)
       val orderKey = parseOrderKey(after).filter(k =>
         schema.fieldNames.contains(k) &&
           !schema(k).dataType.isInstanceOf[MapType])
+      val uk = parseUniqueKey(after).filter(schema.fieldNames.contains)
       val st = TableState(schema,
         parsed.map(c => c.field.name -> c.chType),
         parsed.flatMap(c => c.default.map(c.field.name -> _)).toMap,
@@ -195,7 +295,22 @@ final class ChSession(spark: SparkSession) {
         parsed.filter(c => c.kind.nonEmpty || c.comment.nonEmpty)
           .map(c => c.field.name ->
             ((c.kind, if (c.kind.nonEmpty) c.default.getOrElse("") else "",
-              c.comment))).toMap)
+              c.comment))).toMap,
+        uniqueKey = uk,
+        partitionExprText = parsePartitionExpr(after),
+        partitionLevel = !"""(?i)partition_level_unique_keys\s*=\s*0""".r
+          .findFirstIn(after).isDefined,
+        dedupInWriteSuffix =
+          after.toLowerCase.contains("dedup_in_write_suffix"),
+        versionCol = """(?i)ENGINE\s*=\s*\w*MergeTree\s*\(\s*([^()]*(?:\([^()]*\))?[^()]*)\)""".r
+          .findFirstMatchIn(after).map(_.group(1).trim).filter(_.nonEmpty)
+          .filter { v =>
+            // a version must be a plain column or the partition
+            // expression itself ("partition as version")
+            schema.fieldNames.contains(v) ||
+              parsePartitionExpr(after).exists(
+                _.replaceAll("\\s+", "") == v.replaceAll("\\s+", ""))
+          })
       tables(name) = st
       st.data.createOrReplaceTempView(name)
     } else {
@@ -224,8 +339,10 @@ final class ChSession(spark: SparkSession) {
   private def insert(s: String): Unit = {
     val m = insertRe.findFirstMatchIn(s).getOrElse(
       throw new IllegalArgumentException(s"cannot parse INSERT: $s"))
-    val name = cleanName(m.group(1))
-    var rest = m.group(2).trim
+    // MySQL-compat `INSERT IGNORE INTO` = dedup_key_mode ignore
+    val ignoreSpelling = m.group(1) != null
+    val name = cleanName(m.group(2))
+    var rest = m.group(3).trim
     val st = tables.getOrElse(name,
       throw new IllegalArgumentException(s"INSERT into unknown table $name"))
     // optional explicit column list
@@ -234,9 +351,43 @@ final class ChSession(spark: SparkSession) {
         val (inner, after) = matchParen(rest)
         rest = after.trim
         // backticks only — a dotted name here is a NESTED column
-        // (`n.a`), not a db qualifier
+        // (`n.a`), not a db qualifier; `*` expands to the visible columns
         splitTop(inner).map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .flatMap {
+            case "*" => st.schema.fieldNames.toSeq.filterNot(st.hidden)
+            case c => Seq(c)
+          }
       } else st.schema.fieldNames.toSeq.filterNot(st.hidden)
+    // `INSERT INTO t [SETTINGS k=v,…] VALUES` / `… FORMAT Values
+    // [SETTINGS k=v,…] (…)`: normalize to a VALUES body and capture a
+    // per-insert dedup_key_mode override
+    var modeOverride: Option[String] =
+      if (ignoreSpelling) Some("ignore") else None
+    var stagingOverride: Option[Boolean] = None
+    def grabSettings(text: String): Unit = {
+      dedupModeRe.findFirstMatchIn(text).foreach(mm =>
+        modeOverride = Some(mm.group(1).toLowerCase))
+      stagingRe.findFirstMatchIn(text).foreach(mm =>
+        stagingOverride = Some(mm.group(1) == "1"))
+    }
+    val fmtValues = """(?is)^FORMAT\s+VALUES\s*""".r
+    if (fmtValues.findFirstIn(rest).isDefined) {
+      rest = fmtValues.replaceFirstIn(rest, "").trim
+      if (rest.toUpperCase.startsWith("SETTINGS")) {
+        val cut = rest.indexOf('(')
+        val settingsText = if (cut < 0) rest else rest.substring(0, cut)
+        grabSettings(settingsText)
+        rest = if (cut < 0) "" else rest.substring(cut)
+      }
+      rest = "VALUES " + rest
+    } else if (rest.toUpperCase.startsWith("SETTINGS")) {
+      val vIdx = """(?i)\bVALUES\b""".r.findFirstMatchIn(rest)
+        .map(_.start).getOrElse(-1)
+      if (vIdx > 0) {
+        grabSettings(rest.substring(0, vIdx))
+        rest = rest.substring(vIdx)
+      }
+    }
     val up = rest.toUpperCase
     val inserted: DataFrame =
       if (up.startsWith("VALUES")) {
@@ -254,7 +405,7 @@ final class ChSession(spark: SparkSession) {
         spark.sql(ChTranspiler.transpile(stripDbRefs(rest)))
       } else throw new IllegalArgumentException(
         s"unsupported INSERT form: ${rest.take(40)}")
-    appendTo(name, inserted, givenCols)
+    appendTo(name, inserted, givenCols, modeOverride, stagingOverride)
   }
 
   /** Align an inserted block to `name`'s declared schema, append it,
@@ -263,7 +414,8 @@ final class ChSession(spark: SparkSession) {
     * block only — StorageMaterializedView::write).
     */
   private def appendTo(name: String, inserted: DataFrame,
-      givenCols: Seq[String]): Unit = {
+      givenCols: Seq[String], modeOverride: Option[String] = None,
+      stagingOverride: Option[Boolean] = None): Unit = {
     val st = tables.getOrElse(name,
       throw new IllegalArgumentException(s"INSERT into unknown table $name"))
     if (inserted.columns.length != givenCols.length)
@@ -280,19 +432,57 @@ final class ChSession(spark: SparkSession) {
       }
     }
     val chTypeOf = st.declared.toMap
+    // `_delete_flag_` virtual column (reference unique-table delete
+    // path): a truthy flag marks the row as a DELETE of its key
+    val delSrc: Column =
+      if (givenCols.contains("_delete_flag_"))
+        coalesce(col("`_delete_flag_`").cast("int"), lit(0))
+      else lit(0)
     val aligned = full.select(st.schema.fields.map { f =>
       // BitMap64 ingests Array literals → roaring bytes (the reference's
       // BitMapColumn insert path); everything else casts to declared type
       if (chTypeOf.get(f.name).contains("BitMap64"))
         expr(s"arrayToBitmap(`${f.name}`)").as(f.name)
       else col(s"`${f.name}`").cast(f.dataType).as(f.name)
-    }: _*)
-    st.data = st.data.unionByName(aligned)
+    } :+ delSrc.as("__del"): _*)
+    val mode = modeOverride.getOrElse(dedupKeyMode)
+    if (st.uniqueKey.isEmpty) {
+      st.data = st.data.unionByName(aligned.drop("__del"))
+    } else {
+    val stamped = aligned.withColumn("__commit", lit(commitSeq))
+    commitSeq += 1
+    if (stagingOverride.getOrElse(stagingWrite)) {
+      // staged: invisible until the dedup worker flushes (reference:
+      // "Only UPSERT mode can write to staging area")
+      if (mode != "replace")
+        throw new IllegalArgumentException(
+          "Only UPSERT mode can write to staging area")
+      stagingData(name) = stagingData.get(name)
+        .map(_.unionByName(stamped)).getOrElse(stamped)
+    } else {
+      // throw's duplicate check runs BEFORE the flush: staged parts are
+      // invisible to it (reference: "does not throw for invisible data")
+      if (mode == "throw")
+        upsertByKey(st, stamped, "throw")
+      // txn-commit impl: this direct commit flushes pending staged parts
+      if (!st.dedupInWriteSuffix) flushStagingFor(name)
+      val cur = tables(name)
+      if (mode == "append") {
+        // append skips dedup; delete-flag rows still remove their keys
+        val dels = stamped.filter(col("__del") =!= 0)
+        val base = upsertByKey(cur, dels, "replace")
+        cur.data = base.unionByName(
+          stamped.filter(col("__del") === 0).drop("__del"))
+      } else
+        cur.data = upsertByKey(cur, stamped,
+          if (mode == "throw") "replace" else mode)
+    }
+    }
     registerView(name)
     // MV cascade: the inserted block alone is visible under the base
     // name while each dependent select runs
     mvs.filter(_.base == name).foreach { mv =>
-      aligned.createOrReplaceTempView(name)
+      aligned.drop("__del").createOrReplaceTempView(name)
       try {
         val res = spark.sql(
           ChTranspiler.transpile(ChSession.stripDbRefs(mv.selectSql)))
@@ -305,9 +495,10 @@ final class ChSession(spark: SparkSession) {
     val st = tables(name)
     // lazily-defaulted columns surface the CURRENT type's default where
     // the stored marker is NULL (see TableState.lazyDefault)
+    val visible = st.data.drop("__commit")
     val filled =
-      if (st.lazyDefault.isEmpty) st.data
-      else st.data.select(st.schema.fieldNames.map { fn =>
+      if (st.lazyDefault.isEmpty) visible
+      else visible.select(st.schema.fieldNames.map { fn =>
         if (st.lazyDefault(fn))
           coalesce(col(s"`$fn`"),
             typeDefault(st.schema(fn).dataType)).as(fn)
@@ -336,7 +527,11 @@ final class ChSession(spark: SparkSession) {
 
   private case class ColDef(field: StructField, chType: String,
       default: Option[String], hidden: Boolean = false,
-      kind: String = "", comment: String = "")
+      kind: String = "", comment: String = "",
+      // bare `name DEFAULT/MATERIALIZED expr` with no declared type:
+      // the real type comes from evaluating the expression against the
+      // preceding columns (reference infers the same way)
+      inferType: Boolean = false)
 
   /** `n Nested(a T, b U)` flattens to parallel array columns `n.a`
     * Array(T), `n.b` Array(U) — the reference's storage model
@@ -397,10 +592,11 @@ final class ChSession(spark: SparkSession) {
       }
     }
     if (rest.isEmpty) {
-      // bare `name DEFAULT expr` (type inferred) — infer via literal cast
+      // bare `name DEFAULT expr`: type inferred from the expression at
+      // CREATE time (see createTable's inference pass)
       default.map { d =>
         ColDef(StructField(name, StringType, nullable = true), "String",
-          Some(d), hidden, kind, comment)
+          Some(d), hidden, kind, comment, inferType = true)
       }
     } else {
       // `a Int32 NULL` / `NOT NULL` suffix spelling of (non-)Nullable
@@ -415,6 +611,158 @@ final class ChSession(spark: SparkSession) {
       Some(ColDef(StructField(name, dt, nullable = true), typeText, d,
         hidden, kind, comment))
     }
+  }
+
+  /** UNIQUE KEY merge of one inserted block into the table (reference
+    * CnchDedupHelper): key = unique-key columns (+ the partition value
+    * when partition-level). Within the block the LAST row per key wins
+    * (FIRST under `ignore`); against existing data, `replace` removes
+    * the old rows — unless a version column says the old row is newer —
+    * `ignore` keeps them, `throw` raises on any duplicate.
+    */
+  private def upsertByKey(st: TableState, aligned: DataFrame,
+      mode: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pCol: Option[Column] =
+      if (st.partitionLevel)
+        st.partitionExprText.flatMap { e =>
+          try Some(chCol(e)) catch { case _: Throwable => None }
+        }
+      else None
+    def withKey(df: DataFrame): DataFrame = {
+      val parts = st.uniqueKey.map(c => col(s"`$c`").cast("string")) ++
+        pCol.map(_.cast("string")).toSeq
+      df.withColumn("__ukey", concat_ws("\u0001", parts: _*))
+    }
+    def ensureCommit(df: DataFrame): DataFrame =
+      if (df.columns.contains("__commit")) df
+      else df.withColumn("__commit", lit(0L))
+    def vCol(v: String): Column =
+      if (st.schema.fieldNames.contains(v)) col(s"`$v`") else chCol(v)
+    // "version unset" for any version type: 0 for numerics, the epoch
+    // for Date/DateTime (CH zero values) — string-compared so the test
+    // analyzes under every version column type
+    def isVersionZero(v: Column): Column =
+      coalesce(v.cast("string"), lit("0")).isin(
+        "0", "0.0", "1970-01-01", "1970-01-01 00:00:00")
+    val cols = st.schema.fieldNames.map(c => col(s"`$c`")).toSeq
+    // the table keeps its __commit stamps (dedup by part commit order)
+    val outCols = cols :+ col("__commit")
+    val newK = withKey(ensureCommit(aligned))
+      .withColumn("__seq", monotonically_increasing_id())
+    val oldK = withKey(ensureCommit(st.data))
+    val vOrder: Seq[Column] = st.versionCol.map(v => vCol(v).desc).toSeq
+    mode match {
+      case "throw" =>
+        // the duplicate CHECK runs against the VISIBLE data only (the
+        // caller checks before flushing staged parts — reference: throw
+        // ignores invisible staging data); the merge itself is replace
+        val live = newK.filter(col("__del") === 0)
+        val blockDups = live.groupBy(col("__ukey")).count()
+          .filter(col("count") > 1).limit(1).count()
+        val existDups = live.join(oldK.select(col("__ukey")),
+          Seq("__ukey"), "left_semi").limit(1).count()
+        if (blockDups > 0 || existDups > 0)
+          throw new IllegalArgumentException(
+            "duplicate unique key under dedup_key_mode=throw")
+        oldK.join(newK.filter(col("__del") =!= 0)
+            .select(col("__ukey")).distinct(), Seq("__ukey"), "left_anti")
+          .select(outCols: _*)
+          .unionByName(live.select(outCols: _*))
+      case "ignore" =>
+        // sequential per-key semantics: a delete removes the key — on a
+        // versioned table only when its version EXCEEDS the existing
+        // row's — then the FIRST insert after the last delete wins;
+        // without a delete, an existing row beats every insert
+        val dels = newK.filter(col("__del") =!= 0)
+        val perKey = newK.groupBy(col("__ukey")).agg(
+          max(when(col("__del") =!= 0, col("__seq"))).as("__lastDel"))
+        val oldKept = st.versionCol match {
+          case Some(v) =>
+            // a delete with version 0 (unset) ignores the version check
+            // and deletes unconditionally (reference delete-flag rule)
+            val delAgg = dels.groupBy(col("__ukey")).agg(
+              max(vCol(v)).as("__delv"),
+              max(when(isVersionZero(vCol(v)), 1).otherwise(0)).as("__dv0"))
+            oldK.join(delAgg, Seq("__ukey"), "left_outer")
+              .filter(col("__delv").isNull ||
+                (col("__dv0") === 0 && col("__delv") <= vCol(v)))
+              .drop("__delv", "__dv0")
+          case None =>
+            oldK.join(dels.select(col("__ukey")).distinct(),
+              Seq("__ukey"), "left_anti")
+        }
+        val cands = newK.filter(col("__del") === 0)
+          .join(perKey, Seq("__ukey"))
+          .filter(col("__lastDel").isNull || col("__seq") > col("__lastDel"))
+        val candW = Window.partitionBy(col("__ukey"))
+          .orderBy(col("__seq").asc)
+        val winners = cands.withColumn("__rn", row_number().over(candW))
+          .filter(col("__rn") === 1)
+        oldKept.select(outCols: _*)
+          .unionByName(winners.join(
+            oldKept.select(col("__ukey")).distinct(),
+            Seq("__ukey"), "left_anti").select(outCols: _*))
+      case _ =>
+        // replace / staged-flush: one unified merge — version first
+        // (higher wins), then commit order (later insert wins: a staged
+        // block LOSES to rows the table received after it was written),
+        // then in-block position; a winning delete removes the key
+        val merged = oldK.withColumn("__del", lit(0))
+          .withColumn("__seq", lit(-1L))
+          .select((outCols :+ col("__ukey") :+ col("__del") :+ col("__seq")): _*)
+          .unionByName(newK
+            .select((outCols :+ col("__ukey") :+ col("__del") :+ col("__seq")): _*))
+        // an unset-version (0) delete outranks every version: it deletes
+        // unconditionally (reference delete-flag rule)
+        val delV0: Seq[Column] = st.versionCol.map(v =>
+          when(col("__del") =!= 0 && isVersionZero(vCol(v)), 1)
+            .otherwise(0).desc).toSeq
+        val w = Window.partitionBy(col("__ukey"))
+          .orderBy((delV0 ++ vOrder :+ col("__commit").desc :+ col("__seq").desc): _*)
+        merged.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && col("__del") === 0)
+          .select(outCols: _*)
+    }
+  }
+
+  /** Flush one table's staged blocks via the dedup worker's replace
+    * rule (txn-commit impl: a direct insert's commit dedups pending
+    * staged parts first — their earlier commit stamps make them lose
+    * any key contested by the direct block).
+    */
+  private def flushStagingFor(name: String, force: Boolean = false): Unit =
+    tables.get(name).foreach { st =>
+      if (force || !(st.dedupInWriteSuffix && stoppedWorkers(name)))
+        stagingData.remove(name).foreach { staged =>
+          // parts apply SEQUENTIALLY in commit order: a later staged
+          // insert re-adds a key a tombstone removed — the version check
+          // runs against the LIVE row only, never a kept tombstone
+          val commits = staged.select(col("__commit")).distinct()
+            .collect().map(_.getLong(0)).sorted
+          commits.foreach { c =>
+            val cur = tables(name)
+            cur.data = upsertByKey(cur,
+              staged.filter(col("__commit") === c), "replace")
+          }
+          registerView(name)
+        }
+    }
+
+  /** SYSTEM SYNC DEDUP WORKER / REPAIR TASK: flush any staged block
+    * into the table via the replace rule, then dedup the table itself
+    * (repairs duplicates appended with dedup_key_mode=append).
+    */
+  private def syncDedup(name: String): Unit = {
+    val st = tables.getOrElse(name, return)
+    if (st.uniqueKey.isEmpty) return
+    flushStagingFor(name, force = true)
+    // repair pass: the whole table as one block over an empty table
+    val cur = tables(name)
+    val empty = cur.data.limit(0)
+    cur.data = upsertByKey(cur.copy(data = empty),
+      cur.data.withColumn("__del", lit(0)), "replace")
+    registerView(name)
   }
 
   /** One CH-dialect scalar expression as a Spark Column. */
@@ -754,7 +1102,7 @@ object ChSession {
   private val createTableRe =
     """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s*(.*)""".r
   private val insertRe =
-    """(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`\w.]+)\s*(.*)""".r
+    """(?is)\s*INSERT\s+(IGNORE\s+)?INTO\s+(?:TABLE\s+)?([`\w.]+)\s*(.*)""".r
   private val descRe =
     """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([`\w.]+)\s*""".r
   private val ctasRe = """(?is)(?:ENGINE[^;]*?)?\bAS\s+((?:SELECT|WITH)\b.*)""".r
@@ -927,6 +1275,32 @@ object ChSession {
       if (parts.forall(p => p.matches("[A-Za-z_]\\w*"))) parts else Nil
     }
   }
+  /** `UNIQUE KEY id` / `UNIQUE KEY (d, id)` — plain column names only
+    * (an expression key falls back to no dedup, and the corpus's
+    * expression-key tests are error-expectation cases anyway).
+    */
+  def parseUniqueKey(after: String): Seq[String] = {
+    val m = uniqueKeyRe.findFirstMatchIn(after).getOrElse(return Nil)
+    val t0 = m.group(1).trim
+    val t = if (t0.startsWith("(")) matchParen(t0)._1 else t0
+    val parts = splitTop(t).map(_.trim)
+    if (parts.nonEmpty && parts.forall(_.matches("[A-Za-z_]\\w*"))) parts
+    else Nil
+  }
+  private val uniqueKeyRe =
+    """(?is)\bUNIQUE\s+KEY\s+(\([^)]*\)|[^;]*?)\s*(?:PARTITION\s+BY|PRIMARY\s+KEY|SAMPLE\s+BY|SETTINGS|TTL|ORDER\s+BY|CLUSTER\s+BY|$)""".r
+
+  /** The raw PARTITION BY expression text (scopes partition-level
+    * unique keys).
+    */
+  def parsePartitionExpr(after: String): Option[String] = {
+    val m = partitionByRe.findFirstMatchIn(after).getOrElse(return None)
+    val t = m.group(1).trim
+    if (t.isEmpty || t == "tuple()") None else Some(t)
+  }
+  private val partitionByRe =
+    """(?is)\bPARTITION\s+BY\s+(\([^)]*\)|[^;]*?)\s*(?:ORDER\s+BY|PRIMARY\s+KEY|SAMPLE\s+BY|SETTINGS|TTL|UNIQUE\s+KEY|CLUSTER\s+BY|$)""".r
+
   private val orderByRe =
     """(?is)\bORDER\s+BY\s+(\([^)]*\)|tuple\(\)|[^;]*?)\s*(?:PARTITION\s+BY|PRIMARY\s+KEY|SAMPLE\s+BY|SETTINGS|TTL|UNIQUE\s+KEY|CLUSTER\s+BY|$)""".r
 

@@ -1151,16 +1151,57 @@ object ChTranspiler {
     """(?i)(?<![A-Za-z0-9_])CAST\(([^,()']+|'[^']*'),\s*'([A-Za-z0-9(), ]+)'\)""".r
   private val countEmpty = """(?i)\bcount\(\s*\)""".r
 
-  /** String-level cleanups after the token pass. */
+  /** String-level cleanups after the token pass. String literals are
+    * opaque: a regex applied to the raw SQL would rewrite
+    * `'select count()'` (a LITERAL) to `'select count(*)'` — observed on
+    * the corpus's echo-style tests — so every regex here runs through
+    * [[replaceOutsideStrings]].
+    */
   private def postPass(sql: String): String = {
     // CAST(x, 'Type') two-arg form → CAST(x AS <mapped>); the type string
     // goes back through the token-level type rewriter.
+    // twoArgCast's pattern itself spans a quoted type ('UInt8'), so it
+    // runs on the raw text; only count() needs literal protection
     val c = twoArgCast.replaceAllIn(sql, m => {
       val mapped = transpileTypeString(m.group(2))
       java.util.regex.Matcher.quoteReplacement(
         s"CAST(${m.group(1)} AS $mapped)")
     })
-    rewriteLimitOffset(countEmpty.replaceAllIn(c, "count(*)"))
+    rewriteLimitOffset(
+      replaceOutsideStrings(c, countEmpty, _ => "count(*)"))
+  }
+
+  /** Apply `re.replaceAllIn` only to the segments OUTSIDE single-quoted
+    * string literals (escape-aware), leaving literal text untouched.
+    */
+  private def replaceOutsideStrings(sql: String,
+      re: scala.util.matching.Regex,
+      repl: scala.util.matching.Regex.Match => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = sql.length
+    var segStart = 0
+    def flush(end: Int): Unit = {
+      sb.append(re.replaceAllIn(sql.substring(segStart, end), repl))
+      segStart = end
+    }
+    while (i < n) {
+      if (sql.charAt(i) == '\'') {
+        flush(i)
+        var j = i + 1
+        var done = false
+        while (j < n && !done) {
+          val d = sql.charAt(j)
+          if (d == '\\' && j + 1 < n) j += 2
+          else { if (d == '\'') done = true; j += 1 }
+        }
+        sb.append(sql.substring(i, j))
+        segStart = j
+        i = j
+      } else i += 1
+    }
+    flush(n)
+    sb.toString
   }
 
   /** MySQL-style `LIMIT offset, count` → `LIMIT count OFFSET offset` —

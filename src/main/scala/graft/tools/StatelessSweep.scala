@@ -23,7 +23,10 @@ import scala.jdk.CollectionConverters._
 object StatelessSweep {
 
   private val excludeTokens = Seq(
-    "SYSTEM.", "FORMAT ", "ATTACH", "SLEEP", "TOTYPENAME")
+    "SYSTEM.", "ATTACH", "SLEEP", "TOTYPENAME")
+  // output-format clauses are unsupported — but `INSERT … FORMAT Values`
+  // is just the VALUES spelling, which ChSession handles
+  private val badFormatRe = """(?i)\bFORMAT\s+(?!Values\b)\w+""".r
 
   def candidates(dir: String): Seq[(String, String, String)] = {
     val d = Paths.get(dir)
@@ -37,7 +40,9 @@ object StatelessSweep {
           val sqlText = new String(
             Files.readAllBytes(d.resolve(name)), "UTF-8")
           val up = sqlText.toUpperCase
-          if (excludeTokens.exists(up.contains) || sqlText.length > 64000) None
+          if (excludeTokens.exists(up.contains) ||
+              badFormatRe.findFirstIn(sqlText).isDefined ||
+              sqlText.length > 64000) None
           else Some((name,
             sqlText,
             new String(Files.readAllBytes(refPath), "UTF-8")))
