@@ -61,6 +61,13 @@ final class ChSession(spark: SparkSession) {
       // dedup_impl_version='dedup_in_write_suffix': staged blocks only
       // flush while the table's dedup worker runs
       dedupInWriteSuffix: Boolean = false,
+      // SETTINGS enable_unique_partial_update = 1 on the table
+      partialEnabled: Boolean = false,
+      // partial_update_enable_merge_map (default true): Map columns
+      // merge key-wise instead of being replaced
+      mergeMap: Boolean = true,
+      // columns declared REPLACE_IF_NOT_NULL
+      rinnCols: Set[String] = Set.empty,
       // columns ADDed after rows existed, with no explicit DEFAULT: the
       // reference materializes them lazily — a part missing the column
       // reads the CURRENT type's default, so ADD UInt32 then MODIFY
@@ -82,6 +89,19 @@ final class ChSession(spark: SparkSession) {
   private var stagingWrite = false
   private val stagingRe =
     """(?i)enable_staging_area_for_write\s*=\s*(\d)""".r
+  /** `SET enable_unique_partial_update`: INSERTs into partial-update
+    * tables merge per-column instead of replacing whole rows.
+    */
+  private var partialUpdate = false
+  private val partialRe =
+    """(?i)enable_unique_partial_update\s*=\s*(\d)""".r
+  /** `SET insert_if_not_exists = 1`: an UPDATE on a missing unique key
+    * INSERTS the row (SET columns + WHERE key equalities, defaults for
+    * the rest).
+    */
+  private var insertIfNotExists = false
+  private val iineRe =
+    """(?i)insert_if_not_exists\s*=\s*(\d)""".r
   private val stagingData = mutable.LinkedHashMap[String, DataFrame]()
   private val stoppedWorkers = mutable.Set[String]()
   /** Per-INSERT commit stamp: a staged block keeps the commit order of
@@ -94,6 +114,10 @@ final class ChSession(spark: SparkSession) {
       dedupKeyMode = m.group(1).toLowerCase)
     stagingRe.findFirstMatchIn(s).foreach(m =>
       stagingWrite = m.group(1) == "1")
+    partialRe.findFirstMatchIn(s).foreach(m =>
+      partialUpdate = m.group(1) == "1")
+    iineRe.findFirstMatchIn(s).foreach(m =>
+      insertIfNotExists = m.group(1) == "1")
   }
 
   /** INSERT-triggered materialized view: `base` inserts flow through
@@ -159,6 +183,8 @@ final class ChSession(spark: SparkSession) {
     else if (up.startsWith("INSERT INTO") ||
              up.startsWith("INSERT IGNORE INTO")) { insert(s); Done }
     else if (up.startsWith("ALTER TABLE")) { alter(s); Done }
+    else if (up.startsWith("UPDATE ")) { updateStmt(s); Done }
+    else if (up.startsWith("DELETE FROM")) { deleteStmt(s); Done }
     else if (up.startsWith("REFRESH")) { refresh(s); Done }
     else if (up.startsWith("DESC")) describe(s)
     else NotHandled
@@ -302,6 +328,11 @@ final class ChSession(spark: SparkSession) {
           .findFirstIn(after).isDefined,
         dedupInWriteSuffix =
           after.toLowerCase.contains("dedup_in_write_suffix"),
+        partialEnabled = """(?i)enable_unique_partial_update\s*=\s*1""".r
+          .findFirstIn(after).isDefined,
+        mergeMap = !"""(?i)partial_update_enable_merge_map\s*=\s*(0|false)""".r
+          .findFirstIn(after).isDefined,
+        rinnCols = parsed.filter(_.rinn).map(_.field.name).toSet,
         versionCol = """(?i)ENGINE\s*=\s*\w*MergeTree\s*\(\s*([^()]*(?:\([^()]*\))?[^()]*)\)""".r
           .findFirstMatchIn(after).map(_.group(1).trim).filter(_.nonEmpty)
           .filter { v =>
@@ -415,7 +446,8 @@ final class ChSession(spark: SparkSession) {
     */
   private def appendTo(name: String, inserted: DataFrame,
       givenCols: Seq[String], modeOverride: Option[String] = None,
-      stagingOverride: Option[Boolean] = None): Unit = {
+      stagingOverride: Option[Boolean] = None,
+      forcePartial: Boolean = false): Unit = {
     val st = tables.getOrElse(name,
       throw new IllegalArgumentException(s"INSERT into unknown table $name"))
     if (inserted.columns.length != givenCols.length)
@@ -433,18 +465,32 @@ final class ChSession(spark: SparkSession) {
     }
     val chTypeOf = st.declared.toMap
     // `_delete_flag_` virtual column (reference unique-table delete
-    // path): a truthy flag marks the row as a DELETE of its key
+    // path): a truthy flag marks the row as a DELETE of its key;
+    // `_update_columns_` (partial-update path) lists the columns this
+    // row overwrites — the rest keep the existing row's values
     val delSrc: Column =
       if (givenCols.contains("_delete_flag_"))
         coalesce(col("`_delete_flag_`").cast("int"), lit(0))
       else lit(0)
+    val providedCols = givenCols
+      .filterNot(Set("_delete_flag_", "_update_columns_"))
+    val updSrc: Column =
+      if (givenCols.contains("_update_columns_")) {
+        val v = coalesce(col("`_update_columns_`").cast("string"),
+          lit(providedCols.mkString(",")))
+        // explicit EMPTY list = full replace (no map merge), distinct
+        // from the provided-columns default which merges maps
+        when(trim(v) === "", lit("\u0002FULL")).otherwise(v)
+      } else lit(providedCols.mkString(","))
+    val partialNow = (partialUpdate && st.partialEnabled) || forcePartial
     val aligned = full.select(st.schema.fields.map { f =>
       // BitMap64 ingests Array literals → roaring bytes (the reference's
       // BitMapColumn insert path); everything else casts to declared type
       if (chTypeOf.get(f.name).contains("BitMap64"))
         expr(s"arrayToBitmap(`${f.name}`)").as(f.name)
       else col(s"`${f.name}`").cast(f.dataType).as(f.name)
-    } :+ delSrc.as("__del"): _*)
+    } :+ delSrc.as("__del") :+ updSrc.as("__upd") :+
+      lit(if (partialNow) 1 else 0).as("__partial"): _*)
     val mode = modeOverride.getOrElse(dedupKeyMode)
     if (st.uniqueKey.isEmpty) {
       st.data = st.data.unionByName(aligned.drop("__del"))
@@ -472,8 +518,11 @@ final class ChSession(spark: SparkSession) {
         val dels = stamped.filter(col("__del") =!= 0)
         val base = upsertByKey(cur, dels, "replace")
         cur.data = base.unionByName(
-          stamped.filter(col("__del") === 0).drop("__del"))
-      } else
+          stamped.filter(col("__del") === 0)
+            .drop("__del", "__upd", "__partial"))
+      } else if (partialNow)
+        cur.data = partialUpsert(cur, stamped)
+      else
         cur.data = upsertByKey(cur, stamped,
           if (mode == "throw") "replace" else mode)
     }
@@ -531,7 +580,8 @@ final class ChSession(spark: SparkSession) {
       // bare `name DEFAULT/MATERIALIZED expr` with no declared type:
       // the real type comes from evaluating the expression against the
       // preceding columns (reference infers the same way)
-      inferType: Boolean = false)
+      inferType: Boolean = false,
+      rinn: Boolean = false)
 
   /** `n Nested(a T, b U)` flattens to parallel array columns `n.a`
     * Array(T), `n.b` Array(U) — the reference's storage model
@@ -567,6 +617,11 @@ final class ChSession(spark: SparkSession) {
     val m = colDefRe.findFirstMatchIn(def0.trim).getOrElse(return None)
     val name = colName(m.group(1))
     var rest = m.group(2).trim
+    // REPLACE_IF_NOT_NULL (partial-update tables): a NULL incoming
+    // value keeps the existing one
+    val rinnRe = """(?i)\s*\bREPLACE_IF_NOT_NULL\b\s*""".r
+    val rinn = rinnRe.findFirstIn(rest).isDefined
+    if (rinn) rest = rinnRe.replaceAllIn(rest, " ").trim
     // COMMENT 'text' anywhere in the definition (DESCRIBE field 6)
     val comment = """(?i)\bCOMMENT\s+'((?:[^'\\]|\\.)*)'""".r
       .findFirstMatchIn(def0)
@@ -609,7 +664,7 @@ final class ChSession(spark: SparkSession) {
       val d = default.orElse(
         if (chNullable || explicitNullable) Some("NULL") else None)
       Some(ColDef(StructField(name, dt, nullable = true), typeText, d,
-        hidden, kind, comment))
+        hidden, kind, comment, rinn = rinn))
     }
   }
 
@@ -620,6 +675,117 @@ final class ChSession(spark: SparkSession) {
     * the old rows — unless a version column says the old row is newer —
     * `ignore` keeps them, `throw` raises on any duplicate.
     */
+  /** Partial-update merge (reference enable_unique_partial_update):
+    * each block row overwrites ONLY the columns in its
+    * `_update_columns_` list (default: the INSERT's provided columns);
+    * unlisted columns keep the existing row's values, or take their
+    * type/DEFAULT value when the key is new. Rows apply SEQUENTIALLY
+    * (a block's later row merges over the earlier row's result), a
+    * lower-version row is skipped entirely, and Map columns merge
+    * key-wise while partial_update_enable_merge_map holds.
+    */
+  private def partialUpsert(st: TableState, aligned: DataFrame): DataFrame = {
+    val pCol: Option[Column] =
+      if (st.partitionLevel)
+        st.partitionExprText.flatMap { e =>
+          try Some(chCol(e)) catch { case _: Throwable => None }
+        }
+      else None
+    def withKey(df: DataFrame): DataFrame = {
+      val parts = st.uniqueKey.map(c => col(s"`$c`").cast("string")) ++
+        pCol.map(_.cast("string")).toSeq
+      df.withColumn("__ukey", concat_ws("\u0001", parts: _*))
+    }
+    def ensureCommit(df: DataFrame): DataFrame =
+      if (df.columns.contains("__commit")) df
+      else df.withColumn("__commit", lit(0L))
+    def vCol(v: String): Column =
+      if (st.schema.fieldNames.contains(v)) col(s"`$v`") else chCol(v)
+    val names = st.schema.fieldNames.toSeq
+    val rows = withKey(aligned)
+      .withColumn("__seq", monotonically_increasing_id())
+    val seqs = rows.select(col("__seq")).collect().map(_.getLong(0)).sorted
+    var data = ensureCommit(st.data)
+    seqs.foreach { sq =>
+      val one = rows.filter(col("__seq") === sq)
+        .select((names.map(n => col(s"`$n`").as(s"__n_$n")) ++
+          Seq(col("__ukey"), col("__del"), col("__upd"),
+            col("__commit").as("__ncommit"))): _*)
+      val oldK = withKey(data).withColumn("__old", lit(1))
+      val joined = oldK.join(one, Seq("__ukey"), "full_outer")
+      val updArr = split(col("__upd"), ",")
+      // version gate: a block row older than the live row is skipped
+      val gate: Column = st.versionCol match {
+        case Some(v) =>
+          col("__old").isNotNull &&
+            vCol(v) > UnresolvedExtractValueFree(s"__n_$v")
+        case None => lit(false)
+      }
+      def nv(n: String) = col(s"`__n_$n`")
+      val fullRow = col("__upd") === "\u0002FULL"
+      def listedCol(n: String): Column = fullRow ||
+        array_contains(updArr, lit(n)) ||
+        array_contains(updArr, lit(" " + n))
+      val merged = joined.select((names.map { n =>
+        val isKeyCol = lit(st.uniqueKey.contains(n))
+        val listed = listedCol(n)
+        val oldV = col(s"`$n`")
+        val tDflt = typeDefault(st.schema(n).dataType)
+          .cast(st.schema(n).dataType)
+        val isMap = st.schema(n).dataType.isInstanceOf[MapType]
+        // map columns merge key-wise — except under an explicit-empty
+        // (full replace) list, which overwrites the whole map
+        val newMerged0 =
+          if (isMap && st.mergeMap)
+            when(fullRow, nv(n))
+              .otherwise(map_concat(coalesce(oldV, tDflt), nv(n)))
+          else nv(n)
+        // REPLACE_IF_NOT_NULL: a NULL incoming value keeps the old one
+        val newMerged =
+          if (st.rinnCols(n)) coalesce(newMerged0, oldV) else newMerged0
+        when(col("__upd").isNull, oldV) // no block row for this key
+          .when(gate, oldV)             // lower version: skip merge
+          .when(col("__old").isNull,    // brand-new key
+            when(isKeyCol || listed, nv(n)).otherwise(tDflt))
+          .when(isKeyCol, nv(n))
+          .when(listed, newMerged)
+          .otherwise(oldV)
+          .as(n)
+      } ++ Seq(
+        coalesce(col("__ncommit"), col("__commit"), lit(0L))
+          .as("__commit"),
+        when(col("__upd").isNotNull && !gate,
+          coalesce(col("__del"), lit(0))).otherwise(lit(0))
+          .as("__delx"),
+        (col("__old").isNull && col("__upd").isNotNull).as("__isnew"),
+        col("__upd").as("__updx"))): _*)
+      // declared DEFAULT expressions for a new key's unlisted columns
+      // evaluate against the MERGED row (a default may reference the
+      // freshly inserted columns), in declaration order
+      var out = merged
+      st.schema.fields.foreach { f =>
+        st.defaults.get(f.name).foreach { d =>
+          val updArr2 = split(col("__updx"), ",")
+          val listed2 = col("__updx") === "\u0002FULL" ||
+            array_contains(updArr2, lit(f.name)) ||
+            array_contains(updArr2, lit(" " + f.name))
+          val dCol = try chCol(d).cast(f.dataType)
+            catch { case _: Throwable => col(s"`${f.name}`") }
+          out = out.withColumn(f.name,
+            when(col("__isnew") && !listed2 &&
+              lit(!st.uniqueKey.contains(f.name)), dCol)
+              .otherwise(col(s"`${f.name}`")))
+        }
+      }
+      data = out.filter(col("__delx") === 0)
+        .drop("__delx", "__isnew", "__updx")
+    }
+    data
+  }
+
+  /** Helper: reference a renamed block column by name (analysis-time). */
+  private def UnresolvedExtractValueFree(n: String): Column = col(s"`$n`")
+
   private def upsertByKey(st: TableState, aligned: DataFrame,
       mode: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -738,12 +904,15 @@ final class ChSession(spark: SparkSession) {
           // parts apply SEQUENTIALLY in commit order: a later staged
           // insert re-adds a key a tombstone removed — the version check
           // runs against the LIVE row only, never a kept tombstone
-          val commits = staged.select(col("__commit")).distinct()
-            .collect().map(_.getLong(0)).sorted
-          commits.foreach { c =>
+          val commits = staged
+            .select(col("__commit"), col("__partial")).distinct()
+            .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+          commits.foreach { case (c, partial) =>
             val cur = tables(name)
-            cur.data = upsertByKey(cur,
-              staged.filter(col("__commit") === c), "replace")
+            val blockC = staged.filter(col("__commit") === c)
+            cur.data =
+              if (partial == 1) partialUpsert(cur, blockC)
+              else upsertByKey(cur, blockC, "replace")
           }
           registerView(name)
         }
@@ -879,6 +1048,20 @@ final class ChSession(spark: SparkSession) {
       case modifyColRe(ife, rest0) =>
         val rest = rest0.trim
         // REMOVE <property> form
+        val rinnM = """(?is)^(`[^`]+`|[A-Za-z_][\w.]*)\s+REPLACE_IF_NOT_NULL\s*$""".r
+        rinnM.findFirstMatchIn(rest).foreach { rm =>
+          val c = colName(rm.group(1))
+          tables(name) = tables(name).copy(
+            rinnCols = tables(name).rinnCols + c)
+          return
+        }
+        val rinnOffM = """(?is)^(`[^`]+`|[A-Za-z_][\w.]*)\s+REMOVE\s+REPLACE_IF_NOT_NULL\s*$""".r
+        rinnOffM.findFirstMatchIn(rest).foreach { rm =>
+          val c = colName(rm.group(1))
+          tables(name) = tables(name).copy(
+            rinnCols = tables(name).rinnCols - c)
+          return
+        }
         val removeM = """(?is)^(`[^`]+`|[A-Za-z_][\w.]*)\s+REMOVE\s+(DEFAULT|MATERIALIZED|ALIAS|COMMENT|CODEC|TTL)\s*$""".r
         val commentM = """(?is)^(`[^`]+`|[A-Za-z_][\w.]*)\s+COMMENT\s+'((?:[^'\\]|\\.)*)'\s*$""".r
         removeM.findFirstMatchIn(rest) match {
@@ -925,6 +1108,30 @@ final class ChSession(spark: SparkSession) {
               }
           }
         }
+      case dropPartRe(isId, spec) =>
+        val stx = tables(name)
+        stx.partitionExprText match {
+          case Some(pe) =>
+            val pc = chCol(pe)
+            // partition ID: Date/DateTime partitions format yyyyMMdd;
+            // everything else is the value's text ('all' = everything)
+            val idCol =
+              if (isId != null)
+                coalesce(date_format(pc.cast("timestamp"), "yyyyMMdd"),
+                  pc.cast("string"))
+              else pc.cast("string")
+            val target = spec.trim.stripPrefix("(").stripSuffix(")")
+              .stripPrefix("'").stripSuffix("'")
+            if (isId != null && target == "all")
+              stx.data = stx.data.limit(0)
+            else
+              stx.data = stx.data.filter(
+                !coalesce(idCol === lit(target), lit(false)))
+            registerView(name)
+          case None =>
+            stx.data = stx.data.limit(0)
+            registerView(name)
+        }
       case _
         // layout-only commands a temp view cannot observe: accept
         if up.startsWith("MODIFY SETTING") || up.startsWith("RESET SETTING") ||
@@ -939,6 +1146,93 @@ final class ChSession(spark: SparkSession) {
       case other => throw new IllegalArgumentException(
         s"unsupported ALTER command: ${other.take(60)}")
     }
+  }
+
+  /** Top-level `UPDATE t SET a = e, … WHERE cond [ORDER BY o LIMIT n]`
+    * (reference unique-table UPDATE query): applies the assignments to
+    * the matching rows — the first n in ORDER BY order when LIMIT is
+    * given. Updating a unique-key column is rejected like the
+    * reference's serverError 36.
+    */
+  private def updateStmt(s: String): Unit = {
+    val m = updateStmtRe.findFirstMatchIn(s).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse UPDATE: ${s.take(60)}"))
+    val name = cleanName(m.group(1))
+    val st = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"UPDATE of unknown table $name"))
+    val assigns = splitTop(m.group(2)).map { a =>
+      val eq = topLevelEq(a)
+      (colName(a.substring(0, eq).trim), a.substring(eq + 1).trim)
+    }.toMap
+    assigns.keys.find(st.uniqueKey.contains).foreach(k =>
+      throw new IllegalArgumentException(
+        s"UPDATE of unique key column $k is not allowed"))
+    var tail = m.group(3).trim
+    val limitM = """(?is)\s+LIMIT\s+(\d+)\s*$""".r.findFirstMatchIn(tail)
+    val limit = limitM.map(_.group(1).toInt)
+    limitM.foreach(mm => tail = tail.substring(0, mm.start).trim)
+    val orderM = """(?is)\s+ORDER\s+BY\s+(.*)$""".r.findFirstMatchIn(tail)
+    val orderText = orderM.map(_.group(1).trim)
+    orderM.foreach(mm => tail = tail.substring(0, mm.start).trim)
+    val cond = coalesce(chCol(tail).cast("boolean"), lit(false))
+    import org.apache.spark.sql.expressions.Window
+    val applies: Column = limit match {
+      case Some(n) =>
+        val orderCols: Seq[Column] = orderText.map(t =>
+          splitTop(t).map(o => chCol(o.trim).asc)).getOrElse(Seq(lit(1).asc))
+        val w = Window.orderBy((cond.desc +: orderCols): _*)
+        cond && row_number().over(w) <= n
+      case None => cond
+    }
+    st.data = st.data
+      .withColumn("__upd", applies)
+      .select((st.schema.fieldNames.map { fn =>
+        assigns.get(fn) match {
+          case Some(rhs) => when(col("__upd"),
+            chCol(rhs).cast(st.schema(fn).dataType))
+            .otherwise(col(s"`$fn`")).as(fn)
+          case None => col(s"`$fn`")
+        }
+      } ++ (if (st.data.columns.contains("__commit"))
+        Seq(col("__commit")) else Nil)).toSeq: _*)
+    // partial-update tables: an UPDATE whose key (from WHERE equalities)
+    // matches no row INSERTS it — SET columns take their values, the
+    // rest take defaults (reference UPDATE-as-upsert)
+    if ((st.partialEnabled || insertIfNotExists) && limit.isEmpty &&
+        tables(name).data.filter(cond).isEmpty) {
+      val eqRe = """(?is)^\s*([`\w.]+)\s*=\s*(.+)$\s*""".r
+      val eqs = """(?i)\s+AND\s+""".r.split(tail).toSeq.flatMap { t =>
+        eqRe.findFirstMatchIn(t.trim).map(mm =>
+          colName(mm.group(1)) -> mm.group(2).trim)
+      }.toMap
+      if (st.uniqueKey.forall(eqs.contains)) {
+        val provided = eqs ++ assigns
+        val row = spark.range(1).select(st.schema.fields.flatMap { f =>
+          provided.get(f.name).map(e =>
+            chCol(e).cast(f.dataType).as(f.name))
+        }.toSeq: _*)
+        appendTo(name, row,
+          st.schema.fieldNames.filter(provided.contains).toSeq,
+          modeOverride = None, stagingOverride = Some(false),
+          forcePartial = true)
+      }
+    }
+    registerView(name)
+  }
+  private val updateStmtRe =
+    """(?is)^\s*UPDATE\s+([`\w.]+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$""".r
+
+  /** `DELETE FROM t WHERE cond` — the mutation spelling. */
+  private def deleteStmt(s: String): Unit = {
+    val m = """(?is)^\s*DELETE\s+FROM\s+([`\w.]+)\s+WHERE\s+(.*)$""".r
+      .findFirstMatchIn(s).getOrElse(
+        throw new IllegalArgumentException(s"cannot parse DELETE: ${s.take(60)}"))
+    val name = cleanName(m.group(1))
+    val st = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"DELETE from unknown table $name"))
+    st.data = st.data.filter(
+      !coalesce(chCol(m.group(2)).cast("boolean"), lit(false)))
+    registerView(name)
   }
 
   /** Index of the first top-level `=` (not ==, !=, <=, >=). */
@@ -1128,6 +1422,8 @@ object ChSession {
     """(?is)^UPDATE\s+(.*?)\s+WHERE\s+(.*)$""".r
   private val deleteRe =
     """(?is)^DELETE\s+WHERE\s+(.*)$""".r
+  private val dropPartRe =
+    """(?is)^(?:DROP|DETACH)\s+PARTITION\s+(id\s+)?('[^']*'|\([^)]*\)|\S+)\s*$""".r
   private val modifyColRe =
     """(?is)^MODIFY\s+COLUMN\s+(IF\s+EXISTS\s+)?(.*)$""".r
   private val modifierRe =
