@@ -58,6 +58,16 @@ object Engine {
     // reference's name for the int-column → BitMap64 build; same
     // aggregate as group_bitmap.
     spark.udf.register("bitmapFromColumn", aggregates.BitmapAggregates.groupBitmap)
+    // camelCase spellings (reference FunctionsBitmap.h registrations) —
+    // the corpus tests use these names directly
+    spark.udf.register("bitmapCardinality",
+      aggregates.BitmapAggregates.bitmapCardinality)
+    spark.udf.register("bitmapAndCardinality",
+      aggregates.BitmapAggregates.bitmapAndCardinality)
+    spark.udf.register("bitmapOrCardinality",
+      aggregates.BitmapAggregates.bitmapOrCardinality)
+    spark.udf.register("bitmapAndnotCardinality",
+      aggregates.BitmapAggregates.bitmapAndnotCardinality)
     spark.udf.register("bitmapColumnOr", aggregates.BitmapAggregates.bitmapColumnOr)
     spark.udf.register("bitmapColumnAnd", aggregates.BitmapAggregates.bitmapColumnAnd)
     spark.udf.register("bitmapColumnXor", aggregates.BitmapAggregates.bitmapColumnXor)

@@ -13,6 +13,40 @@ object GeoFunctions {
 
   private val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
+  /** One ring of pointInPolygon (reference src/Functions/
+    * pointInPolygon.cpp): boundary-inclusive for the outer ring
+    * (`boundaryValue = true`), boundary-EXCLUSIVE for hole rings (a
+    * point on a hole's edge still counts as inside the polygon), with
+    * even-odd ray casting for the interior test. Called from codegen via
+    * StaticInvoke with the ring pre-split into coordinate arrays.
+    */
+  def pointInRing(x: Double, y: Double,
+      xsData: org.apache.spark.sql.catalyst.util.ArrayData,
+      ysData: org.apache.spark.sql.catalyst.util.ArrayData,
+      boundaryValue: Boolean): Boolean = {
+    val xs = xsData.toDoubleArray()
+    val ys = ysData.toDoubleArray()
+    val n = xs.length
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = xs(i); val yi = ys(i); val xj = xs(j); val yj = ys(j)
+      val cross = (x - xi) * (yj - yi) - (y - yi) * (xj - xi)
+      if (cross == 0.0 &&
+          x >= math.min(xi, xj) && x <= math.max(xi, xj) &&
+          y >= math.min(yi, yj) && y <= math.max(yi, yj))
+        return boundaryValue
+      if ((yi > y) != (yj > y)) {
+        val t = (y - yi) / (yj - yi)
+        if (x < xi + t * (xj - xi)) inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+
   def encode(lat: Double, lon: Double, precision: Int): String = {
     var latLo = -90.0; var latHi = 90.0
     var lonLo = -180.0; var lonHi = 180.0

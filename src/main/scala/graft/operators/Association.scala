@@ -95,7 +95,12 @@ object Association {
     val phi2Corr = greatest(lit(0.0), phi2 - aAdj * bAdj / nAdj)
     val corrA = col("card_a").cast("double") - aAdj * aAdj / nAdj
     val corrB = col("card_b").cast("double") - bAdj * bAdj / nAdj
-    def d6(c: Column): Column = Num.dq6(c)
+    // The five statistics ship as fixed-format 6-decimal STRINGS, not
+    // doubles: the values are engine-identical after the decimal
+    // quantization, but a double's byte representation is not
+    // hash-stable across engines/builds — printing at the quantized
+    // precision closes that channel entirely.
+    def d6(c: Column): Column = format_string("%.6f", Num.dq6(c))
     sums.select(
       col("n"), col("card_a"), col("card_b"),
       d6(phi2).as("phi2"),

@@ -493,7 +493,7 @@ final class ChSession(spark: SparkSession) {
       lit(if (partialNow) 1 else 0).as("__partial"): _*)
     val mode = modeOverride.getOrElse(dedupKeyMode)
     if (st.uniqueKey.isEmpty) {
-      st.data = st.data.unionByName(aligned.drop("__del"))
+      st.data = st.data.unionByName(aligned.drop("__del", "__upd", "__partial"))
     } else {
     val stamped = aligned.withColumn("__commit", lit(commitSeq))
     commitSeq += 1
@@ -531,7 +531,7 @@ final class ChSession(spark: SparkSession) {
     // MV cascade: the inserted block alone is visible under the base
     // name while each dependent select runs
     mvs.filter(_.base == name).foreach { mv =>
-      aligned.drop("__del").createOrReplaceTempView(name)
+      aligned.drop("__del", "__upd", "__partial").createOrReplaceTempView(name)
       try {
         val res = spark.sql(
           ChTranspiler.transpile(ChSession.stripDbRefs(mv.selectSql)))
@@ -806,11 +806,20 @@ final class ChSession(spark: SparkSession) {
     def vCol(v: String): Column =
       if (st.schema.fieldNames.contains(v)) col(s"`$v`") else chCol(v)
     // "version unset" for any version type: 0 for numerics, the epoch
-    // for Date/DateTime (CH zero values) — string-compared so the test
-    // analyzes under every version column type
-    def isVersionZero(v: Column): Column =
-      coalesce(v.cast("string"), lit("0")).isin(
-        "0", "0.0", "1970-01-01", "1970-01-01 00:00:00")
+    // for Date/DateTime (CH zero values). Timestamps compare the
+    // underlying instant (cast to long), not their zone-formatted text —
+    // toDateTime(0) must read as unset under any session timezone
+    def isVersionZero(v: Column): Column = {
+      val dt = scala.util.Try(st.data.select(v).schema.head.dataType)
+        .getOrElse(StringType)
+      dt match {
+        case TimestampType | TimestampNTZType => v.cast("long") === 0L
+        case DateType => v.cast("string") === "1970-01-01"
+        case _: NumericType => v === lit(0)
+        case _ => coalesce(v.cast("string"), lit("0")).isin(
+          "0", "0.0", "1970-01-01", "1970-01-01 00:00:00")
+      }
+    }
     val cols = st.schema.fieldNames.map(c => col(s"`$c`")).toSeq
     // the table keeps its __commit stamps (dedup by part commit order)
     val outCols = cols :+ col("__commit")

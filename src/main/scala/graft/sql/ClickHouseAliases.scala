@@ -237,7 +237,8 @@ object ClickHouseAliases {
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
       wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9 ++ wave10 ++ wave11 ++
-      wave14 ++ wave15 ++ wave16 ++ wave17 ++ stateMergeWave ++ quantileWave
+      wave14 ++ wave15 ++ wave16 ++ wave17 ++ stateMergeWave ++ quantileWave ++
+      wave18
 
   /** -State / -Merge combinators in the engine's VALUE model: a "state"
     * is a plain mergeable value — sum's state is its partial sum, avg's
@@ -4285,6 +4286,165 @@ object ClickHouseAliases {
       "normalizedQueryHashKeepNames" -> (cs => StaticInvoke(qn, LongType,
         "normalizedHash", Seq(Cast(cs.head, StringType), Literal(true)),
         Seq(StringType, BooleanType), returnNullable = false)))
+  }
+
+  /** Round-10 corpus spellings (reference registerFunctions.cpp /
+    * AggregateFunctionFactory registrations whose SQL names the sweep
+    * still reported UNRESOLVED_ROUTINE for).
+    *
+    * - arraySetCheck family (reference src/Functions/array/
+    *   arraySetCheck.cpp): variadic (column, set) pairs; the set is a
+    *   tuple literal (struct after transpile) or a bare scalar, and each
+    *   pair checks "array has at least one element of the set", ANDed.
+    * - boundingRatio (AggregateFunctionBoundingRatio.h): slope between
+    *   the leftmost and rightmost (x, y) point; NaN for <2 points.
+    * - maxIntersections/-Position (AggregateFunctionMaxIntersections.h):
+    *   sweep over ±1 endpoint events sorted (pos, delta) — a struct
+    *   array sort gives ends-before-starts on ties, i.e. [start, end) —
+    *   folded with a running-sum/max accumulator. Lowered to sort+fold
+    *   HOFs over the collected group, matching the reference's
+    *   collect-then-scan shape.
+    * - entropy (AggregateFunctionEntropy.h): Shannon entropy (log2) of
+    *   the value distribution; multi-arg hashes the tuple.
+    * - timezone() (FunctionsConversion timezone.cpp): the session zone.
+    */
+  private def wave18: Seq[(String, Seq[Expression] => Expression)] = {
+    def xv(e: Expression, n: String): Expression =
+      UnresolvedExtractValue(e, Literal(n))
+    // tuple-literal set → array of the column's element type
+    def setArr(set: Expression, et: DataType): Expression = {
+      val elems = set.dataType match {
+        case s: StructType => s.indices.map(i => GetStructField(set, i))
+        case _ => Seq(set)
+      }
+      CreateArray(elems.map(e => Cast(e, et)))
+    }
+    def maxIntersectionsAgg(cs: Seq[Expression], wantPos: Boolean): Expression = {
+      val lst = CollectList(CreateNamedStruct(Seq(
+        Literal("s"), Cast(cs.head, LongType),
+        Literal("e"), Cast(cs(1), LongType)))).toAggregateExpression()
+      val events = Flatten(ArrayTransform(lst, LambdaFunction(
+        CreateArray(Seq(
+          CreateNamedStruct(Seq(
+            Literal("p"), xv(lv("iv"), "s"), Literal("d"), Literal(1L))),
+          CreateNamedStruct(Seq(
+            Literal("p"), xv(lv("iv"), "e"), Literal("d"), Literal(-1L))))),
+        Seq(lv("iv")))))
+      // struct sort is (p, d)-lexicographic; d=-1 (close) before d=+1
+      // (open) on ties ⇒ half-open [start, end) intervals
+      val sorted = new SortArray(events)
+      val zero = CreateNamedStruct(Seq(
+        Literal("cur"), Literal(0L), Literal("mx"), Literal(0L),
+        Literal("pos"), Literal(0L)))
+      val step = LambdaFunction({
+        val cur2 = Add(xv(lv("acc"), "cur"), xv(lv("ev"), "d"))
+        val isNew = GreaterThan(cur2, xv(lv("acc"), "mx"))
+        CreateNamedStruct(Seq(
+          Literal("cur"), cur2,
+          Literal("mx"), If(isNew, cur2, xv(lv("acc"), "mx")),
+          Literal("pos"), If(isNew, xv(lv("ev"), "p"), xv(lv("acc"), "pos"))))
+      }, Seq(lv("acc"), lv("ev")))
+      val fin = LambdaFunction(
+        xv(lv("acc2"), if (wantPos) "pos" else "mx"), Seq(lv("acc2")))
+      ArrayAggregate(sorted, zero, step, fin)
+    }
+    Seq(
+      "arraySetCheck" -> (cs => ChDispatch("arraySetCheck", cs) { c =>
+        require(c.size >= 2 && c.size % 2 == 0,
+          s"arraySetCheck expects (column, set) pairs; got ${c.size} args")
+        c.grouped(2).map { pair =>
+          val arr = pair.head
+          val et = arr.dataType match {
+            case ArrayType(t, _) => t
+            case other => other
+          }
+          ArraysOverlap(arr, setArr(pair(1), et)): Expression
+        }.reduce(And(_, _))
+      }),
+      "arraySetGet" -> (cs => ChDispatch("arraySetGet", cs) { c =>
+        val et = c.head.dataType match {
+          case ArrayType(t, _) => t
+          case other => other
+        }
+        ArrayIntersect(c.head, setArr(c(1), et))
+      }),
+      "arraySetGetAny" -> (cs => ChDispatch("arraySetGetAny", cs) { c =>
+        val et = c.head.dataType match {
+          case ArrayType(t, _) => t
+          case other => other
+        }
+        ElementAt(ArrayIntersect(c.head, setArr(c(1), et)),
+          Literal(1), None, failOnError = false)
+      }),
+      "boundingRatio" -> (cs => {
+        val x = Cast(cs.head, DoubleType)
+        val y = Cast(cs(1), DoubleType)
+        val num = Subtract(MaxBy(y, x).toAggregateExpression(),
+          MinBy(y, x).toAggregateExpression())
+        val den = Subtract(Max(x).toAggregateExpression(),
+          Min(x).toAggregateExpression())
+        Coalesce(Seq(
+          If(EqualTo(den, Literal(0.0d)), Literal(Double.NaN),
+            Divide(num, den)),
+          Literal(Double.NaN)))
+      }),
+      "maxIntersections" -> (cs => maxIntersectionsAgg(cs, wantPos = false)),
+      "maxIntersectionsPosition" ->
+        (cs => maxIntersectionsAgg(cs, wantPos = true)),
+      "entropy" -> (cs => {
+        val v = if (cs.size > 1) Cast(CreateStruct(cs), StringType)
+          else Cast(cs.head, StringType)
+        val lst = CollectList(v).toAggregateExpression()
+        val n = Cast(Size(lst), DoubleType)
+        val terms = ArrayTransform(ArrayDistinct(lst), LambdaFunction({
+          val c = Cast(Size(ArrayFilter(lst, LambdaFunction(
+            EqualTo(lv("u"), lv("dv")), Seq(lv("u"))))), DoubleType)
+          val p = Divide(c, n)
+          Multiply(p, Log2(p))
+        }, Seq(lv("dv"))))
+        // +0.0 normalizes the -0.0 an empty/uniform group would print
+        Add(UnaryMinus(ArrayAggregate(terms, Literal(0.0d),
+          LambdaFunction(Add(lv("ea"), lv("ex")), Seq(lv("ea"), lv("ex"))),
+          LambdaFunction(lv("ea"), Seq(lv("ea"))))), Literal(0.0d))
+      }),
+      // pointInPolygon(point, outerRing[, holeRing…]) — per-ring
+      // StaticInvoke over coordinate arrays (GeoFunctions.pointInRing);
+      // inside = in outer ring AND in no hole, hole boundaries inside
+      "pointInPolygon" -> (cs => ChDispatch("pointInPolygon", cs) { c =>
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        val px = Cast(GetStructField(c.head, 0), DoubleType)
+        val py = Cast(GetStructField(c.head, 1), DoubleType)
+        def inRing(ring: Expression, boundary: Boolean): Expression = {
+          def coord(i: Int): Expression = ArrayTransform(ring,
+            LambdaFunction(Cast(GetStructField(lv("pp"), i), DoubleType),
+              Seq(lv("pp"))))
+          StaticInvoke(graft.functions.GeoFunctions.getClass, BooleanType,
+            "pointInRing",
+            Seq(px, py, coord(0), coord(1), Literal(boundary)),
+            Seq(DoubleType, DoubleType, ArrayType(DoubleType),
+              ArrayType(DoubleType), BooleanType), returnNullable = false)
+        }
+        c.tail.zipWithIndex.map { case (ring, k) =>
+          if (k == 0) inRing(ring, boundary = true)
+          else Not(inRing(ring, boundary = false)): Expression
+        }.reduce(And(_, _))
+      }),
+      "timezone" -> (_ => CurrentTimeZone()),
+      "timeZone" -> (_ => CurrentTimeZone()),
+      "serverTimezone" -> (_ => CurrentTimeZone()),
+      "leftPadUTF8" -> (cs =>
+        StringLPad(cs.head, cs(1), if (cs.size > 2) cs(2) else Literal(" "))),
+      "rightPadUTF8" -> (cs =>
+        StringRPad(cs.head, cs(1), if (cs.size > 2) cs(2) else Literal(" "))),
+      "translateUTF8" -> (cs => StringTranslate(cs.head, cs(1), cs(2))),
+      // strict base64 validation: the reference's tryBase64Decode yields
+      // '' on malformed input where Spark's unbase64 is lenient
+      "tryBase64Decode" -> (cs => {
+        val s = Cast(cs.head, StringType)
+        If(new RLike(s, Literal(
+          "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$")),
+          Cast(new UnBase64(s), StringType), Literal(""))
+      }))
   }
 
   private lazy val localHostName: String =
