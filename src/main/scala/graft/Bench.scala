@@ -178,7 +178,19 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val planTotal = planSecs.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_minmax":$spread,"reps":$reps,"heavy_reps":$perRepJson,"noisy_requeued":$noisyJson,"noisy_host":${noisy.nonEmpty},"planning_total":$planTotal%.3f,"planning":$planJson,"sf":"$sfDir"}""")
+    // "value" is EXECUTION time of pre-planned queries (since r9);
+    // planning is reported separately — exec_total names that
+    // explicitly so totals aren't compared against pre-r9 plan+exec
+    // numbers under the same key.
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","exec_total":$total%.3f,"measures":"execution_only_planning_separate","queries":$qs,"spread_minmax":$spread,"reps":$reps,"heavy_reps":$perRepJson,"noisy_requeued":$noisyJson,"noisy_host":${noisy.nonEmpty},"planning_total":$planTotal%.3f,"planning":$planJson,"sf":"$sfDir"}"""
+    println(line)
+    // stdout tails have truncated in recorded rounds — persist the full
+    // line to a file as well
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_last.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -385,4 +385,123 @@ object CodingOps {
     if (hasCompress) groups <= 7 && empties <= 3
     else groups == 8
   }
+  /** IPv6 text → 16-byte binary (reference IPv6StringToNum,
+    * src/Functions/FunctionsCoding.h): accepts full/compressed IPv6,
+    * an IPv4 dotted quad (mapped to ::ffff:a.b.c.d), and an IPv6 with
+    * dotted-quad tail. Throws on malformed input (OrNull/OrZero
+    * spellings wrap at the registry layer).
+    */
+  def ipv6Parse(str: UTF8String): Array[Byte] = {
+    val s = str.toString.trim
+    val out = new Array[Byte](16)
+    if (!s.contains(':')) {
+      // bare IPv4 → v4-mapped
+      val q = parseV4(s)
+      out(10) = 0xff.toByte; out(11) = 0xff.toByte
+      System.arraycopy(q, 0, out, 12, 4)
+      return out
+    }
+    var body = s
+    var v4: Array[Byte] = null
+    val lastColon = s.lastIndexOf(':')
+    if (s.indexOf('.', lastColon) >= 0) {
+      v4 = parseV4(s.substring(lastColon + 1))
+      body = s.substring(0, lastColon + 1) // keep trailing ':'
+      if (body.endsWith("::")) () else body = body.dropRight(1)
+    }
+    val groupsNeeded = if (v4 == null) 8 else 6
+    val dbl = body.indexOf("::")
+    val words = new Array[Int](groupsNeeded)
+    def parseGroups(t: String): Seq[Int] =
+      if (t.isEmpty) Seq.empty
+      else t.split(":", -1).toSeq.map { g =>
+        require(g.nonEmpty && g.length <= 4, s"bad IPv6 group '$g'")
+        Integer.parseInt(g, 16)
+      }
+    if (dbl >= 0) {
+      val left = parseGroups(body.substring(0, dbl))
+      val right = parseGroups(body.substring(dbl + 2).stripSuffix(":"))
+      require(left.size + right.size <= groupsNeeded, "too many IPv6 groups")
+      left.zipWithIndex.foreach { case (w, i) => words(i) = w }
+      right.reverse.zipWithIndex.foreach { case (w, i) =>
+        words(groupsNeeded - 1 - i) = w }
+    } else {
+      val gs = parseGroups(body.stripSuffix(":"))
+      require(gs.size == groupsNeeded, s"expected $groupsNeeded IPv6 groups")
+      gs.zipWithIndex.foreach { case (w, i) => words(i) = w }
+    }
+    for (i <- 0 until groupsNeeded) {
+      out(2 * i) = ((words(i) >> 8) & 0xff).toByte
+      out(2 * i + 1) = (words(i) & 0xff).toByte
+    }
+    if (v4 != null) System.arraycopy(v4, 0, out, 12, 4)
+    out
+  }
+
+  private def parseV4(s: String): Array[Byte] = {
+    val parts = s.split("\\.", -1)
+    require(parts.length == 4, s"bad IPv4 '$s'")
+    parts.map { p =>
+      val v = p.toInt
+      require(v >= 0 && v <= 255, s"bad IPv4 octet '$p'")
+      v.toByte
+    }
+  }
+
+  /** 16-byte binary → canonical IPv6 text (reference IPv6NumToString):
+    * lowercase hex, longest ≥2 zero-group run compressed (leftmost on
+    * tie), v4-mapped addresses print the dotted-quad tail.
+    */
+  def ipv6Format(bytesIn: Array[Byte]): UTF8String = {
+    val b = if (bytesIn.length >= 16) bytesIn
+      else bytesIn ++ new Array[Byte](16 - bytesIn.length)
+    val words = (0 until 8).map(i =>
+      ((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff))
+    val v4Mapped = (0 until 5).forall(words(_) == 0) && words(5) == 0xffff
+    val shown = if (v4Mapped) 6 else 8
+    // longest zero run (≥2) among shown groups
+    var bestStart = -1; var bestLen = 0
+    var i = 0
+    while (i < shown) {
+      if (words(i) == 0) {
+        var j = i
+        while (j < shown && words(j) == 0) j += 1
+        if (j - i > bestLen) { bestLen = j - i; bestStart = i }
+        i = j
+      } else i += 1
+    }
+    val sb = new java.lang.StringBuilder(45)
+    if (bestLen >= 2 || (v4Mapped && bestStart == 0)) {
+      i = 0
+      while (i < shown) {
+        if (i == bestStart) {
+          sb.append("::")
+          i += bestLen
+        } else {
+          if (sb.length() > 0 && sb.charAt(sb.length() - 1) != ':')
+            sb.append(':')
+          sb.append(java.lang.Integer.toHexString(words(i)))
+          i += 1
+        }
+      }
+      if (sb.length() == 0) sb.append("::")
+    } else {
+      sb.append((0 until shown)
+        .map(k => java.lang.Integer.toHexString(words(k))).mkString(":"))
+      if (v4Mapped) sb.append(':')
+    }
+    if (v4Mapped) {
+      if (sb.charAt(sb.length() - 1) != ':') sb.append(':')
+      sb.append(s"${b(12) & 0xff}.${b(13) & 0xff}.${b(14) & 0xff}.${b(15) & 0xff}")
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** String/binary input tolerant wrapper: a 16-char String column
+    * (toFixedString) carries the raw bytes.
+    */
+  def ipv6FormatStr(s: UTF8String): UTF8String = ipv6Format(s.getBytes)
+
+  def toIpv6Text(s: UTF8String): UTF8String = ipv6Format(ipv6Parse(s))
+
 }

@@ -20,12 +20,25 @@ object GeoFunctions {
     * even-odd ray casting for the interior test. Called from codegen via
     * StaticInvoke with the ring pre-split into coordinate arrays.
     */
-  def pointInRing(x: Double, y: Double,
-      xsData: org.apache.spark.sql.catalyst.util.ArrayData,
-      ysData: org.apache.spark.sql.catalyst.util.ArrayData,
+  def pointInRingRows(x: Double, y: Double,
+      ring: org.apache.spark.sql.catalyst.util.ArrayData,
       boundaryValue: Boolean): Boolean = {
-    val xs = xsData.toDoubleArray()
-    val ys = ysData.toDoubleArray()
+    val n = ring.numElements()
+    val xs = new Array[Double](n)
+    val ys = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val row = ring.getStruct(k, 2)
+      xs(k) = row.getDouble(0)
+      ys(k) = row.getDouble(1)
+      k += 1
+    }
+    pointInRing(x, y, xs, ys, boundaryValue)
+  }
+
+  def pointInRing(x: Double, y: Double,
+      xs: Array[Double], ys: Array[Double],
+      boundaryValue: Boolean): Boolean = {
     val n = xs.length
     var inside = false
     var i = 0

@@ -70,4 +70,132 @@ object StringOps {
     else UTF8String.fromString(
       str.substring(0, idx) + rep.toString + str.substring(idx + find.toString.length))
   }
+  /** extractTextFromHTML (reference src/Functions/extractTextFromHTML
+    * .cpp — original Scala implementation of its documented rules):
+    * comments (`<!-- -->`) removed; CDATA pasted verbatim; `script` /
+    * `style` elements removed with content (CDATA inside shields their
+    * closing tags); other tags dropped keeping inner text; whitespace
+    * trimmed/collapsed, with a single space inserted where elements
+    * separated text.
+    */
+  def extractTextFromHtml(in: UTF8String): UTF8String = {
+    val s = in.toString
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+        c == 0x0b.toChar
+
+    def startsWithAt(k: Int, p: String): Boolean =
+      k + p.length < n && s.regionMatches(k, p, 0, p.length)
+
+    // copy text up to the next '<', collapsing whitespace; returns new i
+    def copyText(k0: Int): Int = {
+      var k = k0
+      while (k < n && isWs(s.charAt(k))) k += 1
+      var lt = k
+      while (lt < n && s.charAt(lt) != '<') lt += 1
+      val needsSpace = out.length() > 0 && out.charAt(out.length() - 1) != ' '
+      if (needsSpace && k < lt) out.append(' ')
+      var continue = true
+      while (continue) {
+        var ws = k
+        while (ws < lt && !isWs(s.charAt(ws))) ws += 1
+        out.append(s, k, ws)
+        k = ws
+        while (k < lt && isWs(s.charAt(k))) k += 1
+        if (k < lt) out.append(' ') else continue = false
+      }
+      lt
+    }
+
+    // `<!--` comment: skip to the first `-->`-terminated '>'
+    def processComment(k0: Int): Int = {
+      if (!startsWithAt(k0, "<!--")) return -1
+      var k = k0 + 4
+      while (k < n) {
+        if (s.charAt(k) == '>') {
+          if (k >= k0 + 4 + 2 && s.charAt(k - 1) == '-' && s.charAt(k - 2) == '-')
+            return k + 1
+        }
+        k += 1
+      }
+      n
+    }
+
+    // `<![CDATA[`: paste verbatim to `]]>`; emit=false inside script/style
+    def processCdata(k0: Int, emit: Boolean): Int = {
+      if (!startsWithAt(k0, "<![CDATA[")) return -1
+      var k = k0 + 9
+      while (k < n) {
+        if (s.charAt(k) == '>' && k >= 2 &&
+            s.charAt(k - 1) == ']' && s.charAt(k - 2) == ']') {
+          if (emit) out.append(s, k0 + 9, k - 2)
+          return k + 1
+        }
+        k += 1
+      }
+      if (emit) out.append(s, k0 + 9, n)
+      n
+    }
+
+    // <script …>…</script> / <style …>…</style> removed with content
+    def processElement(k0: Int, tag: String): Int = {
+      if (k0 >= n || s.charAt(k0) != '<') return -1
+      var k = k0 + 1
+      if (!startsWithAt(k, tag)) return -1
+      k += tag.length
+      if (k >= n) return -1
+      if (!(isWs(s.charAt(k)) || s.charAt(k) == '>')) return -1
+      while (k < n && s.charAt(k) != '>') k += 1
+      if (k >= n) return n
+      k += 1
+      while (k < n) {
+        while (k < n && s.charAt(k) != '<') k += 1
+        if (k + 1 >= n) return n
+        if (s.charAt(k + 1) == '!') {
+          val c = processCdata(k, emit = false)
+          if (c >= 0) { k = c } else k += 1
+        } else if (s.charAt(k + 1) != '/') {
+          k += 1
+        } else {
+          var m = k + 2
+          if (startsWithAt(m, tag) || (m + tag.length == n &&
+              s.regionMatches(m, tag, 0, tag.length))) {
+            m += tag.length
+            while (m < n && isWs(s.charAt(m))) m += 1
+            if (m >= n) return n
+            if (s.charAt(m) == '>') return m + 1
+            k = m
+          } else k += 2
+        }
+      }
+      n
+    }
+
+    def skipTag(k0: Int): Int = {
+      if (k0 < n && s.charAt(k0) == '<') {
+        var k = k0
+        while (k < n && s.charAt(k) != '>') k += 1
+        if (k < n) k + 1 else n
+      } else -1
+    }
+
+    while (i < n) {
+      i = copyText(i)
+      if (i < n) {
+        var nx = processComment(i)
+        if (nx < 0) nx = processCdata(i, emit = true)
+        if (nx < 0) nx = processElement(i, "script")
+        if (nx < 0) nx = processElement(i, "style")
+        if (nx < 0) nx = skipTag(i)
+        if (nx < 0) nx = i + 1
+        i = nx
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
 }

@@ -59,7 +59,163 @@ object CoverageWave3 {
                round(max(abs(col("dec_lat") - col("lat"))), 6).as("max_lat_err"),
                round(max(abs(col("dec_lon") - col("lon"))), 6).as("max_lon_err"))
           .orderBy(col("cell4")),
-      None),
+      // GOLDEN VECTOR oracle (no portable SQL counterpart exists):
+      // literal VALUES pinned from the engine's sf0.01 output, which the
+      // algorithm-level specs validate independently (published test
+      // vectors / invariants). Freezes the integration output so any
+      // regression hash-fails in the driver gate. sf0.01 ONLY.
+      Some("""
+        SELECT cell4, CAST(n_users AS BIGINT) AS n_users, CAST(max_lat_err AS DOUBLE) AS max_lat_err, CAST(max_lon_err AS DOUBLE) AS max_lon_err FROM (VALUES
+          ('00gs', 1, 0.001526, 0.004272),
+          ('00un', 1, 0.000432, 0.004849),
+          ('01hb', 1, 0.00239, 0.002983),
+          ('01j6', 1, 0.001145, 0.001118),
+          ('01nh', 1, 0.000813, 0.000747),
+          ('01ny', 1, 0.002722, 0.002612),
+          ('01r3', 1, 0.000764, 0.004478),
+          ('0325', 1, 0.001194, 0.004644),
+          ('032t', 1, 0.002341, 0.002778),
+          ('033r', 1, 0.000383, 0.000913),
+          ('03d1', 1, 0.001575, 0.000952),
+          ('03de', 1, 0.00196, 0.002817),
+          ('03em', 1, 2e-06, 0.004683),
+          ('03ez', 1, 0.001956, 0.004438),
+          ('03u9', 1, 0.00158, 0.002573),
+          ('03vk', 1, 0.000378, 0.000708),
+          ('03vy', 1, 0.002336, 0.001157),
+          ('06n8', 1, 0.001199, 0.003022),
+          ('06p4', 1, 0.000759, 0.004888),
+          ('06pu', 1, 0.002717, 0.004233),
+          ('0d0q', 1, 0.000818, 0.002368),
+          ('0d30', 1, 0.00114, 0.000503),
+          ('0d3f', 1, 0.002395, 0.001362),
+          ('0d6k', 1, 0.000437, 0.003228),
+          ('0d7n', 1, 0.001521, 0.005093),
+          ('0de9', 1, 0.002014, 0.004028),
+          ('0ds7', 1, 5.6e-05, 0.002163),
+          ('0dtj', 1, 0.001902, 0.000298),
+          ('0dtx', 1, 0.001633, 0.001567),
+          ('0dy3', 1, 0.000325, 0.003433),
+          ('0dyg', 1, 0.002283, 0.005298),
+          ('0dzt', 1, 0.001252, 0.003823),
+          ('0fbr', 1, 0.000706, 0.001958),
+          ('0g0c', 1, 0.002664, 9.3e-05),
+          ('0g1s', 1, 0.000872, 0.001772),
+          ('0g4n', 1, 0.001086, 0.003638),
+          ('0g6b', 1, 0.002449, 0.005483),
+          ('0g76', 1, 0.000491, 0.003618),
+          ('0gkh', 1, 0.001467, 0.001753),
+          ('0gky', 1, 0.002068, 0.000112),
+          ('0gt2', 1, 0.00011, 0.001978),
+          ('0gw4', 1, 0.001848, 0.003843),
+          ('0gws', 1, 0.001687, 0.005278),
+          ('0gxq', 1, 0.000271, 0.003413),
+          ('15b1', 1, 0.002229, 0.001548),
+          ('15be', 1, 0.001306, 0.000317),
+          ('15cm', 1, 0.000652, 0.002183),
+          ('15cz', 1, 0.00261, 0.004048),
+          ('1h49', 1, 0.000925, 0.005073),
+          ('1h57', 1, 0.001033, 0.003208),
+          ('1h5v', 1, 0.002502, 0.001343),
+          ('1hhx', 1, 0.000544, 0.000522),
+          ('1hm1', 1, 0.001414, 0.002388),
+          ('1hmu', 1, 0.002122, 0.004253),
+          ('1hqq', 1, 0.000164, 0.004868),
+          ('1hx0', 1, 0.001794, 0.003003),
+          ('1hxf', 1, 0.001741, 0.001138),
+          ('1k8k', 1, 0.000217, 0.000728),
+          ('1k9n', 1, 0.002175, 0.002593),
+          ('1kc8', 1, 0.00136, 0.004458),
+          ('1kf6', 1, 0.000598, 0.004663),
+          ('1kgh', 1, 0.002556, 0.002798),
+          ('1kgw', 1, 0.000979, 0.000933),
+          ('1mh3', 1, 0.000979, 0.000933),
+          ('1mhg', 1, 0.002556, 0.002798),
+          ('1mjt', 1, 0.000598, 0.004663),
+          ('1mnr', 1, 0.00136, 0.004458),
+          ('1mqc', 1, 0.002175, 0.002593),
+          ('1mre', 1, 0.000217, 0.000728),
+          ('1t2j', 1, 0.001741, 0.001138),
+          ('1t2z', 1, 0.001794, 0.003003),
+          ('1t99', 1, 0.000164, 0.004868),
+          ('1td5', 1, 0.002122, 0.004253),
+          ('1tdy', 1, 0.001414, 0.002388),
+          ('1tg2', 1, 0.000544, 0.000522),
+          ('1tu4', 1, 0.002502, 0.001343),
+          ('1tus', 1, 0.001033, 0.003208),
+          ('1tvq', 1, 0.000925, 0.005073),
+          ('1wn0', 1, 0.00261, 0.004048),
+          ('1wnd', 1, 0.000652, 0.002183),
+          ('1wpk', 1, 0.001306, 0.000317),
+          ('1wpy', 1, 0.002229, 0.001548),
+          ('1y29', 1, 0.000271, 0.003413),
+          ('1y37', 1, 0.001687, 0.005278),
+          ('1y3v', 1, 0.001848, 0.003843),
+          ('1y6x', 1, 0.00011, 0.001978),
+          ('1ye1', 1, 0.002068, 0.000112),
+          ('1yeg', 1, 0.001467, 0.001753),
+          ('1yst', 1, 0.000491, 0.003618),
+          ('1ytp', 1, 0.002449, 0.005483),
+          ('1yvc', 1, 0.001086, 0.003638),
+          ('1yy7', 1, 0.000872, 0.001772),
+          ('1yzn', 1, 0.002664, 9.3e-05),
+          ('1zp8', 1, 0.000706, 0.001958),
+          ('4p06', 1, 0.001252, 0.003823),
+          ('4p1h', 1, 0.002283, 0.005298),
+          ('4p1w', 1, 0.000325, 0.003433),
+          ('4p62', 1, 0.001633, 0.001567),
+          ('4p6f', 1, 0.001902, 0.000298),
+          ('4p7s', 1, 5.6e-05, 0.002163),
+          ('4pkq', 1, 0.002014, 0.004028),
+          ('4psc', 1, 0.001521, 0.005093),
+          ('4pte', 1, 0.000437, 0.003228),
+          ('4pwj', 1, 0.002395, 0.001362),
+          ('4pwz', 1, 0.00114, 0.000503),
+          ('4pz9', 1, 0.000818, 0.002368),
+          ('4rb5', 1, 0.002717, 0.004233),
+          ('4rbv', 1, 0.000759, 0.004888),
+          ('4rcr', 1, 0.001199, 0.003022),
+          ('6241', 1, 0.002336, 0.001157),
+          ('624e', 1, 0.000378, 0.000708),
+          ('625q', 1, 0.00158, 0.002573),
+          ('62k0', 1, 0.001956, 0.004438),
+          ('62kd', 1, 2e-06, 0.004683),
+          ('62mk', 1, 0.00196, 0.002817),
+          ('62my', 1, 0.001575, 0.000952),
+          ('62w8', 1, 0.000383, 0.000913),
+          ('62x6', 1, 0.002341, 0.002778),
+          ('62xu', 1, 0.001194, 0.004644),
+          ('688w', 1, 0.000764, 0.004478),
+          ('68c1', 1, 0.002722, 0.002612),
+          ('68cg', 1, 0.000813, 0.000747),
+          ('68ft', 1, 0.001145, 0.001118),
+          ('68gp', 1, 0.00239, 0.002983),
+          ('695c', 1, 0.000432, 0.004849),
+          ('69h7', 1, 0.001526, 0.004272),
+          ('69jj', 1, 0.002009, 0.002407),
+          ('69jx', 1, 5.1e-05, 0.000542),
+          ('69q3', 1, 0.001907, 0.001323),
+          ('69r5', 1, 0.001628, 0.003188),
+          ('69rw', 1, 0.00033, 0.005054),
+          ('6c82', 1, 0.002288, 0.004067),
+          ('6c8f', 1, 0.001248, 0.002202),
+          ('6c9s', 1, 0.00071, 0.000337),
+          ('6cdq', 1, 0.002668, 0.001528),
+          ('6cfb', 1, 0.000867, 0.003394),
+          ('6cgd', 1, 0.001091, 0.005259),
+          ('6cuh', 1, 0.002444, 0.003862),
+          ('6cuy', 1, 0.000486, 0.001997),
+          ('6fj9', 1, 0.001472, 0.000132),
+          ('6fn5', 1, 0.002063, 0.001733),
+          ('6fnv', 1, 0.000105, 0.003599),
+          ('6fpr', 1, 0.001853, 0.005464),
+          ('7421', 1, 0.001682, 0.003657),
+          ('742e', 1, 0.000276, 0.001792),
+          ('743m', 1, 0.002234, 7.3e-05),
+          ('746p', 1, 0.001301, 0.001938),
+          ('74d9', 1, 0.000657, 0.003804),
+          ('74e7', 1, 0.002615, 0.005317),
+          ('74ey', 1, 0.00092, 0.003452)) AS t(cell4, n_users, max_lat_err, max_lon_err) ORDER BY 1""")),
 
     // Levenshtein distance over distinct part-name pairs.
     QueryDef(

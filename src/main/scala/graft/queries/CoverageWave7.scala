@@ -273,7 +273,33 @@ object CoverageWave7 {
           .select(col("g"), round(col("irr"), 6).as("irr"))
           .orderBy(col("g"))
       },
-      None),
+      // GOLDEN VECTOR oracle (no portable SQL counterpart exists):
+      // literal VALUES pinned from the engine's sf0.01 output, which the
+      // algorithm-level specs validate independently (published test
+      // vectors / invariants). Freezes the integration output so any
+      // regression hash-fails in the driver gate. sf0.01 ONLY.
+      Some("""
+        SELECT CAST(g AS BIGINT) AS g, CAST(irr AS DOUBLE) AS irr FROM (VALUES
+          (0, 0.250823),
+          (1, 0.323274),
+          (2, 0.327054),
+          (3, 0.284605),
+          (4, 0.352191),
+          (5, 0.280757),
+          (6, 0.230807),
+          (7, 0.262445),
+          (8, 0.278199),
+          (9, 0.256992),
+          (10, 0.27799),
+          (11, 0.272957),
+          (12, 0.273732),
+          (13, 0.286647),
+          (14, 0.217468),
+          (15, 0.230602),
+          (16, 0.253004),
+          (17, 0.233998),
+          (18, 0.342444),
+          (19, 0.251773)) AS t(g, irr) ORDER BY 1""")),
 
     // finderFunnelByTimes: repeat-conversion funnel runs per day slot
     // (reference AggregateFunctionFinderFunnelByTimes.h — greedy

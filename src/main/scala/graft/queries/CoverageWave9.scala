@@ -334,7 +334,18 @@ object CoverageWave9 {
             COUNT(DISTINCT wsh) AS distinct_word_simhash
           FROM f GROUP BY lang ORDER BY lang""")
       },
-      None),
+      // GOLDEN VECTOR oracle (no portable SQL counterpart exists):
+      // literal VALUES pinned from the engine's sf0.01 output, which the
+      // algorithm-level specs validate independently (published test
+      // vectors / invariants). Freezes the integration output so any
+      // regression hash-fails in the driver gate. sf0.01 ONLY.
+      Some("""
+        SELECT lang, CAST(docs AS BIGINT) AS docs, CAST(distinct_simhash AS BIGINT) AS distinct_simhash, CAST(distinct_minhash AS BIGINT) AS distinct_minhash, CAST(distinct_word_simhash AS BIGINT) AS distinct_word_simhash FROM (VALUES
+          ('de', 70, 68, 44, 68),
+          ('en', 218, 210, 114, 214),
+          ('es', 73, 73, 43, 73),
+          ('fr', 64, 64, 29, 64),
+          ('zh', 75, 75, 40, 75)) AS t(lang, docs, distinct_simhash, distinct_minhash, distinct_word_simhash) ORDER BY 1""")),
 
     // detect* NLP spellings over documents — the heuristic substitutes
     // (stopword vote + CJK codepoint share, byte-structure charset,

@@ -109,7 +109,22 @@ final class ChSession(spark: SparkSession) {
     * (the reference dedups parts by commit time).
     */
   private var commitSeq = 1L
+  private val maxMemRe =
+    """(?i)max_memory_usage\s*=\s*'?(\d+)([KMGT]?)'?""".r
+
   private def applySet(s: String): Unit = {
+    // max_memory_usage: honored for statically-sized synthetic scans
+    // (numbers/numbers_mt) — the reference raises MEMORY_LIMIT_EXCEEDED
+    // (error 241) when a query's working set exceeds the cap, and the
+    // corpus relies on that contract for its huge-scan guard tests
+    maxMemRe.findFirstMatchIn(s).foreach { m =>
+      val mult = m.group(2).toUpperCase match {
+        case "K" => 1L << 10; case "M" => 1L << 20
+        case "G" => 1L << 30; case "T" => 1L << 40; case _ => 1L
+      }
+      spark.conf.set("graft.ch.max_memory_bytes",
+        (m.group(1).toLong * mult).toString)
+    }
     dedupModeRe.findFirstMatchIn(s).foreach(m =>
       dedupKeyMode = m.group(1).toLowerCase)
     stagingRe.findFirstMatchIn(s).foreach(m =>
@@ -133,6 +148,9 @@ final class ChSession(spark: SparkSession) {
       try spark.catalog.dropTempView(n) catch { case _: Throwable => () }
     }
     tables.clear(); views.clear(); stagingData.clear()
+    // per-test setting — must not leak into the next corpus file
+    try spark.conf.unset("graft.ch.max_memory_bytes")
+    catch { case _: Throwable => () }
   }
 
   /** Execute one statement if it is DDL/DML this layer owns.
@@ -704,10 +722,20 @@ final class ChSession(spark: SparkSession) {
     val names = st.schema.fieldNames.toSeq
     val rows = withKey(aligned)
       .withColumn("__seq", monotonically_increasing_id())
-    val seqs = rows.select(col("__seq")).collect().map(_.getLong(0)).sorted
+    // Sequential semantics only matter BETWEEN rows sharing a key (a
+    // later row merges over the earlier row's result). When every block
+    // row has a distinct key — the normal case — the whole block applies
+    // as ONE full-outer join instead of a join per row (a 1,000-row
+    // INSERT would otherwise stack 1,000 joins into a single plan).
+    val hasDupKeys = rows.groupBy(col("__ukey")).count()
+      .filter(col("count") > 1).limit(1).count() > 0
+    val batches: Seq[DataFrame] =
+      if (!hasDupKeys) Seq(rows)
+      else rows.select(col("__seq")).collect().map(_.getLong(0)).sorted
+        .map(sq => rows.filter(col("__seq") === sq)).toSeq
     var data = ensureCommit(st.data)
-    seqs.foreach { sq =>
-      val one = rows.filter(col("__seq") === sq)
+    batches.foreach { blk =>
+      val one = blk
         .select((names.map(n => col(s"`$n`").as(s"__n_$n")) ++
           Seq(col("__ukey"), col("__del"), col("__upd"),
             col("__commit").as("__ncommit"))): _*)
@@ -1640,6 +1668,22 @@ object ChSession {
   */
 object ChTypes {
 
+  /** ClickHouse DataTypeDecimalBase bounds (reference
+    * DataTypesDecimal.cpp ARGUMENT_OUT_OF_BOUND, error 69): precision
+    * must be 1..76 and the scale within [0, precision]. Spark's Decimal
+    * caps at 38 — wider declarations are rejected as unsupported rather
+    * than silently truncated.
+    */
+  private def decimalChecked(p: Int, s: Int): DecimalType = {
+    if (p < 1 || s < 0 || s > p)
+      throw new IllegalArgumentException(
+        s"Decimal($p, $s) out of bounds: precision in [1, 76], scale in [0, precision]")
+    if (p > 38)
+      throw new IllegalArgumentException(
+        s"Decimal($p, $s): precision above 38 is not supported")
+    DecimalType(p, s)
+  }
+
   /** (spark type, declared-Nullable). */
   def parse(t: String): (DataType, Boolean) = {
     val s = t.trim
@@ -1668,10 +1712,10 @@ object ChTypes {
         }
         (StructType(fields), false)
       case "Decimal" =>
-        (DecimalType(args.head.toInt, args(1).toInt), false)
-      case "Decimal32" => (DecimalType(9, args.head.toInt), false)
-      case "Decimal64" => (DecimalType(18, args.head.toInt), false)
-      case "Decimal128" => (DecimalType(38, args.head.toInt), false)
+        (decimalChecked(args.head.toInt, args(1).toInt), false)
+      case "Decimal32" => (decimalChecked(9, args.head.toInt), false)
+      case "Decimal64" => (decimalChecked(18, args.head.toInt), false)
+      case "Decimal128" => (decimalChecked(38, args.head.toInt), false)
       case "SimpleAggregateFunction" => parse(args(1))
       case "BitMap64" => (BinaryType, false)
       // value-model state column (see ClickHouseAliases.stateMergeWave):
@@ -1728,7 +1772,7 @@ object ChTypes {
           case "DECIMAL" | "DEC" | "NUMERIC" | "FIXED" =>
             if (paren > 0) {
               val a = args
-              (DecimalType(a.head.toInt,
+              (decimalChecked(a.head.toInt,
                 if (a.length > 1) a(1).toInt else 0), false)
             } else (DecimalType(10, 0), false)
           case "VARCHAR" | "CHAR" | "TEXT" | "TINYTEXT" | "MEDIUMTEXT" |

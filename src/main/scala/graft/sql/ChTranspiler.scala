@@ -255,12 +255,133 @@ object ChTranspiler {
   }
 
   /** Transpile one statement's ClickHouse syntax to Spark-parseable SQL. */
+  /** `PREWHERE a WHERE b` (both clauses in one SELECT) merges into
+    * `WHERE (a) AND (b)` — PREWHERE is only a storage-pushdown hint
+    * around the same filter semantics (reference
+    * MergeTreeWhereOptimizer). A lone PREWHERE is handled by the main
+    * loop's token rename.
+    */
+  private def mergePrewhere(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    val stopKw = Set("GROUP", "ORDER", "LIMIT", "HAVING", "SETTINGS",
+      "UNION", "FORMAT", "INTO", "WINDOW", "QUALIFY")
+    var guard = 0
+    var found = true
+    while (found && guard < 16) {
+      guard += 1
+      found = false
+      var d = 0
+      var pw = -1
+      var pwD = 0
+      var wh = -1
+      var end = toks.length
+      var k = 0
+      var lastSig: Option[Tok] = None
+      while (k < toks.length && (wh < 0 || end == toks.length)) {
+        toks(k) match {
+          case Punct("(") | Punct("[") => d += 1
+          case Punct(")") | Punct("]") =>
+            d -= 1
+            if (pw >= 0 && wh >= 0 && d < pwD && end == toks.length) end = k
+            else if (pw >= 0 && wh < 0 && d < pwD) { pw = -1 } // no pair here
+          case Word(w) if pw < 0 && w.equalsIgnoreCase("PREWHERE") &&
+              // a TABLE named `prewhere` in FROM position is not the
+              // clause (same guard as the main loop's rename)
+              !lastSig.exists(t => isWordI(t, "FROM") || isWordI(t, "JOIN") ||
+                isWordI(t, "EXISTS") || isWordI(t, "TABLE")) =>
+            pw = k; pwD = d
+          case Word(w) if pw >= 0 && wh < 0 && d == pwD &&
+              w.equalsIgnoreCase("WHERE") => wh = k
+          case Word(w) if pw >= 0 && wh >= 0 && d == pwD &&
+              stopKw.contains(w.toUpperCase) && end == toks.length => end = k
+          case _ => ()
+        }
+        if (!toks(k).isInstanceOf[Ws]) lastSig = Some(toks(k))
+        k += 1
+      }
+      if (pw >= 0 && wh >= 0) {
+        found = true
+        val condPw = toks.slice(pw + 1, wh)
+        val condWh = toks.slice(wh + 1, end)
+        toks = toks.take(pw) ++
+          Vector[Tok](Word("WHERE"), Ws(" "), Punct("(")) ++ condPw ++
+          Vector[Tok](Punct(")"), Ws(" "), Word("AND"), Ws(" "), Punct("(")) ++
+          condWh ++ Vector[Tok](Punct(")"), Ws(" ")) ++ toks.drop(end)
+      }
+    }
+    toks
+  }
+
+  /** ClickHouse lets a SELECT-list alias be referenced from WHERE /
+    * GROUP BY / HAVING / ORDER BY (aliases resolve query-wide, reference
+    * QueryNormalizer). Spark resolves only real columns there, so as a
+    * RETRY transform (applied only after an unresolved-column failure)
+    * inline each top-level `expr AS alias` into bare `alias` references
+    * appearing after the select list. String literals and qualified /
+    * call-position names are left alone.
+    */
+  def inlineSelectAliases(stmt: String): String = {
+    val toks = tokenize(stmt)
+    // top-level select list boundaries
+    var d = 0
+    var selStart = -1
+    var listEnd = toks.length
+    for (k <- toks.indices) {
+      toks(k) match {
+        case Punct("(") | Punct("[") => d += 1
+        case Punct(")") | Punct("]") => d -= 1
+        case Word(w) if d == 0 && selStart < 0 &&
+            w.equalsIgnoreCase("SELECT") => selStart = k
+        case Word(w) if d == 0 && selStart >= 0 && listEnd == toks.length &&
+            Set("FROM", "WHERE", "PREWHERE", "GROUP", "HAVING", "ORDER",
+              "LIMIT", "SETTINGS", "UNION", "WINDOW").contains(w.toUpperCase) =>
+          listEnd = k
+        case _ => ()
+      }
+    }
+    if (selStart < 0) return stmt
+    val listText = toks.slice(selStart + 1, listEnd).map(_.text).mkString
+    val aliasRe = """(?is)^(.*\S)\s+AS\s+(`[^`]+`|[A-Za-z_]\w*)\s*$""".r
+    val pairs = graft.sql.ChSession.splitTop(listText).flatMap {
+      case aliasRe(expr, alias) =>
+        val name = alias.stripPrefix("`").stripSuffix("`")
+        // self-aliased columns (`x AS x`) add nothing
+        if (expr.trim.equalsIgnoreCase(name)) None else Some(name -> expr.trim)
+      case _ => None
+    }.toMap
+    if (pairs.isEmpty || listEnd == toks.length) return stmt
+    val sb = new StringBuilder(toks.take(listEnd).map(_.text).mkString)
+    var i = listEnd
+    var last: Option[Tok] = None
+    while (i < toks.length) {
+      toks(i) match {
+        case Word(w) if pairs.contains(w) &&
+            // not qualified (a.b) and not a call name `w(`
+            !last.exists(_.text == ".") && {
+              var k = i + 1
+              while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1
+              !(k < toks.length && toks(k).text == "(")
+            } && {
+              var k = i + 1
+              while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1
+              // `alias AS x` rebinding spot: leave the definition intact
+              !(k < toks.length && toks(k).text.equalsIgnoreCase("AS"))
+            } =>
+          sb.append("(").append(pairs(w)).append(")")
+        case t => sb.append(t.text)
+      }
+      if (!toks(i).isInstanceOf[Ws]) last = Some(toks(i))
+      i += 1
+    }
+    sb.toString
+  }
+
   def transpile(stmt: String): String = {
     val toks0 = tokenize(stmt)
     // Type-level pre-pass: strip Nullable(...) / LowCardinality(...)
     // wrappers (keep the inner type), map scalar type names, expand
     // DecimalNN(s), and rewrite Array(T) type syntax to ARRAY<T>.
-    val toks = rewriteTypes(toks0)
+    val toks = mergePrewhere(rewriteTypes(toks0))
     val out = new StringBuilder
     // Depth-indexed stack entry: true → this bracket became `array(`,
     // false → element access (we rewrote `x[` to `element_at(x, `).
@@ -322,6 +443,13 @@ object ChTranspiler {
           // Catalyst pushes predicates itself. Guarded so a TABLE named
           // `prewhere` (the corpus has one) survives in FROM position.
           out.append("WHERE"); lastSig = Some(Word("WHERE"))
+        case Word(w) if w.equalsIgnoreCase("dateDiff") ||
+            w.equalsIgnoreCase("date_diff") =>
+          // Spark's parser intercepts dateDiff/date_diff with special
+          // unit-argument syntax (unquoted units) BEFORE the function
+          // registry — CH spells the unit as a string literal, so route
+          // to the registry under a name the parser treats normally
+          out.append("chDateDiff"); lastSig = Some(Word("chDateDiff"))
         case Word(w) if w.equalsIgnoreCase("dummy") =>
           // parenthesized so a `GROUP BY dummy` does not become a bare
           // integer literal that Spark's groupByOrdinal reinterprets
@@ -1531,6 +1659,15 @@ object ChTranspiler {
         case Punct(")") =>
           stack.headOption.foreach { case (openIdx, sawComma) =>
             if (!sawComma) tupleAt -= openIdx // plain grouping parens
+            else {
+              // `(x, y) -> …` is a lambda PARAMETER LIST (arrayMap,
+              // arraySplit, …), not a tuple literal; "->" tokenizes as
+              // two adjacent single-char puncts
+              val nxt = nextSigIdx(k + 1)
+              if (nxt + 1 < toks.length && toks(nxt).text == "-" &&
+                  toks(nxt + 1).text == ">")
+                tupleAt -= openIdx
+            }
           }
           stack = stack.drop(1)
         case Punct(",") =>

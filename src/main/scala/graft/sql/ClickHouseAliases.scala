@@ -234,6 +234,29 @@ object ClickHouseAliases {
   /** Alias names, exposed for the DialectSpec collision guard. */
   private[graft] def aliasNames: Seq[String] = aliases.map(_._1)
 
+  /** CH HOFs are variadic over PARALLEL arrays: f((x, y) -> …, a, b)
+    * applies the lambda positionally (reference FunctionArrayMapped.h).
+    * Lower to a zip: single-param lambda over arrays_zip with positional
+    * field names, arg references rewritten to field extracts.
+    */
+  private def naryZipLambda(f: Expression, arrays: Seq[Expression])
+      : (Expression, Expression) = f match {
+    case LambdaFunction(body, args, hidden)
+        if arrays.size > 1 && args.size == arrays.size =>
+      val zv = lv("__zz")
+      val names = args.collect {
+        case v: UnresolvedNamedLambdaVariable => v.nameParts
+      }
+      val nb = body.transformUp {
+        case v: UnresolvedNamedLambdaVariable if names.contains(v.nameParts) =>
+          UnresolvedExtractValue(zv,
+            Literal(names.indexOf(v.nameParts).toString))
+      }
+      (LambdaFunction(nb, Seq(zv), hidden),
+        ArraysZip(arrays, arrays.indices.map(i => Literal(i.toString))))
+    case _ => (f, arrays.head)
+  }
+
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
       wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9 ++ wave10 ++ wave11 ++
@@ -362,17 +385,28 @@ object ClickHouseAliases {
     * 2.5 an interpolating percentile yields. `sorted` must be an
     * ascending array of the group's non-null values.
     */
-  private def exactElem(sorted: Expression, level: Expression): Expression = {
-    val n = Size(sorted)
-    val lvl = Cast(level, DoubleType)
-    val raw = If(LessThan(lvl, Literal(1.0d)),
-      Cast(Floor(Multiply(lvl, Cast(n, DoubleType))), IntegerType),
-      Subtract(n, Literal(1)))
-    val idx = Add(Least(Seq(raw, Subtract(n, Literal(1)))), Literal(1))
-    // Greatest guards the empty group: idx 0 would error, idx 1 on an
-    // empty array returns NULL (failOnError = false).
-    ElementAt(sorted, Greatest(Seq(idx, Literal(1))), None, false)
-  }
+  private def exactElem(sorted: Expression, level: Expression): Expression =
+    ChDispatch("quantileExactElem", Seq(sorted, level)) { c =>
+      val srt = c.head
+      val n = Size(srt)
+      val lvl = Cast(c(1), DoubleType)
+      val raw = If(LessThan(lvl, Literal(1.0d)),
+        Cast(Floor(Multiply(lvl, Cast(n, DoubleType))), IntegerType),
+        Subtract(n, Literal(1)))
+      val idx = Add(Least(Seq(raw, Subtract(n, Literal(1)))), Literal(1))
+      // Greatest guards the empty group: idx 0 would error, idx 1 on an
+      // empty array returns NULL (failOnError = false).
+      val elem = ElementAt(srt, Greatest(Seq(idx, Literal(1))), None, false)
+      // reference QuantileExact.h getImpl: an EMPTY group returns quiet
+      // NaN for floating-point value types (NULL only for non-float)
+      srt.dataType match {
+        case ArrayType(FloatType, _) => If(EqualTo(n, Literal(0)),
+          Literal(Float.NaN), elem)
+        case ArrayType(DoubleType, _) => If(EqualTo(n, Literal(0)),
+          Literal(Double.NaN), elem)
+        case _ => elem
+      }
+    }
 
   /** The group's values as one ascending array (identical CollectLists
     * dedupe to a single aggregate buffer in planning).
@@ -1733,7 +1767,10 @@ object ClickHouseAliases {
     // HigherOrderFunction, so composed forms (arrayCount = size∘filter,
     // arrayFirst = element_at∘filter) stay SQL idioms rather than
     // spellings.
-    "arrayMap" -> (cs => ArrayTransform(cs(1), cs.head)),
+    "arrayMap" -> (cs => {
+      val (f, a) = naryZipLambda(cs.head, cs.tail)
+      ArrayTransform(a, f)
+    }),
     // CH predicates are UInt8-truthy (nonzero = keep) — Spark's HOFs
     // demand BOOLEAN lambdas, so the body goes through the numeric
     // truthiness test (a boolean body casts through 1.0/0.0 unchanged)
@@ -3119,6 +3156,20 @@ object ClickHouseAliases {
     def userArg(f: Expression): Expression = f match {
       case LambdaFunction(_, args, _) => args.head
     }
+    def zipLambda(f: Expression, arrays: Seq[Expression])
+        : (Expression, Expression) = naryZipLambda(f, arrays)
+    // (value, condition) pairs for the fill/split family's multi-array
+    // form: condition precomputed from the zipped lambda, value from the
+    // FIRST data array (the one the reference scans/rebuilds)
+    def pairsVC(cs: Seq[Expression]): Expression = {
+      val (f, z) = zipLambda(cs.head, cs.tail)
+      ArraysZip(Seq(cs(1), ArrayTransform(z, f)),
+        Seq(Literal("v"), Literal("c")))
+    }
+    def vOf(z: Expression): Expression = UnresolvedExtractValue(z, Literal("v"))
+    def cOf(z: Expression): Expression =
+      Not(EqualTo(Cast(UnresolvedExtractValue(z, Literal("c")), DoubleType),
+        Literal(0.0)))
     def filtered(cs: Seq[Expression]): Expression = ArrayFilter(cs(1), cs.head)
     // a same-typed EMPTY array, resolvable pre-analysis: a 0-length slice
     def emptyLike(arr: Expression): Expression =
@@ -3170,7 +3221,17 @@ object ClickHouseAliases {
         LambdaFunction(lv("__gr"), Seq(lv("__gr"))))),
       // arrayFill: left-to-right scan — where cond is false the element
       // becomes its predecessor (first element always kept).
-      "arrayFill" -> (cs => ArrayAggregate(
+      "arrayFill" -> (cs =>
+        if (cs.size > 2) ArrayAggregate(
+          pairsVC(cs),
+          emptyLike(cs(1)),
+          LambdaFunction(
+            Concat(Seq(lv("__fa"), CreateArray(Seq(
+              If(Or(cOf(lv("__fz")), EqualTo(Size(lv("__fa")), Literal(0))),
+                vOf(lv("__fz")), ElementAt(lv("__fa"), Literal(-1))))))),
+            Seq(lv("__fa"), lv("__fz"))),
+          LambdaFunction(lv("__gr"), Seq(lv("__gr"))))
+        else ArrayAggregate(
         cs(1),
         emptyLike(cs(1)),
         accLambda(cs.head, (acc, cond) => {
@@ -3182,7 +3243,18 @@ object ClickHouseAliases {
         LambdaFunction(lv("__gr"), Seq(lv("__gr"))))),
       // backward scan: walk the reversed array PREPENDING, so the output
       // is already in original order and the HOF stays at the root.
-      "arrayReverseFill" -> (cs => ArrayAggregate(
+      "arrayReverseFill" -> (cs =>
+        if (cs.size > 2) ArrayAggregate(
+          Reverse(pairsVC(cs)),
+          emptyLike(cs(1)),
+          LambdaFunction(
+            Concat(Seq(CreateArray(Seq(
+              If(Or(cOf(lv("__fz")), EqualTo(Size(lv("__fa")), Literal(0))),
+                vOf(lv("__fz")), ElementAt(lv("__fa"), Literal(1))))),
+              lv("__fa"))),
+            Seq(lv("__fa"), lv("__fz"))),
+          LambdaFunction(lv("__gr"), Seq(lv("__gr"))))
+        else ArrayAggregate(
         Reverse(cs(1)),
         emptyLike(cs(1)),
         accLambda(cs.head, (acc, cond) => {
@@ -3234,7 +3306,23 @@ object ClickHouseAliases {
       // original order.
       "arraySplit" -> (cs => {
         val arr = cs(1)
-        ArrayAggregate(
+        if (cs.size > 2) ArrayAggregate(
+          pairsVC(cs),
+          Slice(CreateArray(Seq(arr)), Literal(1), Literal(0)),
+          LambdaFunction({
+            val acc = lv("__sa"); val z = lv("__sz")
+            val x = vOf(z)
+            If(EqualTo(Size(acc), Literal(0)),
+              CreateArray(Seq(CreateArray(Seq(x)))),
+              If(cOf(z),
+                Concat(Seq(acc, CreateArray(Seq(CreateArray(Seq(x)))))),
+                Concat(Seq(
+                  Slice(acc, Literal(1), Subtract(Size(acc), Literal(1))),
+                  CreateArray(Seq(Concat(Seq(
+                    ElementAt(acc, Literal(-1)), CreateArray(Seq(x))))))))))
+          }, Seq(lv("__sa"), lv("__sz"))),
+          LambdaFunction(lv("__gr"), Seq(lv("__gr"))))
+        else ArrayAggregate(
           arr,
           Slice(CreateArray(Seq(arr)), Literal(1), Literal(0)),
           accLambda(cs.head, (acc, cond) => {
@@ -3252,7 +3340,23 @@ object ClickHouseAliases {
       }),
       "arrayReverseSplit" -> (cs => {
         val arr = cs(1)
-        ArrayAggregate(
+        if (cs.size > 2) ArrayAggregate(
+          Reverse(pairsVC(cs)),
+          Slice(CreateArray(Seq(arr)), Literal(1), Literal(0)),
+          LambdaFunction({
+            val acc = lv("__sa"); val z = lv("__sz")
+            val x = vOf(z)
+            If(EqualTo(Size(acc), Literal(0)),
+              CreateArray(Seq(CreateArray(Seq(x)))),
+              If(cOf(z),
+                Concat(Seq(CreateArray(Seq(CreateArray(Seq(x)))), acc)),
+                Concat(Seq(
+                  CreateArray(Seq(Concat(Seq(
+                    CreateArray(Seq(x)), ElementAt(acc, Literal(1)))))),
+                  Slice(acc, Literal(2), Subtract(Size(acc), Literal(1)))))))
+          }, Seq(lv("__sa"), lv("__sz"))),
+          LambdaFunction(lv("__gr"), Seq(lv("__gr"))))
+        else ArrayAggregate(
           Reverse(arr),
           Slice(CreateArray(Seq(arr)), Literal(1), Literal(0)),
           accLambda(cs.head, (acc, cond) => {
@@ -3784,6 +3888,11 @@ object ClickHouseAliases {
         val s = Lower(Cast(cs.head, StringType))
         If(RLike(s, Literal("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")),
           s, Literal.create(null, StringType))
+      }),
+      "toUUIDOrZero" -> (cs => {
+        val s = Lower(Cast(cs.head, StringType))
+        If(RLike(s, Literal("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")),
+          s, Literal("00000000-0000-0000-0000-000000000000"))
       }))
   }
 
@@ -4308,6 +4417,102 @@ object ClickHouseAliases {
     *   the value distribution; multi-arg hashes the tuple.
     * - timezone() (FunctionsConversion timezone.cpp): the session zone.
     */
+  /** Shared lowering for sessionSplit/sessionSplitR2/pageTime/pageTime2:
+    * the 3–4 leading literals are the aggregate's parameters; the rest
+    * are the per-event arguments (server_time, event, time, start_time,
+    * end_time, url, refer[, String extras…]).
+    */
+  private def sessionSplitAgg(cs: Seq[Expression], which: String): Expression = {
+      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      val c = cs
+      def longParam(i: Int): Long = c(i) match {
+        case Literal(v, _) if v != null => v.toString.toDouble.toLong
+        case other => throw new IllegalArgumentException(
+          s"$which: parameter ${i + 1} must be a literal, got $other")
+      }
+      // pageTime's optional 4th parameter is a string LITERAL refer
+      // filter — a literal there cannot be the server_time column
+      val referUrl: Option[Expression] = which match {
+        case "pageTime" => c(3) match {
+          case l @ Literal(_, StringType) => Some(l)
+          case _ => None
+        }
+        case _ => None
+      }
+      val paramCount = which match {
+        case "pageTime" => if (referUrl.isDefined) 4 else 3
+        case "pageTime2" => 3
+        case _ => 4
+      }
+      val args = c.drop(paramCount)
+      require(args.size >= 7,
+        s"$which expects at least 7 event arguments, got ${args.size}")
+      val nExtras = args.size - 7
+      // the reference types url/refer/extras strictly as String
+      // (checkArgumentTypes: argument 6+ must be String) — a numeric
+      // there is the corpus's expected-error case. Deferred dispatch:
+      // the check needs the resolved type.
+      def mustString(a: Expression): Expression =
+        ChDispatch("sessionStringArg", Seq(a)) { aa =>
+          aa.head.dataType match {
+            case StringType | NullType => Cast(aa.head, StringType)
+            case other => throw new IllegalArgumentException(
+              s"$which: arguments 6+ must be String, got $other")
+          }
+        }
+      val inFields =
+        Seq(Cast(args(0), LongType), Cast(args(1), StringType),
+          Cast(args(2), LongType), Cast(args(3), LongType),
+          Cast(args(4), LongType), mustString(args(5)),
+          mustString(args(6))) ++
+          args.drop(7).map(mustString)
+      val inStruct = CreateNamedStruct(
+        inFields.zipWithIndex.flatMap { case (f, i) =>
+          Seq(Literal(s"f${i + 1}"), f)
+        })
+      val lst = CollectList(inStruct).toAggregateExpression()
+      val inType = ArrayType(StructType(
+        (Seq(LongType, StringType, LongType, LongType, LongType,
+          StringType, StringType) ++ Seq.fill(nExtras)(StringType))
+          .zipWithIndex.map { case (t, i) => StructField(s"f${i + 1}", t) }))
+      def outType(fields: Seq[DataType]): ArrayType =
+        ArrayType(StructType(fields.zipWithIndex.map { case (t, i) =>
+          StructField(s"col${i + 1}", t)
+        }))
+      val ops = graft.functions.SessionSplitOps.getClass
+      which match {
+        case "sessionSplit" | "sessionSplitR2" =>
+          val typ = longParam(3).toInt
+          StaticInvoke(ops,
+            outType(Seq(IntegerType, IntegerType, StringType, StringType) ++
+              Seq.fill(nExtras)(StringType)),
+            "sessionSplit",
+            Seq(lst, Literal(longParam(0)), Literal(longParam(1)),
+              Literal(longParam(2)), Literal(typ), Literal(nExtras),
+              Literal(which == "sessionSplitR2")),
+            Seq(inType, LongType, LongType, LongType, IntegerType,
+              IntegerType, BooleanType), returnNullable = false)
+        case "pageTime" =>
+          StaticInvoke(ops,
+            outType(Seq(StringType, IntegerType, IntegerType)),
+            "pageTime",
+            Seq(lst, Literal(longParam(0)), Literal(longParam(1)),
+              Literal(longParam(2)),
+              referUrl.getOrElse(Literal("all"))),
+            Seq(inType, LongType, LongType, LongType, StringType),
+            returnNullable = false)
+        case _ =>
+          StaticInvoke(ops,
+            outType(Seq(StringType, IntegerType, StringType) ++
+              Seq.fill(nExtras)(StringType)),
+            "pageTime2",
+            Seq(lst, Literal(longParam(0)), Literal(longParam(1)),
+              Literal(longParam(2)), Literal(nExtras)),
+            Seq(inType, LongType, LongType, LongType, IntegerType),
+            returnNullable = false)
+      }
+    }
+
   private def wave18: Seq[(String, Seq[Expression] => Expression)] = {
     def xv(e: Expression, n: String): Expression =
       UnresolvedExtractValue(e, Literal(n))
@@ -4414,23 +4619,105 @@ object ClickHouseAliases {
         import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
         val px = Cast(GetStructField(c.head, 0), DoubleType)
         val py = Cast(GetStructField(c.head, 1), DoubleType)
-        def inRing(ring: Expression, boundary: Boolean): Expression = {
-          def coord(i: Int): Expression = ArrayTransform(ring,
-            LambdaFunction(Cast(GetStructField(lv("pp"), i), DoubleType),
-              Seq(lv("pp"))))
+        // positional struct cast → (x: double, y: double) rows; a plain
+        // Cast resolves structurally, so it is safe inside the dispatch
+        // (lambda-based HOFs would need analyzer rules that never visit
+        // a RuntimeReplaceable's replacement)
+        val xy = ArrayType(StructType(Seq(
+          StructField("x", DoubleType), StructField("y", DoubleType))))
+        def inRing(ring: Expression, boundary: Boolean): Expression =
           StaticInvoke(graft.functions.GeoFunctions.getClass, BooleanType,
-            "pointInRing",
-            Seq(px, py, coord(0), coord(1), Literal(boundary)),
-            Seq(DoubleType, DoubleType, ArrayType(DoubleType),
-              ArrayType(DoubleType), BooleanType), returnNullable = false)
-        }
+            "pointInRingRows",
+            Seq(px, py, Cast(ring, xy), Literal(boundary)),
+            Seq(DoubleType, DoubleType, xy, BooleanType),
+            returnNullable = false)
         c.tail.zipWithIndex.map { case (ring, k) =>
           if (k == 0) inRing(ring, boundary = true)
           else Not(inRing(ring, boundary = false)): Expression
         }.reduce(And(_, _))
       }),
+      // untuple(t) expands a tuple into its elements as separate output
+      // columns — Spark's inline generator over a one-row array
+      "untuple" -> (cs => new Inline(CreateArray(Seq(cs.head)))),
+      // sessionSplit family (reference AggregateFunctionSessionSplit.h):
+      // params (split_time, window, base_time, type) merge ahead of the
+      // event arguments by the parametric-call rewrite. Lowered to
+      // CollectList → StaticInvoke of the full scan
+      // (functions/SessionSplitOps) — state is the group's events, same
+      // as the reference's collect-then-scan.
+      "sessionSplit" -> (cs => sessionSplitAgg(cs, "sessionSplit")),
+      "sessionSplitR2" -> (cs => sessionSplitAgg(cs, "sessionSplitR2")),
+      "pageTime" -> (cs => sessionSplitAgg(cs, "pageTime")),
+      "pageTime2" -> (cs => sessionSplitAgg(cs, "pageTime2")),
       "timezone" -> (_ => CurrentTimeZone()),
       "timeZone" -> (_ => CurrentTimeZone()),
+      // truncate(x[, n]): toward zero at 10^n (reference
+      // FunctionsRound.h TruncateImpl; n may be negative)
+      "truncate" -> (cs => {
+        val x = Cast(cs.head, DoubleType)
+        val p = if (cs.size > 1)
+          Pow(Literal(10.0), Cast(cs(1), DoubleType)) else Literal(1.0)
+        val scaled = Multiply(x, p)
+        val t = If(GreaterThanOrEqual(scaled, Literal(0.0)),
+          Floor(scaled), Ceil(scaled))
+        Divide(Cast(t, DoubleType), p)
+      }),
+      // timeDiff(a, b) = seconds elapsed b − a (reference timeDiff alias
+      // of dateDiff('second', …))
+      "timeDiff" -> (cs => Subtract(
+        Cast(Cast(cs(1), TimestampType), LongType),
+        Cast(Cast(cs.head, TimestampType), LongType))),
+      // greatCircleAngle(lon1, lat1, lon2, lat2) — central angle in
+      // DEGREES via the haversine form (reference greatCircleDistance.cpp
+      // method with RadDeg output)
+      "greatCircleAngle" -> (cs => {
+        def rad(e: Expression) =
+          Multiply(Cast(e, DoubleType), Literal(math.Pi / 180.0))
+        val (lon1, lat1, lon2, lat2) = (rad(cs(0)), rad(cs(1)), rad(cs(2)), rad(cs(3)))
+        val sdLat = Sin(Divide(Subtract(lat2, lat1), Literal(2.0)))
+        val sdLon = Sin(Divide(Subtract(lon2, lon1), Literal(2.0)))
+        val a = Add(Multiply(sdLat, sdLat),
+          Multiply(Multiply(Cos(lat1), Cos(lat2)), Multiply(sdLon, sdLon)))
+        Multiply(Multiply(Literal(2.0), Asin(Sqrt(a))),
+          Literal(180.0 / math.Pi))
+      }),
+      "extractTextFromHTML" -> (cs => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        StaticInvoke(graft.functions.StringOps.getClass, StringType,
+          "extractTextFromHtml", Seq(Cast(cs.head, StringType)),
+          Seq(StringType), returnNullable = false)
+      }),
+      // IPv6 family (reference FunctionsCoding.h) — text↔16-byte binary
+      // with the reference's canonical output form
+      "toIPv6" -> (cs => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        StaticInvoke(graft.functions.CodingOps.getClass, StringType,
+          "toIpv6Text", Seq(Cast(cs.head, StringType)),
+          Seq(StringType), returnNullable = false)
+      }),
+      "IPv4ToIPv6" -> (cs => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        StaticInvoke(graft.functions.CodingOps.getClass, StringType,
+          "toIpv6Text", Seq(Cast(cs.head, StringType)),
+          Seq(StringType), returnNullable = false)
+      }),
+      "IPv6StringToNum" -> (cs => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        StaticInvoke(graft.functions.CodingOps.getClass, BinaryType,
+          "ipv6Parse", Seq(Cast(cs.head, StringType)),
+          Seq(StringType), returnNullable = false)
+      }),
+      "IPv6NumToString" -> (cs => ChDispatch("IPv6NumToString", cs) { c =>
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        c.head.dataType match {
+          case BinaryType => StaticInvoke(graft.functions.CodingOps.getClass,
+            StringType, "ipv6Format", Seq(c.head), Seq(BinaryType),
+            returnNullable = false)
+          case _ => StaticInvoke(graft.functions.CodingOps.getClass,
+            StringType, "ipv6FormatStr", Seq(Cast(c.head, StringType)),
+            Seq(StringType), returnNullable = false)
+        }
+      }),
       "serverTimezone" -> (_ => CurrentTimeZone()),
       "leftPadUTF8" -> (cs =>
         StringLPad(cs.head, cs(1), if (cs.size > 2) cs(2) else Literal(" "))),
@@ -4521,11 +4808,15 @@ object ClickHouseAliases {
           case "day" | "dd" => Cast(UnixDate(d(e)), LongType)
           case "hour" | "hh" => IntegralDivide(t(e), Literal(3600L))
           case "minute" | "mi" => IntegralDivide(t(e), Literal(60L))
+          case "millisecond" | "ms" =>
+            IntegralDivide(UnixMicros(Cast(e, TimestampType)), Literal(1000L))
+          case "microsecond" | "us" | "mcs" =>
+            UnixMicros(Cast(e, TimestampType))
           case _ => t(e) // second
         }
         Subtract(rel(c(2)), rel(c(1)))
       }
-    Seq("dateDiff", "date_diff").foreach { n =>
+    Seq("dateDiff", "date_diff", "chDateDiff").foreach { n =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(n),
         new ExpressionInfo("graft.sql.ClickHouseAliases", n),
@@ -4576,6 +4867,16 @@ object ClickHouseAliases {
       val (lo, hi) =
         if (cs.size == 1) (0L, bound(cs.head))
         else (bound(cs.head), bound(cs.head) + bound(cs(1)))
+      // max_memory_usage contract (reference MemoryTracker, error 241):
+      // a capped session refuses a synthetic scan whose row payload
+      // alone exceeds the cap — 8 bytes per UInt64 row, same floor the
+      // reference charges before any downstream aggregate state
+      val cap = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.ch.max_memory_bytes", "")
+      if (cap.nonEmpty && hi - lo > cap.toLong / 8L)
+        throw new IllegalArgumentException(
+          s"Memory limit (for query) exceeded: numbers(${hi - lo}) " +
+            s"needs ${(hi - lo) * 8} bytes, cap $cap (error 241 analog)")
       val range = org.apache.spark.sql.catalyst.plans.logical.Range(lo, hi, 1, None)
       org.apache.spark.sql.catalyst.plans.logical.Project(
         Seq(Alias(range.output.head, "number")()), range)

@@ -262,6 +262,20 @@ object StatelessSweep {
       org.apache.spark.sql.Row.fromSeq(maxs.toSeq))
   }
 
+  /** spark.sql with the CH alias-scope fallback: on an unresolved
+    * column, retry with top-level select aliases inlined into the
+    * later clauses (ChTranspiler.inlineSelectAliases).
+    */
+  private def chSql(spark: SparkSession, stripped: String)
+      : org.apache.spark.sql.DataFrame =
+    try spark.sql(ChTranspiler.transpile(stripped))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if String.valueOf(e.getMessage).contains("UNRESOLVED_COLUMN") =>
+        spark.sql(ChTranspiler.transpile(
+          ChTranspiler.inlineSelectAliases(stripped)))
+    }
+
   def run(spark: SparkSession, sqlText: String): Either[String, String] = {
     // DateTime text zone = the session's own timezone (session-scoped,
     // no shared mutable state between parallel suites)
@@ -312,7 +326,7 @@ object StatelessSweep {
                   val stripped = graft.sql.ChSession.stripDbRefs(clean)
                   ChTranspiler.stripWithFill(stripped) match {
                     case Some((cleaned, specs)) =>
-                      val df = spark.sql(ChTranspiler.transpile(cleaned))
+                      val df = chSql(spark, cleaned)
                       val rows = df.collect().toSeq
                       val filled = fillRows(spark, rows, df.schema, specs)
                       if (filled.nonEmpty) Some(ChFormat.formatRows(filled, zone))
@@ -337,8 +351,7 @@ object StatelessSweep {
                       Some(ChFormat.formatRows(mainRows, zone) + "\n\n" +
                         ChFormat.formatRows(totRows, zone))
                     case None =>
-                      val rows =
-                        spark.sql(ChTranspiler.transpile(stripped)).collect().toSeq
+                      val rows = chSql(spark, stripped).collect().toSeq
                       // SETTINGS extremes=1: rows, blank line, then the
                       // min and max row over numeric columns (NaN and
                       // NULL excluded unless nothing else remains —
