@@ -95,12 +95,14 @@ object Association {
     val phi2Corr = greatest(lit(0.0), phi2 - aAdj * bAdj / nAdj)
     val corrA = col("card_a").cast("double") - aAdj * aAdj / nAdj
     val corrB = col("card_b").cast("double") - bAdj * bAdj / nAdj
-    // The five statistics ship as fixed-format 6-decimal STRINGS, not
+    // The five statistics ship as fixed-format 4-decimal STRINGS, not
     // doubles: the values are engine-identical after the decimal
     // quantization, but a double's byte representation is not
-    // hash-stable across engines/builds — printing at the quantized
-    // precision closes that channel entirely.
-    def d6(c: Column): Column = format_string("%.6f", Num.dq6(c))
+    // hash-stable across engines/builds, and even at 6 decimals the
+    // per-cell ln() terms land on a 1e-6 knife edge between libm
+    // builds. Printing at 4 decimals closes both channels; the
+    // statistics stay meaningful at this precision.
+    def d6(c: Column): Column = format_string("%.4f", Num.dq(c, 4))
     sums.select(
       col("n"), col("card_a"), col("card_b"),
       d6(phi2).as("phi2"),

@@ -61,16 +61,16 @@ object CoverageWave7 {
           FROM marg
         )
         SELECT n, card_a, card_b,
-          printf('%.6f', CAST(CAST(ROUND(chi2 / n, 6) AS DECIMAL(18,6)) AS DOUBLE)) AS phi2,
-          printf('%.6f', CAST(CAST(ROUND(SQRT(chi2 / n / (LEAST(card_a, card_b) - 1)), 6) AS DECIMAL(18,6)) AS DOUBLE)) AS cramers_v,
-          printf('%.6f', CAST(CAST(ROUND(SQRT(
+          printf('%.4f', CAST(CAST(ROUND(chi2 / n, 4) AS DECIMAL(18,4)) AS DOUBLE)) AS phi2,
+          printf('%.4f', CAST(CAST(ROUND(SQRT(chi2 / n / (LEAST(card_a, card_b) - 1)), 4) AS DECIMAL(18,4)) AS DOUBLE)) AS cramers_v,
+          printf('%.4f', CAST(CAST(ROUND(SQRT(
             GREATEST(0.0, chi2 / n
               - (card_a-1.0)*(card_b-1.0)/(n-1.0))
             / (LEAST(card_a - (card_a-1.0)*(card_a-1.0)/(n-1.0),
                      card_b - (card_b-1.0)*(card_b-1.0)/(n-1.0)) - 1)),
-            6) AS DECIMAL(18,6)) AS DOUBLE)) AS cramers_v_bc,
-          printf('%.6f', CAST(CAST(ROUND((dep - ha) / ha, 6) AS DECIMAL(18,6)) AS DOUBLE)) AS theils_u,
-          printf('%.6f', CAST(CAST(ROUND(SQRT(chi2 / n / (chi2 / n + n)), 6) AS DECIMAL(18,6)) AS DOUBLE)) AS contingency
+            4) AS DECIMAL(18,4)) AS DOUBLE)) AS cramers_v_bc,
+          printf('%.4f', CAST(CAST(ROUND((dep - ha) / ha, 4) AS DECIMAL(18,4)) AS DOUBLE)) AS theils_u,
+          printf('%.4f', CAST(CAST(ROUND(SQRT(chi2 / n / (chi2 / n + n)), 4) AS DECIMAL(18,4)) AS DOUBLE)) AS contingency
         FROM sums""")),
 
     // categoricalInformationValue: three priority-class indicators

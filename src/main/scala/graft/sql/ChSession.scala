@@ -122,8 +122,11 @@ final class ChSession(spark: SparkSession) {
         case "K" => 1L << 10; case "M" => 1L << 20
         case "G" => 1L << 30; case "T" => 1L << 40; case _ => 1L
       }
-      spark.conf.set("graft.ch.max_memory_bytes",
-        (m.group(1).toLong * mult).toString)
+      val bytes = m.group(1).toLong * mult
+      // reference src/Core/Settings.h: zero means UNLIMITED, not a
+      // zero-byte cap
+      if (bytes == 0L) spark.conf.unset("graft.ch.max_memory_bytes")
+      else spark.conf.set("graft.ch.max_memory_bytes", bytes.toString)
     }
     dedupModeRe.findFirstMatchIn(s).foreach(m =>
       dedupKeyMode = m.group(1).toLowerCase)
@@ -445,7 +448,8 @@ final class ChSession(spark: SparkSession) {
         // chunked UNION ALL: one SELECT per row keeps literal transpile
         // (arrays, tuples, negative dates) on the proven path
         val dfs = tuples.grouped(200).map { group =>
-          spark.sql(group.map(t => ChTranspiler.transpile("SELECT " + t))
+          spark.sql(group.map(t =>
+              ChTranspiler.transpile("SELECT " + t, widenInts = true))
             .mkString(" UNION ALL "))
         }.toSeq
         dfs.reduce(_ unionAll _)

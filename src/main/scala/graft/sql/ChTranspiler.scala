@@ -376,8 +376,42 @@ object ChTranspiler {
     sb.toString
   }
 
-  def transpile(stmt: String): String = {
-    val toks0 = tokenize(stmt)
+  /** CH evaluates bare integer literals as UInt64, so VALUES-tuple
+    * arithmetic like `1568249940*1000` never overflows there; Spark
+    * parses each as INT and the ANSI product overflows before the row
+    * is even built. On the VALUES path only, widen an integer literal
+    * to a BIGINT literal (`L` suffix) when it exceeds Int range or sits
+    * next to an arithmetic operator. Applied only to INSERT VALUES
+    * tuples — SELECT-side small-int args (function scales, indexes)
+    * keep their INT type.
+    */
+  private def widenIntLiterals(toks: Vector[Tok]): Vector[Tok] = {
+    def sig(from: Int, step: Int): Option[Tok] = {
+      var j = from + step
+      while (j >= 0 && j < toks.length && toks(j).isInstanceOf[Ws]) j += step
+      if (j >= 0 && j < toks.length) Some(toks(j)) else None
+    }
+    val arith = Set("*", "+", "-", "/", "%")
+    toks.zipWithIndex.map {
+      case (Num(t), i) if t.forall(_.isDigit) &&
+          scala.util.Try(t.toLong).isSuccess =>
+        val big = t.toLong > Int.MaxValue
+        val nextOp = sig(i, 1).exists {
+          case Punct(p) => arith(p); case _ => false }
+        // previous `-`/`+` may be unary sign; widening `-5` to `-5L`
+        // is still correct, so no need to disambiguate
+        val prevOp = sig(i, -1).exists {
+          case Punct(p) => arith(p); case _ => false }
+        if (big || nextOp || prevOp) Num(t + "L") else Num(t)
+      case (tok, _) => tok
+    }
+  }
+
+  def transpile(stmt: String): String = transpile(stmt, false)
+
+  def transpile(stmt: String, widenInts: Boolean): String = {
+    val toks0raw = tokenize(stmt)
+    val toks0 = if (widenInts) widenIntLiterals(toks0raw) else toks0raw
     // Type-level pre-pass: strip Nullable(...) / LowCardinality(...)
     // wrappers (keep the inner type), map scalar type names, expand
     // DecimalNN(s), and rewrite Array(T) type syntax to ARRAY<T>.

@@ -4513,6 +4513,101 @@ object ClickHouseAliases {
       }
     }
 
+  /** pathSplit/R/D/RD (reference AggregateFunctionPathSplit.cpp:30-50:
+    * params (max_session_size, max_session_depth), args
+    * (time, event_index, param)) — CollectList → StaticInvoke of the
+    * sorted session walk (functions/PathSplitOps.pathSplit).
+    */
+  private def pathSplitAgg(cs: Seq[Expression], rev: Boolean,
+      dedup: Boolean): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    def longParam(i: Int): Long = cs(i) match {
+      case Literal(v, _) if v != null => v.toString.toDouble.toLong
+      case other => throw new IllegalArgumentException(
+        s"pathSplit: parameter ${i + 1} must be a literal, got $other")
+    }
+    require(cs.size == 5,
+      s"pathSplit requires 2 parameters and 3 arguments, got ${cs.size}")
+    val (size, depth) = (longParam(0), longParam(1))
+    require(size > 0 && depth > 0, "pathSplit(>0, >0)(...)")
+    val lst = CollectList(CreateNamedStruct(Seq(
+      Literal("f1"), Cast(cs(2), LongType),
+      Literal("f2"), Cast(cs(3), IntegerType),
+      Literal("f3"), Cast(cs(4), StringType)))).toAggregateExpression()
+    val inType = ArrayType(StructType(Seq(
+      StructField("f1", LongType), StructField("f2", IntegerType),
+      StructField("f3", StringType))))
+    StaticInvoke(graft.functions.PathSplitOps.getClass,
+      ArrayType(ArrayType(StructType(Seq(
+        StructField("col1", IntegerType), StructField("col2", StringType))))),
+      "pathSplit",
+      Seq(lst, Literal(size), Literal(depth), Literal(rev), Literal(dedup)),
+      Seq(inType, LongType, LongType, BooleanType, BooleanType),
+      returnNullable = false)
+  }
+
+  /** funnelPathSplit[ByTimes]/R/D/RD (reference
+    * AggregateFunctionFunnelPathSplit.cpp:25-70: params (window,
+    * max_session_depth, level_flag, [prop_flags…]), args
+    * (time, event_index, param[, extra_props…]); popcount(prop_flags)
+    * must not exceed the extra-prop count — the corpus's
+    * expected-error 36 case).
+    */
+  private def funnelPathSplitAgg(cs: Seq[Expression], byTimes: Boolean,
+      rev: Boolean, dedup: Boolean): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val name = if (byTimes) "funnelPathSplitByTimes" else "funnelPathSplit"
+    def longParam(i: Int): Long = cs(i) match {
+      case Literal(v, _) if v != null => v.toString.toDouble.toLong
+      case other => throw new IllegalArgumentException(
+        s"$name: parameter ${i + 1} must be a literal, got $other")
+    }
+    require(cs.size >= 7,
+      s"$name requires 4 parameters and at least 3 arguments")
+    val (window, depth, levelFlag) =
+      (longParam(0), longParam(1), longParam(2))
+    require(window > 0 && depth > 0 && levelFlag > 0, s"$name(>0, >0, >0)(...)")
+    val flags: Seq[Long] = cs(3) match {
+      case CreateArray(children, _) => children.map {
+        case Literal(v, _) if v != null => v.toString.toDouble.toLong
+        case other => throw new IllegalArgumentException(
+          s"$name: prop_flags must be literal integers, got $other")
+      }
+      case Literal(null, _) | Literal(_, NullType) => Seq.empty
+      case other => throw new IllegalArgumentException(
+        s"$name: parameter 4 must be an array literal, got $other")
+    }
+    val args = cs.drop(4)
+    val nExtras = args.size - 3
+    val totalFlagged = flags.map(java.lang.Long.bitCount(_).toLong).sum
+    if (totalFlagged > nExtras) throw new IllegalArgumentException(
+      s"$name: extra prop amount $nExtras is less than the $totalFlagged " +
+        "specified in prop_flag")
+    val fields =
+      Seq(Cast(args(0), LongType), Cast(args(1), IntegerType),
+        Cast(args(2), StringType)) ++
+        args.drop(3).map(Cast(_, StringType))
+    val lst = CollectList(CreateNamedStruct(
+      fields.zipWithIndex.flatMap { case (f, i) =>
+        Seq(Literal(s"f${i + 1}"), f)
+      })).toAggregateExpression()
+    val inType = ArrayType(StructType(
+      (Seq(LongType, IntegerType, StringType) ++
+        Seq.fill(nExtras)(StringType)).zipWithIndex.map { case (t, i) =>
+        StructField(s"f${i + 1}", t)
+      }))
+    StaticInvoke(graft.functions.PathSplitOps.getClass,
+      ArrayType(ArrayType(StructType(Seq(
+        StructField("col1", IntegerType), StructField("col2", StringType))))),
+      if (byTimes) "funnelPathSplitByTimes" else "funnelPathSplit",
+      Seq(lst, Literal(window), Literal(depth), Literal(levelFlag),
+        Literal.create(flags.toArray, ArrayType(LongType)),
+        Literal(nExtras), Literal(rev), Literal(dedup)),
+      Seq(inType, LongType, LongType, LongType, ArrayType(LongType),
+        IntegerType, BooleanType, BooleanType),
+      returnNullable = false)
+  }
+
   private def wave18: Seq[(String, Seq[Expression] => Expression)] = {
     def xv(e: Expression, n: String): Expression =
       UnresolvedExtractValue(e, Literal(n))
@@ -4649,6 +4744,38 @@ object ClickHouseAliases {
       "sessionSplitR2" -> (cs => sessionSplitAgg(cs, "sessionSplitR2")),
       "pageTime" -> (cs => sessionSplitAgg(cs, "pageTime")),
       "pageTime2" -> (cs => sessionSplitAgg(cs, "pageTime2")),
+      // pathSplit family (reference AggregateFunctionPathSplit.cpp:58:
+      // R=terminating-event reverse walk): params (max_session_size,
+      // max_session_depth) merge ahead of (time, event_index, param) by
+      // the parametric-call rewrite. The D variants register but do NOT
+      // dedup: the reference's own golden output
+      // (01003_aggregation_pathsplit.reference rows 3-4) shows
+      // pathSplitD/RD emitting consecutive equal (1,'') nodes — the
+      // shipped binary's observable behavior, which we match.
+      "pathSplit" -> (cs => pathSplitAgg(cs, rev = false, dedup = false)),
+      "pathSplitR" -> (cs => pathSplitAgg(cs, rev = true, dedup = false)),
+      "pathSplitD" -> (cs => pathSplitAgg(cs, rev = false, dedup = false)),
+      "pathSplitRD" -> (cs => pathSplitAgg(cs, rev = true, dedup = false)),
+      // funnelPathSplit family (reference
+      // AggregateFunctionFunnelPathSplit.cpp:82-90): params (window,
+      // max_session_depth, level_flag, [prop_flags…]) then
+      // (time, event_index, param[, extra_props…])
+      "funnelPathSplit" ->
+        (cs => funnelPathSplitAgg(cs, byTimes = false, rev = false, dedup = false)),
+      "funnelPathSplitR" ->
+        (cs => funnelPathSplitAgg(cs, byTimes = false, rev = true, dedup = false)),
+      "funnelPathSplitD" ->
+        (cs => funnelPathSplitAgg(cs, byTimes = false, rev = false, dedup = true)),
+      "funnelPathSplitRD" ->
+        (cs => funnelPathSplitAgg(cs, byTimes = false, rev = true, dedup = true)),
+      "funnelPathSplitByTimes" ->
+        (cs => funnelPathSplitAgg(cs, byTimes = true, rev = false, dedup = false)),
+      "funnelPathSplitByTimesR" ->
+        (cs => funnelPathSplitAgg(cs, byTimes = true, rev = true, dedup = false)),
+      "funnelPathSplitByTimesD" ->
+        (cs => funnelPathSplitAgg(cs, byTimes = true, rev = false, dedup = true)),
+      "funnelPathSplitByTimesRD" ->
+        (cs => funnelPathSplitAgg(cs, byTimes = true, rev = true, dedup = true)),
       "timezone" -> (_ => CurrentTimeZone()),
       "timeZone" -> (_ => CurrentTimeZone()),
       // truncate(x[, n]): toward zero at 10^n (reference
