@@ -178,11 +178,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val planTotal = planSecs.values.sum
-    // "value" is EXECUTION time of pre-planned queries (since r9);
-    // planning is reported separately — exec_total names that
-    // explicitly so totals aren't compared against pre-r9 plan+exec
-    // numbers under the same key.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","exec_total":$total%.3f,"measures":"execution_only_planning_separate","queries":$qs,"spread_minmax":$spread,"reps":$reps,"heavy_reps":$perRepJson,"noisy_requeued":$noisyJson,"noisy_host":${noisy.nonEmpty},"planning_total":$planTotal%.3f,"planning":$planJson,"sf":"$sfDir"}"""
+    // "value" keeps its pre-r9 meaning (planning + execution) so
+    // tooling comparing rounds by that key compares like quantities;
+    // exec-only lives under exec_total, and schema_version marks the
+    // split for consumers that want to key on it.
+    val line = f"""{"metric":"total","value":${planTotal + total}%.3f,"unit":"sec","schema_version":2,"exec_total":$total%.3f,"measures":"value_plan_plus_exec","queries":$qs,"spread_minmax":$spread,"reps":$reps,"heavy_reps":$perRepJson,"noisy_requeued":$noisyJson,"noisy_host":${noisy.nonEmpty},"planning_total":$planTotal%.3f,"planning":$planJson,"sf":"$sfDir"}"""
     println(line)
     // stdout tails have truncated in recorded rounds — persist the full
     // line to a file as well

@@ -36,6 +36,75 @@ object GeoFunctions {
     pointInRing(x, y, xs, ys, boundaryValue)
   }
 
+  /** Conservative subset of boost::geometry::is_valid as used by the
+    * reference's const-polygon path (src/Functions/pointInPolygon.cpp:
+    * 564-570, after bg::correct fixes orientation/closure): a ring is
+    * invalid when it has <3 distinct points or any two non-adjacent
+    * edges properly cross. Proper-crossing-only keeps false invalids
+    * impossible — anything we reject, boost rejects too.
+    */
+  def ringIsValid(ring: org.apache.spark.sql.catalyst.util.ArrayData)
+      : Boolean = {
+    val m = ring.numElements()
+    val xs = new Array[Double](m)
+    val ys = new Array[Double](m)
+    var k = 0
+    while (k < m) {
+      val row = ring.getStruct(k, 2)
+      xs(k) = row.getDouble(0)
+      ys(k) = row.getDouble(1)
+      k += 1
+    }
+    // drop an explicit closing point
+    val n = if (m > 1 && xs(0) == xs(m - 1) && ys(0) == ys(m - 1)) m - 1 else m
+    if (n < 3) return false
+    def cross(ox: Double, oy: Double, ax: Double, ay: Double,
+        bx: Double, by: Double): Double =
+      (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+    var i = 0
+    while (i < n) {
+      val a1x = xs(i); val a1y = ys(i)
+      val a2x = xs((i + 1) % n); val a2y = ys((i + 1) % n)
+      var j = i + 2
+      while (j < n) {
+        if (!(i == 0 && j == n - 1)) { // skip adjacent (shared endpoint)
+          val b1x = xs(j); val b1y = ys(j)
+          val b2x = xs((j + 1) % n); val b2y = ys((j + 1) % n)
+          val d1 = cross(a1x, a1y, a2x, a2y, b1x, b1y)
+          val d2 = cross(a1x, a1y, a2x, a2y, b2x, b2y)
+          val d3 = cross(b1x, b1y, b2x, b2y, a1x, a1y)
+          val d4 = cross(b1x, b1y, b2x, b2y, a2x, a2y)
+          if (d1 * d2 < 0 && d3 * d4 < 0) return false
+        }
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Whole polygon-with-holes in one call: rings(0) is the outer ring
+    * (boundary counts as inside), rings(1..) are holes whose boundary
+    * counts as IN the hole — a point on a hole edge is OUTSIDE the
+    * polygon (00500_point_in_polygon_non_const_poly.reference rows
+    * 36-51: outer corner (0,0) → 1, hole corner (4,4) → 0). Used when
+    * the SQL passes the polygon as one Array(Array(Tuple)) value.
+    */
+  def pointInPolygonRows(x: Double, y: Double,
+      rings: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    val n = rings.numElements()
+    if (n == 0) return false
+    if (!pointInRingRows(x, y, rings.getArray(0), boundaryValue = true))
+      return false
+    var k = 1
+    while (k < n) {
+      if (pointInRingRows(x, y, rings.getArray(k), boundaryValue = true))
+        return false
+      k += 1
+    }
+    true
+  }
+
   def pointInRing(x: Double, y: Double,
       xs: Array[Double], ys: Array[Double],
       boundaryValue: Boolean): Boolean = {

@@ -43,9 +43,31 @@ case class ChDispatch(name: String, children: Seq[Expression])(
   // The analyzer never descends into `replacement`, so rules that would
   // normally finish resolving it (ResolveTimeZone in particular) do not
   // run — pin the session timezone on any tz-aware node ourselves.
-  override lazy val replacement: Expression = build(children).transformUp {
-    case e: TimeZoneAwareExpression if e.timeZoneId.isEmpty =>
-      e.withTimeZone(SQLConf.get.sessionLocalTimeZone)
+  // A deferred build that throws, or produces a node that cannot
+  // resolve, is an ANALYSIS error of the named routine — surface it as
+  // one instead of Spark's opaque INTERNAL_ERROR.
+  override lazy val replacement: Expression = {
+    val built =
+      try build(children).transformUp {
+        case e: TimeZoneAwareExpression if e.timeZoneId.isEmpty =>
+          e.withTimeZone(SQLConf.get.sessionLocalTimeZone)
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException => throw e
+        case scala.util.control.NonFatal(e) =>
+          throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION",
+            Map("errorMessage" ->
+              s"cannot build routine $name for these arguments: ${e.getMessage}"),
+            Option(e))
+      }
+    if (childrenResolved && !built.resolved)
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          (s"routine $name lowered to an unresolvable expression for " +
+            s"argument types ${children.map(_.dataType.simpleString).mkString(", ")}")),
+        None)
+    built
   }
 
   override lazy val resolved: Boolean = childrenResolved && replacement.resolved

@@ -292,6 +292,13 @@ object ChTranspiler {
             pw = k; pwD = d
           case Word(w) if pw >= 0 && wh < 0 && d == pwD &&
               w.equalsIgnoreCase("WHERE") => wh = k
+          case Word(w) if pw >= 0 && wh < 0 && d == pwD &&
+              stopKw.contains(w.toUpperCase) =>
+            // same-depth clause boundary (UNION, GROUP BY, …) before a
+            // WHERE: this branch has a lone PREWHERE — leave it to the
+            // main loop's rename instead of pairing across the boundary
+            // with a LATER branch's WHERE
+            pw = -1
           case Word(w) if pw >= 0 && wh >= 0 && d == pwD &&
               stopKw.contains(w.toUpperCase) && end == toks.length => end = k
           case _ => ()
@@ -355,6 +362,20 @@ object ChTranspiler {
     var last: Option[Tok] = None
     while (i < toks.length) {
       toks(i) match {
+        // backtick-quoted references normalize to the bare alias name
+        // the pairs map keys use
+        case Word(w0) if {
+          val w = w0.stripPrefix("`").stripSuffix("`")
+          pairs.contains(w) && w0 != w
+        } && !last.exists(_.text == ".") && {
+          var k = i + 1
+          while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1
+          !(k < toks.length && (toks(k).text == "(" ||
+            toks(k).text.equalsIgnoreCase("AS")))
+        } =>
+          sb.append("(")
+            .append(pairs(w0.stripPrefix("`").stripSuffix("`")))
+            .append(")")
         case Word(w) if pairs.contains(w) &&
             // not qualified (a.b) and not a call name `w(`
             !last.exists(_.text == ".") && {

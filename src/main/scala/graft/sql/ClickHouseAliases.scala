@@ -4619,6 +4619,24 @@ object ClickHouseAliases {
       }
       CreateArray(elems.map(e => Cast(e, et)))
     }
+    // arraySetCheck column side: an empty-array literal has NullType
+    // elements, which ArraysOverlap never resolves against — coerce to
+    // a concrete type (the set side coerces to match)
+    def setColumn(arr: Expression): (Expression, DataType) =
+      arr.dataType match {
+        case ArrayType(NullType, _) =>
+          (Cast(arr, ArrayType(IntegerType)), IntegerType)
+        case ArrayType(t, _) => (arr, t)
+        case other => (arr, other)
+      }
+    // the set may itself be an array literal (`arraySetCheck([], [1,2])`),
+    // not just a tuple/scalar — pass arrays through with element coercion
+    def setArr2(set: Expression, et: DataType): Expression =
+      set.dataType match {
+        case ArrayType(t, _) if t == et => set
+        case ArrayType(_, _) => Cast(set, ArrayType(et))
+        case _ => setArr(set, et)
+      }
     def maxIntersectionsAgg(cs: Seq[Expression], wantPos: Boolean): Expression = {
       val lst = CollectList(CreateNamedStruct(Seq(
         Literal("s"), Cast(cs.head, LongType),
@@ -4653,27 +4671,17 @@ object ClickHouseAliases {
         require(c.size >= 2 && c.size % 2 == 0,
           s"arraySetCheck expects (column, set) pairs; got ${c.size} args")
         c.grouped(2).map { pair =>
-          val arr = pair.head
-          val et = arr.dataType match {
-            case ArrayType(t, _) => t
-            case other => other
-          }
-          ArraysOverlap(arr, setArr(pair(1), et)): Expression
+          val (arr, et) = setColumn(pair.head)
+          ArraysOverlap(arr, setArr2(pair(1), et)): Expression
         }.reduce(And(_, _))
       }),
       "arraySetGet" -> (cs => ChDispatch("arraySetGet", cs) { c =>
-        val et = c.head.dataType match {
-          case ArrayType(t, _) => t
-          case other => other
-        }
-        ArrayIntersect(c.head, setArr(c(1), et))
+        val (arr, et) = setColumn(c.head)
+        ArrayIntersect(arr, setArr2(c(1), et))
       }),
       "arraySetGetAny" -> (cs => ChDispatch("arraySetGetAny", cs) { c =>
-        val et = c.head.dataType match {
-          case ArrayType(t, _) => t
-          case other => other
-        }
-        ElementAt(ArrayIntersect(c.head, setArr(c(1), et)),
+        val (arr, et) = setColumn(c.head)
+        ElementAt(ArrayIntersect(arr, setArr2(c(1), et)),
           Literal(1), None, failOnError = false)
       }),
       "boundingRatio" -> (cs => {
@@ -4726,9 +4734,46 @@ object ClickHouseAliases {
             Seq(px, py, Cast(ring, xy), Literal(boundary)),
             Seq(DoubleType, DoubleType, xy, BooleanType),
             returnNullable = false)
-        c.tail.zipWithIndex.map { case (ring, k) =>
+        // a single Array(Array(point)) argument carries the whole
+        // polygon (outer ring + dynamic hole count) — nested array
+        // literal `[[(0,0),…]]` or a subquery over a shape column
+        val nested = c.size == 2 && (c(1).dataType match {
+          case ArrayType(ArrayType(_, _), _) => true
+          case _ => false
+        })
+        // the reference validates CONST polygons (pointInPolygon.cpp:
+        // 564: boost is_valid after bg::correct, error 36 on failure) —
+        // check foldable rings at build time with the conservative
+        // proper-crossing test
+        def validateRing(ring: Expression): Unit = {
+          val data = Cast(ring, xy).eval(null)
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          if (data != null && !graft.functions.GeoFunctions.ringIsValid(data))
+            throw new IllegalArgumentException(
+              "Polygon is not valid: ring self-intersection")
+        }
+        if (nested) {
+          if (c(1).foldable) {
+            val outer = Cast(c(1), ArrayType(xy)).eval(null)
+              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            if (outer != null) (0 until outer.numElements()).foreach { k =>
+              if (!graft.functions.GeoFunctions.ringIsValid(outer.getArray(k)))
+                throw new IllegalArgumentException(
+                  "Polygon is not valid: ring self-intersection")
+            }
+          }
+        } else c.tail.foreach(r => if (r.foldable) validateRing(r))
+        if (nested)
+          StaticInvoke(graft.functions.GeoFunctions.getClass, BooleanType,
+            "pointInPolygonRows",
+            Seq(px, py, Cast(c(1), ArrayType(xy))),
+            Seq(DoubleType, DoubleType, ArrayType(xy)),
+            returnNullable = false)
+        else c.tail.zipWithIndex.map { case (ring, k) =>
+          // hole boundaries count as in-hole (outside the polygon) —
+          // see GeoFunctions.pointInPolygonRows provenance note
           if (k == 0) inRing(ring, boundary = true)
-          else Not(inRing(ring, boundary = false)): Expression
+          else Not(inRing(ring, boundary = true)): Expression
         }.reduce(And(_, _))
       }),
       // untuple(t) expands a tuple into its elements as separate output
