@@ -148,6 +148,7 @@ object ChFormat {
     case '\t' => "\\t"
     case '\n' => "\\n"
     case '\r' => "\\r"
+    case '\u0000' => "\\0" // FixedString padding bytes print as \0
     case c => c.toString
   }
 }

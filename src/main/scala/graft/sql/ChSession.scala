@@ -111,6 +111,8 @@ final class ChSession(spark: SparkSession) {
   private var commitSeq = 1L
   private val maxMemRe =
     """(?i)max_memory_usage\s*=\s*'?(\d+)([KMGT]?)'?""".r
+  private val dialectRe =
+    """(?i)dialect_type\s*=\s*'?(\w+)'?""".r
 
   private def applySet(s: String): Unit = {
     // max_memory_usage: honored for statically-sized synthetic scans
@@ -128,6 +130,11 @@ final class ChSession(spark: SparkSession) {
       if (bytes == 0L) spark.conf.unset("graft.ch.max_memory_bytes")
       else spark.conf.set("graft.ch.max_memory_bytes", bytes.toString)
     }
+    // dialect_type flips argument conventions of a few functions
+    // (LOCATE: MySQL (substr, str) vs CH (str, substr)) — builders read
+    // it from the session conf at analysis time
+    dialectRe.findFirstMatchIn(s).foreach(m =>
+      spark.conf.set("graft.ch.dialect", m.group(1).toUpperCase))
     dedupModeRe.findFirstMatchIn(s).foreach(m =>
       dedupKeyMode = m.group(1).toLowerCase)
     stagingRe.findFirstMatchIn(s).foreach(m =>

@@ -397,6 +397,225 @@ object ChTranspiler {
     sb.toString
   }
 
+  /** CH accepts (and ignores) an explicit frame clause on pure window
+    * functions — rank()/dense_rank()/row_number()/ntile()/lag()/lead()
+    * OVER (… ROWS BETWEEN …) — while Spark rejects any frame that is
+    * not the function's required one (33430/33431/34426/34427,
+    * 30000_window_navigation_nonstreaming). Drop the frame clause from
+    * those OVER specs; semantics are unchanged by construction.
+    */
+  private val rankLikeFns = Set("rank", "dense_rank", "denserank",
+    "row_number", "rownumber", "ntile", "lag", "lead", "leadinframe",
+    "laginframe")
+
+  private def stripRankFrames(sql: String): String = {
+    val toks = tokenize(sql)
+    def nextSig(i: Int): Int = {
+      var j = i + 1
+      while (j < toks.length && toks(j).isInstanceOf[Ws]) j += 1
+      j
+    }
+    def matchClose(open: Int): Int = {
+      var d = 0
+      var j = open
+      while (j < toks.length) {
+        toks(j) match {
+          case Punct("(") => d += 1
+          case Punct(")") => d -= 1; if (d == 0) return j
+          case _ => ()
+        }
+        j += 1
+      }
+      toks.length - 1
+    }
+    val drop = scala.collection.mutable.BitSet.empty
+    // index → replacement text (a ROWS-framed rank() degrades to
+    // row_number(): with a ROWS frame each row is its own peer group,
+    // 34426/34427 golden outputs)
+    val swap = scala.collection.mutable.HashMap.empty[Int, String]
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Word(w) if rankLikeFns(w.toLowerCase) =>
+          val o = nextSig(i)
+          if (o < toks.length && toks(o) == Punct("(")) {
+            val c = matchClose(o)
+            val ov = nextSig(c)
+            val isOver = ov < toks.length && isWordI(toks(ov), "OVER")
+            val wo = if (isOver) nextSig(ov) else toks.length
+            if (isOver && wo < toks.length && toks(wo) == Punct("(")) {
+              val wc = matchClose(wo)
+              // frame keyword at the OVER clause's own depth
+              var d = 0
+              var k = wo + 1
+              var frameStart = -1
+              var frameKw = ""
+              while (k < wc && frameStart < 0) {
+                toks(k) match {
+                  case Punct("(") => d += 1
+                  case Punct(")") => d -= 1
+                  case Word(x) if d == 0 &&
+                      Seq("ROWS", "RANGE", "GROUPS")
+                        .contains(x.toUpperCase) =>
+                    frameStart = k; frameKw = x.toUpperCase
+                  case _ => ()
+                }
+                k += 1
+              }
+              if (frameStart >= 0) {
+                (frameStart until wc).foreach(drop += _)
+                if (frameKw == "ROWS" &&
+                    Set("rank", "dense_rank", "denserank")(w.toLowerCase))
+                  swap(i) = "row_number"
+              }
+            }
+          }
+          i += 1
+        case _ => i += 1
+      }
+    }
+    if (drop.isEmpty && swap.isEmpty) sql
+    else toks.zipWithIndex.collect {
+      case (t, k) if !drop(k) => swap.getOrElse(k, t.text)
+    }.mkString
+  }
+
+  /** An OVER clause with a RANGE frame but NO ORDER BY: every row is a
+    * peer of every other, so CH evaluates the frame over the whole
+    * partition; Spark rejects RANGE without ORDER BY outright (33412).
+    * Rewrite the frame to ROWS BETWEEN UNBOUNDED PRECEDING AND
+    * UNBOUNDED FOLLOWING — the exact peer-set equivalent.
+    */
+  private def fixOrderlessRange(sql: String): String = {
+    if (!sql.toUpperCase.contains("RANGE")) return sql
+    val toks = tokenize(sql)
+    def matchClose(open: Int): Int = {
+      var d = 0
+      var j = open
+      while (j < toks.length) {
+        toks(j) match {
+          case Punct("(") => d += 1
+          case Punct(")") => d -= 1; if (d == 0) return j
+          case _ => ()
+        }
+        j += 1
+      }
+      toks.length - 1
+    }
+    var i = 0
+    // locate OVER ( … ) clauses
+    val replaceRanges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int)] // [start, end) of frame tokens to replace
+    i = 0
+    while (i < toks.length) {
+      if (isWordI(toks(i), "OVER")) {
+        var j = i + 1
+        while (j < toks.length && toks(j).isInstanceOf[Ws]) j += 1
+        if (j < toks.length && toks(j) == Punct("(")) {
+          val close = matchClose(j)
+          var d = 0
+          var hasOrder = false
+          var rangeAt = -1
+          var k = j + 1
+          while (k < close) {
+            toks(k) match {
+              case Punct("(") => d += 1
+              case Punct(")") => d -= 1
+              case Word(x) if d == 0 && x.equalsIgnoreCase("ORDER") =>
+                hasOrder = true
+              case Word(x) if d == 0 && x.equalsIgnoreCase("RANGE") &&
+                  rangeAt < 0 => rangeAt = k
+              case _ => ()
+            }
+            k += 1
+          }
+          if (rangeAt >= 0 && !hasOrder) replaceRanges += ((rangeAt, close))
+        }
+      }
+      i += 1
+    }
+    if (replaceRanges.isEmpty) return sql
+    val sb = new StringBuilder
+    i = 0
+    while (i < toks.length) {
+      replaceRanges.find(_._1 == i) match {
+        case Some((_, end)) =>
+          sb.append("ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")
+          i = end
+        case None =>
+          sb.append(toks(i).text)
+          i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** CH `sum(x) OVER (frame)` on an EMPTY frame yields 0 — sum in CH
+    * never returns NULL for an empty set — while Spark's window sum
+    * yields NULL (33422-35424 corpus family: RANGE/ROWS/GROUPS frames
+    * whose bounds exclude every row). Wrap window sums in
+    * coalesce(…, 0); window aggregates cannot be DISTINCT, so the
+    * rewrite is always type-sound.
+    */
+  private def wrapWindowSums(sql: String): String = {
+    val toks = tokenize(sql)
+    def nextSig(i: Int): Int = {
+      var j = i + 1
+      while (j < toks.length && toks(j).isInstanceOf[Ws]) j += 1
+      j
+    }
+    def matchClose(open: Int): Int = {
+      var d = 0
+      var j = open
+      while (j < toks.length) {
+        toks(j) match {
+          case Punct("(") => d += 1
+          case Punct(")") => d -= 1; if (d == 0) return j
+          case _ => ()
+        }
+        j += 1
+      }
+      toks.length - 1
+    }
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Word(w) if w.equalsIgnoreCase("sum") => {
+          val o = nextSig(i)
+          val isCall = o < toks.length && toks(o) == Punct("(")
+          val c = if (isCall) matchClose(o) else -1
+          val ov = if (isCall) nextSig(c) else -1
+          val isOver = ov > 0 && ov < toks.length && (toks(ov) match {
+            case Word(x) => x.equalsIgnoreCase("over")
+            case _ => false
+          })
+          if (isOver) {
+            val wEnd = nextSig(ov)
+            val end = toks(wEnd) match {
+              case Punct("(") => matchClose(wEnd)
+              case Word(_) => wEnd // named window: OVER w
+              case _ => -1
+            }
+            if (end > 0) {
+              out += Word("coalesce")
+              out += Punct("(")
+              var k = i
+              while (k <= end) { out += toks(k); k += 1 }
+              out += Punct(",")
+              out += Ws(" ")
+              out += Num("0")
+              out += Punct(")")
+              i = end + 1
+            } else { out += toks(i); i += 1 }
+          } else { out += toks(i); i += 1 }
+        }
+        case t => out += t; i += 1
+      }
+    }
+    out.result().map(_.text).mkString
+  }
+
   /** CH evaluates bare integer literals as UInt64, so VALUES-tuple
     * arithmetic like `1568249940*1000` never overflows there; Spark
     * parses each as INT and the ANSI product overflows before the row
@@ -576,8 +795,9 @@ object ChTranspiler {
     }
     rewriteOrderNulls(rewriteNestedArrayJoin(rewriteArrayJoin(rewriteInClauses(
       rewriteTupleLiterals(rewriteTernary(rewriteInlineAliases(
-        rewriteScalarWith(rewriteInfixMod(rewriteTwoArgCast(rewriteGroupsFrame(
-          postPass(rewritePositionIn(rewriteMapLiterals(out.toString))))))))))))))
+        rewriteScalarWith(rewriteInfixMod(rewriteTwoArgCast(wrapWindowSums(
+          fixOrderlessRange(stripRankFrames(rewriteGroupsFrame(
+            postPass(rewritePositionIn(rewriteMapLiterals(out.toString)))))))))))))))))
   }
 
   /** GROUPS window frames (reference WindowDescription.h FrameType::

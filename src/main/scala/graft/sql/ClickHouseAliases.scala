@@ -42,6 +42,24 @@ object ClickHouseAliases {
     case other => other
   }
 
+  /** CH empty(): element count for arrays/maps; for strings, true when
+    * every byte is \0 (FixedString padding counts as empty) or the value
+    * is the zero UUID / zero IP — the "default value" forms CH's typed
+    * empty() sees, which we carry as strings.
+    */
+  private def chEmpty(e: Expression): Expression =
+    ChDispatch("empty", Seq(e)) { c =>
+      c.head.dataType match {
+        case _: ArrayType | _: MapType => EqualTo(Size(c.head), Literal(0))
+        case _ =>
+          val s = Cast(c.head, StringType)
+          val stripped = StringReplace(s, Literal("\u0000"), Literal(""))
+          Or(Or(EqualTo(Length(stripped), Literal(0)),
+            EqualTo(s, Literal("00000000-0000-0000-0000-000000000000"))),
+            Or(EqualTo(s, Literal("0.0.0.0")), EqualTo(s, Literal("::"))))
+      }
+    }
+
   private def deepFlatten(cs: Seq[Expression]): Expression =
     ChDispatch("arrayFlatten", cs.take(1)) { c =>
       def deep(e: Expression): Expression = e.dataType match {
@@ -573,7 +591,12 @@ object ClickHouseAliases {
     // type conversions: the numeric/date matrix (incl. OrZero/OrNull/
     // OrDefault variants) is generated by conversionFamily; only the
     // string form lives here
-    "toString" -> (cs => Cast(cs.head, StringType)),
+    // FixedString -> String conversion trims the trailing \0 padding
+    // (reference FunctionsConversion.h convertFromFixedString); plain
+    // strings are unaffected unless they end in NUL bytes, which only
+    // FixedString carriers do
+    "toString" -> (cs => RegExpReplace(Cast(cs.head, StringType),
+      Literal("\u0000+$"), Literal(""), Literal(1))),
 
     // conditionals
     "multiIf" -> (cs => {
@@ -593,8 +616,12 @@ object ClickHouseAliases {
     // the one unsupported corner).
     "splitByChar" -> (cs => StringSplit(cs(1),
       Concat(Seq(Literal("\\Q"), cs.head, Literal("\\E"))), Literal(-1))),
-    "empty" -> (cs => EqualTo(Length(cs.head), Literal(0))),
-    "notEmpty" -> (cs => GreaterThan(Length(cs.head), Literal(0))),
+    // empty: arrays/maps by element count; FixedString counts its \0
+    // padding as empty (all-zero bytes → 1, reference
+    // FunctionsStringOrArrayToT empty); the zero UUID / zero IPs are
+    // CH's "default value is empty" cases over our string carriers
+    "empty" -> (cs => chEmpty(cs.head)),
+    "notEmpty" -> (cs => Not(chEmpty(cs.head))),
     "match" -> (cs => RLike(cs.head, cs(1))),
     "countSubstrings" -> (cs =>
       // (length(s) - length(replace(s, sub, ''))) / length(sub);
@@ -826,11 +853,25 @@ object ClickHouseAliases {
     // arrayEnumerateUniq: 1-based occurrence number of each element among
     // its equals so far (reference arrayEnumerateUniq.cpp) — a per-row
     // prefix count; O(len²) per array, fine for row-local arrays.
-    "arrayEnumerateUniq" -> (cs => ArrayTransform(cs.head,
-      LambdaFunction(
-        Size(ArrayFilter(Slice(cs.head, Literal(1), Add(lv("i"), Literal(1))),
-          LambdaFunction(EqualNullSafe(lv("y"), lv("x")), Seq(lv("y"))))),
-        Seq(lv("x"), lv("i"))))),
+    // N array arguments form a composite per-position key (reference
+    // arrayEnumerateUniq.cpp: the occurrence counter hashes the tuple
+    // of all arrays' elements at each index)
+    "arrayEnumerateUniq" -> (cs => {
+      val keyed = if (cs.size == 1) cs.head
+        else cs.tail.foldLeft(
+          ArrayTransform(cs.head, LambdaFunction(
+            CreateArray(Seq(Cast(lv("e"), StringType))), Seq(lv("e"))))
+            : Expression) { (acc, nxt) =>
+          ZipWith(acc, nxt, LambdaFunction(
+            ArrayAppend(lv("ks"), Cast(lv("nx"), StringType)),
+            Seq(lv("ks"), lv("nx"))))
+        }
+      ArrayTransform(keyed,
+        LambdaFunction(
+          Size(ArrayFilter(Slice(keyed, Literal(1), Add(lv("i"), Literal(1))),
+            LambdaFunction(EqualNullSafe(lv("y"), lv("x")), Seq(lv("y"))))),
+          Seq(lv("x"), lv("i"))))
+    }),
     "arrayPushBack" -> (cs => ArrayAppend(cs.head, cs(1))),
     "arrayPopBack" -> (cs => Slice(cs.head, Literal(1), Subtract(Size(cs.head), Literal(1)))),
     // CH arrayElement / `arr[i]`: 1-based, negative counts from the
@@ -1548,8 +1589,27 @@ object ClickHouseAliases {
 
     // arithmetic/bit spellings not yet registered by earlier waves
     "negate" -> (cs => UnaryMinus(cs.head)),
-    "intDivOrZero" -> (cs => If(EqualTo(cs(1), Literal(0)),
-      Literal(0L), IntegralDivide(cs.head, cs(1)))),
+    // intDivOrZero: 0 on a zero divisor AND on quotient overflow of the
+    // dividend's CH-inferred type — a literal -128 is Int8, so
+    // intDivOrZero(-128, -1) = 0 (reference intDiv.cpp OrZero variant)
+    "intDivOrZero" -> (cs => {
+      val overflow: Option[Boolean] = (cs.head, cs(1)) match {
+        case (Literal(a: Number, _), Literal(b: Number, _))
+            if b.longValue() != 0 =>
+          val av = a.longValue()
+          val q = av / b.longValue()
+          def bound(v: Long): Long =
+            if (v >= Byte.MinValue && v <= Byte.MaxValue) Byte.MaxValue
+            else if (v >= Short.MinValue && v <= Short.MaxValue) Short.MaxValue
+            else if (v >= Int.MinValue && v <= Int.MaxValue) Int.MaxValue
+            else Long.MaxValue
+          Some(q > bound(av) || q < -bound(av) - 1)
+        case _ => None
+      }
+      if (overflow.contains(true)) Literal(0L)
+      else If(EqualTo(cs(1), Literal(0)),
+        Literal(0L), IntegralDivide(cs.head, cs(1)))
+    }),
     // moduloOrZero keeps the operands' own numeric types (CH fmod for
     // fractional inputs: moduloOrZero(7.5, 2) = 1.5) — the If branches
     // coerce to the Remainder result type; only a zero divisor (of any
@@ -2047,8 +2107,16 @@ object ClickHouseAliases {
           Seq(StringType, StringType, StringType), returnNullable = false)),
       // splitByString (FunctionsStringArray.h): literal separator, like
       // splitByChar's \Q...\E quoting (argument order: separator first)
-      "splitByString" -> (cs => StringSplit(cs(1),
-        Concat(Seq(Literal("\\Q"), cs.head, Literal("\\E"))), Literal(-1))),
+      // an EMPTY separator splits into single characters with no
+      // trailing '' (and '' input → [], FunctionsStringArray.h
+      // SplitByStringImpl::get with an empty sep)
+      "splitByString" -> (cs => If(
+        EqualTo(cs.head, Literal("")),
+        If(EqualTo(cs(1), Literal("")),
+          Literal.create(Array.empty[String], ArrayType(StringType)),
+          StringSplit(cs(1), Literal(""), Literal(0))),
+        StringSplit(cs(1),
+          Concat(Seq(Literal("\\Q"), cs.head, Literal("\\E"))), Literal(-1)))),
       "mapAdd" -> mapMerge((a, b) => Add(a, b, evalMode = EvalMode.LEGACY)),
       "mapSubtract" -> mapMerge((a, b) => Subtract(a, b, evalMode = EvalMode.LEGACY)),
       "firstSignificantSubdomain" -> (cs => firstSignificantSubdomain(cs.head)),
@@ -2081,9 +2149,12 @@ object ClickHouseAliases {
         case other => throw new IllegalArgumentException(
           s"toFixedString: length must be an integer literal, got $other")
       }
-      If(GreaterThan(Length(cs.head), Literal(n)),
+      // FixedString(N) is N BYTES (reference DataTypeFixedString) —
+      // pad with \0 to the byte length, not the character count
+      If(GreaterThan(OctetLength(cs.head), Literal(n)),
         new RaiseError(Literal(s"String too long for type FixedString($n)")),
-        StringRPad(cs.head, Literal(n), Literal("\u0000")))
+        Concat(Seq(cs.head, StringRepeat(Literal("\u0000"),
+          Subtract(Literal(n), OctetLength(cs.head))))))
     }),
     "toNullable" -> (cs => cs.head), // every Spark column is nullable
     "today" -> (_ => CurrentDate(None)),
@@ -2114,7 +2185,69 @@ object ClickHouseAliases {
     "decrypt" -> (cs => Cast(aesCall(cs, decrypt = true), StringType)),
     // split/token spellings (FunctionsStringArray.h): regexp split and
     // alphabetic-run tokens; character n-grams via a substring ladder.
-    "splitByRegexp" -> (cs => StringSplit(cs(1), cs.head, Literal(-1))),
+    // concat_ws in CH is NULL if ANY argument is NULL (standard
+    // Nullable propagation); Spark's builtin skips NULL arguments
+    "concat_ws" -> (cs => {
+      val anyNull = cs.map(IsNull(_): Expression).reduce(Or(_, _))
+      If(anyNull, Literal(null, StringType),
+        ConcatWs(cs.map(Cast(_, StringType))))
+    }),
+    // str_to_map (reference map.cpp FunctionStrToMap): literal
+    // single-char delimiters + the exact skip-space parse loop —
+    // Spark's builtin is regex-based with NULL values. A const NULL
+    // input is a type error in CH (the corpus's serverError 43 case);
+    // empty delimiters are rejected as in getDelimiter.
+    "str_to_map" -> (cs => {
+      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      cs.head match {
+        case Literal(null, _) => throw new IllegalArgumentException(
+          "str_to_map: first argument must be String, got NULL")
+        case _ => ()
+      }
+      cs.drop(1).foreach {
+        case Literal(d, StringType) if d == null || d.toString.isEmpty =>
+          throw new IllegalArgumentException(
+            "Delimiter of function str_to_map should be non-empty string")
+        case _ => ()
+      }
+      StaticInvoke(graft.functions.StringMapOps.getClass,
+        MapType(StringType, StringType), "strToMap",
+        cs.map(Cast(_, StringType)),
+        Seq(StringType, StringType, StringType),
+        propagateNull = false, returnNullable = false)
+    }),
+    // locate: CH argument order is (haystack, needle[, pos]) like
+    // position; under SET dialect_type='MYSQL' it flips to MySQL's
+    // (substr, str[, pos]) — the session records the dialect in
+    // graft.ch.dialect and the builder reads it at analysis time
+    "locate" -> (cs => {
+      val mysql = try {
+        org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("graft.ch.dialect", "CLICKHOUSE") == "MYSQL"
+      } catch { case _: Throwable => false }
+      val (sub, str) = if (mysql) (cs.head, cs(1)) else (cs(1), cs.head)
+      // CH clamps a start position below 1 to 1 (LOCATE(…, 0) still
+      // searches from the start), unlike MySQL where pos 0 finds nothing
+      val pos = if (cs.size > 2)
+        Greatest(Seq(Cast(cs(2), IntegerType), Literal(1))) else Literal(1)
+      StringLocate(sub, str, pos)
+    }),
+    // split_part (MySQL-dialect corpus 13000): NULL for an index out
+    // of range or < 1 — Spark's builtin returns '' / counts negatives
+    // from the end, different semantics
+    "split_part" -> (cs => {
+      val arr = StringSplit(cs.head,
+        Concat(Seq(Literal("\\Q"), cs(1), Literal("\\E"))), Literal(-1))
+      val n = Cast(cs(2), IntegerType)
+      If(LessThan(n, Literal(1)), Literal(null, StringType),
+        ElementAt(arr, n, None, failOnError = false))
+    }),
+    // splitByRegexp('', '') = [] in CH (empty pattern over empty input
+    // yields no tokens, FunctionsStringArray.h)
+    "splitByRegexp" -> (cs => If(
+      And(EqualTo(cs.head, Literal("")), EqualTo(cs(1), Literal(""))),
+      Literal.create(Array.empty[String], ArrayType(StringType)),
+      StringSplit(cs(1), cs.head, Literal(-1)))),
     "alphaTokens" -> (cs => RegExpExtractAll(cs.head, Literal("[a-zA-Z]+"), Literal(0))),
     "ngrams" -> (cs => {
       val n = cs(1) match {
@@ -3689,7 +3822,7 @@ object ClickHouseAliases {
     // the reference escapes `\0\\|()^$.[]?*+{:-` — notably NOT `}`
     // (src/Functions/regexpQuoteMeta.cpp character list)
     "regexpQuoteMeta" -> (cs =>
-      RegExpReplace(cs.head, Literal("([\\\\.^$|?*+()\\[\\]{:\\-])"),
+      RegExpReplace(cs.head, Literal("([\\\\.^$|?*+()\\[\\]{:\\-\u0000])"),
         Literal("\\\\$1"), Literal(1))),
     "multiSearchAllPositionsCaseInsensitive" -> (cs =>
       msPositions(cs.head, cs(1), ci = true)),
