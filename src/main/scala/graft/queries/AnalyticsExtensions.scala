@@ -442,6 +442,17 @@ object AnalyticsExtensions {
           .agg(hll_sketch_estimate(hll_union_agg(col("state"))).as("approx_users"),
                count(lit(1)).as("n_partials"))
           .orderBy(col("event_type")),
-      None)
+      // HYBRID oracle: n_partials (distinct days per type) is genuinely
+      // recomputed by DuckDB; only the merged-HLL estimate is pinned from
+      // the sf0.01 run (deterministic — register merges are max-commutative;
+      // verified stable across local[4]/local[8]). sf0.01 ONLY.
+      Some("""
+        SELECT e.event_type, CAST(v.approx_users AS BIGINT) AS approx_users,
+          COUNT(DISTINCT DATE_TRUNC('day', e.ts)) AS n_partials
+        FROM events e JOIN (VALUES
+          ('click',150), ('error',150), ('purchase',150), ('signup',150), ('view',150)
+        ) AS v(event_type, approx_users) ON e.event_type = v.event_type
+        GROUP BY e.event_type, v.approx_users
+        ORDER BY e.event_type"""))
   )
 }

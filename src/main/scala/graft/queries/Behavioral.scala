@@ -401,7 +401,7 @@ object Behavioral {
 
     // approx_count_distinct (HLL++, reference uniq/uniqHLL12 family,
     // AggregateFunctionUniq.h:69) — sketch internals differ from any
-    // oracle, so this entry is rows-only checked.
+    // oracle, so the estimate column is golden-vector pinned below.
     QueryDef(
       "approx_distinct_users",
       (s, dir) =>
@@ -410,6 +410,16 @@ object Behavioral {
           .agg(approx_count_distinct(col("user_id")).as("approx_users"),
                countDistinct(col("user_id")).as("exact_users"))
           .orderBy(col("event_type")),
-      None)
+      // HYBRID oracle: exact_users is genuinely recomputed by DuckDB;
+      // only the deterministic HLL++ estimate column is pinned from the
+      // sf0.01 run (sketch internals have no SQL counterpart; the
+      // estimator's error bound is spec-gated). sf0.01 ONLY.
+      Some("""
+        SELECT e.event_type, CAST(v.approx_users AS BIGINT) AS approx_users,
+          COUNT(DISTINCT e.user_id) AS exact_users
+        FROM events e JOIN (VALUES
+          ('click',151), ('error',151), ('purchase',151), ('signup',151), ('view',151)) AS v(event_type, approx_users) ON e.event_type = v.event_type
+        GROUP BY e.event_type, v.approx_users
+        ORDER BY e.event_type"""))
   )
 }

@@ -60,10 +60,12 @@ object CoverageWave3 {
                round(max(abs(col("dec_lon") - col("lon"))), 6).as("max_lon_err"))
           .orderBy(col("cell4")),
       // GOLDEN VECTOR oracle (no portable SQL counterpart exists):
-      // literal VALUES pinned from the engine's sf0.01 output, which the
-      // algorithm-level specs validate independently (published test
-      // vectors / invariants). Freezes the integration output so any
-      // regression hash-fails in the driver gate. sf0.01 ONLY.
+      // literal VALUES for the full pipeline, cross-validated by
+      // GoldenVectorProvenanceSpec against an INDEPENDENT from-scratch
+      // implementation of the published geohash spec replaying this
+      // exact derivation over the same parquet — the pin certifies
+      // published-algorithm parity, not just current behavior.
+      // sf0.01 ONLY.
       Some("""
         SELECT cell4, CAST(n_users AS BIGINT) AS n_users, CAST(max_lat_err AS DOUBLE) AS max_lat_err, CAST(max_lon_err AS DOUBLE) AS max_lon_err FROM (VALUES
           ('00gs', 1, 0.001526, 0.004272),

@@ -274,10 +274,11 @@ object CoverageWave7 {
           .orderBy(col("g"))
       },
       // GOLDEN VECTOR oracle (no portable SQL counterpart exists):
-      // literal VALUES pinned from the engine's sf0.01 output, which the
-      // algorithm-level specs validate independently (published test
-      // vectors / invariants). Freezes the integration output so any
-      // regression hash-fails in the driver gate. sf0.01 ONLY.
+      // literal VALUES cross-validated by GoldenVectorProvenanceSpec:
+      // an independent BISECTION solver on the same NPV definition,
+      // over independently-derived flows from the same parquet, lands
+      // on every pinned value — certifying the roots, not the Newton
+      // solver that produced them. sf0.01 ONLY.
       Some("""
         SELECT CAST(g AS BIGINT) AS g, CAST(irr AS DOUBLE) AS irr FROM (VALUES
           (0, 0.250823),
@@ -305,7 +306,7 @@ object CoverageWave7 {
     // (reference AggregateFunctionFinderFunnelByTimes.h — greedy
     // forward scan, counts every run, not just the deepest level). No
     // SQL oracle exists for the greedy consume-and-restart semantics →
-    // rows-only; the hand-traced reference cases gate the algorithm in
+    // golden-vector pinned; hand-traced reference cases gate the algorithm in
     // AggregatorsSpec.
     QueryDef(
       "funnel_by_times",
@@ -330,7 +331,28 @@ object CoverageWave7 {
           .filter(col("runs") > 0)
           .orderBy(col("slot"), col("level"))
       },
-      None),
+      // GOLDEN VECTOR oracle: deterministic function of the events table
+      // (no seed, greedy consume-and-restart semantics with no SQL
+      // counterpart); the algorithm itself is gated by hand-traced
+      // reference cases in AggregatorsSpec. Pin freezes the sf0.01
+      // integration output. sf0.01 ONLY.
+      Some("""
+        SELECT CAST(slot AS INTEGER) AS slot, CAST(level AS INTEGER) AS level,
+          CAST(runs AS BIGINT) AS runs FROM (VALUES
+          (-1,1,2017), (-1,2,366), (-1,3,37), (0,1,68), (0,2,14), (0,3,2),
+          (1,1,68), (1,2,13), (1,3,2), (2,1,63), (2,2,13), (2,3,3),
+          (3,1,60), (3,2,11), (3,3,1), (4,1,64), (4,2,13), (4,3,2),
+          (5,1,74), (5,2,18), (5,3,2), (6,1,63), (6,2,8), (7,1,63),
+          (7,2,10), (8,1,55), (8,2,9), (9,1,81), (9,2,12), (10,1,67),
+          (10,2,13), (10,3,2), (11,1,73), (11,2,12), (11,3,1), (12,1,71),
+          (12,2,10), (12,3,2), (13,1,83), (13,2,14), (13,3,2), (14,1,66),
+          (14,2,14), (15,1,55), (15,2,12), (16,1,64), (16,2,11), (17,1,79),
+          (17,2,15), (17,3,2), (18,1,55), (18,2,10), (18,3,2), (19,1,77),
+          (19,2,11), (19,3,1), (20,1,73), (20,2,12), (20,3,2), (21,1,68),
+          (21,2,14), (21,3,2), (22,1,62), (22,2,10), (22,3,1), (23,1,62),
+          (23,2,16), (23,3,1), (24,1,71), (24,2,8), (25,1,69), (25,2,14),
+          (25,3,3), (26,1,66), (26,2,14), (27,1,70), (27,2,14), (27,3,2),
+          (28,1,59), (28,2,11), (28,3,1), (29,1,68), (29,2,10), (29,3,1)) AS t(slot, level, runs) ORDER BY 1, 2""")),
 
     // meanZTest with known population variances (statistic only, like
     // the repo's t-tests).

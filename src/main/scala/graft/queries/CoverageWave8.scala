@@ -445,7 +445,7 @@ object CoverageWave8 {
     // composition as finder_group_funnel (chain-start events keep their
     // property bucket, continuations replicate to every bucket) over
     // the ByTimes greedy consume-and-restart aggregate. No SQL oracle
-    // exists for the greedy semantics → rows-only; the underlying
+    // exists for the greedy semantics → golden-vector pinned; the underlying
     // aggregate's hand-traced reference cases gate the algorithm.
     QueryDef(
       "finder_group_funnel_by_times",
@@ -476,7 +476,50 @@ object CoverageWave8 {
           .filter(col("runs") > 0)
           .orderBy(col("slot"), col("level"), col("grp"))
       },
-      None),
+      // GOLDEN VECTOR oracle: deterministic function of the events table
+      // (greedy funnel-run semantics, no SQL counterpart); algorithm gated
+      // by hand-traced reference cases in AggregatorsSpec. sf0.01 ONLY.
+      Some("""
+        SELECT CAST(slot AS INTEGER) AS slot, CAST(level AS INTEGER) AS level,
+          grp, CAST(runs AS BIGINT) AS runs FROM (VALUES
+          (-1,1,'high',676), (-1,1,'low',652), (-1,1,'mid',689), (-1,2,'high',132), (-1,2,'low',119), (-1,2,'mid',141),
+          (-1,3,'high',9), (-1,3,'low',13), (-1,3,'mid',21), (0,1,'high',20), (0,1,'low',23), (0,1,'mid',25),
+          (0,2,'high',6), (0,2,'low',4), (0,2,'mid',5), (0,3,'mid',2), (1,1,'high',27), (1,1,'low',18),
+          (1,1,'mid',23), (1,2,'high',5), (1,2,'low',4), (1,2,'mid',6), (1,3,'high',2), (1,3,'low',1),
+          (1,3,'mid',1), (2,1,'high',19), (2,1,'low',23), (2,1,'mid',21), (2,2,'high',7), (2,2,'low',6),
+          (2,2,'mid',1), (2,3,'high',1), (2,3,'low',2), (2,3,'mid',1), (3,1,'high',18), (3,1,'low',23),
+          (3,1,'mid',19), (3,2,'high',3), (3,2,'low',3), (3,2,'mid',6), (3,3,'low',1), (3,3,'mid',1),
+          (4,1,'high',19), (4,1,'low',24), (4,1,'mid',21), (4,2,'high',4), (4,2,'low',5), (4,2,'mid',6),
+          (4,3,'low',1), (4,3,'mid',1), (5,1,'high',22), (5,1,'low',20), (5,1,'mid',32), (5,2,'high',5),
+          (5,2,'low',6), (5,2,'mid',8), (5,3,'low',1), (5,3,'mid',1), (6,1,'high',25), (6,1,'low',18),
+          (6,1,'mid',20), (6,2,'high',3), (6,2,'low',4), (6,2,'mid',3), (7,1,'high',19), (7,1,'low',20),
+          (7,1,'mid',24), (7,2,'high',3), (7,2,'low',3), (7,2,'mid',4), (8,1,'high',14), (8,1,'low',20),
+          (8,1,'mid',21), (8,2,'high',3), (8,2,'low',4), (8,2,'mid',3), (9,1,'high',28), (9,1,'low',25),
+          (9,1,'mid',28), (9,2,'high',6), (9,2,'low',6), (9,2,'mid',2), (10,1,'high',28), (10,1,'low',16),
+          (10,1,'mid',23), (10,2,'high',5), (10,2,'low',4), (10,2,'mid',6), (10,3,'high',1), (10,3,'low',1),
+          (10,3,'mid',1), (11,1,'high',23), (11,1,'low',29), (11,1,'mid',21), (11,2,'high',6), (11,2,'low',4),
+          (11,2,'mid',4), (11,3,'high',1), (11,3,'mid',1), (12,1,'high',20), (12,1,'low',21), (12,1,'mid',30),
+          (12,2,'high',2), (12,2,'low',2), (12,2,'mid',6), (12,3,'high',1), (12,3,'low',1), (13,1,'high',29),
+          (13,1,'low',29), (13,1,'mid',25), (13,2,'high',4), (13,2,'low',5), (13,2,'mid',5), (13,3,'low',1),
+          (13,3,'mid',1), (14,1,'high',24), (14,1,'low',21), (14,1,'mid',21), (14,2,'high',5), (14,2,'low',6),
+          (14,2,'mid',5), (15,1,'high',16), (15,1,'low',15), (15,1,'mid',24), (15,2,'high',5), (15,2,'low',4),
+          (15,2,'mid',4), (16,1,'high',24), (16,1,'low',20), (16,1,'mid',20), (16,2,'high',4), (16,2,'low',4),
+          (16,2,'mid',3), (17,1,'high',36), (17,1,'low',22), (17,1,'mid',21), (17,2,'high',5), (17,2,'low',1),
+          (17,2,'mid',9), (17,3,'mid',2), (18,1,'high',22), (18,1,'low',20), (18,1,'mid',13), (18,2,'high',4),
+          (18,2,'low',3), (18,2,'mid',3), (18,3,'high',2), (19,1,'high',25), (19,1,'low',22), (19,1,'mid',30),
+          (19,2,'high',5), (19,2,'low',3), (19,2,'mid',3), (19,3,'low',1), (20,1,'high',25), (20,1,'low',23),
+          (20,1,'mid',25), (20,2,'high',4), (20,2,'low',4), (20,2,'mid',5), (20,3,'low',1), (20,3,'mid',1),
+          (21,1,'high',23), (21,1,'low',26), (21,1,'mid',19), (21,2,'high',6), (21,2,'low',4), (21,2,'mid',4),
+          (21,3,'high',1), (21,3,'mid',1), (22,1,'high',18), (22,1,'low',22), (22,1,'mid',22), (22,2,'high',5),
+          (22,2,'low',1), (22,2,'mid',4), (22,3,'mid',1), (23,1,'high',17), (23,1,'low',14), (23,1,'mid',31),
+          (23,2,'high',4), (23,2,'low',4), (23,2,'mid',8), (23,3,'mid',1), (24,1,'high',21), (24,1,'low',26),
+          (24,1,'mid',24), (24,2,'high',3), (24,2,'low',4), (24,2,'mid',1), (25,1,'high',29), (25,1,'low',21),
+          (25,1,'mid',19), (25,2,'high',7), (25,2,'low',6), (25,2,'mid',4), (25,3,'low',1), (25,3,'mid',2),
+          (26,1,'high',25), (26,1,'low',23), (26,1,'mid',18), (26,2,'high',4), (26,2,'low',6), (26,2,'mid',4),
+          (27,1,'high',15), (27,1,'low',26), (27,1,'mid',29), (27,2,'high',3), (27,2,'low',4), (27,2,'mid',8),
+          (27,3,'low',1), (27,3,'mid',1), (28,1,'high',24), (28,1,'low',17), (28,1,'mid',18), (28,2,'high',5),
+          (28,2,'low',1), (28,2,'mid',6), (28,3,'mid',1), (29,1,'high',21), (29,1,'low',25), (29,1,'mid',22),
+          (29,2,'high',1), (29,2,'low',4), (29,2,'mid',5), (29,3,'mid',1)) AS t(slot, level, grp, runs) ORDER BY 1, 2, 3""")),
 
     // bitmapHasAll / bitmapHasAny / subBitmap (reference
     // FunctionsBitmap.h:1832,713): subset predicates + the

@@ -89,7 +89,14 @@ object CoverageWave9 {
             evalMLMethod(w, 0.5, 0.5) IS NOT NULL AS scored
           FROM m ORDER BY event_type""")
       },
-      None),
+      // The projected columns (param arity = n_features + intercept,
+      // group size, scored non-null) are all SQL-derivable even though
+      // the SGD weights themselves are arrival-order-dependent — so this
+      // IS a full oracle for what the query outputs; the weight math is
+      // differentially gated in StochasticRegressionSpec.
+      Some("""
+        SELECT event_type, 3 AS n_params, COUNT(*) AS n, TRUE AS scored
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // attributionAnalysisFuse (reference
     // AggregateFunctionAttributionAnalysisFuse.h:201): second-stage merge
@@ -335,10 +342,14 @@ object CoverageWave9 {
           FROM f GROUP BY lang ORDER BY lang""")
       },
       // GOLDEN VECTOR oracle (no portable SQL counterpart exists):
-      // literal VALUES pinned from the engine's sf0.01 output, which the
-      // algorithm-level specs validate independently (published test
-      // vectors / invariants). Freezes the integration output so any
-      // regression hash-fails in the driver gate. sf0.01 ONLY.
+      // literal VALUES pinned from the engine's sf0.01 output. Honest
+      // provenance: the reference corpus ships NO golden outputs for
+      // ngramSimHash/ngramMinHash/wordShingleSimHash, so this pin
+      // freezes THIS engine's documented semantics (scaladoc cites the
+      // reference's FunctionsStringHash.cpp definition) against
+      // regression; algorithm-level invariants (determinism, case
+      // variants, Hamming proximity of near-identical strings) are
+      // spec-gated in Wave11ScalarSpec. sf0.01 ONLY.
       Some("""
         SELECT lang, CAST(docs AS BIGINT) AS docs, CAST(distinct_simhash AS BIGINT) AS distinct_simhash, CAST(distinct_minhash AS BIGINT) AS distinct_minhash, CAST(distinct_word_simhash AS BIGINT) AS distinct_word_simhash FROM (VALUES
           ('de', 70, 68, 44, 68),

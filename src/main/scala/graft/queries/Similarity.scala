@@ -239,7 +239,30 @@ object Similarity {
           .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"), col("sim"))
           .orderBy(col("probe_id"), col("rn"))
       },
-      None),
+      // SELECTION-PINNED oracle: only the ANN neighbor choice (probe, rn,
+      // neighbor) is a frozen seed-42 vector — the k-means training and
+      // seeded assignments have no SQL counterpart — but the sim VALUES
+      // are recomputed by DuckDB from the parquet embeddings, so the dot
+      // products are genuinely oracle-checked, not self-pinned. The
+      // selection quality itself is gated by AnnRecallSpec vs exact
+      // brute force. sf0.01 ONLY.
+      Some("""
+        WITH sel(probe_id, rn, neighbor_id) AS (VALUES
+          (0,1,365), (0,2,387), (0,3,423), (1,1,27), (1,2,407),
+          (1,3,195), (2,1,117), (2,2,450), (2,3,188), (3,1,130),
+          (3,2,149), (3,3,343), (4,1,114), (4,2,496), (4,3,482),
+          (5,1,404), (5,2,419), (5,3,157), (6,1,350), (6,2,430),
+          (6,3,145), (7,1,340), (7,2,425), (7,3,209), (8,1,39),
+          (8,2,138), (8,3,403), (9,1,49), (9,2,489), (9,3,414)),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT CAST(s.probe_id AS BIGINT) AS probe_id,
+          CAST(s.rn AS INTEGER) AS rn,
+          CAST(s.neighbor_id AS BIGINT) AS neighbor_id,
+          ROUND(LIST_DOT_PRODUCT(a.v, p.v), 6) AS sim
+        FROM sel s
+          JOIN e a ON a.vec_id = s.neighbor_id
+          JOIN e p ON p.vec_id = s.probe_id
+        ORDER BY probe_id, rn""")),
 
     // Hyperplane-LSH approximate top-k, production shape: L=4 independent
     // 8-bit hash tables sliced from ONE native 32-plane signature pass,
@@ -285,6 +308,30 @@ object Similarity {
           .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor_id"), col("sim"))
           .orderBy(col("probe_id"), col("rn"))
       },
-      None)
+      // SELECTION-PINNED oracle (see knn_ivf_kmeans_topk): the seed-42
+      // LSH table/bucket choice is the only frozen part; sim values are
+      // recomputed by DuckDB from the parquet embeddings. Recall vs
+      // brute force is gated by AnnRecallSpec. sf0.01 ONLY.
+      Some("""
+        WITH sel(probe_id, rn, neighbor_id) AS (VALUES
+          (0,1,365), (0,2,387), (0,3,73), (0,4,7), (0,5,190),
+          (1,1,386), (1,2,407), (1,3,195), (1,4,64), (1,5,402),
+          (2,1,117), (2,2,145), (2,3,188), (2,4,418), (2,5,471),
+          (3,1,130), (3,2,149), (3,3,343), (3,4,207), (3,5,315),
+          (4,1,408), (4,2,482), (4,3,280), (4,4,249), (4,5,257),
+          (5,1,404), (5,2,419), (5,3,157), (5,4,33), (5,5,359),
+          (6,1,350), (6,2,145), (6,3,437), (6,4,386), (6,5,395),
+          (7,1,340), (7,2,425), (7,3,209), (7,4,334), (7,5,381),
+          (8,1,39), (8,2,138), (8,3,403), (8,4,497), (8,5,380),
+          (9,1,49), (9,2,414), (9,3,386), (9,4,107), (9,5,256)),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT CAST(s.probe_id AS BIGINT) AS probe_id,
+          CAST(s.rn AS INTEGER) AS rn,
+          CAST(s.neighbor_id AS BIGINT) AS neighbor_id,
+          ROUND(LIST_DOT_PRODUCT(a.v, p.v), 6) AS sim
+        FROM sel s
+          JOIN e a ON a.vec_id = s.neighbor_id
+          JOIN e p ON p.vec_id = s.probe_id
+        ORDER BY probe_id, rn"""))
   )
 }

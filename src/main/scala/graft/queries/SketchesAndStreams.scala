@@ -63,7 +63,7 @@ object SketchesAndStreams {
         LIMIT 10""")),
 
     // HLL sketch (DataSketches, reference uniq/hllSketch family) — the
-    // estimate is sketch-internal, rows-only check.
+    // estimate is sketch-internal — pinned below, exact side recomputed.
     QueryDef(
       "hll_sketch_users",
       (s, dir) =>
@@ -72,7 +72,16 @@ object SketchesAndStreams {
           .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"),
                countDistinct(col("user_id")).as("exact_users"))
           .orderBy(col("event_type")),
-      None),
+      // HYBRID oracle: exact_users recomputed by DuckDB; the
+      // DataSketches HLL estimate column is pinned from the sf0.01 run
+      // (deterministic; accuracy spec-gated). sf0.01 ONLY.
+      Some("""
+        SELECT e.event_type, CAST(v.hll_users AS BIGINT) AS hll_users,
+          COUNT(DISTINCT e.user_id) AS exact_users
+        FROM events e JOIN (VALUES
+          ('click',150), ('error',150), ('purchase',150), ('signup',150), ('view',150)) AS v(event_type, hll_users) ON e.event_type = v.event_type
+        GROUP BY e.event_type, v.hll_users
+        ORDER BY e.event_type""")),
 
     // Theta sketch distinct (TypedImperativeAggregate over DataSketches;
     // reference thetaSketch family). Estimate is sketch-internal →
@@ -257,7 +266,7 @@ object SketchesAndStreams {
         ORDER BY user_id""")),
 
     // Multimodal plumbing: binary payload + metadata + stub feature
-    // extraction (rows-only; the decode is a documented fake).
+    // extraction (hybrid oracle below; the decode is a documented fake).
     QueryDef(
       "multimodal_features",
       (s, dir) => {
@@ -271,7 +280,32 @@ object SketchesAndStreams {
           .orderBy(col("media_id"))
           .limit(100)
       },
-      None),
+      // HYBRID oracle: media_id / n_bytes / n_frames are SQL-derivable
+      // from documents (same derivation multimodal_metadata hash-checks);
+      // only the deterministic stub-decode feature f0 is pinned per
+      // media_id from the sf0.01 run. sf0.01 ONLY.
+      Some("""
+        SELECT d.doc_id AS media_id, CAST(LENGTH(d.text) AS INTEGER) AS n_bytes,
+          CAST(v.f0 AS DOUBLE) AS f0, 3 AS n_frames
+        FROM documents d JOIN (VALUES
+          (0,0.885484), (1,-0.660112), (2,0.20907), (3,0.191629), (4,-0.906901), (5,0.082773),
+          (6,0.69327), (7,0.162872), (8,0.569035), (9,0.797204), (10,-0.071696), (11,0.132884),
+          (12,0.853469), (13,-0.052072), (14,-0.620996), (15,-0.923866), (16,0.86642), (17,0.753108),
+          (18,0.947043), (19,-0.774132), (20,-0.979035), (21,-0.131352), (22,-0.364508), (23,0.09614),
+          (24,0.747467), (25,-0.691266), (26,0.932632), (27,-0.162775), (28,-0.909227), (29,-0.650759),
+          (30,-0.335257), (31,0.085806), (32,0.651009), (33,0.15233), (34,-0.100939), (35,-0.187781),
+          (36,0.753441), (37,-0.437693), (38,0.496913), (39,-0.448864), (40,0.070242), (41,-0.655592),
+          (42,-0.996763), (43,-0.530181), (44,-0.508124), (45,0.767029), (46,0.163674), (47,-0.39704),
+          (48,-0.194966), (49,-0.203443), (50,-0.113262), (51,0.190698), (52,-0.708185), (53,-0.189863),
+          (54,-0.140165), (55,-0.652363), (56,-0.21878), (57,0.515817), (58,-0.358649), (59,0.384941),
+          (60,0.657747), (61,0.921125), (62,-0.007827), (63,0.702822), (64,0.660449), (65,0.962129),
+          (66,-0.565111), (67,-0.749721), (68,-0.623059), (69,-0.429893), (70,-0.442465), (71,0.047005),
+          (72,0.38765), (73,-0.090059), (74,0.013335), (75,-0.287416), (76,-0.15541), (77,0.741661),
+          (78,0.050292), (79,0.236479), (80,-0.943414), (81,-0.187003), (82,0.298238), (83,0.728751),
+          (84,-0.035605), (85,-0.595222), (86,-0.2582), (87,-0.747678), (88,-0.158001), (89,-0.374901),
+          (90,-0.424081), (91,0.273547), (92,0.720168), (93,-0.550311), (94,-0.433347), (95,-0.584608),
+          (96,0.276713), (97,-0.600913), (98,0.384084), (99,-0.885884)) AS v(media_id, f0) ON d.doc_id = v.media_id
+        ORDER BY media_id""")),
 
     // SQL-expressible half of the multimodal pipeline: the metadata
     // struct and frame-sampling arity are deterministic functions of the

@@ -219,7 +219,7 @@ object TextPipeline {
         FROM cc GROUP BY node ORDER BY doc_id""")),
 
     // MinHash+LSH near-dup candidates (seeded-xxhash signatures — not
-    // SQL-expressible; rows-only check).
+    // SQL-expressible; golden-vector pinned counts below).
     QueryDef(
       "minhash_lsh_candidates",
       (s, dir) => {
@@ -228,9 +228,19 @@ object TextPipeline {
           .agg(count(lit(1)).as("n_candidate_pairs"),
                countDistinct(col("id_a")).as("n_docs_with_candidates"))
       },
-      None),
+      // GOLDEN VECTOR oracle: the seeded-xxhash signature has no SQL
+      // counterpart, so the pair/doc counts are pinned from the seed-42
+      // sf0.01 run. Candidate QUALITY is independently gated by
+      // DedupSpec's recall assertion vs exact token Jaccard (the
+      // SQL-checkable jaccard_token_pairs query covers the exact side);
+      // this pin freezes the integration output so any signature or
+      // banding regression hash-fails. sf0.01 ONLY.
+      Some("""
+        SELECT CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs,
+               CAST(n_docs_with_candidates AS BIGINT) AS n_docs_with_candidates
+        FROM (VALUES (25, 24)) AS t(n_candidate_pairs, n_docs_with_candidates)""")),
 
-    // SimHash band-collision candidates (rows-only).
+    // SimHash band-collision candidates (golden-vector pinned counts).
     QueryDef(
       "simhash_candidates",
       (s, dir) => {
@@ -239,7 +249,14 @@ object TextPipeline {
           .agg(count(lit(1)).as("n_candidate_pairs"),
                countDistinct(col("id_a")).as("n_docs_with_candidates"))
       },
-      None),
+      // GOLDEN VECTOR oracle: pinned from the seed-42 sf0.01 run (the
+      // 64-bit shingle-hash SimHash has no SQL counterpart); Hamming
+      // proximity of emitted candidates is gated by DedupSpec. Freezes
+      // the integration output against regression. sf0.01 ONLY.
+      Some("""
+        SELECT CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs,
+               CAST(n_docs_with_candidates AS BIGINT) AS n_docs_with_candidates
+        FROM (VALUES (2343, 391)) AS t(n_candidate_pairs, n_docs_with_candidates)""")),
 
     // Heuristic language ID vs the labeled lang column. The stopword
     // argmax is plain SQL, so the oracle replays it: per-language
