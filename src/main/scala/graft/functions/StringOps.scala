@@ -198,4 +198,55 @@ object StringOps {
     UTF8String.fromString(out.toString)
   }
 
+  /** repeat with the reference's upfront size guard (reference
+    * src/Functions/repeat.cpp:36-39: result size above 1 GiB throws
+    * TOO_LARGE_STRING_SIZE BEFORE allocating) — Spark's builtin
+    * allocates first, which turns the reference's clean error into an
+    * uncontrolled OOM on adversarial counts.
+    */
+  def chRepeat(s: UTF8String, n: Long): UTF8String = {
+    if (s == null) return null
+    val times = math.max(n, 0L)
+    val total = s.numBytes().toLong * times
+    if (total > (1L << 30)) throw new RuntimeException(
+      s"Too large string size ($total) in function repeat, " +
+        s"maximum is: ${1L << 30}")
+    if (times == 0L) UTF8String.EMPTY_UTF8 else s.repeat(times.toInt)
+  }
+
+  /** visitParamExtractRaw / simpleJSONExtractRaw: find `"name":` and
+    * return the RAW bytes of the value — whitespace after the colon
+    * included, string escapes untouched — scanning with a bracket/quote
+    * stack until `,` or `}` at depth 0 (reference
+    * src/Functions/visitParamExtractRaw.cpp:13-55; the needle is built
+    * as `"name":` in FunctionsVisitParam.h:105). Missing key or
+    * unterminated value extracts as ''.
+    */
+  def visitParamRaw(json: UTF8String, name: UTF8String): UTF8String = {
+    if (json == null || name == null) return null
+    val s = json.toString
+    val needle = "\"" + name.toString + "\":"
+    val at = s.indexOf(needle)
+    if (at < 0) return UTF8String.EMPTY_UTF8
+    val start = at + needle.length
+    var i = start
+    var stack = List.empty[Char]
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (stack.nonEmpty && c == stack.head) stack = stack.tail
+      else if (stack.headOption.contains('"')) {
+        if (c == '\\' && i + 1 < s.length && s.charAt(i + 1) == '"') i += 1
+      } else c match {
+        case '[' => stack = ']' :: stack
+        case '{' => stack = '}' :: stack
+        case '"' => stack = '"' :: stack
+        case ',' | '}' if stack.isEmpty =>
+          return UTF8String.fromString(s.substring(start, i))
+        case _ => ()
+      }
+      i += 1
+    }
+    UTF8String.EMPTY_UTF8
+  }
+
 }

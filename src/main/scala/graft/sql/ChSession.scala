@@ -78,6 +78,13 @@ final class ChSession(spark: SparkSession) {
   private val tables = mutable.LinkedHashMap[String, TableState]()
   private val views = mutable.LinkedHashSet[String]()
 
+  // the reference's one-row system table `system.one` (dummy UInt8 = 0,
+  // reference StorageSystemOne.cpp) — stripDbRefs rewrites references
+  // to the bare name
+  if (!spark.catalog.tableExists("one"))
+    spark.sql("SELECT CAST(0 AS SMALLINT) AS dummy")
+      .createOrReplaceTempView("one")
+
   /** Session-level `SET dedup_key_mode = …` for unique-key inserts. */
   private var dedupKeyMode: String = "replace"
   private val dedupModeRe =
@@ -462,7 +469,11 @@ final class ChSession(spark: SparkSession) {
         dfs.reduce(_ unionAll _)
       } else if (up.startsWith("SELECT") || up.startsWith("WITH") ||
                  up.startsWith("(")) {
-        spark.sql(ChTranspiler.transpile(stripDbRefs(rest)))
+        // `INSERT … SELECT … WITH TOTALS` inserts only the group rows —
+        // the totals stream is dropped by the insert (reference
+        // 00209_insert_select_extremes golden: 4 rows, not 6)
+        val sel = """(?i)\bWITH\s+TOTALS\b""".r.replaceAllIn(rest, " ")
+        spark.sql(ChTranspiler.transpile(stripDbRefs(sel)))
       } else throw new IllegalArgumentException(
         s"unsupported INSERT form: ${rest.take(40)}")
     appendTo(name, inserted, givenCols, modeOverride, stagingOverride)
@@ -692,7 +703,17 @@ final class ChSession(spark: SparkSession) {
       // a Nullable column's implicit default is NULL, not the type zero
       val d = default.orElse(
         if (chNullable || explicitNullable) Some("NULL") else None)
-      Some(ColDef(StructField(name, dt, nullable = true), typeText, d,
+      // Enum columns map to String but their type default is the FIRST
+      // listed member (reference DataTypeEnum::getDefault,
+      // DataTypeEnum.cpp:77) — carried as field metadata so totals /
+      // default-fill paths can print it
+      val meta = """(?is)^Enum(?:8|16)?\s*\(\s*'((?:[^'\\]|\\.)*)'""".r
+        .findFirstMatchIn(typeText.trim)
+        .map(m => new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("graft.ch.enumDefault", m.group(1).replace("\\'", "'"))
+          .build())
+        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      Some(ColDef(StructField(name, dt, nullable = true, meta), typeText, d,
         hidden, kind, comment, rinn = rinn))
     }
   }
@@ -1515,6 +1536,14 @@ object ChSession {
           if (d == '\\' && i < n) { sb.append(sql.charAt(i)); i += 1 }
           else if (d == '\'') done = true
         }
+      } else if ((c == 's' || c == '`') &&
+          (i == 0 || !isIdentChar(sql.charAt(i - 1))) &&
+          sysOneEnd(sql, i) > 0) {
+        // the reference's one-row system table (dummy UInt8 = 0);
+        // registered as the `one` temp view at session start.
+        // Tolerates backticks, whitespace and /*…*/ comments around the
+        // dot (00269_database_table_whitespace exercises all three).
+        sb.append("one"); i = sysOneEnd(sql, i)
       } else if ((c == 't' || c == 'd') &&
           (i == 0 || !isIdentChar(sql.charAt(i - 1))) &&
           (sql.startsWith("test.", i) || sql.startsWith("default.", i))) {
@@ -1531,6 +1560,45 @@ object ChSession {
 
   private def isIdentChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_' || c == '.' || c == '`'
+
+  /** If `sql` at position `i` spells a reference to `system.one`
+    * (optionally backticked, with whitespace or block comments around
+    * the dot), return the index just past it; else -1.
+    */
+  private def sysOneEnd(sql: String, i: Int): Int = {
+    var k = i
+    val n = sql.length
+    def word(w: String): Boolean = {
+      val tick = k < n && sql.charAt(k) == '`'
+      if (tick) k += 1
+      if (!sql.regionMatches(k, w, 0, w.length)) return false
+      k += w.length
+      if (tick) {
+        if (k >= n || sql.charAt(k) != '`') return false
+        k += 1
+      }
+      true
+    }
+    def skipWsComments(): Unit = {
+      var moved = true
+      while (moved) {
+        moved = false
+        while (k < n && sql.charAt(k).isWhitespace) { k += 1; moved = true }
+        if (k + 1 < n && sql.charAt(k) == '/' && sql.charAt(k + 1) == '*') {
+          val close = sql.indexOf("*/", k + 2)
+          if (close >= 0) { k = close + 2; moved = true }
+        }
+      }
+    }
+    if (!word("system")) return -1
+    skipWsComments()
+    if (k >= n || sql.charAt(k) != '.') return -1
+    k += 1
+    skipWsComments()
+    if (!word("one")) return -1
+    if (k < n && isIdentChar(sql.charAt(k)) && sql.charAt(k) != '`') return -1
+    k
+  }
 
   private val dbAfterKwRe =
     """(?i)\b(FROM|JOIN|INTO|TABLE|VIEW)\s+(?:`[^`]+`|\w+)\.(?=[`A-Za-z_])""".r

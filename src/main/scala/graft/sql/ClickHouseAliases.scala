@@ -3886,8 +3886,14 @@ object ClickHouseAliases {
         Coalesce(Seq(
           GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))),
           Literal("")))),
-      "ExtractRaw" -> ((cs: Seq[Expression]) =>
-        GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1))))))
+      // raw byte scan, NOT get_json_object (which re-serializes):
+      // whitespace after the colon and string escapes are preserved
+      "ExtractRaw" -> ((cs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        StaticInvoke(graft.functions.StringOps.getClass, StringType,
+          "visitParamRaw", Seq(cs.head, cs(1)), Seq(StringType, StringType),
+          returnNullable = true)
+      }))
     simpleLowerings.flatMap { case (suffix, builder) =>
       Seq(s"simpleJSON$suffix" -> builder, s"visitParam$suffix" -> builder)
     } ++ Seq(
@@ -4403,8 +4409,11 @@ object ClickHouseAliases {
         val lagE = WindowExpression(
           Lag(cs.head, Literal(1), Literal(null), ignoreNulls = true),
           orderSpec)
-        val rn = WindowExpression(RowNumber(), orderSpec)
-        If(EqualTo(rn, Literal(1)), Literal(0), Subtract(cs.head, lagE))
+        // null rows emit null without consuming the base; the first
+        // non-null row (no base yet) emits 0 (AggregateFunctionRunning
+        // Difference golden: 00653_running_difference.reference)
+        If(IsNull(cs.head), Literal(null),
+          If(IsNull(lagE), Literal(0), Subtract(cs.head, lagE)))
       }),
       // running merge of a state column (value model): collect the
       // states so far with a cumulative window — the WindowExpression
@@ -5149,6 +5158,20 @@ object ClickHouseAliases {
       FunctionIdentifier("position"),
       new ExpressionInfo("graft.sql.ClickHouseAliases", "position"),
       positionBuilder)
+    // CH repeat errors upfront on >1 GiB results (repeat.cpp:36-39);
+    // Spark's builtin allocates first, so an adversarial count OOMs
+    // instead of erroring — shadow it with the guarded form
+    val repeatBuilder: Seq[Expression] => Expression = cs => {
+      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      StaticInvoke(graft.functions.StringOps.getClass, StringType,
+        "chRepeat",
+        Seq(Cast(cs.head, StringType), Cast(cs(1), LongType)),
+        Seq(StringType, LongType), returnNullable = true)
+    }
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("repeat"),
+      new ExpressionInfo("graft.sql.ClickHouseAliases", "repeat"),
+      repeatBuilder)
   }
 
   def inject(ext: SparkSessionExtensions): Unit = {

@@ -222,7 +222,12 @@ object StatelessSweep {
     }
     rows.map { r =>
       val vals = (0 until r.length).map { k =>
-        if (keyPos.contains(k) && r.isNullAt(k)) dflt(schema(k).dataType)
+        if (keyPos.contains(k) && r.isNullAt(k)) {
+          val f = schema(k)
+          if (f.metadata.contains("graft.ch.enumDefault"))
+            f.metadata.getString("graft.ch.enumDefault")
+          else dflt(f.dataType)
+        }
         else r.get(k)
       }
       org.apache.spark.sql.Row.fromSeq(vals)
@@ -351,7 +356,16 @@ object StatelessSweep {
                       Some(ChFormat.formatRows(mainRows, zone) + "\n\n" +
                         ChFormat.formatRows(totRows, zone))
                     case None =>
-                      val rows = chSql(spark, stripped).collect().toSeq
+                      // a WITH TOTALS whose stream is consumed by an
+                      // aggregating outer query: strip the modifier,
+                      // only the group rows are observable
+                      val strippedT =
+                        if ("""(?i)\bWITH\s+TOTALS\b""".r
+                            .findFirstIn(stripped).isDefined)
+                          """(?i)\bWITH\s+TOTALS\b""".r
+                            .replaceAllIn(stripped, " ")
+                        else stripped
+                      val rows = chSql(spark, strippedT).collect().toSeq
                       // SETTINGS extremes=1: rows, blank line, then the
                       // min and max row over numeric columns (NaN and
                       // NULL excluded unless nothing else remains —
