@@ -59,3 +59,55 @@ object ChJoinDefaults extends Rule[LogicalPlan] {
     }
   }
 }
+
+/** ClickHouse ROLLUP/CUBE sub-total rows carry the key columns' type
+  * DEFAULTS (0, '', epoch), not NULLs (reference RollupTransform /
+  * CubeTransform fill with the column default;
+  * 00701_rollup.reference). Spark's grouping-sets Expand pads with
+  * NULL — rewrite the aggregate's key outputs to collapse those NULLs
+  * to defaults, BEFORE any ORDER BY so sub-total rows also sort as
+  * their default values, matching the goldens.
+  *
+  * Gated by `spark.graft.chRollupDefaults` (corpus sessions only): a
+  * grouping key that is genuinely NULL (Nullable source column) would
+  * also collapse, which standard-SQL users must not see.
+  */
+object ChRollupDefaults extends Rule[LogicalPlan] {
+
+  val Flag = "spark.graft.chRollupDefaults"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (SQLConf.get.getConfString(Flag, "false") != "true") return plan
+    plan.transformUp {
+      case agg @ Aggregate(ga, ra, child, hint)
+          if agg.resolved &&
+            child.output.exists(_.name == "spark_grouping_id") &&
+            !ra.exists(_.name.startsWith("__ch_rolldef")) =>
+        // grouping copies produced by Expand (original key attrs keep
+        // different exprIds and appear only inside aggregate functions)
+        val keyAttrs = ga.collect {
+          case a: AttributeReference if a.name != "spark_grouping_id" => a
+        }.toSet
+        val marker = Alias(Literal(true), "__ch_rolldef")()
+        val newRa = ra.map { ne =>
+          val t = ne.transformUp {
+            case a: AttributeReference
+                if keyAttrs.contains(a) && a.nullable =>
+              If(IsNull(a), Literal.default(a.dataType), a)
+          }
+          t match {
+            case n: NamedExpression if n.eq(ne) => ne
+            case a: Alias => a
+            case other => Alias(other, ne.name)(exprId = ne.exprId,
+              qualifier = ne.qualifier)
+          }
+        }
+        if (newRa.zip(ra).forall { case (a, b) => a.eq(b) }) agg
+        else {
+          // keep output attrs identical; drop the marker right above
+          val inner = Aggregate(ga, newRa :+ marker, child, hint)
+          Project(agg.output, inner)
+        }
+    }
+  }
+}

@@ -528,7 +528,7 @@ final class ChSession(spark: SparkSession) {
       // BitMapColumn insert path); everything else casts to declared type
       if (chTypeOf.get(f.name).contains("BitMap64"))
         expr(s"arrayToBitmap(`${f.name}`)").as(f.name)
-      else col(s"`${f.name}`").cast(f.dataType).as(f.name)
+      else col(s"`${f.name}`").cast(relaxNulls(f.dataType)).as(f.name)
     } :+ delSrc.as("__del") :+ updSrc.as("__upd") :+
       lit(if (partialNow) 1 else 0).as("__partial"): _*)
     val mode = modeOverride.getOrElse(dedupKeyMode)
@@ -1560,6 +1560,21 @@ object ChSession {
 
   private def isIdentChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_' || c == '.' || c == '`'
+
+  /** Insert-alignment cast target with container nullability relaxed:
+    * Spark refuses to cast ARRAY<T (nullable)> to ARRAY<T (non-null)>
+    * even when no element is NULL, but an inserted expression is often
+    * nullable only by construction (e.g. a StaticInvoke-built string)
+    * — declared non-Nullable CH element types must still accept it.
+    */
+  private[sql] def relaxNulls(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => ArrayType(relaxNulls(et), containsNull = true)
+    case MapType(kt, vt, _) =>
+      MapType(relaxNulls(kt), relaxNulls(vt), valueContainsNull = true)
+    case StructType(fs) => StructType(fs.map(f =>
+      f.copy(dataType = relaxNulls(f.dataType), nullable = true)))
+    case other => other
+  }
 
   /** If `sql` at position `i` spells a reference to `system.one`
     * (optionally backticked, with whitespace or block comments around

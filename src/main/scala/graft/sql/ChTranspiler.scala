@@ -810,7 +810,8 @@ object ChTranspiler {
         rewriteScalarWithDeep(rewriteInfixMod(rewriteTwoArgCast(wrapWindowSums(
           fixOrderlessRange(stripRankFrames(rewriteGroupsFrame(
             postPass(rewritePositionIn(rewriteMapLiterals(
-              parenthesizeUsing(addImplicitFromOne(out.toString)))))))))))))))))))
+              parenthesizeUsing(addImplicitFromOne(
+                rewriteValuesTable(out.toString))))))))))))))))))))
   }
 
   /** GROUPS window frames (reference WindowDescription.h FrameType::
@@ -1111,13 +1112,18 @@ object ChTranspiler {
         j2 = end
       } else j2 += 1
     }
-    // raw GROUP BY items (modifier words WITH ROLLUP/CUBE stripped)
+    // raw GROUP BY items (modifier words WITH ROLLUP/CUBE stripped; a
+    // function-style ROLLUP(a, b) / CUBE(a, b) unwraps to its items so
+    // the totals query can substitute the dangling key references)
     val groupItems: Seq[String] =
       if (groupIdx < 0) Nil
       else {
         val byIdx = sig(groupIdx, 1)
-        val itemsText = toks.slice(byIdx + 1, withIdx).map(_.text).mkString
-          .replaceAll("(?i)\\bWITH\\s+(ROLLUP|CUBE)\\b", "")
+        var itemsText = toks.slice(byIdx + 1, withIdx).map(_.text).mkString
+          .replaceAll("(?i)\\bWITH\\s+(ROLLUP|CUBE)\\b", "").trim
+        val wrap = """(?is)^(?:ROLLUP|CUBE)\s*\((.*)\)\s*$""".r
+        itemsText = wrap.findFirstMatchIn(itemsText)
+          .map(_.group(1)).getOrElse(itemsText)
         itemsText.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       }
     Some((main, drop(totRanges), groupItems))
@@ -1401,6 +1407,90 @@ object ChTranspiler {
       } else i += 1
     }
     sql
+  }
+
+  /** ClickHouse's typed VALUES table function
+    * (`FROM VALUES('x UInt64, s String[, z ALIAS expr]', (…), (…))`,
+    * reference src/TableFunctions/TableFunctionValues.cpp): the first
+    * argument is a column-spec string. Lowered onto Spark's inline
+    * table: `(SELECT CAST(x AS …) AS x, …[, expr AS z] FROM VALUES
+    * (…), (…) AS __chv(x, s))`. ALIAS/MATERIALIZED/DEFAULT columns are
+    * computed, not fed by the tuples. The plain Spark `VALUES` form
+    * (no spec string) passes through untouched.
+    */
+  private def rewriteValuesTable(sql: String): String = {
+    if (!"""(?i)\bvalues\s*\(\s*'""".r.findFirstIn(sql).isDefined) return sql
+    val toks = tokenize(sql)
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    var i = 0
+    while (i < toks.length) {
+      val op = nextSig(i + 1)
+      lazy val firstArg = nextSig(op + 1)
+      if (isWordI(toks(i), "VALUES") && op < toks.length &&
+          toks(op) == Punct("(") && firstArg < toks.length &&
+          toks(firstArg).isInstanceOf[Str]) {
+        // balanced call range
+        var d = 1
+        var j = op + 1
+        while (d > 0 && j < toks.length) {
+          toks(j) match {
+            case Punct("(") => d += 1
+            case Punct(")") => d -= 1
+            case _ => ()
+          }
+          if (d > 0) j += 1
+        }
+        if (d == 0) {
+          val specLit = toks(firstArg).text
+          val spec = unquote(specLit)
+          val restArgs = toks.slice(nextSig(firstArg + 1), j)
+          val tuples = restArgs.map(_.text).mkString
+            .replaceAll("^\\s*,", "").trim
+          val defs = ChSession.splitTop(spec).map(_.trim).filter(_.nonEmpty)
+          val computedRe =
+            """(?is)^(`[^`]+`|\w+)\s+(?:ALIAS|MATERIALIZED|DEFAULT)\s+(.*)$""".r
+          val plain = ArrayBuffer[(String, String)]() // name -> CH type
+          val computed = ArrayBuffer[(String, String)]() // name -> expr
+          defs.foreach {
+            case computedRe(n, e) =>
+              computed += ((n.stripPrefix("`").stripSuffix("`"), e))
+            case defText =>
+              val sp = defText.indexWhere(_.isWhitespace)
+              if (sp > 0)
+                plain += ((defText.take(sp).trim
+                  .stripPrefix("`").stripSuffix("`"),
+                  defText.drop(sp).trim))
+          }
+          if (plain.nonEmpty) {
+            val casts = plain.map { case (n, t) =>
+              val dt = try Some(ChTypes.parse(t)._1) catch {
+                case _: Exception => None
+              }
+              dt.map(d => s"CAST($n AS ${d.sql}) AS $n").getOrElse(n)
+            }
+            val comps = computed.map { case (n, e) => s"$e AS $n" }
+            val inner = s"(SELECT ${(casts ++ comps).mkString(", ")} " +
+              s"FROM VALUES $tuples AS __chv(${plain.map(_._1).mkString(", ")}))"
+            val pre = toks.take(i).map(_.text).mkString
+            val post = toks.drop(j + 1).map(_.text).mkString
+            return rewriteValuesTable(pre + inner + post)
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
+  /** Strip one level of SQL single-quoting (after the literal
+    * normalization pass the body uses `\'` escapes).
+    */
+  private def unquote(lit: String): String = {
+    if (lit.length < 2) return lit
+    lit.substring(1, lit.length - 1)
+      .replace("\\'", "'").replace("''", "'").replace("\\\\", "\\")
   }
 
   /** `JOIN … USING a, b` (ClickHouse allows the list bare, reference

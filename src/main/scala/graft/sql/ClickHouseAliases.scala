@@ -2185,63 +2185,9 @@ object ClickHouseAliases {
     "decrypt" -> (cs => Cast(aesCall(cs, decrypt = true), StringType)),
     // split/token spellings (FunctionsStringArray.h): regexp split and
     // alphabetic-run tokens; character n-grams via a substring ladder.
-    // concat_ws in CH is NULL if ANY argument is NULL (standard
-    // Nullable propagation); Spark's builtin skips NULL arguments
-    "concat_ws" -> (cs => {
-      val anyNull = cs.map(IsNull(_): Expression).reduce(Or(_, _))
-      If(anyNull, Literal(null, StringType),
-        ConcatWs(cs.map(Cast(_, StringType))))
-    }),
-    // str_to_map (reference map.cpp FunctionStrToMap): literal
-    // single-char delimiters + the exact skip-space parse loop —
-    // Spark's builtin is regex-based with NULL values. A const NULL
-    // input is a type error in CH (the corpus's serverError 43 case);
-    // empty delimiters are rejected as in getDelimiter.
-    "str_to_map" -> (cs => {
-      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-      cs.head match {
-        case Literal(null, _) => throw new IllegalArgumentException(
-          "str_to_map: first argument must be String, got NULL")
-        case _ => ()
-      }
-      cs.drop(1).foreach {
-        case Literal(d, StringType) if d == null || d.toString.isEmpty =>
-          throw new IllegalArgumentException(
-            "Delimiter of function str_to_map should be non-empty string")
-        case _ => ()
-      }
-      StaticInvoke(graft.functions.StringMapOps.getClass,
-        MapType(StringType, StringType), "strToMap",
-        cs.map(Cast(_, StringType)),
-        Seq(StringType, StringType, StringType),
-        propagateNull = false, returnNullable = false)
-    }),
-    // locate: CH argument order is (haystack, needle[, pos]) like
-    // position; under SET dialect_type='MYSQL' it flips to MySQL's
-    // (substr, str[, pos]) — the session records the dialect in
-    // graft.ch.dialect and the builder reads it at analysis time
-    "locate" -> (cs => {
-      val mysql = try {
-        org.apache.spark.sql.internal.SQLConf.get
-          .getConfString("graft.ch.dialect", "CLICKHOUSE") == "MYSQL"
-      } catch { case _: Throwable => false }
-      val (sub, str) = if (mysql) (cs.head, cs(1)) else (cs(1), cs.head)
-      // CH clamps a start position below 1 to 1 (LOCATE(…, 0) still
-      // searches from the start), unlike MySQL where pos 0 finds nothing
-      val pos = if (cs.size > 2)
-        Greatest(Seq(Cast(cs(2), IntegerType), Literal(1))) else Literal(1)
-      StringLocate(sub, str, pos)
-    }),
-    // split_part (MySQL-dialect corpus 13000): NULL for an index out
-    // of range or < 1 — Spark's builtin returns '' / counts negatives
-    // from the end, different semantics
-    "split_part" -> (cs => {
-      val arr = StringSplit(cs.head,
-        Concat(Seq(Literal("\\Q"), cs(1), Literal("\\E"))), Literal(-1))
-      val n = Cast(cs(2), IntegerType)
-      If(LessThan(n, Literal(1)), Literal(null, StringType),
-        ElementAt(arr, n, None, failOnError = false))
-    }),
+    // (concat_ws/str_to_map/locate/split_part shadow Spark builtins
+    // with DIFFERENT semantics — registered corpus-session only, in
+    // strictShadowAliases below, so library sessions keep the builtin.)
     // splitByRegexp('', '') = [] in CH (empty pattern over empty input
     // yields no tokens, FunctionsStringArray.h)
     "splitByRegexp" -> (cs => If(
@@ -4139,7 +4085,11 @@ object ClickHouseAliases {
       "lastDay" -> (cs => LastDay(cs.head)),
       // visibleWidth: display width of the value's text form (scalar
       // values only; composite forms differ from CH's quoted rendering)
-      "visibleWidth" -> (cs => Length(Cast(cs.head, StringType))),
+      // width of the CH text form: Spark's cast renders ", " where CH
+      // renders "," (and {} for tuples where CH uses () — same width),
+      // so drop the pad spaces before measuring
+      "visibleWidth" -> (cs => Length(StringReplace(
+        Cast(cs.head, StringType), Literal(", "), Literal(",")))),
       "tupleHammingDistance" -> (cs =>
         ChDispatch("tupleHammingDistance", cs.take(2)) { c =>
           // mixed/NULL-typed fields compare through a widening cast so
@@ -5172,7 +5122,78 @@ object ClickHouseAliases {
       FunctionIdentifier("repeat"),
       new ExpressionInfo("graft.sql.ClickHouseAliases", "repeat"),
       repeatBuilder)
+    strictShadowAliases.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.sql.ClickHouseAliases", name),
+        builder)
+    }
   }
+
+  /** CH spellings that SHADOW Spark builtins of the same name with
+    * different semantics — corpus sessions only (same shadowing rule as
+    * `length`/`position`/`repeat` above): library sessions must keep
+    * the Spark builtin, which engine operators (e.g. shingles'
+    * concat_ws) and user code rely on.
+    */
+  private def strictShadowAliases: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // concat_ws in CH is NULL if ANY argument is NULL (standard
+    // Nullable propagation); Spark's builtin skips NULL arguments
+    "concat_ws" -> ((cs: Seq[Expression]) => {
+      val anyNull = cs.map(IsNull(_): Expression).reduce(Or(_, _))
+      If(anyNull, Literal(null, StringType),
+        ConcatWs(cs.map(Cast(_, StringType))))
+    }),
+    // str_to_map (reference map.cpp FunctionStrToMap): literal
+    // single-char delimiters + the exact skip-space parse loop —
+    // Spark's builtin is regex-based with NULL values. A const NULL
+    // input is a type error in CH (the corpus's serverError 43 case);
+    // empty delimiters are rejected as in getDelimiter.
+    "str_to_map" -> ((cs: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      cs.head match {
+        case Literal(null, _) => throw new IllegalArgumentException(
+          "str_to_map: first argument must be String, got NULL")
+        case _ => ()
+      }
+      cs.drop(1).foreach {
+        case Literal(d, StringType) if d == null || d.toString.isEmpty =>
+          throw new IllegalArgumentException(
+            "Delimiter of function str_to_map should be non-empty string")
+        case _ => ()
+      }
+      StaticInvoke(graft.functions.StringMapOps.getClass,
+        MapType(StringType, StringType), "strToMap",
+        cs.map(Cast(_, StringType)),
+        Seq(StringType, StringType, StringType),
+        propagateNull = false, returnNullable = false)
+    }),
+    // locate: CH argument order is (haystack, needle[, pos]) like
+    // position; under SET dialect_type='MYSQL' it flips to MySQL's
+    // (substr, str[, pos]) — the session records the dialect in
+    // graft.ch.dialect and the builder reads it at analysis time
+    "locate" -> ((cs: Seq[Expression]) => {
+      val mysql = try {
+        org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("graft.ch.dialect", "CLICKHOUSE") == "MYSQL"
+      } catch { case _: Throwable => false }
+      val (sub, str) = if (mysql) (cs.head, cs(1)) else (cs(1), cs.head)
+      // CH clamps a start position below 1 to 1 (LOCATE(…, 0) still
+      // searches from the start), unlike MySQL where pos 0 finds nothing
+      val pos = if (cs.size > 2)
+        Greatest(Seq(Cast(cs(2), IntegerType), Literal(1))) else Literal(1)
+      StringLocate(sub, str, pos)
+    }),
+    // split_part (MySQL-dialect corpus 13000): NULL for an index out
+    // of range or < 1 — Spark's builtin returns '' / counts negatives
+    // from the end, different semantics
+    "split_part" -> ((cs: Seq[Expression]) => {
+      val arr = StringSplit(cs.head,
+        Concat(Seq(Literal("\\Q"), cs(1), Literal("\\E"))), Literal(-1))
+      val n = Cast(cs(2), IntegerType)
+      If(LessThan(n, Literal(1)), Literal(null, StringType),
+        ElementAt(arr, n, None, failOnError = false))
+    }))
 
   def inject(ext: SparkSessionExtensions): Unit = {
     aliases.foreach { case (name, builder) =>

@@ -418,6 +418,8 @@ object StatelessSweep {
       .config("spark.sql.orderByOrdinal", "false")
       // CH default join_use_nulls=0: outer joins pad with type defaults
       .config(graft.sql.ChJoinDefaults.Flag, "true")
+      // CH ROLLUP/CUBE sub-total keys are type defaults, not NULLs
+      .config(graft.sql.ChRollupDefaults.Flag, "true")
       // CH map columns tolerate duplicate keys (last write wins)
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       // CH `/` is IEEE Float64 division (1/0 = inf), never an ANSI error

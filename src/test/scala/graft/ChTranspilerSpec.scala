@@ -42,7 +42,7 @@ class ChTranspilerSpec extends AnyFunSuite {
   test("SETTINGS clause is dropped; ALL JOIN qualifier is dropped") {
     assert(t("SELECT 1 SETTINGS max_threads = 4").trim == "SELECT 1")
     assert(t("SELECT * FROM a ALL LEFT JOIN b USING k")
-      .replaceAll("\\s+", " ") == "SELECT * FROM a LEFT JOIN b USING k")
+      .replaceAll("\\s+", " ") == "SELECT * FROM a LEFT JOIN b USING (k)")
   }
 
   test("CH \\xHH string escapes decode to Spark-parseable literals") {

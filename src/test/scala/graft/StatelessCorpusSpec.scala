@@ -43,6 +43,7 @@ class StatelessCorpusSpec extends SparkSpec {
     session.conf.set("spark.sql.groupByOrdinal", "false")
     session.conf.set("spark.sql.orderByOrdinal", "false")
     session.conf.set(graft.sql.ChJoinDefaults.Flag, "true")
+    session.conf.set(graft.sql.ChRollupDefaults.Flag, "true")
     session.conf.set(graft.sql.ChCoercions.IeeeDivFlag, "true")
     session.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     val failures = allowlist.flatMap { name =>
