@@ -78,36 +78,46 @@ object ChRollupDefaults extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (SQLConf.get.getConfString(Flag, "false") != "true") return plan
+    // SET dialect_type='ANSI' keeps standard NULL sub-total keys
+    // (10720_cube_ansi golden) — only the CLICKHOUSE dialect defaults
+    if (SQLConf.get.getConfString("graft.ch.dialect", "CLICKHOUSE") == "ANSI")
+      return plan
     plan.transformUp {
       case agg @ Aggregate(ga, ra, child, hint)
           if agg.resolved &&
-            child.output.exists(_.name == "spark_grouping_id") &&
-            !ra.exists(_.name.startsWith("__ch_rolldef")) =>
+            child.output.exists(_.name == "spark_grouping_id") => {
         // grouping copies produced by Expand (original key attrs keep
         // different exprIds and appear only inside aggregate functions)
         val keyAttrs = ga.collect {
           case a: AttributeReference if a.name != "spark_grouping_id" => a
         }.toSet
-        val marker = Alias(Literal(true), "__ch_rolldef")()
-        val newRa = ra.map { ne =>
-          val t = ne.transformUp {
-            case a: AttributeReference
-                if keyAttrs.contains(a) && a.nullable =>
-              If(IsNull(a), Literal.default(a.dataType), a)
-          }
-          t match {
-            case n: NamedExpression if n.eq(ne) => ne
-            case a: Alias => a
-            case other => Alias(other, ne.name)(exprId = ne.exprId,
-              qualifier = ne.qualifier)
-          }
-        }
-        if (newRa.zip(ra).forall { case (a, b) => a.eq(b) }) agg
+        def defaulted(a: AttributeReference) =
+          If(IsNull(a), Literal.default(a.dataType), a)
+        // idempotence guard (this batch runs to fixpoint): a key that
+        // already sits inside its default-collapsing If has been done
+        val applied = ra.exists(_.exists {
+          case If(IsNull(a: AttributeReference), _: Literal, b) =>
+            keyAttrs.contains(a) && a.semanticEquals(b)
+          case _ => false
+        })
+        if (applied) agg
         else {
-          // keep output attrs identical; drop the marker right above
-          val inner = Aggregate(ga, newRa :+ marker, child, hint)
-          Project(agg.output, inner)
+          val newRa = ra.map { ne =>
+            val t = ne.transformUp {
+              case a: AttributeReference
+                  if keyAttrs.contains(a) && a.nullable => defaulted(a)
+            }
+            t match {
+              case n: NamedExpression if n.eq(ne) => ne
+              case a: Alias => a
+              case other => Alias(other, ne.name)(exprId = ne.exprId,
+                qualifier = ne.qualifier)
+            }
+          }
+          if (newRa.zip(ra).forall { case (a, b) => a.eq(b) }) agg
+          else Aggregate(ga, newRa, child, hint)
         }
+      }
     }
   }
 }

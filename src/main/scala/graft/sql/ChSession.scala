@@ -165,8 +165,10 @@ final class ChSession(spark: SparkSession) {
       try spark.catalog.dropTempView(n) catch { case _: Throwable => () }
     }
     tables.clear(); views.clear(); stagingData.clear()
-    // per-test setting — must not leak into the next corpus file
+    // per-test settings — must not leak into the next corpus file
     try spark.conf.unset("graft.ch.max_memory_bytes")
+    catch { case _: Throwable => () }
+    try spark.conf.unset("graft.ch.dialect")
     catch { case _: Throwable => () }
   }
 

@@ -649,8 +649,42 @@ object ChTranspiler {
 
   def transpile(stmt: String): String = transpile(stmt, false)
 
+  /** Drop `-- … EOL` and `/* … */` comments (string- and
+    * backtick-aware) before tokenizing: the token passes must not see
+    * comment text — a comma inside a comment would split a scalar WITH
+    * item list, and words inside comments would get rewritten.
+    */
+  private def stripComments(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '`') {
+        val quote = c
+        sb.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          val d = s.charAt(i); sb.append(d); i += 1
+          if (d == '\\' && quote == '\'' && i < n) {
+            sb.append(s.charAt(i)); i += 1
+          } else if (d == quote) done = true
+        }
+      } else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        val close = s.indexOf("*/", i + 2)
+        i = if (close < 0) n else close + 2
+        sb.append(' ')
+      } else {
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
   def transpile(stmt: String, widenInts: Boolean): String = {
-    val toks0raw = tokenize(stmt)
+    val toks0raw = tokenize(stripComments(stmt))
     val toks0 = if (widenInts) widenIntLiterals(toks0raw) else toks0raw
     // Type-level pre-pass: strip Nullable(...) / LowCardinality(...)
     // wrappers (keep the inner type), map scalar type names, expand
@@ -751,6 +785,15 @@ object ChTranspiler {
           // names its fields col1, col2, …), so `.N` maps to `.colN`.
           out.append(".col").append(t.drop(1))
           lastSig = Some(n)
+        case w0 @ Word(w) if w.equalsIgnoreCase("datetime") && {
+            var k = i + 1
+            while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1
+            k < toks.length && toks(k).isInstanceOf[Str]
+          } =>
+          // MySQL-dialect typed literal `DATETIME '2020-01-01 00:00:00'`
+          // (corpus 015xx/13002): Spark's spelling is TIMESTAMP
+          out.append("TIMESTAMP")
+          lastSig = Some(w0)
         case Word(w) if (w.equalsIgnoreCase("all") ||
             w.equalsIgnoreCase("any") || w.equalsIgnoreCase("global")) && {
             var k = i + 1
@@ -805,13 +848,14 @@ object ChTranspiler {
       }
       i += 1
     }
-    rewriteOrderNulls(rewriteNestedArrayJoin(rewriteArrayJoin(rewriteInClauses(
+    guardSelectStringHead(
+    rewriteOrderNulls(rewriteNestedArrayJoinDeep(rewriteArrayJoin(rewriteInClauses(
       rewriteTupleLiterals(rewriteTernary(rewriteInlineAliases(
         rewriteScalarWithDeep(rewriteInfixMod(rewriteTwoArgCast(wrapWindowSums(
           fixOrderlessRange(stripRankFrames(rewriteGroupsFrame(
             postPass(rewritePositionIn(rewriteMapLiterals(
               parenthesizeUsing(addImplicitFromOne(
-                rewriteValuesTable(out.toString))))))))))))))))))))
+                rewriteValuesTable(out.toString)))))))))))))))))))))
   }
 
   /** GROUPS window frames (reference WindowDescription.h FrameType::
@@ -1484,6 +1528,46 @@ object ChTranspiler {
     sql
   }
 
+  /** Spark's expression parser reads `(SELECT 'str' …)` as the typed
+    * literal `SELECT 'str'` (UNSUPPORTED_TYPED_LITERAL) — an
+    * IN/EXISTS/scalar subquery whose select list LEADS with a string
+    * literal fails to parse. An EXTRA paren level (`((SELECT 'str'))`)
+    * forces the subquery grammar; harmless in FROM position too.
+    */
+  private def guardSelectStringHead(sql: String): String = {
+    val toks = tokenize(sql)
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    val opens = scala.collection.mutable.Set[Int]()
+    val closes = scala.collection.mutable.Set[Int]()
+    for (k <- toks.indices if toks(k) == Punct("(")) {
+      val s = nextSig(k + 1)
+      if (s < toks.length && isWordI(toks(s), "SELECT")) {
+        val lit = nextSig(s + 1)
+        if (lit < toks.length && toks(lit).isInstanceOf[Str]) {
+          var d = 1
+          var j = k + 1
+          while (d > 0 && j < toks.length) {
+            toks(j) match {
+              case Punct("(") => d += 1
+              case Punct(")") => d -= 1
+              case _ => ()
+            }
+            if (d > 0) j += 1
+          }
+          if (d == 0) { opens += k; closes += j }
+        }
+      }
+    }
+    if (opens.isEmpty) sql
+    else toks.zipWithIndex.map { case (t, k) =>
+      if (opens(k)) "(("
+      else if (closes(k)) "))"
+      else t.text
+    }.mkString
+  }
+
   /** Strip one level of SQL single-quoting (after the literal
     * normalization pass the body uses `\'` escapes).
     */
@@ -1602,6 +1686,10 @@ object ChTranspiler {
           toks(s) match {
             case Punct(")") | Punct("]") => depth += 1
             case Punct("(") | Punct("[") if depth > 0 => depth -= 1
+            // a lambda arrow `x ->` bounds the condition: the ternary
+            // is the lambda BODY (`arrayMap(x -> c ? a : b, …)`)
+            case Punct(">") if depth == 0 && s > 0 &&
+                toks(s - 1) == Punct("-") => condStart = s + 1
             case t if depth == 0 && ternaryCondBoundary(t) => condStart = s + 1
             case _ => ()
           }
@@ -1725,6 +1813,49 @@ object ChTranspiler {
     * exploded column. Calls inside subqueries are left for the explode
     * mapping or a later statement-level pass over that subquery.
     */
+  /** Apply the nested-arrayJoin hoist inside every `( SELECT … )`
+    * subquery too (innermost first): `(SELECT f(arrayJoin([…])) AS x)`
+    * needs its LATERAL VIEW at the subquery level (reference arrayJoin
+    * expands rows before the enclosing expression evaluates).
+    */
+  private def rewriteNestedArrayJoinDeep(sql: String): String = {
+    if (!"""(?i)\barrayJoin\b""".r.findFirstIn(sql).isDefined) return sql
+    val toks = tokenize(sql)
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i) == Punct("(") && {
+        val f = nextSig(i + 1)
+        f < toks.length && (isWordI(toks(f), "SELECT") ||
+          isWordI(toks(f), "WITH"))
+      }) {
+        var d = 1
+        var j = i + 1
+        while (d > 0 && j < toks.length) {
+          toks(j) match {
+            case Punct("(") => d += 1
+            case Punct(")") => d -= 1
+            case _ => ()
+          }
+          if (d > 0) j += 1
+        }
+        if (d == 0) {
+          val inner = toks.slice(i + 1, j).map(_.text).mkString
+          val rewritten = rewriteNestedArrayJoin(rewriteNestedArrayJoinDeep(inner))
+          if (rewritten != inner) {
+            val pre = toks.take(i + 1).map(_.text).mkString
+            val post = toks.drop(j).map(_.text).mkString
+            return rewriteNestedArrayJoinDeep(pre + rewritten + post)
+          }
+        }
+      }
+      i += 1
+    }
+    rewriteNestedArrayJoin(sql)
+  }
+
   private def rewriteNestedArrayJoin(sql: String): String = {
     val toks = tokenize(sql)
     def nextSigIdx(j: Int): Int = {
@@ -2217,7 +2348,18 @@ object ChTranspiler {
     val prefix = ArrayBuffer[(Int, String)]() // "(" indexes to prefix with struct
     var stack = List[(Int, Boolean)]() // (openIdx, sawTopComma)
     val tupleAt = scala.collection.mutable.Set[Int]()
+    // paren depths currently inside a VALUES row sequence: every
+    // `(…), (…), …` row at that depth is a ROW, not a tuple literal
+    val valuesDepth = scala.collection.mutable.Set[Int]()
     for (k <- toks.indices) {
+      toks(k) match {
+        case _: Ws => ()
+        case t if !(t == Punct("(") || t == Punct(")") || t == Punct(",")) =>
+          // any other token at a VALUES-sequence depth ends the rows
+          // (e.g. the `AS alias(cols)` tail)
+          valuesDepth -= stack.length
+        case _ => ()
+      }
       toks(k) match {
         case Punct("(") =>
           var prv = k - 1
@@ -2233,14 +2375,20 @@ object ChTranspiler {
             case _ => false
           }
           val afterIn = prevTok.exists(isWordI(_, "IN"))
-          // USING (a, b) is a column list, VALUES (…) a row — never tuples
+          // USING (a, b) is a column list, VALUES (…) a row — never
+          // tuples; subsequent `, (…)` rows at the same depth too
           val afterListKw = prevTok.exists(t =>
             isWordI(t, "USING") || isWordI(t, "VALUES"))
+          val valuesRow = valuesDepth.contains(stack.length) &&
+            prevTok.contains(Punct(","))
+          if (prevTok.exists(isWordI(_, "VALUES")))
+            valuesDepth += stack.length
           val first = nextSigIdx(k + 1)
           val isSubquery = first < toks.length &&
             (isWordI(toks(first), "SELECT") || isWordI(toks(first), "WITH"))
           stack = (k, false) :: stack
-          if (callLike || afterIn || afterListKw || isSubquery) () // never a tuple
+          if (callLike || afterIn || afterListKw || isSubquery || valuesRow)
+            () // never a tuple
           else tupleAt += k
         case Punct(")") =>
           stack.headOption.foreach { case (openIdx, sawComma) =>
@@ -2283,6 +2431,9 @@ object ChTranspiler {
       var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
     }
     val dropWord = scala.collection.mutable.Set[Int]()
+    // `x IN <literal>` (scalar right side = equality in CH,
+    // FunctionsComparison in-with-scalar) needs Spark's parens
+    val parenAt = scala.collection.mutable.Set[Int]()
     for (k <- toks.indices) {
       if (isWordI(toks(k), "IN")) {
         val f = nextSigIdx(k + 1)
@@ -2293,11 +2444,18 @@ object ChTranspiler {
           }
           case _ => false
         })) dropWord += f
+        else if (f < toks.length && (toks(f) match {
+          case _: Str | _: Num => true
+          case _ => false
+        })) parenAt += f
       }
     }
-    if (dropWord.isEmpty) return sql
-    toks.zipWithIndex.map { case (t, k) => if (dropWord(k)) "" else t.text }
-      .mkString
+    if (dropWord.isEmpty && parenAt.isEmpty) return sql
+    toks.zipWithIndex.map { case (t, k) =>
+      if (dropWord(k)) ""
+      else if (parenAt(k)) "(" + t.text + ")"
+      else t.text
+    }.mkString
   }
 
   private val arrayJoinBoundary = Set("WHERE", "GROUP", "HAVING", "ORDER",

@@ -522,7 +522,12 @@ object ClickHouseAliases {
     // approximate + conditional aggregates
     "uniq" -> uniqHll, "uniqHLL12" -> uniqHll,
     "uniqCombined" -> uniqHll, "uniqCombined64" -> uniqHll,
-    "countIf" -> (cs => CountIf(cs.head)),
+    // countIf(cond) counts matches; the 2-arg combinator form
+    // countIf(x, cond) counts non-NULL x where cond (reference
+    // AggregateFunctionIf over count)
+    "countIf" -> (cs =>
+      if (cs.size >= 2) Count(Seq(nullUnless(cs(1), cs.head)))
+      else CountIf(cs.head)),
     "sumIf" -> (cs => Sum(nullUnless(cs(1), cs.head))),
     "avgIf" -> (cs => Average(nullUnless(cs(1), cs.head))),
     "minIf" -> (cs => Min(nullUnless(cs(1), cs.head))),
@@ -1055,11 +1060,25 @@ object ClickHouseAliases {
             .map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq)
       }
       val arr = cs(1)
-      // reference QuantileExact.h:90 nth-element — no interpolation
-      def exactAt(level: Double): Expression = exactElem(
-        new SortArray(ArrayFilter(arr,
-          LambdaFunction(IsNotNull(lv("x")), Seq(lv("x"))))),
-        Literal(level))
+      // reference QuantileExact.h:90 nth-element — no interpolation.
+      // NaN sorts FIRST there (00606 golden: quantileExact with a NaN
+      // equals the quantile of the array without it) — Spark sorts NaN
+      // last, so sort through a NaN-first comparator.
+      def exactAt(level: Double): Expression = {
+        val filtered = ArrayFilter(arr,
+          LambdaFunction(IsNotNull(lv("x")), Seq(lv("x"))))
+        val l = lv("l"); val r = lv("r")
+        def nan(e: Expression) = IsNaN(Cast(e, DoubleType))
+        val cmp = CaseWhen(Seq(
+          (And(nan(l), nan(r)), Literal(0)),
+          (nan(l), Literal(-1)),
+          (nan(r), Literal(1)),
+          (LessThan(l, r), Literal(-1)),
+          (GreaterThan(l, r), Literal(1))), Some(Literal(0)))
+        exactElem(
+          ArraySort(filtered, LambdaFunction(cmp, Seq(l, r))),
+          Literal(level))
+      }
       def quantileAt(level: Double): Expression = {
         val sorted = new SortArray(ArrayFilter(arr,
           LambdaFunction(IsNotNull(lv("x")), Seq(lv("x")))))
@@ -4090,6 +4109,14 @@ object ClickHouseAliases {
       // so drop the pad spaces before measuring
       "visibleWidth" -> (cs => Length(StringReplace(
         Cast(cs.head, StringType), Literal(", "), Literal(",")))),
+      // materialize(x): const → full column in the reference — an
+      // execution detail with no Spark analog; identity on values
+      "materialize" -> (cs => cs.head),
+      // MySQL-compat addDate/subDate(date, INTERVAL n unit): plain +/-
+      // (the analyzer's binary-arithmetic resolution picks the
+      // date/timestamp interval form)
+      "addDate" -> (cs => Add(cs.head, cs(1))),
+      "subDate" -> (cs => Subtract(cs.head, cs(1))),
       "tupleHammingDistance" -> (cs =>
         ChDispatch("tupleHammingDistance", cs.take(2)) { c =>
           // mixed/NULL-typed fields compare through a widening cast so
@@ -5127,6 +5154,27 @@ object ClickHouseAliases {
         FunctionIdentifier(name),
         new ExpressionInfo("graft.sql.ClickHouseAliases", name),
         builder)
+    }
+    // CH date_add/date_sub keep the DateTime type (+N = days); Spark's
+    // builtins always return DATE — shadow with a type-preserving form
+    // (the 3-arg unit spelling passes through to the builtin)
+    Seq("date_add" -> 1, "date_sub" -> -1).foreach { case (nm, sign) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(nm),
+        new ExpressionInfo("graft.sql.ClickHouseAliases", nm),
+        (cs: Seq[Expression]) =>
+          if (cs.size != 2) throw new IllegalArgumentException(
+            s"$nm expects (date, days)")
+          else ChDispatch(nm, cs.take(2)) { c =>
+            val days = if (sign > 0) c(1)
+              else UnaryMinus(Cast(c(1), IntegerType))
+            c.head.dataType match {
+              case TimestampType | TimestampNTZType =>
+                TimestampAdd("DAY", Cast(days, LongType), c.head)
+              case _ => DateAdd(Cast(c.head, DateType),
+                Cast(days, IntegerType))
+            }
+          })
     }
   }
 
