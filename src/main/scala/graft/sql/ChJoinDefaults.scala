@@ -87,9 +87,36 @@ object ChRollupDefaults extends Rule[LogicalPlan] {
           if agg.resolved &&
             child.output.exists(_.name == "spark_grouping_id") => {
         // grouping copies produced by Expand (original key attrs keep
-        // different exprIds and appear only inside aggregate functions)
+        // different exprIds and appear only inside aggregate functions).
+        // Only NON-Nullable source columns default: a Nullable key's
+        // rollup filler IS NULL in the reference (00804/00906 goldens),
+        // because the column default of Nullable(T) is NULL. The
+        // original expression sits in the Expand's first (all-keys)
+        // projection at the copy's output position.
+        def findExpand(p: LogicalPlan): Option[Expand] = p match {
+          case e: Expand => Some(e)
+          case pr: Project => findExpand(pr.child)
+          case _ => None
+        }
+        // A source counts as non-nullable when the plan says so, or
+        // when it is a session-table column DECLARED non-Nullable
+        // (marked via field metadata — the session's Spark schemas are
+        // uniformly nullable=true)
+        def srcNullable(e: Expression): Boolean = e match {
+          case ar: AttributeReference
+              if ar.metadata.contains("graft.ch.nonnull") => false
+          case other => other.nullable
+        }
+        val sourceNullable: Map[String, Boolean] =
+          findExpand(child).filter(_.projections.nonEmpty).map { e =>
+            e.output.zipWithIndex.map { case (a, i) =>
+              a.exprId.toString ->
+                e.projections.head.lift(i).forall(srcNullable)
+            }.toMap
+          }.getOrElse(Map.empty)
         val keyAttrs = ga.collect {
-          case a: AttributeReference if a.name != "spark_grouping_id" => a
+          case a: AttributeReference if a.name != "spark_grouping_id" &&
+              !sourceNullable.getOrElse(a.exprId.toString, true) => a
         }.toSet
         def defaulted(a: AttributeReference) =
           If(IsNull(a), Literal.default(a.dataType), a)

@@ -530,7 +530,7 @@ final class ChSession(spark: SparkSession) {
       // BitMapColumn insert path); everything else casts to declared type
       if (chTypeOf.get(f.name).contains("BitMap64"))
         expr(s"arrayToBitmap(`${f.name}`)").as(f.name)
-      else col(s"`${f.name}`").cast(relaxNulls(f.dataType)).as(f.name)
+      else col(s"`${f.name}`").cast(f.dataType).as(f.name)
     } :+ delSrc.as("__del") :+ updSrc.as("__upd") :+
       lit(if (partialNow) 1 else 0).as("__partial"): _*)
     val mode = modeOverride.getOrElse(dedupKeyMode)
@@ -708,13 +708,18 @@ final class ChSession(spark: SparkSession) {
       // Enum columns map to String but their type default is the FIRST
       // listed member (reference DataTypeEnum::getDefault,
       // DataTypeEnum.cpp:77) — carried as field metadata so totals /
-      // default-fill paths can print it
-      val meta = """(?is)^Enum(?:8|16)?\s*\(\s*'((?:[^'\\]|\\.)*)'""".r
+      // default-fill paths can print it. Non-Nullable CH columns are
+      // also marked: Spark schemas here are always nullable=true, but
+      // rollup/totals filler semantics depend on the DECLARED
+      // nullability (Nullable fills NULL, plain types fill defaults).
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      """(?is)^Enum(?:8|16)?\s*\(\s*'((?:[^'\\]|\\.)*)'""".r
         .findFirstMatchIn(typeText.trim)
-        .map(m => new org.apache.spark.sql.types.MetadataBuilder()
-          .putString("graft.ch.enumDefault", m.group(1).replace("\\'", "'"))
-          .build())
-        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+        .foreach(m =>
+          mb.putString("graft.ch.enumDefault", m.group(1).replace("\\'", "'")))
+      if (!(chNullable || explicitNullable))
+        mb.putBoolean("graft.ch.nonnull", true)
+      val meta = mb.build()
       Some(ColDef(StructField(name, dt, nullable = true, meta), typeText, d,
         hidden, kind, comment, rinn = rinn))
     }
@@ -1563,20 +1568,6 @@ object ChSession {
   private def isIdentChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_' || c == '.' || c == '`'
 
-  /** Insert-alignment cast target with container nullability relaxed:
-    * Spark refuses to cast ARRAY<T (nullable)> to ARRAY<T (non-null)>
-    * even when no element is NULL, but an inserted expression is often
-    * nullable only by construction (e.g. a StaticInvoke-built string)
-    * — declared non-Nullable CH element types must still accept it.
-    */
-  private[sql] def relaxNulls(dt: DataType): DataType = dt match {
-    case ArrayType(et, _) => ArrayType(relaxNulls(et), containsNull = true)
-    case MapType(kt, vt, _) =>
-      MapType(relaxNulls(kt), relaxNulls(vt), valueContainsNull = true)
-    case StructType(fs) => StructType(fs.map(f =>
-      f.copy(dataType = relaxNulls(f.dataType), nullable = true)))
-    case other => other
-  }
 
   /** If `sql` at position `i` spells a reference to `system.one`
     * (optionally backticked, with whitespace or block comments around

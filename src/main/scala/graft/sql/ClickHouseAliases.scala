@@ -3857,7 +3857,7 @@ object ClickHouseAliases {
         import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
         StaticInvoke(graft.functions.StringOps.getClass, StringType,
           "visitParamRaw", Seq(cs.head, cs(1)), Seq(StringType, StringType),
-          returnNullable = true)
+          returnNullable = false)
       }))
     simpleLowerings.flatMap { case (suffix, builder) =>
       Seq(s"simpleJSON$suffix" -> builder, s"visitParam$suffix" -> builder)
@@ -4117,6 +4117,62 @@ object ClickHouseAliases {
       // date/timestamp interval form)
       "addDate" -> (cs => Add(cs.head, cs(1))),
       "subDate" -> (cs => Subtract(cs.head, cs(1))),
+      // MySQL FROM_DAYS(n): date from the day number where
+      // TO_DAYS('1970-01-01') = 719528
+      "from_days" -> (cs => DateFromUnixDate(
+        Cast(Subtract(Cast(cs.head, LongType), Literal(719528L)),
+          IntegerType))),
+      // MySQL STRCMP: sign of the string comparison
+      "strcmp" -> (cs => {
+        val l = Cast(cs.head, StringType); val r = Cast(cs(1), StringType)
+        CaseWhen(Seq(
+          (LessThan(l, r), Literal(-1)),
+          (GreaterThan(l, r), Literal(1))), Some(Literal(0)))
+      }),
+      // MySQL PERIOD_DIFF(p1, p2): months between YYYYMM periods; a
+      // negative period cannot be parsed (reference error 377)
+      "period_diff" -> (cs => {
+        def months(e: Expression) = {
+          val p = Cast(e, LongType)
+          val valid = If(LessThan(p, Literal(0L)),
+            Cast(RaiseError(Literal(
+              "Cannot parse period: value is negative")), LongType), p)
+          Add(
+            Multiply(IntegralDivide(valid, Literal(100L)), Literal(12L)),
+            Remainder(valid, Literal(100L)))
+        }
+        Subtract(months(cs.head), months(cs(1)))
+      }),
+      // timezoneOf(ts): the session timezone name (our timestamps are
+      // all session-zone)
+      "timezoneOf" -> (_ => CurrentTimeZone()),
+      // age('unit', start, end): COMPLETE elapsed units (reference
+      // src/Functions/dateDiff.cpp registerFunction age — unlike
+      // dateDiff it does not count boundary crossings)
+      "age" -> (cs => ChDispatch("age", cs.take(3)) { c =>
+        val unit = c.head match {
+          case Literal(u, StringType) if u != null => u.toString.toLowerCase
+          case _ => "second"
+        }
+        def ts(e: Expression) = Cast(e, TimestampType)
+        def secs(e: Expression) = Cast(UnixMicros(ts(e)), DoubleType)
+        lazy val months = MonthsBetween(ts(c(2)), ts(c(1)), Literal(false))
+        def floorDiv(unitSecs: Long): Expression = Cast(
+          Floor(Divide(Subtract(secs(c(2)), secs(c(1))),
+            Literal(unitSecs * 1e6))), LongType)
+        unit match {
+          case "year" | "yy" | "yyyy" =>
+            Cast(Floor(Divide(months, Literal(12.0d))), LongType)
+          case "quarter" | "qq" =>
+            Cast(Floor(Divide(months, Literal(3.0d))), LongType)
+          case "month" | "mm" => Cast(Floor(months), LongType)
+          case "week" | "wk" => floorDiv(7L * 86400)
+          case "day" | "dd" => floorDiv(86400L)
+          case "hour" | "hh" => floorDiv(3600L)
+          case "minute" | "mi" => floorDiv(60L)
+          case _ => floorDiv(1L)
+        }
+      }),
       "tupleHammingDistance" -> (cs =>
         ChDispatch("tupleHammingDistance", cs.take(2)) { c =>
           // mixed/NULL-typed fields compare through a widening cast so
@@ -4380,6 +4436,46 @@ object ClickHouseAliases {
       // stream order; here a window over monotonically_increasing_id —
       // correct per-partition ordering, exact on the single-stream
       // shapes the corpus uses (RowOrder.scala holds the operator form)
+      // neighbor(col, offset[, default]): the value offset rows away in
+      // row order; outside the block it is the type default (reference
+      // src/Functions/neighbor.cpp). Lead for positive, Lag for
+      // negative offsets; same single-stream window as
+      // runningDifference.
+      "neighbor" -> (cs => {
+        val wholeSpec = WindowSpecDefinition(Nil,
+          Seq(SortOrder(MonotonicallyIncreasingID(), Ascending)),
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+            UnboundedFollowing))
+        cs(1) match {
+          case Literal(v, _) if v != null =>
+            val off = v.toString.toDouble.toInt
+            val fn =
+              if (off >= 0) Lead(cs.head, Literal(off), Literal(null), false)
+              else Lag(cs.head, Literal(-off), Literal(null), false)
+            val shifted = WindowExpression(fn, orderSpec)
+            if (cs.size > 2) Coalesce(Seq(shifted, cs(2)))
+            else Coalesce(Seq(shifted,
+              ChDispatch("neighborDefault", Seq(cs.head)) { c =>
+                Literal.default(c.head.dataType)
+              }))
+          case dyn =>
+            // per-row offset: index into the whole stream collected as
+            // one array (corpus-scale single-stream shapes)
+            val all = WindowExpression(
+              new CollectList(cs.head).toAggregateExpression(), wholeSpec)
+            val rn = WindowExpression(RowNumber(), orderSpec)
+            val idx = Add(Cast(rn, LongType), Cast(dyn, LongType))
+            val inRange = And(GreaterThanOrEqual(idx, Literal(1L)),
+              LessThanOrEqual(idx, Cast(Size(all), LongType)))
+            val dflt: Expression =
+              if (cs.size > 2) cs(2)
+              else ChDispatch("neighborDefault", Seq(cs.head)) { c =>
+                Literal.default(c.head.dataType)
+              }
+            If(inRange,
+              ElementAt(all, Cast(idx, IntegerType), None, false), dflt)
+        }
+      }),
       "runningDifference" -> (cs => {
         // the reference's state keeps the last NON-NULL value: nulls
         // emit null but do not reset the difference base
@@ -5143,7 +5239,10 @@ object ClickHouseAliases {
       StaticInvoke(graft.functions.StringOps.getClass, StringType,
         "chRepeat",
         Seq(Cast(cs.head, StringType), Cast(cs(1), LongType)),
-        Seq(StringType, LongType), returnNullable = true)
+        // never null for non-null inputs (propagateNull covers nulls) —
+        // keeps arrayMap(x -> repeat(…)) elements non-nullable so
+        // inserts into Array(String) columns cast cleanly
+        Seq(StringType, LongType), returnNullable = false)
     }
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("repeat"),

@@ -220,9 +220,12 @@ object StatelessSweep {
       case _: ArrayType => Seq.empty
       case _ => null
     }
+    // SET dialect_type='ANSI': the totals row keeps standard NULL keys
+    // (10720_cube_ansi golden) instead of the CH type defaults
+    val ansi = spark.conf.getOption("graft.ch.dialect").contains("ANSI")
     rows.map { r =>
       val vals = (0 until r.length).map { k =>
-        if (keyPos.contains(k) && r.isNullAt(k)) {
+        if (!ansi && keyPos.contains(k) && r.isNullAt(k)) {
           val f = schema(k)
           if (f.metadata.contains("graft.ch.enumDefault"))
             f.metadata.getString("graft.ch.enumDefault")
