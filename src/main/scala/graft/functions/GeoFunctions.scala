@@ -129,6 +129,15 @@ object GeoFunctions {
     inside
   }
 
+  /** Codegen entry (StaticInvoke): reference argument order lon-first,
+    * precision clamped to 12 outside 1..12 (GeoHash.cpp
+    * geohashPrecision).
+    */
+  def encodeU(lon: Double, lat: Double, precision: Int)
+      : org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      encode(lat, lon, if (precision <= 0 || precision > 12) 12 else precision))
+
   def encode(lat: Double, lon: Double, precision: Int): String = {
     var latLo = -90.0; var latHi = 90.0
     var lonLo = -180.0; var lonHi = 180.0

@@ -214,6 +214,21 @@ object StringOps {
     if (times == 0L) UTF8String.EMPTY_UTF8 else s.repeat(times.toInt)
   }
 
+  /** CH char(n1, n2, …): one BYTE per argument (UTF-8 sequences can be
+    * spelled byte-wise — reference src/Functions/char.cpp), unlike
+    * Spark's codepoint chr.
+    */
+  def chChar(ns: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    if (ns == null) return null
+    val bytes = new Array[Byte](ns.numElements())
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = (ns.getInt(i) & 0xFF).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(bytes)
+  }
+
   /** visitParamExtractRaw / simpleJSONExtractRaw: find `"name":` and
     * return the RAW bytes of the value — whitespace after the colon
     * included, string escapes untouched — scanning with a bracket/quote

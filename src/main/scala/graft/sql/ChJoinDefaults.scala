@@ -107,19 +107,35 @@ object ChRollupDefaults extends Rule[LogicalPlan] {
               if ar.metadata.contains("graft.ch.nonnull") => false
           case other => other.nullable
         }
+        val expandOpt = findExpand(child).filter(_.projections.nonEmpty)
         val sourceNullable: Map[String, Boolean] =
-          findExpand(child).filter(_.projections.nonEmpty).map { e =>
+          expandOpt.map { e =>
             e.output.zipWithIndex.map { case (a, i) =>
               a.exprId.toString ->
                 e.projections.head.lift(i).forall(srcNullable)
+            }.toMap
+          }.getOrElse(Map.empty)
+        // a CONSTANT key's filler is the constant itself (the reference
+        // keeps const columns const through rollup —
+        // 01013_totals_without_aggregation golden), otherwise the type
+        // default
+        val sourceExpr: Map[String, Expression] =
+          expandOpt.map { e =>
+            e.output.zipWithIndex.flatMap { case (a, i) =>
+              e.projections.head.lift(i).map(a.exprId.toString -> _)
             }.toMap
           }.getOrElse(Map.empty)
         val keyAttrs = ga.collect {
           case a: AttributeReference if a.name != "spark_grouping_id" &&
               !sourceNullable.getOrElse(a.exprId.toString, true) => a
         }.toSet
-        def defaulted(a: AttributeReference) =
-          If(IsNull(a), Literal.default(a.dataType), a)
+        def defaulted(a: AttributeReference) = {
+          val filler = sourceExpr.get(a.exprId.toString) match {
+            case Some(lit: Literal) => lit
+            case _ => Literal.default(a.dataType)
+          }
+          If(IsNull(a), filler, a)
+        }
         // idempotence guard (this batch runs to fixpoint): a key that
         // already sits inside its default-collapsing If has been done
         val applied = ra.exists(_.exists {

@@ -84,6 +84,11 @@ final class ChSession(spark: SparkSession) {
   if (!spark.catalog.tableExists("one"))
     spark.sql("SELECT CAST(0 AS SMALLINT) AS dummy")
       .createOrReplaceTempView("one")
+  // system.numbers is the reference's unbounded number stream; corpus
+  // uses always cap it with LIMIT — a bounded view is observationally
+  // identical up to 65536 rows
+  if (!spark.catalog.tableExists("numbers"))
+    spark.range(65536).toDF("number").createOrReplaceTempView("numbers")
 
   /** Session-level `SET dedup_key_mode = …` for unique-key inserts. */
   private var dedupKeyMode: String = "replace"
@@ -140,8 +145,13 @@ final class ChSession(spark: SparkSession) {
     // dialect_type flips argument conventions of a few functions
     // (LOCATE: MySQL (substr, str) vs CH (str, substr)) — builders read
     // it from the session conf at analysis time
-    dialectRe.findFirstMatchIn(s).foreach(m =>
-      spark.conf.set("graft.ch.dialect", m.group(1).toUpperCase))
+    dialectRe.findFirstMatchIn(s).foreach { m =>
+      spark.conf.set("graft.ch.dialect", m.group(1).toUpperCase)
+      // CH reads "x" as an IDENTIFIER; MySQL reads it as a string —
+      // flip Spark's parser accordingly (restored at close)
+      spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers",
+        (m.group(1).toUpperCase != "MYSQL").toString)
+    }
     dedupModeRe.findFirstMatchIn(s).foreach(m =>
       dedupKeyMode = m.group(1).toLowerCase)
     stagingRe.findFirstMatchIn(s).foreach(m =>
@@ -169,6 +179,8 @@ final class ChSession(spark: SparkSession) {
     try spark.conf.unset("graft.ch.max_memory_bytes")
     catch { case _: Throwable => () }
     try spark.conf.unset("graft.ch.dialect")
+    catch { case _: Throwable => () }
+    try spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     catch { case _: Throwable => () }
   }
 
@@ -461,11 +473,37 @@ final class ChSession(spark: SparkSession) {
       if (up.startsWith("VALUES")) {
         val tuples = splitTuples(rest.substring("VALUES".length))
         if (tuples.isEmpty) return
+        // DateTime-typed columns read per the reference's rules ('123…'
+        // = unix seconds) BEFORE the union so mixed literal types
+        // ('2000-01-02…' next to 1111111111) coerce to TIMESTAMP, not
+        // to the union's numeric pick (00567 golden)
+        val tsCol: Map[Int, String] = givenCols.zipWithIndex.flatMap {
+          case (n, i) => st.schema.find(_.name == n)
+            .filter(_.dataType == TimestampType)
+            .map { f =>
+              val tz = if (f.metadata.contains("graft.ch.tz"))
+                f.metadata.getString("graft.ch.tz") else ""
+              i -> tz
+            }
+        }.toMap
+        def wrapTs(t: String): String =
+          if (tsCol.isEmpty) t
+          else {
+            val items = splitTop(t)
+            if (items.size != givenCols.size) t
+            else items.zipWithIndex.map { case (it, i) =>
+              tsCol.get(i) match {
+                case Some("") => s"chReadDateTime($it)"
+                case Some(tz) => s"chReadDateTime($it, '$tz')"
+                case None => it
+              }
+            }.mkString(", ")
+          }
         // chunked UNION ALL: one SELECT per row keeps literal transpile
         // (arrays, tuples, negative dates) on the proven path
         val dfs = tuples.grouped(200).map { group =>
           spark.sql(group.map(t =>
-              ChTranspiler.transpile("SELECT " + t, widenInts = true))
+              ChTranspiler.transpile("SELECT " + wrapTs(t), widenInts = true))
             .mkString(" UNION ALL "))
         }.toSeq
         dfs.reduce(_ unionAll _)
@@ -479,6 +517,36 @@ final class ChSession(spark: SparkSession) {
       } else throw new IllegalArgumentException(
         s"unsupported INSERT form: ${rest.take(40)}")
     appendTo(name, inserted, givenCols, modeOverride, stagingOverride)
+  }
+
+  /** Insert-alignment cast with the reference's DateTime read
+    * semantics: a 9-10 digit value is a unix timestamp
+    * (ReadHelpers.h readDateTimeText numeric fallback —
+    * 00567_parse_datetime_as_unix_timestamp), anything else parses as
+    * datetime text.
+    */
+  private def chAlignCast(c: Column, dt: DataType,
+      src: Option[DataType] = None): Column = dt match {
+    case TimestampType =>
+      when(c.cast("string").rlike("^\\d{9,10}$"),
+        c.cast("string").cast("long").cast("timestamp"))
+        .otherwise(c.cast("timestamp"))
+    // integral -> integral WRAPS like the reference's insert conversion
+    // (intHash32(number) into an Int32 column reinterprets, never
+    // errors — 00940); sign-extend through shifts
+    case ByteType | ShortType | IntegerType | LongType
+        if src.exists(s => s == ByteType || s == ShortType ||
+          s == IntegerType || s == LongType) =>
+      val bits = dt match {
+        case ByteType => 8
+        case ShortType => 16
+        case IntegerType => 32
+        case _ => 64
+      }
+      if (bits == 64) c.cast("long")
+      else shiftright(shiftleft(c.cast("long"), 64 - bits), 64 - bits)
+        .cast(dt)
+    case _ => c.cast(dt)
   }
 
   /** Align an inserted block to `name`'s declared schema, append it,
@@ -530,7 +598,8 @@ final class ChSession(spark: SparkSession) {
       // BitMapColumn insert path); everything else casts to declared type
       if (chTypeOf.get(f.name).contains("BitMap64"))
         expr(s"arrayToBitmap(`${f.name}`)").as(f.name)
-      else col(s"`${f.name}`").cast(f.dataType).as(f.name)
+      else chAlignCast(col(s"`${f.name}`"), f.dataType,
+        full.schema.find(_.name == f.name).map(_.dataType)).as(f.name)
     } :+ delSrc.as("__del") :+ updSrc.as("__upd") :+
       lit(if (partialNow) 1 else 0).as("__partial"): _*)
     val mode = modeOverride.getOrElse(dedupKeyMode)
@@ -719,6 +788,11 @@ final class ChSession(spark: SparkSession) {
           mb.putString("graft.ch.enumDefault", m.group(1).replace("\\'", "'")))
       if (!(chNullable || explicitNullable))
         mb.putBoolean("graft.ch.nonnull", true)
+      // explicit column timezone: DateTime('UTC') / DateTime64(3, 'UTC')
+      // — epoch reads render in THAT zone, not the session's
+      """(?is)^(?:Nullable\s*\(\s*)?DateTime(?:64)?\s*\(\s*(?:\d+\s*,\s*)?'([^']+)'"""
+        .r.findFirstMatchIn(typeText.trim)
+        .foreach(m => mb.putString("graft.ch.tz", m.group(1)))
       val meta = mb.build()
       Some(ColDef(StructField(name, dt, nullable = true, meta), typeText, d,
         hidden, kind, comment, rinn = rinn))
@@ -1545,12 +1619,14 @@ object ChSession {
         }
       } else if ((c == 's' || c == '`') &&
           (i == 0 || !isIdentChar(sql.charAt(i - 1))) &&
-          sysOneEnd(sql, i) > 0) {
-        // the reference's one-row system table (dummy UInt8 = 0);
-        // registered as the `one` temp view at session start.
+          sysTableEnd(sql, i)._1 > 0) {
+        // the reference's modeled system tables (`one`: a single row of
+        // dummy UInt8 = 0; `numbers`: the number stream, registered as
+        // a bounded view) — rewritten to the bare temp-view names.
         // Tolerates backticks, whitespace and /*…*/ comments around the
         // dot (00269_database_table_whitespace exercises all three).
-        sb.append("one"); i = sysOneEnd(sql, i)
+        val (end, nm) = sysTableEnd(sql, i)
+        sb.append(nm); i = end
       } else if ((c == 't' || c == 'd') &&
           (i == 0 || !isIdentChar(sql.charAt(i - 1))) &&
           (sql.startsWith("test.", i) || sql.startsWith("default.", i))) {
@@ -1569,11 +1645,20 @@ object ChSession {
     c.isLetterOrDigit || c == '_' || c == '.' || c == '`'
 
 
-  /** If `sql` at position `i` spells a reference to `system.one`
-    * (optionally backticked, with whitespace or block comments around
-    * the dot), return the index just past it; else -1.
+  /** If `sql` at position `i` spells a reference to `system.one` or
+    * `system.numbers` (optionally backticked, with whitespace or block
+    * comments around the dot), return (index just past it, table name);
+    * else (-1, "").
     */
-  private def sysOneEnd(sql: String, i: Int): Int = {
+  private def sysTableEnd(sql: String, i: Int): (Int, String) = {
+    Seq("one", "numbers").foreach { nm =>
+      val e = sysRefEnd(sql, i, nm)
+      if (e > 0) return (e, nm)
+    }
+    (-1, "")
+  }
+
+  private def sysRefEnd(sql: String, i: Int, table: String): Int = {
     var k = i
     val n = sql.length
     def word(w: String): Boolean = {
@@ -1603,13 +1688,13 @@ object ChSession {
     if (k >= n || sql.charAt(k) != '.') return -1
     k += 1
     skipWsComments()
-    if (!word("one")) return -1
+    if (!word(table)) return -1
     if (k < n && isIdentChar(sql.charAt(k)) && sql.charAt(k) != '`') return -1
     k
   }
 
   private val dbAfterKwRe =
-    """(?i)\b(FROM|JOIN|INTO|TABLE|VIEW)\s+(?:`[^`]+`|\w+)\.(?=[`A-Za-z_])""".r
+    """(?i)\b(FROM|JOIN|INTO|TABLE|VIEW)\s+(?:`[^`]+`|"[^"]+"|\w+)\.(?=[`"A-Za-z_])""".r
 
   /** `FROM db.tbl` → `FROM tbl` for any db name (quote-aware enough:
     * these keywords cannot appear inside a string literal followed by a

@@ -777,14 +777,19 @@ object ChTranspiler {
           out.append(", ")
           parens += 1 // the dropped ")" had decremented the counter
           lastSig = Some(p)
-        case n @ Num(t) if t.startsWith(".") && t.drop(1).forall(_.isDigit) &&
+        case n @ Num(t) if t.startsWith(".") &&
+            t.drop(1).split('.').forall(s => s.nonEmpty && s.forall(_.isDigit)) &&
             (lastSig.exists(_.isInstanceOf[Word]) ||
              lastSig.contains(Punct(")")) || lastSig.contains(Punct("]"))) =>
           // CH 1-based tuple element access `t.1` — our tuples are Spark
           // structs built by the `tuple()` registry function (CreateStruct
           // names its fields col1, col2, …), so `.N` maps to `.colN`.
-          out.append(".col").append(t.drop(1))
-          lastSig = Some(n)
+          // A chain `t.1.1` lexes as one ".1.1" number token — every
+          // segment maps. lastSig becomes the emitted FIELD WORD so a
+          // following separate `.N` keeps rewriting too.
+          val segs = t.drop(1).split('.')
+          segs.foreach(s => out.append(".col").append(s))
+          lastSig = Some(Word("col" + segs.last))
         case w0 @ Word(w) if w.equalsIgnoreCase("datetime") && {
             var k = i + 1
             while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1
@@ -793,6 +798,22 @@ object ChTranspiler {
           // MySQL-dialect typed literal `DATETIME '2020-01-01 00:00:00'`
           // (corpus 015xx/13002): Spark's spelling is TIMESTAMP
           out.append("TIMESTAMP")
+          lastSig = Some(w0)
+        case w0 @ Word(w) if (w.equalsIgnoreCase("semi") ||
+            w.equalsIgnoreCase("anti")) && {
+            var k = i + 1
+            while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1
+            k < toks.length && (toks(k) match {
+              case Word(j) => j.equalsIgnoreCase("LEFT")
+              case _ => false
+            }) } =>
+          // CH `SEMI LEFT JOIN` = Spark `LEFT SEMI JOIN` (and ANTI):
+          // swap the qualifier order; RIGHT SEMI/ANTI have no Spark
+          // equivalent and keep failing loudly
+          var k = i + 1
+          while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1
+          out.append("LEFT ").append(w.toUpperCase)
+          i = k // skip the LEFT we just emitted in front
           lastSig = Some(w0)
         case Word(w) if (w.equalsIgnoreCase("all") ||
             w.equalsIgnoreCase("any") || w.equalsIgnoreCase("global")) && {
@@ -848,14 +869,15 @@ object ChTranspiler {
       }
       i += 1
     }
-    guardSelectStringHead(
+    rewriteLimitBy(guardSelectStringHead(
     rewriteOrderNulls(rewriteNestedArrayJoinDeep(rewriteArrayJoin(rewriteInClauses(
       rewriteTupleLiterals(rewriteTernary(rewriteInlineAliases(
         rewriteScalarWithDeep(rewriteInfixMod(rewriteTwoArgCast(wrapWindowSums(
           fixOrderlessRange(stripRankFrames(rewriteGroupsFrame(
             postPass(rewritePositionIn(rewriteMapLiterals(
               parenthesizeUsing(addImplicitFromOne(
-                rewriteValuesTable(out.toString)))))))))))))))))))))
+                rewriteDynamicInterval(
+                  rewriteValuesTable(out.toString)))))))))))))))))))))))
   }
 
   /** GROUPS window frames (reference WindowDescription.h FrameType::
@@ -1127,6 +1149,19 @@ object ChTranspiler {
     for (j <- (math.max(openIdx, 0) until withIdx).reverse if groupIdx < 0)
       if (depthAt(j) == td && isWordI(toks(j), "GROUP") &&
           isWordI(toks(sig(j, 1)), "BY")) groupIdx = j
+    // `SELECT 1 WITH TOTALS` with neither GROUP BY nor aggregation is
+    // NOT_IMPLEMENTED in the reference (error 48,
+    // 01013_totals_without_aggregation)
+    if (groupIdx < 0) {
+      val head = toks.slice(math.max(openIdx, 0), withIdx)
+        .map(_.text).mkString
+      val aggRe = ("""(?i)\b(count|sum|avg|min|max|any|anyLast|uniq\w*|""" +
+        """quantile\w*|median\w*|groupArray\w*|argMin|argMax|topK\w*|""" +
+        """corr|covar\w*|stddev\w*|var\w*|entropy)\s*\(""").r
+      if (!aggRe.findFirstIn(head).isDefined)
+        throw new IllegalArgumentException(
+          "WITH TOTALS without aggregation is not supported (error 48)")
+    }
     val boundary = Set("ORDER", "LIMIT", "SETTINGS", "UNION", "FORMAT",
       "INTO", "OFFSET", "HAVING")
     def clauseEnd(from: Int): Int = {
@@ -1528,43 +1563,125 @@ object ChTranspiler {
     sql
   }
 
+  /** ClickHouse `LIMIT n BY expr[, …]` (reference LimitByTransform:
+    * first n stream rows per distinct key, keeping stream order) →
+    * row_number over a monotonic id. Runs LAST in the pass chain, so
+    * the wrapper it emits is plain Spark SQL. An optional trailing
+    * `LIMIT m` stays the final limit.
+    */
+  private def rewriteLimitBy(sql: String): String = {
+    if (!"""(?i)\blimit\b""".r.findFirstIn(sql).isDefined) return sql
+    val toks = tokenize(sql)
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    val depthAt = new Array[Int](toks.length)
+    var d = 0
+    for (k <- toks.indices) toks(k) match {
+      case Punct("(") => depthAt(k) = d; d += 1
+      case Punct(")") => d -= 1; depthAt(k) = d
+      case _ => depthAt(k) = d
+    }
+    for (i <- toks.indices) {
+      if (isWordI(toks(i), "LIMIT")) {
+        val td = depthAt(i)
+        val nIdx = nextSig(i + 1)
+        val byIdx = if (nIdx < toks.length) nextSig(nIdx + 1) else toks.length
+        val isLimitBy = nIdx < toks.length && toks(nIdx).isInstanceOf[Num] &&
+          byIdx < toks.length && isWordI(toks(byIdx), "BY")
+        if (isLimitBy) {
+          val n = toks(nIdx).text
+          // enclosing group bounds (whole statement at depth 0)
+          var openIdx = -1
+          if (td > 0) {
+            var bal = 0
+            var k = i - 1
+            while (openIdx < 0 && k >= 0) {
+              toks(k) match {
+                case Punct(")") => bal += 1
+                case Punct("(") => if (bal > 0) bal -= 1 else openIdx = k
+                case _ => ()
+              }
+              k -= 1
+            }
+          }
+          // BY items: up to the next same-level clause keyword or the
+          // enclosing close paren
+          var j = byIdx + 1
+          var end = -1
+          while (end < 0 && j < toks.length) {
+            toks(j) match {
+              case Word(w) if depthAt(j) == td && Seq("LIMIT", "UNION",
+                "SETTINGS", "FORMAT", "INTO", "OFFSET")
+                .contains(w.toUpperCase) => end = j
+              case Punct(";") if depthAt(j) == td => end = j
+              case Punct(")") if depthAt(j) < td => end = j
+              case _ => j += 1
+            }
+          }
+          if (end < 0) end = toks.length
+          val items = toks.slice(byIdx + 1, end).map(_.text).mkString.trim
+          val body = toks.slice(openIdx + 1, i).map(_.text).mkString.trim
+          val tail = toks.slice(end,
+            if (td > 0) { // up to the enclosing close paren
+              var bal = 0; var k = end
+              while (k < toks.length && (toks(k) match {
+                case Punct("(") => bal += 1; true
+                case Punct(")") => bal -= 1; bal >= 0
+                case _ => true
+              })) k += 1
+              k
+            } else toks.length).map(_.text).mkString.trim
+          val pre = toks.take(openIdx + 1).map(_.text).mkString
+          val postStart = if (td > 0) {
+            var bal = 0; var k = end
+            while (k < toks.length && (toks(k) match {
+              case Punct("(") => bal += 1; true
+              case Punct(")") => bal -= 1; bal >= 0
+              case _ => true
+            })) k += 1
+            k
+          } else toks.length
+          val post = toks.drop(postStart).map(_.text).mkString
+          val rewritten =
+            s"SELECT * EXCEPT (__lby_rn, __lby_id) FROM (" +
+              s"SELECT *, row_number() OVER (PARTITION BY $items " +
+              s"ORDER BY __lby_id) AS __lby_rn FROM (" +
+              s"SELECT *, monotonically_increasing_id() AS __lby_id " +
+              s"FROM ($body))) " +
+              s"WHERE __lby_rn <= $n ORDER BY __lby_id" +
+              (if (tail.nonEmpty) " " + tail else "")
+          return rewriteLimitBy(pre + rewritten + post)
+        }
+      }
+    }
+    sql
+  }
+
   /** Spark's expression parser reads `(SELECT 'str' …)` as the typed
     * literal `SELECT 'str'` (UNSUPPORTED_TYPED_LITERAL) — an
     * IN/EXISTS/scalar subquery whose select list LEADS with a string
-    * literal fails to parse. An EXTRA paren level (`((SELECT 'str'))`)
-    * forces the subquery grammar; harmless in FROM position too.
+    * literal fails to parse. Spelling the literal as
+    * `CAST('str' AS STRING)` sidesteps the grammar without changing
+    * value, type, or the subquery's row semantics (an extra paren level
+    * would instead turn `IN (subquery)` into a scalar subquery).
     */
   private def guardSelectStringHead(sql: String): String = {
     val toks = tokenize(sql)
     def nextSig(j: Int): Int = {
       var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
     }
-    val opens = scala.collection.mutable.Set[Int]()
-    val closes = scala.collection.mutable.Set[Int]()
+    val wrapAt = scala.collection.mutable.Set[Int]()
     for (k <- toks.indices if toks(k) == Punct("(")) {
       val s = nextSig(k + 1)
       if (s < toks.length && isWordI(toks(s), "SELECT")) {
         val lit = nextSig(s + 1)
-        if (lit < toks.length && toks(lit).isInstanceOf[Str]) {
-          var d = 1
-          var j = k + 1
-          while (d > 0 && j < toks.length) {
-            toks(j) match {
-              case Punct("(") => d += 1
-              case Punct(")") => d -= 1
-              case _ => ()
-            }
-            if (d > 0) j += 1
-          }
-          if (d == 0) { opens += k; closes += j }
-        }
+        if (lit < toks.length && toks(lit).isInstanceOf[Str]) wrapAt += lit
       }
     }
-    if (opens.isEmpty) sql
+    if (wrapAt.isEmpty) sql
     else toks.zipWithIndex.map { case (t, k) =>
-      if (opens(k)) "(("
-      else if (closes(k)) "))"
-      else t.text
+      if (wrapAt(k)) "CAST(" + t.text + " AS STRING)" else t.text
     }.mkString
   }
 
@@ -1575,6 +1692,67 @@ object ChTranspiler {
     if (lit.length < 2) return lit
     lit.substring(1, lit.length - 1)
       .replace("\\'", "'").replace("''", "'").replace("\\\\", "\\")
+  }
+
+  /** `INTERVAL <expr> UNIT` with a non-literal quantity (ClickHouse
+    * allows any expression; Spark's INTERVAL literal is constant-only)
+    * → `((expr) * INTERVAL '1' UNIT)`.
+    */
+  private def rewriteDynamicInterval(sql: String): String = {
+    if (!"""(?i)\binterval\b""".r.findFirstIn(sql).isDefined) return sql
+    val units = Set("SECOND", "MINUTE", "HOUR", "DAY", "WEEK", "MONTH",
+      "QUARTER", "YEAR", "SECONDS", "MINUTES", "HOURS", "DAYS", "WEEKS",
+      "MONTHS", "QUARTERS", "YEARS")
+    val toks = tokenize(sql)
+    def sigs(from: Int, to: Int): Seq[Tok] =
+      toks.slice(from, to).filterNot(_.isInstanceOf[Ws])
+    var i = 0
+    while (i < toks.length) {
+      if (isWordI(toks(i), "INTERVAL")) {
+        // scan forward for the unit word at depth 0 relative to here
+        var d = 0
+        var j = i + 1
+        var unitAt = -1
+        var stop = false
+        while (unitAt < 0 && !stop && j < toks.length) {
+          toks(j) match {
+            case Punct("(") | Punct("[") => d += 1
+            case Punct(")") | Punct("]") =>
+              if (d == 0) stop = true else d -= 1
+            case Punct(",") | Punct(";") if d == 0 => stop = true
+            case Word(w) if d == 0 && units.contains(w.toUpperCase) =>
+              unitAt = j
+            case Word(w) if d == 0 && Seq("SELECT", "FROM", "WHERE",
+              "GROUP", "ORDER", "LIMIT", "AND", "OR", "AS")
+              .contains(w.toUpperCase) => stop = true
+            case _ => ()
+          }
+          if (unitAt < 0 && !stop) j += 1
+        }
+        if (unitAt > 0) {
+          val exprToks = sigs(i + 1, unitAt)
+          val literalForm = exprToks.size == 1 && (exprToks.head match {
+            case _: Num | _: Str => true
+            case Punct("-") => false
+            case _ => false
+          })
+          if (!literalForm && exprToks.nonEmpty) {
+            val exprText = toks.slice(i + 1, unitAt).map(_.text).mkString.trim
+            val unit = toks(unitAt).text.toUpperCase.stripSuffix("S") match {
+              case u @ ("SECOND" | "MINUTE" | "HOUR" | "DAY" | "WEEK" |
+                        "MONTH" | "QUARTER" | "YEAR") => u
+              case u => u
+            }
+            val pre = toks.take(i).map(_.text).mkString
+            val post = toks.drop(unitAt + 1).map(_.text).mkString
+            return rewriteDynamicInterval(
+              pre + s"(($exprText) * INTERVAL '1' $unit)" + post)
+          }
+        }
+      }
+      i += 1
+    }
+    sql
   }
 
   /** `JOIN … USING a, b` (ClickHouse allows the list bare, reference

@@ -551,9 +551,14 @@ object ClickHouseAliases {
     "toStartOfDay" -> (cs => TruncTimestamp(Literal("day"), cs.head)),
     "toStartOfHour" -> (cs => TruncTimestamp(Literal("hour"), cs.head)),
     "toStartOfMinute" -> (cs => TruncTimestamp(Literal("minute"), cs.head)),
-    "toStartOfMonth" -> (cs => TruncTimestamp(Literal("month"), cs.head)),
-    "toStartOfQuarter" -> (cs => TruncTimestamp(Literal("quarter"), cs.head)),
-    "toStartOfYear" -> (cs => TruncTimestamp(Literal("year"), cs.head)),
+    // reference toStartOfMonth/Quarter/Year return DATE for any input
+    // (DateTimeTransforms.h ToStartOfMonthImpl)
+    "toStartOfMonth" -> (cs =>
+      TruncDate(Cast(cs.head, DateType), Literal("month"))),
+    "toStartOfQuarter" -> (cs =>
+      TruncDate(Cast(cs.head, DateType), Literal("quarter"))),
+    "toStartOfYear" -> (cs =>
+      TruncDate(Cast(cs.head, DateType), Literal("year"))),
     "toYear" -> (cs => Year(cs.head)),
     "toMonth" -> (cs => Month(cs.head)),
     "toDayOfMonth" -> (cs => DayOfMonth(cs.head)),
@@ -940,8 +945,13 @@ object ClickHouseAliases {
     // String.hashCode (= HiveHash) for strings
     "javaHash" -> (cs => ChDispatch("javaHash", cs.take(1)) { c =>
       c.head.dataType match {
-        case LongType => Cast(BitwiseXor(c.head,
-          ShiftRightUnsigned(c.head, Literal(32))), IntegerType)
+        case LongType =>
+          // Java Long.hashCode: (int)(v ^ (v >>> 32)) — the (int) is a
+          // TRUNCATION, so wrap via sign-extending shifts (ANSI Cast
+          // would overflow-error)
+          Cast(ShiftRight(ShiftLeft(BitwiseXor(c.head,
+            ShiftRightUnsigned(c.head, Literal(32))), Literal(32)),
+            Literal(32)), IntegerType)
         case IntegerType | ShortType | ByteType => Cast(c.head, IntegerType)
         case _ => HiveHash(Seq(Cast(c.head, StringType)))
       }
@@ -1856,8 +1866,21 @@ object ClickHouseAliases {
     "arrayFilter" -> (cs => ArrayFilter(cs(1), truthyLambda(cs.head))),
     "arrayExists" -> (cs => ArrayExists(cs(1), truthyLambda(cs.head))),
     "arrayAll" -> (cs => ArrayForAll(cs(1), truthyLambda(cs.head))),
-    "hasAll" -> (cs => EqualTo(Size(ArrayExcept(cs(1), cs.head)), Literal(0))),
-    "hasAny" -> (cs => ArraysOverlap(cs.head, cs(1))),
+    // null-safe containment: CH treats NULL as a matchable value
+    // (hasAny([NULL], [NULL]) = 1, reference hasAll/hasAny over
+    // GatherUtils sliceHas) — <=> inside the lambdas, never 3VL NULL
+    "hasAll" -> (cs => {
+      val x = lv("__hx"); val y = lv("__hy")
+      ArrayForAll(cs(1), LambdaFunction(
+        ArrayExists(cs.head,
+          LambdaFunction(EqualNullSafe(y, x), Seq(y)), false), Seq(x)))
+    }),
+    "hasAny" -> (cs => {
+      val x = lv("__hx"); val y = lv("__hy")
+      ArrayExists(cs(1), LambdaFunction(
+        ArrayExists(cs.head,
+          LambdaFunction(EqualNullSafe(y, x), Seq(y)), false), Seq(x)), false)
+    }),
     "arrayPushFront" -> (cs => Concat(Seq(CreateArray(Seq(cs(1))), cs.head))),
     "arrayPopFront" -> (cs =>
       Slice(cs.head, Literal(2),
@@ -3198,14 +3221,38 @@ object ClickHouseAliases {
       "Float32" -> FloatType, "Float64" -> DoubleType,
       "Date" -> DateType, "Date32" -> DateType,
       "DateTime" -> TimestampType, "DateTime64" -> TimestampType)
+    // integral → integral conversion WRAPS like the reference's C++
+    // static_cast (toInt16(53284) = -12252, toInt16.cpp semantics);
+    // ANSI Cast would throw CAST_OVERFLOW instead. (bits, signed)
+    val wrapSpec: Map[String, (Int, Boolean)] = Map(
+      "Int8" -> ((8, true)), "Int16" -> ((16, true)),
+      "Int32" -> ((32, true)), "Int64" -> ((64, true)),
+      "UInt8" -> ((8, false)), "UInt16" -> ((16, false)),
+      "UInt32" -> ((32, false)), "UInt64" -> ((64, false)))
     types.flatMap { case (n, t) =>
       def zero: Expression = t match {
         case DateType => Literal.create(0, DateType)          // 1970-01-01
         case TimestampType => Literal.create(0L, TimestampType) // epoch
         case _ => Cast(Literal(0), t)
       }
+      def plain(cs: Seq[Expression]): Expression = wrapSpec.get(n) match {
+        case Some((bits, signed)) => ChDispatch(s"to$n", cs.take(1)) { c =>
+          c.head.dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              val asLong = Cast(c.head, LongType)
+              val wrapped: Expression =
+                if (bits == 64) asLong
+                else if (signed) ShiftRight(
+                  ShiftLeft(asLong, Literal(64 - bits)), Literal(64 - bits))
+                else BitwiseAnd(asLong, Literal((1L << bits) - 1))
+              Cast(wrapped, t)
+            case _ => Cast(c.head, t)
+          }
+        }
+        case None => Cast(cs.head, t)
+      }
       Seq(
-        s"to$n" -> ((cs: Seq[Expression]) => Cast(cs.head, t)),
+        s"to$n" -> ((cs: Seq[Expression]) => plain(cs)),
         s"to${n}OrNull" -> ((cs: Seq[Expression]) =>
           Cast(cs.head, t, None, EvalMode.TRY)),
         s"to${n}OrZero" -> ((cs: Seq[Expression]) =>
@@ -4109,9 +4156,33 @@ object ClickHouseAliases {
       // so drop the pad spaces before measuring
       "visibleWidth" -> (cs => Length(StringReplace(
         Cast(cs.head, StringType), Literal(", "), Literal(",")))),
-      // materialize(x): const → full column in the reference — an
-      // execution detail with no Spark analog; identity on values
-      "materialize" -> (cs => cs.head),
+      // materialize(x): const → full column in the reference — identity
+      // on values, but never foldable (isConstant(materialize(1)) = 0)
+      "materialize" -> (cs => ChMaterialized(cs.head)),
+      // DateTime read per ReadHelpers.h: a 9-10 digit value is unix
+      // seconds, anything else datetime text (used by the session's
+      // INSERT alignment)
+      "chReadDateTime" -> (cs => ChDispatch("chReadDateTime", cs) { c =>
+        // the optional 2nd arg is the column's DECLARED timezone: an
+        // EPOCH value renders as that zone's wall time, so shift it
+        // into the session zone's equivalent instant; datetime TEXT is
+        // wall time in either zone and stays as-is
+        def shifted(epochTs: Expression): Expression = c.lift(1) match {
+          case Some(Literal(tz, StringType)) if tz != null =>
+            ToUTCTimestamp(FromUTCTimestamp(epochTs, Literal(tz)),
+              CurrentTimeZone())
+          case _ => epochTs
+        }
+        c.head.dataType match {
+          case StringType =>
+            If(new RLike(c.head, Literal("^\\d{9,10}$")),
+              shifted(Cast(Cast(c.head, LongType), TimestampType)),
+              Cast(c.head, TimestampType))
+          case TimestampType => c.head
+          case DateType => Cast(c.head, TimestampType)
+          case _ => shifted(Cast(c.head, TimestampType))
+        }
+      }),
       // MySQL-compat addDate/subDate(date, INTERVAL n unit): plain +/-
       // (the analyzer's binary-arithmetic resolution picks the
       // date/timestamp interval form)
@@ -4260,7 +4331,11 @@ object ClickHouseAliases {
       // legacy modulo promotes to the UNSIGNED common type when either
       // operand is unsigned — the result wraps non-negative (Pmod)
       "moduloLegacy" -> (cs => Pmod(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
-      "hmod" -> (cs => Pmod(cs.head, cs(1), evalMode = EvalMode.LEGACY)),
+      // Hive's bucket modulo: (hash & Integer.MAX_VALUE) % buckets
+      // (reference hiveHash bucketing; 00304 golden)
+      "hmod" -> (cs => Remainder(
+        BitwiseAnd(Cast(cs.head, LongType), Literal(Int.MaxValue.toLong)),
+        Cast(cs(1), LongType))),
       // accurateCast(x, 'Type'): cast that ERRORS when the value leaves
       // the CH type's range (reference accurateCast — CAST with
       // cast_keep_nullable=0 and range checks)
@@ -5254,6 +5329,46 @@ object ClickHouseAliases {
         new ExpressionInfo("graft.sql.ClickHouseAliases", name),
         builder)
     }
+    // geohashEncode defaults precision to 12 when the 3rd argument is
+    // omitted (GeoHash.cpp) — the Engine UDF spelling is fixed-arity,
+    // so the corpus session gets an arity-flexible codegen form
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("geohashEncode"),
+      new ExpressionInfo("graft.sql.ClickHouseAliases", "geohashEncode"),
+      (cs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        val p = if (cs.size > 2) Cast(cs(2), IntegerType) else Literal(12)
+        StaticInvoke(graft.functions.GeoFunctions.getClass, StringType,
+          "encodeU",
+          Seq(Cast(cs.head, DoubleType), Cast(cs(1), DoubleType), p),
+          Seq(DoubleType, DoubleType, IntegerType))
+      })
+    // CH char(n1, n2, …) is one BYTE per argument (char.cpp); Spark's
+    // builtin is single-codepoint — shadow for the corpus session
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("char"),
+      new ExpressionInfo("graft.sql.ClickHouseAliases", "char"),
+      (cs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        StaticInvoke(graft.functions.StringOps.getClass, StringType,
+          "chChar",
+          Seq(CreateArray(cs.map(Cast(_, IntegerType)))),
+          Seq(ArrayType(IntegerType)), returnNullable = false)
+      })
+    // CH transform(x, from, to[, default]): value mapping through two
+    // arrays (reference src/Functions/transform.cpp); the 2-arg spelling
+    // stays Spark's higher-order transform
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("transform"),
+      new ExpressionInfo("graft.sql.ClickHouseAliases", "transform"),
+      (cs: Seq[Expression]) =>
+        if (cs.size <= 2) ArrayTransform(cs.head, cs(1))
+        else {
+          val pos = ArrayPosition(cs(1), cs.head)
+          val hit = ElementAt(cs(2), Cast(pos, IntegerType), None, false)
+          val miss = if (cs.size > 3) cs(3) else cs.head
+          If(And(IsNotNull(pos), GreaterThan(pos, Literal(0L))), hit, miss)
+        })
     // CH date_add/date_sub keep the DateTime type (+N = days); Spark's
     // builtins always return DATE — shadow with a type-preserving form
     // (the 3-arg unit spelling passes through to the builtin)
@@ -5385,5 +5500,26 @@ object ClickHouseAliases {
         new ExpressionInfo("graft.sql.ClickHouseAliases", n),
         numbersBuilder))
     }
+  }
+}
+
+/** Identity that is never foldable — the lowering of the reference's
+  * materialize() (const column → full column, src/Functions/
+  * materialize.cpp), observable only through isConstant().
+  */
+case class ChMaterialized(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def foldable: Boolean = false
+  override protected def withNewChildInternal(newChild: Expression)
+      : ChMaterialized = copy(child = newChild)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
   }
 }

@@ -23,7 +23,20 @@ import scala.jdk.CollectionConverters._
 object StatelessSweep {
 
   private val excludeTokens = Seq(
-    "SYSTEM.", "ATTACH", "SLEEP", "TOTYPENAME")
+    "ATTACH", "SLEEP", "TOTYPENAME")
+  // memory-stress tests whose expected outcome is the reference's
+  // MEMORY_LIMIT_EXCEEDED (error 241): we have no deterministic analog
+  // — the attempted multi-TB aggregation exhausts the shared JVM heap
+  // and poisons every later file in the sweep (observed twice in
+  // round 11: INTERNAL_ERROR cascades from this file onward)
+  private val excludeFiles = Set(
+    "01586_columns_pruning.sql", "01586_columns_pruning_ck233.sql",
+    "01784_parallel_formatting_memory.sql",
+    "01784_parallel_formatting_memory_ck233.sql")
+  // system tables other than the modeled one-row `one` and the numbers
+  // stream are out of scope
+  private val systemTableRe =
+    """(?i)["`]?\bsystem["`]?\s*\.\s*["`]?(?!one\b|numbers\b)\w+""".r
   // output-format clauses are unsupported — but `INSERT … FORMAT Values`
   // is just the VALUES spelling, which ChSession handles
   private val badFormatRe = """(?i)\bFORMAT\s+(?!Values\b)\w+""".r
@@ -40,8 +53,10 @@ object StatelessSweep {
           val sqlText = new String(
             Files.readAllBytes(d.resolve(name)), "UTF-8")
           val up = sqlText.toUpperCase
-          if (excludeTokens.exists(up.contains) ||
+          if (excludeFiles.contains(name) ||
+              excludeTokens.exists(up.contains) ||
               badFormatRe.findFirstIn(sqlText).isDefined ||
+              systemTableRe.findFirstIn(sqlText).isDefined ||
               sqlText.length > 64000) None
           else Some((name,
             sqlText,
@@ -383,7 +398,18 @@ object StatelessSweep {
                   }
               }
             } catch {
-              case _: Throwable if expectErr => None
+              // an OutOfMemoryError is NEVER an acceptable "expected
+              // error": it poisons the shared JVM, and banking a file
+              // whose pass depends on an OOM would be flaky — rethrow
+              case e: Throwable if expectErr && {
+                var c: Throwable = e; var oom = false
+                while (c != null && !oom) {
+                  oom = c.isInstanceOf[OutOfMemoryError]
+                  c = if (c.getCause eq c) null else c.getCause
+                }
+                if (oom) throw e
+                true
+              } => None
             }
           (if (echo) Seq(raw) else Nil) ++ result.toSeq
         case ((raw, _), _) =>
@@ -425,6 +451,8 @@ object StatelessSweep {
       .config(graft.sql.ChRollupDefaults.Flag, "true")
       // CH map columns tolerate duplicate keys (last write wins)
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // CH double-quoted tokens are IDENTIFIERS ("col" = `col`)
+      .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
       // CH `/` is IEEE Float64 division (1/0 = inf), never an ANSI error
       .config(graft.sql.ChCoercions.IeeeDivFlag, "true")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
@@ -441,7 +469,10 @@ object StatelessSweep {
     val onlyRe = sys.env.get("SPARK_GRAFT_SWEEP_ONLY").map(_.r)
     // Per-file watchdog: one pathological test (runaway generate, a
     // planner bug) must cost its own slice, not the rest of the sweep.
-    val timeoutS = sys.env.getOrElse("SPARK_GRAFT_SWEEP_TIMEOUT_S", "120").toLong
+    // 240s: only ONE corpus file is >60s (10045, ~90s of unique-key
+    // merges) and runaway files are rare — a pathological loop still
+    // costs a bounded slice
+    val timeoutS = sys.env.getOrElse("SPARK_GRAFT_SWEEP_TIMEOUT_S", "240").toLong
     val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
     def runGuarded(sqlText: String): Either[String, String] = {
       val task = pool.submit(new java.util.concurrent.Callable[Either[String, String]] {
@@ -461,7 +492,9 @@ object StatelessSweep {
         onlyRe.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, sqlText, expected) =>
       runGuarded(sqlText) match {
-        case Right(actual) if actual.stripLineEnd == expected.stripLineEnd =>
+        case Right(actual)
+            if actual.replaceAll("\n+$", "") ==
+              expected.replaceAll("\n+$", "") =>
           pass += 1; passed += name
           println(s"PASS $name")
         case Right(actual) =>

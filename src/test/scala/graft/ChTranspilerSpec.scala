@@ -146,4 +146,70 @@ class ChTranspilerSpec extends AnyFunSuite {
     assert(raws.map(_._2) == Seq("select 1", "select 2"))
     assert(raws(1)._1 == "-- { echo }\nselect 2;")
   }
+
+  test("bare USING lists gain parentheses; parenthesized pass through") {
+    assert(t("SELECT * FROM a JOIN b USING k1, k2 WHERE k1 > 0")
+      .replaceAll("\\s+", " ")
+      == "SELECT * FROM a JOIN b USING (k1, k2) WHERE k1 > 0")
+    assert(t("SELECT * FROM a JOIN b USING (k)").contains("USING (k)"))
+  }
+
+  test("comments are stripped before token passes") {
+    // a comma inside a comment must not split the scalar WITH items
+    val r = t("SELECT x FROM (WITH 1 AS a, -- c1, c2 --\n 2 AS b SELECT a + b AS x)")
+    assert(!r.contains("c1"), r)
+    assert(r.replaceAll("\\s+", "").contains("1+2"), r)
+  }
+
+  test("scalar WITH rewrites inside subqueries") {
+    val r = t("SELECT * FROM (WITH 41 AS v SELECT v + 1 AS x)")
+    assert(r.replaceAll("\\s+", "").contains("41+1"), r)
+  }
+
+  test("lambda-body ternary keeps the arrow head") {
+    val r = t("SELECT arrayMap(x -> x = 1 ? 10 : x, [1, 2])")
+    assert(r.contains("x -> if(x = 1, 10, x)"), r)
+  }
+
+  test("typed VALUES table function lowers to a Spark inline table") {
+    val r = t("SELECT x, s FROM VALUES('x UInt64, s String', (1, 'a'), (2, 'b'))")
+      .replaceAll("\\s+", " ")
+    assert(r.contains("FROM VALUES (1, 'a'), (2, 'b') AS __chv(x, s)"), r)
+    assert(r.contains("CAST(x AS BIGINT) AS x"), r)
+    // computed ALIAS columns come from the spec, not the tuples
+    val r2 = t("SELECT z FROM VALUES('x UInt64, z ALIAS x + 1', (1), (2))")
+    assert(r2.contains("AS z"), r2)
+  }
+
+  test("FROM-less dummy resolves (constant-0 rewrite or the one view)") {
+    // an earlier pass folds bare dummy to its constant 0 when no table
+    // provides it; either way the statement must not dangle
+    val r = t("SELECT dummy, sum(dummy) GROUP BY dummy")
+    assert(r.contains("FROM one") || r.contains("(0)"), r)
+    // a FROM-less select without dummy stays untouched
+    assert(!t("SELECT 1 + 1").contains("FROM one"))
+  }
+
+  test("expression-context subqueries leading with a string literal parse-guard") {
+    val r = t("SELECT 'a' IN (SELECT 'a')")
+    assert(r.contains("(SELECT CAST('a' AS STRING))"), r)
+  }
+
+  test("IN with a scalar literal right side gains parens") {
+    assert(t("SELECT 1 IN 1").contains("IN (1)"))
+    assert(t("SELECT 'a' IN 'a'").contains("IN ('a')"))
+  }
+
+  test("DATETIME typed literal becomes TIMESTAMP") {
+    assert(t("SELECT DATETIME '2020-01-01 00:00:00'")
+      .contains("TIMESTAMP '2020-01-01 00:00:00'"))
+  }
+
+  test("WITH TOTALS without GROUP BY or aggregation errors like the reference") {
+    intercept[IllegalArgumentException] {
+      ChTranspiler.splitTotals("SELECT 1 AS n WITH TOTALS")
+    }
+    // aggregation without GROUP BY is the legal global-totals form
+    assert(ChTranspiler.splitTotals("SELECT count() WITH TOTALS").isDefined)
+  }
 }

@@ -46,6 +46,7 @@ class StatelessCorpusSpec extends SparkSpec {
     session.conf.set(graft.sql.ChRollupDefaults.Flag, "true")
     session.conf.set(graft.sql.ChCoercions.IeeeDivFlag, "true")
     session.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    session.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     val failures = allowlist.flatMap { name =>
       val sqlText = new String(
         Files.readAllBytes(Paths.get(corpusDir, name)), "UTF-8")
@@ -53,7 +54,9 @@ class StatelessCorpusSpec extends SparkSpec {
         Files.readAllBytes(Paths.get(corpusDir,
           name.dropRight(4) + ".reference")), "UTF-8")
       StatelessSweep.run(session, sqlText) match {
-        case Right(actual) if actual.stripLineEnd == expected.stripLineEnd =>
+        case Right(actual)
+            if actual.replaceAll("\n+$", "") ==
+              expected.replaceAll("\n+$", "") =>
           None
         case Right(actual) =>
           Some(s"$name: output diff\n  want ${expected.take(120)}\n  got ${actual.take(120)}")
