@@ -148,6 +148,9 @@ object ChFormat {
     case '\t' => "\\t"
     case '\n' => "\\n"
     case '\r' => "\\r"
+    // the reference's writeEscapedString escapes single quotes too
+    // (SHOW CREATE goldens: \'cnch_default_hdfs\')
+    case '\'' => "\\'"
     case '\u0000' => "\\0" // FixedString padding bytes print as \0
     case c => c.toString
   }

@@ -73,10 +73,17 @@ final class ChSession(spark: SparkSession) {
       // reads the CURRENT type's default, so ADD UInt32 then MODIFY
       // String shows '' (not '0') on pre-ALTER rows. Modeled as NULL
       // markers in `data` coalesced to the current default at view time.
-      lazyDefault: Set[String] = Set.empty)
+      lazyDefault: Set[String] = Set.empty,
+      // raw clause text after the column list (ENGINE/ORDER/PARTITION/
+      // SAMPLE/SETTINGS …) — SHOW CREATE TABLE reprints from it, along
+      // with the database the CREATE qualified (default otherwise)
+      createAfter: String = "",
+      rawDb: String = "default")
 
   private val tables = mutable.LinkedHashMap[String, TableState]()
   private val views = mutable.LinkedHashSet[String]()
+  /** Session database set by USE (SHOW CREATE prints it). */
+  private var currentDb = "default"
 
   // the reference's one-row system table `system.one` (dummy UInt8 = 0,
   // reference StorageSystemOne.cpp) — stripDbRefs rewrites references
@@ -217,8 +224,12 @@ final class ChSession(spark: SparkSession) {
         }
       Done
     }
-    else if (up.startsWith("USE ") ||
-        up.startsWith("OPTIMIZE ")) Done
+    else if (up.startsWith("USE ")) {
+      currentDb = cleanName(
+        s.trim.drop(3).trim.stripSuffix(";").trim)
+      Done
+    }
+    else if (up.startsWith("OPTIMIZE ")) Done
     else if (up.startsWith("DROP TABLE") || up.startsWith("DROP VIEW"))
       { dropTable(s); Done }
     else if (up.startsWith("TRUNCATE")) { truncate(s); Done }
@@ -235,8 +246,60 @@ final class ChSession(spark: SparkSession) {
     else if (up.startsWith("UPDATE ")) { updateStmt(s); Done }
     else if (up.startsWith("DELETE FROM")) { deleteStmt(s); Done }
     else if (up.startsWith("REFRESH")) { refresh(s); Done }
+    else if (up.startsWith("SHOW CREATE")) showCreate(s)
     else if (up.startsWith("DESC")) describe(s)
     else NotHandled
+  }
+
+  private val showCreateRe =
+    """(?is)\s*SHOW\s+CREATE\s+(?:TABLE\s+)?([`\w.]+)\s*""".r
+
+  /** SHOW CREATE TABLE: reprint the stored definition in the
+    * reference's normalized layout (InterpreterShowCreateQuery via
+    * formatAST — backticked columns, one per line, ENGINE without empty
+    * parens, PARTITION/ORDER/UNIQUE/SAMPLE clauses, then the implicit
+    * storage SETTINGS). Tables with explicit SETTINGS or constraint
+    * definitions are out of this printer's scope and fall through as
+    * NotHandled.
+    */
+  private def showCreate(s: String): Result = {
+    val m = showCreateRe.findFirstMatchIn(s).getOrElse(return NotHandled)
+    val name = cleanName(m.group(1))
+    val st = tables.getOrElse(name, return NotHandled)
+    if ("""(?i)\bSETTINGS\b""".r.findFirstIn(st.createAfter).isDefined)
+      return NotHandled
+    val cols = st.declared.map { case (n, t) =>
+      val (kind, dflt, comment) = st.meta.getOrElse(n, ("", "", ""))
+      val kindText =
+        if (kind.nonEmpty && dflt.nonEmpty) s" $kind $dflt"
+        else if (kind.nonEmpty) s" $kind"
+        else ""
+      val commentText =
+        if (comment.nonEmpty) s" COMMENT '$comment'" else ""
+      s"    `$n` $t$kindText$commentText"
+    }.mkString(",\n")
+    val after = st.createAfter
+    def clause(kw: String, re: scala.util.matching.Regex): Option[String] =
+      re.findFirstMatchIn(after).map(mm => s"$kw ${mm.group(1).trim}")
+    val sampleRe =
+      """(?is)\bSAMPLE\s+BY\s+(\([^)]*\)|[^;]*?)\s*(?:PARTITION\s+BY|ORDER\s+BY|PRIMARY\s+KEY|SETTINGS|TTL|UNIQUE\s+KEY|CLUSTER\s+BY|$)""".r
+    val orderRawRe =
+      """(?is)\bORDER\s+BY\s+(\([^)]*\)|tuple\(\)|[^;]*?)\s*(?:PARTITION\s+BY|PRIMARY\s+KEY|SAMPLE\s+BY|SETTINGS|TTL|UNIQUE\s+KEY|CLUSTER\s+BY|$)""".r
+    val partRe =
+      """(?is)\bPARTITION\s+BY\s+(\([^)]*\)|[^;]*?)\s*(?:ORDER\s+BY|PRIMARY\s+KEY|SAMPLE\s+BY|SETTINGS|TTL|UNIQUE\s+KEY|CLUSTER\s+BY|$)""".r
+    val ukRe =
+      """(?is)\bUNIQUE\s+KEY\s+(\([^)]*\)|[^;]*?)\s*(?:PARTITION\s+BY|PRIMARY\s+KEY|SAMPLE\s+BY|SETTINGS|TTL|ORDER\s+BY|CLUSTER\s+BY|$)""".r
+    val clauses = Seq(
+      clause("PARTITION BY", partRe),
+      Some("ORDER BY " + orderRawRe.findFirstMatchIn(after)
+        .map(_.group(1).trim).getOrElse("tuple()")),
+      clause("UNIQUE KEY", ukRe),
+      clause("SAMPLE BY", sampleRe)).flatten
+    val text = s"CREATE TABLE ${st.rawDb}.$name\n(\n$cols\n)\n" +
+      "ENGINE = CnchMergeTree\n" + clauses.mkString("\n") + "\n" +
+      "SETTINGS storage_policy = 'cnch_default_hdfs', " +
+      "index_granularity = 8192"
+    Output(Seq(Row(text)))
   }
 
   /** REFRESH MATERIALIZED VIEW name: recompute the target from the FULL
@@ -349,8 +412,17 @@ final class ChSession(spark: SparkSession) {
               spark.sparkContext.emptyRDD[Row],
               StructType(acc.map(_.field)))
             val dt = probe.select(chCol(cd.default.get)).schema.head.dataType
+            // unsigned propagation: an expression over only UInt
+            // columns keeps the UInt spelling (reference type
+            // inference; 01493 golden prints `value2 UInt64 ALIAS ...`)
+            val refd = "[A-Za-z_]\\w*".r.findAllIn(cd.default.get)
+              .toSeq.distinct.flatMap(n => acc.find(_.field.name == n))
+            val chT0 = sparkToCh(dt)
+            val chT = if (refd.nonEmpty && chT0.startsWith("Int") &&
+                refd.forall(_.chType.startsWith("UInt"))) "U" + chT0
+              else chT0
             cd.copy(field = cd.field.copy(dataType = dt),
-              chType = sparkToCh(dt))
+              chType = chT)
           } catch { case _: Throwable => cd }
         })
       }
@@ -390,7 +462,13 @@ final class ChSession(spark: SparkSession) {
             schema.fieldNames.contains(v) ||
               parsePartitionExpr(after).exists(
                 _.replaceAll("\\s+", "") == v.replaceAll("\\s+", ""))
-          })
+          },
+        createAfter = after,
+        rawDb = {
+          val raw = m.group(1).replace("`", "")
+          if (raw.contains('.')) raw.substring(0, raw.lastIndexOf('.'))
+          else currentDb
+        })
       tables(name) = st
       st.data.createOrReplaceTempView(name)
     } else {
@@ -1122,10 +1200,21 @@ final class ChSession(spark: SparkSession) {
     out.toSeq
   }
 
+  private val commentColRe =
+    """(?is)^COMMENT\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s+'((?:[^'\\]|\\.)*)'\s*$""".r
+
   private def alterOne(name: String, cmd: String): Unit = {
     val st = tables(name)
     val up = cmd.toUpperCase
     cmd match {
+      case commentColRe(colName, text) =>
+        val cn = cleanName(colName)
+        if (st.schema.fieldNames.contains(cn)) {
+          val (kind, dflt, _) = st.meta.getOrElse(cn, ("", "", ""))
+          tables(name) = st.copy(meta =
+            st.meta.updated(cn, (kind, dflt, text.replace("\\'", "'"))))
+        }
+        return
       case addColRe(ifne, defText, pos) =>
         val exists = ifne != null
         val cds = expandColDef(defText.trim)
@@ -1220,6 +1309,13 @@ final class ChSession(spark: SparkSession) {
             val prop = rm.group(2).toUpperCase
             val stx = tables(name)
             val (k, e, cm) = stx.meta.getOrElse(c, ("", "", ""))
+            // removing a property the column does NOT have is an error
+            // (reference BAD_ARGUMENTS/36 —
+            // 01493_alter_remove_wrong_default)
+            if (Seq("DEFAULT", "MATERIALIZED", "ALIAS").contains(prop) &&
+                k != prop)
+              throw new IllegalArgumentException(
+                s"column $c has no $prop to remove")
             val nm = prop match {
               case "COMMENT" => (k, e, "")
               case "DEFAULT" | "MATERIALIZED" | "ALIAS" => ("", "", cm)
