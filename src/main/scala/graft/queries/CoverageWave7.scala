@@ -46,7 +46,7 @@ object CoverageWave7 {
           FROM cells
         ),
         sums AS (
-          SELECT MAX(n) AS n,
+          SELECT CAST(MAX(n) AS BIGINT) AS n,
             (SELECT COUNT(DISTINCT lang) FROM documents) AS card_a,
             (SELECT COUNT(DISTINCT source) FROM documents) AS card_b,
             CAST(SUM(CAST(

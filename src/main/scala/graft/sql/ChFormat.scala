@@ -79,10 +79,18 @@ object ChFormat {
     case m: scala.collection.Map[_, _] =>
       m.toSeq.map { case (k, x) => nested(k, zone) + ":" + nested(x, zone) }
         .mkString("{", ",", "}")
+    // BitMap64 marker struct (BitmapCorpusExpr.bitmapStruct): CH prints
+    // bitmap values in braces — {1,2,3}
+    case r: org.apache.spark.sql.Row if isBitmapRow(r) =>
+      r.getSeq[Any](0).map(nested(_, zone)).mkString("{", ",", "}")
     case r: org.apache.spark.sql.Row =>
       (0 until r.length).map(i => nested(r.get(i), zone)).mkString("(", ",", ")")
     case other => other.toString
   }
+
+  private def isBitmapRow(r: org.apache.spark.sql.Row): Boolean =
+    r.schema != null && r.schema.length == 1 &&
+      r.schema.fields(0).name == "__bitmap"
 
   /** ClickHouse float text: shortest round-trip, integral values without
     * a trailing `.0`, lowercase exponent without the redundant `+`.

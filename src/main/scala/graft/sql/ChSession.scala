@@ -94,8 +94,13 @@ final class ChSession(spark: SparkSession) {
   // system.numbers is the reference's unbounded number stream; corpus
   // uses always cap it with LIMIT — a bounded view is observationally
   // identical up to 65536 rows
+  // single partition: corpus queries cap it with LIMIT n, and a
+  // multi-partition range would make LocalLimit compute n rows in EVERY
+  // partition — the tail partitions hold the large numbers, whose
+  // projected values can be enormous (00532 builds ~12M-element nested
+  // arrays per row near 65535). One partition also pins stream order.
   if (!spark.catalog.tableExists("numbers"))
-    spark.range(65536).toDF("number").createOrReplaceTempView("numbers")
+    spark.range(0, 65536, 1, 1).toDF("number").createOrReplaceTempView("numbers")
 
   /** Session-level `SET dedup_key_mode = …` for unique-key inserts. */
   private var dedupKeyMode: String = "replace"

@@ -254,6 +254,87 @@ object ChTranspiler {
     out.result()
   }
 
+  /** `CAST(e AS Enum[8|16]('a' = 1, …))` → `chEnum(e, 'a', 1, …)`: the
+    * reference maps the underlying integer to the member NAME
+    * (DataTypeEnum::getNameForValue) — the type-level Enum→STRING rewrite
+    * below cannot express that, it only renames the type. Runs before
+    * rewriteTypes so DDL Enum columns keep their existing mapping.
+    */
+  private def rewriteCastEnum(toks0: Vector[Tok]): Vector[Tok] = {
+    def isEnumWord(t: Tok) = t match {
+      case Word(w) => w.equalsIgnoreCase("Enum") ||
+        w.equalsIgnoreCase("Enum8") || w.equalsIgnoreCase("Enum16")
+      case _ => false
+    }
+    if (!toks0.exists(isEnumWord)) return toks0
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    def nonWs(k0: Int): Int = {
+      var k = k0
+      while (k < toks0.length && toks0(k).isInstanceOf[Ws]) k += 1
+      k
+    }
+    while (i < toks0.length) {
+      val rewritten: Option[Int] = toks0(i) match {
+        case Word(w) if w.equalsIgnoreCase("CAST") =>
+          val open = nonWs(i + 1)
+          if (open < toks0.length && toks0(open) == Punct("(")) {
+            var k = open + 1
+            var depth = 1
+            var asPos = -1
+            while (k < toks0.length && depth > 0 && asPos < 0) {
+              toks0(k) match {
+                case Punct("(") => depth += 1
+                case Punct(")") => depth -= 1
+                case Word(a) if depth == 1 && a.equalsIgnoreCase("AS") =>
+                  asPos = k
+                case _ => ()
+              }
+              k += 1
+            }
+            val ew = if (asPos < 0) -1 else nonWs(asPos + 1)
+            if (ew >= 0 && ew < toks0.length && isEnumWord(toks0(ew)) && {
+                val p = nonWs(ew + 1)
+                p < toks0.length && toks0(p) == Punct("(") }) {
+              val mOpen = nonWs(ew + 1)
+              var m = mOpen + 1
+              var d = 1
+              val members = Vector.newBuilder[Tok]
+              while (m < toks0.length && d > 0) {
+                toks0(m) match {
+                  case p @ Punct("(") => d += 1; members += p
+                  case p @ Punct(")") => d -= 1; if (d > 0) members += p
+                  case tk => members += tk
+                }
+                m += 1
+              }
+              val castClose = nonWs(m)
+              if (d == 0 && castClose < toks0.length &&
+                  toks0(castClose) == Punct(")")) {
+                out += Word("chEnum"); out += Punct("(")
+                rewriteCastEnum(toks0.slice(open + 1, asPos))
+                  .foreach(out += _)
+                out += Punct(",")
+                members.result().foreach {
+                  case Punct("=") => out += Punct(",")
+                  case Ws(_) => ()
+                  case tk => out += tk
+                }
+                out += Punct(")")
+                Some(castClose + 1)
+              } else None
+            } else None
+          } else None
+        case _ => None
+      }
+      rewritten match {
+        case Some(next) => i = next
+        case None => out += toks0(i); i += 1
+      }
+    }
+    out.result()
+  }
+
   /** Transpile one statement's ClickHouse syntax to Spark-parseable SQL. */
   /** `PREWHERE a WHERE b` (both clauses in one SELECT) merges into
     * `WHERE (a) AND (b)` — PREWHERE is only a storage-pushdown hint
@@ -689,7 +770,7 @@ object ChTranspiler {
     // Type-level pre-pass: strip Nullable(...) / LowCardinality(...)
     // wrappers (keep the inner type), map scalar type names, expand
     // DecimalNN(s), and rewrite Array(T) type syntax to ARRAY<T>.
-    val toks = mergePrewhere(rewriteTypes(toks0))
+    val toks = mergePrewhere(rewriteTypes(rewriteCastEnum(toks0)))
     val out = new StringBuilder
     // Depth-indexed stack entry: true → this bracket became `array(`,
     // false → element access (we rewrote `x[` to `element_at(x, `).

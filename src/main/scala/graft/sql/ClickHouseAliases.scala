@@ -279,7 +279,7 @@ object ClickHouseAliases {
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
       wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9 ++ wave10 ++ wave11 ++
       wave14 ++ wave15 ++ wave16 ++ wave17 ++ stateMergeWave ++ quantileWave ++
-      wave18
+      wave18 ++ wave19
 
   /** -State / -Merge combinators in the engine's VALUE model: a "state"
     * is a plain mergeable value — sum's state is its partial sum, avg's
@@ -5194,6 +5194,102 @@ object ClickHouseAliases {
           "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$")),
           Cast(new UnBase64(s), StringType), Literal(""))
       }))
+  }
+
+  /** Round-12 corpus spellings over existing aggregate machinery:
+    * topK/topKWeighted (reference AggregateFunctionTopK.h:33 SpaceSaving;
+    * parameters (k[, load_factor])), the bitmap expression-calculation
+    * family (AggregateFunctionBitmapExpressionCalculation.h — the V2
+    * spellings behave identically per the reference's own 20022 test),
+    * and bitmapMaxLevel (AggregateFunctionBitmapMaxLevel.h:49).
+    */
+  private def wave19: Seq[(String, Seq[Expression] => Expression)] = {
+    def pLong(e: Expression, fn: String): Long = e match {
+      case Literal(v, _) if v != null =>
+        try v.toString.toLong
+        catch { case _: NumberFormatException => v.toString.toDouble.toLong }
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameters must be integer literals, got $other")
+    }
+    def topkBuilder(cs: Seq[Expression], weighted: Boolean): Expression = {
+      val fn = if (weighted) "topKWeighted" else "topK"
+      val nArgs = if (weighted) 2 else 1
+      require(cs.size >= nArgs, s"$fn needs ${nArgs} argument(s)")
+      val params = cs.dropRight(nArgs)
+      val args = cs.takeRight(nArgs)
+      require(params.size <= 2,
+        s"$fn accepts at most (k, load_factor) parameters, got ${params.size}")
+      val k = params.headOption.map(pLong(_, fn)).getOrElse(10L)
+      // reference TOP_K_LOAD_FACTOR default 3; out-of-range values are
+      // the corpus's expected-error 69 case (01471_top_k_range_check)
+      val lf = params.lift(1).map(pLong(_, fn)).getOrElse(3L)
+      require(k >= 1 && k <= 0xFFFFFF, s"$fn: k out of range: $k")
+      require(lf >= 1 && lf <= 50, s"$fn: load_factor out of range: $lf")
+      // max_memory_usage contract (reference MemoryTracker, error 241):
+      // SpaceSaving reserves k*load_factor cells upfront — refuse when
+      // that reservation alone exceeds the session cap
+      val cap = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.ch.max_memory_bytes", "")
+      if (cap.nonEmpty && k * math.max(lf, 1L) * 64L > cap.toLong)
+        throw new IllegalArgumentException(
+          s"Memory limit (for query) exceeded: $fn($k) reserves " +
+            s"${k * lf * 64} bytes, cap $cap (error 241 analog)")
+      val capacity = math.max(math.min(k * lf, 1L << 17),
+        math.max(8192L, 2L * k)).toInt
+      graft.aggregates.TopKAgg(args.head,
+        if (weighted) Some(args(1)) else None, k.toInt, capacity)
+    }
+    def litStr(e: Expression, fn: String): String = e match {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameters must be string literals, got $other")
+    }
+    def bmCalc(cs: Seq[Expression], name: String, multi: Boolean,
+        extract: Boolean, withDate: Boolean): Expression = {
+      val nArgs = if (withDate) 3 else 2
+      require(cs.size > nArgs, s"$name needs expression parameters")
+      val params = cs.dropRight(nArgs).map(litStr(_, name))
+      if (!multi) require(params.size == 1, s"$name takes ONE expression")
+      val args = cs.takeRight(nArgs)
+      val (dateE, tagE, bmE) =
+        if (withDate) (Some(args(0)), args(1), args(2))
+        else (None, args(0), args(1))
+      graft.aggregates.BitmapExprCalcAgg(tagE, bmE, dateE, params,
+        multi = multi, extract = extract)
+    }
+    val bitmapFamily = for {
+      (base, multi, extract, withDate) <- Seq(
+        ("bitmapCount", false, false, false),
+        ("bitmapExtract", false, true, false),
+        ("bitmapMultiCount", true, false, false),
+        ("bitmapMultiExtract", true, true, false),
+        ("bitmapMultiCountWithDate", true, false, true),
+        ("bitmapMultiExtractWithDate", true, true, true))
+      name <- Seq(base, base + "V2")
+    } yield name -> ((cs: Seq[Expression]) =>
+      bmCalc(cs, name, multi, extract, withDate))
+    Seq(
+      "topK" -> ((cs: Seq[Expression]) => topkBuilder(cs, weighted = false)),
+      "topKWeighted" -> ((cs: Seq[Expression]) => topkBuilder(cs, weighted = true)),
+      // CAST(e AS Enum('a'=1,…)) lowering (ChTranspiler.rewriteCastEnum):
+      // chEnum(e, 'a', 1, …) maps the underlying integer to the member
+      // name (reference DataTypeEnum::getNameForValue)
+      "chEnum" -> ((cs: Seq[Expression]) => {
+        val x = Cast(cs.head, IntegerType)
+        val branches = cs.drop(1).grouped(2).collect {
+          case Seq(name, v) =>
+            (EqualTo(x, Cast(v, IntegerType)): Expression, name: Expression)
+        }.toSeq
+        require(branches.nonEmpty, "chEnum: needs name=value members")
+        CaseWhen(branches, None)
+      }),
+      "bitmapMaxLevel" -> ((cs: Seq[Expression]) => {
+        require(cs.size == 2 || cs.size == 3,
+          s"bitmapMaxLevel takes ([return_type,] level, bitmap), got ${cs.size}")
+        val mode = if (cs.size == 3) pLong(cs.head, "bitmapMaxLevel").toInt else 0
+        val args = cs.takeRight(2)
+        graft.aggregates.BitmapMaxLevelAgg(args(0), args(1), mode)
+      })) ++ bitmapFamily
   }
 
   private lazy val localHostName: String =
