@@ -871,6 +871,11 @@ final class ChSession(spark: SparkSession) {
           mb.putString("graft.ch.enumDefault", m.group(1).replace("\\'", "'")))
       if (!(chNullable || explicitNullable))
         mb.putBoolean("graft.ch.nonnull", true)
+      else
+        // the converse marker: DECLARED Nullable — consumers that treat
+        // unmarked attributes (aggregate outputs, computed columns) as
+        // CH-non-null need the positive signal too (ChSum)
+        mb.putBoolean("graft.ch.nullable", true)
       // explicit column timezone: DateTime('UTC') / DateTime64(3, 'UTC')
       // — epoch reads render in THAT zone, not the session's
       """(?is)^(?:Nullable\s*\(\s*)?DateTime(?:64)?\s*\(\s*(?:\d+\s*,\s*)?'([^']+)'"""

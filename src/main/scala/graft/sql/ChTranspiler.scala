@@ -400,6 +400,129 @@ object ChTranspiler {
     toks
   }
 
+  /** CH resolves an unqualified column that exists on BOTH sides of a
+    * join to the LEFT table (reference TranslateQualifiedNamesMatcher /
+    * the pre-analyzer's first-match column resolution — the 08000
+    * distributed-stages SSB tests rely on it). Spark raises
+    * AMBIGUOUS_REFERENCE instead, so as a RETRY transform: qualify each
+    * top-scope bare reference to the offending column with the error's
+    * FIRST candidate qualifier (Spark lists candidates in plan order,
+    * left first). Occurrences inside subqueries keep their own scope —
+    * only parens opening a SELECT/WITH count as scope boundaries.
+    */
+  private def ambiguityTarget(errMsg: String): Option[(String, String)] = {
+    val ambRe =
+      """Reference `([^`]+)` is ambiguous, could be: \[`([^`]+)`\.`[^`]+`""".r
+    val unresRe =
+      """name `([^`]+)` cannot be resolved. Did you mean one of the following\? \[(.+)""".r
+    ambRe.findFirstMatchIn(errMsg) match {
+      case Some(m) => Some((m.group(1), m.group(2)))
+      case None => unresRe.findFirstMatchIn(errMsg).flatMap { m =>
+        val col = m.group(1)
+        """`([^`]+)`\.`([^`]+)`""".r
+          .findAllMatchIn(m.group(2))
+          .find(c => c.group(2) == col)
+          .map(c => (col, c.group(1)))
+      }
+    }
+  }
+
+  /** Position-targeted variant: `errMsg`'s trailing `line N pos M` points
+    * at the offending occurrence in `sql` itself (the TRANSPILED text) —
+    * qualify exactly that occurrence, scope-agnostic (works inside
+    * subqueries, where the scope-0 token walk below cannot reach).
+    */
+  def disambiguateAt(sql: String, errMsg: String): Option[String] = {
+    val target = ambiguityTarget(errMsg).orElse {
+      // UNRESOLVED with no qualified candidate (e.g. ORDER BY over a
+      // projected-away ambiguous column, suggestions like `(id + 1)`):
+      // borrow the qualifier from the statement's own first `q.col`
+      // reference — the ON clause / select list already name the left
+      // table's copy after earlier disambiguation passes
+      """name `([^`]+)` cannot be resolved""".r
+        .findFirstMatchIn(errMsg).flatMap { m =>
+          val col = m.group(1)
+          ("""(\w+)\.""" + java.util.regex.Pattern.quote(col) + """\b""").r
+            .findFirstMatchIn(sql).map(q => (col, q.group(1)))
+        }
+    }
+    if (target.isEmpty) return None
+    val (col, qual) = target.get
+    val posRe = """line (\d+) pos (\d+)""".r
+    posRe.findFirstMatchIn(errMsg).flatMap { m =>
+      val line = m.group(1).toInt
+      val pos = m.group(2).toInt
+      val lines = sql.split("\n", -1)
+      if (line < 1 || line > lines.length) None
+      else {
+        val offset = lines.take(line - 1).map(_.length + 1).sum + pos
+        // the error may anchor at the enclosing expression — search
+        // forward a bounded window for the identifier itself
+        val window = sql.substring(offset,
+          math.min(sql.length, offset + 256))
+        val idRe = (java.util.regex.Pattern.quote(col) + "|`" +
+          java.util.regex.Pattern.quote(col) + "`").r
+        idRe.findFirstMatchIn(window).flatMap { hit =>
+          val s = offset + hit.start
+          val e = offset + hit.end
+          val prev = sql.take(s).reverse.dropWhile(_.isWhitespace).headOption
+          if (prev.contains('.')) None // already qualified
+          else Some(sql.substring(0, s) + qual + "." + col + sql.substring(e))
+        }
+      }
+    }
+  }
+
+  def disambiguate(stmt: String, errMsg: String): Option[String] = {
+    val (col, qual) = ambiguityTarget(errMsg) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val toks = tokenize(stripComments(stmt))
+    def nonWs(k0: Int, dir: Int): Int = {
+      var k = k0
+      while (k >= 0 && k < toks.length && toks(k).isInstanceOf[Ws]) k += dir
+      k
+    }
+    // subquery-paren stack: '(' immediately followed by SELECT/WITH
+    val out = Vector.newBuilder[Tok]
+    var subqDepth = 0
+    val stack = scala.collection.mutable.Stack[Boolean]()
+    var changed = false
+    toks.zipWithIndex.foreach { case (t, i) =>
+      t match {
+        case Punct("(") =>
+          val nxt = nonWs(i + 1, 1)
+          val isSubq = nxt < toks.length && (toks(nxt) match {
+            case Word(w) => w.equalsIgnoreCase("SELECT") || w.equalsIgnoreCase("WITH")
+            case _ => false
+          })
+          stack.push(isSubq)
+          if (isSubq) subqDepth += 1
+          out += t
+        case Punct(")") =>
+          if (stack.nonEmpty && stack.pop()) subqDepth -= 1
+          out += t
+        case Word(w) if subqDepth == 0 && (w == col || w == s"`$col`") =>
+          val prev = nonWs(i - 1, -1)
+          val next = nonWs(i + 1, 1)
+          val prevDot = prev >= 0 && toks(prev) == Punct(".")
+          val prevAs = prev >= 0 && (toks(prev) match {
+            case Word(a) => a.equalsIgnoreCase("AS")
+            case _ => false
+          })
+          val nextDotOrCall = next < toks.length &&
+            (toks(next) == Punct(".") || toks(next) == Punct("("))
+          if (!prevDot && !prevAs && !nextDotOrCall) {
+            out += Word(qual); out += Punct("."); out += t
+            changed = true
+          } else out += t
+        case other => out += other
+      }
+    }
+    if (changed) Some(out.result().map(_.text).mkString) else None
+  }
+
   /** ClickHouse lets a SELECT-list alias be referenced from WHERE /
     * GROUP BY / HAVING / ORDER BY (aliases resolve query-wide, reference
     * QueryNormalizer). Spark resolves only real columns there, so as a

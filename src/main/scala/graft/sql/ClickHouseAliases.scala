@@ -3249,6 +3249,20 @@ object ClickHouseAliases {
             case _ => Cast(c.head, t)
           }
         }
+        // toDate(number): ≤ 65535 is days-since-epoch (the UInt16 Date
+        // domain), larger is unix SECONDS (reference
+        // FunctionsConversion.h ToDateTransform32Or64 cutoff)
+        case None if n == "Date" || n == "Date32" =>
+          ChDispatch(s"to$n", cs.take(1)) { c =>
+            c.head.dataType match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                val x = Cast(c.head, LongType)
+                If(LessThanOrEqual(x, Literal(65535L)),
+                  DateFromUnixDate(Cast(x, IntegerType)),
+                  Cast(SecondsToTimestamp(x), DateType))
+              case _ => Cast(c.head, t)
+            }
+          }
         case None => Cast(cs.head, t)
       }
       Seq(
@@ -5495,6 +5509,12 @@ object ClickHouseAliases {
     * concat_ws) and user code rely on.
     */
   private def strictShadowAliases: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // CH any(x) = first encountered value (AggregateFunctionAny);
+    // Spark's builtin `any` is bool_or — corpus-session shadow only
+    "any" -> ((cs: Seq[Expression]) =>
+      new First(cs.head, ignoreNulls = false)),
+    // CH sum over an empty set = 0 for non-Nullable input (ChSum)
+    "sum" -> ((cs: Seq[Expression]) => ChSum(cs.head)),
     // concat_ws in CH is NULL if ANY argument is NULL (standard
     // Nullable propagation); Spark's builtin skips NULL arguments
     "concat_ws" -> ((cs: Seq[Expression]) => {

@@ -290,14 +290,37 @@ object StatelessSweep {
     * later clauses (ChTranspiler.inlineSelectAliases).
     */
   private def chSql(spark: SparkSession, stripped: String)
-      : org.apache.spark.sql.DataFrame =
-    try spark.sql(ChTranspiler.transpile(stripped))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if String.valueOf(e.getMessage).contains("UNRESOLVED_COLUMN") =>
-        spark.sql(ChTranspiler.transpile(
-          ChTranspiler.inlineSelectAliases(stripped)))
+      : org.apache.spark.sql.DataFrame = {
+    var sqlText = ChTranspiler.transpile(stripped)
+    var triedInline = false
+    var attempts = 0
+    while (true) {
+      try return spark.sql(sqlText)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          val m = String.valueOf(e.getMessage)
+          // CH left-table preference for ambiguous unqualified columns:
+          // qualify the occurrence the error points at (position-exact,
+          // works inside subqueries), else the scope-0 token walk.
+          // Bounded — each pass fixes one occurrence.
+          val dis =
+            if (attempts >= 8) None
+            else ChTranspiler.disambiguateAt(sqlText, m).orElse(
+              ChTranspiler.disambiguate(sqlText, m))
+          dis match {
+            case Some(s) if s != sqlText =>
+              sqlText = s; attempts += 1
+            case _ if m.contains("UNRESOLVED_COLUMN") && !triedInline =>
+              triedInline = true
+              // on the CURRENT text — earlier disambiguation fixes must
+              // survive the alias-inline retry
+              sqlText = ChTranspiler.inlineSelectAliases(sqlText)
+            case _ => throw e
+          }
+      }
     }
+    throw new IllegalStateException("unreachable")
+  }
 
   def run(spark: SparkSession, sqlText: String): Either[String, String] = {
     // DateTime text zone = the session's own timezone (session-scoped,
