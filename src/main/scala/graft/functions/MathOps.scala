@@ -101,4 +101,38 @@ object MathOps {
       math.exp(lg)
     }
   }
+
+  /** CH float→Decimal conversion truncates toward zero (reference
+    * src/Core/DecimalFunctions.h DecimalUtils — multiply by the scale
+    * factor, static_cast), where Spark's Cast rounds HALF_UP. Range
+    * overflow raises, matching NUMERIC_VALUE_OUT_OF_RANGE.
+    */
+  def doubleToDecimal(x: Double, p: Int, s: Int): org.apache.spark.sql.types.Decimal = {
+    if (x.isNaN || x.isInfinite)
+      throw new ArithmeticException(s"cannot convert $x to Decimal($p, $s)")
+    val bd = new java.math.BigDecimal(x)
+      .setScale(s, java.math.RoundingMode.DOWN)
+    if (bd.precision - bd.scale > p - s)
+      throw new ArithmeticException(
+        s"Decimal value $x is out of range of Decimal($p, $s)")
+    org.apache.spark.sql.types.Decimal(bd, p, s)
+  }
+
+  /** MySQL TO_DAYS: days since year 0 for flexible date spellings —
+    * 6-digit YYMMDD (00-69 → 2000s, 70-99 → 1900s), 8-digit YYYYMMDD,
+    * or ISO; epoch day 0 = 719528 (from_days uses the same offset).
+    */
+  def mysqlToDays(s0: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val t = s0.toString.trim
+    val d =
+      if (t.length == 6 && t.forall(_.isDigit)) {
+        val yy = t.substring(0, 2).toInt
+        val y = if (yy < 70) 2000 + yy else 1900 + yy
+        java.time.LocalDate.of(y, t.substring(2, 4).toInt, t.substring(4).toInt)
+      } else if (t.length == 8 && t.forall(_.isDigit))
+        java.time.LocalDate.of(t.substring(0, 4).toInt,
+          t.substring(4, 6).toInt, t.substring(6).toInt)
+      else java.time.LocalDate.parse(t.take(10))
+    d.toEpochDay + 719528L
+  }
 }

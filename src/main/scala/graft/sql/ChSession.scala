@@ -74,6 +74,12 @@ final class ChSession(spark: SparkSession) {
       // String shows '' (not '0') on pre-ALTER rows. Modeled as NULL
       // markers in `data` coalesced to the current default at view time.
       lazyDefault: Set[String] = Set.empty,
+      // MySQL `ON UPDATE expr` columns: refreshed by UPDATE statements
+      // that do not assign them explicitly (60108_mysql_on_update)
+      onUpdate: Map[String, String] = Map.empty,
+      // created under SET dialect_type='MYSQL' (SHOW CREATE/DESCRIBE
+      // print the MySQL-normalized layout for such tables)
+      mysqlTable: Boolean = false,
       // raw clause text after the column list (ENGINE/ORDER/PARTITION/
       // SAMPLE/SETTINGS …) — SHOW CREATE TABLE reprints from it, along
       // with the database the CREATE qualified (default otherwise)
@@ -91,6 +97,11 @@ final class ChSession(spark: SparkSession) {
   if (!spark.catalog.tableExists("one"))
     spark.sql("SELECT CAST(0 AS SMALLINT) AS dummy")
       .createOrReplaceTempView("one")
+  // MySQL's one-row `dual` pseudo-table (the reference's MySQL dialect
+  // accepts FROM dual; 60000_mysql_dual)
+  if (!spark.catalog.tableExists("dual"))
+    spark.sql("SELECT CAST(0 AS SMALLINT) AS dummy")
+      .createOrReplaceTempView("dual")
   // system.numbers is the reference's unbounded number stream; corpus
   // uses always cap it with LIMIT — a bounded view is observationally
   // identical up to 65536 rows
@@ -200,8 +211,58 @@ final class ChSession(spark: SparkSession) {
     * Done = handled, no output; Output = handled with rows (DESCRIBE);
     * NotHandled = a query — the caller runs it through spark.sql.
     */
+  /** U+3000 / U+00A0 whitespace outside string literals → ASCII space:
+    * the session's regex-based DDL/DML parsers use `\s`, which does not
+    * match them (600201_mysql_if writes ideographic spaces).
+    */
+  private def normalizeSpace(in: String): String = {
+    if (!in.exists(c => c == '\u3000' || c == '\u00A0')) return in
+    val sb = new StringBuilder(in.length)
+    var i = 0
+    var q = 0.toChar
+    while (i < in.length) {
+      val c = in.charAt(i)
+      if (q != 0) {
+        sb.append(c)
+        if (c == '\\' && q == '\'' && i + 1 < in.length) {
+          sb.append(in.charAt(i + 1)); i += 1
+        } else if (c == q) q = 0.toChar
+      } else if (c == '\'' || c == '`') { q = c; sb.append(c) }
+      else if (c == '\u3000' || c == '\u00A0') sb.append(' ')
+      else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** `SELECT * FROM t …`: MATERIALIZED/ALIAS columns are hidden from
+    * star expansion (reference ColumnDefaultKind) — expand the bare
+    * star for the single-table shape so they stay invisible.
+    */
+  def expandStar(sql: String): String = {
+    val re = """(?is)^(\s*SELECT\s+)\*(\s+FROM\s+([`\w.]+))\b""".r
+    re.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        val t = resolveTableKey(cleanName(m.group(3)))
+        tables.get(t) match {
+          case Some(st) if st.hidden.nonEmpty =>
+            val cols = st.schema.fieldNames
+              .filterNot(st.hidden.contains).map(c => s"`$c`")
+              .mkString(", ")
+            re.replaceFirstIn(sql, java.util.regex.Matcher
+              .quoteReplacement(m.group(1) + cols + m.group(2)))
+          case _ => sql
+        }
+      case None => sql
+    }
+  }
+
+  private def mysqlDialectNow: Boolean =
+    try spark.conf.get("graft.ch.dialect", "CLICKHOUSE") == "MYSQL"
+    catch { case _: Throwable => false }
+
   def execute(clean: String): Result = {
-    val s = clean.trim
+    val s = normalizeSpace(clean.trim)
     val up = s.toUpperCase
     // Staged blocks flush at explicit SYNC points and — for the default
     // txn-commit dedup impl — when a later DIRECT insert commits to the
@@ -247,6 +308,18 @@ final class ChSession(spark: SparkSession) {
              up.startsWith("CREATE TEMPORARY TABLE")) { createTable(s); Done }
     else if (up.startsWith("INSERT INTO") ||
              up.startsWith("INSERT IGNORE INTO")) { insert(s); Done }
+    else if (up.startsWith("REPLACE INTO")) {
+      // MySQL REPLACE = key-replacing insert; the reference only
+      // implements it for UNIQUE KEY tables (error 48 otherwise)
+      val tn = """(?is)REPLACE\s+INTO\s+(?:TABLE\s+)?([`\w.]+)""".r
+        .findFirstMatchIn(s).map(mm => resolveTableKey(cleanName(mm.group(1))))
+      val st = tn.flatMap(tables.get)
+      if (st.isEmpty || st.get.uniqueKey.isEmpty)
+        throw new UnsupportedOperationException(
+          "REPLACE INTO requires a UNIQUE KEY table (error 48 analog)")
+      insert(s.replaceFirst("(?is)^\\s*REPLACE\\s+INTO", "INSERT INTO"))
+      Done
+    }
     else if (up.startsWith("ALTER TABLE")) { alter(s); Done }
     else if (up.startsWith("UPDATE ")) { updateStmt(s); Done }
     else if (up.startsWith("DELETE FROM")) { deleteStmt(s); Done }
@@ -269,9 +342,19 @@ final class ChSession(spark: SparkSession) {
     */
   private def showCreate(s: String): Result = {
     val m = showCreateRe.findFirstMatchIn(s).getOrElse(return NotHandled)
-    val name = cleanName(m.group(1))
+    val name = resolveTableKey(cleanName(m.group(1)))
     val st = tables.getOrElse(name, return NotHandled)
+    if (st.mysqlTable) return showCreateMySql(name, st)
     if ("""(?i)\bSETTINGS\b""".r.findFirstIn(st.createAfter).isDefined)
+      return NotHandled
+    // this printer only reproduces plain CnchMergeTree definitions —
+    // other engines, TTL and PRIMARY KEY clauses would print WRONG
+    // definitions rather than falling through (ADVICE r11)
+    if ("""(?i)\b(TTL|PRIMARY\s+KEY)\b""".r
+        .findFirstIn(st.createAfter).isDefined)
+      return NotHandled
+    if ("""(?i)\bENGINE\s*=\s*'?(?!CnchMergeTree\b)\w""".r
+        .findFirstIn(st.createAfter).isDefined)
       return NotHandled
     val cols = st.declared.map { case (n, t) =>
       val (kind, dflt, comment) = st.meta.getOrElse(n, ("", "", ""))
@@ -307,6 +390,72 @@ final class ChSession(spark: SparkSession) {
     Output(Seq(Row(text)))
   }
 
+  /** SHOW CREATE for tables created under dialect_type='MYSQL': the
+    * reference prints (table_name, normalized definition) with NULL /
+    * NOT NULL per column, and a table created WITHOUT an explicit
+    * ENGINE gets the MySQL default presentation — UNIQUE KEY tuple()
+    * plus partition_level_unique_keys = 0 in SETTINGS
+    * (60000_mysql_datatype et al; out-of-scope clauses fall through).
+    */
+  /** MySQL normalizes bare literal defaults to quoted strings
+    * (`DEFAULT 1.2` prints as DEFAULT '1.2'); expressions stay. */
+  private def mysqlDefaultText(d: String): String =
+    if (d.nonEmpty && d.matches("-?[\\d.]+")) s"'$d'" else d
+
+  private def showCreateMySql(name: String, st: TableState): Result = {
+    val after = st.createAfter
+    if ("""(?i)\b(TTL|PRIMARY\s+KEY|SAMPLE\s+BY|SETTINGS|CLUSTER\s+BY)\b"""
+        .r.findFirstIn(after).isDefined)
+      return NotHandled
+    val engineExplicit =
+      """(?i)\bENGINE\s*=""".r.findFirstIn(after).isDefined
+    if ("""(?i)\bENGINE\s*=\s*'?(?!CnchMergeTree\b)\w""".r
+        .findFirstIn(after).isDefined)
+      return NotHandled
+    val cols = st.declared.map { case (n, t) =>
+      val (kind, dflt, comment) = st.meta.getOrElse(n, ("", "", ""))
+      val nullable = !st.schema(n).metadata.contains("graft.ch.nonnull")
+      val nullText = if (nullable) " NULL" else " NOT NULL"
+      val kindText =
+        if (kind.nonEmpty && dflt.nonEmpty)
+          s" $kind ${mysqlDefaultText(dflt)}"
+        else if (kind.nonEmpty) s" $kind"
+        else ""
+      val commentText =
+        if (comment.nonEmpty) s" COMMENT '$comment'" else ""
+      s"    `$n` $t$nullText$kindText$commentText"
+    }.mkString(",\n")
+    val orderRawRe =
+      """(?is)\bORDER\s+BY\s+(\([^)]*\)|tuple\(\)|[^;]*?)\s*(?:PARTITION\s+BY|PRIMARY\s+KEY|SAMPLE\s+BY|SETTINGS|TTL|UNIQUE\s+KEY|CLUSTER\s+BY|$)""".r
+    val partRe =
+      """(?is)\bPARTITION\s+BY\s+(\([^)]*\)|[^;]*?)\s*(?:ORDER\s+BY|PRIMARY\s+KEY|SAMPLE\s+BY|SETTINGS|TTL|UNIQUE\s+KEY|CLUSTER\s+BY|$)""".r
+    val ukRe =
+      """(?is)\bUNIQUE\s+KEY\s+(\([^)]*\)|[^;]*?)\s*(?:PARTITION\s+BY|PRIMARY\s+KEY|SAMPLE\s+BY|SETTINGS|TTL|ORDER\s+BY|CLUSTER\s+BY|$)""".r
+    val orderText = "ORDER BY " + orderRawRe.findFirstMatchIn(after)
+      .map(_.group(1).trim).getOrElse("tuple()")
+    val partText = partRe.findFirstMatchIn(after)
+      .map(mm => s"PARTITION BY ${mm.group(1).trim}")
+    val declaredUk = ukRe.findFirstMatchIn(after).map(_.group(1).trim)
+    // no explicit ENGINE → MySQL default = unique-key CnchMergeTree
+    val ukText =
+      declaredUk.map(u => s"UNIQUE KEY $u")
+        .orElse(if (engineExplicit) None else Some("UNIQUE KEY tuple()"))
+    val settings =
+      (if (ukText.isDefined) Seq("partition_level_unique_keys = 0")
+       else Nil) ++
+        Seq("storage_policy = 'cnch_default_hdfs'",
+          "allow_nullable_key = 1",
+          "storage_dialect_type = 'MYSQL'",
+          "index_granularity = 8192")
+    val qName =
+      if (name.matches("[A-Za-z_]\\w*")) name else s"`$name`"
+    val clauses = Seq(partText, Some(orderText), ukText).flatten
+    val text = s"CREATE TABLE ${st.rawDb}.$qName (\n$cols\n)\n" +
+      "ENGINE = CnchMergeTree\n" + clauses.mkString("\n") + "\n" +
+      "SETTINGS " + settings.mkString(", ")
+    Output(Seq(Row(name, text)))
+  }
+
   /** REFRESH MATERIALIZED VIEW name: recompute the target from the FULL
     * base (the reference's partition-based refresh, collapsed to a full
     * rebuild — equivalent for the corpus's single-partition tables).
@@ -328,7 +477,7 @@ final class ChSession(spark: SparkSession) {
 
   private def dropTable(s: String): Unit = s match {
     case dropRe(name) =>
-      val t = cleanName(name)
+      val t = resolveTableKey(cleanName(name))
       stagingData.remove(t)
       mvs.filterInPlace(_.name != t)
       if (tables.remove(t).isDefined || views.remove(t))
@@ -375,7 +524,7 @@ final class ChSession(spark: SparkSession) {
 
   private def truncate(s: String): Unit = s match {
     case truncateRe(name) =>
-      val t = cleanName(name)
+      val t = resolveTableKey(cleanName(name))
       tables.get(t).foreach { st =>
         st.data = st.data.limit(0)
         st.data.createOrReplaceTempView(t)
@@ -433,9 +582,11 @@ final class ChSession(spark: SparkSession) {
       }
       val schema = StructType(parsed.map(_.field))
       // only orderable key columns (a Map sorting key would throw)
-      val orderKey = parseOrderKey(after).filter(k =>
-        schema.fieldNames.contains(k) &&
-          !schema(k).dataType.isInstanceOf[MapType])
+      // ORDER BY names resolve case-insensitively against the declared
+      // columns (MySQL DDL spells EVENT_type for event_type)
+      val orderKey = parseOrderKey(after)
+        .flatMap(k => schema.fieldNames.find(_.equalsIgnoreCase(k)))
+        .filter(k => !schema(k).dataType.isInstanceOf[MapType])
       val uk = parseUniqueKey(after).filter(schema.fieldNames.contains)
       val st = TableState(schema,
         parsed.map(c => c.field.name -> c.chType),
@@ -459,6 +610,8 @@ final class ChSession(spark: SparkSession) {
         mergeMap = !"""(?i)partial_update_enable_merge_map\s*=\s*(0|false)""".r
           .findFirstIn(after).isDefined,
         rinnCols = parsed.filter(_.rinn).map(_.field.name).toSet,
+        onUpdate = parsed
+          .flatMap(c => c.onUpdate.map(c.field.name -> _)).toMap,
         versionCol = """(?i)ENGINE\s*=\s*\w*MergeTree\s*\(\s*([^()]*(?:\([^()]*\))?[^()]*)\)""".r
           .findFirstMatchIn(after).map(_.group(1).trim).filter(_.nonEmpty)
           .filter { v =>
@@ -469,6 +622,7 @@ final class ChSession(spark: SparkSession) {
                 _.replaceAll("\\s+", "") == v.replaceAll("\\s+", ""))
           },
         createAfter = after,
+        mysqlTable = mysqlDialectNow,
         rawDb = {
           val raw = m.group(1).replace("`", "")
           if (raw.contains('.')) raw.substring(0, raw.lastIndexOf('.'))
@@ -499,12 +653,20 @@ final class ChSession(spark: SparkSession) {
     }
   }
 
+  /** Exact-case table key, else the case-insensitive match — MySQL
+    * treats table names case-insensitively (60102/60103) and Spark's
+    * temp-view catalog already does, so the session map must agree.
+    */
+  private def resolveTableKey(n: String): String =
+    if (tables.contains(n)) n
+    else tables.keys.find(_.equalsIgnoreCase(n)).getOrElse(n)
+
   private def insert(s: String): Unit = {
     val m = insertRe.findFirstMatchIn(s).getOrElse(
       throw new IllegalArgumentException(s"cannot parse INSERT: $s"))
     // MySQL-compat `INSERT IGNORE INTO` = dedup_key_mode ignore
     val ignoreSpelling = m.group(1) != null
-    val name = cleanName(m.group(2))
+    val name = resolveTableKey(cleanName(m.group(2)))
     var rest = m.group(3).trim
     val st = tables.getOrElse(name,
       throw new IllegalArgumentException(s"INSERT into unknown table $name"))
@@ -646,11 +808,15 @@ final class ChSession(spark: SparkSession) {
     if (inserted.columns.length != givenCols.length)
       throw new IllegalArgumentException(
         s"INSERT arity ${inserted.columns.length} != ${givenCols.length}")
+    // INSERT column names resolve case-insensitively against the
+    // declared schema (MySQL inserts spell EVENT_DATE for EVENT_date)
+    val colsCanon = givenCols.map(g => st.schema.fieldNames
+      .find(_.equalsIgnoreCase(g)).getOrElse(g))
     // positional → named, then fill omitted columns from DEFAULT exprs
     // (declaration order: a default may reference earlier columns)
-    var full = inserted.toDF(givenCols: _*)
+    var full = inserted.toDF(colsCanon: _*)
     st.schema.fields.foreach { f =>
-      if (!givenCols.contains(f.name)) {
+      if (!colsCanon.contains(f.name)) {
         val d = st.defaults.get(f.name).map(chCol)
           .getOrElse(typeDefault(f.dataType))
         full = full.withColumn(f.name, d)
@@ -662,13 +828,13 @@ final class ChSession(spark: SparkSession) {
     // `_update_columns_` (partial-update path) lists the columns this
     // row overwrites — the rest keep the existing row's values
     val delSrc: Column =
-      if (givenCols.contains("_delete_flag_"))
+      if (colsCanon.contains("_delete_flag_"))
         coalesce(col("`_delete_flag_`").cast("int"), lit(0))
       else lit(0)
-    val providedCols = givenCols
+    val providedCols = colsCanon
       .filterNot(Set("_delete_flag_", "_update_columns_"))
     val updSrc: Column =
-      if (givenCols.contains("_update_columns_")) {
+      if (colsCanon.contains("_update_columns_")) {
         val v = coalesce(col("`_update_columns_`").cast("string"),
           lit(providedCols.mkString(",")))
         // explicit EMPTY list = full replace (no map merge), distinct
@@ -681,13 +847,48 @@ final class ChSession(spark: SparkSession) {
       // BitMapColumn insert path); everything else casts to declared type
       if (chTypeOf.get(f.name).contains("BitMap64"))
         expr(s"arrayToBitmap(`${f.name}`)").as(f.name)
-      else chAlignCast(col(s"`${f.name}`"), f.dataType,
-        full.schema.find(_.name == f.name).map(_.dataType)).as(f.name)
+      else {
+        // Enum columns ingest their UNDERLYING integers as names
+        // (reference DataTypeEnum::castToName; 60000_mysql_enum inserts
+        // VALUES(1, 1) into enum('test' = 1, ...))
+        val enumMembers = chTypeOf.get(f.name).toSeq.flatMap { t =>
+          """'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)""".r.findAllMatchIn(t)
+            .map(mm => (mm.group(2).toInt,
+              mm.group(1).replace("\\'", "'"))).toSeq
+        }
+        val srcType = full.schema.find(_.name == f.name).map(_.dataType)
+        val isNumericSrc = srcType.exists {
+          case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+          case _ => false
+        }
+        if (enumMembers.nonEmpty && isNumericSrc &&
+            chTypeOf(f.name).toUpperCase.startsWith("ENUM")) {
+          val c = col(s"`${f.name}`")
+          enumMembers.foldLeft(lit(null).cast("string")) { case (acc, (v, n)) =>
+            when(c === lit(v), lit(n)).otherwise(acc)
+          }.as(f.name)
+        } else chAlignCast(col(s"`${f.name}`"), f.dataType, srcType).as(f.name)
+      }
     } :+ delSrc.as("__del") :+ updSrc.as("__upd") :+
       lit(if (partialNow) 1 else 0).as("__partial"): _*)
     val mode = modeOverride.getOrElse(dedupKeyMode)
     if (st.uniqueKey.isEmpty) {
-      st.data = st.data.unionByName(aligned.drop("__del", "__upd", "__partial"))
+      val block0 = aligned.drop("__del", "__upd", "__partial")
+      // MergeTree writes each inserted block as a part SORTED by the
+      // sorting key and reads concatenate parts in commit order — a
+      // stable re-sort (60104's toYYYYMM tie order follows the table's
+      // ORDER BY, not insertion order). Materialized so a later outer
+      // ORDER BY cannot EliminateSorts the part order away.
+      val block =
+        if (st.orderKey.nonEmpty) {
+          import scala.jdk.CollectionConverters._
+          val rows = block0
+            .withColumn("__seq", monotonically_increasing_id())
+            .orderBy(st.orderKey.map(k => col(s"`$k`")) :+ col("__seq"): _*)
+            .drop("__seq").collect().toSeq
+          spark.createDataFrame(rows.asJava, block0.schema)
+        } else block0
+      st.data = st.data.unionByName(block)
     } else {
     val stamped = aligned.withColumn("__commit", lit(commitSeq))
     commitSeq += 1
@@ -758,7 +959,16 @@ final class ChSession(spark: SparkSession) {
 
   private def describe(s: String): Result = s match {
     case descRe(name) =>
-      tables.get(cleanName(name)) match {
+      tables.get(resolveTableKey(cleanName(name))) match {
+        case Some(st) if st.mysqlTable =>
+          // MySQL-dialect layout adds the nullability column
+          // (name, type, null, key, default kind, default, comment, ...)
+          Output(st.declared.map { case (n, t) =>
+            val (kind, exprTxt, comment) = st.meta.getOrElse(n, ("", "", ""))
+            val nullable =
+              !st.schema(n).metadata.contains("graft.ch.nonnull")
+            Row(n, t, if (nullable) "true" else "false", "",
+              kind, mysqlDefaultText(exprTxt), comment, "", "") })
         case Some(st) =>
           Output(st.declared.map { case (n, t) =>
             val (kind, exprTxt, comment) = st.meta.getOrElse(n, ("", "", ""))
@@ -775,7 +985,8 @@ final class ChSession(spark: SparkSession) {
       // the real type comes from evaluating the expression against the
       // preceding columns (reference infers the same way)
       inferType: Boolean = false,
-      rinn: Boolean = false)
+      rinn: Boolean = false,
+      onUpdate: Option[String] = None)
 
   /** `n Nested(a T, b U)` flattens to parallel array columns `n.a`
     * Array(T), `n.b` Array(U) — the reference's storage model
@@ -811,6 +1022,24 @@ final class ChSession(spark: SparkSession) {
     val m = colDefRe.findFirstMatchIn(def0.trim).getOrElse(return None)
     val name = colName(m.group(1))
     var rest = m.group(2).trim
+    // MySQL-dialect table constraints inside the column list are not
+    // columns (KEY(...)/CLUSTERED KEY(...)/PRIMARY KEY(...)): skip them —
+    // a genuine column NAMED `key` has a type, not a paren/KEY after it
+    val nameUp = name.toUpperCase
+    if ((Set("KEY", "INDEX", "CONSTRAINT", "FULLTEXT").contains(nameUp) &&
+          (rest.startsWith("(") || rest.matches("(?is)^[\\w`]+\\s*\\(.*"))) ||
+        (Set("CLUSTERED", "PRIMARY", "UNIQUE").contains(nameUp) &&
+          rest.toUpperCase.startsWith("KEY")))
+      return None
+    // MySQL column modifiers with no CH analogue: AUTO_INCREMENT /
+    // ZEROFILL / ON UPDATE <expr> are storage-behavior hints here
+    rest = """(?i)\s*\b(AUTO_INCREMENT|ZEROFILL|PRIMARY\s+KEY)\b""".r
+      .replaceAllIn(rest, "")
+    val onUpdRe =
+      """(?i)\bON\s+UPDATE\s+([^,]*?)(?=\s*\b(?:COMMENT|CODEC|TTL|DEFAULT|NOT\s+NULL|NULL)\b|$)""".r
+    val onUpdate = onUpdRe.findFirstMatchIn(rest).map(_.group(1).trim)
+      .filter(_.nonEmpty)
+    rest = onUpdRe.replaceAllIn(rest, "").trim
     // REPLACE_IF_NOT_NULL (partial-update tables): a NULL incoming
     // value keeps the existing one
     val rinnRe = """(?i)\s*\bREPLACE_IF_NOT_NULL\b\s*""".r
@@ -850,9 +1079,22 @@ final class ChSession(spark: SparkSession) {
     } else {
       // `a Int32 NULL` / `NOT NULL` suffix spelling of (non-)Nullable
       val nullSuffix = """(?is)\s+(NOT\s+)?NULL\s*$""".r
+      val notNull =
+        nullSuffix.findFirstMatchIn(rest).exists(_.group(1) != null)
+      // under dialect_type='MYSQL' every column is implicitly Nullable
+      // unless NOT NULL (the reference's MySQL DDL goldens print
+      // `Int32 NULL` for a plain `int` column)
+      val mysqlImplicitNull = !notNull && mysqlDialectNow
       val explicitNullable =
-        nullSuffix.findFirstMatchIn(rest).exists(_.group(1) == null)
-      val typeText = nullSuffix.replaceFirstIn(rest, "")
+        nullSuffix.findFirstMatchIn(rest).exists(_.group(1) == null) ||
+          mysqlImplicitNull
+      val typeText0 = nullSuffix.replaceFirstIn(rest, "")
+      // MySQL-alias type spellings normalize to the CH canonical form
+      // for DESCRIBE/SHOW CREATE (reference DataTypeFactory MySQL
+      // domain: int -> Int32, datetime -> DateTime64(3), ...)
+      val typeText =
+        if (mysqlDialectNow) ChTypes.canonicalMySql(typeText0)
+        else typeText0
       val (dt, chNullable) = ChTypes.parse(typeText)
       // a Nullable column's implicit default is NULL, not the type zero
       val d = default.orElse(
@@ -883,7 +1125,7 @@ final class ChSession(spark: SparkSession) {
         .foreach(m => mb.putString("graft.ch.tz", m.group(1)))
       val meta = mb.build()
       Some(ColDef(StructField(name, dt, nullable = true, meta), typeText, d,
-        hidden, kind, comment, rinn = rinn))
+        hidden, kind, comment, rinn = rinn, onUpdate = onUpdate))
     }
   }
 
@@ -1189,7 +1431,7 @@ final class ChSession(spark: SparkSession) {
   private def alter(s: String): Unit = {
     val m = alterRe.findFirstMatchIn(s).getOrElse(
       throw new IllegalArgumentException(s"cannot parse ALTER: ${s.take(60)}"))
-    val name = cleanName(m.group(1))
+    val name = resolveTableKey(cleanName(m.group(1)))
     if (!tables.contains(name))
       throw new IllegalArgumentException(s"ALTER of unknown table $name")
     splitAlterCommands(m.group(2)).foreach(cmd => alterOne(name, cmd.trim))
@@ -1225,7 +1467,9 @@ final class ChSession(spark: SparkSession) {
             st.meta.updated(cn, (kind, dflt, text.replace("\\'", "'"))))
         }
         return
-      case addColRe(ifne, defText, pos) =>
+      case addColRe(ifne, defText, pos)
+          if """(?i)^(INDEX|PROJECTION|CONSTRAINT|KEY)\b""".r
+            .findFirstIn(defText.trim).isEmpty =>
         val exists = ifne != null
         val cds = expandColDef(defText.trim)
         val anyExists = cds.exists(cd =>
@@ -1244,13 +1488,32 @@ final class ChSession(spark: SparkSession) {
             prevPos = Some(s"AFTER ${cd.field.name}")
           }
         }
-      case dropColRe(ife, col0) =>
+      case dropColRe(ife, col0)
+          if !Set("TTL", "PARTITION", "INDEX", "PROJECTION", "CONSTRAINT",
+            "DETACHED").contains(colName(col0).toUpperCase) =>
         val c = colName(col0)
         val stx = tables(name)
         if (!stx.schema.fieldNames.contains(c)) {
           if (ife == null) throw new IllegalArgumentException(
             s"cannot DROP unknown column $c")
         } else dropColumn(name, c)
+      // MySQL `ALTER TABLE t RENAME [TO|AS] new` = RENAME TABLE
+      case cmdText if """(?is)^RENAME\s+(?:TO\s+|AS\s+)?([`\w.]+)\s*$""".r
+          .findFirstMatchIn(cmdText.trim)
+          .exists(mm => !mm.group(1).equalsIgnoreCase("column")) =>
+        val nn = """(?is)^RENAME\s+(?:TO\s+|AS\s+)?([`\w.]+)\s*$""".r
+          .findFirstMatchIn(cmdText.trim).get.group(1)
+        // CH refuses a cross-database rename (error 48): an unqualified
+        // target lands in the CURRENT database, which may differ from
+        // the source table's
+        val bare = nn.replace("`", "")
+        val tgtDb = if (bare.contains('.'))
+          bare.substring(0, bare.lastIndexOf('.')) else currentDb
+        if (tgtDb != st.rawDb)
+          throw new UnsupportedOperationException(
+            s"RENAME between databases ${st.rawDb} and $tgtDb is not " +
+              "implemented (error 48 analog)")
+        renameTable(s"RENAME TABLE $name TO $nn")
       case renameColRe(ife, a0, b0) =>
         val a = colName(a0); val b = colName(b0)
         val stx = tables(name)
@@ -1294,7 +1557,9 @@ final class ChSession(spark: SparkSession) {
         stx.data = stx.data.filter(
           !coalesce(cond.cast("boolean"), lit(false)))
         registerView(name)
-      case modifyColRe(ife, rest0) =>
+      case modifyColRe(ife, rest0)
+          if """(?i)^(TTL|SETTING|ORDER|QUERY|SAMPLE|PRIMARY|CLUSTER|COMMENT)\b""".r
+            .findFirstIn(rest0.trim).isEmpty =>
         val rest = rest0.trim
         // REMOVE <property> form
         val rinnM = """(?is)^(`[^`]+`|[A-Za-z_][\w.]*)\s+REPLACE_IF_NOT_NULL\s*$""".r
@@ -1413,13 +1678,18 @@ final class ChSession(spark: SparkSession) {
   private def updateStmt(s: String): Unit = {
     val m = updateStmtRe.findFirstMatchIn(s).getOrElse(
       throw new IllegalArgumentException(s"cannot parse UPDATE: ${s.take(60)}"))
-    val name = cleanName(m.group(1))
+    val name = resolveTableKey(cleanName(m.group(1)))
     val st = tables.getOrElse(name,
       throw new IllegalArgumentException(s"UPDATE of unknown table $name"))
-    val assigns = splitTop(m.group(2)).map { a =>
+    val explicit = splitTop(m.group(2)).map { a =>
       val eq = topLevelEq(a)
       (colName(a.substring(0, eq).trim), a.substring(eq + 1).trim)
     }.toMap
+    // MySQL ON UPDATE columns refresh on any UPDATE that does not assign
+    // them explicitly (a property of the table, independent of the
+    // session dialect at UPDATE time)
+    val assigns = explicit ++
+      st.onUpdate.view.filterKeys(!explicit.contains(_)).toMap
     assigns.keys.find(st.uniqueKey.contains).foreach(k =>
       throw new IllegalArgumentException(
         s"UPDATE of unique key column $k is not allowed"))
@@ -1483,7 +1753,7 @@ final class ChSession(spark: SparkSession) {
     val m = """(?is)^\s*DELETE\s+FROM\s+([`\w.]+)\s+WHERE\s+(.*)$""".r
       .findFirstMatchIn(s).getOrElse(
         throw new IllegalArgumentException(s"cannot parse DELETE: ${s.take(60)}"))
-    val name = cleanName(m.group(1))
+    val name = resolveTableKey(cleanName(m.group(1)))
     val st = tables.getOrElse(name,
       throw new IllegalArgumentException(s"DELETE from unknown table $name"))
     st.data = st.data.filter(
@@ -1655,8 +1925,10 @@ object ChSession {
     """(?is)\s*INSERT\s+(IGNORE\s+)?INTO\s+(?:TABLE\s+)?([`\w.]+)\s*(.*)""".r
   private val descRe =
     """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([`\w.]+)\s*""".r
-  private val ctasRe = """(?is)(?:ENGINE[^;]*?)?\bAS\s+((?:SELECT|WITH)\b.*)""".r
-  private val cloneRe = """(?is)\s*AS\s+([`\w.]+)\s*(?:ENGINE.*)?""".r
+  // MySQL allows CTAS without AS (`create table t select ...`) and
+  // structure clones spelled LIKE (`create table t like src`)
+  private val ctasRe = """(?is)(?:ENGINE[^;]*?)?\b(?:AS\s+)?((?:SELECT|WITH)\b.*)""".r
+  private val cloneRe = """(?is)\s*(?:AS|LIKE)\s+([`\w.]+)\s*(?:ENGINE.*)?""".r
   private val skipDefRe =
     """(?i)^\s*(INDEX|CONSTRAINT|PRIMARY\s+KEY|PROJECTION)\b""".r
   private val colDefRe = """(?s)^(`[^`]+`|[A-Za-z_][\w.]*)\s+(.+)$""".r
@@ -1665,9 +1937,9 @@ object ChSession {
   private val alterKwRe =
     """(?is)^(ADD|DROP|MODIFY|RENAME|CLEAR|COMMENT|UPDATE|DELETE|RESET|MATERIALIZE|REMOVE|ATTACH|DETACH|FREEZE|MOVE|REPLACE|FETCH|INGEST)\b""".r
   private val addColRe =
-    """(?is)^ADD\s+COLUMN\s+(IF\s+NOT\s+EXISTS\s+)?(.*?)(?:\s+(FIRST|AFTER\s+[`\w.]+))?\s*$""".r
+    """(?is)^ADD\s+(?:COLUMN\s+)?(IF\s+NOT\s+EXISTS\s+)?(.*?)(?:\s+(FIRST|AFTER\s+[`\w.]+))?\s*$""".r
   private val dropColRe =
-    """(?is)^DROP\s+COLUMN\s+(IF\s+EXISTS\s+)?([`\w.]+)\s*$""".r
+    """(?is)^DROP\s+(?:COLUMN\s+)?(IF\s+EXISTS\s+)?([`\w.]+)\s*$""".r
   private val renameColRe =
     """(?is)^RENAME\s+COLUMN\s+(IF\s+EXISTS\s+)?([`\w.]+)\s+TO\s+([`\w.]+)\s*$""".r
   private val commentColRe =
@@ -1681,7 +1953,7 @@ object ChSession {
   private val dropPartRe =
     """(?is)^(?:DROP|DETACH)\s+PARTITION\s+(id\s+)?('[^']*'|\([^)]*\)|\S+)\s*$""".r
   private val modifyColRe =
-    """(?is)^MODIFY\s+COLUMN\s+(IF\s+EXISTS\s+)?(.*)$""".r
+    """(?is)^MODIFY\s+(?:COLUMN\s+)?(IF\s+EXISTS\s+)?(.*)$""".r
   private val modifierRe =
     """(?i)\b(DEFAULT|MATERIALIZED|ALIAS|CODEC|TTL|COMMENT)\b""".r
 
@@ -1709,6 +1981,12 @@ object ChSession {
     * database). Quote-aware: string literals pass through untouched.
     */
   def stripDbRefs(sql0: String): String = {
+    // ALTER … RENAME must keep db qualifiers: the session reproduces the
+    // reference's cross-database-rename refusal (error 48), which is
+    // only observable from the raw spelling
+    if ("""(?is)^\s*ALTER\s+TABLE\b.*\bRENAME\b""".r
+        .findFirstIn(sql0).isDefined)
+      return sql0
     val sql = stripDbAfterKeywords(sql0)
     val sb = new StringBuilder
     var i = 0
@@ -1962,6 +2240,51 @@ object ChTypes {
     DecimalType(p, s)
   }
 
+  /** MySQL-alias type text -> the CH canonical spelling the reference
+    * prints in DESCRIBE/SHOW CREATE (DataTypeFactory MySQL domain).
+    * Exact CH spellings (`DateTime`, `Int32`) stay; display-width args
+    * on integer types are dropped; composites recurse.
+    */
+  def canonicalMySql(t0: String): String = {
+    val t = t0.trim
+    val paren = t.indexOf('(')
+    val head = (if (paren < 0) t else t.substring(0, paren)).trim
+    lazy val args: Seq[String] =
+      ChSession.splitTop(t.substring(paren + 1, t.lastIndexOf(')')))
+        .map(_.trim)
+    if (head == "DateTime" || head == "DateTime64") return t
+    head.toUpperCase match {
+      case "NULLABLE" => s"Nullable(${canonicalMySql(args.head)})"
+      case "LOWCARDINALITY" => canonicalMySql(args.head)
+      case "ARRAY" => s"Array(${canonicalMySql(args.head)})"
+      case "MAP" =>
+        s"Map(${canonicalMySql(args.head)}, ${canonicalMySql(args(1))})"
+      case "TINYINT" | "INT8" => "Int8"
+      case "SMALLINT" | "INT16" => "Int16"
+      case "INT" | "INTEGER" | "MEDIUMINT" | "INT32" => "Int32"
+      case "BIGINT" | "INT64" => "Int64"
+      case "FLOAT" | "REAL" | "FLOAT32" => "Float32"
+      case "DOUBLE" | "FLOAT64" => "Float64"
+      case "DECIMAL" | "DEC" | "NUMERIC" | "FIXED" =>
+        if (paren > 0 && args.length > 1)
+          s"Decimal(${args.head}, ${args(1)})"
+        else if (paren > 0) s"Decimal(${args.head}, 0)"
+        else "Decimal(10, 0)"
+      case "VARCHAR" | "CHAR" | "TEXT" | "TINYTEXT" | "MEDIUMTEXT" |
+           "LONGTEXT" | "BLOB" | "TINYBLOB" | "MEDIUMBLOB" |
+           "LONGBLOB" | "BINARY" | "VARBINARY" | "NCHAR" |
+           "NVARCHAR" | "CLOB" | "STRING" => "String"
+      case "DATETIME" | "TIMESTAMP" => "DateTime64(3)"
+      case "DATE" => "Date"
+      case "BOOL" | "BOOLEAN" => "Bool"
+      case "UINT8" => "UInt8"
+      case "UINT16" => "UInt16"
+      case "UINT32" => "UInt32"
+      case "UINT64" => "UInt64"
+      case _ => t0
+    }
+  }
+
   /** (spark type, declared-Nullable). */
   def parse(t: String): (DataType, Boolean) = {
     val s = t.trim
@@ -2060,6 +2383,20 @@ object ChTypes {
           case "TIMESTAMP" | "DATETIME" => (TimestampType, false)
           case "DATE" => (DateType, false)
           case "BOOL" | "BOOLEAN" => (BooleanType, false)
+          // MySQL-dialect spellings (reference registerDataTypeMySql):
+          // TIME is seconds-since-midnight in the session shim; SIGNED /
+          // UNSIGNED are CAST target aliases
+          case "TIME" => (StringType, false)
+          case "SIGNED" | "UNSIGNED" => (LongType, false)
+          // case-insensitive composite spellings (60106 writes ARRAy /
+          // maP); delegate to the case-sensitive CH forms
+          case "ARRAY" if paren > 0 =>
+            val (et, en) = parse(args.head)
+            (ArrayType(et, containsNull = en), false)
+          case "MAP" if paren > 0 =>
+            val (v, vn) = parse(args(1))
+            (MapType(parse(args.head)._1, v, valueContainsNull = vn), false)
+          case "ENUM" => (StringType, false)
           case _ =>
             throw new IllegalArgumentException(s"unsupported CH type: $other")
         }

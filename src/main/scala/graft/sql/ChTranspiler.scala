@@ -53,6 +53,9 @@ object ChTranspiler {
         }
       } else if (c == '-' && i + 1 < n && sqlText.charAt(i + 1) == '-') {
         while (i < n && sqlText.charAt(i) != '\n') i += 1
+      } else if (c == '#') {
+        // CH lexer comments `#` to end-of-line (Lexer.cpp)
+        while (i < n && sqlText.charAt(i) != '\n') i += 1
       } else if (c == '/' && i + 1 < n && sqlText.charAt(i + 1) == '*') {
         i += 2
         while (i + 1 < n && !(sqlText.charAt(i) == '*' && sqlText.charAt(i + 1) == '/')) i += 1
@@ -72,6 +75,24 @@ object ChTranspiler {
     * file's last `;` lives in such a segment, and the sweep's
     * expected-error attribution needs to see it.
     */
+  private def balancedParens(t: String): Boolean = {
+    var d = 0
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '\'') {
+        i += 1
+        while (i < t.length && t.charAt(i) != '\'') {
+          if (t.charAt(i) == '\\') i += 1
+          i += 1
+        }
+      } else if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      i += 1
+    }
+    d == 0
+  }
+
   def statementsRawAll(sqlText: String): Seq[(String, String)] = {
     val out = ArrayBuffer[(String, String)]()
     val cur = new StringBuilder
@@ -91,6 +112,9 @@ object ChTranspiler {
         }
       } else if (c == '-' && i + 1 < n && sqlText.charAt(i + 1) == '-') {
         while (i < n && sqlText.charAt(i) != '\n') i += 1
+      } else if (c == '#') {
+        // CH lexer comments `#` to end-of-line (Lexer.cpp)
+        while (i < n && sqlText.charAt(i) != '\n') i += 1
       } else if (c == '/' && i + 1 < n && sqlText.charAt(i + 1) == '*') {
         i += 2
         while (i + 1 < n && !(sqlText.charAt(i) == '*' && sqlText.charAt(i + 1) == '/')) i += 1
@@ -98,6 +122,21 @@ object ChTranspiler {
         cur.append(' ')
       } else if (c == ';') {
         out += ((sqlText.substring(segStart, i + 1).trim, cur.toString.trim))
+        cur.clear(); i += 1; segStart = i
+      } else if (c == '\n' && {
+          // the client ends INSERT … VALUES data at the NEWLINE — a
+          // following line starting a new statement keyword is a new
+          // statement even without `;` (600201_mysql_if)
+          val t = cur.toString.trim
+          ("""(?is)^INSERT\s.*\bVALUES\b""".r.findFirstIn(t).isDefined ||
+            """(?is)^INSERT\s.*\bFORMAT\s+Values\b""".r.findFirstIn(t)
+              .isDefined) &&
+            t.endsWith(")") && balancedParens(t) && {
+              var k = i + 1
+              while (k < n && sqlText.charAt(k).isWhitespace) k += 1
+              k < n && sqlText.charAt(k).isLetter
+            } }) {
+        out += ((sqlText.substring(segStart, i).trim, cur.toString.trim))
         cur.clear(); i += 1; segStart = i
       } else { cur.append(c); i += 1 }
     }
@@ -120,7 +159,10 @@ object ChTranspiler {
       val c = s.charAt(i)
       if (c.isWhitespace) {
         val j = i; while (i < n && s.charAt(i).isWhitespace) i += 1
-        out += Ws(s.substring(j, i))
+        // exotic unicode spaces (U+3000 in 600201_mysql_if) would reach
+        // Spark's lexer verbatim — normalize to ASCII
+        out += Ws(s.substring(j, i)
+          .map(ch => if (ch > ' ' || ch == ' ') ' ' else ch))
       } else if (c == '\'') {
         val j = i; i += 1
         var done = false
@@ -238,6 +280,23 @@ object ChTranspiler {
             k += 1
           }
           i = k
+        // MySQL CAST targets: [UN]SIGNED [INTEGER|INT] → BIGINT (only in
+        // `CAST(x AS …)` position, so a column named `signed` survives)
+        case Word(w) if (w.equalsIgnoreCase("unsigned") ||
+            w.equalsIgnoreCase("signed")) && {
+            var k = i - 1
+            while (k >= 0 && toks(k).isInstanceOf[Ws]) k -= 1
+            k >= 0 && (toks(k) match {
+              case Word(a) => a.equalsIgnoreCase("AS")
+              case _ => false
+            }) } =>
+          out += Word("BIGINT")
+          val k = nextNonWs(i + 1)
+          i = if (k < toks.length && (toks(k) match {
+            case Word(n) => n.equalsIgnoreCase("integer") ||
+              n.equalsIgnoreCase("int")
+            case _ => false
+          })) k + 1 else i + 1
         case Word(w) if chType(w).isDefined =>
           out += Word(chType(w).get); i += 1
         case p @ Punct("(") => depth += 1; out += p; i += 1
@@ -333,6 +392,281 @@ object ChTranspiler {
       }
     }
     out.result()
+  }
+
+  /** MySQL CONVERT(expr, type) → CAST(expr AS type) (the reference ships
+    * CONVERT for its MySQL dialect; the type arm flows through
+    * rewriteTypes like any other type spelling). Token-level: split at
+    * the LAST top-level comma inside the call.
+    */
+  private def rewriteConvert(toks0: Vector[Tok]): Vector[Tok] = {
+    if (!toks0.exists {
+        case Word(w) => w.equalsIgnoreCase("convert")
+        case _ => false }) return toks0
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    def nonWs(k0: Int): Int = {
+      var k = k0
+      while (k < toks0.length && toks0(k).isInstanceOf[Ws]) k += 1
+      k
+    }
+    while (i < toks0.length) {
+      val rewritten: Option[Int] = toks0(i) match {
+        case Word(w) if w.equalsIgnoreCase("convert") &&
+            nonWs(i + 1) < toks0.length &&
+            toks0(nonWs(i + 1)) == Punct("(") =>
+          val open = nonWs(i + 1)
+          var k = open + 1
+          var depth = 1
+          var lastComma = -1
+          while (k < toks0.length && depth > 0) {
+            toks0(k) match {
+              case Punct("(") => depth += 1
+              case Punct(")") => depth -= 1
+              case Punct(",") if depth == 1 => lastComma = k
+              case _ => ()
+            }
+            k += 1
+          }
+          if (depth == 0 && lastComma > 0) {
+            out += Word("CAST"); out += Punct("(")
+            rewriteConvert(toks0.slice(open + 1, lastComma)).foreach(out += _)
+            out += Ws(" "); out += Word("AS"); out += Ws(" ")
+            toks0.slice(lastComma + 1, k - 1).foreach(out += _)
+            out += Punct(")")
+            Some(k)
+          } else None
+        case _ => None
+      }
+      rewritten match {
+        case Some(next) => i = next
+        case None => out += toks0(i); i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** `CAST(e AS DECIMAL(p[, s]))` → `chDecimal(e, p, s)`: CH float →
+    * Decimal conversion TRUNCATES toward zero (DecimalFunctions.h
+    * convertTo — multiply by the scale factor and static_cast) where
+    * Spark's Cast rounds HALF_UP. The registry builder keeps Spark's
+    * Cast for non-float inputs. Runs after rewriteTypes so DecimalNN
+    * spellings are already canonical.
+    */
+  private def rewriteCastDecimal(toks0: Vector[Tok]): Vector[Tok] = {
+    if (!toks0.exists {
+        case Word(w) => w.equalsIgnoreCase("DECIMAL")
+        case _ => false }) return toks0
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    def nonWs(k0: Int): Int = {
+      var k = k0
+      while (k < toks0.length && toks0(k).isInstanceOf[Ws]) k += 1
+      k
+    }
+    while (i < toks0.length) {
+      val rewritten: Option[Int] = toks0(i) match {
+        case Word(w) if w.equalsIgnoreCase("CAST") &&
+            nonWs(i + 1) < toks0.length &&
+            toks0(nonWs(i + 1)) == Punct("(") =>
+          val open = nonWs(i + 1)
+          var k = open + 1
+          var depth = 1
+          var asPos = -1
+          while (k < toks0.length && depth > 0 && asPos < 0) {
+            toks0(k) match {
+              case Punct("(") => depth += 1
+              case Punct(")") => depth -= 1
+              case Word(a) if depth == 1 && a.equalsIgnoreCase("AS") =>
+                asPos = k
+              case _ => ()
+            }
+            k += 1
+          }
+          val dw = if (asPos < 0) -1 else nonWs(asPos + 1)
+          val isDec = dw >= 0 && dw < toks0.length && (toks0(dw) match {
+            case Word(d) => d.equalsIgnoreCase("DECIMAL")
+            case _ => false
+          })
+          if (isDec) {
+            // collect optional (p[, s]) then expect the CAST's ')'
+            var p = "10"; var s = "0"
+            var after = dw + 1
+            val mOpen = nonWs(dw + 1)
+            if (mOpen < toks0.length && toks0(mOpen) == Punct("(")) {
+              val pPos = nonWs(mOpen + 1)
+              (toks0.lift(pPos), toks0.lift(nonWs(pPos + 1))) match {
+                case (Some(Num(pp)), Some(Punct(","))) =>
+                  val sPos = nonWs(nonWs(pPos + 1) + 1)
+                  (toks0.lift(sPos), toks0.lift(nonWs(sPos + 1))) match {
+                    case (Some(Num(ss)), Some(Punct(")"))) =>
+                      p = pp; s = ss; after = nonWs(sPos + 1) + 1
+                    case _ => after = -1
+                  }
+                case (Some(Num(pp)), Some(Punct(")"))) =>
+                  p = pp; after = nonWs(pPos + 1) + 1
+                case _ => after = -1
+              }
+            }
+            val castClose = if (after < 0) -1 else nonWs(after)
+            if (castClose >= 0 && castClose < toks0.length &&
+                toks0(castClose) == Punct(")")) {
+              out += Word("chDecimal"); out += Punct("(")
+              rewriteCastDecimal(toks0.slice(open + 1, asPos))
+                .foreach(out += _)
+              out += Punct(","); out += Num(p)
+              out += Punct(","); out += Num(s)
+              out += Punct(")")
+              Some(castClose + 1)
+            } else None
+          } else None
+        case _ => None
+      }
+      rewritten match {
+        case Some(next) => i = next
+        case None => out += toks0(i); i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** MYSQL-dialect token passes (gated on `SET dialect_type='MYSQL'`):
+    *  - `AS 'alias'`: single-quoted aliases become backtick identifiers;
+    *  - `^` is bitXor at MySQL's precedence (ABOVE `+` — `1 + 0 ^ 31`
+    *    is `1 + bitXor(0, 31)`), rewritten to explicit bitXor calls
+    *    binding each `^` to its immediate primary operands.
+    */
+  private def mysqlPasses(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    // AS 'alias'
+    if (toks.exists { case Str(_) => true; case _ => false }) {
+      val out = Vector.newBuilder[Tok]
+      var i = 0
+      while (i < toks.length) {
+        toks(i) match {
+          case Word(w) if w.equalsIgnoreCase("AS") && {
+              var k = i + 1
+              while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1
+              k < toks.length && toks(k).isInstanceOf[Str] } =>
+            var k = i + 1
+            while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1
+            def unq(t: String): String =
+              t.substring(1, t.length - 1).replace("\\'", "'")
+            // `'offset''s'` lexes as two adjacent Str tokens — the
+            // doubled quote escapes a literal quote in the name
+            var name = unq(toks(k).text)
+            while (k + 1 < toks.length && toks(k + 1).isInstanceOf[Str]) {
+              k += 1
+              name += "'" + unq(toks(k).text)
+            }
+            out += Word("AS"); out += Ws(" ")
+            out += Word("`" + name.replace("`", "``") + "`")
+            i = k + 1
+          case t => out += t; i += 1
+        }
+      }
+      toks = out.result()
+    }
+    // ^ → bitXor(l, r), tightest binding, left-associative
+    var xorPos = toks.indexWhere(_ == Punct("^"))
+    var guard = 0
+    while (xorPos >= 0 && guard < 64) {
+      guard += 1
+      def prevNonWs(k0: Int): Int = {
+        var k = k0
+        while (k >= 0 && toks(k).isInstanceOf[Ws]) k -= 1
+        k
+      }
+      def nextNonWs(k0: Int): Int = {
+        var k = k0
+        while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1
+        k
+      }
+      // left primary: [start, xorPos); walks back over `)`-groups with
+      // an optional call head, `::` cast chains, and single tokens
+      def leftStart(endTok: Int): Int = {
+        var s = prevNonWs(endTok)
+        toks(s) match {
+          case Punct(")") =>
+            var d = 1; var k = s - 1
+            while (k >= 0 && d > 0) {
+              toks(k) match {
+                case Punct(")") => d += 1
+                case Punct("(") => d -= 1
+                case _ => ()
+              }
+              if (d > 0) k -= 1
+            }
+            val head = prevNonWs(k - 1)
+            val kw = Set("SELECT", "WHERE", "AND", "OR", "NOT", "WHEN",
+              "THEN", "ELSE", "END", "BY", "AS", "ON", "FROM", "IN",
+              "CASE", "HAVING", "LIMIT", "OFFSET", "UNION", "ALL",
+              "DISTINCT", "RETURN", "SET", "VALUES", "JOIN")
+            toks.lift(head) match {
+              case Some(Word(w)) if !kw.contains(w.toUpperCase) => head
+              case _ => k
+            }
+          case _ => s
+        }
+      }
+      var ls = leftStart(xorPos - 1)
+      // absorb `::Type` chains to the LEFT of the primary
+      var p = prevNonWs(ls - 1)
+      while (p >= 1 && toks(p) == Punct("::")) {
+        ls = leftStart(p - 1)
+        p = prevNonWs(ls - 1)
+      }
+      // right primary from xorPos+1
+      var re = nextNonWs(xorPos + 1)
+      toks(re) match {
+        case Punct("-") | Punct("+") => re = nextNonWs(re + 1)
+        case _ => ()
+      }
+      toks(re) match {
+        case Word(_) if nextNonWs(re + 1) < toks.length &&
+            toks(nextNonWs(re + 1)) == Punct("(") =>
+          var k = nextNonWs(re + 1) + 1
+          var d = 1
+          while (k < toks.length && d > 0) {
+            toks(k) match {
+              case Punct("(") => d += 1
+              case Punct(")") => d -= 1
+              case _ => ()
+            }
+            if (d > 0) k += 1
+          }
+          re = k
+        case Punct("(") =>
+          var k = re + 1
+          var d = 1
+          while (k < toks.length && d > 0) {
+            toks(k) match {
+              case Punct("(") => d += 1
+              case Punct(")") => d -= 1
+              case _ => ()
+            }
+            if (d > 0) k += 1
+          }
+          re = k
+        case _ => ()
+      }
+      // absorb `::Type` chains to the RIGHT
+      var q = nextNonWs(re + 1)
+      while (q < toks.length && toks(q) == Punct("::")) {
+        re = nextNonWs(q + 1)
+        q = nextNonWs(re + 1)
+      }
+      val left = toks.slice(ls, xorPos)
+        .filterNot(_.isInstanceOf[Ws])
+      val right = toks.slice(xorPos + 1, re + 1)
+        .filterNot(_.isInstanceOf[Ws])
+      toks = toks.take(ls) ++
+        (Vector[Tok](Word("bitXor"), Punct("(")) ++ left ++
+          Vector[Tok](Punct(",")) ++ right ++ Vector[Tok](Punct(")"))) ++
+        toks.drop(re + 1)
+      xorPos = toks.indexWhere(_ == Punct("^"))
+    }
+    toks
   }
 
   /** Transpile one statement's ClickHouse syntax to Spark-parseable SQL. */
@@ -862,15 +1196,21 @@ object ChTranspiler {
     val sb = new StringBuilder(s.length)
     var i = 0
     val n = s.length
+    // under SET dialect_type='MYSQL' double quotes delimit STRINGS, so
+    // comment markers inside them must survive (ADVICE r11)
+    val dquoteIsString = mysqlDialect
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '\'' || c == '`') {
+      if (c == '#') {
+        // CH lexer comments `#` to end-of-line (Lexer.cpp '#', '#!')
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '\'' || c == '`' || (dquoteIsString && c == '"')) {
         val quote = c
         sb.append(c); i += 1
         var done = false
         while (i < n && !done) {
           val d = s.charAt(i); sb.append(d); i += 1
-          if (d == '\\' && quote == '\'' && i < n) {
+          if (d == '\\' && quote != '`' && i < n) {
             sb.append(s.charAt(i)); i += 1
           } else if (d == quote) done = true
         }
@@ -887,13 +1227,21 @@ object ChTranspiler {
     sb.toString
   }
 
+  private def mysqlDialect: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.ch.dialect", "CLICKHOUSE") == "MYSQL"
+    catch { case _: Throwable => false }
+
   def transpile(stmt: String, widenInts: Boolean): String = {
     val toks0raw = tokenize(stripComments(stmt))
     val toks0 = if (widenInts) widenIntLiterals(toks0raw) else toks0raw
     // Type-level pre-pass: strip Nullable(...) / LowCardinality(...)
     // wrappers (keep the inner type), map scalar type names, expand
     // DecimalNN(s), and rewrite Array(T) type syntax to ARRAY<T>.
-    val toks = mergePrewhere(rewriteTypes(rewriteCastEnum(toks0)))
+    val preMy =
+      if (mysqlDialect) mysqlPasses(rewriteConvert(rewriteCastEnum(toks0)))
+      else rewriteConvert(rewriteCastEnum(toks0))
+    val toks = mergePrewhere(rewriteCastDecimal(rewriteTypes(preMy)))
     val out = new StringBuilder
     // Depth-indexed stack entry: true → this bracket became `array(`,
     // false → element access (we rewrote `x[` to `element_at(x, `).

@@ -4204,6 +4204,12 @@ object ClickHouseAliases {
       "subDate" -> (cs => Subtract(cs.head, cs(1))),
       // MySQL FROM_DAYS(n): date from the day number where
       // TO_DAYS('1970-01-01') = 719528
+      // MySQL TO_DAYS (days since year 0; inverse of from_days)
+      "to_days" -> (cs => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        StaticInvoke(graft.functions.MathOps.getClass, LongType,
+          "mysqlToDays", Seq(Cast(cs.head, StringType)), Seq(StringType))
+      }),
       "from_days" -> (cs => DateFromUnixDate(
         Cast(Subtract(Cast(cs.head, LongType), Literal(719528L)),
           IntegerType))),
@@ -5288,6 +5294,28 @@ object ClickHouseAliases {
       // CAST(e AS Enum('a'=1,…)) lowering (ChTranspiler.rewriteCastEnum):
       // chEnum(e, 'a', 1, …) maps the underlying integer to the member
       // name (reference DataTypeEnum::getNameForValue)
+      // CAST(e AS DECIMAL(p,s)) lowering (ChTranspiler.rewriteCastDecimal):
+      // CH float→Decimal TRUNCATES toward zero (DecimalFunctions.h
+      // convertTo); everything else keeps Spark's Cast
+      "chDecimal" -> ((cs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        val (p, s) = (cs(1), cs(2)) match {
+          case (Literal(pv, _), Literal(sv, _)) =>
+            (pv.toString.toInt, sv.toString.toInt)
+          case other => throw new IllegalArgumentException(
+            s"chDecimal: precision/scale must be literals, got $other")
+        }
+        ChDispatch("chDecimal", cs.take(1)) { c =>
+          c.head.dataType match {
+            case FloatType | DoubleType =>
+              StaticInvoke(graft.functions.MathOps.getClass,
+                DecimalType(p, s), "doubleToDecimal",
+                Seq(Cast(c.head, DoubleType), Literal(p), Literal(s)),
+                Seq(DoubleType, IntegerType, IntegerType))
+            case _ => Cast(c.head, DecimalType(p, s))
+          }
+        }
+      }),
       "chEnum" -> ((cs: Seq[Expression]) => {
         val x = Cast(cs.head, IntegerType)
         val branches = cs.drop(1).grouped(2).collect {

@@ -58,7 +58,7 @@ object RunFile {
               println(s"RUN ${clean.take(100).replaceAll("\\s+"," ")}")
               val rows = chSqlDebug(spark, graft.sql.ChSession.stripDbRefs(clean)).collect()
               println("  => " + rows.take(5).mkString(" | "))
-            case _ => ()
+            case _ => println(s"SESS ${clean.take(100).replaceAll("\\s+"," ")}")
           }
         } catch { case e: Throwable =>
           println(s"FAIL ${clean.take(150).replaceAll("\\s+"," ")}")

@@ -369,7 +369,8 @@ object StatelessSweep {
                 case graft.sql.ChSession.Output(rows) =>
                   Some(ChFormat.formatRows(rows, zone))
                 case graft.sql.ChSession.NotHandled =>
-                  val stripped = graft.sql.ChSession.stripDbRefs(clean)
+                  val stripped = session.expandStar(
+                    graft.sql.ChSession.stripDbRefs(clean))
                   ChTranspiler.stripWithFill(stripped) match {
                     case Some((cleaned, specs)) =>
                       val df = chSql(spark, cleaned)
