@@ -110,12 +110,18 @@ object MathOps {
   def doubleToDecimal(x: Double, p: Int, s: Int): org.apache.spark.sql.types.Decimal = {
     if (x.isNaN || x.isInfinite)
       throw new ArithmeticException(s"cannot convert $x to Decimal($p, $s)")
-    val bd = new java.math.BigDecimal(x)
-      .setScale(s, java.math.RoundingMode.DOWN)
-    if (bd.precision - bd.scale > p - s)
+    // the reference computes `value * scaleMultiplier` in DOUBLE (one
+    // IEEE rounding) and then static_casts — truncation of the PRODUCT,
+    // not of the exact value (315.08 at scale 12 stays 315.08 because
+    // the product rounds to 3.1508e14 before the cast)
+    val out = x * math.pow(10, s)
+    val bd = new java.math.BigDecimal(out)
+      .setScale(0, java.math.RoundingMode.DOWN)
+      .movePointLeft(s)
+    if (bd.abs.compareTo(java.math.BigDecimal.TEN.pow(p - s)) >= 0)
       throw new ArithmeticException(
         s"Decimal value $x is out of range of Decimal($p, $s)")
-    org.apache.spark.sql.types.Decimal(bd, p, s)
+    org.apache.spark.sql.types.Decimal(bd.setScale(s), p, s)
   }
 
   /** MySQL TO_DAYS: days since year 0 for flexible date spellings —
@@ -134,5 +140,19 @@ object MathOps {
           t.substring(4, 6).toInt, t.substring(6).toInt)
       else java.time.LocalDate.parse(t.take(10))
     d.toEpochDay + 719528L
+  }
+
+  /** CH String→Decimal conversion: full-precision parse, TRUNCATE extra
+    * fractional digits toward zero (readDecimalText reads only `scale`
+    * fractional digits), range overflow raises (error 69 analog).
+    */
+  def stringToDecimal(x: org.apache.spark.unsafe.types.UTF8String,
+      p: Int, s: Int): org.apache.spark.sql.types.Decimal = {
+    val bd = new java.math.BigDecimal(x.toString.trim)
+      .setScale(s, java.math.RoundingMode.DOWN)
+    if (bd.precision - bd.scale > p - s)
+      throw new ArithmeticException(
+        s"Decimal value $x is out of range of Decimal($p, $s)")
+    org.apache.spark.sql.types.Decimal(bd, p, s)
   }
 }

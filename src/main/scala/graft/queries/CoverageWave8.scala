@@ -43,11 +43,11 @@ object CoverageWave8 {
       },
       Some("""
         SELECT l_returnflag,
-          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-            * (CAST('1.00' AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS disc_revenue,
+          CAST(CAST(SUM(CAST(trunc(l_extendedprice * 100) / 100 AS DECIMAL(18,2))
+            * (CAST('1.00' AS DECIMAL(9,2)) - CAST(trunc(l_discount * 100) / 100 AS DECIMAL(9,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS disc_revenue,
           CAST(CAST(SUM(COALESCE(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2)), 0)) AS DECIMAL(18,2)) AS DOUBLE) AS qty_sum,
           CAST(CAST(SUM(TRY_CAST(CAST(l_tax AS VARCHAR) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS tax_sum,
-          CAST(CAST(MAX(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(18,4)) AS DOUBLE) AS max_price
+          CAST(CAST(MAX(CAST(trunc(l_extendedprice * 10000) / 10000 AS DECIMAL(38,4))) AS DECIMAL(18,4)) AS DOUBLE) AS max_price
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),

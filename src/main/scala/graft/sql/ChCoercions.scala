@@ -41,12 +41,56 @@ object ChCoercions extends Rule[LogicalPlan] {
   private def toBool(e: Expression): Expression =
     Not(EqualTo(Cast(e, DoubleType), Literal(0.0d)))
 
+  private def isTime(e: Expression): Boolean = e.dataType match {
+    case st: StructType => st.fieldNames.sameElements(Array("__time"))
+    case _ => false
+  }
+  private def isInterval(e: Expression): Boolean = e.dataType match {
+    case CalendarIntervalType => true
+    case _: DayTimeIntervalType => true
+    case _: YearMonthIntervalType => true
+    case _ => false
+  }
+  private def timePlus(l: Expression, r: Expression,
+      negate: Boolean): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val seconds: Long = r.eval() match {
+      case null => 0L
+      case iv: org.apache.spark.unsafe.types.CalendarInterval =>
+        iv.days.toLong * 86400L + iv.microseconds / 1000000L
+      case micros: Long if r.dataType.isInstanceOf[DayTimeIntervalType] =>
+        micros / 1000000L
+      case _ => 0L // year-month interval: identity on a time-of-day
+    }
+    if (seconds == 0L) l
+    else CreateNamedStruct(Seq(Literal("__time"),
+      StaticInvoke(graft.functions.TimeOps.getClass, StringType,
+        "addSeconds",
+        Seq(GetStructField(l, 0, Some("__time")),
+          Literal(if (negate) -seconds else seconds)),
+        Seq(StringType, LongType))))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     plan.resolveOperatorsUp {
       case f @ Filter(cond, _) if cond.resolved && numeric(cond) =>
         f.copy(condition = toBool(cond))
       case q =>
         q.transformExpressionsUp {
+          // CH Time ± INTERVAL: hour/minute/second (and day-time) parts
+          // add modulo 24h; year-month parts are identity (10080_*).
+          // Foldable intervals only — the corpus writes literals.
+          case Add(l, r, _) if ok(l, r) && isTime(l) && isInterval(r) &&
+              r.foldable =>
+            timePlus(l, r, negate = false)
+          case Subtract(l, r, _) if ok(l, r) && isTime(l) && isInterval(r) &&
+              r.foldable =>
+            timePlus(l, r, negate = true)
+          // ResolveBinaryArithmetic eagerly lowers `x ± interval` to
+          // TimestampAddInterval before this rule sees the Add
+          case ta: TimestampAddInterval if ok(ta.left, ta.right) &&
+              isTime(ta.left) && ta.right.foldable =>
+            timePlus(ta.left, ta.right, negate = false)
           case Add(l, r, f) if ok(l, r) && isTs(l) && integral(r) =>
             TimestampAdd("SECOND", Cast(r, LongType), l)
           case Add(l, r, f) if ok(l, r) && integral(l) && isTs(r) =>
@@ -91,6 +135,8 @@ object ChCoercions extends Rule[LogicalPlan] {
           }
           case s @ Sum(c, _) if c.resolved && isBool(c) =>
             s.copy(child = Cast(c, IntegerType))
+          case s: ChSum if s.child.resolved && isBool(s.child) =>
+            s.copy(child = Cast(s.child, IntegerType))
           case a @ Average(c, _) if c.resolved && isBool(c) =>
             a.copy(child = Cast(c, IntegerType))
           case And(l, r) if ok(l, r) && numeric(l) && numeric(r) =>

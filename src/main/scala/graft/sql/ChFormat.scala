@@ -79,6 +79,10 @@ object ChFormat {
     case m: scala.collection.Map[_, _] =>
       m.toSeq.map { case (k, x) => nested(k, zone) + ":" + nested(x, zone) }
         .mkString("{", ",", "}")
+    // CH Time marker struct ({__time: text}): prints as its text —
+    // raw at top level, quoted inside composites like any string
+    case r: org.apache.spark.sql.Row if isTimeRow(r) =>
+      if (quoted) "'" + r.getString(0) + "'" else r.getString(0)
     // BitMap64 marker struct (BitmapCorpusExpr.bitmapStruct): CH prints
     // bitmap values in braces — {1,2,3}
     case r: org.apache.spark.sql.Row if isBitmapRow(r) =>
@@ -91,6 +95,10 @@ object ChFormat {
   private def isBitmapRow(r: org.apache.spark.sql.Row): Boolean =
     r.schema != null && r.schema.length == 1 &&
       r.schema.fields(0).name == "__bitmap"
+
+  private def isTimeRow(r: org.apache.spark.sql.Row): Boolean =
+    r.schema != null && r.schema.length == 1 &&
+      r.schema.fields(0).name == "__time"
 
   /** ClickHouse float text: shortest round-trip, integral values without
     * a trailing `.0`, lowercase exponent without the redundant `+`.

@@ -847,7 +847,19 @@ final class ChSession(spark: SparkSession) {
       // BitMapColumn insert path); everything else casts to declared type
       if (chTypeOf.get(f.name).contains("BitMap64"))
         expr(s"arrayToBitmap(`${f.name}`)").as(f.name)
-      else {
+      else if (chTypeOf.get(f.name).exists(t =>
+          t.trim.toUpperCase.startsWith("TIME"))) {
+        // Time column: canonical text at the DECLARED scale; NULL
+        // default-fills to the zero time (10080_insert_time_data)
+        val scale = chTypeOf(f.name).trim match {
+          case t if t.contains("(") =>
+            """\((\d+)\)""".r.findFirstMatchIn(t)
+              .map(_.group(1).toInt).getOrElse(3)
+          case _ => 3
+        }
+        expr(s"named_struct('__time', chTimeText(" +
+          s"coalesce(cast(`${f.name}` as string), ''), $scale))").as(f.name)
+      } else {
         // Enum columns ingest their UNDERLYING integers as names
         // (reference DataTypeEnum::castToName; 60000_mysql_enum inserts
         // VALUES(1, 1) into enum('test' = 1, ...))
@@ -879,14 +891,21 @@ final class ChSession(spark: SparkSession) {
       // stable re-sort (60104's toYYYYMM tie order follows the table's
       // ORDER BY, not insertion order). Materialized so a later outer
       // ORDER BY cannot EliminateSorts the part order away.
+      // bounded: a huge INSERT SELECT (00906 writes 1e8 rows) must not
+      // collect to the driver — per-part order is only observable in
+      // small fixtures, so big blocks append lazily
       val block =
-        if (st.orderKey.nonEmpty) {
+        if (st.orderKey.nonEmpty &&
+            block0.limit(100001).count() <= 100000L) {
           import scala.jdk.CollectionConverters._
           val rows = block0
             .withColumn("__seq", monotonically_increasing_id())
             .orderBy(st.orderKey.map(k => col(s"`$k`")) :+ col("__seq"): _*)
             .drop("__seq").collect().toSeq
-          spark.createDataFrame(rows.asJava, block0.schema)
+          // single partition: a re-read LocalRelation parallelizes to
+          // defaultParallelism otherwise, and per-partition limits would
+          // interleave the part order away
+          spark.createDataFrame(rows.asJava, block0.schema).coalesce(1)
         } else block0
       st.data = st.data.unionByName(block)
     } else {
@@ -952,7 +971,11 @@ final class ChSession(spark: SparkSession) {
     // (MergeTree parts merge-sort on read); register the sorted view
     val view =
       if (st.orderKey.nonEmpty)
-        filled.orderBy(st.orderKey.map(k => col(s"`$k`")): _*)
+        // stable: ties keep the underlying (part/commit) order — Spark's
+        // TakeOrderedAndProject heap is tie-UNSTABLE without this
+        filled.withColumn("__ord", monotonically_increasing_id())
+          .orderBy(st.orderKey.map(k => col(s"`$k`")) :+ col("__ord"): _*)
+          .drop("__ord")
       else filled
     view.createOrReplaceTempView(name)
   }
@@ -1891,6 +1914,8 @@ final class ChSession(spark: SparkSession) {
   }
 
   private def typeDefault(dt: DataType): Column = dt match {
+    case st: StructType if st.fieldNames.sameElements(Array("__time")) =>
+      struct(lit("00:00:00.000").as("__time"))
     case _: NumericType => lit(0).cast(dt)
     case StringType => lit("")
     case BooleanType => lit(false)
@@ -2240,6 +2265,10 @@ object ChTypes {
     DecimalType(p, s)
   }
 
+  /** CH Time marker struct (graft.functions.TimeOps). */
+  val timeStruct: StructType =
+    StructType(Seq(StructField("__time", StringType, nullable = false)))
+
   /** MySQL-alias type text -> the CH canonical spelling the reference
     * prints in DESCRIBE/SHOW CREATE (DataTypeFactory MySQL domain).
     * Exact CH spellings (`DateTime`, `Int32`) stay; display-width args
@@ -2383,10 +2412,9 @@ object ChTypes {
           case "TIMESTAMP" | "DATETIME" => (TimestampType, false)
           case "DATE" => (DateType, false)
           case "BOOL" | "BOOLEAN" => (BooleanType, false)
-          // MySQL-dialect spellings (reference registerDataTypeMySql):
-          // TIME is seconds-since-midnight in the session shim; SIGNED /
-          // UNSIGNED are CAST target aliases
-          case "TIME" => (StringType, false)
+          // MySQL-dialect spellings (reference registerDataTypeMySql);
+          // TIME is the engine's {__time: text} marker struct (TimeOps)
+          case "TIME" => (ChTypes.timeStruct, false)
           case "SIGNED" | "UNSIGNED" => (LongType, false)
           // case-insensitive composite spellings (60106 writes ARRAy /
           // maP); delegate to the case-sensitive CH forms

@@ -222,7 +222,8 @@ object ChTranspiler {
     case "Float64" => Some("DOUBLE")
     case "String" => Some("STRING")
     case "Date" | "Date32" => Some("DATE")
-    case "DateTime" | "DateTime64" => Some("TIMESTAMP")
+    case "DateTime" | "DateTime64" | "DATETIME" | "datetime" =>
+      Some("TIMESTAMP")
     case "UUID" => Some("STRING")
     case _ => None
   }
@@ -298,7 +299,18 @@ object ChTranspiler {
             case _ => false
           })) k + 1 else i + 1
         case Word(w) if chType(w).isDefined =>
-          out += Word(chType(w).get); i += 1
+          out += Word(chType(w).get)
+          // TIMESTAMP takes no precision in Spark — drop a numeric
+          // (n) after DateTime64(6)/DATETIME(4) spellings
+          val p1 = nextNonWs(i + 1)
+          i = if (chType(w).contains("TIMESTAMP") && p1 < toks.length &&
+              toks(p1) == Punct("(") && {
+                val nn = nextNonWs(p1 + 1)
+                val cc = nextNonWs(nn + 1)
+                nn < toks.length && toks(nn).isInstanceOf[Num] &&
+                  cc < toks.length && toks(cc) == Punct(")")
+              }) nextNonWs(nextNonWs(p1 + 1) + 1) + 1
+            else i + 1
         case p @ Punct("(") => depth += 1; out += p; i += 1
         case p @ Punct(")") =>
           closeAs.get(depth) match {
@@ -528,6 +540,200 @@ object ChTranspiler {
       }
     }
     out.result()
+  }
+
+  /** CH `Time` spellings → the chTime(x, scale) lowering (the engine's
+    * Time is a marker struct, see graft.functions.TimeOps):
+    * `x::Time[(n)]`, `CAST(x AS Time[(n)])`, `CAST(x, 'Time[(n)]')`,
+    * and the `TIME'…'` typed literal.
+    */
+  private def rewriteTimeType(toks0: Vector[Tok]): Vector[Tok] = {
+    def isTimeWord(t: Tok) = t match {
+      case Word(w) => w.equalsIgnoreCase("time")
+      case _ => false
+    }
+    if (!toks0.exists {
+        case Word(w) => w.equalsIgnoreCase("time")
+        case Str(sv) => sv.toUpperCase.contains("TIME")
+        case _ => false
+      }) return toks0
+    var toks = toks0
+    def nonWs(ts: Vector[Tok], k0: Int, dir: Int = 1): Int = {
+      var k = k0
+      while (k >= 0 && k < ts.length && ts(k).isInstanceOf[Ws]) k += dir
+      k
+    }
+    // optional (n) after the Time word: returns (scaleText, indexAfter)
+    def scaleAfter(ts: Vector[Tok], tw: Int): (String, Int) = {
+      val p = nonWs(ts, tw + 1)
+      if (p < ts.length && ts(p) == Punct("(")) {
+        val num = nonWs(ts, p + 1)
+        val close = nonWs(ts, num + 1)
+        (ts.lift(num), ts.lift(close)) match {
+          case (Some(Num(n)), Some(Punct(")"))) => (n, close + 1)
+          case _ => ("3", tw + 1)
+        }
+      } else ("3", tw + 1)
+    }
+    def run(step: Vector[Tok] => Option[Vector[Tok]]): Unit = {
+      var guard = 0
+      var next = step(toks)
+      while (next.isDefined && guard < 64) {
+        toks = next.get
+        guard += 1
+        next = step(toks)
+      }
+    }
+    // CH's datetime text reader accepts ANY non-digit delimiters
+    // ('2021 01-02 …' parses); normalize literals that feed a :: cast
+    run(ts => {
+      val dtRe = """^'(\d{4})([^\d'])(\d{2})([^\d'])(\d{2})([ T].*)?'$""".r
+      val i = ts.indices.find { k =>
+        ts(k) match {
+          case Str(sv) => k + 2 < ts.length && ts(k + 1) == Punct(":") &&
+            ts(k + 2) == Punct(":") && {
+              dtRe.findFirstMatchIn(sv).exists(m =>
+                m.group(2) != "-" || m.group(4) != "-")
+            }
+          case _ => false
+        }
+      }
+      i.map { k =>
+        val sv = ts(k).text
+        val m = dtRe.findFirstMatchIn(sv).get
+        val fixed = s"'${m.group(1)}-${m.group(3)}-${m.group(5)}" +
+          Option(m.group(6)).getOrElse("") + "'"
+        ts.updated(k, Str(fixed))
+      }
+    })
+    // TIME'…' typed literal
+    run(ts => {
+      val i = ts.indices.find(k => isTimeWord(ts(k)) &&
+        k + 1 < ts.length && ts(k + 1).isInstanceOf[Str])
+      i.map { k =>
+        ts.take(k) ++
+          Vector[Tok](Word("chTime"), Punct("("), ts(k + 1), Punct(","),
+            Num("3"), Punct(")")) ++ ts.drop(k + 2)
+      }
+    })
+    // x :: Time[(n)]  (`::` lexes as two single-char puncts)
+    run(ts => {
+      val i = ts.indices.find(k => ts(k) == Punct(":") &&
+        k + 1 < ts.length && ts(k + 1) == Punct(":") && {
+        val w = nonWs(ts, k + 2)
+        w < ts.length && isTimeWord(ts(w))
+      })
+      i.map { k =>
+        val w = nonWs(ts, k + 2)
+        val (scale, after) = scaleAfter(ts, w)
+        // left primary: token or balanced paren group (with optional
+        // non-keyword call head)
+        var ls = nonWs(ts, k - 1, -1)
+        ts(ls) match {
+          case Punct(")") =>
+            var d = 1; var j = ls - 1
+            while (j >= 0 && d > 0) {
+              ts(j) match {
+                case Punct(")") => d += 1
+                case Punct("(") => d -= 1
+                case _ => ()
+              }
+              if (d > 0) j -= 1
+            }
+            val head = nonWs(ts, j - 1, -1)
+            ts.lift(head) match {
+              case Some(Word(hw)) if !Set("SELECT", "WHERE", "AND", "OR",
+                  "NOT", "WHEN", "THEN", "ELSE", "BY", "AS", "ON", "IN",
+                  "FROM", "CASE", "VALUES").contains(hw.toUpperCase) =>
+                ls = head
+              case _ => ls = j
+            }
+          case _ => ()
+        }
+        val left = ts.slice(ls, k).filterNot(_.isInstanceOf[Ws])
+        ts.take(ls) ++
+          (Vector[Tok](Word("chTime"), Punct("(")) ++ left ++
+            Vector[Tok](Punct(","), Num(scale), Punct(")"))) ++
+          ts.drop(after)
+      }
+    })
+    // CAST(x AS Time[(n)]) and CAST(x, 'Time[(n)]')
+    run(ts => {
+      val i = ts.indices.find { k =>
+        (ts(k) match {
+          case Word(w) => w.equalsIgnoreCase("CAST")
+          case _ => false
+        }) && {
+          val open = nonWs(ts, k + 1)
+          open < ts.length && ts(open) == Punct("(") && {
+            // scan to AS/, at depth 1, then Time
+            var j = open + 1
+            var d = 1
+            var hit = false
+            while (j < ts.length && d > 0 && !hit) {
+              ts(j) match {
+                case Punct("(") => d += 1
+                case Punct(")") => d -= 1
+                case Word(a) if d == 1 && a.equalsIgnoreCase("AS") =>
+                  val w = nonWs(ts, j + 1)
+                  hit = w < ts.length && isTimeWord(ts(w))
+                case Punct(",") if d == 1 =>
+                  val w = nonWs(ts, j + 1)
+                  hit = w < ts.length && (ts(w) match {
+                    case Str(sv) => sv.length > 2 &&
+                      sv.substring(1, sv.length - 1).trim
+                        .toUpperCase.startsWith("TIME")
+                    case _ => false
+                  })
+                case _ => ()
+              }
+              j += 1
+            }
+            hit
+          }
+        }
+      }
+      i.map { k =>
+        val open = nonWs(ts, k + 1)
+        var j = open + 1
+        var d = 1
+        var sep = -1
+        while (j < ts.length && d > 0 && sep < 0) {
+          ts(j) match {
+            case Punct("(") => d += 1
+            case Punct(")") => d -= 1
+            case Word(a) if d == 1 && a.equalsIgnoreCase("AS") => sep = j
+            case Punct(",") if d == 1 => sep = j
+            case _ => ()
+          }
+          j += 1
+        }
+        // close paren of the CAST
+        var close = sep
+        d = 1
+        while (close < ts.length && d > 0) {
+          close += 1
+          ts(close) match {
+            case Punct("(") => d += 1
+            case Punct(")") => d -= 1
+            case _ => ()
+          }
+        }
+        val scale = ts(nonWs(ts, sep + 1)) match {
+          case Str(sv) =>
+            val inner = sv.substring(1, sv.length - 1).trim
+            """\((\d+)\)""".r.findFirstMatchIn(inner)
+              .map(_.group(1)).getOrElse("3")
+          case _ => scaleAfter(ts, nonWs(ts, sep + 1))._1
+        }
+        ts.take(k) ++
+          (Vector[Tok](Word("chTime"), Punct("(")) ++
+            ts.slice(open + 1, sep) ++
+            Vector[Tok](Punct(","), Num(scale), Punct(")"))) ++
+          ts.drop(close + 1)
+      }
+    })
+    toks
   }
 
   /** MYSQL-dialect token passes (gated on `SET dialect_type='MYSQL'`):
@@ -801,10 +1007,23 @@ object ChTranspiler {
           val e = offset + hit.end
           val prev = sql.take(s).reverse.dropWhile(_.isWhitespace).headOption
           if (prev.contains('.')) None // already qualified
+          else if (inOnClause(sql, s)) None // CH errors there too (352)
           else Some(sql.substring(0, s) + qual + "." + col + sql.substring(e))
         }
       }
     }
+  }
+
+  /** CH only LEFT-prefers ambiguous names OUTSIDE the join condition —
+    * inside ON it raises AMBIGUOUS_COLUMN_NAME (error 352, 00800's
+    * `on val + 0 = val * 1`), so the retry must not rescue those.
+    */
+  private def inOnClause(sql: String, pos: Int): Boolean = {
+    val up = sql.substring(0, pos).toUpperCase
+    val lastOn = up.lastIndexOf(" ON ")
+    if (lastOn < 0) return false
+    Seq("SELECT", " WHERE ", " GROUP ", " ORDER ", " HAVING ", " LIMIT ")
+      .forall(k => up.lastIndexOf(k) < lastOn)
   }
 
   def disambiguate(stmt: String, errMsg: String): Option[String] = {
@@ -847,7 +1066,9 @@ object ChTranspiler {
           })
           val nextDotOrCall = next < toks.length &&
             (toks(next) == Punct(".") || toks(next) == Punct("("))
-          if (!prevDot && !prevAs && !nextDotOrCall) {
+          val offset = toks.take(i).map(_.text.length).sum
+          if (!prevDot && !prevAs && !nextDotOrCall &&
+              !inOnClause(stmt, math.min(offset, stmt.length))) {
             out += Word(qual); out += Punct("."); out += t
             changed = true
           } else out += t
@@ -1238,9 +1459,10 @@ object ChTranspiler {
     // Type-level pre-pass: strip Nullable(...) / LowCardinality(...)
     // wrappers (keep the inner type), map scalar type names, expand
     // DecimalNN(s), and rewrite Array(T) type syntax to ARRAY<T>.
+    val preTime = rewriteTimeType(toks0)
     val preMy =
-      if (mysqlDialect) mysqlPasses(rewriteConvert(rewriteCastEnum(toks0)))
-      else rewriteConvert(rewriteCastEnum(toks0))
+      if (mysqlDialect) mysqlPasses(rewriteConvert(rewriteCastEnum(preTime)))
+      else rewriteConvert(rewriteCastEnum(preTime))
     val toks = mergePrewhere(rewriteCastDecimal(rewriteTypes(preMy)))
     val out = new StringBuilder
     // Depth-indexed stack entry: true → this bracket became `array(`,
@@ -1303,6 +1525,14 @@ object ChTranspiler {
           // Catalyst pushes predicates itself. Guarded so a TABLE named
           // `prewhere` (the corpus has one) survives in FROM position.
           out.append("WHERE"); lastSig = Some(Word("WHERE"))
+        case Word(w) if (w.equalsIgnoreCase("YEAR_MONTH") ||
+            w.equalsIgnoreCase("DAY_TIME") ||
+            w.equalsIgnoreCase("DAY_SECOND")) &&
+            lastSig.exists(_.isInstanceOf[Str]) =>
+          // MySQL compound interval units → Spark's ANSI spellings
+          out.append(if (w.equalsIgnoreCase("YEAR_MONTH")) "YEAR TO MONTH"
+            else "DAY TO SECOND")
+          lastSig = Some(Word("MONTH"))
         case Word(w) if w.equalsIgnoreCase("dateDiff") ||
             w.equalsIgnoreCase("date_diff") =>
           // Spark's parser intercepts dateDiff/date_diff with special
@@ -2095,18 +2325,26 @@ object ChTranspiler {
                   defText.drop(sp).trim))
           }
           if (plain.nonEmpty) {
-            val casts = plain.map { case (n, t) =>
-              val dt = try Some(ChTypes.parse(t)._1) catch {
+            val parsedTypes = plain.map { case (n, t) =>
+              (n, try Some(ChTypes.parse(t)._1) catch {
                 case _: Exception => None
-              }
-              dt.map(d => s"CAST($n AS ${d.sql}) AS $n").getOrElse(n)
+              })
             }
-            val comps = computed.map { case (n, e) => s"$e AS $n" }
-            val inner = s"(SELECT ${(casts ++ comps).mkString(", ")} " +
-              s"FROM VALUES $tuples AS __chv(${plain.map(_._1).mkString(", ")}))"
-            val pre = toks.take(i).map(_.text).mkString
-            val post = toks.drop(j + 1).map(_.text).mkString
-            return rewriteValuesTable(pre + inner + post)
+            // only a spec where EVERY declared type parses is a typed
+            // VALUES('x UInt64, …') table function — a plain inline
+            // table whose first value happens to contain whitespace
+            // must stay untouched (ADVICE r11)
+            if (parsedTypes.forall(_._2.isDefined)) {
+              val casts = parsedTypes.map { case (n, dt) =>
+                s"CAST($n AS ${dt.get.sql}) AS $n"
+              }
+              val comps = computed.map { case (n, e) => s"$e AS $n" }
+              val inner = s"(SELECT ${(casts ++ comps).mkString(", ")} " +
+                s"FROM VALUES $tuples AS __chv(${plain.map(_._1).mkString(", ")}))"
+              val pre = toks.take(i).map(_.text).mkString
+              val post = toks.drop(j + 1).map(_.text).mkString
+              return rewriteValuesTable(pre + inner + post)
+            }
           }
         }
       }

@@ -238,6 +238,27 @@ object ClickHouseAliases {
       }
       // TimestampAdd takes a LongType quantity; the date forms take INT
       c.head.dataType match {
+        // CH Time: year/month/day/week shifts are identity on a
+        // time-of-day; hour/minute/second add modulo 24h (10080_*)
+        case st: StructType if st.fieldNames.sameElements(Array("__time")) =>
+          import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+          val perUnit: Option[Long] = unit match {
+            case "HOUR" => Some(3600L)
+            case "MINUTE" => Some(60L)
+            case "SECOND" => Some(1L)
+            case _ => None
+          }
+          perUnit match {
+            case None => c.head
+            case Some(k) =>
+              val delta0 = Multiply(Cast(c(1), LongType), Literal(k))
+              val delta = if (negate) UnaryMinus(delta0) else delta0
+              CreateNamedStruct(Seq(Literal("__time"),
+                StaticInvoke(graft.functions.TimeOps.getClass, StringType,
+                  "addSeconds",
+                  Seq(GetStructField(c.head, 0, Some("__time")), delta),
+                  Seq(StringType, LongType))))
+          }
         case DateType => unit match {
           case "MONTH" => AddMonths(c.head, n(IntegerType))
           case "YEAR" => AddMonths(c.head, Multiply(n(IntegerType), Literal(12)))
@@ -565,9 +586,9 @@ object ClickHouseAliases {
     // ClickHouse toDayOfWeek is Monday=1..Sunday=7; Spark's DayOfWeek is
     // Sunday=1, WeekDay is Monday=0 — so WeekDay + 1.
     "toDayOfWeek" -> (cs => Add(WeekDay(cs.head), Literal(1))),
-    "toHour" -> (cs => Hour(cs.head)),
-    "toMinute" -> (cs => Minute(cs.head)),
-    "toSecond" -> (cs => Second(cs.head)),
+    "toHour" -> (cs => timeComponent(cs.head, "hourOf", Hour(_))),
+    "toMinute" -> (cs => timeComponent(cs.head, "minuteOf", Minute(_))),
+    "toSecond" -> (cs => timeComponent(cs.head, "secondOf", Second(_))),
     "toYYYYMM" -> (cs =>
       Cast(DateFormatClass(cs.head, Literal("yyyyMM")), IntegerType)),
     "toYYYYMMDD" -> (cs =>
@@ -1661,12 +1682,12 @@ object ClickHouseAliases {
     chDateAdd("subtractYears", "YEAR", negate = true),
     chDateAdd("addWeeks", "WEEK", negate = false),
     chDateAdd("subtractWeeks", "WEEK", negate = true),
-    "addHours" -> (cs => TimestampAdd("HOUR", cs(1), cs.head)),
-    "subtractHours" -> (cs => TimestampAdd("HOUR", UnaryMinus(cs(1)), cs.head)),
-    "addMinutes" -> (cs => TimestampAdd("MINUTE", cs(1), cs.head)),
-    "subtractMinutes" -> (cs => TimestampAdd("MINUTE", UnaryMinus(cs(1)), cs.head)),
-    "addSeconds" -> (cs => TimestampAdd("SECOND", cs(1), cs.head)),
-    "subtractSeconds" -> (cs => TimestampAdd("SECOND", UnaryMinus(cs(1)), cs.head)),
+    chDateAdd("addHours", "HOUR", negate = false),
+    chDateAdd("subtractHours", "HOUR", negate = true),
+    chDateAdd("addMinutes", "MINUTE", negate = false),
+    chDateAdd("subtractMinutes", "MINUTE", negate = true),
+    chDateAdd("addSeconds", "SECOND", negate = false),
+    chDateAdd("subtractSeconds", "SECOND", negate = true),
 
     // finiteness predicates
     "isFinite" -> (cs => {
@@ -2002,9 +2023,32 @@ object ClickHouseAliases {
       require(scale >= 0 && scale <= prec, s"toDecimal*: scale $scale out of [0, $prec]")
       DecimalType(prec, scale)
     }
+    // plain spelling truncates float AND string inputs toward zero
+    // (reference DecimalFunctions convertTo / readDecimalText —
+    // toDecimal32('1.1', 0) = 1, 00700_decimal_casts)
+    def truncCast(x: Expression, d: DecimalType): Expression = {
+      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      ChDispatch("toDecimal", Seq(x)) { c =>
+        c.head.dataType match {
+          case FloatType | DoubleType =>
+            StaticInvoke(graft.functions.MathOps.getClass, d,
+              "doubleToDecimal",
+              Seq(Cast(c.head, DoubleType), Literal(d.precision),
+                Literal(d.scale)),
+              Seq(DoubleType, IntegerType, IntegerType))
+          case StringType =>
+            StaticInvoke(graft.functions.MathOps.getClass, d,
+              "stringToDecimal",
+              Seq(c.head, Literal(d.precision), Literal(d.scale)),
+              Seq(StringType, IntegerType, IntegerType))
+          case _ => Cast(c.head, d)
+        }
+      }
+    }
     Seq(9 -> "32", 18 -> "64", 38 -> "128").flatMap { case (prec, bits) =>
       Seq(
-        s"toDecimal$bits" -> ((cs: Seq[Expression]) => Cast(cs.head, dt(prec, cs))),
+        s"toDecimal$bits" -> ((cs: Seq[Expression]) =>
+          truncCast(cs.head, dt(prec, cs))),
         s"toDecimal${bits}OrNull" -> ((cs: Seq[Expression]) =>
           Cast(cs.head, dt(prec, cs), None, EvalMode.TRY)),
         s"toDecimal${bits}OrZero" -> ((cs: Seq[Expression]) => {
@@ -3235,9 +3279,26 @@ object ClickHouseAliases {
         case TimestampType => Literal.create(0L, TimestampType) // epoch
         case _ => Cast(Literal(0), t)
       }
+      def timeSecs(c: Expression, target: DataType): Expression = {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        val text = GetStructField(c, 0, Some("__time"))
+        target match {
+          case FloatType | DoubleType =>
+            Cast(StaticInvoke(graft.functions.TimeOps.getClass, DoubleType,
+              "timeSeconds", Seq(text), Seq(StringType)), target)
+          case _ =>
+            Cast(StaticInvoke(graft.functions.TimeOps.getClass, LongType,
+              "timeToSec", Seq(text), Seq(StringType)), target)
+        }
+      }
+      def isTimeStruct(dt: DataType): Boolean = dt match {
+        case st: StructType => st.fieldNames.sameElements(Array("__time"))
+        case _ => false
+      }
       def plain(cs: Seq[Expression]): Expression = wrapSpec.get(n) match {
         case Some((bits, signed)) => ChDispatch(s"to$n", cs.take(1)) { c =>
           c.head.dataType match {
+            case dt if isTimeStruct(dt) => timeSecs(c.head, t)
             case ByteType | ShortType | IntegerType | LongType =>
               val asLong = Cast(c.head, LongType)
               val wrapped: Expression =
@@ -3249,6 +3310,11 @@ object ClickHouseAliases {
             case _ => Cast(c.head, t)
           }
         }
+        case None if n.startsWith("Float") =>
+          ChDispatch(s"to$n", cs.take(1)) { c =>
+            if (isTimeStruct(c.head.dataType)) timeSecs(c.head, t)
+            else Cast(c.head, t)
+          }
         // toDate(number): ≤ 65535 is days-since-epoch (the UInt16 Date
         // domain), larger is unix SECONDS (reference
         // FunctionsConversion.h ToDateTransform32Or64 cutoff)
@@ -4541,6 +4607,25 @@ object ClickHouseAliases {
           Seq(SortOrder(MonotonicallyIncreasingID(), Ascending)),
           SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
             UnboundedFollowing))
+        // CH default for out-of-block rows is insertDefault — NULL for a
+        // declared-Nullable column, the type zero otherwise; a genuine
+        // in-range NULL value must stay NULL (ADVICE r11), so range is
+        // decided by row-number bounds, never by Coalesce-on-NULL
+        def chDefault: Expression =
+          if (cs.size > 2) cs(2)
+          else ChDispatch("neighborDefault", Seq(cs.head)) { c =>
+            val declaredNullable = c.head.exists {
+              case a: AttributeReference =>
+                a.metadata.contains("graft.ch.nullable")
+              case l: Literal => l.value == null
+              case _ => false
+            }
+            if (declaredNullable) Literal.create(null, c.head.dataType)
+            else Literal.default(c.head.dataType)
+          }
+        val rn = WindowExpression(RowNumber(), orderSpec)
+        val cnt = WindowExpression(
+          Count(Seq(Literal(1))).toAggregateExpression(), wholeSpec)
         cs(1) match {
           case Literal(v, _) if v != null =>
             val off = v.toString.toDouble.toInt
@@ -4548,27 +4633,26 @@ object ClickHouseAliases {
               if (off >= 0) Lead(cs.head, Literal(off), Literal(null), false)
               else Lag(cs.head, Literal(-off), Literal(null), false)
             val shifted = WindowExpression(fn, orderSpec)
-            if (cs.size > 2) Coalesce(Seq(shifted, cs(2)))
-            else Coalesce(Seq(shifted,
-              ChDispatch("neighborDefault", Seq(cs.head)) { c =>
-                Literal.default(c.head.dataType)
-              }))
+            val idx = Add(Cast(rn, LongType), Literal(off.toLong))
+            val inRange = And(GreaterThanOrEqual(idx, Literal(1L)),
+              LessThanOrEqual(idx, cnt))
+            If(inRange, shifted, chDefault)
           case dyn =>
             // per-row offset: index into the whole stream collected as
-            // one array (corpus-scale single-stream shapes)
+            // one array (corpus-scale single-stream shapes). Values are
+            // struct-wrapped so NULL elements keep their positions
+            // (CollectList drops bare NULLs — ADVICE r11)
             val all = WindowExpression(
-              new CollectList(cs.head).toAggregateExpression(), wholeSpec)
-            val rn = WindowExpression(RowNumber(), orderSpec)
+              new CollectList(CreateNamedStruct(Seq(
+                Literal("v"), cs.head))).toAggregateExpression(), wholeSpec)
             val idx = Add(Cast(rn, LongType), Cast(dyn, LongType))
             val inRange = And(GreaterThanOrEqual(idx, Literal(1L)),
               LessThanOrEqual(idx, Cast(Size(all), LongType)))
-            val dflt: Expression =
-              if (cs.size > 2) cs(2)
-              else ChDispatch("neighborDefault", Seq(cs.head)) { c =>
-                Literal.default(c.head.dataType)
-              }
             If(inRange,
-              ElementAt(all, Cast(idx, IntegerType), None, false), dflt)
+              UnresolvedExtractValue(
+                ElementAt(all, Cast(idx, IntegerType), None, false),
+                Literal("v")),
+              chDefault)
         }
       }),
       "runningDifference" -> (cs => {
@@ -5223,6 +5307,50 @@ object ClickHouseAliases {
     * spellings behave identically per the reference's own 20022 test),
     * and bitmapMaxLevel (AggregateFunctionBitmapMaxLevel.h:49).
     */
+  /** toHour/toMinute/toSecond work on the CH Time marker struct too
+    * (10080_time_related_functions) — dispatch on the argument type.
+    */
+  private def timeComponent(x: Expression, timeFn: String,
+      tsForm: Expression => Expression): Expression =
+    ChDispatch(timeFn, Seq(x)) { c =>
+      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      c.head.dataType match {
+        case st: StructType if st.fieldNames.sameElements(Array("__time")) =>
+          StaticInvoke(graft.functions.TimeOps.getClass, IntegerType,
+            timeFn, Seq(GetStructField(c.head, 0, Some("__time"))),
+            Seq(StringType))
+        case _ => tsForm(c.head)
+      }
+    }
+
+  /** chTime/toTimeType(x[, scale]) — see wave19's Time family. */
+  private def chTimeBuilder(cs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val scale = cs.lift(1) match {
+      case Some(Literal(v, _)) if v != null => v.toString.toInt
+      case None => 3
+      case other => throw new IllegalArgumentException(
+        s"Time scale must be an integer literal, got $other")
+    }
+    require(scale >= 0 && scale <= 9,
+      s"Time scale $scale out of [0, 9] (error 69 analog)")
+    ChDispatch("chTime", cs.take(1)) { c =>
+      val text: Expression = c.head.dataType match {
+        case st: StructType
+            if st.fieldNames.sameElements(Array("__time")) =>
+          GetStructField(c.head, 0, Some("__time"))
+        case TimestampType =>
+          new DateFormatClass(c.head, Literal("HH:mm:ss.SSSSSS"))
+        case DateType => Literal("00:00:00")
+        case _ => Coalesce(Seq(Cast(c.head, StringType), Literal("")))
+      }
+      CreateNamedStruct(Seq(Literal("__time"),
+        StaticInvoke(graft.functions.TimeOps.getClass, StringType,
+          "parseTime", Seq(text, Literal(scale)),
+          Seq(StringType, IntegerType))))
+    }
+  }
+
   private def wave19: Seq[(String, Seq[Expression] => Expression)] = {
     def pLong(e: Expression, fn: String): Long = e match {
       case Literal(v, _) if v != null =>
@@ -5312,8 +5440,98 @@ object ClickHouseAliases {
                 DecimalType(p, s), "doubleToDecimal",
                 Seq(Cast(c.head, DoubleType), Literal(p), Literal(s)),
                 Seq(DoubleType, IntegerType, IntegerType))
+            case StringType =>
+              StaticInvoke(graft.functions.MathOps.getClass,
+                DecimalType(p, s), "stringToDecimal",
+                Seq(c.head, Literal(p), Literal(s)),
+                Seq(StringType, IntegerType, IntegerType))
             case _ => Cast(c.head, DecimalType(p, s))
           }
+        }
+      }),
+      // CH Time family (10080_*): {__time: String} marker struct with
+      // canonical padded text — see graft.functions.TimeOps
+      "chTime" -> ((cs: Seq[Expression]) => chTimeBuilder(cs)),
+      "toTimeType" -> ((cs: Seq[Expression]) => chTimeBuilder(cs)),
+      "MAKETIME" -> ((cs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        require(cs.size >= 3 && cs.size <= 5,
+          s"MAKETIME takes 3 to 5 arguments, got ${cs.size}")
+        val scale = cs.lift(4) match {
+          case Some(Literal(v, _)) if v != null => v.toString.toInt
+          case Some(other) => throw new IllegalArgumentException(
+            s"MAKETIME: scale must be an integer literal, got $other")
+          case None => 3
+        }
+        val frac: Expression =
+          cs.lift(3).map(Cast(_, LongType)).getOrElse(Literal(0L))
+        CreateNamedStruct(Seq(Literal("__time"),
+          StaticInvoke(graft.functions.TimeOps.getClass, StringType,
+            "makeTime",
+            Seq(Cast(cs(0), LongType), Cast(cs(1), LongType),
+              Cast(cs(2), LongType), frac, Literal(scale)),
+            Seq(LongType, LongType, LongType, LongType, IntegerType))))
+      }),
+      // raw canonical time TEXT (the insert path builds the struct in
+      // SQL around it)
+      "chTimeText" -> ((cs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        StaticInvoke(graft.functions.TimeOps.getClass, StringType,
+          "parseTime", Seq(Cast(cs.head, StringType),
+            Cast(cs(1), IntegerType)),
+          Seq(StringType, IntegerType))
+      }),
+      // builtin spellings gain the Time-struct dispatch (identical to
+      // Spark's behavior on every other input type)
+      "hour" -> ((cs: Seq[Expression]) =>
+        timeComponent(cs.head, "hourOf", Hour(_))),
+      "minute" -> ((cs: Seq[Expression]) =>
+        timeComponent(cs.head, "minuteOf", Minute(_))),
+      "second" -> ((cs: Seq[Expression]) =>
+        timeComponent(cs.head, "secondOf", Second(_))),
+      // MySQL TIME(x): number = compact seconds on the 100h clock;
+      // anything else parses as time text
+      "time" -> ((cs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        ChDispatch("time", cs.take(1)) { c =>
+          c.head.dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              CreateNamedStruct(Seq(Literal("__time"),
+                StaticInvoke(graft.functions.TimeOps.getClass, StringType,
+                  "fromNumber", Seq(Cast(c.head, LongType), Literal(3)),
+                  Seq(LongType, IntegerType))))
+            case _ => chTimeBuilder(Seq(c.head))
+          }
+        }
+      }),
+      "SEC_TO_TIME" -> ((cs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        CreateNamedStruct(Seq(Literal("__time"),
+          StaticInvoke(graft.functions.TimeOps.getClass, StringType,
+            "secToTime", Seq(Cast(cs.head, DoubleType), Literal(3)),
+            Seq(DoubleType, IntegerType))))
+      }),
+      "TIME_TO_SEC" -> ((cs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        ChDispatch("TIME_TO_SEC", cs.take(1)) { c =>
+          val text: Expression = c.head.dataType match {
+            case st: StructType
+                if st.fieldNames.sameElements(Array("__time")) =>
+              GetStructField(c.head, 0, Some("__time"))
+            case TimestampType =>
+              new DateFormatClass(c.head, Literal("HH:mm:ss.SSSSSS"))
+            case DateType => Literal("00:00:00")
+            case _ => Cast(c.head, StringType)
+          }
+          // the value first becomes a Time(3) — a fractional DateTime64
+          // input keeps (truncated) millis: TIME_TO_SEC(…123456) =
+          // 54600.123; whole inputs print as integers (formatFloat)
+          StaticInvoke(graft.functions.TimeOps.getClass, DoubleType,
+            "timeSeconds",
+            Seq(StaticInvoke(graft.functions.TimeOps.getClass, StringType,
+              "parseTime", Seq(text, Literal(3)),
+              Seq(StringType, IntegerType))),
+            Seq(StringType))
         }
       }),
       "chEnum" -> ((cs: Seq[Expression]) => {
@@ -5543,6 +5761,34 @@ object ClickHouseAliases {
       new First(cs.head, ignoreNulls = false)),
     // CH sum over an empty set = 0 for non-Nullable input (ChSum)
     "sum" -> ((cs: Seq[Expression]) => ChSum(cs.head)),
+    // CH trunc(x[, s]) truncates toward zero and KEEPS the decimal type
+    // (FunctionsRound.h TruncateImpl; 00700_decimal_round's 1-arg form).
+    // A string second argument stays Spark's date trunc.
+    "trunc" -> ((cs: Seq[Expression]) => {
+      val scale: Option[Expression] = cs.lift(1) match {
+        case None => Some(Literal(0))
+        case Some(Literal(v, StringType)) => None // date trunc
+        case Some(e) => Some(Cast(e, IntegerType))
+      }
+      scale match {
+        case None => new TruncDate(cs.head, cs(1))
+        case Some(sc) =>
+          ChDispatch("trunc", Seq(cs.head)) { c =>
+            c.head.dataType match {
+              case _: DecimalType =>
+                If(GreaterThanOrEqual(c.head,
+                    Cast(Literal(0), c.head.dataType)),
+                  RoundFloor(c.head, sc), RoundCeil(c.head, sc))
+              case _ =>
+                val x = Cast(c.head, DoubleType)
+                val p = Pow(Literal(10.0), Cast(sc, DoubleType))
+                val scaled = Multiply(x, p)
+                Divide(If(GreaterThanOrEqual(scaled, Literal(0.0)),
+                  Floor(scaled), Ceil(scaled)), p)
+            }
+          }
+      }
+    }),
     // concat_ws in CH is NULL if ANY argument is NULL (standard
     // Nullable propagation); Spark's builtin skips NULL arguments
     "concat_ws" -> ((cs: Seq[Expression]) => {

@@ -312,9 +312,15 @@ object StatelessSweep {
               sqlText = s; attempts += 1
             case _ if m.contains("UNRESOLVED_COLUMN") && !triedInline =>
               triedInline = true
-              // on the CURRENT text — earlier disambiguation fixes must
-              // survive the alias-inline retry
-              sqlText = ChTranspiler.inlineSelectAliases(sqlText)
+              // before any disambiguation fix, inline on the RAW text and
+              // re-transpile (the arrayJoin-in-WHERE hoist happens at
+              // transpile time — 00559); after fixes, inline the CURRENT
+              // text so they survive
+              sqlText =
+                if (attempts == 0)
+                  ChTranspiler.transpile(
+                    ChTranspiler.inlineSelectAliases(stripped))
+                else ChTranspiler.inlineSelectAliases(sqlText)
             case _ => throw e
           }
       }
