@@ -264,4 +264,12 @@ object StringOps {
     UTF8String.EMPTY_UTF8
   }
 
+
+  /** MySQL FORMAT(x, d): thousands grouping, HALF_UP at d decimals. */
+  def mysqlFormat(x: Double, d: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val dd = math.max(0, math.min(30, d))
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      String.format(java.util.Locale.ROOT, s"%,.${dd}f",
+        java.lang.Double.valueOf(x)))
+  }
 }

@@ -1049,8 +1049,15 @@ final class ChSession(spark: SparkSession) {
     // columns (KEY(...)/CLUSTERED KEY(...)/PRIMARY KEY(...)): skip them —
     // a genuine column NAMED `key` has a type, not a paren/KEY after it
     val nameUp = name.toUpperCase
+    // `KEY(a, b)` / `KEY idx(a)` are constraints; `key FixedString(10)`
+    // is a COLUMN named key — only skip when the remainder is NOT a
+    // parseable type (40059/01503 declare `key` columns)
+    def restIsType: Boolean =
+      try { ChTypes.parse(rest.split("""(?i)\s+(NOT\s+)?NULL""")(0)); true }
+      catch { case _: Exception => false }
     if ((Set("KEY", "INDEX", "CONSTRAINT", "FULLTEXT").contains(nameUp) &&
-          (rest.startsWith("(") || rest.matches("(?is)^[\\w`]+\\s*\\(.*"))) ||
+          (rest.startsWith("(") ||
+            (rest.matches("(?is)^[\\w`]+\\s*\\(.*") && !restIsType))) ||
         (Set("CLUSTERED", "PRIMARY", "UNIQUE").contains(nameUp) &&
           rest.toUpperCase.startsWith("KEY")))
       return None

@@ -301,14 +301,18 @@ object ChTranspiler {
         case Word(w) if chType(w).isDefined =>
           out += Word(chType(w).get)
           // TIMESTAMP takes no precision in Spark — drop a numeric
-          // (n) after DateTime64(6)/DATETIME(4) spellings
+          // (n) after DateTime64(6)/DATETIME(4) spellings, but only for
+          // n <= 6: Spark's micros cannot hold DateTime64(7+), and the
+          // corpus EXPECTS errors there (02010)
           val p1 = nextNonWs(i + 1)
           i = if (chType(w).contains("TIMESTAMP") && p1 < toks.length &&
               toks(p1) == Punct("(") && {
                 val nn = nextNonWs(p1 + 1)
                 val cc = nextNonWs(nn + 1)
-                nn < toks.length && toks(nn).isInstanceOf[Num] &&
-                  cc < toks.length && toks(cc) == Punct(")")
+                nn < toks.length && (toks(nn) match {
+                  case Num(v) => v.forall(_.isDigit) && v.toInt <= 6
+                  case _ => false
+                }) && cc < toks.length && toks(cc) == Punct(")")
               }) nextNonWs(nextNonWs(p1 + 1) + 1) + 1
             else i + 1
         case p @ Punct("(") => depth += 1; out += p; i += 1

@@ -678,6 +678,8 @@ object ClickHouseAliases {
     "arrayDistinct" -> (cs => ArrayDistinct(ArrayFilter(cs.head,
       LambdaFunction(IsNotNull(lv("x")), Seq(lv("x")))))),
     "arraySort" -> (cs => new SortArray(cs.head)),
+    "arrayReverseSort" -> (cs =>
+      SortArray(cs.head, Literal(false))),
     "arrayReverse" -> (cs => Reverse(cs.head)),
     "arrayConcat" -> (cs => Concat(cs)),
     // CH flatten is RECURSIVE — [[[1]],[[2,3]]] → [1,2,3]
@@ -5481,29 +5483,18 @@ object ClickHouseAliases {
             Cast(cs(1), IntegerType)),
           Seq(StringType, IntegerType))
       }),
-      // builtin spellings gain the Time-struct dispatch (identical to
-      // Spark's behavior on every other input type)
-      "hour" -> ((cs: Seq[Expression]) =>
-        timeComponent(cs.head, "hourOf", Hour(_))),
-      "minute" -> ((cs: Seq[Expression]) =>
-        timeComponent(cs.head, "minuteOf", Minute(_))),
-      "second" -> ((cs: Seq[Expression]) =>
-        timeComponent(cs.head, "secondOf", Second(_))),
-      // MySQL TIME(x): number = compact seconds on the 100h clock;
-      // anything else parses as time text
-      "time" -> ((cs: Seq[Expression]) => {
+      // MySQL FORMAT(x, d): grouped thousands + HALF_UP at d decimals
+      "format" -> ((cs: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-        ChDispatch("time", cs.take(1)) { c =>
-          c.head.dataType match {
-            case ByteType | ShortType | IntegerType | LongType =>
-              CreateNamedStruct(Seq(Literal("__time"),
-                StaticInvoke(graft.functions.TimeOps.getClass, StringType,
-                  "fromNumber", Seq(Cast(c.head, LongType), Literal(3)),
-                  Seq(LongType, IntegerType))))
-            case _ => chTimeBuilder(Seq(c.head))
-          }
-        }
+        StaticInvoke(graft.functions.StringOps.getClass, StringType,
+          "mysqlFormat",
+          Seq(Cast(cs.head, DoubleType), Cast(cs(1), IntegerType)),
+          Seq(DoubleType, IntegerType))
       }),
+      // rand64: uniform 63-bit value (the corpus only consumes it
+      // through % reductions in property-style tests)
+      "rand64" -> ((cs: Seq[Expression]) =>
+        Cast(Multiply(new Rand(), Literal(9.223372036854776e18)), LongType)),
       "SEC_TO_TIME" -> ((cs: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
         CreateNamedStruct(Seq(Literal("__time"),
@@ -5535,13 +5526,24 @@ object ClickHouseAliases {
         }
       }),
       "chEnum" -> ((cs: Seq[Expression]) => {
-        val x = Cast(cs.head, IntegerType)
-        val branches = cs.drop(1).grouped(2).collect {
-          case Seq(name, v) =>
-            (EqualTo(x, Cast(v, IntegerType)): Expression, name: Expression)
+        val pairs = cs.drop(1).grouped(2).collect {
+          case Seq(name, v) => (name, v)
         }.toSeq
-        require(branches.nonEmpty, "chEnum: needs name=value members")
-        CaseWhen(branches, None)
+        require(pairs.nonEmpty, "chEnum: needs name=value members")
+        ChDispatch("chEnum", cs.take(1)) { c =>
+          c.head.dataType match {
+            case StringType =>
+              // a NAME casts to itself when it is a member
+              CaseWhen(pairs.map { case (n, _) =>
+                (EqualTo(c.head, n): Expression, n: Expression)
+              }, None)
+            case _ =>
+              val x = Cast(c.head, IntegerType)
+              CaseWhen(pairs.map { case (n, v) =>
+                (EqualTo(x, Cast(v, IntegerType)): Expression, n: Expression)
+              }, None)
+          }
+        }
       }),
       "bitmapMaxLevel" -> ((cs: Seq[Expression]) => {
         require(cs.size == 2 || cs.size == 3,
@@ -5761,6 +5763,37 @@ object ClickHouseAliases {
       new First(cs.head, ignoreNulls = false)),
     // CH sum over an empty set = 0 for non-Nullable input (ChSum)
     "sum" -> ((cs: Seq[Expression]) => ChSum(cs.head)),
+    // MySQL TIME(x): number = compact seconds on the 100h clock;
+    // anything else parses as time text (shadows Spark's time())
+    "time" -> ((cs: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      ChDispatch("time", cs.take(1)) { c =>
+        c.head.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            CreateNamedStruct(Seq(Literal("__time"),
+              StaticInvoke(graft.functions.TimeOps.getClass, StringType,
+                "fromNumber", Seq(Cast(c.head, LongType), Literal(3)),
+                Seq(LongType, IntegerType))))
+          case _ => chTimeBuilder(Seq(c.head))
+        }
+      }
+    }),
+    // builtin hour/minute/second gain the CH Time-struct dispatch
+    // (identical to Spark's behavior on every other input type)
+    "hour" -> ((cs: Seq[Expression]) =>
+      timeComponent(cs.head, "hourOf", Hour(_))),
+    "minute" -> ((cs: Seq[Expression]) =>
+      timeComponent(cs.head, "minuteOf", Minute(_))),
+    "second" -> ((cs: Seq[Expression]) =>
+      timeComponent(cs.head, "secondOf", Second(_))),
+    // CH lower/upper are ASCII-ONLY (lowerUTF8/upperUTF8 do unicode —
+    // reference src/Functions/LowerUpperImpl.h; 00170)
+    "lower" -> ((cs: Seq[Expression]) => StringTranslate(cs.head,
+      Literal("ABCDEFGHIJKLMNOPQRSTUVWXYZ"),
+      Literal("abcdefghijklmnopqrstuvwxyz"))),
+    "upper" -> ((cs: Seq[Expression]) => StringTranslate(cs.head,
+      Literal("abcdefghijklmnopqrstuvwxyz"),
+      Literal("ABCDEFGHIJKLMNOPQRSTUVWXYZ"))),
     // CH trunc(x[, s]) truncates toward zero and KEEPS the decimal type
     // (FunctionsRound.h TruncateImpl; 00700_decimal_round's 1-arg form).
     // A string second argument stays Spark's date trunc.

@@ -329,6 +329,10 @@ object StatelessSweep {
   }
 
   def run(spark: SparkSession, sqlText: String): Either[String, String] = {
+    // transpiler dialect gates read SQLConf.get = the ACTIVE session's
+    // conf; a caller-built child session (StatelessCorpusSpec) is not
+    // active on this thread unless pinned
+    SparkSession.setActiveSession(spark)
     // DateTime text zone = the session's own timezone (session-scoped,
     // no shared mutable state between parallel suites)
     val zone = java.time.ZoneId.of(

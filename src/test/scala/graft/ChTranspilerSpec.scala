@@ -103,8 +103,10 @@ class ChTranspilerSpec extends AnyFunSuite {
   test("two-arg CAST balances nested parens; Enum/FixedString → STRING") {
     assert(t("select cast(materialize(2.0),'Decimal(9,3)')")
       == "select CAST(materialize(2.0D) AS Decimal(9,3))")
+    // Enum casts keep the member map (chEnum resolves values OR names
+    // to the member name at analysis time)
     assert(t("SELECT CAST('a' AS Enum8('a' = 1, 'b' = 2))")
-      == "SELECT CAST('a' AS STRING)")
+      == "SELECT chEnum('a' ,'a',1,'b',2)")
     assert(t("SELECT CAST('abc' AS FixedString(3))")
       == "SELECT CAST('abc' AS STRING)")
   }

@@ -736,7 +736,9 @@ class DialectSpec extends SparkSpec {
     val r = one("""SELECT toDecimal32('3.149', 2), toDecimal64('1.10', 2) + toDecimal64('2.20', 2),
                    toDecimal64OrNull('abc', 2), toDecimal64OrZero('abc', 2),
                    toDecimal128('12345678901.5', 4), toDecimal32(7, 0)""")
-    assert(r.getDecimal(0).toPlainString === "3.15") // HALF_UP at the cast
+    // reference readDecimalText TRUNCATES extra fractional digits
+    // (00700_decimal_casts: toDecimal32('1.1', 0) = 1)
+    assert(r.getDecimal(0).toPlainString === "3.14")
     assert(r.getDecimal(1).toPlainString === "3.30")
     assert(r.isNullAt(2))
     assert(r.getDecimal(3).toPlainString === "0.00")
