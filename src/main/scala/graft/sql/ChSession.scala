@@ -104,14 +104,17 @@ final class ChSession(spark: SparkSession) {
       .createOrReplaceTempView("dual")
   // system.numbers is the reference's unbounded number stream; corpus
   // uses always cap it with LIMIT — a bounded view is observationally
-  // identical up to 65536 rows
+  // identical up to 10M rows (00110/00284-class external sort/agg tests
+  // stream that many).
   // single partition: corpus queries cap it with LIMIT n, and a
   // multi-partition range would make LocalLimit compute n rows in EVERY
   // partition — the tail partitions hold the large numbers, whose
   // projected values can be enormous (00532 builds ~12M-element nested
-  // arrays per row near 65535). One partition also pins stream order.
+  // arrays per row near 65535). One partition also pins stream order;
+  // Range is lazy so a small LIMIT still stops early.
   if (!spark.catalog.tableExists("numbers"))
-    spark.range(0, 65536, 1, 1).toDF("number").createOrReplaceTempView("numbers")
+    spark.range(0, 10000000, 1, 1).toDF("number")
+      .createOrReplaceTempView("numbers")
 
   /** Session-level `SET dedup_key_mode = …` for unique-key inserts. */
   private var dedupKeyMode: String = "replace"
@@ -183,6 +186,17 @@ final class ChSession(spark: SparkSession) {
       partialUpdate = m.group(1) == "1")
     iineRe.findFirstMatchIn(s).foreach(m =>
       insertIfNotExists = m.group(1) == "1")
+    // statistics collection switches (45004 create-stats family); the
+    // sampling settings are identity here — collection is always exact
+    """(?i)statistics_collect_histogram\s*=\s*(\d)""".r
+      .findFirstMatchIn(s)
+      .foreach(m => statsCollectHistogram = m.group(1) == "1")
+    """(?i)statistics_histogram_bucket_size\s*=\s*(\d+)""".r
+      .findFirstMatchIn(s)
+      .foreach(m => statsHistogramBuckets = m.group(1).toInt)
+    """(?i)enable_memory_catalog\s*=\s*(\d)""".r
+      .findFirstMatchIn(s)
+      .foreach(m => statsMemoryCatalog = m.group(1) == "1")
   }
 
   /** INSERT-triggered materialized view: `base` inserts flow through
@@ -198,6 +212,13 @@ final class ChSession(spark: SparkSession) {
       try spark.catalog.dropTempView(n) catch { case _: Throwable => () }
     }
     tables.clear(); views.clear(); stagingData.clear()
+    tableStats.clear(); memoryStats.clear()
+    statsCollectHistogram = true; statsHistogramBuckets = 250
+    statsMemoryCatalog = false
+    // dictionaries registered by this session's DDL must not leak into
+    // the next corpus file (the registry is process-global)
+    sessionDicts.foreach(Dictionaries.drop)
+    sessionDicts.clear()
     // per-test settings — must not leak into the next corpus file
     try spark.conf.unset("graft.ch.max_memory_bytes")
     catch { case _: Throwable => () }
@@ -325,8 +346,491 @@ final class ChSession(spark: SparkSession) {
     else if (up.startsWith("DELETE FROM")) { deleteStmt(s); Done }
     else if (up.startsWith("REFRESH")) { refresh(s); Done }
     else if (up.startsWith("SHOW CREATE")) showCreate(s)
+    else if (up.startsWith("CREATE DICTIONARY")) { createDictionary(s); Done }
+    else if (up.startsWith("DROP DICTIONARY")) { dropDictionary(s); Done }
+    else if (up.startsWith("CREATE STATS")) createStats(s)
+    else if (up.startsWith("DROP STATS")) { dropStats(s); Done }
+    else if (up.startsWith("SHOW COLUMN_STATS")) showStats(s, buckets = true)
+    else if (up.startsWith("SHOW STATS")) showStats(s, buckets = false)
+    else if (up.startsWith("CREATE DATABASE")) Done
+    else if (up.startsWith("DROP DATABASE")) { dropDatabase(s); Done }
     else if (up.startsWith("DESC")) describe(s)
     else NotHandled
+  }
+
+  // ===== optimizer statistics: CREATE/SHOW/DROP STATS ===============
+  // Reference: src/Statistics (FullCollectStep.cpp per-column SQL —
+  // count(col), uniq(wrapped), kll(wrapped), toFloat64(min/max(wrapped)),
+  // sum(byteSize) for String), ParseUtils.h wrapper kinds (String →
+  // cityHash64, FixedString → cityHash64∘toString, Decimal/DateTime64 →
+  // Float64, UUID → UInt128) and InterpreterShowStatsQuery.cpp /
+  // InterpreterCreateStatsQuery.cpp output layouts. Stats are a
+  // session-scope snapshot keyed by table; histograms are equi-height
+  // over the distinct values (one bucket per value while ndv fits the
+  // reference's bucket budget — exact for the corpus fixtures, the same
+  // shape its KLL sketch converges to).
+
+  private case class StatBucket(lo: Double, hi: Double, count: Long,
+      ndv: Long, upClosed: Boolean)
+  private case class ColStatEntry(typeName: String, count: Long,
+      nulls: Long, ndv: Long, min: Double, max: Double, avgBytes: Double,
+      hasHist: Boolean, buckets: Seq[StatBucket])
+  private case class StatsEntry(var rowCount: Long,
+      cols: mutable.LinkedHashMap[String, ColStatEntry])
+  private val tableStats = mutable.LinkedHashMap[String, StatsEntry]()
+  // `SET enable_memory_catalog = 1` routes stats DDL at a separate
+  // in-memory catalog (45005_memory_stats observes the two stores
+  // independently)
+  private val memoryStats = mutable.LinkedHashMap[String, StatsEntry]()
+  private var statsMemoryCatalog = false
+  private def statsStore: mutable.LinkedHashMap[String, StatsEntry] =
+    if (statsMemoryCatalog) memoryStats else tableStats
+  private var statsCollectHistogram = true
+  private var statsHistogramBuckets = 250 // histogram_bucket_size default
+
+  private def statsDecay(t0: String): String = {
+    val t = t0.trim
+    if (t.startsWith("Nullable(") && t.endsWith(")"))
+      statsDecay(t.drop(9).dropRight(1))
+    else if (t.startsWith("LowCardinality(") && t.endsWith(")"))
+      statsDecay(t.drop(15).dropRight(1))
+    else t
+  }
+
+  private def statsCollectable(t: String): Boolean = {
+    val head = statsDecay(t).takeWhile(_ != '(').trim
+    head.startsWith("Int") || head.startsWith("UInt") ||
+      head.startsWith("Float") || head.startsWith("Decimal") ||
+      Set("String", "FixedString", "UUID", "Date", "Date32", "DateTime",
+        "DateTime32", "DateTime64", "Bool", "Boolean",
+        "Enum", "Enum8", "Enum16").contains(head)
+  }
+
+  /** Fixed byte width per decayed type (SymbolStatistics default avg —
+    * sizeOfValueIfFixed in the reference). */
+  private def statsWidth(t: String): Double = {
+    val d = statsDecay(t)
+    val head = d.takeWhile(_ != '(').trim
+    head match {
+      case "Int8" | "UInt8" | "Bool" | "Boolean" | "Enum8" => 1
+      case "Int16" | "UInt16" | "Enum16" | "Date" | "Enum" => 2
+      case "Int32" | "UInt32" | "Float32" | "Date32" | "DateTime" |
+           "DateTime32" | "Decimal32" => 4
+      case "Int64" | "UInt64" | "Float64" | "DateTime64" | "Decimal64" |
+           "String" => 8
+      case "Int128" | "UInt128" | "UUID" | "Decimal128" => 16
+      case "Int256" | "UInt256" | "Decimal256" => 32
+      case "FixedString" =>
+        d.substring(d.indexOf('(') + 1, d.lastIndexOf(')')).trim.toInt
+      case "Decimal" =>
+        val p = splitTop(d.substring(d.indexOf('(') + 1,
+          d.lastIndexOf(')'))).head.trim.toInt
+        if (p <= 9) 4 else if (p <= 18) 8 else if (p <= 38) 16 else 32
+      case _ => 8
+    }
+  }
+
+  /** Display type: DataTypePtr::getName() prints DecimalNN(s) in the
+    * canonical Decimal(p, s) spelling; wrappers are preserved. */
+  private def statsTypeName(t0: String): String = {
+    val t = t0.trim
+    if (t.startsWith("Nullable(") && t.endsWith(")"))
+      s"Nullable(${statsTypeName(t.drop(9).dropRight(1))})"
+    else if (t.startsWith("LowCardinality(") && t.endsWith(")"))
+      s"LowCardinality(${statsTypeName(t.drop(15).dropRight(1))})"
+    else {
+      val head = t.takeWhile(_ != '(').trim
+      def scaleArg =
+        t.substring(t.indexOf('(') + 1, t.lastIndexOf(')')).trim
+      head match {
+        case "Decimal32" => s"Decimal(9, $scaleArg)"
+        case "Decimal64" => s"Decimal(18, $scaleArg)"
+        case "Decimal128" => s"Decimal(38, $scaleArg)"
+        case "Decimal256" => s"Decimal(76, $scaleArg)"
+        case _ => t
+      }
+    }
+  }
+
+  /** boost::lexical_cast<String>(double): 17 significant digits,
+    * trailing zeros stripped, C++ defaultfloat notation (scientific when
+    * the decimal exponent is < -4 or >= 17), nan for NaN. */
+  private def fmtStatDouble(d: Double): String = {
+    if (d.isNaN) "nan"
+    else if (d.isInfinity) { if (d > 0) "inf" else "-inf" }
+    else if (d == 0.0) "0"
+    else {
+      val bd = new java.math.BigDecimal(d, new java.math.MathContext(17))
+        .stripTrailingZeros()
+      val exp = bd.precision() - bd.scale() - 1
+      if (exp < -4 || exp >= 17) {
+        val mant = bd.movePointLeft(exp).toPlainString
+        val sign = if (exp < 0) "-" else "+"
+        val ae = math.abs(exp)
+        val es = if (ae < 10) "0" + ae else ae.toString
+        s"${mant}e$sign$es"
+      } else bd.toPlainString
+    }
+  }
+
+  /** The wrapped Float64 value of one collected column value, per the
+    * reference's WrapperKind for the column's CH type. */
+  private def statsValueAsDouble(chType: String, v: Any): Double = {
+    val head = statsDecay(chType).takeWhile(_ != '(').trim
+    head match {
+      case "String" | "FixedString" | "Enum" | "Enum8" | "Enum16" =>
+        // cityHash64 as UInt64 → Float64 (exact decimal-string round)
+        val h = graft.functions.HashOps.cityHash64(
+          v.toString.getBytes("UTF-8"))
+        new java.math.BigDecimal(java.lang.Long.toUnsignedString(h))
+          .doubleValue()
+      case "UUID" =>
+        // reinterpret(uuid, 'UInt128') — byte-level: the UUID's two
+        // UInt64 halves sit low-half-first in memory, so the SECOND
+        // half of the text is the high 64 bits of the UInt128
+        val hex = v.toString.replace("-", "")
+        ((BigInt(hex.drop(16), 16) << 64) | BigInt(hex.take(16), 16))
+          .toDouble
+      case _ => v match {
+        case null => Double.NaN
+        case b: Boolean => if (b) 1d else 0d
+        case d: java.math.BigDecimal => d.doubleValue()
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toDouble
+        case d: java.time.LocalDate => d.toEpochDay.toDouble
+        case ts: java.sql.Timestamp => ts.getTime / 1000.0
+        case i: java.time.Instant => i.toEpochMilli / 1000.0
+        case n: java.lang.Number => n.doubleValue()
+        case s: String => s.toDoubleOption.getOrElse(Double.NaN)
+        case other => other.toString.toDoubleOption.getOrElse(Double.NaN)
+      }
+    }
+  }
+
+  private def collectColumnStats(df: DataFrame, rowCount: Long,
+      chType: String, value: Column, withHistogram: Boolean,
+      bucketSize: Int): ColStatEntry = {
+    val nullable = chType.contains("Nullable(")
+    val head = statsDecay(chType).takeWhile(_ != '(').trim
+    val grouped = df.select(value.as("__v")).where(col("__v").isNotNull)
+      .groupBy("__v").count().collect().toSeq
+    val nonnull = grouped.map(_.getLong(1)).sum
+    val ndv = grouped.length.toLong
+    val valsD = grouped
+      .map(r => (statsValueAsDouble(chType, r.get(0)), r.getLong(1), r.get(0)))
+      .sortBy(_._1)
+    val (minV, maxV) =
+      if (nonnull == 0) (Double.NaN, Double.NaN)
+      else (valsD.head._1, valsD.last._1)
+    // SymbolStatistics.avg_len is a UInt64 — the double average
+    // truncates (45022_implicit_str_columns: 1313/102 prints 12)
+    val avg: Double =
+      if (nonnull == 0 || head != "String") statsWidth(chType)
+      else {
+        // byteSize(String) = 8-byte length prefix + bytes + terminator;
+        // Nullable adds the null-mask byte (golden: 'str1' → 13 / 14)
+        val nb = if (nullable) 1 else 0
+        val total = valsD.map { case (_, c, raw) =>
+          (9L + raw.toString.getBytes("UTF-8").length + nb) * c
+        }.sum
+        (total / nonnull).toDouble
+      }
+    val hasHist = withHistogram && bucketSize > 0 && nonnull > 0
+    val buckets: Seq[StatBucket] =
+      if (!hasHist) Nil
+      else if (valsD.size <= bucketSize)
+        valsD.map { case (d, c, _) => StatBucket(d, d, c, 1L, true) }
+      else {
+        // equi-height merge of the sorted distinct values; a merged
+        // bucket's upper bound is the NEXT bucket's lower bound (open)
+        // except the last, which closes on the true max
+        // (BucketBoundsImpl: 45020 golden `[0, 5) / [5, 9]`)
+        val per = math.ceil(valsD.size.toDouble / bucketSize).toInt
+        val gs = valsD.grouped(per).toSeq
+        gs.zipWithIndex.map { case (g, i) =>
+          val last = i == gs.size - 1
+          StatBucket(g.head._1,
+            if (last) g.last._1 else gs(i + 1).head._1,
+            g.map(_._2).sum, g.size.toLong, last)
+        }
+      }
+    ColStatEntry(statsTypeName(chType), nonnull, rowCount - nonnull,
+      math.min(ndv, nonnull), minV, maxV, avg, hasHist, buckets)
+  }
+
+  /** Tables in a stats target's scope: `*`/`all` = current database,
+    * `db.*` = that database, else the named table. */
+  private def statsScope(t0: String): Seq[String] = {
+    val t = t0.trim.stripSuffix(";").trim
+    if (t == "*" || t.equalsIgnoreCase("all"))
+      tables.keys.filter(k => tables(k).rawDb == currentDb).toSeq
+    else if (t.endsWith(".*")) {
+      val db = t.dropRight(2).replace("`", "").trim
+      tables.keys.filter(k => tables(k).rawDb == db).toSeq
+    } else {
+      val k = resolveTableKey(cleanName(t))
+      if (tables.contains(k)) Seq(k) else Nil
+    }
+  }
+
+  /** Implicit map-key column spelling `__mapcol__'key'` → (value
+    * Column, CH value type). */
+  private val implicitMapColRe = """^__(\w+?)__'(.*)'$""".r
+
+  private def statsColumnsFor(st: TableState, explicit: Option[Seq[String]],
+      existing: Option[StatsEntry]): Seq[(String, String, Column)] = {
+    def declaredType(n: String): Option[String] =
+      st.declared.find(_._1 == n).map(_._2)
+    def resolve(cn: String): Option[(String, String, Column)] = cn match {
+      case implicitMapColRe(mapCol, key)
+          if declaredType(mapCol).exists(_.trim.startsWith("Map(")) =>
+        val mt = declaredType(mapCol).get.trim
+        val vt = splitTop(mt.substring(mt.indexOf('(') + 1,
+          mt.lastIndexOf(')')))(1).trim
+        Some((cn, s"Nullable($vt)", element_at(col(s"`$mapCol`"), lit(key))))
+      case n =>
+        declaredType(n).filter(statsCollectable)
+          .map(ty => (n, ty, col(s"`$n`")))
+    }
+    explicit match {
+      case Some(cs) => cs.flatMap(resolve)
+      case None =>
+        val declared = st.declared
+          .filterNot { case (n, _) => st.hidden.contains(n) }
+          .filter { case (_, ty) => statsCollectable(ty) }
+          .map { case (n, ty) => resolve(n) }.flatten
+        // re-collect implicit map-key stats the catalog already holds
+        val implicits = existing.toSeq.flatMap(_.cols.keys)
+          .filter(implicitMapColRe.pattern.matcher(_).matches())
+          .flatMap(resolve)
+        declared ++ implicits
+    }
+  }
+
+  private val createStatsRe =
+    """(?is)^\s*CREATE\s+STATS\s+(IF\s+NOT\s+EXISTS\s+)?(.+?)\s*;?\s*$""".r
+
+  private def createStats(s: String): Result = {
+    val m = createStatsRe.findFirstMatchIn(s).getOrElse(return NotHandled)
+    val ifNotExists = m.group(1) != null
+    var target = m.group(2).trim
+    // per-statement `SETTINGS k=v, …` overrides (45022_override_histogram)
+    var withHist = statsCollectHistogram
+    var bucketSize = statsHistogramBuckets
+    val setRe = """(?is)\s+SETTINGS\s+(.+)$""".r
+    setRe.findFirstMatchIn(target).foreach { sm =>
+      val body = sm.group(1)
+      """(?i)statistics_collect_histogram\s*=\s*(\d)""".r
+        .findFirstMatchIn(body).foreach(x => withHist = x.group(1) == "1")
+      """(?i)statistics_histogram_bucket_size\s*=\s*(\d+)""".r
+        .findFirstMatchIn(body)
+        .foreach(x => bucketSize = x.group(1).toInt)
+      target = target.substring(0, sm.start).trim
+    }
+    // optional explicit column list: name(col, …)
+    var explicit: Option[Seq[String]] = None
+    val pi = target.indexOf('(')
+    if (pi > 0 && target.endsWith(")")) {
+      explicit = Some(splitTop(target.substring(pi + 1, target.length - 1))
+        .map(_.trim.stripPrefix("`").stripSuffix("`")))
+      target = target.take(pi).trim
+    }
+    val out = Seq.newBuilder[Row]
+    statsScope(target).foreach { name =>
+      val st = tables(name)
+      if (!(ifNotExists && statsStore.contains(name))) {
+        val cols = statsColumnsFor(st, explicit, statsStore.get(name))
+        // unknown / non-collectable explicit columns are the
+        // reference's BAD_ARGUMENTS (error 36 — CatalogAdaptor.cpp
+        // "columns (…) is not collectable")
+        explicit.foreach { cs =>
+          if (cols.size != cs.size)
+            throw new IllegalArgumentException(
+              s"columns (${cs.mkString(", ")}) is not collectable " +
+                "(error 36 analog)")
+        }
+        val rowCount = st.data.count()
+        val entry = statsStore.getOrElseUpdate(name,
+          StatsEntry(0, mutable.LinkedHashMap()))
+        entry.rowCount = rowCount
+        cols.foreach { case (cn, ty, c) =>
+          entry.cols(cn) =
+            collectColumnStats(st.data, rowCount, ty, c, withHist, bucketSize)
+        }
+        out += Row(name, cols.size.toString, rowCount.toString)
+      }
+    }
+    val rows = out.result()
+    if (rows.isEmpty) Done else Output(rows)
+  }
+
+  private val dropStatsRe =
+    """(?is)^\s*DROP\s+STATS\s+(.+?)\s*;?\s*$""".r
+
+  private def dropStats(s: String): Unit =
+    dropStatsRe.findFirstMatchIn(s).foreach { m =>
+      statsScope(m.group(1)).foreach(statsStore.remove)
+    }
+
+  /** Display order: the declared column order, with each Map column
+    * expanded to its implicit `__col__'key'` entries at the map's
+    * declared position (reference getAllCollectableColumns +
+    * MapHelpers). */
+  private def statsDisplayOrder(name: String,
+      e: StatsEntry): Seq[(String, ColStatEntry)] = {
+    tables.get(name) match {
+      case Some(ts) =>
+        val out = mutable.ArrayBuffer[(String, ColStatEntry)]()
+        ts.declared.foreach { case (n, ty) =>
+          if (e.cols.contains(n)) out += n -> e.cols(n)
+          else if (ty.trim.startsWith("Map(")) {
+            val prefix = s"__${n}__'"
+            e.cols.foreach { case (k, v) =>
+              if (k.startsWith(prefix)) out += k -> v
+            }
+          }
+        }
+        val seen = out.map(_._1).toSet
+        e.cols.foreach { case (k, v) =>
+          if (!seen.contains(k)) out += k -> v
+        }
+        out.toSeq
+      case None => e.cols.toSeq
+    }
+  }
+
+  private val showStatsRe =
+    """(?is)^\s*SHOW\s+(?:COLUMN_)?STATS\s+(.+?)\s*;?\s*$""".r
+
+  private def showStats(s: String, buckets: Boolean): Result = {
+    val m = showStatsRe.findFirstMatchIn(s).getOrElse(return NotHandled)
+    val rows = Seq.newBuilder[Row]
+    statsScope(m.group(1)).foreach { name =>
+      statsStore.get(name).foreach { e =>
+        if (!buckets) {
+          rows += Row(s"$name.*", "", e.rowCount.toString,
+            "", "", "", "", "", "")
+          statsDisplayOrder(name, e).foreach { case (cn, cs) =>
+            rows += Row(s"$name.$cn", cs.typeName, cs.count.toString,
+              cs.nulls.toString, cs.ndv.toString, fmtStatDouble(cs.min),
+              fmtStatDouble(cs.max), fmtStatDouble(cs.avgBytes),
+              if (cs.hasHist) "1" else "0")
+          }
+        } else statsDisplayOrder(name, e).foreach { case (cn, cs) =>
+          var cumC = 0L; var cumN = 0L; var id = 0
+          cs.buckets.foreach { b =>
+            cumC += b.count; cumN += b.ndv
+            rows += Row(s"$name.$cn", id.toString,
+              s"[${fmtStatDouble(b.lo)}, ${fmtStatDouble(b.hi)}" +
+                (if (b.upClosed) "]" else ")"),
+              b.count.toString, b.ndv.toString,
+              cumC.toString, cumN.toString)
+            id += 1
+          }
+        }
+      }
+    }
+    val r = rows.result()
+    if (r.isEmpty) Done else Output(r)
+  }
+
+  // ===== CREATE/DROP DICTIONARY (reference src/Dictionaries — flat/
+  // hashed/cache layouts over a CLICKHOUSE(TABLE '…') source; the
+  // in-RAM registry is graft.sql.Dictionaries, shared with the library
+  // API). Columns: `name Type [DEFAULT lit] [HIERARCHICAL|INJECTIVE]`;
+  // only simple UInt64-compatible PRIMARY KEYs register (complex keys
+  // fail loudly, like the unsupported layouts).
+  private val sessionDicts = mutable.Set[String]()
+
+  private def createDictionary(s: String): Unit = {
+    val m = """(?is)^\s*CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s*"""
+      .r.findFirstMatchIn(s).getOrElse(
+        throw new IllegalArgumentException(s"cannot parse CREATE DICTIONARY"))
+    val fullName = m.group(1).replace("`", "")
+    val bare = cleanName(fullName)
+    val rest = s.substring(m.end).trim
+    require(rest.startsWith("("), "CREATE DICTIONARY: missing column list")
+    val (colsTxt, after) = matchParen(rest)
+    val kwRe = """(?i)\b(DEFAULT|HIERARCHICAL|INJECTIVE|EXPRESSION|IS_OBJECT_ID)\b""".r
+    case class DictCol(name: String, chType: String,
+        default: Option[String], hierarchical: Boolean)
+    val cols = splitTop(colsTxt).map(_.trim).filter(_.nonEmpty).map { defText =>
+      val sp = defText.indexWhere(_.isWhitespace)
+      require(sp > 0, s"CREATE DICTIONARY: cannot parse column '$defText'")
+      val nm = defText.take(sp).stripPrefix("`").stripSuffix("`")
+      val restCol = defText.drop(sp).trim
+      val (tyText, modText) = kwRe.findFirstMatchIn(restCol) match {
+        case Some(km) => (restCol.substring(0, km.start).trim,
+          restCol.substring(km.start))
+        case None => (restCol, "")
+      }
+      val dflt = """(?is)\bDEFAULT\s+('(?:[^'\\]|\\.)*'|[-\w.]+)""".r
+        .findFirstMatchIn(modText).map(_.group(1))
+      DictCol(nm, tyText, dflt,
+        """(?i)\bHIERARCHICAL\b""".r.findFirstIn(modText).isDefined)
+    }
+    val pkM = """(?is)\bPRIMARY\s+KEY\s+([`\w]+(?:\s*,\s*[`\w]+)*)""".r
+      .findFirstMatchIn(after).getOrElse(
+        throw new IllegalArgumentException("CREATE DICTIONARY: no PRIMARY KEY"))
+    val pks = splitTop(pkM.group(1)).map(
+      _.trim.stripPrefix("`").stripSuffix("`"))
+    require(pks.size == 1,
+      "CREATE DICTIONARY: complex (multi-column) keys are not supported")
+    val keyCol = pks.head
+    val srcTable = """(?is)\bTABLE\s+'([^']+)'""".r.findFirstMatchIn(after)
+      .map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException("CREATE DICTIONARY: no source TABLE"))
+    val st = tables.getOrElse(resolveTableKey(cleanName(srcTable)),
+      throw new IllegalArgumentException(
+        s"CREATE DICTIONARY: unknown source table $srcTable"))
+    // dimension snapshot: the declared columns, cast to declared types
+    val dim = st.data.select(cols.map { c =>
+      val (dt, _) = ChTypes.parse(c.chType)
+      col(s"`${c.name}`").cast(dt).as(c.name)
+    }: _*)
+    def parseDefault(text: String, chType: String): Any = {
+      val t = text.trim
+      if (t.startsWith("'"))
+        t.stripPrefix("'").stripSuffix("'").replace("\\'", "'")
+      else if (t.contains('.')) t.toDouble
+      else t.toLongOption.getOrElse(t)
+    }
+    val defaults = cols.filter(_.default.isDefined)
+      .map(c => c.name -> parseDefault(c.default.get, c.chType)).toMap
+    val nullables = cols
+      .filter(c => c.chType.contains("Nullable(")).map(_.name).toSet
+    val parentAttr = cols.find(_.hierarchical).map(_.name)
+    Seq(fullName, bare).distinct.foreach { n =>
+      Dictionaries.register(n, dim, keyCol, parentAttr,
+        defaults = defaults, nullableAttrs = Some(nullables))
+      sessionDicts += n
+    }
+    // a dictionary is also queryable as a table (reference
+    // StorageDictionary): expose the snapshot as a temp view
+    dim.createOrReplaceTempView(bare)
+  }
+
+  private def dropDictionary(s: String): Unit =
+    """(?is)^\s*DROP\s+DICTIONARY\s+(?:IF\s+EXISTS\s+)?([`\w.]+)""".r
+      .findFirstMatchIn(s).foreach { m =>
+        val fullName = m.group(1).replace("`", "")
+        Seq(fullName, cleanName(fullName)).distinct.foreach { n =>
+          Dictionaries.drop(n); sessionDicts -= n
+        }
+        try spark.catalog.dropTempView(cleanName(fullName))
+        catch { case _: Throwable => () }
+      }
+
+  private def dropDatabase(s: String): Unit = {
+    val m = """(?is)^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?([`\w.]+)"""
+      .r.findFirstMatchIn(s).getOrElse(return)
+    val db = m.group(1).replace("`", "").trim
+    val members = tables.keys.filter(k => tables(k).rawDb == db).toSeq
+    members.foreach { k =>
+      try spark.catalog.dropTempView(k) catch { case _: Throwable => () }
+      tables.remove(k)
+      tableStats.remove(k)
+      memoryStats.remove(k)
+    }
   }
 
   private val showCreateRe =
@@ -2019,6 +2523,13 @@ object ChSession {
     if ("""(?is)^\s*ALTER\s+TABLE\b.*\bRENAME\b""".r
         .findFirstIn(sql0).isDefined)
       return sql0
+    // plain CREATE TABLE keeps its qualifier too: createTable extracts
+    // rawDb from it (stats scoping and SHOW CREATE print the declared
+    // database). CTAS still strips — its SELECT runs through spark.sql.
+    if ("""(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\b""".r
+        .findFirstIn(sql0).isDefined &&
+        !"""(?i)\bSELECT\b""".r.findFirstIn(sql0).isDefined)
+      return sql0
     val sql = stripDbAfterKeywords(sql0)
     val sb = new StringBuilder
     var i = 0
@@ -2067,10 +2578,14 @@ object ChSession {
     * else (-1, "").
     */
   private def sysTableEnd(sql: String, i: Int): (Int, String) = {
-    Seq("one", "numbers").foreach { nm =>
-      val e = sysRefEnd(sql, i, nm)
-      if (e > 0) return (e, nm)
-    }
+    // numbers_mt is the multi-threaded spelling of the same stream —
+    // both rewrite to the bounded `numbers` view (longest name first so
+    // `numbers` does not shadow it)
+    Seq("one" -> "one", "numbers_mt" -> "numbers", "numbers" -> "numbers")
+      .foreach { case (spelled, view) =>
+        val e = sysRefEnd(sql, i, spelled)
+        if (e > 0) return (e, view)
+      }
     (-1, "")
   }
 
@@ -2355,6 +2870,9 @@ object ChTypes {
       case "Decimal128" => (decimalChecked(38, args.head.toInt), false)
       case "SimpleAggregateFunction" => parse(args(1))
       case "BitMap64" => (BinaryType, false)
+      // reference Statistics/DataSketchesHelper.h — an opaque sketch
+      // blob column type (48044 declares Nullable(SketchBinary))
+      case "SketchBinary" => (BinaryType, false)
       // value-model state column (see ClickHouseAliases.stateMergeWave):
       // the stored "state" is the mergeable value the -State spelling
       // produces for that base function
@@ -2396,6 +2914,11 @@ object ChTypes {
         (DecimalType(38, 0), false)
       case "Float32" => (FloatType, false)
       case "Float64" => (DoubleType, false)
+      // legacy LowCardinality spelling: `StringWithDictionary`,
+      // `UInt8WithDictionary`, … (reference DataTypeLowCardinality
+      // registers TWithDictionary aliases; 00688 uses them)
+      case h if h.endsWith("WithDictionary") && h.length > 14 =>
+        parse(h.dropRight(14))
       case other =>
         // standard-SQL aliases (case-insensitive, reference
         // registerDataTypeDomains in DataTypeFactory.cpp)

@@ -228,6 +228,68 @@ object ChTranspiler {
     case _ => None
   }
 
+  /** `CAST(expr AS Nullable(T))` → `to<T>OrNull(expr)` for the scalar
+    * conversion-family types: the reference's cast to a Nullable target
+    * yields NULL on unparseable/out-of-range input
+    * (FunctionsConversion.h ConvertThroughParsing with
+    * null_presence.has_nullable — 00664 goldens), where an ANSI Cast
+    * throws. Runs BEFORE rewriteTypes, which would strip the Nullable
+    * marker this pass keys on. Nullable(String) stays a plain cast
+    * (string→string never fails).
+    */
+  private val nullableCastTypes = Set(
+    "Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32",
+    "UInt64", "Float32", "Float64", "Date", "Date32", "DateTime",
+    "DateTime64")
+
+  private def rewriteNullableCast(toks: Vector[Tok]): Vector[Tok] = {
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    var i = 0
+    while (i < toks.length) {
+      if (isWordI(toks(i), "CAST") &&
+          toks.lift(nextSig(i + 1)).contains(Punct("("))) {
+        val open = nextSig(i + 1)
+        // walk to the matching close, remembering the depth-1 AS
+        var d = 0; var j = open; var asIdx = -1; var close = -1
+        while (j < toks.length && close < 0) {
+          toks(j) match {
+            case Punct("(") => d += 1
+            case Punct(")") => d -= 1; if (d == 0) close = j
+            case Word(w) if d == 1 && w.equalsIgnoreCase("AS") => asIdx = j
+            case _ => ()
+          }
+          j += 1
+        }
+        if (close > 0 && asIdx > 0) {
+          val tIdx = nextSig(asIdx + 1)
+          val tOpen = nextSig(tIdx + 1)
+          (toks.lift(tIdx), toks.lift(tOpen)) match {
+            case (Some(Word(nw)), Some(Punct("(")))
+                if nw.equalsIgnoreCase("Nullable") =>
+              val inIdx = nextSig(tOpen + 1)
+              val inClose = nextSig(inIdx + 1)
+              (toks.lift(inIdx), toks.lift(inClose)) match {
+                case (Some(Word(t)), Some(Punct(")")))
+                    if nullableCastTypes.contains(t) &&
+                      nextSig(inClose + 1) == close =>
+                  val rewritten = toks.take(i) ++
+                    Vector(Word(s"to${t}OrNull")) ++
+                    toks.slice(open, asIdx) ++
+                    Vector(Punct(")")) ++ toks.drop(close + 1)
+                  return rewriteNullableCast(rewritten)
+                case _ => ()
+              }
+            case _ => ()
+          }
+        }
+      }
+      i += 1
+    }
+    toks
+  }
+
   /** Token pre-pass over type syntax: strip `Nullable(...)` /
     * `LowCardinality(...)` wrappers (keeping the inner type), map CH
     * scalar type names to Spark's, expand `Decimal32/64/128(s)` to
@@ -1467,7 +1529,8 @@ object ChTranspiler {
     val preMy =
       if (mysqlDialect) mysqlPasses(rewriteConvert(rewriteCastEnum(preTime)))
       else rewriteConvert(rewriteCastEnum(preTime))
-    val toks = mergePrewhere(rewriteCastDecimal(rewriteTypes(preMy)))
+    val toks = mergePrewhere(rewriteCastDecimal(rewriteTypes(
+      rewriteNullableCast(preMy))))
     val out = new StringBuilder
     // Depth-indexed stack entry: true → this bracket became `array(`,
     // false → element access (we rewrote `x[` to `element_at(x, `).
@@ -1601,7 +1664,7 @@ object ChTranspiler {
           out.append("LEFT ").append(w.toUpperCase)
           i = k // skip the LEFT we just emitted in front
           lastSig = Some(w0)
-        case Word(w) if (w.equalsIgnoreCase("all") ||
+        case w0 @ Word(w) if (w.equalsIgnoreCase("all") ||
             w.equalsIgnoreCase("any") || w.equalsIgnoreCase("global")) && {
             var k = i + 1
             while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1
@@ -1616,15 +1679,24 @@ object ChTranspiler {
               case _ => false
             }) } =>
           // CH join qualifiers: `ALL` = standard semantics, `GLOBAL` =
-          // a distribution hint (identity on a single engine), and
-          // `ANY` = at-most-one-match — dropped as well, because before
-          // this pass `(subq) ANY JOIN` already parsed with `any` as
-          // the subquery's ALIAS (same join, no dedup), so dropping is
-          // behavior-preserving and also covers the aliased-relation
-          // spelling; files whose goldens need real at-most-one dedup
-          // surface as DIFF in the sweep gate, never as silent passes.
+          // a distribution hint (identity on a single engine). `ANY`
+          // before LEFT/INNER/JOIN is KEPT — rewriteAnyJoin (the last
+          // post-pass) lowers it to a keep-first-per-key dedup of the
+          // right side, the reference's at-most-one-match semantics
+          // (HashJoin inserts first-wins per key). ANY RIGHT/FULL are
+          // still dropped: their dedup side is the whole left join
+          // tree / both sides — files whose goldens need it surface as
+          // DIFF in the sweep gate, never as silent passes.
           // (ASOF is NOT dropped — different semantics, fails loudly.)
-          ()
+          if (w.equalsIgnoreCase("any") && {
+            var k = i + 1
+            while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1
+            k < toks.length && (toks(k) match {
+              case Word(j) =>
+                Seq("INNER", "LEFT", "JOIN").contains(j.toUpperCase)
+              case _ => false
+            })
+          }) { out.append(w); lastSig = Some(w0) }
         case n @ Num(t) if t.toLowerCase.startsWith("0x") &&
             t.drop(2).nonEmpty &&
             t.drop(2).forall(c => "0123456789abcdefABCDEF".contains(c)) =>
@@ -1655,15 +1727,15 @@ object ChTranspiler {
       }
       i += 1
     }
-    rewriteLimitBy(guardSelectStringHead(
+    rewriteAnyJoin(rewriteLimitBy(guardSelectStringHead(
     rewriteOrderNulls(rewriteNestedArrayJoinDeep(rewriteArrayJoin(rewriteInClauses(
-      rewriteTupleLiterals(rewriteTernary(rewriteInlineAliases(
+      rewriteTupleLiterals(rewriteTernary(rewriteWhereAliases(rewriteInlineAliases(
         rewriteScalarWithDeep(rewriteInfixMod(rewriteTwoArgCast(wrapWindowSums(
           fixOrderlessRange(stripRankFrames(rewriteGroupsFrame(
             postPass(rewritePositionIn(rewriteMapLiterals(
               parenthesizeUsing(addImplicitFromOne(
                 rewriteDynamicInterval(
-                  rewriteValuesTable(out.toString)))))))))))))))))))))))
+                  rewriteValuesTable(out.toString)))))))))))))))))))))))))
   }
 
   /** GROUPS window frames (reference WindowDescription.h FrameType::
@@ -2600,6 +2672,195 @@ object ChTranspiler {
     out.toString
   }
 
+  /** CH `ANY [LEFT|INNER] JOIN` (also the `LEFT ANY JOIN` spelling) —
+    * at-most-one-match semantics: the reference's HashJoin keeps the
+    * FIRST right-side row per join key (src/Interpreters/HashJoin.cpp,
+    * ASTTableJoin::Strictness::Any). Lowered to a keep-first-per-key
+    * dedup of the right relation — row_number over
+    * monotonically_increasing_id partitioned by the join keys — so the
+    * join itself stays a plain Spark join (broadcast/AQE still apply).
+    * Runs LAST in the post-pass chain: input is Spark-ready SQL where
+    * the main loop preserved the ANY token before LEFT/INNER/JOIN and
+    * USING lists are already parenthesized. Keys come from the USING
+    * list or from simple equi-conjuncts of the ON clause (right side
+    * identified by the relation's alias / table name). Shapes whose
+    * keys cannot be identified fall back to dropping the qualifier —
+    * the pre-r12 behavior, guarded by the sweep gate's goldens. */
+  private def rewriteAnyJoin(sql: String): String = {
+    if (!"""(?i)\bany\b""".r.findFirstIn(sql).isDefined) return sql
+    val toks = tokenize(sql)
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    def prevSig(j: Int): Int = {
+      var k = j - 1; while (k >= 0 && toks(k).isInstanceOf[Ws]) k -= 1; k
+    }
+    def wordAt(k: Int): String = if (k >= 0 && k < toks.length) (toks(k) match {
+      case Word(x) => x.toUpperCase
+      case _ => ""
+    }) else ""
+    def balancedClose(open: Int): Int = {
+      var d = 0; var j = open
+      while (j < toks.length) {
+        toks(j) match {
+          case Punct("(") => d += 1
+          case Punct(")") => d -= 1; if (d == 0) return j
+          case _ => ()
+        }
+        j += 1
+      }
+      -1
+    }
+    def text(a: Int, b: Int): String =
+      toks.slice(a, b + 1).map(_.text).mkString
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Word(w) if w.equalsIgnoreCase("any") =>
+          val nxt = nextSig(i + 1)
+          val nw = wordAt(nxt)
+          val pw = wordAt(prevSig(i))
+          // shape A: ANY [LEFT|INNER] JOIN; shape B: LEFT|INNER ANY JOIN.
+          // RIGHT/FULL ANY (either order): the dedup side is the left
+          // join tree / both sides — fall back to dropping the
+          // qualifier (-2), the pre-r12 behavior.
+          val joinIdx =
+            if (pw == "RIGHT" || pw == "FULL") -2
+            else if (nw == "JOIN") nxt // bare/any-after-type = dedup right
+            else if (nw == "LEFT" || nw == "INNER") {
+              val j2 = nextSig(nxt + 1)
+              if (wordAt(j2) == "JOIN") j2 else -1
+            } else if (nw == "RIGHT" || nw == "FULL") -2
+            else -1
+          def dropAny(): String = {
+            val rest = toks.patch(i, Nil, 1).map(_.text).mkString
+            rewriteAnyJoin(rest)
+          }
+          if (joinIdx == -2) return dropAny()
+          else if (joinIdx < 0) { i += 1 }
+          else {
+            // relation after JOIN: (subquery) | [db.]table, then alias
+            val r0 = nextSig(joinIdx + 1)
+            var relEnd = -1
+            var isSub = false
+            toks.lift(r0) match {
+              case Some(Punct("(")) =>
+                relEnd = balancedClose(r0); isSub = true
+              case Some(Word(_)) =>
+                relEnd = r0
+                var k = r0 + 1
+                while (k + 1 < toks.length && toks(k) == Punct(".") &&
+                    toks(k + 1).isInstanceOf[Word]) { relEnd = k + 1; k += 2 }
+              case _ => ()
+            }
+            if (relEnd < 0) return dropAny()
+            val stopW = Set("ON", "USING", "WHERE", "GROUP", "ORDER",
+              "LIMIT", "HAVING", "UNION", "SETTINGS", "JOIN", "INNER",
+              "LEFT", "RIGHT", "FULL", "CROSS", "SEMI", "ANTI", "ASOF",
+              "ANY", "GLOBAL", "PREWHERE", "FORMAT")
+            var aliasEnd = relEnd
+            var alias = ""
+            val a0 = nextSig(relEnd + 1)
+            if (wordAt(a0) == "AS") {
+              val a1 = nextSig(a0 + 1)
+              toks.lift(a1) match {
+                case Some(Word(x)) => alias = x; aliasEnd = a1
+                case _ => ()
+              }
+            } else toks.lift(a0) match {
+              case Some(Word(x)) if !stopW.contains(x.toUpperCase) =>
+                alias = x; aliasEnd = a0
+              case _ => ()
+            }
+            val cIdx = nextSig(aliasEnd + 1)
+            val relName = if (isSub) "" else (toks(relEnd) match {
+              case Word(x) => x
+              case _ => ""
+            })
+            val qualifier = if (alias.nonEmpty) alias else relName
+            // join keys
+            var keys = Seq.empty[String]
+            if (wordAt(cIdx) == "USING") {
+              val p0 = nextSig(cIdx + 1)
+              if (toks.lift(p0).contains(Punct("("))) {
+                val pc = balancedClose(p0)
+                if (pc > p0) {
+                  val parts = ChSession.splitTop(text(p0 + 1, pc - 1))
+                    .map(_.trim).filter(_.nonEmpty)
+                  val ident = """^`?[\w.]+`?$""".r
+                  if (parts.forall(p => ident.findFirstIn(p).isDefined))
+                    keys = parts
+                }
+              }
+            } else if (wordAt(cIdx) == "ON") {
+              // conjuncts of simple equalities; right-side column =
+              // the side qualified by this relation's alias/name
+              var e = cIdx + 1
+              var d = 0
+              val termW = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+                "UNION", "SETTINGS", "JOIN", "INNER", "LEFT", "RIGHT",
+                "FULL", "CROSS", "SEMI", "ANTI", "ASOF", "ANY", "GLOBAL",
+                "PREWHERE", "FORMAT")
+              var end = toks.length - 1
+              var done = false
+              while (e < toks.length && !done) {
+                toks(e) match {
+                  case Punct("(") => d += 1
+                  case Punct(")") if d == 0 => end = e - 1; done = true
+                  case Punct(")") => d -= 1
+                  case Punct(",") | Punct(";") if d == 0 =>
+                    end = e - 1; done = true
+                  case Word(x) if d == 0 && termW.contains(x.toUpperCase) =>
+                    end = e - 1; done = true
+                  case _ => ()
+                }
+                if (!done) e += 1
+              }
+              val condTxt = text(nextSig(cIdx + 1), end)
+              val eqRe = """^\s*(`?[\w.]+`?)\s*=\s*(`?[\w.]+`?)\s*$""".r
+              val conj = condTxt.split("""(?i)\bAND\b""").map(_.trim)
+              val picked = conj.map {
+                case eqRe(l, r) =>
+                  def strip(x: String) = x.replaceAll("`", "")
+                  val ls = strip(l); val rs = strip(r)
+                  if (qualifier.nonEmpty &&
+                      rs.startsWith(qualifier + "."))
+                    Some(rs.drop(qualifier.length + 1))
+                  else if (qualifier.nonEmpty &&
+                      ls.startsWith(qualifier + "."))
+                    Some(ls.drop(qualifier.length + 1))
+                  else None
+                case _ => None
+              }
+              if (picked.forall(_.isDefined) && picked.nonEmpty)
+                keys = picked.flatten.toSeq
+            }
+            if (keys.isEmpty || keys.exists(_.contains(".")))
+              return dropAny()
+            val relTxt = text(r0, relEnd)
+            val aliasOut =
+              if (alias.nonEmpty) alias
+              else if (relName.nonEmpty) relName
+              else "__graft_any_r"
+            val keysTxt = keys.mkString(", ")
+            val newRel =
+              s"(SELECT * EXCEPT (__graft_any_rid, __graft_any_rn) FROM " +
+              s"(SELECT *, row_number() OVER (PARTITION BY $keysTxt " +
+              s"ORDER BY __graft_any_rid) AS __graft_any_rn FROM " +
+              s"(SELECT *, monotonically_increasing_id() AS " +
+              s"__graft_any_rid FROM $relTxt) __graft_any_s) __graft_any_w " +
+              s"WHERE __graft_any_rn = 1) $aliasOut"
+            val pre = toks.take(i).map(_.text).mkString
+            val mid = toks.slice(i + 1, r0).map(_.text).mkString
+            val post = toks.drop(aliasEnd + 1).map(_.text).mkString
+            return rewriteAnyJoin(pre + mid + newRel + post)
+          }
+        case _ => i += 1
+      }
+    }
+    sql
+  }
+
   private def rewriteInfixMod(sql: String): String = {
     val toks = tokenize(sql)
     def prevSig(j: Int): Option[Tok] = {
@@ -3209,6 +3470,148 @@ object ChTranspiler {
       }
       sb.toString
     }
+  }
+
+  /** ClickHouse resolves identifiers in WHERE/PREWHERE against the
+    * SELECT list's aliases first (reference ActionsVisitor scope map:
+    * `SELECT f(x) AS a … WHERE a > 0` filters on f(x), and the alias
+    * SHADOWS a real column of the same name). Spark's WHERE only sees
+    * input columns — substitute the alias expression textually, scoped
+    * per SELECT block at its own paren depth. */
+  private def rewriteWhereAliases(sql: String): String = {
+    if (!"""(?i)\bas\b""".r.findFirstIn(sql).isDefined) return sql
+    val toks = tokenize(sql)
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    def prevSig(j: Int): Int = {
+      var k = j - 1; while (k >= 0 && toks(k).isInstanceOf[Ws]) k -= 1; k
+    }
+    val depth = new Array[Int](toks.length)
+    var d = 0
+    for (k <- toks.indices) {
+      toks(k) match {
+        case Punct("(") => depth(k) = d; d += 1
+        case Punct(")") => d -= 1; depth(k) = d
+        case _ => depth(k) = d
+      }
+    }
+    val clauseEnd = Set("GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
+      "SETTINGS", "FORMAT", "WINDOW", "INTERSECT", "EXCEPT")
+    val replacements = scala.collection.mutable.Map[Int, String]()
+    for (s <- toks.indices if isWordI(toks(s), "SELECT")) {
+      val dS = depth(s)
+      var k = s + 1
+      var fromIdx = -1
+      var whereStart = -1
+      var whereEnd = -1
+      var stop = false
+      while (k < toks.length && !stop) {
+        if (depth(k) < dS) {
+          if (whereStart >= 0 && whereEnd < 0) whereEnd = k
+          stop = true
+        } else if (depth(k) == dS) {
+          toks(k) match {
+            case Word(w) if w.equalsIgnoreCase("FROM") && fromIdx < 0 =>
+              fromIdx = k
+            case Word(w) if (w.equalsIgnoreCase("WHERE") ||
+                w.equalsIgnoreCase("PREWHERE")) && fromIdx >= 0 &&
+                whereStart < 0 =>
+              whereStart = k + 1
+            case Word(w) if whereStart >= 0 &&
+                clauseEnd.contains(w.toUpperCase) =>
+              whereEnd = k; stop = true
+            case Word(w) if w.equalsIgnoreCase("SELECT") && k > s =>
+              // a same-depth later SELECT = another UNION branch
+              if (whereStart >= 0 && whereEnd < 0) whereEnd = k
+              stop = true
+            case Punct(";") =>
+              if (whereStart >= 0 && whereEnd < 0) whereEnd = k
+              stop = true
+            case _ => ()
+          }
+        }
+        k += 1
+      }
+      if (whereStart >= 0 && whereEnd < 0) whereEnd = k
+      if (fromIdx > s) {
+        // select-list aliases at this SELECT's own depth:
+        // name -> (expr text, expr start token, AS token)
+        val aliases = scala.collection.mutable.Map[String, (String, Int, Int)]()
+        var a = s + 1
+        while (a < fromIdx) {
+          if (isWordI(toks(a), "AS") && depth(a) == dS) {
+            val nIdx = nextSig(a + 1)
+            toks.lift(nIdx) match {
+              case Some(Word(name)) =>
+                var st = s + 1; var b = a - 1; var dd = 0; var brk = false
+                while (b > s && !brk) {
+                  toks(b) match {
+                    case Punct(")") | Punct("]") => dd += 1
+                    case Punct("(") | Punct("[") => dd -= 1
+                    case Punct(",") if dd == 0 => st = b + 1; brk = true
+                    case Word(w) if dd == 0 &&
+                        (w.equalsIgnoreCase("DISTINCT") ||
+                         w.equalsIgnoreCase("SELECT")) =>
+                      st = b + 1; brk = true
+                    case _ => ()
+                  }
+                  b -= 1
+                }
+                val expr = toks.slice(st, a).map(_.text).mkString.trim
+                if (expr.nonEmpty && !expr.equalsIgnoreCase(name) &&
+                    name.forall(c => c.isLetterOrDigit || c == '_') &&
+                    !aliases.contains(name))
+                  aliases(name) = (expr, st, a)
+              case _ => ()
+            }
+          }
+          a += 1
+        }
+        if (aliases.nonEmpty) {
+          // alias-in-alias references resolve with a seen-set: inside
+          // its own expansion a name refers to the SOURCE column
+          // (`CAST(x AS BIGINT) AS x` must not recurse)
+          def resolve(t: String, seen: Set[String]): String =
+            tokenize(t).map {
+              case Word(w) if aliases.contains(w) && !seen.contains(w) =>
+                "(" + resolve(aliases(w)._1, seen + w) + ")"
+              case tok => tok.text
+            }.mkString
+          // substitute in the WHERE range, and FORWARD references in
+          // the select list itself (`SELECT a = b, x AS a, y AS b` —
+          // Spark's lateral column alias only resolves backward)
+          def substRange(from: Int, until: Int, fwdOnly: Boolean): Unit = {
+            var w = from
+            while (w < until) {
+              toks(w) match {
+                case Word(x) if aliases.contains(x) &&
+                    !replacements.contains(w) &&
+                    // inside x's own definition the name is the source
+                    // column, never the alias
+                    !(w >= aliases(x)._2 && w <= aliases(x)._3) &&
+                    (!fwdOnly || aliases(x)._3 > w) =>
+                  val pv = toks.lift(prevSig(w))
+                  val nx = toks.lift(nextSig(w + 1))
+                  val qualified = pv.contains(Punct(".")) ||
+                    nx.contains(Punct("."))
+                  val isCall = nx.contains(Punct("("))
+                  val isDef = pv.exists(isWordI(_, "AS"))
+                  if (!qualified && !isCall && !isDef)
+                    replacements(w) = "(" + resolve(aliases(x)._1, Set(x)) + ")"
+                case _ => ()
+              }
+              w += 1
+            }
+          }
+          if (whereStart >= 0) substRange(whereStart, whereEnd, fwdOnly = false)
+          substRange(s + 1, fromIdx, fwdOnly = true)
+        }
+      }
+    }
+    if (replacements.isEmpty) sql
+    else toks.indices.map(k => replacements.getOrElse(k, toks(k).text))
+      .mkString
   }
 
   /** ClickHouse lets `expr AS name` appear ANYWHERE inside an

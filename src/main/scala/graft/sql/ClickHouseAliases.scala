@@ -28,6 +28,56 @@ object ClickHouseAliases {
 
   // -If conditions are UInt8-truthy in CH; the double cast is identity
   // on booleans and nonzero-test on numbers
+  /** Int32-clamping narrowing (GatherUtils offsets are size-clamped in
+    * the reference; an ANSI Cast would refuse Int64 extremes). */
+  private def clampToInt(e: Expression): Expression =
+    Cast(Least(Seq(Greatest(Seq(e, Literal(Int.MinValue.toLong))),
+      Literal(Int.MaxValue.toLong))), IntegerType)
+
+  /** CH substring semantics shared by substring/substr/mid/
+    * substringUTF8: 2-arg = to end of string; negative length = leave
+    * off -length characters from the end; a negative offset beyond the
+    * start clamps to position 1 with the requested length (reference
+    * GatherUtils sliceFromRightConstantOffsetBounded — 00936 goldens).
+    * All intermediate arithmetic in Int64 so Int64-extreme offsets
+    * stay ANSI-safe. */
+  private def chSubstrExpr(cs: Seq[Expression]): Expression = {
+    val str = cs.head
+    val size = Cast(Length(str), LongType)
+    val posL = Cast(cs(1), LongType)
+    val startL = If(GreaterThanOrEqual(posL, Literal(0L)), posL,
+      Greatest(Seq(Add(Add(size, posL), Literal(1L)), Literal(1L))))
+    val lenL: Expression =
+      if (cs.size < 3) Literal(Int.MaxValue.toLong)
+      else {
+        val l = Cast(cs(2), LongType)
+        If(GreaterThanOrEqual(l, Literal(0L)), l,
+          Greatest(Seq(Add(Add(Subtract(size, startL), Literal(1L)), l),
+            Literal(0L))))
+      }
+    Substring(str, clampToInt(startL), clampToInt(lenL))
+  }
+
+  /** CH arraySlice: 2-arg = from offset to the end; negative length =
+    * leave off -length elements from the end; negative offsets beyond
+    * the start clamp like substring (reference array/arraySlice.cpp). */
+  private def chArraySlice(cs: Seq[Expression]): Expression = {
+    val arr = cs.head
+    val size = Cast(Size(arr), LongType)
+    val posL = Cast(cs(1), LongType)
+    val startL = If(GreaterThanOrEqual(posL, Literal(0L)), posL,
+      Greatest(Seq(Add(Add(size, posL), Literal(1L)), Literal(1L))))
+    val lenL: Expression =
+      if (cs.size == 2) size
+      else {
+        val l = Cast(cs(2), LongType)
+        If(GreaterThanOrEqual(l, Literal(0L)), l,
+          Greatest(Seq(Add(Add(Subtract(size, startL), Literal(1L)), l),
+            Literal(0L))))
+      }
+    Slice(arr, clampToInt(startL), clampToInt(lenL))
+  }
+
   private def nullUnless(cond: Expression, value: Expression): Expression =
     If(Not(EqualTo(Cast(cond, DoubleType), Literal(0.0d))),
       value, Literal.create(null, value.dataType))
@@ -640,7 +690,7 @@ object ClickHouseAliases {
 
     // strings (lcase/ucase/startswith/endswith are already Spark
     // builtins with identical semantics — no alias needed)
-    "mid" -> (cs => Substring(cs.head, cs(1), cs(2))),
+    "mid" -> (cs => chSubstrExpr(cs)),
     // ClickHouse splits on the LITERAL character; StringSplit takes a
     // Java regex, so the separator is \Q...\E-quoted (works for column
     // separators too; a separator containing the two-char sequence \E is
@@ -687,7 +737,7 @@ object ClickHouseAliases {
     // `flatten` spelling shadows a Spark builtin, so it registers only
     // in the CH-strict session (injectStrict), like `length`.
     "arrayFlatten" -> (cs => deepFlatten(cs)),
-    "arraySlice" -> (cs => Slice(cs.head, cs(1), cs(2))),
+    "arraySlice" -> (cs => chArraySlice(cs)),
     "arrayIntersect" -> (cs => ArrayIntersect(cs.head, cs(1))),
     // range(n) / range(lo, hi): end-exclusive, EMPTY when hi <= lo —
     // Sequence's default step flips to -1 when start > stop, so the empty
@@ -1968,7 +2018,7 @@ object ClickHouseAliases {
       Cast(DateFormatClass(cs.head, Literal("yyyyMMddHHmmss")), LongType)),
     // Spark strings are char-addressed, so the UTF8 spellings lower to
     // the plain operations.
-    "substringUTF8" -> (cs => Substring(cs.head, cs(1), cs(2))),
+    "substringUTF8" -> (cs => chSubstrExpr(cs)),
     "positionUTF8" -> (cs => StringInstr(cs.head, cs(1))),
     // timeSlots(start, duration[, size=1800]): the size-second grid
     // slots the interval [start, start+duration] touches.
@@ -2432,13 +2482,17 @@ object ClickHouseAliases {
     // same single-scan distributed cost).
     "multiMatchAny" -> (cs => ArrayExists(cs(1),
       LambdaFunction(RLike(cs.head, lv("p")), Seq(lv("p"))))),
-    // bitTestAny/bitTestAll(num, bit1, ..., bitN) — variadic bit probes
-    "bitTestAny" -> (cs => cs.drop(1).map(b =>
+    // bitTestAny/bitTestAll(num, bit1, ..., bitN) — variadic bit
+    // probes; the reference returns UInt8, not Bool (00216 shifts the
+    // result back into a number)
+    "bitTestAny" -> (cs => If(cs.drop(1).map(b =>
       EqualTo(BitwiseAnd(ShiftRight(Cast(cs.head, LongType), Cast(b, IntegerType)),
-        Literal(1L)), Literal(1L)): Expression).reduce(Or.apply)),
-    "bitTestAll" -> (cs => cs.drop(1).map(b =>
+        Literal(1L)), Literal(1L)): Expression).reduce(Or.apply),
+      Literal(1.toShort), Literal(0.toShort))),
+    "bitTestAll" -> (cs => If(cs.drop(1).map(b =>
       EqualTo(BitwiseAnd(ShiftRight(Cast(cs.head, LongType), Cast(b, IntegerType)),
-        Literal(1L)), Literal(1L)): Expression).reduce(And.apply)),
+        Literal(1L)), Literal(1L)): Expression).reduce(And.apply),
+      Literal(1.toShort), Literal(0.toShort))),
     // mapFilter(lambda, map): CH lambda-first order onto Spark's HOF
     "mapFilter" -> (cs => MapFilter(cs(1), cs.head)),
     // arrayReduceInRanges('agg', ranges, arr) (reference
@@ -3054,6 +3108,34 @@ object ClickHouseAliases {
       val (dt, m) = Dictionaries.dict(nm).attrMap(at)
       (DictGetValue(m, dt, Cast(cs(2), LongType)), dt)
     }
+    // dictGet miss value (reference FunctionsExternalDictionaries:
+    // getOrDefault of the attribute's null_value): the declared DEFAULT
+    // when the DDL carried one, NULL for a Nullable attribute, the type
+    // zero otherwise. A PRESENT key with a NULL value stays NULL (the
+    // DictGetValue null-marker), so the fallback gates on dictHas.
+    def missValue(nm: String, at: String, dt: DataType): Expression = {
+      val d = Dictionaries.dict(nm)
+      d.defaults.get(at) match {
+        case Some(v) => Cast(Literal(v), dt)
+        case None if d.nullableAttrs.contains(at) => Literal.create(null, dt)
+        case None => Literal.default(dt)
+      }
+    }
+    def getWithDefault(cs: Seq[Expression]): (Expression, DataType) = {
+      val nm = litStr(cs.head, "dictGet: dictionary name")
+      val at = litStr(cs(1), "dictGet: attribute name")
+      val (lk, dt) = lookup(cs)
+      (If(DictHas(Dictionaries.dict(nm).keySet, Cast(cs(2), LongType)),
+        lk, missValue(nm, at, dt)), dt)
+    }
+    def getOrDefaultExpr(cs: Seq[Expression], castTo: Option[DataType])
+        : Expression = {
+      val nm = litStr(cs.head, "dictGet: dictionary name")
+      val (lk, dt) = lookup(cs)
+      val t = castTo.getOrElse(dt)
+      If(DictHas(Dictionaries.dict(nm).keySet, Cast(cs(2), LongType)),
+        Cast(lk, t), Cast(cs(3), t))
+    }
     val typed: Seq[(String, DataType)] = Seq(
       "String" -> StringType, "Int8" -> ByteType, "Int16" -> ShortType,
       "Int32" -> IntegerType, "Int64" -> LongType, "UInt8" -> ShortType,
@@ -3061,26 +3143,28 @@ object ClickHouseAliases {
       "Float32" -> FloatType, "Float64" -> DoubleType,
       "Date" -> DateType, "DateTime" -> TimestampType, "UUID" -> StringType)
     val core: Seq[(String, Seq[Expression] => Expression)] = Seq(
-      "dictGet" -> (cs => lookup(cs)._1),
+      "dictGet" -> (cs => getWithDefault(cs)._1),
       "dictGetOrNull" -> (cs => lookup(cs)._1),
-      "dictGetOrDefault" -> (cs => {
-        val (lk, dt) = lookup(cs)
-        Coalesce(Seq(lk, Cast(cs(3), dt)))
-      }),
+      "dictGetOrDefault" -> (cs => getOrDefaultExpr(cs, None)),
       "dictHas" -> (cs => DictHas(
         Dictionaries.dict(litStr(cs.head, "dictHas: dictionary name")).keySet,
         Cast(cs(1), LongType))),
-      "dictGetHierarchy" -> (cs => DictHierarchy(
-        Dictionaries.dict(litStr(cs.head, "dictGetHierarchy: dictionary name")).parentMap,
-        Cast(cs(1), LongType))),
-      "dictIsIn" -> (cs => DictIsIn(
-        Dictionaries.dict(litStr(cs.head, "dictIsIn: dictionary name")).parentMap,
-        Cast(cs(1), LongType), Cast(cs(2), LongType))))
+      "dictGetHierarchy" -> (cs => {
+        val d = Dictionaries.dict(
+          litStr(cs.head, "dictGetHierarchy: dictionary name"))
+        DictHierarchy(d.parentMap, d.keySet, Cast(cs(1), LongType))
+      }),
+      "dictIsIn" -> (cs => {
+        val d = Dictionaries.dict(litStr(cs.head, "dictIsIn: dictionary name"))
+        DictIsIn(d.parentMap, d.keySet,
+          Cast(cs(1), LongType), Cast(cs(2), LongType))
+      }))
     core ++ typed.flatMap { case (n, t) =>
       Seq(
-        s"dictGet$n" -> ((cs: Seq[Expression]) => Cast(lookup(cs)._1, t)),
+        s"dictGet$n" -> ((cs: Seq[Expression]) =>
+          Cast(getWithDefault(cs)._1, t)),
         s"dictGet${n}OrDefault" -> ((cs: Seq[Expression]) =>
-          Coalesce(Seq(Cast(lookup(cs)._1, t), Cast(cs(3), t)))))
+          getOrDefaultExpr(cs, Some(t))))
     } ++ statAliasWave
   }
 
@@ -3333,14 +3417,26 @@ object ClickHouseAliases {
           }
         case None => Cast(cs.head, t)
       }
+      // -OrNull honors the UNSIGNED domain: toUInt8OrNull('-123') and
+      // ('300') are NULL in the reference (range check after parse);
+      // the Spark carrier type is wider, so TRY-cast alone would keep
+      // the value (00664 CAST AS Nullable(UInt8) goldens)
+      def tryCast(cs: Seq[Expression]): Expression = wrapSpec.get(n) match {
+        case Some((bits, false)) =>
+          val l = Cast(cs.head, LongType, None, EvalMode.TRY)
+          val hi = if (bits == 64) Literal(Long.MaxValue)
+            else Literal((1L << bits) - 1)
+          Cast(If(And(GreaterThanOrEqual(l, Literal(0L)),
+            LessThanOrEqual(l, hi)), l, Literal.create(null, LongType)), t)
+        case _ => Cast(cs.head, t, None, EvalMode.TRY)
+      }
       Seq(
         s"to$n" -> ((cs: Seq[Expression]) => plain(cs)),
-        s"to${n}OrNull" -> ((cs: Seq[Expression]) =>
-          Cast(cs.head, t, None, EvalMode.TRY)),
+        s"to${n}OrNull" -> ((cs: Seq[Expression]) => tryCast(cs)),
         s"to${n}OrZero" -> ((cs: Seq[Expression]) =>
-          Coalesce(Seq(Cast(cs.head, t, None, EvalMode.TRY), zero))),
+          Coalesce(Seq(tryCast(cs), zero))),
         s"to${n}OrDefault" -> ((cs: Seq[Expression]) =>
-          Coalesce(Seq(Cast(cs.head, t, None, EvalMode.TRY),
+          Coalesce(Seq(tryCast(cs),
             if (cs.size > 1) Cast(cs(1), t) else zero))))
     }
   }
@@ -5610,6 +5706,16 @@ object ClickHouseAliases {
     // datediff, so corpus-session only.
     val dateDiffBuilder: Seq[Expression] => Expression = cs =>
       ChDispatch("dateDiff", cs.take(3)) { c =>
+        // hive format (02031): dateDiff(start, end[, tz]) — no unit
+        // argument, day units; the string-literal head selects the CH
+        // 3-arg form dateDiff(unit, start, end)
+        val hiveForm = c.head match {
+          case Literal(_, StringType) => false
+          case _ => true
+        }
+        if (hiveForm && c.size < 2)
+          throw new IllegalArgumentException(
+            "dateDiff needs two date arguments (error 42 analog)")
         val unit = c.head match {
           case Literal(u, StringType) if u != null => u.toString.toLowerCase
           case _ => "day"
@@ -5634,7 +5740,8 @@ object ClickHouseAliases {
             UnixMicros(Cast(e, TimestampType))
           case _ => t(e) // second
         }
-        Subtract(rel(c(2)), rel(c(1)))
+        val (from, to) = if (hiveForm) (c(0), c(1)) else (c(1), c(2))
+        Subtract(rel(to), rel(from))
       }
     Seq("dateDiff", "date_diff", "chDateDiff").foreach { n =>
       spark.sessionState.functionRegistry.registerFunction(

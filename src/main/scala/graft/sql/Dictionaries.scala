@@ -34,12 +34,28 @@ object Dictionaries {
     */
   val MaxRows: Int = 4 << 20
 
+  /** Marker stored in an attribute map for a PRESENT key whose value is
+    * NULL — distinguishable from an ABSENT key, which falls back to the
+    * attribute's declared/type default (reference FlatDictionary:
+    * null_values vs loaded nulls). A Scala case object: module
+    * serialization resolves back to the singleton, so the identity
+    * check survives task serialization to executors. Static accessor
+    * for codegen. */
+  private case object DictNullMarker
+  private val NullMarker: AnyRef = DictNullMarker
+  def nullMarker(): AnyRef = NullMarker
+
   final case class Dict(
       name: String,
       keyCol: String,
       attrs: Map[String, (DataType, java.util.HashMap[java.lang.Long, Any])],
       keySet: java.util.HashSet[java.lang.Long],
-      parentAttr: Option[String]) {
+      parentAttr: Option[String],
+      // declared DEFAULT literal per attribute (plain Scala values,
+      // converted at Literal.create time) and which attributes are
+      // declared Nullable — both drive the dictGet miss value
+      defaults: Map[String, Any] = Map.empty,
+      nullableAttrs: Set[String] = Set.empty) {
 
     def attrMap(attr: String): (DataType, java.util.HashMap[java.lang.Long, Any]) =
       attrs.getOrElse(attr,
@@ -67,7 +83,9 @@ object Dictionaries {
       dim: DataFrame,
       keyCol: String,
       parentAttr: Option[String] = None,
-      maxRows: Int = MaxRows): Unit = {
+      maxRows: Int = MaxRows,
+      defaults: Map[String, Any] = Map.empty,
+      nullableAttrs: Option[Set[String]] = None): Unit = {
     val schema = dim.schema
     val rows = dim.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
@@ -83,13 +101,19 @@ object Dictionaries {
         val conv = CatalystTypeConverters.createToCatalystConverter(f.dataType)
         val m = new java.util.HashMap[java.lang.Long, Any]()
         rows.iterator
-          .filter(r => !r.isNullAt(keyIdx) && !r.isNullAt(i))
-          .foreach(r => m.put(anyToLong(r.get(keyIdx)), conv(r.get(i))))
+          .filter(r => !r.isNullAt(keyIdx))
+          // a present key with NULL value is distinguishable from a
+          // missing key (dictGet: NULL vs attribute default)
+          .foreach(r => m.put(anyToLong(r.get(keyIdx)),
+            if (r.isNullAt(i)) NullMarker else conv(r.get(i))))
         f.name -> (f.dataType, m)
     }.toMap
     parentAttr.foreach(p => require(attrs.contains(p),
       s"dictionary $name: parent attribute $p not found"))
-    registry.put(name, Dict(name, keyCol, attrs, keySet, parentAttr))
+    val nullables = nullableAttrs.getOrElse(
+      schema.fields.filter(_.nullable).map(_.name).toSet)
+    registry.put(name,
+      Dict(name, keyCol, attrs, keySet, parentAttr, defaults, nullables))
   }
 
   def drop(name: String): Unit = registry.remove(name)
@@ -119,16 +143,22 @@ object Dictionaries {
   //     maps arrive as expression fields / codegen reference objects) ---
 
   /** Key chain from `key` up the parent links, key itself first —
-    * reference hierarchical dictGetHierarchy. Cycles cut at 64 levels.
+    * reference hierarchical dictGetHierarchy: a key is appended only
+    * while it IS a dictionary member (the reference's getHierarchy
+    * loops while the key is found; a parent id of 0 — or any id not in
+    * the dictionary — terminates the chain without being emitted).
+    * Self-parent cycles cut immediately, others at 64 levels.
     */
   def hierarchyWalk(
       parent: java.util.HashMap[java.lang.Long, Any],
+      keys: java.util.HashSet[java.lang.Long],
       key: Long): GenericArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var k = key
     var guard = 0
     var continue = true
-    while (continue && guard < 64) {
+    while (continue && guard < 64 &&
+        keys.contains(java.lang.Long.valueOf(k))) {
       out += k
       parent.get(java.lang.Long.valueOf(k)) match {
         case p: java.lang.Number if p.longValue() != k => k = p.longValue()
@@ -141,9 +171,10 @@ object Dictionaries {
 
   def isInWalk(
       parent: java.util.HashMap[java.lang.Long, Any],
+      keys: java.util.HashSet[java.lang.Long],
       child: Long,
       ancestor: Long): Boolean =
-    hierarchyWalk(parent, child).toLongArray().contains(ancestor)
+    hierarchyWalk(parent, keys, child).toLongArray().contains(ancestor)
 }
 
 /** dictGet(dict, attr, key): hash probe into the snapshot carried by the
@@ -161,15 +192,18 @@ case class DictGetValue(
   override protected def withNewChildInternal(newChild: Expression): DictGetValue =
     copy(key = newChild)
 
-  override def nullSafeEval(k: Any): Any =
-    attrMap.get(java.lang.Long.valueOf(k.asInstanceOf[Long]))
+  override def nullSafeEval(k: Any): Any = {
+    val v = attrMap.get(java.lang.Long.valueOf(k.asInstanceOf[Long]))
+    if (v.asInstanceOf[AnyRef] eq Dictionaries.nullMarker()) null else v
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mapRef = ctx.addReferenceObj("dictAttrMap", attrMap, "java.util.HashMap")
     val boxed = CodeGenerator.boxedType(dataType)
     nullSafeCodeGen(ctx, ev, k => s"""
       Object dictV = $mapRef.get(java.lang.Long.valueOf($k));
-      if (dictV == null) { ${ev.isNull} = true; }
+      if (dictV == null ||
+          dictV == graft.sql.Dictionaries.nullMarker()) { ${ev.isNull} = true; }
       else { ${ev.value} = ($boxed) dictV; }
     """)
   }
@@ -208,6 +242,7 @@ case class DictHas(
 /** dictGetHierarchy(dict, key): parent-link chain, child first. */
 case class DictHierarchy(
     parentMap: java.util.HashMap[java.lang.Long, Any],
+    keySet: java.util.HashSet[java.lang.Long],
     key: Expression)
   extends UnaryExpression with NonSQLExpression {
 
@@ -217,18 +252,20 @@ case class DictHierarchy(
     copy(key = newChild)
 
   override def nullSafeEval(k: Any): Any =
-    Dictionaries.hierarchyWalk(parentMap, k.asInstanceOf[Long])
+    Dictionaries.hierarchyWalk(parentMap, keySet, k.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mapRef = ctx.addReferenceObj("dictParentMap", parentMap, "java.util.HashMap")
+    val setRef = ctx.addReferenceObj("dictKeySet", keySet, "java.util.HashSet")
     nullSafeCodeGen(ctx, ev, k =>
-      s"${ev.value} = graft.sql.Dictionaries.hierarchyWalk($mapRef, $k);")
+      s"${ev.value} = graft.sql.Dictionaries.hierarchyWalk($mapRef, $setRef, $k);")
   }
 }
 
 /** dictIsIn(dict, child, ancestor): ancestor reachable via parent links. */
 case class DictIsIn(
     parentMap: java.util.HashMap[java.lang.Long, Any],
+    keySet: java.util.HashSet[java.lang.Long],
     childKey: Expression,
     ancestorKey: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -242,11 +279,13 @@ case class DictIsIn(
     copy(childKey = newLeft, ancestorKey = newRight)
 
   override def nullSafeEval(c: Any, a: Any): Any =
-    Dictionaries.isInWalk(parentMap, c.asInstanceOf[Long], a.asInstanceOf[Long])
+    Dictionaries.isInWalk(parentMap, keySet,
+      c.asInstanceOf[Long], a.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mapRef = ctx.addReferenceObj("dictParentMap", parentMap, "java.util.HashMap")
+    val setRef = ctx.addReferenceObj("dictKeySet", keySet, "java.util.HashSet")
     nullSafeCodeGen(ctx, ev, (c, a) =>
-      s"${ev.value} = graft.sql.Dictionaries.isInWalk($mapRef, $c, $a);")
+      s"${ev.value} = graft.sql.Dictionaries.isInWalk($mapRef, $setRef, $c, $a);")
   }
 }

@@ -36,7 +36,7 @@ object StatelessSweep {
   // system tables other than the modeled one-row `one` and the numbers
   // stream are out of scope
   private val systemTableRe =
-    """(?i)["`]?\bsystem["`]?\s*\.\s*["`]?(?!one\b|numbers\b)\w+""".r
+    """(?i)["`]?\bsystem["`]?\s*\.\s*["`]?(?!one\b|numbers\b|numbers_mt\b)\w+""".r
   // output-format clauses are unsupported — but `INSERT … FORMAT Values`
   // is just the VALUES spelling, which ChSession handles
   private val badFormatRe = """(?i)\bFORMAT\s+(?!Values\b)\w+""".r

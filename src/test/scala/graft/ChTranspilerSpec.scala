@@ -214,4 +214,27 @@ class ChTranspilerSpec extends AnyFunSuite {
     // aggregation without GROUP BY is the legal global-totals form
     assert(ChTranspiler.splitTotals("SELECT count() WITH TOTALS").isDefined)
   }
+
+  test("ANY LEFT/INNER JOIN lowers to keep-first-per-key dedup of the right side") {
+    val s = t("SELECT * FROM a ANY LEFT JOIN b USING (k)")
+    assert(!s.matches("(?is).*\\bany\\b.*"), s)
+    assert(s.contains(
+      "row_number() OVER (PARTITION BY k ORDER BY __graft_any_rid)"), s)
+    assert(s.contains("FROM b) __graft_any_s"), s)
+    // ON form: partition keys from the right relation's side
+    val s2 = t("SELECT * FROM a ANY INNER JOIN b ON a.x = b.y AND b.w = a.z")
+    assert(s2.contains("PARTITION BY y, w"), s2)
+    // reversed spelling LEFT ANY JOIN
+    val s3 = t("SELECT * FROM a LEFT ANY JOIN b USING (k)")
+    assert(s3.contains("__graft_any_rn"), s3)
+    // subquery right side with alias keeps the alias on the dedup wrapper
+    val s4 = t("SELECT * FROM a ANY LEFT JOIN (SELECT 1 AS k) z USING (k)")
+    assert(s4.contains("WHERE __graft_any_rn = 1) z"), s4)
+    // RIGHT/FULL ANY fall back to dropping the qualifier (legacy)
+    val s5 = t("SELECT * FROM a ANY RIGHT JOIN b USING (k)")
+    assert(!s5.matches("(?is).*\\bany\\b.*") && !s5.contains("__graft_any"), s5)
+    // complex ON conditions fall back to dropping the qualifier
+    val s6 = t("SELECT * FROM a ANY LEFT JOIN b ON a.x = b.y + 1")
+    assert(!s6.matches("(?is).*\\bany\\b.*") && !s6.contains("__graft_any"), s6)
+  }
 }

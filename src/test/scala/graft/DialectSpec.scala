@@ -941,10 +941,12 @@ class DialectSpec extends SparkSpec {
         bitTestAll(5, 0, 2), bitTestAll(5, 0, 1)""")
     assert(m.getBoolean(0) === true)
     assert(m.getBoolean(1) === false)
-    assert(m.getBoolean(2) === true) // bit 2 of 0b101
-    assert(m.getBoolean(3) === false)
-    assert(m.getBoolean(4) === true) // bits 0 and 2 both set
-    assert(m.getBoolean(5) === false)
+    // bitTestAny/All return UInt8 like the reference (00216 shifts the
+    // result back into arithmetic), not Bool
+    assert(m.getShort(2) === 1) // bit 2 of 0b101
+    assert(m.getShort(3) === 0)
+    assert(m.getShort(4) === 1) // bits 0 and 2 both set
+    assert(m.getShort(5) === 0)
     val rr = one("""SELECT
         arrayReduceInRanges('sum', array(tuple(1, 3), tuple(3, 2)), array(1, 2, 3, 4, 5)),
         arrayReduceInRanges('max', array(tuple(2, 3)), array(9, 1, 7, 3)),
@@ -1051,5 +1053,16 @@ class DialectSpec extends SparkSpec {
     assert(r.getInt(4) === 2)
     assert(r.getInt(5) === 0)
     assert(r.getSeq[Int](6) === Seq(2, 3))
+  }
+
+  test("ANY LEFT JOIN keeps exactly the first right-side match per key") {
+    val sql = graft.sql.ChTranspiler.transpile(
+      "SELECT t.k, u.v FROM (SELECT 1 AS k UNION ALL SELECT 2) t " +
+        "ANY LEFT JOIN (SELECT 1 AS k, 10 AS v " +
+        "UNION ALL SELECT 1 AS k, 20 AS v) u USING (k) ORDER BY k")
+    val rows = spark.sql(sql).collect()
+    assert(rows.length === 2)
+    assert(rows(0) === Row(1, 10)) // first right row wins, not two rows
+    assert(rows(1) === Row(2, null))
   }
 }

@@ -47,23 +47,30 @@ class StatelessCorpusSpec extends SparkSpec {
     session.conf.set(graft.sql.ChCoercions.IeeeDivFlag, "true")
     session.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     session.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
-    val failures = allowlist.flatMap { name =>
-      val sqlText = new String(
-        Files.readAllBytes(Paths.get(corpusDir, name)), "UTF-8")
-      val expected = new String(
-        Files.readAllBytes(Paths.get(corpusDir,
-          name.dropRight(4) + ".reference")), "UTF-8")
-      StatelessSweep.run(session, sqlText) match {
-        case Right(actual)
-            if actual.replaceAll("\n+$", "") ==
-              expected.replaceAll("\n+$", "") =>
-          None
-        case Right(actual) =>
-          Some(s"$name: output diff\n  want ${expected.take(120)}\n  got ${actual.take(120)}")
-        case Left(err) =>
-          Some(s"$name: $err")
+    val failures =
+      try allowlist.flatMap { name =>
+        val sqlText = new String(
+          Files.readAllBytes(Paths.get(corpusDir, name)), "UTF-8")
+        val expected = new String(
+          Files.readAllBytes(Paths.get(corpusDir,
+            name.dropRight(4) + ".reference")), "UTF-8")
+        StatelessSweep.run(session, sqlText) match {
+          case Right(actual)
+              if actual.replaceAll("\n+$", "") ==
+                expected.replaceAll("\n+$", "") =>
+            None
+          case Right(actual) =>
+            Some(s"$name: output diff\n  want ${expected.take(120)}\n  got ${actual.take(120)}")
+          case Left(err) =>
+            Some(s"$name: $err")
+        }
+      } finally {
+        // the corpus session (Moscow tz, CH coercions) must not linger
+        // as the thread's active session — later suites' lazy plan
+        // optimization reads SQLConf.get from it (timestamp literals
+        // in golden plans would shift by the Moscow offset)
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
       }
-    }
     assert(failures.isEmpty,
       s"${failures.size} stateless tests regressed:\n${failures.take(10).mkString("\n")}")
   }
