@@ -108,11 +108,21 @@ object ChRollupDefaults extends Rule[LogicalPlan] {
           case other => other.nullable
         }
         val expandOpt = findExpand(child).filter(_.projections.nonEmpty)
+        // the key's SOURCE expression: the first projection where this
+        // position is not the grouping-set null filler. ROLLUP/CUBE put
+        // every key in projections.head; GROUPING SETS((a),(b)) has no
+        // all-keys projection, so scan them all (45005)
+        def srcAt(e: Expand, i: Int): Option[Expression] =
+          e.projections.collectFirst {
+            case proj if proj.lift(i).exists {
+              case Literal(v, _) => v != null
+              case _ => true
+            } => proj(i)
+          }
         val sourceNullable: Map[String, Boolean] =
           expandOpt.map { e =>
             e.output.zipWithIndex.map { case (a, i) =>
-              a.exprId.toString ->
-                e.projections.head.lift(i).forall(srcNullable)
+              a.exprId.toString -> srcAt(e, i).forall(srcNullable)
             }.toMap
           }.getOrElse(Map.empty)
         // a CONSTANT key's filler is the constant itself (the reference
@@ -122,7 +132,7 @@ object ChRollupDefaults extends Rule[LogicalPlan] {
         val sourceExpr: Map[String, Expression] =
           expandOpt.map { e =>
             e.output.zipWithIndex.flatMap { case (a, i) =>
-              e.projections.head.lift(i).map(a.exprId.toString -> _)
+              srcAt(e, i).map(a.exprId.toString -> _)
             }.toMap
           }.getOrElse(Map.empty)
         val keyAttrs = ga.collect {
@@ -132,6 +142,12 @@ object ChRollupDefaults extends Rule[LogicalPlan] {
         def defaulted(a: AttributeReference) = {
           val filler = sourceExpr.get(a.exprId.toString) match {
             case Some(lit: Literal) => lit
+            // an Enum column's default is its FIRST listed member name
+            // (DataTypeEnum::getDefault), carried as field metadata by
+            // the session's CREATE TABLE (02313 rollup goldens)
+            case Some(ar: AttributeReference)
+                if ar.metadata.contains("graft.ch.enumDefault") =>
+              Literal(ar.metadata.getString("graft.ch.enumDefault"))
             case _ => Literal.default(a.dataType)
           }
           If(IsNull(a), filler, a)

@@ -104,8 +104,11 @@ final class ChSession(spark: SparkSession) {
       .createOrReplaceTempView("dual")
   // system.numbers is the reference's unbounded number stream; corpus
   // uses always cap it with LIMIT — a bounded view is observationally
-  // identical up to 10M rows (00110/00284-class external sort/agg tests
-  // stream that many).
+  // identical up to 2M rows (00723 remerge_sort streams that many; the
+  // only corpus files wanting more — 00110/00284 at 10M — need unsigned
+  // Int64 sort order / group-by overflow modes and diff out anyway,
+  // while a 10M bound made unrelated full-view scans heavy enough to
+  // exhaust the sweep JVM).
   // single partition: corpus queries cap it with LIMIT n, and a
   // multi-partition range would make LocalLimit compute n rows in EVERY
   // partition — the tail partitions hold the large numbers, whose
@@ -113,7 +116,7 @@ final class ChSession(spark: SparkSession) {
   // arrays per row near 65535). One partition also pins stream order;
   // Range is lazy so a small LIMIT still stops early.
   if (!spark.catalog.tableExists("numbers"))
-    spark.range(0, 10000000, 1, 1).toDF("number")
+    spark.range(0, 2000000, 1, 1).toDF("number")
       .createOrReplaceTempView("numbers")
 
   /** Session-level `SET dedup_key_mode = …` for unique-key inserts. */
@@ -317,7 +320,8 @@ final class ChSession(spark: SparkSession) {
       Done
     }
     else if (up.startsWith("OPTIMIZE ")) Done
-    else if (up.startsWith("DROP TABLE") || up.startsWith("DROP VIEW"))
+    else if (up.startsWith("DROP TABLE") || up.startsWith("DROP VIEW") ||
+             up.startsWith("DROP TEMPORARY TABLE"))
       { dropTable(s); Done }
     else if (up.startsWith("TRUNCATE")) { truncate(s); Done }
     else if (up.startsWith("RENAME TABLE")) { renameTable(s); Done }
@@ -355,6 +359,18 @@ final class ChSession(spark: SparkSession) {
     else if (up.startsWith("CREATE DATABASE")) Done
     else if (up.startsWith("DROP DATABASE")) { dropDatabase(s); Done }
     else if (up.startsWith("DESC")) describe(s)
+    else if (up.startsWith("EXISTS ")) {
+      // EXISTS [TEMPORARY] TABLE name → UInt8 1/0 (reference
+      // InterpreterExistsQuery)
+      """(?is)^\s*EXISTS\s+(?:TEMPORARY\s+)?(?:TABLE\s+)?([`\w.]+)\s*;?\s*$"""
+        .r.findFirstMatchIn(s) match {
+        case Some(m) =>
+          val k = resolveTableKey(cleanName(m.group(1)))
+          Output(Seq(Row(
+            if (tables.contains(k) || views.contains(k)) "1" else "0")))
+        case None => NotHandled
+      }
+    }
     else NotHandled
   }
 
@@ -1590,7 +1606,24 @@ final class ChSession(spark: SparkSession) {
     // NOT part of the positional insert list (reference
     // ColumnDefaultKind: they are also hidden from SELECT *)
     var hidden = false
-    modifierRe.findFirstMatchIn(rest).foreach { mm =>
+    // modifier keywords inside STRING literals are data, not clauses
+    // (02313: `Enum('default' = 0, …)` must not read as DEFAULT)
+    def maskStrings(s0: String): String = {
+      val sb = new StringBuilder(s0)
+      var i = 0; var q = false
+      while (i < s0.length) {
+        val c = s0.charAt(i)
+        if (q) {
+          if (c == '\\' && i + 1 < s0.length) {
+            sb.setCharAt(i, '_'); sb.setCharAt(i + 1, '_'); i += 1
+          } else if (c == '\'') q = false
+          else sb.setCharAt(i, '_')
+        } else if (c == '\'') q = true
+        i += 1
+      }
+      sb.toString
+    }
+    modifierRe.findFirstMatchIn(maskStrings(rest)).foreach { mm =>
       val kw = mm.group(1).toUpperCase
       val tail = rest.substring(mm.start + mm.group(1).length).trim
       rest = rest.substring(0, mm.start).trim
@@ -1598,7 +1631,7 @@ final class ChSession(spark: SparkSession) {
         hidden = kw != "DEFAULT"
         kind = kw
         // default expr runs to the next modifier keyword (or end)
-        val stop = modifierRe.findFirstMatchIn(tail).map(_.start)
+        val stop = modifierRe.findFirstMatchIn(maskStrings(tail)).map(_.start)
           .getOrElse(tail.length)
         default = Some(tail.substring(0, stop).trim)
       }
@@ -2445,7 +2478,7 @@ object ChSession {
   final case class Output(rows: Seq[Row]) extends Result
 
   private val dropRe =
-    """(?is)\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([`\w.]+).*""".r
+    """(?is)\s*DROP\s+(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([`\w.]+).*""".r
   private val truncateRe =
     """(?is)\s*TRUNCATE\s+(?:TABLE\s+)?(?:IF\s+EXISTS\s+)?([`\w.]+)\s*""".r
   private val createViewRe =

@@ -1545,6 +1545,33 @@ object ChTranspiler {
           // CH query-level SETTINGS clause: session knobs, no Spark
           // equivalent — drop the remainder of the statement.
           i = toks.length - 1
+        case Word(w) if parens > 0 && stack.isEmpty &&
+            w.equalsIgnoreCase("settings") && {
+            // subquery-level `(SELECT … SETTINGS k = v, …)` (00266):
+            // confirmed by the `name =` shape so a column named
+            // `settings` survives
+            var k = i + 1
+            while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1
+            val isName = k < toks.length && toks(k).isInstanceOf[Word]
+            var k2 = k + 1
+            while (k2 < toks.length && toks(k2).isInstanceOf[Ws]) k2 += 1
+            isName && k2 < toks.length && toks(k2) == Punct("=")
+          } =>
+          // drop the settings list up to (not including) the paren that
+          // closes this subquery
+          var j = i + 1
+          var d = 0
+          var stop = false
+          while (j < toks.length && !stop) {
+            toks(j) match {
+              case Punct("(") => d += 1
+              case Punct(")") if d == 0 => stop = true
+              case Punct(")") => d -= 1
+              case _ => ()
+            }
+            if (!stop) j += 1
+          }
+          i = j - 1
         case Punct("[") =>
           if (opensLiteral(lastSig)) {
             out.append("array("); stack = true :: stack
@@ -1729,13 +1756,13 @@ object ChTranspiler {
     }
     rewriteAnyJoin(rewriteLimitBy(guardSelectStringHead(
     rewriteOrderNulls(rewriteNestedArrayJoinDeep(rewriteArrayJoin(rewriteInClauses(
-      rewriteTupleLiterals(rewriteTernary(rewriteWhereAliases(rewriteInlineAliases(
+      rewriteTupleLiterals(rewriteUnionBranches(rewriteParenLambda(rewriteTernary(rewriteWhereAliases(rewriteInlineAliases(
         rewriteScalarWithDeep(rewriteInfixMod(rewriteTwoArgCast(wrapWindowSums(
           fixOrderlessRange(stripRankFrames(rewriteGroupsFrame(
             postPass(rewritePositionIn(rewriteMapLiterals(
               parenthesizeUsing(addImplicitFromOne(
                 rewriteDynamicInterval(
-                  rewriteValuesTable(out.toString)))))))))))))))))))))))))
+                  rewriteValuesTable(out.toString)))))))))))))))))))))))))))
   }
 
   /** GROUPS window frames (reference WindowDescription.h FrameType::
@@ -2861,6 +2888,124 @@ object ChTranspiler {
     sql
   }
 
+  /** ClickHouse applies ORDER BY / LIMIT to each UNION branch
+    * separately (SelectWithUnionQuery: modifiers belong to the SELECT
+    * they follow); Spark's grammar reads `… LIMIT n UNION ALL …` as a
+    * syntax error. Wrap every branch of a union whose region carries a
+    * branch-level LIMIT/ORDER in parentheses — same semantics in both
+    * readings. */
+  private def rewriteUnionBranches(sql: String): String = {
+    if (!"""(?i)\bunion\b""".r.findFirstIn(sql).isDefined ||
+        !"""(?i)\b(limit|order)\b""".r.findFirstIn(sql).isDefined) return sql
+    val toks = tokenize(sql)
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    // region id = index of enclosing '(' (-1 = top level)
+    val parent = new Array[Int](toks.length)
+    var stack = List(-1)
+    for (k <- toks.indices) {
+      toks(k) match {
+        case Punct("(") => parent(k) = stack.head; stack = k :: stack
+        case Punct(")") => stack = stack.drop(1); parent(k) = stack.head
+        case _ => parent(k) = stack.head
+      }
+    }
+    val unions = scala.collection.mutable.Map[Int, Vector[Int]]()
+    val hasMod = scala.collection.mutable.Set[Int]()
+    for (k <- toks.indices) toks(k) match {
+      case Word(w) if w.equalsIgnoreCase("UNION") =>
+        unions(parent(k)) = unions.getOrElse(parent(k), Vector()) :+ k
+      case Word(w) if w.equalsIgnoreCase("LIMIT") ||
+          w.equalsIgnoreCase("ORDER") =>
+        hasMod += parent(k)
+      case _ => ()
+    }
+    val target = unions.keys.find(r => hasMod.contains(r) && {
+      // only genuine select regions; and only when a LIMIT/ORDER sits
+      // BEFORE the last UNION (a trailing one alone parses fine)
+      val us = unions(r)
+      val modBefore = toks.indices.exists(k => parent(k) == r &&
+        k < us.last && (toks(k) match {
+          case Word(w) => w.equalsIgnoreCase("LIMIT") ||
+            w.equalsIgnoreCase("ORDER")
+          case _ => false
+        }))
+      modBefore
+    })
+    target match {
+      case None => sql
+      case Some(r) =>
+        val us = unions(r)
+        val regionStart = if (r < 0) 0 else nextSig(r + 1)
+        val regionEnd = if (r < 0) toks.length else {
+          // matching close of r
+          var d = 0; var j = r; var e = toks.length
+          while (j < toks.length && e == toks.length) {
+            toks(j) match {
+              case Punct("(") => d += 1
+              case Punct(")") => d -= 1; if (d == 0) e = j
+              case _ => ()
+            }
+            j += 1
+          }
+          e
+        }
+        // branch boundaries: [regionStart, u1), [afterKw(u1), u2), …
+        def afterKw(u: Int): Int = {
+          val a = nextSig(u + 1)
+          toks.lift(a) match {
+            case Some(Word(w)) if w.equalsIgnoreCase("ALL") ||
+                w.equalsIgnoreCase("DISTINCT") => a + 1
+            case _ => u + 1
+          }
+        }
+        val bounds = (regionStart +: us.map(afterKw))
+          .zip(us :+ regionEnd)
+        val opens = bounds.map(_._1).toSet
+        val closes = bounds.map(_._2).toSet
+        val sb = new StringBuilder
+        for (k <- 0 to toks.length) {
+          if (closes.contains(k)) sb.append(" ) ")
+          if (k < toks.length) {
+            if (opens.contains(k)) sb.append(" ( ")
+            sb.append(toks(k).text)
+          }
+        }
+        rewriteUnionBranches(sb.toString)
+    }
+  }
+
+  /** `(x) -> body` → `x -> body`: ClickHouse allows a parenthesized
+    * single lambda parameter (01246/01273 use `(x) -> length(x)`);
+    * Spark's grammar only parses `x ->` or `(x, y) ->`. */
+  private def rewriteParenLambda(sql: String): String = {
+    if (!sql.contains("->")) return sql
+    val toks = tokenize(sql)
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i) == Punct("(")) {
+        val w = nextSig(i + 1)
+        val close = if (w < toks.length && toks(w).isInstanceOf[Word])
+          nextSig(w + 1) else -1
+        if (close > 0 && close < toks.length && toks(close) == Punct(")")) {
+          val dash = nextSig(close + 1)
+          if (dash + 1 < toks.length && toks(dash) == Punct("-") &&
+              toks(dash + 1) == Punct(">")) {
+            val rewritten =
+              toks.take(i) ++ Vector(toks(w), Ws(" ")) ++ toks.drop(close + 1)
+            return rewriteParenLambda(rewritten.map(_.text).mkString)
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
   private def rewriteInfixMod(sql: String): String = {
     val toks = tokenize(sql)
     def prevSig(j: Int): Option[Tok] = {
@@ -3726,6 +3871,11 @@ object ChTranspiler {
     // paren depths currently inside a VALUES row sequence: every
     // `(…), (…), …` row at that depth is a ROW, not a tuple literal
     val valuesDepth = scala.collection.mutable.Set[Int]()
+    // parens directly inside GROUPING SETS (…) are SET LISTS, not
+    // tuples (01883: `GROUPING SETS (('c'), (a, b))` must keep (a, b)
+    // as a grouping list — struct() would group by one column)
+    val setsOpens = scala.collection.mutable.Set[Int]()
+    val setsDepth = scala.collection.mutable.Set[Int]()
     for (k <- toks.indices) {
       toks(k) match {
         case _: Ws => ()
@@ -3758,15 +3908,22 @@ object ChTranspiler {
             prevTok.contains(Punct(","))
           if (prevTok.exists(isWordI(_, "VALUES")))
             valuesDepth += stack.length
+          if (prevTok.exists(isWordI(_, "SETS"))) {
+            setsOpens += k
+            setsDepth += stack.length + 1
+          }
+          val inSetsList = setsDepth.contains(stack.length)
           val first = nextSigIdx(k + 1)
           val isSubquery = first < toks.length &&
             (isWordI(toks(first), "SELECT") || isWordI(toks(first), "WITH"))
           stack = (k, false) :: stack
-          if (callLike || afterIn || afterListKw || isSubquery || valuesRow)
+          if (callLike || afterIn || afterListKw || isSubquery || valuesRow ||
+              inSetsList)
             () // never a tuple
           else tupleAt += k
         case Punct(")") =>
           stack.headOption.foreach { case (openIdx, sawComma) =>
+            if (setsOpens.contains(openIdx)) setsDepth -= stack.length
             if (!sawComma) tupleAt -= openIdx // plain grouping parens
             else {
               // `(x, y) -> …` is a lambda PARAMETER LIST (arrayMap,

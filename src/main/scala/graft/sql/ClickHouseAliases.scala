@@ -604,6 +604,8 @@ object ClickHouseAliases {
     "minIf" -> (cs => Min(nullUnless(cs(1), cs.head))),
     "maxIf" -> (cs => Max(nullUnless(cs(1), cs.head))),
     "anyIf" -> (cs => new First(nullUnless(cs(1), cs.head), ignoreNulls = true)),
+    "anyLastIf" -> (cs =>
+      new Last(nullUnless(cs(1), cs.head), ignoreNulls = true)),
     "groupArray" -> (cs => CollectList(cs.head)),
     "groupUniqArray" -> (cs => CollectSet(cs.head)),
     "anyLast" -> (cs => new Last(cs.head, ignoreNulls = true)),
@@ -974,7 +976,13 @@ object ClickHouseAliases {
           // declaration exactly for TABLE columns (ChTypes); for
           // derived expressions Spark over-approximates it to true, so
           // only attribute references take the NULL-miss path.
-          val nullMiss = nullable && (coll match {
+          // composite element types are never Nullable in CH (no
+          // Nullable(Array/Map/Tuple)) — misses always take the default
+          val compositeEt = et match {
+            case _: ArrayType | _: MapType | _: StructType => true
+            case _ => false
+          }
+          val nullMiss = nullable && !compositeEt && (coll match {
             case _: Attribute => true // table column: ChTypes-exact
             case CreateArray(children, _) => children.exists(_.nullable)
             case _ => false // derived: Spark over-approximates
@@ -1274,6 +1282,24 @@ object ClickHouseAliases {
             Cast(Size(arr), LongType), Literal.create(null, LongType))
         case "grouparray" => arr
         case "groupuniqarray" => ArrayDistinct(arr)
+        // sumMap over (array of key-arrays, array of value-arrays):
+        // sorted distinct keys + per-key sums as a (keys, values)
+        // tuple (reference AggregateFunctionSumMap — 00978 golden
+        // `([100,200],[30,30])`)
+        case "summap" =>
+          val keys = Flatten(cs(1))
+          val vals = Flatten(cs(2))
+          val distinct = new SortArray(ArrayDistinct(keys))
+          val sums = ArrayTransform(distinct, LambdaFunction(
+            ArrayAggregate(
+              ZipWith(keys, vals, LambdaFunction(
+                If(EqualTo(lv("kk"), lv("k")), Cast(lv("vv"), LongType),
+                  Literal(0L)), Seq(lv("kk"), lv("vv")))),
+              Literal(0L),
+              LambdaFunction(Add(lv("a"), lv("x")), Seq(lv("a"), lv("x"))),
+              LambdaFunction(lv("a"), Seq(lv("a")))), Seq(lv("k"))))
+          CreateNamedStruct(Seq(
+            Literal("col1"), distinct, Literal("col2"), sums))
         case other => throw new IllegalArgumentException(
           s"arrayReduce: unsupported aggregate '$other' " +
             "(sum/avg/min/max/count/any/uniq/median/groupArray)")
@@ -2999,14 +3025,35 @@ object ClickHouseAliases {
     // group count must come from the pattern, which therefore must be a
     // literal — exactly the reference's constant-pattern requirement
     def groupsOf(cs: Seq[Expression]): (Expression, String, Int) = {
+      // the reference requires a CONSTANT pattern — any row-independent
+      // expression qualifies (01246 builds one with repeat()), so
+      // evaluate input-free deterministic expressions at plan time
       val re = cs(1) match {
         case Literal(p, StringType) if p != null => p.toString
+        case other if other.references.isEmpty && other.deterministic =>
+          val v = other.eval(null)
+          if (v == null) throw new IllegalArgumentException(
+            "extractGroups: pattern is null")
+          v.toString
         case other => throw new IllegalArgumentException(
-          s"extractGroups: pattern must be a string literal, got $other")
+          s"extractGroups: pattern must be a constant string, got $other")
       }
       val n = java.util.regex.Pattern.compile(re).matcher("").groupCount()
       require(n > 0, s"extractGroups: pattern '$re' has no capture groups")
       (Cast(cs.head, StringType), re, n)
+    }
+    // vertical: one array per MATCH holding its groups; zero matches →
+    // [] (a bare Sequence(1, 0) would step DOWN and index out of range)
+    def verticalGroups(g: (Expression, String, Int)): Expression = {
+      val (s, re, n) = g
+      val perGroup = (1 to n).map(i =>
+        RegExpExtractAll(s, Literal(re), Literal(i)))
+      val matches = ArrayTransform(
+        Sequence(Literal(1), Size(perGroup.head), None),
+        LambdaFunction(
+          CreateArray(perGroup.map(g0 => ElementAt(g0, lv("i")))), Seq(lv("i"))))
+      If(EqualTo(Size(perGroup.head), Literal(0)),
+        Cast(CreateArray(Nil), ArrayType(ArrayType(StringType))), matches)
     }
     val sampleSizeType = StructType(Seq(
       StructField("minimum_sample_size", DoubleType),
@@ -3034,22 +3081,8 @@ object ClickHouseAliases {
         CreateArray((1 to n).map(i =>
           RegExpExtractAll(s, Literal(re), Literal(i))))
       }),
-      "extractAllGroupsVertical" -> (cs => {
-        val (s, re, n) = groupsOf(cs)
-        val perGroup = (1 to n).map(i => RegExpExtractAll(s, Literal(re), Literal(i)))
-        ArrayTransform(
-          Sequence(Literal(1), Size(perGroup.head), None),
-          LambdaFunction(
-            CreateArray(perGroup.map(g => ElementAt(g, lv("i")))), Seq(lv("i"))))
-      }),
-      "extractAllGroups" -> (cs => {
-        val (s, re, n) = groupsOf(cs)
-        val perGroup = (1 to n).map(i => RegExpExtractAll(s, Literal(re), Literal(i)))
-        ArrayTransform(
-          Sequence(Literal(1), Size(perGroup.head), None),
-          LambdaFunction(
-            CreateArray(perGroup.map(g => ElementAt(g, lv("i")))), Seq(lv("i"))))
-      }),
+      "extractAllGroupsVertical" -> (cs => verticalGroups(groupsOf(cs))),
+      "extractAllGroups" -> (cs => verticalGroups(groupsOf(cs))),
       // date↔int casts are illegal in Spark; go through DateDiff/DateAdd
       // against the epoch date literal instead
       "toModifiedJulianDay" -> (cs =>

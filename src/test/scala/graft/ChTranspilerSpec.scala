@@ -23,7 +23,11 @@ class ChTranspilerSpec extends AnyFunSuite {
   }
 
   test("CH types map in CAST targets, including two-arg form") {
-    assert(t("SELECT CAST(1 AS Nullable(UInt8))") == "SELECT CAST(1 AS INT)")
+    // CAST to a Nullable scalar yields NULL on bad input (the
+    // reference's ConvertThroughParsing null_presence) — lowered to
+    // the range-checked OrNull conversion, not a plain ANSI cast
+    assert(t("SELECT CAST(1 AS Nullable(UInt8))")
+      == "SELECT toUInt8OrNull(1 )")
     assert(t("SELECT CAST(1, 'UInt64')") == "SELECT CAST(1 AS BIGINT)")
     assert(t("SELECT CAST([1] AS Array(Float64))")
       == "SELECT CAST(array(1) AS ARRAY<DOUBLE>)")
