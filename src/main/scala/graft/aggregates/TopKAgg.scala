@@ -48,7 +48,26 @@ final class TopKBuf(val capacity: Int) {
   def add(key: UnsafeRow, w: Long, pos: Long): Unit = {
     val e = m.get(key)
     if (e != null) e.count += w
-    else {
+    else if (capacity <= 256 && m.size >= capacity) {
+      // exact SpaceSaving for small capacities (the -Merge spellings
+      // reserve k*3 cells like the reference): replace the single
+      // minimum-count entry, inheriting its count (SpaceSaving.h
+      // alpha + w) — the batched half-trim below would keep a
+      // different tie set than the reference (01356 golden)
+      var minKey: UnsafeRow = null
+      var minE: TopKEntry = null
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        if (minE == null || en.getValue.count < minE.count ||
+            (en.getValue.count == minE.count &&
+              en.getValue.firstPos < minE.firstPos)) {
+          minKey = en.getKey; minE = en.getValue
+        }
+      }
+      m.remove(minKey)
+      m.put(key, new TopKEntry(minE.count + w, pos))
+    } else {
       m.put(key, new TopKEntry(floor + w, pos))
       if (m.size > capacity) trim()
     }

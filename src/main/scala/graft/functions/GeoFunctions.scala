@@ -209,6 +209,14 @@ object GeoFunctions {
     val latMax = math.ceil(sat(latMax0, -90, 90) / latStep) * latStep
     val lonItems = ((lonMax - lonMin) / lonStep).toLong
     val latItems = ((latMax - latMin) / latStep).toLong
+    // reference geohashesInBox.cpp:76 max_array_size = 10'000'000
+    // (error 128 TOO_LARGE_ARRAY_SIZE) — the guard also keeps a
+    // precision-12 world box from materializing ~10^12 cells
+    if (lonItems * latItems > 10000000L)
+      throw new IllegalArgumentException(
+        s"geohashesInBox would produce ${lonItems * latItems} array " +
+          "elements, which is bigger than the allowed maximum of " +
+          "10000000 (error 128 analog)")
     val out = for {
       i <- 0L until lonItems
       j <- 0L until latItems

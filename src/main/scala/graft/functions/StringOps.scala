@@ -261,9 +261,83 @@ object StringOps {
       }
       i += 1
     }
-    UTF8String.EMPTY_UTF8
+    // value runs to end-of-string (visitParam scans bare `"k":v` text
+    // with no enclosing braces — 00962)
+    if (stack.isEmpty) UTF8String.fromString(s.substring(start))
+    else UTF8String.EMPTY_UTF8
   }
 
+
+  /** visitParam numeric/string extraction — the reference's byte scan
+    * (FunctionsVisitParam.h readIntTextUnsafe / readFloatText /
+    * parseJSONString), NOT a JSON parser: leading digits parse, '-' on
+    * the unsigned form reads 0, a value that is not a quoted string
+    * extracts as ''. Works on bare `"k":v` text with no braces (00962).
+    */
+  private def leadingLong(s: String, allowNeg: Boolean): Long = {
+    if (s == null) return 0L
+    var i = 0; var neg = false
+    if (i < s.length && s.charAt(i) == '-') {
+      if (!allowNeg) return 0L
+      neg = true; i += 1
+    } else if (i < s.length && s.charAt(i) == '+') i += 1
+    var v = 0L; var any = false
+    while (i < s.length && s.charAt(i).isDigit) {
+      v = v * 10 + (s.charAt(i) - '0'); i += 1; any = true
+    }
+    if (!any) 0L else if (neg) -v else v
+  }
+
+  def visitParamInt(json: UTF8String, name: UTF8String): Long = {
+    val r = visitParamRaw(json, name)
+    if (r == null) 0L else leadingLong(r.toString, allowNeg = true)
+  }
+
+  def visitParamUInt(json: UTF8String, name: UTF8String): Long = {
+    val r = visitParamRaw(json, name)
+    if (r == null) 0L else leadingLong(r.toString, allowNeg = false)
+  }
+
+  def visitParamFloat(json: UTF8String, name: UTF8String): Double = {
+    val r = visitParamRaw(json, name)
+    if (r == null) return 0.0
+    val m = """^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?"""
+      .r.findFirstIn(r.toString)
+    m.flatMap(_.toDoubleOption).getOrElse(0.0)
+  }
+
+  def visitParamStringScan(json: UTF8String, name: UTF8String): UTF8String = {
+    val r = visitParamRaw(json, name)
+    if (r == null) return UTF8String.EMPTY_UTF8
+    val s = r.toString
+    if (!s.startsWith("\"")) return UTF8String.EMPTY_UTF8
+    val sb = new StringBuilder
+    var i = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"') return UTF8String.fromString(sb.toString)
+      else if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"')
+          case '\\' => sb.append('\\')
+          case '/' => sb.append('/')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case 't' => sb.append('\t')
+          case 'b' => sb.append('\b')
+          case 'f' => sb.append('\f')
+          case 'u' if i + 5 < s.length =>
+            try {
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 4
+            } catch { case _: Exception => () }
+          case other => sb.append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    UTF8String.EMPTY_UTF8 // unterminated string parses as nothing
+  }
 
   /** MySQL FORMAT(x, d): thousands grouping, HALF_UP at d decimals. */
   def mysqlFormat(x: Double, d: Int): org.apache.spark.unsafe.types.UTF8String = {
@@ -271,5 +345,19 @@ object StringOps {
     org.apache.spark.unsafe.types.UTF8String.fromString(
       String.format(java.util.Locale.ROOT, s"%,.${dd}f",
         java.lang.Double.valueOf(x)))
+  }
+
+  /** Locale collation sort key (`ORDER BY s COLLATE 'ru'` — reference
+    * Collator.cpp wraps ICU; the JDK's CLDR-backed Collator produces the
+    * same order for the corpus locales). Collator is not thread-safe:
+    * cached per locale, key extraction synchronized per collator.
+    */
+  private val collators =
+    new java.util.concurrent.ConcurrentHashMap[String, java.text.Collator]()
+  def collationKey(s: UTF8String, loc: UTF8String): Array[Byte] = {
+    if (s == null) return null
+    val c = collators.computeIfAbsent(loc.toString, l =>
+      java.text.Collator.getInstance(java.util.Locale.forLanguageTag(l)))
+    c.synchronized { c.getCollationKey(s.toString).toByteArray }
   }
 }

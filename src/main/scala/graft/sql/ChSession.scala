@@ -84,7 +84,10 @@ final class ChSession(spark: SparkSession) {
       // SAMPLE/SETTINGS …) — SHOW CREATE TABLE reprints from it, along
       // with the database the CREATE qualified (default otherwise)
       createAfter: String = "",
-      rawDb: String = "default")
+      rawDb: String = "default",
+      // CONSTRAINT name CHECK expr — validated per inserted block
+      // (reference CheckConstraintsTransform, error 469)
+      constraints: Map[String, String] = Map.empty)
 
   private val tables = mutable.LinkedHashMap[String, TableState]()
   private val views = mutable.LinkedHashSet[String]()
@@ -194,6 +197,17 @@ final class ChSession(spark: SparkSession) {
     """(?i)statistics_collect_histogram\s*=\s*(\d)""".r
       .findFirstMatchIn(s)
       .foreach(m => statsCollectHistogram = m.group(1) == "1")
+    // enable_positional_arguments: CH reads GROUP/ORDER BY integers as
+    // ordinals only under this setting (02006) — flip Spark's ordinal
+    // resolution to match (restored by reset())
+    """(?i)enable_positional_arguments\s*=\s*(\d)""".r
+      .findFirstMatchIn(s).foreach { m =>
+        val on = (m.group(1) == "1").toString
+        try {
+          spark.conf.set("spark.sql.groupByOrdinal", on)
+          spark.conf.set("spark.sql.orderByOrdinal", on)
+        } catch { case _: Throwable => () }
+      }
     """(?i)statistics_histogram_bucket_size\s*=\s*(\d+)""".r
       .findFirstMatchIn(s)
       .foreach(m => statsHistogramBuckets = m.group(1).toInt)
@@ -229,6 +243,10 @@ final class ChSession(spark: SparkSession) {
     catch { case _: Throwable => () }
     try spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     catch { case _: Throwable => () }
+    try {
+      spark.conf.set("spark.sql.groupByOrdinal", "false")
+      spark.conf.set("spark.sql.orderByOrdinal", "false")
+    } catch { case _: Throwable => () }
   }
 
   /** Execute one statement if it is DDL/DML this layer owns.
@@ -1070,7 +1088,14 @@ final class ChSession(spark: SparkSession) {
         s.toUpperCase.contains("IF NOT EXISTS")) return
     if (rest.startsWith("(")) {
       val (colText, after) = matchParen(rest)
-      val cols = splitTop(colText).map(_.trim).filter(_.nonEmpty)
+      val allDefs = splitTop(colText).map(_.trim).filter(_.nonEmpty)
+      // CONSTRAINT name CHECK expr entries are table-level, not columns
+      val constraintDefRe =
+        """(?is)^CONSTRAINT\s+(`[^`]+`|\w+)\s+CHECK\s+(.+)$""".r
+      val tableConstraints = allDefs.collect {
+        case constraintDefRe(cn, ex) => cleanName(cn) -> ex.trim
+      }.toMap
+      val cols = allDefs
         .filterNot(c => skipDefRe.pattern.matcher(c).find())
       val parsed0 = cols.flatMap(expandColDef)
       if (parsed0.isEmpty)
@@ -1147,7 +1172,8 @@ final class ChSession(spark: SparkSession) {
           val raw = m.group(1).replace("`", "")
           if (raw.contains('.')) raw.substring(0, raw.lastIndexOf('.'))
           else currentDb
-        })
+        },
+        constraints = tableConstraints)
       tables(name) = st
       st.data.createOrReplaceTempView(name)
     } else {
@@ -1311,6 +1337,10 @@ final class ChSession(spark: SparkSession) {
       if (bits == 64) c.cast("long")
       else shiftright(shiftleft(c.cast("long"), 64 - bits), 64 - bits)
         .cast(dt)
+    // ANSI refuses whole-array narrowing casts at analysis (Array(Int32)
+    // columns ingesting bigint literals — 00943); cast per element
+    case ArrayType(et, _) =>
+      transform(c, x => chAlignCast(x, et))
     case _ => c.cast(dt)
   }
 
@@ -1403,6 +1433,24 @@ final class ChSession(spark: SparkSession) {
       }
     } :+ delSrc.as("__del") :+ updSrc.as("__upd") :+
       lit(if (partialNow) 1 else 0).as("__partial"): _*)
+    // CHECK constraints validate the inserted block before it commits
+    // (reference CheckConstraintsTransform — error 469 names the
+    // constraint and aborts the whole insert)
+    st.constraints.foreach { case (cn, ex) =>
+      // the reference requires UInt8 (or Nullable(UInt8)) constraint
+      // expressions — wider types refuse at insert (01721, error 1)
+      val dt = aligned.select(chCol(ex)).schema.head.dataType
+      dt match {
+        case BooleanType | ByteType | ShortType | IntegerType => ()
+        case other => throw new IllegalArgumentException(
+          s"Constraint `$cn` expression must be UInt8, got " +
+            s"${other.simpleString} (error 1 analog)")
+      }
+      val ok = coalesce(chCol(ex).cast("boolean"), lit(false))
+      if (aligned.where(!ok).limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          s"Constraint `$cn` for table $name is violated (error 469 analog)")
+    }
     val mode = modeOverride.getOrElse(dedupKeyMode)
     if (st.uniqueKey.isEmpty) {
       val block0 = aligned.drop("__del", "__upd", "__partial")
@@ -1583,7 +1631,7 @@ final class ChSession(spark: SparkSession) {
       return None
     // MySQL column modifiers with no CH analogue: AUTO_INCREMENT /
     // ZEROFILL / ON UPDATE <expr> are storage-behavior hints here
-    rest = """(?i)\s*\b(AUTO_INCREMENT|ZEROFILL|PRIMARY\s+KEY)\b""".r
+    rest = """(?i)\s*\b(AUTO_INCREMENT|ZEROFILL|PRIMARY\s+KEY|COMPRESSION(\s+DICTIONARY)?|BLOOM|BITMAPINDEX|KLL)\b""".r
       .replaceAllIn(rest, "")
     val onUpdRe =
       """(?i)\bON\s+UPDATE\s+([^,]*?)(?=\s*\b(?:COMMENT|CODEC|TTL|DEFAULT|NOT\s+NULL|NULL)\b|$)""".r
@@ -2022,10 +2070,22 @@ final class ChSession(spark: SparkSession) {
   private val commentColRe =
     """(?is)^COMMENT\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s+'((?:[^'\\]|\\.)*)'\s*$""".r
 
+  private val addConstraintRe =
+    """(?is)^ADD\s+CONSTRAINT\s+(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s+CHECK\s+(.+)$""".r
+  private val dropConstraintRe =
+    """(?is)^DROP\s+CONSTRAINT\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$""".r
+
   private def alterOne(name: String, cmd: String): Unit = {
     val st = tables(name)
     val up = cmd.toUpperCase
     cmd match {
+      case addConstraintRe(cn, ex) =>
+        tables(name) = st.copy(
+          constraints = st.constraints + (cleanName(cn) -> ex.trim))
+        return
+      case dropConstraintRe(cn) =>
+        tables(name) = st.copy(constraints = st.constraints - cleanName(cn))
+        return
       case commentColRe(colName, text) =>
         val cn = cleanName(colName)
         if (st.schema.fieldNames.contains(cn)) {
@@ -2452,8 +2512,19 @@ final class ChSession(spark: SparkSession) {
         if (cd.kind.nonEmpty) cd.kind else oldMeta._1,
         if (cd.kind.nonEmpty) cd.default.getOrElse("") else oldMeta._2,
         if (cd.comment.nonEmpty) cd.comment else oldMeta._3))),
-      data = st.data.withColumn(c,
-        col(s"`$c`").cast(newField.dataType)))
+      data = st.data.withColumn(c, {
+        // conversion to a Nullable scalar NULLs unparseable values
+        // (reference parseValue with null fallback — 00665 converts ''
+        // to NULL, an ANSI cast would refuse)
+        val nullableScalar = """(?is)^Nullable\(\s*(\w+)\s*\)$""".r
+        newCh.trim match {
+          case nullableScalar(t) if Set("Int8", "Int16", "Int32", "Int64",
+              "UInt8", "UInt16", "UInt32", "UInt64", "Float32", "Float64",
+              "Date", "Date32", "DateTime", "DateTime64").contains(t) =>
+            chCol(s"to${t}OrNull(`$c`)")
+          case _ => col(s"`$c`").cast(newField.dataType)
+        }
+      }))
     registerView(name)
   }
 

@@ -1755,14 +1755,14 @@ object ChTranspiler {
       i += 1
     }
     rewriteAnyJoin(rewriteLimitBy(guardSelectStringHead(
-    rewriteOrderNulls(rewriteNestedArrayJoinDeep(rewriteArrayJoin(rewriteInClauses(
+    rewriteOrderNulls(rewriteCollate(rewriteNestedArrayJoinDeep(rewriteArrayJoin(rewriteInClauses(
       rewriteTupleLiterals(rewriteUnionBranches(rewriteParenLambda(rewriteTernary(rewriteWhereAliases(rewriteInlineAliases(
         rewriteScalarWithDeep(rewriteInfixMod(rewriteTwoArgCast(wrapWindowSums(
           fixOrderlessRange(stripRankFrames(rewriteGroupsFrame(
             postPass(rewritePositionIn(rewriteMapLiterals(
               parenthesizeUsing(addImplicitFromOne(
                 rewriteDynamicInterval(
-                  rewriteValuesTable(out.toString)))))))))))))))))))))))))))
+                  rewriteValuesTable(out.toString))))))))))))))))))))))))))))
   }
 
   /** GROUPS window frames (reference WindowDescription.h FrameType::
@@ -2888,6 +2888,66 @@ object ChTranspiler {
     sql
   }
 
+  /** `expr COLLATE 'locale'` → `chCollateKey(expr, 'locale')`: the sort
+    * happens on the locale's collation key (reference Collator.cpp —
+    * 01532/01533/01542/01543). The preceding primary is the identifier/
+    * call/paren group right before COLLATE. */
+  private def rewriteCollate(sql: String): String = {
+    if (!"""(?i)\bcollate\b""".r.findFirstIn(sql).isDefined) return sql
+    val toks = tokenize(sql)
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    def prevSig(j: Int): Int = {
+      var k = j - 1; while (k >= 0 && toks(k).isInstanceOf[Ws]) k -= 1; k
+    }
+    var i = 0
+    while (i < toks.length) {
+      if (isWordI(toks(i), "COLLATE")) {
+        val locIdx = nextSig(i + 1)
+        toks.lift(locIdx) match {
+          case Some(Str(loc)) =>
+            // walk back over the primary: ident chains a.b / calls f(…)
+            var start = prevSig(i)
+            toks.lift(start) match {
+              case Some(Punct(")")) =>
+                var d = 0; var j = start; var open = -1
+                while (j >= 0 && open < 0) {
+                  toks(j) match {
+                    case Punct(")") => d += 1
+                    case Punct("(") => d -= 1; if (d == 0) open = j
+                    case _ => ()
+                  }
+                  j -= 1
+                }
+                start = open
+                val fn = prevSig(start)
+                if (toks.lift(fn).exists(_.isInstanceOf[Word])) start = fn
+              case Some(_: Word) | Some(_: Num) =>
+                // dotted chain t.c
+                var s2 = start
+                while (prevSig(s2) >= 0 && toks(prevSig(s2)) == Punct(".") &&
+                    prevSig(prevSig(s2)) >= 0 &&
+                    toks(prevSig(prevSig(s2))).isInstanceOf[Word])
+                  s2 = prevSig(prevSig(s2))
+                start = s2
+              case _ => start = -1
+            }
+            if (start >= 0) {
+              val pre = toks.take(start).map(_.text).mkString
+              val primary = toks.slice(start, prevSig(i) + 1).map(_.text).mkString
+              val post = toks.drop(locIdx + 1).map(_.text).mkString
+              return rewriteCollate(
+                s"$pre chCollateKey($primary, $loc) $post")
+            }
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
   /** ClickHouse applies ORDER BY / LIMIT to each UNION branch
     * separately (SelectWithUnionQuery: modifiers belong to the SELECT
     * they follow); Spark's grammar reads `… LIMIT n UNION ALL …` as a
@@ -2922,8 +2982,12 @@ object ChTranspiler {
       case _ => ()
     }
     val target = unions.keys.find(r => hasMod.contains(r) && {
-      // only genuine select regions; and only when a LIMIT/ORDER sits
-      // BEFORE the last UNION (a trailing one alone parses fine)
+      // a LIMIT/ORDER BEFORE the last UNION always forces wrapping
+      // (Spark reads it as a syntax error); a TRAILING LIMIT binds to
+      // the last BRANCH in CH (00098: `… UNION ALL SELECT … LIMIT 10`
+      // keeps the first branch's rows) where Spark would cap the whole
+      // union — wrap for that too. Trailing ORDER BY alone is left in
+      // the Spark reading (whole-union order).
       val us = unions(r)
       val modBefore = toks.indices.exists(k => parent(k) == r &&
         k < us.last && (toks(k) match {
@@ -2931,7 +2995,12 @@ object ChTranspiler {
             w.equalsIgnoreCase("ORDER")
           case _ => false
         }))
-      modBefore
+      val trailingLimit = toks.indices.exists(k => parent(k) == r &&
+        k > us.last && (toks(k) match {
+          case Word(w) => w.equalsIgnoreCase("LIMIT")
+          case _ => false
+        }))
+      modBefore || trailingLimit
     })
     target match {
       case None => sql

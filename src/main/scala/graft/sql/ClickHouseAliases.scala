@@ -400,6 +400,57 @@ object ClickHouseAliases {
       "groupArrayMerge" -> (cs => flat(cs.head)),
       "groupUniqArrayState" -> (cs => CollectSet(cs.head)),
       "groupUniqArrayMerge" -> (cs => ArrayDistinct(flat(cs.head))),
+      // initializeAggregation('xState', v…): the single-value state in
+      // this value model (reference initializeAggregation.cpp — 01356)
+      "initializeAggregation" -> (cs => {
+        val spec = cs.head match {
+          case Literal(s, StringType) if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"initializeAggregation: state name must be a literal, got $other")
+        }
+        spec.takeWhile(_ != '(').trim.toLowerCase match {
+          case "uniqstate" | "uniqexactstate" | "uniqcombinedstate" |
+               "groupuniqarraystate" | "grouparraystate" =>
+            CreateArray(Seq(cs(1)))
+          case "sumstate" => cs(1)
+          case "countstate" => Literal(1L)
+          case "minstate" | "maxstate" | "anystate" | "anylaststate" =>
+            cs(1)
+          case "avgstate" => CreateNamedStruct(Seq(
+            Literal("s"), Cast(cs(1), DoubleType), Literal("c"), Literal(1L)))
+          // topK[Weighted] state: one (value, weight) observation
+          case "topkweightedstate" => CreateArray(Seq(CreateNamedStruct(Seq(
+            Literal("v"), cs(1), Literal("w"), Cast(cs(2), LongType))))
+          )
+          case "topkstate" => CreateArray(Seq(CreateNamedStruct(Seq(
+            Literal("v"), cs(1), Literal("w"), Literal(1L)))))
+          case other => throw new IllegalArgumentException(
+            s"initializeAggregation: unsupported state '$other'")
+        }
+      }),
+      // -Merge over the (value, weight) observation states: the same
+      // SpaceSaving as topKWeighted, reference reserve = k * the
+      // default load factor 3 (AggregateFunctionTopK.h)
+      "topKWeightedMerge" -> (cs => {
+        val k = cs.head match {
+          case Literal(n, _) if n != null => n.toString.toDouble.toInt
+          case other => throw new IllegalArgumentException(
+            s"topKWeightedMerge: k must be a literal, got $other")
+        }
+        val st0 = ElementAt(cs(1), Literal(1), None, false)
+        graft.aggregates.TopKAgg(field(st0, "v"),
+          Some(field(st0, "w")), k, k * 3)
+      }),
+      "topKMerge" -> (cs => {
+        val k = cs.head match {
+          case Literal(n, _) if n != null => n.toString.toDouble.toInt
+          case other => throw new IllegalArgumentException(
+            s"topKMerge: k must be a literal, got $other")
+        }
+        val st0 = ElementAt(cs(1), Literal(1), None, false)
+        graft.aggregates.TopKAgg(field(st0, "v"),
+          Some(field(st0, "w")), k, k * 3)
+      }),
       // -If chains the corpus spells beyond the basic five
       "uniqIf" -> (cs => uniqHll(cs.init.map(a => nullUnless(cs.last, a)))),
       "uniqExactIf" -> (cs =>
@@ -3066,6 +3117,36 @@ object ClickHouseAliases {
       MicrosToTimestamp(Subtract(micros, Pmod(micros, Literal(unitMicros))))
     }
     val entries13: Seq[(String, Seq[Expression] => Expression)] = Seq(
+      // ORDER BY sort key for `expr COLLATE 'locale'` (the transpiler
+      // lowers the COLLATE clause to this call); arrays key their
+      // elements — array<binary> comparison is elementwise like the
+      // reference's collated array compare (01542)
+      "chCollateKey" -> (cs => ChDispatch("chCollateKey", cs) { c =>
+        def key(e: Expression): Expression = StaticInvoke(
+          graft.functions.StringOps.getClass, BinaryType, "collationKey",
+          Seq(Cast(e, StringType), Cast(c(1), StringType)),
+          Seq(StringType, StringType))
+        // NULL strings sort LAST in the reference's collated compound
+        // compare — map them to a max sentinel key (01542/01543).
+        // Arrays key their elements, tuples their string fields;
+        // lambdas are built RESOLVED because ChDispatch replacements
+        // never pass back through lambda-variable resolution.
+        val maxKey = Literal(Array.fill[Byte](8)(-1), BinaryType)
+        def lower(e: Expression, dt: DataType): Expression = dt match {
+          case ArrayType(et, cn) =>
+            val x = NamedLambdaVariable("x", et, cn)
+            ArrayTransform(e, LambdaFunction(lower(x, et), Seq(x)))
+          case st: StructType =>
+            CreateNamedStruct(st.fields.zipWithIndex.flatMap {
+              case (f, i) =>
+                Seq(Literal(f.name),
+                  lower(GetStructField(e, i, Some(f.name)), f.dataType))
+            })
+          case StringType => If(IsNull(e), maxKey, key(e))
+          case _ => e
+        }
+        lower(c.head, c.head.dataType)
+      }),
       // groups of the FIRST match; [] when no match (reference
       // extractGroups.cpp)
       "extractGroups" -> (cs => {
@@ -3981,9 +4062,12 @@ object ClickHouseAliases {
   }
 
   private def wave9urls: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // '' (not NULL) when the input has no host — the reference's
+    // domain functions never return NULL on a non-Nullable input
+    // (01358 CHECK domainWithoutWWW(URL) = … must hold on 'a')
     "domainWithoutWWW" -> (cs =>
-      RegExpReplace(new ParseUrl(Seq(cs.head, Literal("HOST"))),
-        Literal("^www\\."), Literal(""), Literal(1))),
+      Coalesce(Seq(RegExpReplace(new ParseUrl(Seq(cs.head, Literal("HOST"))),
+        Literal("^www\\."), Literal(""), Literal(1)), Literal("")))),
     // pathFull = path + ?query + #fragment, scheme-optional
     "pathFull" -> (cs => RegExpExtract(cs.head,
       Literal("^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*(/.*)$"), Literal(1))),
@@ -4083,32 +4167,28 @@ object ClickHouseAliases {
     def target(cs: Seq[Expression]): Expression =
       if (cs.size > 1) GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1))))
       else cs.head
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    val sops = graft.functions.StringOps.getClass
+    def scan(method: String, t: DataType, cs: Seq[Expression]): Expression =
+      StaticInvoke(sops, t, method, Seq(cs.head, cs(1)),
+        Seq(StringType, StringType), returnNullable = false)
     val simpleLowerings: Seq[(String, Seq[Expression] => Expression)] = Seq(
       "Has" -> ((cs: Seq[Expression]) =>
         IsNotNull(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))))),
-      // the visitParam numeric extractors never fail: unparseable or
-      // missing values are 0, and the UInt form rejects negatives
-      // (reference FunctionsVisitParam.h readIntTextUnsafe → 0)
+      // the visitParam extractors are the reference's raw byte scan
+      // (FunctionsVisitParam.h), NOT a JSON parser: they work on bare
+      // `"k":v` text (00962), parse leading digits, read 0 for '-' on
+      // the unsigned form, and '' for a non-string value
       "ExtractInt" -> ((cs: Seq[Expression]) =>
-        Coalesce(Seq(Cast(
-          GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))),
-          LongType, None, EvalMode.TRY), Literal(0L)))),
-      "ExtractUInt" -> ((cs: Seq[Expression]) => {
-        val v = Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))),
-          LongType, None, EvalMode.TRY)
-        Coalesce(Seq(If(LessThan(v, Literal(0L)), Literal(0L), v), Literal(0L)))
-      }),
+        scan("visitParamInt", LongType, cs)),
+      "ExtractUInt" -> ((cs: Seq[Expression]) =>
+        scan("visitParamUInt", LongType, cs)),
       "ExtractFloat" -> ((cs: Seq[Expression]) =>
-        Coalesce(Seq(Cast(
-          GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))),
-          DoubleType, None, EvalMode.TRY), Literal(0.0)))),
+        scan("visitParamFloat", DoubleType, cs)),
       "ExtractBool" -> ((cs: Seq[Expression]) =>
         Cast(GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))), BooleanType)),
       "ExtractString" -> ((cs: Seq[Expression]) =>
-        // never NULL: a missing/garbled value extracts as ''
-        Coalesce(Seq(
-          GetJsonObject(cs.head, Concat(Seq(Literal("$."), cs(1)))),
-          Literal("")))),
+        scan("visitParamStringScan", StringType, cs)),
       // raw byte scan, NOT get_json_object (which re-serializes):
       // whitespace after the colon and string escapes are preserved
       "ExtractRaw" -> ((cs: Seq[Expression]) => {

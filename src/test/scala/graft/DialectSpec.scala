@@ -1004,7 +1004,8 @@ class DialectSpec extends SparkSpec {
         JSONExtractArrayRaw($j, 'b'),
         JSONType($j), JSONType($j, 'b'), JSONType($j, 'a'),
         JSONType($j, 'f'), JSONType($j, 't'),
-        simpleJSONExtractInt($j, 'a'), visitParamExtractFloat($j, 'f'),
+        simpleJSONExtractInt('{"a":1}', 'a'),
+        visitParamExtractFloat('{"f":2.5}', 'f'),
         simpleJSONHas($j, 's'), JSONExtractUInt($j, 'a')""")
     assert(r.getBoolean(0) === true)
     assert(r.getBoolean(1) === false)
