@@ -87,7 +87,10 @@ final class ChSession(spark: SparkSession) {
       rawDb: String = "default",
       // CONSTRAINT name CHECK expr — validated per inserted block
       // (reference CheckConstraintsTransform, error 469)
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      // CREATE TEMPORARY TABLE (SHOW CREATE prints ENGINE = Memory,
+      // SHOW TEMPORARY TABLES lists it — 00564)
+      temporary: Boolean = false)
 
   private val tables = mutable.LinkedHashMap[String, TableState]()
   private val views = mutable.LinkedHashSet[String]()
@@ -121,6 +124,13 @@ final class ChSession(spark: SparkSession) {
   if (!spark.catalog.tableExists("numbers"))
     spark.range(0, 2000000, 1, 1).toDF("number")
       .createOrReplaceTempView("numbers")
+  // the multi-threaded spelling reads the same stream; registered as
+  // its own view because the generic db-qualifier strip turns
+  // `system.numbers_mt` into the bare name before the system-table
+  // rewrite can see it
+  if (!spark.catalog.tableExists("numbers_mt"))
+    spark.range(0, 2000000, 1, 1).toDF("number")
+      .createOrReplaceTempView("numbers_mt")
 
   /** Session-level `SET dedup_key_mode = …` for unique-key inserts. */
   private var dedupKeyMode: String = "replace"
@@ -197,6 +207,13 @@ final class ChSession(spark: SparkSession) {
     """(?i)statistics_collect_histogram\s*=\s*(\d)""".r
       .findFirstMatchIn(s)
       .foreach(m => statsCollectHistogram = m.group(1) == "1")
+    // max_block_size drives the block-model scalars (blockSize /
+    // blockNumber / rowNumberInBlock — 00344)
+    """(?i)\bmax_block_size\s*=\s*(\d+)""".r
+      .findFirstMatchIn(s).foreach { m =>
+        try spark.conf.set("graft.ch.max_block_size", m.group(1))
+        catch { case _: Throwable => () }
+      }
     // enable_positional_arguments: CH reads GROUP/ORDER BY integers as
     // ordinals only under this setting (02006) — flip Spark's ordinal
     // resolution to match (restored by reset())
@@ -238,6 +255,8 @@ final class ChSession(spark: SparkSession) {
     sessionDicts.clear()
     // per-test settings — must not leak into the next corpus file
     try spark.conf.unset("graft.ch.max_memory_bytes")
+    catch { case _: Throwable => () }
+    try spark.conf.unset("graft.ch.max_block_size")
     catch { case _: Throwable => () }
     try spark.conf.unset("graft.ch.dialect")
     catch { case _: Throwable => () }
@@ -281,7 +300,8 @@ final class ChSession(spark: SparkSession) {
     * star expansion (reference ColumnDefaultKind) — expand the bare
     * star for the single-table shape so they stay invisible.
     */
-  def expandStar(sql: String): String = {
+  def expandStar(sql0: String): String = {
+    val sql = rewriteSample(rewriteGetMapKeys(sql0))
     val re = """(?is)^(\s*SELECT\s+)\*(\s+FROM\s+([`\w.]+))\b""".r
     re.findFirstMatchIn(sql) match {
       case Some(m) =>
@@ -302,6 +322,96 @@ final class ChSession(spark: SparkSession) {
   private def mysqlDialectNow: Boolean =
     try spark.conf.get("graft.ch.dialect", "CLICKHOUSE") == "MYSQL"
     catch { case _: Throwable => false }
+
+  /** getMapKeys(currentDatabase(), 'table', 'mapCol'[, partitionRegex
+    * [, timeout]]) — the reference's server-side map-key catalog scan
+    * (ByteDance map-column implicit keys; 00970/40035): distinct keys
+    * of the map column as strings, partitions filtered by the regex
+    * against the partition expression's text. Lowered to a scalar
+    * subquery over the session table.
+    */
+  private val getMapKeysRe =
+    ("""(?is)\bgetMapKeys\s*\(\s*currentDatabase\s*\((?:[^)]*)\)\s*,\s*""" +
+      """'([^']+)'\s*,\s*'([^']+)'\s*""" +
+      """(?:,\s*'((?:[^'\\]|\\.)*)'\s*)?(?:,\s*\d+\s*)?\)""").r
+
+  /** `FROM t SAMPLE f [OFFSET o]` (reference MergeTreeDataSelectExecutor
+    * sampling): deterministic by the table's SAMPLE BY key — keep rows
+    * whose key falls in [floor(o·D), floor((o+f)·D)) where D is the
+    * key domain (the declared unsigned type's range, or 2^32/2^64 for
+    * the hash wrappers). SAMPLE 1 reads everything. Lowered to a
+    * filtered subquery aliased back to the table name.
+    */
+  private val sampleFromRe =
+    ("""(?is)\bFROM\s+(`[\w.]+`|[\w.]+)\s+SAMPLE\s+""" +
+      """([0-9.eE+-]+(?:\s*/\s*[0-9.eE+-]+)?)""" +
+      """(\s+OFFSET\s+([0-9.eE+-]+(?:\s*/\s*[0-9.eE+-]+)?))?""").r
+
+  private def rewriteSample(sql: String): String =
+    sampleFromRe.replaceAllIn(sql, m => {
+      def frac(s0: String): Double = {
+        val s = s0.replaceAll("\\s+", "")
+        if (s.contains('/')) {
+          val p = s.split('/'); p(0).toDouble / p(1).toDouble
+        } else s.toDouble
+      }
+      val f = frac(m.group(2))
+      val off = Option(m.group(4)).map(frac).getOrElse(0.0)
+      val tRaw = m.group(1)
+      val t = resolveTableKey(cleanName(tRaw))
+      val sampleBy = tables.get(t).map(_.createAfter).flatMap { after =>
+        """(?is)\bSAMPLE\s+BY\s+(\([^)]*\)|\w+\s*\([^)]*\)|[\w`.]+)""".r
+          .findFirstMatchIn(after).map(_.group(1).trim)
+      }
+      val domain: Option[BigDecimal] = sampleBy.flatMap { se =>
+        val bare = se.replaceAll("[`()]", "").trim
+        val colType = tables.get(t)
+          .flatMap(_.declared.find(_._1 == bare).map(_._2.trim))
+        colType match {
+          case Some("UInt8") => Some(BigDecimal(256))
+          case Some("UInt16") => Some(BigDecimal(65536))
+          case Some("UInt32") => Some(BigDecimal(2).pow(32))
+          case Some("UInt64") => Some(BigDecimal(2).pow(64))
+          case _ if se.toLowerCase.contains("hash32") =>
+            Some(BigDecimal(2).pow(32))
+          case _ if se.toLowerCase.contains("hash64") ||
+              se.toLowerCase.contains("cityhash") =>
+            Some(BigDecimal(2).pow(64))
+          case _ => None
+        }
+      }
+      (sampleBy, domain) match {
+        case _ if f >= 1.0 =>
+          java.util.regex.Matcher.quoteReplacement(s"FROM $tRaw")
+        case (Some(se), Some(d)) =>
+          val lo = (BigDecimal(off) * d).setScale(0, BigDecimal.RoundingMode.FLOOR)
+          val hi = (BigDecimal(off + f) * d).setScale(0, BigDecimal.RoundingMode.FLOOR)
+          val cond =
+            (if (lo > 0) s"($se) >= ${lo.toBigInt} AND " else "") +
+              s"($se) < ${hi.toBigInt}"
+          java.util.regex.Matcher.quoteReplacement(
+            s"FROM (SELECT * FROM `$t` WHERE $cond) `$t`")
+        case _ =>
+          java.util.regex.Matcher.quoteReplacement(s"FROM $tRaw")
+      }
+    })
+
+  private def rewriteGetMapKeys(sql: String): String =
+    getMapKeysRe.replaceAllIn(sql, m => {
+      val t = resolveTableKey(cleanName(m.group(1)))
+      val col = m.group(2)
+      val pat = Option(m.group(3))
+      val where = (pat, tables.get(t).flatMap(_.partitionExprText)) match {
+        case (Some(p), Some(pe)) =>
+          s" WHERE cast(($pe) as string) rlike '$p'"
+        case (Some(_), None) => " WHERE false"
+        case _ => ""
+      }
+      java.util.regex.Matcher.quoteReplacement(
+        s"(SELECT sort_array(array_distinct(flatten(collect_list(" +
+          s"transform(map_keys(`$col`), __gmk -> cast(__gmk as string))" +
+          s")))) FROM `$t`$where)")
+    })
 
   def execute(clean: String): Result = {
     val s = normalizeSpace(clean.trim)
@@ -368,6 +478,17 @@ final class ChSession(spark: SparkSession) {
     else if (up.startsWith("DELETE FROM")) { deleteStmt(s); Done }
     else if (up.startsWith("REFRESH")) { refresh(s); Done }
     else if (up.startsWith("SHOW CREATE")) showCreate(s)
+    else if (up.startsWith("SHOW TEMPORARY TABLES")) {
+      val pat = """(?is)\bLIKE\s+'([^']*)'""".r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse("%")
+      val re = ("^" + java.util.regex.Pattern.quote(pat)
+        .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r
+      val rs = tables.toSeq.collect {
+        case (n, st) if st.temporary && re.findFirstIn(n).isDefined =>
+          Row(n)
+      }.sortBy(_.getString(0))
+      if (rs.isEmpty) Done else Output(rs)
+    }
     else if (up.startsWith("CREATE DICTIONARY")) { createDictionary(s); Done }
     else if (up.startsWith("DROP DICTIONARY")) { dropDictionary(s); Done }
     else if (up.startsWith("CREATE STATS")) createStats(s)
@@ -868,7 +989,7 @@ final class ChSession(spark: SparkSession) {
   }
 
   private val showCreateRe =
-    """(?is)\s*SHOW\s+CREATE\s+(?:TABLE\s+)?([`\w.]+)\s*""".r
+    """(?is)\s*SHOW\s+CREATE\s+(?:TEMPORARY\s+)?(?:TABLE\s+)?([`\w.]+)\s*;?\s*""".r
 
   /** SHOW CREATE TABLE: reprint the stored definition in the
     * reference's normalized layout (InterpreterShowCreateQuery via
@@ -882,6 +1003,14 @@ final class ChSession(spark: SparkSession) {
     val m = showCreateRe.findFirstMatchIn(s).getOrElse(return NotHandled)
     val name = resolveTableKey(cleanName(m.group(1)))
     val st = tables.getOrElse(name, return NotHandled)
+    if (st.temporary) {
+      // reference InterpreterShowCreateQuery on a temporary table:
+      // ENGINE = Memory, no storage clauses (00564)
+      val cols = st.declared
+        .map { case (n, t) => s"    `$n` $t" }.mkString(",\n")
+      return Output(Seq(Row(
+        s"CREATE TEMPORARY TABLE $name\n(\n$cols\n)\nENGINE = Memory")))
+    }
     if (st.mysqlTable) return showCreateMySql(name, st)
     if ("""(?i)\bSETTINGS\b""".r.findFirstIn(st.createAfter).isDefined)
       return NotHandled
@@ -1173,7 +1302,9 @@ final class ChSession(spark: SparkSession) {
           if (raw.contains('.')) raw.substring(0, raw.lastIndexOf('.'))
           else currentDb
         },
-        constraints = tableConstraints)
+        constraints = tableConstraints,
+        temporary =
+          """(?is)^\s*CREATE\s+TEMPORARY\b""".r.findFirstIn(s).isDefined)
       tables(name) = st
       st.data.createOrReplaceTempView(name)
     } else {
@@ -1339,6 +1470,8 @@ final class ChSession(spark: SparkSession) {
         .cast(dt)
     // ANSI refuses whole-array narrowing casts at analysis (Array(Int32)
     // columns ingesting bigint literals — 00943); cast per element
+    // (NULL elements in non-Nullable arrays are refused EAGERLY by
+    // appendTo so the error lands on the INSERT statement — 00748)
     case ArrayType(et, _) =>
       transform(c, x => chAlignCast(x, et))
     case _ => c.cast(dt)
@@ -1433,6 +1566,24 @@ final class ChSession(spark: SparkSession) {
       }
     } :+ delSrc.as("__del") :+ updSrc.as("__upd") :+
       lit(if (partialNow) 1 else 0).as("__partial"): _*)
+    // NULL elements in non-Nullable Array columns refuse the whole
+    // insert (reference cannotConvert — 00748 clientError 349);
+    // validated eagerly so the error lands on the INSERT statement,
+    // not the first later scan
+    st.schema.fields.foreach { f =>
+      f.dataType match {
+        case ArrayType(_, false)
+            if st.declared.exists(d => d._1 == f.name &&
+              d._2.trim.startsWith("Array") &&
+              !d._2.contains("Nullable(")) =>
+          if (full.where(exists(col(s"`${f.name}`"),
+              x => x.isNull)).limit(1).count() > 0)
+            throw new IllegalArgumentException(
+              s"NULL element in non-Nullable Array column ${f.name} " +
+                "(error 349 analog)")
+        case _ => ()
+      }
+    }
     // CHECK constraints validate the inserted block before it commits
     // (reference CheckConstraintsTransform — error 469 names the
     // constraint and aborts the whole insert)

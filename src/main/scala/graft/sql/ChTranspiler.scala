@@ -1520,7 +1520,7 @@ object ChTranspiler {
     catch { case _: Throwable => false }
 
   def transpile(stmt: String, widenInts: Boolean): String = {
-    val toks0raw = tokenize(stripComments(stmt))
+    val toks0raw = tokenize(stripComments(rewriteRemote(stmt)))
     val toks0 = if (widenInts) widenIntLiterals(toks0raw) else toks0raw
     // Type-level pre-pass: strip Nullable(...) / LowCardinality(...)
     // wrappers (keep the inner type), map scalar type names, expand
@@ -2888,6 +2888,24 @@ object ChTranspiler {
     sql
   }
 
+  /** `remote('addr', table)` / `remoteSecure(...)` — a distribution
+    * wrapper around the named table (reference TableFunctionRemote); a
+    * single engine reads the table directly. Handles the two-argument
+    * address+table form (the corpus shape); the db-expression form
+    * `remote(addr, currentDatabase(), 't')` reduces to the table name.
+    */
+  private def rewriteRemote(sql: String): String = {
+    if (!"""(?i)\bremote(secure)?\s*\(""".r.findFirstIn(sql).isDefined)
+      return sql
+    val two =
+      """(?is)\bremote(?:Secure)?\s*\(\s*'[^']*'\s*,\s*([`\w.]+)\s*\)""".r
+    val three =
+      """(?is)\bremote(?:Secure)?\s*\(\s*'[^']*'\s*,\s*currentDatabase\s*\([^)]*\)\s*,\s*'?([`\w.]+?)'?\s*\)""".r
+    three.replaceAllIn(two.replaceAllIn(sql,
+        m => java.util.regex.Matcher.quoteReplacement(m.group(1))),
+      m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
+  }
+
   /** `expr COLLATE 'locale'` → `chCollateKey(expr, 'locale')`: the sort
     * happens on the locale's collation key (reference Collator.cpp —
     * 01532/01533/01542/01543). The preceding primary is the identifier/
@@ -2955,8 +2973,7 @@ object ChTranspiler {
     * branch-level LIMIT/ORDER in parentheses — same semantics in both
     * readings. */
   private def rewriteUnionBranches(sql: String): String = {
-    if (!"""(?i)\bunion\b""".r.findFirstIn(sql).isDefined ||
-        !"""(?i)\b(limit|order)\b""".r.findFirstIn(sql).isDefined) return sql
+    if (!"""(?i)\bunion\b""".r.findFirstIn(sql).isDefined) return sql
     val toks = tokenize(sql)
     def nextSig(j: Int): Int = {
       var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
@@ -2981,27 +2998,53 @@ object ChTranspiler {
         hasMod += parent(k)
       case _ => ()
     }
-    val target = unions.keys.find(r => hasMod.contains(r) && {
-      // a LIMIT/ORDER BEFORE the last UNION always forces wrapping
-      // (Spark reads it as a syntax error); a TRAILING LIMIT binds to
-      // the last BRANCH in CH (00098: `… UNION ALL SELECT … LIMIT 10`
-      // keeps the first branch's rows) where Spark would cap the whole
-      // union — wrap for that too. Trailing ORDER BY alone is left in
-      // the Spark reading (whole-union order).
+    // every union's branches get parenthesized: ClickHouse binds
+    // ORDER BY / LIMIT (before OR after the last UNION — 00098) and
+    // arrayJoin scope (00371/00384) to the individual SELECT, where
+    // Spark would either reject the syntax or apply them to the whole
+    // union; with no modifiers the parens are identity. Skip regions
+    // already wrapped (every branch starts with '(').
+    val target = unions.keys.find { r =>
       val us = unions(r)
-      val modBefore = toks.indices.exists(k => parent(k) == r &&
-        k < us.last && (toks(k) match {
-          case Word(w) => w.equalsIgnoreCase("LIMIT") ||
-            w.equalsIgnoreCase("ORDER")
-          case _ => false
-        }))
-      val trailingLimit = toks.indices.exists(k => parent(k) == r &&
-        k > us.last && (toks(k) match {
-          case Word(w) => w.equalsIgnoreCase("LIMIT")
-          case _ => false
-        }))
-      modBefore || trailingLimit
-    })
+      // mixed set operators at the same depth keep left-assoc
+      // precedence — wrapping on UNION boundaries alone would regroup
+      val mixed = toks.indices.exists(k => parent(k) == r && (toks(k) match {
+        case Word(w) => w.equalsIgnoreCase("INTERSECT") ||
+          w.equalsIgnoreCase("EXCEPT")
+        case _ => false
+      }))
+      val regionStart0 = {
+        val s0 = nextSig(if (r < 0) 0 else r + 1)
+        // a WITH prologue binds CTEs for EVERY branch — it must stay
+        // outside the first branch's parens (40054/40089/48016), so
+        // branch 1 starts at the region-level SELECT after it
+        if (toks.lift(s0).exists(isWordI(_, "WITH"))) {
+          var k = s0 + 1
+          var d = 0
+          var sel = -1
+          while (k < us.head && sel < 0) {
+            toks(k) match {
+              case Punct("(") => d += 1
+              case Punct(")") => d -= 1
+              case Word(w) if d == 0 && w.equalsIgnoreCase("SELECT") =>
+                sel = k
+              case _ => ()
+            }
+            k += 1
+          }
+          if (sel >= 0) sel else s0
+        } else s0
+      }
+      val starts = regionStart0 +: us.map { u =>
+        val a = nextSig(u + 1)
+        toks.lift(a) match {
+          case Some(Word(w)) if w.equalsIgnoreCase("ALL") ||
+              w.equalsIgnoreCase("DISTINCT") => nextSig(a + 1)
+          case _ => a
+        }
+      }
+      !mixed && !starts.forall(s0 => toks.lift(s0).contains(Punct("(")))
+    }
     target match {
       case None => sql
       case Some(r) =>
@@ -3894,7 +3937,15 @@ object ChTranspiler {
       }
     }
     if (found.isEmpty) return sql
-    val defs = found.map(f => f.name -> f.exprText).toMap
+    val dropIdx = found.flatMap(f => f.asIdx to f.nameIdx).toSet
+    // an alias expr may CONTAIN other inline aliases (00396:
+    // `toFixedString(unhex('…' AS hex) AS bytes, 16)`): substitute the
+    // STRIPPED text, not the raw span — the nested `AS name` would be
+    // invalid Spark in expression position
+    val defs = found.map(f => f.name ->
+      toks.slice(f.exprStart, f.asIdx).zipWithIndex.collect {
+        case (t, off) if !dropIdx.contains(f.exprStart + off) => t.text
+      }.mkString.trim).toMap
     // resolve alias-in-alias references (bounded)
     def resolve(t: String, depth: Int): String =
       if (depth > 4) t
@@ -3902,7 +3953,6 @@ object ChTranspiler {
         case Word(w) if defs.contains(w) => "(" + resolve(defs(w), depth + 1) + ")"
         case tok => tok.text
       }.mkString
-    val dropIdx = found.flatMap(f => f.asIdx to f.nameIdx).toSet
     val defSites = found.flatMap(f => f.exprStart until f.asIdx).toSet
     val sb = new StringBuilder
     for (k <- toks.indices) {

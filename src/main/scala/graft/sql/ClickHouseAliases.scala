@@ -1137,6 +1137,13 @@ object ClickHouseAliases {
     */
   private def lv(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
 
+  /** `SET max_block_size` (session conf, default = the reference's
+    * 65505) — consulted by the block-model scalars at plan time. */
+  private def chMaxBlockSizeLit: Expression = Literal(
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.ch.max_block_size", "65505").toLong
+    catch { case _: Throwable => 65505L })
+
   private def dbl(e: Expression): Expression = Cast(e, DoubleType)
 
   /** Σ over a numeric array as double (vector-distance building block). */
@@ -1177,11 +1184,18 @@ object ClickHouseAliases {
           Subtract(lv("x"), ElementAt(cs.head, lv("i")))), // 1-based: index i = previous
         Seq(lv("x"), lv("i"))))),
     // arrayCompact: drop CONSECUTIVE duplicates (not a set-dedup).
-    "arrayCompact" -> (cs => ArrayFilter(cs.head,
-      LambdaFunction(
-        Or(EqualTo(lv("i"), Literal(0)),
-          Not(EqualNullSafe(lv("x"), ElementAt(cs.head, lv("i"))))),
-        Seq(lv("x"), lv("i"))))),
+    "arrayCompact" -> (cs => {
+      // consecutive-duplicate dedup; the higher-order form compacts
+      // the MAPPED array (reference arrayCompact.cpp:
+      // arrayCompact(x -> 0, [NULL]) = [0] — 01020 golden)
+      val arr =
+        if (cs.size == 2) ArrayTransform(cs(1), cs.head) else cs.head
+      ArrayFilter(arr,
+        LambdaFunction(
+          Or(EqualTo(lv("i"), Literal(0)),
+            Not(EqualNullSafe(lv("x"), ElementAt(arr, lv("i"))))),
+          Seq(lv("x"), lv("i"))))
+    }),
     "arrayZip" -> (cs => new ArraysZip(cs)),
     "substringIndex" -> (cs => SubstringIndex(cs.head, cs(1), cs(2))),
     "JSONArrayLength" -> (cs => LengthOfJsonArray(cs.head)),
@@ -4865,6 +4879,41 @@ object ClickHouseAliases {
                 Literal("v")),
               chDefault)
         }
+      }),
+      // block-model scalars (00344): the single-stream reading splits
+      // into blocks of max_block_size rows in stream order — the same
+      // monotonic-id window as the other row-order scalars. 0-based
+      // like the reference's BlockNumber/RowNumber states.
+      "rowNumberInAllBlocks" -> (_ => Subtract(
+        Cast(WindowExpression(RowNumber(), orderSpec), LongType),
+        Literal(1L))),
+      "rowNumberInBlock" -> (_ => {
+        val rn0 = Subtract(
+          Cast(WindowExpression(RowNumber(), orderSpec), LongType),
+          Literal(1L))
+        Pmod(rn0, chMaxBlockSizeLit)
+      }),
+      "blockNumber" -> (_ => {
+        val rn0 = Subtract(
+          Cast(WindowExpression(RowNumber(), orderSpec), LongType),
+          Literal(1L))
+        Cast(IntegralDivide(rn0, chMaxBlockSizeLit), LongType)
+      }),
+      "blockSize" -> (_ => {
+        val wholeSpec = WindowSpecDefinition(Nil,
+          Seq(SortOrder(MonotonicallyIncreasingID(), Ascending)),
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+            UnboundedFollowing))
+        val rn0 = Subtract(
+          Cast(WindowExpression(RowNumber(), orderSpec), LongType),
+          Literal(1L))
+        val cnt = Cast(WindowExpression(
+          Count(Seq(Literal(1))).toAggregateExpression(), wholeSpec),
+          LongType)
+        val blockStart = Multiply(
+          Cast(IntegralDivide(rn0, chMaxBlockSizeLit), LongType),
+          chMaxBlockSizeLit)
+        Least(Seq(chMaxBlockSizeLit, Subtract(cnt, blockStart)))
       }),
       "runningDifference" -> (cs => {
         // the reference's state keeps the last NON-NULL value: nulls

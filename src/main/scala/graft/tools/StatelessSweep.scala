@@ -32,7 +32,12 @@ object StatelessSweep {
   private val excludeFiles = Set(
     "01586_columns_pruning.sql", "01586_columns_pruning_ck233.sql",
     "01784_parallel_formatting_memory.sql",
-    "01784_parallel_formatting_memory_ck233.sql")
+    "01784_parallel_formatting_memory_ck233.sql",
+    // external-aggregation memory-stress pair: 10M-group aggregates
+    // whose driver-side materialization ignores job cancellation and
+    // burns a core for the rest of the run (same class as 01586)
+    "00284_external_aggregation.sql",
+    "00284_external_aggregation_ck233.sql")
   // system tables other than the modeled one-row `one` and the numbers
   // stream are out of scope
   private val systemTableRe =
@@ -507,7 +512,16 @@ object StatelessSweep {
     // merges) and runaway files are rare — a pathological loop still
     // costs a bounded slice
     val timeoutS = sys.env.getOrElse("SPARK_GRAFT_SWEEP_TIMEOUT_S", "240").toLong
-    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    // daemon threads so an abandoned runner cannot pin the JVM open; a
+    // fresh pool replaces a timed-out one — a cancelled task that sits
+    // in a hot loop (driver-side array materialization ignores
+    // interrupts) would otherwise queue every later file behind it
+    val tf = new java.util.concurrent.ThreadFactory {
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "sweep-runner"); t.setDaemon(true); t
+      }
+    }
+    var pool = java.util.concurrent.Executors.newSingleThreadExecutor(tf)
     def runGuarded(sqlText: String): Either[String, String] = {
       val task = pool.submit(new java.util.concurrent.Callable[Either[String, String]] {
         def call(): Either[String, String] = run(spark, sqlText)
@@ -517,6 +531,8 @@ object StatelessSweep {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelAllJobs()
           task.cancel(true)
+          pool.shutdownNow()
+          pool = java.util.concurrent.Executors.newSingleThreadExecutor(tf)
           Left(s"timeout after ${timeoutS}s")
         case e: Throwable => Left(Option(e.getMessage).getOrElse(e.toString))
       }

@@ -241,4 +241,29 @@ class ChTranspilerSpec extends AnyFunSuite {
     val s6 = t("SELECT * FROM a ANY LEFT JOIN b ON a.x = b.y + 1")
     assert(!s6.matches("(?is).*\\bany\\b.*") && !s6.contains("__graft_any"), s6)
   }
+
+  test("union branches are parenthesized; trailing LIMIT binds to the last branch") {
+    val s = t("SELECT 1 UNION ALL SELECT 2 LIMIT 1")
+    assert(s.replaceAll("\\s+", " ").trim ==
+      "( SELECT 1 ) UNION ALL ( SELECT 2 LIMIT 1 )", s)
+    // already-wrapped branches stay untouched
+    val s2 = t("(SELECT 1) UNION ALL (SELECT 2)")
+    assert(s2.trim == "(SELECT 1) UNION ALL (SELECT 2)", s2)
+    // mixed set operators keep left-assoc precedence (no regrouping)
+    val s3 = t("SELECT 1 UNION ALL SELECT 2 EXCEPT SELECT 3")
+    assert(!s3.contains("( SELECT"), s3)
+  }
+
+  test("COLLATE lowers to a collation sort key; remote() unwraps to its table") {
+    val s = t("SELECT * FROM t ORDER BY s COLLATE 'ru'")
+    assert(s.contains("chCollateKey(s, 'ru')"), s)
+    val s2 = t("SELECT 1 FROM remote('127.0.0.1,localhos', system.one)")
+    assert(s2.contains("FROM system.one") || s2.contains("FROM one"), s2)
+  }
+
+  test("inline alias substitution strips nested inline aliases") {
+    val s = t("SELECT f(g('x' AS a) AS b) AS c, b = a")
+    assert(!s.matches("(?is).*\\(\\s*g\\('x' AS a\\)\\s*\\).*"), s)
+    assert(s.contains("(g('x')) = ('x')"), s)
+  }
 }
