@@ -114,6 +114,22 @@ object Engine {
       GeoPoint(lon, lat)
     })
     spark.udf.register("geohashesInBox", functions.GeoFunctions.geohashesInBox _)
+    // H3 hex-grid index family (public H3 index spec bit math —
+    // functions/H3Functions.scala; corpus 01070_h3_*)
+    spark.udf.register("h3GetResolution",
+      (h: Long) => functions.H3Functions.resolution(h))
+    spark.udf.register("h3GetBaseCell",
+      (h: Long) => functions.H3Functions.baseCell(h))
+    spark.udf.register("h3ToParent", functions.H3Functions.toParent _)
+    spark.udf.register("h3ToChildren", functions.H3Functions.toChildren _)
+    spark.udf.register("h3HexAreaM2", functions.H3Functions.hexAreaM2 _)
+    spark.udf.register("h3IndexesAreNeighbors",
+      functions.H3Functions.indexesAreNeighbors _)
+    spark.udf.register("h3ToString", functions.H3Functions.toHexString _)
+    spark.udf.register("stringToH3", functions.H3Functions.fromHexString _)
+    spark.udf.register("h3EdgeLengthM", functions.H3Functions.edgeLengthM _)
+    spark.udf.register("h3EdgeAngle", functions.H3Functions.edgeAngle _)
+    spark.udf.register("h3IsValid", functions.H3Functions.isValid _)
     // uniqTheta set-op scalars (FunctionsUniqTheta.h)
     spark.udf.register("uniqThetaUnion", aggregates.SketchAggregates.uniqThetaUnion)
     spark.udf.register("uniqThetaIntersect",

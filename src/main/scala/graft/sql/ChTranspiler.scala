@@ -3004,6 +3004,35 @@ object ChTranspiler {
     // Spark would either reject the syntax or apply them to the whole
     // union; with no modifiers the parens are identity. Skip regions
     // already wrapped (every branch starts with '(').
+    // a WITH prologue binds CTEs for EVERY branch — it must stay
+    // outside the first branch's parens (40054/40089/48016), so
+    // branch 1 starts at the region-level SELECT after it
+    def firstBranchStart(r: Int, us: Vector[Int]): Int = {
+      val s0 = nextSig(if (r < 0) 0 else r + 1)
+      if (toks.lift(s0).exists(isWordI(_, "WITH"))) {
+        // the branch is the first depth-0 SELECT, or a depth-0 '('
+        // not preceded by AS (CTE bodies are `name AS ( … )`; an
+        // already-wrapped branch is a bare '(' — recursion pass 2)
+        var k = s0 + 1
+        var d = 0
+        var sel = -1
+        var prevSig: Tok = Word("WITH")
+        while (k < us.head && sel < 0) {
+          toks(k) match {
+            case Punct("(") =>
+              if (d == 0 && !isWordI(prevSig, "AS")) sel = k
+              d += 1; prevSig = Punct("(")
+            case Punct(")") => d -= 1; prevSig = Punct(")")
+            case Word(w) if d == 0 && w.equalsIgnoreCase("SELECT") =>
+              sel = k
+            case _: Ws => ()
+            case t => prevSig = t
+          }
+          k += 1
+        }
+        if (sel >= 0) sel else s0
+      } else s0
+    }
     val target = unions.keys.find { r =>
       val us = unions(r)
       // mixed set operators at the same depth keep left-assoc
@@ -3013,28 +3042,7 @@ object ChTranspiler {
           w.equalsIgnoreCase("EXCEPT")
         case _ => false
       }))
-      val regionStart0 = {
-        val s0 = nextSig(if (r < 0) 0 else r + 1)
-        // a WITH prologue binds CTEs for EVERY branch — it must stay
-        // outside the first branch's parens (40054/40089/48016), so
-        // branch 1 starts at the region-level SELECT after it
-        if (toks.lift(s0).exists(isWordI(_, "WITH"))) {
-          var k = s0 + 1
-          var d = 0
-          var sel = -1
-          while (k < us.head && sel < 0) {
-            toks(k) match {
-              case Punct("(") => d += 1
-              case Punct(")") => d -= 1
-              case Word(w) if d == 0 && w.equalsIgnoreCase("SELECT") =>
-                sel = k
-              case _ => ()
-            }
-            k += 1
-          }
-          if (sel >= 0) sel else s0
-        } else s0
-      }
+      val regionStart0 = firstBranchStart(r, us)
       val starts = regionStart0 +: us.map { u =>
         val a = nextSig(u + 1)
         toks.lift(a) match {
@@ -3049,7 +3057,7 @@ object ChTranspiler {
       case None => sql
       case Some(r) =>
         val us = unions(r)
-        val regionStart = if (r < 0) 0 else nextSig(r + 1)
+        val regionStart = firstBranchStart(r, us)
         val regionEnd = if (r < 0) toks.length else {
           // matching close of r
           var d = 0; var j = r; var e = toks.length
