@@ -71,6 +71,92 @@ object ChCoercions extends Rule[LogicalPlan] {
         Seq(StringType, LongType))))
   }
 
+  /** Same-arity structs whose field types differ but are all atomic —
+    * the shape Spark's struct-equality check rejects. */
+  private def structMismatch(l: Expression, r: Expression): Boolean =
+    (l.dataType, r.dataType) match {
+      case (lt: StructType, rt: StructType) =>
+        lt.length == rt.length && lt.length > 0 &&
+          lt.fields.map(_.dataType).toSeq !=
+            rt.fields.map(_.dataType).toSeq &&
+          lt.fields.zip(rt.fields).forall { case (a, b) =>
+            atomic(a.dataType) && atomic(b.dataType) }
+      case _ => false
+    }
+
+  private def atomic(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BooleanType | DateType |
+        TimestampType | BinaryType => true
+    case _ => false
+  }
+
+  /** One side a decimal, the other a foldable integral/decimal constant
+    * that cannot be rescaled into the decimal's CH container int. */
+  private[sql] def decimalConstOverflow(l: Expression, r: Expression): Boolean = {
+    // the CONTAINER is the column's ORIGINAL decimal family — comparison
+    // coercion wraps it in widening casts before this rule runs
+    @scala.annotation.tailrec
+    def base(e: Expression): Expression = e match {
+      case Cast(c, _, _, _) => base(c)
+      case other => other
+    }
+    def check(dec0: Expression, const: Expression): Boolean = {
+      val dec = base(dec0)
+      (dec.dataType, const.dataType) match {
+        case (dt: DecimalType, t)
+            if const.foldable && !dec.foldable &&
+              (t.isInstanceOf[DecimalType] || t == ByteType ||
+                t == ShortType || t == IntegerType || t == LongType) =>
+          val p = dt.precision
+          val s = dt.scale
+          val v = const.eval() match {
+            case null => return false
+            case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+            case n: Number => new java.math.BigDecimal(n.toString)
+            case _ => return false
+          }
+          val container: java.math.BigDecimal =
+            if (p <= 9) new java.math.BigDecimal(Int.MaxValue)
+            else if (p <= 18) new java.math.BigDecimal(Long.MaxValue)
+            else new java.math.BigDecimal(
+              java.math.BigInteger.ONE.shiftLeft(127))
+          v.abs.movePointRight(s).compareTo(container) > 0
+        case _ => false
+      }
+    }
+    check(l, r) || check(r, l)
+  }
+
+  /** Strip coercion casts; Some((expr, decimalType)) when the base is
+    * genuinely decimal. */
+  private def origDecimal(e: Expression): Option[(Expression, DecimalType)] = {
+    @scala.annotation.tailrec
+    def base(x: Expression): Expression = x match {
+      case Cast(c, _, _, _) => base(c)
+      case other => other
+    }
+    val b = base(e)
+    b.dataType match {
+      case dt: DecimalType => Some((b, dt))
+      case _ => None
+    }
+  }
+
+  /** Strip coercion casts; Some(expr) when the base is integral. */
+  private def integralBase(e: Expression): Option[Expression] = {
+    @scala.annotation.tailrec
+    def base(x: Expression): Expression = x match {
+      case Cast(c, _, _, _) => base(c)
+      case other => other
+    }
+    val b = base(e)
+    if (integral(b)) Some(b) else None
+  }
+
+  /** CH decimal family container bits from declared precision. */
+  private def familyBits(p: Int): Int =
+    if (p <= 9) 32 else if (p <= 18) 64 else 128
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     plan.resolveOperatorsUp {
       case f @ Filter(cond, _) if cond.resolved && numeric(cond) =>
@@ -133,6 +219,43 @@ object ChCoercions extends Rule[LogicalPlan] {
               Seq(Cast(d.left, DoubleType), Cast(d.right, DoubleType)),
               Seq(DoubleType, DoubleType), returnNullable = false)
           }
+          // CH decimal division: result scale = the DIVIDEND's scale,
+          // truncation, container-checked intermediate (00700 —
+          // toDecimal32(n1/9, …) wants 0.5555 truncated at n1's scale,
+          // not Spark's widened HALF_UP 0.555556). Corpus-gated; the
+          // dividend must be an ORIGINAL decimal (not coercion's cast
+          // of an integer, whose CH semantics differ).
+          case dv: Divide
+              if ok(dv.left, dv.right) &&
+                org.apache.spark.sql.internal.SQLConf.get
+                  .getConfString(IeeeDivFlag, "false") == "true" &&
+                origDecimal(dv.left).isDefined &&
+                (integralBase(dv.right).isDefined ||
+                  origDecimal(dv.right).isDefined) => {
+            import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+            val (lExpr, lt) = origDecimal(dv.left).get
+            val lBits = familyBits(lt.precision)
+            integralBase(dv.right) match {
+              case Some(ir) =>
+                StaticInvoke(graft.functions.MathOps.getClass,
+                  DecimalType(graft.functions.MathOps
+                    .decimalContainerDigits(lBits), lt.scale),
+                  "chDecimalDivInt",
+                  Seq(lExpr, Cast(ir, LongType), Literal(lBits),
+                    Literal(lt.scale)),
+                  Seq(lt, LongType, IntegerType, IntegerType))
+              case None =>
+                val (rExpr, rt) = origDecimal(dv.right).get
+                val bits = math.max(lBits, familyBits(rt.precision))
+                StaticInvoke(graft.functions.MathOps.getClass,
+                  DecimalType(graft.functions.MathOps
+                    .decimalContainerDigits(bits), lt.scale),
+                  "chDecimalDivDec",
+                  Seq(lExpr, rExpr, Literal(bits), Literal(lt.scale),
+                    Literal(rt.scale)),
+                  Seq(lt, rt, IntegerType, IntegerType, IntegerType))
+            }
+          }
           case s @ Sum(c, _) if c.resolved && isBool(c) =>
             s.copy(child = Cast(c, IntegerType))
           case s: ChSum if s.child.resolved && isBool(s.child) =>
@@ -167,7 +290,40 @@ object ChCoercions extends Rule[LogicalPlan] {
               if ok(l, r) && l.dataType.isInstanceOf[MapType] &&
                 r.dataType.isInstanceOf[MapType] =>
             EqualTo(new SortArray(MapEntries(l)), new SortArray(MapEntries(r)))
+          // CH tuple comparison is elementwise with per-field coercion
+          // (tuples of mixed decimal widths compare fine — 00700);
+          // Spark's struct = struct demands identical field types, so
+          // expand to a pairwise conjunction and let the per-field
+          // coercion rules align each pair
+          case EqualTo(l, r) if ok(l, r) && structMismatch(l, r) =>
+            val n = l.dataType.asInstanceOf[StructType].length
+            (0 until n).map(i => EqualTo(GetStructField(l, i),
+              GetStructField(r, i)): Expression).reduce(And(_, _))
         }
+    }
+  }
+}
+
+/** CH decimal-vs-constant comparison rescales the constant to the
+  * decimal's scale INSIDE the decimal's container int (Decimal32→Int32,
+  * Decimal64→Int64, else Int128); a constant that overflows the
+  * container is error 407, even when a wider comparison would be
+  * well-defined (00700_decimal_compare: `g = 30000` with g
+  * Decimal32(5)). An OPTIMIZER rule, not a resolution rule: the corpus
+  * writes the constant behind a lateral select alias, which only folds
+  * to a literal after CollapseProject + ConstantFolding. Corpus-gated
+  * by the CH-strict flag.
+  */
+object ChDecimalCompareGuard extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(ChCoercions.IeeeDivFlag, "false") != "true") return plan
+    plan.transformAllExpressions {
+      case c: BinaryComparison
+          if c.left.resolved && c.right.resolved &&
+            ChCoercions.decimalConstOverflow(c.left, c.right) =>
+        throw new ArithmeticException(
+          "Decimal constant comparison overflow (error 407 analog)")
     }
   }
 }

@@ -1408,8 +1408,18 @@ final class ChSession(spark: SparkSession) {
               i -> tz
             }
         }.toMap
+        // Decimal-typed columns read their literal TEXT exactly
+        // (chInsertDecimal / readDecimalText) — the generic literal
+        // path types fractional literals as Float64, which folds
+        // 0.99…(38 nines) to 1.0 before the alignment cast (00700)
+        val decCol: Map[Int, DecimalType] = givenCols.zipWithIndex.flatMap {
+          case (n, i) => st.schema.find(_.name == n)
+            .collect { case f if f.dataType.isInstanceOf[DecimalType] =>
+              i -> f.dataType.asInstanceOf[DecimalType] }
+        }.toMap
+        val plainNumRe = "^[-+]?[0-9][0-9.eE+-]*$|^[-+]?\\.[0-9][0-9.eE+-]*$"
         def wrapTs(t: String): String =
-          if (tsCol.isEmpty) t
+          if (tsCol.isEmpty && decCol.isEmpty) t
           else {
             val items = splitTop(t)
             if (items.size != givenCols.size) t
@@ -1417,7 +1427,13 @@ final class ChSession(spark: SparkSession) {
               tsCol.get(i) match {
                 case Some("") => s"chReadDateTime($it)"
                 case Some(tz) => s"chReadDateTime($it, '$tz')"
-                case None => it
+                case None => decCol.get(i) match {
+                  case Some(d) if it.trim.matches(plainNumRe) =>
+                    s"chInsertDecimal('${it.trim}', ${d.precision}, ${d.scale})"
+                  case Some(d) if it.trim.matches("^'[^']*'$") =>
+                    s"chInsertDecimal(${it.trim}, ${d.precision}, ${d.scale})"
+                  case _ => it
+                }
               }
             }.mkString(", ")
           }
@@ -1583,6 +1599,18 @@ final class ChSession(spark: SparkSession) {
                 "(error 349 analog)")
         case _ => ()
       }
+    }
+    // Decimal overflow in an inserted block is a per-INSERT error in
+    // the reference (error 69/407, 00700_decimal_bounds) — surface it
+    // EAGERLY like the Array-NULL check so the marked INSERT fails
+    // instead of poisoning every later scan. Bounded evaluation: huge
+    // INSERT SELECTs only validate a prefix (overflow fixtures are
+    // hand-written small blocks).
+    if (st.schema.fields.exists(_.dataType.isInstanceOf[DecimalType])) {
+      val decCols = st.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] => col(s"`${f.name}`")
+      }.toSeq
+      aligned.select(decCols: _*).limit(100001).collect()
     }
     // CHECK constraints validate the inserted block before it commits
     // (reference CheckConstraintsTransform — error 469 names the

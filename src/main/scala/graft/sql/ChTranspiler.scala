@@ -3505,10 +3505,16 @@ object ChTranspiler {
     // goes back through the token-level type rewriter.
     // twoArgCast's pattern itself spans a quoted type ('UInt8'), so it
     // runs on the raw text; only count() needs literal protection
+    val decTarget = """(?i)^\s*DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*$""".r
     val c = twoArgCast.replaceAllIn(sql, m => {
       val mapped = transpileTypeString(m.group(2))
-      java.util.regex.Matcher.quoteReplacement(
-        s"CAST(${m.group(1)} AS $mapped)")
+      java.util.regex.Matcher.quoteReplacement(mapped match {
+        // decimal targets keep CH truncation semantics (the AS-form's
+        // rewriteCastDecimal ran before this pass — route the two-arg
+        // spelling through the same chDecimal lowering)
+        case decTarget(p, s) => s"chDecimal(${m.group(1)}, $p, $s)"
+        case _ => s"CAST(${m.group(1)} AS $mapped)"
+      })
     })
     rewriteLimitOffset(
       replaceOutsideStrings(c, countEmpty, _ => "count(*)"))
@@ -3945,7 +3951,13 @@ object ChTranspiler {
       }
     }
     if (found.isEmpty) return sql
-    val dropIdx = found.flatMap(f => f.asIdx to f.nameIdx).toSet
+    // drop the whitespace run BEFORE the AS too — `g('x' AS a)` strips
+    // to `g('x')`, not `g('x' )`
+    val dropIdx = found.flatMap { f =>
+      var s = f.asIdx - 1
+      while (s > 0 && toks(s).isInstanceOf[Ws]) s -= 1
+      (s + 1) to f.nameIdx
+    }.toSet
     // an alias expr may CONTAIN other inline aliases (00396:
     // `toFixedString(unhex('…' AS hex) AS bytes, 16)`): substitute the
     // STRIPPED text, not the raw span — the nested `AS name` would be

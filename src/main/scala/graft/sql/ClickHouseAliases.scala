@@ -2156,6 +2156,79 @@ object ClickHouseAliases {
     * failure → null, then coalesced to 0 for OrZero) — plain casts keep
     * ANSI throw-on-invalid, matching the reference's exception behavior.
     */
+  /** Evaluate a constant decimal subtree (references-free and
+    * deterministic — covers the StaticInvoke lowerings of nested
+    * toDecimalN calls, which are not `foldable`). Eval errors rethrow:
+    * the inner conversion's own overflow IS the statement's error. */
+  private def constEvalDecimal(e: Expression)
+      : Option[org.apache.spark.sql.types.Decimal] =
+    if (e.deterministic && e.references.isEmpty && e.resolved)
+      try e.eval(null) match {
+        case d: org.apache.spark.sql.types.Decimal => Some(d)
+        case _ => None
+      } catch {
+        // the inner conversion's own overflow IS the statement's error
+        case a: ArithmeticException => throw a
+        // not actually evaluable (lateral alias refs etc.)
+        case _: Throwable => None
+      }
+    else None
+
+  /** CH decimal→decimalN rescale on a constant: upscale multiplies the
+    * unscaled value inside the container (Decimal32/64 overflow is
+    * error 407; Decimal128 WRAPS silently mod 2^128 — the reference
+    * skips the overflow check for 128-bit ops, 00700_decimal_casts_2),
+    * downscale truncates toward zero. Results beyond Spark's 38 digits
+    * surface as a formatted string literal (display-exact, corpus
+    * SELECT shapes only). */
+  private def foldDecimalRescale(in: org.apache.spark.sql.types.Decimal,
+      bits: Int, s: Int): Expression = {
+    val out = graft.functions.MathOps.chDecimalRescale(
+      in.toJavaBigDecimal, bits, s)
+    val p = math.max(out.precision, s)
+    if (p <= 38)
+      Literal.create(org.apache.spark.sql.types.Decimal(out, p, s),
+        DecimalType(p, s))
+    else {
+      val txt = {
+        val t = out.stripTrailingZeros
+        if (t.scale < 0) t.setScale(0).toPlainString else t.toPlainString
+      }
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(txt),
+        StringType)
+    }
+  }
+
+  /** A foldable string whose integer value is in (Long.MaxValue, 2^64):
+    * the UInt64 band LongType cannot hold. */
+  private def bigUnsignedString(e: Expression): Option[java.math.BigInteger] =
+    try e.eval(null) match {
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        val v = new java.math.BigDecimal(u.toString.trim)
+          .setScale(0, java.math.RoundingMode.DOWN).toBigIntegerExact
+        if (v.compareTo(java.math.BigInteger.valueOf(Long.MaxValue)) > 0 &&
+            v.bitLength <= 64) Some(v)
+        else None
+      case _ => None
+    } catch { case _: Exception => None }
+
+  /** Constant decimal→integer: range-checked truncation, with the
+    * UInt64 band above Long.MaxValue kept exact as Decimal(20,0). */
+  private def foldDecimalToInt(d: org.apache.spark.sql.types.Decimal,
+      bits: Int, signed: Boolean, t: DataType): Expression = {
+    val v = d.toJavaBigDecimal.setScale(0, java.math.RoundingMode.DOWN)
+      .toBigIntegerExact
+    if (!signed && bits == 64 && v.signum >= 0 &&
+        v.compareTo(java.math.BigInteger.valueOf(Long.MaxValue)) > 0) {
+      if (v.bitLength <= 64)
+        Literal.create(org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(v), 20, 0), DecimalType(20, 0))
+      else throw new ArithmeticException(
+        s"Decimal value $d overflows UInt64 (error 407 analog)")
+    } else Cast(Literal(
+      graft.functions.MathOps.chDecimalToInt(d, bits, signed)), t)
+  }
+
   private def toDecimalFamily: Seq[(String, Seq[Expression] => Expression)] = {
     def dt(prec: Int, cs: Seq[Expression]): DecimalType = {
       val scale = cs(1) match {
@@ -2168,22 +2241,54 @@ object ClickHouseAliases {
     }
     // plain spelling truncates float AND string inputs toward zero
     // (reference DecimalFunctions convertTo / readDecimalText —
-    // toDecimal32('1.1', 0) = 1, 00700_decimal_casts)
-    def truncCast(x: Expression, d: DecimalType): Expression = {
+    // toDecimal32('1.1', 0) = 1, 00700_decimal_casts). Float/integer/
+    // decimal inputs bound by the family's CONTAINER int, not digits
+    // (toDecimal32(10.0, 8) = 10 — MathOps.chFloatToDecimal); string
+    // parsing keeps the digit check (toDecimal32('1', 9) is error 69).
+    def truncCast(x: Expression, bits: Int, d: DecimalType): Expression = {
       import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      val s = d.scale
+      val resT = DecimalType(
+        graft.functions.MathOps.decimalContainerDigits(bits), s)
       ChDispatch("toDecimal", Seq(x)) { c =>
         c.head.dataType match {
           case FloatType | DoubleType =>
-            StaticInvoke(graft.functions.MathOps.getClass, d,
-              "doubleToDecimal",
-              Seq(Cast(c.head, DoubleType), Literal(d.precision),
-                Literal(d.scale)),
-              Seq(DoubleType, IntegerType, IntegerType))
+            StaticInvoke(graft.functions.MathOps.getClass, resT,
+              "chFloatToDecimal",
+              Seq(Cast(c.head, DoubleType),
+                Literal(c.head.dataType == FloatType), Literal(bits),
+                Literal(s)),
+              Seq(DoubleType, BooleanType, IntegerType, IntegerType))
           case StringType =>
             StaticInvoke(graft.functions.MathOps.getClass, d,
               "stringToDecimal",
               Seq(c.head, Literal(d.precision), Literal(d.scale)),
               Seq(StringType, IntegerType, IntegerType))
+          case ByteType | ShortType | IntegerType | LongType =>
+            StaticInvoke(graft.functions.MathOps.getClass, resT,
+              "chLongToDecimal",
+              Seq(Cast(c.head, LongType), Literal(bits), Literal(s)),
+              Seq(LongType, IntegerType, IntegerType))
+          case dtIn: DecimalType =>
+            constEvalDecimal(c.head) match {
+              case Some(in) => foldDecimalRescale(in, bits, s)
+              // static shape cannot fit ANY value's digits in Spark's
+              // 38-digit decimal (e.g. Decimal(38,28) rescaled to 29):
+              // produce the display-exact TEXT at runtime — the old
+              // Cast was guaranteed to fail here, so no behavior is
+              // lost for representable shapes
+              case None if dtIn.precision - dtIn.scale + s > 38 =>
+                StaticInvoke(graft.functions.MathOps.getClass, StringType,
+                  "chDecimalRescaleText",
+                  Seq(c.head, Literal(bits), Literal(s)),
+                  Seq(dtIn, IntegerType, IntegerType))
+              case None =>
+                // truncating rescale — Spark's Cast rounds HALF_UP
+                StaticInvoke(graft.functions.MathOps.getClass, resT,
+                  "chDecimalRescaleChecked",
+                  Seq(c.head, Literal(bits), Literal(s)),
+                  Seq(dtIn, IntegerType, IntegerType))
+            }
           case _ => Cast(c.head, d)
         }
       }
@@ -2191,7 +2296,7 @@ object ClickHouseAliases {
     Seq(9 -> "32", 18 -> "64", 38 -> "128").flatMap { case (prec, bits) =>
       Seq(
         s"toDecimal$bits" -> ((cs: Seq[Expression]) =>
-          truncCast(cs.head, dt(prec, cs))),
+          truncCast(cs.head, bits.toInt, dt(prec, cs))),
         s"toDecimal${bits}OrNull" -> ((cs: Seq[Expression]) =>
           Cast(cs.head, dt(prec, cs), None, EvalMode.TRY)),
         s"toDecimal${bits}OrZero" -> ((cs: Seq[Expression]) => {
@@ -3511,6 +3616,7 @@ object ClickHouseAliases {
       }
       def plain(cs: Seq[Expression]): Expression = wrapSpec.get(n) match {
         case Some((bits, signed)) => ChDispatch(s"to$n", cs.take(1)) { c =>
+          import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
           c.head.dataType match {
             case dt if isTimeStruct(dt) => timeSecs(c.head, t)
             case ByteType | ShortType | IntegerType | LongType =>
@@ -3521,6 +3627,33 @@ object ClickHouseAliases {
                   ShiftLeft(asLong, Literal(64 - bits)), Literal(64 - bits))
                 else BitwiseAnd(asLong, Literal((1L << bits) - 1))
               Cast(wrapped, t)
+            // decimal→integer is RANGE-CHECKED with truncation in the
+            // reference (DecimalUtils::convertTo, error 407 — including
+            // any value ≤ -1 into an unsigned target), unlike the
+            // wrapping integer→integer path above
+            case dt2: DecimalType =>
+              constEvalDecimal(c.head) match {
+                case Some(d) => foldDecimalToInt(d, bits, signed, t)
+                case None if !signed && bits == 64 =>
+                  // keep the full unsigned-64 band (LongType can't)
+                  StaticInvoke(graft.functions.MathOps.getClass,
+                    DecimalType(20, 0), "chDecimalToUInt64",
+                    Seq(c.head), Seq(dt2))
+                case None =>
+                  Cast(StaticInvoke(graft.functions.MathOps.getClass,
+                    LongType, "chDecimalToInt",
+                    Seq(c.head, Literal(bits), Literal(signed)),
+                    Seq(dt2, IntegerType, BooleanType)), t)
+              }
+            // toUInt64 of a constant string beyond Long ('92233720…09')
+            // is a live UInt64 value in the reference; keep it exact as
+            // Decimal(20,0) (LongType cannot hold it)
+            case StringType
+                if !signed && bits == 64 && c.head.foldable &&
+                  bigUnsignedString(c.head).isDefined =>
+              val v = bigUnsignedString(c.head).get
+              Literal.create(org.apache.spark.sql.types.Decimal(
+                new java.math.BigDecimal(v), 20, 0), DecimalType(20, 0))
             case _ => Cast(c.head, t)
           }
         }
@@ -4464,6 +4597,21 @@ object ClickHouseAliases {
       // materialize(x): const → full column in the reference — identity
       // on values, but never foldable (isConstant(materialize(1)) = 0)
       "materialize" -> (cs => ChMaterialized(cs.head)),
+      // Decimal read per ReadHelpers.h readDecimalText (used by the
+      // session's INSERT alignment so literal text parses EXACTLY —
+      // a double roundtrip would fold 0.99…(38 nines) to 1.0): plain
+      // fractional digits beyond the scale truncate, exponent forms
+      // that cannot be represented at the scale are error 69, integer
+      // digits beyond precision are error 69
+      "chInsertDecimal" -> (cs => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        val p = cs(1) match { case Literal(v, _) => v.toString.toInt }
+        val s = cs(2) match { case Literal(v, _) => v.toString.toInt }
+        StaticInvoke(graft.functions.MathOps.getClass, DecimalType(p, s),
+          "chInsertDecimal",
+          Seq(Cast(cs.head, StringType), Literal(p), Literal(s)),
+          Seq(StringType, IntegerType, IntegerType))
+      }),
       // DateTime read per ReadHelpers.h: a 9-10 digit value is unix
       // seconds, anything else datetime text (used by the session's
       // INSERT alignment)

@@ -129,7 +129,7 @@ class ChTranspilerSpec extends AnyFunSuite {
   test("inline expression aliases are stripped and substituted") {
     assert(t("SELECT 'x' AS v, v LIKE (concat('%', v) AS pat), pat")
       .replaceAll("\\s+", " ")
-      == "SELECT 'x' AS v, v LIKE (concat('%', v) ), (concat('%', v))")
+      == "SELECT 'x' AS v, v LIKE (concat('%', v)), (concat('%', v))")
     // CAST's AS and subquery-level AS are untouched
     assert(t("SELECT CAST(1 AS UInt8) FROM (SELECT 1 AS a)")
       == "SELECT CAST(1 AS INT) FROM (SELECT 1 AS a)")
