@@ -497,6 +497,17 @@ final class ChSession(spark: SparkSession) {
     else if (up.startsWith("SHOW STATS")) showStats(s, buckets = false)
     else if (up.startsWith("CREATE DATABASE")) Done
     else if (up.startsWith("DROP DATABASE")) { dropDatabase(s); Done }
+    else if (up.startsWith("EXPLAIN SYNTAX")) {
+      // reference InterpreterExplainQuery SYNTAX mode: print the
+      // (rewritten) AST as formatted SQL — see ChSyntaxFormat
+      val q = s.substring("EXPLAIN SYNTAX".length).trim.stripSuffix(";")
+      val cols: String => Option[Seq[String]] = { t =>
+        val key = resolveTableKey(cleanName(t))
+        tables.get(key).map(st =>
+          st.schema.fieldNames.toSeq.filterNot(st.hidden))
+      }
+      Output(ChSyntaxFormat.format(q, cols).map(Row(_)))
+    }
     else if (up.startsWith("DESC")) describe(s)
     else if (up.startsWith("EXISTS ")) {
       // EXISTS [TEMPORARY] TABLE name → UInt8 1/0 (reference

@@ -62,13 +62,122 @@ object ChSyntaxFormat {
     out.result()
   }
 
-  /** Re-join a token slice with natural SQL spacing. */
-  private def render(ts: Seq[T]): String = {
+  /** `x::Type` prints as the reference's CAST form: a LITERAL operand
+    * becomes its quoted text — CAST('-1', 'Int32'),
+    * CAST('[1, 2]', 'Array(UInt32)') — and any other operand stays an
+    * expression: CAST(1 + 2, 'UInt32'); nested `::` rewrites inner-
+    * first (01852_cast_operator*). */
+  private def rewriteCastOps(ts0: Seq[T]): Seq[T] = {
+    val ts = ts0.toVector
+    val i = ts.indexWhere(_.text == "::")
+    if (i <= 0 || i + 1 >= ts.length) return ts
+    // operand span: a primary ending at i-1
+    var aStart = i - 1
+    ts(aStart).text match {
+      case ")" | "]" =>
+        var d = 0
+        var k = i - 1
+        while (k >= 0 && aStart == i - 1) {
+          ts(k).text match {
+            case ")" | "]" => d += 1
+            case "(" | "[" => d -= 1; if (d == 0) aStart = k
+            case _ => ()
+          }
+          k -= 1
+        }
+        // function call: name immediately before '('
+        if (aStart > 0 && ts(aStart).text == "(" &&
+            ts(aStart - 1).kind == W && !keyword(ts(aStart - 1).text))
+          aStart -= 1
+      case _ => ()
+    }
+    // a decimal literal spans `digits . digits` in this lexer
+    def isNum(t: T): Boolean =
+      t.kind == W && t.text.nonEmpty && t.text.head.isDigit
+    while (aStart >= 2 && isNum(ts(aStart)) && ts(aStart - 1).text == "." &&
+        isNum(ts(aStart - 2)))
+      aStart -= 2
+    // a numeric literal absorbs its unary sign (CH: -1::Int32 is the
+    // literal -1)
+    val numWord = isNum(ts(aStart))
+    if (numWord && aStart > 0 &&
+        (ts(aStart - 1).text == "-" || ts(aStart - 1).text == "+") &&
+        (aStart - 2 < 0 || (ts(aStart - 2).kind == P &&
+          ts(aStart - 2).text != ")" && ts(aStart - 2).text != "]") ||
+          (ts(aStart - 2).kind == W && keyword(ts(aStart - 2).text))))
+      aStart -= 1
+    // type span: Word [ ( … ) ]
+    var tEnd = i + 1
+    if (ts(tEnd).kind != W) return ts // not a type — leave untouched
+    if (tEnd + 1 < ts.length && ts(tEnd + 1).text == "(") {
+      var d = 0
+      var k = tEnd + 1
+      var close = -1
+      while (k < ts.length && close < 0) {
+        ts(k).text match {
+          case "(" => d += 1
+          case ")" => d -= 1; if (d == 0) close = k
+          case _ => ()
+        }
+        k += 1
+      }
+      if (close >= 0) tEnd = close
+    }
+    val operand = rewriteCastOps(ts.slice(aStart, i))
+    val typeTxt = renderType(ts.slice(i + 1, tEnd + 1))
+    val isLit = operand.forall(t =>
+      t.kind == S ||
+        (t.kind == W && t.text.nonEmpty && t.text.head.isDigit) ||
+        (t.kind == P && Set(".", ",", "[", "]", "(", ")", "-", "+")
+          .contains(t.text)))
+    val castToks: Seq[T] =
+      if (isLit) {
+        val text =
+          if (operand.length == 1 && operand.head.kind == S)
+            operand.head.text.stripPrefix("'").stripSuffix("'")
+          else render(operand)
+        Seq(T("CAST", W), T("(", P),
+          T("'" + text.replace("\\", "\\\\").replace("'", "\\'") + "'", S),
+          T(",", P), T("'" + typeTxt + "'", S), T(")", P))
+      } else
+        Seq(T("CAST", W), T("(", P)) ++ stripOuterParens(operand) ++
+          Seq(T(",", P), T("'" + typeTxt + "'", S), T(")", P))
+    rewriteCastOps(ts.take(aStart) ++ castToks ++ ts.drop(tEnd + 1))
+  }
+
+  /** Type-name spacing: none before '(', a space after ',' and between
+    * adjacent words (`Nested(u UInt8, s String)`). */
+  private def renderType(ts: Seq[T]): String = {
     val sb = new StringBuilder
     var prev: T = null
     ts.foreach { t =>
+      if (prev != null &&
+          ((prev.kind == W && t.kind == W) || prev.text == ","))
+        sb.append(' ')
+      sb.append(t.text)
+      prev = t
+    }
+    sb.toString
+  }
+
+  /** Re-join a token slice with natural SQL spacing. */
+  private def render(ts0: Seq[T]): String = {
+    val ts = if (ts0.exists(_.text == "::")) rewriteCastOps(ts0) else ts0
+    val sb = new StringBuilder
+    var prev: T = null
+    var prev2: T = null // the significant token before prev
+    ts.foreach { t =>
+      // a sign is UNARY when nothing value-like precedes it — no space
+      // between it and its operand (`SELECT -1`, `f(-1)`)
+      val prevIsUnarySign = prev != null &&
+        (prev.text == "-" || prev.text == "+") &&
+        (prev2 == null || prev2.text == "(" || prev2.text == "[" ||
+          prev2.text == "," ||
+          (prev2.kind == P && prev2.text != ")" && prev2.text != "]") ||
+          (prev2.kind == W && keyword(prev2.text)))
       val sp =
         if (prev == null) ""
+        else if (prevIsUnarySign) ""
         else if (t.text == "(" )
           // no space between a function name / ) / ] and its '('
           if (prev.kind == W && !keyword(prev.text)) ""
@@ -82,6 +191,7 @@ object ChSyntaxFormat {
           if (prev.kind == W && !keyword(prev.text)) "" else " "
         else " "
       sb.append(sp).append(t.text)
+      prev2 = prev
       prev = t
     }
     sb.toString
@@ -144,7 +254,11 @@ object ChSyntaxFormat {
   def format(query: String,
       columnsOf: String => Option[Seq[String]] = _ => None): Seq[String] = {
     val ts = lex(query)
-    formatUnion(ts, 0, columnsOf)
+    val out = formatUnion(ts, 0, columnsOf)
+    // quirk preserved from the reference formatter: a mixed chain whose
+    // first rendered element is a parenthesized group prints a leading
+    // blank line (01732 golden)
+    if (out.headOption.contains("(")) "" +: out else out
   }
 
   /** Union-mode token triples at depth 0: (index, isAll, isDistinct). */
@@ -191,35 +305,76 @@ object ChSyntaxFormat {
     cur
   }
 
-  private def formatUnion(ts0: Seq[T], indent: Int,
-      columnsOf: String => Option[Seq[String]]): Seq[String] = {
+  // ---- union-chain normalization (the reference's
+  // normalizeSelectWithUnionQuery): group everything up to the LAST
+  // UNION DISTINCT into one DISTINCT chain (nested chains of either
+  // mode splice into it — distinct over all rows either way), then the
+  // remaining UNION ALL tail splices flat ----
+  private sealed trait UNode
+  private final case class USel(ts: Seq[T]) extends UNode
+  private final case class UChain(all: Boolean, cs: Vector[UNode]) extends UNode
+
+  private def parseUnion(ts0: Seq[T]): UNode = {
     val ts = stripOuterParens(ts0)
     val splits = unionSplits(ts)
-    if (splits.isEmpty) return formatSelect(ts, indent, columnsOf)
-    val modes = splits.map(_._2).distinct
-    val oneMode = modes.length == 1
-    // branch ranges
+    if (splits.isEmpty) return USel(ts)
     val bounds = (0 +: splits.map { case (i, m) =>
-      i + (if (m == "ALL" || (m == "DISTINCT" && isW(ts(i + 1), "DISTINCT"))) 2 else 1)
+      i + (if (i + 1 < ts.length && (isW(ts(i + 1), "ALL") ||
+        isW(ts(i + 1), "DISTINCT"))) 2 else 1)
     }).zip(splits.map(_._1) :+ ts.length)
-    val pad = " " * indent
-    val lines = ArrayBuffer[String]()
-    bounds.zipWithIndex.foreach { case ((s, e), bi) =>
-      if (bi > 0) lines += pad + "UNION " + splits(bi - 1)._2
-      val branch = ts.slice(s, e)
-      val inner = stripOuterParens(branch)
-      val innerSplits = unionSplits(inner)
-      val flatten = innerSplits.isEmpty ||
-        (oneMode && innerSplits.forall(_._2 == modes.head))
-      if (flatten) lines ++= formatUnion(inner, indent, columnsOf)
-      else {
-        lines += pad + "("
-        lines ++= formatUnion(inner, indent + 4, columnsOf)
-        lines += pad + ")"
-      }
-    }
-    lines.toSeq
+    val branches = bounds.map { case (s, e) => parseUnion(ts.slice(s, e)) }
+    build(branches.toVector, splits.map(_._2).toVector)
   }
+
+  private def spliceAll(c: UNode): Vector[UNode] = c match {
+    case UChain(true, kids) => kids.flatMap(spliceAll)
+    case other => Vector(other)
+  }
+  private def spliceAny(c: UNode): Vector[UNode] = c match {
+    case UChain(_, kids) => kids.flatMap(spliceAny)
+    case other => Vector(other)
+  }
+
+  private def build(branches: Vector[UNode], modes: Vector[String]): UNode = {
+    if (modes.forall(_ == "ALL"))
+      UChain(all = true, branches.flatMap(spliceAll))
+    else if (modes.forall(_ == "DISTINCT"))
+      UChain(all = false, branches.flatMap(spliceAny))
+    else {
+      val lastD = modes.lastIndexOf("DISTINCT")
+      val group = UChain(all = false,
+        branches.take(lastD + 2).flatMap(spliceAny))
+      val rest = branches.drop(lastD + 2)
+      if (rest.isEmpty) group
+      else UChain(all = true, (group +: rest).flatMap(spliceAll))
+    }
+  }
+
+  private def renderNode(n: UNode, indent: Int,
+      columnsOf: String => Option[Seq[String]]): Seq[String] = {
+    val pad = " " * indent
+    n match {
+      case USel(ts) => formatSelect(ts, indent, columnsOf)
+      case UChain(all, cs) =>
+        val kw = if (all) "UNION ALL" else "UNION DISTINCT"
+        val lines = ArrayBuffer[String]()
+        cs.zipWithIndex.foreach { case (c, i) =>
+          if (i > 0) lines += pad + kw
+          c match {
+            case g: UChain =>
+              lines += pad + "("
+              lines ++= renderNode(g, indent + 4, columnsOf)
+              lines += pad + ")"
+            case s: USel => lines ++= renderNode(s, indent, columnsOf)
+          }
+        }
+        lines.toSeq
+    }
+  }
+
+  private def formatUnion(ts0: Seq[T], indent: Int,
+      columnsOf: String => Option[Seq[String]]): Seq[String] =
+    renderNode(parseUnion(ts0), indent, columnsOf)
 
   private def formatSelect(ts0: Seq[T], indent: Int,
       columnsOf: String => Option[Seq[String]]): Seq[String] = {
