@@ -939,8 +939,6 @@ final class ChSession(spark: SparkSession) {
         throw new IllegalArgumentException("CREATE DICTIONARY: no PRIMARY KEY"))
     val pks = splitTop(pkM.group(1)).map(
       _.trim.stripPrefix("`").stripSuffix("`"))
-    require(pks.size == 1,
-      "CREATE DICTIONARY: complex (multi-column) keys are not supported")
     val keyCol = pks.head
     val srcTable = """(?is)\bTABLE\s+'([^']+)'""".r.findFirstMatchIn(after)
       .map(_.group(1)).getOrElse(
@@ -966,8 +964,18 @@ final class ChSession(spark: SparkSession) {
       .filter(c => c.chType.contains("Nullable(")).map(_.name).toSet
     val parentAttr = cols.find(_.hierarchical).map(_.name)
     Seq(fullName, bare).distinct.foreach { n =>
-      Dictionaries.register(n, dim, keyCol, parentAttr,
-        defaults = defaults, nullableAttrs = Some(nullables))
+      if (pks.size == 1)
+        Dictionaries.register(n, dim, keyCol, parentAttr,
+          defaults = defaults, nullableAttrs = Some(nullables))
+      else {
+        // composite key: canonical Spark-side key string (the lookup
+        // expression concat_ws's the tuple fields the same way)
+        val dimC = dim.withColumn("__ckey",
+          concat_ws(Dictionaries.KeySep,
+            pks.map(k => col(s"`$k`").cast("string")): _*))
+        Dictionaries.registerComplex(n, dimC, pks,
+          defaults = defaults, nullableAttrs = Some(nullables))
+      }
       sessionDicts += n
     }
     // a dictionary is also queryable as a table (reference
@@ -2470,6 +2478,8 @@ final class ChSession(spark: SparkSession) {
             stx.data = stx.data.limit(0)
             registerView(name)
         }
+      case _ if up.startsWith("INGEST PARTITION") =>
+        ingestPartition(name, cmd)
       case _
         // layout-only commands a temp view cannot observe: accept
         if up.startsWith("MODIFY SETTING") || up.startsWith("RESET SETTING") ||
@@ -2484,6 +2494,203 @@ final class ChSession(spark: SparkSession) {
       case other => throw new IllegalArgumentException(
         s"unsupported ALTER command: ${other.take(60)}")
     }
+  }
+
+  /** ALTER TABLE t INGEST PARTITION 'p' COLUMNS c[,{'mapkey'}…] [KEY k…]
+    * FROM src (reference src/Storages/IngestPartition.cpp): within the
+    * named partition, rows are matched by KEY (default: the table's
+    * ORDER BY). Matched rows take the listed columns from the source
+    * (map-key specs overlay only those entries); source-only keys
+    * INSERT with non-listed columns at their defaults; target-only
+    * rows RESET the listed columns to defaults (listed map entries are
+    * removed). With table setting
+    * ingest_default_column_value_if_not_provided=0, target-only rows
+    * keep their values and source-only keys do not insert.
+    */
+  private def ingestPartition(name: String, cmd: String): Unit = {
+    val st = tables(name)
+    val m = ("""(?is)^INGEST\s+PARTITION\s+(ID\s+)?('(?:[^'\\]|\\.)*'|\S+)\s+""" +
+      """COLUMNS\s+(.+?)(?:\s+KEY\s+(.+?))?\s+FROM\s+([`\w.]+)""" +
+      """(?:\s+BUCKETS\s+([\d,\s]+?))?(?:\s+SETTINGS\s.*)?\s*;?\s*$""").r
+      .findFirstMatchIn(cmd).getOrElse(throw new IllegalArgumentException(
+        s"cannot parse INGEST PARTITION: ${cmd.take(60)}"))
+    // the compact PARTITION ID form spells the value with separators
+    // stripped ('20240101' for 2024-01-01)
+    val idForm = m.group(1) != null
+    val partVal = m.group(2).trim.stripPrefix("'").stripSuffix("'")
+    val colSpecRe = """^(`[^`]+`|\w+)\s*(?:\{\s*'([^']*)'\s*\})?$""".r
+    val specs = splitTop(m.group(3)).map(_.trim).map {
+      case colSpecRe(c, k) =>
+        (c.stripPrefix("`").stripSuffix("`"), Option(k))
+      case other => throw new IllegalArgumentException(
+        s"INGEST PARTITION: bad column spec '$other'")
+    }
+    val plainCols = specs.filter(_._2.isEmpty).map(_._1).distinct
+    val mapCols: Map[String, Seq[String]] = specs
+      .collect { case (c, Some(k)) => (c, k) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val keys = Option(m.group(4))
+      .map(t => splitTop(t).map(_.trim.stripPrefix("`").stripSuffix("`")))
+      // ORDER BY may carry expressions (cityHash64(id)) — join on the
+      // plain-column keys only (parseOrderKey gives Nil for mixed
+      // keys, so re-extract the plain columns from the DDL text)
+      .getOrElse {
+        val viaState = st.orderKey.filter(st.schema.fieldNames.contains)
+        if (viaState.nonEmpty) viaState
+        else {
+          val txt = """(?is)\bORDER\s+BY\s+(\((?:[^()]|\([^()]*\))*\)|[^,;\s]+)"""
+            .r.findFirstMatchIn(st.createAfter).map(_.group(1).trim)
+            .getOrElse("")
+          val inner = if (txt.startsWith("("))
+            txt.stripPrefix("(").stripSuffix(")") else txt
+          splitTop(inner).map(_.trim).filter(p =>
+            p.matches("[A-Za-z_]\\w*") && st.schema.fieldNames.contains(p))
+        }
+      }
+    require(keys.nonEmpty, "INGEST PARTITION: no KEY columns")
+    val src = tables.getOrElse(resolveTableKey(cleanName(m.group(5))),
+      throw new IllegalArgumentException(
+        s"INGEST PARTITION: unknown source table ${m.group(5)}"))
+    val insertDefaults =
+      !"""(?i)ingest_default_column_value_if_not_provided\s*=\s*(0|false)""".r
+        .findFirstIn(st.createAfter).isDefined
+    val pt = st.partitionExprText.getOrElse(
+      throw new IllegalArgumentException(
+        "INGEST PARTITION requires a partitioned table"))
+    def partText: Column =
+      if (idForm)
+        regexp_replace(chCol(pt).cast("string"), "[^0-9A-Za-z]", "")
+      else chCol(pt).cast("string")
+    // BUCKETS n[, m…]: the ingest's scope narrows to the named buckets
+    // of the CLUSTER BY hash on BOTH sides (reference
+    // CnchBucketTableCommon::createColumnWithSipHash — per-row SipHash
+    // of the cluster column's hash stream mod the bucket count: raw LE
+    // bytes for integers, LE64 length-with-terminator + bytes + \0 for
+    // strings)
+    val bucketCond: Option[Column] =
+      Option(m.group(6)).map(_.trim).filter(_.nonEmpty).map { bs =>
+        val ids = bs.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong)
+        val cl = ("""(?is)\bCLUSTER\s+BY\s+(\((?:[^()]|\([^()]*\))*\)|\S+)""" +
+          """\s+INTO\s+(\d+)\s+BUCKETS""").r
+          .findFirstMatchIn(src.createAfter).getOrElse(
+            throw new IllegalArgumentException(
+              "INGEST PARTITION BUCKETS on a non-bucketed source"))
+        val colsTxt = cl.group(1).stripPrefix("(").stripSuffix(")").trim
+        require(colsTxt.matches("`?[A-Za-z_]\\w*`?"),
+          "INGEST PARTITION BUCKETS: only single-column CLUSTER BY keys")
+        val n = cl.group(2).toLong
+        val cn = colsTxt.replaceAll("`", "")
+        val dt = st.schema(cn).dataType
+        val intWidth = dt match {
+          case ByteType => 1
+          case ShortType => 2
+          case IntegerType => 4
+          case LongType => 8
+          case _ => 0
+        }
+        val bucketUdf =
+          if (intWidth > 0) {
+            val w = intWidth
+            udf((v: java.lang.Long) => {
+              if (v == null) -1L
+              else {
+                val buf = java.nio.ByteBuffer.allocate(w)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                var i = 0
+                var x = v.longValue()
+                while (i < w) { buf.put((x & 0xFF).toByte); x >>= 8; i += 1 }
+                java.lang.Long.remainderUnsigned(
+                  graft.functions.HashOps.sipHash64(buf.array()), n)
+              }
+            }).apply(col(s"`$cn`").cast("long"))
+          } else {
+            udf((s: String) => {
+              if (s == null) -1L
+              else {
+                val bytes = s.getBytes("UTF-8")
+                val buf = java.nio.ByteBuffer
+                  .allocate(8 + bytes.length + 1)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                buf.putLong(bytes.length + 1L).put(bytes).put(0.toByte)
+                java.lang.Long.remainderUnsigned(
+                  graft.functions.HashOps.sipHash64(buf.array()), n)
+              }
+            }).apply(col(s"`$cn`").cast("string"))
+          }
+        bucketUdf.isin(ids.map(_.asInstanceOf[Any]): _*)
+      }
+    def inScope(df: DataFrame): DataFrame = {
+      val p = df.where(partText === lit(partVal))
+      bucketCond.map(p.where).getOrElse(p)
+    }
+    val srcInPart = inScope(src.data)
+    // an EMPTY source scope ingests nothing — the whole command is a
+    // no-op (00982 'empty source data' keeps the target untouched)
+    if (srcInPart.limit(1).count() == 0) return
+    val t2 = inScope(st.data).withColumn("__tp", lit(1)).alias("__t")
+    val s2 = srcInPart.withColumn("__sp", lit(1)).alias("__s")
+    val cond = keys.map(k => col(s"__t.`$k`") <=> col(s"__s.`$k`"))
+      .reduce(_ && _)
+    // source-only keys insert under BOTH settings (00982/00984's
+    // default=0 blocks still insert) — the setting only changes what
+    // happens to unmatched TARGET rows
+    val joined = t2.join(s2, cond, "full_outer")
+    val tp = col("__t.__tp").isNotNull
+    val sp = col("__s.__sp").isNotNull
+    def defaultOf(c: String): Column = {
+      val dt = st.schema(c).dataType
+      st.defaults.get(c).map(e => chCol(e).cast(dt))
+        .getOrElse(typeDefault(dt))
+    }
+    val projected = joined.select(st.schema.fields.map { f =>
+      val c = f.name
+      val tc = col(s"__t.`$c`")
+      val out: Column =
+        if (keys.contains(c)) coalesce(tc, col(s"__s.`$c`"))
+        else if (plainCols.contains(c)) {
+          // matched rows take the source value; unmatched target rows
+          // RESET to the default under
+          // ingest_default_column_value_if_not_provided (the default),
+          // and keep their value when it is off (00982)
+          val sc = col(s"__s.`$c`")
+          when(sp, sc).otherwise(
+            if (insertDefaults) defaultOf(c) else tc)
+        } else if (mapCols.contains(c)) {
+          val listed: Seq[Any] = mapCols(c)
+          val sc = col(s"__s.`$c`")
+          // base keeps the NON-listed target entries; the overlay is
+          // the source's LISTED entries (absent source rows overlay
+          // nothing — listed entries are thereby removed/reset); CH
+          // map columns keep keys SORTED, so re-sort the merge
+          val base = when(tp, map_filter(tc,
+            (k, _) => !k.isin(listed: _*))).otherwise(
+            map().cast(f.dataType))
+          val overlay = when(sp, map_filter(sc,
+            (k, _) => k.isin(listed: _*))).otherwise(
+            map().cast(f.dataType))
+          val merged = map_from_entries(
+            sort_array(map_entries(map_concat(base, overlay))))
+          if (insertDefaults) merged
+          else when(sp, merged).otherwise(tc)
+        } else if (st.schema.fieldNames.contains(c) &&
+            pt.replaceAll("[`\\s]", "") == c) {
+          // the partition column itself: identical on both sides
+          coalesce(tc, col(s"__s.`$c`"))
+        } else when(tp, tc).otherwise(defaultOf(c))
+      out.cast(f.dataType).as(c)
+    }: _*)
+    val scopeCond = bucketCond match {
+      case Some(b) => (partText <=> lit(partVal)) && coalesce(b, lit(false))
+      case None => partText <=> lit(partVal)
+    }
+    val rest = st.data.where(!scopeCond)
+    // materialize: the self-referential lineage (st.data on both
+    // sides) must not re-evaluate against the REPLACED view
+    import scala.jdk.CollectionConverters._
+    val rows = projected.collect().toSeq
+    val block = spark.createDataFrame(rows.asJava, projected.schema)
+    st.data = rest.unionByName(block)
+    registerView(name)
   }
 
   /** Top-level `UPDATE t SET a = e, … WHERE cond [ORDER BY o LIMIT n]`
@@ -2742,8 +2949,12 @@ object ChSession {
     """(?is)\s*DROP\s+(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([`\w.]+).*""".r
   private val truncateRe =
     """(?is)\s*TRUNCATE\s+(?:TABLE\s+)?(?:IF\s+EXISTS\s+)?([`\w.]+)\s*""".r
+  // LIVE VIEW (reference src/Storages/LiveView/StorageLiveView.cpp):
+  // a continuously-refreshed view — the temp-view model re-evaluates
+  // per query by construction, so the DDL maps onto a plain view (the
+  // push/watch machinery lives in streaming/LiveView.scala)
   private val createViewRe =
-    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s+AS\s+(.*)""".r
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:LIVE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s+AS\s+(.*)""".r
   // the middle lazily skips an optional column list / ENGINE clause
   // (the list may contain nested parens — anchor on `AS SELECT`)
   private val createMvRe =

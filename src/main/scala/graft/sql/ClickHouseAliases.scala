@@ -3335,11 +3335,33 @@ object ClickHouseAliases {
       case other => throw new IllegalArgumentException(
         s"$what must be a string literal, got $other")
     }
+    // composite-key canonical string: tuple fields cast to string,
+    // joined on the registration-side separator. A written tuple
+    // arrives as CreateNamedStruct; anything else single-field.
+    def ckeyExpr(e: Expression): Expression = {
+      val fields = e match {
+        case cns: CreateNamedStruct => cns.valExprs
+        case other => Seq(other)
+      }
+      ConcatWs(Literal(Dictionaries.KeySep) +:
+        fields.map(f => Cast(f, StringType)))
+    }
     def lookup(cs: Seq[Expression]): (Expression, DataType) = {
       val nm = litStr(cs.head, "dictGet: dictionary name")
       val at = litStr(cs(1), "dictGet: attribute name")
-      val (dt, m) = Dictionaries.dict(nm).attrMap(at)
-      (DictGetValue(m, dt, Cast(cs(2), LongType)), dt)
+      val d = Dictionaries.dict(nm)
+      if (d.complex) {
+        val (dt, m) = d.cattrMap(at)
+        (DictGetValueComplex(m, dt, ckeyExpr(cs(2))), dt)
+      } else {
+        val (dt, m) = d.attrMap(at)
+        (DictGetValue(m, dt, Cast(cs(2), LongType)), dt)
+      }
+    }
+    def hasExpr(nm: String, key: Expression): Expression = {
+      val d = Dictionaries.dict(nm)
+      if (d.complex) DictHasComplex(d.ckeySet, ckeyExpr(key))
+      else DictHas(d.keySet, Cast(key, LongType))
     }
     // dictGet miss value (reference FunctionsExternalDictionaries:
     // getOrDefault of the attribute's null_value): the declared DEFAULT
@@ -3358,16 +3380,14 @@ object ClickHouseAliases {
       val nm = litStr(cs.head, "dictGet: dictionary name")
       val at = litStr(cs(1), "dictGet: attribute name")
       val (lk, dt) = lookup(cs)
-      (If(DictHas(Dictionaries.dict(nm).keySet, Cast(cs(2), LongType)),
-        lk, missValue(nm, at, dt)), dt)
+      (If(hasExpr(nm, cs(2)), lk, missValue(nm, at, dt)), dt)
     }
     def getOrDefaultExpr(cs: Seq[Expression], castTo: Option[DataType])
         : Expression = {
       val nm = litStr(cs.head, "dictGet: dictionary name")
       val (lk, dt) = lookup(cs)
       val t = castTo.getOrElse(dt)
-      If(DictHas(Dictionaries.dict(nm).keySet, Cast(cs(2), LongType)),
-        Cast(lk, t), Cast(cs(3), t))
+      If(hasExpr(nm, cs(2)), Cast(lk, t), Cast(cs(3), t))
     }
     val typed: Seq[(String, DataType)] = Seq(
       "String" -> StringType, "Int8" -> ByteType, "Int16" -> ShortType,
@@ -3379,9 +3399,8 @@ object ClickHouseAliases {
       "dictGet" -> (cs => getWithDefault(cs)._1),
       "dictGetOrNull" -> (cs => lookup(cs)._1),
       "dictGetOrDefault" -> (cs => getOrDefaultExpr(cs, None)),
-      "dictHas" -> (cs => DictHas(
-        Dictionaries.dict(litStr(cs.head, "dictHas: dictionary name")).keySet,
-        Cast(cs(1), LongType))),
+      "dictHas" -> (cs => hasExpr(
+        litStr(cs.head, "dictHas: dictionary name"), cs(1))),
       "dictGetHierarchy" -> (cs => {
         val d = Dictionaries.dict(
           litStr(cs.head, "dictGetHierarchy: dictionary name"))

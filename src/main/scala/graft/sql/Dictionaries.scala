@@ -45,6 +45,12 @@ object Dictionaries {
   private val NullMarker: AnyRef = DictNullMarker
   def nullMarker(): AnyRef = NullMarker
 
+  /** Field separator for composite-key canonical strings (reference
+    * complex-key layouts hash the key tuple; here each field renders
+    * through Spark's cast-to-string on BOTH the registration and the
+    * lookup side, joined on a byte that cannot appear in typed text). */
+  val KeySep = "\u0001"
+
   final case class Dict(
       name: String,
       keyCol: String,
@@ -55,10 +61,21 @@ object Dictionaries {
       // converted at Literal.create time) and which attributes are
       // declared Nullable — both drive the dictGet miss value
       defaults: Map[String, Any] = Map.empty,
-      nullableAttrs: Set[String] = Set.empty) {
+      nullableAttrs: Set[String] = Set.empty,
+      // composite (complex-key) layout: string-keyed parallel maps
+      keyCols: Seq[String] = Nil,
+      cattrs: Map[String, (DataType, java.util.HashMap[String, Any])] = Map.empty,
+      ckeySet: java.util.HashSet[String] = null) {
+
+    def complex: Boolean = keyCols.length > 1
 
     def attrMap(attr: String): (DataType, java.util.HashMap[java.lang.Long, Any]) =
       attrs.getOrElse(attr,
+        throw new IllegalArgumentException(
+          s"dictionary '$name' has no attribute '$attr'"))
+
+    def cattrMap(attr: String): (DataType, java.util.HashMap[String, Any]) =
+      cattrs.getOrElse(attr,
         throw new IllegalArgumentException(
           s"dictionary '$name' has no attribute '$attr'"))
 
@@ -116,6 +133,45 @@ object Dictionaries {
       Dict(name, keyCol, attrs, keySet, parentAttr, defaults, nullables))
   }
 
+  /** Composite (complex-key) registration: `dim` must carry a `__ckey`
+    * string column — Spark-side concat_ws of the key fields cast to
+    * string, so the canonical form matches the lookup expression's
+    * Cast-to-string exactly (reference complex-key hashed/cache
+    * layouts, src/Dictionaries/HashedDictionary.cpp complex variants).
+    */
+  def registerComplex(
+      name: String,
+      dim: DataFrame,
+      keyCols: Seq[String],
+      maxRows: Int = MaxRows,
+      defaults: Map[String, Any] = Map.empty,
+      nullableAttrs: Option[Set[String]] = None): Unit = {
+    val schema = dim.schema
+    val rows = dim.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"dictionary '$name': dimension exceeds $maxRows rows")
+    val kIdx = schema.fieldIndex("__ckey")
+    val keySet = new java.util.HashSet[String]()
+    rows.iterator.filter(r => !r.isNullAt(kIdx))
+      .foreach(r => keySet.add(r.getString(kIdx)))
+    val skip = keyCols.toSet + "__ckey"
+    val cattrs = schema.fields.zipWithIndex
+      .filterNot { case (f, _) => skip.contains(f.name) }.map { case (f, i) =>
+        val conv = CatalystTypeConverters.createToCatalystConverter(f.dataType)
+        val m = new java.util.HashMap[String, Any]()
+        rows.iterator.filter(r => !r.isNullAt(kIdx))
+          .foreach(r => m.put(r.getString(kIdx),
+            if (r.isNullAt(i)) NullMarker else conv(r.get(i))))
+        f.name -> (f.dataType, m)
+      }.toMap
+    val nullables = nullableAttrs.getOrElse(
+      schema.fields.filter(_.nullable).map(_.name).toSet)
+    registry.put(name, Dict(name, keyCols.head,
+      attrs = Map.empty, keySet = null, parentAttr = None,
+      defaults = defaults, nullableAttrs = nullables,
+      keyCols = keyCols, cattrs = cattrs, ckeySet = keySet))
+  }
+
   def drop(name: String): Unit = registry.remove(name)
 
   private def anyToLong(v: Any): java.lang.Long = v match {
@@ -136,8 +192,10 @@ object Dictionaries {
   /** Attribute type, consulted by the dialect builder at plan build time
     * (the reference reads the same thing from the dictionary DDL).
     */
-  def attrType(name: String, attr: String): DataType =
-    dict(name).attrMap(attr)._1
+  def attrType(name: String, attr: String): DataType = {
+    val d = dict(name)
+    if (d.complex) d.cattrMap(attr)._1 else d.attrMap(attr)._1
+  }
 
   // --- executor-side walk helpers (called from eval and codegen; the
   //     maps arrive as expression fields / codegen reference objects) ---
@@ -287,5 +345,68 @@ case class DictIsIn(
     val setRef = ctx.addReferenceObj("dictKeySet", keySet, "java.util.HashSet")
     nullSafeCodeGen(ctx, ev, (c, a) =>
       s"${ev.value} = graft.sql.Dictionaries.isInWalk($mapRef, $setRef, $c, $a);")
+  }
+}
+
+/** Complex-key dictGet: probe the string-canonical composite key. The
+  * key expression is a ConcatWs of the tuple fields cast to string —
+  * built by the dialect layer so both sides canonicalize through
+  * Spark's own casts.
+  */
+case class DictGetValueComplex(
+    attrMap: java.util.HashMap[String, Any],
+    override val dataType: DataType,
+    key: Expression)
+  extends UnaryExpression with NonSQLExpression {
+
+  override def child: Expression = key
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(newChild: Expression): DictGetValueComplex =
+    copy(key = newChild)
+
+  override def nullSafeEval(k: Any): Any = {
+    val v = attrMap.get(k.toString)
+    if (v.asInstanceOf[AnyRef] eq Dictionaries.nullMarker()) null else v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("dictCAttrMap", attrMap, "java.util.HashMap")
+    val boxed = CodeGenerator.boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, k => s"""
+      Object dictV = $mapRef.get($k.toString());
+      if (dictV == null ||
+          dictV == graft.sql.Dictionaries.nullMarker()) { ${ev.isNull} = true; }
+      else { ${ev.value} = ($boxed) dictV; }
+    """)
+  }
+}
+
+/** Complex-key dictHas. */
+case class DictHasComplex(
+    keySet: java.util.HashSet[String],
+    key: Expression)
+  extends UnaryExpression with NonSQLExpression {
+
+  override def child: Expression = key
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override protected def withNewChildInternal(newChild: Expression): DictHasComplex =
+    copy(key = newChild)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val k = key.eval(input)
+    k != null && keySet.contains(k.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val setRef = ctx.addReferenceObj("dictCKeySet", keySet, "java.util.HashSet")
+    val c = key.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        boolean ${ev.value} = !${c.isNull} &&
+          $setRef.contains(${c.value}.toString());""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 }
