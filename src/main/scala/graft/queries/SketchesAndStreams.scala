@@ -105,17 +105,34 @@ object SketchesAndStreams {
           COUNT(DISTINCT user_id) AS exact_users
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
-    // KLL quantile sketch (reference kllSketch family) — rows-only.
+    // KLL quantile sketch (reference kllSketch family). The sketch's
+    // chosen values depend on compaction order, so the gate checks the
+    // sketch's ACCURACY CONTRACT instead: the realized rank of each
+    // estimate must sit within the KLL error bound of its target
+    // quantile (k=200 → ~1.65% normalized rank error; 5% budget). The
+    // booleans + group counts hash against the oracle, which asserts
+    // them true — a broken sketch flips a boolean and fails the hash.
     QueryDef(
       "kll_value_quantiles",
-      (s, dir) =>
-        Tables(s, dir, "events")
-          .groupBy(col("event_type"))
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val q = ev.groupBy(col("event_type"))
           .agg(graft.aggregates.SketchAggregates.kllQuantile(col("value"), 0.5).as("kll_p50"),
-               graft.aggregates.SketchAggregates.kllQuantile(col("value"), 0.9).as("kll_p90"),
-               count(lit(1)).as("n"))
-          .orderBy(col("event_type")),
-      None),
+               graft.aggregates.SketchAggregates.kllQuantile(col("value"), 0.9).as("kll_p90"))
+        ev.join(broadcast(q), "event_type")
+          .groupBy(col("event_type"), col("kll_p50"), col("kll_p90"))
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("value") <= col("kll_p50"), 1L).otherwise(0L)).as("le50"),
+               sum(when(col("value") <= col("kll_p90"), 1L).otherwise(0L)).as("le90"))
+          .select(col("event_type"), col("n"),
+            (abs(col("le50") / col("n") - 0.5) <= 0.05).as("p50_in_bound"),
+            (abs(col("le90") / col("n") - 0.9) <= 0.05).as("p90_in_bound"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+          TRUE AS p50_in_bound, TRUE AS p90_in_bound
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // Streaming tumbling-window counts (AvailableNow over the same data) —
     // oracle identical to the batch bucketing, proving stream/batch parity.
