@@ -198,6 +198,41 @@ object ClickHouseAliases {
       else if (v >= -2147483648L) 4 else 8
     }
 
+  /** CH storage width (bytes) of a decimal-typed expression. The
+    * toDecimalN lowerings return CONTAINER-digit precisions (10 for
+    * Decimal32, 19 for Decimal64 — MathOps.decimalContainerDigits), so
+    * a precision-only mapping would mis-size them; the container bits
+    * are recoverable from the invoke shape. Plain decimals use CH's
+    * precision→type mapping (1-9 → Decimal32, 10-18 → Decimal64).
+    */
+  private def chDecimalWidth(e: Expression): Int = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    def bits(x: Expression): Option[Int] = x match {
+      case Literal(b: Int, IntegerType) => Some(b)
+      case _ => None
+    }
+    def shape(x: Expression): Option[Int] = x match {
+      case si: StaticInvoke if si.functionName == "chFloatToDecimal" =>
+        bits(si.arguments(2))
+      case si: StaticInvoke if si.functionName == "chLongToDecimal" ||
+          si.functionName == "chDecimalRescaleChecked" =>
+        bits(si.arguments(1))
+      // the toDecimalN lowering itself is a ChDispatch at build time
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+          if r.childrenResolved => shape(r.replacement)
+      case a: Alias => shape(a.child)
+      case _ => None
+    }
+    val fromShape = shape(e)
+    fromShape.map(b => math.min(b / 8, 16)).getOrElse {
+      val p = e.dataType match {
+        case d: DecimalType => d.precision
+        case _ => 38
+      }
+      if (p <= 9) 4 else if (p <= 18) 8 else 16
+    }
+  }
+
   private def chHashArgBytes(e: Expression): Expression = {
     import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
     val hops = graft.functions.HashOps.getClass
@@ -221,12 +256,12 @@ object ClickHouseAliases {
           Seq(e), Seq(DoubleType), returnNullable = false)
         // Decimal hashes its unscaled integer at storage width
         // (FunctionsHashing.h Decimal32/64/128 byte images)
-        case d: DecimalType if d.precision <= 9 =>
-          le(UnscaledValue(e), 4)
-        case d: DecimalType if d.precision <= 18 =>
-          le(UnscaledValue(e), 8)
-        case d: DecimalType => StaticInvoke(hops, BinaryType, "decLeBytes",
-          Seq(e, Literal(16)), Seq(d, IntegerType), returnNullable = false)
+        case d: DecimalType => chDecimalWidth(e) match {
+          case w if w <= 8 => le(UnscaledValue(e), w)
+          case _ => StaticInvoke(hops, BinaryType, "decLeBytes",
+            Seq(e, Literal(16)), Seq(d, IntegerType),
+            returnNullable = false)
+        }
         case StringType => Cast(e, BinaryType)
         case BinaryType => e
         case _ => Cast(Cast(e, StringType), BinaryType)
@@ -256,10 +291,10 @@ object ClickHouseAliases {
             Seq(e), Seq(FloatType), returnNullable = false))
           case DoubleType => pod(StaticInvoke(hops, LongType, "f64BitsU64",
             Seq(e), Seq(DoubleType), returnNullable = false))
-          // Decimal32/64 are int-pods of their unscaled value
-          // (use_int_hash_for_pods, FunctionsHashing.h:859)
-          case d: DecimalType if d.precision <= 18 =>
-            pod(UnscaledValue(e))
+          // Decimals byte-hash their container image — 4/8/16 bytes, no
+          // int-pod shortcut (executeBigIntType, FunctionsHashing.h:1686;
+          // golden 01032_cityHash64_for_decimal) — via chHashArgBytes'
+          // decimal branch in the default case below.
           case _ => StaticInvoke(hops, LongType, "cityHash64",
             Seq(chHashArgBytes(e)), Seq(BinaryType), returnNullable = false)
         }
@@ -4558,10 +4593,9 @@ object ClickHouseAliases {
             case DoubleType => Hex(StaticInvoke(hops, BinaryType, "f64Bytes",
               Seq(c.head), Seq(DoubleType), returnNullable = false))
             // Decimal prints the LE image of its unscaled integer at the
-            // storage width its precision implies (4/8/16 bytes)
+            // storage width its type implies (4/8/16 bytes)
             case dt: DecimalType =>
-              val w = if (dt.precision <= 9) 4
-                else if (dt.precision <= 18) 8 else 16
+              val w = chDecimalWidth(c.head)
               StaticInvoke(hops, StringType, "decHexLE",
                 Seq(c.head, Literal(w)), Seq(dt, IntegerType),
                 returnNullable = false)
