@@ -132,4 +132,80 @@ object TimeOps {
     UTF8String.fromString(fmt((sod / 3600).toInt, ((sod % 3600) / 60).toInt,
       (sod % 60).toInt, frac, frac.length))
   }
+
+  /** ClickHouse `age`: boundary-crossing count adjusted down by one
+    * incomplete unit, computed component-wise on WALL times (reference
+    * src/Functions/dateDiff.cpp DiffType::Age — including its week
+    * branch comparing x/y day-of-week rather than the swapped pair).
+    * Inputs are wall-clock micros (the caller shifts into the LUT zone).
+    */
+  def chAge(unit: UTF8String, xm: Long, ym: Long,
+      xe: Long, ye: Long): Long = {
+    import java.time.LocalDateTime
+    import java.time.ZoneOffset.UTC
+    def ldt(m: Long): LocalDateTime = LocalDateTime
+      .ofEpochSecond(Math.floorDiv(m, 1000000L),
+        (Math.floorMod(m, 1000000L) * 1000L).toInt, UTC)
+    val x = ldt(xm); val y = ldt(ym)
+    val u = unit.toString.toLowerCase
+    def relQuarter(t: LocalDateTime) =
+      t.getYear.toLong * 4 + (t.getMonthValue - 1) / 3
+    def relMonth(t: LocalDateTime) =
+      t.getYear.toLong * 12 + (t.getMonthValue - 1)
+    def relWeek(t: LocalDateTime) =
+      Math.floorDiv(t.toLocalDate.toEpochDay + 3, 7L)
+    // hour/minute/second relative numbers are EPOCH-based
+    // (ToRelativeHourNumImpl et al. divide the raw time_t); the
+    // calendar units use LUT wall components
+    val xs = Math.floorDiv(xe, 1000000L)
+    val ys = Math.floorDiv(ye, 1000000L)
+    if (u == "second" || u == "ss" || u == "s") return ys - xs
+    var res = u match {
+      case "year" | "yy" | "yyyy" => y.getYear.toLong - x.getYear.toLong
+      case "quarter" | "qq" => relQuarter(y) - relQuarter(x)
+      case "month" | "mm" => relMonth(y) - relMonth(x)
+      case "week" | "wk" | "ww" => relWeek(y) - relWeek(x)
+      case "day" | "dd" | "d" =>
+        y.toLocalDate.toEpochDay - x.toLocalDate.toEpochDay
+      case "hour" | "hh" | "h" =>
+        Math.floorDiv(ys, 3600L) - Math.floorDiv(xs, 3600L)
+      case "minute" | "mi" | "n" =>
+        Math.floorDiv(ys, 60L) - Math.floorDiv(xs, 60L)
+      case other => throw new IllegalArgumentException(
+        s"age: unknown unit '$other' (error 36 analog)")
+    }
+    val (a, b, adj) =
+      if (xs <= ys) (x, y, -1L) else (y, x, 1L)
+    def timeGt(p: LocalDateTime, q: LocalDateTime): Boolean =
+      p.getHour > q.getHour ||
+        (p.getHour == q.getHour && (p.getMinute > q.getMinute ||
+          (p.getMinute == q.getMinute && p.getSecond > q.getSecond)))
+    val bump = u match {
+      case "year" | "yy" | "yyyy" =>
+        a.getMonthValue > b.getMonthValue ||
+          (a.getMonthValue == b.getMonthValue &&
+            (a.getDayOfMonth > b.getDayOfMonth ||
+              (a.getDayOfMonth == b.getDayOfMonth && timeGt(a, b))))
+      case "quarter" | "qq" =>
+        val am = (a.getMonthValue - 1) % 3
+        val bm = (b.getMonthValue - 1) % 3
+        am > bm || (am == bm && (a.getDayOfMonth > b.getDayOfMonth ||
+          (a.getDayOfMonth == b.getDayOfMonth && timeGt(a, b))))
+      case "month" | "mm" =>
+        a.getDayOfMonth > b.getDayOfMonth ||
+          (a.getDayOfMonth == b.getDayOfMonth && timeGt(a, b))
+      case "week" | "wk" | "ww" =>
+        val xd = x.getDayOfWeek.getValue; val yd = y.getDayOfWeek.getValue
+        xd > yd || (xd == yd && a.getHour > b.getHour) ||
+          (a.getHour == b.getHour && (a.getMinute > b.getMinute ||
+            (a.getMinute == b.getMinute && a.getSecond > b.getSecond)))
+      case "day" | "dd" | "d" => timeGt(a, b)
+      case "hour" | "hh" | "h" =>
+        a.getMinute > b.getMinute ||
+          (a.getMinute == b.getMinute && a.getSecond > b.getSecond)
+      case "minute" | "mi" | "n" => a.getSecond > b.getSecond
+      case _ => false
+    }
+    if (bump) res + adj else res
+  }
 }

@@ -45,6 +45,20 @@ object ChCoercions extends Rule[LogicalPlan] {
     case st: StructType => st.fieldNames.sameElements(Array("__time"))
     case _ => false
   }
+  /** The declared column timezone of an attribute (graft.ch.tz). */
+  private def colTz(e: Expression): Option[String] = e match {
+    case a: AttributeReference if a.metadata.contains("graft.ch.tz") =>
+      Some(a.metadata.getString("graft.ch.tz"))
+    case _ => None
+  }
+  /** A foldable string operand — bare, or already session-zone-cast to
+    * timestamp by an earlier coercion pass. */
+  private def strLit(e: Expression): Option[Expression] = e match {
+    case s if s.dataType == StringType && s.foldable => Some(s)
+    case Cast(s, TimestampType, _, _)
+        if s.dataType == StringType && s.foldable => Some(s)
+    case _ => None
+  }
   private def isInterval(e: Expression): Boolean = e.dataType match {
     case CalendarIntervalType => true
     case _: DayTimeIntervalType => true
@@ -278,6 +292,20 @@ object ChCoercions extends Rule[LogicalPlan] {
             EqualTo(Cast(c, DoubleType), Literal(0.0d))
           case If(p, t, e) if p.resolved && numeric(p) =>
             If(toBool(p), t, e)
+          // a DateTime('zone') column compares against a string literal
+          // parsed in the COLUMN's zone, not the session's (reference
+          // column-type timezone; 02739)
+          case c: BinaryComparison if ok(c.left, c.right) &&
+              colTz(c.left).isDefined && isTs(c.left) &&
+              strLit(c.right).isDefined =>
+            c.withNewChildren(Seq(c.left,
+              Cast(strLit(c.right).get, TimestampType, colTz(c.left))))
+          case c: BinaryComparison if ok(c.left, c.right) &&
+              colTz(c.right).isDefined && isTs(c.right) &&
+              strLit(c.left).isDefined =>
+            c.withNewChildren(Seq(
+              Cast(strLit(c.left).get, TimestampType, colTz(c.right)),
+              c.right))
           case c: BinaryComparison
               if ok(c.left, c.right) && isBool(c.left) && numeric(c.right) =>
             c.withNewChildren(Seq(Cast(c.left, IntegerType), c.right))

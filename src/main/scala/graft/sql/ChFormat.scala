@@ -24,16 +24,84 @@ object ChFormat {
     * corpus and library suites must not race on shared state.
     */
   def formatRows(rows: Seq[org.apache.spark.sql.Row],
-      zone: java.time.ZoneId = ZoneOffset.UTC): String =
-    rows.map(r => (0 until r.length).map(i => top(r.get(i), zone)).mkString("\t"))
-      .mkString("\n")
+      zone: java.time.ZoneId = ZoneOffset.UTC,
+      schema: org.apache.spark.sql.types.StructType = null): String = {
+    val hints: Array[(Option[Int], Option[java.time.ZoneId])] =
+      Option(schema)
+        .orElse(rows.headOption.flatMap(r => Option(r.schema))) match {
+        case Some(sch) => sch.fields.map(colHint)
+        case None => Array.empty
+      }
+    rows.map(r => (0 until r.length).map { i =>
+      val (sc, tz) = if (i < hints.length) hints(i) else (None, None)
+      top(r.get(i), tz.getOrElse(zone), sc)
+    }.mkString("\t")).mkString("\n")
+  }
+
+  /** DateTime64 render hints for a column: the declared scale and an
+    * explicit column timezone. Table columns carry them as metadata
+    * (graft.ch.dt64 / graft.ch.tz, attached at CREATE); computed
+    * toDateTime64(…)/CAST(…, 'DateTime64(s)') select items surface them
+    * in Spark's auto-generated column NAME (the golden TabSeparated
+    * output never shows names, so the name is a free channel).
+    */
+  private def colHint(f: org.apache.spark.sql.types.StructField)
+      : (Option[Int], Option[java.time.ZoneId]) = {
+    val m = f.metadata
+    val metaScale =
+      if (m.contains("graft.ch.dt64")) Some(m.getLong("graft.ch.dt64").toInt)
+      else None
+    val metaTz =
+      if (m.contains("graft.ch.tz")) Some(m.getString("graft.ch.tz")) else None
+    // Spark's auto-alias strips string quotes: the name reads
+    // `toDateTime64(2205-12-12 12:12:12, 0, UTC)` — a timezone is a
+    // letter-led token, the scale the trailing comma-number before it
+    val n = f.name
+    val callRe =
+      ("""(?i)^\s*toDateTime64(?:OrNull|OrZero)?\(.*,\s*(\d+)\s*""" +
+        """(?:,\s*'?([A-Za-z][\w/+\-]*)'?\s*)?\)\s*$""").r
+    val castRe = """(?i)(?<![\w])DateTime64\s*\(\s*(\d+)\s*(?:,\s*'?([A-Za-z][\w/+\-]*)'?)?""".r
+    // inner form: toDateTime64(…) nested under addHours etc. — the
+    // result type (and so scale + display tz) carries through
+    val innerRe =
+      """(?i)toDateTime64(?:OrNull|OrZero)?\([^()]*?,\s*(\d+)\s*(?:,\s*'?([A-Za-z][\w/+\-]*)'?\s*)?\)""".r
+    // toDateTime(x, 'tz'): display-zone only, no fractional digits
+    val dtTzRe =
+      """(?i)^\s*toDateTime(?:OrNull|OrZero)?\([^()]*,\s*'?([A-Za-z][\w/+\-]*)'?\s*\)\s*$""".r
+    val hit = callRe.findFirstMatchIn(n).orElse(castRe.findFirstMatchIn(n))
+      .orElse(innerRe.findFirstMatchIn(n))
+    val nameScale = metaScale.orElse(hit.map(_.group(1).toInt))
+    val nameTz = metaTz.orElse(hit.flatMap(x => Option(x.group(2))))
+      .orElse(dtTzRe.findFirstMatchIn(n).map(_.group(1)))
+    (nameScale,
+      nameTz.flatMap(z => scala.util.Try(java.time.ZoneId.of(z)).toOption))
+  }
 
   /** Top-level column value: strings raw (escaped), NULL = \N. */
-  def top(v: Any, zone: java.time.ZoneId): String = v match {
+  def top(v: Any, zone: java.time.ZoneId,
+      dt64Scale: Option[Int] = None): String = v match {
     case null => "\\N"
     case s: String => escape(s)
     case b: Array[Byte] => escape(new String(b, "UTF-8")) // CH String from unhex etc.
+    case t: Timestamp if dt64Scale.isDefined =>
+      tsTextScaled(t.toInstant.atZone(zone).toLocalDateTime, dt64Scale.get)
+    case t: java.time.Instant if dt64Scale.isDefined =>
+      tsTextScaled(t.atZone(zone).toLocalDateTime, dt64Scale.get)
     case other => value(other, quoted = false, zone)
+  }
+
+  /** DateTime64(s) text: EXACTLY s fractional digits (zero-padded,
+    * truncated past micros — the engine keeps micros). Scale 0 prints
+    * whole seconds (reference writeDateTimeText with scale).
+    */
+  private def tsTextScaled(t: java.time.LocalDateTime, s: Int): String = {
+    val base = t.format(tsFmt)
+    if (s <= 0) base
+    else {
+      val micros = t.getNano / 1000
+      val frac = f"$micros%06d"
+      base + "." + (if (s <= 6) frac.take(s) else frac.padTo(s, '0'))
+    }
   }
 
   /** Nested (inside array/tuple/map): strings AND date/time values

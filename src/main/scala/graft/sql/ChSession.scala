@@ -194,6 +194,22 @@ final class ChSession(spark: SparkSession) {
       spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers",
         (m.group(1).toUpperCase != "MYSQL").toString)
     }
+    // session_timezone / timezone: switches the session's display AND
+    // parse zone (reference Settings session_timezone; 02737-02739).
+    // An unknown zone is BAD_ARGUMENTS (error 36).
+    """(?i)\b(?:session_)?timezone\s*=\s*'([^']*)'""".r
+      .findFirstMatchIn(s).foreach { m =>
+        val z = m.group(1)
+        if (z.isEmpty) // '' = back to the server default
+          tzAtOpen.foreach(spark.conf.set("spark.sql.session.timeZone", _))
+        else {
+          try java.time.ZoneId.of(z) catch {
+            case _: Exception => throw new IllegalArgumentException(
+              s"Invalid time zone '$z' (BAD_ARGUMENTS, error 36 analog)")
+          }
+          spark.conf.set("spark.sql.session.timeZone", z)
+        }
+      }
     dedupModeRe.findFirstMatchIn(s).foreach(m =>
       dedupKeyMode = m.group(1).toLowerCase)
     stagingRe.findFirstMatchIn(s).foreach(m =>
@@ -241,9 +257,19 @@ final class ChSession(spark: SparkSession) {
   private val mvs = mutable.ArrayBuffer[MvDef]()
 
   /** Drop every view this session registered. */
+  // session timezone as found at construction — SET session_timezone
+  // must not leak into the next corpus file
+  private val tzAtOpen: Option[String] =
+    try Some(spark.conf.get("spark.sql.session.timeZone"))
+    catch { case _: Throwable => None }
+
   def close(): Unit = {
     (tables.keys ++ views).foreach { n =>
       try spark.catalog.dropTempView(n) catch { case _: Throwable => () }
+    }
+    tzAtOpen.foreach { z =>
+      try spark.conf.set("spark.sql.session.timeZone", z)
+      catch { case _: Throwable => () }
     }
     tables.clear(); views.clear(); stagingData.clear()
     tableStats.clear(); memoryStats.clear()
@@ -1936,6 +1962,12 @@ final class ChSession(spark: SparkSession) {
       """(?is)^(?:Nullable\s*\(\s*)?DateTime(?:64)?\s*\(\s*(?:\d+\s*,\s*)?'([^']+)'"""
         .r.findFirstMatchIn(typeText.trim)
         .foreach(m => mb.putString("graft.ch.tz", m.group(1)))
+      // DateTime64 declared scale — rendered as exactly that many
+      // fractional digits (ChFormat.tsTextScaled)
+      """(?is)^(?:Nullable\s*\(\s*)?DateTime64\s*(?:\(\s*(\d+))?"""
+        .r.findFirstMatchIn(typeText.trim)
+        .foreach(m => mb.putLong("graft.ch.dt64",
+          Option(m.group(1)).map(_.toLong).getOrElse(3L)))
       val meta = mb.build()
       Some(ColDef(StructField(name, dt, nullable = true, meta), typeText, d,
         hidden, kind, comment, rinn = rinn, onUpdate = onUpdate))

@@ -4218,6 +4218,14 @@ object ChTranspiler {
         parseAjItem(cur.toVector).fold { bad = true } { items += _ }
         if (bad || items.isEmpty) return None
         val fn = if (leftOuter) "explode_outer" else "explode"
+        // CH LEFT ARRAY JOIN pads an EMPTY array with one element of
+        // the array's element-type DEFAULT (ArrayJoinAction.cpp with
+        // array_join_is_left — 0/''/NULL-for-Nullable), not SQL NULL:
+        // pad first, then plain explode (single-item forms only; the
+        // positional-zip form pads per element via try_element_at)
+        def fnOf(arg: String): String =
+          if (leftOuter) s"explode(chLeftArrayPad($arg))"
+          else s"explode($arg)"
         val n = sql.length // cheap unique suffix within the statement
         // locate this level's FROM (last FROM token before ARRAY at myDepth)
         val fromIdx = (0 until startIdx).reverse
@@ -4256,14 +4264,14 @@ object ChTranspiler {
             hideFromStar(Seq(s"__aj_in$n"))
             val src = text(nextSig(fromIdx + 1), startIdx)
             (s" FROM (SELECT * EXCEPT ($id), $id AS __aj_in$n FROM $src) " +
-              s"LATERAL VIEW $fn(__aj_in$n) __aj_v$n AS $id ", fromIdx)
+              s"LATERAL VIEW ${fnOf(s"__aj_in$n")} __aj_v$n AS $id ", fromIdx)
           case Seq(AjItem(expr, Some(alias))) =>
             hideFromStar(Seq(alias))
             if (fromIdx < 0)
               (s" FROM (SELECT 1 AS __aj_one$n) " +
-                s"LATERAL VIEW $fn($expr) __aj_v$n AS $alias ", startIdx)
+                s"LATERAL VIEW ${fnOf(expr)} __aj_v$n AS $alias ", startIdx)
             else
-              (s" LATERAL VIEW $fn($expr) __aj_v$n AS $alias ", startIdx)
+              (s" LATERAL VIEW ${fnOf(expr)} __aj_v$n AS $alias ", startIdx)
           case multi if multi.forall(_.alias.isDefined) =>
             // positional zip: explode an index range, pull each element
             val fields = multi.zipWithIndex.map { case (it, k) =>

@@ -381,6 +381,19 @@ object ClickHouseAliases {
     case _ => (f, arrays.head)
   }
 
+  /** CH element default for array padding (LEFT ARRAY JOIN /
+    * emptyArrayToSingle): NULL for a nullable slot, the type zero
+    * otherwise, recursively through tuples (insertDefault semantics).
+    */
+  private def chElemDefault(dt: DataType, nullable: Boolean): Expression =
+    if (nullable) Literal.create(null, dt)
+    else dt match {
+      case st: StructType => CreateNamedStruct(st.fields.flatMap(f =>
+        Seq(Literal(f.name), chElemDefault(f.dataType, f.nullable))).toSeq)
+      case at: ArrayType => Literal.create(Seq.empty[Any], at)
+      case _ => Literal.default(dt)
+    }
+
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
       wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9 ++ wave10 ++ wave11 ++
@@ -514,12 +527,37 @@ object ClickHouseAliases {
       // toDateTime64(x, scale[, tz]): the SCALE truncates — DateTime64(0)
       // of '…11:11:11.123456' is …11:11:11 (reference DataTypeDateTime64
       // scale ticks); sub-scale digits are floored away
-      "toDateTime64" -> (cs => ChDispatch("toDateTime64", cs.take(2)) { c =>
-        val ts = Cast(c.head, TimestampType)
+      "toDateTime64" -> (cs => ChDispatch("toDateTime64", cs) { c =>
+        // the SCALE must be a constant integer (error 43), within [0, 9]
+        // (error 69 above 18 in the reference; Spark micros cap at 9
+        // meaningful digits) — DataTypeDateTime64 scale checks
         val scale = c(1) match {
-          case Literal(v, _) if v != null =>
-            try v.toString.toInt catch { case _: Exception => 6 }
-          case _ => 6
+          case Literal(v, t) if v != null &&
+              (t.isInstanceOf[IntegerType.type] ||
+                t.isInstanceOf[LongType.type] || t == ByteType ||
+                t == ShortType) => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"toDateTime64: scale must be a constant integer, got $other" +
+              " (error 43 analog)")
+        }
+        if (scale > 18) throw new IllegalArgumentException(
+          s"toDateTime64: scale $scale too big (error 69 analog)")
+        // a timezone 3rd argument parses string input IN that zone
+        // (the type's display tz; ChFormat re-renders in it by name)
+        val tzId = c.drop(2).headOption.map {
+          case Literal(u, StringType) if u != null =>
+            val z = u.toString
+            try { java.time.ZoneId.of(z); z } catch {
+              case _: Exception => throw new IllegalArgumentException(
+                s"toDateTime64: invalid timezone '$z' (error 1000 analog)")
+            }
+          case other => throw new IllegalArgumentException(
+            s"toDateTime64: timezone must be a constant string, got $other")
+        }
+        val ts = c.head.dataType match {
+          case StringType if tzId.isDefined =>
+            Cast(c.head, TimestampType, tzId)
+          case _ => Cast(c.head, TimestampType)
         }
         if (scale >= 6) ts
         else {
@@ -835,7 +873,7 @@ object ClickHouseAliases {
         if (cs.size == 1) (Literal(0L): Expression, Cast(cs.head, LongType))
         else (Cast(cs.head, LongType), Cast(cs(1), LongType))
       If(LessThanOrEqual(hi, lo),
-        Literal.create(Array.empty[Long], ArrayType(LongType)),
+        Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)),
         new Sequence(lo, Subtract(hi, Literal(1L)), Some(Literal(1L))))
     }),
 
@@ -1010,7 +1048,7 @@ object ClickHouseAliases {
       // an empty pattern yields no matches (CH OptimizedRegularExpression
       // skips zero-width-only patterns), where Spark would return ['','']
       If(EqualTo(Length(cs(1)), Literal(0)),
-        Literal.create(Array.empty[String], ArrayType(StringType)),
+        Literal.create(Array.empty[String], ArrayType(StringType, containsNull = false)),
         RegExpExtractAll(cs.head, cs(1), groupIdx))
     }),
 
@@ -1019,7 +1057,7 @@ object ClickHouseAliases {
     // arrayEnumerate([a,b,c]) = [1,2,3] (reference arrayEnumerate.cpp).
     "arrayEnumerate" -> (cs =>
       If(LessThanOrEqual(Size(cs.head), Literal(0)),
-        Literal.create(Array.empty[Int], ArrayType(IntegerType)),
+        Literal.create(Array.empty[Int], ArrayType(IntegerType, containsNull = false)),
         new Sequence(Literal(1), Size(cs.head), Some(Literal(1))))),
     // arrayEnumerateUniq: 1-based occurrence number of each element among
     // its equals so far (reference arrayEnumerateUniq.cpp) — a per-row
@@ -2482,7 +2520,7 @@ object ClickHouseAliases {
       "splitByString" -> (cs => If(
         EqualTo(cs.head, Literal("")),
         If(EqualTo(cs(1), Literal("")),
-          Literal.create(Array.empty[String], ArrayType(StringType)),
+          Literal.create(Array.empty[String], ArrayType(StringType, containsNull = false)),
           StringSplit(cs(1), Literal(""), Literal(0))),
         StringSplit(cs(1),
           Concat(Seq(Literal("\\Q"), cs.head, Literal("\\E"))), Literal(-1)))),
@@ -2561,7 +2599,7 @@ object ClickHouseAliases {
     // yields no tokens, FunctionsStringArray.h)
     "splitByRegexp" -> (cs => If(
       And(EqualTo(cs.head, Literal("")), EqualTo(cs(1), Literal(""))),
-      Literal.create(Array.empty[String], ArrayType(StringType)),
+      Literal.create(Array.empty[String], ArrayType(StringType, containsNull = false)),
       StringSplit(cs(1), cs.head, Literal(-1)))),
     "alphaTokens" -> (cs => RegExpExtractAll(cs.head, Literal("[a-zA-Z]+"), Literal(0))),
     "ngrams" -> (cs => {
@@ -2571,7 +2609,7 @@ object ClickHouseAliases {
           s"ngrams: n must be an integer literal, got $other")
       }
       If(LessThan(Length(cs.head), Literal(n)),
-        Literal.create(Array.empty[String], ArrayType(StringType)),
+        Literal.create(Array.empty[String], ArrayType(StringType, containsNull = false)),
         ArrayTransform(
           new Sequence(Literal(1), Subtract(Length(cs.head), Literal(n - 1)), None),
           LambdaFunction(Substring(cs.head, Cast(lv("i"), IntegerType), Literal(n)),
@@ -2786,7 +2824,7 @@ object ClickHouseAliases {
     val tail = Substring(url, Add(Length(head), Literal(1)), Literal(Int.MaxValue))
     val pieces = RegExpExtractAll(tail, Literal("[/?#]*[^/?#]+[/?#]?"), Literal(0))
     val n = Size(pieces)
-    val emptyArr = Literal.create(Array.empty[String], ArrayType(StringType))
+    val emptyArr = Literal.create(Array.empty[String], ArrayType(StringType, containsNull = false))
     val prefixes = ArrayTransform(
       new Sequence(Literal(1), n, None),
       LambdaFunction({
@@ -3716,6 +3754,21 @@ object ClickHouseAliases {
             if (isTimeStruct(c.head.dataType)) timeSecs(c.head, t)
             else Cast(c.head, t)
           }
+        // toDateTime(x[, tz]): a STRING input with a constant tz parses
+        // in that zone (the zone is the TYPE's display zone — ChFormat
+        // re-renders in it, so text round-trips and DST-shifted
+        // arithmetic lands on the reference's wall clock)
+        case None if n == "DateTime" =>
+          ChDispatch("toDateTime", cs) { c =>
+            val tzId = c.drop(1).headOption.collect {
+              case Literal(u, StringType) if u != null => u.toString
+            }
+            c.head.dataType match {
+              case StringType if tzId.isDefined =>
+                Cast(c.head, TimestampType, tzId)
+              case _ => Cast(c.head, t)
+            }
+          }
         // toDate(number): ≤ 65535 is days-since-epoch (the UInt16 Date
         // domain), larger is unix SECONDS (reference
         // FunctionsConversion.h ToDateTransform32Or64 cutoff)
@@ -3929,13 +3982,20 @@ object ClickHouseAliases {
               LambdaFunction(
                 EqualTo(Slice(a, lv("i"), Size(b)), b), Seq(lv("i"))))))
       }),
-      // empty → [NULL] (the reference emits the type's 0/''/epoch
-      // default; a typed zero is not constructible pre-analysis —
-      // documented divergence).
+      // empty → [default]: the element type's CH default — NULL only
+      // for a nullable slot, 0/''/epoch otherwise, recursively through
+      // tuples (reference array/emptyArrayToSingle.cpp insertDefault)
       "emptyArrayToSingle" -> (cs =>
-        If(EqualTo(Size(cs.head), Literal(0)),
-          CreateArray(Seq(Literal.create(null, NullType))),
-          cs.head)),
+        ChDispatch("emptyArrayToSingle", cs.take(1)) { c =>
+          c.head.dataType match {
+            case at: ArrayType =>
+              If(EqualTo(Size(c.head), Literal(0)),
+                CreateArray(Seq(
+                  chElemDefault(at.elementType, at.containsNull))),
+                c.head)
+            case _ => c.head
+          }
+        }),
       // arraySplit (reference array/arraySplit.cpp:114-122): a TRUE
       // predicate STARTS a new segment (except at the first element);
       // arrayReverseSplit: a TRUE predicate ENDS its segment. Same
@@ -4026,7 +4086,7 @@ object ClickHouseAliases {
     */
   private def emptyArrayCtors: Seq[(String, Seq[Expression] => Expression)] = {
     def empty(dt: DataType): Seq[Expression] => Expression =
-      _ => Cast(CreateArray(Nil), ArrayType(dt))
+      _ => Cast(CreateArray(Nil), ArrayType(dt, containsNull = false))
     Seq(
       "emptyArrayUInt8" -> empty(ShortType),
       "emptyArrayUInt16" -> empty(IntegerType),
@@ -4427,7 +4487,7 @@ object ClickHouseAliases {
       "JSONExtractArrayRaw" -> ((cs: Seq[Expression]) => {
         val t = target(cs)
         val n = LengthOfJsonArray(t)
-        If(IsNull(n), Literal.create(Array.empty[String], ArrayType(StringType)),
+        If(IsNull(n), Literal.create(Array.empty[String], ArrayType(StringType, containsNull = false)),
           ArrayTransform(
             new Sequence(Literal(0), Subtract(n, Literal(1)), None),
             LambdaFunction(GetJsonObject(t,
@@ -4668,25 +4728,35 @@ object ClickHouseAliases {
       // DateTime read per ReadHelpers.h: a 9-10 digit value is unix
       // seconds, anything else datetime text (used by the session's
       // INSERT alignment)
+      // LEFT ARRAY JOIN pad: an empty/NULL array becomes one element of
+      // the element type's CH default — NULL for a nullable slot, the
+      // type zero otherwise, recursively through tuples (reference
+      // ArrayJoinAction.cpp array_join_is_left; transpiler emits it)
+      "chLeftArrayPad" -> (cs => ChDispatch("chLeftArrayPad", cs.take(1)) { c =>
+        c.head.dataType match {
+          case at: ArrayType =>
+            If(Or(IsNull(c.head), EqualTo(Size(c.head), Literal(0))),
+              CreateArray(Seq(chElemDefault(at.elementType, at.containsNull))),
+              c.head)
+          case _ => c.head
+        }
+      }),
       "chReadDateTime" -> (cs => ChDispatch("chReadDateTime", cs) { c =>
-        // the optional 2nd arg is the column's DECLARED timezone: an
-        // EPOCH value renders as that zone's wall time, so shift it
-        // into the session zone's equivalent instant; datetime TEXT is
-        // wall time in either zone and stays as-is
-        def shifted(epochTs: Expression): Expression = c.lift(1) match {
-          case Some(Literal(tz, StringType)) if tz != null =>
-            ToUTCTimestamp(FromUTCTimestamp(epochTs, Literal(tz)),
-              CurrentTimeZone())
-          case _ => epochTs
+        // the optional 2nd arg is the column's DECLARED timezone:
+        // datetime TEXT parses as wall time IN that zone (the display
+        // path renders the column in it — graft.ch.tz metadata), an
+        // EPOCH value is already absolute
+        val tzOpt = c.lift(1).collect {
+          case Literal(tz, StringType) if tz != null => tz.toString
         }
         c.head.dataType match {
           case StringType =>
             If(new RLike(c.head, Literal("^\\d{9,10}$")),
-              shifted(Cast(Cast(c.head, LongType), TimestampType)),
-              Cast(c.head, TimestampType))
+              Cast(Cast(c.head, LongType), TimestampType),
+              Cast(c.head, TimestampType, tzOpt))
           case TimestampType => c.head
           case DateType => Cast(c.head, TimestampType)
-          case _ => shifted(Cast(c.head, TimestampType))
+          case _ => Cast(c.head, TimestampType)
         }
       }),
       // MySQL-compat addDate/subDate(date, INTERVAL n unit): plain +/-
@@ -4732,29 +4802,43 @@ object ClickHouseAliases {
       // age('unit', start, end): COMPLETE elapsed units (reference
       // src/Functions/dateDiff.cpp registerFunction age — unlike
       // dateDiff it does not count boundary crossings)
-      "age" -> (cs => ChDispatch("age", cs.take(3)) { c =>
+      "age" -> (cs => ChDispatch("age", cs.take(4)) { c =>
         val unit = c.head match {
           case Literal(u, StringType) if u != null => u.toString.toLowerCase
           case _ => "second"
         }
-        def ts(e: Expression) = Cast(e, TimestampType)
-        def secs(e: Expression) = Cast(UnixMicros(ts(e)), DoubleType)
-        lazy val months = MonthsBetween(ts(c(2)), ts(c(1)), Literal(false))
-        def floorDiv(unitSecs: Long): Expression = Cast(
-          Floor(Divide(Subtract(secs(c(2)), secs(c(1))),
-            Literal(unitSecs * 1e6))), LongType)
-        unit match {
-          case "year" | "yy" | "yyyy" =>
-            Cast(Floor(Divide(months, Literal(12.0d))), LongType)
-          case "quarter" | "qq" =>
-            Cast(Floor(Divide(months, Literal(3.0d))), LongType)
-          case "month" | "mm" => Cast(Floor(months), LongType)
-          case "week" | "wk" => floorDiv(7L * 86400)
-          case "day" | "dd" => floorDiv(86400L)
-          case "hour" | "hh" => floorDiv(3600L)
-          case "minute" | "mi" => floorDiv(60L)
-          case _ => floorDiv(1L)
+        // a Date operand expands to midnight in the LUT timezone: the
+        // explicit 4th argument, else the OTHER operand's type timezone
+        // (reference dateDiff.cpp `age`)
+        val tzArg: Option[String] = c.lift(3).collect {
+          case Literal(v, StringType) if v != null => v.toString
         }
+        val tzOpt: Option[String] = tzArg.orElse(
+          c.slice(1, 3).flatMap(_.collect {
+            case d: graft.sql.ChDispatch
+                if d.name == "toDateTime" || d.name == "toDateTime64" =>
+              d.children.drop(if (d.name == "toDateTime") 1 else 2)
+                .headOption.collect {
+                  case Literal(v, StringType) if v != null => v.toString }
+          }.flatten).distinct match {
+            case Seq(z) => Some(z)
+            case _ => None
+          })
+        def ts(e: Expression) = e.dataType match {
+          case DateType if tzOpt.isDefined => Cast(e, TimestampType, tzOpt)
+          case _ => Cast(e, TimestampType)
+        }
+        // component-adjusted boundary count on WALL time in the LUT
+        // zone (reference dateDiff.cpp DiffType::Age; TimeOps.chAge)
+        val lut = tzOpt.getOrElse(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        def wall(e: Expression) =
+          UnixMicros(FromUTCTimestamp(ts(e), Literal(lut)))
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        StaticInvoke(graft.functions.TimeOps.getClass, LongType, "chAge",
+          Seq(Literal(unit), wall(c(1)), wall(c(2)),
+            UnixMicros(ts(c(1))), UnixMicros(ts(c(2)))),
+          Seq(StringType, LongType, LongType, LongType, LongType))
       }),
       "tupleHammingDistance" -> (cs =>
         ChDispatch("tupleHammingDistance", cs.take(2)) { c =>
@@ -6068,7 +6152,7 @@ object ClickHouseAliases {
     // dateDiff('year', '2017-12-31', '2018-01-01') = 1. Shadows Spark's
     // datediff, so corpus-session only.
     val dateDiffBuilder: Seq[Expression] => Expression = cs =>
-      ChDispatch("dateDiff", cs.take(3)) { c =>
+      ChDispatch("dateDiff", cs.take(4)) { c =>
         // hive format (02031): dateDiff(start, end[, tz]) — no unit
         // argument, day units; the string-literal head selects the CH
         // 3-arg form dateDiff(unit, start, end)
@@ -6083,8 +6167,28 @@ object ClickHouseAliases {
           case Literal(u, StringType) if u != null => u.toString.toLowerCase
           case _ => "day"
         }
-        def d(e: Expression) = Cast(e, DateType)
-        def t(e: Expression) = Cast(Cast(e, TimestampType), LongType)
+        // CH 4-arg form: the timezone whose LUT defines the unit
+        // boundaries (dateDiff.cpp) — date↔timestamp expansion and the
+        // hour/minute/second boundary counts happen in THAT zone
+        val tz: Option[String] =
+          (if (hiveForm) c.drop(2) else c.drop(3)).headOption.collect {
+            case Literal(u, StringType) if u != null => u.toString
+          }
+        def d(e: Expression) = e.dataType match {
+          case TimestampType if tz.isDefined => Cast(e, DateType, tz)
+          case _ => Cast(e, DateType)
+        }
+        def t(e: Expression) = {
+          val ts0 = e.dataType match {
+            case DateType if tz.isDefined => Cast(e, TimestampType, tz)
+            case _ => Cast(e, TimestampType)
+          }
+          val shifted = tz match {
+            case Some(z) => FromUTCTimestamp(ts0, Literal(z))
+            case None => ts0
+          }
+          Cast(shifted, LongType)
+        }
         def rel(e: Expression): Expression = unit match {
           case "year" | "yy" | "yyyy" => Cast(Year(d(e)), LongType)
           case "quarter" | "qq" => Cast(Add(

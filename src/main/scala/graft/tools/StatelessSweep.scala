@@ -294,6 +294,110 @@ object StatelessSweep {
     * column, retry with top-level select aliases inlined into the
     * later clauses (ChTranspiler.inlineSelectAliases).
     */
+  /** DateTime64 render hints hidden behind subquery aliases: walk the
+    * ANALYZED plan (ChDispatch nodes survive analysis — they are
+    * RuntimeReplaceable, replaced only by the optimizer) and resolve
+    * each output attribute to its producing expression. toDateTime64's
+    * literal scale/tz, and the DateTime64(3) result type of the
+    * addX/subtractX family over String input, become field metadata the
+    * formatter understands (ChFormat.colHint).
+    */
+  private val dateAddNames = Set("addYears", "addMonths", "addQuarters",
+    "addWeeks", "addDays", "addHours", "addMinutes", "addSeconds",
+    "subtractYears", "subtractMonths", "subtractQuarters",
+    "subtractWeeks", "subtractDays", "subtractHours", "subtractMinutes",
+    "subtractSeconds")
+  private def dt64Schema(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    // phase 1: every Alias in the plan, including inside subquery
+    // plans, indexed by exprId
+    val aliasChild = scala.collection.mutable.Map[ExprId, Expression]()
+    def collect(plan: LogicalPlan): Unit = plan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case a: Alias => aliasChild(a.exprId) = a.child
+        case sq: SubqueryExpression => collect(sq.plan)
+        case _ => ()
+      })
+    }
+    // phase 2: resolve an expression to its DateTime64 render hint
+    def hintOf(e: Expression, depth: Int)
+        : Option[(Option[Int], Option[String])] = if (depth > 12) None
+    else e match {
+      case a: Alias => hintOf(a.child, depth + 1)
+      case ar: AttributeReference =>
+        if (ar.metadata.contains("graft.ch.dt64") ||
+            ar.metadata.contains("graft.ch.tz")) {
+          val sc = if (ar.metadata.contains("graft.ch.dt64"))
+            Some(ar.metadata.getLong("graft.ch.dt64").toInt) else None
+          val tz = if (ar.metadata.contains("graft.ch.tz"))
+            Some(ar.metadata.getString("graft.ch.tz")) else None
+          Some((sc, tz))
+        } else aliasChild.get(ar.exprId).flatMap(hintOf(_, depth + 1))
+      case sq: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+        sq.plan.output.headOption.flatMap(hintOf(_, depth + 1))
+      case d: graft.sql.ChDispatch if d.name == "toDateTime64" =>
+        val sc = d.children.lift(1).collect {
+          case Literal(v, _) if v != null => v.toString.toInt }
+        val tz = d.children.lift(2).collect {
+          case Literal(v, _) if v != null => v.toString }
+        sc.map(s => (Some(s), tz))
+      case d: graft.sql.ChDispatch if d.name == "toDateTime" =>
+        d.children.lift(1).collect {
+          case Literal(v, _) if v != null => v.toString } match {
+          case Some(z) => Some((None, Some(z)))
+          // bare toDateTime(x) keeps x's column timezone
+          case None => hintOf(d.children.head, depth + 1)
+        }
+      case d: graft.sql.ChDispatch if dateAddNames.contains(d.name) &&
+          d.childrenResolved =>
+        // result keeps the input's DateTime64 type; a STRING input
+        // parses as DateTime64(3) (reference
+        // FunctionDateOrDateTimeAddInterval over String)
+        if (d.children.head.dataType ==
+            org.apache.spark.sql.types.StringType) Some((Some(3), None))
+        else hintOf(d.children.head, depth + 1)
+      // a DateTime-typed expression built OVER a tz-typed constructor
+      // (timeSlot, toStartOf*, …) keeps the constructor's display zone;
+      // only an unambiguous single zone in the subtree counts
+      case e2 if e2.resolved && (e2.dataType match {
+        case org.apache.spark.sql.types.TimestampType => true
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.TimestampType, _) => true
+        case _ => false
+      }) =>
+        val zones = e2.collect {
+          case d: graft.sql.ChDispatch
+              if d.name == "toDateTime" || d.name == "toDateTime64" =>
+            d.children.drop(if (d.name == "toDateTime") 1 else 2)
+              .headOption.collect {
+                case Literal(v, _) if v != null => v.toString }
+        }.flatten.distinct
+        if (zones.size == 1) Some((None, Some(zones.head))) else None
+      case _ => None
+    }
+    val plan = df.queryExecution.analyzed
+    collect(plan)
+    def resolve(id: ExprId, depth: Int)
+        : Option[(Option[Int], Option[String])] =
+      aliasChild.get(id).flatMap(hintOf(_, depth))
+    val out = plan.output
+    org.apache.spark.sql.types.StructType(
+      df.schema.fields.zipWithIndex.map { case (f, i) =>
+        if (f.metadata.contains("graft.ch.dt64")) f
+        else out.lift(i).flatMap(a => resolve(a.exprId, 0)) match {
+          case Some((s, tz)) =>
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            s.foreach(v => mb.putLong("graft.ch.dt64", v.toLong))
+            tz.foreach(mb.putString("graft.ch.tz", _))
+            f.copy(metadata = mb.build())
+          case None => f
+        }
+      })
+  }
+
   private def chSql(spark: SparkSession, stripped: String)
       : org.apache.spark.sql.DataFrame = {
     var sqlText = ChTranspiler.transpile(stripped)
@@ -339,8 +443,9 @@ object StatelessSweep {
     // active on this thread unless pinned
     SparkSession.setActiveSession(spark)
     // DateTime text zone = the session's own timezone (session-scoped,
-    // no shared mutable state between parallel suites)
-    val zone = java.time.ZoneId.of(
+    // no shared mutable state between parallel suites). A def, not a
+    // val: SET session_timezone mid-file re-points it (02737-02739)
+    def zone = java.time.ZoneId.of(
       spark.conf.get("spark.sql.session.timeZone"))
     // one ChSession per file = one scratch database per test, the same
     // isolation clickhouse-test provides server-side
@@ -377,8 +482,23 @@ object StatelessSweep {
           val ownMarker = errMarker.findAllMatchIn(raw).exists(m =>
             !(headConsumed && m.start < firstLine.length))
           val expectErr = ownMarker || trailingMarker(nextHead)
+          // trailing `SETTINGS … session_timezone='z'` scopes the zone
+          // to THIS statement (02737); the LAST occurrence is the outer
+          // query's (an inner subquery's SETTINGS is ignored, same as
+          // the reference)
+          val stmtTz = """(?i)\bsession_timezone\s*=\s*'([^']*)'""".r
+            .findAllMatchIn(clean).toSeq.lastOption.map(_.group(1))
+            .filter(_ => !clean.toUpperCase.startsWith("SET "))
+          val tzBefore = spark.conf.get("spark.sql.session.timeZone")
           val result: Option[String] =
             try {
+              stmtTz.foreach { z =>
+                try java.time.ZoneId.of(z) catch {
+                  case _: Exception => throw new IllegalArgumentException(
+                    s"Invalid time zone '$z' (BAD_ARGUMENTS)")
+                }
+                spark.conf.set("spark.sql.session.timeZone", z)
+              }
               session.execute(graft.sql.ChSession.stripDbRefs(clean)) match {
                 case graft.sql.ChSession.Done => None
                 case graft.sql.ChSession.Output(rows) =>
@@ -391,7 +511,8 @@ object StatelessSweep {
                       val df = chSql(spark, cleaned)
                       val rows = df.collect().toSeq
                       val filled = fillRows(spark, rows, df.schema, specs)
-                      if (filled.nonEmpty) Some(ChFormat.formatRows(filled, zone))
+                      if (filled.nonEmpty)
+                        Some(ChFormat.formatRows(filled, zone, dt64Schema(df)))
                       else None
                     case None =>
                   ChTranspiler.splitTotals(stripped) match {
@@ -422,16 +543,19 @@ object StatelessSweep {
                           """(?i)\bWITH\s+TOTALS\b""".r
                             .replaceAllIn(stripped, " ")
                         else stripped
-                      val rows = chSql(spark, strippedT).collect().toSeq
+                      val gdf = chSql(spark, strippedT)
+                      val rows = gdf.collect().toSeq
+                      val gsch = dt64Schema(gdf)
                       // SETTINGS extremes=1: rows, blank line, then the
                       // min and max row over numeric columns (NaN and
                       // NULL excluded unless nothing else remains —
                       // reference ExtremesTransform.cpp)
                       if (extremesRe.findFirstIn(stripped).isDefined && rows.nonEmpty)
-                        Some(ChFormat.formatRows(rows, zone) + "\n\n" +
-                          ChFormat.formatRows(extremesRows(rows), zone))
+                        Some(ChFormat.formatRows(rows, zone, gsch) + "\n\n" +
+                          ChFormat.formatRows(extremesRows(rows), zone, gsch))
                       // empty-string ROW is an output line; empty ROWSET is not
-                      else if (rows.nonEmpty) Some(ChFormat.formatRows(rows, zone))
+                      else if (rows.nonEmpty)
+                        Some(ChFormat.formatRows(rows, zone, gsch))
                       else None
                   }
                   }
@@ -449,6 +573,9 @@ object StatelessSweep {
                 if (oom) throw e
                 true
               } => None
+            } finally {
+              if (stmtTz.isDefined)
+                spark.conf.set("spark.sql.session.timeZone", tzBefore)
             }
           (if (echo) Seq(raw) else Nil) ++ result.toSeq
         case ((raw, _), _) =>
