@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -171,8 +171,145 @@ object ChCoercions extends Rule[LogicalPlan] {
   private def familyBits(p: Int): Int =
     if (p <= 9) 32 else if (p <= 18) 64 else 128
 
+  /** CH optimize_arithmetic_operations_in_aggregate_functions: a pure
+    * numeric literal moves OUT of sum/min/max/avg (* and / only for
+    * sum), chained within one precedence group; a negative * or /
+    * literal flips min↔max — INCLUDING the reference's unflipped
+    * `c - x` quirk (min(1 - n) executes as 1 - min(n), 01271's value
+    * rows pin it). Session-gated: corpus bug-compatibility, never the
+    * engine path.
+    */
+  val AggArithFlag = "spark.graft.chAggArith"
+
+  private def chAggPull(ae: AggregateExpression): Option[Expression] = {
+    def aggName(f: AggregateFunction): Option[String] = f match {
+      case _: Min => Some("min")
+      case _: Max => Some("max")
+      case _: Sum => Some("sum")
+      case _: Average => Some("avg")
+      case _ => None
+    }
+    def rebuild(name: String, child: Expression): AggregateFunction =
+      name match {
+        case "min" => Min(child)
+        case "max" => Max(child)
+        case "sum" => Sum(child)
+        case _ => Average(child)
+      }
+    def numLit(e: Expression): Option[Double] = e match {
+      case Literal(v, _: NumericType) if v != null =>
+        scala.util.Try(v.toString.toDouble).toOption
+      // type coercion wraps the literal before this rule runs
+      case Cast(c, _: NumericType, _, _) => numLit(c)
+      case _ => None
+    }
+    val f = ae.aggregateFunction
+    val name0 = aggName(f)
+    if (name0.isEmpty || f.children.length != 1 || ae.isDistinct ||
+        ae.filter.isDefined) return None
+    var name = name0.get
+    var arg = f.children.head
+    // (wrap outward in application order)
+    val wraps = scala.collection.mutable.ArrayBuffer[Expression => Expression]()
+    var lastGrp: Option[String] = None
+    var go = true
+    while (go) {
+      go = false
+      def grpOk(g: String) = lastGrp.forall(_ == g)
+      arg match {
+        case Add(l, r, _) if grpOk("a") && numLit(r).isDefined &&
+            name != "sum" =>
+          wraps += (x => Add(x, r)); arg = l; lastGrp = Some("a"); go = true
+        case Add(l, r, _) if grpOk("a") && numLit(l).isDefined &&
+            name != "sum" =>
+          wraps += (x => Add(l, x)); arg = r; lastGrp = Some("a"); go = true
+        case Subtract(l, r, _) if grpOk("a") && numLit(r).isDefined &&
+            name != "sum" =>
+          wraps += (x => Subtract(x, r)); arg = l; lastGrp = Some("a")
+          go = true
+        case Subtract(l, r, _) if grpOk("a") && numLit(l).isDefined &&
+            name != "sum" =>
+          wraps += (x => Subtract(l, x)); arg = r; lastGrp = Some("a")
+          go = true
+        case Multiply(l, r, _) if grpOk("m") && numLit(r).isDefined =>
+          if (numLit(r).get < 0)
+            name = if (name == "min") "max"
+              else if (name == "max") "min" else name
+          wraps += (x => Multiply(x, r)); arg = l; lastGrp = Some("m")
+          go = true
+        case Multiply(l, r, _) if grpOk("m") && numLit(l).isDefined =>
+          if (numLit(l).get < 0)
+            name = if (name == "min") "max"
+              else if (name == "max") "min" else name
+          wraps += (x => Multiply(l, x)); arg = r; lastGrp = Some("m")
+          go = true
+        case Divide(l, r, _) if grpOk("m") && numLit(r).isDefined =>
+          if (numLit(r).get < 0)
+            name = if (name == "min") "max"
+              else if (name == "max") "min" else name
+          wraps += (x => Divide(x, r)); arg = l; lastGrp = Some("m")
+          go = true
+        case _ => ()
+      }
+    }
+    if (wraps.isEmpty) None
+    else {
+      var out: Expression =
+        ae.copy(aggregateFunction = rebuild(name, arg))
+      wraps.reverse.foreach(w => out = w(out))
+      Some(out)
+    }
+  }
+
+  /** Corpus flag: CH INTERSECT/EXCEPT ALL are hash-set FILTERS over the
+    * left stream (every left row kept/dropped by membership, duplicates
+    * and order preserved — 02004_intersect_except_all_operators pins 20
+    * '5's from a const intersect), not SQL-standard multiplicity
+    * matching. Lower them to LEFT SEMI / LEFT ANTI joins.
+    */
+  val SetOpsAllFlag = "spark.graft.chSetOpsAll"
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    plan.resolveOperatorsUp {
+    val setOpsOn =
+      try plan.conf.getConfString(SetOpsAllFlag, "false") == "true"
+      catch { case _: Throwable => false }
+    val plan0 =
+      if (!setOpsOn) plan
+      else plan.resolveOperatorsUp {
+        case i: org.apache.spark.sql.catalyst.plans.logical.Intersect
+            if i.isAll && i.resolved =>
+          org.apache.spark.sql.catalyst.plans.logical.Join(
+            i.left, i.right,
+            org.apache.spark.sql.catalyst.plans.LeftSemi,
+            i.left.output.zip(i.right.output)
+              .map { case (l, r) => EqualNullSafe(l, r): Expression }
+              .reduceOption(And),
+            org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+        case e: org.apache.spark.sql.catalyst.plans.logical.Except
+            if e.isAll && e.resolved =>
+          org.apache.spark.sql.catalyst.plans.logical.Join(
+            e.left, e.right,
+            org.apache.spark.sql.catalyst.plans.LeftAnti,
+            e.left.output.zip(e.right.output)
+              .map { case (l, r) => EqualNullSafe(l, r): Expression }
+              .reduceOption(And),
+            org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+      }
+    val aggArithOn =
+      try plan.conf.getConfString(AggArithFlag, "false") == "true"
+      catch { case _: Throwable => false }
+    val plan1 =
+      if (!aggArithOn) plan0
+      else plan0.resolveOperatorsUp {
+        case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if agg.resolved =>
+          agg.copy(aggregateExpressions =
+            agg.aggregateExpressions.map(_.transformUp {
+              case ae: AggregateExpression =>
+                chAggPull(ae).getOrElse(ae)
+            }.asInstanceOf[NamedExpression]))
+      }
+    plan1.resolveOperatorsUp {
       case f @ Filter(cond, _) if cond.resolved && numeric(cond) =>
         f.copy(condition = toBool(cond))
       case q =>

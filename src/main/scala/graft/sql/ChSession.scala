@@ -163,6 +163,10 @@ final class ChSession(spark: SparkSession) {
     * (the reference dedups parts by commit time).
     */
   private var commitSeq = 1L
+  // EXPLAIN SYNTAX: uniq-family injective strip toggle (01390)
+  private var uniqInjectiveOpt = false
+  // EXPLAIN SYNTAX: arithmetic-out-of-aggregates toggle (01271)
+  private var arithInAggOpt = true
   private val maxMemRe =
     """(?i)max_memory_usage\s*=\s*'?(\d+)([KMGT]?)'?""".r
   private val dialectRe =
@@ -209,6 +213,23 @@ final class ChSession(spark: SparkSession) {
           }
           spark.conf.set("spark.sql.session.timeZone", z)
         }
+      }
+    """(?i)(intersect|except)_default_mode\s*=\s*'?(\w+)'?""".r
+      .findAllMatchIn(s).foreach { m =>
+        try spark.conf.set(s"graft.ch.${m.group(1).toLowerCase}Mode",
+          m.group(2).toUpperCase)
+        catch { case _: Throwable => () }
+      }
+    """(?i)optimize_injective_functions_inside_uniq\s*=\s*(\d)""".r
+      .findFirstMatchIn(s)
+      .foreach(m => uniqInjectiveOpt = m.group(1) == "1")
+    """(?i)optimize_arithmetic_operations_in_aggregate_functions\s*=\s*(\d)""".r
+      .findFirstMatchIn(s)
+      .foreach { m =>
+        arithInAggOpt = m.group(1) == "1"
+        try spark.conf.set(ChCoercions.AggArithFlag,
+          arithInAggOpt.toString)
+        catch { case _: Throwable => () }
       }
     dedupModeRe.findFirstMatchIn(s).foreach(m =>
       dedupKeyMode = m.group(1).toLowerCase)
@@ -285,6 +306,10 @@ final class ChSession(spark: SparkSession) {
     try spark.conf.unset("graft.ch.max_block_size")
     catch { case _: Throwable => () }
     try spark.conf.unset("graft.ch.dialect")
+    catch { case _: Throwable => () }
+    try spark.conf.unset("graft.ch.intersectMode")
+    catch { case _: Throwable => () }
+    try spark.conf.unset("graft.ch.exceptMode")
     catch { case _: Throwable => () }
     try spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     catch { case _: Throwable => () }
@@ -532,7 +557,9 @@ final class ChSession(spark: SparkSession) {
         tables.get(key).map(st =>
           st.schema.fieldNames.toSeq.filterNot(st.hidden))
       }
-      Output(ChSyntaxFormat.format(q, cols).map(Row(_)))
+      Output(ChSyntaxFormat.format(q, cols, uniqInjectiveOpt, arithInAggOpt,
+        spark.conf.get("graft.ch.intersectMode", "DISTINCT"),
+        spark.conf.get("graft.ch.exceptMode", "DISTINCT")).map(Row(_)))
     }
     else if (up.startsWith("DESC")) describe(s)
     else if (up.startsWith("EXISTS ")) {

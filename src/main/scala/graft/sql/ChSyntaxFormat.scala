@@ -160,8 +160,539 @@ object ChSyntaxFormat {
     sb.toString
   }
 
+  /** Is ts(i) the start of a numeric literal? Returns its end index
+    * (exclusive) or -1. Handles `1`, `1.`, `1.5` (the lexer splits the
+    * dot out of the word run). */
+  private def numEnd(ts: Seq[T], i: Int): Int = {
+    if (i >= ts.length || ts(i).kind != W ||
+        ts(i).text.isEmpty || !ts(i).text.head.isDigit) return -1
+    var j = i + 1
+    if (j < ts.length && ts(j).text == "." ) {
+      j += 1
+      if (j < ts.length && ts(j).kind == W && ts(j).text.head.isDigit) j += 1
+    }
+    j
+  }
+
+  /** Whether position i is a UNARY operator slot: start of expression,
+    * or after '(', '[', ',', an operator punct, or a keyword. */
+  private def unarySlot(ts: Seq[T], i: Int): Boolean =
+    i == 0 || {
+      val p = ts(i - 1)
+      p.text == "(" || p.text == "[" || p.text == "," ||
+        (p.kind == P && p.text != ")" && p.text != "]") ||
+        (p.kind == W && keyword(p.text))
+    }
+
+  /** CH formatter canonicalization (IAST::formatImpl conventions):
+    * `negate(x)` prints `-(x)`; a unary minus before a signed literal
+    * is the negate FUNCTION (`- -1` → `-(-1)`); integer `-0` folds to
+    * `0`; redundant parens around a lone signed literal drop (except
+    * the IN-list's); operator keywords print uppercase. */
+  private def canon(ts0: Seq[T]): Seq[T] = {
+    var ts = ts0.toVector
+    var guard = 0
+    var changed = true
+    while (changed && guard < 24) {
+      changed = false; guard += 1
+      var i = 0
+      while (!changed && i < ts.length) {
+        // negate(x) → -(x)
+        if (isW(ts(i), "negate") && i + 1 < ts.length &&
+            ts(i + 1).text == "(") {
+          ts = ts.take(i) ++ Vector(T("-", P)) ++ ts.drop(i + 1)
+          changed = true
+        }
+        // integer -0 → 0 (int literals have no signed zero)
+        else if (ts(i).text == "-" && ts(i).kind == P && unarySlot(ts, i) &&
+            i + 1 < ts.length && ts(i + 1).text == "0" &&
+            (i + 2 >= ts.length || ts(i + 2).text != ".")) {
+          ts = ts.take(i) ++ ts.drop(i + 1)
+          changed = true
+        }
+        // unary minus before a SIGNED literal = negate: - -1 → -(-1)
+        else if (ts(i).text == "-" && ts(i).kind == P && unarySlot(ts, i) &&
+            i + 1 < ts.length && ts(i + 1).text == "-" &&
+            numEnd(ts, i + 2) > 0) {
+          val e = numEnd(ts, i + 2)
+          ts = ts.take(i + 1) ++ Vector(T("(", P)) ++ ts.slice(i + 1, e) ++
+            Vector(T(")", P)) ++ ts.drop(e)
+          changed = true
+        }
+        // (±lit) → ±lit except directly after IN (the IN-list parens),
+        // after a function name, or after unary minus (the negate form
+        // -(x) KEEPS its parens)
+        else if (ts(i).text == "(" &&
+            !(i > 0 && (isW(ts(i - 1), "IN") ||
+              (ts(i - 1).kind == W && !keyword(ts(i - 1).text)) ||
+              ts(i - 1).text == ")" || ts(i - 1).text == "]" ||
+              ts(i - 1).text == "-")) && {
+            val s = if (i + 1 < ts.length && ts(i + 1).text == "-" &&
+              ts(i + 1).kind == P) i + 2 else i + 1
+            val e = numEnd(ts, s)
+            e > 0 && e < ts.length && ts(e).text == ")"
+          }) {
+          val s = if (ts(i + 1).text == "-" && ts(i + 1).kind == P) i + 2
+            else i + 1
+          val e = numEnd(ts, s)
+          ts = ts.take(i) ++ ts.slice(i + 1, e) ++ ts.drop(e + 1)
+          changed = true
+        }
+        i += 1
+      }
+    }
+    // count()-variant normalization (optimize_normalize_count_variants
+    // + the unconditional count(*) → count()): count(*) / count(1) /
+    // count(-1) / sum(1) all print count()
+    var j = 0
+    while (j + 2 < ts.length) {
+      val isCount = isW(ts(j), "count") && ts(j + 1).text == "("
+      val isSum = isW(ts(j), "sum") && ts(j + 1).text == "("
+      if (isCount || isSum) {
+        val inner0 = j + 2
+        var e = inner0
+        var d = 1
+        while (e < ts.length && d > 0) {
+          ts(e).text match {
+            case "(" => d += 1; case ")" => d -= 1; case _ => ()
+          }
+          if (d > 0) e += 1
+        }
+        val body = ts.slice(inner0, e).map(_.text).mkString
+        val normalizes =
+          if (isCount) body == "*" || body == "1" || body == "-1"
+          else body == "1"
+        if (normalizes && e < ts.length) {
+          ts = ts.take(j) ++
+            Vector(T("count", W), T("(", P), T(")", P)) ++ ts.drop(e + 1)
+        }
+      }
+      j += 1
+    }
+    // optimize_injective_functions_inside_uniq: the uniq family drops
+    // injective wrappers (unary minus, negate, bitNot) from each arg
+    val uniqSet = Set("uniq", "uniqexact", "uniqhll12", "uniqcombined",
+      "uniqcombined64")
+    def stripInjective(arg0: Seq[T]): Seq[T] = {
+      var a = stripOuterParens(arg0)
+      var go = true
+      while (go && a.nonEmpty) {
+        go = false
+        if (a.head.text == "-" && a.head.kind == P) {
+          a = stripOuterParens(a.tail); go = true
+        } else if (a.length >= 3 && a.head.kind == W &&
+            Set("bitnot", "negate").contains(a.head.text.toLowerCase) &&
+            a(1).text == "(" && a.last.text == ")") {
+          a = stripOuterParens(a.slice(2, a.length - 1)); go = true
+        }
+      }
+      a
+    }
+    // count(DISTINCT args) → uniqExact(args) (the default
+    // count_distinct_implementation — always printed rewritten)
+    j = 0
+    while (j + 3 < ts.length) {
+      if (isW(ts(j), "count") && ts(j + 1).text == "(" &&
+          isW(ts(j + 2), "DISTINCT")) {
+        ts = ts.take(j) ++ Vector(T("uniqExact", W), T("(", P)) ++
+          ts.drop(j + 3)
+      }
+      j += 1
+    }
+    j = 0
+    while (uniqStrip.value && j + 2 < ts.length) {
+      if (ts(j).kind == W && uniqSet.contains(ts(j).text.toLowerCase) &&
+          ts(j + 1).text == "(") {
+        var e = j + 2
+        var d = 1
+        while (e < ts.length && d > 0) {
+          ts(e).text match {
+            case "(" => d += 1; case ")" => d -= 1; case _ => ()
+          }
+          if (d > 0) e += 1
+        }
+        if (e < ts.length) {
+          val args = splitItems(ts.slice(j + 2, e)).map(stripInjective)
+          val rebuilt = args.zipWithIndex.flatMap { case (a, k) =>
+            (if (k > 0) Seq(T(",", P)) else Nil) ++ a
+          }
+          ts = ts.take(j + 2) ++ rebuilt ++ ts.drop(e)
+        }
+      }
+      j += 1
+    }
+    // optimize_arithmetic_operations_in_aggregate_functions: a pure
+    // numeric literal moves OUT of sum/min/max/avg — sum only for */÷,
+    // min/max/avg also ±, and a NEGATIVE */÷ literal flips min↔max
+    // (01271/01702/01703 goldens, including the reference's unflipped
+    // `c - x` quirk). Canonical lowercase agg spelling (01703).
+    def litSpan(a: Seq[T], s0: Int): Int = {
+      // numeric literal starting at s0 (optional unary minus): end excl
+      val s = if (s0 < a.length && a(s0).text == "-" && a(s0).kind == P)
+        s0 + 1 else s0
+      val e = numEnd(a, s)
+      if (e < 0) -1 else e
+    }
+    def depth0Ops(a: Seq[T]): Seq[Int] = {
+      var d = 0
+      val out = ArrayBuffer[Int]()
+      a.indices.foreach { k =>
+        a(k).text match {
+          case "(" | "[" => d += 1
+          case ")" | "]" => d -= 1
+          case "+" | "-" | "*" | "/" if d == 0 && !unarySlot(a, k) => out += k
+          case _ => ()
+        }
+      }
+      out.toSeq
+    }
+    if (aggArith.value) {
+      val aggSet = Set("sum", "min", "max", "avg")
+      // one pull step: Some((op, litToks, litLeft, flip, inner))
+      def pullOnce(agg: String, arg: Seq[T])
+          : Option[(String, Seq[T], Boolean, Boolean, Seq[T])] = {
+        val ops = depth0Ops(arg)
+        def prec(k: Int) = if ("+-".contains(arg(k).text)) 1 else 2
+        val top =
+          if (ops.isEmpty) -1
+          else { val lo = ops.map(prec).min
+            ops.filter(prec(_) == lo).last }
+        val leftLitEnd = litSpan(arg, 0)
+        if (top >= 0 && top == ops.head && leftLitEnd == top &&
+            top < arg.length - 1) {
+          val op = arg(top).text
+          val c = arg.take(leftLitEnd)
+          val neg = c.head.text == "-"
+          val okOp =
+            if (agg == "sum") op == "*"
+            else op == "+" || op == "-" || op == "*"
+          if (okOp) Some((op, c, true, op == "*" && neg, arg.drop(top + 1)))
+          else None
+        } else if (top >= 0 && litSpan(arg, top + 1) == arg.length) {
+          val op = arg(top).text
+          val c = arg.drop(top + 1)
+          val neg = c.head.text == "-"
+          val okOp =
+            if (agg == "sum") op == "*" || op == "/"
+            else true
+          if (okOp) Some((op, c, false,
+            (op == "*" || op == "/") && neg, arg.take(top)))
+          else None
+        } else None
+      }
+      j = 0
+      while (j + 2 < ts.length) {
+        if (ts(j).kind == W && aggSet.contains(ts(j).text.toLowerCase) &&
+            ts(j + 1).text == "(") {
+          val agg = ts(j).text.toLowerCase
+          var e = j + 2
+          var d = 1
+          while (e < ts.length && d > 0) {
+            ts(e).text match {
+              case "(" => d += 1; case ")" => d -= 1; case _ => ()
+            }
+            if (d > 0) e += 1
+          }
+          if (e < ts.length &&
+              splitItems(ts.slice(j + 2, e)).lengthCompare(1) == 0) {
+            // pull repeatedly while the operator stays the SAME (the
+            // reference rewrites a chain of one op, then stops)
+            var arg: Seq[T] = ts.slice(j + 2, e)
+            var flip = false
+            // keep pulling within one precedence GROUP (additive ops
+            // chain: min(1 + n - 1) double-pulls; a group switch stops:
+            // min(1 + n * 2) keeps the multiply inside)
+            var lastGrp: Option[String] = None
+            def grp(op: String) = if ("+-".contains(op)) "a" else "m"
+            val wraps = ArrayBuffer[(String, Seq[T], Boolean)]()
+            var go = true
+            while (go) {
+              pullOnce(agg, arg) match {
+                case Some((op, c, litLeft, f, inner))
+                    if inner.nonEmpty && lastGrp.forall(_ == grp(op)) =>
+                  wraps += ((op, c, litLeft))
+                  if (agg == "min" || agg == "max") flip ^= f
+                  arg = inner
+                  lastGrp = Some(grp(op))
+                case _ => go = false
+              }
+            }
+            if (wraps.nonEmpty) {
+              val agg2 =
+                if (!flip) agg
+                else if (agg == "min") "max" else "min"
+              var repl: Vector[T] = Vector(T(agg2, W), T("(", P)) ++
+                arg ++ Vector(T(")", P))
+              wraps.reverse.foreach { case (op, c, litLeft) =>
+                repl =
+                  if (litLeft) c.toVector ++ Vector(T(op, P)) ++ repl
+                  else repl ++ Vector(T(op, P)) ++ c.toVector
+              }
+              // parenthesize the expansion: it replaces ONE call-site
+              // operand; reparen() drops the parens when redundant
+              repl = T("(", P) +: repl :+ T(")", P)
+              ts = ts.take(j) ++ repl ++ ts.drop(e + 1)
+              j += repl.length - 1 // the emitted call is final
+            } else if (ts(j).text != agg) ts = ts.updated(j, T(agg, W))
+          } else if (ts(j).text != agg) ts = ts.updated(j, T(agg, W))
+        }
+        j += 1
+      }
+    }
+    // NOT-chain canonical parenthesization (01920): a pure chain of n
+    // NOTs over a literal prints the innermost TWO bare and wraps each
+    // outer level — NOT (NOT (NOT NOT x))
+    def parseNot(i: Int, depth: Int): Option[(Int, Seq[T], Int)] = {
+      if (depth > 16 || i >= ts.length) return None
+      if (isW(ts(i), "NOT")) parseNot(i + 1, depth + 1)
+        .map { case (n, lit, e) => (n + 1, lit, e) }
+      else if (ts(i).text == "(") {
+        var e = i + 1
+        var d = 1
+        while (e < ts.length && d > 0) {
+          ts(e).text match {
+            case "(" => d += 1; case ")" => d -= 1; case _ => ()
+          }
+          if (d > 0) e += 1
+        }
+        if (e >= ts.length) None
+        else parseNot(i + 1, depth + 1) match {
+          case Some((n, lit, inEnd)) if inEnd == e =>
+            Some((n, lit, e + 1))
+          case _ =>
+            if (e == i + 2 && ts(i + 1).kind != P)
+              Some((0, Seq(ts(i + 1)), e + 1))
+            else None
+        }
+      }
+      else if (ts(i).kind != P) Some((0, Seq(ts(i)), i + 1))
+      else None
+    }
+    def emitNot(n: Int, lit: Seq[T]): Seq[T] =
+      if (n <= 2) Seq.fill(n)(T("NOT", W)) ++ lit
+      else Seq(T("NOT", W), T("(", P)) ++ emitNot(n - 1, lit) ++
+        Seq(T(")", P))
+    j = 0
+    while (j < ts.length) {
+      if (isW(ts(j), "NOT") && !(j > 0 && (isW(ts(j - 1), "IS") ||
+          ts(j - 1).kind == W && !keyword(ts(j - 1).text)))) {
+        parseNot(j, 0) match {
+          case Some((n, lit, e)) if n >= 2 =>
+            ts = ts.take(j) ++ emitNot(n, lit) ++ ts.drop(e)
+            j += 1
+          case _ => ()
+        }
+      }
+      j += 1
+    }
+    // operator keywords uppercase (CH formatter hilite keywords)
+    val opKw = Set("IN", "AS", "AND", "OR", "NOT", "LIKE", "ILIKE", "IS",
+      "NULL", "BETWEEN", "CASE", "WHEN", "THEN", "ELSE", "END", "INTERVAL",
+      "EXISTS", "ASC", "DESC", "GLOBAL")
+    ts.map(t =>
+      if (t.kind == W && opKw.contains(t.text.toUpperCase) &&
+          t.text.exists(_.isLower)) T(t.text.toUpperCase, W)
+      else t)
+  }
+
+  // ---- CH-style explicit parenthesization: the reference formatter
+  // wraps every binary-op operand that is ITSELF a binary op —
+  // `n * n + 1` prints `(n * n) + 1`, `(2 * n) * n`, and comparisons
+  // under AND/OR get parens: `(str = 'a') AND (id = 1)`. AND/OR are
+  // n-ary (chains stay flat); arithmetic stays left-nested. ----
+  private sealed trait EN
+  private final case class EAtom(ts: Seq[T]) extends EN
+  private final case class EBin(op: Seq[T], l: EN, r: EN) extends EN
+  private final case class ENary(op: String, cs: Seq[EN]) extends EN
+
+  private final class PErr extends RuntimeException
+
+  private def reparen(ts: Seq[T]): Seq[T] = {
+    val items = splitItems(ts)
+    if (items.length > 1)
+      return items.zipWithIndex.flatMap { case (a, k) =>
+        (if (k > 0) Seq(T(",", P)) else Nil) ++ reparen(a)
+      }
+    parseEN(ts).map(emit(_, wrapBin = false)).getOrElse(ts)
+  }
+
+  /** Full-slice expression parse; None when the slice contains
+    * structures the parser does not model. */
+  private def parseEN(ts: Seq[T]): Option[EN] = {
+    val bail = Set("BETWEEN", "CASE", "INTERVAL", "EXISTS", "ALL", "ANY",
+      "AS", "OVER", "DISTINCT")
+    if (ts.exists(t => (t.kind == W && bail.contains(t.text.toUpperCase)) ||
+        t.text == "->" || t.text == "::")) return None
+    try {
+      var i = 0
+      def peek: Option[T] = if (i < ts.length) Some(ts(i)) else None
+      def take(): T = {
+        if (i >= ts.length) throw new PErr
+        val t = ts(i); i += 1; t
+      }
+      def group(): Seq[T] = {
+        var d = 0
+        val s = i
+        while (i < ts.length) {
+          ts(i).text match {
+            case "(" | "[" => d += 1
+            case ")" | "]" => d -= 1
+            case _ => ()
+          }
+          i += 1
+          if (d == 0) return ts.slice(s, i)
+        }
+        throw new PErr
+      }
+      def primary(): EN = peek match {
+        case None => throw new PErr
+        case Some(t) if t.text == "(" =>
+          val g = group()
+          if (g.length > 1 && isW(g(1), "SELECT")) EAtom(g)
+          else parseEN(g.slice(1, g.length - 1)).getOrElse(EAtom(g))
+        case Some(t) if t.text == "[" => EAtom(group())
+        case Some(t) if t.text == "-" && t.kind == P =>
+          take()
+          peek match {
+            case Some(n) if n.kind == W && n.text.nonEmpty &&
+                n.text.head.isDigit =>
+              val e = numEnd(ts, i)
+              val lit = ts.slice(i - 1, e); i = e; EAtom(lit)
+            case Some(n) if n.text == "(" =>
+              EAtom(Seq(t) ++ group())
+            case _ =>
+              primary() match {
+                case EAtom(a) => EAtom(Seq(t) ++ a)
+                case _ => throw new PErr
+              }
+          }
+        case Some(t) if isW(t, "NOT") =>
+          take()
+          if (peek.exists(_.text == "(")) EAtom(Seq(t) ++ group())
+          else primary() match {
+            case EAtom(a) => EAtom(Seq(t) ++ a)
+            case other => EAtom(Seq(t, T("(", P)) ++
+              emit(other, wrapBin = false) ++ Seq(T(")", P)))
+          }
+        case Some(t) if t.kind == S => take(); EAtom(Seq(t))
+        case Some(t) if t.kind == W =>
+          if (keyword(t.text) && !t.text.equalsIgnoreCase("NULL"))
+            throw new PErr
+          val e = numEnd(ts, i)
+          if (e > 0) { val lit = ts.slice(i, e); i = e; EAtom(lit) }
+          else {
+            val parts = ArrayBuffer[T](take())
+            while (peek.exists(_.text == ".") && i + 1 < ts.length &&
+                ts(i + 1).kind == W) {
+              parts += take(); parts += take()
+            }
+            if (peek.exists(_.text == "(")) {
+              val g = group()
+              val args = splitItems(g.slice(1, g.length - 1))
+              val rebuilt = args.zipWithIndex.flatMap { case (a, k) =>
+                (if (k > 0) Seq(T(",", P)) else Nil) ++ reparen(a)
+              }
+              EAtom(parts.toSeq ++ Seq(T("(", P)) ++ rebuilt ++
+                Seq(T(")", P)))
+            } else EAtom(parts.toSeq)
+          }
+        case Some(t) if t.text == "*" && ts.length == 1 =>
+          take(); EAtom(Seq(t))
+        case _ => throw new PErr
+      }
+      def cmpOp(): Option[Seq[T]] = peek match {
+        case Some(t) if Set("=", "==", "!=", "<>", "<", ">", "<=", ">=")
+            .contains(t.text) => Some(Seq(take()))
+        case Some(t) if isW(t, "LIKE") || isW(t, "ILIKE") =>
+          Some(Seq(take()))
+        case Some(t) if isW(t, "IN") => Some(Seq(take()))
+        case Some(t) if isW(t, "GLOBAL") && i + 1 < ts.length &&
+            isW(ts(i + 1), "IN") => Some(Seq(take(), take()))
+        case Some(t) if isW(t, "NOT") && i + 1 < ts.length &&
+            (isW(ts(i + 1), "IN") || isW(ts(i + 1), "LIKE") ||
+              isW(ts(i + 1), "ILIKE")) => Some(Seq(take(), take()))
+        case _ => None
+      }
+      def mul(): EN = {
+        var l = primary()
+        while (peek.exists(t => Set("*", "/", "%").contains(t.text))) {
+          val op = take(); l = EBin(Seq(op), l, primary())
+        }
+        l
+      }
+      def add(): EN = {
+        var l = mul()
+        while (peek.exists(t =>
+            (Set("+", "-").contains(t.text) && t.kind == P) ||
+              t.text == "||")) {
+          val op = take(); l = EBin(Seq(op), l, mul())
+        }
+        l
+      }
+      def cmp(): EN = {
+        var l = add()
+        var go = true
+        while (go) {
+          cmpOp() match {
+            case Some(op) if op.exists(isW(_, "IN")) =>
+              // the IN-list keeps its parens verbatim
+              val rhs =
+                if (peek.exists(_.text == "(")) EAtom(group())
+                else add()
+              l = EBin(op, l, rhs)
+            case Some(op) => l = EBin(op, l, add())
+            case None => peek match {
+              case Some(t) if isW(t, "IS") =>
+                val tail = ArrayBuffer[T](take())
+                if (peek.exists(isW(_, "NOT"))) tail += take()
+                if (!peek.exists(isW(_, "NULL"))) throw new PErr
+                tail += take()
+                l = EAtom(emit(l, wrapBin = true) ++ tail.toSeq)
+              case _ => go = false
+            }
+          }
+        }
+        l
+      }
+      def conj(): EN = {
+        var l = cmp()
+        if (peek.exists(isW(_, "AND"))) {
+          val cs = ArrayBuffer[EN](l)
+          while (peek.exists(isW(_, "AND"))) { take(); cs += cmp() }
+          l = ENary("AND", cs.toSeq)
+        }
+        l
+      }
+      def disj(): EN = {
+        var l = conj()
+        if (peek.exists(isW(_, "OR"))) {
+          val cs = ArrayBuffer[EN](l)
+          while (peek.exists(isW(_, "OR"))) { take(); cs += conj() }
+          l = ENary("OR", cs.toSeq)
+        }
+        l
+      }
+      val tree = disj()
+      if (i != ts.length) throw new PErr
+      Some(tree)
+    } catch { case _: PErr => None }
+  }
+
+  private def emit(n: EN, wrapBin: Boolean): Seq[T] = n match {
+    case EAtom(a) => a
+    case EBin(op, l, r) =>
+      val inner = emit(l, wrapBin = true) ++ op ++ emit(r, wrapBin = true)
+      if (wrapBin) Seq(T("(", P)) ++ inner ++ Seq(T(")", P)) else inner
+    case ENary(op, cs) =>
+      val inner = cs.zipWithIndex.flatMap { case (c, k) =>
+        (if (k > 0) Seq(T(op, W)) else Nil) ++ emit(c, wrapBin = true)
+      }
+      if (wrapBin) Seq(T("(", P)) ++ inner ++ Seq(T(")", P)) else inner
+  }
+
   /** Re-join a token slice with natural SQL spacing. */
-  private def render(ts0: Seq[T]): String = {
+  private def render(ts0raw: Seq[T]): String = {
+    val ts0 = reparen(canon(ts0raw))
     val ts = if (ts0.exists(_.text == "::")) rewriteCastOps(ts0) else ts0
     val sb = new StringBuilder
     var prev: T = null
@@ -179,12 +710,14 @@ object ChSyntaxFormat {
         if (prev == null) ""
         else if (prevIsUnarySign) ""
         else if (t.text == "(" )
-          // no space between a function name / ) / ] and its '('
+          // no space between a function name / ) / ] / '(' and its '('
           if (prev.kind == W && !keyword(prev.text)) ""
           else if (prev.text == ")" || prev.text == "]") ""
+          else if (prev.text == "(" || prev.text == "[") ""
           else " "
         else if (t.text == ")" || t.text == "]" || t.text == "," ||
           t.text == "::" || t.text == ".") ""
+        else if (prev.text == "." && t.kind == W && keyword(t.text)) " "
         else if (prev.text == "(" || prev.text == "[" || prev.text == "::" ||
           prev.text == ".") ""
         else if (t.text == "[")
@@ -251,8 +784,32 @@ object ChSyntaxFormat {
     ts.length
   }
 
+  /** Session toggle: optimize_injective_functions_inside_uniq — the
+    * uniq-family injective strip only rewrites when the session set it
+    * (format() is per-session single-threaded in the corpus runner). */
+  private val uniqStrip = new scala.util.DynamicVariable[Boolean](false)
+  /** optimize_arithmetic_operations_in_aggregate_functions (default on). */
+  private val aggArith = new scala.util.DynamicVariable[Boolean](true)
+
+  private val ieModes =
+    new scala.util.DynamicVariable[(String, String)](("DISTINCT", "DISTINCT"))
+
   def format(query: String,
-      columnsOf: String => Option[Seq[String]] = _ => None): Seq[String] = {
+      columnsOf: String => Option[Seq[String]] = _ => None,
+      stripUniqInjective: Boolean = false,
+      arithInAgg: Boolean = true,
+      intersectMode: String = "DISTINCT",
+      exceptMode: String = "DISTINCT"): Seq[String] =
+    uniqStrip.withValue(stripUniqInjective) {
+      aggArith.withValue(arithInAgg) {
+        ieModes.withValue((intersectMode, exceptMode)) {
+          format0(query, columnsOf)
+        }
+      }
+    }
+
+  private def format0(query: String,
+      columnsOf: String => Option[Seq[String]]): Seq[String] = {
     val ts = lex(query)
     val out = formatUnion(ts, 0, columnsOf)
     // quirk preserved from the reference formatter: a mixed chain whose
@@ -372,9 +929,63 @@ object ChSyntaxFormat {
     }
   }
 
+  /** Depth-0 set-operation splits incl. INTERSECT/EXCEPT: Seq of
+    * (separator label, branch tokens); None when the chain is
+    * UNION-only (the UNION normalizer handles those). */
+  private def setopChain(ts0: Seq[T]): Option[Seq[(String, Seq[T])]] = {
+    val ts = stripOuterParens(ts0)
+    var d = 0
+    val cuts = ArrayBuffer[(Int, Int, String)]() // (from, to, label)
+    var i = 0
+    var sawIE = false
+    while (i < ts.length) {
+      ts(i).text match {
+        case "(" | "[" => d += 1
+        case ")" | "]" => d -= 1
+        case _ if d == 0 && ts(i).kind == W =>
+          val u = ts(i).text.toUpperCase
+          if (u == "UNION" || u == "INTERSECT" || u == "EXCEPT") {
+            if (u != "UNION") sawIE = true
+            val hasMode = i + 1 < ts.length &&
+              (isW(ts(i + 1), "ALL") || isW(ts(i + 1), "DISTINCT"))
+            val mode =
+              if (hasMode) ts(i + 1).text.toUpperCase
+              else if (u == "UNION") "DISTINCT"
+              else if (u == "INTERSECT") ieModes.value._1
+              else ieModes.value._2
+            cuts += ((i, i + (if (hasMode) 2 else 1), s"$u $mode"))
+            if (hasMode) i += 1
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    if (!sawIE || cuts.isEmpty) return None
+    val bounds = (0 +: cuts.map(_._2)).zip(cuts.map(_._1) :+ ts.length)
+    val branches = bounds.map { case (s, e) => ts.slice(s, e) }
+    val labels = "" +: cuts.map(_._3)
+    Some(labels.zip(branches).toSeq)
+  }
+
   private def formatUnion(ts0: Seq[T], indent: Int,
       columnsOf: String => Option[Seq[String]]): Seq[String] =
-    renderNode(parseUnion(ts0), indent, columnsOf)
+    setopChain(ts0) match {
+      case Some(chain) =>
+        // INTERSECT/EXCEPT chain: branches flat at one level, nested
+        // parenthesized chains SPLICED inline (02004 goldens)
+        val lines = ArrayBuffer[String]()
+        val pad = " " * indent
+        chain.foreach { case (label, branch0) =>
+          if (label.nonEmpty) lines += pad + label
+          val branch = stripOuterParens(branch0)
+          if (setopChain(branch).isDefined ||
+              unionSplits(branch).nonEmpty)
+            lines ++= formatUnion(branch, indent, columnsOf)
+          else lines ++= formatSelect(branch, indent, columnsOf)
+        }
+        lines.toSeq
+      case None => renderNode(parseUnion(ts0), indent, columnsOf)
+    }
 
   private def formatSelect(ts0: Seq[T], indent: Int,
       columnsOf: String => Option[Seq[String]]): Seq[String] = {
@@ -443,21 +1054,45 @@ object ChSyntaxFormat {
       } else fromTail = body
       i = fe
     }
-    // star expansion over a known plain table
+    // star expansion over a known plain table (system.one's single
+    // column is `dummy`; the db-stripped spelling prints back qualified)
+    def tableCols(t: String): Option[Seq[String]] = {
+      val bare = t.replaceAll("`", "")
+      if (bare == "one" || bare == "system.one") Some(Seq("dummy"))
+      else columnsOf(bare)
+    }
+    if (fromTable.contains("one")) fromTable = Some("system.one")
     if (items.length == 1 && items.head.length == 1 &&
         items.head.head.text == "*") {
-      fromTable.flatMap(t => columnsOf(t.replaceAll("`", ""))) match {
+      fromTable.flatMap(tableCols) match {
         case Some(cols) if cols.nonEmpty =>
           items = cols.map(c => Seq(T(c, W)))
         case _ => ()
       }
     }
+    // CH always prints an alias with explicit AS: a select item ending
+    // in two adjacent value tokens (`expr alias`) gains the keyword
+    def withAs(it: Seq[T]): Seq[T] = {
+      val winKw = Set("OVER", "ROWS", "RANGE", "PRECEDING", "FOLLOWING",
+        "UNBOUNDED", "CURRENT", "ROW", "FILTER", "RESPECT", "IGNORE",
+        "NULLS", "FIRST", "LAST")
+      if (it.length >= 2 && it.last.kind == W && !keyword(it.last.text) &&
+          !winKw.contains(it.last.text.toUpperCase) &&
+          !it.last.text.head.isDigit && {
+            val p = it(it.length - 2)
+            ((p.kind == W && !keyword(p.text) &&
+              !winKw.contains(p.text.toUpperCase)) || p.kind == S ||
+              p.text == ")" || p.text == "]")
+          } && !it.exists(t => isW(t, "INTERVAL") || isW(t, "OVER")))
+        it.init ++ Seq(T("AS", W), it.last)
+      else it
+    }
     val selKw = pad + (if (distinct) "SELECT DISTINCT" else "SELECT")
-    if (items.length == 1) lines += selKw + " " + render(items.head)
+    if (items.length == 1) lines += selKw + " " + render(withAs(items.head))
     else {
       lines += selKw
       items.zipWithIndex.foreach { case (it, k) =>
-        lines += pad + "    " + render(it) +
+        lines += pad + "    " + render(withAs(it)) +
           (if (k < items.length - 1) "," else "")
       }
     }
@@ -514,7 +1149,33 @@ object ChSyntaxFormat {
           i = e
         case "LIMIT" =>
           val e = clause(ts, i + 1)
-          lines += pad + "LIMIT " + render(ts.slice(i + 1, e))
+          val body = ts.slice(i + 1, e)
+          val byAt = body.indices.find(k => isW(body(k), "BY"))
+          byAt match {
+            case Some(b) =>
+              // LIMIT n BY expr[, …]: star expands like the select list,
+              // multi-item lists indent one per line
+              var byItems = splitItems(body.drop(b + 1))
+              if (byItems.length == 1 && byItems.head.length == 1 &&
+                  byItems.head.head.text == "*")
+                fromTable.flatMap(tableCols) match {
+                  case Some(cols) if cols.nonEmpty =>
+                    byItems = cols.map(c => Seq(T(c, W)))
+                  case _ => ()
+                }
+              val head = pad + "LIMIT " + render(body.take(b)) + " BY"
+              if (byItems.length == 1)
+                lines += head + " " + render(byItems.head)
+              else {
+                lines += head
+                byItems.zipWithIndex.foreach { case (o, k) =>
+                  lines += pad + "    " + render(o) +
+                    (if (k < byItems.length - 1) "," else "")
+                }
+              }
+            case None =>
+              lines += pad + "LIMIT " + render(body)
+          }
           i = e
         case _ =>
           // unknown tail (FORMAT …, INTO OUTFILE …): echo and stop

@@ -1754,7 +1754,7 @@ object ChTranspiler {
       }
       i += 1
     }
-    rewriteAnyJoin(rewriteLimitBy(guardSelectStringHead(
+    rewriteBareSetOps(rewriteAnyJoin(rewriteLimitBy(guardSelectStringHead(
     rewriteOrderNulls(rewriteCollate(rewriteNestedArrayJoinDeep(rewriteArrayJoin(rewriteInClauses(
       rewriteTupleLiterals(rewriteUnionBranches(rewriteParenLambda(rewriteTernary(rewriteWhereAliases(rewriteInlineAliases(
         rewriteScalarWithDeep(rewriteInfixMod(rewriteTwoArgCast(wrapWindowSums(
@@ -1762,7 +1762,75 @@ object ChTranspiler {
             postPass(rewritePositionIn(rewriteMapLiterals(
               parenthesizeUsing(addImplicitFromOne(
                 rewriteDynamicInterval(
-                  rewriteValuesTable(out.toString))))))))))))))))))))))))))))
+                  rewriteValuesTable(out.toString)))))))))))))))))))))))))))))
+  }
+
+  /** ClickHouse's default INTERSECT/EXCEPT mode is ALL
+    * (intersect_default_mode / except_default_mode — the 02004 const
+    * column goldens pin 10 rows from a bare INTERSECT); Spark defaults
+    * to DISTINCT, so a bare set-op keyword gains an explicit ALL.
+    * `SELECT * EXCEPT (cols)` is Spark column-exclusion — only an
+    * EXCEPT/INTERSECT introducing a SELECT branch is a set operation.
+    */
+  private def rewriteBareSetOps(sql: String): String = {
+    if (!"""(?i)\b(intersect|except)\b""".r.findFirstIn(sql).isDefined)
+      return sql
+    // ANSI/MySQL dialect: a BARE set op keeps the SQL-standard DISTINCT
+    // default (explicit ALL still lowers to the CH filter semantics)
+    val chDialect =
+      try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.ch.dialect", "CLICKHOUSE") == "CLICKHOUSE"
+      catch { case _: Throwable => true }
+    if (!chDialect) return sql
+
+    val toks = tokenize(sql)
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    val out = new StringBuilder
+    var i = 0
+    var depth = 0
+    var sawSetOp = false
+    // a depth-0 ORDER BY / LIMIT / FORMAT tail means the query already
+    // pins its own order
+    var hasTail = false
+    while (i < toks.length) {
+      out.append(toks(i).text)
+      toks(i) match {
+        case Punct("(") => depth += 1
+        case Punct(")") => depth -= 1
+        case Word(w) if depth == 0 && (w.equalsIgnoreCase("ORDER") ||
+            w.equalsIgnoreCase("LIMIT")) => hasTail = true
+        case Word(w) if w.equalsIgnoreCase("INTERSECT") ||
+            w.equalsIgnoreCase("EXCEPT") =>
+          val a = nextSig(i + 1)
+          val branchy = toks.lift(a) match {
+            case Some(Word(x)) if x.equalsIgnoreCase("ALL") ||
+                x.equalsIgnoreCase("DISTINCT") =>
+              if (depth == 0) sawSetOp = true // explicit mode
+              false
+            case Some(Word(x)) if x.equalsIgnoreCase("SELECT") => true
+            case Some(Punct("(")) =>
+              val b = nextSig(a + 1)
+              toks.lift(b) match {
+                case Some(Word(x)) if x.equalsIgnoreCase("SELECT") => true
+                case Some(Punct("(")) => true
+                case _ => false
+              }
+            case _ => false
+          }
+          if (branchy) {
+            out.append(" ALL")
+            if (depth == 0) sawSetOp = true
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    // left-stream order is preserved by the semi/anti lowering
+    // (ChCoercions.SetOpsAllFlag), no explicit sort needed
+    val _ = (sawSetOp, hasTail)
+    out.toString
   }
 
   /** GROUPS window frames (reference WindowDescription.h FrameType::

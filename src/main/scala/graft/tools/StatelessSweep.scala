@@ -621,6 +621,8 @@ object StatelessSweep {
       .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
       // CH `/` is IEEE Float64 division (1/0 = inf), never an ANSI error
       .config(graft.sql.ChCoercions.IeeeDivFlag, "true")
+      // CH INTERSECT/EXCEPT ALL = semi/anti filters (ChCoercions)
+      .config(graft.sql.ChCoercions.SetOpsAllFlag, "true")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

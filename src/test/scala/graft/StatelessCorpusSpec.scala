@@ -45,6 +45,7 @@ class StatelessCorpusSpec extends SparkSpec {
     session.conf.set(graft.sql.ChJoinDefaults.Flag, "true")
     session.conf.set(graft.sql.ChRollupDefaults.Flag, "true")
     session.conf.set(graft.sql.ChCoercions.IeeeDivFlag, "true")
+    session.conf.set(graft.sql.ChCoercions.SetOpsAllFlag, "true")
     session.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     session.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     val failures =
