@@ -167,6 +167,16 @@ final class ChSession(spark: SparkSession) {
   private var uniqInjectiveOpt = false
   // EXPLAIN SYNTAX: arithmetic-out-of-aggregates toggle (01271)
   private var arithInAggOpt = true
+  // EXPLAIN SYNTAX: duplicate-DISTINCT elimination toggle (01455)
+  private var dupDistinctOpt = false
+  // EXPLAIN SYNTAX: LIKE-to-equality rewrite toggle (48011)
+  private var likeRwOpt = false
+  // EXPLAIN SYNTAX: if-chain to multiIf toggle (01388)
+  private var ifChainOpt = false
+  // EXPLAIN SYNTAX: group-by function-key elimination (01300)
+  private var gbFnKeysOpt = true
+  // EXPLAIN SYNTAX: aggregators-of-group-keys elimination (01321)
+  private var aggOfKeysOpt = true
   private val maxMemRe =
     """(?i)max_memory_usage\s*=\s*'?(\d+)([KMGT]?)'?""".r
   private val dialectRe =
@@ -220,6 +230,21 @@ final class ChSession(spark: SparkSession) {
           m.group(2).toUpperCase)
         catch { case _: Throwable => () }
       }
+    """(?i)optimize_aggregators_of_group_by_keys\s*=\s*(\d)""".r
+      .findFirstMatchIn(s)
+      .foreach(m => aggOfKeysOpt = m.group(1) == "1")
+    """(?i)optimize_group_by_function_keys\s*=\s*(\d)""".r
+      .findFirstMatchIn(s)
+      .foreach(m => gbFnKeysOpt = m.group(1) == "1")
+    """(?i)optimize_if_chain_to_multiif\s*=\s*(\d)""".r
+      .findFirstMatchIn(s)
+      .foreach(m => ifChainOpt = m.group(1) == "1")
+    """(?i)rewrite_like_function\s*=\s*(\d)""".r
+      .findFirstMatchIn(s)
+      .foreach(m => likeRwOpt = m.group(1) == "1")
+    """(?i)optimize_duplicate_order_by_and_distinct\s*=\s*(\d)""".r
+      .findFirstMatchIn(s)
+      .foreach(m => dupDistinctOpt = m.group(1) == "1")
     """(?i)optimize_injective_functions_inside_uniq\s*=\s*(\d)""".r
       .findFirstMatchIn(s)
       .foreach(m => uniqInjectiveOpt = m.group(1) == "1")
@@ -559,7 +584,8 @@ final class ChSession(spark: SparkSession) {
       }
       Output(ChSyntaxFormat.format(q, cols, uniqInjectiveOpt, arithInAggOpt,
         spark.conf.get("graft.ch.intersectMode", "DISTINCT"),
-        spark.conf.get("graft.ch.exceptMode", "DISTINCT")).map(Row(_)))
+        spark.conf.get("graft.ch.exceptMode", "DISTINCT"),
+        dupDistinctOpt, likeRwOpt, ifChainOpt, gbFnKeysOpt, aggOfKeysOpt).map(Row(_)))
     }
     else if (up.startsWith("DESC")) describe(s)
     else if (up.startsWith("EXISTS ")) {

@@ -485,6 +485,155 @@ object ChSyntaxFormat {
       }
       j += 1
     }
+    // canonical string-literal re-print: unknown escape sequences keep
+    // their backslash in the VALUE, and the formatter re-escapes it —
+    // '\_hello' prints '\\_hello' (parseEscapeSequence + writeQuoted)
+    def canonStr(raw: String): String = {
+      if (raw.length < 2 || raw.head != '\'') return raw
+      val body = raw.substring(1, raw.length - 1)
+      val sb = new StringBuilder
+      var k = 0
+      while (k < body.length) {
+        val c = body.charAt(k)
+        if (c == '\\' && k + 1 < body.length) {
+          val n = body.charAt(k + 1)
+          n match {
+            case '\\' => sb.append("\\\\")
+            case '\'' => sb.append("\\'")
+            case 'n' | 't' | 'r' | '0' | 'b' | 'f' | 'a' | 'v' =>
+              sb.append('\\').append(n)
+            case other => sb.append("\\\\").append(other) // unknown escape
+          }
+          k += 2
+        } else { sb.append(c); k += 1 }
+      }
+      "'" + sb.toString + "'"
+    }
+    ts = ts.map(t => if (t.kind == S && t.text.contains('\\') &&
+      t.text.startsWith("'")) T(canonStr(t.text), S) else t)
+    // rewrite_like_function: a wildcard-free pattern turns LIKE into
+    // equality (NOT LIKE into !=) — 48011 goldens
+    if (likeRw.value) {
+      def plainPattern(raw: String): Boolean = {
+        val body = raw.stripPrefix("'").stripSuffix("'")
+        var k = 0
+        var plain = true
+        while (k < body.length && plain) {
+          val c = body.charAt(k)
+          if (c == '\\') k += 2
+          else { if (c == '%' || c == '_') plain = false; k += 1 }
+        }
+        plain
+      }
+      var m2 = 0
+      while (m2 + 1 < ts.length) {
+        if (isW(ts(m2), "LIKE") && ts(m2 + 1).kind == S &&
+            ts(m2 + 1).text.startsWith("'") &&
+            plainPattern(ts(m2 + 1).text)) {
+          val neg = m2 > 0 && isW(ts(m2 - 1), "NOT")
+          val op = T(if (neg) "!=" else "=", P)
+          ts =
+            if (neg) ts.take(m2 - 1) ++ Vector(op) ++ ts.drop(m2 + 1)
+            else ts.take(m2) ++ Vector(op) ++ ts.drop(m2 + 1)
+        }
+        m2 += 1
+      }
+    }
+    // ternary `c ? a : b` prints as if(c, a, b) (the CH parser builds
+    // the if() function); under optimize_if_chain_to_multiif a chained
+    // else-if collapses to multiIf (01388)
+    var guard2 = 0
+    var found = true
+    while (found && guard2 < 16) {
+      found = false; guard2 += 1
+      val depthAt = new Array[Int](ts.length)
+      var dd = 0
+      ts.indices.foreach { k =>
+        ts(k).text match {
+          case "(" | "[" => depthAt(k) = dd; dd += 1
+          case ")" | "]" => dd -= 1; depthAt(k) = dd
+          case _ => depthAt(k) = dd
+        }
+      }
+      val qIdx = ts.indices.find(k => ts(k).text == "?" && ts(k).kind == P)
+      qIdx.foreach { q =>
+        val d0 = depthAt(q)
+        // matching ':' at the same depth, skipping nested ternaries
+        var nest = 0
+        var colon = -1
+        var k = q + 1
+        while (colon < 0 && k < ts.length) {
+          if (depthAt(k) == d0 && ts(k).text == "?") nest += 1
+          else if (depthAt(k) == d0 && ts(k).text == ":") {
+            if (nest == 0) colon = k else nest -= 1
+          }
+          k += 1
+        }
+        // cond start: back to the opening of this depth level or a
+        // depth-d0 comma / expression start
+        var start = q - 1
+        while (start >= 0 && !(depthAt(start) < d0 ||
+            (depthAt(start) == d0 && (ts(start).text == "," ||
+              (ts(start).kind == W && keyword(ts(start).text) &&
+                !isW(ts(start), "NULL"))))))
+          start -= 1
+        start += 1
+        // else end: forward to the close of this depth level / comma
+        var eEnd = colon + 1
+        while (eEnd < ts.length && !(depthAt(eEnd) < d0 ||
+            (depthAt(eEnd) == d0 && (ts(eEnd).text == "," ||
+              (ts(eEnd).kind == W && keyword(ts(eEnd).text) &&
+                !isW(ts(eEnd), "NULL"))))))
+          eEnd += 1
+        if (colon > 0 && start < q && colon + 1 < eEnd) {
+          val cond = ts.slice(start, q)
+          val thenT = ts.slice(q + 1, colon)
+          val elseT = stripOuterParens(ts.slice(colon + 1, eEnd))
+          ts = ts.take(start) ++
+            Vector(T("if", W), T("(", P)) ++ cond ++ Vector(T(",", P)) ++
+            thenT ++ Vector(T(",", P)) ++ elseT ++ Vector(T(")", P)) ++
+            ts.drop(eEnd)
+          found = true
+        }
+      }
+    }
+    if (ifChain.value) {
+      // if(c, a, if(...)) -> multiIf(c, a, ...): collapse else-chains
+      var again = true
+      var g3 = 0
+      while (again && g3 < 16) {
+        again = false; g3 += 1
+        var k = 0
+        while (!again && k + 1 < ts.length) {
+          if ((isW(ts(k), "if") || isW(ts(k), "multiIf")) &&
+              ts(k + 1).text == "(") {
+            // last argument starts with if( ?
+            var d2 = 1
+            var m = k + 2
+            var lastComma = k + 1
+            while (m < ts.length && d2 > 0) {
+              ts(m).text match {
+                case "(" => d2 += 1
+                case ")" => d2 -= 1
+                case "," if d2 == 1 => lastComma = m
+                case _ => ()
+              }
+              if (d2 > 0) m += 1
+            }
+            if (m < ts.length && lastComma + 2 < m &&
+                isW(ts(lastComma + 1), "if") &&
+                ts(lastComma + 2).text == "(") {
+              // splice: drop the inner `if(` and its close, rename head
+              ts = ts.take(k) ++ Vector(T("multiIf", W)) ++
+                ts.slice(k + 1, lastComma + 1) ++
+                ts.slice(lastComma + 3, m - 1) ++ ts.drop(m)
+              again = true
+            }
+          }
+          k += 1
+        }
+      }
+    }
     // operator keywords uppercase (CH formatter hilite keywords)
     val opKw = Set("IN", "AS", "AND", "OR", "NOT", "LIKE", "ILIKE", "IS",
       "NULL", "BETWEEN", "CASE", "WHEN", "THEN", "ELSE", "END", "INTERVAL",
@@ -711,7 +860,9 @@ object ChSyntaxFormat {
         else if (prevIsUnarySign) ""
         else if (t.text == "(" )
           // no space between a function name / ) / ] / '(' and its '('
-          if (prev.kind == W && !keyword(prev.text)) ""
+          // (ANY/ALL are keywords in joins but functions before parens)
+          if (prev.kind == W && (!keyword(prev.text) ||
+              Set("ANY", "ALL").contains(prev.text.toUpperCase))) ""
           else if (prev.text == ")" || prev.text == "]") ""
           else if (prev.text == "(" || prev.text == "[") ""
           else " "
@@ -794,16 +945,42 @@ object ChSyntaxFormat {
   private val ieModes =
     new scala.util.DynamicVariable[(String, String)](("DISTINCT", "DISTINCT"))
 
+  /** optimize_duplicate_order_by_and_distinct (01455). */
+  private val dupDistinct = new scala.util.DynamicVariable[Boolean](false)
+  /** rewrite_like_function (48011). */
+  private val likeRw = new scala.util.DynamicVariable[Boolean](false)
+  /** optimize_if_chain_to_multiif (01388). */
+  private val ifChain = new scala.util.DynamicVariable[Boolean](false)
+  /** optimize_group_by_function_keys (01300) — CH default on. */
+  private val gbFnKeys = new scala.util.DynamicVariable[Boolean](true)
+  /** optimize_aggregators_of_group_by_keys (01321) — CH default on. */
+  private val aggOfKeys = new scala.util.DynamicVariable[Boolean](true)
+
   def format(query: String,
       columnsOf: String => Option[Seq[String]] = _ => None,
       stripUniqInjective: Boolean = false,
       arithInAgg: Boolean = true,
       intersectMode: String = "DISTINCT",
-      exceptMode: String = "DISTINCT"): Seq[String] =
+      exceptMode: String = "DISTINCT",
+      dropDupDistinct: Boolean = false,
+      rewriteLike: Boolean = false,
+      ifToMultiIf: Boolean = false,
+      groupByFnKeys: Boolean = true,
+      aggregatorsOfKeys: Boolean = true): Seq[String] =
     uniqStrip.withValue(stripUniqInjective) {
       aggArith.withValue(arithInAgg) {
         ieModes.withValue((intersectMode, exceptMode)) {
-          format0(query, columnsOf)
+          dupDistinct.withValue(dropDupDistinct) {
+            likeRw.withValue(rewriteLike) {
+              ifChain.withValue(ifToMultiIf) {
+                gbFnKeys.withValue(groupByFnKeys) {
+                  aggOfKeys.withValue(aggregatorsOfKeys) {
+                    format0(query, columnsOf)
+                  }
+                }
+              }
+            }
+          }
         }
       }
     }
@@ -1026,6 +1203,20 @@ object ChSyntaxFormat {
     i += 1
     var distinct = false
     if (i < ts.length && isW(ts(i), "DISTINCT")) { distinct = true; i += 1 }
+    // optimize_duplicate_order_by_and_distinct: an outer DISTINCT whose
+    // item set equals the inner SELECT DISTINCT's output-name set is
+    // redundant and prints dropped (01455)
+    def itemName(it: Seq[T]): String = {
+      val asAt = it.lastIndexWhere(isW(_, "AS"))
+      if (asAt >= 0 && asAt == it.length - 2) it.last.text
+      else if (it.length >= 2 && it.last.kind == W &&
+          !keyword(it.last.text) && !it.last.text.head.isDigit && {
+            val p = it(it.length - 2)
+            (p.kind == W && !keyword(p.text)) || p.kind == S ||
+              p.text == ")" || p.text == "]"
+          }) it.last.text // implicit alias
+      else render(it)
+    }
     val selEnd = clause(ts, i)
     var items = splitItems(ts.slice(i, selEnd))
     i = selEnd
@@ -1070,6 +1261,69 @@ object ChSyntaxFormat {
         case _ => ()
       }
     }
+    // optimize_aggregators_of_group_by_keys: min/max/any/anyLast whose
+    // argument is a function of the GROUP BY keys collapses to the
+    // argument (01321)
+    if (aggOfKeys.value) {
+      // the GROUP BY items of THIS select level
+      var d4 = 0
+      var gAt = -1
+      (i until ts.length).foreach { k =>
+        ts(k).text match {
+          case "(" | "[" => d4 += 1
+          case ")" | "]" => d4 -= 1
+          case _ if d4 == 0 && gAt < 0 && isW(ts(k), "GROUP") => gAt = k
+          case _ => ()
+        }
+      }
+      if (gAt >= 0) {
+        val ge = clause(ts, gAt + 2)
+        val keys = splitItems(ts.slice(gAt + 2, ge))
+          .map(k0 => stripOuterParens(k0).map(_.text))
+          .filter(_.nonEmpty)
+        def coveredByKeys(arg: Seq[T]): Boolean = {
+          val txts = arg.map(_.text)
+          val covered = Array.fill(arg.length)(false)
+          keys.foreach { key =>
+            var k = 0
+            while (k + key.length <= txts.length) {
+              if (txts.slice(k, k + key.length) == key)
+                (k until k + key.length).foreach(covered(_) = true)
+              k += 1
+            }
+          }
+          arg.indices.forall { k =>
+            covered(k) || arg(k).kind != W || keyword(arg(k).text) ||
+              arg(k).text.head.isDigit ||
+              (k + 1 < arg.length && arg(k + 1).text == "(") // fn name
+          }
+        }
+        val reducible = Set("min", "max", "any", "anylast")
+        def reduceItem(it: Seq[T]): Seq[T] = {
+          if (it.length >= 3 && it.head.kind == W &&
+              reducible.contains(it.head.text.toLowerCase) &&
+              it(1).text == "(") {
+            var d5 = 1
+            var m = 2
+            while (m < it.length && d5 > 0) {
+              it(m).text match {
+                case "(" => d5 += 1; case ")" => d5 -= 1; case _ => ()
+              }
+              if (d5 > 0) m += 1
+            }
+            if (m < it.length) {
+              val arg = it.slice(2, m)
+              val tail = it.drop(m + 1) // e.g. ` AS a`
+              if (arg.nonEmpty && coveredByKeys(arg) &&
+                  !arg.exists(t => t.text == ","))
+                return arg ++ tail
+            }
+          }
+          it
+        }
+        items = items.map(reduceItem)
+      }
+    }
     // CH always prints an alias with explicit AS: a select item ending
     // in two adjacent value tokens (`expr alias`) gains the keyword
     def withAs(it: Seq[T]): Seq[T] = {
@@ -1087,6 +1341,46 @@ object ChSyntaxFormat {
         it.init ++ Seq(T("AS", W), it.last)
       else it
     }
+    if (distinct && dupDistinct.value && fromSub.isDefined) {
+      // the guaranteed-distinct output-name set of a subquery: a SELECT
+      // DISTINCT's items, or — through a plain projection that passes
+      // those names unchanged — its own subquery's set
+      def distinctNames(sub0: Seq[T], depth: Int): Option[Set[String]] = {
+        if (depth > 4) return None
+        val inner = stripOuterParens(sub0)
+        var k = 0
+        if (k >= inner.length || !isW(inner(k), "SELECT")) return None
+        k += 1
+        val isDist = k < inner.length && isW(inner(k), "DISTINCT")
+        if (isDist) k += 1
+        val selEndI = clause(inner, k)
+        val names = splitItems(inner.slice(k, selEndI)).map(itemName)
+        if (isDist) Some(names.toSet)
+        else {
+          // plain projection: find ITS subquery and require the deeper
+          // distinct set to survive this projection by name
+          var j2 = selEndI
+          if (j2 < inner.length && isW(inner(j2), "FROM")) {
+            val fe = clause(inner, j2 + 1)
+            val body = inner.slice(j2 + 1, fe)
+            if (body.nonEmpty && body.head.text == "(")
+              distinctNames(body, depth + 1) match {
+                case Some(deep) if deep.subsetOf(names.toSet) => Some(deep)
+                case _ => None
+              }
+            else None
+          } else None
+        }
+      }
+      // a join tail re-multiplies rows — only a PLAIN subquery source
+      // makes the outer DISTINCT redundant
+      if (fromTail.isEmpty)
+        distinctNames(fromSub.get, 0) match {
+          case Some(inNames) if items.map(itemName).toSet == inNames =>
+            distinct = false
+          case _ => ()
+        }
+    }
     val selKw = pad + (if (distinct) "SELECT DISTINCT" else "SELECT")
     if (items.length == 1) lines += selKw + " " + render(withAs(items.head))
     else {
@@ -1096,24 +1390,180 @@ object ChSyntaxFormat {
           (if (k < items.length - 1) "," else "")
       }
     }
+    // table aliases print with explicit AS; each JOIN lands on its own
+    // line (IAST::FormatSettings one_line=false join layout)
+    def aliasify(ts2: Seq[T], afterParen: Boolean = false): Seq[T] = {
+      val out2 = ArrayBuffer[T]()
+      ts2.zipWithIndex.foreach { case (t, k) =>
+        val prevOk = out2.lastOption.exists(p =>
+          (p.kind == W && !keyword(p.text)) || p.text == ")") ||
+          (k == 0 && afterParen)
+        if (t.kind == W && !keyword(t.text) && !t.text.head.isDigit &&
+            prevOk && (k + 1 >= ts2.length || ts2(k + 1).text != "(" &&
+              ts2(k + 1).text != "."))
+          out2 += T("AS", W)
+        out2 += t
+      }
+      out2.toSeq
+    }
+    def joinSplit(ts2: Seq[T]): Seq[Seq[T]] = {
+      val joinKw = Set("CROSS", "INNER", "LEFT", "RIGHT", "FULL", "GLOBAL",
+        "ANY", "ALL", "ASOF", "SEMI", "ANTI", "PASTE")
+      val cuts = ArrayBuffer[Int]()
+      var d = 0
+      ts2.indices.foreach { k =>
+        ts2(k).text match {
+          case "(" | "[" => d += 1
+          case ")" | "]" => d -= 1
+          case _ if d == 0 && ts2(k).kind == W =>
+            val u = ts2(k).text.toUpperCase
+            if (u == "JOIN" || (joinKw.contains(u) && ts2.drop(k + 1)
+                .find(!_.text.isEmpty).exists(_ => true) && {
+              // a join-prefix run ending in JOIN
+              var m = k
+              var okRun = true
+              while (okRun && m < ts2.length &&
+                  !isW(ts2(m), "JOIN")) {
+                okRun = ts2(m).kind == W &&
+                  joinKw.contains(ts2(m).text.toUpperCase)
+                m += 1
+              }
+              okRun && m < ts2.length
+            })) {
+              // only cut at the START of the run
+              val prevW = (k - 1 >= 0) && ts2(k - 1).kind == W &&
+                (joinKw.contains(ts2(k - 1).text.toUpperCase) ||
+                  isW(ts2(k - 1), "JOIN"))
+              if (!prevW) cuts += k
+            }
+          case _ => ()
+        }
+      }
+      if (cuts.isEmpty) Seq(ts2)
+      else {
+        val bounds = (0 +: cuts.toSeq).zip(cuts.toSeq :+ ts2.length)
+        bounds.map { case (a, b) => ts2.slice(a, b) }
+      }
+    }
+    def fromTailLines(ts2: Seq[T], firstPrefix: String): Unit = {
+      val segs = joinSplit(aliasify(ts2,
+        afterParen = firstPrefix.endsWith(")")))
+      segs.zipWithIndex.foreach { case (seg, k) =>
+        if (k == 0) {
+          val t0 = render(seg)
+          if (t0.nonEmpty) lines += firstPrefix + (
+            if (firstPrefix.endsWith("(") || firstPrefix.trim.isEmpty ||
+              firstPrefix.endsWith(")")) (if (t0.startsWith("AS")) " " + t0
+              else " " + t0)
+            else t0)
+          else if (firstPrefix.trim.nonEmpty) lines += firstPrefix
+        }
+        else lines += pad + render(seg)
+      }
+    }
     if (fromTable.isDefined) lines += pad + "FROM " + fromTable.get
     else if (fromSub.isDefined) {
       lines += pad + "FROM"
       lines += pad + "("
       lines ++= formatUnion(fromSub.get, indent + 4, columnsOf)
-      lines += pad + ")" + (if (fromTail.nonEmpty) " " + render(fromTail) else "")
-    } else if (fromTail.nonEmpty) lines += pad + "FROM " + render(fromTail)
+      if (fromTail.nonEmpty) fromTailLines(fromTail, pad + ")")
+      else lines += pad + ")"
+    } else if (fromTail.nonEmpty) {
+      val segs = joinSplit(aliasify(fromTail))
+      lines += pad + "FROM " + render(segs.head)
+      segs.drop(1).foreach(seg => lines += pad + render(seg))
+    }
+    // optimize_group_by_function_keys companion: a HAVING that uses no
+    // aggregate moves to WHERE (printed before GROUP BY — 01300_having)
+    var ts2 = ts
+    if (true) { // aggregate-free HAVING always prints moved to WHERE
+      var d3 = 0
+      var havingAt = -1
+      var groupAt = -1
+      (i until ts2.length).foreach { k =>
+        ts2(k).text match {
+          case "(" | "[" => d3 += 1
+          case ")" | "]" => d3 -= 1
+          case _ if d3 == 0 && ts2(k).kind == W =>
+            val u = ts2(k).text.toUpperCase
+            if (u == "HAVING" && havingAt < 0) havingAt = k
+            if (u == "GROUP" && groupAt < 0) groupAt = k
+            if (u == "WHERE") havingAt = -2 // existing WHERE: leave as-is
+          case _ => ()
+        }
+      }
+      if (havingAt >= 0 && groupAt >= 0 && havingAt > groupAt) {
+        val he = clause(ts2, havingAt + 1)
+        val hav = ts2.slice(havingAt + 1, he)
+        val aggNames = Set("sum", "min", "max", "avg", "count", "uniq",
+          "uniqexact", "any", "grouparray")
+        val hasAgg = hav.exists(t => t.kind == W &&
+          aggNames.contains(t.text.toLowerCase))
+        if (!hasAgg && hav.nonEmpty) {
+          ts2 = ts2.take(havingAt) ++ ts2.slice(he, ts2.length)
+          val g = ts2.indexWhere(x => isW(x, "GROUP"), i)
+          if (g >= 0)
+            ts2 = ts2.take(g) ++ Vector(T("WHERE", W)) ++ hav ++
+              ts2.drop(g)
+        }
+      }
+    }
     // remaining clauses in order
-    while (i < ts.length) {
-      val u = ts(i).text.toUpperCase
+    while (i < ts2.length) {
+      val u = ts2(i).text.toUpperCase
       u match {
         case "WHERE" | "PREWHERE" | "HAVING" | "SETTINGS" =>
-          val e = clause(ts, i + 1)
-          lines += pad + u + " " + render(ts.slice(i + 1, e))
+          val e = clause(ts2, i + 1)
+          lines += pad + u + " " + render(ts2.slice(i + 1, e))
           i = e
         case "GROUP" =>
-          val e = clause(ts, i + 2)
-          val gs = splitItems(ts.slice(i + 2, e))
+          val e = clause(ts2, i + 2)
+          var gs = splitItems(ts2.slice(i + 2, e))
+          // optimize_group_by_function_keys: a key whose TOP-LEVEL
+          // arguments are all other keys or literals is redundant
+          // (non-recursive — a composite argument keeps the key, 01300)
+          if (gbFnKeys.value && gs.length > 1) {
+            def txt(x: Seq[T]) = render(stripOuterParens(x))
+            val keyTexts = gs.map(txt)
+            def topArgs(item0: Seq[T]): Seq[Seq[T]] = {
+              val item = stripOuterParens(item0)
+              // operator form: split at the lowest-precedence depth-0 ops
+              var d = 0
+              val ops = ArrayBuffer[Int]()
+              item.indices.foreach { k =>
+                item(k).text match {
+                  case "(" | "[" => d += 1
+                  case ")" | "]" => d -= 1
+                  case "+" | "-" | "*" | "/" | "%"
+                      if d == 0 && !unarySlot(item, k) => ops += k
+                  case _ => ()
+                }
+              }
+              if (ops.nonEmpty) {
+                def prec(k: Int) = if ("+-".contains(item(k).text)) 1 else 2
+                val lo = ops.map(prec).min
+                val cut = ops.filter(prec(_) == lo).toSeq
+                val bounds = (0 +: cut.map(_ + 1)).zip(cut :+ item.length)
+                bounds.map { case (a, b) => item.slice(a, b) }.toSeq
+              } else if (item.length > 2 && item.head.kind == W &&
+                  !keyword(item.head.text) && item(1).text == "(" &&
+                  item.last.text == ")")
+                splitItems(item.slice(2, item.length - 1))
+              else Seq(item)
+            }
+            gs = gs.filter { g =>
+              val args = topArgs(g)
+              val self = txt(g)
+              !(args.length > 1 || (args.length == 1 &&
+                  txt(args.head) != self)) || {
+                // every top-level argument must itself be ANOTHER key
+                // (a literal argument keeps the key — (n%2) % 3 stays,
+                // (n%5)*(n%5) drops; 01300 goldens)
+                val others = keyTexts.filterNot(_ == self).toSet
+                !args.forall(a => others.contains(txt(a)))
+              }
+            }
+          }
           if (gs.length == 1) lines += pad + "GROUP BY " + render(gs.head)
           else {
             lines += pad + "GROUP BY"
@@ -1124,8 +1574,8 @@ object ChSyntaxFormat {
           }
           i = e
         case "ORDER" =>
-          val e = clause(ts, i + 2)
-          val os = splitItems(ts.slice(i + 2, e)).map { o =>
+          val e = clause(ts2, i + 2)
+          val os = splitItems(ts2.slice(i + 2, e)).map { o =>
             val hasDir = o.exists(t => isW(t, "ASC") || isW(t, "DESC") ||
               isW(t, "ASCENDING") || isW(t, "DESCENDING"))
             if (hasDir) render(o)
@@ -1148,8 +1598,8 @@ object ChSyntaxFormat {
           }
           i = e
         case "LIMIT" =>
-          val e = clause(ts, i + 1)
-          val body = ts.slice(i + 1, e)
+          val e = clause(ts2, i + 1)
+          val body = ts2.slice(i + 1, e)
           val byAt = body.indices.find(k => isW(body(k), "BY"))
           byAt match {
             case Some(b) =>
@@ -1179,8 +1629,8 @@ object ChSyntaxFormat {
           i = e
         case _ =>
           // unknown tail (FORMAT …, INTO OUTFILE …): echo and stop
-          lines += pad + render(ts.drop(i))
-          i = ts.length
+          lines += pad + render(ts2.drop(i))
+          i = ts2.length
       }
     }
     lines.toSeq
