@@ -269,31 +269,60 @@ object ChCoercions extends Rule[LogicalPlan] {
     */
   val SetOpsAllFlag = "spark.graft.chSetOpsAll"
 
+  /** Broadcast the membership side: a BroadcastHashJoin streams the
+    * LEFT side in place, preserving the reference's row order (a
+    * shuffled semi join would interleave partitions). */
+  private def setOpHint =
+    org.apache.spark.sql.catalyst.plans.logical.JoinHint(None,
+      Some(org.apache.spark.sql.catalyst.plans.logical.HintInfo(
+        strategy = Some(
+          org.apache.spark.sql.catalyst.plans.logical.BROADCAST))))
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val setOpsOn =
       try plan.conf.getConfString(SetOpsAllFlag, "false") == "true"
       catch { case _: Throwable => false }
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin,
+      Project => LProject, Filter => LFilter, Sort => LSort,
+      Window => LWindow, Intersect => LIntersect, Except => LExcept}
+    def setOpJoin(left: LogicalPlan, right: LogicalPlan,
+        semi: Boolean): LogicalPlan =
+      LJoin(left, right,
+        if (semi) org.apache.spark.sql.catalyst.plans.LeftSemi
+        else org.apache.spark.sql.catalyst.plans.LeftAnti,
+        left.output.zip(right.output)
+          .map { case (l, r) => EqualNullSafe(l, r): Expression }
+          .reduceOption(And),
+        setOpHint)
+    // DISTINCT mode: keep the FIRST occurrence in left-stream order —
+    // row_number per key over a monotonic id, then re-sort by it (the
+    // reference streams set ops in input order; a hash aggregate's
+    // partition-lottery order is master/parallelism-dependent)
+    def keepFirst(filtered: LogicalPlan,
+        out: Seq[Attribute]): LogicalPlan = {
+      val rid = Alias(MonotonicallyIncreasingID(), "__setop_rid")()
+      val withId = LProject(out ++ Seq(rid), filtered)
+      val spec = WindowSpecDefinition(out,
+        Seq(SortOrder(rid.toAttribute, Ascending)),
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+      val rn = Alias(
+        WindowExpression(RowNumber(), spec), "__setop_rn")()
+      val win = LWindow(Seq(rn), out,
+        Seq(SortOrder(rid.toAttribute, Ascending)), withId)
+      val flt = LFilter(EqualTo(rn.toAttribute, Literal(1)), win)
+      val sorted = LSort(Seq(SortOrder(rid.toAttribute, Ascending)),
+        global = true, flt)
+      LProject(out, sorted)
+    }
     val plan0 =
       if (!setOpsOn) plan
       else plan.resolveOperatorsUp {
-        case i: org.apache.spark.sql.catalyst.plans.logical.Intersect
-            if i.isAll && i.resolved =>
-          org.apache.spark.sql.catalyst.plans.logical.Join(
-            i.left, i.right,
-            org.apache.spark.sql.catalyst.plans.LeftSemi,
-            i.left.output.zip(i.right.output)
-              .map { case (l, r) => EqualNullSafe(l, r): Expression }
-              .reduceOption(And),
-            org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
-        case e: org.apache.spark.sql.catalyst.plans.logical.Except
-            if e.isAll && e.resolved =>
-          org.apache.spark.sql.catalyst.plans.logical.Join(
-            e.left, e.right,
-            org.apache.spark.sql.catalyst.plans.LeftAnti,
-            e.left.output.zip(e.right.output)
-              .map { case (l, r) => EqualNullSafe(l, r): Expression }
-              .reduceOption(And),
-            org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+        case i: LIntersect if i.resolved =>
+          val j = setOpJoin(i.left, i.right, semi = true)
+          if (i.isAll) j else keepFirst(j, i.left.output)
+        case e: LExcept if e.resolved =>
+          val j = setOpJoin(e.left, e.right, semi = false)
+          if (e.isAll) j else keepFirst(j, e.left.output)
       }
     val aggArithOn =
       try plan.conf.getConfString(AggArithFlag, "false") == "true"

@@ -177,6 +177,8 @@ final class ChSession(spark: SparkSession) {
   private var gbFnKeysOpt = true
   // EXPLAIN SYNTAX: aggregators-of-group-keys elimination (01321)
   private var aggOfKeysOpt = true
+  // EXPLAIN SYNTAX: transform-strings-to-enum (01324)
+  private var strToEnumOpt = false
   private val maxMemRe =
     """(?i)max_memory_usage\s*=\s*'?(\d+)([KMGT]?)'?""".r
   private val dialectRe =
@@ -230,6 +232,9 @@ final class ChSession(spark: SparkSession) {
           m.group(2).toUpperCase)
         catch { case _: Throwable => () }
       }
+    """(?i)optimize_if_transform_strings_to_enum\s*=\s*(\d)""".r
+      .findFirstMatchIn(s)
+      .foreach(m => strToEnumOpt = m.group(1) == "1")
     """(?i)optimize_aggregators_of_group_by_keys\s*=\s*(\d)""".r
       .findFirstMatchIn(s)
       .foreach(m => aggOfKeysOpt = m.group(1) == "1")
@@ -585,7 +590,8 @@ final class ChSession(spark: SparkSession) {
       Output(ChSyntaxFormat.format(q, cols, uniqInjectiveOpt, arithInAggOpt,
         spark.conf.get("graft.ch.intersectMode", "DISTINCT"),
         spark.conf.get("graft.ch.exceptMode", "DISTINCT"),
-        dupDistinctOpt, likeRwOpt, ifChainOpt, gbFnKeysOpt, aggOfKeysOpt).map(Row(_)))
+        dupDistinctOpt, likeRwOpt, ifChainOpt, gbFnKeysOpt, aggOfKeysOpt,
+        strToEnumOpt).map(Row(_)))
     }
     else if (up.startsWith("DESC")) describe(s)
     else if (up.startsWith("EXISTS ")) {
@@ -1838,9 +1844,17 @@ final class ChSession(spark: SparkSession) {
             Row(n, t, if (nullable) "true" else "false", "",
               kind, mysqlDefaultText(exprTxt), comment, "", "") })
         case Some(st) =>
+          // standard-SQL decimal spellings describe in CH canonical form
+          // (reference DataTypeFactory aliases: DECIMAL(9,4) ->
+          // Decimal(9, 4) — 00700_decimal_defaults)
+          def canonType(t: String): String =
+            """(?i)^(?:DECIMAL|DEC|NUMERIC|FIXED)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$""".r
+              .findFirstMatchIn(t.trim)
+              .map(m => s"Decimal(${m.group(1)}, ${m.group(2)})")
+              .getOrElse(t)
           Output(st.declared.map { case (n, t) =>
             val (kind, exprTxt, comment) = st.meta.getOrElse(n, ("", "", ""))
-            Row(n, t, "", kind, exprTxt, comment, "", "") })
+            Row(n, canonType(t), "", kind, exprTxt, comment, "", "") })
         case None => NotHandled // DESCRIBE of a subquery etc.
       }
     case _ => NotHandled

@@ -634,6 +634,50 @@ object ChSyntaxFormat {
         }
       }
     }
+    // optimize_if_transform_strings_to_enum: transform(x, keys,
+    // ['a','b'], 'dflt') wraps the string array and default in Enum8
+    // CASTs over the SORTED distinct value set (01324)
+    if (strToEnum.value) {
+      var m3 = 0
+      while (m3 + 1 < ts.length) {
+        if (isW(ts(m3), "transform") && ts(m3 + 1).text == "(") {
+          var d6 = 1
+          var m = m3 + 2
+          while (m < ts.length && d6 > 0) {
+            ts(m).text match {
+              case "(" => d6 += 1; case ")" => d6 -= 1; case _ => ()
+            }
+            if (d6 > 0) m += 1
+          }
+          if (m < ts.length) {
+            val args = splitItems(ts.slice(m3 + 2, m))
+            if (args.length == 4 &&
+                args(2).forall(t => t.kind == S || t.text == "[" ||
+                  t.text == "]" || t.text == ",") &&
+                args(3).length == 1 && args(3).head.kind == S) {
+              val vals = (args(2).filter(_.kind == S) ++ args(3))
+                .map(_.text.stripPrefix("'").stripSuffix("'"))
+                .distinct.sorted
+              val enum = vals.zipWithIndex
+                .map { case (v, k) => "\\'" + v + "\\' = " + (k + 1) }
+                .mkString(", ")
+              val arrCast = Vector(T("CAST", W), T("(", P)) ++ args(2) ++
+                Vector(T(",", P),
+                  T("'Array(Enum8(" + enum + "))'", S), T(")", P))
+              val dfltCast = Vector(T("CAST", W), T("(", P)) ++ args(3) ++
+                Vector(T(",", P), T("'Enum8(" + enum + ")'", S), T(")", P))
+              val rebuilt = Vector(T("transform", W), T("(", P)) ++
+                args(0) ++ Vector(T(",", P)) ++ args(1) ++
+                Vector(T(",", P)) ++ arrCast ++ Vector(T(",", P)) ++
+                dfltCast ++ Vector(T(")", P))
+              ts = ts.take(m3) ++ rebuilt ++ ts.drop(m + 1)
+              m3 += rebuilt.length
+            }
+          }
+        }
+        m3 += 1
+      }
+    }
     // operator keywords uppercase (CH formatter hilite keywords)
     val opKw = Set("IN", "AS", "AND", "OR", "NOT", "LIKE", "ILIKE", "IS",
       "NULL", "BETWEEN", "CASE", "WHEN", "THEN", "ELSE", "END", "INTERVAL",
@@ -955,6 +999,8 @@ object ChSyntaxFormat {
   private val gbFnKeys = new scala.util.DynamicVariable[Boolean](true)
   /** optimize_aggregators_of_group_by_keys (01321) — CH default on. */
   private val aggOfKeys = new scala.util.DynamicVariable[Boolean](true)
+  /** optimize_if_transform_strings_to_enum (01324). */
+  private val strToEnum = new scala.util.DynamicVariable[Boolean](false)
 
   def format(query: String,
       columnsOf: String => Option[Seq[String]] = _ => None,
@@ -966,7 +1012,8 @@ object ChSyntaxFormat {
       rewriteLike: Boolean = false,
       ifToMultiIf: Boolean = false,
       groupByFnKeys: Boolean = true,
-      aggregatorsOfKeys: Boolean = true): Seq[String] =
+      aggregatorsOfKeys: Boolean = true,
+      transformToEnum: Boolean = false): Seq[String] =
     uniqStrip.withValue(stripUniqInjective) {
       aggArith.withValue(arithInAgg) {
         ieModes.withValue((intersectMode, exceptMode)) {
@@ -975,7 +1022,9 @@ object ChSyntaxFormat {
               ifChain.withValue(ifToMultiIf) {
                 gbFnKeys.withValue(groupByFnKeys) {
                   aggOfKeys.withValue(aggregatorsOfKeys) {
-                    format0(query, columnsOf)
+                    strToEnum.withValue(transformToEnum) {
+                      format0(query, columnsOf)
+                    }
                   }
                 }
               }
@@ -1253,6 +1302,9 @@ object ChSyntaxFormat {
       else columnsOf(bare)
     }
     if (fromTable.contains("one")) fromTable = Some("system.one")
+    if (fromTable.contains("numbers")) fromTable = Some("system.numbers")
+    if (fromTable.contains("numbers_mt"))
+      fromTable = Some("system.numbers_mt")
     if (items.length == 1 && items.head.length == 1 &&
         items.head.head.text == "*") {
       fromTable.flatMap(tableCols) match {

@@ -394,6 +394,89 @@ object ClickHouseAliases {
       case _ => Literal.default(dt)
     }
 
+  /** No-match value of arrayFirst/arrayLast: the element type's CH
+    * default for NON-Nullable elements, NULL otherwise (the base scan
+    * yields NULL on no match). Type-dispatched after analysis.
+    */
+  /** The element-type default of `arr`, type-dispatched post-analysis:
+    * pad an EMPTY slice of the array and take its one element. Usable
+    * inside lambda bodies (plain expression, no lambda children).
+    */
+  private def chArrElemDefault(arr: Expression): Expression =
+    new ElementAt(
+      ChDispatch("chArrayDefaultPad",
+        Seq(new Slice(arr, Literal(1), Literal(0)))) { c =>
+        c.head.dataType match {
+          case at: ArrayType =>
+            If(Or(IsNull(c.head), EqualTo(Size(c.head), Literal(0))),
+              CreateArray(Seq(chElemDefault(at.elementType, at.containsNull))),
+              c.head)
+          case _ => c.head
+        }
+      }, Literal(1), None, false)
+
+  /** The declared constructor timezone inside an operand subtree —
+    * toDateTime(x, 'tz') / toDateTime64(x, s, 'tz') — when exactly one
+    * distinct zone appears. */
+  private def childCtorTz(e: Expression): Option[String] = {
+    val zs = e.collect {
+      case d: ChDispatch if d.name == "toDateTime" || d.name == "toDateTime64" =>
+        d.children.drop(if (d.name == "toDateTime") 1 else 2)
+          .headOption.collect {
+            case Literal(v, StringType) if v != null => v.toString }
+    }.flatten.distinct
+    if (zs.size == 1) Some(zs.head) else None
+  }
+
+  /** Does the subtree construct the SIGNED Date32 (no epoch floor)? */
+  private def usesDate32(e: Expression): Boolean = e.exists {
+    case d: ChDispatch => d.name.equalsIgnoreCase("toDate32")
+    case _ => false
+  }
+
+  /** Clamp only CH-constructed Date/DateTime operands (u16/u32
+    * carriers saturate at the epoch — 02096); a raw TIMESTAMP keeps
+    * its signed range (pre-1970 floors stay true floors). */
+  private def epochClamped(e: Expression): Boolean = !usesDate32(e) &&
+    e.exists {
+      case d: ChDispatch => Set("todate", "todatetime", "todatetime64")
+        .contains(d.name.toLowerCase)
+      case _ => false
+    }
+
+  /** Epoch saturation: CH Date (u16) and DateTime (u32) floor at
+    * 1970-01-01 (00:00 UTC); Date32 keeps its signed range. */
+  private def satTs(x: Expression): Expression = {
+    val epoch = Literal.create(0L, TimestampType)
+    If(LessThan(x, epoch), epoch, x)
+  }
+  private def satDate(x: Expression): Expression = {
+    val epoch = Literal.create(0, DateType)
+    If(LessThan(x, epoch), epoch, x)
+  }
+
+  private def chTruncTs(unit: String, c0: Expression): Expression = {
+    val ts = Cast(c0, TimestampType)
+    val base = childCtorTz(c0) match {
+      case Some(z) =>
+        ToUTCTimestamp(
+          TruncTimestamp(Literal(unit), FromUTCTimestamp(ts, Literal(z))),
+          Literal(z))
+      case None => TruncTimestamp(Literal(unit), ts)
+    }
+    if (epochClamped(c0)) satTs(base) else base
+  }
+
+  private def chTruncDate(unit: String, c0: Expression): Expression = {
+    val d0 = childCtorTz(c0) match {
+      case Some(z) =>
+        Cast(FromUTCTimestamp(Cast(c0, TimestampType), Literal(z)), DateType)
+      case None => Cast(c0, DateType)
+    }
+    val base = TruncDate(d0, Literal(unit))
+    if (epochClamped(c0)) satDate(base) else base
+  }
+
   private val aliases: Seq[(String, Seq[Expression] => Expression)] =
     wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
       wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9 ++ wave10 ++ wave11 ++
@@ -744,18 +827,18 @@ object ClickHouseAliases {
       if (cs.size >= 2) exactElem(sortedVals(cs(1)), cs.head)
       else exactElem(sortedVals(cs.head), Literal(0.5d))),
 
-    // date/time
-    "toStartOfDay" -> (cs => TruncTimestamp(Literal("day"), cs.head)),
-    "toStartOfHour" -> (cs => TruncTimestamp(Literal("hour"), cs.head)),
-    "toStartOfMinute" -> (cs => TruncTimestamp(Literal("minute"), cs.head)),
+    // date/time — truncations run in the operand's TYPE timezone when
+    // one is declared (toDateTime(x, 'tz') constructors), and saturate
+    // at the epoch like the reference's unsigned DateTime/Date carriers
+    // (02096_date_time_1970_saturation; Date32 keeps its signed range)
+    "toStartOfDay" -> (cs => chTruncTs("day", cs.head)),
+    "toStartOfHour" -> (cs => chTruncTs("hour", cs.head)),
+    "toStartOfMinute" -> (cs => chTruncTs("minute", cs.head)),
     // reference toStartOfMonth/Quarter/Year return DATE for any input
     // (DateTimeTransforms.h ToStartOfMonthImpl)
-    "toStartOfMonth" -> (cs =>
-      TruncDate(Cast(cs.head, DateType), Literal("month"))),
-    "toStartOfQuarter" -> (cs =>
-      TruncDate(Cast(cs.head, DateType), Literal("quarter"))),
-    "toStartOfYear" -> (cs =>
-      TruncDate(Cast(cs.head, DateType), Literal("year"))),
+    "toStartOfMonth" -> (cs => chTruncDate("month", cs.head)),
+    "toStartOfQuarter" -> (cs => chTruncDate("quarter", cs.head)),
+    "toStartOfYear" -> (cs => chTruncDate("year", cs.head)),
     "toYear" -> (cs => Year(cs.head)),
     "toMonth" -> (cs => Month(cs.head)),
     "toDayOfMonth" -> (cs => DayOfMonth(cs.head)),
@@ -1003,9 +1086,16 @@ object ClickHouseAliases {
         case other => throw new IllegalArgumentException(
           s"toStartOfWeek: mode must be an integer literal, got $other")
       })
-      val d = Cast(cs.head, DateType)
-      if (mondayFirst) TruncDate(d, Literal("week"))
-      else DateSub(TruncDate(DateAdd(d, Literal(1)), Literal("week")), Literal(1))
+      val d = childCtorTz(cs.head) match {
+        case Some(z) => Cast(
+          FromUTCTimestamp(Cast(cs.head, TimestampType), Literal(z)), DateType)
+        case None => Cast(cs.head, DateType)
+      }
+      val base =
+        if (mondayFirst) TruncDate(d, Literal("week"))
+        else DateSub(TruncDate(DateAdd(d, Literal(1)), Literal("week")),
+          Literal(1))
+      if (epochClamped(cs.head)) satDate(base) else base
     }),
 
     // aggregates: moments + approximate quantiles (t-digest analogue)
@@ -1606,9 +1696,18 @@ object ClickHouseAliases {
     * AggregateFunctionQuantile.cpp quantileTiming registration).
     */
   private def wave3: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "toStartOfFiveMinutes" -> (cs => floorToSeconds(cs.head, 300L)),
-    "toStartOfTenMinutes" -> (cs => floorToSeconds(cs.head, 600L)),
-    "toStartOfFifteenMinutes" -> (cs => floorToSeconds(cs.head, 900L)),
+    "toStartOfFiveMinutes" -> (cs => {
+      val b = floorToSeconds(cs.head, 300L)
+      if (epochClamped(cs.head)) satTs(b) else b
+    }),
+    "toStartOfTenMinutes" -> (cs => {
+      val b = floorToSeconds(cs.head, 600L)
+      if (epochClamped(cs.head)) satTs(b) else b
+    }),
+    "toStartOfFifteenMinutes" -> (cs => {
+      val b = floorToSeconds(cs.head, 900L)
+      if (epochClamped(cs.head)) satTs(b) else b
+    }),
     // timeSlot rounds down to the half hour (DateTimeTransforms.h
     // TimeSlotImpl).
     "timeSlot" -> (cs => floorToSeconds(cs.head, 1800L)),
@@ -1622,7 +1721,17 @@ object ClickHouseAliases {
       cs(1) match {
         case Literal(v: Long, _: DayTimeIntervalType) if v > 0 =>
           val us = v
-          MicrosToTimestamp(Multiply(
+          if (us < 86400000000L) {
+            // sub-day intervals align to LOCAL MIDNIGHT, not the epoch
+            // (toStartOfInterval.cpp; 01772 pins 11-hour grids restarting
+            // each day)
+            val ts = Cast(cs.head, TimestampType)
+            val mid = TruncTimestamp(Literal("day"), ts)
+            val delta = Subtract(UnixMicros(ts), UnixMicros(mid))
+            MicrosToTimestamp(Add(UnixMicros(mid),
+              Multiply(IntegralDivide(delta, Literal(us),
+                evalMode = EvalMode.LEGACY), Literal(us))))
+          } else MicrosToTimestamp(Multiply(
             IntegralDivide(UnixMicros(Cast(cs.head, TimestampType)), Literal(us),
               evalMode = EvalMode.LEGACY),
             Literal(us)))
@@ -2565,13 +2674,22 @@ object ClickHouseAliases {
     }),
     "toNullable" -> (cs => cs.head), // every Spark column is nullable
     "today" -> (_ => CurrentDate(None)),
-    "toMonday" -> (cs => TruncDate(Cast(cs.head, DateType), Literal("week"))),
+    "toMonday" -> (cs => chTruncDate("week", cs.head)),
     // toTime: the time-of-day moved onto the reference's fixed date
     // 1970-01-02 (toTime.cpp via TimeTransforms).
-    "toTime" -> (cs => Cast(
-      Concat(Seq(Literal("1970-01-02 "),
-        DateFormatClass(Cast(cs.head, TimestampType), Literal("HH:mm:ss")))),
-      TimestampType)),
+    "toTime" -> (cs => {
+      // render the wall clock in the operand's type zone (2nd arg wins)
+      val z: Option[String] = cs.lift(1).collect {
+        case Literal(v, StringType) if v != null => v.toString
+      }.orElse(childCtorTz(cs.head))
+      val fmt = z match {
+        case Some(zz) => DateFormatClass(Cast(cs.head, TimestampType),
+          Literal("HH:mm:ss"), Some(zz))
+        case None => DateFormatClass(Cast(cs.head, TimestampType),
+          Literal("HH:mm:ss"))
+      }
+      Cast(Concat(Seq(Literal("1970-01-02 "), fmt)), TimestampType)
+    }),
     // mapPopulateSeries(m[, max]): integer-keyed map densified over
     // [min(keys), max(keys) | max] with 0 for absent keys
     // (mapPopulateSeries.cpp).
@@ -3879,20 +3997,24 @@ object ClickHouseAliases {
           accLambda(cs.head, (acc, cond) =>
             Add(acc, If(Cast(cond, BooleanType), Literal(1), Literal(0)))),
           LambdaFunction(lv("__gr"), Seq(lv("__gr"))))),
-      // first/last + indexes: the value forms return NULL on no match
-      // (the Spark-idiomatic missing; the reference emits the element
-      // type's 0/''/epoch default — documented divergence), the index
-      // forms return 0 like the reference.
+      // first/last + indexes: the value forms emit the element type's
+      // 0/''/epoch default on no match for NON-Nullable elements
+      // (reference arrayFirst.cpp insertDefault; NULL for Nullable —
+      // 02161 goldens), the index forms return 0 like the reference.
       "arrayFirst" -> (cs => ArrayAggregate(
         cs(1), new ElementAt(cs(1), Add(Size(cs(1)), Literal(1)), None, false),
         accLambda(cs.head, (acc, cond) =>
           If(And(IsNull(acc), Cast(cond, BooleanType)), userArg(cs.head), acc)),
-        LambdaFunction(lv("__gr"), Seq(lv("__gr"))))),
+        LambdaFunction(
+          Coalesce(Seq(lv("__gr"), chArrElemDefault(cs(1)))),
+          Seq(lv("__gr"))))),
       "arrayLast" -> (cs => ArrayAggregate(
         cs(1), new ElementAt(cs(1), Add(Size(cs(1)), Literal(1)), None, false),
         accLambda(cs.head, (acc, cond) =>
           If(Cast(cond, BooleanType), userArg(cs.head), acc)),
-        LambdaFunction(lv("__gr"), Seq(lv("__gr"))))),
+        LambdaFunction(
+          Coalesce(Seq(lv("__gr"), chArrElemDefault(cs(1)))),
+          Seq(lv("__gr"))))),
       "arrayFirstIndex" -> (cs => ArrayAggregate(
         ArrayTransform(cs(1), withIndex(cs.head,
           (body, i) => If(Cast(body, BooleanType), Add(i, Literal(1)), Literal(0)))),
@@ -4536,14 +4658,23 @@ object ClickHouseAliases {
     // null result through the null-intolerant expression).
     val empty = Literal(Array.empty[Byte], BinaryType)
     val iv = if (cs.size > 3) Cast(cs(3), BinaryType) else empty
-    // Spark's AES format PREPENDS the iv to CBC/GCM ciphertext, so
-    // decrypt takes no iv argument — an explicit iv on decrypt (CH
-    // style, for externally produced ciphertext) is unsupported.
-    require(decrypt == false || cs.size <= 3,
-      "decrypt: explicit iv unsupported — Spark ciphertext embeds the iv")
-    val aad = empty
-    if (decrypt) AesDecrypt(data, key, Literal(mode), Literal("DEFAULT"), aad)
-    else AesEncrypt(data, key, Literal(mode), Literal("DEFAULT"), iv, aad)
+    // ECB/CBC follow the reference's RAW layout with the caller's IV
+    // (CryptoOps — 01663_aes_msan); Spark's own GCM keeps its embedded
+    // IV + tag framing for the round-trip files.
+    if (mode == "ECB" || mode == "CBC") {
+      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      StaticInvoke(graft.functions.CryptoOps.getClass, BinaryType,
+        if (decrypt) "chAesDecrypt" else "chAesEncrypt",
+        Seq(data, key, Literal(mode), iv),
+        Seq(BinaryType, BinaryType, StringType, BinaryType))
+    } else {
+      require(decrypt == false || cs.size <= 3,
+        "decrypt: explicit iv unsupported — Spark ciphertext embeds the iv")
+      val aad = empty
+      if (decrypt)
+        AesDecrypt(data, key, Literal(mode), Literal("DEFAULT"), aad)
+      else AesEncrypt(data, key, Literal(mode), Literal("DEFAULT"), iv, aad)
+    }
   }
 
   /** Register every alias into the session's function registry. */
@@ -4566,7 +4697,10 @@ object ClickHouseAliases {
       "sigmoid" -> (cs => Divide(Literal(1.0),
         Add(Literal(1.0), Exp(UnaryMinus(d(cs.head)))))),
       // corpus spelling variants of already-registered functions
-      "toStartOfFiveMinute" -> (cs => floorToSeconds(cs.head, 300L)),
+      "toStartOfFiveMinute" -> (cs => {
+        val b = floorToSeconds(cs.head, 300L)
+        if (epochClamped(cs.head)) satTs(b) else b
+      }),
       // geoDistance: reference geoDistance.cpp shares the
       // great-circle implementation with greatCircleDistance
       "geoDistance" -> (cs => {

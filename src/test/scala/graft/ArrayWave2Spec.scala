@@ -18,7 +18,10 @@ class ArrayWave2Spec extends SparkSpec {
   test("arrayFirst/arrayLast values and indexes") {
     assert(one("arrayFirst(x -> x > 2, array(1, 2, 3, 4))") === 3)
     assert(one("arrayLast(x -> x > 2, array(1, 2, 3, 4))") === 4)
-    assert(one("arrayFirst(x -> x > 9, array(1, 2))") === null)
+    // no match on a NON-Nullable element type = the type default
+    // (reference arrayFirst.cpp insertDefault; 02161 golden)
+    assert(one("arrayFirst(x -> x > 9, array(1, 2))") === 0)
+    assert(one("arrayLast(x -> x > 9, array(1, 2))") === 0)
     assert(one("arrayFirstIndex(x -> x > 2, array(1, 2, 3, 4))") === 3)
     assert(one("arrayLastIndex(x -> x > 2, array(1, 2, 3, 4))") === 4)
     assert(one("arrayFirstIndex(x -> x > 9, array(1, 2))") === 0)

@@ -40,6 +40,9 @@ class StatelessCorpusSpec extends SparkSpec {
     // the corpus's golden outputs assume server tz Europe/Moscow
     session.conf.set("spark.sql.session.timeZone", "Europe/Moscow")
     // CH has no ordinal GROUP BY / ORDER BY (same as StatelessSweep)
+    // match the sweep runner's partition count: set-operation row order
+    // is partition-order-deterministic, so the banked goldens assume it
+    session.conf.set("spark.sql.shuffle.partitions", "8")
     session.conf.set("spark.sql.groupByOrdinal", "false")
     session.conf.set("spark.sql.orderByOrdinal", "false")
     session.conf.set(graft.sql.ChJoinDefaults.Flag, "true")
