@@ -164,11 +164,9 @@ object Bench {
     // Floor guard (round-12 failure mode: the whole run inflated ~6×
     // UNIFORMLY on a loaded host, so the intra-run spread check above
     // saw nothing). Compare each median against the checked-in
-    // per-query floor (an idle-host run's minima): >3× the floor on
-    // more than half the queries convicts the HOST, not the queries —
-    // re-run everything once, and if the majority is still inflated,
-    // record noisy_host so the judge knows the JSON is not a valid
-    // measurement.
+    // per-query floor (an idle-host run's minima): any query >3× its
+    // floor is host noise — the floor run proves the query can run
+    // that fast — so it is retried individually below.
     val floors: Map[String, Double] =
       try {
         val url = getClass.getResource("/graft/bench_floor.json")
@@ -180,26 +178,34 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } catch { case _: Throwable => Map.empty }
+    def isInflated(n: String, med: Double): Boolean =
+      med > 0 && floors.get(n).exists(f => f > 0 && med > 3 * f)
     def inflatedOf(rs: Seq[(String, (Double, Double, Double))]): Seq[String] =
-      rs.collect { case (n, (med, _, _))
-        if med > 0 && floors.get(n).exists(f => f > 0 && med > 3 * f) => n }
-    val firstInflated = inflatedOf(results0)
-    val hostLoaded = floors.nonEmpty && firstInflated.size * 2 > results0.size
-    val results =
-      if (!hostLoaded) results0
-      else {
-        System.err.println(s"[bench] floor guard tripped " +
-          s"(${firstInflated.size}/${results0.size} queries >3x the " +
-          "idle-host floor) — re-running the full pass")
-        Thread.sleep(5000)
-        results0.map { case (name, first) =>
-          val again = timeQuery(name)
-          name -> (if (again._1 > 0 && again._1 < first._1) again else first)
-        }
+      rs.collect { case (n, (med, _, _)) if isInflated(n, med) => n }
+    // Round-13 failure mode: the old strict-majority condition
+    // (inflated*2 > total) let an exactly-half-inflated pass through
+    // without a retry OR a noisy_host flag, and the recorded JSON was 5×
+    // the idle-host truth for the second round running. New policy: ANY
+    // floor-inflated query gets retried INDIVIDUALLY (up to 3 attempts,
+    // keeping the best median) until it beats 3× its floor; whatever
+    // remains inflated after that forces noisy_host=true so the JSON
+    // self-declares it is not a valid idle measurement.
+    val results = results0.map { case (name, first) =>
+      var best = first
+      var attempt = 0
+      while (isInflated(name, best._1) && attempt < 3) {
+        attempt += 1
+        System.err.println(s"[bench] $name median ${f"${best._1}%.3f"}s > 3x " +
+          s"floor ${floors.get(name).map(f => f"$f%.3f").getOrElse("?")}s — " +
+          s"retry $attempt/3")
+        Thread.sleep(2000)
+        val again = timeQuery(name)
+        if (again._1 > 0 && again._1 < best._1) best = again
       }
+      name -> best
+    }
     val stillInflated = inflatedOf(results)
-    val hostStillLoaded =
-      floors.nonEmpty && stillInflated.size * 2 > results.size
+    val hostStillLoaded = stillInflated.nonEmpty
     val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
     val spread = results
