@@ -1754,7 +1754,7 @@ object ChTranspiler {
       }
       i += 1
     }
-    rewriteBareSetOps(rewriteAnyJoin(rewriteLimitBy(guardSelectStringHead(
+    val sqlOut = rewriteBareSetOps(rewriteAnyJoin(rewriteLimitBy(guardSelectStringHead(
     rewriteOrderNulls(rewriteCollate(rewriteNestedArrayJoinDeep(rewriteArrayJoin(rewriteInClauses(
       rewriteTupleLiterals(rewriteUnionBranches(rewriteParenLambda(rewriteTernary(rewriteWhereAliases(rewriteInlineAliases(
         rewriteScalarWithDeep(rewriteInfixMod(rewriteTwoArgCast(wrapWindowSums(
@@ -1763,6 +1763,12 @@ object ChTranspiler {
               parenthesizeUsing(addImplicitFromOne(
                 rewriteDynamicInterval(
                   rewriteValuesTable(out.toString)))))))))))))))))))))))))))))
+    // Late-bound combinator chains (sumForEachIf, quantilesTimingState…):
+    // register composed builders for any not-yet-registered aggregate
+    // name in this statement, so spark.sql resolves them like the
+    // reference's AggregateFunctionCombinatorFactory does on demand.
+    ChCombinators.registerMissing(sqlOut)
+    sqlOut
   }
 
   /** ClickHouse's default INTERSECT/EXCEPT mode is ALL
@@ -3530,27 +3536,30 @@ object ChTranspiler {
       d
     }
     val fromIdx = toks2.indices.find(k => depthAt2(k) == 0 && isWordI(toks2(k), "FROM"))
+    // a clause keyword right after AS is an ALIAS (`… AS rows`), not a
+    // boundary — 01700's deltaSumState(arrayJoin(…)) AS rows
+    def aliased(k: Int): Boolean = {
+      var p = k - 1
+      while (p >= 0 && toks2(p).isInstanceOf[Ws]) p -= 1
+      p >= 0 && isWordI(toks2(p), "AS")
+    }
+    def boundaryAfter(start: Int): Int =
+      toks2.indices.drop(start).find { k =>
+        depthAt2(k) == 0 && (toks2(k) match {
+          case Word(w) => (orderBoundary(w.toUpperCase) ||
+            w.equalsIgnoreCase("ORDER")) && !aliased(k)
+          case Punct(";") => true
+          case _ => false
+        })
+      }.getOrElse(toks2.length)
     val insertAt = fromIdx match {
-      case Some(f) =>
-        // end of the source clause: first depth-0 boundary after FROM
-        toks2.indices.drop(f + 1).find { k =>
-          depthAt2(k) == 0 && (toks2(k) match {
-            case Word(w) => orderBoundary(w.toUpperCase) || w.equalsIgnoreCase("ORDER")
-            case Punct(";") => true
-            case _ => false
-          })
-        }.getOrElse(toks2.length)
+      // end of the source clause: first depth-0 boundary after FROM
+      case Some(f) => boundaryAfter(f + 1)
       case None =>
         // skip the leading SELECT itself — the synthesized FROM goes
         // after the select list (before WHERE/GROUP/ORDER/…)
         val first = toks2.indexWhere(!_.isInstanceOf[Ws])
-        toks2.indices.drop(first + 1).find { k =>
-          depthAt2(k) == 0 && (toks2(k) match {
-            case Word(w) => orderBoundary(w.toUpperCase) || w.equalsIgnoreCase("ORDER")
-            case Punct(";") => true
-            case _ => false
-          })
-        }.getOrElse(toks2.length)
+        boundaryAfter(first + 1)
     }
     val insertText =
       (if (fromIdx.isEmpty) s" FROM (SELECT 1 AS __ajg_one$n)" else "") + laterals + " "
@@ -4189,9 +4198,53 @@ object ChTranspiler {
         })) parenAt += f
       }
     }
-    if (dropWord.isEmpty && parenAt.isEmpty) return sql
+    // CH ignores NULL items in an IN list — they can never match
+    // (reference Set build skips nulls; 01629's `NOT IN ('…', NULL)` is
+    // 1, not SQL's three-valued NULL). Drop bare NULL items from
+    // literal IN lists (subqueries untouched).
+    val dropRange = scala.collection.mutable.Set[Int]()
+    for (k <- toks.indices) {
+      if (isWordI(toks(k), "IN")) {
+        val f = nextSigIdx(k + 1)
+        if (f < toks.length && toks(f) == Punct("(") && {
+          val h = nextSigIdx(f + 1)
+          h < toks.length && !isWordI(toks(h), "SELECT") &&
+            !isWordI(toks(h), "WITH")
+        }) {
+          var depth = 1
+          var itemStart = f + 1
+          var itemSig = List.empty[Int]
+          var j = f + 1
+          def flushItem(endEx: Int, commaAt: Int): Unit = {
+            if (itemSig.size == 1 && isWordI(toks(itemSig.head), "NULL")) {
+              (itemStart until endEx).foreach(dropRange += _)
+              if (commaAt >= 0) dropRange += commaAt
+            }
+          }
+          var prevComma = -1
+          while (j < toks.length && depth > 0) {
+            toks(j) match {
+              case Punct("(") => depth += 1; itemSig ::= j
+              case Punct(")") =>
+                depth -= 1
+                if (depth == 0) flushItem(j, prevComma)
+              case Punct(",") if depth == 1 =>
+                flushItem(j, if (itemSig.size == 1 &&
+                  isWordI(toks(itemSig.head), "NULL")) j else -1)
+                prevComma = j
+                itemStart = j + 1
+                itemSig = Nil
+              case t if !t.isInstanceOf[Ws] => itemSig ::= j
+              case _ => ()
+            }
+            j += 1
+          }
+        }
+      }
+    }
+    if (dropWord.isEmpty && parenAt.isEmpty && dropRange.isEmpty) return sql
     toks.zipWithIndex.map { case (t, k) =>
-      if (dropWord(k)) ""
+      if (dropWord(k) || dropRange(k)) ""
       else if (parenAt(k)) "(" + t.text + ")"
       else t.text
     }.mkString

@@ -385,7 +385,7 @@ object ClickHouseAliases {
     * emptyArrayToSingle): NULL for a nullable slot, the type zero
     * otherwise, recursively through tuples (insertDefault semantics).
     */
-  private def chElemDefault(dt: DataType, nullable: Boolean): Expression =
+  private[sql] def chElemDefault(dt: DataType, nullable: Boolean): Expression =
     if (nullable) Literal.create(null, dt)
     else dt match {
       case st: StructType => CreateNamedStruct(st.fields.flatMap(f =>
@@ -402,7 +402,7 @@ object ClickHouseAliases {
     * pad an EMPTY slice of the array and take its one element. Usable
     * inside lambda bodies (plain expression, no lambda children).
     */
-  private def chArrElemDefault(arr: Expression): Expression =
+  private[sql] def chArrElemDefault(arr: Expression): Expression =
     new ElementAt(
       ChDispatch("chArrayDefaultPad",
         Seq(new Slice(arr, Literal(1), Literal(0)))) { c =>
@@ -681,7 +681,7 @@ object ClickHouseAliases {
     * 2.5 an interpolating percentile yields. `sorted` must be an
     * ascending array of the group's non-null values.
     */
-  private def exactElem(sorted: Expression, level: Expression): Expression =
+  private[sql] def exactElem(sorted: Expression, level: Expression): Expression =
     ChDispatch("quantileExactElem", Seq(sorted, level)) { c =>
       val srt = c.head
       val n = Size(srt)
@@ -715,7 +715,7 @@ object ClickHouseAliases {
     * is the first value whose running weight reaches the threshold (the
     * last value if none does). Also non-interpolating, value-typed.
     */
-  private def exactWeightedElem(pairs: Expression, level: Expression): Expression = {
+  private[sql] def exactWeightedElem(pairs: Expression, level: Expression): Expression = {
     def pf(p: Expression, n: String): Expression =
       UnresolvedExtractValue(p, Literal(n))
     val ws = ArrayTransform(pairs,
@@ -770,9 +770,10 @@ object ClickHouseAliases {
       "quantileTDigestWeighted" -> oneW _,
       "medianExactWeighted" -> (cs =>
         exactWeightedElem(sortedPairs(cs.head, cs(1)), Literal(0.5d))),
-      "quantileTimingWeighted" -> (cs => Round(
-        new Percentile(Least(Seq(Cast(cs(1), DoubleType), Literal(30000.0))),
-          cs.head, Cast(cs(2), LongType)).toAggregateExpression(), Literal(0))),
+      "quantileTimingWeighted" -> (cs =>
+        if (cs.size >= 3)
+          ChCombinators.timingAgg(Seq(cs.head), cs(1), Some(cs(2)), many = false)
+        else ChCombinators.timingAgg(Nil, cs.head, Some(cs(1)), many = false)),
       "quantiles" -> many _,
       "quantilesExact" -> (cs => {
         val sorted = sortedVals(cs.last)
@@ -787,12 +788,8 @@ object ClickHouseAliases {
       }),
       "quantilesInterpolatedWeighted" -> manyW _,
       "quantilesTDigestWeighted" -> manyW _,
-      "quantilesTimingWeighted" -> (cs => ArrayTransform(
-        new Percentile(
-          Least(Seq(Cast(cs(cs.size - 2), DoubleType), Literal(30000.0))),
-          CreateArray(cs.dropRight(2)), Cast(cs.last, LongType))
-          .toAggregateExpression(),
-        LambdaFunction(Round(lv("q"), Literal(0)), Seq(lv("q")))))
+      "quantilesTimingWeighted" -> (cs => ChCombinators.timingAgg(
+        cs.dropRight(2), cs(cs.size - 2), Some(cs.last), many = true))
     )
   }
 
@@ -1419,9 +1416,19 @@ object ClickHouseAliases {
         else (name, "")
       def guarded(value: Expression): Expression = emptyMode match {
         case "null" => If(GreaterThan(Size(arr), Literal(0)), value,
-          Literal.create(null, DoubleType))
+          Literal.create(null, NullType))
         case "default" => If(GreaterThan(Size(arr), Literal(0)),
           value, Literal(0.0d))
+        case _ => value
+      }
+      // min/max keep the ELEMENT type (strings, dates, decimals), so
+      // their -OrDefault default is the element-type default — NULL for
+      // a Nullable slot (01018's popped [dt, null] prints \N)
+      def guardedElem(value: Expression): Expression = emptyMode match {
+        case "null" => If(GreaterThan(Size(arr), Literal(0)), value,
+          Literal.create(null, NullType))
+        case "default" => If(GreaterThan(Size(arr), Literal(0)),
+          value, chArrElemDefault(arr))
         case _ => value
       }
       def variance(sample: Boolean): Expression = {
@@ -1433,13 +1440,13 @@ object ClickHouseAliases {
         val denom = if (sample) Subtract(n, Literal(1.0d)) else n
         Divide(Subtract(sxx, Divide(Multiply(sx, sx), n)), denom)
       }
-      if (emptyMode.nonEmpty) {
+      if (emptyMode.nonEmpty && (bare == "min" || bare == "max")) {
+        guardedElem(if (bare == "min") ArrayMin(arr) else ArrayMax(arr))
+      } else if (emptyMode.nonEmpty) {
         val base: Expression = bare match {
           case "sum" => arrayFoldSum(arr)
           case "count" => Cast(Size(arr), LongType)
           case "avg" => Divide(arrayFoldSum(arr), Cast(Size(arr), DoubleType))
-          case "min" => Cast(ArrayMin(arr), DoubleType)
-          case "max" => Cast(ArrayMax(arr), DoubleType)
           case "median" | "quantile" =>
             quantileAt(params.headOption.getOrElse(0.5))
           case "medianexact" | "quantileexact" =>
@@ -1601,9 +1608,18 @@ object ClickHouseAliases {
     // Ties on the sort key fall back to the value (the struct's natural
     // (k, v) ordering), making results deterministic where the
     // reference's sort leaves tie order unspecified.
-    "groupArrayOrderBy" -> (cs => orderByProject(cs)),
-    "anyOrderBy" -> (cs => ElementAt(orderByProject(cs), Literal(1))),
-    "anyLastOrderBy" -> (cs => ElementAt(orderByProject(cs), Literal(-1)))
+    // 2-arg simple form = sort by one trailing key ascending; the
+    // parameterized ByConity form aggOrderBy(dirs…, n)(args…, keys…)
+    // (03033) routes through the generic combinator engine
+    "groupArrayOrderBy" -> (cs =>
+      if (cs.size == 2) orderByProject(cs)
+      else ChCombinators.orderByBuild("groupArray", cs)),
+    "anyOrderBy" -> (cs =>
+      if (cs.size == 2) ElementAt(orderByProject(cs), Literal(1))
+      else ChCombinators.orderByBuild("any", cs)),
+    "anyLastOrderBy" -> (cs =>
+      if (cs.size == 2) ElementAt(orderByProject(cs), Literal(-1))
+      else ChCombinators.orderByBuild("anyLast", cs))
   )
 
   /** `(value, key)` → values collected over the group, sorted by
@@ -1813,7 +1829,8 @@ object ClickHouseAliases {
     // t-digest approximate percentile (same contract: approximate
     // quantile of a non-negative duration column).
     "quantileTiming" -> (cs => new ApproximatePercentile(cs(1), cs.head)),
-    "medianTiming" -> (cs => new ApproximatePercentile(cs.head, Literal(0.5d)))
+    "medianTiming" -> (cs =>
+      ChCombinators.timingAgg(Nil, cs.head, None, many = false))
   )
 
   /** aggResample(start, end, step)(x, key) — CH's parameterized syntax
@@ -3050,6 +3067,37 @@ object ClickHouseAliases {
       "sumStack" -> (cs => stack(cs, e => Sum(e), zeroDefault = true)),
       "countStack" -> (cs => stack(cs, e => Count(Seq(e)), zeroDefault = true)),
       "avgStack" -> (cs => stack(cs, e => Average(e), zeroDefault = false)),
+      "uniqStack" -> (cs => stackExpr(cs,
+        e => Count(Seq(e)).toAggregateExpression(isDistinct = true),
+        zeroDefault = true)),
+      "uniqExactStack" -> (cs => stackExpr(cs,
+        e => Count(Seq(e)).toAggregateExpression(isDistinct = true),
+        zeroDefault = true)),
+      // quantileExactStack([level,] start, end, step)(x, key): the exact
+      // nth-element over each cumulative bucket (02030/10018)
+      "quantileExactStack" -> (cs => {
+        val (level, rest) =
+          if (cs.size >= 6) (cs.head, cs.tail) else (Literal(0.5d), cs)
+        stackExpr(rest, e => exactElem(
+          new SortArray(CollectList(e).toAggregateExpression()), level),
+          zeroDefault = true)
+      }),
+      // MySQL/abstraction spelling of any() (01629)
+      "arbitrary" -> (cs => new First(cs.head, ignoreNulls = true)),
+      // -State in the value model is the trained weights themselves
+      // (finalizeAggregation is identity; evalMLMethod consumes the
+      // weights array directly — 00960). All-literal params with no data
+      // = an untrained model: every weight and the bias are 0, so
+      // evalMLMethod predicts 0 whatever the feature count — a zero
+      // array long enough for any eval serves as that state.
+      "stochasticLinearRegressionState" -> (cs =>
+        if (cs.forall(_.foldable))
+          CreateArray(Seq.fill(16)(Literal(0.0d)))
+        else mlMethod(cs, isLogistic = false)),
+      "stochasticLogisticRegressionState" -> (cs =>
+        if (cs.forall(_.foldable))
+          CreateArray(Seq.fill(16)(Literal(0.0d)))
+        else mlMethod(cs, isLogistic = true)),
       // stochasticLinearRegression / stochasticLogisticRegression
       // (reference AggregateFunctionMLMethod.cpp:111; defaults lr=1.0,
       // l2=0.5, batch=15, updater='Adam'): params-first flattened —
@@ -4420,6 +4468,12 @@ object ClickHouseAliases {
   private def stack(
       cs: Seq[Expression],
       mk: Expression => AggregateFunction,
+      zeroDefault: Boolean): Expression =
+    stackExpr(cs, e => mk(e).toAggregateExpression(), zeroDefault)
+
+  private def stackExpr(
+      cs: Seq[Expression],
+      mk: Expression => Expression,
       zeroDefault: Boolean): Expression = {
     def bound(e: Expression, what: String): Long = e match {
       case Literal(v, _) if v != null => v.toString.toLong
@@ -4437,7 +4491,7 @@ object ClickHouseAliases {
     CreateArray((0 until n).map { i =>
       val hi = math.min(start + (i + 1) * step, end)
       val cond = And(GreaterThanOrEqual(key, Literal(start)), LessThan(key, Literal(hi)))
-      val agg: Expression = mk(nullUnless(cond, x)).toAggregateExpression()
+      val agg: Expression = mk(nullUnless(cond, x))
       CreateNamedStruct(Seq(
         Literal("ts"), Literal(start + i * step),
         Literal("val"), if (zeroDefault) Coalesce(Seq(agg, Literal(0))) else agg))
@@ -4807,8 +4861,27 @@ object ClickHouseAliases {
       "getMapValues" -> (cs => MapValues(cs.head)),
       // -State in this engine's value model IS the finalized value
       // (sketch aggregates carry mergeable values), so finalize is
-      // identity (reference finalizeAggregation.cpp unwraps the state)
-      "finalizeAggregation" -> (cs => cs.head),
+      // identity (reference finalizeAggregation.cpp unwraps the state) —
+      // except for generic-combinator states (ChCombinators.StateC),
+      // which wrap (__fin, __st) when finish ≠ identity: unwrap __fin
+      "finalizeAggregation" -> (cs =>
+        ChDispatch("finalizeAggregation", cs.take(1)) { c =>
+          // fully-resolved nodes only: the analyzer never descends into
+          // a RuntimeReplaceable replacement
+          c.head.dataType match {
+            case st: StructType
+                if st.fieldNames.sameElements(Array("__fin", "__st")) =>
+              GetStructField(c.head, 0, Some("__fin"))
+            case at: ArrayType if at.elementType.isInstanceOf[StructType] &&
+                at.elementType.asInstanceOf[StructType].fieldNames
+                  .sameElements(Array("__fin", "__st")) =>
+              val et = at.elementType.asInstanceOf[StructType]
+              val v = NamedLambdaVariable("fa", et, at.containsNull)
+              ArrayTransform(c.head, LambdaFunction(
+                GetStructField(v, 0, Some("__fin")), Seq(v)))
+            case _ => c.head
+          }
+        }),
       // random* generators: deterministic stand-ins with the CONTRACTED
       // LENGTH (corpus asserts lengths/types; actual bytes are random on
       // the reference too, so no golden output can pin them)
@@ -5381,18 +5454,16 @@ object ClickHouseAliases {
       // uniq over the ELEMENTS of array arguments across all rows —
       // exact via collected distinct elements (bounded by per-group NDV)
       "uniqArray" -> uniqArrayAgg, "uniqExactArray" -> uniqArrayAgg,
-      // quantileTiming: the reference's timing sketch saturates at 30s
-      // (30000); exact percentile over the clamped values
-      // the timing sketch stores integer milliseconds — round the
-      // interpolated percentile back to the lattice (half-up)
-      "quantileTiming" -> (cs => Round(new Percentile(
-        Least(Seq(Cast(cs.last, DoubleType), Literal(30000.0))), cs.head)
-        .toAggregateExpression(), Literal(0))),
-      "quantilesTiming" -> (cs => ArrayTransform(
-        new Percentile(
-          Least(Seq(Cast(cs.last, DoubleType), Literal(30000.0))),
-          CreateArray(cs.dropRight(1))).toAggregateExpression(),
-        LambdaFunction(Round(lv("q"), Literal(0)), Seq(lv("q"))))),
+      // quantileTiming: the reference's three-regime timing sketch,
+      // ported exactly (graft.functions.TimingQuantile — Tiny/Medium
+      // nth-element, Large 16ms histogram with hash de-randomization,
+      // 30s saturation; QuantileTiming.h)
+      "quantileTiming" -> (cs =>
+        if (cs.size >= 2)
+          ChCombinators.timingAgg(Seq(cs.head), cs.last, None, many = false)
+        else ChCombinators.timingAgg(Nil, cs.head, None, many = false)),
+      "quantilesTiming" -> (cs => ChCombinators.timingAgg(
+        cs.dropRight(1), cs.last, None, many = true)),
       reinterpretInt("reinterpretAsUInt64", None, LongType),
       reinterpretInt("reinterpretAsInt64", None, LongType),
       reinterpretInt("reinterpretAsUInt32", Some(0xffffffffL), LongType),
@@ -6235,10 +6306,11 @@ object ClickHouseAliases {
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Exception => "localhost" }
 
-  private def uniqArrayAgg: Seq[Expression] => Expression = cs => {
-    val all = if (cs.size > 1) Concat(cs) else cs.head
-    Size(ArrayDistinct(Flatten(new CollectList(all).toAggregateExpression())))
-  }
+  private def uniqArrayAgg: Seq[Expression] => Expression = cs =>
+    // multi-arg -Array zips the parallel arrays and counts distinct
+    // TUPLES (reference Combinators/AggregateFunctionArray.h + uniq's
+    // multi-argument form) — the combinator engine owns that shape
+    ChCombinators.arrayBuild("uniq", cs)
 
   private def ipv4Aton(s: Expression): Expression = {
     val parts = StringSplit(s, Literal("\\."), Literal(-1))
