@@ -41,7 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // coercion would reject.
     ext.injectResolutionRule(_ => graft.sql.ChCoercions)
     // join_use_nulls=0 outer-join padding (flag-gated; off by default)
-    ext.injectOptimizerRule(_ => graft.sql.ChJoinDefaults)
+    ext.injectPostHocResolutionRule(_ => graft.sql.ChJoinDefaults)
     // CH decimal container guard on constant comparisons (corpus-gated;
     // post-folding so lateral select aliases have inlined)
     ext.injectOptimizerRule(_ => graft.sql.ChDecimalCompareGuard)

@@ -38,7 +38,17 @@ object ChJoinDefaults extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (SQLConf.get.getConfString(Flag, "false") != "true") return plan
-    plan.transformUp {
+    // SET join_use_nulls = 1 switches to standard SQL NULL padding
+    // (ChSession.applySet records it; 00549 relies on the flip)
+    if (SQLConf.get.getConfString("graft.ch.join_use_nulls", "0") == "1")
+      return plan
+    // Runs as a POST-HOC resolution rule with fresh output attributes
+    // (transformUpWithNewOutput remaps the parents): the earlier
+    // optimizer-rule variant reused the join attrs' exprIds in its
+    // padding aliases, and RemoveRedundantAliases/CollapseProject
+    // silently dropped the padding on some shapes (01010's
+    // `SELECT t1.*, t2.x` USING join kept NULLs).
+    plan.transformUpWithNewOutput {
       case j @ Join(left, right, jt @ (LeftOuter | RightOuter | FullOuter),
           cond, hint)
           if j.resolved && !marked(left, MarkL) && !marked(right, MarkR) =>
@@ -47,15 +57,20 @@ object ChJoinDefaults extends Rule[LogicalPlan] {
         val (r2, rm) = if (jt == LeftOuter || jt == FullOuter)
           addMark(right, MarkR) else (right, null)
         val inner = Join(l2, r2, jt, cond, hint)
+        val mapping = Seq.newBuilder[(Attribute, Attribute)]
         val outCols: Seq[NamedExpression] = j.output.map { a =>
           val fromLeft = left.outputSet.contains(a)
           val mark = if (fromLeft) lm else rm
           if (mark == null) a
-          else Alias(
-            If(IsNull(mark), Literal.default(a.dataType), a),
-            a.name)(exprId = a.exprId, qualifier = a.qualifier)
+          else {
+            val al = Alias(
+              If(IsNull(mark), Literal.default(a.dataType), a),
+              a.name)(qualifier = a.qualifier)
+            mapping += a -> al.toAttribute
+            al
+          }
         }
-        Project(outCols, inner)
+        (Project(outCols, inner), mapping.result())
     }
   }
 }

@@ -200,6 +200,12 @@ final class ChSession(spark: SparkSession) {
       if (bytes == 0L) spark.conf.unset("graft.ch.max_memory_bytes")
       else spark.conf.set("graft.ch.max_memory_bytes", bytes.toString)
     }
+    // join_use_nulls: 1 = standard SQL NULL padding for outer joins,
+    // 0 (the CH default) = type-default padding (ChJoinDefaults reads
+    // this per query — 00549 flips it mid-file)
+    """(?i)\bjoin_use_nulls\s*=\s*(\d+)""".r.findFirstMatchIn(s).foreach {
+      m => spark.conf.set("graft.ch.join_use_nulls", m.group(1))
+    }
     // dialect_type flips argument conventions of a few functions
     // (LOCATE: MySQL (substr, str) vs CH (str, substr)) — builders read
     // it from the session conf at analysis time
@@ -340,6 +346,8 @@ final class ChSession(spark: SparkSession) {
     try spark.conf.unset("graft.ch.intersectMode")
     catch { case _: Throwable => () }
     try spark.conf.unset("graft.ch.exceptMode")
+    catch { case _: Throwable => () }
+    try spark.conf.unset("graft.ch.join_use_nulls")
     catch { case _: Throwable => () }
     try spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     catch { case _: Throwable => () }
@@ -1881,6 +1889,8 @@ final class ChSession(spark: SparkSession) {
       case Some(mm) =>
         val outer = cleanName(mm.group(1))
         val inner = splitTop(mm.group(2)).map(_.trim).filter(_.nonEmpty)
+        val subs = inner.flatMap(parseColDef).map(_.field.name)
+        if (subs.nonEmpty) ChTranspiler.registerNestedGroup(outer, subs)
         inner.flatMap(parseColDef).map { cd =>
           cd.copy(
             field = cd.field.copy(
@@ -3229,14 +3239,19 @@ object ChSession {
   }
 
   private val dbAfterKwRe =
-    """(?i)\b(FROM|JOIN|INTO|TABLE|VIEW)\s+(?:`[^`]+`|"[^"]+"|\w+)\.(?=[`"A-Za-z_])""".r
+    """(?i)\b(?:(ARRAY)\s+)?(FROM|JOIN|INTO|TABLE|VIEW)\s+(?:`[^`]+`|"[^"]+"|\w+)\.(?=[`"A-Za-z_])""".r
 
   /** `FROM db.tbl` → `FROM tbl` for any db name (quote-aware enough:
     * these keywords cannot appear inside a string literal followed by a
-    * dotted identifier in the corpus's shapes).
+    * dotted identifier in the corpus's shapes). `ARRAY JOIN nest.x` is
+    * NOT a db qualifier — the dotted name is a flattened Nested column
+    * (00014) and must survive for ChTranspiler.rewriteNestedCols.
     */
   private def stripDbAfterKeywords(sql: String): String =
-    dbAfterKwRe.replaceAllIn(sql, m => m.group(1) + " ")
+    dbAfterKwRe.replaceAllIn(sql, m =>
+      if (m.group(1) != null)
+        java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else m.group(2) + " ")
 
   /** Content of the leading `( … )` plus the text after it. */
   def matchParen(s: String): (String, String) = {

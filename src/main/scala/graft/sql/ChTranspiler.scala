@@ -1092,6 +1092,112 @@ object ChTranspiler {
       .forall(k => up.lastIndexOf(k) < lastOn)
   }
 
+  /** CH resolves a USING key against the SELECT-list aliases too —
+    * `SELECT 1 AS k, s FROM one JOIN (…) USING k` joins on the alias
+    * (reference TranslateQualifiedNamesVisitor alias visibility; 00138,
+    * 01062 family). Spark needs the key on the join INPUT, so on its
+    * UNRESOLVED_USING_COLUMN error, wrap the left relation to add the
+    * aliased expression as a real column.
+    */
+  def fixUsingAlias(sql: String, errMsg: String): Option[String] = {
+    val em = """USING column `([^`]+)` cannot be resolved on the left side"""
+      .r.findFirstMatchIn(errMsg).getOrElse(return None)
+    val col = em.group(1)
+    val toks = tokenize(sql)
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    val depthAt = new Array[Int](toks.length)
+    var d0 = 0
+    for (k <- toks.indices) {
+      toks(k) match {
+        case Punct("(") => depthAt(k) = d0; d0 += 1
+        case Punct(")") => d0 -= 1; depthAt(k) = d0
+        case _ => depthAt(k) = d0
+      }
+    }
+    val joinKws = Set("ANY", "ALL", "GLOBAL", "LEFT", "RIGHT", "INNER",
+      "FULL", "CROSS", "SEMI", "ANTI", "ASOF", "JOIN")
+    // every USING whose column list contains `col`
+    val usingIdxs = toks.indices.filter { u =>
+      isWordI(toks(u), "USING") && {
+        var k = nextSig(u + 1)
+        val paren = k < toks.length && toks(k) == Punct("(")
+        if (paren) k = nextSig(k + 1)
+        var found = false
+        var stop = false
+        while (!stop && k < toks.length) {
+          toks(k) match {
+            case Word(w) if w == col || w == s"`$col`" => found = true; stop = true
+            case Word(_) | Punct(",") => k = nextSig(k + 1)
+            case _ => stop = true
+          }
+        }
+        found
+      }
+    }
+    usingIdxs.foreach { u =>
+      val d = depthAt(u)
+      // the scope's SELECT … FROM … <join chain> USING at this depth
+      val fromIdx = (0 until u).reverse.find(k =>
+        depthAt(k) == d && isWordI(toks(k), "FROM"))
+      val selIdx = fromIdx.flatMap(f => (0 until f).reverse.find(k =>
+        depthAt(k) == d && isWordI(toks(k), "SELECT")))
+      (selIdx, fromIdx) match {
+        case (Some(si), Some(fi)) =>
+          // find `expr AS col` (or CH implicit `expr col`) in the list
+          val items = ArrayBuffer[(Int, Int)]() // token ranges [a, b)
+          var a = nextSig(si + 1)
+          var k = a
+          while (k < fi) {
+            toks(k) match {
+              case Punct(",") if depthAt(k) == d => items += ((a, k)); a = k + 1
+              case _ => ()
+            }
+            k += 1
+          }
+          items += ((a, fi))
+          val aliasItem = items.find { case (s0, e0) =>
+            val sig = (s0 until e0).filterNot(toks(_).isInstanceOf[Ws])
+            sig.length >= 2 && (toks(sig.last) match {
+              case Word(w) => (w == col || w == s"`$col`") &&
+                // exclude a bare qualified ref `t.col`
+                toks(sig(sig.length - 2)) != Punct(".")
+              case _ => false
+            })
+          }
+          aliasItem.foreach { case (s0, e0) =>
+            val sig = (s0 until e0).filterNot(toks(_).isInstanceOf[Ws])
+            val cut = // drop trailing [AS] col
+              if (sig.length >= 2 && isWordI(toks(sig(sig.length - 2)), "AS"))
+                sig(sig.length - 2)
+              else sig.last
+            val exprText = (s0 until cut).map(toks(_).text).mkString.trim
+            if (exprText.nonEmpty && exprText != col) {
+              // left relation = FROM+1 .. first join keyword at depth d
+              val relStart = nextSig(fi + 1)
+              val joinStart = (relStart until u).find(k2 =>
+                depthAt(k2) == d && (toks(k2) match {
+                  case Word(w) => joinKws.contains(w.toUpperCase)
+                  case _ => false
+                }))
+              joinStart.foreach { js =>
+                val relText = (relStart until js).map(toks(_).text).mkString.trim
+                if (relText.nonEmpty) {
+                  val pre = toks.take(relStart).map(_.text).mkString
+                  val post = toks.drop(js).map(_.text).mkString
+                  return Some(
+                    s"$pre(SELECT *, $exprText AS `$col` FROM $relText) $post")
+                }
+              }
+            }
+          }
+        case _ => ()
+      }
+    }
+    None
+  }
+
   def disambiguate(stmt: String, errMsg: String): Option[String] = {
     val (col, qual) = ambiguityTarget(errMsg) match {
       case Some(t) => t
@@ -1756,13 +1862,13 @@ object ChTranspiler {
     }
     val sqlOut = rewriteBareSetOps(rewriteAnyJoin(rewriteLimitBy(guardSelectStringHead(
     rewriteOrderNulls(rewriteCollate(rewriteNestedArrayJoinDeep(rewriteArrayJoin(rewriteInClauses(
-      rewriteTupleLiterals(rewriteUnionBranches(rewriteParenLambda(rewriteTernary(rewriteWhereAliases(rewriteInlineAliases(
+      rewriteNestedCols(rewriteTupleLiterals(rewriteUnionBranches(rewriteParenLambda(rewriteTernary(rewriteWhereAliases(rewriteInlineAliases(
         rewriteScalarWithDeep(rewriteInfixMod(rewriteTwoArgCast(wrapWindowSums(
           fixOrderlessRange(stripRankFrames(rewriteGroupsFrame(
             postPass(rewritePositionIn(rewriteMapLiterals(
               parenthesizeUsing(addImplicitFromOne(
                 rewriteDynamicInterval(
-                  rewriteValuesTable(out.toString)))))))))))))))))))))))))))))
+                  rewriteValuesTable(out.toString))))))))))))))))))))))))))))))
     // Late-bound combinator chains (sumForEachIf, quantilesTimingState…):
     // register composed builders for any not-yet-registered aggregate
     // name in this statement, so spark.sql resolves them like the
@@ -4201,8 +4307,11 @@ object ChTranspiler {
     // CH ignores NULL items in an IN list — they can never match
     // (reference Set build skips nulls; 01629's `NOT IN ('…', NULL)` is
     // 1, not SQL's three-valued NULL). Drop bare NULL items from
-    // literal IN lists (subqueries untouched).
+    // literal IN lists (subqueries untouched); a list of ONLY nulls
+    // becomes an empty subquery, which never matches (01457's
+    // `IN (NULL)` is 0).
     val dropRange = scala.collection.mutable.Set[Int]()
+    val overrideTok = scala.collection.mutable.Map[Int, String]()
     for (k <- toks.indices) {
       if (isWordI(toks(k), "IN")) {
         val f = nextSigIdx(k + 1)
@@ -4211,14 +4320,20 @@ object ChTranspiler {
           h < toks.length && !isWordI(toks(h), "SELECT") &&
             !isWordI(toks(h), "WITH")
         }) {
+          val pendingDrop = scala.collection.mutable.Set[Int]()
+          var items = 0
+          var nullItems = 0
           var depth = 1
           var itemStart = f + 1
           var itemSig = List.empty[Int]
           var j = f + 1
+          var closeAt = -1
           def flushItem(endEx: Int, commaAt: Int): Unit = {
+            items += 1
             if (itemSig.size == 1 && isWordI(toks(itemSig.head), "NULL")) {
-              (itemStart until endEx).foreach(dropRange += _)
-              if (commaAt >= 0) dropRange += commaAt
+              nullItems += 1
+              (itemStart until endEx).foreach(pendingDrop += _)
+              if (commaAt >= 0) pendingDrop += commaAt
             }
           }
           var prevComma = -1
@@ -4227,7 +4342,7 @@ object ChTranspiler {
               case Punct("(") => depth += 1; itemSig ::= j
               case Punct(")") =>
                 depth -= 1
-                if (depth == 0) flushItem(j, prevComma)
+                if (depth == 0) { flushItem(j, prevComma); closeAt = j }
               case Punct(",") if depth == 1 =>
                 flushItem(j, if (itemSig.size == 1 &&
                   isWordI(toks(itemSig.head), "NULL")) j else -1)
@@ -4239,12 +4354,18 @@ object ChTranspiler {
             }
             j += 1
           }
+          if (nullItems > 0 && nullItems == items && closeAt > 0) {
+            overrideTok(f) = "(SELECT NULL WHERE FALSE"
+            dropRange ++= (f + 1 until closeAt)
+          } else dropRange ++= pendingDrop
         }
       }
     }
-    if (dropWord.isEmpty && parenAt.isEmpty && dropRange.isEmpty) return sql
+    if (dropWord.isEmpty && parenAt.isEmpty && dropRange.isEmpty &&
+        overrideTok.isEmpty) return sql
     toks.zipWithIndex.map { case (t, k) =>
-      if (dropWord(k) || dropRange(k)) ""
+      if (overrideTok.contains(k)) overrideTok(k)
+      else if (dropWord(k) || dropRange(k)) ""
       else if (parenAt(k)) "(" + t.text + ")"
       else t.text
     }.mkString
@@ -4271,6 +4392,108 @@ object ChTranspiler {
     * Statements with shapes outside these (Nested `n.x` columns without
     * aliases, unaligned arrays) pass through untouched and fail loudly.
     */
+  /** Flattened-Nested column support (reference NestedUtils.cpp): a
+    * `CREATE TABLE … (nest Nested(x T, y U))` stores parallel arrays
+    * named `nest.x`/`nest.y` (ChSession.expandColDef registers the group
+    * here). This pass (a) expands a bare group in ARRAY JOIN —
+    * `ARRAY JOIN nest [AS n]` → the zipped subcolumn list with `n.x`
+    * aliases — and (b) backticks dotted references (`nest.x` → `` `nest.x` ``)
+    * so they resolve as the single flattened column instead of a
+    * struct-field access (00014, 00138 family).
+    */
+  private val nestedGroups =
+    scala.collection.concurrent.TrieMap[String, Seq[String]]()
+
+  private[graft] def registerNestedGroup(outer: String, subs: Seq[String]): Unit =
+    nestedGroups(outer) = subs
+
+  private def rewriteNestedCols(sql: String): String = {
+    if (nestedGroups.isEmpty ||
+        !nestedGroups.keys.exists(g => sql.contains(g))) return sql
+    var toks = tokenize(sql)
+    def nextSig(ts: Vector[Tok], j: Int): Int = {
+      var k = j; while (k < ts.length && ts(k).isInstanceOf[Ws]) k += 1; k
+    }
+    // ---- (a) ARRAY JOIN bare-group expansion -------------------------
+    val aliasMap = scala.collection.mutable.Map[String, String]()
+    val sb = new StringBuilder
+    var i = 0
+    while (i < toks.length) {
+      val jIdx = nextSig(toks, i + 1)
+      if (isWordI(toks(i), "ARRAY") && jIdx < toks.length &&
+          isWordI(toks(jIdx), "JOIN")) {
+        sb.append(toks.slice(i, jIdx + 1).map(_.text).mkString)
+        var j = jIdx + 1
+        // per comma-separated item at depth 0, until a boundary keyword
+        var depth = 0
+        var item = Vector.newBuilder[Tok]
+        def flush(): Unit = {
+          val ts = item.result()
+          item = Vector.newBuilder[Tok]
+          val sig = ts.filterNot(_.isInstanceOf[Ws])
+          val expanded = sig match {
+            case Vector(Word(g)) if nestedGroups.contains(g) =>
+              Some(nestedGroups(g).map(s => s"`$g.$s`").mkString(" ", ", ", ""))
+            case Vector(Word(g), as, Word(a))
+                if isWordI(as, "AS") && nestedGroups.contains(g) =>
+              aliasMap(a) = g
+              Some(nestedGroups(g)
+                .map(s => s"`$g.$s` AS `$a.$s`").mkString(" ", ", ", ""))
+            case _ => None
+          }
+          sb.append(expanded.getOrElse(ts.map(_.text).mkString))
+        }
+        var stop = false
+        while (j < toks.length && !stop) {
+          toks(j) match {
+            case Punct("(") => depth += 1; item += toks(j)
+            case Punct(")") if depth == 0 => stop = true
+            case Punct(")") => depth -= 1; item += toks(j)
+            case Punct(",") if depth == 0 => flush(); sb.append(",")
+            case Punct(";") if depth == 0 => stop = true
+            case Word(w) if depth == 0 &&
+                arrayJoinBoundary(w.toUpperCase) => stop = true
+            case t => item += t
+          }
+          if (!stop) j += 1
+        }
+        flush()
+        i = j
+      } else {
+        sb.append(toks(i).text)
+        i += 1
+      }
+    }
+    // ---- (b) dotted-reference backticking ----------------------------
+    toks = tokenize(sb.toString)
+    def subsOf(p: String): Option[Seq[String]] =
+      nestedGroups.get(p).orElse(aliasMap.get(p).flatMap(nestedGroups.get))
+    val out = new StringBuilder
+    i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Word(p) if subsOf(p).isDefined && {
+          // not itself qualified (db.nest.x) and followed by `.sub`
+          val prev = {
+            var k = i - 1
+            while (k >= 0 && toks(k).isInstanceOf[Ws]) k -= 1
+            if (k >= 0) Some(toks(k)) else None
+          }
+          !prev.contains(Punct(".")) && i + 2 < toks.length &&
+            toks(i + 1) == Punct(".") && (toks(i + 2) match {
+              case Word(s) => subsOf(p).get.contains(s)
+              case _ => false
+            })
+        } =>
+          val Word(s) = toks(i + 2): @unchecked
+          out.append(s"`$p.$s`")
+          i += 3
+        case t => out.append(t.text); i += 1
+      }
+    }
+    out.toString
+  }
+
   private def rewriteArrayJoin(sql: String): String = {
     var out = sql
     var guard = 0
@@ -4375,15 +4598,31 @@ object ChTranspiler {
         }
         def text(a: Int, b: Int): String =
           (a until b).map(k => overrides.getOrElse(k, toks(k).text)).mkString
+        def isBareIdent(id: String): Boolean =
+          id.forall(c => c.isLetterOrDigit || c == '_') ||
+            (id.length > 2 && id.head == '`' && id.last == '`' &&
+              !id.drop(1).dropRight(1).contains('`'))
         val (replacement, replaceFrom) = items.toSeq match {
           case Seq(AjItem(expr, aliasOpt))
               if aliasOpt.isEmpty || aliasOpt.contains(expr.trim) =>
             // bare column (or self-aliased): element replaces the array
             val id = expr.trim
-            if (!id.forall(c => c.isLetterOrDigit || c == '_') || fromIdx < 0)
+            if (!isBareIdent(id) || fromIdx < 0)
               return None
             hideFromStar(Seq(s"__aj_in$n"))
             val src = text(nextSig(fromIdx + 1), startIdx)
+            if (id.head == '`') {
+              // LATERAL VIEW column aliases keep backticks literally —
+              // alias clean and rewrite the references instead
+              // (flattened-Nested `nest.x` columns)
+              val clean = s"__aj_c$n"
+              val repl = s" FROM (SELECT * EXCEPT ($id), $id AS __aj_in$n " +
+                s"FROM $src) LATERAL VIEW ${fnOf(s"__aj_in$n")} " +
+                s"__aj_v$n AS $clean "
+              val mapped = Map(id -> clean)
+              return Some(substIdents(text(0, fromIdx), mapped) + repl +
+                substIdents(text(endIdx, toks.length), mapped))
+            }
             (s" FROM (SELECT * EXCEPT ($id), $id AS __aj_in$n FROM $src) " +
               s"LATERAL VIEW ${fnOf(s"__aj_in$n")} __aj_v$n AS $id ", fromIdx)
           case Seq(AjItem(expr, Some(alias))) =>
@@ -4393,7 +4632,13 @@ object ChTranspiler {
                 s"LATERAL VIEW ${fnOf(expr)} __aj_v$n AS $alias ", startIdx)
             else
               (s" LATERAL VIEW ${fnOf(expr)} __aj_v$n AS $alias ", startIdx)
-          case multi if multi.forall(_.alias.isDefined) =>
+          case multi0 if multi0.forall(_.alias.isDefined) ||
+              multi0.forall(it => it.alias.isEmpty && isBareIdent(it.expr)) =>
+            // all-aliased, or all-bare (flattened Nested subcolumns —
+            // each element replaces its own array column, so the bare
+            // name doubles as the alias for downstream references)
+            val multi = multi0.map(it =>
+              if (it.alias.isDefined) it else it.copy(alias = Some(it.expr)))
             // positional zip: explode an index range, pull each element
             val fields = multi.zipWithIndex.map { case (it, k) =>
               s"'c$k', try_element_at(${it.expr}, CAST(__aj_i$n AS INT))"

@@ -16,7 +16,8 @@ object RunFile {
           val dis =
             if (attempts >= 8) None
             else ChTranspiler.disambiguateAt(sqlText, m).orElse(
-              ChTranspiler.disambiguate(sqlText, m))
+              ChTranspiler.disambiguate(sqlText, m)).orElse(
+              ChTranspiler.fixUsingAlias(sqlText, m))
           dis match {
             case Some(s) if s != sqlText =>
               sqlText = s; attempts += 1
