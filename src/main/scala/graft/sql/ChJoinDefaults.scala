@@ -38,9 +38,12 @@ object ChJoinDefaults extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (SQLConf.get.getConfString(Flag, "false") != "true") return plan
-    // SET join_use_nulls = 1 switches to standard SQL NULL padding
-    // (ChSession.applySet records it; 00549 relies on the flip)
-    if (SQLConf.get.getConfString("graft.ch.join_use_nulls", "0") == "1")
+    // ByConity DEFAULTS join_use_nulls to 1 (reference Settings.h:461 —
+    // standard SQL NULL padding; upstream ClickHouse defaults 0).
+    // Type-default padding applies only after an explicit
+    // SET join_use_nulls = 0 (01010 family; 00150's unset queries pin
+    // the NULL default).
+    if (SQLConf.get.getConfString("graft.ch.join_use_nulls", "1") == "1")
       return plan
     // Runs as a POST-HOC resolution rule with fresh output attributes
     // (transformUpWithNewOutput remaps the parents): the earlier

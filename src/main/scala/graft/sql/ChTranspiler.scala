@@ -2142,6 +2142,204 @@ object ChTranspiler {
     * grand-total query. Returns None when no top-level WITH TOTALS is
     * present.
     */
+  /** WITH TOTALS inside JOINed subqueries (reference
+    * TotalsHavingTransform + HashJoin totals propagation: the join's
+    * totals row is the LEFT stream's totals row — default-constructed
+    * when the left subquery declared none — joined against the right
+    * stream's totals row, which is simply absent when the right declared
+    * none; 00150/01107 goldens). Returns (mainSql, totalsSql): the
+    * statement with every nested TOTALS stripped, and a companion where
+    * each join operand collapses to its totals row — group keys become
+    * their type default (0), aggregate items aggregate globally and
+    * coalesce to 0 (CH's empty-input sum), a totals-less LEFT operand
+    * becomes one all-defaults row, a totals-less RIGHT operand becomes
+    * empty.
+    */
+  def splitJoinTotals(stmt: String): Option[(String, String)] = {
+    if (!"""(?is)\)\s*(?:AS\s+\w+\s+|\w+\s+)?(?:ANY\s+|ALL\s+|GLOBAL\s+)?(?:LEFT\s+|RIGHT\s+|FULL\s+|INNER\s+)?(?:OUTER\s+)?JOIN"""
+        .r.findFirstIn(stmt).isDefined) return None
+    val toks = tokenize(stripComments(stmt))
+    def nextSig(j: Int): Int = {
+      var k = j; while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1; k
+    }
+    val depthAt = new Array[Int](toks.length)
+    var d = 0
+    for (k <- toks.indices) toks(k) match {
+      case Punct("(") => depthAt(k) = d; d += 1
+      case Punct(")") => d -= 1; depthAt(k) = d
+      case _ => depthAt(k) = d
+    }
+    // top-level WITH TOTALS → the splitTotals path owns the statement
+    if (toks.indices.exists(k => depthAt(k) == 0 && isWordI(toks(k), "WITH") &&
+        isWordI(toks(nextSig(k + 1)), "TOTALS"))) return None
+    // paren-subquery operands of the top-level FROM/JOIN chain
+    val fromIdx = toks.indices.find(k =>
+      depthAt(k) == 0 && isWordI(toks(k), "FROM")).getOrElse(return None)
+    case class Operand(open: Int, close: Int, isLeft: Boolean)
+    val ops = ArrayBuffer[Operand]()
+    var k = nextSig(fromIdx + 1)
+    if (k >= toks.length || toks(k) != Punct("(")) return None
+    def closeOf(open: Int): Int = {
+      var bal = 0; var j = open
+      while (j < toks.length) {
+        toks(j) match {
+          case Punct("(") => bal += 1
+          case Punct(")") => bal -= 1; if (bal == 0) return j
+          case _ => ()
+        }
+        j += 1
+      }
+      -1
+    }
+    val c0 = closeOf(k)
+    if (c0 < 0) return None
+    ops += Operand(k, c0, isLeft = true)
+    var j = c0 + 1
+    var expectJoin = true
+    while (j < toks.length && expectJoin) {
+      toks(j) match {
+        case Word(w) if w.equalsIgnoreCase("JOIN") =>
+          val o = nextSig(j + 1)
+          if (o < toks.length && toks(o) == Punct("(")) {
+            val c = closeOf(o)
+            if (c < 0) return None
+            ops += Operand(o, c, isLeft = false)
+            j = c + 1
+          } else return None
+        case Word(w) if depthAt(j) == 0 &&
+            Set("USING", "ON", "WHERE", "GROUP", "ORDER", "LIMIT",
+              "SETTINGS", "HAVING", "FORMAT").contains(w.toUpperCase) =>
+          expectJoin = false
+        case _ => j += 1
+      }
+    }
+    def hasTotals(o: Operand): Boolean =
+      (o.open until o.close).exists(k2 => isWordI(toks(k2), "WITH") &&
+        isWordI(toks(nextSig(k2 + 1)), "TOTALS"))
+    if (!ops.exists(hasTotals)) return None
+    val stripTot = (s: String) =>
+      """(?i)\bWITH\s+TOTALS\b""".r.replaceAllIn(s, " ")
+    val mainSql = stripTot(toks.map(_.text).mkString)
+    // companion: replace each operand's body
+    val aggRe = ("""(?i)\b(count|sum|avg|min|max|any|anyLast|uniq\w*|""" +
+      """quantile\w*|median\w*|groupArray\w*|argMin|argMax|topK\w*|""" +
+      """corr|covar\w*|stddev\w*|var\w*)\s*\(""").r
+    def totalsBody(o: Operand): Option[String] = {
+      val body = toks.slice(o.open + 1, o.close).map(_.text).mkString
+      val inner = tokenize(body)
+      val dep = new Array[Int](inner.length)
+      var dd = 0
+      for (k2 <- inner.indices) inner(k2) match {
+        case Punct("(") => dep(k2) = dd; dd += 1
+        case Punct(")") => dd -= 1; dep(k2) = dd
+        case _ => dep(k2) = dd
+      }
+      val sel = inner.indices.find(k2 => dep(k2) == 0 &&
+        isWordI(inner(k2), "SELECT")).getOrElse(return None)
+      val from = inner.indices.find(k2 => dep(k2) == 0 &&
+        isWordI(inner(k2), "FROM")).getOrElse(return None)
+      // split items
+      val items = ArrayBuffer[String]()
+      var a = sel + 1
+      for (k2 <- (sel + 1) until from)
+        if (dep(k2) == 0 && inner(k2) == Punct(",")) {
+          items += inner.slice(a, k2).map(_.text).mkString; a = k2 + 1
+        }
+      items += inner.slice(a, from).map(_.text).mkString
+      if (items.exists(_.trim == "*")) return None
+      var sawAgg = false
+      val newItems = items.map(_.trim).filter(_.nonEmpty).map { it =>
+        val aliasM = """(?is)^(.*?)\s+AS\s+(`[^`]+`|\w+)\s*$""".r
+          .findFirstMatchIn(it)
+        val (expr, alias) = aliasM match {
+          case Some(mm) => (mm.group(1), mm.group(2))
+          case None => (it, if (it.matches("""`[^`]+`|\w+""")) it else "")
+        }
+        if (aggRe.findFirstIn(expr).isDefined) {
+          sawAgg = true
+          s"coalesce($expr, 0)" + (if (alias.nonEmpty) s" AS $alias" else "")
+        }
+        // a CONSTANT column keeps its value in the totals row
+        // (TotalsHavingTransform keeps const columns const)
+        else if (expr.trim.matches("""'[^']*'|\d+(\.\d+)?"""))
+          expr.trim + (if (alias.nonEmpty) s" AS $alias" else "")
+        else if (alias.nonEmpty) s"0 AS $alias"
+        else if (expr.trim.matches("""`[^`]+`|\w+""")) s"0 AS ${expr.trim}"
+        else "0"
+      }
+      // drop GROUP BY / ORDER BY / LIMIT of this level; keep FROM+WHERE
+      var tailEnd = inner.length
+      var k3 = from
+      while (k3 < inner.length && tailEnd == inner.length) {
+        if (dep(k3) == 0 && (isWordI(inner(k3), "GROUP") ||
+            isWordI(inner(k3), "ORDER") || isWordI(inner(k3), "LIMIT") ||
+            (isWordI(inner(k3), "WITH") &&
+              isWordI(inner(nextSig(k3 + 1)), "TOTALS"))))
+          tailEnd = k3
+        k3 += 1
+      }
+      // the totals row exists even over EMPTY input: a global aggregate
+      // guarantees one row; with no aggregates the row is fully constant
+      // and needs no source at all
+      val src = stripTot(inner.slice(from, tailEnd).map(_.text).mkString)
+      if (sawAgg) Some(s"SELECT ${newItems.mkString(", ")} $src")
+      else Some(s"SELECT ${newItems.mkString(", ")}")
+    }
+    def defaultsRow(o: Operand): Option[String] = {
+      // one all-defaults row with the operand's column names
+      val body = toks.slice(o.open + 1, o.close).map(_.text).mkString
+      val inner = tokenize(body)
+      val dep = new Array[Int](inner.length)
+      var dd = 0
+      for (k2 <- inner.indices) inner(k2) match {
+        case Punct("(") => dep(k2) = dd; dd += 1
+        case Punct(")") => dd -= 1; dep(k2) = dd
+        case _ => dep(k2) = dd
+      }
+      val sel = inner.indices.find(k2 => dep(k2) == 0 &&
+        isWordI(inner(k2), "SELECT")).getOrElse(return None)
+      val from = inner.indices.find(k2 => dep(k2) == 0 &&
+        isWordI(inner(k2), "FROM")).getOrElse(return None)
+      val items = ArrayBuffer[String]()
+      var a = sel + 1
+      for (k2 <- (sel + 1) until from)
+        if (dep(k2) == 0 && inner(k2) == Punct(",")) {
+          items += inner.slice(a, k2).map(_.text).mkString; a = k2 + 1
+        }
+      items += inner.slice(a, from).map(_.text).mkString
+      val cols = items.map(_.trim).filter(_.nonEmpty).map { it =>
+        val aliasM = """(?is)^(.*?)\s+AS\s+(`[^`]+`|\w+)\s*$""".r
+          .findFirstMatchIn(it)
+        aliasM.map(mm => s"0 AS ${mm.group(2)}").getOrElse(
+          if (it.matches("""`[^`]+`|\w+""")) s"0 AS $it" else "0")
+      }
+      Some(s"SELECT ${cols.mkString(", ")}")
+    }
+    val pieces = ArrayBuffer[String]()
+    var pos = 0
+    for (o <- ops) {
+      pieces += toks.slice(pos, o.open + 1).map(_.text).mkString
+      // ANY strictness drops the right stream's totals entirely (00150's
+      // `0 45 \N`); a plain join default-constructs them (01107's `0 0`)
+      val anyJoin = !o.isLeft && toks.slice(pos, o.open).exists(t =>
+        isWordI(t, "ANY"))
+      val repl =
+        if (hasTotals(o)) totalsBody(o)
+        else if (o.isLeft || !anyJoin) defaultsRow(o)
+        else {
+          val body = toks.slice(o.open + 1, o.close).map(_.text).mkString
+          Some(s"SELECT * FROM ( ${stripTot(body)} ) __tjr WHERE FALSE")
+        }
+      repl match {
+        case Some(r) => pieces += r
+        case None => return None
+      }
+      pos = o.close
+    }
+    pieces += toks.slice(pos, toks.length).map(_.text).mkString
+    Some((mainSql, pieces.mkString))
+  }
+
   def splitTotals(stmt: String): Option[(String, String, Seq[String])] = {
     val toks = tokenize(stmt)
     def sig(j: Int, dir: Int): Int = {
@@ -2181,6 +2379,12 @@ object ChTranspiler {
     val td = depthAt(withIdx)
     if (td > 0 &&
         !"""(?is)^\s*SELECT\s+\*\s+FROM\s*\(""".r.findFirstIn(stmt).isDefined)
+      return None
+    // a top-level JOIN owns nested totals (splitJoinTotals territory) —
+    // the bare pass-through claim would mangle the non-first subquery's
+    // TOTALS (01107's star-shaped statements)
+    if (td > 0 && toks.indices.exists(k =>
+        depthAt(k) == 0 && isWordI(toks(k), "JOIN")))
       return None
     // enclosing paren range of the totals clause (whole statement at
     // top level)

@@ -509,12 +509,48 @@ object StatelessSweep {
                     graft.sql.ChSession.stripDbRefs(clean))
                   ChTranspiler.stripWithFill(stripped) match {
                     case Some((cleaned, specs)) =>
-                      val df = chSql(spark, cleaned)
+                      // WITH TOTALS composes with WITH FILL (01921):
+                      // fill the group rows, then append the totals row
+                      val (fillSql, totPart) =
+                        ChTranspiler.splitTotals(cleaned) match {
+                          case Some((m, t, gi)) => (m, Some((t, gi)))
+                          case None => (cleaned, None)
+                        }
+                      val df = chSql(spark, fillSql)
                       val rows = df.collect().toSeq
                       val filled = fillRows(spark, rows, df.schema, specs)
-                      if (filled.nonEmpty)
-                        Some(ChFormat.formatRows(filled, zone, dt64Schema(df)))
-                      else None
+                      totPart match {
+                        case Some((totSql, groupItems)) =>
+                          val totRows =
+                            try spark.sql(ChTranspiler.transpile(totSql))
+                              .collect().toSeq
+                            catch {
+                              case _: Throwable => totalsWithKeyDefaults(
+                                spark, totSql, groupItems, df.schema)
+                            }
+                          Some(ChFormat.formatRows(filled, zone, dt64Schema(df)) +
+                            "\n\n" + ChFormat.formatRows(totRows, zone))
+                        case None =>
+                          if (filled.nonEmpty)
+                            Some(ChFormat.formatRows(filled, zone, dt64Schema(df)))
+                          else None
+                      }
+                    case None =>
+                  // joined-subquery totals FIRST: splitTotals' bare
+                  // pass-through case would otherwise misclaim
+                  // `SELECT * FROM (… WITH TOTALS) l JOIN …` (01107)
+                  ChTranspiler.splitJoinTotals(stripped) match {
+                    case Some((mSql, tSql)) =>
+                      val mainRows =
+                        spark.sql(ChTranspiler.transpile(mSql)).collect().toSeq
+                      val totRows =
+                        spark.sql(ChTranspiler.transpile(tSql)).collect().toSeq
+                      // zero group rows print ONE leading blank before
+                      // the totals row, not two (01107's empty-table
+                      // queries)
+                      Some((if (mainRows.isEmpty) "\n"
+                        else ChFormat.formatRows(mainRows, zone) + "\n\n") +
+                        ChFormat.formatRows(totRows, zone))
                     case None =>
                   ChTranspiler.splitTotals(stripped) match {
                     case Some((mainSql, totSql, groupItems)) =>
@@ -558,6 +594,7 @@ object StatelessSweep {
                       else if (rows.nonEmpty)
                         Some(ChFormat.formatRows(rows, zone, gsch))
                       else None
+                  }
                   }
                   }
               }
