@@ -130,6 +130,8 @@ object Engine {
     spark.udf.register("h3EdgeLengthM", functions.H3Functions.edgeLengthM _)
     spark.udf.register("h3EdgeAngle", functions.H3Functions.edgeAngle _)
     spark.udf.register("h3IsValid", functions.H3Functions.isValid _)
+    spark.udf.register("h3kRing",
+      (h: Long, k: Int) => functions.H3Functions.kRing(h, k))
     // uniqTheta set-op scalars (FunctionsUniqTheta.h)
     spark.udf.register("uniqThetaUnion", aggregates.SketchAggregates.uniqThetaUnion)
     spark.udf.register("uniqThetaIntersect",

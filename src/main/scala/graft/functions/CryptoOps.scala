@@ -9,7 +9,18 @@ package graft.functions
 object CryptoOps {
 
   private def cipher(mode: String, enc: Boolean, key: Array[Byte],
-      iv: Array[Byte]): javax.crypto.Cipher = {
+      iv: Array[Byte], keyLen: Int): javax.crypto.Cipher = {
+    // the declared cipher pins the key width and a CBC IV is exactly one
+    // block - the reference raises BAD_ARGUMENTS (error 36) on both
+    // (FunctionsAES.h validateKey/validateIV), never silently re-keys
+    if (key.length != keyLen)
+      throw new IllegalArgumentException(
+        s"Invalid key size: ${key.length} expected $keyLen " +
+          "(BAD_ARGUMENTS, error 36 analog)")
+    if (mode == "CBC" && iv.length > 16)
+      throw new IllegalArgumentException(
+        s"Invalid IV size: ${iv.length} expected 16 " +
+          "(BAD_ARGUMENTS, error 36 analog)")
     val dir = if (enc) javax.crypto.Cipher.ENCRYPT_MODE
       else javax.crypto.Cipher.DECRYPT_MODE
     val sk = new javax.crypto.spec.SecretKeySpec(key, "AES")
@@ -31,11 +42,11 @@ object CryptoOps {
 
   def chAesEncrypt(data: Array[Byte], key: Array[Byte],
       mode: org.apache.spark.unsafe.types.UTF8String,
-      iv: Array[Byte]): Array[Byte] =
-    cipher(mode.toString, enc = true, key, iv).doFinal(data)
+      iv: Array[Byte], keyLen: Int): Array[Byte] =
+    cipher(mode.toString, enc = true, key, iv, keyLen).doFinal(data)
 
   def chAesDecrypt(data: Array[Byte], key: Array[Byte],
       mode: org.apache.spark.unsafe.types.UTF8String,
-      iv: Array[Byte]): Array[Byte] =
-    cipher(mode.toString, enc = false, key, iv).doFinal(data)
+      iv: Array[Byte], keyLen: Int): Array[Byte] =
+    cipher(mode.toString, enc = false, key, iv, keyLen).doFinal(data)
 }

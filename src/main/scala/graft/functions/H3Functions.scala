@@ -178,4 +178,103 @@ object H3Functions {
 
   def fromHexString(s: String): Long =
     java.lang.Long.parseUnsignedLong(s.trim, 16)
+
+  // ---- kRing: aperture-7 disk enumeration (reference h3kRing.cpp over
+  // the public H3 kRing algorithm). The IJK walk is exact WITHIN a base
+  // cell; a ring that would cross into a neighboring base cell needs
+  // the H3 122-entry base-cell neighbor table, which we deliberately do
+  // not model — such rings raise rather than guess (same refusal
+  // contract as indexesAreNeighbors).
+
+  // inverse of downAp7/downAp7r: coarsen one aperture-7 level
+  // (H3 spec _upAp7/_upAp7r — lround of the fractional axial coords)
+  private def upAp7(c: Array[Int]): Array[Int] = {
+    val i = c(0) - c(2); val j = c(1) - c(2)
+    normalize(Array(
+      math.round((3 * i - j) / 7.0).toInt,
+      math.round((i + 2 * j) / 7.0).toInt, 0))
+  }
+  private def upAp7r(c: Array[Int]): Array[Int] = {
+    val i = c(0) - c(2); val j = c(1) - c(2)
+    normalize(Array(
+      math.round((2 * i + j) / 7.0).toInt,
+      math.round((3 * j - i) / 7.0).toInt, 0))
+  }
+
+  private def unitToDigit(u: Array[Int]): Int = {
+    var d = 0
+    while (d < 7) {
+      if (Unit(d)(0) == u(0) && Unit(d)(1) == u(1) && Unit(d)(2) == u(2))
+        return d
+      d += 1
+    }
+    -1
+  }
+
+  /** Rebuild an H3 index from a base-cell-frame IJK, or None when the
+    * coordinate escapes the base cell. */
+  private def fromIjk(center: Long, c0: Array[Int]): Option[Long] = {
+    val res = resolution(center)
+    var cur = c0
+    val digits = new Array[Int](res + 1)
+    var r = res
+    while (r >= 1) {
+      val last = cur
+      cur = if (r % 2 == 1) upAp7(last) else upAp7r(last)
+      val down = if (r % 2 == 1) downAp7(cur) else downAp7r(cur)
+      val diff = normalize(Array(
+        last(0) - down(0), last(1) - down(1), last(2) - down(2)))
+      val d = unitToDigit(diff)
+      if (d < 0) return None
+      digits(r) = d
+      r -= 1
+    }
+    if (cur(0) != 0 || cur(1) != 0 || cur(2) != 0) return None
+    var h = center
+    r = 1
+    while (r <= res) { h = setDigit(h, r, digits(r)); r += 1 }
+    Some(h)
+  }
+
+  /** All cells within hex-grid distance k, unordered (the corpus sorts).
+    * k is capped like the reference (error 12 analog) and pentagons /
+    * cross-base-cell rings refuse honestly. */
+  def kRing(h: Long, k: Int): Array[Long] = {
+    if (k < 0 || k > 10000) throw new IllegalArgumentException(
+      s"h3kRing: k = $k out of bounds (error 12 analog)")
+    // res-0 ring saturation: the base-cell graph's diameter is well
+    // under 60, so any larger k covers the whole globe — all 122 base
+    // cells (01442's `length(h3kRing(x, 1000)) = 122`); smaller res-0
+    // rings would need the base-cell neighbor table (refusal below)
+    if (resolution(h) == 0) {
+      if (k >= 60) return (0 until 122).map(b =>
+        (1L << 59) | (b.toLong << 45) | ((1L << 45) - 1)).toArray
+      if (k == 0) return Array(h)
+      throw new UnsupportedOperationException(
+        "h3kRing: partial res-0 rings need the base-cell neighbor table")
+    }
+    if (PentagonBases.contains(baseCell(h)))
+      throw new UnsupportedOperationException(
+        "h3kRing: pentagon base cells are unsupported")
+    val center = toIjk(h)
+    val out = Array.newBuilder[Long]
+    var a = -k
+    while (a <= k) {
+      var b = -k
+      while (b <= k) {
+        val cand = normalize(Array(center(0) + a, center(1) + b, center(2)))
+        if (ijkDistance(cand, center) <= k) {
+          fromIjk(h, cand) match {
+            case Some(idx) => out += idx
+            case None => throw new UnsupportedOperationException(
+              "h3kRing: ring crosses a base-cell boundary (the base-cell" +
+                " neighbor table is not modeled)")
+          }
+        }
+        b += 1
+      }
+      a += 1
+    }
+    out.result().distinct
+  }
 }

@@ -152,8 +152,14 @@ object TimeOps {
       t.getYear.toLong * 4 + (t.getMonthValue - 1) / 3
     def relMonth(t: LocalDateTime) =
       t.getYear.toLong * 12 + (t.getMonthValue - 1)
-    def relWeek(t: LocalDateTime) =
-      Math.floorDiv(t.toLocalDate.toEpochDay + 3, 7L)
+    // reference DateLUTImpl::toRelativeWeekNum: (d + 8 - dow) / 7 with
+    // C++ trunc-toward-zero division — differs from floorDiv for
+    // pre-epoch operands (1969-12-28 is week 0, not -1)
+    def relWeek(t: LocalDateTime) = {
+      val d = t.toLocalDate.toEpochDay
+      val dow = t.getDayOfWeek.getValue.toLong // Mon=1 … Sun=7
+      (d + 8 - dow) / 7
+    }
     // hour/minute/second relative numbers are EPOCH-based
     // (ToRelativeHourNumImpl et al. divide the raw time_t); the
     // calendar units use LUT wall components

@@ -345,10 +345,17 @@ object ChCombinators {
           val sorted = new SortArray(st)
           lvls.map(l => ClickHouseAliases.exactWeightedElem(sorted, l))
         case "timing" =>
+          // clamp to the sketch domain BEFORE the integer cast: a huge
+          // Float64 input (01914's 8.5e37) must saturate at 30000, not
+          // overflow the ANSI cast; negatives floor at 0, NaN → 0
+          def clamped(x: Expression): Expression = Cast(
+            Least(Seq(
+              Greatest(Seq(new NaNvl(Cast(x, DoubleType), Literal(0.0d)),
+                Literal(0.0d))),
+              Literal(30000.0d))), LongType)
           val vals =
-            if (weighted) ArrayTransform(st,
-              lam(p => Cast(fld(p, "v"), LongType)))
-            else ArrayTransform(st, lam(x => Cast(x, LongType)))
+            if (weighted) ArrayTransform(st, lam(p => clamped(fld(p, "v"))))
+            else ArrayTransform(st, lam(x => clamped(x)))
           val ws =
             if (weighted) ArrayTransform(st,
               lam(p => Cast(fld(p, "w"), LongType)))

@@ -596,6 +596,10 @@ final class ChSession(spark: SparkSession) {
           st.schema.fieldNames.toSeq.filterNot(st.hidden))
       }
       Output(ChSyntaxFormat.format(q, cols, uniqInjectiveOpt, arithInAggOpt,
+        // display default stays DISTINCT: the 02004 EXPLAIN SYNTAX golden
+        // pins `INTERSECT DISTINCT` for a bare intersect even though
+        // EXECUTION defaults to ALL (Settings.h) - ByConity's formatter
+        // and executor genuinely disagree here
         spark.conf.get("graft.ch.intersectMode", "DISTINCT"),
         spark.conf.get("graft.ch.exceptMode", "DISTINCT"),
         dupDistinctOpt, likeRwOpt, ifChainOpt, gbFnKeysOpt, aggOfKeysOpt,

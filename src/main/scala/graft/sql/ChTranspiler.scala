@@ -1894,6 +1894,18 @@ object ChTranspiler {
         .getConfString("graft.ch.dialect", "CLICKHOUSE") == "CLICKHOUSE"
       catch { case _: Throwable => true }
     if (!chDialect) return sql
+    // bare-set-op mode follows the SESSION settings, not a hardcoded
+    // ALL: SET intersect_default_mode / except_default_mode override it,
+    // and the reference ERRORS on an empty mode (ADVICE r13;
+    // ExpressionAnalyzer "mode is unspecified")
+    def modeOf(conf: String): String = {
+      val m = try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(conf, "ALL")
+      catch { case _: Throwable => "ALL" }
+      if (m.isEmpty) throw new IllegalArgumentException(
+        s"set operation mode is unspecified - set $conf (error 36 analog)")
+      m.toUpperCase
+    }
 
     val toks = tokenize(sql)
     def nextSig(j: Int): Int = {
@@ -1932,7 +1944,10 @@ object ChTranspiler {
             case _ => false
           }
           if (branchy) {
-            out.append(" ALL")
+            out.append(" " + modeOf(
+              if (toks(i).text.equalsIgnoreCase("INTERSECT"))
+                "graft.ch.intersectMode"
+              else "graft.ch.exceptMode"))
             if (depth == 0) sawSetOp = true
           }
         case _ => ()
@@ -4843,17 +4858,24 @@ object ChTranspiler {
             // name doubles as the alias for downstream references)
             val multi = multi0.map(it =>
               if (it.alias.isDefined) it else it.copy(alias = Some(it.expr)))
-            // positional zip: explode an index range, pull each element
+            // positional zip: explode an index range, pull each element.
+            // LEFT keeps the all-empty row and pads each slot with the
+            // ELEMENT-TYPE default, not NULL (ArrayJoinAction.cpp
+            // insertDefault — same contract as the single-item form's
+            // chLeftArrayPad).
+            def src(e: String): String =
+              if (leftOuter) s"chLeftArrayPad($e)" else e
             val fields = multi.zipWithIndex.map { case (it, k) =>
-              s"'c$k', try_element_at(${it.expr}, CAST(__aj_i$n AS INT))"
+              s"'c$k', try_element_at(${src(it.expr)}, CAST(__aj_i$n AS INT))"
             }.mkString(", ")
             // Guard the empty-array case: Spark's sequence(1, 0) DESCENDS
             // to [1,0] (it never yields an empty range), so build one
             // padded element and slice it away; try_element_at keeps the
             // padding row null-safe under ANSI.
-            val sz = s"size(${multi.head.expr})"
+            val sz = s"size(${src(multi.head.expr)})"
+            val keepMin = if (leftOuter) 1 else 0
             val zip = s"slice(transform(sequence(1, greatest($sz, 1)), " +
-              s"__aj_i$n -> named_struct($fields)), 1, greatest($sz, 0))"
+              s"__aj_i$n -> named_struct($fields)), 1, greatest($sz, $keepMin))"
             val lateral =
               s" LATERAL VIEW $fn($zip) __aj_v$n AS __aj_s$n "
             val base =

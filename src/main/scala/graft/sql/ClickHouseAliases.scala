@@ -4696,13 +4696,14 @@ object ClickHouseAliases {
 
   /** CH mode string ('aes-128-ecb' …) → Spark AesEncrypt/AesDecrypt. */
   private def aesCall(cs: Seq[Expression], decrypt: Boolean): Expression = {
-    val mode = cs.head match {
+    val (mode, keyBits) = cs.head match {
       case Literal(m, StringType) if m != null =>
         val parts = m.toString.toLowerCase.split("-")
         require(parts.length == 3 && parts(0) == "aes" &&
+          Set("128", "192", "256")(parts(1)) &&
           Set("ecb", "cbc", "gcm")(parts(2)),
           s"encrypt/decrypt: unsupported mode ${m.toString} (aes-<len>-<ecb|cbc|gcm>)")
-        parts(2).toUpperCase
+        (parts(2).toUpperCase, parts(1).toInt)
       case other => throw new IllegalArgumentException(
         s"encrypt/decrypt: mode must be a string literal, got $other")
     }
@@ -4719,8 +4720,8 @@ object ClickHouseAliases {
       import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
       StaticInvoke(graft.functions.CryptoOps.getClass, BinaryType,
         if (decrypt) "chAesDecrypt" else "chAesEncrypt",
-        Seq(data, key, Literal(mode), iv),
-        Seq(BinaryType, BinaryType, StringType, BinaryType))
+        Seq(data, key, Literal(mode), iv, Literal(keyBits / 8)),
+        Seq(BinaryType, BinaryType, StringType, BinaryType, IntegerType))
     } else {
       require(decrypt == false || cs.size <= 3,
         "decrypt: explicit iv unsupported — Spark ciphertext embeds the iv")
