@@ -6244,6 +6244,14 @@ object ClickHouseAliases {
       // through % reductions in property-style tests)
       "rand64" -> ((cs: Seq[Expression]) =>
         Cast(Multiply(new Rand(), Literal(9.223372036854776e18)), LongType)),
+      // CH rand()/rand32() is a UInt32, NOT Spark's [0,1) double —
+      // 40007's `rand(1) > 100` predicate expects the 32-bit domain
+      // (reference src/Functions/rand.cpp); the optional argument only
+      // distinguishes expression instances
+      "rand" -> ((cs: Seq[Expression]) =>
+        Cast(Multiply(new Rand(), Literal(4.294967296e9)), LongType)),
+      "rand32" -> ((cs: Seq[Expression]) =>
+        Cast(Multiply(new Rand(), Literal(4.294967296e9)), LongType)),
       "SEC_TO_TIME" -> ((cs: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
         CreateNamedStruct(Seq(Literal("__time"),
