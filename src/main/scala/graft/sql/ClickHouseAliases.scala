@@ -6681,7 +6681,8 @@ object ClickHouseAliases {
     // plans onto the native Range node (codegen'd, splittable).
     val numbersBuilder = (cs: Seq[Expression]) => {
       def bound(e: Expression): Long = e match {
-        case Literal(v, _) => v.toString.toLong
+        // scientific spellings reach here as doubles (numbers_mt(1e8))
+        case Literal(v, _) => new java.math.BigDecimal(v.toString).longValue()
         case other => throw new IllegalArgumentException(
           s"numbers(): bounds must be literals, got $other")
       }
