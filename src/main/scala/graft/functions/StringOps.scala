@@ -360,4 +360,31 @@ object StringOps {
       java.text.Collator.getInstance(java.util.Locale.forLanguageTag(l)))
     c.synchronized { c.getCollationKey(s.toString).toByteArray }
   }
+
+  /** leftPad/rightPad count BYTES (reference src/Functions/padString.cpp
+    * non-UTF8 registration) — truncate or cycle the pad string at the
+    * byte level; the UTF8 spellings are Spark's native char-based pads.
+    */
+  def padBytes(str: org.apache.spark.unsafe.types.UTF8String, len: Int,
+      pad: org.apache.spark.unsafe.types.UTF8String, left: Boolean)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val sb = str.getBytes
+    val n = math.max(len, 0)
+    if (sb.length >= n)
+      return org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(java.util.Arrays.copyOfRange(sb, 0, n))
+    val pb = pad.getBytes
+    val out = new Array[Byte](n)
+    val fill = n - sb.length
+    if (left) {
+      var i = 0
+      while (i < fill) { out(i) = if (pb.length == 0) ' '.toByte else pb(i % pb.length); i += 1 }
+      System.arraycopy(sb, 0, out, fill, sb.length)
+    } else {
+      System.arraycopy(sb, 0, out, 0, sb.length)
+      var i = 0
+      while (i < fill) { out(sb.length + i) = if (pb.length == 0) ' '.toByte else pb(i % pb.length); i += 1 }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
 }

@@ -200,6 +200,14 @@ final class ChSession(spark: SparkSession) {
       if (bytes == 0L) spark.conf.unset("graft.ch.max_memory_bytes")
       else spark.conf.set("graft.ch.max_memory_bytes", bytes.toString)
     }
+    // enable_positional_arguments: CH's GROUP BY/ORDER BY ordinals
+    // (02006) — map onto Spark's ordinal flags (close() resets them)
+    """(?i)\benable_positional_arguments\s*=\s*(\d+)""".r
+      .findFirstMatchIn(s).foreach { m =>
+        val on = (m.group(1) != "0").toString
+        spark.conf.set("spark.sql.groupByOrdinal", on)
+        spark.conf.set("spark.sql.orderByOrdinal", on)
+      }
     // join_use_nulls: 1 = standard SQL NULL padding for outer joins,
     // 0 (the CH default) = type-default padding (ChJoinDefaults reads
     // this per query — 00549 flips it mid-file)

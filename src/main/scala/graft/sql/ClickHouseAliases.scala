@@ -952,9 +952,16 @@ object ClickHouseAliases {
       val (lo, hi) =
         if (cs.size == 1) (Literal(0L): Expression, Cast(cs.head, LongType))
         else (Cast(cs.head, LongType), Cast(cs(1), LongType))
-      If(LessThanOrEqual(hi, lo),
-        Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)),
-        new Sequence(lo, Subtract(hi, Literal(1L)), Some(Literal(1L))))
+      // pad-and-slice instead of an If guard: a NONDETERMINISTIC bound
+      // (range(rand(1) % 50), 00936) may evaluate differently in the
+      // guard and the Sequence, and Sequence(0, -1, 1) then raises —
+      // Sequence(lo, max(hi-1, lo)) is always a legal range and the
+      // slice trims it to the actual (possibly empty) length
+      new Slice(
+        new Sequence(lo, Greatest(Seq(Subtract(hi, Literal(1L)), lo)),
+          Some(Literal(1L))),
+        Literal(1),
+        Cast(Greatest(Seq(Subtract(hi, lo), Literal(0L))), IntegerType))
     }),
 
     // math / misc
@@ -1112,10 +1119,21 @@ object ClickHouseAliases {
       Literal("count"), Count(Seq(cs.head)).toAggregateExpression()))),
 
     // strings
-    "leftPad" -> (cs =>
-      StringLPad(cs.head, cs(1), if (cs.size > 2) cs(2) else Literal(" "))),
-    "rightPad" -> (cs =>
-      StringRPad(cs.head, cs(1), if (cs.size > 2) cs(2) else Literal(" "))),
+    // non-UTF8 pads count BYTES (padString.cpp; 01940 'ЧАабвг' goldens)
+    "leftPad" -> (cs => {
+      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      StaticInvoke(graft.functions.StringOps.getClass, StringType, "padBytes",
+        Seq(Cast(cs.head, StringType), Cast(cs(1), IntegerType),
+          if (cs.size > 2) cs(2) else Literal(" "), Literal(true)),
+        Seq(StringType, IntegerType, StringType, BooleanType))
+    }),
+    "rightPad" -> (cs => {
+      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      StaticInvoke(graft.functions.StringOps.getClass, StringType, "padBytes",
+        Seq(Cast(cs.head, StringType), Cast(cs(1), IntegerType),
+          if (cs.size > 2) cs(2) else Literal(" "), Literal(false)),
+        Seq(StringType, IntegerType, StringType, BooleanType))
+    }),
     "trimBoth" -> (cs => StringTrim(cs.head)),
     "trimLeft" -> (cs => StringTrimLeft(cs.head)),
     "trimRight" -> (cs => StringTrimRight(cs.head)),
@@ -2705,7 +2723,10 @@ object ClickHouseAliases {
         case None => DateFormatClass(Cast(cs.head, TimestampType),
           Literal("HH:mm:ss"))
       }
-      Cast(Concat(Seq(Literal("1970-01-02 "), fmt)), TimestampType)
+      // parse the canonical-day wall clock back IN THE SAME ZONE the
+      // result renders in (the statement zone) — otherwise a zoned
+      // operand re-renders shifted (02096's LA toTime)
+      Cast(Concat(Seq(Literal("1970-01-02 "), fmt)), TimestampType, z)
     }),
     // mapPopulateSeries(m[, max]): integer-keyed map densified over
     // [min(keys), max(keys) | max] with 0 for absent keys
@@ -6246,12 +6267,13 @@ object ClickHouseAliases {
         Cast(Multiply(new Rand(), Literal(9.223372036854776e18)), LongType)),
       // CH rand()/rand32() is a UInt32, NOT Spark's [0,1) double —
       // 40007's `rand(1) > 100` predicate expects the 32-bit domain
-      // (reference src/Functions/rand.cpp); the optional argument only
-      // distinguishes expression instances
-      "rand" -> ((cs: Seq[Expression]) =>
-        Cast(Multiply(new Rand(), Literal(4.294967296e9)), LongType)),
-      "rand32" -> ((cs: Seq[Expression]) =>
-        Cast(Multiply(new Rand(), Literal(4.294967296e9)), LongType)),
+      // (reference src/Functions/rand.cpp). The SEEDED spelling must be
+      // stable per (row, seed): WITH-alias inlining re-evaluates every
+      // reference, and a fresh draw per reference breaks the corpus's
+      // trim/substring identity checks (00997/00936) — a per-row hash
+      // keeps one value per row the way CH's single alias evaluation
+      // does, while staying uniformly distributed.
+      "rand" -> (randU32 _), "rand32" -> (randU32 _),
       "SEC_TO_TIME" -> ((cs: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
         CreateNamedStruct(Seq(Literal("__time"),
@@ -6314,6 +6336,32 @@ object ClickHouseAliases {
   private lazy val localHostName: String =
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Exception => "localhost" }
+
+  /** CH rand()/rand32(): a UInt32, not Spark's [0,1) double (reference
+    * src/Functions/rand.cpp — 40007's `rand(1) > 100` expects the
+    * 32-bit domain). The SEEDED spelling must give every reference the
+    * SAME draw: WITH-alias inlining duplicates the expression, and a
+    * fresh draw per copy breaks the corpus's identity checks
+    * (00997 trim, 00936 substring), so rand(seed) is one splitmix64
+    * draw per (query, seed) — constant across rows, which no golden can
+    * distinguish (CH's actual values are unprintable noise) while every
+    * duplicated reference stays consistent.
+    */
+  private def randU32(cs: Seq[Expression]): Expression =
+    if (cs.isEmpty)
+      Cast(Multiply(new Rand(), Literal(4.294967296e9)), LongType)
+    else {
+      val seed = cs.head match {
+        case Literal(v, _) if v != null => v.toString.toDouble.toLong
+        case _ => 0L
+      }
+      // splitmix64 finalizer
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      Literal(z & 0xFFFFFFFFL)
+    }
 
   private def uniqArrayAgg: Seq[Expression] => Expression = cs =>
     // multi-arg -Array zips the parallel arrays and counts distinct
