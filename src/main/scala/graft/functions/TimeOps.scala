@@ -214,4 +214,11 @@ object TimeOps {
     }
     if (bump) res + adj else res
   }
+
+  /** UTC offset (seconds) of `zone` at epoch-seconds instant `secs`
+    * (reference src/Functions/timezoneOffset.cpp — DateLUT offset). */
+  def tzOffsetSeconds(secs: Long,
+      zone: org.apache.spark.unsafe.types.UTF8String): Long =
+    java.time.ZoneId.of(zone.toString).getRules
+      .getOffset(java.time.Instant.ofEpochSecond(secs)).getTotalSeconds.toLong
 }

@@ -477,11 +477,38 @@ object ClickHouseAliases {
     if (epochClamped(c0)) satDate(base) else base
   }
 
-  private val aliases: Seq[(String, Seq[Expression] => Expression)] =
-    wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
-      wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9 ++ wave10 ++ wave11 ++
-      wave14 ++ wave15 ++ wave16 ++ wave17 ++ stateMergeWave ++ quantileWave ++
-      wave18 ++ wave19
+  private val aliases: Seq[(String, Seq[Expression] => Expression)] = {
+    val base =
+      wave1 ++ wave2 ++ arrayWave ++ combinatorWave ++ combinatorWave2 ++ wave3 ++
+        wave4 ++ wave5 ++ wave6 ++ wave7 ++ wave8 ++ wave9 ++ wave10 ++ wave11 ++
+        wave14 ++ wave15 ++ wave16 ++ wave17 ++ stateMergeWave ++ quantileWave ++
+        wave18 ++ wave19
+    // pure spelling aliases of already-registered builders
+    val byName = base.toMap
+    val spellings = Seq(
+      "toDateTime32" -> "toDateTime", // DataTypeDateTime alias spelling
+      "mapKeys" -> "getMapKeys",      // src/Functions/map.cpp spellings
+      "mapValues" -> "getMapValues")
+    val extras: Seq[(String, Seq[Expression] => Expression)] = Seq(
+      // timezoneOffset(t): the operand zone's UTC offset in seconds at
+      // that instant (reference src/Functions/timezoneOffset.cpp) — the
+      // zone comes from the operand's constructor tz, else the session
+      "timezoneOffset" -> (cs => {
+        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        val z = childCtorTz(cs.head).map(Literal(_)).getOrElse(CurrentTimeZone())
+        StaticInvoke(graft.functions.TimeOps.getClass, LongType,
+          "tzOffsetSeconds",
+          Seq(Cast(Cast(cs.head, TimestampType), LongType), z),
+          Seq(LongType, StringType))
+      }),
+      // mapElement(m, k): CH's map subscript (src/Functions/map.cpp) —
+      // missing key yields NULL through the non-failing lookup
+      "mapElement" -> (cs =>
+        ElementAt(cs.head, cs(1), None, failOnError = false)))
+    base ++ extras ++ spellings.flatMap { case (alias, target) =>
+      byName.get(target).map(alias -> _)
+    }
+  }
 
   /** -State / -Merge combinators in the engine's VALUE model: a "state"
     * is a plain mergeable value — sum's state is its partial sum, avg's
@@ -6273,7 +6300,7 @@ object ClickHouseAliases {
       // trim/substring identity checks (00997/00936) — a per-row hash
       // keeps one value per row the way CH's single alias evaluation
       // does, while staying uniformly distributed.
-      "rand" -> (randU32 _), "rand32" -> (randU32 _),
+      "rand32" -> (randU32 _),
       "SEC_TO_TIME" -> ((cs: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
         CreateNamedStruct(Seq(Literal("__time"),
@@ -6410,6 +6437,12 @@ object ClickHouseAliases {
       FunctionIdentifier("flatten"),
       new ExpressionInfo("graft.sql.ClickHouseAliases", "flatten"),
       (cs: Seq[Expression]) => deepFlatten(cs))
+    // CH rand() is a UInt32, shadowing Spark's [0,1) builtin — corpus
+    // session only, same policy as `length` (randU32 doc)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("rand"),
+      new ExpressionInfo("graft.sql.ClickHouseAliases", "rand"),
+      (cs: Seq[Expression]) => randU32(cs))
     // CH dateDiff counts unit-BOUNDARY crossings (relative-number
     // difference, reference dateDiff.cpp), not elapsed full units —
     // dateDiff('year', '2017-12-31', '2018-01-01') = 1. Shadows Spark's
