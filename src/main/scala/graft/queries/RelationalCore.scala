@@ -68,8 +68,13 @@ object RelationalCore {
         val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         val o = Tables(s, dir, "orders").filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
         val l = Tables(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
-        l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        // r15 (guide §2.3/§3.1): apply the broadcast dimension filter to
+        // orders BEFORE the fact-fact shuffle — the BUILDING segment keeps
+        // ~1/5 of customers, so the orders side of the l⋈o exchange
+        // shrinks ~5× (same rows out; Catalyst does not reorder joins
+        // without CBO join-reorder, so the written order decides).
+        l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
           .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
@@ -148,10 +153,17 @@ object RelationalCore {
         val c = Tables(s, dir, "customer")
         val o = Tables(s, dir, "orders")
         val l = Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        // r15 (guide §2.3 "aggregate before you shuffle"): sum revenue per
+        // customer key BEFORE the customer join — c_custkey is customer's
+        // key, so grouping by o_custkey yields the identical groups while
+        // the customer-join input shrinks from every returned lineitem to
+        // one row per buying customer (~6× fewer rows into that join's
+        // exchange at scale; locally the dimension stays broadcast).
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(c, col("o_custkey") === col("c_custkey"))
-          .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .groupBy(col("o_custkey"))
           .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("revenue"))
           .orderBy(col("revenue").desc, col("c_custkey"))
           .limit(20)
       },

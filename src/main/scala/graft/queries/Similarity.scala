@@ -142,12 +142,25 @@ object Similarity {
         val emb = Tables(s, dir, "embeddings")
         val cents = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-        // nearest centroid per vector: max (dot, -cent_id) → lowest id wins ties
+        // r15 (guide §2.4 "remove shuffles outright"): the old assignment
+        // cross-joined 16 broadcast centroid ROWS and re-grouped by
+        // (vec_id, embedding) to pick the max — a corpus-sized Exchange
+        // (embeddings included) whose groups were already complete on the
+        // map side. Folding the 16 centroids into ONE broadcast array row
+        // turns the argmax into a per-row array_max over
+        // struct(cdot, -cent_id, cent_id) — same (dot, lowest-id-wins)
+        // selection, zero shuffles: at 100 TB the assignment is a pure
+        // map over the scan.
+        val centsArr = cents
+          .agg(collect_list(struct(col("cent_id"), col("cent_vec"))).as("cs"))
         def assignCells(in: org.apache.spark.sql.DataFrame) =
-          in.crossJoin(broadcast(cents))
-            .withColumn("cdot", round(dot(col("embedding"), col("cent_vec")), 6))
-            .groupBy(col("vec_id"), col("embedding"))
-            .agg(max_by(col("cent_id"), struct(col("cdot"), -col("cent_id"))).as("cell"))
+          in.crossJoin(broadcast(centsArr))
+            .withColumn("cell",
+              array_max(transform(col("cs"), c =>
+                struct(round(dot(col("embedding"), c.getField("cent_vec")), 6).as("d"),
+                       (-c.getField("cent_id")).as("negid"),
+                       c.getField("cent_id").as("id")))).getField("id"))
+            .drop("cs")
         // The corpus assignment streams once through the join below; the
         // tiny probe set re-derives its cells independently (10 × 16
         // rows), so nothing needs to persist/materialize.
@@ -205,13 +218,21 @@ object Similarity {
       "knn_ivf_kmeans_topk",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
-        def assign(cents: org.apache.spark.sql.DataFrame) =
-          emb.crossJoin(broadcast(cents))
-            // dotHof: centroids are array<double> after training, so the
-            // float-only native expression doesn't apply here.
-            .withColumn("cdot", round(dotHof(col("embedding"), col("cent_vec")), 6))
-            .groupBy(col("vec_id"), col("embedding"))
-            .agg(max_by(col("cent_id"), struct(col("cdot"), -col("cent_id"))).as("cell"))
+        // r15: same shuffle-free argmax-as-expression as knn_ivf_topk —
+        // each Lloyd iteration's assignment pass loses its corpus-sized
+        // Exchange. dotHof: centroids are array<double> after training,
+        // so the float-only native expression doesn't apply here.
+        def assign(cents: org.apache.spark.sql.DataFrame) = {
+          val centsArr = cents
+            .agg(collect_list(struct(col("cent_id"), col("cent_vec"))).as("cs"))
+          emb.crossJoin(broadcast(centsArr))
+            .withColumn("cell",
+              array_max(transform(col("cs"), c =>
+                struct(round(dotHof(col("embedding"), c.getField("cent_vec")), 6).as("d"),
+                       (-c.getField("cent_id")).as("negid"),
+                       c.getField("cent_id").as("id")))).getField("id"))
+            .drop("cs")
+        }
         var cents = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("cent_vec"))
         (1 to 2).foreach { _ =>
@@ -279,11 +300,16 @@ object Similarity {
         val bits = 8
         def tableKey(sig: org.apache.spark.sql.Column, t: Int) =
           shiftright(sig, t * bits).bitwiseAND(lit((1L << bits) - 1))
-        // Persist the signed corpus: the signature would otherwise be
-        // recomputed for the probe side and both join inputs.
+        // r15 (guide §5 caching note): NO persist of the signed corpus —
+        // the signature is a cheap deterministic codegen expression, so
+        // recomputing it for the 10-row probe branch (parquet scan with
+        // vec_id<10 pushed down) is far cheaper than materializing the
+        // whole corpus+signatures into executor memory. At 100 TB the old
+        // persist was the scale hazard (corpus-sized cache per query);
+        // now the corpus streams once through the scan and only the tiny
+        // probe side is re-derived.
         val emb = Tables(s, dir, "embeddings")
           .withColumn("sig", hyperplaneLshBucket(col("embedding"), nTables * bits))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val corpus = emb.select(col("vec_id"), col("embedding"),
           explode(array((0 until nTables).map(t =>
             struct(lit(t).as("tbl"), tableKey(col("sig"), t).as("key"))): _*)).as("tk"))

@@ -18,12 +18,20 @@ object SketchesAndStreams {
     QueryDef(
       "bitmap_user_overlap",
       (s, dir) => {
+        // r15 (guide §2.3/§2.4): single-pass conditional bitmaps — one
+        // events scan with two map-side-combined bitmap states replaces
+        // two filtered scans + two global aggs + a crossJoin (2 scans /
+        // 2 exchanges → 1 scan / 1 exchange). groupBitmapIf skips NULLs,
+        // so `when(cond, user_id)` reproduces the filtered semantics
+        // exactly.
         val ev = Tables(s, dir, "events")
-        val click = ev.filter(col("event_type") === "click")
-          .agg(B.groupBitmap(col("user_id")).as("bm_click"))
-        val purchase = ev.filter(col("event_type") === "purchase")
-          .agg(B.groupBitmap(col("user_id")).as("bm_purchase"))
-        click.crossJoin(purchase).select(
+          .filter(col("event_type").isin("click", "purchase"))
+        ev.agg(
+            B.groupBitmapIf(when(col("event_type") === "click", col("user_id")))
+              .as("bm_click"),
+            B.groupBitmapIf(when(col("event_type") === "purchase", col("user_id")))
+              .as("bm_purchase"))
+          .select(
           B.bitmapCardinality(col("bm_click")).as("n_click"),
           B.bitmapCardinality(col("bm_purchase")).as("n_purchase"),
           B.bitmapAndCardinality(col("bm_click"), col("bm_purchase")).as("n_both"),
