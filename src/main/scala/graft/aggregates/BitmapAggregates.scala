@@ -331,16 +331,20 @@ final class TopKState extends Serializable {
   }
 
   def add(x: Long, cnt: Long, capacity: Int): Unit = {
-    val idx = index()
+    // r15 (guide §1.2 "per-task work"): the by-count index exists only to
+    // find the eviction victim, and eviction can only happen once the
+    // buffer is FULL — so don't pay two TreeMap updates per row while
+    // below capacity. The index is built lazily by index() at the first
+    // eviction and kept incrementally maintained from then on.
     val existing = counts.get(x)
     if (counts.containsKey(x)) {
-      indexRemove(x, existing)
       counts.put(x, existing + cnt)
-      indexAdd(x, existing + cnt)
+      if (byCount != null) { indexRemove(x, existing); indexAdd(x, existing + cnt) }
     } else if (counts.size < capacity) {
       counts.put(x, cnt)
-      indexAdd(x, cnt)
+      if (byCount != null) indexAdd(x, cnt)
     } else {
+      val idx = index()
       // SpaceSaving: displace the current minimum (smallest key among the
       // minimum-count entries, for deterministic eviction), inheriting
       // its count.

@@ -64,4 +64,40 @@ object AsofJoin {
       .select(leftCols.map(col) ++
         rightCols.map(c => col(s"__match.$c").as(s"asof_$c")): _*)
   }
+
+  /** Backward non-strict as-of join where BOTH sides come from the same
+    * DataFrame, split by side predicates (r15, guide §2.4): the
+    * union-of-two-filtered-scans shape of [[backward]] re-reads the base
+    * table once per side; tagging sides inside ONE filtered scan halves
+    * the base-table passes with the identical window semantics
+    * (right rows sort before left rows at equal time → non-strict <=).
+    *
+    * Rows must satisfy at most one of the predicates (rows matching
+    * neither are dropped). Result: `leftCols`, then `key` and `time`
+    * under their own names, then `asof_<c>` for each right payload
+    * column (null when no preceding right row).
+    */
+  def backwardSameSource(
+      src: DataFrame,
+      isLeft: Column,
+      isRight: Column,
+      key: String,
+      time: String,
+      leftCols: Seq[String],
+      rightCols: Seq[String]): DataFrame = {
+    val rStruct = struct(rightCols.map(col): _*)
+    val tagged = src.filter(isLeft || isRight)
+      .select(col(key).as("__k") +: col(time).as("__t") +:
+        when(isLeft, 1).otherwise(0).as("__side") +:
+        when(isRight, rStruct).as("__r") +:
+        leftCols.map(c => when(isLeft, col(c)).as(c)): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        Seq(col("__k").as(key), col("__t").as(time)) ++
+        rightCols.map(c => col(s"__match.$c").as(s"asof_$c")): _*)
+  }
 }

@@ -99,7 +99,15 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"),
         explode(array_distinct(tokens(col(textCol)))).as("tok_s"))
       .select(col("id"), xxhash64(col("tok_s")).as("tok"))
-    val docs = prefixDocs(toks, threshold).persist(StorageLevel.MEMORY_AND_DISK)
+    // r15 (guide §5 caching note): NO persist of the per-doc token table —
+    // a MEMORY_AND_DISK cache of the tokenized corpus is the same
+    // per-query corpus-sized-cache hazard the r15 wave-1 commit removed
+    // from knn_lsh_topk, and in the prepared-plan bench the cache
+    // materialization was pure per-rep overhead (0.164 → 0.088 s min at
+    // sf0.1 without it). The downstream uses that can recompute the docs
+    // subtree are small-side builds of the candidate/verify joins, which
+    // AQE's stage reuse dedupes when they shuffle at scale.
+    val docs = prefixDocs(toks, threshold)
     // Exact verification: one row per candidate pair, intersection counted
     // on the two (bounded-size) per-doc token arrays — no token-level
     // shuffle ever sees a hot key.

@@ -174,60 +174,69 @@ object Quantiles {
       .agg(count(lit(1)).as("__c"))
     val wB = Window.partitionBy(col("__g")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("__g"))
+    // r15 (guide §2.4): the per-group row count __n is the sum of the
+    // group's histogram counts — a window over the (groups × buckets)-row
+    // histogram, NOT a second scan of the base table (the old nPerGroup
+    // groupBy re-read every base row just to count it).
     val marked = cnt
       .withColumn("__before", coalesce(sum(col("__c")).over(wB), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
 
-    // Needs derivation — distributed. Per-group row counts (a cheap
-    // column-pruned count, no window) explode against a 2×|specs|-element
-    // literal array (spec index, p, floor/ceil side), yielding one target
-    // rank per (group, spec, side); an equi-join on group with a range
-    // residual against the histogram locates the bucket covering each
-    // rank. O(groups × specs) rows, never collected; the generator-based
-    // fan-out keeps the repo-wide no-cartesian plan sweep strict, and
-    // __n rides along into the needs table so no later join re-derives it.
+    // Needs derivation — distributed, and join-free (r15): every
+    // histogram row already knows its group's total __n and its own
+    // cumulative range [__before, __before + __c), so the (spec, side)
+    // targets whose global rank lands inside this bucket are a per-row
+    // FILTER over the 2×|specs|-element literal spec array. The old shape
+    // joined a separate rank table against the histogram, which
+    // recomputed the whole upstream (histogram scan + count scan) once
+    // per downstream use — 4 extra base-table scans in the executed plan.
+    // O(groups × specs) need rows, never collected.
     val specArr = array(specs.zipWithIndex.flatMap { case ((p, _), i) =>
       Seq(false, true).map(upper =>
         struct(lit(i).as("__nspec"), lit(p).as("__p"), lit(upper).as("__nupper")))
     }: _*)
-    val nPerGroup = nn.groupBy(col(groupCol).as("__gn"))
-      .agg(count(lit(1)).as("__n"))
-    val ranks = nPerGroup
-      .select(col("__gn"), col("__n"), explode(specArr).as("__sp"))
-      .select(col("__gn"), col("__n"), col("__sp.__nspec").as("__nspec"),
-        col("__sp.__p").as("__p"), col("__sp.__nupper").as("__nupper"))
-      .withColumn("__h", (col("__n") - 1).cast(DoubleType) * col("__p"))
-      .withColumn("__rank",
-        when(col("__nupper"), ceil(col("__h"))).otherwise(floor(col("__h"))).cast("long"))
-    val needDf = ranks.join(marked,
-        col("__gn") === col("__g") &&
-          col("__before") <= col("__rank") &&
-          col("__rank") < col("__before") + col("__c"))
+    def rankOf(sp: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) = {
+      val h = (n - 1).cast(DoubleType) * sp.getField("__p")
+      when(sp.getField("__nupper"), ceil(h)).otherwise(floor(h)).cast("long")
+    }
+    val needDf = marked
+      .select(col("__g"), col("__b"), col("__before"), col("__c"), col("__n"),
+        explode(filter(specArr, sp => {
+          val r = rankOf(sp, col("__n"))
+          col("__before") <= r && r < col("__before") + col("__c")
+        })).as("__sp"))
       .select(col("__g").as("__ng"), col("__b").as("__nb"),
-        (col("__rank") - col("__before")).as("__nidx"),
-        col("__nspec"), col("__nupper"), col("__n"))
-    val bucketsDf = needDf.select(col("__ng"), col("__nb")).distinct()
+        (rankOf(col("__sp"), col("__n")) - col("__before")).as("__nidx"),
+        col("__sp.__nspec").as("__nspec"), col("__sp.__nupper").as("__nupper"),
+        col("__n"))
 
     // Pass 2: candidate-bucket rows are re-counted per distinct value,
     // ranked by an in-bucket cumulative window, and the needed rank is
-    // picked by an equi-join (AQE broadcasts the needs side when it is
-    // small; with millions of groups it shuffles — both shapes scale). A
-    // pathologically hot bucket costs one window over its distinct values
-    // on executors, never a driver OOM.
+    // picked from the same stream. r15: ONE join against the needs table
+    // (it was two — a distinct-buckets semi-join before the groupBy plus
+    // a rank-pick join after — and the doubly-used needs subtree was
+    // recomputed from the base table each time). A bucket holding several
+    // needs duplicates its rows per need (≤ 2×|specs|×); each need then
+    // ranks its own duplicate stream, keyed into the groupBy/window by
+    // (spec, side). AQE broadcasts the tiny needs side. A pathologically
+    // hot bucket costs one window over its distinct values on executors,
+    // never a driver OOM.
     val candCounts = nn
       .withColumn("__b", floor(col(valueCol) / lit(bucketWidth)))
-      .join(bucketsDf,
+      .join(needDf,
         col(groupCol) === col("__ng") && col("__b") === col("__nb"))
-      .groupBy(col(groupCol).as("__g"), col("__b"),
+      .groupBy(col("__ng").as("__g"), col("__nb"), col("__nspec"),
+        col("__nupper"), col("__nidx"), col("__n"),
         col(valueCol).cast(DoubleType).as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val wV = Window.partitionBy(col("__g"), col("__b")).orderBy(col("__v"))
+    val wV = Window.partitionBy(col("__g"), col("__nb"), col("__nspec"),
+        col("__nupper")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val picked = candCounts
       .withColumn("__before", coalesce(sum(col("__c")).over(wV), lit(0L)))
-      .join(needDf,
-        col("__g") === col("__ng") && col("__b") === col("__nb") &&
-          col("__before") <= col("__nidx") &&
-          col("__nidx") < col("__before") + col("__c"))
+      .filter(col("__before") <= col("__nidx") &&
+        col("__nidx") < col("__before") + col("__c"))
       .select(col("__g"), col("__nspec"), col("__nupper"), col("__v"), col("__n"))
 
     // Both floor and ceil needs always exist, so __lo/__hi are never null.

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** sessionAnalysis (reference
@@ -12,12 +13,11 @@ import org.apache.spark.sql.functions._
   * tuple per session — (duration, depth, end event, session time).
   *
   * The reference materializes every event into an arena per aggregate
-  * state and splits at finish; the Spark-first shape is the native
-  * `session_window` group-by — identical break semantics (an event at
-  * exactly prev + gap starts a new session in both), but sessionization
-  * happens in the hash aggregate with partial merging of overlapping
-  * windows, never an O(events-per-user) buffer. One shuffle on
-  * (user, session), linear at 100 TB.
+  * state and splits at finish; here sessionization is a lag/running-sum
+  * window over one per-user sort followed by a hash aggregate on
+  * (user, session_id) — identical break semantics (an event at exactly
+  * prev + gap starts a new session in both), never an
+  * O(events-per-user) buffer. One shuffle on user_id, linear at 100 TB.
   *
   * The start/target/end-event-parameterized variants of the reference
   * collapse to post-filters on these rows (start events are session
@@ -30,24 +30,38 @@ object SessionAnalysis {
     * name, ties broken by event name for determinism — the reference's
     * stable time sort leaves equal-time order unspecified).
     *
-    * Boundary: Spark merges TOUCHING session windows (an event at
-    * exactly prev + gap would join the session), while the reference
-    * breaks at `>= gap`; passing the window as gap − 1 µs makes the two
-    * identical on the microsecond grid (diff < gap merges, diff ≥ gap
-    * breaks).
+    * Boundary: a gap of exactly `gapUs` BREAKS the session (the
+    * reference's `events[i].time >= session_limit`, rolling limit).
+    *
+    * r15 shape (guide §2.2/§2.4): lag-gap + running-sum session ids over
+    * ONE per-user sort, then a hash aggregate on (user, session_id) that
+    * REUSES the window's hash partitioning — no second exchange. The
+    * previous native `session_window` plan sorted the full input twice
+    * (a map-side sort feeding a partial SortAggregate, then a post-
+    * shuffle sort for MergingSessions); with events scattered across
+    * input splits the map-side partials barely compressed anything, so
+    * the second sort was pure overhead (bench: 77 → ~45 ms at sf0.1).
+    * Still one shuffle on user_id, still no per-user event buffer.
     */
   def sessions(
       df: DataFrame, user: Column, ts: Column, event: Column,
-      gapUs: Long): DataFrame =
+      gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("__ev"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("__us"), 1).over(w)
     df.select(user.as("user_id"), ts.as("__ts"), event.as("__ev"))
-      .groupBy(col("user_id"),
-        session_window(col("__ts"), s"${gapUs - 1} microseconds"))
+      .withColumn("__us", Tables.tsUs(col("__ts")))
+      .withColumn("__brk",
+        when(prev.isNull || col("__us") - prev >= gapUs, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__brk")).over(wRun))
+      .groupBy(col("user_id"), col("__sid"))
       .agg(
-        (Tables.tsUs(max(col("__ts"))) - Tables.tsUs(min(col("__ts"))))
-          .as("duration_us"),
+        min(col("__ts")).as("session_time"),
+        (max(col("__us")) - min(col("__us"))).as("duration_us"),
         count(lit(1)).as("depth"),
-        max_by(col("__ev"), struct(col("__ts"), col("__ev"))).as("end_event"),
-        min(col("__ts")).as("session_time"))
+        max_by(col("__ev"), struct(col("__us"), col("__ev"))).as("end_event"))
       .select(col("user_id"), col("session_time"), col("duration_us"),
         col("depth"), col("end_event"))
+  }
 }

@@ -251,15 +251,20 @@ object Behavioral {
     QueryDef(
       "asof_purchase_click",
       (s, dir) => {
-        val ev = Tables(s, dir, "events").withColumn("us", Tables.tsUs(col("ts")))
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"), col("us"))
-        val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id").as("c_user"), col("us").as("c_us"))
-        AsofJoin.backward(purchases, clicks, keyLeft = "user_id", keyRight = "c_user",
-            leftTime = "us", rightTime = "c_us", rightCols = Seq("c_us"))
+        // r15 (guide §2.4): both as-of sides are the SAME events table —
+        // the tagged single-scan variant reads it once (2 parquet passes
+        // → 1; the `event_type IN (click, purchase)` filter still pushes
+        // down). Window semantics unchanged (AsofRewriteSpec equivalence).
+        val ev = Tables(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("us", Tables.tsUs(col("ts")))
+        AsofJoin.backwardSameSource(ev,
+            isLeft = col("event_type") === "purchase",
+            isRight = col("event_type") === "click",
+            key = "user_id", time = "us",
+            leftCols = Seq("event_id"), rightCols = Seq("us"))
           .select(col("event_id"),
-                  (col("us") - col("asof_c_us")).as("us_since_click"))
+                  (col("us") - col("asof_us")).as("us_since_click"))
           .orderBy(col("event_id"))
       },
       Some("""

@@ -244,16 +244,25 @@ object TpchExtra {
     QueryDef(
       "q11_important_stock",
       (s, dir) => {
-        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-        s.sql("""
-          SELECT l_suppkey,
-            CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS value
-          FROM lineitem
-          GROUP BY l_suppkey
-          HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) > (
-            SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) * 0.0015
-            FROM lineitem)
-          ORDER BY value DESC, l_suppkey""")
+        // r15 (guide §2.4 "remove shuffles outright"): the SQL form's
+        // scalar subquery re-scanned lineitem end to end just for the
+        // grand total. Decimal addition is exact and associative, so the
+        // total is the sum of the per-supplier group sums — built ON TOP
+        // of the same grouped exchange, which ReuseExchange then dedupes:
+        // one lineitem scan + one grouped aggregate feed both the rows
+        // and the threshold (2 scans / 2 agg pipelines → 1 each). The
+        // double cast happens only at the comparison/output, exactly as
+        // before, so values are bit-identical.
+        val li = Tables(s, dir, "lineitem")
+        val grouped = li.groupBy(col("l_suppkey"))
+          .agg(sum((col("l_extendedprice") * col("l_quantity"))
+            .cast("decimal(18,4)")).as("__dec"))
+        val total = grouped.agg(sum(col("__dec")).as("__tot"))
+        grouped.crossJoin(broadcast(total))
+          .filter(col("__dec").cast("double") >
+            col("__tot").cast("double") * 0.0015)
+          .select(col("l_suppkey"), col("__dec").cast("double").as("value"))
+          .orderBy(col("value").desc, col("l_suppkey"))
       },
       Some("""
         SELECT l_suppkey,

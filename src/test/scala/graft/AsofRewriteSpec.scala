@@ -60,4 +60,37 @@ class AsofRewriteSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(3)) null else r.getDouble(3)))
     assert(sqlRes.toSeq === op.toSeq)
   }
+
+  test("backwardSameSource matches backward on a side-tagged single table") {
+    // One table carrying both sides, incl. an equal-time (k=1, t=10)
+    // left/right pair to pin the non-strict <= tie rule, a left row with
+    // no preceding right (k=2), and a right-only key (k=3).
+    val ev = Seq(
+      (1L, 8L, "r", 100.0, 0L), (1L, 10L, "l", 0.0, 11L),
+      (1L, 10L, "r", 200.0, 0L), (1L, 20L, "r", 300.0, 0L),
+      (1L, 25L, "l", 0.0, 12L), (2L, 5L, "l", 0.0, 13L),
+      (3L, 1L, "r", 400.0, 0L))
+      .toDF("k", "t", "side", "v", "lid")
+    val fused = operators.AsofJoin.backwardSameSource(ev,
+        isLeft = $"side" === "l", isRight = $"side" === "r",
+        key = "k", time = "t", leftCols = Seq("lid"), rightCols = Seq("v"))
+      .select($"lid", $"k", $"t", $"asof_v")
+      .orderBy($"k", $"t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    val twoScan = operators.AsofJoin.backward(
+        ev.filter($"side" === "l").select($"lid", $"k", $"t"),
+        ev.filter($"side" === "r").select($"k".as("rk"), $"t".as("rt"), $"v"),
+        keyLeft = "k", keyRight = "rk", leftTime = "t", rightTime = "rt",
+        rightCols = Seq("v"))
+      .select($"lid", $"k", $"t", $"asof_v")
+      .orderBy($"k", $"t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(fused.toSeq === twoScan.toSeq)
+    // the equal-time pair must match non-strictly (200.0, not 100.0)
+    assert(fused.find(_._1 == 11L).get._4 === 200.0)
+    // no preceding right row -> null
+    assert(fused.find(_._1 == 13L).get._4 === null)
+  }
 }
