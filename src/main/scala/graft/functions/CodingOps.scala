@@ -95,60 +95,6 @@ object CodingOps {
   /** unbin (FunctionsBinaryRepresentation.cpp): '01100001…' → the bytes,
     * left-padded to whole bytes like the reference.
     */
-  /** bin() of raw bytes: 8 bits per byte, concatenated (reference
-    * FunctionsCoding bin over String — 01926/10016). */
-  def binBytes(b: Array[Byte]): UTF8String = {
-    val sb = new java.lang.StringBuilder(b.length * 8)
-    b.foreach { x =>
-      var i = 7
-      while (i >= 0) { sb.append(((x >> i) & 1)); i -= 1 }
-    }
-    UTF8String.fromString(sb.toString)
-  }
-
-  /** bin() of an integer at byte width w, big-endian (mirrors beHex). */
-  def binInt(v: Long, w: Int): UTF8String = {
-    val b = new Array[Byte](w)
-    var i = 0
-    while (i < w) { b(w - 1 - i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
-    binBytes(b)
-  }
-
-  /** bin() of an integer skipping leading zero BYTES (10016 prints
-    * sum(number)=2080 as 16 bits); negatives keep all 8. */
-  def binIntSmallest(v: Long): UTF8String = {
-    val w =
-      if (v < 0) 8
-      else math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
-    binInt(v, w)
-  }
-
-  /** bin() of a float: the little-endian in-memory image. */
-  def binFloat32(f: Float): UTF8String = {
-    val bits = java.lang.Float.floatToIntBits(f)
-    val b = new Array[Byte](4)
-    var i = 0
-    while (i < 4) { b(i) = ((bits >>> (8 * i)) & 0xff).toByte; i += 1 }
-    binBytes(b)
-  }
-
-  def binFloat64(d: Double): UTF8String = {
-    val bits = java.lang.Double.doubleToLongBits(d)
-    val b = new Array[Byte](8)
-    var i = 0
-    while (i < 8) { b(i) = ((bits >>> (8 * i)) & 0xff).toByte; i += 1 }
-    binBytes(b)
-  }
-
-  /** bin() of a decimal container: little-endian unscaled value at the
-    * container width (Decimal32 → 4 bytes, Decimal64 → 8). */
-  def binDecimalLe(unscaled: Long, w: Int): UTF8String = {
-    val b = new Array[Byte](w)
-    var i = 0
-    while (i < w) { b(i) = ((unscaled >>> (8 * i)) & 0xff).toByte; i += 1 }
-    binBytes(b)
-  }
-
   def unbin(s: UTF8String): UTF8String = {
     if (s == null) return null
     val str = s.toString
@@ -169,10 +115,7 @@ object CodingOps {
     * Long stands in for UInt64 exactly.
     */
   def intHash64(x: Long): Long = {
-    // IntHash64Impl pre-xors the /dev/urandom salt before the 64-bit
-    // finalizer mix (reference FunctionsHashing.h:174 — 00580's
-    // jumpConsistentHash(intHash64(number), …) goldens)
-    var h = x ^ 0x4cf2d2baae6da887L
+    var h = x
     h ^= h >>> 33
     h *= 0xff51afd7ed558ccdL
     h ^= h >>> 33
@@ -448,38 +391,7 @@ object CodingOps {
     * dotted-quad tail. Throws on malformed input (OrNull/OrZero
     * spellings wrap at the registry layer).
     */
-  /** IPv4ToIPv6: the v4-mapped ::ffff:a.b.c.d 16-byte form (00076). */
-  def ipv4MappedBytes(n: Long): Array[Byte] = {
-    val out = new Array[Byte](16)
-    out(10) = 0xff.toByte; out(11) = 0xff.toByte
-    out(12) = ((n >>> 24) & 0xff).toByte
-    out(13) = ((n >>> 16) & 0xff).toByte
-    out(14) = ((n >>> 8) & 0xff).toByte
-    out(15) = (n & 0xff).toByte
-    out
-  }
-
-  /** cutIPv6(addr, bytesToCutIfV6, bytesToCutIfV4): zero the trailing
-    * bytes (fewer for v4-mapped addresses) and reformat (reference
-    * FunctionsCoding cutIPv6 — 00076). */
-  def cutIPv6(bytesIn: Array[Byte], cutV6: Int, cutV4: Int): UTF8String = {
-    val b = new Array[Byte](16)
-    System.arraycopy(bytesIn, 0, b, 0, math.min(16, bytesIn.length))
-    val v4Mapped = (0 until 10).forall(b(_) == 0) &&
-      b(10) == 0xff.toByte && b(11) == 0xff.toByte
-    val cut = math.min(16, math.max(0, if (v4Mapped) cutV4 else cutV6))
-    for (i <- 16 - cut until 16) b(i) = 0
-    ipv6Format(b)
-  }
-
-  def ipv6Parse(str: UTF8String): Array[Byte] =
-    try ipv6ParseStrict(str) catch {
-      // unparseable text yields the zero address, not an error (00076
-      // IPv6StringToNum('') == 16 NULs)
-      case _: Exception => new Array[Byte](16)
-    }
-
-  private def ipv6ParseStrict(str: UTF8String): Array[Byte] = {
+  def ipv6Parse(str: UTF8String): Array[Byte] = {
     val s = str.toString.trim
     val out = new Array[Byte](16)
     if (!s.contains(':')) {

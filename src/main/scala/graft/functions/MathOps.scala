@@ -363,83 +363,4 @@ object MathOps {
         s"Decimal value $x is out of range of Decimal($p, $s)")
     org.apache.spark.sql.types.Decimal(bd, p, s)
   }
-
-  /** Float→UInt64 with the reference's hardware conversion semantics
-    * (FunctionsConversion.h static_cast: x86 cvttsd2si): NaN and
-    * out-of-domain values land on the 2^63 sentinel (01581 toUInt64(inf)
-    * prints 9223372036854775808); in-range values truncate toward zero.
-    * Returns the unsigned result's BIT PATTERN in a signed Long. */
-  def chDoubleToULong(x: Double): Long =
-    if (x.isNaN || x >= 1.8446744073709552E19 ||
-        x <= -9.223372036854776E18) Long.MinValue
-    else if (x < 9.223372036854776E18) x.toLong
-    else (x - 9.223372036854776E18).toLong + Long.MinValue
-
-  /** Float→IntN/UIntN via the same hardware-sentinel rules: a signed
-    * target out of range (or NaN) yields its minimum (cvttsd2si
-    * sentinel — toInt64(inf) = -9223372036854775808); unsigned targets
-    * below 64 bits convert through UInt64 and truncate. */
-  def chDoubleToInt(x: Double, bits: Int, signed: Boolean): Long =
-    if (signed) {
-      val min = if (bits == 64) Long.MinValue else -(1L << (bits - 1))
-      val maxP1 = if (bits == 64) 9.223372036854776E18
-        else (1L << (bits - 1)).toDouble
-      if (x.isNaN || x >= maxP1 || x < min.toDouble) min else x.toLong
-    } else chDoubleToULong(x) & (if (bits == 64) -1L else (1L << bits) - 1)
-
-  /** Raw Long bits reprinted in the UInt64 band (Decimal(20,0)). */
-  def chULongToDecimal(v: Long): org.apache.spark.sql.types.Decimal =
-    org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(
-      java.lang.Long.toUnsignedString(v)), 20, 0)
-
-  /** Float→UInt64 printed in the full unsigned band (Decimal(20,0)). */
-  def chDoubleToUInt64(x: Double): org.apache.spark.sql.types.Decimal =
-    org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(
-      java.lang.Long.toUnsignedString(chDoubleToULong(x))), 20, 0)
-
-  private val u64Max = BigInt("18446744073709551615")
-
-  /** UInt64-band Decimal (a wide-integer carrier) reinterpreted as a
-    * signed integral of `bits` width — CH's integer conversions WRAP
-    * (static_cast two's complement), never error (00438 bitRotate of
-    * 0x8000000000000001, 00580 consistent hashing over u64 hashes). */
-  def chDecimalRawBits(d: org.apache.spark.sql.types.Decimal,
-      bits: Int): Long = {
-    val low = d.toJavaBigDecimal.toBigInteger.longValue()
-    if (bits == 64) low else (low << (64 - bits)) >> (64 - bits)
-  }
-
-  /** intExp10(n): UInt64 power of ten, saturating at the unsigned
-    * maximum (reference src/Functions/intExp10.cpp — 00536 prints
-    * 18446744073709551615 from exponent 20 on). */
-  def chIntExp10(n: Long): org.apache.spark.sql.types.Decimal = {
-    val v = if (n < 0) BigInt(0)
-      else if (n > 19) u64Max
-      else BigInt(10).pow(n.toInt)
-    org.apache.spark.sql.types.Decimal(BigDecimal(v), 20, 0)
-  }
-
-  /** intExp2(n): UInt64 1 << n with the hardware shift-mask (n & 63). */
-  def chIntExp2(n: Long): org.apache.spark.sql.types.Decimal = {
-    val v = if (n < 0) BigInt(0) else BigInt(1) << (n & 63).toInt
-    org.apache.spark.sql.types.Decimal(BigDecimal(v), 20, 0)
-  }
-
-  /** preciseExp10: integral exponents give the correctly-rounded double
-    * (reference glibc-compatibility preciseExp10; Math.pow is an ulp
-    * off at 10^23). */
-  def chExp10(x: Double): Double =
-    if (x == Math.rint(x) && math.abs(x) <= 308)
-      new java.math.BigDecimal("1e" + x.toLong.toString).doubleValue()
-    else Math.pow(10.0, x)
-
-  /** CH float text (shortest round-trip, plain notation below 1e21) for
-    * the toString lowering. */
-  def chFloatText(x: Double): org.apache.spark.unsafe.types.UTF8String =
-    org.apache.spark.unsafe.types.UTF8String.fromString(
-      graft.sql.ChFormat.formatFloat(x))
-
-  def chFloat32Text(x: Float): org.apache.spark.unsafe.types.UTF8String =
-    org.apache.spark.unsafe.types.UTF8String.fromString(
-      graft.sql.ChFormat.float32Text(x))
 }

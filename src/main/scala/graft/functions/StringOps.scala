@@ -340,57 +340,6 @@ object StringOps {
   }
 
   /** MySQL FORMAT(x, d): thousands grouping, HALF_UP at d decimals. */
-  /** CH format('{1} and {0}', args…): indexed or sequential `{}`
-    * placeholders, `{{`/`}}` escapes (reference
-    * src/Functions/formatString.h — 00949_format). */
-  def chFormat(pattern: org.apache.spark.unsafe.types.UTF8String,
-      args: org.apache.spark.sql.catalyst.util.ArrayData)
-      : org.apache.spark.unsafe.types.UTF8String = {
-    val p = pattern.toString
-    val n = args.numElements()
-    def arg(i: Int): String = {
-      if (i < 0 || i >= n) throw new IllegalArgumentException(
-        s"format: argument index $i out of range (error 36 analog)")
-      val u = args.getUTF8String(i)
-      if (u == null) "\\N" else u.toString
-    }
-    val sb = new StringBuilder
-    var i = 0
-    var seq = 0
-    var sawIndexed = false
-    var sawSequential = false
-    while (i < p.length) {
-      val c = p.charAt(i)
-      if (c == '{' && i + 1 < p.length && p.charAt(i + 1) == '{') {
-        sb.append('{'); i += 2
-      } else if (c == '}') {
-        // only the doubled escape is legal outside a placeholder
-        if (i + 1 < p.length && p.charAt(i + 1) == '}') {
-          sb.append('}'); i += 2
-        } else throw new IllegalArgumentException(
-          "format: stray '}' (error 36 analog)")
-      } else if (c == '{') {
-        val close = p.indexOf('}', i)
-        if (close < 0) throw new IllegalArgumentException(
-          "format: unmatched '{' (error 36 analog)")
-        val body = p.substring(i + 1, close).trim
-        if (body.isEmpty) {
-          sawSequential = true
-          sb.append(arg(seq)); seq += 1
-        } else {
-          sawIndexed = true
-          sb.append(arg(body.toInt))
-        }
-        if (sawIndexed && sawSequential)
-          throw new IllegalArgumentException(
-            "format: cannot mix indexed and sequential placeholders " +
-              "(error 36 analog)")
-        i = close + 1
-      } else { sb.append(c); i += 1 }
-    }
-    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
-  }
-
   def mysqlFormat(x: Double, d: Int): org.apache.spark.unsafe.types.UTF8String = {
     val dd = math.max(0, math.min(30, d))
     org.apache.spark.unsafe.types.UTF8String.fromString(

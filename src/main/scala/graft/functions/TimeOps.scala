@@ -221,121 +221,4 @@ object TimeOps {
       zone: org.apache.spark.unsafe.types.UTF8String): Long =
     java.time.ZoneId.of(zone.toString).getRules
       .getOffset(java.time.Instant.ofEpochSecond(secs)).getTotalSeconds.toLong
-
-  private val dtTextFmt =
-    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
-
-  /** DateTime64 LUT saturation (reference DateLUTImpl covers 1900-01-01
-    * through 2299-12-31 in the column's zone; 01702 clamping goldens).
-    * Below range → the LUT's first instant (1900-01-01 00:00:00 wall),
-    * keeping the fractional ticks; above range → the last LUT day with
-    * the hour clamped to 23 and minute/second taken modularly from the
-    * overflowed value (observed PlanPrinter behavior in the goldens). */
-  def chSaturateDtMicros(micros: Long,
-      zone: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val zid = java.time.ZoneId.of(zone.toString)
-    val whole = Math.floorDiv(micros, 1000000L)
-    val frac = Math.floorMod(micros, 1000000L)
-    val lutStart =
-      java.time.LocalDate.of(1900, 1, 1).atStartOfDay(zid).toEpochSecond
-    val lutEnd =
-      java.time.LocalDate.of(2300, 1, 1).atStartOfDay(zid).toEpochSecond
-    if (whole < lutStart) lutStart * 1000000L + frac
-    else if (whole >= lutEnd) {
-      val minute = Math.floorMod(Math.floorDiv(whole, 60L), 60L).toInt
-      val second = Math.floorMod(whole, 60L).toInt
-      val sat = java.time.LocalDate.of(2299, 12, 31)
-        .atTime(23, minute, second).atZone(zid).toEpochSecond
-      sat * 1000000L + frac
-    } else micros
-  }
-
-  /** Best-effort datetime text parse (reference ReadHelpers.h
-    * readDateTimeTextImpl): the year must be 4 digits, but separators
-    * are ANY non-digit run ('2019^7^8', '2020.11.12 19:02:04'), digit
-    * groups may pack ('2019-0708'), and overflowed components roll
-    * (hour 24 → next day 00:00 — 00902). '0000-00-00' is the zero
-    * date. Returns epoch MICROS of the wall clock in `zone`. */
-  def chBestDtMicros(s: org.apache.spark.unsafe.types.UTF8String,
-      zone: org.apache.spark.unsafe.types.UTF8String): Long =
-    chBestEpochSeconds(s.toString, zone.toString) * 1000000L
-
-  /** Best-effort date text parse → days since epoch (toDate spelling
-    * tolerance, 01933_invalid_date). */
-  def chBestDateDays(s: org.apache.spark.unsafe.types.UTF8String,
-      zone: org.apache.spark.unsafe.types.UTF8String): Int = {
-    val secs = chBestEpochSeconds(s.toString, zone.toString)
-    val zid = java.time.ZoneId.of(zone.toString)
-    java.time.Instant.ofEpochSecond(secs).atZone(zid)
-      .toLocalDate.toEpochDay.toInt
-  }
-
-  private def chBestEpochSeconds(str0: String, zone: String): Long = {
-    val str = str0.trim
-    var i = 0
-    val n = str.length
-    def digits(max: Int, min: Int): Int = {
-      var v = 0; var c = 0
-      while (i < n && c < max && str.charAt(i).isDigit) {
-        v = v * 10 + (str.charAt(i) - '0'); i += 1; c += 1
-      }
-      if (c < min) throw new IllegalArgumentException(
-        s"Cannot parse datetime from '$str0' (error 6 analog)")
-      v
-    }
-    def sep(): Unit = { while (i < n && !str.charAt(i).isDigit) i += 1 }
-    val y = digits(4, 4)
-    sep(); val mo = digits(2, if (i < n) 1 else 0)
-    sep(); val d = digits(2, if (i < n) 1 else 0)
-    sep(); val h = if (i < n) digits(2, 1) else 0
-    sep(); val mi = if (i < n) digits(2, 1) else 0
-    sep(); val se = if (i < n) digits(2, 1) else 0
-    if (y == 0 && mo == 0) return 0L
-    val ld = java.time.LocalDate.of(y, math.max(mo, 1), math.max(d, 1))
-    val zid = java.time.ZoneId.of(zone)
-    ld.atStartOfDay(zid).toEpochSecond + h * 3600L + mi * 60L + se
-  }
-
-  /** Numeric DateTime64 text (reference ReadHelpers readDateTimeText
-    * decimal fallback, 01702): integer part = epoch seconds, the first
-    * `scale` fraction digits taken VERBATIM (no rounding, no borrow for
-    * negatives — toString(toDateTime('-922337203.6854775808', 1, tz))
-    * prints the -922337203 wall clock with ".6" appended). */
-  def chEpochTextMicros(s: org.apache.spark.unsafe.types.UTF8String,
-      scale: Int,
-      zone: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val str = s.toString.trim
-    val dot = str.indexOf('.')
-    var intPart = if (dot < 0) str else str.substring(0, dot)
-    var fracDigits =
-      if (dot < 0) "" else str.substring(dot + 1).takeWhile(_.isDigit)
-    // dotless text longer than 10 digits carries the fraction inline at
-    // the declared scale: '1111111111222' @ scale 3 = 1111111111.222
-    // (reference readDateTime64Text — 01732)
-    if (dot < 0 && scale > 0) {
-      val digits = intPart.stripPrefix("-").stripPrefix("+")
-      if (digits.length > 10 && digits.length <= 10 + scale) {
-        fracDigits = digits.takeRight(digits.length - 10)
-        intPart = intPart.dropRight(digits.length - 10)
-      }
-    }
-    val secBig = BigInt(if (intPart.isEmpty || intPart == "-") "0" else intPart)
-    val sec = secBig.max(BigInt(-20000000000L))
-      .min(BigInt(20000000000L)).toLong
-    val taken = fracDigits.take(scale).padTo(scale, '0')
-    val fracMicros =
-      if (scale == 0) 0L
-      else taken.toLong * math.pow(10, 6 - scale).toLong
-    chSaturateDtMicros(sec * 1000000L + fracMicros, zone)
-  }
-
-  /** DateTime wall-clock text in an explicit zone — toString(x,'tz')
-    * (reference FunctionsConversion.h renders in the type's zone). */
-  def tsTextInZone(secs: Long,
-      zone: org.apache.spark.unsafe.types.UTF8String)
-      : org.apache.spark.unsafe.types.UTF8String =
-    org.apache.spark.unsafe.types.UTF8String.fromString(
-      java.time.Instant.ofEpochSecond(secs)
-        .atZone(java.time.ZoneId.of(zone.toString))
-        .toLocalDateTime.format(dtTextFmt))
 }

@@ -51,21 +51,6 @@ object ChCoercions extends Rule[LogicalPlan] {
       Some(a.metadata.getString("graft.ch.tz"))
     case _ => None
   }
-  /** Unambiguous constructor timezone in a subtree — toDateTime[64]
-    * (…,'tz') dispatches or a declared column zone. CH's DateTime type
-    * carries this zone; calendar-unit arithmetic must use it. */
-  private def subtreeCtorTz(e: Expression): Option[String] = {
-    val zs = e.collect {
-      case d: ChDispatch
-          if d.name == "toDateTime" || d.name == "toDateTime64" =>
-        d.children.drop(if (d.name == "toDateTime") 1 else 2)
-          .headOption.collect {
-            case Literal(v, StringType) if v != null => v.toString }
-      case a: AttributeReference if a.metadata.contains("graft.ch.tz") =>
-        Some(a.metadata.getString("graft.ch.tz"))
-    }.flatten.distinct
-    if (zs.size == 1) Some(zs.head) else None
-  }
   /** A foldable string operand — bare, or already session-zone-cast to
     * timestamp by an earlier coercion pass. */
   private def strLit(e: Expression): Option[Expression] = e match {
@@ -451,131 +436,6 @@ object ChCoercions extends Rule[LogicalPlan] {
                   Seq(lt, rt, IntegerType, IntegerType, IntegerType))
             }
           }
-          // Wide-integer carriers (UInt64/128/256 ride in Decimal(p≥19,
-          // 0)) cast to integrals by WRAPPING two's-complement
-          // reinterpretation (reference static_cast conversions —
-          // 00438, 00580, 00396), not ANSI CAST_OVERFLOW. Corpus-gated:
-          // Spark's error is the right library behavior.
-          case c0 @ Cast(child, it, _, _)
-              if (it == ByteType || it == ShortType || it == IntegerType ||
-                it == LongType) && ok(child) &&
-                (child.dataType match {
-                  case d: DecimalType => d.scale == 0 && d.precision >= 19
-                  case _ => false
-                }) &&
-                org.apache.spark.sql.internal.SQLConf.get
-                  .getConfString(IeeeDivFlag, "false") == "true" => {
-            import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-            val bits = it match {
-              case ByteType => 8
-              case ShortType => 16
-              case IntegerType => 32
-              case _ => 64
-            }
-            Cast(StaticInvoke(graft.functions.MathOps.getClass, LongType,
-              "chDecimalRawBits",
-              Seq(child, Literal(bits)),
-              Seq(child.dataType, IntegerType)), it)
-          }
-          // Calendar-unit interval arithmetic on a zoned DateTime adds
-          // in the type's OWN zone (reference FunctionDateOrDateTime-
-          // AddInterval uses the column's DateLUT) — Spark applies the
-          // session zone. Only fires when the subtree pins a single
-          // ctor zone different from the node's current one.
-          case ta: TimestampAddYMInterval if ta.timeZoneId.isDefined &&
-              subtreeCtorTz(ta.left).exists(z => z != ta.timeZoneId.get) =>
-            ta.copy(timeZoneId = subtreeCtorTz(ta.left))
-          case ta: TimestampAddInterval if ta.timeZoneId.isDefined &&
-              subtreeCtorTz(ta.left).exists(z => z != ta.timeZoneId.get) =>
-            ta.copy(timeZoneId = subtreeCtorTz(ta.left))
-          // CAST(string AS Date): the ANSI parse backed by the
-          // reference's best-effort reader ('20211103' compact dates —
-          // 02036 day('20211103')). Corpus-gated.
-          case Cast(child, DateType, tz0, mode)
-              if ok(child) && child.dataType == StringType &&
-                mode != EvalMode.TRY &&
-                org.apache.spark.sql.internal.SQLConf.get
-                  .getConfString(IeeeDivFlag, "false") == "true" => {
-            import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-            Coalesce(Seq(
-              Cast(child, DateType, tz0, EvalMode.TRY),
-              DateFromUnixDate(StaticInvoke(
-                graft.functions.TimeOps.getClass, IntegerType,
-                "chBestDateDays",
-                Seq(child, CurrentTimeZone()),
-                Seq(StringType, StringType)))))
-          }
-          case Cast(child, TimestampType, tz0, mode)
-              if ok(child) && child.dataType == StringType &&
-                mode != EvalMode.TRY &&
-                org.apache.spark.sql.internal.SQLConf.get
-                  .getConfString(IeeeDivFlag, "false") == "true" => {
-            import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-            Coalesce(Seq(
-              Cast(child, TimestampType, tz0, EvalMode.TRY),
-              MicrosToTimestamp(StaticInvoke(
-                graft.functions.TimeOps.getClass, LongType,
-                "chBestDtMicros",
-                Seq(child, tz0.map(Literal(_): Expression)
-                  .getOrElse(CurrentTimeZone())),
-                Seq(StringType, StringType)))))
-          }
-          // CAST(int AS Date): CH reads ≤65535 as a day number, larger
-          // as unix seconds (ToDateTransform32Or64 — 00709/00712);
-          // Spark refuses int→date outright, so only erroring trees
-          // rewrite. Corpus-gated for symmetry with the function form.
-          case Cast(child, DateType, _, _)
-              if ok(child) && integral(child) &&
-                org.apache.spark.sql.internal.SQLConf.get
-                  .getConfString(IeeeDivFlag, "false") == "true" =>
-            val x = Cast(child, LongType)
-            If(LessThanOrEqual(x, Literal(65535L)),
-              DateFromUnixDate(Cast(x, IntegerType)),
-              Cast(SecondsToTimestamp(x), DateType))
-          // CH Date + IntervalDay/Week = Date (reference
-          // FunctionDateOrDateTimeAddInterval type rules) — Spark
-          // widens to timestamp through TimestampAddInterval. Only the
-          // whole-day MakeDTInterval shape (toIntervalDay/Week) rewrites
-          // back to DateAdd (01560 prints dates, not midnights).
-          case ta: TimestampAddInterval
-              if ok(ta.left, ta.right) && (ta.left match {
-                case Cast(d, TimestampType, _, _) => d.dataType == DateType
-                case _ => false
-              }) && (ta.right match {
-                case MakeDTInterval(_, h, m, s) =>
-                  h.foldable && m.foldable && s.foldable &&
-                    Seq(h, m, s).forall(e => Option(e.eval())
-                      .forall(_.toString.toDouble == 0.0))
-                case _ => false
-              }) =>
-            val dateChild = ta.left.asInstanceOf[Cast].child
-            val days = ta.right.asInstanceOf[MakeDTInterval].days
-            DateAdd(dateChild, Cast(days, IntegerType))
-          // CH mapElement/arrayElement over a NULL container (or NULL
-          // key) return NULL (src/Functions/map.cpp non-failing lookup);
-          // Spark's ElementAt rejects NullType operands outright, so
-          // only erroring trees are rewritten — safe ungated.
-          case e: ElementAt
-              if ok(e.left, e.right) && (e.left.dataType == NullType ||
-                e.right.dataType == NullType) =>
-            Literal(null, NullType)
-          // CH DateTime - DateTime = Int32 seconds, Date - Date = Int32
-          // days (reference src/Functions/FunctionBinaryArithmetic.h:
-          // minus over DataTypeDateTime decays to UInt32 arithmetic) —
-          // Spark's SubtractTimestamps/SubtractDates yield day-time
-          // intervals, which then fail comparisons against numeric
-          // expressions (01698/01699 `res != calc`). Spark accepts the
-          // interval form, so the rewrite is corpus-gated.
-          case st: SubtractTimestamps
-              if ok(st.left, st.right) &&
-                org.apache.spark.sql.internal.SQLConf.get
-                  .getConfString(IeeeDivFlag, "false") == "true" =>
-            Subtract(Cast(st.left, LongType), Cast(st.right, LongType))
-          case sd: SubtractDates
-              if ok(sd.left, sd.right) &&
-                org.apache.spark.sql.internal.SQLConf.get
-                  .getConfString(IeeeDivFlag, "false") == "true" =>
-            Cast(DateDiff(sd.left, sd.right), LongType)
           case s @ Sum(c, _) if c.resolved && isBool(c) =>
             s.copy(child = Cast(c, IntegerType))
           case s: ChSum if s.child.resolved && isBool(s.child) =>

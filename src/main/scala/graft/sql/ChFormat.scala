@@ -26,22 +26,15 @@ object ChFormat {
   def formatRows(rows: Seq[org.apache.spark.sql.Row],
       zone: java.time.ZoneId = ZoneOffset.UTC,
       schema: org.apache.spark.sql.types.StructType = null): String = {
-    val sch = Option(schema)
-      .orElse(rows.headOption.flatMap(r => Option(r.schema)))
     val hints: Array[(Option[Int], Option[java.time.ZoneId])] =
-      sch.map(_.fields.map(colHint)).getOrElse(Array.empty)
-    // UInt64 columns ride in a signed Long carrier; reprint negatives
-    // in the unsigned band (graft.ch.u64 metadata from CREATE)
-    val u64: Array[Boolean] = sch
-      .map(_.fields.map(_.metadata.contains("graft.ch.u64")))
-      .getOrElse(Array.empty)
+      Option(schema)
+        .orElse(rows.headOption.flatMap(r => Option(r.schema))) match {
+        case Some(sch) => sch.fields.map(colHint)
+        case None => Array.empty
+      }
     rows.map(r => (0 until r.length).map { i =>
       val (sc, tz) = if (i < hints.length) hints(i) else (None, None)
-      r.get(i) match {
-        case l: Long if l < 0 && i < u64.length && u64(i) =>
-          java.lang.Long.toUnsignedString(l)
-        case _ => top(r.get(i), tz.getOrElse(zone), sc)
-      }
+      top(r.get(i), tz.getOrElse(zone), sc)
     }.mkString("\t")).mkString("\n")
   }
 
@@ -130,7 +123,7 @@ object ChFormat {
     case d: Double => formatFloat(d)
     // Float32 keeps its own shortest round-trip text (21.99f is
     // "21.99", not the widened double's "21.989999771118164")
-    case f: Float => cleanupFloatText(shortestFloat(f))
+    case f: Float => cleanupFloatText(java.lang.Float.toString(f))
     case d: java.math.BigDecimal => formatDecimal(d)
     case d: scala.math.BigDecimal => formatDecimal(d.bigDecimal)
     case d: Date => d.toLocalDate.format(dateFmt)
@@ -182,41 +175,7 @@ object ChFormat {
     if (d.isNaN) return "nan"
     if (d.isPosInfinity) return "inf"
     if (d.isNegInfinity) return "-inf"
-    cleanupFloatText(shortestDouble(d))
-  }
-
-  /** Shortest round-tripping decimal repr (double-conversion ToShortest,
-    * the reference's writeFloatText). JDK 17's Double.toString is NOT
-    * shortest (prints 9.999999999999999E22 for 1e23). */
-  private def shortestDouble(d: Double): String = {
-    var p = 0
-    while (p < 17) {
-      val s = String.format(java.util.Locale.ROOT, "%." + p + "E",
-        java.lang.Double.valueOf(d))
-      if (java.lang.Double.parseDouble(s) == d) return s
-      p += 1
-    }
-    java.lang.Double.toString(d)
-  }
-
-  private def shortestFloat(f: Float): String = {
-    var p = 0
-    while (p < 9) {
-      val s = String.format(java.util.Locale.ROOT, "%." + p + "E",
-        java.lang.Double.valueOf(f.toDouble))
-      if (java.lang.Float.parseFloat(s) == f) return s
-      p += 1
-    }
-    java.lang.Float.toString(f)
-  }
-
-  /** Float32 shortest-round-trip text in CH form (public for the
-    * toString lowering). */
-  def float32Text(f: Float): String = {
-    if (f.isNaN) return "nan"
-    if (f.isPosInfinity) return "inf"
-    if (f.isNegInfinity) return "-inf"
-    cleanupFloatText(shortestFloat(f))
+    cleanupFloatText(java.lang.Double.toString(d))
   }
 
   private def cleanupFloatText(s: String): String = {
@@ -229,7 +188,8 @@ object ChFormat {
         val exp = e.stripPrefix("+").toInt
         // double-conversion ToShortest (the reference's writeFloatText)
         // prints decimal notation for exponents in [-6, 21)
-        if (exp >= -6 && exp < 21)
+        val digits = m.replace(".", "").replace("-", "").length
+        if (exp >= -6 && exp < 21 && digits + math.abs(exp) <= 25)
           new java.math.BigDecimal(m).scaleByPowerOfTen(exp).toPlainString
         else {
           val mm = if (m.endsWith(".0")) m.dropRight(2) else m

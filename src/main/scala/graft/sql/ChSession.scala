@@ -1556,15 +1556,13 @@ final class ChSession(spark: SparkSession) {
         // = unix seconds) BEFORE the union so mixed literal types
         // ('2000-01-02…' next to 1111111111) coerce to TIMESTAMP, not
         // to the union's numeric pick (00567 golden)
-        val tsCol: Map[Int, (String, Long)] = givenCols.zipWithIndex.flatMap {
+        val tsCol: Map[Int, String] = givenCols.zipWithIndex.flatMap {
           case (n, i) => st.schema.find(_.name == n)
             .filter(_.dataType == TimestampType)
             .map { f =>
               val tz = if (f.metadata.contains("graft.ch.tz"))
                 f.metadata.getString("graft.ch.tz") else ""
-              val sc = if (f.metadata.contains("graft.ch.dt64"))
-                f.metadata.getLong("graft.ch.dt64") else 0L
-              i -> ((tz, sc))
+              i -> tz
             }
         }.toMap
         // Decimal-typed columns read their literal TEXT exactly
@@ -1580,18 +1578,12 @@ final class ChSession(spark: SparkSession) {
         def wrapTs(t: String): String =
           if (tsCol.isEmpty && decCol.isEmpty) t
           else {
-            val items0 = splitTop(t)
-            // an EMPTY cell `(, 1)` means the column default (00140):
-            // NULL here, default-filled by the non-Nullable alignment
-            val items = items0.map(it => if (it.trim.isEmpty) "NULL" else it)
+            val items = splitTop(t)
             if (items.size != givenCols.size) t
             else items.zipWithIndex.map { case (it, i) =>
               tsCol.get(i) match {
-                case Some(("", 0L)) => s"chReadDateTime($it)"
-                case Some((tz, 0L)) => s"chReadDateTime($it, '$tz')"
-                // DateTime64 columns pass their scale so dotless
-                // epoch-with-fraction digits read correctly (01732)
-                case Some((tz, sc)) => s"chReadDateTime($it, '$tz', $sc)"
+                case Some("") => s"chReadDateTime($it)"
+                case Some(tz) => s"chReadDateTime($it, '$tz')"
                 case None => decCol.get(i) match {
                   case Some(d) if it.trim.matches(plainNumRe) =>
                     s"chInsertDecimal('${it.trim}', ${d.precision}, ${d.scale})"
@@ -1628,74 +1620,33 @@ final class ChSession(spark: SparkSession) {
     * 00567_parse_datetime_as_unix_timestamp), anything else parses as
     * datetime text.
     */
-  /** Declared-width integer wrap: CH names carry the TRUE bit width
-    * (UInt8 in a wider Spark container still wraps mod 256 on insert —
-    * 01651's `insert … select map(number, number) … from numbers(1000,
-    * 3)` stores keys [232,233,234]). Returns (bits, signed). */
-  private def chIntBits(t: String): Option[(Int, Boolean)] = {
-    val clean = t.trim
-      .replaceAll("(?i)^(?:Nullable|LowCardinality)\\(", "")
-      .stripSuffix(")").trim
-    """^(U?)Int(8|16|32|64)$""".r.findFirstMatchIn(
-      if (clean.equalsIgnoreCase("Int")) "Int32" else clean)
-      .map(mm => (mm.group(2).toInt, mm.group(1).isEmpty))
-  }
-
-  /** Top-level `Map(K, V)` element type split of a CH type string. */
-  private def chMapElemTypes(t: String): Option[(String, String)] = {
-    val body = t.trim.replaceAll("(?i)^Map\\(", "")
-    if (body == t.trim) return None
-    val inner = body.stripSuffix(")")
-    val parts = splitTop(inner)
-    if (parts.size >= 2) Some((parts.head.trim, parts(1).trim)) else None
-  }
-
   private def chAlignCast(c: Column, dt: DataType,
-      src: Option[DataType] = None,
-      chType: Option[String] = None): Column = dt match {
+      src: Option[DataType] = None): Column = dt match {
     case TimestampType =>
       when(c.cast("string").rlike("^\\d{9,10}$"),
         c.cast("string").cast("long").cast("timestamp"))
         .otherwise(c.cast("timestamp"))
     // integral -> integral WRAPS like the reference's insert conversion
     // (intHash32(number) into an Int32 column reinterprets, never
-    // errors — 00940); sign-extend through shifts. The DECLARED CH
-    // width wins over the Spark container width when known (UInt8
-    // rides in a ShortType column but wraps mod 256).
+    // errors — 00940); sign-extend through shifts
     case ByteType | ShortType | IntegerType | LongType
         if src.exists(s => s == ByteType || s == ShortType ||
           s == IntegerType || s == LongType) =>
-      val (bits, signed) = chType.flatMap(chIntBits).getOrElse(dt match {
-        case ByteType => (8, true)
-        case ShortType => (16, true)
-        case IntegerType => (32, true)
-        case _ => (64, true)
-      })
-      if (bits == 64) c.cast("long").cast(dt)
-      else if (signed)
-        shiftright(shiftleft(c.cast("long"), 64 - bits), 64 - bits).cast(dt)
-      else pmod(c.cast("long"), lit(1L << bits)).cast(dt)
+      val bits = dt match {
+        case ByteType => 8
+        case ShortType => 16
+        case IntegerType => 32
+        case _ => 64
+      }
+      if (bits == 64) c.cast("long")
+      else shiftright(shiftleft(c.cast("long"), 64 - bits), 64 - bits)
+        .cast(dt)
     // ANSI refuses whole-array narrowing casts at analysis (Array(Int32)
     // columns ingesting bigint literals — 00943); cast per element
     // (NULL elements in non-Nullable arrays are refused EAGERLY by
     // appendTo so the error lands on the INSERT statement — 00748)
     case ArrayType(et, _) =>
-      val elemCh = chType.flatMap(t =>
-        """(?i)^Array\((.*)\)$""".r.findFirstMatchIn(t.trim)
-          .map(_.group(1).trim))
-      val srcEt = src.collect { case ArrayType(s, _) => s }
-      transform(c, x => chAlignCast(x, et, srcEt, elemCh))
-    // Map columns align per key/value with declared-width wrap
-    case MapType(kt, vt, _) if src.exists(_.isInstanceOf[MapType]) =>
-      val elems = chType.flatMap(chMapElemTypes)
-      val (skt, svt) = src match {
-        case Some(MapType(k, v, _)) => (Some(k), Some(v))
-        case _ => (None, None)
-      }
-      transform_values(
-        transform_keys(c,
-          (k, _) => chAlignCast(k, kt, skt, elems.map(_._1))),
-        (_, v) => chAlignCast(v, vt, svt, elems.map(_._2)))
+      transform(c, x => chAlignCast(x, et))
     case _ => c.cast(dt)
   }
 
@@ -1722,17 +1673,8 @@ final class ChSession(spark: SparkSession) {
     var full = inserted.toDF(colsCanon: _*)
     st.schema.fields.foreach { f =>
       if (!colsCanon.contains(f.name)) {
-        val d = st.defaults.get(f.name) match {
-          // a string-literal default on a Date/DateTime column reads
-          // through the tolerant parser ('0000-00-00' is the zero
-          // date — 00386 enum_in_pk)
-          case Some(txt) if txt.trim.matches("^'[^']*'$") &&
-              (f.dataType == DateType || f.dataType == TimestampType) =>
-            chCol((if (f.dataType == DateType) "toDate(" else "toDateTime(")
-              + txt.trim + ")")
-          case Some(txt) => chCol(txt)
-          case None => typeDefault(f.dataType)
-        }
+        val d = st.defaults.get(f.name).map(chCol)
+          .getOrElse(typeDefault(f.dataType))
         full = full.withColumn(f.name, d)
       }
     }
@@ -1793,18 +1735,7 @@ final class ChSession(spark: SparkSession) {
           enumMembers.foldLeft(lit(null).cast("string")) { case (acc, (v, n)) =>
             when(c === lit(v), lit(n)).otherwise(acc)
           }.as(f.name)
-        } else {
-          val base = chAlignCast(col(s"`${f.name}`"), f.dataType, srcType,
-            chTypeOf.get(f.name))
-          // NULL into a non-Nullable column stores the type default
-          // (reference input_format_null_as_default — 01651 inserts
-          // (1, null) into `b String` and reads back '')
-          val outerNullable =
-            chTypeOf.get(f.name).exists(_.trim.startsWith("Nullable("))
-          if (chTypeOf.contains(f.name) && !outerNullable)
-            coalesce(base, typeDefault(f.dataType)).as(f.name)
-          else base.as(f.name)
-        }
+        } else chAlignCast(col(s"`${f.name}`"), f.dataType, srcType).as(f.name)
       }
     } :+ delSrc.as("__del") :+ updSrc.as("__upd") :+
       lit(if (partialNow) 1 else 0).as("__partial"): _*)
@@ -1974,18 +1905,9 @@ final class ChSession(spark: SparkSession) {
               .findFirstMatchIn(t.trim)
               .map(m => s"Decimal(${m.group(1)}, ${m.group(2)})")
               .getOrElse(t)
-          Output(st.declared.map { case (n, t0) =>
+          Output(st.declared.map { case (n, t) =>
             val (kind, exprTxt, comment) = st.meta.getOrElse(n, ("", "", ""))
-            // Map columns carry the storage flavor in the third DESC
-            // column (reference StorageDescribe: byte maps print
-            // " BYTE", KV-declared " KV" — 00745); the flag is not part
-            // of the type text
-            val isKv = """(?i)\s+KV\s*$""".r.findFirstIn(t0).isDefined
-            val t = t0.trim.replaceAll("""(?i)\s+KV\s*$""", "")
-            val flag =
-              if (t.startsWith("Map(")) { if (isKv) " KV" else " BYTE" }
-              else ""
-            Row(n, canonType(t), flag, kind, exprTxt, comment, "", "") })
+            Row(n, canonType(t), "", kind, exprTxt, comment, "", "") })
         case None => NotHandled // DESCRIBE of a subquery etc.
       }
     case _ => NotHandled
@@ -2168,12 +2090,6 @@ final class ChSession(spark: SparkSession) {
         .r.findFirstMatchIn(typeText.trim)
         .foreach(m => mb.putLong("graft.ch.dt64",
           Option(m.group(1)).map(_.toLong).getOrElse(3L)))
-      // UInt64 columns ride in a signed Long carrier — the display
-      // layer reprints negatives in the unsigned band (00253 stores
-      // cityHash64 values > Long.Max)
-      if ("""(?is)^(?:Nullable\s*\(\s*|LowCardinality\s*\(\s*)*UInt64\b"""
-          .r.findFirstIn(typeText.trim).isDefined)
-        mb.putBoolean("graft.ch.u64", true)
       val meta = mb.build()
       Some(ColDef(StructField(name, dt, nullable = true, meta), typeText, d,
         hidden, kind, comment, rinn = rinn, onUpdate = onUpdate))
@@ -2715,28 +2631,6 @@ final class ChSession(spark: SparkSession) {
           case None =>
             stx.data = stx.data.limit(0)
             registerView(name)
-        }
-      case _ if up.startsWith("CLEAR MAP KEY") =>
-        // `CLEAR MAP KEY col('k1')` — byte-map key mutation (reference
-        // MergeTreeMap clearMapKey); KV-declared maps refuse with the
-        // ILLEGAL_COLUMN analog (00745 `-- { serverError 44 }`)
-        val mkRe = """(?is)^CLEAR\s+MAP\s+KEY\s+(`[^`]+`|[A-Za-z_]\w*)\s*\(\s*(.*?)\s*\)\s*$""".r
-        mkRe.findFirstMatchIn(cmd) match {
-          case Some(mm) =>
-            val c = colName(mm.group(1))
-            val stx = tables(name)
-            if (stx.declared.exists(d => d._1 == c &&
-                """(?i)\bKV\s*$""".r.findFirstIn(d._2.trim).isDefined))
-              throw new IllegalArgumentException(
-                s"CLEAR MAP KEY is not supported for KV map column $c " +
-                  "(error 44 analog)")
-            val keys = splitTop(mm.group(2))
-              .map(_.trim.stripPrefix("'").stripSuffix("'"))
-            stx.data = stx.data.withColumn(c,
-              map_filter(col(s"`$c`"), (k, _) => !k.isin(keys: _*)))
-            registerView(name)
-          case None => throw new IllegalArgumentException(
-            s"cannot parse CLEAR MAP KEY: ${cmd.take(60)}")
         }
       case _ if up.startsWith("INGEST PARTITION") =>
         ingestPartition(name, cmd)
@@ -3327,16 +3221,7 @@ object ChSession {
         if (i + skip < n && (sql.charAt(i + skip).isLetter ||
             sql.charAt(i + skip) == '_' || sql.charAt(i + skip) == '`'))
           i += skip
-        else if (i + skip < n && sql.charAt(i + skip).isDigit) {
-          // digit-leading table name (00745_merge_tree_map1): legal in
-          // CH, but ANSI Spark needs backticks — emit them while
-          // dropping the qualifier
-          i += skip
-          val start = i
-          while (i < n && (sql.charAt(i).isLetterOrDigit ||
-            sql.charAt(i) == '_')) i += 1
-          sb.append('`').append(sql.substring(start, i)).append('`')
-        } else { sb.append(c); i += 1 }
+        else { sb.append(c); i += 1 }
       } else { sb.append(c); i += 1 }
     }
     sb.toString

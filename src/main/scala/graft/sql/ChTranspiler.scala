@@ -360,18 +360,7 @@ object ChTranspiler {
               n.equalsIgnoreCase("int")
             case _ => false
           })) k + 1 else i + 1
-        case Word(w) if chType(w).isDefined && {
-            // not in TABLE position: `FROM datetime` is a table named
-            // datetime (00140), not the type (type names only follow
-            // CAST/AS/column defs, never FROM/JOIN/INTO/TABLE/EXISTS)
-            var k = i - 1
-            while (k >= 0 && toks(k).isInstanceOf[Ws]) k -= 1
-            !(k >= 0 && (toks(k) match {
-              case Word(p) => Set("FROM", "JOIN", "INTO", "TABLE",
-                "EXISTS").contains(p.toUpperCase)
-              case _ => false
-            }))
-          } =>
+        case Word(w) if chType(w).isDefined =>
           out += Word(chType(w).get)
           // TIMESTAMP takes no precision in Spark — drop a numeric
           // (n) after DateTime64(6)/DATETIME(4) spellings, but only for
@@ -1636,113 +1625,8 @@ object ChTranspiler {
       .getConfString("graft.ch.dialect", "CLICKHOUSE") == "MYSQL"
     catch { case _: Throwable => false }
 
-  /** CH's DateTime type carries its constructor timezone through SELECT
-    * aliases; Spark's TimestampType does not (reference
-    * src/DataTypes/DataTypeDateTime.h keeps the zone in the type). For
-    * top-level select items built from `toDateTime[64](…,'tz')`, rewrite
-    * later zone-sensitive calls on the bare alias — timezoneOffset(a),
-    * toString(a) — to their explicit two-argument forms so the zone
-    * survives the alias hop (01698_fix_toMinute, 01699_timezoneOffset).
-    */
-  private def propagateAliasTz(stmt: String): String = {
-    val lower = stmt.toLowerCase
-    if (!lower.contains("todatetime") ||
-        (!lower.contains("timezoneoffset") && !lower.contains("tostring")))
-      return stmt
-    val toks = tokenize(stmt)
-    var d = 0; var selStart = -1; var listEnd = toks.length
-    for (k <- toks.indices) toks(k) match {
-      case Punct("(") | Punct("[") => d += 1
-      case Punct(")") | Punct("]") => d -= 1
-      case Word(w) if d == 0 && selStart < 0 &&
-          w.equalsIgnoreCase("SELECT") => selStart = k
-      case Word(w) if d == 0 && selStart >= 0 && listEnd == toks.length &&
-          Set("FROM", "WHERE", "PREWHERE", "GROUP", "HAVING", "ORDER",
-            "LIMIT", "SETTINGS", "UNION", "WINDOW").contains(w.toUpperCase) =>
-        listEnd = k
-      case _ => ()
-    }
-    if (selStart < 0) return stmt
-    val listText = toks.slice(selStart + 1, listEnd).map(_.text).mkString
-    val aliasRe = """(?is)^(.*\S)\s+AS\s+(`[^`]+`|[A-Za-z_]\w*)\s*$""".r
-    // a zone spelling: slash-separated region/city, or bare UTC
-    val zoneRe = """'([A-Za-z][\w\-]*(?:/[\w+\-]+)+|UTC)'""".r
-    val ctorRe = """(?i)toDateTime(?:64)?(?:OrNull|OrZero)?\s*\(""".r
-    var out = stmt
-    graft.sql.ChSession.splitTop(listText).foreach {
-      case aliasRe(expr, alias0) =>
-        val alias = alias0.stripPrefix("`").stripSuffix("`")
-        if (ctorRe.findFirstIn(expr).isDefined) {
-          val zones = zoneRe.findAllMatchIn(expr).map(_.group(1)).toSeq.distinct
-          if (zones.size == 1)
-            out = out.replaceAll(
-              "(?i)\\b(timezoneOffset|toString)\\(\\s*" +
-                java.util.regex.Pattern.quote(alias) + "\\s*\\)",
-              "$1(" + alias + ", '" + zones.head + "')")
-        }
-      case _ => ()
-    }
-    out
-  }
-
-  /** `ORDER BY ALL` sorts by every SELECT item with CH's null
-    * placement (ASC → NULLS LAST, DESC → NULLS FIRST; reference
-    * enable_order_by_all, 02943). Spark's own ALL keyword uses its
-    * NULLS FIRST default, so the list is expanded explicitly. A select
-    * item named/aliased `all` keeps the bare spelling (the column
-    * wins, as in the reference). */
-  private def rewriteOrderByAll(stmt: String): String = {
-    val re =
-      """(?i)\bORDER\s+BY\s+ALL(\s+(?:ASC|DESC))?(\s+NULLS\s+(?:FIRST|LAST))?(?=\s|;|$|\))""".r
-    val m = re.findFirstMatchIn(stmt).getOrElse(return stmt)
-    val toks = tokenize(stmt)
-    var d = 0; var selStart = -1; var listEnd = toks.length
-    for (k <- toks.indices) toks(k) match {
-      case Punct("(") | Punct("[") => d += 1
-      case Punct(")") | Punct("]") => d -= 1
-      case Word(w) if d == 0 && selStart < 0 &&
-          w.equalsIgnoreCase("SELECT") => selStart = k
-      case Word(w) if d == 0 && selStart >= 0 && listEnd == toks.length &&
-          Set("FROM", "WHERE", "PREWHERE", "GROUP", "HAVING", "ORDER",
-            "LIMIT", "SETTINGS", "UNION", "WINDOW").contains(w.toUpperCase) =>
-        listEnd = k
-      case _ => ()
-    }
-    if (selStart < 0) return stmt
-    val listText = toks.slice(selStart + 1, listEnd).map(_.text).mkString
-    if (listText.trim == "*") return stmt
-    val aliasRe = """(?is)^(.*\S)\s+AS\s+(`[^`]+`|[A-Za-z_]\w*)\s*$""".r
-    val items = graft.sql.ChSession.splitTop(listText).map(_.trim)
-      .filter(_.nonEmpty)
-    if (items.isEmpty) return stmt
-    val names = items.map {
-      case aliasRe(_, a) => a.stripPrefix("`").stripSuffix("`")
-      case other => other
-    }
-    if (names.exists(_.equalsIgnoreCase("all"))) {
-      // a select item named `all` makes ORDER BY ALL ambiguous — the
-      // reference refuses (UNEXPECTED_EXPRESSION) unless the feature
-      // is switched off, in which case the column wins (02943)
-      if ("""(?i)enable_order_by_all\s*=\s*(?:false|0)""".r
-          .findFirstIn(stmt).isEmpty)
-        throw new IllegalArgumentException(
-          "Column 'all' is ambiguous with ORDER BY ALL " +
-            "(UNEXPECTED_EXPRESSION analog)")
-      return stmt
-    }
-    val desc = m.group(1) != null && m.group(1).trim.equalsIgnoreCase("DESC")
-    val nulls = Option(m.group(2)).map(_.trim.toUpperCase)
-    val dir = (if (desc) " DESC" else " ASC") + (nulls match {
-      case Some(n) => " " + n
-      case None => if (desc) " NULLS FIRST" else " NULLS LAST"
-    })
-    val expanded = "ORDER BY " + names.map(_ + dir).mkString(", ")
-    re.replaceAllIn(stmt, java.util.regex.Matcher.quoteReplacement(expanded))
-  }
-
   def transpile(stmt: String, widenInts: Boolean): String = {
-    val toks0raw = tokenize(propagateAliasTz(rewriteOrderByAll(
-      stripComments(rewriteRemote(stmt)))))
+    val toks0raw = tokenize(stripComments(rewriteRemote(stmt)))
     val toks0 = if (widenInts) widenIntLiterals(toks0raw) else toks0raw
     // Type-level pre-pass: strip Nullable(...) / LowCardinality(...)
     // wrappers (keep the inner type), map scalar type names, expand
@@ -1821,14 +1705,11 @@ object ChTranspiler {
           if (opensLiteral(lastSig)) {
             out.append("map{"); lastSig = Some(Punct("{"))
           } else {
-            // brace access misses to NULL (00745/01651 `m{'k'}` → \N),
-            // unlike `m[k]` which misses to the value-type default —
-            // mapElement is the NULL-miss lookup
             val prefix = out.toString
             val start = primaryStart(prefix)
             val primary = prefix.substring(start)
             out.setLength(start)
-            out.append("mapElement(").append(primary).append(", ")
+            out.append("arrayElement(").append(primary).append(", ")
             stack = false :: stack
             lastSig = Some(Punct("["))
           }

