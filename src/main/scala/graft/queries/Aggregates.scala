@@ -23,10 +23,22 @@ object Aggregates {
     QueryDef(
       "agg_rollup",
       (s, dir) =>
+        // r15 (guide §2.3 "aggregate before you shuffle"): rollup Expands
+        // every INPUT row once per grouping set (3× here) before the
+        // partial aggregate. Aggregating the base (status, priority)
+        // cells first — count and an exact decimal partial sum — then
+        // rolling up over the ~30 cells keeps the input single-pass; the
+        // Expand now triples only the cell table. grouping() still
+        // distinguishes data-NULL from subtotal-NULL on the cell table,
+        // and summing decimal partials re-aggregates exactly (the double
+        // cast stays at the end), so results are bit-identical.
         Tables(s, dir, "orders")
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("__n"),
+               sum(col("o_totalprice").cast(Num.D2)).as("__sum"))
           .rollup(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("n_orders"),
-               dsum2(col("o_totalprice")).as("sum_price"),
+          .agg(sum(col("__n")).as("n_orders"),
+               sum(col("__sum")).cast("double").as("sum_price"),
                grouping(col("o_orderstatus")).cast("int").as("g_status"),
                grouping(col("o_orderpriority")).cast("int").as("g_priority"))
           .orderBy(col("o_orderstatus").asc_nulls_first,

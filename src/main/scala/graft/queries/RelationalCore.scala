@@ -102,6 +102,13 @@ object RelationalCore {
         val sup = Tables(s, dir, "supplier")
         val o = Tables(s, dir, "orders")
         val l = Tables(s, dir, "lineitem")
+        // r15: a pre-aggregation on (o_custkey, s_nationkey) before the
+        // customer join was prototyped (guide §2.3) and REJECTED by
+        // measurement — ABProf alternating A/B at sf0.1: 1.11 s → 2.01 s
+        // median. The customer join broadcasts at every tested scale, so
+        // the extra exchange bought nothing; at a scale where customer
+        // must shuffle, AQE picks the join strategy and the pre-agg
+        // should be revisited.
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .join(c, col("o_custkey") === col("c_custkey"))

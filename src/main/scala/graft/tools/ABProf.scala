@@ -114,13 +114,69 @@ object ABProf {
         .orderBy(col("probe_id"), col("rn"))
     }
 
+    // ---- q5 old/new (r15 wave 3: pre-aggregate before the customer join) ----
+    def q5(preagg: Boolean): DataFrame = {
+      val r = Tables(spark, sfDir, "region")
+      val n = Tables(spark, sfDir, "nation")
+      val c = Tables(spark, sfDir, "customer")
+      val sup = Tables(spark, sfDir, "supplier")
+      val o = Tables(spark, sfDir, "orders")
+      val l = Tables(spark, sfDir, "lineitem")
+      val base = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      val joined =
+        if (preagg)
+          base.groupBy(col("o_custkey"), col("s_nationkey"))
+            .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                   .cast(graft.Num.D6)).as("__rev"),
+                 count(lit(1)).as("__n"))
+            .join(c, col("o_custkey") === col("c_custkey") &&
+                     col("s_nationkey") === col("c_nationkey"))
+            .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+            .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+            .groupBy(col("r_name"), col("n_name"))
+            .agg(sum(col("__rev")).cast("double").as("revenue"),
+                 sum(col("__n")).as("n_items"))
+        else
+          base.join(c, col("o_custkey") === col("c_custkey"))
+            .filter(col("c_nationkey") === col("s_nationkey"))
+            .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+            .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+            .groupBy(col("r_name"), col("n_name"))
+            .agg(graft.Num.dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+                 count(lit(1)).as("n_items"))
+      joined.orderBy(col("r_name"), col("n_name"))
+    }
+
+    // ---- agg_rollup old/new (r15 wave 3: rollup over pre-aggregated cells) ----
+    def rollup(preagg: Boolean): DataFrame = {
+      val o = Tables(spark, sfDir, "orders")
+      if (preagg)
+        o.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("__n"),
+               sum(col("o_totalprice").cast(graft.Num.D2)).as("__sum"))
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(sum(col("__n")).as("n_orders"),
+               sum(col("__sum")).cast("double").as("sum_price"),
+               grouping(col("o_orderstatus")).cast("int").as("g_status"),
+               grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+                   col("o_orderpriority").asc_nulls_first)
+      else
+        o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+               graft.Num.dsum2(col("o_totalprice")).as("sum_price"),
+               grouping(col("o_orderstatus")).cast("int").as("g_status"),
+               grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+                   col("o_orderpriority").asc_nulls_first)
+    }
+
     val cases: Seq[(String, () => DataFrame)] = Seq(
-      "q3_old" -> (() => q3(false)),
-      "q3_new" -> (() => q3(true)),
-      "bm_old" -> (() => bmOld),
-      "bm_new" -> (() => bmNew),
-      "lsh_old" -> (() => lsh(true)),
-      "lsh_new" -> (() => lsh(false)))
+      "q5_old" -> (() => q5(false)),
+      "q5_new" -> (() => q5(true)),
+      "rollup_old" -> (() => rollup(false)),
+      "rollup_new" -> (() => rollup(true)))
 
     // warmup
     cases.foreach { case (_, f) => noop(f()); spark.catalog.clearCache() }

@@ -20,6 +20,7 @@ class GoldenPlanSpec extends SparkSpec {
   private def normalize(plan: String): String =
     plan
       .replaceAll("#\\d+L?", "#x")            // exprIds
+      .replaceAll("lambda x_\\d+", "lambda x_n") // JVM-global lambda-var counter
       .replaceAll("plan_id=\\d+", "plan_id=x") // global physical-plan counter
       .replaceAll("@[0-9a-f]{6,}", "@x")      // JVM object identity (UDAF instances)
       .replaceAll("file:[^\\],\\s]*", "path") // data locations

@@ -29,6 +29,8 @@ class PlanSweepSpec extends SparkSpec {
     "tpcds_promo_ratio",    // q61 shape: 1-row x 1-row scalar-aggregate ratio
     "tpcds_below_avg_parts", // q65 shape: broadcast of a 1-row scalar aggregate
     "tpcds_frequent_best_sales", // q23 shape: broadcast 1-row max-spend scalar
+    "q11_important_stock",  // broadcast of a 1-row grand-total scalar (r15: the
+                            // HAVING threshold reuses the grouped exchange)
     "trivial_count"         // metadata-only
   )
   private val skipExecutionShapes = Set(
