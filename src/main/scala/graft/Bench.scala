@@ -228,15 +228,29 @@ object Bench {
     // exec-only lives under exec_total, and schema_version marks the
     // split for consumers that want to key on it.
     val inflatedJson = stillInflated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":${planTotal + total}%.3f,"unit":"sec","schema_version":2,"exec_total":$total%.3f,"measures":"value_plan_plus_exec","queries":$qs,"spread_minmax":$spread,"reps":$reps,"heavy_reps":$perRepJson,"noisy_requeued":$noisyJson,"floor_inflated":$inflatedJson,"noisy_host":${noisy.nonEmpty || hostStillLoaded},"planning_total":$planTotal%.3f,"planning":$planJson,"sf":"$sfDir"}"""
-    println(line)
+    // The driver captures only the last ~2000 chars of stdout, and the
+    // full-detail line had grown past 3 KB — every recorded round since
+    // r10 had `parsed: null` because the JSON head was cut off. The
+    // stdout line therefore carries ONLY the headline fields and the
+    // per-query medians (~1.1 KB for 26 queries); the per-rep spreads,
+    // heavy-rep traces, requeue list and per-query planning times — the
+    // same numbers as before, unchanged methodology — move to
+    // target/bench_last_detail.json.
+    val line = f"""{"metric":"total","value":${planTotal + total}%.3f,"unit":"sec","schema_version":3,"exec_total":$total%.3f,"measures":"value_plan_plus_exec","queries":$qs,"reps":$reps,"floor_inflated":$inflatedJson,"noisy_host":${noisy.nonEmpty || hostStillLoaded},"planning_total":$planTotal%.3f,"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"total","value":${planTotal + total}%.3f,"unit":"sec","schema_version":3,"exec_total":$total%.3f,"measures":"value_plan_plus_exec","queries":$qs,"spread_minmax":$spread,"reps":$reps,"heavy_reps":$perRepJson,"noisy_requeued":$noisyJson,"floor_inflated":$inflatedJson,"noisy_host":${noisy.nonEmpty || hostStillLoaded},"planning_total":$planTotal%.3f,"planning":$planJson,"sf":"$sfDir"}"""
     // stdout tails have truncated in recorded rounds — persist the full
-    // line to a file as well
+    // detail to files as well (bench_last.json keeps every pre-shrink
+    // field so round-over-round tooling loses nothing)
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_last.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (detail + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_last_detail.json"),
+        (detail + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // LAST stdout line before shutdown so the driver's tail always holds
+    // the complete JSON.
+    println(line)
     spark.stop()
   }
 }

@@ -33,15 +33,19 @@ object SessionAnalysis {
     * Boundary: a gap of exactly `gapUs` BREAKS the session (the
     * reference's `events[i].time >= session_limit`, rolling limit).
     *
-    * r15 shape (guide §2.2/§2.4): lag-gap + running-sum session ids over
-    * ONE per-user sort, then a hash aggregate on (user, session_id) that
-    * REUSES the window's hash partitioning — no second exchange. The
-    * previous native `session_window` plan sorted the full input twice
-    * (a map-side sort feeding a partial SortAggregate, then a post-
-    * shuffle sort for MergingSessions); with events scattered across
-    * input splits the map-side partials barely compressed anything, so
-    * the second sort was pure overhead (bench: 77 → ~45 ms at sf0.1).
-    * Still one shuffle on user_id, still no per-user event buffer.
+    * r16 shape (guide §2.4): NO aggregate at all. The r15 groupBy on
+    * (user, session_id) fell off the hash-aggregate path — max_by's
+    * struct-of-(long,string) buffer is not UnsafeRow-mutable — leaving a
+    * Sort → SortAggregate pair after the window. But every per-session
+    * field is already computable inside the one per-user window pass:
+    * rows arrive sorted by (__us, __ev), sessions are contiguous runs,
+    * so a running last-non-null of the break row's (us, ts, row_number)
+    * carries the session start to every row, and `lead(__brk)` flags the
+    * session's LAST row (which IS max_by(ev, (us, ev)) — same tiebreak).
+    * Emitting that row with (us − start_us, rn − start_rn + 1) replaces
+    * the aggregate with a streaming Filter: one exchange, one sort,
+    * zero aggregates. Still one shuffle on user_id, still never an
+    * O(events-per-user) buffer.
     */
   def sessions(
       df: DataFrame, user: Column, ts: Column, event: Column,
@@ -50,18 +54,28 @@ object SessionAnalysis {
       .orderBy(col("__us"), col("__ev"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col("__us"), 1).over(w)
-    df.select(user.as("user_id"), ts.as("__ts"), event.as("__ev"))
-      .withColumn("__us", Tables.tsUs(col("__ts")))
+    val nxt = lead(col("__us"), 1).over(w)
+    val startOf = (c: Column) =>
+      last(when(col("__brk") === 1, c), ignoreNulls = true).over(wRun)
+    // The timestamp itself never crosses the exchange: __us is the only
+    // time column shuffled (session_time is rebuilt from the start µs —
+    // timestamp_micros is the exact inverse of unix_micros).
+    df.select(user.as("user_id"), Tables.tsUs(ts).as("__us"), event.as("__ev"))
+      // Two window layers only: layer 1 evaluates lag/lead/row_number in
+      // one pass (__end = "the NEXT row starts a session" comes straight
+      // from lead(__us), not from lead(__brk), so it needs no layer 2);
+      // layer 2 is the two running session-start carriers.
       .withColumn("__brk",
         when(prev.isNull || col("__us") - prev >= gapUs, 1).otherwise(0))
-      .withColumn("__sid", sum(col("__brk")).over(wRun))
-      .groupBy(col("user_id"), col("__sid"))
-      .agg(
-        min(col("__ts")).as("session_time"),
-        (max(col("__us")) - min(col("__us"))).as("duration_us"),
-        count(lit(1)).as("depth"),
-        max_by(col("__ev"), struct(col("__us"), col("__ev"))).as("end_event"))
-      .select(col("user_id"), col("session_time"), col("duration_us"),
-        col("depth"), col("end_event"))
+      .withColumn("__end", nxt.isNull || nxt - col("__us") >= gapUs)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__sus", startOf(col("__us")))
+      .withColumn("__srn", startOf(col("__rn")))
+      .filter(col("__end"))
+      .select(col("user_id"),
+        timestamp_micros(col("__sus")).as("session_time"),
+        (col("__us") - col("__sus")).as("duration_us"),
+        (col("__rn") - col("__srn") + 1).cast("long").as("depth"),
+        col("__ev").as("end_event"))
   }
 }

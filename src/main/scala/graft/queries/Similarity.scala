@@ -245,9 +245,25 @@ object Similarity {
             .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
             .select(col("cell").as("cent_id"), expr("transform(dm, p -> p.m)").as("cent_vec"))
         }
-        val assigned = assign(cents)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val probes = assigned.filter(col("vec_id") < 10)
+        // r16 (guide §5): the corpus-sized MEMORY_AND_DISK persist of the
+        // full assignment is gone — the probe branch needs only the 10
+        // probe rows' cells, which it re-derives from the SAME trained-
+        // centroid broadcast (one shared centsArr frame → identical
+        // subtree → ReuseExchange builds the ≤16-row broadcast once, so
+        // Lloyd training still runs once), with vec_id < 10 pushed to
+        // the probe scan. Mirrors knn_ivf_topk's r15 shape.
+        val centsArr = cents
+          .agg(collect_list(struct(col("cent_id"), col("cent_vec"))).as("cs"))
+        def assignArr(in: org.apache.spark.sql.DataFrame) =
+          in.crossJoin(broadcast(centsArr))
+            .withColumn("cell",
+              array_max(transform(col("cs"), c =>
+                struct(round(dotHof(col("embedding"), c.getField("cent_vec")), 6).as("d"),
+                       (-c.getField("cent_id")).as("negid"),
+                       c.getField("cent_id").as("id")))).getField("id"))
+            .drop("cs")
+        val assigned = assignArr(emb)
+        val probes = assignArr(emb.filter(col("vec_id") < 10))
           .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
                   col("cell").as("probe_cell"))
         val w = Window.partitionBy(col("probe_id"))

@@ -137,6 +137,40 @@ object JaccardProf {
       noop(out.orderBy(col("id_a"), col("id_b")))
     }
 
+    // Variant D (r16): no persist, but an EXPLICIT id-repartition above the
+    // per-doc aggregate as the shared materialization boundary. All four
+    // consumers (prefix stream + prefix broadcast + two verify sides) hang
+    // off the identical exchange subtree, so AQE's stage cache derives docs
+    // ONCE per fresh execution — the reduce-side collect_list no longer
+    // re-runs per consumer the way variant A's does.
+    time("8 variant D (repartition boundary)") {
+      val docs = prefixDocs.repartition(col("id"))
+      noop(verify(candidates(docs), docs).orderBy(col("id_a"), col("id_b")))
+    }
+
+    // Variant E (r16): ONE documents scan — plain token arrays per doc
+    // first, token df derived by exploding those arrays (not by re-scanning
+    // the table), then the (df, tok)-ordered arrays rebuilt via one more
+    // explode + broadcast df join + re-agg.
+    time("9 variant E (single scan)") {
+      val docsRaw = toks.groupBy(col("id"))
+        .agg(collect_list(col("tok")).as("rs"))
+        .repartition(col("id"))
+      val dfTok = docsRaw.select(explode(col("rs")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val docs = docsRaw.select(col("id"), explode(col("rs")).as("tok"))
+        .join(dfTok, "tok")
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("dt"))
+        .select(col("id"),
+          expr("transform(dt, x -> x.tok)").as("ts"),
+          size(col("dt")).as("n_tok"))
+        .withColumn("p",
+          (col("n_tok") - ceil(lit(threshold) * col("n_tok")) + 1).cast("int"))
+        .repartition(col("id"))
+      noop(verify(candidates(docs), docs).orderBy(col("id_a"), col("id_b")))
+    }
+
     spark.stop()
   }
 }

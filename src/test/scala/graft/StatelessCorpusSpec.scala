@@ -30,10 +30,15 @@ class StatelessCorpusSpec extends SparkSpec {
     assert(allowlist.size >= 140, s"allowlist shrank to ${allowlist.size}")
   }
 
-  test("every allowlisted reference stateless test passes verbatim") {
-    assume(Files.isDirectory(Paths.get(corpusDir)), "reference corpus absent")
-    // isolated session: the strict CH overrides (length = bytes) must
-    // not leak into the shared test session's registry
+  /** Isolated corpus session: the strict CH overrides (length = bytes)
+    * must not leak into the shared test session's registry, and — since
+    * r16 runs the corpus files CONCURRENTLY — every file gets its OWN
+    * child session so temp-view names (the corpus reuses t/t1/test
+    * across files) cannot collide. All settings are per-session, so the
+    * banked goldens see exactly the sequential runner's environment:
+    * same master, same 8 shuffle partitions, same Moscow tz.
+    */
+  private def mkCorpusSession(): org.apache.spark.sql.SparkSession = {
     val session = spark.newSession()
     Engine.registerFunctions(session)
     graft.sql.ClickHouseAliases.injectStrict(session)
@@ -51,26 +56,48 @@ class StatelessCorpusSpec extends SparkSpec {
     session.conf.set(graft.sql.ChCoercions.SetOpsAllFlag, "true")
     session.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     session.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    session
+  }
+
+  test("every allowlisted reference stateless test passes verbatim") {
+    assume(Files.isDirectory(Paths.get(corpusDir)), "reference corpus absent")
+    // r16: this sweep was 2120 s of the suite's 2374 s — one file at a
+    // time, each file a chain of tiny Spark jobs that left the host
+    // idle. The files are independent (per-file ChSession over a
+    // per-file child SparkSession), so run them from a thread pool
+    // (guide §2.6 "overlap independent jobs"): StatelessSweep.run pins
+    // the active session per thread, and job content/row order per file
+    // is untouched (same confs, same partition counts — concurrency
+    // changes WHEN jobs run, not what they compute).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     val failures =
-      try allowlist.flatMap { name =>
-        val sqlText = new String(
-          Files.readAllBytes(Paths.get(corpusDir, name)), "UTF-8")
-        val expected = new String(
-          Files.readAllBytes(Paths.get(corpusDir,
-            name.dropRight(4) + ".reference")), "UTF-8")
-        StatelessSweep.run(session, sqlText) match {
-          case Right(actual)
-              if actual.replaceAll("\n+$", "") ==
-                expected.replaceAll("\n+$", "") =>
-            None
-          case Right(actual) =>
-            Some(s"$name: output diff\n  want ${expected.take(120)}\n  got ${actual.take(120)}")
-          case Left(err) =>
-            Some(s"$name: $err")
+      try {
+        val futs = allowlist.map { name =>
+          pool.submit(new java.util.concurrent.Callable[Option[String]] {
+            def call(): Option[String] = {
+              val sqlText = new String(
+                Files.readAllBytes(Paths.get(corpusDir, name)), "UTF-8")
+              val expected = new String(
+                Files.readAllBytes(Paths.get(corpusDir,
+                  name.dropRight(4) + ".reference")), "UTF-8")
+              StatelessSweep.run(mkCorpusSession(), sqlText) match {
+                case Right(actual)
+                    if actual.replaceAll("\n+$", "") ==
+                      expected.replaceAll("\n+$", "") =>
+                  None
+                case Right(actual) =>
+                  Some(s"$name: output diff\n  want ${expected.take(120)}\n  got ${actual.take(120)}")
+                case Left(err) =>
+                  Some(s"$name: $err")
+              }
+            }
+          })
         }
+        futs.flatMap(_.get())
       } finally {
-        // the corpus session (Moscow tz, CH coercions) must not linger
-        // as the thread's active session — later suites' lazy plan
+        pool.shutdown()
+        // a corpus session (Moscow tz, CH coercions) must not linger as
+        // the thread's active session — later suites' lazy plan
         // optimization reads SQLConf.get from it (timestamp literals
         // in golden plans would shift by the Moscow offset)
         org.apache.spark.sql.SparkSession.setActiveSession(spark)
