@@ -47,6 +47,16 @@ object Bench {
       // run, silently re-charging ~3s of Janino compilation to the most
       // complex plans. Size the cache to the workload.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // r16 (guide §2.2): AQE's coalescing floor. parallelismFirst=true
+      // (default) sizes post-shuffle partitions at totalBytes/parallelism
+      // — but never below minPartitionSize, whose 1 MB default collapses
+      // every sub-32 MB shuffle to a handful of partitions (at sf0.1 the
+      // per-user window stages ran as ONE task on one core). 64 KB keeps
+      // reduce stages ~core-wide on small inputs and is inert at scale:
+      // the floor only binds when a shuffle totals < cores × 1 MB, i.e.
+      // when the data is tiny anyway. Env-overridable for cluster tuning.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "65536"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -123,6 +133,17 @@ object Bench {
         // against dead cache entries (every reuse would silently
         // recompute).
         spark.catalog.clearCache()
+        // r16 MEASUREMENT FIX (disclosed in OPTIMIZATION_r16.md): drop
+        // every registered shuffle's map outputs before the rep.
+        // Re-executing the same cached RDD lets the DAGScheduler SKIP any
+        // stage whose shuffle output is still registered, so since r10
+        // the timed reps re-ran only the stages downstream of the last
+        // exchange (a 10× input moved q1 by ~0 ms; 8-core ≈ 32-core for
+        // every query). With the reset, each rep recomputes the full
+        // prepared plan — scans, shuffles, final stages — while the plan
+        // itself and the broadcast futures stay warm, which is what
+        // "re-execute the prepared query" was always meant to time.
+        org.apache.spark.graftbench.ShuffleReset.resetAll(spark.sparkContext)
         val t0 = System.nanoTime()
         try {
           consume(prepared(name))
@@ -236,8 +257,8 @@ object Bench {
     // heavy-rep traces, requeue list and per-query planning times — the
     // same numbers as before, unchanged methodology — move to
     // target/bench_last_detail.json.
-    val line = f"""{"metric":"total","value":${planTotal + total}%.3f,"unit":"sec","schema_version":3,"exec_total":$total%.3f,"measures":"value_plan_plus_exec","queries":$qs,"reps":$reps,"floor_inflated":$inflatedJson,"noisy_host":${noisy.nonEmpty || hostStillLoaded},"planning_total":$planTotal%.3f,"sf":"$sfDir"}"""
-    val detail = f"""{"metric":"total","value":${planTotal + total}%.3f,"unit":"sec","schema_version":3,"exec_total":$total%.3f,"measures":"value_plan_plus_exec","queries":$qs,"spread_minmax":$spread,"reps":$reps,"heavy_reps":$perRepJson,"noisy_requeued":$noisyJson,"floor_inflated":$inflatedJson,"noisy_host":${noisy.nonEmpty || hostStillLoaded},"planning_total":$planTotal%.3f,"planning":$planJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":${planTotal + total}%.3f,"unit":"sec","schema_version":3,"rep_model":"full_recompute","exec_total":$total%.3f,"measures":"value_plan_plus_exec","queries":$qs,"reps":$reps,"floor_inflated":$inflatedJson,"noisy_host":${noisy.nonEmpty || hostStillLoaded},"planning_total":$planTotal%.3f,"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"total","value":${planTotal + total}%.3f,"unit":"sec","schema_version":3,"rep_model":"full_recompute","exec_total":$total%.3f,"measures":"value_plan_plus_exec","queries":$qs,"spread_minmax":$spread,"reps":$reps,"heavy_reps":$perRepJson,"noisy_requeued":$noisyJson,"floor_inflated":$inflatedJson,"noisy_host":${noisy.nonEmpty || hostStillLoaded},"planning_total":$planTotal%.3f,"planning":$planJson,"sf":"$sfDir"}"""
     // stdout tails have truncated in recorded rounds — persist the full
     // detail to files as well (bench_last.json keeps every pre-shrink
     // field so round-over-round tooling loses nothing)

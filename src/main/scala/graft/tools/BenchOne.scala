@@ -29,6 +29,8 @@ object BenchOne {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "65536"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,6 +60,9 @@ object BenchOne {
       var rows = -1L
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
+        // same rep model as Bench (r16): drop registered map outputs so
+        // the rep recomputes every stage instead of only the final one
+        org.apache.spark.graftbench.ShuffleReset.resetAll(spark.sparkContext)
         val t0 = System.nanoTime()
         rows = consume(df)
         (System.nanoTime() - t0) / 1e9

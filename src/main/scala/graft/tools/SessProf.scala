@@ -83,6 +83,7 @@ object SessProf {
     (1 to reps).foreach { _ =>
       cases.foreach { case (name, df) =>
         spark.catalog.clearCache()
+        org.apache.spark.graftbench.ShuffleReset.resetAll(spark.sparkContext)
         val t0 = System.nanoTime()
         consume(df)
         times(name) :+= (System.nanoTime() - t0) / 1e9
